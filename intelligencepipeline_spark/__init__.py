@@ -1,0 +1,25 @@
+"""intelligencepipeline_spark — a PySpark-native document-intelligence engine.
+
+A brand-new engine with the query and data-processing capabilities of
+kindofwhat/IntelligencePipeline (a Kafka-Streams document enrichment
+pipeline), re-expressed Spark-first: DataFrame/SQL logical plans optimized
+by Catalyst, Structured Streaming for the streaming surface, Pandas UDFs
+only where built-in operators can't express the semantics.
+
+Layout:
+    session.py       SparkSession factory tuned for local + cluster scale
+    schemas.py       canonical StructTypes (datarecords, chunks, events)
+    engine.py        Engine facade: register_* plugin API (ref:
+                     pipeline/IIntelligencePipeline.kt:8-22)
+    consolidate.py   event-sourced consolidation fold (ref:
+                     KafkaIntelligencePipeline.kt:364-382)
+    operators/       sequence edits, dedup, similarity, sessionize, facts
+    functions/       text analysis, hashing, nlp-light, multimodal
+    sources/         file/parquet/kafka sources and sinks
+    streaming/       Structured Streaming pipeline wiring
+"""
+
+from intelligencepipeline_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

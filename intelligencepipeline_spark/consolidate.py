@@ -1,0 +1,124 @@
+"""Event-sourced consolidation fold — the heart of the engine.
+
+Reference semantics (KafkaIntelligencePipeline.kt:364-382): the
+`datarecord-event` stream is grouped by key and folded into one
+``DataRecord`` per document:
+
+* ``CREATE``                         sets name / representation / timestamp
+* ``UPSERT_METADATA``                set-unions into ``meta``
+* ``UPSERT_DOCUMENT_REPRESENTATION`` set-unions into ``additional_representations``
+* unknown command                    -> error
+
+Spark-first re-expression: a single ``groupBy(doc_id)`` with conditional
+aggregates — one shuffle, map-side partial aggregation, no per-record
+state store. Set-union-with-deep-equality (Kotlin ``Set +``,
+KafkaIntelligencePipeline.kt:372,374) becomes ``array_distinct`` over
+**normalized** structs: map values are canonicalized to sorted entry
+lists first, because map equality is not directly comparable in Spark
+(SURVEY.md §7 hard part 5).
+
+Order tolerance: the fold is commutative — UPSERT events arriving before
+their CREATE still contribute (the reference folds them into a
+default-initialized record, KafkaIntelligencePipeline.kt:367; here the
+CREATE fields are simply null until a CREATE arrives). Among multiple
+CREATEs the **latest by event_ts** wins (deterministic under replay,
+matching last-write-wins of the reference's in-order changelog).
+
+Scale: the only wide operation is the keyed aggregation; partial
+aggregation combines map-side so shuffle volume is per-doc, not
+per-event. Skewed hot documents are handled by AQE skew-split; meta
+arrays stay bounded because producers are deduped by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.schemas import DATARECORD_COMMANDS
+
+
+def normalize_metadata(meta: Column) -> Column:
+    """Canonicalize a METADATA_TYPE struct for set-equality.
+
+    ``map<string,string>`` is not comparable in Spark; convert to sorted
+    ``array<struct<key,value>>`` so ``array_distinct`` / ``array_sort``
+    match Kotlin data-class deep equality (datarecords.kt:25-26).
+    """
+    return F.struct(
+        F.array_sort(F.map_entries(meta["values"])).alias("values_entries"),
+        meta["created_by"].alias("created_by"),
+    )
+
+
+def denormalize_metadata(meta: Column) -> Column:
+    """Back to the canonical METADATA_TYPE (map form)."""
+    return F.struct(
+        F.map_from_entries(meta["values_entries"]).alias("values"),
+        meta["created_by"].alias("created_by"),
+    )
+
+
+def consolidate_events(events: DataFrame, strict: bool = True) -> DataFrame:
+    """Fold a DATARECORD_EVENT_SCHEMA frame into one row per document.
+
+    Equivalent of ``groupByKey().aggregate(...)`` at
+    KafkaIntelligencePipeline.kt:364-381, with the KTable materialization
+    replaced by the returned DataFrame (write it to a table for the
+    `datarecord-consolidated` analog).
+    """
+    cmd = F.col("command")
+    if strict:
+        # Reference throws on unknown commands (KafkaIntelligencePipeline.kt:377-379)
+        events = events.filter(
+            F.when(
+                ~cmd.isin(*DATARECORD_COMMANDS),
+                F.raise_error(
+                    F.concat(F.lit("unknown DataRecordEvent command: "), cmd)
+                ),
+            ).otherwise(F.lit(True))
+        )
+
+    is_create = cmd == "CREATE"
+    create_key = F.when(is_create, F.col("event_ts"))
+
+    folded = events.groupBy("doc_id").agg(
+        F.max_by(F.col("name"), create_key).alias("name"),
+        F.max(F.when(is_create, F.col("event_ts"))).alias("ingest_ts"),
+        F.max_by(F.col("representation"), create_key).alias("representation"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        cmd == "UPSERT_DOCUMENT_REPRESENTATION",
+                        F.col("representation"),
+                    )
+                )
+            )
+        ).alias("additional_representations"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        cmd == "UPSERT_METADATA",
+                        normalize_metadata(F.col("metadata")),
+                    )
+                )
+            )
+        ).alias("meta_norm"),
+    )
+    return folded.withColumn(
+        "meta", F.transform(F.col("meta_norm"), denormalize_metadata)
+    ).drop("meta_norm")
+
+
+def merge_meta(meta: Column, new_meta: Column) -> Column:
+    """Set-union one more Metadata struct into a meta array (A2 —
+    Kotlin ``Set +``, KafkaIntelligencePipeline.kt:372)."""
+    merged = F.array_distinct(
+        F.concat(
+            F.transform(meta, normalize_metadata),
+            F.array(normalize_metadata(new_meta)),
+        )
+    )
+    return F.transform(merged, denormalize_metadata)

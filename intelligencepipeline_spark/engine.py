@@ -1,0 +1,334 @@
+"""Engine facade — the plugin/registration API.
+
+Mirrors the reference's ``IIntelligencePipeline`` surface
+(pipeline/IIntelligencePipeline.kt:8-22):
+
+    registerIngestor                      -> register_ingestor
+    registerMetadataProducer              -> register_metadata_producer
+    registerDocumentRepresentationProducer-> register_representation_producer
+    registerChunkProducer                 -> register_chunk_producer
+    registerChunkMetadataProducer         -> register_chunk_metadata_producer
+    registerProposer (TODO in ref,
+      KafkaIntelligencePipeline.kt:187-189)-> register_proposer (implemented!)
+    registerSideEffect                    -> register_side_effect
+
+Architecture difference, on purpose: in the reference each ``register*``
+spawns an independent Kafka-Streams topology that loops events through
+the broker until producers reach a fixpoint (KafkaIntelligencePipeline.kt:
+215-258; MapIntelligencePipeline.kt:89-103 is the in-memory analog).
+Here registration appends a **declarative transform** to one logical
+plan; ``run()`` resolves producer dependencies (the capability registry
+of capabilities/interfaces.kt:4-13 reduced to column-level requires) and
+unrolls the fixpoint into one Catalyst-fused pass — no broker
+round-trips, one scan, whole-stage codegen across all JVM-side
+producers.
+
+Idempotence (P2): every producer output is guarded by the reference's
+"already processed" filter — ``!meta.any { it.createdBy == name }``
+(KafkaIntelligencePipeline.kt:227-233) — expressed with the higher-order
+``exists`` so re-running over an already-enriched table is a no-op.
+Empty results are dropped (P3, KafkaIntelligencePipeline.kt:239-241).
+
+Fault isolation: a producer whose column expression fails to *build*
+is skipped and recorded (the reference's rogue-producer containment,
+KafkaIntelligencePipelineTests.kt:176-195); runtime UDF faults are
+handled by the ``fault_tolerant`` wrapper in functions/udf_utils.py.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.consolidate import merge_meta
+
+log = logging.getLogger(__name__)
+
+# A producer function sees the current datarecords DataFrame and returns a
+# Column; what the column must contain depends on the producer kind.
+ProducerFn = Callable[[DataFrame], Column]
+
+
+@dataclass
+class _Producer:
+    name: str
+    fn: ProducerFn
+    requires: tuple[str, ...] = ()
+    kind: str = "metadata"  # metadata | representation | proposer
+    target_col: str | None = None  # representation producers: output column
+
+
+@dataclass
+class _ChunkProducer:
+    name: str
+    fn: ProducerFn  # -> Column: array<string> of chunk contents
+    chunk_type: str = "SENTENCE"
+    requires: tuple[str, ...] = ()
+
+
+@dataclass
+class Engine:
+    """Batch-first engine; streaming wiring lives in streaming/."""
+
+    spark: SparkSession
+    _ingest: DataFrame | None = None
+    _producers: list[_Producer] = field(default_factory=list)
+    _chunk_producers: list[_ChunkProducer] = field(default_factory=list)
+    _chunk_meta_producers: list[_Producer] = field(default_factory=list)
+    _side_effects: list[tuple[str, Callable[[DataFrame], None]]] = field(
+        default_factory=list
+    )
+    failed_producers: dict[str, str] = field(default_factory=dict)
+
+    # -- registration API (IIntelligencePipeline.kt:8-22) ------------------
+
+    def register_ingestor(self, df: DataFrame) -> "Engine":
+        """Any DataFrame with at least (doc_id, name); extra columns
+        (content, text, ingest_ts, ...) ride along (ref
+        registerIngestor, KafkaIntelligencePipeline.kt:290-297)."""
+        self._ingest = df if self._ingest is None else self._ingest.unionByName(
+            df, allowMissingColumns=True
+        )
+        return self
+
+    def register_metadata_producer(
+        self, name: str, fn: ProducerFn, requires: tuple[str, ...] = ()
+    ) -> "Engine":
+        """fn(df) -> Column of map<string,string> (ref MetadataProducer.
+        metadataFor, participants/interfaces.kt:35-37)."""
+        self._producers.append(_Producer(name, fn, requires, "metadata"))
+        return self
+
+    def register_representation_producer(
+        self,
+        name: str,
+        target_col: str,
+        fn: ProducerFn,
+        requires: tuple[str, ...] = (),
+    ) -> "Engine":
+        """fn(df) -> Column holding the rendition (ref
+        DocumentRepresentationProducer, participants/interfaces.kt:53-55).
+        Renditions are columns, not sidecar files (anti-pattern S9)."""
+        self._producers.append(
+            _Producer(name, fn, requires, "representation", target_col)
+        )
+        return self
+
+    def register_chunk_producer(
+        self,
+        name: str,
+        fn: ProducerFn,
+        chunk_type: str = "SENTENCE",
+        requires: tuple[str, ...] = (),
+    ) -> "Engine":
+        """fn(df) -> Column of array<string> chunk contents; the engine
+        posexplodes to CHUNK_SCHEMA rows (ref ChunkProducer.chunks,
+        participants/interfaces.kt:49-51; flat-map at
+        KafkaIntelligencePipeline.kt:142-147). START/LAST sentinels are
+        unnecessary — the array is complete per row."""
+        self._chunk_producers.append(_ChunkProducer(name, fn, chunk_type, requires))
+        return self
+
+    def register_chunk_metadata_producer(
+        self, name: str, fn: ProducerFn, requires: tuple[str, ...] = ()
+    ) -> "Engine":
+        """fn(chunks_df) -> Column map<string,string> over chunk rows (ref
+        ChunkMetadataProducer, participants/interfaces.kt:42-44)."""
+        self._chunk_meta_producers.append(_Producer(name, fn, requires, "metadata"))
+        return self
+
+    def register_proposer(
+        self, name: str, fn: ProducerFn, requires: tuple[str, ...] = ()
+    ) -> "Engine":
+        """fn(df) -> Column of struct<proposal:string, confidence:float>.
+        Closes the reference's TODO (KafkaIntelligencePipeline.kt:187-189);
+        evaluation via operators/facts.py (MaxScore, facts.kt:34-36)."""
+        self._producers.append(_Producer(name, fn, requires, "proposer"))
+        return self
+
+    def register_side_effect(
+        self, name: str, fn: Callable[[DataFrame], None]
+    ) -> "Engine":
+        """Consumes the consolidated frame (ref registerSideEffect,
+        KafkaIntelligencePipeline.kt:163-185)."""
+        self._side_effects.append((name, fn))
+        return self
+
+    # -- execution ---------------------------------------------------------
+
+    @staticmethod
+    def _already_processed(name: str) -> Column:
+        # P2 guard (KafkaIntelligencePipeline.kt:227-233)
+        return F.exists("meta", lambda m: m["created_by"] == F.lit(name))
+
+    def _apply_metadata(self, df: DataFrame, p: _Producer) -> DataFrame:
+        values = p.fn(df)
+        new_meta = F.struct(
+            values.alias("values"), F.lit(p.name).alias("created_by")
+        )
+        apply_cond = (
+            ~self._already_processed(p.name)
+            # P3: drop empty producer output (KafkaIntelligencePipeline.kt:239-241)
+            & (F.size(F.map_keys(values)) > 0)
+        )
+        return df.withColumn(
+            "meta",
+            F.when(apply_cond, merge_meta(F.col("meta"), new_meta)).otherwise(
+                F.col("meta")
+            ),
+        )
+
+    def _apply_representation(self, df: DataFrame, p: _Producer) -> DataFrame:
+        rendition = p.fn(df)
+        rep = F.struct(
+            F.lit(None).cast("string").alias("path"),  # column, not a file path
+            F.lit(p.name).alias("created_by"),
+        )
+        non_empty = rendition.isNotNull() & (F.length(rendition) > 0)  # P3
+        df = df.withColumn(p.target_col, rendition)
+        return df.withColumn(
+            "additional_representations",
+            F.when(
+                non_empty
+                & ~F.exists(
+                    "additional_representations",
+                    lambda r: r["created_by"] == F.lit(p.name),
+                ),
+                F.array_union(
+                    F.col("additional_representations"), F.array(rep)
+                ),
+            ).otherwise(F.col("additional_representations")),
+        )
+
+    def _apply_proposer(self, df: DataFrame, p: _Producer) -> DataFrame:
+        prop = p.fn(df)
+        return df.withColumn(
+            "propositions",
+            F.when(
+                prop.isNotNull() & prop["proposal"].isNotNull(),
+                F.array_distinct(
+                    F.concat(F.col("propositions"), F.array(prop))
+                ),
+            ).otherwise(F.col("propositions")),
+        )
+
+    def _fixpoint(self, df: DataFrame, producers: list[_Producer]) -> DataFrame:
+        """Unrolled fixpoint: apply every producer whose ``requires`` are
+        satisfied; repeat until none newly applies (the reference loops
+        through Kafka until no producer fires, MapIntelligencePipeline.kt:
+        89-103 — here the loop happens at plan-build time, so the runtime
+        plan is a straight line Catalyst can fuse)."""
+        pending = list(producers)
+        for _ in range(len(producers) + 1):
+            if not pending:
+                break
+            progressed = []
+            for p in pending:
+                if not all(c in df.columns for c in p.requires):
+                    continue
+                try:
+                    if p.kind == "metadata":
+                        df = self._apply_metadata(df, p)
+                    elif p.kind == "representation":
+                        df = self._apply_representation(df, p)
+                    elif p.kind == "proposer":
+                        df = self._apply_proposer(df, p)
+                except Exception as e:  # rogue-producer isolation
+                    self.failed_producers[p.name] = repr(e)
+                    log.warning("producer %s failed to build: %s", p.name, e)
+                progressed.append(p)
+            if not progressed:
+                break
+            pending = [p for p in pending if p not in progressed]
+        for p in pending:
+            self.failed_producers[p.name] = (
+                f"unmet requires: {[c for c in p.requires if c not in df.columns]}"
+            )
+        return df
+
+    def run(self) -> dict[str, DataFrame]:
+        """Batch run: ingest -> enrich to fixpoint -> chunk -> side effects.
+
+        Returns {'datarecords': ..., 'chunks': ...}. Equivalent dataflow
+        to §3.1 of SURVEY.md with the Kafka round-trips unrolled.
+        """
+        if self._ingest is None:
+            raise ValueError("no ingestor registered")
+        df = self._ingest
+        for col, default in (
+            ("ingest_ts", F.current_timestamp()),
+            ("representation", F.lit(None).cast("struct<path:string,created_by:string>")),
+            (
+                "additional_representations",
+                F.lit(None).cast("array<struct<path:string,created_by:string>>"),
+            ),
+            ("meta", None),
+            ("propositions", None),
+        ):
+            if col not in df.columns:
+                if col == "meta":
+                    df = df.withColumn(
+                        col,
+                        F.array().cast(
+                            "array<struct<values:map<string,string>,created_by:string>>"
+                        ),
+                    )
+                elif col == "propositions":
+                    df = df.withColumn(
+                        col,
+                        F.array().cast(
+                            "array<struct<proposal:string,confidence:float>>"
+                        ),
+                    )
+                else:
+                    df = df.withColumn(col, default)
+        df = df.withColumn(
+            "additional_representations",
+            F.coalesce(
+                F.col("additional_representations"),
+                F.array().cast("array<struct<path:string,created_by:string>>"),
+            ),
+        )
+
+        df = self._fixpoint(df, self._producers)
+
+        chunks = None
+        for cp in self._chunk_producers:
+            try:
+                arr = cp.fn(df)
+            except Exception as e:
+                self.failed_producers[cp.name] = repr(e)
+                continue
+            # UDTF surface: array-returning expression + posexplode (P7)
+            c = df.select(
+                F.col("doc_id"),
+                F.posexplode(arr).alias("chunk_index", "content"),
+            ).select(
+                "doc_id",
+                F.col("chunk_index").cast("long").alias("chunk_index"),
+                F.lit(cp.chunk_type).alias("chunk_type"),
+                F.lit(None).cast("string").alias("command"),
+                "content",
+                F.array().cast(
+                    "array<struct<values:map<string,string>,created_by:string>>"
+                ).alias("metadata"),
+            )
+            chunks = c if chunks is None else chunks.unionByName(c)
+        if chunks is not None and self._chunk_meta_producers:
+            chunks = chunks.withColumnRenamed("metadata", "meta")
+            chunks = self._fixpoint(chunks, self._chunk_meta_producers)
+            chunks = chunks.withColumnRenamed("meta", "metadata")
+
+        out = {"datarecords": df}
+        if chunks is not None:
+            out["chunks"] = chunks
+        for name, fn in self._side_effects:
+            try:
+                fn(df)
+            except Exception as e:
+                self.failed_producers[name] = repr(e)
+        return out

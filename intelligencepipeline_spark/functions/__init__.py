@@ -1,0 +1,27 @@
+from intelligencepipeline_spark.functions.text import (
+    tokens,
+    token_count,
+    language_scores,
+    detect_language,
+    quality_score,
+    fingerprint,
+    normalize_text,
+)
+from intelligencepipeline_spark.functions.hashing import content_digest, doc_key
+from intelligencepipeline_spark.functions.nlp import (
+    word_chunks,
+    sentence_chunks,
+    window_chunks,
+    named_entities,
+    pos_tags_light,
+)
+from intelligencepipeline_spark.functions.udf_utils import fault_tolerant_pandas_udf
+
+__all__ = [
+    "tokens", "token_count", "language_scores", "detect_language",
+    "quality_score", "fingerprint", "normalize_text",
+    "content_digest", "doc_key",
+    "word_chunks", "sentence_chunks", "window_chunks",
+    "named_entities", "pos_tags_light",
+    "fault_tolerant_pandas_udf",
+]

@@ -1,0 +1,34 @@
+"""Content hashing (SURVEY.md §2.5 F1).
+
+The reference's ``HashMetadataProducer`` SHA-1-digests file bytes
+(participants/implementations.kt:41-52). Spark has JVM-side codegen'd
+digests built in — no UDF needed, which keeps the hot path in
+whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def content_digest(content: Column, algo: str = "sha1") -> Column:
+    """Hex digest of a string/binary column (ref implementations.kt:47-50)."""
+    if algo == "sha1":
+        return F.sha1(content)
+    if algo == "md5":
+        return F.md5(content)
+    if algo in ("sha256", "sha512"):
+        return F.sha2(content, int(algo[3:]))
+    raise ValueError(f"unsupported digest {algo}")
+
+
+def doc_key(path: Column) -> Column:
+    """Stable 64-bit document id from a path.
+
+    The reference keys on ``path.hashCode().toLong()``
+    (KafkaIntelligencePipeline.kt:314) — a 32-bit space that collides
+    around ~80k docs (birthday bound); at 100 TB-scale corpora that is
+    guaranteed collision, so we use xxhash64 instead.
+    """
+    return F.xxhash64(path)

@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats non-text modalities as first-class columns:
+
+    media           binary                      (raw bytes)
+    media_meta      struct<mime:string, width:int, height:int,
+                           duration_ms:long, sample_rate:int>
+
+Decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages
+so bytes never round-trip through the driver and batches amortize model
+startup. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container — the decode bodies below are deterministic fakes / stubs
+behind ``STUB_DECODE``; the Spark-side plumbing (schemas, batch
+iteration, partition sizing) is real and tested.
+
+At 100 TB: binary columns live in parquet alongside metadata, so
+predicate pushdown on ``media_meta.mime`` prunes row groups before any
+byte is decoded; ``spark.sql.files.maxPartitionBytes`` bounds task input
+so one task never holds more than one batch of decoded frames.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STUB_DECODE = True  # flip when real codec libs are on the cluster
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+_FEATURE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, content_hash string, "
+    "feature array<float>"
+)
+
+
+def sniff_mime(media: Column) -> Column:
+    """Magic-byte MIME sniffing on the first bytes of a binary column —
+    expression-only (the binary analog of Tika's detector,
+    implementations.kt:237-260)."""
+    head = F.hex(F.substring(media, 1, 8))
+    return (
+        F.when(head.startswith("89504E47"), F.lit("image/png"))
+        .when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(head.startswith("47494638"), F.lit("image/gif"))
+        .when(head.startswith("494433"), F.lit("audio/mpeg"))
+        .when(head.startswith("52494646"), F.lit("audio/wav"))
+        .when(F.substring(media, 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def _decode_features(content: bytes) -> list[float]:
+    """Deterministic fake 'embedding' of media bytes (8 floats from the
+    sha256 digest). Replace with a real decode+model when codecs exist."""
+    if not STUB_DECODE:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg — not in this container"
+        )
+    h = hashlib.sha256(content or b"").digest()
+    return [b / 255.0 for b in h[:8]]
+
+
+def extract_media_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Input needs (doc_id, <media_col>); output one row per doc with a
+    feature vector. Batch shape: pandas DataFrames of Arrow record
+    batches — bounded by maxRecordsPerBatch, not partition size.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[media_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [_sniff_py(c) for c in content],
+                    "n_bytes": [len(c or b"") for c in content],
+                    "content_hash": [
+                        hashlib.sha1(c or b"").hexdigest() for c in content
+                    ],
+                    "feature": [_decode_features(c) for c in content],
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(op, _FEATURE_SCHEMA)
+
+
+def _sniff_py(content: bytes | None) -> str:
+    b = content or b""
+    if b.startswith(b"\x89PNG"):
+        return "image/png"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if b.startswith(b"GIF8"):
+        return "image/gif"
+    if b.startswith(b"ID3"):
+        return "audio/mpeg"
+    if b.startswith(b"RIFF"):
+        return "audio/wav"
+    if len(b) >= 9 and b[4:8] == b"ftyp":
+        return "video/mp4"
+    return "application/octet-stream"
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Plumbing for video frame sampling: one row per (doc, frame_ts).
+    Decode is stubbed; the explode itself is real so downstream operators
+    (dedup, ANN) can be tested against the fake features."""
+    frames = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)) / every_ms)
+            .cast("long") - 1,
+            F.lit(0),
+        ),
+    )
+    return df.select(
+        "doc_id", F.explode(frames).alias("frame_no")
+    ).withColumn("frame_ts_ms", F.col("frame_no") * every_ms)

@@ -1,0 +1,99 @@
+"""NLP-light chunkers and annotators (SURVEY.md §2.5 F5/F6).
+
+The reference runs Stanford CoreNLP for sentence splitting, POS and NER
+(participants/implementations.kt:57-146). CoreNLP/spaCy are not in this
+container — and at 100 TB a JVM-heavy model pass is its own project —
+so chunking is expression-only (codegen'd) and the annotators are
+deterministic regex/heuristic "light" versions with the same shape as
+the reference output (flat per-sentence keys -> typed arrays instead,
+see SURVEY §2.5 F6). Swap in real models by replacing the inner logic
+with a pandas_udf; the plumbing (arrays + posexplode) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import tokens
+
+
+def word_chunks(text: Column) -> Column:
+    """array<string> of WORD chunks (ChunkType.WORD, datarecords.kt:8)."""
+    return tokens(text)
+
+
+def sentence_chunks(text: Column) -> Column:
+    """array<string> of SENTENCE chunks.
+
+    Splits on sentence terminators ('.', '!', '?' followed by space) and
+    drops empties — the ssplit analog of
+    StanfordNlpSentenceChunkProducer (implementations.kt:57-89). The
+    START/LAST sentinels of the reference are unnecessary: the array is
+    complete per row.
+    """
+    parts = F.split(text, "(?<=[.!?])\\s+")
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: F.length(s) > 0
+    )
+
+
+def window_chunks(text: Column, window_size: int = 10) -> Column:
+    """array<string> of fixed-size token windows (PARAGRAPH-style chunks
+    for unpunctuated corpora; also the unit for length-capped NLP batches
+    — the reference's large-doc mitigation, README.md:103)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_windows = F.ceil(n.cast("double") / window_size).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_windows - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(toks, i * window_size + 1, window_size), " "
+        ),
+    )
+
+
+# Entity regexes for the light NER (EntityType, analytics.kt:5-9). Matches
+# the reference's taxonomy: PERSON LOCATION DATE TIME SUM GENERIC.
+_ENTITY_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("DATE", r"\b\d{4}-\d{2}-\d{2}\b"),
+    ("TIME", r"\b\d{1,2}:\d{2}(?::\d{2})?\b"),
+    ("SUM", r"\b\d+(?:\.\d+)?\s?(?:usd|eur|chf|\$|€)"),
+    ("PERSON", r"\b[A-Z][a-z]+ [A-Z][a-z]+\b"),
+)
+
+
+def named_entities(text: Column) -> Column:
+    """array<struct<type,value>> via deterministic regex NER-light
+    (stand-in for CoreNLP ner, implementations.kt:117-136)."""
+    def to_entity(etype: str):
+        return lambda v: F.struct(F.lit(etype).alias("type"), v.alias("value"))
+
+    parts = [
+        F.transform(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0)), to_entity(etype)
+        )
+        for etype, pat in _ENTITY_PATTERNS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def pos_tags_light(text: Column) -> Column:
+    """array<struct<word,pos>> — heuristic POS tagging (suffix rules), the
+    shape-compatible stand-in for CoreNLP pos (implementations.kt:118-127)."""
+    def tag(w: Column) -> Column:
+        return (
+            F.when(w.rlike("^[0-9]+(\\.[0-9]+)?$"), F.lit("CD"))
+            .when(w.rlike("(ing)$"), F.lit("VBG"))
+            .when(w.rlike("(ed)$"), F.lit("VBD"))
+            .when(w.rlike("(ly)$"), F.lit("RB"))
+            .when(w.rlike("(s)$"), F.lit("NNS"))
+            .otherwise(F.lit("NN"))
+        )
+
+    return F.transform(
+        tokens(text), lambda w: F.struct(w.alias("word"), tag(w).alias("pos"))
+    )

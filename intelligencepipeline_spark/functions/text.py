@@ -1,0 +1,113 @@
+"""Text-analysis column functions (SURVEY.md §2.5 F2/F7 + LLM-pipeline
+extensions: language-ID, quality scoring, token counting, fingerprinting).
+
+Everything here is built-in-expression-only (JVM-side, whole-stage
+codegen) — no Python in the hot path. That is the difference between
+"works on 60k rows" and "works on 100 TB": these all pipeline inside a
+single scan stage with zero shuffles.
+
+Determinism: helpers avoid float accumulation and engine-specific hash
+functions so results are exactly reproducible (and oracle-comparable)
+across engines — ratios are single IEEE divisions of exact integers,
+hashes are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers (language-ID heuristic; the reference
+# delegates to Tika's LanguageIdentifier, participants/implementations.kt:228-234
+# — here an n-gram/stopword heuristic keeps it hermetic and vectorized).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "es", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty-safe: split on single space and drop
+    empties (exactly reproducible in ANSI SQL: list_filter(string_split))."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    """Count word occurrences via length arithmetic (no regex — exact and
+    identical across engines). Counts space-delimited occurrences by
+    padding the text with spaces."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def language_scores(text: Column) -> Column:
+    """map<lang, marker-hit-count> for the heuristic language identifier."""
+    pairs = []
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            occ = _occurrences(text, m)
+            score = occ if score is None else score + occ
+        pairs.extend([F.lit(lang), score])
+    return F.create_map(*pairs)
+
+
+def detect_language(text: Column) -> Column:
+    """argmax language by marker count; ties broken by language code
+    (deterministic). 'und' (undetermined) when no marker hits — mirrors
+    the reference's null-language fallback (implementations.kt:232-234)."""
+    entries = F.map_entries(language_scores(text))
+    best = F.array_max(
+        F.transform(entries, lambda e: F.struct(e["value"].alias("score"),
+                                                e["key"].alias("lang")))
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, strip
+    non-alphanumerics to spaces, collapse runs of spaces, trim."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized text. (The rolling/
+    shingled variant for near-dup detection is operators/dedup.py.)"""
+    return F.md5(normalize_text(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality features for training-data filtering, as a struct:
+
+    n_chars, n_tokens, mean_token_len, distinct_ratio, space_ratio.
+    All ratios are single divisions of exact integers (deterministic).
+    """
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    alpha_len = n_chars - n_spaces
+    return F.struct(
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (alpha_len.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+         ).alias("mean_token_len"),
+        (n_distinct.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+         ).alias("distinct_ratio"),
+        (n_spaces.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+         ).alias("space_ratio"),
+    )

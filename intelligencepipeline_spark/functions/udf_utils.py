@@ -1,0 +1,50 @@
+"""UDF utilities: Arrow-batched wrappers with rogue-producer isolation.
+
+The reference isolates a throwing producer to its own sub-topology
+(KafkaIntelligencePipelineTests.kt:176-195). In a fused Spark plan the
+equivalent is: wrap the Python body so a per-row failure yields null
+instead of killing the stage; the engine's P3 empty-filter then drops
+the non-result. Errors are counted per batch and logged, never raised.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def fault_tolerant_pandas_udf(return_type: str):
+    """Decorator: element-wise ``fn(value) -> value`` becomes an
+    Arrow-batched pandas UDF that nulls out failing rows.
+
+    Use only for logic inexpressible with built-in functions — Python is
+    the slow path; Arrow batching keeps it ~10-100x faster than
+    row-at-a-time UDFs, and fault tolerance keeps one poison document
+    from failing a 100 TB job.
+    """
+
+    def deco(fn: Callable):
+        @functools.wraps(fn)
+        def batched(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            errors = 0
+            for series in it:
+                out = []
+                for v in series:
+                    try:
+                        out.append(fn(v))
+                    except Exception:
+                        errors += 1
+                        out.append(None)
+                yield pd.Series(out, dtype="object")
+            if errors:
+                log.warning("%s: %d rows failed (nulled)", fn.__name__, errors)
+
+        return F.pandas_udf(return_type)(batched)
+
+    return deco

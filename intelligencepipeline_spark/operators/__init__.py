@@ -1,0 +1,10 @@
+from intelligencepipeline_spark.operators.sequence import (
+    seq_append, seq_insert, seq_update, seq_merge, seq_remove,
+)
+from intelligencepipeline_spark.operators.facts import max_score, no_score
+from intelligencepipeline_spark.operators.sessionize import sessionize
+
+__all__ = [
+    "seq_append", "seq_insert", "seq_update", "seq_merge", "seq_remove",
+    "max_score", "no_score", "sessionize",
+]

@@ -1,0 +1,265 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has no dedup (its SHA-1 producer F1 is the building
+block); these are the engine's scale extensions (BASELINE.json north
+star). Five families:
+
+* exact           — hash-groupBy on a content fingerprint
+* minhash + LSH   — shingle -> minhash signature -> banded bucket join
+* simhash         — 16-bit vector-sign hash over token hashes
+* n-gram Jaccard  — exact set-similarity join (verification / small SF)
+* embedding       — cosine near-dup over embedding columns (similarity.py)
+
+Determinism-by-construction: all hashing is md5-based and the k minhash
+functions are byte rotations of one md5, so signatures are exactly
+reproducible in ANSI SQL (the DuckDB oracle) and across Spark versions —
+no engine-specific hash (xxhash/murmur) in any correctness-bearing path.
+
+Scale notes (100 TB):
+* signatures are computed expression-only per row — zero shuffles until
+  the candidate join; Catalyst pipelines them inside the scan stage.
+* the LSH bucket join shuffles on (band_idx, band_hash) — uniform by
+  construction (md5), so no skew; bucket sizes are bounded by dropping
+  degenerate buckets larger than ``max_bucket`` (standard stop-shingle
+  tactic; logged, not silent).
+* exact Jaccard verification runs only on LSH candidates, never all
+  pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import normalize_text, tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates by normalized-text md5. Output:
+    (fingerprint, n_dups, keep_id, dup_ids) — keep_id is the min key
+    (deterministic canonical representative)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(key), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(key).alias("keep_id"),
+            F.array_sort(F.collect_list(key)).alias("dup_ids"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min key) per distinct normalized text. Single
+    shuffle on the fingerprint; survives any scale the groupBy survives."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w_df = df.withColumn("__fp", fp)
+    keep = w_df.groupBy("__fp").agg(F.min(key).alias(key))
+    return w_df.join(keep, [key, "__fp"], "inner").drop("__fp")
+
+
+# ------------------------------------------------------------- shingles
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text (expression-only)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# -------------------------------------------------------------- minhash
+
+def _rotate_hex(h: Column, i: int) -> Column:
+    """Byte-rotation of a 32-char md5 hex string — hash function #i of
+    the minhash family (one md5, k free rotations; identical semantics in
+    any SQL engine with substr/concat)."""
+    if i == 0:
+        return h
+    return F.concat(F.substring(h, i + 1, 32 - i), F.substring(h, 1, i))
+
+
+def minhash_signature(text: Column, k: int = 8, shingle_k: int = 3) -> Column:
+    """array<string> of k minhashes (lexicographic min of rotated md5s
+    over the doc's shingle set)."""
+    hashes = F.transform(word_shingles(text, shingle_k), lambda s: F.md5(s))
+
+    def rot(i: int):
+        # closure factory: a default-arg lambda would change the HOF arity
+        return lambda h: _rotate_hex(h, i)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, rot(i))) for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash-LSH.
+
+    rows-per-band r = num_hashes // bands; docs sharing any band land in
+    the same bucket. Output: (a, b) with a < b, distinct across bands.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(key).alias("a"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    )
+    banded = sig.select(
+        "a",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.array_join(F.slice(F.col("sig"), b * r + 1, r), "|"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # Degenerate buckets (e.g. empty docs all hashing together) explode
+    # quadratically; cap and log rather than silently stall at scale.
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.collect_list("a").alias("members"), F.count(F.lit(1)).alias("n")
+    )
+    big = buckets.filter(F.col("n") > max_bucket)
+    pairs = (
+        buckets.filter(F.col("n") <= max_bucket)
+        .select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return pairs, big
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    With ``candidates`` (e.g. from LSH) verification is candidate-only;
+    without, it is a full shingle-inverted-index join — fine at small SF,
+    at 100 TB always pass candidates. Output: (a, b, jaccard).
+    """
+    sh = df.select(
+        F.col(key).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "a", "n": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n": "nb"}), "b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over token md5s, as a 16-char '0'/'1' string.
+
+    Bit j of each token hash = bit (3 - j%4) of hex digit j/4; the
+    signature bit is the sign of the sum of (2*bit - 1) over tokens.
+    Exactly reproducible in ANSI SQL (strpos on a hex alphabet + shifts).
+    """
+    hashes = F.transform(tokens(normalize_text(text)), lambda t: F.md5(t))
+    bits = []
+    for j in range(16):
+        digit_pos = j // 4 + 1
+        shift = 3 - j % 4
+
+        def contrib(h: Column, dp=digit_pos, sh=shift) -> Column:
+            # hex digit -> 0..15 (oracle side uses strpos on the hex
+            # alphabet — same value, engine-native expression)
+            val = F.conv(F.substring(h, dp, 1), 16, 10).cast("int")
+            bit = F.shiftright(val, sh).bitwiseAND(F.lit(1))
+            return bit * 2 - 1
+
+        s = F.aggregate(hashes, F.lit(0), lambda acc, h: acc + contrib(h))
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on the two
+    8-bit halves (pigeonhole: distance <= 2 over 2 blocks means at least
+    one block matches exactly — no all-pairs comparison)."""
+    sigs = df.select(
+        F.col(key).alias("id"), simhash16(F.col(text_col)).alias("sig")
+    )
+    halves = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(
+                F.concat(F.lit("L:"), F.substring("sig", 1, 8)),
+                F.concat(F.lit("R:"), F.substring("sig", 9, 8)),
+            )
+        ).alias("block"),
+    )
+    ham = None
+    pairs = (
+        halves.alias("x")
+        .join(halves.alias("y"), "block")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.sig").alias("sa"), F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    for j in range(16):
+        d = (
+            F.substring("sa", j + 1, 1) != F.substring("sb", j + 1, 1)
+        ).cast("int")
+        ham = d if ham is None else ham + d
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

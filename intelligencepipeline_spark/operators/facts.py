@@ -1,0 +1,60 @@
+"""Facts / propositions evaluators (SURVEY.md §2.3 A4/A5, §2.8).
+
+The reference models competing "facts" as ``Proposition<U>`` with an
+``Evaluator`` scoring them (model/src/main/kotlin/facts/facts.kt:12-36).
+Its only two evaluators:
+
+* ``MaxScore`` — pick the max proposal, score 1.0; empty -> (null, 0.0)
+  (facts/implementations.kt:6-14)
+* ``NoScore`` — constant (null, 0.0) (facts/implementations.kt:19-23)
+
+Spark-first: an evaluator is an aggregation over a proposition frame
+(doc_id, proposal, confidence). ``max_by`` keeps it one shuffle with
+partial aggregation; the struct ordering key makes ties deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def max_score(
+    props: DataFrame,
+    key: str = "doc_id",
+    proposal: str = "proposal",
+) -> DataFrame:
+    """MaxScore evaluator (facts/implementations.kt:6-14): per key, the
+    maximum proposal with score 1.0. Groups with no proposals simply
+    don't appear (the reference returns (null, 0.0) for an empty set —
+    left-join this result and coalesce score to 0.0 for that shape)."""
+    return props.groupBy(key).agg(
+        F.max(F.col(proposal)).alias("proposal"),
+        F.lit(1.0).cast("float").alias("score"),
+    )
+
+
+def best_proposition(
+    props: DataFrame,
+    key: str = "doc_id",
+    proposal: str = "proposal",
+    confidence: str = "confidence",
+) -> DataFrame:
+    """Engine extension (the evaluator the reference's TODO implies):
+    per key, the proposal with the highest confidence; ties broken by
+    proposal value for determinism."""
+    return props.groupBy(key).agg(
+        F.max_by(
+            F.col(proposal), F.struct(F.col(confidence), F.col(proposal))
+        ).alias("proposal"),
+        F.max(F.col(confidence)).cast("float").alias("score"),
+    )
+
+
+def no_score(props: DataFrame, key: str = "doc_id") -> DataFrame:
+    """NoScore evaluator (facts/implementations.kt:19-23)."""
+    return props.select(key).distinct().select(
+        F.col(key),
+        F.lit(None).cast("string").alias("proposal"),
+        F.lit(0.0).cast("float").alias("score"),
+    )

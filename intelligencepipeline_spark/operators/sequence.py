@@ -1,0 +1,81 @@
+"""Chunk-sequence editing operators (SURVEY.md §2.6 Q1-Q5).
+
+Pure array-column re-expressions of the reference's sequence management
+(chunks/sequence_management.kt:5-27), matching its edge-case semantics
+exactly (unit-tested against SequenceTests.kt:8-41 behavior):
+
+    append(t, s)        = s + [t]
+    insert(t, i, s)     = s[:i] + [t] + s[i:]     (i past end -> append)
+    update(t, i, s)     = s with s[i] = t         (i out of range -> no-op)
+    merge(t, from, to, s)= s[:from] + [t] + s[to+1:] (bad range -> no-op)
+    remove(i, s)        = s without s[i]          (i out of range -> no-op)
+
+Indices are 0-based like the reference; Spark's array functions are
+1-based internally — the helpers translate. All expression-only: these
+ops run inside whole-stage codegen, per row, with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _lit(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def seq_append(arr: Column, t) -> Column:
+    """Q1 (sequence_management.kt:5-7)."""
+    return F.concat(arr, F.array(_lit(t)))
+
+
+def seq_insert(arr: Column, i, t) -> Column:
+    """Q2 (sequence_management.kt:10-12): take(i) + t + drop(i); an index
+    past the end clamps to append (Kotlin take/drop clamp)."""
+    i = _lit(i)
+    return F.concat(
+        F.slice(arr, 1, i),
+        F.array(_lit(t)),
+        F.when(F.size(arr) > i, F.slice(arr, i + 1, F.size(arr) - i)).otherwise(
+            F.slice(arr, 1, 0)  # typed empty array
+        ),
+    )
+
+
+def seq_update(arr: Column, i, t) -> Column:
+    """Q3 (sequence_management.kt:14-17): replace element i; no-op if out
+    of range."""
+    i = _lit(i)
+    return F.when(
+        (i >= 0) & (i < F.size(arr)),
+        F.transform(arr, lambda x, j: F.when(j == i, _lit(t)).otherwise(x)),
+    ).otherwise(arr)
+
+
+def seq_merge(arr: Column, frm, to, t) -> Column:
+    """Q4 (sequence_management.kt:19-22): replace range [from, to] by one
+    element; no-op when the range is invalid."""
+    frm, to = _lit(frm), _lit(to)
+    valid = (frm >= 0) & (to >= frm) & (to < F.size(arr))
+    return F.when(
+        valid,
+        F.concat(
+            F.slice(arr, 1, frm),
+            F.array(_lit(t)),
+            F.when(
+                F.size(arr) > to + 1,
+                F.slice(arr, to + 2, F.size(arr) - to - 1),
+            ).otherwise(F.slice(arr, 1, 0)),
+        ),
+    ).otherwise(arr)
+
+
+def seq_remove(arr: Column, i) -> Column:
+    """Q5 (sequence_management.kt:24-27): drop element i; no-op if out of
+    range."""
+    i = _lit(i)
+    return F.when(
+        (i >= 0) & (i < F.size(arr)),
+        F.filter(arr, lambda x, j: j != i),
+    ).otherwise(arr)

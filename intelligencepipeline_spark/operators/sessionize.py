@@ -1,0 +1,62 @@
+"""Sessionization (SURVEY.md §2.3 A3).
+
+The reference reassembles chunk streams per document inside 500 s Kafka
+Streams session windows with an explicit session merger
+(KafkaIntelligencePipelineTests.kt:325-333). Two Spark-first forms:
+
+* streaming: ``groupBy(session_window(ts, gap), key)`` — Spark's session
+  windows carry native merge semantics (see streaming/pipeline.py).
+* batch: gaps-and-islands with window functions — lag + cumulative sum
+  of gap-breaks. Used for the batch/oracle path because it is exactly
+  reproducible in ANSI SQL.
+
+Scale: both forms shuffle once on (key); the window variant sorts within
+partitions (cheap, spill-safe). Skewed keys (one hyperactive doc/user)
+split via AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 500,
+) -> DataFrame:
+    """Assign a session id per (key, ts): a new session starts when the
+    gap since the previous event exceeds ``gap_seconds``.
+
+    Output: input columns + ``session_id`` (0-based per key).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col("event_id")) \
+        if "event_id" in df.columns else Window.partitionBy(key).orderBy(ts)
+    prev_ts = F.lag(ts).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev_ts) > gap_seconds)
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1,
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_seconds: int = 500,
+) -> DataFrame:
+    """Per-session aggregates: start/end epoch, event count."""
+    s = sessionize(df, key, ts, gap_seconds)
+    return s.groupBy(key, "session_id").agg(
+        F.min(F.unix_timestamp(F.col(ts))).alias("session_start_epoch"),
+        F.max(F.unix_timestamp(F.col(ts))).alias("session_end_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

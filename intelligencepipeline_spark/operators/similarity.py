@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extension for LLM-data pipelines (BASELINE.json north star): the
+`embeddings` table carries ``embedding: array<float>``. Operators:
+
+* ``brute_force_topk``  — exact top-k for one query vector: broadcast the
+  query, expression-only dot products, one TakeOrdered. The baseline.
+* ``lsh_topk``          — random-hyperplane LSH bucketing: candidates
+  share a sign-pattern bucket, exact re-rank inside. The 100 TB path —
+  the scan prunes to matching buckets (partition-prunable if the table
+  is written bucketed/partitioned by ``bucket``).
+* ``cosine_pairs``      — all near-duplicate pairs above a cosine
+  threshold (embedding dedup), LSH-blocked.
+
+Determinism: correctness-bearing variants quantize to integers
+(``floor(x * SCALE)``) so dot products are exact integer sums —
+bit-reproducible in any engine; float cosine is a single IEEE division
+of exact operands at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1000  # quantization: floor(double(x) * SCALE) -> long
+
+
+def quantize(vec: Column) -> Column:
+    """array<long> = floor(double(x) * SCALE); floor (not round) because
+    round's half-way tie-breaking differs across engines while floor on
+    an identical IEEE product never does."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * SCALE).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Exact squared L2 norm (long)."""
+    return int_dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact integer dot / sqrt of exact
+    integer norms — three deterministic IEEE ops, engine-independent."""
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(norm2(a).cast("double")) * F.sqrt(norm2(b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: Column | None = None,
+    query_id: int | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine. The query side is one row —
+    broadcast it, so the plan is scan + map + TakeOrderedAndProject:
+    no shuffle of the big side at any scale."""
+    if query_vec is None:
+        if query_id is None:
+            raise ValueError("need query_vec or query_id")
+        q = embeddings.filter(F.col(id_col) == query_id).select(
+            quantize(F.col(vec_col)).alias("qvec")
+        )
+    else:
+        q = embeddings.sparkSession.range(1).select(
+            quantize(query_vec).alias("qvec")
+        )
+    scored = (
+        embeddings.join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine(quantize(F.col(vec_col)), F.col("qvec")).alias("cosine"),
+            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot"),
+        )
+    )
+    if query_id is not None:
+        scored = scored.filter(F.col(id_col) != query_id)
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver — no full sort, no shuffle.
+    return scored.orderBy(F.desc("dot"), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-pattern LSH bucket id ('0'/'1' string of length n_planes).
+
+    Hyperplanes are deterministic integer vectors derived from md5 of
+    (plane, coordinate) — reproducible everywhere, no RNG state. Plane p
+    coordinate c weight = (first hex digit of md5('p:c') ∈ 0..15) - 7.5,
+    doubled to stay integral: w = 2*digit - 15.
+    """
+    import hashlib
+
+    qv = quantize(vec)
+    bits = []
+    for p in range(n_planes):
+        weights = [
+            2 * int(hashlib.md5(f"{p}:{c}".encode()).hexdigest()[0], 16) - 15
+            for c in range(dim)
+        ]
+        w = F.array(*[F.lit(x) for x in weights])
+        s = F.aggregate(
+            F.zip_with(qv, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = rows in the query's LSH bucket, exact
+    re-rank inside. Recall < 1 by design; raise recall with multi-probe
+    (flip one bit) — included here: probes the exact bucket plus all
+    1-bit-flipped buckets."""
+    with_bucket = embeddings.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    )
+    qrow = with_bucket.filter(F.col(id_col) == query_id).select(
+        quantize(F.col(vec_col)).alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = F.array(
+        F.col("qbucket"),
+        *[
+            F.concat(
+                F.substring("qbucket", 1, j),
+                F.when(F.substring("qbucket", j + 1, 1) == "1", F.lit("0"))
+                .otherwise(F.lit("1")),
+                F.substring("qbucket", j + 2, n_planes - j - 1),
+            )
+            for j in range(n_planes)
+        ],
+    )
+    q = qrow.select("qvec", F.explode(probes).alias("bucket"))
+    cands = with_bucket.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != query_id
+    )
+    scored = cands.select(
+        F.col(id_col),
+        int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot"),
+        cosine(quantize(F.col(vec_col)), F.col("qvec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("dot"), F.col(id_col)).limit(k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold), blocked by LSH
+    bucket: only same-bucket pairs are scored. At scale the bucket join
+    shuffles on a uniform md5-derived key; the all-pairs explosion is
+    bounded per bucket."""
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            cosine(F.col("x.qv"), F.col("y.qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,108 @@
+"""Canonical schemas for the engine (SURVEY.md §1.2).
+
+The reference's domain model (model/src/main/kotlin/datatypes/datarecords.kt)
+maps to columnar StructTypes:
+
+* ``DataRecord`` (datarecords.kt:38-44)      -> DATARECORD_SCHEMA (one row/doc)
+* ``DocumentRepresentation`` (…kt:31-33)     -> REPRESENTATION_TYPE
+* ``Metadata`` (…kt:25-26)                   -> METADATA_TYPE (open string map)
+* ``Chunk`` / ``ChunkType`` (…kt:8-12)       -> CHUNK_SCHEMA (exploded rows)
+* event envelopes (…kt:14-19,46-52)          -> DATARECORD_EVENT_SCHEMA
+* ``Proposition``/``PropositionScore``
+  (model/src/main/kotlin/facts/facts.kt:12,29) -> PROPOSITION_TYPE
+
+Content renditions (the reference's sidecar files,
+participants/file/fileIo.kt:22-34) are **columns** here (``content``,
+``text``, ``html``) — no side filesystem; Catalyst prunes what a query
+doesn't read, which is the 100 TB-friendly layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# DocumentRepresentation (datarecords.kt:31-33)
+REPRESENTATION_TYPE = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("created_by", T.StringType()),
+    ]
+)
+
+# Metadata (datarecords.kt:25-26): one producer's open key->value map
+METADATA_TYPE = T.StructType(
+    [
+        T.StructField("values", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("created_by", T.StringType()),
+    ]
+)
+
+# Proposition<String> with confidence (facts.kt:12,29)
+PROPOSITION_TYPE = T.StructType(
+    [
+        T.StructField("proposal", T.StringType()),
+        T.StructField("confidence", T.FloatType()),
+    ]
+)
+
+NAMED_ENTITY_TYPE = T.StructType(  # analytics.kt:5-9
+    [
+        T.StructField("type", T.StringType()),  # PERSON LOCATION DATE TIME SUM GENERIC
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+# DataRecord (datarecords.kt:38-44) — the consolidated per-document row
+DATARECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),  # xxhash64(path); ref uses String.hashCode (KafkaIntelligencePipeline.kt:314)
+        T.StructField("name", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+        T.StructField("representation", REPRESENTATION_TYPE),
+        T.StructField("additional_representations", T.ArrayType(REPRESENTATION_TYPE)),
+        T.StructField("meta", T.ArrayType(METADATA_TYPE)),
+        T.StructField("propositions", T.ArrayType(PROPOSITION_TYPE)),
+        # Engine extensions beyond the reference: renditions as columns
+        T.StructField("content", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+CHUNK_TYPES = ("GENERAL", "PAGE", "PARAGRAPH", "SENTENCE", "WORD")  # datarecords.kt:8
+CHUNK_COMMANDS = (  # datarecords.kt:6-7
+    "START", "ADD", "APPEND", "INSERT", "UPDATE", "MERGE", "DELETE", "LAST",
+)
+
+# Chunk (datarecords.kt:10-12), exploded: one row per chunk
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),  # = Chunk.parentId
+        T.StructField("chunk_index", T.LongType(), False),
+        T.StructField("chunk_type", T.StringType(), False),
+        T.StructField("command", T.StringType()),  # ChunkCommand; None for complete sets
+        T.StructField("content", T.StringType()),
+        T.StructField("metadata", T.ArrayType(METADATA_TYPE)),
+    ]
+)
+
+DATARECORD_COMMANDS = ("CREATE", "UPSERT_METADATA", "UPSERT_DOCUMENT_REPRESENTATION")
+
+# DataRecordEvent envelope (datarecords.kt:46-52): the union event stream
+# on topic `datarecord-event` (KafkaIntelligencePipeline.kt:42-47)
+DATARECORD_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),  # Kafka key (Long serde, KafkaIntelligencePipeline.kt:91)
+        T.StructField("command", T.StringType(), False),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("name", T.StringType()),  # CREATE payload
+        T.StructField("representation", REPRESENTATION_TYPE),  # CREATE / UPSERT_DOCUMENT_REPRESENTATION
+        T.StructField("metadata", METADATA_TYPE),  # UPSERT_METADATA payload
+    ]
+)
+
+# Driver test tables (/root/testdata/sf*/): TPC-H-ish + events/documents/embeddings
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]`` (one JVM); production target is a
+1000-executor cluster over ~100 TB, so every default here is chosen to
+also make sense at that scale:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join strategy)
+  — at 100 TB static planning is always wrong somewhere.
+* ``spark.sql.shuffle.partitions`` defaults to a local-friendly value but
+  AQE coalesces upward/downward at runtime; on a real cluster set it to
+  ~2-3x total cores via ``extra_conf``.
+* Arrow enabled: every Python-side operator in this engine is
+  Arrow-batched (pandas_udf / mapInPandas), never row-at-a-time.
+* Session timezone pinned to UTC so event-time semantics are stable
+  across engines (and vs the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "intelligencepipeline_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster leave it unset and let spark-submit provide it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # 128 MB input splits: right-sized for both local[32] on sf0.1
+        # and a wide cluster scanning TB-scale parquet.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not SparkSession.getActiveSession():
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,72 @@
+"""Filesystem ingestion sources (SURVEY.md §2.1 S1/S5).
+
+The reference walks directories by hand (`DirectoryIngestor`,
+participants/implementations.kt:334-341) and also ships a Kafka-Connect
+source that polls a directory on a period (IngestConnector.kt:33-96).
+Spark's built-in file sources subsume both: directory listing, recursive
+lookup, and — in streaming mode — checkpointed file-offset tracking that
+replaces Connect's hand-rolled offsets.
+
+Output schema matches the ingestion side of DATARECORD_SCHEMA: one row
+per file with ``doc_id = xxhash64(path)`` (the reference keys on
+``path.hashCode().toLong()``, KafkaIntelligencePipeline.kt:314 — same
+idea, stronger hash), ``content`` bytes, and the CREATE-event fields.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_INGEST_COLS = "path name doc_id ingest_ts content representation".split()
+
+
+def _to_ingest_schema(df: DataFrame, created_by: str) -> DataFrame:
+    return (
+        df.withColumnRenamed("modificationTime", "ingest_ts")
+        .withColumn("doc_id", F.xxhash64("path"))
+        .withColumn("name", F.col("path"))
+        .withColumn(
+            "representation",
+            F.struct(F.col("path"), F.lit(created_by).alias("created_by")),
+        )
+        .select(*_INGEST_COLS)
+    )
+
+
+def ingest_directory(
+    spark: SparkSession, root: str, glob: str | None = None
+) -> DataFrame:
+    """Batch directory ingest (ref DirectoryIngestor, implementations.kt:334-341).
+
+    Uses the binaryFile source: the recursive walk, mod-time metadata and
+    large-file splitting come from Spark's FileIndex, which also scales to
+    object-store listings (100 TB = millions of files) where a local
+    recursive walk would not.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return _to_ingest_schema(reader.load(root), created_by="directory")
+
+
+def stream_directory(
+    spark: SparkSession,
+    root: str,
+    glob: str | None = None,
+    max_files_per_trigger: int = 1000,
+) -> DataFrame:
+    """Streaming directory ingest (ref IngestConnector poll loop,
+    IngestConnector.kt:70-96). Spark checkpoints seen-file offsets, which
+    replaces Connect's ``SourceRecord`` partition/offset bookkeeping."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return _to_ingest_schema(reader.load(root), created_by="directory")

@@ -1,0 +1,80 @@
+"""Kafka source/sink wiring (SURVEY.md §2.1 S2-S4, S7).
+
+The reference runs six Kafka topics (KafkaIntelligencePipeline.kt:42-47)
+with Long keys and kotlinx-JSON values (serialization.kt:10-47). Here the
+same dataflow is Structured Streaming's Kafka connector: ``from_json`` on
+ingest, ``to_json`` on egress, checkpointed offsets instead of consumer
+groups.
+
+NOTE: the test container has no Kafka broker and no spark-sql-kafka jar;
+these builders construct real plans but are exercised only for plan
+construction in tests. On a cluster, add
+``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Topic names mirror the reference's dataflow graph (KafkaIntelligencePipeline.kt:42-47)
+TOPIC_INGESTION = "document-representation-ingestion"
+TOPIC_DOCREP_EVENT = "document-representation-event"
+TOPIC_METADATA_EVENT = "metadata-event"
+TOPIC_DATARECORD_EVENT = "datarecord-event"
+TOPIC_CONSOLIDATED = "datarecord-consolidated"
+TOPIC_CHUNK = "chunk"
+
+
+def read_topic(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    value_schema: T.StructType,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Typed topic consumer (ref KafkaIntelligencePipeline.kt:65-66 etc.).
+
+    Key is the document id (Long serde in the reference,
+    KafkaIntelligencePipeline.kt:91-92); value is JSON decoded against
+    ``value_schema``. ``startingOffsets=earliest`` reproduces the
+    reference's replay-from-start reads (dataRecords(),
+    KafkaIntelligencePipeline.kt:61-76).
+    """
+    reader = spark.readStream if streaming else spark.read
+    raw = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.conv(F.hex(F.col("key")), 16, 10).cast("long").alias("doc_id"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.col("timestamp").alias("kafka_ts"),  # TimestampValueTransformer (P6) for free
+    ).select("doc_id", "v.*", "kafka_ts")
+
+
+def write_topic(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "doc_id",
+) -> "DataFrame.writeStream":
+    """Topic producer (ref ``.to(topic, Produced.with(...))``,
+    KafkaIntelligencePipeline.kt:115,147,242,...). All non-key columns are
+    JSON-packed into ``value``."""
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[c for c in df.columns if c != key_col])).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -1,0 +1,27 @@
+"""Parquet table loaders for the driver's synthetic tables (TESTDATA.md).
+
+Scans are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown + column pruning (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain("formatted")``). Nothing is cached here — at 100 TB you want
+the scan, not a driver-side copy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from intelligencepipeline_spark.schemas import TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
