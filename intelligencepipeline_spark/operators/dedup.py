@@ -104,6 +104,39 @@ def minhash_signature(text: Column, k: int = 8, shingle_k: int = 3) -> Column:
     )
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """DataFrame-level minhash: explode shingles, md5 once per shingle,
+    fold the k rotation-mins in one keyed aggregation.
+
+    Semantically identical to ``minhash_signature`` (the column form) but
+    the md5 is computed exactly once per shingle — the pure-expression
+    form re-evaluates the tokenize+shingle subtree per hash function,
+    which is O(k · n²) per document. Costs one shuffle on ``key`` with
+    map-side partial min aggregation (shuffle rows = one per doc per
+    partition), which is the right trade at 100 TB.
+
+    Output: (key, signature: array<string> of length num_hashes).
+    """
+    sh = df.select(
+        F.col(key), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
+    ).withColumn("h", F.md5("s"))
+    sig = sh.groupBy(key).agg(
+        *[
+            F.min(_rotate_hex(F.col("h"), i)).alias(f"sig{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        key, F.array(*[f"sig{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,353 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per query in queries.py.
+
+The driver registers the parquet tables as views (region nation customer
+supplier part orders lineitem events documents embeddings) and compares
+row counts, schemas and order-insensitive value hashes against the Spark
+results. The SQL here re-derives each result with the same
+exact-arithmetic rules (see queries.py docstring) so the comparison is
+bit-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+# Shared fragment: exact revenue in decimal
+_REV = (
+    "cast(l_extendedprice as decimal(18,2)) * "
+    "(cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))"
+)
+
+# Shared fragment: normalized text (matches functions.text.normalize_text)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+# Shared fragment: whitespace tokens of normalized text
+_NTOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+
+# Shared fragment: raw whitespace tokens (matches functions.text.tokens)
+_RTOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# Shared fragment: quantized embedding elements (matches similarity.quantize)
+_QELEM = "cast(floor(cast(unnest(embedding) as double) * 1000) as bigint)"
+
+
+def _occ(word: str) -> str:
+    """Space-delimited occurrence count of ``word`` via length arithmetic
+    (matches functions.text._occurrences)."""
+    neely = len(word) + 2
+    return (
+        f"cast((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', ' {word} ', ''))) / {neely} as bigint)"
+    )
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    return " + ".join(_occ(m) for m in markers)
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+  cast(sum({_REV}) as double) AS sum_disc_price,
+  cast(sum({_REV} * (cast(1 as decimal(3,2)) + cast(l_tax as decimal(18,2)))) as double) AS sum_charge,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) / cast(count(*) as double) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_top_revenue"] = f"""
+SELECT o_orderkey, cast(sum({_REV}) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+ORACLES["topk_per_group"] = f"""
+WITH per_part AS (
+  SELECT l_suppkey, l_partkey, cast(sum({_REV}) as double) AS revenue
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT l_suppkey, l_partkey, revenue, rk FROM (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) as int) AS rk
+  FROM per_part
+) WHERE rk <= 3
+"""
+
+ORACLES["rollup_agg"] = f"""
+SELECT r_name, n_name,
+  cast(sum({_REV}) as double) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+ORACLES["anti_join_guard"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+ORACLES["range_join"] = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["json_extract_agg"] = """
+SELECT event_type,
+  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+  count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["event_union"] = """
+WITH u AS (
+  SELECT user_id AS key, 'CREATE' AS command FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, 'UPSERT_METADATA' FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+  UNION ALL
+  SELECT user_id, 'UPSERT_DOCUMENT_REPRESENTATION' FROM events
+    WHERE event_type = 'error'
+)
+SELECT command, count(*) AS n_events, count(DISTINCT key) AS n_keys
+FROM u GROUP BY command ORDER BY command
+"""
+
+ORACLES["consolidation_fold"] = """
+SELECT user_id AS key,
+  cast(floor(min(CASE WHEN event_type = 'signup' THEN epoch(ts) END)) as bigint)
+    AS create_epoch,
+  count(*) AS n_events,
+  array_to_string(list_sort(list_distinct(
+    list(CASE WHEN event_type <> 'signup' THEN event_type END))), ',')
+    AS meta_summary,
+  sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) AS total_value_cents
+FROM events GROUP BY user_id ORDER BY key
+"""
+
+ORACLES["session_stats"] = """
+WITH e AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es FROM events
+), m AS (
+  SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR es - prev > 500 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY es, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM m
+)
+SELECT user_id, session_id,
+  min(es) AS session_start_epoch,
+  max(es) AS session_end_epoch,
+  count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+ORACLES["max_score"] = """
+SELECT key, proposal, confidence FROM (
+  SELECT user_id AS key, event_type AS proposal, value AS confidence,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_type DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY key
+"""
+
+ORACLES["sequence_edit_ops"] = """
+WITH base_t AS (
+  SELECT user_id AS key, list_sort(list_distinct(list(event_type))) AS arr
+  FROM events GROUP BY user_id
+)
+SELECT key,
+  array_to_string(arr, '|') AS base,
+  array_to_string(list_append(arr, 'X'), '|') AS appended,
+  array_to_string(arr[1:1] || ['Y'] || arr[2:], '|') AS inserted,
+  array_to_string(CASE WHEN len(arr) >= 1
+    THEN ['Z'] || arr[2:] ELSE arr END, '|') AS updated,
+  array_to_string(CASE WHEN len(arr) >= 3
+    THEN arr[1:1] || ['M'] || arr[4:] ELSE arr END, '|') AS merged,
+  array_to_string(CASE WHEN len(arr) >= 1 THEN arr[2:] ELSE arr END, '|')
+    AS removed
+FROM base_t ORDER BY key
+"""
+
+ORACLES["chunk_explode"] = f"""
+SELECT doc_id, cast(i - 1 as bigint) AS chunk_index, w AS content
+FROM (
+  SELECT doc_id, unnest({_RTOKS}) AS w, generate_subscripts({_RTOKS}, 1) AS i
+  FROM documents
+) ORDER BY doc_id, chunk_index
+"""
+
+ORACLES["window_chunks"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_RTOKS}) AS w, generate_subscripts({_RTOKS}, 1) AS i
+  FROM documents
+)
+SELECT doc_id, cast((i - 1) // 10 as bigint) AS chunk_index,
+  string_agg(w, ' ' ORDER BY i) AS content
+FROM toks GROUP BY doc_id, (i - 1) // 10
+ORDER BY doc_id, chunk_index
+"""
+
+ORACLES["token_stats"] = f"""
+SELECT doc_id,
+  cast(length(text) as bigint) AS n_chars,
+  cast(len({_RTOKS}) as bigint) AS n_tokens,
+  cast(length(replace(text, ' ', '')) as double)
+    / cast(greatest(len({_RTOKS}), 1) as double) AS mean_token_len,
+  cast(len(list_distinct({_RTOKS})) as double)
+    / cast(greatest(len({_RTOKS}), 1) as double) AS distinct_ratio,
+  cast(length(text) - length(replace(text, ' ', '')) as double)
+    / cast(greatest(length(text), 1) as double) AS space_ratio
+FROM documents ORDER BY doc_id
+"""
+
+# language tie-break: my Spark impl picks max (score, lang) struct — i.e.
+# highest score, ties to the lexicographically LAST language code.
+from intelligencepipeline_spark.functions.text import LANG_MARKERS  # noqa: E402
+
+_S_EN = _lang_score(LANG_MARKERS["en"])
+_S_DE = _lang_score(LANG_MARKERS["de"])
+_S_FR = _lang_score(LANG_MARKERS["fr"])
+_S_ES = _lang_score(LANG_MARKERS["es"])
+
+ORACLES["lang_id"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+    ({_S_EN}) AS score_en, ({_S_DE}) AS score_de,
+    ({_S_FR}) AS score_fr, ({_S_ES}) AS score_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+    WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+    ELSE 'de' END AS lang_guess,
+  score_en, score_de, score_fr, score_es
+FROM scores ORDER BY doc_id
+"""
+
+ORACLES["dedup_exact"] = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents)
+SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint ORDER BY fingerprint
+"""
+
+# shingle list (k=3) over normalized tokens, matching dedup.word_shingles
+_SHINGLES = f"""(
+  CASE WHEN len({_NTOKS}) >= 3 THEN list_distinct(list_transform(
+      range(1, len({_NTOKS}) - 1),
+      i -> array_to_string(({_NTOKS})[i:i+2], ' ')))
+  ELSE [array_to_string({_NTOKS}, ' ')] END)"""
+
+_ROTS = ", ".join(
+    "list_min(list_transform(hs, h -> substr(h, {s}, {l}) || substr(h, 1, {i})))".format(
+        s=i + 1, l=32 - i, i=i
+    ) if i else "list_min(hs)"
+    for i in range(8)
+)
+
+ORACLES["minhash_signatures"] = f"""
+WITH hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+)
+SELECT doc_id, array_to_string([{_ROTS}], '|') AS signature
+FROM hashes ORDER BY doc_id
+"""
+
+ORACLES["simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_transform({_NTOKS}, t -> md5(t))) AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id, j,
+    2 * sum(((strpos('0123456789abcdef', h[(j // 4) + 1]) - 1) >> (3 - (j % 4))) & 1)
+      - count(*) AS s
+  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["jaccard_pairs"] = f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+  cast(common as double) / cast(sa.n + sb.n - common as double) AS jaccard
+FROM inter
+JOIN sizes sa ON a = sa.doc_id
+JOIN sizes sb ON b = sb.doc_id
+WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
+ORDER BY a, b
+"""
+
+ORACLES["similarity_topk"] = f"""
+WITH q AS (
+  SELECT generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot,
+    sum(e.v * e.v) AS n2e, sum(q.v * q.v) AS n2q
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT vec_id, dot,
+  cast(dot as double) / (sqrt(cast(n2e as double)) * sqrt(cast(n2q as double)))
+    AS cosine
+FROM dots ORDER BY dot DESC, vec_id LIMIT 10
+"""
+
+ORACLES["embedding_dedup_pairs"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sum(v * v) AS n2 FROM e GROUP BY vec_id
+), dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dot
+  FROM e x JOIN e y ON x.i = y.i AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+)
+SELECT a, b,
+  cast(dot as double) / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
+    AS cosine
+FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id
+WHERE cast(dot as double) / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double))) >= 0.35
+ORDER BY a, b
+"""

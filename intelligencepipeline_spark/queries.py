@@ -1,0 +1,463 @@
+"""Headline query catalog — one entry per implemented operator family.
+
+Each query is ``fn(spark, sf_dir) -> DataFrame`` and has a matching
+ANSI-SQL oracle in ``oracles.py`` (the driver runs both through DuckDB
+vs Spark and hash-compares values). Design rules that make the compare
+EXACT, not approximate:
+
+* money math in decimal (exact), cast to double only at the end —
+  a single correctly-rounded conversion is bit-identical everywhere;
+* ratios are one IEEE division of exact integers;
+* every hash is md5 (no engine-specific xxhash/murmur in outputs);
+* timestamps exported as floor()ed epoch seconds (bigint);
+* arrays exported joined to strings; every column explicitly aliased.
+
+Queries deliberately reuse the library operators (operators/, functions/)
+— this catalog is the engine's public proof of SURVEY.md §2 coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.sources.tables import load_table
+from intelligencepipeline_spark.functions.text import (
+    detect_language,
+    language_scores,
+    normalize_text,
+    quality_score,
+    tokens,
+)
+from intelligencepipeline_spark.functions.nlp import window_chunks, word_chunks
+from intelligencepipeline_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_signature,
+    minhash_signatures_df,
+    simhash16,
+)
+from intelligencepipeline_spark.operators.sequence import (
+    seq_append,
+    seq_insert,
+    seq_merge,
+    seq_remove,
+    seq_update,
+)
+from intelligencepipeline_spark.operators.sessionize import session_stats
+from intelligencepipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    int_dot,
+    norm2,
+    quantize,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# ===================================================================
+# Relational surface (SURVEY §2.9 — "free" from Spark SQL, exposed as
+# first-class engine queries)
+# ===================================================================
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy agg. Filter pushes to parquet;
+    partial aggregation map-side; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-k. Catalyst broadcasts the
+    filtered customer side; orderBy+limit is TakeOrdered (no full sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 parts per supplier by revenue (row_number
+    over a partitioned window — one shuffle on l_suppkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    per_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("revenue"), F.col("l_partkey")
+    )
+    return (
+        per_part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rk")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue — grouping-set aggregation over the
+    star join; dims are broadcast (tiny), fact shuffles once."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def anti_join_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the relational form of the reference's
+    idempotence guard P2 (KafkaIntelligencePipeline.kt:227-233):
+    customers not yet 'processed' (no in-progress order)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed equi-join (J1, KafkaIntelligencePipelineTests.kt:272-275
+    batch analog): lineitems shipped within 90 days of their order date,
+    counted per order month."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90))
+    )
+    return (
+        j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .orderBy("order_month")
+    )
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (the from_json serde surface S3): extract
+    props.k per event, sum per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# ===================================================================
+# Pipeline-core semantics (SURVEY §2.2/2.3/2.4)
+# ===================================================================
+
+def event_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 event-type routing/normalization: three typed streams mapped to
+    the shared command schema and unioned (the `datarecord-event` topic
+    IS a union operator, KafkaIntelligencePipeline.kt:329-358)."""
+    ev = _t(spark, sf_dir, "events")
+    create = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("key"), F.lit("CREATE").alias("command")
+    )
+    meta = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        F.col("user_id").alias("key"), F.lit("UPSERT_METADATA").alias("command")
+    )
+    rep = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("key"),
+        F.lit("UPSERT_DOCUMENT_REPRESENTATION").alias("command"),
+    )
+    return (
+        create.unionByName(meta)
+        .unionByName(rep)
+        .groupBy("command")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+        .orderBy("command")
+    )
+
+
+def consolidation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — the event-sourced fold, exercised on the driver's events
+    table (signup=CREATE, rest=UPSERT_METADATA): per key the fold yields
+    creation time, set-unioned metadata summary, and exact value total.
+    Mirrors consolidate.consolidate_events() semantics; one shuffle with
+    map-side partial agg (vs the reference's per-record RocksDB fold,
+    KafkaIntelligencePipeline.kt:364-382)."""
+    ev = _t(spark, sf_dir, "events")
+    is_create = F.col("event_type") == "signup"
+    cents = (_dec("value") * 100).cast("long")
+    return (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.floor(F.min(F.when(is_create, F.unix_timestamp("ts"))))
+            .cast("long")
+            .alias("create_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.collect_list(F.when(~is_create, F.col("event_type")))
+                    )
+                ),
+                ",",
+            ).alias("meta_summary"),
+            F.sum(cents).alias("total_value_cents"),
+        )
+        .orderBy("key")
+    )
+
+
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sessionization: 500 s gap sessions per user (the reference's
+    session-windowed chunk reassembly, KafkaIntelligencePipelineTests.kt:
+    325-333), gaps-and-islands form."""
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts", gap_seconds=500).orderBy(
+        "user_id", "session_id"
+    )
+
+
+def max_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 MaxScore evaluator (facts/implementations.kt:6-14) over
+    event-type 'propositions' with value as confidence: per user the
+    argmax event_type, ties broken by event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.max_by(
+                F.col("event_type"), F.struct(F.col("value"), F.col("event_type"))
+            ).alias("proposal"),
+            F.max("value").alias("confidence"),
+        )
+        .orderBy("key")
+    )
+
+
+def sequence_edit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q5 sequence edits (chunks/sequence_management.kt:5-27) applied
+    to each user's sorted distinct event-type list."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.array_sort(F.array_distinct(F.collect_list("event_type"))).alias("arr")
+    )
+    a = F.col("arr")
+    return base.select(
+        "key",
+        F.array_join(a, "|").alias("base"),
+        F.array_join(seq_append(a, "X"), "|").alias("appended"),
+        F.array_join(seq_insert(a, 1, "Y"), "|").alias("inserted"),
+        F.array_join(seq_update(a, 0, "Z"), "|").alias("updated"),
+        F.array_join(seq_merge(a, 1, 2, "M"), "|").alias("merged"),
+        F.array_join(seq_remove(a, 0), "|").alias("removed"),
+    ).orderBy("key")
+
+
+# ===================================================================
+# Document pipeline: chunking + text analysis (SURVEY §2.5)
+# ===================================================================
+
+def chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F5: chunker flat-map — WORD chunks with ordinals via
+    posexplode (the reference's flatMap at KafkaIntelligencePipeline.kt:
+    142-147; word-level because the synthetic corpus is unpunctuated)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(word_chunks(F.col("text"))).alias("chunk_index", "content"),
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "content",
+    ).orderBy("doc_id", "chunk_index")
+
+
+def window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (10-token) window chunks — the PARAGRAPH-style chunker
+    and the unit of length-capped NLP batching (README.md:103 issue)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(window_chunks(F.col("text"), 10)).alias(
+            "chunk_index", "content"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "content",
+    ).orderBy("doc_id", "chunk_index")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features per document (exact ints +
+    single-division ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["distinct_ratio"].alias("distinct_ratio"),
+        q["space_ratio"].alias("space_ratio"),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F7 heuristic language-ID per document + marker score."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang_guess"),
+        F.coalesce(scores["en"], F.lit(0)).alias("score_en"),
+        F.coalesce(scores["de"], F.lit(0)).alias("score_de"),
+        F.coalesce(scores["fr"], F.lit(0)).alias("score_fr"),
+        F.coalesce(scores["es"], F.lit(0)).alias("score_es"),
+    ).orderBy("doc_id")
+
+
+# ===================================================================
+# Dedup family (engine scale extensions)
+# ===================================================================
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        exact_duplicates(docs)
+        .select("fingerprint", "n_dups", "keep_id")
+        .orderBy("fingerprint")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 8-hash minhash signature (md5-rotation family); exploded
+    form — one md5 per shingle, one keyed partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_signatures_df(docs, num_hashes=8, shingle_k=3)
+        .select("doc_id", F.array_join("signature", "|").alias("signature"))
+        .orderBy("doc_id")
+    )
+
+
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash16(F.col("text")).alias("simhash")
+    ).orderBy("doc_id")
+
+
+def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.3)."""
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, shingle_k=3, threshold=0.3).orderBy("a", "b")
+
+
+# ===================================================================
+# Similarity search (embedding column)
+# ===================================================================
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 neighbors of vec_id=0 (quantized integer
+    dot products; broadcast query; TakeOrdered — no shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_id=0, k=10).select(
+        "vec_id", "dot", "cosine"
+    )
+
+
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine >= 0.35 on the
+    quantized vectors, norms precomputed per row (so the per-pair work is
+    one integer dot product, not three). The LSH-blocked variant for
+    scale is operators/similarity.cosine_pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        quantize(F.col("embedding")).alias("qv"),
+    ).withColumn("n2", F.sqrt(norm2(F.col("qv")).cast("double")))
+    return (
+        q.alias("x")
+        .join(q.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            (
+                int_dot(F.col("x.qv"), F.col("y.qv")).cast("double")
+                / (F.col("x.n2") * F.col("y.n2"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("a", "b")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue": q3_top_revenue,
+    "topk_per_group": topk_per_group,
+    "rollup_agg": rollup_agg,
+    "anti_join_guard": anti_join_guard,
+    "range_join": range_join,
+    "json_extract_agg": json_extract_agg,
+    "event_union": event_union,
+    "consolidation_fold": consolidation_fold,
+    "session_stats": session_stats_q,
+    "max_score": max_score_q,
+    "sequence_edit_ops": sequence_edit_ops,
+    "chunk_explode": chunk_explode,
+    "window_chunks": window_chunks_q,
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "simhash": simhash_q,
+    "jaccard_pairs": jaccard_pairs_q,
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
+}

@@ -9,12 +9,29 @@ the scan, not a driver-side copy.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from intelligencepipeline_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table; normalizes TIMESTAMP(NANOS) columns
+    (illegal in Spark's parquet reader) to microsecond timestamps."""
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    except Exception:
+        # TIMESTAMP(NANOS,*) parquet type: read nanos as long, convert.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name in ("ts", "event_ts", "ingest_ts") and isinstance(
+            f_.dataType, T.LongType
+        ):
+            df = df.withColumn(
+                f_.name, F.timestamp_micros(F.expr(f"{f_.name} DIV 1000"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
