@@ -104,6 +104,47 @@ def minhash_signature(text: Column, k: int = 8, shingle_k: int = 3) -> Column:
     )
 
 
+def tokens_exploded(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, pos, tok) — one row per normalized-text token. The shared
+    exploded form all shingle/fingerprint operators build on; stays in
+    whole-stage codegen (no HOFs)."""
+    return df.select(
+        F.col(key),
+        F.posexplode(tokens(normalize_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+
+
+def word_shingles_df(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(key, shingle) distinct word k-shingles via window ``lead`` over
+    exploded tokens — O(n) per doc (the expression form slices the token
+    array per position: O(n²) interpreted). Matches ``word_shingles``
+    exactly, including the short-doc (< k tokens) whole-text fallback."""
+    from pyspark.sql import Window
+
+    toks = tokens_exploded(df, text_col, key)
+    w = Window.partitionBy(key).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    shingles = (
+        toks.select(F.col(key), *[p.alias(f"t{i}") for i, p in enumerate(parts)])
+        .filter(F.col(f"t{k-1}").isNotNull())  # windows that fit entirely
+        .select(F.col(key), F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("shingle"))
+        .distinct()
+    )
+    short = (
+        df.select(
+            F.col(key),
+            tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
+        .filter(F.size("toks") < k)
+        .select(F.col(key), F.array_join("toks", " ").alias("shingle"))
+    )
+    return shingles.unionByName(short)
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -115,17 +156,16 @@ def minhash_signatures_df(
     fold the k rotation-mins in one keyed aggregation.
 
     Semantically identical to ``minhash_signature`` (the column form) but
-    the md5 is computed exactly once per shingle — the pure-expression
-    form re-evaluates the tokenize+shingle subtree per hash function,
-    which is O(k · n²) per document. Costs one shuffle on ``key`` with
-    map-side partial min aggregation (shuffle rows = one per doc per
-    partition), which is the right trade at 100 TB.
+    md5/tokenize run exactly once per shingle — the pure-expression form
+    re-evaluates the tokenize+shingle subtree per hash function, which is
+    O(k · n²) per document. Costs one shuffle on ``key`` with map-side
+    partial min aggregation, which is the right trade at 100 TB.
 
     Output: (key, signature: array<string> of length num_hashes).
     """
-    sh = df.select(
-        F.col(key), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s")
-    ).withColumn("h", F.md5("s"))
+    sh = word_shingles_df(df, text_col, key, shingle_k).withColumn(
+        "h", F.md5("shingle")
+    )
     sig = sh.groupBy(key).agg(
         *[
             F.min(_rotate_hex(F.col("h"), i)).alias(f"sig{i}")
@@ -135,6 +175,39 @@ def minhash_signatures_df(
     return sig.select(
         key, F.array(*[f"sig{i}" for i in range(num_hashes)]).alias("signature")
     )
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """DataFrame-level 16-bit SimHash: exploded tokens -> 16 codegen'd
+    bit-contribution sums in one keyed aggregation (the column form
+    ``simhash16`` runs 16 interpreted HOF folds per row). Exactly the
+    same signature values. Output: (key, simhash string).
+
+    Docs with zero tokens are absent from the exploded form; they are
+    re-attached with the all-zeros signature ``simhash16`` yields.
+    """
+    toks = tokens_exploded(df, text_col, key).withColumn("h", F.md5("tok"))
+    aggs = []
+    for j in range(16):
+        digit = F.conv(F.substring("h", j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, 3 - j % 4).bitwiseAND(F.lit(1))
+        aggs.append((F.sum(bit * 2 - 1)).alias(f"s{j}"))
+    sums = toks.groupBy(key).agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(16)
+        ]
+    )
+    present = sums.select(key, sig.alias("simhash"))
+    empty = (
+        df.select(F.col(key), tokens(normalize_text(F.col(text_col))).alias("t"))
+        .filter(F.size("t") == 0)
+        .select(F.col(key), F.lit("0" * 16).alias("simhash"))
+    )
+    return present.unionByName(empty)
 
 
 def minhash_lsh_candidates(
@@ -199,10 +272,9 @@ def jaccard_pairs(
     without, it is a full shingle-inverted-index join — fine at small SF,
     at 100 TB always pass candidates. Output: (a, b, jaccard).
     """
-    sh = df.select(
-        F.col(key).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
-    ).distinct()
+    sh = word_shingles_df(df, text_col, key, shingle_k).withColumnRenamed(
+        key, "id"
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
     inter = (

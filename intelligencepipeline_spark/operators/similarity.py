@@ -163,6 +163,63 @@ def lsh_topk(
     return scored.orderBy(F.desc("dot"), F.col(id_col)).limit(k)
 
 
+def cosine_pairs_blas(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via broadcast matrix + GEMM.
+
+    The quantized matrix is broadcast once; each task multiplies its rows
+    against it with float64 GEMM. Quantized elements are small enough
+    that every product and 64-term partial sum is an exact integer in
+    float64 (< 2^53), so results are bit-identical to integer math —
+    vectorized speed with exact semantics.
+
+    Scale: broadcast works to ~1M vectors (64-dim f64 = 0.5 GB); beyond
+    that, LSH-block first (``cosine_pairs``) and run this within blocks.
+    Per-task cost is a dense (rows_in_task x N) GEMM — embarrassingly
+    parallel, no shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.floor(
+        np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * SCALE
+    )
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def op(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            q = np.floor(
+                np.stack(batch[vec_col].to_numpy()).astype(np.float64) * SCALE
+            )
+            qids = batch[id_col].to_numpy()
+            qnorms = np.sqrt((q * q).sum(axis=1))
+            dots = q @ b_mat.T  # exact: integer-valued float64
+            cos = dots / (qnorms[:, None] * b_norms[None, :])
+            for i in range(len(qids)):
+                mask = (cos[i] >= threshold) & (b_ids > qids[i])
+                if mask.any():
+                    yield pd.DataFrame(
+                        {
+                            "a": np.full(mask.sum(), qids[i], dtype=np.int64),
+                            "b": b_ids[mask].astype(np.int64),
+                            "cosine": cos[i][mask],
+                        }
+                    )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        op, "a long, b long, cosine double"
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -36,6 +36,7 @@ from intelligencepipeline_spark.operators.dedup import (
     minhash_signature,
     minhash_signatures_df,
     simhash16,
+    simhash_df,
 )
 from intelligencepipeline_spark.operators.sequence import (
     seq_append,
@@ -48,6 +49,7 @@ from intelligencepipeline_spark.operators.sessionize import session_stats
 from intelligencepipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    cosine_pairs_blas,
     int_dot,
     norm2,
     quantize,
@@ -387,9 +389,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", simhash16(F.col("text")).alias("simhash")
-    ).orderBy("doc_id")
+    return simhash_df(docs).orderBy("doc_id")
 
 
 def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,29 +412,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact all-pairs cosine >= 0.35 on the
-    quantized vectors, norms precomputed per row (so the per-pair work is
-    one integer dot product, not three). The LSH-blocked variant for
-    scale is operators/similarity.cosine_pairs."""
+    """Embedding near-dup pairs: exact all-pairs cosine >= 0.35 via the
+    broadcast-matrix GEMM operator (bit-exact integer-valued float64
+    math; see similarity.cosine_pairs_blas). The LSH-blocked variant for
+    beyond-broadcast scale is operators/similarity.cosine_pairs."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.col("vec_id").alias("id"),
-        quantize(F.col("embedding")).alias("qv"),
-    ).withColumn("n2", F.sqrt(norm2(F.col("qv")).cast("double")))
-    return (
-        q.alias("x")
-        .join(q.alias("y"), F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            (
-                int_dot(F.col("x.qv"), F.col("y.qv")).cast("double")
-                / (F.col("x.n2") * F.col("y.n2"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-        .orderBy("a", "b")
-    )
+    return cosine_pairs_blas(emb, threshold=0.35).orderBy("a", "b")
 
 
 QUERIES = {
