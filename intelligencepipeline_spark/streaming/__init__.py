@@ -1,0 +1,13 @@
+from intelligencepipeline_spark.streaming.pipeline import (
+    consolidate_stream,
+    consolidate_to_table,
+    session_window_reassembly,
+    stream_stream_chunk_join,
+)
+
+__all__ = [
+    "consolidate_stream",
+    "consolidate_to_table",
+    "session_window_reassembly",
+    "stream_stream_chunk_join",
+]

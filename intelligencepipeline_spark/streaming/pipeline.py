@@ -1,0 +1,175 @@
+"""Structured Streaming surface (SURVEY.md §2.7, §3.1).
+
+The reference's streaming architecture is a set of Kafka-Streams
+topologies: per-key fold into a KTable re-emitted as a changelog
+(KafkaIntelligencePipeline.kt:364-382), 1 s-window stream-stream joins
+and 500 s session windows in its tests
+(KafkaIntelligencePipelineTests.kt:272-333). Spark-first equivalents:
+
+* ``consolidate_stream``       — update-mode keyed aggregation (the
+  KTable); each micro-batch emits changed rows, exactly the changelog
+  the reference replays to clients.
+* ``consolidate_to_table``     — foreachBatch MERGE into a parquet
+  snapshot table: at-least-once input + idempotent per-key merge =
+  effective exactly-once (fixing the reference's disabled
+  exactly-once, README.md:74).
+* ``stream_stream_chunk_join`` — J1 with explicit watermarks (the
+  reference has none; Spark requires them for state cleanup — at
+  100 TB unbounded join state is a memory leak, so this is a fix, not
+  a deviation).
+* ``session_window_reassembly``— A3 with native session merge
+  semantics.
+
+Watermark defaults are deliberately small for tests; production sets
+them to the real out-of-orderness bound.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.consolidate import consolidate_events
+
+
+def consolidate_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-key consolidation fold (A1) — run with
+    ``outputMode("update")``; every trigger emits the changed
+    consolidated rows (the KTable changelog,
+    KafkaIntelligencePipeline.kt:380-382).
+
+    The fold is commutative/idempotent (set-unions + last-CREATE-wins)
+    so late or replayed events converge to the same row.
+    """
+    return consolidate_events(events, strict=False)
+
+
+def consolidate_to_table(
+    events: DataFrame,
+    table_path: str,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """foreachBatch merge of each micro-batch's fold into a parquet
+    snapshot at ``table_path`` (the `datarecord-consolidated` topic as a
+    queryable table — strictly more capable than the reference's
+    replay-only read path, SURVEY §3.3).
+
+    Merge = re-fold(existing ∪ batch-fold) per key; because the fold is
+    associative + commutative + idempotent this is an exact streaming
+    aggregation under at-least-once delivery. With Delta on the
+    classpath, replace the read/overwrite with ``MERGE INTO`` — the
+    logic is unchanged.
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        folded = consolidate_events(batch, strict=False)
+        if os.path.exists(table_path):
+            existing = spark.read.parquet(table_path)
+            merged = _merge_folds(existing, folded)
+        else:
+            merged = folded
+        tmp = table_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(table_path)
+
+    writer = events.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _merge_folds(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two consolidated snapshots per key with the fold's
+    semantics: latest-CREATE-wins scalars, set-union arrays (A2)."""
+    from intelligencepipeline_spark.consolidate import (
+        denormalize_metadata,
+        normalize_metadata,
+    )
+
+    u = a.unionByName(b)
+    merged = u.groupBy("doc_id").agg(
+        F.max_by(F.col("name"), F.col("ingest_ts")).alias("name"),
+        F.max("ingest_ts").alias("ingest_ts"),
+        F.max_by(F.col("representation"), F.col("ingest_ts")).alias(
+            "representation"
+        ),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("additional_representations")))
+        ).alias("additional_representations"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.transform(F.col("meta"), normalize_metadata)
+                    )
+                )
+            )
+        ).alias("meta_norm"),
+    )
+    return merged.withColumn(
+        "meta", F.transform(F.col("meta_norm"), denormalize_metadata)
+    ).drop("meta_norm")
+
+
+def stream_stream_chunk_join(
+    records: DataFrame,
+    chunks: DataFrame,
+    ts_col: str = "event_ts",
+    window_seconds: int = 1,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """J1: windowed stream-stream equi-join of consolidated records with
+    their chunks (ref JoinWindows.of(1000),
+    KafkaIntelligencePipelineTests.kt:272-275) — watermarked on both
+    sides so join state is bounded."""
+    r = records.withWatermark(ts_col, watermark).alias("r")
+    c = chunks.withWatermark(ts_col, watermark).alias("c")
+    return r.join(
+        c,
+        F.expr(
+            f"r.doc_id = c.doc_id AND "
+            f"c.{ts_col} BETWEEN r.{ts_col} - INTERVAL {window_seconds} SECOND "
+            f"AND r.{ts_col} + INTERVAL {window_seconds} SECOND"
+        ),
+    )
+
+
+def session_window_reassembly(
+    chunks: DataFrame,
+    ts_col: str = "event_ts",
+    gap_seconds: int = 500,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """A3: session-window chunk reassembly into DataRecordWithChunks
+    (ref SessionWindows.with(500000) + explicit merger,
+    KafkaIntelligencePipelineTests.kt:325-333 — Spark session windows
+    merge natively). Append-mode output: one row per closed session."""
+    return (
+        chunks.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+            F.col("doc_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(F.struct("chunk_index", "content"))
+            ).alias("chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_chunks",
+            "chunks",
+        )
+    )

@@ -1,0 +1,37 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from intelligencepipeline_spark import get_spark
+
+    s = get_spark(
+        "tests",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.shuffle.partitions": "8",
+        },
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    from intelligencepipeline_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from intelligencepipeline_spark.sources.tables import load_table
+
+    return load_table(spark, SF_DIR, "events")

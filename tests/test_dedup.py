@@ -1,0 +1,86 @@
+"""Dedup operators: exact, minhash (column == DataFrame forms), simhash,
+LSH candidates recall on planted near-duplicates, Jaccard."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signature,
+    minhash_signatures_df,
+    simhash16,
+    simhash_df,
+    simhash_hamming_pairs,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "The quick brown fox jumps over the lazy dog near the river bank!"),  # exact after normalize
+    (5, "tiny"),
+]
+
+
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = exact_duplicates(corpus_df(spark)).collect()
+    dup = [g for g in groups if g["n_dups"] == 2]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["dup_ids"] == [1, 4]
+    kept = drop_exact_duplicates(corpus_df(spark))
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_minhash_column_equals_df_form(spark):
+    df = corpus_df(spark)
+    col_form = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("text"), 8).alias("sig")
+        ).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures_df(df, num_hashes=8).collect()
+    }
+    assert col_form == df_form
+
+
+def test_simhash_column_equals_df_form(spark):
+    df = corpus_df(spark)
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", simhash16(F.col("text")).alias("s")).collect()
+    }
+    df_form = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
+    assert col_form == df_form
+
+
+def test_lsh_candidates_find_near_dup(spark):
+    pairs, big = minhash_lsh_candidates(corpus_df(spark))
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup always collides on every band
+    assert big.count() == 0
+
+
+def test_jaccard_pairs(spark):
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus_df(spark), threshold=0.5).collect()
+    }
+    assert out[(1, 4)] == 1.0  # identical after normalization
+    assert (1, 2) in out  # near-dup above 0.5
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_simhash_hamming_pairs(spark):
+    out = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_hamming_pairs(corpus_df(spark), max_hamming=3).collect()}
+    assert out.get((1, 4)) == 0  # identical signature
+    assert out.get((1, 2), 99) <= 3  # near-dup within hamming budget

@@ -1,0 +1,103 @@
+"""Engine facade: registration API, fixpoint enrichment, idempotence
+guard (P2), empty-result filter (P3), rogue-producer isolation."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.engine import Engine
+from intelligencepipeline_spark.functions import detect_language, word_chunks
+
+
+def make_engine(spark, docs):
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    return Engine(spark).register_ingestor(ing)
+
+
+def test_metadata_and_chunks(spark, docs):
+    eng = (
+        make_engine(spark, docs)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.sha1(F.col("text"))),
+            requires=("text",),
+        )
+        .register_chunk_producer("words", lambda d: word_chunks(F.col("text")), "WORD")
+    )
+    res = eng.run()
+    dr = res["datarecords"]
+    assert dr.filter(F.size("meta") == 1).count() == docs.count()
+    ch = res["chunks"]
+    assert ch.count() > docs.count()
+    assert ch.filter(F.col("chunk_type") != "WORD").count() == 0
+
+
+def test_idempotence_guard(spark, docs):
+    """Running enrichment over an already-enriched frame adds nothing
+    (P2, KafkaIntelligencePipeline.kt:227-233)."""
+    prod = lambda d: F.create_map(F.lit("digest"), F.sha1(F.col("text")))  # noqa: E731
+    eng = make_engine(spark, docs).register_metadata_producer(
+        "hash", prod, requires=("text",)
+    )
+    once = eng.run()["datarecords"]
+    eng2 = Engine(spark).register_ingestor(once).register_metadata_producer(
+        "hash", prod, requires=("text",)
+    )
+    twice = eng2.run()["datarecords"]
+    assert twice.filter(F.size("meta") != 1).count() == 0
+
+
+def test_empty_result_filter(spark, docs):
+    """P3: producers returning empty maps add no metadata entry."""
+    eng = make_engine(spark, docs).register_metadata_producer(
+        "empty", lambda d: F.create_map().cast("map<string,string>")
+    )
+    out = eng.run()["datarecords"]
+    assert out.filter(F.size("meta") > 0).count() == 0
+
+
+def test_dependency_ordering(spark, docs):
+    """A producer requiring a representation column runs after the
+    representation producer provides it (capability deps)."""
+    eng = (
+        make_engine(spark, docs)
+        .register_metadata_producer(
+            "lang_of_upper",
+            lambda d: F.create_map(F.lit("lang"), detect_language(F.col("upper_text"))),
+            requires=("upper_text",),
+        )
+        .register_representation_producer(
+            "upper", "upper_text", lambda d: F.upper(F.col("text")), requires=("text",)
+        )
+    )
+    out = eng.run()["datarecords"]
+    assert not eng.failed_producers
+    assert out.filter(F.size("meta") == 1).count() == docs.count()
+    reps = out.select(F.explode("additional_representations").alias("r")).select(
+        "r.created_by"
+    )
+    assert reps.filter(F.col("created_by") == "upper").count() == docs.count()
+
+
+def test_rogue_producer_isolated(spark, docs):
+    eng = (
+        make_engine(spark, docs)
+        .register_metadata_producer("rogue", lambda d: F.col("missing_col") + 1)
+        .register_metadata_producer(
+            "ok", lambda d: F.create_map(F.lit("k"), F.lit("v"))
+        )
+    )
+    out = eng.run()["datarecords"]
+    assert "rogue" in eng.failed_producers
+    assert out.filter(F.size("meta") == 1).count() == docs.count()
+
+
+def test_proposer(spark, docs):
+    eng = make_engine(spark, docs).register_proposer(
+        "langprop",
+        lambda d: F.struct(
+            detect_language(F.col("text")).alias("proposal"),
+            F.lit(1.0).cast("float").alias("confidence"),
+        ),
+        requires=("text",),
+    )
+    out = eng.run()["datarecords"]
+    assert out.filter(F.size("propositions") == 1).count() == docs.count()

@@ -1,0 +1,75 @@
+"""Text-analysis and NLP-light column functions."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions import (
+    content_digest,
+    detect_language,
+    fingerprint,
+    named_entities,
+    quality_score,
+    token_count,
+    tokens,
+)
+from intelligencepipeline_spark.functions.nlp import (
+    sentence_chunks,
+    window_chunks,
+)
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col(F.col("text")).alias("out")).first()["out"]
+
+
+def test_tokens_and_count(spark):
+    assert one(spark, "a  b   c", tokens) == ["a", "b", "c"]
+    assert one(spark, "  ", token_count) == 0
+    assert one(spark, "x y", token_count) == 2
+
+
+def test_detect_language(spark):
+    assert one(spark, "the cat and the dog is here", detect_language) == "en"
+    assert one(spark, "der hund und die katze ist da", detect_language) == "de"
+    assert one(spark, "zzz qqq", detect_language) == "und"
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, "Hello,  World!", fingerprint)
+    b = one(spark, "hello world", fingerprint)
+    assert a == b
+
+
+def test_quality_score(spark):
+    q = one(spark, "aa bb cc", quality_score)
+    assert q["n_chars"] == 8
+    assert q["n_tokens"] == 3
+    assert q["distinct_ratio"] == 1.0
+
+
+def test_sha1_digest(spark):
+    # sha1("abc") is a well-known vector
+    assert (
+        one(spark, "abc", content_digest)
+        == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    )
+
+
+def test_sentence_chunks(spark):
+    out = one(spark, "One two. Three four! Five?", sentence_chunks)
+    assert out == ["One two.", "Three four!", "Five?"]
+
+
+def test_window_chunks(spark):
+    out = one(spark, "a b c d e", lambda c: window_chunks(c, 2))
+    assert out == ["a b", "c d", "e"]
+
+
+def test_named_entities(spark):
+    out = one(
+        spark,
+        "Alice Smith visited on 2024-01-02 at 10:30 paying 5 usd",
+        named_entities,
+    )
+    types = {e["type"] for e in out}
+    assert {"PERSON", "DATE", "TIME", "SUM"} <= types

@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing (decode stubbed, Spark-side real)."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.multimodal import (
+    extract_media_features,
+    frame_sample_plan,
+    sniff_mime,
+)
+
+SAMPLES = [
+    (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16),
+    (2, b"\xff\xd8\xff\xe0" + b"\x00" * 16),
+    (3, b"RIFF" + b"\x00" * 16),
+    (4, b"garbage-bytes-here"),
+]
+
+
+def media_df(spark):
+    return spark.createDataFrame(SAMPLES, "doc_id long, media binary")
+
+
+def test_sniff_mime(spark):
+    out = {
+        r["doc_id"]: r["mime"]
+        for r in media_df(spark)
+        .select("doc_id", sniff_mime(F.col("media")).alias("mime"))
+        .collect()
+    }
+    assert out == {
+        1: "image/png",
+        2: "image/jpeg",
+        3: "audio/wav",
+        4: "application/octet-stream",
+    }
+
+
+def test_extract_media_features_deterministic(spark):
+    a = {r["doc_id"]: r.asDict() for r in extract_media_features(media_df(spark)).collect()}
+    b = {r["doc_id"]: r.asDict() for r in extract_media_features(media_df(spark)).collect()}
+    assert a == b
+    assert a[1]["mime"] == "image/png"
+    assert len(a[1]["feature"]) == 8
+    assert a[1]["n_bytes"] == 24
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, (None, None, None, 3500, None))],
+        "doc_id long, media_meta struct<mime:string,width:int,height:int,"
+        "duration_ms:long,sample_rate:int>",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]

@@ -1,0 +1,27 @@
+"""Catalog smoke: every queries() entry runs at sf0.001 and has an
+oracle; the entry() flagship returns rows. (Exact oracle equivalence is
+checked by the driver / scratch/oracle_check.py at sf0.01.)"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+@pytest.mark.parametrize("name", list(entry_mod.queries()))
+def test_query_runs(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_every_query_has_oracle():
+    qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert os_ <= qs
+    assert qs == os_, f"missing oracles for {qs - os_}"

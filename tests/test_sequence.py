@@ -1,0 +1,44 @@
+"""Sequence edit ops — mirrors the reference's SequenceTests.kt:8-41
+edge cases (empty sequence, out-of-range indices, clamping)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators import (
+    seq_append, seq_insert, seq_merge, seq_remove, seq_update,
+)
+
+
+def run(spark, arr, col):
+    df = spark.createDataFrame([(arr,)], "arr array<string>")
+    return df.select(col(F.col("arr")).alias("out")).first()["out"]
+
+
+@pytest.mark.parametrize(
+    "op,expected",
+    [
+        (lambda a: seq_append(a, "X"), ["a", "b", "c", "X"]),
+        (lambda a: seq_insert(a, 0, "X"), ["X", "a", "b", "c"]),
+        (lambda a: seq_insert(a, 2, "X"), ["a", "b", "X", "c"]),
+        (lambda a: seq_insert(a, 99, "X"), ["a", "b", "c", "X"]),  # clamp
+        (lambda a: seq_update(a, 1, "X"), ["a", "X", "c"]),
+        (lambda a: seq_update(a, 99, "X"), ["a", "b", "c"]),  # no-op
+        (lambda a: seq_merge(a, 0, 1, "X"), ["X", "c"]),
+        (lambda a: seq_merge(a, 0, 2, "X"), ["X"]),
+        (lambda a: seq_merge(a, 2, 0, "X"), ["a", "b", "c"]),  # bad range
+        (lambda a: seq_merge(a, 0, 99, "X"), ["a", "b", "c"]),  # bad range
+        (lambda a: seq_remove(a, 0), ["b", "c"]),
+        (lambda a: seq_remove(a, 2), ["a", "b"]),
+        (lambda a: seq_remove(a, 99), ["a", "b", "c"]),  # no-op
+    ],
+)
+def test_ops(spark, op, expected):
+    assert run(spark, ["a", "b", "c"], op) == expected
+
+
+def test_empty_sequence(spark):
+    assert run(spark, [], lambda a: seq_append(a, "X")) == ["X"]
+    assert run(spark, [], lambda a: seq_insert(a, 0, "X")) == ["X"]
+    assert run(spark, [], lambda a: seq_update(a, 0, "X")) == []
+    assert run(spark, [], lambda a: seq_remove(a, 0)) == []
+    assert run(spark, [], lambda a: seq_merge(a, 0, 0, "X")) == []

@@ -1,0 +1,70 @@
+"""Similarity search: exact top-k, GEMM pairs vs expression form,
+LSH ANN recall on planted duplicates."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_pairs_blas,
+    lsh_topk,
+    quantize,
+)
+
+
+def vec_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [1.0, 0.001, 0.0, 0.0]),  # nearly identical to 0
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_order(spark):
+    out = brute_force_topk(vec_df(spark), query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [3, 1, 2]
+    assert out[0]["cosine"] > 0.999
+
+
+def test_cosine_pairs_blas_matches_expression(spark, events):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    q = emb.select(F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("qv"))
+    expr_pairs = {
+        (r["a"], r["b"]): r["c"]
+        for r in q.alias("x")
+        .join(q.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            cosine(F.col("x.qv"), F.col("y.qv")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.2)
+        .collect()
+    }
+    blas_pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_pairs_blas(emb, threshold=0.2).collect()
+    }
+    assert set(expr_pairs) == set(blas_pairs)
+    for k in expr_pairs:
+        assert math.isclose(expr_pairs[k], blas_pairs[k], rel_tol=0, abs_tol=0), k
+
+
+def test_lsh_topk_finds_identical_vector(spark):
+    """An identical vector always shares the query's bucket — recall 1
+    for exact duplicates regardless of hyperplanes."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    first = emb.orderBy("vec_id").first()
+    clone = spark.createDataFrame(
+        [(999999, list(first["embedding"]))], "vec_id long, embedding array<float>"
+    )
+    out = lsh_topk(emb.unionByName(clone), query_id=first["vec_id"], k=3).collect()
+    assert out and out[0]["vec_id"] == 999999
+    assert out[0]["cosine"] > 0.999999
