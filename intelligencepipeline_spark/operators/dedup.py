@@ -225,9 +225,8 @@ def minhash_lsh_candidates(
     the same bucket. Output: (a, b) with a < b, distinct across bands.
     """
     r = num_hashes // bands
-    sig = df.select(
-        F.col(key).alias("a"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("sig"),
+    sig = minhash_signatures_df(df, text_col, key, num_hashes, shingle_k).select(
+        F.col(key).alias("a"), F.col("signature").alias("sig")
     )
     banded = sig.select(
         "a",

@@ -313,6 +313,69 @@ WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
 ORDER BY a, b
 """
 
+ORACLES["minhash_lsh_pairs"] = f"""
+WITH hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+WHERE x.doc_id < y.doc_id
+ORDER BY a, b
+"""
+
+# engine_enrichment: digest + heuristic lang + raw token count — the
+# values the three registered producers must deposit into meta
+ORACLES["engine_enrichment"] = f"""
+WITH scores AS (
+  SELECT doc_id, text,
+    ({_S_EN}) AS s_en, ({_S_DE}) AS s_de, ({_S_FR}) AS s_fr, ({_S_ES}) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+  md5(text) AS digest,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    ELSE 'de' END AS lang_guess,
+  cast(len({_RTOKS}) as bigint) AS n_tokens
+FROM scores ORDER BY doc_id
+"""
+
+ORACLES["session_window_batch"] = """
+WITH e AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es FROM events
+), m AS (
+  SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR es - prev > 500 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY es, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM m
+)
+SELECT user_id,
+  min(es) AS session_start_epoch,
+  max(es) + 500 AS session_end_epoch,
+  count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start_epoch
+"""
+
+ORACLES["multimodal_meta"] = """
+SELECT doc_id,
+  'application/octet-stream' AS mime,
+  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+  sha256(text) AS sha256,
+  md5(text) AS digest
+FROM documents ORDER BY doc_id
+"""
+
 ORACLES["similarity_topk"] = f"""
 WITH q AS (
   SELECT generate_subscripts(embedding, 1) AS i, {_QELEM} AS v

@@ -33,6 +33,7 @@ from intelligencepipeline_spark.functions.nlp import window_chunks, word_chunks
 from intelligencepipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
+    minhash_lsh_candidates,
     minhash_signature,
     minhash_signatures_df,
     simhash16,
@@ -402,6 +403,105 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search (embedding column)
 # ===================================================================
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded minhash-LSH candidate pairs (4 bands x 2 rows over the
+    8-hash signature): docs sharing any band hash. The scale path for
+    near-dup detection — candidates only, verified by jaccard_pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3
+    )
+    return pairs.orderBy("a", "b")
+
+
+def engine_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Engine facade end-to-end (register -> fixpoint -> datarecords):
+    three producers (md5 digest, heuristic lang, token count) enrich the
+    documents corpus; the consolidated meta array is flattened back to
+    columns. Oracle-checked — this proves the registration/guard/merge
+    machinery itself, not just individual expressions."""
+    from intelligencepipeline_spark.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents")
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.md5(F.col("text"))),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "lang",
+            lambda d: F.create_map(F.lit("lang"), detect_language(F.col("text"))),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "tokens",
+            lambda d: F.create_map(
+                F.lit("n_tokens"), F.size(tokens(F.col("text"))).cast("string")
+            ),
+            requires=("text",),
+        )
+    )
+    dr = eng.run()["datarecords"]
+
+    def meta_value(producer: str, key_: str) -> F.Column:
+        entry = F.element_at(
+            F.filter("meta", lambda m: m["created_by"] == F.lit(producer)), 1
+        )
+        return entry["values"][key_]
+
+    return dr.select(
+        "doc_id",
+        meta_value("hash", "digest").alias("digest"),
+        meta_value("lang", "lang").alias("lang_guess"),
+        meta_value("tokens", "n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via Spark's NATIVE session_window operator (batch mode) —
+    the same sessions as session_stats but using the built-in merging
+    session windows (ts truncated to seconds so the gap semantics are
+    exactly the oracle's gaps-and-islands on epoch seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("tsec", F.date_trunc("second", F.col("ts")))
+        .groupBy(
+            F.session_window(F.col("tsec"), "500 seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_epoch")
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: document text as an opaque
+    binary payload — MIME sniff, byte length, content digests (the
+    binary analog of Tika metadata F2; real media decode is stubbed,
+    functions/multimodal.py)."""
+    from intelligencepipeline_spark.functions.multimodal import sniff_mime
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        sniff_mime(payload).alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+        F.md5(payload).alias("digest"),
+    ).orderBy("doc_id")
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-10 neighbors of vec_id=0 (quantized integer
     dot products; broadcast query; TakeOrdered — no shuffle)."""
@@ -439,8 +539,12 @@ QUERIES = {
     "lang_id": lang_id,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash": simhash_q,
     "jaccard_pairs": jaccard_pairs_q,
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
+    "engine_enrichment": engine_enrichment,
+    "session_window_batch": session_window_batch,
+    "multimodal_meta": multimodal_meta,
 }
