@@ -250,15 +250,8 @@ class Engine:
             )
         return df
 
-    def run(self) -> dict[str, DataFrame]:
-        """Batch run: ingest -> enrich to fixpoint -> chunk -> side effects.
-
-        Returns {'datarecords': ..., 'chunks': ...}. Equivalent dataflow
-        to §3.1 of SURVEY.md with the Kafka round-trips unrolled.
-        """
-        if self._ingest is None:
-            raise ValueError("no ingestor registered")
-        df = self._ingest
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        """Add the DataRecord columns an ingest frame may lack."""
         for col, default in (
             ("ingest_ts", F.current_timestamp()),
             ("representation", F.lit(None).cast("struct<path:string,created_by:string>")),
@@ -286,7 +279,7 @@ class Engine:
                     )
                 else:
                     df = df.withColumn(col, default)
-        df = df.withColumn(
+        return df.withColumn(
             "additional_representations",
             F.coalesce(
                 F.col("additional_representations"),
@@ -294,8 +287,14 @@ class Engine:
             ),
         )
 
-        df = self._fixpoint(df, self._producers)
+    def enrich(self, df: DataFrame) -> DataFrame:
+        """The producer pipeline as one composable transform — works on
+        batch AND streaming DataFrames (all producer ops are stateless
+        column transforms, so Catalyst fuses them into the scan stage
+        either way)."""
+        return self._fixpoint(self._prepare(df), self._producers)
 
+    def _build_chunks(self, df: DataFrame) -> DataFrame | None:
         chunks = None
         for cp in self._chunk_producers:
             try:
@@ -322,7 +321,17 @@ class Engine:
             chunks = chunks.withColumnRenamed("metadata", "meta")
             chunks = self._fixpoint(chunks, self._chunk_meta_producers)
             chunks = chunks.withColumnRenamed("meta", "metadata")
+        return chunks
 
+    def run(self) -> dict[str, DataFrame]:
+        """Batch run: ingest -> enrich to fixpoint -> chunk -> side
+        effects. Returns {'datarecords': ..., 'chunks': ...}. Equivalent
+        dataflow to §3.1 of SURVEY.md with the Kafka round-trips
+        unrolled."""
+        if self._ingest is None:
+            raise ValueError("no ingestor registered")
+        df = self.enrich(self._ingest)
+        chunks = self._build_chunks(df)
         out = {"datarecords": df}
         if chunks is not None:
             out["chunks"] = chunks
@@ -332,3 +341,50 @@ class Engine:
             except Exception as e:
                 self.failed_producers[name] = repr(e)
         return out
+
+    def run_streaming(
+        self,
+        output_dir: str,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ) -> list:
+        """Streaming run: the SAME registered producers over a streaming
+        ingest (register a ``readStream`` DataFrame as the ingestor).
+
+        The reference starts one Kafka-Streams topology per producer
+        (KafkaIntelligencePipeline.kt:215-258); here the fused plan runs
+        as one datarecords query plus one per chunk producer — fewer
+        moving parts, and Catalyst pipelines every producer in a single
+        pass over each micro-batch. Side effects attach via foreachBatch.
+
+        Returns the list of started StreamingQuery handles.
+        """
+        if self._ingest is None:
+            raise ValueError("no ingestor registered")
+        if not self._ingest.isStreaming:
+            raise ValueError("ingestor is not a streaming DataFrame")
+        enriched = self.enrich(self._ingest)
+        queries = []
+
+        def start(df: DataFrame, name: str):
+            writer = (
+                df.writeStream.format("parquet")
+                .option("path", f"{output_dir}/{name}")
+                .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+            )
+            if trigger_available_now:
+                writer = writer.trigger(availableNow=True)
+            return writer.start()
+
+        queries.append(start(enriched, "datarecords"))
+        chunks = self._build_chunks(enriched)
+        if chunks is not None:
+            queries.append(start(chunks, "chunks"))
+        for name, fn in self._side_effects:
+            writer = enriched.writeStream.foreachBatch(
+                lambda batch, _eid, f=fn: f(batch)
+            ).option("checkpointLocation", f"{checkpoint_dir}/se_{name}")
+            if trigger_available_now:
+                writer = writer.trigger(availableNow=True)
+            queries.append(writer.start())
+        return queries

@@ -1,0 +1,64 @@
+"""Skew-handling utilities for hot keys at scale.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases;
+these helpers cover the two patterns AQE can't: skewed *aggregations*
+(one hyperactive document/user dominating a groupBy) and explicit
+pre-partitioning for repeated joins on the same key.
+
+Salting is semantics-preserving for any associative+commutative
+aggregate: stage 1 aggregates on (key, salt) — spreading one hot key
+over N reducers — stage 2 combines the partials per key. Shuffle volume
+rises by ~N partial rows per key; reducer skew drops by N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
+    """Uniform deterministic salt derived from a per-row monotonic id
+    (not rand() — keeps reruns identical)."""
+    return df.withColumn(
+        col_name, (F.monotonically_increasing_id() % n_salts).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str | list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output column -> (stage1_agg_expr, stage2_combine_expr)
+    where stage2 references the stage-1 output column by name, e.g.::
+
+        salted_agg(ev, "user_id", {
+            "n":     (F.count(F.lit(1)),  F.sum("n")),
+            "total": (F.sum("value"),     F.sum("total")),
+        })
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salted = with_salt(df, n_salts)
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[combine.alias(name) for name, (_, combine) in aggs.items()]
+    )
+
+
+def repartition_for_join(
+    df: DataFrame, key: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Hash-partition on the join key so repeated joins reuse one
+    shuffle (poor-man's bucketing when no metastore is available —
+    with one, prefer ``df.write.bucketBy(n, key).saveAsTable(...)``)."""
+    return (
+        df.repartition(num_partitions, key)
+        if num_partitions
+        else df.repartition(key)
+    )

@@ -119,6 +119,49 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLES["percentiles"] = """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  min(value) AS vmin,
+  max(value) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["pivot_counts"] = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click') AS click,
+  count(*) FILTER (event_type = 'error') AS error,
+  count(*) FILTER (event_type = 'purchase') AS purchase,
+  count(*) FILTER (event_type = 'signup') AS signup,
+  count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["running_totals"] = """
+SELECT event_id, user_id,
+  sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+FROM events ORDER BY event_id
+"""
+
+ORACLES["semi_join"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+ORACLES["cube_agg"] = """
+SELECT event_type, strftime(ts, '%Y-%m') AS month,
+  count(*) AS n,
+  sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) AS cents
+FROM events
+GROUP BY CUBE(event_type, strftime(ts, '%Y-%m'))
+ORDER BY event_type, month
+"""
+
 ORACLES["event_union"] = """
 WITH u AS (
   SELECT user_id AS key, 'CREATE' AS command FROM events WHERE event_type = 'signup'
@@ -374,6 +417,39 @@ SELECT doc_id,
   sha256(text) AS sha256,
   md5(text) AS digest
 FROM documents ORDER BY doc_id
+"""
+
+ORACLES["dedup_pipeline"] = f"""
+WITH hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+), shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b,
+  cast(common as double) / cast(sa.n + sb.n - common as double) AS jaccard
+FROM inter i
+JOIN cands c ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON i.a = sa.doc_id
+JOIN sizes sb ON i.b = sb.doc_id
+WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.5
+ORDER BY i.a, i.b
 """
 
 ORACLES["similarity_topk"] = f"""

@@ -192,6 +192,88 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the formula, so
+    values match bit-exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (§2.9 surface)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value totals (window cumulative sum over exact
+    cents) — the streaming-analytics staple."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("running_cents"),
+    ).orderBy("event_id")
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one finished
+    order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, month) — full grouping-set lattice with exact
+    cent totals."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("long")
+    return (
+        ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
+        .cube("event_type", "month")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        .orderBy("event_type", "month")
+    )
+
+
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline at scale: minhash-LSH candidates ->
+    exact Jaccard verification (>= 0.5) — candidates-only verification is
+    the 100 TB pattern (never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    cands, _big = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_k=3)
+    return jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, candidates=cands
+    ).orderBy("a", "b")
+
+
 # ===================================================================
 # Pipeline-core semantics (SURVEY §2.2/2.3/2.4)
 # ===================================================================
@@ -528,6 +610,12 @@ QUERIES = {
     "anti_join_guard": anti_join_guard,
     "range_join": range_join,
     "json_extract_agg": json_extract_agg,
+    "percentiles": percentiles,
+    "pivot_counts": pivot_counts,
+    "running_totals": running_totals,
+    "semi_join": semi_join,
+    "cube_agg": cube_agg,
+    "dedup_pipeline": dedup_pipeline,
     "event_union": event_union,
     "consolidation_fold": consolidation_fold,
     "session_stats": session_stats_q,

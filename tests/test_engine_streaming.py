@@ -1,0 +1,94 @@
+"""Streaming engine facade: the same registered producers over a
+streaming ingest converge to the batch result (stream/table duality —
+the reference's core architectural claim, SURVEY §1.4)."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.engine import Engine
+from intelligencepipeline_spark.functions import detect_language, word_chunks
+
+
+def build(spark, ingest):
+    return (
+        Engine(spark)
+        .register_ingestor(ingest)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.md5(F.col("text"))),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "lang",
+            lambda d: F.create_map(F.lit("lang"), detect_language(F.col("text"))),
+            requires=("text",),
+        )
+        .register_chunk_producer("words", lambda d: word_chunks(F.col("text")), "WORD")
+    )
+
+
+def test_streaming_run_matches_batch(spark, docs):
+    src = tempfile.mkdtemp(prefix="ip_src_")
+    out = tempfile.mkdtemp(prefix="ip_out_")
+    ckpt = tempfile.mkdtemp(prefix="ip_ck_")
+    sample = docs.limit(50).select(
+        "doc_id", F.col("text").alias("name"), "text"
+    )
+    sample.write.mode("overwrite").parquet(src)
+
+    stream_ingest = spark.readStream.schema(
+        "doc_id long, name string, text string"
+    ).parquet(src)
+    queries = build(spark, stream_ingest).run_streaming(out, ckpt)
+    for q in queries:
+        q.awaitTermination(180)
+
+    batch = build(spark, sample).run()
+
+    s_dr = spark.read.parquet(f"{out}/datarecords")
+    b_dr = batch["datarecords"]
+    s = {
+        r["doc_id"]: sorted((m["created_by"], str(sorted(m["values"].items())))
+                            for m in r["meta"])
+        for r in s_dr.collect()
+    }
+    b = {
+        r["doc_id"]: sorted((m["created_by"], str(sorted(m["values"].items())))
+                            for m in r["meta"])
+        for r in b_dr.collect()
+    }
+    assert s == b and len(s) == 50
+
+    s_ch = spark.read.parquet(f"{out}/chunks")
+    assert s_ch.count() == batch["chunks"].count()
+
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_agg_equals_plain(spark, events):
+    from intelligencepipeline_spark.operators.skew import salted_agg
+
+    plain = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in salted_agg(
+            events,
+            "user_id",
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "total": (F.sum("value"), F.sum("total")),
+            },
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
