@@ -89,6 +89,82 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def char_grams(text: Column, k: int = 5) -> Column:
+    """All character k-grams of the text (positional, not distinct).
+    Pure built-in expressions: sequence + transform + substring, all
+    inside whole-stage codegen. Short texts (< k chars) yield the text
+    itself as the single gram."""
+    # Bind text as a lambda variable so an expensive input expression
+    # (e.g. normalize_text's regexes) is evaluated once per row, not
+    # once per gram — see winnow_hashes for the same pattern.
+    def grams(t: Column) -> Column:
+        n = F.length(t) - (k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)
+            ),
+        ).otherwise(F.array(t))
+
+    return F.element_at(F.transform(F.array(text), grams), 1)
+
+
+def gram_hash(gram: Column) -> Column:
+    """Rolling-hash stand-in, engine-portable: first 8 hex digits of
+    md5 as a bigint. (True Rabin-Karp saves the rehash cost but is not
+    reproducible across engines; md5-prefix keeps the oracle exact.)"""
+    return F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+
+
+def winnow_hashes(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram, then keep
+    the minimum hash of each sliding window of ``w`` consecutive grams;
+    the distinct selected hashes are the fingerprint.
+
+    Guarantees a match for any shared run of length >= w + k - 1 while
+    storing ~2/(w+1) of the grams. All array expressions — per-row,
+    no shuffle, codegen-friendly; the output column feeds a keyed
+    groupBy for corpus-level near-dup detection."""
+    hashes = F.transform(char_grams(text, k), gram_hash)
+
+    # Bind the hash array as a lambda VARIABLE (single-element-array
+    # trick): expressions referenced from inside a higher-order-function
+    # lambda are re-evaluated per element (no CSE in interpreted HOF
+    # eval), which would redo all the md5s for every window — O(n²)
+    # hashes per row. A bound variable is evaluated exactly once.
+    def select_mins(h: Column) -> Column:
+        n_win = F.size(h) - (w - 1)
+        return F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                # least() over w direct lookups — no per-window array
+                # allocation (vs slice + array_min), ~3x cheaper in the
+                # interpreted HOF path.
+                lambda j: F.least(
+                    *[F.element_at(h, j + off) for off in range(w)]
+                ),
+            ),
+        ).otherwise(F.array(F.array_min(h)))
+
+    mins = F.element_at(F.transform(F.array(hashes), select_mins), 1)
+    return F.array_sort(F.array_distinct(mins))
+
+
+# BPE-ish subword pattern: runs of letters are split into 1-4 char
+# pieces (greedy, like a coarse byte-pair vocabulary cap), digits run
+# together, any other non-space char is its own token. Same regex
+# semantics in Spark (Java) and DuckDB (RE2).
+BPE_PATTERN = "[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Subword tokens of the lowercased text under BPE_PATTERN —
+    the 'BPE-ish regex' token counter for training-data budgeting."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic quality features for training-data filtering, as a struct:
 

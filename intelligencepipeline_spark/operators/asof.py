@@ -1,0 +1,89 @@
+"""As-of join — for each left row, the most recent right row at or
+before its timestamp, per key.
+
+The reference has no such operator (its only join is the stream-stream
+window equi-join, SURVEY.md §2.4 J1); this is one of the time-series /
+training-pipeline extensions (SURVEY.md §2.9). Semantics match DuckDB's
+``ASOF JOIN`` (inequality ``left.ts >= right.ts``, inclusive).
+
+Scale design — the union trick, NOT a range join:
+
+* A naive implementation joins on key with ``l.ts >= r.ts`` and keeps
+  the max — a per-key cross product, O(n·m) per key, catastrophic at
+  100 TB.
+* Here both sides are tagged and unioned, then a single window
+  ``last(value, ignorenulls=True)`` ordered by (ts, side) carries the
+  latest right-side values forward onto each left row. Cost: ONE
+  shuffle on the key (same as any keyed agg), per-row state O(1),
+  no pair explosion. Skewed keys split fine under AQE because the
+  window partition is (key) — salt via operators/skew.py if one key
+  dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE, _TS = "__asof_side", "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the right row's
+    ``value_cols`` from the latest right row with
+    ``right_ts <= left_ts`` and equal key(s) (null if none).
+
+    Right-side ties on (key, ts) resolve to the greatest value tuple
+    (deterministic in both engines).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    l_tag = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    # Deterministic tie-break among right rows sharing (key, ts): keep
+    # the max value tuple. Cheap keyed agg, map-side combinable.
+    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(
+        *[
+            F.max(f"{c}{suffix}").alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+    )
+
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive
+    # `left.ts >= right.ts`, matching DuckDB ASOF JOIN.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True)
+            .over(w)
+            .alias(f"__carry_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col(_SIDE) == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out

@@ -490,3 +490,141 @@ FROM dots JOIN norms na ON a = na.vec_id JOIN norms nb ON b = nb.vec_id
 WHERE cast(dot as double) / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double))) >= 0.35
 ORDER BY a, b
 """
+
+# ===================================================================
+# Round-1 widening: as-of join, quality gate, top terms, grouping sets,
+# winnowing fingerprints, BPE-ish tokens, LSH ANN
+# ===================================================================
+
+ORACLES["asof_join"] = """
+WITH views AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, v.value AS view_value,
+  p.event_id AS purchase_event_id, p.value AS purchase_value
+FROM views v ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+ORDER BY v.event_id
+"""
+
+ORACLES["quality_filter"] = f"""
+WITH scored AS (
+  SELECT lang, source,
+    cast(len({_RTOKS}) as bigint) AS n_tokens,
+    cast(length(replace(text, ' ', '')) as double)
+      / cast(greatest(len({_RTOKS}), 1) as double) AS mtl,
+    cast(len(list_distinct({_RTOKS})) as double)
+      / cast(greatest(len({_RTOKS}), 1) as double) AS dr
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+  cast(sum(n_tokens) as bigint) AS total_tokens
+FROM scored
+WHERE n_tokens >= 10 AND mtl >= 2.0 AND mtl <= 12.0 AND dr >= 0.2
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+ORACLES["top_terms"] = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({_NTOKS}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+ORACLES["grouping_sets_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# hex-prefix-of-md5 -> bigint (matches functions.text.gram_hash):
+# positional arithmetic over the first 8 hex digits; 16**7 < 2^53 so the
+# double powers are exact.
+_HEX2INT = (
+    "cast(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1) * (16 ** (8 - i))"
+    ")) as bigint)"
+)
+
+ORACLES["winnow_fingerprints"] = f"""
+WITH n AS (
+  SELECT doc_id, {_NORM} AS nt FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(nt) - 4 >= 1 THEN
+      list_transform(range(1, length(nt) - 3), i -> substr(nt, i, 5))
+    ELSE [nt] END AS grams
+  FROM n
+), h AS (
+  SELECT doc_id, list_transform(grams, g -> {_HEX2INT}) AS hs FROM g
+), sel AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      CASE WHEN len(hs) - 3 >= 1 THEN
+        list_transform(range(1, len(hs) - 2), j -> list_min(hs[j:j+3]))
+      ELSE [list_min(hs)] END)) AS s
+  FROM h
+)
+SELECT doc_id, cast(len(s) as bigint) AS n_selected,
+  md5(array_to_string(s, ',')) AS fp
+FROM sel ORDER BY doc_id
+"""
+
+ORACLES["bpe_token_stats"] = f"""
+SELECT doc_id,
+  cast(len({_RTOKS}) as bigint) AS n_words,
+  cast(len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]+|[^a-z0-9 ]'))
+    as bigint) AS n_subwords,
+  cast(len(regexp_extract_all(lower(text), '[a-z]{{1,4}}|[0-9]+|[^a-z0-9 ]'))
+    as double) / cast(greatest(len({_RTOKS}), 1) as double) AS inflation
+FROM documents ORDER BY doc_id
+"""
+
+# LSH ANN oracle: re-derives the 8 deterministic md5-hyperplanes
+# (operators/similarity.hyperplane_bucket) as literal weight lists.
+import hashlib as _hashlib  # noqa: E402
+
+_QLIST = "list_transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+
+
+def _plane_bit(p: int) -> str:
+    weights = [
+        2 * int(_hashlib.md5(f"{p}:{c}".encode()).hexdigest()[0], 16) - 15
+        for c in range(64)
+    ]
+    wlist = "[" + ", ".join(str(w) for w in weights) + "]"
+    dot = (
+        f"list_sum(list_transform(range(1, 65), i -> qe[i] * ({wlist})[i]))"
+    )
+    return f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END"
+
+
+_BUCKET = " || ".join(_plane_bit(p) for p in range(8))
+
+ORACLES["ann_lsh_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, {_QLIST} AS qe FROM embeddings
+), b AS (
+  SELECT vec_id, qe, {_BUCKET} AS bucket FROM e
+), q AS (
+  SELECT qe AS qvec, bucket AS qbucket FROM b WHERE vec_id = 0
+), cand AS (
+  SELECT b.vec_id, b.qe, q.qvec FROM b, q
+  WHERE b.vec_id <> 0 AND len(list_filter(range(1, 9),
+    j -> substr(b.bucket, j, 1) <> substr(q.qbucket, j, 1))) <= 1
+), scored AS (
+  SELECT vec_id,
+    cast(list_sum(list_transform(range(1, 65), i -> qe[i] * qvec[i])) as bigint) AS dot,
+    cast(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) as bigint) AS n2e,
+    cast(list_sum(list_transform(range(1, 65), i -> qvec[i] * qvec[i])) as bigint) AS n2q
+  FROM cand
+)
+SELECT vec_id, dot,
+  cast(dot as double) / (sqrt(cast(n2e as double)) * sqrt(cast(n2q as double)))
+    AS cosine
+FROM scored ORDER BY dot DESC, vec_id LIMIT 10
+"""

@@ -23,12 +23,15 @@ from pyspark.sql import functions as F
 
 from intelligencepipeline_spark.sources.tables import load_table
 from intelligencepipeline_spark.functions.text import (
+    bpe_tokens,
     detect_language,
     language_scores,
     normalize_text,
     quality_score,
     tokens,
+    winnow_hashes,
 )
+from intelligencepipeline_spark.operators.asof import asof_join
 from intelligencepipeline_spark.functions.nlp import window_chunks, word_chunks
 from intelligencepipeline_spark.operators.dedup import (
     exact_duplicates,
@@ -602,6 +605,157 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blas(emb, threshold=0.35).orderBy("a", "b")
 
 
+# ===================================================================
+# Round-1 widening: time-series, text-quality, fingerprint, ANN
+# ===================================================================
+
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each 'view' event paired with the
+    user's most recent 'purchase' at-or-before it. Union + window — one
+    key shuffle, no range explosion (vs the naive O(n·m) range join)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        suffix="_purchase",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("view_value"),
+        F.col("event_id_purchase").alias("purchase_event_id"),
+        F.col("value_purchase").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: per (lang, source), how many docs
+    survive the heuristic filter and the surviving token volume.
+    Filter + partial agg — fully pushed down, one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    scored = docs.select(
+        "lang",
+        "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mtl"),
+        q["distinct_ratio"].alias("dr"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("mtl") >= 2.0)
+        & (F.col("mtl") <= 12.0)
+        & (F.col("dr") >= 0.2)
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 normalized terms. Explode → two-stage count (map-
+    side partial agg) → TakeOrderedAndProject; never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over lineitem — the general form of rollup/cube
+    (SURVEY §2.9), via the SQL surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash document fingerprints
+    (functions/text.winnow_hashes): per-doc selected-hash set, exported
+    as count + md5 digest of the joined set."""
+    # CPU-bound per-row op over a compactly-compressed table: the scan
+    # yields few splits (file-size-driven), so fan out explicitly —
+    # the tiny shuffle buys full-core fingerprinting. Same reasoning
+    # holds on a cluster when doc files are large-but-few.
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    sel = winnow_hashes(normalize_text(F.col("text")), k=5, w=4)
+    # Two-step projection: `sel` is expensive and consumed twice below;
+    # the projection boundary makes Spark evaluate it once per row
+    # (CollapseProject keeps multiply-referenced non-cheap exprs apart).
+    staged = docs.select("doc_id", sel.alias("sel"))
+    return staged.select(
+        "doc_id",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.md5(F.array_join("sel", ",")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs BPE-ish subword tokens per
+    doc + the subwords/words inflation ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = F.size(tokens(F.col("text")))
+    n_sub = F.size(bpe_tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sub.cast("long").alias("n_subwords"),
+        (
+            n_sub.cast("double")
+            / F.greatest(n_words, F.lit(1)).cast("double")
+        ).alias("inflation"),
+    ).orderBy("doc_id")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-pattern LSH bucketing (8 deterministic
+    hyperplanes) + multi-probe (1-bit flips), exact re-rank inside the
+    candidate set (operators/similarity.lsh_topk). At 100 TB the bucket
+    join touches ~2^-8 of the corpus per probe vs the full scan of
+    similarity_topk."""
+    from intelligencepipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_id=0, k=10, n_planes=8, dim=64).select(
+        "vec_id", "dot", "cosine"
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -635,4 +789,11 @@ QUERIES = {
     "engine_enrichment": engine_enrichment,
     "session_window_batch": session_window_batch,
     "multimodal_meta": multimodal_meta,
+    "asof_join": asof_join_q,
+    "quality_filter": quality_filter,
+    "top_terms": top_terms,
+    "grouping_sets_agg": grouping_sets_agg,
+    "winnow_fingerprints": winnow_fingerprints,
+    "bpe_token_stats": bpe_token_stats,
+    "ann_lsh_topk": ann_lsh_topk,
 }

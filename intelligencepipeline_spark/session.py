@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS) (illegal for
+        # Spark's reader by default); read as long, converted in
+        # sources/tables.py. Set here so the first scan never errors.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MB input splits: right-sized for both local[32] on sf0.1
         # and a wide cluster scanning TB-scale parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,97 @@
+"""As-of join operator (operators/asof.py): semantics vs a naive
+range-join-then-max reference implementation, plus edge cases."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, lts=10, lv="a"),
+            Row(k=1, lts=20, lv="b"),
+            Row(k=1, lts=5, lv="c"),
+            Row(k=2, lts=100, lv="d"),
+            Row(k=3, lts=7, lv="e"),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rts=10, rv=1.0),   # equal-ts: inclusive match
+            Row(k=1, rts=15, rv=2.0),
+            Row(k=1, rts=30, rv=3.0),   # after every left row but b? no: 30>20
+            Row(k=2, rts=1, rv=4.0),
+            Row(k=4, rts=1, rv=5.0),    # right-only key
+        ]
+    )
+    return left, right
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["rv"],
+    )
+    got = {(r.k, r.lts): r.rv_right for r in out.collect()}
+    assert got == {
+        (1, 10): 1.0,   # inclusive: rts=10 <= lts=10
+        (1, 20): 2.0,   # latest of {10, 15}
+        (1, 5): None,   # nothing at or before 5
+        (2, 100): 4.0,
+        (3, 7): None,   # no right side for key
+    }
+    assert out.count() == left.count()  # strictly one row per left row
+
+
+def test_asof_matches_naive_range_join(spark, frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["rv"],
+    )
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k")) & (F.col("r.rts") <= F.col("l.lts")),
+            "left",
+        )
+        .groupBy("l.k", "l.lts")
+        .agg(F.max_by("r.rv", "r.rts").alias("rv_right"))
+    )
+    a = {(r.k, r.lts): r.rv_right for r in out.collect()}
+    b = {(r.k, r.lts): r.rv_right for r in naive.collect()}
+    assert a == b
+
+
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame([Row(k1=1, k2="x", lts=10)])
+    right = spark.createDataFrame(
+        [
+            Row(k1=1, k2="x", rts=5, rv=1),
+            Row(k1=1, k2="y", rts=6, rv=2),  # wrong second key
+        ]
+    )
+    out = asof_join(
+        left, right, on=["k1", "k2"], left_ts="lts", right_ts="rts",
+        value_cols=["rv"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].rv_right == 1
+
+
+def test_asof_right_tie_deterministic(spark):
+    """Two right rows at the same (key, ts): max value tuple wins."""
+    left = spark.createDataFrame([Row(k=1, lts=10)])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=10, rv=7), Row(k=1, rts=10, rv=9)]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["rv"]
+    )
+    assert out.collect()[0].rv_right == 9

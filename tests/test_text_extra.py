@@ -1,0 +1,69 @@
+"""Winnowing fingerprints + BPE-ish tokenization (functions/text.py)."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import (
+    bpe_tokens,
+    char_grams,
+    gram_hash,
+    winnow_hashes,
+)
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4) -> list[int]:
+    grams = (
+        [text[i : i + k] for i in range(len(text) - k + 1)]
+        if len(text) >= k
+        else [text]
+    )
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    if len(hs) >= w:
+        mins = [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+    else:
+        mins = [min(hs)]
+    return sorted(set(mins))
+
+
+def test_char_grams(spark):
+    df = spark.createDataFrame([Row(t="abcdef"), Row(t="ab")])
+    got = df.select(char_grams(F.col("t"), 5).alias("g")).collect()
+    assert got[0].g == ["abcde", "bcdef"]
+    assert got[1].g == ["ab"]  # shorter than k: text itself
+
+
+def test_gram_hash_matches_python(spark):
+    df = spark.createDataFrame([Row(t="hello")])
+    got = df.select(gram_hash(F.col("t")).alias("h")).collect()[0].h
+    assert got == int(hashlib.md5(b"hello").hexdigest()[:8], 16)
+
+
+def test_winnow_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "tiny",
+        "aaaaaaaaaaaaaaaa",
+    ]
+    df = spark.createDataFrame([Row(t=t) for t in texts])
+    got = df.select("t", winnow_hashes(F.col("t")).alias("s")).collect()
+    for r in got:
+        assert r.s == _py_winnow(r.t), r.t
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Docs sharing a run >= w+k-1 chars share a selected hash."""
+    a = "xxxx the shared common substring here xxxx"
+    b = "yyyyyy the shared common substring here zz"
+    df = spark.createDataFrame([Row(t=a), Row(t=b)])
+    s1, s2 = [set(r.s) for r in df.select(winnow_hashes(F.col("t")).alias("s")).collect()]
+    assert s1 & s2
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame([Row(t="Hello, wonderful 42 world!")])
+    got = df.select(bpe_tokens(F.col("t")).alias("b")).collect()[0].b
+    assert got == ["hell", "o", ",", "wond", "erfu", "l", "42", "worl", "d", "!"]
