@@ -204,19 +204,32 @@ def cosine_pairs_blas(
             qnorms = np.sqrt((q * q).sum(axis=1))
             dots = q @ b_mat.T  # exact: integer-valued float64
             cos = dots / (qnorms[:, None] * b_norms[None, :])
-            for i in range(len(qids)):
-                mask = (cos[i] >= threshold) & (b_ids > qids[i])
-                if mask.any():
-                    yield pd.DataFrame(
-                        {
-                            "a": np.full(mask.sum(), qids[i], dtype=np.int64),
-                            "b": b_ids[mask].astype(np.int64),
-                            "cosine": cos[i][mask],
-                        }
-                    )
+            # Fully vectorized pair extraction — one np.where over the
+            # (batch x N) matrix, one output frame per batch (a Python
+            # loop of per-row frames dominated wall time before).
+            iu, ju = np.where(
+                (cos >= threshold) & (b_ids[None, :] > qids[:, None])
+            )
+            if len(iu):
+                yield pd.DataFrame(
+                    {
+                        "a": qids[iu].astype(np.int64),
+                        "b": b_ids[ju].astype(np.int64),
+                        "cosine": cos[iu, ju],
+                    }
+                )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        op, "a long, b long, cosine double"
+    # The embeddings table is typically few large parquet files → few
+    # scan splits; fan out so the GEMM uses every core (the work is
+    # embarrassingly parallel over left-side rows).
+    n_parts = max(
+        embeddings.rdd.getNumPartitions(),
+        spark.sparkContext.defaultParallelism,
+    )
+    return (
+        embeddings.select(id_col, vec_col)
+        .repartition(n_parts, F.col(id_col))
+        .mapInPandas(op, "a long, b long, cosine double")
     )
 
 

@@ -628,3 +628,62 @@ SELECT vec_id, dot,
     AS cosine
 FROM scored ORDER BY dot DESC, vec_id LIMIT 10
 """
+
+ORACLES["event_gaps"] = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+  cast(max(gap_us) as bigint) AS max_gap_us,
+  cast(sum(gap_us) as double) / cast(count(*) as double) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLES["set_ops"] = """
+WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+), y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+)
+SELECT 'churned' AS cohort, o_custkey
+  FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'retained' AS cohort, o_custkey
+  FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+ORDER BY cohort, o_custkey
+"""
+
+ORACLES["tfidf_top_terms"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_NTOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), idf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+    cast(tf * n_docs as double) / cast(df as double) AS score
+  FROM tf JOIN idf USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""

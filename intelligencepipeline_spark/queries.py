@@ -61,11 +61,31 @@ from intelligencepipeline_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if name == "documents":
+        # Every documents query does CPU-heavy per-row text work
+        # (md5 shingles, regexes, HOFs) — fan out small-split scans.
+        df = _fanout(df)
+    return df
 
 
 def _dec(c, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def _fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Fan a small-split scan out to all cores for CPU-bound per-row
+    work. Compact parquet gives the scan few splits (file-granular), so
+    md5/regex-heavy operators would run on 1-2 tasks; an EXPLICIT-count
+    repartition fixes that (explicit N = REPARTITION_BY_NUM, which AQE
+    will not coalesce away — a bare repartition(col) gets coalesced
+    right back to 1 for tiny inputs). No-op when the scan already has
+    enough splits, so at 100 TB this adds no shuffle."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
 
 
 # ===================================================================
@@ -708,11 +728,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) rolling-hash document fingerprints
     (functions/text.winnow_hashes): per-doc selected-hash set, exported
     as count + md5 digest of the joined set."""
-    # CPU-bound per-row op over a compactly-compressed table: the scan
-    # yields few splits (file-size-driven), so fan out explicitly —
-    # the tiny shuffle buys full-core fingerprinting. Same reasoning
-    # holds on a cluster when doc files are large-but-few.
-    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    docs = _t(spark, sf_dir, "documents")
     sel = winnow_hashes(normalize_text(F.col("text")), k=5, w=4)
     # Two-step projection: `sel` is expensive and consumed twice below;
     # the projection boundary makes Spark evaluate it once per row
@@ -756,6 +772,112 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-time analytics: per-user gap stats via lag().
+    Exact math: gaps in integral microseconds; mean is one division
+    of exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("sum_gap_us"),
+        )
+        .select(
+            "user_id",
+            "n_gaps",
+            "max_gap_us",
+            (
+                F.col("sum_gap_us").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key (the CDC/upsert compaction pattern — how a
+    changelog stream becomes a snapshot table): row_number() = 1 over
+    (key ORDER BY ts DESC). One shuffle; with AQE skew-split if a key
+    is hot."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT surface (SURVEY §2.9): 1995-active customers
+    partitioned into churned (no 1996 order) vs retained."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey"
+    ).distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey"
+    ).distinct()
+    churned = y95.exceptAll(y96).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    retained = y95.intersect(y96).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    return churned.unionByName(retained).orderBy("cohort", "o_custkey")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 distinctive terms, tf·N/df scoring (log-free so the
+    score is exact: integer product, one IEEE division). Plan shape:
+    explode → (doc,term) agg → term-level df agg (vocab-sized, then
+    BROADCAST back) → per-doc window top-k. The broadcast keeps the
+    doc-side join shuffle-free at corpus scale."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()  # scalar; driver-side by design (tiny)
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            (F.col("tf") * F.lit(n_docs)).cast("double")
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -796,4 +918,8 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints,
     "bpe_token_stats": bpe_token_stats,
     "ann_lsh_topk": ann_lsh_topk,
+    "event_gaps": event_gaps,
+    "latest_event_per_user": latest_event_per_user,
+    "set_ops": set_ops,
+    "tfidf_top_terms": tfidf_top_terms,
 }

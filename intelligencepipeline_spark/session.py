@@ -54,7 +54,10 @@ def get_spark(
         # and a wide cluster scanning TB-scale parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] puts every "executor" in the driver JVM: size it like
+        # the sum of executors it stands in for, or long catalogs of
+        # shuffle-heavy queries degrade into GC thrash.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(master)
