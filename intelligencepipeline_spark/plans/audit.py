@@ -1,0 +1,94 @@
+"""Physical-plan audit — mechanical checks that a query compiles to
+the plan you'd want at 100 TB.
+
+The reference has no optimizer at all (SURVEY.md §4); on Spark the
+optimizer is the engine's core value, so this module makes its
+behavior *testable*: every assertion here is one of the scale
+properties the DataFrame code is written to obtain —
+
+* column pruning reached the parquet scan (``ReadSchema`` contains
+  only needed fields — a scan reading all columns for a 2-column
+  projection is wrong at any scale);
+* filter pushdown reached the scan (``PushedFilters`` non-empty);
+* a dimension join was planned as a broadcast join, not a shuffle
+  exchange of the fact table;
+* whole-stage codegen covers the expression pipeline;
+* no cartesian product sneaked in.
+
+Use in tests (see tests/test_plan_audit.py) and in notebooks while
+iterating: ``print(audit(df))``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text, without printing to stdout."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class PlanAudit:
+    plan: str
+    read_schemas: list[str] = field(default_factory=list)
+    pushed_filters: list[str] = field(default_factory=list)
+    broadcast_joins: int = 0
+    sortmerge_joins: int = 0
+    shuffle_exchanges: int = 0
+    codegen_stages: int = 0
+    cartesian: bool = False
+
+    def reads_only(self, *cols: str) -> bool:
+        """True if every parquet scan's ReadSchema mentions no field
+        beyond ``cols`` (column pruning worked)."""
+        import re
+
+        for rs in self.read_schemas:
+            read = set(re.findall(r"(\w+):", rs))
+            if not read <= set(cols):
+                return False
+        return True
+
+    def has_pushed_filter(self, fragment: str) -> bool:
+        return any(fragment in p for p in self.pushed_filters)
+
+
+_DETAIL = __import__("re").compile(r"^\((\d+)\)\s+(\S.*)$")
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    plan = formatted_plan(df)
+    out = PlanAudit(plan=plan)
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("ReadSchema:"):
+            out.read_schemas.append(s[len("ReadSchema:"):].strip())
+        elif s.startswith("PushedFilters:"):
+            pf = s[len("PushedFilters:"):].strip()
+            if pf and pf != "[]":
+                out.pushed_filters.append(pf)
+        # Operators appear twice in formatted output (tree + "(N) Op"
+        # detail section); count only the detail headers.
+        m = _DETAIL.match(s)
+        if not m:
+            # "[codegen id : N]" annotations only exist once executed /
+            # without AQE; count them where present.
+            if "codegen id" in s or "WholeStageCodegen" in s:
+                out.codegen_stages += 1
+            continue
+        op = m.group(2)
+        if op.startswith(("BroadcastHashJoin", "BroadcastNestedLoopJoin")):
+            out.broadcast_joins += 1
+        elif op.startswith("SortMergeJoin"):
+            out.sortmerge_joins += 1
+        elif op.startswith("Exchange"):
+            out.shuffle_exchanges += 1
+        elif op.startswith("CartesianProduct"):
+            out.cartesian = True
+    return out

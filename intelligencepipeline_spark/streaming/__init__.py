@@ -4,10 +4,16 @@ from intelligencepipeline_spark.streaming.pipeline import (
     session_window_reassembly,
     stream_stream_chunk_join,
 )
+from intelligencepipeline_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_stats,
+)
 
 __all__ = [
     "consolidate_stream",
     "consolidate_to_table",
     "session_window_reassembly",
     "stream_stream_chunk_join",
+    "streaming_first_seen",
+    "streaming_running_stats",
 ]

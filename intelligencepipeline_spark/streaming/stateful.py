@@ -1,0 +1,133 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's only stateful streaming op is the RocksDB-backed KTable
+fold (KafkaIntelligencePipeline.kt:364-382) — covered declaratively by
+``streaming/pipeline.consolidate_stream``. These operators cover what
+the declarative surface can't express: per-key *decision* state (emit
+exactly the first occurrence; emit a delta per update) with explicit
+TTL control — the building blocks of streaming dedup at ingest time,
+which a 100 TB training-data pipeline wants *before* paying storage for
+a duplicate.
+
+Scale notes:
+* State lives in the state store, partitioned by the grouping key —
+  the same shuffle any keyed agg pays, nothing driver-side.
+* State per key is O(1) bytes here (a flag / a few counters), so state
+  size ~ #distinct keys; set ``ttl_minutes`` to bound it for unbounded
+  key spaces (processing-time timeout evicts idle keys — after
+  eviction a re-occurring key is treated as new, the standard
+  TTL-dedup trade).
+* Arrow-batched: each group's rows arrive as pandas frames, no
+  row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    key_col: str,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST row only, ever
+    (across micro-batches), dropping later duplicates.
+
+    Unlike ``dropDuplicates`` (whose state never expires without a
+    watermark column) this gives explicit TTL control and demonstrates
+    the applyInPandasWithState contract for custom operators.
+
+    Note: with ``ttl_minutes`` set, the query uses
+    ProcessingTimeTimeout and therefore never self-terminates (it
+    stays alive to service evictions) — that mode is for continuous
+    queries, not Trigger.AvailableNow backfills.
+    """
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # Key already emitted in an earlier batch: swallow all rows.
+            for _ in pdfs:
+                pass
+            if ttl_minutes:
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[:1]
+        state.update((True,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if first is not None:
+            yield first
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
+    )
+
+
+def streaming_running_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Running per-key (count, sum, max) emitted as an updated row per
+    key per micro-batch — the KTable-changelog shape
+    (KafkaIntelligencePipeline.kt:380-382) with custom fold state.
+
+    Use when the fold doesn't decompose into built-in aggregates; for
+    plain count/sum prefer the declarative ``groupBy().agg()`` (Spark's
+    partial aggregation beats per-group Python)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("vmax", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total, vmax = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            vals = pdf[value_col]
+            if len(vals):
+                n += int(len(vals))
+                total += float(vals.sum())
+                m = float(vals.max())
+                vmax = m if vmax is None else max(vmax, m)
+        state.update((n, total, vmax))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "total": [total], "vmax": [vmax]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

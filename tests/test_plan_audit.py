@@ -1,0 +1,69 @@
+"""Plan-shape assertions (plans/audit.py): the scale properties the
+queries are written for actually appear in the physical plan —
+pruned scans, pushed filters, broadcast dimension joins, codegen."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.plans.audit import audit
+from intelligencepipeline_spark.queries import (
+    q1_pricing_summary,
+    q3_top_revenue,
+    similarity_topk,
+    tfidf_top_terms,
+    top_terms,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_prunes_and_pushes(spark):
+    a = audit(q1_pricing_summary(spark, SF))
+    # 7 of lineitem's 16 columns; the shipdate predicate reaches the scan
+    assert a.reads_only(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ), a.read_schemas
+    assert a.has_pushed_filter("l_shipdate"), a.pushed_filters
+    # two exchanges only: partial->final agg shuffle + result sort
+    # (codegen ids aren't visible in un-executed AQE plans, so plan
+    # shape is asserted via exchanges rather than codegen spans)
+    assert a.shuffle_exchanges == 2, a.plan[:800]
+    assert not a.cartesian
+
+
+def test_q3_broadcasts_dims(spark):
+    a = audit(q3_top_revenue(spark, SF))
+    # customer/orders sides are small → both joins must be broadcast,
+    # leaving zero shuffle of the lineitem fact table for the join
+    assert a.broadcast_joins >= 2, a.plan[:2000]
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+
+
+def test_top_terms_two_stage_agg(spark):
+    a = audit(top_terms(spark, SF))
+    # explode -> partial agg -> single exchange on term -> final agg;
+    # fanout repartition adds one more exchange on doc_id, no extra
+    assert a.shuffle_exchanges <= 2, a.plan[:2000]
+
+
+def test_tfidf_broadcasts_vocab(spark):
+    a = audit(tfidf_top_terms(spark, SF))
+    assert a.broadcast_joins >= 1
+    assert not a.cartesian
+
+
+def test_similarity_scan_prunes_columns(spark):
+    a = audit(similarity_topk(spark, SF))
+    assert a.reads_only("vec_id", "embedding"), a.read_schemas
+
+
+def test_filter_pushdown_on_direct_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 1)
+        .select("l_orderkey", "l_quantity")
+    )
+    a = audit(df)
+    assert a.has_pushed_filter("l_orderkey"), a.pushed_filters
+    assert a.reads_only("l_orderkey", "l_quantity")

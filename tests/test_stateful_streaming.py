@@ -1,0 +1,133 @@
+"""Custom stateful operators (applyInPandasWithState,
+streaming/stateful.py): cross-batch first-seen dedup and running
+per-key stats vs their batch equivalents."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.streaming.stateful import (
+    streaming_first_seen,
+    streaming_running_stats,
+)
+
+
+@pytest.fixture(autouse=True)
+def few_state_partitions(spark):
+    """Stateful queries init one state store per shuffle partition;
+    32 stores for 6 rows is pure overhead — drop to 4 for this module."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.fixture()
+def rows_dir(spark):
+    d = tempfile.mkdtemp(prefix="ip_state_")
+    spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (1, 11.0, "b"),
+            (2, 20.0, "c"),
+            (3, 30.0, "d"),
+            (2, 21.0, "e"),
+            (3, 31.0, "f"),
+        ],
+        "k long, v double, tag string",
+    ).repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        terminated = q.awaitTermination(120)
+        assert terminated, f"query {name} did not terminate"
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_first_seen_emits_one_row_per_key(spark, rows_dir):
+    stream = spark.readStream.schema("k long, v double, tag string").parquet(
+        rows_dir
+    )
+    out = _run_to_memory(
+        spark, streaming_first_seen(stream, "k"), "first_seen_t"
+    )
+    rows = out.collect()
+    assert sorted(r.k for r in rows) == [1, 2, 3]
+    # each emitted row is a genuine input row for its key
+    valid = {1: {10.0, 11.0}, 2: {20.0, 21.0}, 3: {30.0, 31.0}}
+    for r in rows:
+        assert r.v in valid[r.k]
+
+
+def test_first_seen_with_ttl_runs(spark, rows_dir):
+    """TTL mode uses ProcessingTimeTimeout, which keeps the query alive
+    to service future evictions — a continuous query by design. Poll
+    the sink for the expected rows, then stop."""
+    import time
+
+    stream = spark.readStream.schema("k long, v double, tag string").parquet(
+        rows_dir
+    )
+    q = (
+        streaming_first_seen(stream, "k", ttl_minutes=10)
+        .writeStream.format("memory")
+        .queryName("first_seen_ttl_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        keys: list[int] = []
+        while time.time() < deadline and keys != [1, 2, 3]:
+            time.sleep(1)
+            keys = sorted(
+                r.k for r in spark.sql(
+                    "SELECT * FROM first_seen_ttl_t"
+                ).collect()
+            )
+        assert keys == [1, 2, 3]
+    finally:
+        q.stop()
+
+
+def test_running_stats_matches_batch_agg(spark, rows_dir):
+    stream = spark.readStream.schema("k long, v double, tag string").parquet(
+        rows_dir
+    )
+    out = _run_to_memory(
+        spark, streaming_running_stats(stream, "k", "v"), "running_t"
+    )
+    # memory sink in update mode may hold multiple versions per key;
+    # the last-written row per key is the converged state.
+    final = {}
+    for r in out.collect():
+        final[r.key] = (r.n, r.total, r.vmax)
+    batch = {
+        r.k: (r.n, r.total, r.vmax)
+        for r in spark.read.parquet(rows_dir)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    for k, (n, total, vmax) in batch.items():
+        fn, ft, fm = final[k]
+        assert fn == n and abs(ft - total) < 1e-9 and fm == vmax
