@@ -687,3 +687,65 @@ FROM (
   FROM scored
 ) WHERE rank <= 3 ORDER BY doc_id, rank
 """
+
+# ===================================================================
+# F6/F7 NLP-light surface: NER, per-chunk language, POS distribution
+# ===================================================================
+
+_NARRATIVE = (
+    "'Agent Smith logged order on ' || strftime(o_orderdate, '%Y-%m-%d') || "
+    "' at 12:30 totaling ' || cast(cast(o_totalprice as decimal(18,2)) as varchar)"
+    " || ' usd'"
+)
+
+ORACLES["ner_entities"] = f"""
+WITH nar AS (
+  SELECT {_NARRATIVE} AS txt FROM orders
+), e AS (
+  SELECT 'DATE' AS entity_type,
+    unnest(regexp_extract_all(txt, '\\b\\d{{4}}-\\d{{2}}-\\d{{2}}\\b')) AS value FROM nar
+  UNION ALL SELECT 'TIME',
+    unnest(regexp_extract_all(txt, '\\b\\d{{1,2}}:\\d{{2}}(?::\\d{{2}})?\\b')) FROM nar
+  UNION ALL SELECT 'SUM',
+    unnest(regexp_extract_all(txt, '\\b\\d+(?:\\.\\d+)?\\s?(?:usd|eur|chf|\\$|€)')) FROM nar
+  UNION ALL SELECT 'PERSON',
+    unnest(regexp_extract_all(txt, '\\b[A-Z][a-z]+ [A-Z][a-z]+\\b')) FROM nar
+)
+SELECT entity_type, value, count(*) AS n
+FROM e GROUP BY entity_type, value ORDER BY entity_type, value
+"""
+
+ORACLES["chunk_lang"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_RTOKS}) AS w, generate_subscripts({_RTOKS}, 1) AS i
+  FROM documents
+), ch AS (
+  SELECT doc_id, cast((i - 1) // 10 as bigint) AS chunk_index,
+    string_agg(w, ' ' ORDER BY i) AS text
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+), scores AS (
+  SELECT doc_id, chunk_index,
+    ({_S_EN}) AS s_en, ({_S_DE}) AS s_de, ({_S_FR}) AS s_fr, ({_S_ES}) AS s_es
+  FROM ch
+)
+SELECT doc_id, chunk_index,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    ELSE 'de' END AS lang
+FROM scores ORDER BY doc_id, chunk_index
+"""
+
+ORACLES["pos_tag_counts"] = f"""
+WITH tok AS (
+  SELECT unnest({_RTOKS}) AS w FROM documents
+)
+SELECT CASE WHEN regexp_matches(w, '^[0-9]+(\\.[0-9]+)?$') THEN 'CD'
+  WHEN regexp_matches(w, '(ing)$') THEN 'VBG'
+  WHEN regexp_matches(w, '(ed)$') THEN 'VBD'
+  WHEN regexp_matches(w, '(ly)$') THEN 'RB'
+  WHEN regexp_matches(w, '(s)$') THEN 'NNS'
+  ELSE 'NN' END AS pos, count(*) AS n
+FROM tok GROUP BY pos ORDER BY pos
+"""

@@ -32,7 +32,12 @@ from intelligencepipeline_spark.functions.text import (
     winnow_hashes,
 )
 from intelligencepipeline_spark.operators.asof import asof_join
-from intelligencepipeline_spark.functions.nlp import window_chunks, word_chunks
+from intelligencepipeline_spark.functions.nlp import (
+    named_entities,
+    pos_tags_light,
+    window_chunks,
+    word_chunks,
+)
 from intelligencepipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
@@ -878,6 +883,62 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 NER surface (functions/nlp.named_entities, the regex-light
+    stand-in for CoreNLP ner, implementations.kt:117-136): extract
+    typed entities from an order-narrative text derived from columns,
+    count per (type, value). All expression-only — NER runs inside the
+    scan stage."""
+    orders = _t(spark, sf_dir, "orders")
+    narrative = F.concat(
+        F.lit("Agent Smith logged order on "),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit(" at 12:30 totaling "),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit(" usd"),
+    )
+    ents = orders.select(
+        F.explode(named_entities(narrative)).alias("e")
+    ).select(F.col("e.type").alias("entity_type"), F.col("e.value").alias("value"))
+    return (
+        ents.groupBy("entity_type", "value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("entity_type", "value")
+    )
+
+
+def chunk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 per-chunk language-ID (TikaChunkLanguageDetection,
+    implementations.kt:190-198): 10-token window chunks, heuristic
+    language per chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(window_chunks(F.col("text"), 10)).alias(
+            "chunk_index", "content"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        detect_language(F.col("content")).alias("lang"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+def pos_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 POS surface (functions/nlp.pos_tags_light): corpus tag
+    distribution — explode tagged tokens, two-stage count."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.explode(pos_tags_light(F.col("text"))).alias("t")
+    )
+    return (
+        tagged.groupBy(F.col("t.pos").alias("pos"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("pos")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -922,4 +983,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
     "tfidf_top_terms": tfidf_top_terms,
+    "ner_entities": ner_entities,
+    "chunk_lang": chunk_lang,
+    "pos_tag_counts": pos_tag_counts,
 }
