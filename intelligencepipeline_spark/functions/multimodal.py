@@ -117,6 +117,69 @@ def _sniff_py(content: bytes | None) -> str:
     return "application/octet-stream"
 
 
+_RESIZE_SCHEMA = (
+    "doc_id long, mime string, out_width int, out_height int, "
+    "resized binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    media_col: str = "media",
+) -> DataFrame:
+    """mapInPandas image resize plumbing (aspect-preserving fit into
+    ``target_w x target_h``). The pixel work is stubbed (no PIL in this
+    container): output bytes are a deterministic digest of
+    (content, dims) so downstream plumbing — schema, batching, joins —
+    is fully testable. Swap ``_fake_resize`` for a PIL/opencv body on a
+    real cluster; the operator contract is unchanged.
+    """
+
+    def _fit(w: int, h: int) -> tuple[int, int]:
+        if w <= 0 or h <= 0:
+            return target_w, target_h
+        scale = min(target_w / w, target_h / h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _fake_resize(content: bytes, ow: int, oh: int) -> bytes:
+        if not STUB_DECODE:
+            raise NotImplementedError(
+                "real resize requires PIL/opencv — not in this container"
+            )
+        return hashlib.sha256(
+            (content or b"") + f"|{ow}x{oh}".encode()
+        ).digest()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _fit(int(w) if pd.notna(w) else 0, int(h) if pd.notna(h) else 0)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [_sniff_py(c) for c in pdf[media_col]],
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                    "resized": [
+                        _fake_resize(c, d[0], d[1])
+                        for c, d in zip(pdf[media_col], dims)
+                    ],
+                }
+            )
+
+    prepared = df.select(
+        "doc_id",
+        media_col,
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return prepared.mapInPandas(op, _RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plumbing for video frame sampling: one row per (doc, frame_ts).
     Decode is stubbed; the explode itself is real so downstream operators

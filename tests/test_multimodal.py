@@ -52,3 +52,31 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(df, every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]
+
+
+def test_resize_images_plumbing(spark):
+    import hashlib
+
+    from intelligencepipeline_spark.functions.multimodal import resize_images
+
+    df = media_df(spark).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            (F.col("doc_id") * 400).cast("int").alias("width"),
+            F.lit(300).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+    out = {r.doc_id: r for r in resize_images(df, 224, 224).collect()}
+    assert len(out) == 4
+    # doc 1: 400x300 -> fit 224x224 => scale 0.56 -> 224x168
+    assert (out[1].out_width, out[1].out_height) == (224, 168)
+    # doc 2: 800x300 -> scale 0.28 -> 224x84
+    assert (out[2].out_width, out[2].out_height) == (224, 84)
+    # deterministic fake bytes
+    raw = dict(SAMPLES)
+    exp = hashlib.sha256(raw[1] + b"|224x168").digest()
+    assert bytes(out[1].resized) == exp
+    assert out[1].mime == "image/png"

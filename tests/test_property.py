@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) — randomized equivalence of the
+expression-only operators against plain-Python references. The
+reference repo has no property/randomized testing (SURVEY §5); these
+cover the edge-case space its example-based SequenceTests.kt samples.
+
+Each hypothesis example ships a BATCH of cases through one Spark job
+(one createDataFrame + collect per example) to keep wall time sane.
+"""
+
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.sequence import (
+    seq_append,
+    seq_insert,
+    seq_merge,
+    seq_remove,
+    seq_update,
+)
+from intelligencepipeline_spark.functions.text import (
+    normalize_text,
+    winnow_hashes,
+)
+
+_elem = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+_case = st.tuples(
+    st.lists(_elem, max_size=6),          # arr
+    st.integers(min_value=0, max_value=8),   # i (insert/update/remove)
+    st.integers(min_value=-1, max_value=8),  # frm
+    st.integers(min_value=-1, max_value=8),  # to
+    _elem,                                   # t
+)
+
+
+def _py_insert(s, i, t):
+    i = min(i, len(s))
+    return s[:i] + [t] + s[i:]
+
+
+def _py_update(s, i, t):
+    return [t if j == i else x for j, x in enumerate(s)] if 0 <= i < len(s) else s
+
+
+def _py_merge(s, frm, to, t):
+    if frm >= 0 and to >= frm and to < len(s):
+        return s[:frm] + [t] + s[to + 1 :]
+    return s
+
+
+def _py_remove(s, i):
+    return [x for j, x in enumerate(s) if j != i] if 0 <= i < len(s) else s
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_case, min_size=1, max_size=40))
+def test_sequence_ops_match_python(spark, cases):
+    rows = [
+        (cid, arr, i, frm, to, t)
+        for cid, (arr, i, frm, to, t) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "cid long, arr array<string>, i int, frm int, t_o int, t string"
+    )
+    a = F.col("arr")
+    got = df.select(
+        "cid",
+        seq_append(a, F.col("t")).alias("ap"),
+        seq_insert(a, F.col("i"), F.col("t")).alias("ins"),
+        seq_update(a, F.col("i"), F.col("t")).alias("up"),
+        seq_merge(a, F.col("frm"), F.col("t_o"), F.col("t")).alias("mg"),
+        seq_remove(a, F.col("i")).alias("rm"),
+    ).collect()
+    by_id = {r.cid: r for r in got}
+    for cid, (arr, i, frm, to, t) in enumerate(cases):
+        r = by_id[cid]
+        assert r.ap == arr + [t], ("append", arr, t, r.ap)
+        assert r.ins == _py_insert(arr, i, t), ("insert", arr, i, t, r.ins)
+        assert r.up == _py_update(arr, i, t), ("update", arr, i, t, r.up)
+        assert r.mg == _py_merge(arr, frm, to, t), ("merge", arr, frm, to, t, r.mg)
+        assert r.rm == _py_remove(arr, i), ("remove", arr, i, r.rm)
+
+
+def _py_winnow(text, k=5, w=4):
+    grams = (
+        [text[i : i + k] for i in range(len(text) - k + 1)]
+        if len(text) >= k
+        else [text]
+    )
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    mins = (
+        [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+        if len(hs) >= w
+        else [min(hs)]
+    )
+    return sorted(set(mins))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abc XYZ09.,", max_size=60), min_size=1, max_size=25))
+def test_winnow_and_normalize_match_python(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "cid long, t string")
+    got = df.select(
+        "cid",
+        normalize_text(F.col("t")).alias("norm"),
+        winnow_hashes(normalize_text(F.col("t"))).alias("sel"),
+    ).collect()
+    import re
+
+    for r in got:
+        raw = texts[r.cid]
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", raw.lower())).strip()
+        assert r.norm == norm, (raw, r.norm, norm)
+        assert r.sel == _py_winnow(norm), (norm, r.sel)
+        # idempotence: normalizing a normalized text is a no-op
+    got2 = df.select(
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+        normalize_text(F.col("t")).alias("n1"),
+    ).collect()
+    for r in got2:
+        assert r.n2 == r.n1
