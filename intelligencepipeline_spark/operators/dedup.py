@@ -151,6 +151,7 @@ def minhash_signatures_df(
     key: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-level minhash: explode shingles, md5 once per shingle,
     fold the k rotation-mins in one keyed aggregation.
@@ -163,9 +164,9 @@ def minhash_signatures_df(
 
     Output: (key, signature: array<string> of length num_hashes).
     """
-    sh = word_shingles_df(df, text_col, key, shingle_k).withColumn(
-        "h", F.md5("shingle")
-    )
+    if shingles is None:
+        shingles = word_shingles_df(df, text_col, key, shingle_k)
+    sh = shingles.withColumn("h", F.md5("shingle"))
     sig = sh.groupBy(key).agg(
         *[
             F.min(_rotate_hex(F.col("h"), i)).alias(f"sig{i}")
@@ -218,6 +219,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash-LSH.
 
@@ -225,7 +227,9 @@ def minhash_lsh_candidates(
     the same bucket. Output: (a, b) with a < b, distinct across bands.
     """
     r = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, key, num_hashes, shingle_k).select(
+    sig = minhash_signatures_df(
+        df, text_col, key, num_hashes, shingle_k, shingles=shingles
+    ).select(
         F.col(key).alias("a"), F.col("signature").alias("sig")
     )
     banded = sig.select(
@@ -264,28 +268,45 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
-    With ``candidates`` (e.g. from LSH) verification is candidate-only;
-    without, it is a full shingle-inverted-index join — fine at small SF,
-    at 100 TB always pass candidates. Output: (a, b, jaccard).
+    With ``candidates`` (e.g. from LSH) verification is candidate-only
+    and the pruning is pushed BELOW the expensive work: the inverted
+    index keeps only docs appearing in some candidate pair, and pair
+    rows are semi-joined against candidates before the intersection
+    aggregation — so cost scales with the candidate set, not the
+    corpus. Without candidates it is the full inverted-index join —
+    fine at small SF; at 100 TB always pass candidates.
+    Output: (a, b, jaccard). ``sizes`` (the denominator) always uses
+    the full per-doc shingle counts, so the score is unchanged.
     """
-    sh = word_shingles_df(df, text_col, key, shingle_k).withColumnRenamed(
-        key, "id"
-    )
+    if shingles is None:
+        shingles = word_shingles_df(df, text_col, key, shingle_k)
+    sh = shingles.withColumnRenamed(key, "id")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+    sh_joined = sh
+    if candidates is not None:
+        cand_ids = candidates.select(
+            F.explode(F.array("a", "b")).alias("id")
+        ).distinct()
+        # no broadcast hint: AQE broadcasts when the id set is small
+        # (typical) and falls back to shuffle when it isn't
+        sh_joined = sh.join(cand_ids, "id", "left_semi")
+
+    pair_rows = (
+        sh_joined.alias("x")
+        .join(sh_joined.alias("y"), "shingle")
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        pair_rows = pair_rows.join(candidates, ["a", "b"], "left_semi")
+    inter = pair_rows.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common")
+    )
     out = (
         inter.join(sizes.withColumnsRenamed({"id": "a", "n": "na"}), "a")
         .join(sizes.withColumnsRenamed({"id": "b", "n": "nb"}), "b")

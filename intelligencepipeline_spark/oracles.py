@@ -749,3 +749,21 @@ SELECT CASE WHEN regexp_matches(w, '^[0-9]+(\\.[0-9]+)?$') THEN 'CD'
   ELSE 'NN' END AS pos, count(*) AS n
 FROM tok GROUP BY pos ORDER BY pos
 """
+
+ORACLES["doc_with_chunks"] = f"""
+WITH ch AS (
+  SELECT doc_id, unnest({_RTOKS}) AS content,
+    generate_subscripts({_RTOKS}, 1) AS idx
+  FROM documents
+)
+SELECT doc_id, count(*) AS n_chunks,
+  md5(string_agg(content, ' ' ORDER BY idx)) AS text_digest
+FROM ch GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["salted_user_stats"] = """
+SELECT user_id, count(*) AS n_events,
+  cast(sum(cast(value as decimal(18,2))) as double) AS total_value,
+  max(value) AS max_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -295,10 +295,24 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline at scale: minhash-LSH candidates ->
     exact Jaccard verification (>= 0.5) — candidates-only verification is
     the 100 TB pattern (never all-pairs)."""
+    from pyspark import StorageLevel
+
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
     docs = _t(spark, sf_dir, "documents")
-    cands, _big = minhash_lsh_candidates(docs, num_hashes=8, bands=4, shingle_k=3)
+    # Shingle once, share between candidate generation and verification
+    # (otherwise both stages re-scan and re-shingle the corpus).
+    sh = word_shingles_df(docs, k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
+    )
+    # consumed twice inside jaccard_pairs (doc-level prune + pair-level
+    # semi-join) — persist so LSH runs once
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     return jaccard_pairs(
-        docs, shingle_k=3, threshold=0.5, candidates=cands
+        docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
     ).orderBy("a", "b")
 
 
@@ -939,6 +953,60 @@ def pos_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataRecordWithChunks (datarecords.kt:47, SURVEY §1.1): each doc
+    joined with its ordered chunk set, exported as chunk count + digest
+    of the reassembled text. The chunk set reassembles to exactly the
+    tokenized source (order-preserving explode → collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(word_chunks(F.col("text"))).alias("idx", "content"),
+    )
+    reassembled = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "content"))
+                ),
+                lambda s: s["content"],
+            ),
+            " ",
+        ).alias("joined"),
+    )
+    return reassembled.select(
+        "doc_id", "n_chunks", F.md5("joined").alias("text_digest")
+    ).orderBy("doc_id")
+
+
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators/skew.salted_agg):
+    per-user event stats computed via (key, salt) partials then
+    combined — identical results to the plain groupBy, hot keys spread
+    over n_salts reducers."""
+    from intelligencepipeline_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        "user_id",
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("total_value"),
+            ),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -986,4 +1054,6 @@ QUERIES = {
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
     "pos_tag_counts": pos_tag_counts,
+    "doc_with_chunks": doc_with_chunks,
+    "salted_user_stats": salted_user_stats,
 }
