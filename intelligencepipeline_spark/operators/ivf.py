@@ -1,0 +1,194 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means
+coarse-quantizer scale path, complementing the LSH variant
+(operators/similarity.lsh_topk).
+
+Everything is deterministic so results are reproducible run-to-run:
+
+* init: the k seed vectors are the rows with the k smallest
+  ``md5(vec_id)`` values — spread pseudo-randomly but fixed;
+* math: vectors are integer-quantized (``floor(x*1000)``, same as
+  operators/similarity); distances and centroid means are exact
+  integer sums and single IEEE divisions.
+
+Scale shape (the standard IVF layout at 100 TB):
+
+* ``kmeans_fit``  — iterative Lloyd's: each iteration is ONE
+  distributed pass (assignment by broadcast centroid matrix inside
+  Arrow batches + one groupBy for the new means). Centroids (k x dim
+  doubles) live on the driver between iterations — tiny by design;
+  this is how Spark MLlib's own KMeans iterates.
+* ``ivf_assign``  — one pass adding ``cell`` (nearest centroid id);
+  at rest you PARTITION THE TABLE BY cell, so a probe reads only
+  n_probe/k of the data (partition pruning does the work).
+* ``ivf_topk``    — query → n_probe nearest cells → exact re-rank of
+  just those cells' vectors.
+
+No oracle-SQL entry: the fit is iterative (SURVEY's non-SQL-expressible
+category); correctness is pinned by determinism + recall tests against
+the brute-force baseline (tests/test_ivf.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.similarity import SCALE
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.floor(np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * SCALE)
+    return ids, mat
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means; returns the (k, dim) centroid
+    matrix. One distributed pass per iteration; only k x dim floats
+    ever reach the driver."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+
+    seed_ids = [
+        r[0]
+        for r in embeddings.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    ]
+    _, seeds = _collect_matrix(
+        embeddings.filter(F.col(id_col).isin(seed_ids)), id_col, vec_col
+    )
+    centroids = seeds[:k].copy()
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def assign(batches, vec_col=vec_col, id_col=id_col):
+            cents = bc.value
+            for pdf in batches:
+                q = np.floor(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    * SCALE
+                )
+                # squared L2 via ||q||^2 - 2 q.c + ||c||^2; ||q||^2 is
+                # constant per row so argmin needs only the last two
+                d = -2.0 * (q @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+                cell = d.argmin(axis=1)
+                out = pd.DataFrame({"cell": cell.astype(np.int32)})
+                for j in range(q.shape[1]):
+                    out[f"d{j}"] = q[:, j]
+                yield out
+
+        dim = centroids.shape[1]
+        schema = "cell int, " + ", ".join(f"d{j} double" for j in range(dim))
+        assigned = embeddings.select(id_col, vec_col).mapInPandas(
+            assign, schema
+        )
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"d{j}").alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )
+        new_c = centroids.copy()  # empty cells keep their centroid
+        for r in stats:
+            new_c[r["cell"]] = np.array(
+                [r[f"s{j}"] for j in range(dim)]
+            ) / float(r["n"])
+        centroids = new_c
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cell`` = nearest centroid id. At rest, write the table
+    partitioned by cell so probes prune partitions."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    cols = embeddings.columns
+
+    def assign(batches):
+        cents = bc.value
+        for pdf in batches:
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * SCALE
+            )
+            d = -2.0 * (q @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+            pdf = pdf.copy()
+            pdf["cell"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema object, corrupting later .columns lookups
+    schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("cell", T.IntegerType())]
+    )
+    return embeddings.select(*cols).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k by cosine: probe the ``n_probe`` cells nearest the
+    query, exact integer-quantized re-rank inside them. Touches
+    ~n_probe/n_clusters of the corpus per query."""
+    from intelligencepipeline_spark.operators.similarity import (
+        cosine,
+        int_dot,
+        quantize,
+    )
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    qvec = np.floor(np.array(qrow[0][0], dtype=np.float64) * SCALE)
+    d = -2.0 * (centroids @ qvec) + (centroids * centroids).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
+
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qvec])
+    cands = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id)
+    )
+    scored = cands.select(
+        F.col(id_col),
+        int_dot(quantize(F.col(vec_col)), qlit).alias("dot"),
+        cosine(quantize(F.col(vec_col)), qlit).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("dot"), F.col(id_col)).limit(k)

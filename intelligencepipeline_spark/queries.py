@@ -953,6 +953,26 @@ def pos_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators/ivf.py): deterministic distributed
+    k-means coarse quantizer, probe the 4 nearest of 16 cells, exact
+    re-rank inside. Iterative fit → no SQL oracle (NON_SQL_QUERIES);
+    pinned instead by tests/test_ivf.py (determinism + full-probe ==
+    brute-force + recall bound)."""
+    from intelligencepipeline_spark.operators.ivf import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_id=0, k=10, n_clusters=16, n_probe=4, iters=3
+    ).select("vec_id", "dot", "cosine")
+
+
+# Catalog entries that are genuinely non-SQL-expressible (iterative /
+# stateful) and therefore carry no oracle_sql: the driver records a
+# rows-only check for these; their correctness lives in unit tests.
+NON_SQL_QUERIES = {"ann_ivf_topk"}
+
+
 def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataRecordWithChunks (datarecords.kt:47, SURVEY §1.1): each doc
     joined with its ordered chunk set, exported as chunk count + digest
@@ -1056,4 +1076,5 @@ QUERIES = {
     "pos_tag_counts": pos_tag_counts,
     "doc_with_chunks": doc_with_chunks,
     "salted_user_stats": salted_user_stats,
+    "ann_ivf_topk": ann_ivf_topk,
 }

@@ -1,0 +1,62 @@
+"""IVF ANN (operators/ivf.py): determinism, assignment sanity, and
+recall against the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.ivf import (
+    ivf_assign,
+    ivf_topk,
+    kmeans_fit,
+)
+from intelligencepipeline_spark.operators.similarity import brute_force_topk
+from intelligencepipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_kmeans_deterministic(spark, emb):
+    c1 = kmeans_fit(emb, k=8, iters=3)
+    c2 = kmeans_fit(emb, k=8, iters=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 8
+
+
+def test_assignment_covers_all_rows(spark, emb):
+    cents = kmeans_fit(emb, k=8, iters=3)
+    assigned = ivf_assign(emb, cents)
+    n = emb.count()
+    assert assigned.count() == n
+    cells = assigned.select("cell").distinct().collect()
+    assert all(0 <= r.cell < 8 for r in cells)
+    assert len(cells) > 1  # data actually spreads over cells
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    exact = [r.vec_id for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(
+            emb, query_id=0, k=10, n_clusters=8, n_probe=4, iters=3
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+
+
+def test_full_probe_equals_brute_force(spark, emb):
+    """Probing every cell must reproduce the exact top-k."""
+    exact = [(r.vec_id, r.dot) for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    full = [
+        (r.vec_id, r.dot)
+        for r in ivf_topk(
+            emb, query_id=0, k=10, n_clusters=8, n_probe=8, iters=2
+        ).collect()
+    ]
+    assert exact == full

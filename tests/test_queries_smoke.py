@@ -22,6 +22,11 @@ def test_query_runs(spark, name):
 
 
 def test_every_query_has_oracle():
+    from intelligencepipeline_spark.queries import NON_SQL_QUERIES
+
     qs, os_ = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert os_ <= qs
-    assert qs == os_, f"missing oracles for {qs - os_}"
+    # every query either has an oracle or is a declared non-SQL op
+    # (iterative/stateful; unit-tested instead — the driver records a
+    # rows-only check for these)
+    assert qs - os_ == NON_SQL_QUERIES, f"missing oracles for {qs - os_ - NON_SQL_QUERIES}"
