@@ -1,6 +1,6 @@
 """Catalog smoke: every queries() entry runs at sf0.001 and has an
 oracle; the entry() flagship returns rows. (Exact oracle equivalence is
-checked by the driver / scratch/oracle_check.py at sf0.01.)"""
+checked by the driver / tools/oracle_check.py at sf0.01.)"""
 
 import pytest
 

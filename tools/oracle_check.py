@@ -1,0 +1,98 @@
+"""Local replica of the driver's t2 correctness gate: run every
+queries() entry in Spark and its oracle_sql() in DuckDB, compare
+row count, column names, and order-insensitive values."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from intelligencepipeline_spark import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+ONLY = sys.argv[1:] or None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return problems
+    if len(sdf) != len(ddf):
+        problems.append(f"row count differs: spark={len(sdf)} duck={len(ddf)}")
+    s, d = canon(sdf), canon(ddf)
+    if len(s) == len(d):
+        for col in s.columns:
+            sv, dv = s[col], d[col]
+            try:
+                eq = (sv.isna() & dv.isna()) | (sv == dv)
+            except Exception as e:
+                problems.append(f"col {col}: compare error {e}")
+                continue
+            bad = (~eq).sum()
+            if bad:
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {col}: {bad} mismatches, first at row {idx}: "
+                    f"spark={s[col][idx]!r} duck={d[col][idx]!r}"
+                )
+    return problems
+
+
+def main():
+    spark = get_spark("oracle_check",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {repr(e)[:300]}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        if name not in osql:
+            print(f"SKIP-ORACLE {name}: rows={len(sdf)} ({t1-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(osql[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {repr(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} (spark {t1-t0:.1f}s):")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: rows={len(sdf)} (spark {t1-t0:.1f}s)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+import sys
+sys.path.insert(0, "/root/repo")
+from intelligencepipeline_spark import get_spark
+from pyspark.sql import functions as F
+
+spark = get_spark("smoke1")
+sf = "/root/testdata/sf0.001"
+
+# --- functions
+from intelligencepipeline_spark.functions import (
+    tokens, token_count, detect_language, quality_score, fingerprint,
+    content_digest,
+)
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+out = docs.select(
+    "doc_id",
+    token_count(F.col("text")).alias("ntok"),
+    detect_language(F.col("text")).alias("lang_guess"),
+    fingerprint(F.col("text")).alias("fp"),
+    quality_score(F.col("text")).alias("q"),
+    content_digest(F.col("text")).alias("sha"),
+)
+out.show(3, truncate=40)
+
+# --- sequence ops
+from intelligencepipeline_spark.operators import (
+    seq_append, seq_insert, seq_update, seq_merge, seq_remove,
+)
+df = spark.createDataFrame([(["a", "b", "c", "d"],)], "arr array<string>")
+df.select(
+    seq_append(F.col("arr"), "X").alias("ap"),
+    seq_insert(F.col("arr"), 1, "X").alias("ins"),
+    seq_insert(F.col("arr"), 99, "X").alias("ins_clamp"),
+    seq_update(F.col("arr"), 2, "X").alias("up"),
+    seq_update(F.col("arr"), 99, "X").alias("up_noop"),
+    seq_merge(F.col("arr"), 1, 2, "X").alias("mg"),
+    seq_merge(F.col("arr"), 3, 1, "X").alias("mg_noop"),
+    seq_remove(F.col("arr"), 0).alias("rm"),
+    seq_remove(F.col("arr"), 9).alias("rm_noop"),
+).show(truncate=False)
+
+# --- consolidation
+from intelligencepipeline_spark.consolidate import consolidate_events
+ev = spark.createDataFrame(
+    [
+        (1, "UPSERT_METADATA", "2024-01-01 00:00:05", None, None, ({"lang": "en"}, "tika")),
+        (1, "CREATE", "2024-01-01 00:00:01", "/a.txt", ("/a.txt", "dir"), None),
+        (1, "UPSERT_METADATA", "2024-01-01 00:00:06", None, None, ({"lang": "en"}, "tika")),
+        (1, "UPSERT_DOCUMENT_REPRESENTATION", "2024-01-01 00:00:07", None, ("/a.html", "html"), None),
+        (2, "UPSERT_METADATA", "2024-01-01 00:00:02", None, None, ({"digest": "xx"}, "hash")),
+    ],
+    "doc_id long, command string, event_ts string, name string, "
+    "representation struct<path:string,created_by:string>, "
+    "metadata struct<values:map<string,string>,created_by:string>",
+).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+cons = consolidate_events(ev)
+cons.orderBy("doc_id").show(truncate=False)
+
+# --- dedup / simhash / minhash
+from intelligencepipeline_spark.operators.dedup import (
+    minhash_signature, simhash16, word_shingles, jaccard_pairs,
+    minhash_lsh_candidates, exact_duplicates,
+)
+docs.select("doc_id", simhash16(F.col("text")).alias("sim"),
+            minhash_signature(F.col("text"), 4).alias("mh")).show(3, truncate=60)
+pairs, big = minhash_lsh_candidates(docs.limit(100))
+print("lsh candidates:", pairs.count(), "big buckets:", big.count())
+jp = jaccard_pairs(docs.limit(100), threshold=0.3)
+print("jaccard pairs >=0.3:", jp.count())
+
+# --- similarity
+from intelligencepipeline_spark.operators.similarity import (
+    brute_force_topk, lsh_topk, cosine_pairs,
+)
+emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+bf = brute_force_topk(emb, query_id=0, k=5)
+bf.show()
+lt = lsh_topk(emb, query_id=0, k=5)
+lt.show()
+
+# --- engine end-to-end
+from intelligencepipeline_spark.engine import Engine
+from intelligencepipeline_spark.functions import (
+    word_chunks, language_scores, named_entities,
+)
+ing = docs.select(
+    F.col("doc_id"), F.col("text").alias("name"), F.col("text"),
+)
+eng = (
+    Engine(spark)
+    .register_ingestor(ing)
+    .register_metadata_producer(
+        "hash", lambda d: F.create_map(F.lit("digest"), F.sha1(F.col("text"))),
+        requires=("text",),
+    )
+    .register_metadata_producer(
+        "lang", lambda d: F.create_map(F.lit("lang"), detect_language(F.col("text"))),
+        requires=("text",),
+    )
+    .register_chunk_producer("words", lambda d: word_chunks(F.col("text")), "WORD")
+)
+res = eng.run()
+res["datarecords"].select("doc_id", "meta").show(2, truncate=80)
+res["chunks"].show(3)
+print("failed:", eng.failed_producers)
+print("OK")
