@@ -87,6 +87,70 @@ def consolidate_to_table(
     return writer.start()
 
 
+def consolidate_to_bucketed_table(
+    events: DataFrame,
+    table_path: str,
+    n_buckets: int = 64,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Incremental foreachBatch merge into a BUCKET-PARTITIONED parquet
+    snapshot — the 100 TB version of ``consolidate_to_table`` (which
+    rewrites the whole table every batch; fine for tests, wrong at
+    scale).
+
+    Layout: ``table_path/bucket=<pmod(doc_id, n_buckets)>/``. Per batch:
+    fold the batch, list its touched buckets (a tiny distinct), read
+    ONLY those partitions of the snapshot (partition pruning), merge,
+    and rewrite just those directories via dynamic partition overwrite.
+    Per-batch cost scales with the batch's key spread, not table size.
+
+    Size ``n_buckets`` so one bucket ≈ a few GB at the target scale
+    (100 TB / 64k buckets ≈ 1.6 GB). With Delta on the classpath,
+    replace the read-merge-overwrite with ``MERGE INTO`` keyed on
+    (bucket, doc_id) — same layout, stronger atomicity.
+    """
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        folded = consolidate_events(batch, strict=False)
+        if os.path.exists(table_path):
+            touched = [
+                r[0]
+                for r in folded.select(
+                    F.pmod("doc_id", F.lit(n_buckets)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            existing = spark.read.parquet(table_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged = _merge_folds(existing.drop("bucket"), folded)
+        else:
+            merged = folded
+        out = merged.withColumn(
+            "bucket", F.pmod("doc_id", F.lit(n_buckets))
+        )
+        # Materialize before overwriting partitions we just read from
+        # (lineage truncation; Delta MERGE removes the need for this).
+        out = out.localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table_path)
+        )
+
+    writer = events.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _merge_folds(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two consolidated snapshots per key with the fold's
     semantics: latest-CREATE-wins scalars, set-union arrays (A2)."""

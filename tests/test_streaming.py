@@ -111,3 +111,51 @@ def test_session_window_reassembly(spark):
     assert rows[0]["n_chunks"] == 2
     assert [c["content"] for c in rows[0]["chunks"]] == ["a", "b"]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_snapshot_incremental_merge(spark, event_dir):
+    """Two sequential micro-batch runs (new events arrive between them)
+    converge the bucketed snapshot to the full batch fold, and the
+    snapshot is physically bucket-partitioned."""
+    import os
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        consolidate_to_bucketed_table,
+    )
+
+    table = tempfile.mkdtemp(prefix="ip_btable_") + "/consolidated"
+    ckpt = tempfile.mkdtemp(prefix="ip_bckpt_")
+
+    q = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+
+    # late events for an existing doc and a brand-new doc
+    late = spark.createDataFrame(
+        [
+            (1, "UPSERT_METADATA", "2024-01-01 00:00:06", None, None,
+             ({"pos": "NN"}, "stanford")),
+            (9, "CREATE", "2024-01-01 00:00:07", "/z", ("/z", "dir"), None),
+        ],
+        EVENT_SCHEMA_STR,
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    late.write.mode("append").parquet(event_dir)
+
+    q2 = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+
+    snap = spark.read.parquet(table)
+    assert any(d.startswith("bucket=") for d in os.listdir(table))
+
+    all_events = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+    batch = consolidate_events(all_events, strict=False)
+    s = {r["doc_id"]: r.asDict() for r in snap.drop("bucket").collect()}
+    b = {r["doc_id"]: r.asDict() for r in batch.collect()}
+    assert set(s) == set(b) == {1, 2, 9}
+    assert sorted(m["created_by"] for m in s[1]["meta"]) == sorted(
+        m["created_by"] for m in b[1]["meta"]
+    )
+    assert s[9]["name"] == "/z"
