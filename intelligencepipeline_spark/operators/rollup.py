@@ -1,0 +1,116 @@
+"""Hypertable-style cascading time rollups (multi-resolution
+continuous aggregates over an event stream).
+
+The reference has no time-series operators (SURVEY §2.9); this is the
+scale extension for event telemetry: pre-aggregated rollups at 1min /
+1h / 1d resolution, where each COARSER level is folded from the next
+FINER level's partials rather than from raw events. At 100 TB that is
+the difference between scanning 100 TB once (finest level) and then
+~1/60 and ~1/1440 of it for the coarser levels — the cascade touches
+raw data exactly once.
+
+Exactness: the cascade is lossless for any associative+commutative
+aggregate. Here: count (sum of counts), sum (decimal — associative
+exactly, unlike double), min/max. Average is derived at read time as
+sum/count, never cascaded directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# resolution name -> seconds
+RESOLUTIONS = {"1min": 60, "1h": 3600, "1d": 86400}
+
+
+def _bucket(ts_col: str, seconds: int):
+    e = F.unix_timestamp(F.col(ts_col))
+    return (F.floor(e / seconds) * seconds).cast("long")
+
+
+def time_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: dict[str, int] | None = None,
+) -> dict[str, DataFrame]:
+    """Build the rollup cascade; returns {resolution: DataFrame} with
+    schema (bucket_start: long epoch-sec, <key_col>, n, total: decimal,
+    vmin, vmax).
+
+    The finest level aggregates raw events (one shuffle over the full
+    input); every other level aggregates the previous level (shuffles
+    over already-reduced data). Persist each level when it feeds both a
+    coarser level and readers.
+    """
+    resolutions = dict(
+        sorted((resolutions or RESOLUTIONS).items(), key=lambda kv: kv[1])
+    )
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for name, secs in resolutions.items():
+        if prev is None:
+            level = (
+                events.select(
+                    _bucket(ts_col, secs).alias("bucket_start"),
+                    F.col(key_col),
+                    F.col(value_col).cast("decimal(18,2)").alias("v"),
+                )
+                .groupBy("bucket_start", key_col)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("total"),
+                    F.min("v").alias("vmin"),
+                    F.max("v").alias("vmax"),
+                )
+            )
+        else:
+            level = (
+                prev.select(
+                    ((F.floor(F.col("bucket_start") / secs)) * secs)
+                    .cast("long")
+                    .alias("bucket_start"),
+                    F.col(key_col),
+                    "n",
+                    "total",
+                    "vmin",
+                    "vmax",
+                )
+                .groupBy("bucket_start", key_col)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total").alias("total"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                )
+            )
+        out[name] = level
+        prev = level
+    return out
+
+
+def rollup_stack(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """All resolutions stacked into one DataFrame with a ``resolution``
+    column (the queryable form; at rest, write one partition per
+    (resolution, day))."""
+    levels = time_rollup(events, ts_col, key_col, value_col)
+    stacked = None
+    for name, df in levels.items():
+        tagged = df.select(
+            F.lit(name).alias("resolution"),
+            "bucket_start",
+            key_col,
+            "n",
+            F.col("total").cast("double").alias("total"),
+            F.col("vmin").cast("double").alias("vmin"),
+            F.col("vmax").cast("double").alias("vmax"),
+        )
+        stacked = tagged if stacked is None else stacked.unionByName(tagged)
+    return stacked

@@ -767,3 +767,25 @@ SELECT user_id, count(*) AS n_events,
   max(value) AS max_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+# Cascading rollup oracle: each resolution re-derived directly from raw
+# events (the cascade must equal the direct aggregation exactly).
+def _rollup_level(name: str, secs: int) -> str:
+    return f"""
+SELECT '{name}' AS resolution,
+  cast(floor(epoch(ts) / {secs}) * {secs} as bigint) AS bucket_start,
+  event_type, count(*) AS n,
+  cast(sum(cast(value as decimal(18,2))) as double) AS total,
+  cast(min(cast(value as decimal(18,2))) as double) AS vmin,
+  cast(max(cast(value as decimal(18,2))) as double) AS vmax
+FROM events GROUP BY bucket_start, event_type"""
+
+
+ORACLES["hypertable_rollup"] = (
+    _rollup_level("1min", 60)
+    + "\nUNION ALL\n"
+    + _rollup_level("1h", 3600)
+    + "\nUNION ALL\n"
+    + _rollup_level("1d", 86400)
+    + "\nORDER BY resolution, bucket_start, event_type"
+)

@@ -32,6 +32,7 @@ from intelligencepipeline_spark.functions.text import (
     winnow_hashes,
 )
 from intelligencepipeline_spark.operators.asof import asof_join
+from intelligencepipeline_spark.operators.rollup import rollup_stack
 from intelligencepipeline_spark.functions.nlp import (
     named_entities,
     pos_tags_light,
@@ -953,6 +954,17 @@ def pos_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading multi-resolution rollup (operators/rollup.py): 1min/
+    1h/1d aggregates where coarser levels fold the finer level's
+    partials — raw events are scanned exactly once; decimal sums keep
+    the cascade bit-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return rollup_stack(ev).orderBy(
+        "resolution", "bucket_start", "event_type"
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators/ivf.py): deterministic distributed
     k-means coarse quantizer, probe the 4 nearest of 16 cells, exact
@@ -1077,4 +1089,5 @@ QUERIES = {
     "doc_with_chunks": doc_with_chunks,
     "salted_user_stats": salted_user_stats,
     "ann_ivf_topk": ann_ivf_topk,
+    "hypertable_rollup": hypertable_rollup,
 }
