@@ -3,8 +3,25 @@ from intelligencepipeline_spark.operators.sequence import (
 )
 from intelligencepipeline_spark.operators.facts import max_score, no_score
 from intelligencepipeline_spark.operators.sessionize import sessionize
+from intelligencepipeline_spark.operators.asof import asof_join
+from intelligencepipeline_spark.operators.rollup import (
+    rollup_stack,
+    time_rollup,
+)
+from intelligencepipeline_spark.operators.skew import (
+    repartition_for_join,
+    salted_agg,
+)
+from intelligencepipeline_spark.operators.ivf import (
+    ivf_assign,
+    ivf_topk,
+    kmeans_fit,
+)
 
 __all__ = [
     "seq_append", "seq_insert", "seq_update", "seq_merge", "seq_remove",
     "max_score", "no_score", "sessionize",
+    "asof_join", "rollup_stack", "time_rollup",
+    "repartition_for_join", "salted_agg",
+    "ivf_assign", "ivf_topk", "kmeans_fit",
 ]

@@ -70,3 +70,31 @@ def stream_directory(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return _to_ingest_schema(reader.load(root), created_by="directory")
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, meta map<string,string>"
+)
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+    streaming: bool = False,
+) -> DataFrame:
+    """JSONL corpus ingestion (the training-data interchange staple;
+    beyond the reference's binary-file walk). Explicit schema — never
+    inferSchema at scale (inference is a full extra pass over 100 TB);
+    ``_corrupt_record`` rows are preserved by Spark's PERMISSIVE mode
+    so a bad line never kills the batch (the rogue-producer philosophy,
+    KafkaIntelligencePipelineTests.kt:176-195, applied to input)."""
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(schema + ", _corrupt_record string").json(path)
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    return good.withColumn(
+        "doc_id",
+        F.coalesce(F.col("doc_id"), F.xxhash64(F.col("text"))),
+    )

@@ -1,5 +1,6 @@
 from intelligencepipeline_spark.streaming.pipeline import (
     consolidate_stream,
+    consolidate_to_bucketed_table,
     consolidate_to_table,
     session_window_reassembly,
     stream_stream_chunk_join,
@@ -11,6 +12,7 @@ from intelligencepipeline_spark.streaming.stateful import (
 
 __all__ = [
     "consolidate_stream",
+    "consolidate_to_bucketed_table",
     "consolidate_to_table",
     "session_window_reassembly",
     "stream_stream_chunk_join",

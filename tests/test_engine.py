@@ -101,3 +101,19 @@ def test_proposer(spark, docs):
     )
     out = eng.run()["datarecords"]
     assert out.filter(F.size("propositions") == 1).count() == docs.count()
+
+
+def test_ingest_jsonl_tolerates_corrupt_lines(spark, tmp_path):
+    from intelligencepipeline_spark.sources.files import ingest_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s"}\n'
+        "this is not json at all\n"
+        '{"text": "no id doc", "lang": "de", "source": "s"}\n'
+    )
+    out = ingest_jsonl(spark, str(p)).collect()
+    assert len(out) == 2  # corrupt line dropped, not fatal
+    by_text = {r.text: r for r in out}
+    assert by_text["hello world"].doc_id == 1
+    assert by_text["no id doc"].doc_id is not None  # derived id
