@@ -789,3 +789,25 @@ ORACLES["hypertable_rollup"] = (
     + _rollup_level("1d", 86400)
     + "\nORDER BY resolution, bucket_start, event_type"
 )
+
+ORACLES["keyphrases"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NTOKS}) AS tok,
+    generate_subscripts({_NTOKS}, 1) AS pos
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase
+  FROM toks
+), scored AS (
+  SELECT doc_id, phrase, count(*) AS freq,
+    count(*) * (length(phrase) - 1) AS score
+  FROM bg WHERE phrase IS NOT NULL GROUP BY doc_id, phrase
+)
+SELECT doc_id, rank, phrase, freq, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, phrase) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""

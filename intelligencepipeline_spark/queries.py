@@ -954,6 +954,45 @@ def pos_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 key-phrase extraction (the hermetic stand-in for the Azure
+    keyPhrases producer, implementations.kt:287-332): RAKE-like scoring
+    of bigram phrases — phrase frequency x total token length, top-3
+    per doc. Explode bigrams via window lead (O(n) per doc), two keyed
+    shuffles + per-doc window top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "nxt").alias("phrase")
+        )
+    )
+    scored = bigrams.groupBy("doc_id", "phrase").agg(
+        F.count("*").alias("freq")
+    ).withColumn(
+        "score",
+        F.col("freq")
+        * (F.length("phrase") - F.lit(1)),  # total char weight
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "phrase", "freq", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascading multi-resolution rollup (operators/rollup.py): 1min/
     1h/1d aggregates where coarser levels fold the finer level's
@@ -1090,4 +1129,5 @@ QUERIES = {
     "salted_user_stats": salted_user_stats,
     "ann_ivf_topk": ann_ivf_topk,
     "hypertable_rollup": hypertable_rollup,
+    "keyphrases": keyphrases,
 }
