@@ -26,13 +26,19 @@ def word_chunks(text: Column) -> Column:
 def sentence_chunks(text: Column) -> Column:
     """array<string> of SENTENCE chunks.
 
-    Splits on sentence terminators ('.', '!', '?' followed by space) and
-    drops empties — the ssplit analog of
+    Splits on sentence terminators ('.', '!', '?' followed by
+    whitespace) and drops empties — the ssplit analog of
     StanfordNlpSentenceChunkProducer (implementations.kt:57-89). The
     START/LAST sentinels of the reference are unnecessary: the array is
     complete per row.
+
+    Implementation is replace-then-split (insert \\x01 after each
+    terminator run, split on it) rather than a lookbehind split —
+    byte-identical output, but expressible in RE2 engines too (DuckDB
+    oracle compatibility; RE2 has no lookbehind).
     """
-    parts = F.split(text, "(?<=[.!?])\\s+")
+    marked = F.regexp_replace(text, "([.!?])\\s+", "$1\u0001")
+    parts = F.split(marked, "\u0001")
     return F.filter(
         F.transform(parts, lambda s: F.trim(s)), lambda s: F.length(s) > 0
     )

@@ -811,3 +811,26 @@ FROM (
   FROM scored
 ) WHERE rank <= 3 ORDER BY doc_id, rank
 """
+
+ORACLES["sentence_chunks"] = """
+WITH nar AS (
+  SELECT o_orderkey,
+    'Order ' || cast(o_orderkey as varchar) || ' closed. Priced at ' ||
+    cast(cast(o_totalprice as decimal(18,2)) as varchar) ||
+    ' usd! Was it shipped? Confirmed by ' || o_orderstatus || '.' AS txt
+  FROM orders
+), arr AS (
+  SELECT o_orderkey,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(txt, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                     chr(1)),
+        x -> trim(x)),
+      x -> length(x) > 0) AS sents
+  FROM nar
+)
+SELECT o_orderkey,
+  cast(generate_subscripts(sents, 1) - 1 as bigint) AS sentence_index,
+  unnest(sents) AS sentence
+FROM arr ORDER BY o_orderkey, sentence_index
+"""

@@ -993,6 +993,36 @@ def keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sentence_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 sentence chunking (functions/nlp.sentence_chunks, the ssplit
+    analog of StanfordNlpSentenceChunkProducer): split an order
+    narrative into ordered SENTENCE chunks via posexplode — the
+    replace-then-split formulation is byte-identical to a lookbehind
+    split but RE2-expressible, so the oracle is exact."""
+    from intelligencepipeline_spark.functions.nlp import sentence_chunks
+
+    orders = _t(spark, sf_dir, "orders")
+    narrative = F.concat(
+        F.lit("Order "),
+        F.col("o_orderkey").cast("string"),
+        F.lit(" closed. Priced at "),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.lit(" usd! Was it shipped? Confirmed by "),
+        F.col("o_orderstatus"),
+        F.lit("."),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.posexplode(sentence_chunks(narrative)).alias(
+            "sentence_index", "sentence"
+        ),
+    ).select(
+        "o_orderkey",
+        F.col("sentence_index").cast("long").alias("sentence_index"),
+        "sentence",
+    ).orderBy("o_orderkey", "sentence_index")
+
+
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascading multi-resolution rollup (operators/rollup.py): 1min/
     1h/1d aggregates where coarser levels fold the finer level's
@@ -1130,4 +1160,5 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "hypertable_rollup": hypertable_rollup,
     "keyphrases": keyphrases,
+    "sentence_chunks": sentence_chunks_q,
 }
