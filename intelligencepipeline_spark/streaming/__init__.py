@@ -5,12 +5,20 @@ from intelligencepipeline_spark.streaming.pipeline import (
     session_window_reassembly,
     stream_stream_chunk_join,
 )
+from intelligencepipeline_spark.streaming.rollup import (
+    read_rollup,
+    rollup_cascade_sink,
+    streaming_rollup_finest,
+)
 from intelligencepipeline_spark.streaming.stateful import (
     streaming_first_seen,
     streaming_running_stats,
 )
 
 __all__ = [
+    "read_rollup",
+    "rollup_cascade_sink",
+    "streaming_rollup_finest",
     "consolidate_stream",
     "consolidate_to_bucketed_table",
     "consolidate_to_table",

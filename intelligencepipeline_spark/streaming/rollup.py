@@ -1,0 +1,177 @@
+"""Streaming hypertable rollup: continuous multi-resolution aggregates
+over an event stream (the streaming form of operators/rollup.py).
+
+The reference has no time-series surface (SURVEY §2.9); this is the
+scale extension for continuously-arriving telemetry. Two surfaces:
+
+* ``streaming_rollup_finest`` — a watermarked tumbling-window
+  aggregation at the finest resolution, append mode: one row per
+  CLOSED (bucket, key) window. This is the pure-declarative path when
+  only one resolution must be live.
+* ``rollup_cascade_sink``     — foreachBatch sink maintaining ALL
+  resolutions as parquet snapshot tables under ``base_path/<res>/``,
+  partitioned by day for pruning. Each micro-batch is cascaded once
+  (raw → 1min → 1h → 1d partials, reusing the batch cascade in
+  operators/rollup.time_rollup) and each level's partials are merged
+  into its snapshot by re-aggregating ONLY the touched day
+  partitions. Per-batch cost scales with the batch's time spread,
+  never with table size — at 100 TB of history a batch touching one
+  hour rewrites one day-partition per level, not the table.
+
+Exactness: count/sum(decimal)/min/max are associative+commutative, so
+merging partials is lossless (same argument as the batch cascade).
+Replay safety: foreachBatch may redeliver an epoch after a crash;
+merging partials twice WOULD double-count, so the sink records applied
+epoch ids under ``base_path/_epochs`` and skips already-applied ones
+(idempotent upsert per epoch — the parquet stand-in for Delta
+txn-version idempotence; with Delta, use ``txnAppId``/``txnVersion``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.rollup import RESOLUTIONS, time_rollup
+
+_DAY = 86400
+
+
+def streaming_rollup_finest(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolution_seconds: int = 60,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Append-mode finest-level rollup: watermarked tumbling windows,
+    one immutable row per closed (bucket_start, key) window with the
+    same schema as the batch cascade's levels.
+
+    Append mode (not update) because downstream cascade levels want
+    each finer bucket exactly once, when it can no longer change —
+    the watermark is what makes the cascade exact on a stream.
+    """
+    win = F.window(F.col(ts_col), f"{resolution_seconds} seconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total"),
+            F.min(F.col(value_col).cast("decimal(18,2)")).alias("vmin"),
+            F.max(F.col(value_col).cast("decimal(18,2)")).alias("vmax"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("bucket_start"),
+            F.col(key_col),
+            "n",
+            "total",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+def make_cascade_merger(
+    base_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: dict[str, int] | None = None,
+    run_id: str = "run",
+):
+    """The foreachBatch body of ``rollup_cascade_sink``, exposed so the
+    replay-idempotence contract is directly testable. ``run_id``
+    namespaces epoch markers: epoch ids are per-query (they restart at
+    0 with a fresh checkpoint), so markers are keyed (run_id, epoch) —
+    same checkpoint → same run_id → replayed epochs skipped; a new
+    checkpoint gets a new namespace instead of silently dropping its
+    first epochs against stale markers."""
+    resolutions = resolutions or RESOLUTIONS
+    epochs_dir = os.path.join(base_path, "_epochs")
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(epochs_dir, f"{run_id}-{epoch_id}")
+        if os.path.exists(marker):  # replayed epoch — already applied
+            return
+        spark = batch.sparkSession
+        partials = time_rollup(batch, ts_col, key_col, value_col, resolutions)
+        for name, level in partials.items():
+            path = os.path.join(base_path, name)
+            delta = level.withColumn(
+                "day", (F.floor(F.col("bucket_start") / _DAY) * _DAY).cast("long")
+            )
+            if os.path.exists(path):
+                touched = [r[0] for r in delta.select("day").distinct().collect()]
+                existing = spark.read.parquet(path).filter(
+                    F.col("day").isin(touched)
+                )
+                delta = existing.unionByName(delta)
+            merged = (
+                delta.groupBy("day", "bucket_start", key_col)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total").alias("total"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                )
+                # lineage truncation: we overwrite partitions we read
+                .localCheckpoint(eager=True)
+            )
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .parquet(path)
+            )
+        os.makedirs(epochs_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
+
+    return merge_batch
+
+
+def rollup_cascade_sink(
+    events: DataFrame,
+    base_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: dict[str, int] | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain the full rollup cascade as queryable parquet tables,
+    one directory per resolution, each partitioned by ``day`` (epoch
+    seconds at midnight) so readers and the merge both prune.
+
+    Per micro-batch: cascade the batch once via the batch operator
+    (raw events are touched exactly once), then for each level merge
+    its partials into ``base_path/<res>/`` — union with the existing
+    rows of ONLY the touched days, re-aggregate, dynamic-partition
+    overwrite of those days.
+    """
+    import hashlib
+
+    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_rollup_ckpt_")
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:10]
+    merge_batch = make_cascade_merger(
+        base_path, ts_col, key_col, value_col, resolutions, run_id
+    )
+    writer = events.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark, base_path: str, resolution: str) -> DataFrame:
+    """Read one resolution of the cascade as a DataFrame (day-partition
+    pruning applies to any ``day``/``bucket_start`` filter)."""
+    return spark.read.parquet(os.path.join(base_path, resolution)).drop("day")

@@ -1,0 +1,134 @@
+"""Streaming hypertable rollup: cascade sink convergence with the
+batch cascade, replay idempotence, and append-mode finest-level
+windows (streaming/rollup.py)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.rollup import time_rollup
+from intelligencepipeline_spark.streaming.rollup import (
+    make_cascade_merger,
+    read_rollup,
+    rollup_cascade_sink,
+    streaming_rollup_finest,
+)
+
+RES = {"1min": 60, "1h": 3600}
+
+
+def events_df(spark, offset=0):
+    rows = [
+        (f"2024-01-0{1 + (i + offset) % 2} 00:{i % 60:02d}:{(7 * i) % 60:02d}",
+         f"type_{i % 3}", float(i + offset))
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.fixture()
+def tmpdirs():
+    dirs = [tempfile.mkdtemp(prefix=f"ip_roll_{k}_") for k in "abc"]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def canon(df):
+    return sorted(
+        (r["bucket_start"], r["event_type"], r["n"],
+         float(r["total"]), float(r["vmin"]), float(r["vmax"]))
+        for r in df.collect()
+    )
+
+
+def test_cascade_sink_matches_batch_cascade(spark, tmpdirs):
+    src, base, ckpt = tmpdirs
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    events_df(spark, 0).coalesce(1).write.mode("append").parquet(src)
+    events_df(spark, 100).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = rollup_cascade_sink(
+        stream, base, resolutions=RES, checkpoint=os.path.join(ckpt, "c1")
+    )
+    assert q.awaitTermination(120)
+
+    full = events_df(spark, 0).unionByName(events_df(spark, 100))
+    batch_levels = time_rollup(full, resolutions=RES)
+    for name in RES:
+        got = read_rollup(spark, base, name)
+        assert canon(got) == canon(batch_levels[name])
+
+
+def test_cascade_sink_replayed_epoch_is_noop(spark, tmpdirs):
+    _, base, _ = tmpdirs
+    merge = make_cascade_merger(base, resolutions=RES, run_id="t")
+    batch = events_df(spark, 0)
+    merge(batch, 0)
+    once = canon(read_rollup(spark, base, "1min"))
+    merge(batch, 0)  # crash-replay of the same epoch
+    assert canon(read_rollup(spark, base, "1min")) == once
+    merge(batch, 1)  # a genuinely new epoch does apply
+    twice = canon(read_rollup(spark, base, "1min"))
+    assert [t[2] for t in twice] == [2 * t[2] for t in once]
+
+
+def test_fresh_checkpoint_gets_fresh_marker_namespace(spark, tmpdirs):
+    _, base, _ = tmpdirs
+    batch = events_df(spark, 0)
+    make_cascade_merger(base, resolutions=RES, run_id="r1")(batch, 0)
+    once = canon(read_rollup(spark, base, "1min"))
+    # a different run (new checkpoint) starting at epoch 0 must NOT be
+    # silently dropped against run r1's markers
+    make_cascade_merger(base, resolutions=RES, run_id="r2")(batch, 0)
+    twice = canon(read_rollup(spark, base, "1min"))
+    assert [t[2] for t in twice] == [2 * t[2] for t in once]
+
+
+def test_streaming_finest_append_mode_closed_windows(spark, tmpdirs):
+    src, _, ckpt = tmpdirs
+    early = events_df(spark, 0)
+    # sentinel far in the future pushes the watermark past every early
+    # window so append mode emits them before availableNow terminates
+    late = spark.createDataFrame(
+        [("2024-06-01 00:00:00", "type_0", 0.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    early.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_rollup_finest(stream, resolution_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("finest_roll")
+        .option("checkpointLocation", os.path.join(ckpt, "c2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("select * from finest_roll")
+    expected = time_rollup(early, resolutions={"1min": 60})["1min"]
+    # every early window is closed by the sentinel; the sentinel's own
+    # window may or may not have been emitted — exclude it
+    sentinel_epoch = spark.sql(
+        "select unix_timestamp(timestamp'2024-06-01 00:00:00')"
+    ).collect()[0][0]
+    sentinel_bucket = sentinel_epoch - sentinel_epoch % 60
+    got = got.filter(F.col("bucket_start") < sentinel_bucket)
+    assert canon(got) == canon(expected)
