@@ -16,6 +16,17 @@ from intelligencepipeline_spark.functions.nlp import (
     pos_tags_light,
 )
 from intelligencepipeline_spark.functions.udf_utils import fault_tolerant_pandas_udf
+from intelligencepipeline_spark.functions.models import (
+    detect_language_any,
+    extract_text_any,
+    named_entities_any,
+    embed_token_counts,
+    embed_text_any,
+    LANG_BACKEND,
+    NER_BACKEND,
+    TEXT_EXTRACT_BACKEND,
+    EMBED_BACKEND,
+)
 
 __all__ = [
     "tokens", "token_count", "language_scores", "detect_language",
@@ -24,4 +35,7 @@ __all__ = [
     "word_chunks", "sentence_chunks", "window_chunks",
     "named_entities", "pos_tags_light",
     "fault_tolerant_pandas_udf",
+    "detect_language_any", "extract_text_any", "named_entities_any",
+    "embed_token_counts", "embed_text_any",
+    "LANG_BACKEND", "NER_BACKEND", "TEXT_EXTRACT_BACKEND", "EMBED_BACKEND",
 ]

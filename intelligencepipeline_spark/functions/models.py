@@ -1,0 +1,211 @@
+"""Pluggable real-model backends behind import-try.
+
+The reference's enrichment producers wrap real models/services: Tika
+parse + language-ID (F2/F3, participants/implementations.kt:210-261),
+CoreNLP NER (F6, implementations.kt:92-146), cloud NLP entity/keyphrase
+APIs (F8/F9, implementations.kt:264-332). This container is hermetic —
+none of those libraries are installed — so each hook here probes for
+the real library at import time and otherwise falls back to the
+engine's deterministic expression/UDF stand-in. The Spark-side
+plumbing (pandas-UDF signature, Arrow batch shape, return schema) is
+identical on both paths, so swapping in the real model on a production
+cluster changes no query code.
+
+Backend choices are recorded in module constants (``LANG_BACKEND``
+etc.) so callers and tests can see which path is live.
+
+Scale notes:
+* Every real-model path is an Arrow-batched pandas UDF — model
+  inference amortizes per ~10k-row batch, never per row.
+* Models are loaded once per executor (lazy singleton cached on the
+  loader function), not per batch — at 1000 executors that is 1000
+  loads total, not one per task.
+* The hashed bag-of-tokens embedding fallback is integer-exact, so it
+  carries a bit-exact DuckDB oracle (md5-prefix bucketing — same
+  recipe as functions/text.gram_hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.nlp import named_entities
+from intelligencepipeline_spark.functions.text import detect_language
+from intelligencepipeline_spark.functions.udf_utils import (
+    fault_tolerant_pandas_udf,
+)
+
+
+def _available(mod: str) -> bool:
+    try:
+        return importlib.util.find_spec(mod) is not None
+    except (ImportError, ValueError):
+        return False
+
+
+LANG_BACKEND = "langdetect" if _available("langdetect") else "heuristic"
+NER_BACKEND = "spacy" if _available("spacy") else "regex"
+TEXT_EXTRACT_BACKEND = "tika" if _available("tika") else "decode"
+EMBED_BACKEND = (
+    "sentence_transformers"
+    if _available("sentence_transformers")
+    else "hashed_bow"
+)
+
+
+def _cached(loader):
+    """Once-per-executor lazy model load (cached on the function)."""
+    def get():
+        if not hasattr(get, "_m"):
+            get._m = loader()
+        return get._m
+
+    return get
+
+
+# --------------------------------------------------------------- F2 lang
+
+def detect_language_any(text: Column) -> Column:
+    """Language-ID with the best available backend: ``langdetect`` when
+    importable, else the stopword-heuristic expression (JVM-side).
+    Output: 2-letter code column either way."""
+    if LANG_BACKEND == "langdetect":
+
+        @fault_tolerant_pandas_udf("string")
+        def _ld(v):
+            import langdetect
+
+            return langdetect.detect(v) if v else None
+
+        return _ld(text)
+    return detect_language(text)
+
+
+# --------------------------------------------------------------- F3 parse
+
+def extract_text_any(content: Column) -> Column:
+    """Plain-text rendition of original bytes (TikaTxtDocument-
+    RepresentationProducer, implementations.kt:181-187): Tika when
+    importable, else a deterministic utf-8 decode (replacement chars,
+    control bytes stripped) — enough to exercise the binary→text
+    column plumbing hermetically."""
+    if TEXT_EXTRACT_BACKEND == "tika":
+
+        @fault_tolerant_pandas_udf("string")
+        def _tk(v):
+            from tika import parser
+
+            return (parser.from_buffer(bytes(v)).get("content") or "").strip()
+
+        return _tk(content)
+
+    @fault_tolerant_pandas_udf("string")
+    def _decode(v):
+        if v is None:
+            return None
+        s = bytes(v).decode("utf-8", "replace")
+        return re.sub(r"[\x00-\x08\x0b-\x1f]", "", s)
+
+    return _decode(content)
+
+
+# --------------------------------------------------------------- F6/F8 NER
+
+_NER_SCHEMA = "array<struct<type:string,value:string>>"
+
+
+def named_entities_any(text: Column) -> Column:
+    """Typed entities with the best available backend: spaCy NER when
+    importable (entity labels mapped onto the reference's EntityType
+    enum, analytics.kt:5-9), else the deterministic regex NER-light
+    expression."""
+    if NER_BACKEND == "spacy":
+        _load = _cached(lambda: __import__("spacy").load("en_core_web_sm"))
+        label_map = {
+            "PERSON": "PERSON", "GPE": "LOCATION", "LOC": "LOCATION",
+            "DATE": "DATE", "TIME": "TIME", "MONEY": "SUM",
+        }
+
+        @fault_tolerant_pandas_udf(_NER_SCHEMA)
+        def _ner(v):
+            if not v:
+                return []
+            doc = _load()(v)
+            return [
+                {"type": label_map.get(e.label_, "GENERIC"), "value": e.text}
+                for e in doc.ents
+            ]
+
+        return _ner(text)
+    return named_entities(text)
+
+
+# --------------------------------------------------------------- embeddings
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _bow_buckets(v: str, dim: int) -> list[int]:
+    counts = [0] * dim
+    if v:
+        for tok in _TOKEN_RE.split(v.lower()):
+            if tok:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+                counts[b] += 1
+    return counts
+
+
+def embed_token_counts(text: Column, dim: int = 32) -> Column:
+    """Hashed bag-of-tokens 'embedding' as INTEGER bucket counts
+    (array<long>, md5-prefix bucketing): the deterministic, oracle-
+    exact stand-in for a text-embedding model, and a real feature
+    vector in its own right (hashing trick a la scikit-learn's
+    HashingVectorizer)."""
+
+    def op(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            yield pd.Series(
+                [_bow_buckets(v, dim) for v in series], dtype="object"
+            )
+
+    return F.pandas_udf("array<long>")(op)(text)
+
+
+def embed_text_any(text: Column, dim: int = 32) -> Column:
+    """Dense embedding (array<double>, unit-L2) with the best available
+    backend: sentence-transformers when importable (``dim`` ignored —
+    the model decides), else the L2-normalized hashed bag-of-tokens."""
+    if EMBED_BACKEND == "sentence_transformers":
+        _load = _cached(
+            lambda: __import__("sentence_transformers").SentenceTransformer(
+                "all-MiniLM-L6-v2"
+            )
+        )
+
+        def op(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for series in it:
+                vecs = _load().encode(
+                    ["" if v is None else v for v in series],
+                    normalize_embeddings=True,
+                )
+                yield pd.Series([list(map(float, r)) for r in vecs])
+
+        return F.pandas_udf("array<double>")(op)(text)
+
+    def op(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in it:
+            out = []
+            for v in series:
+                counts = _bow_buckets(v, dim)
+                norm = sum(c * c for c in counts) ** 0.5 or 1.0
+                out.append([c / norm for c in counts])
+            yield pd.Series(out, dtype="object")
+
+    return F.pandas_udf("array<double>")(op)(text)

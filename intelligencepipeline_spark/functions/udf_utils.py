@@ -9,7 +9,6 @@ the non-result. Errors are counted per batch and logged, never raised.
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Callable, Iterator
 
@@ -30,7 +29,10 @@ def fault_tolerant_pandas_udf(return_type: str):
     """
 
     def deco(fn: Callable):
-        @functools.wraps(fn)
+        # NOT functools.wraps: it would copy fn's (element-wise, empty)
+        # __annotations__ onto the wrapper, and PySpark infers the UDF
+        # eval type from those hints — the Iterator[pd.Series] signature
+        # below must stay visible for the iterator form to be detected.
         def batched(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
             errors = 0
             for series in it:
@@ -45,6 +47,7 @@ def fault_tolerant_pandas_udf(return_type: str):
             if errors:
                 log.warning("%s: %d rows failed (nulled)", fn.__name__, errors)
 
+        batched.__name__ = getattr(fn, "__name__", "fault_tolerant_udf")
         return F.pandas_udf(return_type)(batched)
 
     return deco

@@ -834,3 +834,16 @@ SELECT o_orderkey,
   unnest(sents) AS sentence
 FROM arr ORDER BY o_orderkey, sentence_index
 """
+
+ORACLES["hashed_embedding"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_NTOKS}) AS g FROM documents
+), b AS (
+  SELECT doc_id, {_HEX2INT} % 32 AS bucket, count(*) AS c
+  FROM tok GROUP BY 1, 2
+)
+SELECT cast(bucket as int) AS bucket,
+  cast(sum(c) as bigint) AS total_tokens,
+  cast(count(*) as bigint) AS n_docs
+FROM b GROUP BY bucket ORDER BY bucket
+"""

@@ -39,6 +39,7 @@ from intelligencepipeline_spark.functions.nlp import (
     window_chunks,
     word_chunks,
 )
+from intelligencepipeline_spark.functions.models import embed_token_counts
 from intelligencepipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
@@ -1108,6 +1109,33 @@ def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-tokens embedding over the corpus (F8-style text
+    embedding, hermetic backend — functions/models.embed_token_counts,
+    the hashing-trick stand-in for a real sentence encoder; reference
+    cloud-NLP producers at participants/implementations.kt:264-332).
+
+    Per-doc 32-bucket md5 token-count vectors (Arrow-batched pandas
+    UDF), verified corpus-wide: posexplode -> per-bucket total token
+    mass + document frequency. The UDF is the hot path; the agg after
+    it is a 32-group shuffle (negligible). At 100 TB the embed stage is
+    embarrassingly parallel — no shuffle until the 32-row reduce."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", embed_token_counts(F.col("text"), 32).alias("emb")
+    )
+    return (
+        emb.select(F.posexplode("emb").alias("bucket", "c"))
+        .where(F.col("c") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -1161,4 +1189,5 @@ QUERIES = {
     "hypertable_rollup": hypertable_rollup,
     "keyphrases": keyphrases,
     "sentence_chunks": sentence_chunks_q,
+    "hashed_embedding": hashed_embedding,
 }

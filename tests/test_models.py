@@ -1,0 +1,107 @@
+"""functions/models: pluggable real-model backends behind import-try.
+
+The container is hermetic (no langdetect/spacy/tika/sentence-
+transformers), so these tests exercise the fallback paths — but the
+assertions are written against *behavior*, so they keep passing if a
+real backend is present on a production cluster.
+"""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions import models
+from intelligencepipeline_spark.functions.text import detect_language
+
+
+def _py_bow(text: str, dim: int = 32) -> list[int]:
+    counts = [0] * dim
+    for tok in re.split(r"[^a-z0-9]+", text.lower()):
+        if tok:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim
+            counts[b] += 1
+    return counts
+
+
+def test_backend_constants_resolved():
+    assert models.LANG_BACKEND in {"langdetect", "heuristic"}
+    assert models.NER_BACKEND in {"spacy", "regex"}
+    assert models.TEXT_EXTRACT_BACKEND in {"tika", "decode"}
+    assert models.EMBED_BACKEND in {"sentence_transformers", "hashed_bow"}
+
+
+def test_embed_token_counts_matches_reference_python(spark):
+    texts = [
+        "The quick brown fox, the quick dog!",
+        "",
+        None,
+        "a b c a b a",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.emb
+        for r in df.select(
+            models.embed_token_counts(F.col("text"), 32).alias("emb")
+        ).collect()
+    ]
+    for t, g in zip(texts, got):
+        assert list(g) == _py_bow(t or "", 32)
+    # total mass == token count
+    assert sum(got[0]) == 7
+
+
+def test_embed_text_any_unit_norm(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma alpha",), ("",)], "text string"
+    )
+    rows = df.select(
+        models.embed_text_any(F.col("text"), 16).alias("v")
+    ).collect()
+    norm = math.sqrt(sum(x * x for x in rows[0].v))
+    assert norm == pytest.approx(1.0, abs=1e-9)
+    # empty text -> zero vector (norm guard avoids div-by-zero)
+    assert all(x == 0.0 for x in rows[1].v)
+
+
+def test_extract_text_any_decodes_and_strips_controls(spark):
+    payload = "hello\x07world\nok".encode()
+    df = spark.createDataFrame([(bytearray(payload),)], "content binary")
+    out = df.select(
+        models.extract_text_any(F.col("content")).alias("t")
+    ).collect()[0].t
+    if models.TEXT_EXTRACT_BACKEND == "decode":
+        assert out == "helloworld\nok"
+    else:
+        assert "hello" in out and "world" in out
+
+
+def test_detect_language_any_agrees_with_heuristic_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog were on the table with a hat",)],
+        "text string",
+    )
+    got = df.select(
+        models.detect_language_any(F.col("text")).alias("a"),
+        detect_language(F.col("text")).alias("b"),
+    ).collect()[0]
+    assert got.a == "en"
+    if models.LANG_BACKEND == "heuristic":
+        assert got.a == got.b
+
+
+def test_named_entities_any_schema_and_values(spark):
+    df = spark.createDataFrame(
+        [("Alice Smith paid 42.50 usd on 2024-01-02.",)], "text string"
+    )
+    ents = df.select(
+        models.named_entities_any(F.col("text")).alias("e")
+    ).collect()[0].e
+    assert ents, "expected at least one entity"
+    types = {e.type for e in ents}
+    assert types <= {
+        "PERSON", "LOCATION", "DATE", "TIME", "SUM", "GENERIC",
+        "ORGANIZATION", "EMAIL", "URL", "NUMBER",
+    }
