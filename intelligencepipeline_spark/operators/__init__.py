@@ -17,6 +17,11 @@ from intelligencepipeline_spark.operators.ivf import (
     ivf_topk,
     kmeans_fit,
 )
+from intelligencepipeline_spark.operators.merge import (
+    latest_per_key,
+    merge_upsert,
+    read_merged,
+)
 
 __all__ = [
     "seq_append", "seq_insert", "seq_update", "seq_merge", "seq_remove",
@@ -24,4 +29,5 @@ __all__ = [
     "asof_join", "rollup_stack", "time_rollup",
     "repartition_for_join", "salted_agg",
     "ivf_assign", "ivf_topk", "kmeans_fit",
+    "latest_per_key", "merge_upsert", "read_merged",
 ]

@@ -1,0 +1,160 @@
+"""Generic keyed MERGE / upsert into a table path.
+
+The reference's consolidation state store is a Kafka-Streams KTable
+with RocksDB changelog (KafkaIntelligencePipeline.kt:364-382); its
+"merge" is fold-specific. This operator is the general table-level
+counterpart (SURVEY §2.3 A1's "preferred: foreachBatch + Delta MERGE
+INTO" mapping): upsert rows by key into a snapshot table, with
+optional CDC-style deletes.
+
+Backend selection, in order:
+
+* **Delta Lake** when ``delta`` is importable and the target is a
+  Delta table — a real ``MERGE INTO`` (ACID, no read-modify-write).
+* **Bucketed parquet** otherwise (this container): the table lives at
+  ``path/bucket=<pmod(xxhash64(key), n_buckets)>/``; a merge reads
+  ONLY the buckets touched by the update batch (partition pruning),
+  anti-joins the stale rows out, unions the new rows in, and rewrites
+  just those directories via dynamic partition overwrite.
+
+Scale notes (100 TB target):
+
+* Per-merge cost is O(touched buckets), not O(table). Size
+  ``n_buckets`` so a bucket is a few GB (100 TB → ~64k buckets).
+* The anti-join is broadcast-able whenever the update batch is small
+  (the common CDC case) — Spark picks that automatically since the
+  update side is the build side.
+* The bucket column is derived from ``xxhash64(key)`` so string keys
+  and skewed numeric keys spread evenly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _delta_table(spark, path: str):
+    """DeltaTable handle when delta is importable AND the path is a
+    Delta table, else None (import-try — hermetic container has none)."""
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError:
+        return None
+    try:
+        if DeltaTable.isDeltaTable(spark, path):
+            return DeltaTable.forPath(spark, path)
+    except Exception:
+        pass
+    return None
+
+
+def latest_per_key(updates: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Collapse an update batch to one row per key — highest
+    ``order_col`` wins (CDC compaction; ties broken arbitrarily but
+    deterministically by the window sort)."""
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    updates: DataFrame,
+    table_path: str,
+    key: str = "doc_id",
+    order_col: str | None = None,
+    delete_col: str | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """MERGE ``updates`` into the table at ``table_path`` by ``key``.
+
+    * matched rows are replaced by the update row (last-wins when
+      ``order_col`` is given — the batch is compacted first);
+    * unmatched rows are inserted;
+    * rows whose ``delete_col`` is true are deleted from the target
+      (and never inserted) — CDC tombstones.
+
+    Works as a batch call or inside ``writeStream.foreachBatch`` for
+    streaming upserts. Idempotent for a fixed batch: re-running the
+    same merge converges to the same table.
+    """
+    spark = updates.sparkSession
+    if order_col is not None:
+        updates = latest_per_key(updates, key, order_col)
+
+    dt = _delta_table(spark, table_path)
+    if dt is not None:
+        cond = f"t.{key} = s.{key}"
+        m = dt.alias("t").merge(updates.alias("s"), cond)
+        if delete_col is not None:
+            m = m.whenMatchedDelete(condition=f"s.{delete_col}")
+            m = m.whenMatchedUpdateAll(condition=f"NOT s.{delete_col}")
+            m = m.whenNotMatchedInsertAll(condition=f"NOT s.{delete_col}")
+        else:
+            m = m.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        m.execute()
+        return
+
+    # ---- bucketed-parquet fallback -------------------------------
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    if delete_col is not None:
+        live = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+        live = live.drop(delete_col)
+        dead_or_live_keys = updates.select(key)
+    else:
+        live = updates
+        dead_or_live_keys = updates.select(key)
+
+    if not os.path.exists(table_path):
+        out = live.withColumn("bucket", bucket)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(table_path)
+        return
+
+    touched = [
+        r[0]
+        for r in updates.select(bucket.alias("b")).distinct().collect()
+    ]
+    existing = spark.read.parquet(table_path).filter(
+        F.col("bucket").isin(touched)
+    )
+    kept = existing.drop("bucket").join(
+        dead_or_live_keys, on=key, how="left_anti"
+    )
+    merged = kept.unionByName(live).withColumn("bucket", bucket)
+    # Materialize before overwriting partitions we just read from
+    # (lineage truncation; Delta MERGE removes the need for this).
+    merged = merged.localCheckpoint(eager=True)
+    # Dynamic partition overwrite only rewrites partitions PRESENT in
+    # the output — a touched bucket whose rows were all deleted would
+    # keep its stale directory. Clear those explicitly.
+    out_buckets = {
+        r[0] for r in merged.select("bucket").distinct().collect()
+    }
+    for b in set(touched) - out_buckets:
+        shutil.rmtree(
+            os.path.join(table_path, f"bucket={b}"), ignore_errors=True
+        )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_path)
+    )
+
+
+def read_merged(spark, table_path: str) -> DataFrame:
+    """Snapshot read of a merge_upsert target (drops the internal
+    bucket column; Delta tables read transparently the same way)."""
+    dt = _delta_table(spark, table_path)
+    if dt is not None:
+        return dt.toDF()
+    df = spark.read.parquet(table_path)
+    return df.drop("bucket") if "bucket" in df.columns else df

@@ -1,0 +1,127 @@
+"""operators/merge: generic keyed MERGE/upsert (bucketed-parquet path;
+the Delta path activates identically when delta is on the classpath)."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.merge import (
+    latest_per_key,
+    merge_upsert,
+    read_merged,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="ip_merge_")
+    yield os.path.join(d, "t")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _snap(spark, path):
+    return {
+        r.k: (r.v, r.ts)
+        for r in read_merged(spark, path).collect()
+    }
+
+
+def test_create_then_upsert_and_insert(spark, tdir):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k")
+    upd = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], "k long, v string, ts long"
+    )
+    merge_upsert(upd, tdir, key="k")
+    assert _snap(spark, tdir) == {
+        1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 20)
+    }
+
+
+def test_delete_tombstones(spark, tdir):
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k")
+    upd = spark.createDataFrame(
+        [(1, None, 20, True), (3, "c", 20, False), (9, "x", 20, True)],
+        "k long, v string, ts long, deleted boolean",
+    )
+    merge_upsert(upd, tdir, key="k", delete_col="deleted")
+    # 1 deleted, 2 untouched, 3 inserted, 9's tombstone for a missing
+    # key is a no-op
+    assert _snap(spark, tdir) == {2: ("b", 10), 3: ("c", 20)}
+
+
+def test_last_wins_compaction_within_batch(spark, tdir):
+    upd = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 30), (1, "mid", 20)],
+        "k long, v string, ts long",
+    )
+    merge_upsert(upd, tdir, key="k", order_col="ts")
+    assert _snap(spark, tdir) == {1: ("new", 30)}
+
+
+def test_idempotent_re_merge(spark, tdir):
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k")
+    upd = spark.createDataFrame(
+        [(5, "V5", 2), (200, "V200", 2)], "k long, v string, ts long"
+    )
+    merge_upsert(upd, tdir, key="k")
+    first = _snap(spark, tdir)
+    merge_upsert(upd, tdir, key="k")
+    assert _snap(spark, tdir) == first
+    assert first[5] == ("V5", 2) and first[200] == ("V200", 2)
+    assert len(first) == 101
+
+
+def test_only_touched_buckets_rewritten(spark, tdir):
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(200)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k", n_buckets=16)
+    before = {
+        d: os.path.getmtime(os.path.join(tdir, d))
+        for d in os.listdir(tdir)
+        if d.startswith("bucket=")
+    }
+    assert len(before) > 4, "expected many bucket dirs"
+    upd = spark.createDataFrame([(7, "V7", 2)], "k long, v string, ts long")
+    bucket_of_7 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(7).cast("long")), F.lit(16)).alias("b")
+    ).collect()[0].b
+    merge_upsert(upd, tdir, key="k", n_buckets=16)
+    after = {
+        d: os.path.getmtime(os.path.join(tdir, d))
+        for d in os.listdir(tdir)
+        if d.startswith("bucket=")
+    }
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert changed == {f"bucket={bucket_of_7}"}
+    assert _snap(spark, tdir)[7] == ("V7", 2)
+
+
+def test_string_keys(spark, tdir):
+    base = spark.createDataFrame(
+        [("alpha", "a", 1), ("beta", "b", 1)], "k string, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k")
+    upd = spark.createDataFrame([("beta", "B", 2)], "k string, v string, ts long")
+    merge_upsert(upd, tdir, key="k")
+    assert _snap(spark, tdir) == {"alpha": ("a", 1), "beta": ("B", 2)}
+
+
+def test_latest_per_key_unit(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (2, "z", 1)], "k long, v string, ts long"
+    )
+    got = {r.k: r.v for r in latest_per_key(df, "k", "ts").collect()}
+    assert got == {1: "y", 2: "z"}
