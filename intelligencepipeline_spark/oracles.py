@@ -847,3 +847,48 @@ SELECT cast(bucket as int) AS bucket,
   cast(count(*) as bigint) AS n_docs
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+ORACLES["q17_small_quantity_revenue"] = """
+WITH bp AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 15
+), pp AS (
+  SELECT l_partkey, sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+    count(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT cast(sum(cast(l.l_extendedprice as decimal(18,2))) as double) / 7.0
+    AS avg_yearly,
+  count(*) AS n_small
+FROM lineitem l
+JOIN bp ON l.l_partkey = bp.p_partkey
+JOIN pp ON l.l_partkey = pp.l_partkey
+WHERE cast(l.l_quantity as decimal(18,2)) * 5 * pp.n_li < pp.sum_qty
+"""
+
+ORACLES["full_outer_activity"] = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, count(*) AS n_purchases, cast(sum(value) as double) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+  coalesce(n_clicks, 0) AS n_clicks,
+  coalesce(n_purchases, 0) AS n_purchases,
+  coalesce(pv, 0.0) AS purchase_value
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+ORACLES["top_value_suppliers"] = """
+WITH per AS (
+  SELECT l_suppkey,
+    sum(cast(l_extendedprice as decimal(18,2)) *
+        (cast(1 as decimal(3,2)) - cast(l_discount as decimal(18,2)))) AS val
+  FROM lineitem GROUP BY l_suppkey
+), t AS (SELECT sum(val) AS tot FROM per)
+SELECT l_suppkey, cast(val as double) AS supp_value
+FROM per, t WHERE val * 100 > tot
+ORDER BY l_suppkey
+"""

@@ -1136,6 +1136,102 @@ def hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity), decorrelated into a join against a pre-aggregate —
+    exactly what Catalyst does to the subquery form, written explicitly
+    so the plan is a broadcast of the filtered part dim + one shuffle
+    on l_partkey.
+
+    The 0.2*avg threshold is reformulated integer-exact:
+    qty < 0.2 * sum/n  <=>  5 * qty * n < sum  (decimal arithmetic,
+    no division — keeps the DuckDB oracle bit-exact at the boundary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand_parts = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(
+            F.broadcast(brand_parts),
+            li["l_partkey"] == brand_parts["p_partkey"],
+        )
+        .join(per_part, "l_partkey")
+        .filter(
+            _dec("l_quantity") * F.lit(5) * F.col("n_li")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-user aggregates (clickers vs
+    purchasers) — users missing on either side survive with zero
+    counts. Both sides pre-aggregate before the join, so the shuffle
+    carries one row per user per side, not raw events; AQE picks the
+    join strategy from the post-agg sizes."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").cast("double").alias("purchase_value"),
+        )
+    )
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def top_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: scalar subquery — keep suppliers whose revenue
+    exceeds 1% of GLOBAL revenue. The global total is a 1-row aggregate
+    cross-joined (broadcast) onto the per-supplier rollup: Spark's
+    idiomatic scalar-subquery plan, one shuffle + one broadcast.
+    Threshold compares value*100 > total in exact decimal (no
+    division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("val"))
+    # Global total via an unpartitioned window over the POST-AGG rollup
+    # (one row per supplier — tiny), not a second scan of lineitem: the
+    # fact table is read once, and the single-partition window moves
+    # only #suppliers rows.
+    tot = F.sum("val").over(Window.partitionBy())
+    return (
+        per.withColumn("tot", tot)
+        .filter(F.col("val") * F.lit(100) > F.col("tot"))
+        .select(
+            "l_suppkey", F.col("val").cast("double").alias("supp_value")
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -1190,4 +1286,7 @@ QUERIES = {
     "keyphrases": keyphrases,
     "sentence_chunks": sentence_chunks_q,
     "hashed_embedding": hashed_embedding,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "full_outer_activity": full_outer_activity,
+    "top_value_suppliers": top_value_suppliers,
 }

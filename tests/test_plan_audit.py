@@ -8,9 +8,11 @@ from intelligencepipeline_spark.plans.audit import audit
 from intelligencepipeline_spark.queries import (
     q1_pricing_summary,
     q3_top_revenue,
+    q17_small_quantity_revenue,
     similarity_topk,
     tfidf_top_terms,
     top_terms,
+    top_value_suppliers,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -56,6 +58,26 @@ def test_tfidf_broadcasts_vocab(spark):
 def test_similarity_scan_prunes_columns(spark):
     a = audit(similarity_topk(spark, SF))
     assert a.reads_only("vec_id", "embedding"), a.read_schemas
+
+
+def test_q17_broadcasts_dim_no_cartesian(spark):
+    a = audit(q17_small_quantity_revenue(spark, SF))
+    # the filtered part dim is explicitly broadcast; the per-part
+    # pre-aggregate join shuffles on l_partkey only
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert not a.cartesian
+    # p_brand/p_size predicates reach the part scan
+    assert a.has_pushed_filter("p_brand"), a.pushed_filters
+
+
+def test_scalar_subquery_single_fact_scan(spark):
+    a = audit(top_value_suppliers(spark, SF))
+    # global-total-as-window, not a self-join of two lineitem aggs:
+    # lineitem is scanned ONCE, no join machinery at all
+    assert a.sortmerge_joins == 0 and a.broadcast_joins == 0, a.plan[:2000]
+    assert a.plan.count("lineitem.parquet") <= 1, "fact scanned twice"
+    # suppkey agg + single-partition window + result sort
+    assert a.shuffle_exchanges <= 3, a.plan[:2000]
 
 
 def test_filter_pushdown_on_direct_scan(spark):
