@@ -892,3 +892,14 @@ SELECT l_suppkey, cast(val as double) AS supp_value
 FROM per, t WHERE val * 100 > tot
 ORDER BY l_suppkey
 """
+
+ORACLES["text_extraction"] = r"""
+WITH r AS (
+  SELECT doc_id,
+    regexp_replace(text, '[\x00-\x08\x0b-\x1f]', '', 'g') AS rend
+  FROM documents
+)
+SELECT doc_id, cast(length(rend) as int) AS n_chars_extracted,
+  md5(rend) AS rendition_digest
+FROM r ORDER BY doc_id
+"""

@@ -39,7 +39,10 @@ from intelligencepipeline_spark.functions.nlp import (
     window_chunks,
     word_chunks,
 )
-from intelligencepipeline_spark.functions.models import embed_token_counts
+from intelligencepipeline_spark.functions.models import (
+    embed_token_counts,
+    extract_text_any,
+)
 from intelligencepipeline_spark.operators.dedup import (
     exact_duplicates,
     jaccard_pairs,
@@ -1232,6 +1235,26 @@ def top_value_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 document-representation path: original bytes -> plain-text
+    rendition AS A COLUMN (reference writes sidecar .txt files,
+    participants/implementations.kt:181-187; SURVEY S9 maps renditions
+    to columns). Here the binary payload is the utf-8 text itself, so
+    the hermetic decode backend (functions/models.extract_text_any)
+    round-trips it minus control bytes — verified by digest so the
+    whole binary->UDF->string pipeline is oracle-exact.
+
+    Scale: per-row Arrow-batched UDF, no shuffle at all until the
+    final order — the rendition stage at 100 TB is a pure map."""
+    docs = _t(spark, sf_dir, "documents")
+    extracted = extract_text_any(F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        F.length(extracted).alias("n_chars_extracted"),
+        F.md5(extracted).alias("rendition_digest"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -1289,4 +1312,5 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "full_outer_activity": full_outer_activity,
     "top_value_suppliers": top_value_suppliers,
+    "text_extraction": text_extraction,
 }

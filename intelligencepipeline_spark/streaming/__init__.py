@@ -10,6 +10,10 @@ from intelligencepipeline_spark.streaming.rollup import (
     rollup_cascade_sink,
     streaming_rollup_finest,
 )
+from intelligencepipeline_spark.streaming.dedup import (
+    streaming_dedup_content,
+    streaming_dedup_exact,
+)
 from intelligencepipeline_spark.streaming.stateful import (
     streaming_first_seen,
     streaming_running_stats,
@@ -24,6 +28,8 @@ __all__ = [
     "consolidate_to_table",
     "session_window_reassembly",
     "stream_stream_chunk_join",
+    "streaming_dedup_content",
+    "streaming_dedup_exact",
     "streaming_first_seen",
     "streaming_running_stats",
 ]

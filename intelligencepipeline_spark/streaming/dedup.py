@@ -1,0 +1,60 @@
+"""Streaming deduplication with watermark-bounded state.
+
+The reference has no streaming dedup (its consolidation fold is
+idempotent per key, which dedupes implicitly at the record level —
+KafkaIntelligencePipeline.kt:364-382). A training-data ingest pipeline
+needs the explicit operator: drop re-delivered or re-crawled documents
+as they stream in, with state that does NOT grow forever.
+
+Both variants use ``dropDuplicatesWithinWatermark``: state for a key
+is dropped once the watermark passes it, so state size is bounded by
+(arrival rate x watermark delay), not by stream history. A plain
+``dropDuplicates`` on an unbounded stream is an OOM at 100 TB — the
+watermark bound is the scale-critical difference.
+
+At-least-once sources (Kafka redelivery, file-source re-lists) are the
+intended input; the operator makes downstream effectively-once per key
+within the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import fingerprint
+
+
+def streaming_dedup_exact(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Keep the first arrival per key; duplicates arriving within
+    ``delay`` of the watermark are dropped, and per-key state is
+    reclaimed after the watermark passes."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_dedup_content(
+    docs: DataFrame,
+    content: Column | str = "text",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Content-level dedup: fingerprint the (normalized) text (md5,
+    functions/text.fingerprint) and keep the first document per
+    fingerprint — the streaming counterpart of the batch
+    exact_duplicates operator (operators/dedup.py)."""
+    col = F.col(content) if isinstance(content, str) else content
+    return (
+        docs.withColumn("__fp", fingerprint(col))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

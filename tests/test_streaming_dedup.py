@@ -1,0 +1,74 @@
+"""streaming/dedup: watermark-bounded streaming deduplication."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.streaming import (
+    streaming_dedup_content,
+    streaming_dedup_exact,
+)
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+ROWS = [
+    (1, "2024-01-01 00:00:01", "alpha beta"),
+    (1, "2024-01-01 00:00:02", "alpha beta"),          # dup key
+    (2, "2024-01-01 00:00:03", "gamma delta"),
+    (3, "2024-01-01 00:00:04", "Alpha   BETA"),        # same normalized content as 1
+    (4, "2024-01-01 00:00:05", "epsilon"),
+    (4, "2024-01-01 00:00:06", "epsilon"),             # dup key
+]
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="ip_sdedup_")
+    df = spark.createDataFrame(
+        ROWS, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, out_df, name):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate"
+    return spark.sql(f"select * from {name}")
+
+
+def test_streaming_dedup_exact_key(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = _run(
+        spark,
+        streaming_dedup_exact(stream, ["doc_id"], ts_col="ts", delay="1 minute"),
+        "sdedup_key",
+    )
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_streaming_dedup_content(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = _run(
+        spark,
+        streaming_dedup_content(stream, "text", ts_col="ts", delay="1 minute"),
+        "sdedup_content",
+    )
+    rows = out.collect()
+    # doc 3 is a normalized-content dup of doc 1; one of each pair
+    # (1,1-dup) and (4,4-dup) survives; internal __fp column is dropped
+    assert len(rows) == 3
+    assert {r.doc_id for r in rows} <= {1, 2, 3, 4}
+    assert sorted(out.columns) == ["doc_id", "text", "ts"]
+    surviving_texts = {r.text.lower().split()[0] for r in rows}
+    assert surviving_texts == {"alpha", "gamma", "epsilon"}
