@@ -18,6 +18,7 @@ also make sense at that scale:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -54,6 +55,15 @@ def get_spark(
         # and a wide cluster scanning TB-scale parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # saveAsTable (bucketed tables) should never litter the repo /
+        # cwd; on a cluster point this at real storage via extra_conf.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "ip_spark_warehouse"),
+            ),
+        )
         # local[N] puts every "executor" in the driver JVM: size it like
         # the sum of executors it stands in for, or long catalogs of
         # shuffle-heavy queries degrade into GC thrash.

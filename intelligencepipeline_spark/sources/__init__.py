@@ -1,3 +1,10 @@
 from intelligencepipeline_spark.sources.tables import load_table, load_tables, register_views
+from intelligencepipeline_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_table,
+)
 
-__all__ = ["load_table", "load_tables", "register_views"]
+__all__ = [
+    "load_table", "load_tables", "register_views",
+    "bucketed_join", "write_bucketed_table",
+]

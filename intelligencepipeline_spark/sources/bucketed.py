@@ -1,0 +1,55 @@
+"""Bucketed tables: persistent co-location for shuffle-free joins.
+
+The reference gets join co-location implicitly from Kafka keying — two
+streams with the same key live in the same partition, so its J1 join
+never shuffles (KafkaIntelligencePipelineTests.kt:272-275). The batch
+counterpart is Spark bucketing: write both tables bucketed (and
+sorted) by the join key, and every subsequent equi-join on that key is
+a sort-merge join with ZERO exchanges — the scan itself is the
+shuffle, paid once at write time and amortized over every later join.
+
+At 100 TB this is the difference between re-shuffling the fact table
+per query and never shuffling it: size ``n_buckets`` so a bucket's
+slice of the biggest co-located table is a few hundred MB (100 TB →
+~64k-256k buckets). Both sides must use the SAME bucket count (or an
+integer multiple) for the co-location to apply.
+
+Bucketing metadata lives in the session catalog (`saveAsTable`); pass
+``path`` to keep the data external to the warehouse directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a parquet table bucketed (and by default
+    sorted) by ``key``. Sorting inside buckets lets the sort-merge
+    join skip its sort step too."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left: str,
+    right: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket key. When
+    both were written with write_bucketed_table on ``key`` with equal
+    bucket counts, the physical plan contains no shuffle exchange."""
+    return spark.table(left).join(spark.table(right), key, how)

@@ -1,0 +1,62 @@
+"""sources/bucketed: co-located bucketed tables join without shuffles."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.plans.audit import audit
+from intelligencepipeline_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def bucketed_pair(spark):
+    d = tempfile.mkdtemp(prefix="ip_bucket_")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "orderkey")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "orderkey")
+    write_bucketed_table(li, "t_li_b", "orderkey", 8, path=os.path.join(d, "li"))
+    write_bucketed_table(orders, "t_ord_b", "orderkey", 8, path=os.path.join(d, "ord"))
+    yield "t_li_b", "t_ord_b", li, orders
+    spark.sql("DROP TABLE IF EXISTS t_li_b")
+    spark.sql("DROP TABLE IF EXISTS t_ord_b")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cobucketed_join_has_zero_shuffles(spark, bucketed_pair):
+    lname, rname, *_ = bucketed_pair
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, lname, rname, "orderkey")
+        a = audit(j)
+        assert a.shuffle_exchanges == 0, a.plan[:2000]
+        assert a.sortmerge_joins == 1, a.plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cobucketed_join_correct(spark, bucketed_pair):
+    lname, rname, li, orders = bucketed_pair
+    got = bucketed_join(spark, lname, rname, "orderkey").count()
+    expected = li.join(orders, "orderkey").count()
+    assert got == expected and got > 0
+
+
+def test_bucketed_agg_reuses_distribution(spark, bucketed_pair):
+    # groupBy on the bucket key also rides the existing distribution:
+    # no exchange before the aggregate
+    lname, *_ = bucketed_pair
+    a = audit(
+        spark.table(lname).groupBy("orderkey").agg(F.sum("l_quantity"))
+    )
+    assert a.shuffle_exchanges == 0, a.plan[:1500]
