@@ -17,6 +17,10 @@ from intelligencepipeline_spark.operators.ivf import (
     ivf_topk,
     kmeans_fit,
 )
+from intelligencepipeline_spark.operators.components import (
+    connected_components,
+    dedup_survivors,
+)
 from intelligencepipeline_spark.operators.merge import (
     latest_per_key,
     merge_upsert,
@@ -30,4 +34,5 @@ __all__ = [
     "repartition_for_join", "salted_agg",
     "ivf_assign", "ivf_topk", "kmeans_fit",
     "latest_per_key", "merge_upsert", "read_merged",
+    "connected_components", "dedup_survivors",
 ]

@@ -1,0 +1,87 @@
+"""Connected components over a pair list — dedup cluster assignment.
+
+The missing piece between near-duplicate PAIR generation (minhash-LSH,
+jaccard, simhash — operators/dedup.py) and actual deduplication: pairs
+must be closed transitively so each duplicate group gets one cluster
+id (and one survivor). The reference has no equivalent (its dedup is
+key-identity only); every large-scale corpus pipeline needs this.
+
+Algorithm: iterative min-label propagation on DataFrames — each node
+starts labeled with itself; every iteration each node takes the min of
+its own and its neighbors' labels; fixpoint when nothing changes.
+
+Scale notes (100 TB / billions of edges):
+* Iterations = O(component diameter). Near-dup clusters are
+  near-cliques, so 2-3 iterations in practice; ``max_iterations``
+  guards adversarial chains. (For graphs with genuinely long chains,
+  the large-star/small-star variant of Kiveris et al., "Connected
+  Components in MapReduce and Beyond", converges in O(log n) rounds —
+  same per-round shuffle structure, swap in if diameter bites.)
+* Each iteration is ONE keyed shuffle (join) + one partial-agg min —
+  Catalyst pipelines the rest map-side.
+* ``localCheckpoint`` per iteration truncates lineage — without it the
+  plan doubles every round and the driver, not the data, becomes the
+  bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(a, b) undirected pair list -> (node, component), component =
+    smallest node id in the connected group. Nodes not appearing in
+    any edge are absent (singletons need no cluster id)."""
+    sym = edges.select(
+        F.col(a).alias("s"), F.col(b).alias("d")
+    ).unionAll(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .groupBy(F.col("d").alias("nd"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        nxt = labels.join(
+            nbr_min, labels["node"] == nbr_min["nd"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("label") != F.col("old_label")).count()
+        labels = nxt.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per cluster (the min-id member IS the component id)
+    plus every unclustered row — the end-to-end dedup filter."""
+    clustered = components.withColumnRenamed("node", key)
+    joined = df.join(clustered, key, "left")
+    return joined.filter(
+        F.col("component").isNull() | (F.col(key) == F.col("component"))
+    ).drop("component")

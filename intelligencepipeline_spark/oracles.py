@@ -903,3 +903,39 @@ SELECT doc_id, cast(length(rend) as int) AS n_chars_extracted,
   md5(rend) AS rendition_digest
 FROM r ORDER BY doc_id
 """
+
+# Transitive closure of the jaccard edge set via recursive CTE: an
+# exact cross-engine oracle for the ITERATIVE min-label-propagation
+# operator (operators/components.py).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON a = sa.doc_id
+  JOIN sizes sb ON b = sb.doc_id
+  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
+), sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*) AS n_members,
+  array_to_string(
+    list_transform(list(node ORDER BY node), x -> cast(x as varchar)),
+    ',') AS members
+FROM comp GROUP BY component ORDER BY component
+"""

@@ -32,6 +32,7 @@ from intelligencepipeline_spark.functions.text import (
     winnow_hashes,
 )
 from intelligencepipeline_spark.operators.asof import asof_join
+from intelligencepipeline_spark.operators.components import connected_components
 from intelligencepipeline_spark.operators.rollup import rollup_stack
 from intelligencepipeline_spark.functions.nlp import (
     named_entities,
@@ -1255,6 +1256,37 @@ def text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: exact 3-gram-Jaccard pairs
+    (threshold 0.3, same edge set as the jaccard_pairs query) closed
+    transitively into components (operators/components.py, iterative
+    min-label propagation), summarized per cluster. The oracle closes
+    the same edges with a DuckDB recursive CTE — an exact cross-engine
+    check of an ITERATIVE distributed algorithm.
+
+    Scale: pairs come from the inverted-shingle join here (small SF);
+    at 100 TB feed minhash_lsh_candidates as the ``candidates`` pruning
+    set — the component step is unchanged (its cost scales with the
+    pair list, not the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, shingle_k=3, threshold=0.3).select("a", "b")
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue": q3_top_revenue,
@@ -1313,4 +1345,5 @@ QUERIES = {
     "full_outer_activity": full_outer_activity,
     "top_value_suppliers": top_value_suppliers,
     "text_extraction": text_extraction,
+    "dedup_clusters": dedup_clusters,
 }

@@ -1,0 +1,50 @@
+"""operators/components: connected components + dedup survivor filter."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.components import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: r.component
+        for r in connected_components(df).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_longer_than_one_hop(spark):
+    # a 6-node path needs several propagation rounds
+    got = _cc(spark, [(i, i + 1) for i in range(1, 6)])
+    assert set(got.values()) == {1} and len(got) == 6
+
+
+def test_edge_order_and_direction_irrelevant(spark):
+    got = _cc(spark, [(5, 2), (9, 5), (2, 1)])
+    assert got == {1: 1, 2: 1, 5: 1, 9: 1}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    comp = connected_components(edges)
+    kept = sorted(
+        r.doc_id for r in dedup_survivors(docs, comp).collect()
+    )
+    # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 is a singleton
+    assert kept == [1, 4, 5]
