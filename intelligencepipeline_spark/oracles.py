@@ -939,3 +939,33 @@ SELECT component, count(*) AS n_members,
     ',') AS members
 FROM comp GROUP BY component ORDER BY component
 """
+
+ORACLES["q5_local_supplier_volume"] = f"""
+SELECT n_name, cast(sum({_REV}) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLES["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  cast(sum({_REV}) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
