@@ -969,3 +969,7 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+# Same fold as consolidation_fold — the streaming run must produce the
+# identical batch answer.
+ORACLES["streaming_consolidation"] = ORACLES["consolidation_fold"]
