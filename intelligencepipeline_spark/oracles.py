@@ -973,3 +973,34 @@ LIMIT 20
 # Same fold as consolidation_fold — the streaming run must produce the
 # identical batch answer.
 ORACLES["streaming_consolidation"] = ORACLES["consolidation_fold"]
+
+ORACLES["dedup_survivor_docs"] = f"""
+WITH RECURSIVE shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), edges AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON a = sa.doc_id
+  JOIN sizes sb ON b = sb.doc_id
+  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
+), sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+ORDER BY doc_id
+"""

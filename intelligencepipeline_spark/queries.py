@@ -1354,6 +1354,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: which documents SURVIVE after
+    near-dup clustering (keep the min-id member of every cluster plus
+    all singletons) — operators/components.dedup_survivors over the
+    same Jaccard edge set as dedup_clusters. At 100 TB this is the
+    filter that actually shrinks the corpus; it is one broadcast-able
+    left join against the (tiny) clustered-node set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3
+    ).select("a", "b")
+    from intelligencepipeline_spark.operators.components import dedup_survivors
+
+    kept = dedup_survivors(docs, connected_components(edges))
+    return kept.orderBy("doc_id")
+
+
 def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 run as an actual Structured Streaming job: the same per-key
     event fold as consolidation_fold, but fed by the file-stream source
@@ -1472,4 +1489,5 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q10_returned_items": q10_returned_items,
     "streaming_consolidation": streaming_consolidation,
+    "dedup_survivor_docs": dedup_survivor_docs,
 }
