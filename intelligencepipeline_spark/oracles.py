@@ -1004,3 +1004,27 @@ SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
 ORDER BY doc_id
 """
+
+ORACLES["profile_columns"] = """
+SELECT count(*) AS n_rows,
+  cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) as bigint) AS null_text,
+  count(DISTINCT lang) AS n_langs,
+  count(DISTINCT doc_id) AS n_doc_ids,
+  min(length(text)) AS min_len,
+  max(length(text)) AS max_len,
+  cast(floor(avg(length(text)) * 1000) as bigint) AS avg_len_milli
+FROM documents
+"""
+
+# Hash-bucket sampling: identical subset on any engine — the md5-prefix
+# bucket is the cross-engine-deterministic replacement for seeded
+# sample().
+ORACLES["deterministic_sample"] = """
+WITH b AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+      % 100 AS sample_bucket
+  FROM documents
+)
+SELECT doc_id, sample_bucket FROM b WHERE sample_bucket < 10 ORDER BY doc_id
+"""

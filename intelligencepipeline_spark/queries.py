@@ -908,8 +908,10 @@ def ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for CoreNLP ner, implementations.kt:117-136): extract
     typed entities from an order-narrative text derived from columns,
     count per (type, value). All expression-only — NER runs inside the
-    scan stage."""
-    orders = _t(spark, sf_dir, "orders")
+    scan stage (after an explicit fanout: the single-row-group test
+    file scans as ONE split, and per-row regex work must not run on
+    one task — no-op at real scale)."""
+    orders = _fanout(_t(spark, sf_dir, "orders"), "o_orderkey")
     narrative = F.concat(
         F.lit("Agent Smith logged order on "),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
@@ -1371,6 +1373,41 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.orderBy("doc_id")
 
 
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (ANALYZE-style column statistics) over the
+    documents table: per-tracked-column null count, distinct count, and
+    min/max/avg of the text length. One pass, one shuffle-free partial
+    agg per scan task + a 1-row final merge — the cheapest possible
+    full-corpus health check at 100 TB (stats are algebraic)."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_doc_ids"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.floor(F.avg(ln) * 1000).cast("long").alias("avg_len_milli"),
+    )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep a doc iff
+    md5(doc_id) mod 100 < rate — hash-based, so the SAME subset comes
+    out on any engine, any partitioning, any day (seeded `sample()` is
+    none of those). The standard way to carve stable train/eval slices
+    from a 100 TB corpus; composes with partition pruning because it is
+    a pushable row-level predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    return (
+        docs.select("doc_id", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < 10)
+        .orderBy("doc_id")
+    )
+
+
 def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 run as an actual Structured Streaming job: the same per-key
     event fold as consolidation_fold, but fed by the file-stream source
@@ -1490,4 +1527,6 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "streaming_consolidation": streaming_consolidation,
     "dedup_survivor_docs": dedup_survivor_docs,
+    "profile_columns": profile_columns,
+    "deterministic_sample": deterministic_sample,
 }
