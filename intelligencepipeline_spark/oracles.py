@@ -970,6 +970,150 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+ORACLES["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q6_forecast_revenue"] = """
+SELECT cast(sum(cast(l_extendedprice as decimal(18,2)) *
+             cast(l_discount as decimal(18,2))) as double) AS revenue
+FROM lineitem
+WHERE l_shipdate >= timestamp '1996-01-01'
+  AND l_shipdate < timestamp '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q7_nation_volume"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  cast(year(l_shipdate) as bigint) AS l_year,
+  cast(sum({_REV}) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q8_market_share"] = f"""
+WITH j AS (
+  SELECT cast(year(o_orderdate) as bigint) AS o_year,
+    {_REV} AS volume, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_orderdate >= timestamp '1996-01-01'
+    AND o_orderdate < timestamp '1998-01-01'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+)
+SELECT o_year,
+  cast(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                ELSE cast(0 as decimal(21,4)) END) as double)
+    / cast(sum(volume) as double) AS mkt_share
+FROM j GROUP BY o_year ORDER BY o_year
+"""
+
+ORACLES["q12_priority_shipping"] = """
+SELECT l_linestatus,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) as bigint) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= timestamp '1996-01-01'
+  AND l_shipdate < timestamp '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+ORACLES["q14_promo_revenue"] = f"""
+SELECT 100.0 *
+  cast(sum(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                ELSE cast(0 as decimal(21,4)) END) as double)
+  / cast(sum({_REV}) as double) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= timestamp '1996-09-01'
+  AND l_shipdate < timestamp '1996-10-01'
+"""
+
+ORACLES["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 9, 19, 29, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < -500
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+ORACLES["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(cast(l_quantity as decimal(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity as decimal(18,2))) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+  cast(epoch(cast(o_orderdate as timestamp)) as bigint) AS o_date_epoch,
+  cast(cast(o_totalprice as decimal(18,2)) as double) AS o_totalprice,
+  cast(total_qty as double) AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+ORACLES["q19_bracketed_revenue"] = f"""
+SELECT cast(sum({_REV}) as double) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q22_inactive_customers"] = """
+WITH avg_bal AS (
+  SELECT cast(sum(cast(c_acctbal as decimal(18,2))) as double)
+    / cast(count(*) as double) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+  cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
 # Same fold as consolidation_fold — the streaming run must produce the
 # identical batch answer.
 ORACLES["streaming_consolidation"] = ORACLES["consolidation_fold"]

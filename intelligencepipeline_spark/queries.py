@@ -1464,8 +1464,334 @@ def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_consolidation_sink").orderBy("key")
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery → left-semi join. Orders that
+    have at least one large-quantity lineitem, counted by priority.
+    The semi join shuffles each side once on orderkey and never
+    materializes the (orders x lineitem) product; lineitem's quantity
+    filter pushes to its scan and shrinks the semi probe side first.
+    (Classic Q4 uses l_commitdate < l_receiptdate — columns absent in
+    the reduced schema; the quantity predicate keeps the same plan
+    shape: filtered EXISTS over lineitem.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure-pushdown query — three range predicates,
+    zero joins, one scalar answer. Every filter reaches the parquet
+    scan (PushedFilters), the projection reads 3 columns, and the agg
+    is a map-side partial + 1-row merge: the cheapest full-table query
+    the engine has, and the canonical scan-efficiency probe at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+    Both nation lookups broadcast (25 rows); the cross-filter
+    (france→germany OR germany→france) is evaluated post-join on the
+    broadcast columns so the big tables still join only on their keys.
+    Year extraction groups without a second shuffle (same-key agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("supp_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("cust_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional revenue by year —
+    conditional aggregation (sum(CASE)/sum) over a 6-table join. The
+    share division is one IEEE op on two exact decimal sums, so the
+    oracle compare stays bit-exact. region/nation broadcast; only the
+    three fact/dim tables of real size shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    cust_region = c.join(
+        F.broadcast(
+            n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        ),
+        c["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        s["s_nationkey"] == F.col("sn_nk"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_region, o["o_custkey"] == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    german = F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(21,4)")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.sum(german).cast("double") / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-WHEN split counts — per linestatus, how
+    many shipped lines belong to critical- vs normal-priority orders.
+    One join on orderkey (both sides pre-filtered at the scan), then a
+    tiny conditional agg; no second shuffle since the groupBy keys ride
+    the join output partitioning.
+    (Classic Q12 groups by l_shipmode — absent here; l_linestatus
+    keeps the same CASE-split aggregation shape.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional-sum ratio
+    over a fact⋈dim join. part is the smaller side and broadcast-
+    eligible; the month filter pushes to the lineitem scan. The ratio
+    is one division of two exact decimal sums (bit-exact oracle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(21,4)")
+    )
+    return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
+        (
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN subquery → broadcast left-anti join +
+    COUNT DISTINCT. Distinct suppliers offering each (brand, type,
+    size) combination, excluding low-balance suppliers. The exclusion
+    set is tiny → broadcast anti join; the count-distinct expands to
+    a two-stage (partial-distinct, merge) aggregate, not a global
+    de-dup shuffle of raw pairs.
+    (Classic Q16 walks partsupp — absent; lineitem(partkey,suppkey)
+    provides the same many-to-many association.)"""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 9, 19, 29, 49))
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -500)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-subquery → aggregate then self-semi-join.
+    Orders whose total quantity exceeds a threshold, with customer
+    detail. The qualifying-keys set is computed by a keyed partial agg
+    of lineitem and is tiny → broadcast semi join back onto lineitem;
+    both lineitem passes share one scan (Catalyst reuses the exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.floor(
+                F.col("o_orderdate").cast("timestamp").cast("double")
+            ).cast("long").alias("o_date_epoch"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs theta predicate — three disjunctive
+    (brand, size-range, quantity-range) brackets evaluated inside one
+    equi-join on partkey. Catalyst keeps the equi-key as the join
+    condition and applies the disjunction as a post-join filter, so
+    there is no cartesian blowup; part broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery + NOT EXISTS. Customers with
+    above-average balance who never placed an order, grouped by market
+    segment. The global average is a 1-row agg broadcast into the
+    filter; the NOT EXISTS is a left-anti join on custkey against the
+    (distinct-keys) orders projection.
+    (Classic Q22 buckets by phone country code — absent; c_mktsegment
+    keeps the same group-the-survivors shape. "No orders at all" is
+    empty in the synthetic data, so the predicate is "no URGENT
+    order".)"""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    # Exact decimal sum / one IEEE division — order-independent, so the
+    # threshold is bit-identical across engines (double avg() is not).
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    return (
+        rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
+    "q22_inactive_customers": q22_inactive_customers,
     "q3_top_revenue": q3_top_revenue,
     "topk_per_group": topk_per_group,
     "rollup_agg": rollup_agg,

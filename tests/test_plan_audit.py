@@ -8,7 +8,11 @@ from intelligencepipeline_spark.plans.audit import audit
 from intelligencepipeline_spark.queries import (
     q1_pricing_summary,
     q3_top_revenue,
+    q4_order_priority,
+    q6_forecast_revenue,
+    q16_supplier_part_counts,
     q17_small_quantity_revenue,
+    q19_bracketed_revenue,
     similarity_topk,
     tfidf_top_terms,
     top_terms,
@@ -68,6 +72,45 @@ def test_q17_broadcasts_dim_no_cartesian(spark):
     assert not a.cartesian
     # p_brand/p_size predicates reach the part scan
     assert a.has_pushed_filter("p_brand"), a.pushed_filters
+
+
+def test_q6_pure_pushdown_scan(spark):
+    a = audit(q6_forecast_revenue(spark, SF))
+    # the canonical scan-efficiency probe: 4-column read, all three
+    # range predicates at the scan, no join, one agg exchange
+    assert a.reads_only(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    ), a.read_schemas
+    assert a.has_pushed_filter("l_shipdate"), a.pushed_filters
+    assert a.has_pushed_filter("l_discount"), a.pushed_filters
+    assert a.sortmerge_joins == 0 and a.broadcast_joins == 0
+    assert a.shuffle_exchanges <= 1, a.plan[:2000]
+
+
+def test_q4_semi_join_no_product(spark):
+    a = audit(q4_order_priority(spark, SF))
+    # EXISTS compiles to a semi join — never a join-then-distinct
+    assert "LeftSemi" in a.plan, a.plan[:2000]
+    assert "Distinct" not in a.plan
+    assert not a.cartesian
+    # quantity filter pushes to the lineitem probe side's scan
+    assert a.has_pushed_filter("l_quantity"), a.pushed_filters
+
+
+def test_q16_broadcast_anti_join(spark):
+    a = audit(q16_supplier_part_counts(spark, SF))
+    # the tiny exclusion set must broadcast (anti join), never shuffle
+    # the lineitem side on suppkey just to drop a handful of rows
+    assert "LeftAnti" in a.plan, a.plan[:2000]
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert not a.cartesian
+
+
+def test_q19_or_brackets_stay_equi_join(spark):
+    a = audit(q19_bracketed_revenue(spark, SF))
+    # OR-of-ANDs must NOT degrade the partkey equi-join to a cartesian
+    assert not a.cartesian, a.plan[:2000]
+    assert a.broadcast_joins >= 1, a.plan[:2000]
 
 
 def test_scalar_subquery_single_fact_scan(spark):
