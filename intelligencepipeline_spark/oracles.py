@@ -1172,3 +1172,73 @@ WITH b AS (
 )
 SELECT doc_id, sample_bucket FROM b WHERE sample_bucket < 10 ORDER BY doc_id
 """
+
+# Q9 adapted: supply cost proxied by retailprice*qty/2 (no partsupp).
+ORACLES["q9_product_profit"] = f"""
+SELECT n_name AS nation,
+  cast(year(o_orderdate) as bigint) AS o_year,
+  cast(sum({_REV}
+    - cast(p_retailprice as decimal(18,2))
+      * cast(l_quantity as decimal(18,2)) / cast(2 as decimal(3,0)))
+    as double) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, o_year DESC
+"""
+
+ORACLES["q13_customer_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    cast(sum({_REV}) as double) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= timestamp '1996-01-01'
+    AND l_shipdate < timestamp '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# Q21 adapted: the blocking supplier is the one whose latest shipdate
+# equals the order's latest, in finished multi-supplier orders where
+# someone shipped strictly earlier.
+ORACLES["q21_blocking_supplier"] = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_o AS (
+  SELECT l_orderkey AS ok, max(supp_last) AS order_last,
+    min(supp_last) AS order_first, count(*) AS n_supp
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_os
+JOIN per_o ON l_orderkey = ok
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND supp_last = order_last AND order_first < order_last
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

@@ -806,8 +806,8 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.select(
         "user_id",
         (
-            F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(w))
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
     return (
@@ -1780,6 +1780,154 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in this schema, so
+    supply cost is proxied by p_retailprice * quantity / 2): profit by
+    supplier nation and year for parts whose name contains 'red'.
+
+    Plan: the filtered part dim and the 25-row nation dim broadcast;
+    lineitem joins orders on l_orderkey (the one unavoidable big-big
+    shuffle) and supplier broadcast-joins on l_suppkey. Grouping by
+    (nation, year) is a low-cardinality final agg — partial map-side
+    combine collapses it before the exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity") / F.lit(2).cast(
+        "decimal(3,0)"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (adapted: the canonical o_comment NOT LIKE
+    filter becomes o_orderpriority <> '1-URGENT' — this schema has no
+    comment column): distribution of customers by order count,
+    including zero-order customers via LEFT OUTER join.
+
+    Plan: filter pushed below the join (non-urgent orders only), one
+    shuffle on custkey for the left join + count, then a tiny agg on
+    c_count. customer is the smaller side but must be join LHS to keep
+    zero-count customers; AQE picks the strategy."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier over one quarter; return
+    the supplier(s) whose revenue equals the global max (the view +
+    scalar-subquery form, decorrelated).
+
+    Plan: one shuffle groups lineitem by l_suppkey; the global max is
+    a single-row agg broadcast back over the per-supplier totals, and
+    the supplier dim broadcasts onto the (tiny) surviving rows. Scales:
+    per-supplier partial aggs combine map-side; the max join is a
+    1-row broadcast regardless of SF."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(
+            F.broadcast(max_rev),
+            rev["total_revenue"] == max_rev["max_revenue"],
+        )
+        .join(F.broadcast(s), rev["supplier_no"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no l_commitdate/l_receiptdate here, so
+    'kept the order waiting' = supplier whose latest shipdate IS the
+    order's latest shipdate, in finished multi-supplier orders where at
+    least one other supplier shipped strictly earlier).
+
+    Plan: per-(order, supplier) max-shipdate agg, then order-level
+    stats via a second agg joined back — both shuffles share the
+    l_orderkey key so the second reuses the first's partitioning.
+    EXISTS/NOT-EXISTS of the canonical query become the n_supp > 1 and
+    strict-inequality predicates on the aggregated row (semi/anti join
+    collapsed into one agg — fewer scans of the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("supp_last").alias("order_last"),
+        F.min("supp_last").alias("order_first"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    blockers = (
+        per_os.join(per_o, per_os["l_orderkey"] == per_o["ok"])
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("supp_last") == F.col("order_last"))
+            & (F.col("order_first") < F.col("order_last"))
+        )
+    )
+    return (
+        blockers.join(F.broadcast(s), blockers["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
@@ -1855,4 +2003,8 @@ QUERIES = {
     "dedup_survivor_docs": dedup_survivor_docs,
     "profile_columns": profile_columns,
     "deterministic_sample": deterministic_sample,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_blocking_supplier": q21_blocking_supplier,
 }
