@@ -10,18 +10,22 @@ Everything is deterministic so results are reproducible run-to-run:
   operators/similarity); distances and centroid means are exact
   integer sums and single IEEE divisions.
 
-Scale shape (the standard IVF layout at 100 TB):
+Scale shape (the standard IVF layout at 100 TB — faiss-style
+fit-once / probe-many):
 
-* ``kmeans_fit``  — iterative Lloyd's: each iteration is ONE
-  distributed pass (assignment by broadcast centroid matrix inside
-  Arrow batches + one groupBy for the new means). Centroids (k x dim
-  doubles) live on the driver between iterations — tiny by design;
-  this is how Spark MLlib's own KMeans iterates.
-* ``ivf_assign``  — one pass adding ``cell`` (nearest centroid id);
-  at rest you PARTITION THE TABLE BY cell, so a probe reads only
-  n_probe/k of the data (partition pruning does the work).
-* ``ivf_topk``    — query → n_probe nearest cells → exact re-rank of
-  just those cells' vectors.
+* ``kmeans_fit``  — Lloyd's over a DETERMINISTIC HASH-SAMPLE collected
+  to the driver (the standard coarse-quantizer training recipe: faiss
+  trains on ~100k sampled vectors regardless of corpus size). The
+  sample filter is a pushable md5-bucket predicate — no sort, no
+  full-corpus pass; iterations are driver-side numpy (microseconds).
+* ``ivf_assign``  — ONE distributed pass adding ``cell`` (nearest
+  centroid id) via a broadcast centroid matrix in Arrow batches.
+* ``ivf_index``   — fit + assign + (optionally) WRITE the table
+  partitioned by cell; probes then read only n_probe/k of the data
+  (partition pruning does the work). This is the at-rest layout.
+* ``ivf_topk``    — query → n_probe nearest cells (driver argsort over
+  k centroids) → exact re-rank of just those cells' vectors. With a
+  prebuilt index the plan contains NO fit stage at all.
 
 No oracle-SQL entry: the fit is iterative (SURVEY's non-SQL-expressible
 category); correctness is pinned by determinism + recall tests against
@@ -31,6 +35,8 @@ the brute-force baseline (tests/test_ivf.py).
 from __future__ import annotations
 
 import hashlib
+import math
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -48,69 +54,62 @@ def _collect_matrix(
     return ids, mat
 
 
+def _hash_bucket(col: F.Column) -> F.Column:
+    """Deterministic 0..65535 bucket from md5 — pushable, engine-stable."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+
+
+def _sample_matrix(
+    embeddings: DataFrame, cap: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic training sample (~cap rows) as a driver matrix, in
+    md5-of-id order. The bucket filter is a plain row predicate — at
+    100 TB it rides the scan (no sort, no shuffle); only ~cap vectors
+    ever reach the driver."""
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("empty embeddings table")
+    buckets = min(65536, max(1, math.ceil(cap * 65536 / n)))
+    s = embeddings
+    if buckets < 65536:
+        s = embeddings.filter(_hash_bucket(F.col(id_col)) < buckets)
+    ids, mat = _collect_matrix(s.select(id_col, vec_col), id_col, vec_col)
+    order = np.argsort(
+        [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+        kind="stable",
+    )
+    return mat[order]
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_cap: int = 65536,
 ) -> np.ndarray:
-    """Deterministic Lloyd's k-means; returns the (k, dim) centroid
-    matrix. One distributed pass per iteration; only k x dim floats
-    ever reach the driver."""
-    import pandas as pd
-
-    spark = embeddings.sparkSession
-
-    seed_ids = [
-        r[0]
-        for r in embeddings.select(id_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    ]
-    _, seeds = _collect_matrix(
-        embeddings.filter(F.col(id_col).isin(seed_ids)), id_col, vec_col
-    )
-    centroids = seeds[:k].copy()
-
+    """Deterministic Lloyd's k-means on a hash-sampled training set;
+    returns the (k, dim) centroid matrix. Cost is ONE bounded sample
+    collect + driver numpy — independent of corpus size (the previous
+    form ran a full distributed pass per iteration, which put a k-means
+    job inside every query that fit lazily)."""
+    mat = _sample_matrix(embeddings, sample_cap, id_col, vec_col)
+    if len(mat) < k:
+        raise ValueError(f"sample ({len(mat)}) smaller than k ({k})")
+    centroids = mat[:k].copy()  # md5-order → pseudo-random spread, fixed
     for _ in range(iters):
-        bc = spark.sparkContext.broadcast(centroids)
-
-        def assign(batches, vec_col=vec_col, id_col=id_col):
-            cents = bc.value
-            for pdf in batches:
-                q = np.floor(
-                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                    * SCALE
-                )
-                # squared L2 via ||q||^2 - 2 q.c + ||c||^2; ||q||^2 is
-                # constant per row so argmin needs only the last two
-                d = -2.0 * (q @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-                cell = d.argmin(axis=1)
-                out = pd.DataFrame({"cell": cell.astype(np.int32)})
-                for j in range(q.shape[1]):
-                    out[f"d{j}"] = q[:, j]
-                yield out
-
-        dim = centroids.shape[1]
-        schema = "cell int, " + ", ".join(f"d{j} double" for j in range(dim))
-        assigned = embeddings.select(id_col, vec_col).mapInPandas(
-            assign, schema
-        )
-        stats = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"d{j}").alias(f"s{j}") for j in range(dim)],
-            )
-            .collect()
-        )
+        d = -2.0 * (mat @ centroids.T) + (centroids * centroids).sum(axis=1)[
+            None, :
+        ]
+        cell = d.argmin(axis=1)
         new_c = centroids.copy()  # empty cells keep their centroid
-        for r in stats:
-            new_c[r["cell"]] = np.array(
-                [r[f"s{j}"] for j in range(dim)]
-            ) / float(r["n"])
+        for c in range(k):
+            m = cell == c
+            if m.any():
+                new_c[c] = mat[m].mean(axis=0)
         centroids = new_c
     return centroids
 
@@ -151,6 +150,62 @@ def ivf_assign(
     return embeddings.select(*cols).mapInPandas(assign, schema)
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build (or load) the fit-once IVF index: centroids + the table
+    WITH ``cell``, optionally persisted PARTITIONED BY cell so probes
+    partition-prune (read n_probe/k of the files, not the corpus).
+
+    ``cache_root`` given → the index is written once under a key
+    derived from the input files (path+size+mtime) and reloaded on
+    every later call/process: the query path never contains a fit or
+    assignment stage again. This is the at-rest layout a 100 TB
+    deployment writes during ingest."""
+    spark = embeddings.sparkSession
+    if cache_root is None:
+        centroids = kmeans_fit(
+            embeddings, k=n_clusters, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        return centroids, ivf_assign(embeddings, centroids, id_col, vec_col)
+
+    sig_parts = [f"k={n_clusters}", f"it={iters}", f"s={SCALE}"]
+    for path in sorted(embeddings.inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    base = os.path.join(cache_root, key)
+    cent_path = os.path.join(base, "centroids.npy")
+    table_path = os.path.join(base, "table")
+    done_path = os.path.join(base, "_DONE")
+    if os.path.exists(done_path):
+        centroids = np.load(cent_path)
+        return centroids, spark.read.parquet(table_path)
+    os.makedirs(base, exist_ok=True)
+    centroids = kmeans_fit(
+        embeddings, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(table_path)
+    np.save(cent_path, centroids)
+    with open(done_path, "w") as fh:
+        fh.write("ok")
+    return centroids, spark.read.parquet(table_path)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_id: int,
@@ -161,10 +216,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k by cosine: probe the ``n_probe`` cells nearest the
     query, exact integer-quantized re-rank inside them. Touches
-    ~n_probe/n_clusters of the corpus per query."""
+    ~n_probe/n_clusters of the corpus per query. Pass a prebuilt
+    (centroids, assigned) from ``ivf_index`` for the probe-only path."""
     from intelligencepipeline_spark.operators.similarity import (
         cosine,
         int_dot,
@@ -175,7 +232,8 @@ def ivf_topk(
         centroids = kmeans_fit(
             embeddings, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
 
     qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
     qvec = np.floor(np.array(qrow[0][0], dtype=np.float64) * SCALE)

@@ -221,11 +221,9 @@ def cosine_pairs_blas(
 
     # The embeddings table is typically few large parquet files → few
     # scan splits; fan out so the GEMM uses every core (the work is
-    # embarrassingly parallel over left-side rows).
-    n_parts = max(
-        embeddings.rdd.getNumPartitions(),
-        spark.sparkContext.defaultParallelism,
-    )
+    # embarrassingly parallel over left-side rows). Explicit count —
+    # never df.rdd (materializes the plan driver-side).
+    n_parts = spark.sparkContext.defaultParallelism
     return (
         embeddings.select(id_col, vec_col)
         .repartition(n_parts, F.col(id_col))

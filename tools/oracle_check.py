@@ -37,6 +37,21 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     if len(s) == len(d):
         for col in s.columns:
             sv, dv = s[col], d[col]
+            # dtype divergence (e.g. DuckDB HUGEINT sum -> float64 vs
+            # Spark int64) passes a tolerant == but breaks the driver's
+            # value hash — treat as failure.
+            if sv.dtype != dv.dtype:
+                problems.append(
+                    f"col {col}: dtype mismatch (hash risk): "
+                    f"spark={sv.dtype} duck={dv.dtype}"
+                )
+            # Nulls that widen BOTH sides identically hashed green in
+            # r01 (rollup_agg/asof_join/grouping_sets_agg) — warn only.
+            if sv.isna().any() or dv.isna().any():
+                print(
+                    f"   WARN {name}.{col}: null export "
+                    f"(spark={int(sv.isna().sum())} duck={int(dv.isna().sum())})"
+                )
             try:
                 eq = (sv.isna() & dv.isna()) | (sv == dv)
             except Exception as e:
