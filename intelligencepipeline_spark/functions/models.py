@@ -53,6 +53,7 @@ def _available(mod: str) -> bool:
 LANG_BACKEND = "langdetect" if _available("langdetect") else "heuristic"
 NER_BACKEND = "spacy" if _available("spacy") else "regex"
 TEXT_EXTRACT_BACKEND = "tika" if _available("tika") else "decode"
+HTML_EXTRACT_BACKEND = "tika" if _available("tika") else "wrap"
 EMBED_BACKEND = (
     "sentence_transformers"
     if _available("sentence_transformers")
@@ -114,6 +115,48 @@ def extract_text_any(content: Column) -> Column:
         return re.sub(r"[\x00-\x08\x0b-\x1f]", "", s)
 
     return _decode(content)
+
+
+# --------------------------------------------------------------- F4 html
+
+def html_escape_expr(text: Column) -> Column:
+    """Minimal HTML entity escape (& < >) as pure expressions —
+    JVM-side, codegen-fused, exactly reproducible in ANSI SQL
+    (nested replace with & first)."""
+    out = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def to_html_expr(text: Column) -> Column:
+    """Deterministic text→HTML rendition: escaped body in a minimal
+    document wrapper. Expression-only — the hermetic stand-in for
+    Tika's ToHTMLContentHandler output."""
+    return F.concat(
+        F.lit("<html><body><p>"),
+        html_escape_expr(text),
+        F.lit("</p></body></html>"),
+    )
+
+
+def extract_html_any(content: Column) -> Column:
+    """HTML rendition of original bytes (F4,
+    TikaHtmlDocumentRepresentationProducer, participants/
+    implementations.kt:172-179): Tika's ToHTMLContentHandler when
+    importable, else utf-8 decode + the deterministic escape/wrap
+    expression. Either way the rendition is a COLUMN (SURVEY S9 —
+    no sidecar .html files)."""
+    if HTML_EXTRACT_BACKEND == "tika":
+
+        @fault_tolerant_pandas_udf("string")
+        def _tk(v):
+            from tika import parser
+
+            parsed = parser.from_buffer(bytes(v), xmlContent=True)
+            return (parsed.get("content") or "").strip()
+
+        return _tk(content)
+    return to_html_expr(F.decode(content, "UTF-8"))
 
 
 # --------------------------------------------------------------- F6/F8 NER

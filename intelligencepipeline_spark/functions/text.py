@@ -187,3 +187,37 @@ def quality_score(text: Column) -> Column:
         (n_spaces.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
          ).alias("space_ratio"),
     )
+
+
+# PII patterns — RE2-safe (no lookaround/backrefs) so the SAME pattern
+# strings run in Spark (Java regex) and the DuckDB oracle (RE2).
+# Order matters: the SSN-shaped id must be redacted before the generic
+# phone pattern can eat its digits.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ID", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("PHONE", r"\+[0-9][0-9 -]{7,}[0-9]"),
+)
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-type PII match counts (regexp_count — expression
+    only, runs inside the scan stage)."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{k.lower()}")
+            for k, pat in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact PII in-place: each match replaced by its <TYPE> tag, in
+    PII_PATTERNS order. The standard pre-training scrub pass — pure
+    regexp_replace chain, no UDF, no shuffle; at 100 TB this rides the
+    scan like any other projection."""
+    out = text
+    for k, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{k}>")
+    return out

@@ -1,0 +1,96 @@
+"""ChunkCommand CDC application (SURVEY.md §1.1 ChunkCommand).
+
+The reference's chunk protocol carries per-chunk edit commands —
+START, ADD, APPEND, INSERT, UPDATE, MERGE, DELETE, LAST
+(model/src/main/kotlin/datatypes/datarecords.kt:6-7) — consumed
+incrementally to maintain each document's chunk sequence (the
+human-in-the-loop edit path; the pure edit semantics are
+chunks/sequence_management.kt:5-27, tested by SequenceTests.kt:8-41).
+The round-1 engine emitted only complete chunk sets (command=null);
+this operator closes the gap: it FOLDS an ordered command stream into
+the resulting chunk array per document.
+
+Spark-first shape: one keyed shuffle (groupBy + sorted collect_list),
+then the fold is a single ``F.aggregate`` higher-order expression whose
+step function dispatches on the command via the Q1-Q5 sequence
+operators — all JVM-side, no Python in the hot path, no iteration over
+micro-batches. At 100 TB the cost is one shuffle of the command stream
+(grouped by doc); per-doc command lists are edit histories — small by
+construction (guard upstream with retention/compaction if a doc's
+history grows unbounded).
+
+START resets the sequence (the reference uses it as the begin-sentinel
+for a fresh chunk set); LAST is a sentinel with no effect on state.
+ADD and APPEND both append (ADD is the reference's initial-load form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.sequence import (
+    seq_append,
+    seq_insert,
+    seq_merge,
+    seq_remove,
+    seq_update,
+)
+
+
+def apply_command(acc: Column, cmd: Column) -> Column:
+    """One CDC step: apply a command struct
+    (command, index, to_index, content) to the chunk array ``acc``.
+    Unknown commands and the LAST sentinel are no-ops."""
+    c = cmd["command"]
+    return (
+        F.when(c == "START", F.slice(acc, 1, 0))  # typed empty array
+        .when(c.isin("ADD", "APPEND"), seq_append(acc, cmd["content"]))
+        .when(c == "INSERT", seq_insert(acc, cmd["index"], cmd["content"]))
+        .when(c == "UPDATE", seq_update(acc, cmd["index"], cmd["content"]))
+        .when(
+            c == "MERGE",
+            seq_merge(acc, cmd["index"], cmd["to_index"], cmd["content"]),
+        )
+        .when(c == "DELETE", seq_remove(acc, cmd["index"]))
+        .otherwise(acc)
+    )
+
+
+def apply_chunk_commands(
+    commands: DataFrame,
+    key: str = "doc_id",
+    seq: str = "seq",
+    command: str = "command",
+    index: str = "index",
+    to_index: str = "to_index",
+    content: str = "content",
+) -> DataFrame:
+    """Fold a (key, seq, command, index, to_index, content) event stream
+    into the final chunk array per key.
+
+    Output: ``key``, ``chunks: array<string>``.
+
+    Commands apply in ``seq`` order (array_sort on a seq-first struct —
+    ``seq`` must be totally ordered per key, e.g. an event id or a
+    (ts, id) pair packed into one long). One shuffle; the fold itself
+    is expression-only.
+    """
+    packed = commands.select(
+        F.col(key).alias("key"),
+        F.struct(
+            F.col(seq).alias("seq"),
+            F.col(command).alias("command"),
+            F.col(index).cast("int").alias("index"),
+            F.col(to_index).cast("int").alias("to_index"),
+            F.col(content).alias("content"),
+        ).alias("c"),
+    )
+    grouped = packed.groupBy("key").agg(
+        F.array_sort(F.collect_list("c")).alias("cs")
+    )
+    init = F.array().cast("array<string>")
+    return grouped.select(
+        F.col("key").alias(key),
+        F.aggregate("cs", init, apply_command).alias("chunks"),
+    )

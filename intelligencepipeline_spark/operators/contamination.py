@@ -1,0 +1,68 @@
+"""Benchmark contamination check — the train/eval overlap gate every
+large-scale training-data pipeline runs before a corpus ships.
+
+A document is contaminated when its word n-grams overlap an evaluation
+("benchmark") set's n-grams (the GPT-3/PaLM-style n-gram decontamination
+recipe). Spark-first shape:
+
+* shingle both sides with the same O(n)-per-doc window-``lead`` shingler
+  used by the dedup family (operators/dedup.word_shingles_df);
+* the benchmark shingle set is the SMALL side — distinct it and
+  BROADCAST it into the corpus-side join, so the corpus shuffles zero
+  rows for the membership probe;
+* per-doc contamination = overlapping-shingle count / total shingles,
+  one keyed partial agg.
+
+At 100 TB the corpus side stays a scan + broadcast-hash-join + partial
+agg; only the benchmark (eval suites: MBs, not TBs) is ever collected
+into a broadcast relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-corpus-doc contamination against the benchmark's k-gram set.
+
+    Output: ``doc_id, n_shingles, n_overlap, contamination`` (rate =
+    one IEEE division of exact counts; docs with no overlap included
+    with rate 0.0).
+    """
+    corpus_sh = word_shingles_df(corpus, text_col=text_col, key=id_col, k=k)
+    bench_sh = (
+        word_shingles_df(benchmark, text_col=text_col, key=id_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    flagged = corpus_sh.join(
+        F.broadcast(bench_sh).withColumn("hit", F.lit(1)),
+        "shingle",
+        "left_outer",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
+    )

@@ -118,6 +118,8 @@ def merge_upsert(
         ).partitionBy("bucket").parquet(table_path)
         return
 
+    # Driver-side by design and provably bounded: bucket = pmod(hash,
+    # n_buckets) < n_buckets values, independent of update volume.
     touched = [
         r[0]
         for r in updates.select(bucket.alias("b")).distinct().collect()

@@ -1259,3 +1259,108 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+# ===================================================================
+# Round-2: F4 HTML rendition, ChunkCommand CDC, Kafka serde round-trip
+# ===================================================================
+
+# F4: identical escape/wrap to functions/models.to_html_expr (& first).
+ORACLES["html_rendition"] = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><body><p>' ||
+    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+    || '</p></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+  cast(length(html) as bigint) AS n_chars_html,
+  md5(html) AS html_digest,
+  'tika-html' AS rendition_by
+FROM h ORDER BY doc_id
+"""
+
+# ChunkCommand CDC: replay the identical command stream step-by-step
+# with a recursive CTE — semantics mirror sequence_management.kt:5-27
+# exactly (clamped INSERT, out-of-range UPDATE/MERGE/DELETE no-ops).
+# DuckDB list slicing is 1-based inclusive, our indices 0-based.
+ORACLES["chunk_command_fold"] = """
+WITH RECURSIVE cmds AS (
+  SELECT user_id AS key, event_id,
+    CASE WHEN event_type = 'signup' THEN 'START'
+         WHEN event_type = 'view' THEN 'APPEND'
+         WHEN event_type = 'click' THEN 'INSERT'
+         WHEN event_type = 'purchase' THEN 'UPDATE'
+         WHEN event_id % 2 = 0 THEN 'DELETE'
+         ELSE 'MERGE' END AS command,
+    cast(event_id % 7 as int) AS idx,
+    cast(event_id % 7 + 1 as int) AS to_idx,
+    substr(md5(cast(event_id as varchar)), 1, 6) AS content,
+    cast(row_number() OVER (PARTITION BY user_id ORDER BY event_id) as int) AS rn
+  FROM events
+), n AS (
+  SELECT key, max(rn) AS n_cmds FROM cmds GROUP BY key
+), rec AS (
+  SELECT key, 0 AS step, cast([] as varchar[]) AS arr FROM n
+  UNION ALL
+  SELECT r.key, r.step + 1,
+    CASE c.command
+      WHEN 'START' THEN cast([] as varchar[])
+      WHEN 'APPEND' THEN arr || [c.content]
+      WHEN 'INSERT' THEN
+        arr[1:least(c.idx, len(arr))] || [c.content]
+          || arr[least(c.idx, len(arr)) + 1:]
+      WHEN 'UPDATE' THEN
+        CASE WHEN c.idx < len(arr)
+          THEN arr[1:c.idx] || [c.content] || arr[c.idx + 2:]
+          ELSE arr END
+      WHEN 'MERGE' THEN
+        CASE WHEN c.to_idx < len(arr)
+          THEN arr[1:c.idx] || [c.content] || arr[c.to_idx + 2:]
+          ELSE arr END
+      WHEN 'DELETE' THEN
+        CASE WHEN c.idx < len(arr)
+          THEN arr[1:c.idx] || arr[c.idx + 2:]
+          ELSE arr END
+      ELSE arr END
+  FROM rec r JOIN cmds c ON c.key = r.key AND c.rn = r.step + 1
+)
+SELECT rec.key AS doc_id,
+  cast(len(arr) as bigint) AS n_chunks,
+  md5(coalesce(array_to_string(arr, '|'), '')) AS chunks_digest
+FROM rec JOIN n ON rec.key = n.key
+WHERE rec.step = n.n_cmds
+ORDER BY doc_id
+"""
+
+# Kafka serde: the round-trip (to_json -> from_json) is lossless, so
+# the oracle computes the same aggregate from the raw fields directly.
+ORACLES["kafka_serde_roundtrip"] = """
+WITH env AS (
+  SELECT user_id AS doc_id,
+    CASE WHEN event_type = 'signup' THEN 'CREATE'
+         WHEN event_type = 'error' THEN 'UPSERT_DOCUMENT_REPRESENTATION'
+         ELSE 'UPSERT_METADATA' END AS command,
+    ts AS event_ts,
+    CASE WHEN event_type = 'signup'
+      THEN 'doc_' || cast(user_id as varchar) END AS name,
+    CASE WHEN event_type = 'error'
+      THEN '/data/' || cast(event_id as varchar) END AS rep_path,
+    CASE WHEN event_type NOT IN ('signup', 'error')
+      THEN 'producer_' || event_type END AS meta_by,
+    CASE WHEN event_type NOT IN ('signup', 'error')
+      THEN event_type END AS meta_event_type
+  FROM events
+)
+SELECT command,
+  count(*) AS n_events,
+  count(DISTINCT doc_id) AS n_docs,
+  count(name) AS n_names,
+  count(rep_path) AS n_rep_paths,
+  count(meta_by) AS n_meta,
+  cast(floor(max(epoch(event_ts))) as bigint) AS max_event_epoch,
+  md5(coalesce(array_to_string(list_sort(coalesce(
+    list(meta_event_type) FILTER (meta_event_type IS NOT NULL),
+    cast([] as varchar[]))), ','), '')) AS meta_digest
+FROM env GROUP BY command ORDER BY command
+"""

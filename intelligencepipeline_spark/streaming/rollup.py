@@ -107,10 +107,22 @@ def make_cascade_merger(
                 "day", (F.floor(F.col("bucket_start") / _DAY) * _DAY).cast("long")
             )
             if os.path.exists(path):
-                touched = [r[0] for r in delta.select("day").distinct().collect()]
-                existing = spark.read.parquet(path).filter(
-                    F.col("day").isin(touched)
-                )
+                # Touched-day list is driver-side by design (bounded by
+                # days-per-trigger); guard against a historical backfill
+                # batch touching thousands of days — beyond the cap,
+                # skip the prune and merge against the whole table
+                # rather than materialize a huge IN-list.
+                cap = 1000
+                touched = [
+                    r[0]
+                    for r in delta.select("day")
+                    .distinct()
+                    .limit(cap + 1)
+                    .collect()
+                ]
+                existing = spark.read.parquet(path)
+                if len(touched) <= cap:
+                    existing = existing.filter(F.col("day").isin(touched))
                 delta = existing.unionByName(delta)
             merged = (
                 delta.groupBy("day", "bucket_start", key_col)

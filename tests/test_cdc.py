@@ -1,0 +1,71 @@
+"""ChunkCommand CDC application (operators/cdc.py): the reference's
+edit-protocol semantics (datarecords.kt:6-7 commands applied with
+sequence_management.kt:5-27 rules; edge cases per SequenceTests.kt:8-41)
+folded over an ordered command stream."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.cdc import apply_chunk_commands
+
+SCHEMA = "doc_id long, seq long, command string, index int, to_index int, content string"
+
+
+def fold(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = apply_chunk_commands(df).collect()
+    return {r.doc_id: list(r.chunks) for r in out}
+
+
+def test_append_insert_update_remove(spark):
+    rows = [
+        (1, 1, "APPEND", None, None, "a"),
+        (1, 2, "APPEND", None, None, "b"),
+        (1, 3, "INSERT", 1, None, "x"),      # a x b
+        (1, 4, "UPDATE", 0, None, "A"),      # A x b
+        (1, 5, "DELETE", 1, None, None),     # A b
+    ]
+    assert fold(spark, rows)[1] == ["A", "b"]
+
+
+def test_out_of_range_noops_and_clamped_insert(spark):
+    rows = [
+        (2, 1, "APPEND", None, None, "a"),
+        (2, 2, "UPDATE", 5, None, "z"),      # no-op (i >= len)
+        (2, 3, "DELETE", 9, None, None),     # no-op
+        (2, 4, "MERGE", 0, 5, "m"),          # no-op (to >= len)
+        (2, 5, "INSERT", 99, None, "b"),     # clamps to append
+    ]
+    assert fold(spark, rows)[2] == ["a", "b"]
+
+
+def test_merge_range(spark):
+    rows = [
+        (3, i, "APPEND", None, None, c)
+        for i, c in enumerate(["a", "b", "c", "d"], start=1)
+    ] + [(3, 10, "MERGE", 1, 2, "M")]        # a M d
+    assert fold(spark, rows)[3] == ["a", "M", "d"]
+
+
+def test_start_resets_and_last_is_noop(spark):
+    rows = [
+        (4, 1, "APPEND", None, None, "old"),
+        (4, 2, "START", None, None, None),
+        (4, 3, "ADD", None, None, "new"),
+        (4, 4, "LAST", None, None, None),
+    ]
+    assert fold(spark, rows)[4] == ["new"]
+
+
+def test_commands_apply_in_seq_order_not_input_order(spark):
+    rows = [
+        (5, 3, "UPDATE", 0, None, "late"),
+        (5, 1, "APPEND", None, None, "first"),
+        (5, 2, "APPEND", None, None, "second"),
+    ]
+    assert fold(spark, rows)[5] == ["late", "second"]
+
+
+def test_empty_history_yields_empty(spark):
+    rows = [(6, 1, "LAST", None, None, None)]
+    assert fold(spark, rows)[6] == []

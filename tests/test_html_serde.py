@@ -1,0 +1,119 @@
+"""F4 HTML rendition (functions/models.extract_html_any + engine
+representation producer) and the hermetic Kafka serde round-trip."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intelligencepipeline_spark.engine import Engine
+from intelligencepipeline_spark.functions.models import (
+    extract_html_any,
+    to_html_expr,
+)
+from intelligencepipeline_spark.schemas import DATARECORD_EVENT_SCHEMA
+
+
+def test_html_escape_and_wrap(spark):
+    df = spark.createDataFrame(
+        [("a & b",), ("<tag>",), ("plain",)], "text string"
+    )
+    out = [r.h for r in df.select(to_html_expr(F.col("text")).alias("h")).collect()]
+    assert out[0] == "<html><body><p>a &amp; b</p></body></html>"
+    assert out[1] == "<html><body><p>&lt;tag&gt;</p></body></html>"
+    assert out[2] == "<html><body><p>plain</p></body></html>"
+
+
+def test_extract_html_from_binary(spark):
+    df = spark.createDataFrame([("x < y",)], "text string").select(
+        F.col("text").cast("binary").alias("content")
+    )
+    out = df.select(extract_html_any(F.col("content")).alias("h")).collect()
+    assert out[0].h == "<html><body><p>x &lt; y</p></body></html>"
+
+
+def test_engine_representation_producer_fills_html(spark):
+    """F4 through the engine: the html column is produced and the
+    producer is recorded in additional_representations (ref
+    participants/implementations.kt:172-179)."""
+    ing = spark.createDataFrame(
+        [(1, "doc1", "hello"), (2, "doc2", "a & b")],
+        "doc_id long, name string, text string",
+    ).withColumn("content", F.col("text").cast("binary"))
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_representation_producer(
+            "tika-html",
+            "html",
+            lambda d: extract_html_any(F.col("content")),
+            requires=("content",),
+        )
+    )
+    dr = eng.run()["datarecords"]
+    rows = {r.doc_id: r for r in dr.collect()}
+    assert rows[2].html == "<html><body><p>a &amp; b</p></body></html>"
+    assert [rep.created_by for rep in rows[1].additional_representations] == [
+        "tika-html"
+    ]
+    assert not eng.failed_producers
+
+
+def test_kafka_serde_roundtrip_identity(spark):
+    """to_json -> from_json through the topic schema is lossless for
+    every envelope shape (sources/kafka.py wire format)."""
+    value_schema = T.StructType(
+        [f for f in DATARECORD_EVENT_SCHEMA.fields if f.name != "doc_id"]
+    )
+    env = spark.createDataFrame(
+        [
+            (7, "CREATE", "doc_7", None, None),
+            (8, "UPSERT_DOCUMENT_REPRESENTATION", None, ("/p/x", "directory"), None),
+            (9, "UPSERT_METADATA", None, None, ({"k": "v", "a": "b"}, "prod")),
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("command", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "representation",
+                    T.StructType(
+                        [
+                            T.StructField("path", T.StringType()),
+                            T.StructField("created_by", T.StringType()),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "metadata",
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "values",
+                                T.MapType(T.StringType(), T.StringType()),
+                            ),
+                            T.StructField("created_by", T.StringType()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    ).withColumn("event_ts", F.timestamp_seconds(F.col("doc_id") * 1000))
+    wire = env.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct("command", "event_ts", "name", "representation", "metadata")
+        ).alias("value"),
+    )
+    decoded = wire.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.from_json("value", value_schema).alias("v"),
+    ).select("doc_id", "v.*")
+    got = {r.doc_id: r for r in decoded.collect()}
+    assert got[7].command == "CREATE" and got[7].name == "doc_7"
+    assert got[8].representation.path == "/p/x"
+    assert got[8].representation.created_by == "directory"
+    assert got[9].metadata.values == {"k": "v", "a": "b"}
+    assert got[9].metadata.created_by == "prod"
+    assert got[7].event_ts is not None
+    # no corrupt records: every value parsed
+    assert decoded.filter(F.col("command").isNull()).count() == 0

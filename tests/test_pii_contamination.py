@@ -1,0 +1,74 @@
+"""PII redaction (functions/text.redact_pii) and benchmark
+contamination (operators/contamination.ngram_contamination)."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import pii_counts, redact_pii
+from intelligencepipeline_spark.operators.contamination import (
+    ngram_contamination,
+)
+
+
+def test_redact_pii_all_types(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "mail bob.smith+x@example.co.uk id 123-45-6789 "
+                "ip 10.0.255.1 call +1 555 123-4567 done",
+            )
+        ],
+        "text string",
+    )
+    out = df.select(redact_pii(F.col("text")).alias("r")).collect()[0].r
+    assert out == "mail <EMAIL> id <ID> ip <IP> call <PHONE> done"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [("a@b.co and c@d.org at 1.2.3.4",), ("clean text",)],
+        "text string",
+    )
+    rows = df.select(pii_counts(F.col("text")).alias("p")).collect()
+    assert rows[0].p.n_email == 2 and rows[0].p.n_ip == 1
+    assert rows[1].p.n_email == 0 and rows[1].p.n_phone == 0
+
+
+def test_redaction_order_ssn_before_phone(spark):
+    # the SSN-shaped id must not be half-eaten by the phone pattern
+    df = spark.createDataFrame([("ssn 987-65-4321 end",)], "text string")
+    out = df.select(redact_pii(F.col("text")).alias("r")).collect()[0].r
+    assert out == "ssn <ID> end"
+
+
+def test_contamination_rates(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # contains bench 3-gram
+            (2, "totally unrelated words here"),   # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, k=3).collect()
+    }
+    assert out[1].n_overlap == 1 and out[1].n_shingles == 3
+    assert out[1].contamination == 1 / 3
+    assert out[2].n_overlap == 0 and out[2].contamination == 0.0
+
+
+def test_contamination_short_docs(spark):
+    # docs shorter than k tokens fall back to whole-text shingle
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, bench, k=3).collect()
+    }
+    assert out[1].n_overlap == 1
+    assert out[2].n_overlap == 0

@@ -1,0 +1,69 @@
+"""Per-query bench regression gate: compare two BENCH_r{N}.json files
+and flag queries that regressed by more than a threshold.
+
+Usage:
+    python tools/bench_diff.py BENCH_r01.json BENCH_r02.json [ratio]
+
+Exit code 1 if any query regressed > ratio (default 1.5x) AND by more
+than 0.5s absolute (sub-second jitter on a busy host is not a
+regression signal).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def _load(path: str) -> dict:
+    """Accept either bench.py's raw line or the driver's BENCH_r{N}.json
+    wrapper (which may hold only a truncated 'tail' of the line)."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if "queries" in d:
+        return d
+    tail = d.get("tail", "")
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9][0-9.]*)', tail)
+    total = re.search(r'"value": ([0-9.]+)', tail)
+    return {
+        "value": float(total.group(1)) if total else None,
+        "queries": {
+            k: float(v)
+            for k, v in pairs
+            if k not in ("value", "sf", "n", "rc", "cpus")
+        },
+    }
+
+
+def diff(old_path: str, new_path: str, ratio: float = 1.5) -> int:
+    old, new = _load(old_path), _load(new_path)
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    regressed = []
+    improved = []
+    for name, t_new in sorted(nq.items()):
+        t_old = oq.get(name)
+        if t_old is None:
+            print(f"NEW   {name}: {t_new:.2f}s")
+            continue
+        if t_new > t_old * ratio and t_new - t_old > 0.5:
+            regressed.append((name, t_old, t_new))
+        elif t_old > t_new * ratio and t_old - t_new > 0.5:
+            improved.append((name, t_old, t_new))
+    for name in sorted(set(oq) - set(nq)):
+        print(f"GONE  {name} (was {oq[name]:.2f}s)")
+    for name, a, b in improved:
+        print(f"FASTER {name}: {a:.2f}s -> {b:.2f}s")
+    for name, a, b in regressed:
+        print(f"SLOWER {name}: {a:.2f}s -> {b:.2f}s  (> {ratio}x)")
+    print(
+        f"total: {old.get('value')}s -> {new.get('value')}s "
+        f"({len(nq)} queries, {len(regressed)} regressed)"
+    )
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    r = float(args[2]) if len(args) > 2 else 1.5
+    sys.exit(diff(args[0], args[1], r))
