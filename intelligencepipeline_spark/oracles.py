@@ -1364,3 +1364,101 @@ SELECT command,
     cast([] as varchar[]))), ','), '')) AS meta_digest
 FROM env GROUP BY command ORDER BY command
 """
+
+# ===================================================================
+# Round-2: PII redaction, contamination, token packing, domain mixing
+# ===================================================================
+
+# Same RE2-safe patterns as functions/text.PII_PATTERNS, same order.
+_PII_NARR = (
+    "'contact user' || cast(doc_id as varchar) || "
+    "'@example.com call +1 555 23 4567 from 10.0.' || "
+    "cast(doc_id % 256 as varchar) || '.7 id 123-45-6789 re ' || text"
+)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_ID = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+ORACLES["pii_redaction"] = f"""
+WITH nar AS (
+  SELECT doc_id, {_PII_NARR} AS narrative FROM documents
+), red AS (
+  SELECT doc_id, narrative,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      narrative,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_ID}', '<ID>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM nar
+)
+SELECT doc_id,
+  cast(len(regexp_extract_all(narrative, '{_PII_EMAIL}')) as bigint) AS n_email,
+  cast(len(regexp_extract_all(narrative, '{_PII_ID}')) as bigint) AS n_id,
+  cast(len(regexp_extract_all(narrative, '{_PII_IP}')) as bigint) AS n_ip,
+  cast(len(regexp_extract_all(narrative, '{_PII_PHONE}')) as bigint) AS n_phone,
+  cast(length(redacted) as bigint) AS n_chars_redacted,
+  md5(redacted) AS redacted_digest
+FROM red ORDER BY doc_id
+"""
+
+# md5-bucket benchmark set (same recipe as deterministic_sample) and the
+# same k=3 normalized-token shingles as the dedup family.
+ORACLES["contamination_check"] = f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), bench AS (
+  SELECT DISTINCT shingle FROM shing
+  WHERE (cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+         as bigint) % 100) < 10
+)
+SELECT s.doc_id,
+  count(*) AS n_shingles,
+  cast(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_overlap,
+  cast(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) as double)
+    / cast(count(*) as double) AS contamination
+FROM shing s LEFT JOIN bench b ON s.shingle = b.shingle
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+ORACLES["token_packing"] = f"""
+WITH t AS (
+  SELECT lang, doc_id, cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *, cast(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum
+  FROM t
+), b AS (
+  SELECT lang, doc_id, n_tokens,
+    cast(floor((cum - n_tokens) / 2048.0) as bigint) AS bin
+  FROM c
+)
+SELECT lang, bin,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) as bigint) AS total_tokens,
+  min(doc_id) AS first_doc,
+  max(doc_id) AS last_doc
+FROM b GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+ORACLES["domain_mix_sample"] = """
+WITH s AS (
+  SELECT source,
+    (cast(concat('0x', substr(md5(source), 1, 8)) as bigint) % 71 + 10)
+      AS rate_pct,
+    CASE WHEN (cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+               as bigint) % 100)
+         < (cast(concat('0x', substr(md5(source), 1, 8)) as bigint) % 71 + 10)
+      THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT source,
+  cast(max(rate_pct) as bigint) AS rate_pct,
+  count(*) AS n_total,
+  cast(sum(kept) as bigint) AS n_kept
+FROM s GROUP BY source ORDER BY source
+"""

@@ -2154,6 +2154,132 @@ def kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/text.redact_pii) — the
+    pre-training scrub pass. PII is injected deterministically into a
+    per-doc narrative (the synthetic corpus has none) so every pattern
+    class fires: email, SSN-shaped id, IPv4, phone. RE2-safe patterns
+    are SHARED with the oracle, and the whole pass is a regexp chain in
+    the scan stage — no UDF, no shuffle at any scale."""
+    from intelligencepipeline_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    narrative = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 555 23 4567 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 id 123-45-6789 re "),
+        F.col("text"),
+    )
+    staged = docs.select(
+        "doc_id",
+        pii_counts(narrative).alias("p"),
+        redact_pii(narrative).alias("red"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("p.n_email").alias("n_email"),
+        F.col("p.n_id").alias("n_id"),
+        F.col("p.n_ip").alias("n_ip"),
+        F.col("p.n_phone").alias("n_phone"),
+        F.length("red").cast("long").alias("n_chars_redacted"),
+        F.md5("red").alias("redacted_digest"),
+    ).orderBy("doc_id")
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination (operators/contamination.py): per-doc
+    overlap of word 3-grams with a deterministic 'eval set' (the
+    md5-bucket<10 sample — same recipe as deterministic_sample). The
+    eval shingle set broadcasts; the corpus never shuffles for the
+    membership probe. Sampled docs score ~1.0, clean docs 0.0 — the
+    gate a training corpus passes before shipping."""
+    from intelligencepipeline_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    bench = docs.filter(bucket < 10)
+    return ngram_contamination(docs, bench, k=3).orderBy("doc_id")
+
+
+def token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the concatenate-and-split
+    batching step of LLM training: docs are packed in deterministic
+    (doc_id) order into 2048-token bins per language shard; a doc's bin
+    is its running start offset // budget. One window cumsum per shard
+    (partitioned window — each lang packs independently and in
+    parallel; at 100 TB you pack per (lang, shard) exactly like this).
+    Exports per-bin doc counts and token mass."""
+    from intelligencepipeline_spark.functions.text import tokens
+
+    budget = 2048
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = staged.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing — per-source sampling rates applied with
+    the deterministic md5-bucket filter (reproducible on any engine /
+    partitioning, unlike seeded sample()). Rates are themselves derived
+    from md5(source) so the query is self-contained; in production the
+    rate map is a broadcast config. Pure row predicate: rides the scan,
+    composes with partition pruning at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long")
+        % 71
+        + 10
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    staged = docs.select(
+        "source",
+        rate.alias("rate_pct"),
+        F.when(bucket < rate, 1).otherwise(0).alias("kept"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.max("rate_pct").alias("rate_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2194,6 +2320,10 @@ QUERIES = {
     "html_rendition": html_rendition,
     "chunk_command_fold": chunk_command_fold,
     "kafka_serde_roundtrip": kafka_serde_roundtrip,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+    "token_packing": token_packing,
+    "domain_mix_sample": domain_mix_sample,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
