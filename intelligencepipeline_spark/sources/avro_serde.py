@@ -1,0 +1,118 @@
+"""Avro serde option (SURVEY.md §1.3).
+
+The reference ships a (vestigial) Avro path next to its JSON serde: a
+reflection serializer (pipeline/avro/serialization.kt:10-23) and a
+hand-written DataRecord contract (/root/reference/schema.json:1-44 —
+which diverges from the code: it has mimeType, lacks timestamp). Here
+the contract is DERIVED from the engine's canonical StructTypes, so it
+can never drift, and the Kafka edge swaps JSON for Avro by replacing
+``to_json``/``from_json`` with ``to_avro``/``from_avro``.
+
+The spark-avro jar is an external package
+(``--packages org.apache.spark:spark-avro_2.13:<version>``) and is not
+in this container — the schema contract and converter are fully tested
+hermetically; the runtime wrappers raise a clear error when the jar is
+absent.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column
+from pyspark.sql import types as T
+
+_PRIMITIVES = {
+    "string": "string",
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "bytes",
+    # Avro logical types for temporals (what spark-avro emits)
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def struct_to_avro_schema(
+    schema: T.StructType, name: str = "Record", _path: str = ""
+) -> dict:
+    """Spark StructType -> Avro record schema (nullable fields become
+    Avro unions with null, matching spark-avro's own mapping)."""
+
+    def field_type(dt: T.DataType, fname: str):
+        s = dt.typeName()  # LongType -> "long" (simpleString is "bigint")
+        if isinstance(dt, T.StructType):
+            return struct_to_avro_schema(dt, fname.capitalize(), _path + fname)
+        if isinstance(dt, T.ArrayType):
+            return {
+                "type": "array",
+                "items": nullable(dt.elementType, fname + "_item",
+                                  dt.containsNull),
+            }
+        if isinstance(dt, T.MapType):
+            return {
+                "type": "map",
+                "values": nullable(dt.valueType, fname + "_value",
+                                   dt.valueContainsNull),
+            }
+        if s in _PRIMITIVES:
+            return _PRIMITIVES[s]
+        raise TypeError(f"no Avro mapping for {dt.simpleString()}")
+
+    def nullable(dt: T.DataType, fname: str, may_null: bool = True):
+        t = field_type(dt, fname)
+        return ["null", t] if may_null else t
+
+    return {
+        "type": "record",
+        # nested record names must be unique within one Avro schema
+        "name": (_path.capitalize() + name) if _path else name,
+        "fields": [
+            {
+                "name": f.name,
+                "type": nullable(f.dataType, f.name, f.nullable),
+            }
+            for f in schema.fields
+        ],
+    }
+
+
+def datarecord_avro_schema() -> str:
+    """The engine's DataRecord Avro contract as a JSON string (the
+    counterpart of the reference's schema.json, derived from
+    DATARECORD_SCHEMA so it cannot drift from the code)."""
+    from intelligencepipeline_spark.schemas import DATARECORD_SCHEMA
+
+    return json.dumps(
+        struct_to_avro_schema(DATARECORD_SCHEMA, "DataRecord"), indent=2
+    )
+
+
+def to_avro_value(col: Column, avro_schema: str) -> Column:
+    """``to_avro`` for the Kafka value column; requires the spark-avro
+    package at runtime."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "spark-avro not available: add --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from e
+    return to_avro(col, avro_schema)
+
+
+def from_avro_value(col: Column, avro_schema: str) -> Column:
+    """``from_avro`` for the Kafka value column (see to_avro_value)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "spark-avro not available: add --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>"
+        ) from e
+    return from_avro(col, avro_schema)

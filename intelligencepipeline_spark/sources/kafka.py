@@ -34,6 +34,7 @@ def read_topic(
     value_schema: T.StructType,
     starting_offsets: str = "earliest",
     streaming: bool = True,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Typed topic consumer (ref KafkaIntelligencePipeline.kt:65-66 etc.).
 
@@ -42,15 +43,25 @@ def read_topic(
     ``value_schema``. ``startingOffsets=earliest`` reproduces the
     reference's replay-from-start reads (dataRecords(),
     KafkaIntelligencePipeline.kt:61-76).
+
+    ``max_offsets_per_trigger`` is the back-pressure knob (§2.7: the
+    reference throttles with commit.interval.ms + unbuffered caching,
+    KafkaIntelligencePipeline.kt:93-95; Spark's equivalent bounds rows
+    per micro-batch so a replay-from-earliest start cannot flood the
+    first trigger).
     """
     reader = spark.readStream if streaming else spark.read
-    raw = (
+    reader = (
         reader.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    if streaming and max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    raw = reader.load()
     return raw.select(
         F.conv(F.hex(F.col("key")), 16, 10).cast("long").alias("doc_id"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),

@@ -1,0 +1,83 @@
+"""Avro schema contract (sources/avro_serde.py): the StructType ->
+Avro mapping, and the derived DataRecord contract."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from intelligencepipeline_spark.schemas import (
+    DATARECORD_EVENT_SCHEMA,
+    DATARECORD_SCHEMA,
+)
+from intelligencepipeline_spark.sources.avro_serde import (
+    datarecord_avro_schema,
+    struct_to_avro_schema,
+)
+
+
+def _field(schema: dict, name: str) -> dict:
+    return next(f for f in schema["fields"] if f["name"] == name)
+
+
+def test_primitives_and_nullability():
+    s = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.TimestampType(), True),
+        ]
+    )
+    av = struct_to_avro_schema(s, "Rec")
+    assert _field(av, "a")["type"] == "long"  # non-null: no union
+    assert _field(av, "b")["type"] == ["null", "string"]
+    assert _field(av, "c")["type"] == [
+        "null",
+        {"type": "long", "logicalType": "timestamp-micros"},
+    ]
+
+
+def test_nested_struct_array_map():
+    av = struct_to_avro_schema(DATARECORD_SCHEMA, "DataRecord")
+    meta = _field(av, "meta")["type"]
+    assert meta[0] == "null" and meta[1]["type"] == "array"
+    item = meta[1]["items"]
+    assert item[0] == "null" and item[1]["type"] == "record"
+    values = _field(item[1], "values")["type"]
+    assert values[1]["type"] == "map"
+    rep = _field(av, "representation")["type"]
+    assert rep[1]["type"] == "record"
+    assert {f["name"] for f in rep[1]["fields"]} == {"path", "created_by"}
+
+
+def test_datarecord_contract_parses_and_covers_all_columns():
+    contract = json.loads(datarecord_avro_schema())
+    assert contract["name"] == "DataRecord"
+    assert {f["name"] for f in contract["fields"]} == {
+        f.name for f in DATARECORD_SCHEMA.fields
+    }
+    # doc_id is the non-null key — encoded without a null union
+    assert _field(contract, "doc_id")["type"] == "long"
+
+
+def test_event_schema_maps():
+    av = struct_to_avro_schema(DATARECORD_EVENT_SCHEMA, "DataRecordEvent")
+    # record names for nested types must be unique (Avro requirement)
+    names = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "record":
+                names.append(t["name"])
+                for f in t["fields"]:
+                    walk(f["type"])
+            elif t.get("type") == "array":
+                walk(t["items"])
+            elif t.get("type") == "map":
+                walk(t["values"])
+        elif isinstance(t, list):
+            for x in t:
+                walk(x)
+
+    walk(av)
+    assert len(names) == len(set(names)), names
