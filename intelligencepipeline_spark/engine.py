@@ -166,7 +166,15 @@ class Engine:
         return F.exists("meta", lambda m: m["created_by"] == F.lit(name))
 
     def _apply_metadata(self, df: DataFrame, p: _Producer) -> DataFrame:
-        values = p.fn(df)
+        # Stage the producer expression behind a projection boundary:
+        # `values` is referenced by BOTH the P3 guard and the merge, and
+        # CollapseProject would otherwise inline a (potentially huge)
+        # producer expression tree into every reference — evaluated
+        # once per row here instead. (Same trick as winnow_fingerprints;
+        # a 13-chunk-producer query dropped 38s -> ~1s from this.)
+        tmp = f"__values_{p.name}"
+        df = df.withColumn(tmp, p.fn(df))
+        values = F.col(tmp)
         new_meta = F.struct(
             values.alias("values"), F.lit(p.name).alias("created_by")
         )
@@ -180,16 +188,20 @@ class Engine:
             F.when(apply_cond, merge_meta(F.col("meta"), new_meta)).otherwise(
                 F.col("meta")
             ),
-        )
+        ).drop(tmp)
 
     def _apply_representation(self, df: DataFrame, p: _Producer) -> DataFrame:
-        rendition = p.fn(df)
+        # Assign the rendition to its column FIRST and guard on the
+        # column reference — guarding on the raw expression would
+        # inline the producer tree into the P3 condition as well
+        # (see _apply_metadata's staging note).
+        df = df.withColumn(p.target_col, p.fn(df))
+        rendition = F.col(p.target_col)
         rep = F.struct(
             F.lit(None).cast("string").alias("path"),  # column, not a file path
             F.lit(p.name).alias("created_by"),
         )
         non_empty = rendition.isNotNull() & (F.length(rendition) > 0)  # P3
-        df = df.withColumn(p.target_col, rendition)
         return df.withColumn(
             "additional_representations",
             F.when(

@@ -18,10 +18,12 @@ Scale notes (100 TB / billions of edges):
   Components in MapReduce and Beyond", converges in O(log n) rounds —
   same per-round shuffle structure, swap in if diameter bites.)
 * Each iteration is ONE keyed shuffle (join) + one partial-agg min —
-  Catalyst pipelines the rest map-side.
-* ``localCheckpoint`` per iteration truncates lineage — without it the
-  plan doubles every round and the driver, not the data, becomes the
-  bottleneck.
+  Catalyst pipelines the rest map-side, and the convergence count is
+  the SAME action that materializes the round's cache (one job per
+  round, not a checkpoint job plus a count job).
+* Each round's result is persisted and the previous round's cache
+  released — lineage stays rooted in cached blocks, so the plan never
+  doubles and the driver is not the bottleneck.
 """
 
 from __future__ import annotations
@@ -39,17 +41,20 @@ def connected_components(
     """(a, b) undirected pair list -> (node, component), component =
     smallest node id in the connected group. Nodes not appearing in
     any edge are absent (singletons need no cluster id)."""
+    from pyspark import StorageLevel
+
     sym = edges.select(
         F.col(a).alias("s"), F.col(b).alias("d")
     ).unionAll(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)  # used by every round
 
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev = labels
     for _ in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["s"] == labels["node"])
@@ -64,10 +69,12 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
-        )
-        nxt = nxt.localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # one action: materializes this round's cache AND tests fixpoint
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         labels = nxt.select("node", "label")
+        prev.unpersist()
+        prev = nxt
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

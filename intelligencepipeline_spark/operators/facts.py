@@ -15,8 +15,37 @@ partial aggregation; the struct ordering key makes ties deterministic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def max_score_struct(props: Column) -> Column:
+    """Expression form of the confidence-argmax over a ``propositions``
+    ARRAY column (array<struct<proposal,confidence>>): the winning
+    struct, ties broken by proposal (array_max's lexicographic struct
+    order); null/empty -> (null, 0.0) exactly like the reference's
+    MaxScore on an empty set (facts/implementations.kt:6-14)."""
+    best = F.array_max(
+        F.transform(
+            props,
+            lambda p: F.struct(
+                p["confidence"].alias("confidence"),
+                p["proposal"].alias("proposal"),
+            ),
+        )
+    )
+    return F.when(
+        props.isNotNull() & (F.size(props) > 0),
+        F.struct(
+            best["proposal"].alias("proposal"),
+            best["confidence"].alias("confidence"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("proposal"),
+            F.lit(0.0).cast("float").alias("confidence"),
+        )
+    )
 
 
 def max_score(

@@ -457,6 +457,38 @@ WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.5
 ORDER BY i.a, i.b
 """
 
+# Shared CTE chain: the LSH-candidate-pruned verified-Jaccard edge set
+# (identical semantics to dedup_pipeline, threshold 0.5) — the edge
+# source for the clustering/survivor oracles.
+_LSH_EDGE_CTES = f"""hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+), shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), edges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN cands c ON i.a = c.a AND i.b = c.b
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.5
+)"""
+
 ORACLES["similarity_topk"] = f"""
 WITH q AS (
   SELECT generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
@@ -925,21 +957,7 @@ FROM r ORDER BY doc_id
 # exact cross-engine oracle for the ITERATIVE min-label-propagation
 # operator (operators/components.py).
 ORACLES["dedup_clusters"] = f"""
-WITH RECURSIVE shing AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
-), inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM shing x JOIN shing y USING (shingle)
-  WHERE x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-), edges AS (
-  SELECT a, b FROM inter
-  JOIN sizes sa ON a = sa.doc_id
-  JOIN sizes sb ON b = sb.doc_id
-  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
-), sym AS (
+WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
   SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
 ), nodes AS (
   SELECT DISTINCT s AS node FROM sym
@@ -1136,21 +1154,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 ORACLES["streaming_consolidation"] = ORACLES["consolidation_fold"]
 
 ORACLES["dedup_survivor_docs"] = f"""
-WITH RECURSIVE shing AS (
-  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
-), inter AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM shing x JOIN shing y USING (shingle)
-  WHERE x.doc_id < y.doc_id
-  GROUP BY x.doc_id, y.doc_id
-), edges AS (
-  SELECT a, b FROM inter
-  JOIN sizes sa ON a = sa.doc_id
-  JOIN sizes sb ON b = sb.doc_id
-  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.3
-), sym AS (
+WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
   SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
 ), nodes AS (
   SELECT DISTINCT s AS node FROM sym
@@ -1461,4 +1465,67 @@ SELECT source,
   count(*) AS n_total,
   cast(sum(kept) as bigint) AS n_kept
 FROM s GROUP BY source ORDER BY source
+"""
+
+# ===================================================================
+# Round-2: engine-path proofs (chunk metadata, proposer, side effect)
+# ===================================================================
+
+ORACLES["chunk_metadata_enrichment"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_RTOKS}) AS w, generate_subscripts({_RTOKS}, 1) AS i
+  FROM documents
+), ch AS (
+  SELECT doc_id, cast((i - 1) // 10 as bigint) AS chunk_index,
+    string_agg(w, ' ' ORDER BY i) AS text
+  FROM toks GROUP BY doc_id, (i - 1) // 10
+), scores AS (
+  SELECT doc_id, chunk_index,
+    ({_S_EN}) AS s_en, ({_S_DE}) AS s_de, ({_S_FR}) AS s_fr, ({_S_ES}) AS s_es
+  FROM ch
+)
+SELECT doc_id, chunk_index,
+  'PARAGRAPH' AS chunk_type,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    ELSE 'de' END AS chunk_lang
+FROM scores ORDER BY doc_id, chunk_index
+"""
+
+# Two proposers -> MaxScore winner: heuristic lang at marker-score/100
+# confidence (double -> float32 narrowed once, same as the Spark side)
+# vs the constant ('und', 0.1) floor; ties broken by proposal DESC.
+ORACLES["proposer_max_score"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+    ({_S_EN}) AS s_en, ({_S_DE}) AS s_de, ({_S_FR}) AS s_fr, ({_S_ES}) AS s_es
+  FROM documents
+), p AS (
+  SELECT doc_id,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+      WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+      ELSE 'de' END AS proposal,
+    cast(cast(greatest(s_en, s_de, s_fr, s_es) as double) / 100.0 as real)
+      AS confidence
+  FROM s
+  UNION ALL
+  SELECT doc_id, 'und', cast(0.1 as real) FROM documents
+), w AS (
+  SELECT doc_id, proposal, confidence,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY confidence DESC, proposal DESC) AS rn
+  FROM p
+)
+SELECT doc_id, proposal,
+  cast(floor(cast(confidence as double) * 1000) as bigint)
+    AS confidence_milli
+FROM w WHERE rn = 1 ORDER BY doc_id
+"""
+
+ORACLES["side_effect_sink"] = """
+SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id
 """

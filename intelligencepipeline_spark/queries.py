@@ -565,7 +565,11 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (>= 0.3)."""
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.3), WITHOUT candidate
+    pruning: this entry proves the exact-Jaccard SEMANTICS (the full
+    inverted-shingle self-join is small-SF-only by design); the scale
+    path is the candidates= form proven by dedup_pipeline and
+    dedup_clusters."""
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs(docs, shingle_k=3, threshold=0.3).orderBy("a", "b")
 
@@ -1311,20 +1315,40 @@ def text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup clustering: exact 3-gram-Jaccard pairs
-    (threshold 0.3, same edge set as the jaccard_pairs query) closed
-    transitively into components (operators/components.py, iterative
-    min-label propagation), summarized per cluster. The oracle closes
-    the same edges with a DuckDB recursive CTE — an exact cross-engine
-    check of an ITERATIVE distributed algorithm.
+def _lsh_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup edge set shared by the clustering
+    queries: minhash-LSH candidates -> exact Jaccard >= 0.5 verification
+    (identical semantics to dedup_pipeline). Never all-pairs: candidate
+    generation is the banded bucket join, verification is pruned to
+    candidates below the join."""
+    from pyspark import StorageLevel
 
-    Scale: pairs come from the inverted-shingle join here (small SF);
-    at 100 TB feed minhash_lsh_candidates as the ``candidates`` pruning
-    set — the component step is unchanged (its cost scales with the
-    pair list, not the corpus)."""
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
     docs = _t(spark, sf_dir, "documents")
-    edges = jaccard_pairs(docs, shingle_k=3, threshold=0.3).select("a", "b")
+    sh = word_shingles_df(docs, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    cands, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
+    )
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    return jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
+    ).select("a", "b")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering THE SCALE WAY: LSH-candidate-
+    pruned verified-Jaccard edges (>= 0.5, the dedup_pipeline edge set)
+    closed transitively into components (operators/components.py,
+    iterative min-label propagation), summarized per cluster. The
+    oracle re-derives the identical LSH edges in SQL and closes them
+    with a recursive CTE — an exact cross-engine check of an ITERATIVE
+    distributed algorithm composed with banded LSH.
+
+    Scale: no all-pairs stage anywhere — candidates come from the
+    bucket join, and the component step's cost tracks the (sparse)
+    edge list, not the corpus."""
+    edges = _lsh_verified_edges(spark, sf_dir)
     comp = connected_components(edges)
     return (
         comp.groupBy("component")
@@ -1413,13 +1437,11 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end of the dedup pipeline: which documents SURVIVE after
     near-dup clustering (keep the min-id member of every cluster plus
     all singletons) — operators/components.dedup_survivors over the
-    same Jaccard edge set as dedup_clusters. At 100 TB this is the
-    filter that actually shrinks the corpus; it is one broadcast-able
-    left join against the (tiny) clustered-node set."""
+    same LSH-pruned verified edge set as dedup_clusters. At 100 TB
+    this is the filter that actually shrinks the corpus; it is one
+    broadcast-able left join against the (tiny) clustered-node set."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    edges = jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.3
-    ).select("a", "b")
+    edges = _lsh_verified_edges(spark, sf_dir)
     from intelligencepipeline_spark.operators.components import dedup_survivors
 
     kept = dedup_survivors(docs, connected_components(edges))
@@ -2280,6 +2302,145 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_metadata_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-metadata producer path end-to-end (§2.8
+    register_chunk_metadata_producer; ref ChunkMetadataProducer,
+    participants/interfaces.kt:42-44 wired at KafkaIntelligencePipeline
+    .kt:103-125): engine chunk producer explodes 10-token window
+    chunks, a chunk-metadata producer annotates each chunk with its
+    heuristic language (F7 per-chunk lang-ID) — exported per chunk
+    row. Proves the chunk fixpoint machinery, not just the
+    expressions."""
+    from intelligencepipeline_spark.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents")
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_chunk_producer(
+            "windows",
+            lambda d: window_chunks(F.col("text"), 10),
+            chunk_type="PARAGRAPH",
+            requires=("text",),
+        )
+        .register_chunk_metadata_producer(
+            "chunk-lang",
+            lambda d: F.create_map(
+                F.lit("lang"), detect_language(F.col("content"))
+            ),
+            requires=("content",),
+        )
+    )
+    chunks = eng.run()["chunks"]
+    lang_meta = F.element_at(
+        F.filter("metadata", lambda m: m["created_by"] == F.lit("chunk-lang")),
+        1,
+    )["values"]["lang"]
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        F.col("chunk_type"),
+        lang_meta.alias("chunk_lang"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+def proposer_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The proposer/evaluator path end-to-end (§2.8 register_proposer —
+    the reference's declared-but-TODO API, KafkaIntelligencePipeline
+    .kt:187-189, closed here; MaxScore evaluator facts/implementations
+    .kt:6-14): two competing language propositions per document (the
+    heuristic guess at its marker-score confidence, and a constant
+    'und' floor at 0.1), evaluated to the max-confidence winner."""
+    from intelligencepipeline_spark.engine import Engine
+    from intelligencepipeline_spark.operators.facts import max_score_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    scores = language_scores(F.col("text"))
+    best = F.greatest(
+        F.coalesce(scores["en"], F.lit(0)),
+        F.coalesce(scores["de"], F.lit(0)),
+        F.coalesce(scores["fr"], F.lit(0)),
+        F.coalesce(scores["es"], F.lit(0)),
+    )
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_proposer(
+            "lang-heuristic",
+            lambda d: F.struct(
+                detect_language(F.col("text")).alias("proposal"),
+                # compute in double, round to float32 ONCE — the same
+                # double-then-narrow path the oracle takes (float32
+                # arithmetic would be a different rounding sequence)
+                (best.cast("double") / F.lit(100.0))
+                .cast("float")
+                .alias("confidence"),
+            ),
+            requires=("text",),
+        )
+        .register_proposer(
+            "lang-floor",
+            lambda d: F.struct(
+                F.lit("und").alias("proposal"),
+                F.lit(0.1).cast("float").alias("confidence"),
+            ),
+            requires=(),
+        )
+    )
+    dr = eng.run()["datarecords"]
+    winner = max_score_struct(F.col("propositions"))
+    return dr.select(
+        "doc_id",
+        winner["proposal"].alias("proposal"),
+        # float32 -> exact double via one cast; exported as milli-units
+        F.floor(winner["confidence"].cast("double") * 1000)
+        .cast("long")
+        .alias("confidence_milli"),
+    ).orderBy("doc_id")
+
+
+def side_effect_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The side-effect sink end-to-end (S6 registerSideEffect,
+    KafkaIntelligencePipeline.kt:163-185; the reference test writes
+    each consolidated record to a file, KafkaIntelligencePipelineTests
+    .kt:68-70): the registered effect WRITES the enriched datarecords
+    to parquet; the query result is read back from that sink output —
+    so a green row proves the effect consumed the same consolidated
+    stream the engine produced."""
+    import tempfile
+
+    from intelligencepipeline_spark.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents")
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    out_dir = tempfile.mkdtemp(prefix="ip_side_effect_")
+
+    def effect(df: DataFrame) -> None:
+        df.select(
+            "doc_id", F.md5("text").alias("digest")
+        ).write.mode("overwrite").parquet(out_dir)
+
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.md5(F.col("text"))),
+            requires=("text",),
+        )
+        .register_side_effect("sink", effect)
+    )
+    eng.run()
+    assert not eng.failed_producers, eng.failed_producers
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "digest")
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2324,6 +2485,9 @@ QUERIES = {
     "contamination_check": contamination_check,
     "token_packing": token_packing,
     "domain_mix_sample": domain_mix_sample,
+    "chunk_metadata_enrichment": chunk_metadata_enrichment,
+    "proposer_max_score": proposer_max_score,
+    "side_effect_sink": side_effect_sink,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
