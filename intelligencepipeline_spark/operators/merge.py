@@ -111,7 +111,12 @@ def merge_upsert(
         live = updates
         dead_or_live_keys = updates.select(key)
 
-    if not os.path.exists(table_path):
+    # An existing-but-empty directory (mkdtemp targets, fresh mounts)
+    # is NOT an existing table — first merge bootstraps it.
+    has_table = os.path.isdir(table_path) and any(
+        e.startswith("bucket=") for e in os.listdir(table_path)
+    )
+    if not has_table:
         out = live.withColumn("bucket", bucket)
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"

@@ -1529,3 +1529,29 @@ FROM w WHERE rn = 1 ORDER BY doc_id
 ORACLES["side_effect_sink"] = """
 SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id
 """
+
+# S7 snapshot read after two merges: batch 2 wins everywhere, doc_id
+# multiples of 10 tombstoned.
+ORACLES["datarecords_snapshot"] = """
+SELECT doc_id, md5(text) AS digest
+FROM documents
+WHERE doc_id % 10 <> 0
+ORDER BY doc_id
+"""
+
+# Identical oracle to session_window_batch — the streaming run must
+# produce the batch answer.
+ORACLES["streaming_session_windows"] = ORACLES["session_window_batch"]
+
+# Custom stateful streaming fold, exact because the state accumulates
+# integer cents in float64 (< 2^53): same aggregate straight off the
+# events table.
+ORACLES["streaming_stateful_stats"] = """
+SELECT user_id AS key,
+  count(*) AS n,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS total_cents,
+  cast(max(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS max_cents
+FROM events GROUP BY user_id ORDER BY key
+"""

@@ -2441,6 +2441,148 @@ def side_effect_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def datarecords_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 dataRecords read path + the keyed MERGE store end-to-end
+    (operators/merge.py — the Delta-MERGE-shaped consolidation state
+    store, bucketed-parquet backend here): batch 1 upserts stale
+    digests for half the corpus, batch 2 upserts correct digests for
+    ALL docs and tombstones every doc_id % 10 == 0. The snapshot read
+    (read_merged) must show exactly the post-merge state — correct
+    digests, no duplicates from the upsert, deleted keys gone. That is
+    the reference's dataRecords() semantics as a TABLE instead of a
+    changelog replay (KafkaIntelligencePipeline.kt:61-76).
+
+    Scale: each merge touches only the buckets hit by its batch
+    (pmod(xxhash64(key))); the anti-join broadcasts the update side."""
+    import tempfile
+
+    from intelligencepipeline_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5(F.concat(F.lit("stale:"), F.col("text"))).alias("digest")
+    )
+    batch2 = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        (F.col("doc_id") % 10 == 0).alias("_deleted"),
+    )
+    path = tempfile.mkdtemp(prefix="ip_snapshot_")
+    merge_upsert(batch1, path, key="doc_id", n_buckets=16)
+    merge_upsert(batch2, path, key="doc_id", delete_col="_deleted", n_buckets=16)
+    return read_merged(spark, path).select("doc_id", "digest").orderBy("doc_id")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as an ACTUAL Structured Streaming job: Spark's native merging
+    session_window over the file-streamed events table (AvailableNow,
+    complete-mode memory sink), held to the SAME gaps-and-islands
+    DuckDB oracle as the batch session_window_batch query — the second
+    streaming==batch proof next to streaming_consolidation (the
+    reference's session-windowed reassembly is test-only and unproven,
+    KafkaIntelligencePipelineTests.kt:325-333)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    stream_dir = tempfile.mkdtemp(prefix="ip_ssw_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    for f_ in ev.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        ev.withColumn("tsec", F.date_trunc("second", F.col("ts")))
+        .groupBy(
+            F.session_window(F.col("tsec"), "500 seconds").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("streaming_session_windows_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_ssw_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming session windows did not finish"
+    return spark.table("streaming_session_windows_sink").orderBy(
+        "user_id", "session_start_epoch"
+    )
+
+
+def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming (§2.7 state stores /
+    applyInPandasWithState, streaming/stateful.streaming_running_stats)
+    under the FULL DuckDB oracle: per-user running (count, total, max)
+    folded in arbitrary-Python state — fed integer cents so the float64
+    state accumulation is exact (< 2^53) and order-independent, which
+    is what makes a bit-exact cross-engine check of a custom stateful
+    operator possible at all. AvailableNow single batch -> the emitted
+    update per key IS the final aggregate."""
+    import os
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.stateful import (
+        streaming_running_stats,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    stream_dir = tempfile.mkdtemp(prefix="ip_sss_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    ev = ev.withColumn(
+        "value_cents",
+        (_dec("value") * 100).cast("long").cast("double"),
+    )
+    stats = streaming_running_stats(ev, "user_id", "value_cents")
+    # State-store partition count is fixed by shuffle.partitions at the
+    # query's first start; 32 RocksDB/HDFS state partitions for a small
+    # key space is pure setup overhead — scope it down for this query
+    # (a real deployment sizes this to key-space/executor count).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stats.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("streaming_stateful_stats_sink")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ip_sss_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stateful streaming did not finish"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("streaming_stateful_stats_sink")
+        .select(
+            "key",
+            "n",
+            F.col("total").cast("long").alias("total_cents"),
+            F.col("vmax").cast("long").alias("max_cents"),
+        )
+        .orderBy("key")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2488,6 +2630,9 @@ QUERIES = {
     "chunk_metadata_enrichment": chunk_metadata_enrichment,
     "proposer_max_score": proposer_max_score,
     "side_effect_sink": side_effect_sink,
+    "datarecords_snapshot": datarecords_snapshot,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_stateful_stats": streaming_stateful_stats,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
