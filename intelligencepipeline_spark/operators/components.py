@@ -55,7 +55,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prev = labels
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         nbr_min = (
             sym.join(labels, sym["s"] == labels["node"])
             .groupBy(F.col("d").alias("nd"))
@@ -72,12 +72,117 @@ def connected_components(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # one action: materializes this round's cache AND tests fixpoint
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
+        if (i + 1) % 5 == 0:
+            # Periodic lineage truncation: persist caches DATA but the
+            # logical plan still nests one join+agg per round — on long
+            # chains (20+ rounds) the ANALYZER cost per round grows
+            # with the whole history and dominates. Checkpoint reads
+            # the cached blocks (cheap) and resets plan depth.
+            ckpt = nxt.localCheckpoint(eager=True)
+            nxt.unpersist()
+            nxt = ckpt
         labels = nxt.select("node", "label")
         prev.unpersist()
         prev = nxt
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds on ANY graph shape, vs min-label
+    propagation's O(diameter). Use when components can be long chains
+    (time-adjacent near-dup runs, linked citation graphs); for the
+    near-clique clusters LSH dedup produces, plain
+    ``connected_components`` converges in fewer total jobs.
+
+    Each round:
+      large-star: for every node u, neighbors v > u link to min(N(u)∪u)
+      small-star: for every node u, neighbors v <= u link to that min
+    The edge list contracts toward a star per component; fixpoint when
+    the edge multiset stops changing (checked by count + sum-of-hash,
+    one action per half-round).
+
+    Output matches connected_components: (node, component=min id).
+    """
+    from pyspark import StorageLevel
+
+    # canonical directed edge u -> v with u != v
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+
+    def star(cur: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods are symmetric for large-star; small-star works
+        # on the u>v orientation only (per the paper)
+        sym = cur.unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        src = sym if large else sym.filter(F.col("u") > F.col("v"))
+        m = src.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        joined = src.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .unionAll(
+                m.filter(F.col("u") != F.col("m")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
+            .distinct()
+        )
+
+    # Each half-round must be lineage-truncated (localCheckpoint): the
+    # star transform references its input ~5 times, so composing stars
+    # symbolically would inline the inner plan per reference — the
+    # ANALYZER, not the data, becomes the bottleneck within 2 rounds.
+    prev = e.localCheckpoint(eager=True)
+    e.unpersist()
+    prev_sig = None
+    for _ in range(max_iterations):
+        half = star(prev, large=True).localCheckpoint(eager=True)
+        nxt = star(half, large=False).localCheckpoint(eager=True)
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("u", "v").cast("long")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        prev = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # at fixpoint every edge is (node -> its component minimum)
+    labels = prev.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
+    roots = (
+        prev.select(F.col("v").alias("node")).distinct()
+        .join(labels.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return labels.unionByName(roots)
 
 
 def dedup_survivors(

@@ -48,3 +48,41 @@ def test_dedup_survivors(spark):
     )
     # cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 is a singleton
     assert kept == [1, 4, 5]
+
+
+def test_star_matches_label_propagation(spark):
+    """large-star/small-star must produce identical components to
+    min-label propagation — including a long chain (its worst case is
+    the other algorithm's best case and vice versa)."""
+    import random
+
+    from intelligencepipeline_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(42)
+    edges = [(i, i + 1) for i in range(20)]               # 21-node chain
+    edges += [(100, 101), (101, 102), (100, 102)]          # triangle
+    edges += [(200 + random.randint(0, 15), 200 + random.randint(0, 15))
+              for _ in range(25)]                          # random blob(s)
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    c1 = {r.node: r.component for r in connected_components(df).collect()}
+    c2 = {r.node: r.component
+          for r in connected_components_star(df).collect()}
+    assert c1 == c2
+
+
+def test_star_two_big_chains(spark):
+    from intelligencepipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(0, 40)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(0, 40)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    comp = {r.node: r.component
+            for r in connected_components_star(df).collect()}
+    assert all(comp[n] == 0 for n in range(0, 41))
+    assert all(comp[n] == 1000 for n in range(1000, 1041))
