@@ -1555,3 +1555,57 @@ SELECT user_id AS key,
     AS max_cents
 FROM events GROUP BY user_id ORDER BY key
 """
+
+# The composed corpus-prep pipeline: quality gate -> exact dedup ->
+# LSH-cluster survivors -> redaction-length export, one oracle.
+ORACLES["corpus_prep_pipeline"] = f"""
+WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+), quality AS (
+  SELECT doc_id, lang, source, text,
+    cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM (
+    SELECT *,
+      cast(length(replace(text, ' ', '')) as double)
+        / cast(greatest(len({_RTOKS}), 1) as double) AS mtl,
+      cast(len(list_distinct({_RTOKS})) as double)
+        / cast(greatest(len({_RTOKS}), 1) as double) AS dr,
+      cast(len({_RTOKS}) as bigint) AS nt
+    FROM documents
+  )
+  WHERE nt >= 10 AND mtl >= 2.0 AND mtl <= 12.0 AND dr >= 0.2
+), exact AS (
+  SELECT * FROM (
+    SELECT q.*, row_number() OVER (
+      PARTITION BY md5({_NORM}) ORDER BY doc_id) AS rn
+    FROM quality q
+  ) WHERE rn = 1
+), surv AS (
+  SELECT e.* FROM exact e
+  LEFT JOIN comp c ON e.doc_id = c.node
+  WHERE c.node IS NULL OR e.doc_id = c.component
+), red AS (
+  SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_ID}', '<ID>', 'g'),
+      '{_PII_IP}', '<IP>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+  FROM surv
+)
+SELECT lang, source,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) as bigint) AS total_tokens,
+  cast(sum(length(clean_text)) as bigint) AS total_chars,
+  md5(array_to_string(list_transform(list_sort(list(doc_id)),
+      x -> cast(x as varchar)), ',')) AS ids_digest
+FROM red GROUP BY lang, source ORDER BY lang, source
+"""

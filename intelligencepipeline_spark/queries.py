@@ -2583,6 +2583,80 @@ def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-corpus preparation pipeline, composed
+    from the engine's own operators and held to one DuckDB oracle:
+
+      1. quality gate     (heuristic thresholds, functions/text)
+      2. exact dedup      (min-id survivor per normalized fingerprint)
+      3. near-dup dedup   (LSH-pruned Jaccard clusters; a doc survives
+                           iff it IS its cluster's canonical min id or
+                           is unclustered — cluster membership is
+                           corpus-wide, so a canonical doc filtered by
+                           quality removes its whole cluster: dedup
+                           decisions never resurrect filtered text)
+      4. PII scrub        (shared RE2 pattern chain; applied pre-export)
+      5. shard stats      per (lang, source): doc count, token mass,
+                          digest of the surviving id set
+
+    Plan shape: steps 1/2/4 ride the scan (expressions + one window);
+    step 3 is the banded-LSH pipeline + iterative components; the only
+    corpus-wide shuffles are the fingerprint window, the LSH keyed
+    shuffles, and the final tiny agg — the same stages a 100 TB corpus
+    run would pay."""
+    from intelligencepipeline_spark.functions.text import redact_pii
+    from intelligencepipeline_spark.operators.components import (
+        dedup_survivors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mtl"),
+        q["distinct_ratio"].alias("dr"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("mtl") >= 2.0)
+        & (F.col("mtl") <= 12.0)
+        & (F.col("dr") >= 0.2)
+    )
+    w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy(
+        "doc_id"
+    )
+    exact_kept = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    edges = _lsh_verified_edges(spark, sf_dir)
+    comp = connected_components(edges)
+    survivors = dedup_survivors(exact_kept.select("doc_id"), comp)
+    final = exact_kept.join(survivors, "doc_id", "left_semi").withColumn(
+        "clean_text", redact_pii(F.col("text"))
+    )
+    return (
+        final.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.length("clean_text")).cast("long").alias("total_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_digest"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2633,6 +2707,7 @@ QUERIES = {
     "datarecords_snapshot": datarecords_snapshot,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_stats": streaming_stateful_stats,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
