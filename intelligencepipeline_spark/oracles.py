@@ -1609,3 +1609,50 @@ SELECT lang, source,
       x -> cast(x as varchar)), ',')) AS ids_digest
 FROM red GROUP BY lang, source ORDER BY lang, source
 """
+
+# Gopher-style repetition signals over normalized-token n-grams.
+ORACLES["repetition_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_NTOKS}) AS tok,
+    generate_subscripts({_NTOKS}, 1) AS pos
+  FROM documents
+), bi AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (
+      PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM toks
+), bic AS (
+  SELECT doc_id, gram, count(*) AS c FROM bi
+  WHERE gram IS NOT NULL GROUP BY doc_id, gram
+), bi_stats AS (
+  SELECT doc_id, cast(max(c) as bigint) AS top2_count,
+    cast(sum(c) as bigint) AS n_bigrams
+  FROM bic GROUP BY doc_id
+), five AS (
+  SELECT doc_id,
+    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+        || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), fivec AS (
+  SELECT doc_id, gram, count(*) AS c FROM five
+  WHERE gram IS NOT NULL GROUP BY doc_id, gram
+), five_stats AS (
+  SELECT doc_id,
+    cast(coalesce(sum(c) FILTER (c > 1), 0) as bigint) AS dup5_occ,
+    cast(sum(c) as bigint) AS n_5grams
+  FROM fivec GROUP BY doc_id
+)
+SELECT b.doc_id, b.top2_count, b.n_bigrams,
+  coalesce(f.dup5_occ, 0) AS dup5_occ,
+  coalesce(f.n_5grams, 0) AS n_5grams,
+  cast(b.top2_count as double) / cast(b.n_bigrams as double) AS top2_frac,
+  CASE WHEN coalesce(f.n_5grams, 0) > 0
+    THEN cast(coalesce(f.dup5_occ, 0) as double)
+         / cast(f.n_5grams as double)
+    ELSE 0.0 END AS dup5_frac,
+  (cast(b.top2_count as double) / cast(b.n_bigrams as double)) <= 0.20
+    AND (CASE WHEN coalesce(f.n_5grams, 0) > 0
+      THEN cast(coalesce(f.dup5_occ, 0) as double) / cast(f.n_5grams as double)
+      ELSE 0.0 END) <= 0.30 AS keep
+FROM bi_stats b LEFT JOIN five_stats f ON b.doc_id = f.doc_id
+ORDER BY b.doc_id
+"""

@@ -2657,6 +2657,68 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals, exact-
+    arithmetic: per document the top-bigram occupancy (count of the
+    most frequent 2-gram over total 2-grams) and the duplicated-5-gram
+    occupancy (occurrences of 5-grams seen more than once over total
+    5-grams), plus the combined keep/drop flag. Both ratios are one
+    IEEE division of exact integers. Plan: two window-lead gram builds
+    (O(n) per doc) + keyed partial aggs — no all-pairs, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def grams(n: int) -> DataFrame:
+        parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+        return (
+            toks.select(
+                "doc_id", F.concat_ws(" ", *parts).alias("gram"),
+                parts[-1].alias("last"),
+            )
+            .filter(F.col("last").isNotNull())
+            .drop("last")
+        )
+
+    bi = grams(2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    bi_stats = bi.groupBy("doc_id").agg(
+        F.max("c").alias("top2_count"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    five = grams(5).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    five_stats = five.groupBy("doc_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).cast("long").alias("dup5_occ"),
+        F.sum("c").alias("n_5grams"),
+    )
+    joined = bi_stats.join(five_stats, "doc_id", "left_outer")
+    return joined.select(
+        "doc_id",
+        F.col("top2_count").cast("long").alias("top2_count"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("dup5_occ"), F.lit(0)).cast("long").alias("dup5_occ"),
+        F.coalesce(F.col("n_5grams"), F.lit(0)).cast("long").alias("n_5grams"),
+        (
+            F.col("top2_count").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("top2_frac"),
+        F.when(
+            F.coalesce(F.col("n_5grams"), F.lit(0)) > 0,
+            F.coalesce(F.col("dup5_occ"), F.lit(0)).cast("double")
+            / F.col("n_5grams").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup5_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("top2_frac") <= 0.20) & (F.col("dup5_frac") <= 0.30),
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2708,6 +2770,7 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_stats": streaming_stateful_stats,
     "corpus_prep_pipeline": corpus_prep_pipeline,
+    "repetition_filter": repetition_filter,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
