@@ -132,3 +132,41 @@ def test_filter_pushdown_on_direct_scan(spark):
     a = audit(df)
     assert a.has_pushed_filter("l_orderkey"), a.pushed_filters
     assert a.reads_only("l_orderkey", "l_quantity")
+
+
+def test_contamination_broadcasts_bench_shingles(spark):
+    from intelligencepipeline_spark.queries import contamination_check
+
+    a = audit(contamination_check(spark, SF))
+    # the eval-set shingle membership probe must be a broadcast join —
+    # the corpus side never shuffles for it
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert not a.cartesian
+
+
+def test_token_packing_single_shuffle_per_shard(spark):
+    from intelligencepipeline_spark.queries import token_packing
+
+    a = audit(token_packing(spark, SF))
+    # partitioned window cumsum + final agg + order — no joins at all
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 3, a.plan[:1500]
+
+
+def test_pii_redaction_rides_the_scan(spark):
+    from intelligencepipeline_spark.queries import pii_redaction
+
+    a = audit(pii_redaction(spark, SF))
+    # regexp chain is a pure projection: no joins, no agg exchange —
+    # only the fanout repartition and the final sort move data
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+
+
+def test_domain_mix_two_stage_agg(spark):
+    from intelligencepipeline_spark.queries import domain_mix_sample
+
+    a = audit(domain_mix_sample(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    # partial agg map-side, one exchange on source (+ fanout/sort)
+    assert a.shuffle_exchanges <= 3, a.plan[:1500]
