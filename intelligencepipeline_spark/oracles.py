@@ -1656,3 +1656,16 @@ SELECT b.doc_id, b.top2_count, b.n_bigrams,
 FROM bi_stats b LEFT JOIN five_stats f ON b.doc_id = f.doc_id
 ORDER BY b.doc_id
 """
+
+# Sketch accuracy contract: exact values + bound booleans (sketch
+# estimates are engine-specific; the bounds are not).
+ORACLES["sketch_accuracy"] = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  cast(floor(quantile_cont(cast(cast(value as decimal(18,2)) * 100
+    as bigint), 0.5)) as bigint) AS exact_p50_cents,
+  count(*) AS n,
+  true AS hll_within_bound,
+  true AS gk_within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -2719,6 +2719,54 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch operators (the §2.9 'novel sketch' family): HyperLogLog
+    distinct counting (approx_count_distinct — commutative register
+    merges, the only distinct-count that scales past groupBy-distinct)
+    and Greenwald-Khanna quantiles (percentile_approx). Sketch
+    ESTIMATES are engine/merge-order specific, so the oracle contract
+    is the part that IS deterministic: the exact values plus booleans
+    asserting each sketch landed inside its published error bound
+    (HLL rsd 5% → ±3σ≈15% guard; GK accuracy 100 → ±1% rank error on
+    the value at the rank bounds). A drifting sketch flips a boolean
+    and fails the row."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("hll_users"),
+        F.expr(
+            "percentile(cast(cast(value as decimal(18,2)) * 100 as bigint),"
+            " 0.5)"
+        ).alias("exact_p50"),
+        F.percentile_approx(cents, 0.5, 100).alias("gk_p50"),
+        F.expr(
+            "percentile(cast(cast(value as decimal(18,2)) * 100 as bigint),"
+            " array(0.48, 0.52))"
+        ).alias("p_lo_hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.select(
+        "event_type",
+        "exact_users",
+        F.floor(F.col("exact_p50")).cast("long").alias("exact_p50_cents"),
+        "n",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users")).cast("double")
+            <= F.col("exact_users").cast("double") * 0.15
+        ).alias("hll_within_bound"),
+        # GK guarantees rank error <= 1/accuracy (0.01); guard at 2x
+        # the bound (ranks 0.5 +/- 0.02) — the exact interpolated value
+        # at rank 0.49 can sit above a data point whose RANK is a
+        # legal 0.49, so the exact-value guard needs slack beyond the
+        # rank guarantee itself
+        (
+            (F.col("gk_p50").cast("double") >= F.element_at("p_lo_hi", 1))
+            & (F.col("gk_p50").cast("double") <= F.element_at("p_lo_hi", 2))
+        ).alias("gk_within_bound"),
+    ).orderBy("event_type")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2771,6 +2819,7 @@ QUERIES = {
     "streaming_stateful_stats": streaming_stateful_stats,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "repetition_filter": repetition_filter,
+    "sketch_accuracy": sketch_accuracy,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
