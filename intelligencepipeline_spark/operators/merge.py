@@ -135,7 +135,11 @@ def merge_upsert(
     kept = existing.drop("bucket").join(
         dead_or_live_keys, on=key, how="left_anti"
     )
-    merged = kept.unionByName(live).withColumn("bucket", bucket)
+    # allowMissingColumns = additive schema evolution: an update batch
+    # may carry new columns (old rows get nulls) or omit obsolete ones
+    merged = kept.unionByName(
+        live, allowMissingColumns=True
+    ).withColumn("bucket", bucket)
     # Materialize before overwriting partitions we just read from
     # (lineage truncation; Delta MERGE removes the need for this).
     merged = merged.localCheckpoint(eager=True)
@@ -155,6 +159,37 @@ def merge_upsert(
         .partitionBy("bucket")
         .parquet(table_path)
     )
+
+
+def compact_table(
+    spark,
+    table_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction for a merge_upsert target — the table
+    lifecycle op every incremental store needs: each merge rewrites
+    touched buckets into fresh files, and a long-running store
+    accumulates many small files per bucket (slow scans, pressure on
+    the file index at 100 TB). Rewrites each bucket's rows into
+    ~target_rows_per_file files. Returns the number of buckets
+    compacted. (Delta backends use OPTIMIZE instead.)"""
+    df = spark.read.parquet(table_path)
+    if "bucket" not in df.columns:
+        return 0
+    counts = {r["bucket"]: r["n"] for r in
+              df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = df.repartition(
+        max(1, sum(counts.values()) // target_rows_per_file + 1),
+        F.col("bucket"),
+    )
+    out = out.localCheckpoint(eager=True)  # read fully before overwrite
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_path)
+    )
+    return len(counts)
 
 
 def read_merged(spark, table_path: str) -> DataFrame:

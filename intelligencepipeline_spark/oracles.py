@@ -1669,3 +1669,11 @@ SELECT event_type,
   true AS gk_within_bound
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# pivot->unpivot round-trip == the direct long-form count.
+ORACLES["unpivot_event_matrix"] = """
+SELECT user_id, event_type, count(*) AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""

@@ -2767,6 +2767,32 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt/unpivot (§2.9): the per-user event-type count matrix
+    (pivot_counts' wide shape) melted back to long form with Spark's
+    native unpivot — the pivot/unpivot pair round-trips, and the long
+    form equals a direct groupBy count. Zero-count cells are dropped
+    (the sparse long form)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    long = wide.unpivot(
+        "user_id",
+        ["click", "error", "purchase", "signup", "view"],
+        "event_type",
+        "n",
+    )
+    return (
+        long.filter(F.col("n") > 0)
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2820,6 +2846,7 @@ QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "repetition_filter": repetition_filter,
     "sketch_accuracy": sketch_accuracy,
+    "unpivot_event_matrix": unpivot_event_matrix,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,

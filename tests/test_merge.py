@@ -125,3 +125,49 @@ def test_latest_per_key_unit(spark):
     )
     got = {r.k: r.v for r in latest_per_key(df, "k", "ts").collect()}
     assert got == {1: "y", 2: "z"}
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """An update batch with a NEW column merges; old rows read null."""
+    from intelligencepipeline_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    path = str(tmp_path / "evo")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, v string")
+    merge_upsert(b1, path, key="doc_id", n_buckets=4)
+    b2 = spark.createDataFrame(
+        [(2, "b2", "extra"), (3, "c", "x")],
+        "doc_id long, v string, note string",
+    )
+    merge_upsert(b2, path, key="doc_id", n_buckets=4)
+    rows = {r.doc_id: r for r in read_merged(spark, path).collect()}
+    assert rows[1].v == "a" and rows[1].note is None
+    assert rows[2].v == "b2" and rows[2].note == "extra"
+    assert rows[3].note == "x"
+
+
+def test_compact_table(spark, tmp_path):
+    import glob
+
+    from intelligencepipeline_spark.operators.merge import (
+        compact_table,
+        merge_upsert,
+        read_merged,
+    )
+
+    path = str(tmp_path / "cmp")
+    for i in range(5):  # five merges -> many small files
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(8)], "doc_id long, v string"
+        )
+        merge_upsert(b, path, key="doc_id", n_buckets=2)
+    before = read_merged(spark, path).orderBy("doc_id").collect()
+    n_files_before = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    assert compact_table(spark, path) == 2
+    after = read_merged(spark, path).orderBy("doc_id").collect()
+    n_files_after = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    assert before == after            # content identical
+    assert n_files_after < n_files_before
+    assert n_files_after <= 2         # one file per bucket at this size
