@@ -71,6 +71,7 @@ def merge_upsert(
     order_col: str | None = None,
     delete_col: str | None = None,
     n_buckets: int = 64,
+    changelog: bool = False,
 ) -> None:
     """MERGE ``updates`` into the table at ``table_path`` by ``key``.
 
@@ -79,6 +80,12 @@ def merge_upsert(
     * unmatched rows are inserted;
     * rows whose ``delete_col`` is true are deleted from the target
       (and never inserted) — CDC tombstones.
+    * ``changelog=True`` additionally appends the (compacted) batch to
+      ``<table>/_changelog/v=<n>`` with a ``_deleted`` flag — the
+      upsert history the reference exposes as its consolidated-topic
+      replay (dataRecords(), KafkaIntelligencePipeline.kt:61-76);
+      ``read_changelog`` replays it (underscore prefix keeps the log
+      invisible to snapshot scans).
 
     Works as a batch call or inside ``writeStream.foreachBatch`` for
     streaming upserts. Idempotent for a fixed batch: re-running the
@@ -87,6 +94,26 @@ def merge_upsert(
     spark = updates.sparkSession
     if order_col is not None:
         updates = latest_per_key(updates, key, order_col)
+
+    if changelog:
+        clog = os.path.join(table_path, "_changelog")
+        vs = []
+        if os.path.isdir(clog):
+            vs = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(clog)
+                if d.startswith("v=")
+            ]
+        v = max(vs) + 1 if vs else 0
+        entry = updates.withColumn(
+            "_deleted",
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None
+            else F.lit(False),
+        )
+        if delete_col is not None:
+            entry = entry.drop(delete_col)
+        entry.write.mode("overwrite").parquet(os.path.join(clog, f"v={v}"))
 
     dt = _delta_table(spark, table_path)
     if dt is not None:
@@ -190,6 +217,17 @@ def compact_table(
         .parquet(table_path)
     )
     return len(counts)
+
+
+def read_changelog(spark, table_path: str) -> DataFrame:
+    """Replay the upsert history recorded by ``merge_upsert(...,
+    changelog=True)``: every version of every key, with ``v`` (the
+    merge sequence number) and ``_deleted``. The reference's
+    dataRecords() replay-from-start semantics as a queryable table —
+    ``latest_per_key(df, key, "v")`` + ``NOT _deleted`` reproduces the
+    snapshot (proven by the changelog_replay catalog query)."""
+    base = os.path.join(table_path, "_changelog")
+    return spark.read.parquet(base)
 
 
 def read_merged(spark, table_path: str) -> DataFrame:

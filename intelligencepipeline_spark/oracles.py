@@ -1677,3 +1677,23 @@ FROM events
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """
+
+# The engine streaming run must deposit the same producer outputs as
+# the batch run: digest + token count straight off documents.
+ORACLES["engine_streaming_run"] = f"""
+SELECT doc_id,
+  md5(text) AS digest,
+  cast(len({_RTOKS}) as bigint) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+# Changelog replay: even ids were upserted twice, odd once; multiples
+# of 10 are tombstoned out of the final fold.
+ORACLES["changelog_replay"] = """
+SELECT doc_id,
+  cast(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END as bigint) AS n_versions,
+  md5(text) AS digest
+FROM documents
+WHERE doc_id % 10 <> 0
+ORDER BY doc_id
+"""

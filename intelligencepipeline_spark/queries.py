@@ -2793,6 +2793,108 @@ def unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_streaming_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE's streaming mode end-to-end with a driver row: the
+    same registered producers as engine_enrichment, but ingested via a
+    real file stream (S1/S5), run through run_streaming's fused
+    per-micro-batch plan into a parquet sink, and read BACK from the
+    sink — held to the same oracle values as the batch run (the
+    reference's per-producer topologies, KafkaIntelligencePipeline.kt:
+    215-258, fused into one checkpointed query)."""
+    import os
+    import tempfile
+
+    from intelligencepipeline_spark.engine import Engine
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/documents.parquet"
+    raw = spark.read.parquet(path)
+    stream_dir = tempfile.mkdtemp(prefix="ip_esr_src_")
+    os.symlink(
+        os.path.abspath(path), os.path.join(stream_dir, "documents.parquet")
+    )
+    docs = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.md5(F.col("text"))),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "tokens",
+            lambda d: F.create_map(
+                F.lit("n_tokens"), F.size(tokens(F.col("text"))).cast("string")
+            ),
+            requires=("text",),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="ip_esr_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ip_esr_ckpt_")
+    queries = eng.run_streaming(out_dir, ckpt_dir, trigger_available_now=True)
+    for q in queries:
+        assert q.awaitTermination(300), "engine streaming did not finish"
+    dr = spark.read.parquet(f"{out_dir}/datarecords")
+
+    def meta_value(producer: str, key_: str):
+        entry = F.element_at(
+            F.filter("meta", lambda m: m["created_by"] == F.lit(producer)), 1
+        )
+        return entry["values"][key_]
+
+    return dr.select(
+        "doc_id",
+        meta_value("hash", "digest").alias("digest"),
+        meta_value("tokens", "n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's OTHER read path — the changelog replay (dataRecords()
+    re-consumes every upsert from the consolidated topic,
+    KafkaIntelligencePipeline.kt:61-76; replay semantics proven by
+    KafkaIntelligencePipelineTests.kt:363-376): the same two-merge
+    cycle as datarecords_snapshot with changelog=True, then the replay
+    is read back and folded — per surviving key the version count and
+    the latest digest. Version counts prove every intermediate upsert
+    was recorded; the fold proves replay == snapshot."""
+    import tempfile
+
+    from intelligencepipeline_spark.operators.merge import (
+        latest_per_key,
+        merge_upsert,
+        read_changelog,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5(F.concat(F.lit("stale:"), F.col("text"))).alias("digest")
+    )
+    batch2 = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("digest"),
+        (F.col("doc_id") % 10 == 0).alias("_del"),
+    )
+    path = tempfile.mkdtemp(prefix="ip_changelog_")
+    merge_upsert(batch1, path, key="doc_id", n_buckets=16, changelog=True)
+    merge_upsert(
+        batch2, path, key="doc_id", delete_col="_del", n_buckets=16,
+        changelog=True,
+    )
+    log = read_changelog(spark, path)
+    versions = log.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    latest = latest_per_key(log, "doc_id", "v").filter(~F.col("_deleted"))
+    return (
+        latest.join(versions, "doc_id")
+        .select("doc_id", "n_versions", "digest")
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2847,6 +2949,8 @@ QUERIES = {
     "repetition_filter": repetition_filter,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
+    "engine_streaming_run": engine_streaming_run,
+    "changelog_replay": changelog_replay,
     # -- (c) export canonicalization / semantics changed this round ----
     "json_extract_agg": json_extract_agg,
     "running_totals": running_totals,
