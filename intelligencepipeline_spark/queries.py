@@ -2931,6 +2931,14 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q21_blocking_supplier": q21_blocking_supplier,
+    # -- (c) export canonicalization / semantics changed this round ----
+    "json_extract_agg": json_extract_agg,
+    "running_totals": running_totals,
+    "cube_agg": cube_agg,
+    "consolidation_fold": consolidation_fold,
+    "session_stats": session_stats_q,
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
     # -- (b) new this round --------------------------------------------
     "html_rendition": html_rendition,
     "chunk_command_fold": chunk_command_fold,
@@ -2951,14 +2959,6 @@ QUERIES = {
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
     "changelog_replay": changelog_replay,
-    # -- (c) export canonicalization / semantics changed this round ----
-    "json_extract_agg": json_extract_agg,
-    "running_totals": running_totals,
-    "cube_agg": cube_agg,
-    "consolidation_fold": consolidation_fold,
-    "session_stats": session_stats_q,
-    "similarity_topk": similarity_topk,
-    "embedding_dedup_pairs": embedding_dedup_pairs,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
