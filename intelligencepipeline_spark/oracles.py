@@ -1697,3 +1697,10 @@ FROM documents
 WHERE doc_id % 10 <> 0
 ORDER BY doc_id
 """
+
+# Streaming dedup: the surviving key set is deterministic even though
+# the surviving ROW per key is not — per-type distinct users.
+ORACLES["streaming_dedup_proof"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""

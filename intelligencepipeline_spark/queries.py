@@ -2895,6 +2895,53 @@ def changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup under the full oracle
+    (streaming/dedup.streaming_dedup_exact): events stream through
+    dropDuplicatesWithinWatermark on (user_id, event_type) — WHICH
+    duplicate survives is processing-order dependent, so the exported
+    contract is the part that is deterministic: the surviving key SET
+    (= per-type distinct-user counts). State is reclaimed behind the
+    watermark — the property that separates this from a plain
+    dropDuplicates OOM at 100 TB."""
+    import os
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.dedup import (
+        streaming_dedup_exact,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw = spark.read.parquet(path)
+    stream_dir = tempfile.mkdtemp(prefix="ip_sdp_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
+    for f_ in ev.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = streaming_dedup_exact(
+        ev, keys=["user_id", "event_type"], ts_col="ts", delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_dedup_proof_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_sdp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming dedup did not finish"
+    return (
+        spark.table("streaming_dedup_proof_sink")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -2959,6 +3006,7 @@ QUERIES = {
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
     "changelog_replay": changelog_replay,
+    "streaming_dedup_proof": streaming_dedup_proof,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
