@@ -1704,3 +1704,26 @@ ORACLES["streaming_dedup_proof"] = """
 SELECT event_type, count(DISTINCT user_id) AS n_unique_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# Multimodal plumbing: the sha256-derived fake features and the
+# frame-sample arithmetic replayed in SQL (byte i of the digest,
+# /255.0, floor(*1e6); frames = floor(duration/1000) clamped).
+_SHA_BYTE = (
+    "((strpos('0123456789abcdef', substr(sha256(text), 2*i + 1, 1)) - 1)"
+    " * 16 + (strpos('0123456789abcdef', substr(sha256(text), 2*i + 2, 1)) - 1))"
+)
+
+ORACLES["media_pipeline"] = f"""
+SELECT doc_id,
+  'application/octet-stream' AS mime,
+  cast(octet_length(encode(text)) as bigint) AS n_bytes,
+  array_to_string(list_transform(range(0, 8),
+    i -> cast(cast(floor(cast(cast({_SHA_BYTE} / 255.0 as real) as double)
+      * 1000000) as bigint) as varchar)),
+    ',') AS feature_milli,
+  cast(greatest(cast(floor(n_chars * 10 / 1000.0) as bigint) - 1, 0) + 1 as bigint)
+    AS n_frames,
+  cast(greatest(cast(floor(n_chars * 10 / 1000.0) as bigint) - 1, 0) * 1000 as bigint)
+    AS last_frame_ts_ms
+FROM documents ORDER BY doc_id
+"""

@@ -2942,6 +2942,61 @@ def streaming_dedup_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing END-TO-END with a driver row: binary media
+    column -> mapInPandas Arrow-batched feature extraction
+    (functions/multimodal.extract_media_features — the deterministic
+    sha256-derived stand-in behind STUB_DECODE, replayed exactly by the
+    oracle) joined with the frame-sampling explode (frame_sample_plan
+    over a derived duration). Proves the batch shape, output schema,
+    and explode arithmetic a real decoder plugs into; at 100 TB both
+    stages are map-only (Arrow batches bounded by maxRecordsPerBatch,
+    not partition size)."""
+    from intelligencepipeline_spark.functions.multimodal import (
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    feats = extract_media_features(media, "media").select(
+        "doc_id",
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda f: F.floor(f * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("feature_milli"),
+    )
+    with_meta = docs.select(
+        "doc_id",
+        F.struct(
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms")
+        ).alias("media_meta"),
+    )
+    frames = (
+        frame_sample_plan(with_meta, every_ms=1000)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").cast("long").alias("last_frame_ts_ms"),
+        )
+    )
+    return (
+        feats.join(frames, "doc_id")
+        .select(
+            "doc_id", "mime", "n_bytes", "feature_milli",
+            "n_frames", "last_frame_ts_ms",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3007,6 +3062,7 @@ QUERIES = {
     "engine_streaming_run": engine_streaming_run,
     "changelog_replay": changelog_replay,
     "streaming_dedup_proof": streaming_dedup_proof,
+    "media_pipeline": media_pipeline,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
