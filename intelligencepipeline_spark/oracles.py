@@ -1727,3 +1727,33 @@ SELECT doc_id,
     AS last_frame_ts_ms
 FROM documents ORDER BY doc_id
 """
+
+# Funnel: first view, first click at-or-after it, first purchase
+# at-or-after that.
+ORACLES["event_funnel"] = """
+WITH v AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, v.first_view,
+    min(CASE WHEN e.event_type = 'click' THEN epoch_us(e.ts) END) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE v.first_view IS NOT NULL AND epoch_us(e.ts) >= v.first_view
+  GROUP BY e.user_id, v.first_view
+), p AS (
+  SELECT e.user_id, c.first_view, c.first_click,
+    min(CASE WHEN e.event_type = 'purchase' THEN epoch_us(e.ts) END)
+      AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE c.first_click IS NOT NULL AND epoch_us(e.ts) >= c.first_click
+  GROUP BY e.user_id, c.first_view, c.first_click
+)
+SELECT count(*) AS n_viewed,
+  cast(count(first_click) as bigint) AS n_then_clicked,
+  cast(count(first_purchase) as bigint) AS n_then_purchased
+FROM (
+  SELECT c.user_id, c.first_click, p.first_purchase
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+)
+"""

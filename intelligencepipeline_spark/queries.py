@@ -2997,6 +2997,52 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (§2.9 analytics surface): how many users
+    progressed view -> click -> purchase in TEMPORAL order (each stage's
+    first occurrence after the previous stage's first occurrence).
+    One keyed agg computing per-stage first timestamps with conditional
+    min — a single shuffle; the ordering logic is pure expression."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.col("event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(t == "view", us)).alias("first_view"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # stage 2/3 must happen AFTER the previous stage's first event:
+    # re-aggregate with the thresholds joined back (broadcast — one row
+    # per user, tiny next to the event table at any scale)
+    after_view = (
+        ev.join(F.broadcast(per_user.select("user_id", "first_view")), "user_id")
+        .filter(F.col("first_view").isNotNull() & (us >= F.col("first_view")))
+        .groupBy("user_id", "first_view")
+        .agg(F.min(F.when(t == "click", us)).alias("first_click"))
+    )
+    purchases = (
+        ev.join(
+            F.broadcast(
+                after_view.filter(F.col("first_click").isNotNull()).select(
+                    "user_id", "first_click"
+                )
+            ),
+            "user_id",
+        )
+        .filter(us >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min(F.when(t == "purchase", us)).alias("first_purchase"))
+    )
+    # LEFT join: users who viewed but never clicked stay in the funnel
+    # base (the coincidence that every synthetic user clicks must not
+    # be baked into the semantics)
+    funnel = after_view.join(purchases, "user_id", "left_outer")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("first_click").cast("long").alias("n_then_clicked"),
+        F.count("first_purchase").cast("long").alias("n_then_purchased"),
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3063,6 +3109,7 @@ QUERIES = {
     "changelog_replay": changelog_replay,
     "streaming_dedup_proof": streaming_dedup_proof,
     "media_pipeline": media_pipeline,
+    "event_funnel": event_funnel,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
