@@ -2471,8 +2471,8 @@ def datarecords_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 0).alias("_deleted"),
     )
     path = tempfile.mkdtemp(prefix="ip_snapshot_")
-    merge_upsert(batch1, path, key="doc_id", n_buckets=16)
-    merge_upsert(batch2, path, key="doc_id", delete_col="_deleted", n_buckets=16)
+    merge_upsert(batch1, path, key="doc_id", n_buckets=8)
+    merge_upsert(batch2, path, key="doc_id", delete_col="_deleted", n_buckets=8)
     return read_merged(spark, path).select("doc_id", "digest").orderBy("doc_id")
 
 
@@ -2878,9 +2878,9 @@ def changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 0).alias("_del"),
     )
     path = tempfile.mkdtemp(prefix="ip_changelog_")
-    merge_upsert(batch1, path, key="doc_id", n_buckets=16, changelog=True)
+    merge_upsert(batch1, path, key="doc_id", n_buckets=8, changelog=True)
     merge_upsert(
-        batch2, path, key="doc_id", delete_col="_del", n_buckets=16,
+        batch2, path, key="doc_id", delete_col="_del", n_buckets=8,
         changelog=True,
     )
     log = read_changelog(spark, path)
