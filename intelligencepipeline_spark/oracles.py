@@ -1757,3 +1757,24 @@ FROM (
   FROM c LEFT JOIN p ON c.user_id = p.user_id
 )
 """
+
+# Sliding windows: each event belongs to width/slide = 2 hop windows;
+# window start = 5-min-aligned slots covering the event.
+ORACLES["sliding_window_counts"] = """
+WITH hops AS (
+  SELECT event_type,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents,
+    (cast(floor(epoch(ts) / 300) as bigint) - h.off) * 300
+      AS window_start_epoch,
+    epoch(ts) AS es
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1]) AS off) h
+)
+SELECT window_start_epoch, event_type,
+  count(*) AS n,
+  cast(sum(cents) as bigint) AS cents
+FROM hops
+WHERE es >= window_start_epoch AND es < window_start_epoch + 600
+GROUP BY window_start_epoch, event_type
+ORDER BY window_start_epoch, event_type
+"""

@@ -3043,6 +3043,35 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — the §2.7 window type the session/
+    tumbling queries don't cover: 10-minute windows every 5 minutes,
+    per event_type counts + exact cent totals. Spark's native
+    ``window(ts, width, slide)`` assigns each event to width/slide
+    windows; the oracle replays the assignment by exploding the two
+    hop offsets per event. Each window's rows combine map-side — the
+    duplication factor is width/slide, never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("long")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "10 minutes", "5 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+            "cents",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3110,6 +3139,7 @@ QUERIES = {
     "streaming_dedup_proof": streaming_dedup_proof,
     "media_pipeline": media_pipeline,
     "event_funnel": event_funnel,
+    "sliding_window_counts": sliding_window_counts,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
