@@ -1778,3 +1778,16 @@ WHERE es >= window_start_epoch AND es < window_start_epoch + 600
 GROUP BY window_start_epoch, event_type
 ORDER BY window_start_epoch, event_type
 """
+
+# RANGE frame over epoch seconds: trailing 30-minute spend per event.
+# Same frame semantics in DuckDB (RANGE BETWEEN over the ORDER BY key).
+ORACLES["rolling_range_spend"] = """
+SELECT event_id, user_id,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) OVER w
+    as bigint) AS trailing_30m_cents,
+  cast(count(*) OVER w as bigint) AS trailing_30m_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) as bigint)
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

@@ -3072,6 +3072,32 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_range_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the value-based frame ROWS frames can't
+    express): per event, the user's total spend in the trailing 30
+    minutes of EVENT TIME — the per-record rolling feature a fraud/
+    rate-limit pipeline computes. One shuffle on user_id; the range
+    frame scans an event-time-sorted partition with a moving lower
+    bound (no self-join, no explode)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = (_dec("value") * 100).cast("long")
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(cents).over(w).alias("trailing_30m_cents"),
+            F.count(F.lit(1)).over(w).cast("long").alias("trailing_30m_events"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3140,6 +3166,7 @@ QUERIES = {
     "media_pipeline": media_pipeline,
     "event_funnel": event_funnel,
     "sliding_window_counts": sliding_window_counts,
+    "rolling_range_spend": rolling_range_spend,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
