@@ -1791,3 +1791,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY cast(floor(epoch(ts)) as bigint)
              RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+# Fixed-size stratified sample: md5-of-id rank per language.
+ORACLES["stratified_fixed_sample"] = """
+SELECT lang, rk, doc_id FROM (
+  SELECT lang, doc_id,
+    cast(row_number() OVER (PARTITION BY lang
+      ORDER BY md5(cast(doc_id as varchar)), doc_id) as bigint) AS rk
+  FROM documents
+) WHERE rk <= 20 ORDER BY lang, rk
+"""

@@ -3098,6 +3098,26 @@ def rolling_range_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sampling: exactly K=20 docs per language,
+    chosen by md5-of-id rank — the deterministic replacement for
+    per-stratum reservoir sampling (same slice on any engine, any
+    partitioning, any day; a reservoir's output depends on encounter
+    order). One window per stratum; at 100 TB each stratum ranks
+    independently and the rank column prunes early via
+    WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", F.col("rk").cast("long").alias("rk"), "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3167,6 +3187,7 @@ QUERIES = {
     "event_funnel": event_funnel,
     "sliding_window_counts": sliding_window_counts,
     "rolling_range_spend": rolling_range_spend,
+    "stratified_fixed_sample": stratified_fixed_sample,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
