@@ -62,3 +62,33 @@ def repartition_for_join(
         if num_partitions
         else df.repartition(key)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key JOIN salting — the explicit form of what AQE's skew
+    split does at runtime, for when the skew is known up front (one
+    viral document joined against its billions of events) or the join
+    is sort-merge on a pre-AQE engine path.
+
+    The big/skewed ``left`` side gets a deterministic per-row salt; the
+    ``right`` side is replicated once per salt (explode over
+    0..n_salts-1) so every (key, salt) pair finds its match. Join
+    results are IDENTICAL to the plain join; the hot key's rows spread
+    over n_salts reducers. Cost: right side shuffles n_salts copies —
+    use for small-ish right sides too big to broadcast outright.
+    """
+    salted_left = with_salt(left, n_salts)
+    salted_right = right.withColumn(
+        "__salt",
+        # generators can't be nested in expressions (no outer cast);
+        # the int literals already give an int salt column
+        F.explode(F.array(*[F.lit(s).cast("int") for s in range(n_salts)])),
+    )
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1801,3 +1801,12 @@ SELECT lang, rk, doc_id FROM (
   FROM documents
 ) WHERE rk <= 20 ORDER BY lang, rk
 """
+
+# Salted join must equal the plain join.
+ORACLES["salted_join_revenue"] = """
+SELECT c_mktsegment,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

@@ -84,3 +84,23 @@ def test_simhash_hamming_pairs(spark):
            for r in simhash_hamming_pairs(corpus_df(spark), max_hamming=3).collect()}
     assert out.get((1, 4)) == 0  # identical signature
     assert out.get((1, 2), 99) <= 3  # near-dup within hamming budget
+
+
+def test_salted_join_matches_plain_join(spark):
+    from intelligencepipeline_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(50)] + [(2, "x"), (3, "y")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (4, "r4")], "k long, rv string"
+    )
+    plain = sorted(
+        (r.k, r.lv, r.rv) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", n_salts=4).collect()
+    )
+    assert plain == salted and len(plain) == 51
