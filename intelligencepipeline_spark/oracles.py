@@ -1810,3 +1810,73 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+# Q2 adapted: window-min decorrelation of the min-cost-supplier subquery.
+ORACLES["q2_min_cost_supplier"] = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(cast(l_extendedprice as decimal(18,2))) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost,
+         min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM cost
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       cast(supply_cost as double) AS supply_cost
+FROM j WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# Q11 adapted: scalar-subquery total vs per-part value, double compare.
+ORACLES["q11_important_parts"] = """
+WITH vals AS (
+  SELECT l_partkey,
+         sum(cast(l_extendedprice as decimal(18,2))
+             * cast(l_quantity as decimal(9,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 2
+  GROUP BY 1
+), total AS (
+  SELECT cast(sum(value_dec) as double) AS total_value FROM vals
+)
+SELECT l_partkey AS p_partkey,
+       cast(value_dec as double) AS part_value
+FROM vals, total
+WHERE cast(value_dec as double) > total_value * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+# Q20 adapted: excess = 2*qty*n_supp > part total (all-positive algebra
+# of qty > 0.5*mean), compared in double with the same expression shape
+# as the Spark side.
+ORACLES["q20_excess_suppliers"] = """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         sum(cast(l_quantity as decimal(9,2))) AS qty_dec
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995 AND p_name LIKE '%red%'
+  GROUP BY 1, 2
+), win AS (
+  SELECT l_suppkey, qty_dec,
+         cast(sum(qty_dec) OVER (PARTITION BY l_partkey) as double) AS part_total,
+         cast(count(*) OVER (PARTITION BY l_partkey) as double) AS n_supp
+  FROM qty
+), excess AS (
+  SELECT DISTINCT l_suppkey FROM win
+  WHERE cast(qty_dec as double) * 2.0 * n_supp > part_total
+)
+SELECT s_name, n_name, s_acctbal
+FROM excess
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_name
+"""

@@ -3144,6 +3144,117 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (testdata has no partsupp: supply cost =
+    exact-decimal min l_extendedprice over each (part, supplier) pair
+    observed in lineitem). The spec's correlated min-subquery is
+    decorrelated to a window min over p_partkey — the same rewrite
+    Catalyst's RewriteCorrelatedScalarSubquery would produce, written
+    explicitly so the plan is one agg + broadcast dims + one window.
+    SQL surface beyond the reference per SURVEY §2.9."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supply_cost")
+    )
+    j = (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: per-part inventory value from lineitem
+    (value = sum of exact-decimal extprice*qty) restricted to suppliers
+    of two nations; keep parts whose value exceeds 1/1000 of the total.
+    The spec's scalar subquery = a one-row aggregate broadcast
+    cross-joined against the per-part agg (Spark's own plan for a
+    scalar subquery); the threshold compare is done in double (one
+    correctly-rounded conversion per side) to dodge decimal-overflow
+    rules that differ across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 2)
+    vals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * F.col("l_quantity").cast("decimal(9,2)"))
+            .alias("value_dec")
+        )
+    )
+    total = vals.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") > F.col("total_value") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers holding "excess" stock — shipped
+    1995 quantity of a red part above that part's cross-supplier mean
+    (qty > 0.5 * 2*mean, i.e. 2*qty*n_supp > total, compared in double
+    with identical expression shape on both engines). Semi-join chain:
+    part-name filter -> (supp,part) agg -> window mean over part ->
+    DISTINCT suppliers -> broadcast dims. No correlated subquery
+    survives: the spec's per-part availability subquery is the window
+    total."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias("qty_dec"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        qty.withColumn("part_total", F.sum("qty_dec").over(w).cast("double"))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w).cast("double"))
+        .filter(
+            F.col("qty_dec").cast("double") * F.lit(2.0) * F.col("n_supp")
+            > F.col("part_total")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(supp), excess.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3215,6 +3326,9 @@ QUERIES = {
     "rolling_range_spend": rolling_range_spend,
     "stratified_fixed_sample": stratified_fixed_sample,
     "salted_join_revenue": salted_join_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_excess_suppliers": q20_excess_suppliers,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
