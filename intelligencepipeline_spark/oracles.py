@@ -1880,3 +1880,42 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 ORDER BY s_name
 """
+
+# Correlation matrix from exact decimal moments; identical final double
+# expression shape as the Spark side (num/den ordering matters for IEEE
+# bit-equality).
+ORACLES["corr_matrix"] = """
+WITH m AS (
+  SELECT cast(count(*) as double) AS n,
+    cast(sum(cast(l_quantity as decimal(9,2))) as double) AS sq,
+    cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS se,
+    cast(sum(cast(l_discount as decimal(9,2))) as double) AS sd,
+    cast(sum(cast(l_quantity as decimal(9,2)) * cast(l_quantity as decimal(9,2))) as double) AS sqq,
+    cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS see,
+    cast(sum(cast(l_discount as decimal(9,2)) * cast(l_discount as decimal(9,2))) as double) AS sdd,
+    cast(sum(cast(l_quantity as decimal(9,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sqe,
+    cast(sum(cast(l_quantity as decimal(9,2)) * cast(l_discount as decimal(9,2))) as double) AS sqd,
+    cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(9,2))) as double) AS sed
+  FROM lineitem
+)
+SELECT col_x, col_y,
+  (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr,
+  (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_samp
+FROM (
+  SELECT 'quantity' AS col_x, 'extendedprice' AS col_y,
+         n, sq AS sx, se AS sy, sqe AS sxy, sqq AS sxx, see AS syy FROM m
+  UNION ALL
+  SELECT 'quantity', 'discount', n, sq, sd, sqd, sqq, sdd FROM m
+  UNION ALL
+  SELECT 'extendedprice', 'discount', n, se, sd, sed, see, sdd FROM m
+)
+ORDER BY col_x, col_y
+"""
+
+# Curriculum bins: ntile over a TOTAL order (n_chars, doc_id).
+ORACLES["curriculum_bins"] = """
+SELECT doc_id, n_chars,
+  cast(ntile(10) OVER (ORDER BY n_chars, doc_id) as bigint) AS bin
+FROM documents ORDER BY doc_id
+"""

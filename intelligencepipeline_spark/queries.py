@@ -3255,6 +3255,80 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance over lineitem
+    numerics, computed from EXACT decimal moment sums (n, Sx, Sy, Sxy,
+    Sxx, Syy) with one final double formula per cell — never
+    ``F.corr`` on raw doubles, whose parallel summation order makes the
+    result nondeterministic across engines/partitionings. One agg row
+    for all three pairs (single pass, map-side partials), then a tiny
+    explode to matrix rows. At 100 TB this is the only hash-stable way
+    to cross-check distributed statistics."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(9,2)")
+    e = _dec("l_extendedprice")
+    d = F.col("l_discount").cast("decimal(9,2)")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(e).cast("double").alias("se"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(e * e).cast("double").alias("see"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * e).cast("double").alias("sqe"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(e * d).cast("double").alias("sed"),
+    )
+
+    def cell(cx, cy, sx, sy, sxy, sxx, syy):
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(
+            (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx))
+            * (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy))
+        )
+        cov = num / (F.col("n") * (F.col("n") - F.lit(1.0)))
+        return F.struct(
+            F.lit(cx).alias("col_x"),
+            F.lit(cy).alias("col_y"),
+            (num / den).alias("corr"),
+            cov.alias("covar_samp"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    cell("quantity", "extendedprice", "sq", "se", "sqe", "sqq", "see"),
+                    cell("quantity", "discount", "sq", "sd", "sqd", "sqq", "sdd"),
+                    cell("extendedprice", "discount", "se", "sd", "sed", "see", "sdd"),
+                )
+            ).alias("c")
+        )
+        .select("c.col_x", "c.col_y", "c.corr", "c.covar_samp")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning for training-data scheduling: ntile(10) over
+    a short-to-long document ordering (n_chars, doc_id — a TOTAL order,
+    so every engine assigns identical bins; ntile over a partial order
+    is nondeterministic). One global sort at 100 TB — for true scale
+    swap ntile for a rank-from-distribution (percent_rank against
+    pre-agged exact histogram), same contract."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.ntile(10).over(w).cast("long").alias("bin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3329,6 +3403,8 @@ QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q20_excess_suppliers": q20_excess_suppliers,
+    "corr_matrix": corr_matrix,
+    "curriculum_bins": curriculum_bins,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
