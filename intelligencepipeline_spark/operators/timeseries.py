@@ -1,0 +1,130 @@
+"""Time-series regularization: resample -> dense grid -> gap fill.
+
+The hypertable family (operators/rollup.py) folds *present* rows into
+coarser buckets; this module makes an irregular series REGULAR — one
+row per (key, bucket) over each key's span, absent buckets filled by
+last-observation-carried-forward and/or linear interpolation. The
+reference has no time-series surface at all (SURVEY §2.9); this is part
+of the beyond-reference analytics the engine adds.
+
+Scale shape (100 TB): the grid is built from a per-key (min, max)
+aggregate — one keyed shuffle — then `sequence()` + `explode` generates
+buckets EXECUTOR-SIDE, O(span/step) rows per key with no driver
+involvement. The fill is two windows over the same (key, bucket)
+partitioning, so the whole pipeline is: agg shuffle -> explode ->
+join shuffle -> window (AQE coalesces the tiny sides). Skewy keys
+(one user spanning years at 1 s steps) are bounded by `max_buckets`.
+
+Determinism contract (driver hash gate): the per-bucket aggregate is
+``min(value)`` — order-insensitive on doubles, unlike sum/avg whose
+parallel reduction order is engine-dependent — and the interpolation
+is one shared IEEE expression evaluated on those deterministic inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column, seconds: int) -> Column:
+    """Floor an event timestamp to an epoch-second bucket (bigint)."""
+    return (
+        F.floor(F.unix_timestamp(ts) / F.lit(seconds)) * F.lit(seconds)
+    ).cast("long")
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    seconds: int,
+) -> DataFrame:
+    """Irregular events -> at most one row per (key, bucket), carrying
+    the order-insensitive ``min`` of the value (see module docstring
+    for why not avg)."""
+    return (
+        df.select(
+            F.col(key),
+            time_bucket(F.col(ts_col), seconds).alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key, "bucket")
+        .agg(F.min("v").alias("v"))
+    )
+
+
+def gap_fill(
+    sampled: DataFrame,
+    key: str,
+    seconds: int,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Densify a resampled series over each key's [min, max] span and
+    fill the holes two ways:
+
+    * ``locf``  — last observation carried forward (null until the
+      first observation);
+    * ``interp`` — linear interpolation between the surrounding
+      observations; degenerates to LOCF after the last observation and
+      to backfill before the first.
+
+    Returns (key, bucket, v, locf, interp, is_gap). ``max_buckets``
+    guards against a pathological key whose span/step explodes the
+    grid (the row is dropped, not truncated — truncation would silently
+    skew downstream fills).
+    """
+    span = sampled.groupBy(key).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        span.filter((F.col("hi") - F.col("lo")) / seconds < max_buckets)
+        .select(
+            F.col(key),
+            F.explode(
+                F.sequence("lo", "hi", F.lit(seconds).cast("long"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(sampled, [key, "bucket"], "left")
+    back = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    frac = (F.col("bucket") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("prev_v"), F.col("next_v")))
+    )
+    return (
+        j.withColumn("prev_v", prev_v)
+        .withColumn("prev_t", prev_t)
+        .withColumn("next_v", next_v)
+        .withColumn("next_t", next_t)
+        .select(
+            F.col(key),
+            "bucket",
+            "v",
+            F.col("prev_v").alias("locf"),
+            interp.alias("interp"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )

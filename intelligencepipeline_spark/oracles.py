@@ -1919,3 +1919,45 @@ SELECT doc_id, n_chars,
   cast(ntile(10) OVER (ORDER BY n_chars, doc_id) as bigint) AS bin
 FROM documents ORDER BY doc_id
 """
+
+# Gap-fill: dense per-user hourly grid; LOCF + linear interpolation with
+# the same IEEE expression shape as operators/timeseries.gap_fill.
+ORACLES["gap_fill_series"] = """
+WITH b AS (
+  SELECT user_id, cast(floor(epoch(ts)/3600)*3600 as bigint) AS bucket,
+         min(value) AS v
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM span
+), j AS (
+  SELECT g.user_id, g.bucket, b.v
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+), f AS (
+  SELECT user_id, bucket, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM j
+)
+SELECT user_id, bucket, v,
+  prev_v AS locf,
+  CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+      prev_v + (next_v - prev_v)
+        * (cast(bucket - prev_t as double) / cast(next_t - prev_t as double))
+    ELSE coalesce(prev_v, next_v)
+  END AS interp,
+  v IS NULL AS is_gap
+FROM f
+ORDER BY user_id, bucket
+"""

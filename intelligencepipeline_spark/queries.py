@@ -3329,6 +3329,21 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): events of
+    users 0-9 resampled to 1 h buckets (min(value) — the
+    order-insensitive per-bucket aggregate), densified over each user's
+    span, holes filled by LOCF and linear interpolation. Exports the
+    fill columns rounded-free: interpolation is one shared IEEE
+    expression over deterministic inputs, so it hash-matches bit-exact.
+    The reference has no time-series surface (SURVEY §2.9)."""
+    from intelligencepipeline_spark.operators.timeseries import gap_fill, resample
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    sampled = resample(ev, "user_id", "ts", "value", 3600)
+    return gap_fill(sampled, "user_id", 3600).orderBy("user_id", "bucket")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3405,6 +3420,7 @@ QUERIES = {
     "q20_excess_suppliers": q20_excess_suppliers,
     "corr_matrix": corr_matrix,
     "curriculum_bins": curriculum_bins,
+    "gap_fill_series": gap_fill_series,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

@@ -1,0 +1,86 @@
+"""operators/timeseries: resample + gap_fill edge semantics.
+
+Mirrors the reference's pure-function unit layer (SURVEY §5) for an
+operator family the reference lacks entirely (SURVEY §2.9): hand-built
+series with leading/trailing holes pin LOCF vs interpolation behavior.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.timeseries import (
+    gap_fill,
+    resample,
+    time_bucket,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _at(minutes):
+    return TS0 + datetime.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def filled(spark):
+    # buckets (600 s): 0:v=10, 1:hole, 2:hole, 3:v=40, 4:hole
+    df = _series(
+        spark,
+        [
+            (1, _at(0), 10.0),
+            (1, _at(5), 99.0),  # same bucket as minute 0 -> min() keeps 10
+            (1, _at(30), 40.0),
+            (1, _at(40), 50.0),
+            (2, _at(0), 7.0),  # single-point key: grid of one bucket
+        ],
+    )
+    sampled = resample(df, "user_id", "ts", "value", 600)
+    out = gap_fill(sampled, "user_id", 600).orderBy("user_id", "bucket").collect()
+    return {(r["user_id"], r["bucket"]): r for r in out}
+
+
+def test_resample_min_is_order_insensitive(spark):
+    df = _series(spark, [(1, _at(0), 10.0), (1, _at(5), 99.0)])
+    sampled = resample(df, "user_id", "ts", "value", 600)
+    assert sampled.collect()[0]["v"] == 10.0
+
+
+def test_grid_is_dense_per_key(filled):
+    u1 = sorted(b for (u, b) in filled if u == 1)
+    assert len(u1) == 5 and u1[-1] - u1[0] == 4 * 600
+
+
+def test_locf_carries_last_observation(filled):
+    base = min(b for (u, b) in filled if u == 1)
+    hole = filled[(1, base + 600)]
+    assert hole["is_gap"] and hole["locf"] == 10.0
+    trailing = filled[(1, base + 4 * 600)]
+    # minute-40 obs (v=50) lands in bucket 4 -> not a gap
+    assert not trailing["is_gap"] and trailing["locf"] == 50.0
+
+
+def test_linear_interpolation_between_observations(filled):
+    base = min(b for (u, b) in filled if u == 1)
+    # between v=10 (bucket 0) and v=40 (bucket 3): 1/3 and 2/3 points
+    assert filled[(1, base + 600)]["interp"] == pytest.approx(20.0)
+    assert filled[(1, base + 1200)]["interp"] == pytest.approx(30.0)
+
+
+def test_single_point_key(filled):
+    row = filled[(2, time_bucket(F.lit(TS0), 600)) if False else next(
+        k for k in filled if k[0] == 2
+    )]
+    assert row["v"] == 7.0 and not row["is_gap"]
+
+
+def test_max_buckets_drops_pathological_key(spark):
+    df = _series(spark, [(1, _at(0), 1.0), (1, _at(10_000_000), 2.0)])
+    sampled = resample(df, "user_id", "ts", "value", 600)
+    assert gap_fill(sampled, "user_id", 600, max_buckets=100).count() == 0
