@@ -1961,3 +1961,22 @@ SELECT user_id, bucket, v,
 FROM f
 ORDER BY user_id, bucket
 """
+
+# Bigram novelty: distinct per-doc bigrams vs corpus document frequency.
+ORACLES["bigram_novelty"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+), cnt AS (
+  SELECT bigram, count(*) AS df_count FROM bg GROUP BY 1
+)
+SELECT doc_id,
+  count(*) AS n_bigrams,
+  cast(sum(CASE WHEN df_count = 1 THEN 1 ELSE 0 END) as bigint) AS n_novel,
+  cast(sum(CASE WHEN df_count = 1 THEN 1 ELSE 0 END) as double)
+    / cast(count(*) as double) AS novelty
+FROM bg JOIN cnt USING (bigram)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -3344,6 +3344,56 @@ def gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill(sampled, "user_id", 3600).orderBy("user_id", "bucket")
 
 
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram language-model signal with hash-stable
+    outputs: per doc, the count of distinct bigrams, how many are
+    UNIQUE to the doc across the corpus (document frequency 1), and the
+    novelty ratio (one division of exact ints). This is the
+    deterministic core of perplexity-style quality filtering (CCNet /
+    Gopher) — a float log-prob sum would be partial-order-dependent and
+    can never hash-match, so the catalog exports the integer moments
+    the scorer is built from.
+
+    Plan shape: bigrams are built EXPRESSION-SIDE (zip_with over two
+    slices — O(tokens), no shuffle, no Python), per-doc deduped with
+    array_distinct before explode, then one groupBy(bigram) + one join
+    back. Two keyed shuffles total at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.withColumn("toks", tokens(normalize_text(F.col("text"))))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "zip_with("
+                        " slice(toks, 1, greatest(size(toks)-1, 0)),"
+                        " slice(toks, 2, greatest(size(toks)-1, 0)),"
+                        " (a, b) -> concat(a, ' ', b))"
+                    )
+                )
+            ).alias("bigram"),
+        )
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df_count"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("df_count") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_bigrams").cast("double")
+             ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3421,6 +3471,7 @@ QUERIES = {
     "corr_matrix": corr_matrix,
     "curriculum_bins": curriculum_bins,
     "gap_fill_series": gap_fill_series,
+    "bigram_novelty": bigram_novelty,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
