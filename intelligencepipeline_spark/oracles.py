@@ -1980,3 +1980,33 @@ SELECT doc_id,
 FROM bg JOIN cnt USING (bigram)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+# C4-style duplicated 5-gram span removal; md5 gram keys match Spark.
+ORACLES["span_dedup_clean"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+         cast(greatest(len(toks) - 4, 0) as bigint) AS n_grams, toks
+  FROM t
+), g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+4], ' ')) AS gram
+  FROM base, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5
+), dup AS (
+  SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1
+), covered AS (
+  SELECT doc_id, cast(count(*) as bigint) AS covered_tokens FROM (
+    SELECT DISTINCT g.doc_id, g.pos + o.off AS cpos
+    FROM g JOIN dup USING (gram), unnest(range(0, 5)) AS o(off)
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_grams,
+  coalesce(c.covered_tokens, 0) AS covered_tokens,
+  b.n_tokens - coalesce(c.covered_tokens, 0) AS kept_tokens,
+  cast(b.n_tokens - coalesce(c.covered_tokens, 0) as double)
+    / cast(greatest(b.n_tokens, 1) as double) AS kept_ratio
+FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
+ORDER BY b.doc_id
+"""

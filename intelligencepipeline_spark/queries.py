@@ -3394,6 +3394,67 @@ def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal, adapted to this corpus: C4
+    drops any three-sentence span occurring more than once in the
+    corpus; the synthetic docs have no sentence boundaries, so the span
+    unit is a 5-token gram. Per doc: how many token positions are
+    covered by a gram that occurs >1 time corpus-wide, and the kept
+    ratio after excising them (exact ints + one division).
+
+    Plan shape: grams are built expression-side (transform over
+    sequence — O(tokens), zero Python), md5 gram keys give a uniform
+    shuffle; duplicate grams found by one groupBy, then covered
+    positions via interval explode + distinct. Three keyed shuffles,
+    no all-pairs anything, scale-safe at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalize_text(F.col("text")))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.greatest(F.size("toks") - 4, F.lit(0)).cast("long").alias("n_grams"),
+        "toks",
+    )
+    g = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 5 THEN"
+                " transform(sequence(1, size(toks)-4),"
+                "   i -> struct(i AS pos,"
+                "        md5(concat_ws(' ', slice(toks, i, 5))) AS gram))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    dup = g.groupBy("gram").agg(F.count(F.lit(1)).alias("occ")).filter(
+        F.col("occ") > 1
+    )
+    covered = (
+        g.join(dup.select("gram"), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("cpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        base.drop("toks")
+        .join(covered, "doc_id", "left")
+        .withColumn("covered_tokens", F.coalesce("covered_tokens", F.lit(0)))
+        .withColumn("kept_tokens", F.col("n_tokens") - F.col("covered_tokens"))
+        .withColumn(
+            "kept_ratio",
+            F.col("kept_tokens").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3472,6 +3533,7 @@ QUERIES = {
     "curriculum_bins": curriculum_bins,
     "gap_fill_series": gap_fill_series,
     "bigram_novelty": bigram_novelty,
+    "span_dedup_clean": span_dedup_clean,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
