@@ -170,3 +170,71 @@ def test_domain_mix_two_stage_agg(spark):
     assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
     # partial agg map-side, one exchange on source (+ fanout/sort)
     assert a.shuffle_exchanges <= 3, a.plan[:1500]
+
+
+def test_q2_broadcasts_all_dims(spark):
+    from intelligencepipeline_spark.queries import q2_min_cost_supplier
+
+    a = audit(q2_min_cost_supplier(spark, SF))
+    # part/supplier/nation/region all broadcast: the only shuffles are
+    # the (part,supp) agg and the window over p_partkey
+    assert a.broadcast_joins >= 4, a.plan[:2000]
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+
+
+def test_q11_scalar_subquery_is_broadcast_not_cartesian(spark):
+    from intelligencepipeline_spark.queries import q11_important_parts
+
+    a = audit(q11_important_parts(spark, SF))
+    # the one-row total joins via BroadcastNestedLoopJoin — never a
+    # CartesianProduct (which would shuffle both sides)
+    assert not a.cartesian, a.plan[:2000]
+    assert a.sortmerge_joins == 0
+
+
+def test_q20_semi_chain_broadcasts(spark):
+    from intelligencepipeline_spark.queries import q20_excess_suppliers
+
+    a = audit(q20_excess_suppliers(spark, SF))
+    assert a.broadcast_joins >= 3, a.plan[:2000]
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+
+
+def test_gap_fill_prunes_event_columns(spark):
+    from intelligencepipeline_spark.queries import gap_fill_series
+
+    a = audit(gap_fill_series(spark, SF))
+    # only (user_id, ts, value) leave the scan; the user_id<10 filter
+    # is pushed into parquet
+    assert a.reads_only("user_id", "ts", "value"), a.read_schemas
+    assert a.has_pushed_filter("user_id"), a.pushed_filters
+    assert not a.cartesian
+
+
+def test_bigram_novelty_reads_only_text(spark):
+    from intelligencepipeline_spark.queries import bigram_novelty
+
+    a = audit(bigram_novelty(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.sortmerge_joins + a.broadcast_joins >= 1  # df-count join back
+    assert not a.cartesian
+
+
+def test_span_dedup_no_product(spark):
+    from intelligencepipeline_spark.queries import span_dedup_clean
+
+    a = audit(span_dedup_clean(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+
+
+def test_corr_matrix_single_pass(spark):
+    from intelligencepipeline_spark.queries import corr_matrix
+
+    a = audit(corr_matrix(spark, SF))
+    # one global agg: partial->final exchange only (plus nothing else —
+    # explode of 3 structs happens on the single agg row)
+    assert a.shuffle_exchanges <= 1, a.plan[:1500]
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
