@@ -1,0 +1,42 @@
+"""Z-order (Morton) interleaving for multi-dimensional data layout.
+
+At 100 TB, range queries over two correlated keys (time × tenant,
+partkey × suppkey) want files clustered so BOTH predicates prune; a
+single-column sort only prunes one. Writing the table ordered by the
+Morton code of the two keys gives each parquet file a tight bounding
+box in both dimensions, so min/max row-group stats prune on either
+predicate — the same mechanism behind Delta/Iceberg Z-ORDER, here as a
+plain deterministic expression usable with
+``df.repartitionByRange(n, zvalue(...)).sortWithinPartitions(...)``.
+
+The bit math is generated once and rendered BOTH as a PySpark Column
+and as ANSI SQL text (``zvalue_sql``) so the DuckDB oracle runs the
+byte-identical formula — integer ops only, hash-stable everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zvalue(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton code interleaving the low ``bits`` of x (even positions)
+    and y (odd positions); inputs must already be non-negative and
+    < 2**bits (mask/mod upstream)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = z.bitwiseOR(xb).bitwiseOR(yb)
+    return z
+
+
+def zvalue_sql(x: str, y: str, bits: int = 10) -> str:
+    """The same Morton expression as ANSI SQL text (for oracles /
+    engines without the DataFrame API)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(parts) + ")"

@@ -1,0 +1,101 @@
+"""Fuzzy matching / entity resolution: complete blocked edit-distance
+joins.
+
+The reference resolves entities only by exact Kafka key (doc_id =
+path.hashCode(), KafkaIntelligencePipeline.kt:314); a training-data
+pipeline also needs approximate matching — near-identical names, OCR
+variants, normalization drift. A naive fuzzy join is all-pairs
+(O(n^2) levenshtein calls); this module blocks it WITHOUT losing
+recall.
+
+Completeness argument for the length-band block: levenshtein(a, b) <= k
+implies abs(len(a) - len(b)) <= k. The probe side emits k+1 block keys
+(len(a) .. len(a)+k); the build side emits one key (len(b)). Every pair
+with len(b) in [len(a), len(a)+k] meets on a key, and unordered
+coverage follows because both sides carry all values — the pair is seen
+from whichever side is shorter. So the blocked join finds EXACTLY the
+pairs the all-pairs scan would (the oracle for the catalog query is the
+brute-force form).
+
+Scale shape: distinct-value dedup first (entity resolution operates on
+the value domain, typically orders of magnitude smaller than the row
+count), then one equi-join on the length key. Skew caveat: natural-
+language name lengths concentrate (most names are 5-25 chars), so for
+huge domains salt the block key with a coarse first-character class —
+kept out of the default because it multiplies probe fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_self_pairs(
+    df: DataFrame, col: str, max_dist: int = 2
+) -> DataFrame:
+    """All unordered pairs of DISTINCT ``col`` values within
+    ``max_dist`` edit distance, via the complete length-band block.
+
+    Returns (name_a, name_b, dist) with name_a < name_b.
+    """
+    names = df.select(F.col(col).alias("name")).filter(
+        F.col("name").isNotNull()
+    ).distinct()
+    probe = names.select(
+        "name",
+        F.explode(
+            F.sequence(F.length("name"), F.length("name") + max_dist)
+        ).alias("blk"),
+    )
+    build = names.select(
+        F.col("name").alias("name_b"), F.length("name").alias("blk")
+    )
+    return (
+        probe.join(build, "blk")
+        .filter(F.col("name") != F.col("name_b"))
+        .filter(F.levenshtein("name", "name_b") <= max_dist)
+        .select(
+            F.least("name", "name_b").alias("name_a"),
+            F.greatest("name", "name_b").alias("name_b"),
+            F.levenshtein(
+                F.least("name", "name_b"), F.greatest("name", "name_b")
+            ).cast("long").alias("dist"),
+        )
+        .distinct()
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Two-sided fuzzy equi-ish join: rows whose key values are within
+    ``max_dist`` edit distance. Joins value domains first (distinct),
+    then maps matches back to the full tables — the expensive
+    levenshtein verification runs once per VALUE pair, not row pair."""
+    lv = left.select(F.col(left_col).alias("lv")).distinct()
+    rv = right.select(F.col(right_col).alias("rv")).distinct()
+    probe = lv.select(
+        "lv",
+        F.explode(
+            F.sequence(
+                F.length("lv") - max_dist, F.length("lv") + max_dist
+            )
+        ).alias("blk"),
+    )
+    build = rv.select("rv", F.length("rv").alias("blk"))
+    matches = (
+        probe.join(build, "blk")
+        .filter(F.levenshtein("lv", "rv") <= max_dist)
+        .select("lv", "rv")
+        .distinct()
+    )
+    return (
+        left.join(matches, left[left_col] == matches.lv)
+        .join(right, matches.rv == right[right_col])
+        .drop("lv", "rv")
+    )

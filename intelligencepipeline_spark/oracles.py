@@ -2010,3 +2010,29 @@ SELECT b.doc_id, b.n_tokens, b.n_grams,
 FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 ORDER BY b.doc_id
 """
+
+# Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
+# join must exactly reproduce (completeness proof in operators/fuzzy.py).
+ORACLES["fuzzy_name_pairs"] = """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       cast(levenshtein(a.name, b.name) as bigint) AS dist
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY name_a, name_b
+"""
+
+# Z-order buckets: byte-identical Morton expression via zvalue_sql.
+from intelligencepipeline_spark.functions.zorder import zvalue_sql as _zsql
+
+ORACLES["zorder_layout"] = f"""
+WITH z AS (
+  SELECT {_zsql('(l_partkey % 1024)', '(l_suppkey % 1024)', 10)} >> 14 AS zbucket,
+         l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+  FROM lineitem
+)
+SELECT zbucket, count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""

@@ -3455,6 +3455,51 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/fuzzy.py): part-name variants
+    within edit distance 2, found by the COMPLETE length-band blocked
+    join — provably the same pairs as the all-pairs scan, which is
+    exactly what the oracle runs. Distinct-value dedup first: the
+    levenshtein verification cost is O(value-domain pairs), not row
+    pairs."""
+    from intelligencepipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_self_pairs(part, "p_name", max_dist=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data layout (functions/zorder.py): Morton codes over
+    (l_partkey, l_suppkey) mod 1024, rolled up to 64 z-buckets with
+    each bucket's bounding box in BOTH dimensions — the row-group
+    min/max stats a z-ordered writer would give every parquet file, so
+    either predicate prunes. The oracle runs the byte-identical bit
+    expression via zvalue_sql (integer-only math, hash-stable)."""
+    from intelligencepipeline_spark.functions.zorder import zvalue
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 1024).cast("long")
+    y = (F.col("l_suppkey") % 1024).cast("long")
+    return (
+        li.select(
+            F.shiftright(zvalue(x, y, 10), 14).alias("zbucket"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3534,6 +3579,8 @@ QUERIES = {
     "gap_fill_series": gap_fill_series,
     "bigram_novelty": bigram_novelty,
     "span_dedup_clean": span_dedup_clean,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
+    "zorder_layout": zorder_layout,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

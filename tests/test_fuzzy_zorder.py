@@ -1,0 +1,99 @@
+"""operators/fuzzy + functions/zorder unit layer.
+
+The blocked fuzzy join's completeness claim is tested against a
+brute-force python oracle; Morton codes are pinned to hand-computed
+interleavings.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.fuzzy import (
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+from intelligencepipeline_spark.functions.zorder import zvalue, zvalue_sql
+
+
+def _lev(a, b):
+    # classic DP, the reference semantics both engines implement
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+NAMES = [
+    "red widget", "red widgets", "rad widget", "blue bolt", "blue belt",
+    "blue", "bl", "green gear", "green gears!", "x",
+]
+
+
+def test_blocked_pairs_equal_brute_force(spark):
+    df = spark.createDataFrame([(n,) for n in NAMES], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_self_pairs(df, "p_name", max_dist=2).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), _lev(a, b))
+        for a, b in itertools.combinations(set(NAMES), 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_join_matches_across_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzz")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme c0rp"), (11, "completely different")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "name", "rname", max_dist=2).collect()
+    assert [(r["id"], r["rid"]) for r in out] == [(1, 10)]
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 0), (0, 3), (3, 3), (5, 2)],
+        "x long, y long",
+    )
+    out = [
+        r["z"]
+        for r in df.select(
+            zvalue(F.col("x"), F.col("y"), 4).alias("z")
+        ).collect()
+    ]
+    # x occupies even bit positions, y odd: z = sum x_i*4^i + 2*sum y_i*4^i
+    assert out == [0, 1, 2, 5, 10, 15, 0b011001]
+
+
+def test_zvalue_sql_matches_column_form(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 16) for i in range(16)], "x long, y long"
+    )
+    got = df.select(
+        zvalue(F.col("x"), F.col("y"), 4).alias("a"),
+        F.expr(zvalue_sql("x", "y", 4)).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got)
+
+
+def test_zvalue_locality(spark):
+    # Morton property: a quadrant (high bits of x and y) maps to one
+    # contiguous z range — the pruning guarantee the layout relies on.
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = df.select(
+        "x", "y", zvalue(F.col("x"), F.col("y"), 4).alias("z")
+    ).collect()
+    quad = sorted(r["z"] for r in out if r["x"] < 8 and r["y"] < 8)
+    assert quad == list(range(64))  # low quadrant = z in [0, 64)
