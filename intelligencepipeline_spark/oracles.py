@@ -2036,3 +2036,32 @@ SELECT zbucket, count(*) AS n,
        min(y) AS y_min, max(y) AS y_max
 FROM z GROUP BY zbucket ORDER BY zbucket
 """
+
+# Incremental admission: exact fingerprint probe + cross-parity LSH
+# edges (same edge semantics as dedup_pipeline).
+ORACLES["incremental_corpus_update"] = f"""
+WITH {_LSH_EDGE_CTES}, fp AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents
+), exact AS (
+  SELECT i.doc_id, min(e.doc_id) AS xm
+  FROM fp i JOIN fp e ON i.f = e.f
+  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+  GROUP BY i.doc_id
+), cross_e AS (
+  SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS doc_id,
+         CASE WHEN a % 2 = 1 THEN b ELSE a END AS ex
+  FROM edges WHERE (a % 2) <> (b % 2)
+), near AS (
+  SELECT doc_id, min(ex) AS nm FROM cross_e GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN x.xm IS NOT NULL THEN 'exact_dup'
+       WHEN n.nm IS NOT NULL THEN 'near_dup'
+       ELSE 'new' END AS verdict,
+  coalesce(x.xm, n.nm, cast(-1 as bigint)) AS matched
+FROM documents d
+LEFT JOIN exact x ON d.doc_id = x.doc_id
+LEFT JOIN near n ON d.doc_id = n.doc_id
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id
+"""

@@ -3500,6 +3500,62 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion admission control — the operation a
+    training corpus runs on every new crawl batch: an incoming doc
+    (odd doc_id here; in production the new batch) is admitted only if
+    it is neither an EXACT duplicate (normalized-md5 fingerprint
+    matching any existing even-id doc) nor a NEAR duplicate
+    (LSH-verified Jaccard >= 0.5 edge into the existing corpus,
+    the dedup_pipeline edge set). Verdict per incoming doc with the
+    canonical matched existing id (-1 when admitted).
+
+    Scale shape: the exact probe is one fingerprint groupBy + join;
+    the near probe reuses the banded-LSH edges (never all-pairs) and
+    only CROSS-parity edges — in production the existing side's
+    signatures are precomputed and the incoming batch is the only new
+    shingling work."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    with_fp = docs.select("doc_id", fp.alias("f"))
+    exact = (
+        with_fp.filter(F.col("doc_id") % 2 == 1)
+        .join(
+            with_fp.filter(F.col("doc_id") % 2 == 0)
+            .groupBy("f")
+            .agg(F.min("doc_id").alias("xm")),
+            "f",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("xm").alias("xm"))
+    )
+    edges = _lsh_verified_edges(spark, sf_dir)
+    cross = edges.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
+        F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias(
+            "doc_id"
+        ),
+        F.when(F.col("a") % 2 == 1, F.col("b")).otherwise(F.col("a")).alias(
+            "ex"
+        ),
+    )
+    near = cross.groupBy("doc_id").agg(F.min("ex").alias("nm"))
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("xm").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("nm").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("xm", "nm", F.lit(-1).cast("long")).alias("matched"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3581,6 +3637,7 @@ QUERIES = {
     "span_dedup_clean": span_dedup_clean,
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "zorder_layout": zorder_layout,
+    "incremental_corpus_update": incremental_corpus_update,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
