@@ -2065,3 +2065,71 @@ LEFT JOIN near n ON d.doc_id = n.doc_id
 WHERE d.doc_id % 2 = 1
 ORDER BY d.doc_id
 """
+
+# Tukey fences per event type; quantile_cont == F.percentile.
+ORACLES["iqr_outliers"] = """
+WITH s AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, min(s.q1) AS q1, min(s.q3) AS q3,
+  count(*) AS n,
+  cast(sum(CASE WHEN e.value < s.q1 - (s.q3 - s.q1) * 1.5
+                  OR e.value > s.q3 + (s.q3 - s.q1) * 1.5
+            THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+  cast(sum(CASE WHEN e.value < s.q1 - (s.q3 - s.q1) * 1.5
+                  OR e.value > s.q3 + (s.q3 - s.q1) * 1.5
+            THEN 1 ELSE 0 END) as double) / cast(count(*) as double)
+    AS outlier_rate
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+# Chi-square cells from exact counts; shared (o-e)^2/e formula.
+ORACLES["chi_square_contingency"] = """
+WITH obs AS (
+  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT lang, source, o,
+    sum(o) OVER (PARTITION BY lang) AS row_total,
+    sum(o) OVER (PARTITION BY source) AS col_total,
+    sum(o) OVER () AS total
+  FROM obs
+)
+SELECT lang, source, o,
+  cast(row_total as double) * cast(col_total as double)
+    / cast(total as double) AS expected,
+  (cast(o as double) - cast(row_total as double) * cast(col_total as double)
+     / cast(total as double))
+  * (cast(o as double) - cast(row_total as double) * cast(col_total as double)
+     / cast(total as double))
+  / (cast(row_total as double) * cast(col_total as double)
+     / cast(total as double)) AS contrib
+FROM t ORDER BY lang, source
+"""
+
+# Total-variation drift cells (abs/div only — no ln, see queries.py).
+ORACLES["distribution_drift"] = """
+WITH b AS (
+  SELECT least(cast(floor(value / 50) as bigint), 9) AS bin,
+         user_id % 2 = 0 AS is_a
+  FROM events
+), c AS (
+  SELECT bin,
+    cast(sum(CASE WHEN is_a THEN 1 ELSE 0 END) as bigint) AS n_a,
+    cast(sum(CASE WHEN is_a THEN 0 ELSE 1 END) as bigint) AS n_b
+  FROM b GROUP BY 1
+), t AS (
+  SELECT bin, n_a, n_b,
+    sum(n_a) OVER () AS tot_a, sum(n_b) OVER () AS tot_b
+  FROM c
+)
+SELECT bin, n_a, n_b,
+  cast(n_a as double) / cast(tot_a as double) AS p_a,
+  cast(n_b as double) / cast(tot_b as double) AS p_b,
+  abs(cast(n_a as double) / cast(tot_a as double)
+      - cast(n_b as double) / cast(tot_b as double)) AS tv_contrib
+FROM t ORDER BY bin
+"""

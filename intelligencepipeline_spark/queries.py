@@ -3556,6 +3556,119 @@ def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screening (Tukey fences) per event type: exact
+    linear-interpolated quartiles (F.percentile == DuckDB quantile_cont,
+    proven by the percentiles query), 1.5×IQR bounds in one shared IEEE
+    expression, outlier counts as exact ints + one division. The
+    group-stats side is tiny → broadcast back to the fact scan; two
+    passes but zero extra shuffles of the events table."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - (F.col("q3") - F.col("q1")) * F.lit(1.5)
+    hi = F.col("q3") + (F.col("q3") - F.col("q1")) * F.lit(1.5)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("is_out", (F.col("value") < lo) | (F.col("value") > hi))
+        .groupBy("event_type")
+        .agg(
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            "n",
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n").cast("double")
+             ).alias("outlier_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the lang × source contingency
+    table: observed counts are exact ints; expected = row_total *
+    col_total / N and the cell contribution (o-e)²/e are single shared
+    IEEE formulas over those ints — the whole test statistic is
+    reconstructible, and every exported float is deterministic (unlike
+    summing float contributions in engine-dependent order). One count
+    agg + two tiny window totals."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wall = Window.partitionBy()
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        obs.withColumn("row_total", F.sum("o").over(wl))
+        .withColumn("col_total", F.sum("o").over(ws))
+        .withColumn("total", F.sum("o").over(wall))
+        .withColumn("expected", e)
+        .select(
+            "lang",
+            "source",
+            "o",
+            "expected",
+            (
+                (F.col("o").cast("double") - F.col("expected"))
+                * (F.col("o").cast("double") - F.col("expected"))
+                / F.col("expected")
+            ).alias("contrib"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus slices (even vs
+    odd user cohorts standing in for last-week vs this-week): events
+    value histogram in 10 equal-width bins, per-bin share on each side,
+    and the total-variation contribution |p_a - p_b|. TVD instead of
+    PSI/KL on purpose: it needs only subtraction/division/abs — exact
+    IEEE everywhere — while ln() is not guaranteed correctly rounded
+    across libms and would break the bit-exact hash contract. Single
+    count agg; the per-side totals are two tiny window sums."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    w = Window.partitionBy()
+    pa = F.col("n_a").cast("double") / F.col("tot_a").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("tot_b").cast("double")
+    return (
+        counts.withColumn("tot_a", F.sum("n_a").over(w))
+        .withColumn("tot_b", F.sum("n_b").over(w))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            pa.alias("p_a"),
+            pb.alias("p_b"),
+            F.abs(pa - pb).alias("tv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3638,6 +3751,9 @@ QUERIES = {
     "fuzzy_name_pairs": fuzzy_name_pairs,
     "zorder_layout": zorder_layout,
     "incremental_corpus_update": incremental_corpus_update,
+    "iqr_outliers": iqr_outliers,
+    "chi_square_contingency": chi_square_contingency,
+    "distribution_drift": distribution_drift,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
