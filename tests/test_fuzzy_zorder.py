@@ -97,3 +97,36 @@ def test_zvalue_locality(spark):
     ).collect()
     quad = sorted(r["z"] for r in out if r["x"] < 8 and r["y"] < 8)
     assert quad == list(range(64))  # low quadrant = z in [0, 64)
+
+
+def test_fuzzy_blocking_complete_on_random_strings(spark):
+    # property-style sweep: random short strings, blocked == brute force
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc"
+    names = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+        for _ in range(40)
+    })
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_self_pairs(df, "p_name", max_dist=2).collect()
+    }
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(names, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_zvalue_is_bijective_on_domain(spark):
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zs = [
+        r["z"]
+        for r in df.select(zvalue(F.col("x"), F.col("y"), 5).alias("z")).collect()
+    ]
+    assert sorted(zs) == list(range(1024))

@@ -238,3 +238,38 @@ def test_corr_matrix_single_pass(spark):
     # explode of 3 structs happens on the single agg row)
     assert a.shuffle_exchanges <= 1, a.plan[:1500]
     assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+
+
+def test_fuzzy_pairs_blocked_join_only(spark):
+    from intelligencepipeline_spark.queries import fuzzy_name_pairs
+
+    a = audit(fuzzy_name_pairs(spark, SF))
+    # the length-band block is an equi-join; an all-pairs plan would
+    # show a cartesian/BNLJ over the name domain
+    assert not a.cartesian, a.plan[:2000]
+    assert a.reads_only("p_name"), a.read_schemas
+
+
+def test_zorder_reads_two_keys_only(spark):
+    from intelligencepipeline_spark.queries import zorder_layout
+
+    a = audit(zorder_layout(spark, SF))
+    assert a.reads_only("l_partkey", "l_suppkey"), a.read_schemas
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+    assert not a.cartesian
+
+
+def test_iqr_broadcasts_group_stats(spark):
+    from intelligencepipeline_spark.queries import iqr_outliers
+
+    a = audit(iqr_outliers(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:1500]
+    assert not a.cartesian
+
+
+def test_drift_single_count_agg(spark):
+    from intelligencepipeline_spark.queries import distribution_drift
+
+    a = audit(distribution_drift(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.reads_only("value", "user_id"), a.read_schemas
