@@ -1,0 +1,151 @@
+"""Distributed BPE tokenizer training over a word-frequency domain.
+
+Classic byte-pair encoding (Sennrich et al. 2016) trains on the
+word-frequency dictionary, not the raw corpus — at 100 TB the corpus
+collapses to a (word, count) domain of ~10M rows after one groupBy, and
+every merge iteration then runs on that bounded domain. This module
+implements exactly that shape:
+
+* ``word_freqs``      — one corpus-wide groupBy (the only full-data
+  shuffle in the whole trainer);
+* each iteration      — adjacent-pair counts weighted by word frequency
+  (expression-side zip_with, map-side partial agg) and an argmax with a
+  TOTAL deterministic tie-break (count desc, then pair lexicographic);
+* merge application   — a left-to-right greedy fold as an ``aggregate``
+  HOF (pure Catalyst expression, no Python in the loop);
+* driver state        — k collected rows of one (left, right) pair each
+  (the learned merge table), like IVF's k×dim centroids: bounded and
+  tiny by construction.
+
+The full trainer is iterative and therefore not single-statement
+SQL-expressible; its catalog entry is rows-only and correctness is
+pinned by unit tests against a pure-Python reference implementation
+(tests/test_bpe.py). The first iteration's pair counting IS
+SQL-expressible and has a full DuckDB oracle (bpe_pair_counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from intelligencepipeline_spark.functions.text import normalize_text, tokens
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) frequency domain of the normalized corpus."""
+    return (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def to_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into single-character symbol arrays."""
+    return words.withColumn(
+        "syms",
+        F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")),
+    )
+
+
+def pair_counts(symbolized: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol pairs. Expression-side pair
+    build; one keyed agg with map-side partials."""
+    pairs = F.expr(
+        "zip_with(slice(syms, 1, greatest(size(syms)-1, 0)),"
+        " slice(syms, 2, greatest(size(syms)-1, 0)),"
+        " (a, b) -> struct(a AS left, b AS right))"
+    )
+    return (
+        symbolized.select(F.explode(pairs).alias("p"), "n")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+
+
+def apply_merge(symbolized: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol, as a fold: matches tokenizers' reference behavior on
+    overlaps ("aaa" + (a,a) -> ["aa","a"]). Pure expression — the merge
+    pair enters as literals, so the whole pass stays in codegen."""
+    lit_l, lit_r = F.lit(left), F.lit(right)
+    merged = F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit_l)
+            & (x == lit_r),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(lit_l, lit_r)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return symbolized.withColumn("syms", merged)
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges. Returns the merge table as
+    [{rank, left, right, merged, pair_count}]. Stops early when the
+    best pair drops under ``min_count``.
+
+    Each iteration materializes the symbolized domain (localCheckpoint
+    truncates the fold-expression lineage, which otherwise nests one
+    aggregate HOF per merge) and collects exactly one row."""
+    sym = to_symbols(word_freqs(docs, text_col)).localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        best = (
+            pair_counts(sym)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < min_count:
+            break
+        b = best[0]
+        merges.append(
+            {
+                "rank": rank,
+                "left": b["left"],
+                "right": b["right"],
+                "merged": b["left"] + b["right"],
+                "pair_count": b["pair_count"],
+            }
+        )
+        sym = apply_merge(sym, b["left"], b["right"]).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def encode(docs: DataFrame, merges: list[dict], text_col: str = "text") -> DataFrame:
+    """Apply a learned merge table to a corpus: per-doc BPE symbol
+    count (the token-budget number a packing stage consumes)."""
+    out = docs.withColumn(
+        "syms",
+        F.filter(
+            F.split(
+                F.concat_ws(" ", tokens(normalize_text(F.col(text_col)))), ""
+            ),
+            lambda x: x != F.lit(""),
+        ),
+    )
+    # the " " word separator never merges: normalized tokens contain no
+    # spaces, so no learned pair has one on either side
+    for m in merges:
+        out = apply_merge(out, m["left"], m["right"])
+    return out.withColumn(
+        "bpe_len",
+        (
+            F.size(F.filter(F.col("syms"), lambda x: x != F.lit(" ")))
+        ).cast("long"),
+    ).drop("syms")

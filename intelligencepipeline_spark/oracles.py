@@ -2133,3 +2133,19 @@ SELECT bin, n_a, n_b,
       - cast(n_b as double) / cast(tot_b as double)) AS tv_contrib
 FROM t ORDER BY bin
 """
+
+# BPE iteration 1: frequency-weighted adjacent character pairs.
+ORACLES["bpe_pair_counts"] = f"""
+WITH wf AS (
+  SELECT word, cast(count(*) as bigint) AS n FROM (
+    SELECT unnest({_NTOKS}) AS word FROM documents
+  ) GROUP BY word
+), p AS (
+  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, n
+  FROM wf, unnest(range(1, length(word))) AS u(i)
+)
+SELECT l AS "left", r AS "right", cast(sum(n) as bigint) AS pair_count
+FROM p GROUP BY l, r
+ORDER BY pair_count DESC, l, r
+LIMIT 50
+"""

@@ -1,0 +1,101 @@
+"""operators/bpe vs a pure-Python reference BPE (Sennrich-style).
+
+The distributed trainer must learn the identical merge table — same
+pairs, same order, same counts — as the sequential reference, including
+the deterministic tie-break (count desc, then lexicographic pair).
+"""
+
+from collections import Counter
+
+import pytest
+
+from intelligencepipeline_spark.operators.bpe import (
+    apply_merge,
+    pair_counts,
+    to_symbols,
+    train_bpe,
+    word_freqs,
+)
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int, min_count: int = 2):
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += word_counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the thin thing then",
+    "that cat that mat",
+    "banana bandana",
+    "aaaa aaa aa",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_trainer_matches_python_reference(docs):
+    wc = Counter()
+    for t in TEXTS:
+        wc.update(t.split())
+    want = _py_bpe(dict(wc), 6)
+    got = train_bpe(docs, n_merges=6)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in got] == want
+
+
+def test_greedy_overlap_fold(spark):
+    # "aaa"x1: pairs (a,a)=2; after merging (a,a): ["aa","a"] -> the
+    # fold must not re-merge across the freshly built symbol
+    df = spark.createDataFrame([("aaa", 1)], "word string, n long")
+    sym = apply_merge(to_symbols(df), "a", "a")
+    assert sym.collect()[0]["syms"] == ["aa", "a"]
+
+
+def test_pair_counts_weighted_by_word_freq(spark):
+    df = spark.createDataFrame(
+        [("ab", 3), ("ba", 2)], "word string, n long"
+    )
+    rows = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in pair_counts(to_symbols(df)).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b", "a"): 2}
+
+
+def test_word_freqs_normalizes(docs):
+    rows = {r["word"]: r["n"] for r in word_freqs(docs).collect()}
+    assert rows["the"] == 3 and rows["cat"] == 2
+
+
+def test_min_count_stops_training(spark):
+    df = spark.createDataFrame([(0, "xy zq")], "doc_id long, text string")
+    # every pair occurs once -> nothing reaches min_count=2
+    assert train_bpe(df, n_merges=3) == []
