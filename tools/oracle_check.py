@@ -67,7 +67,23 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value digest of a canonicalized frame (the
+    local stand-in for the driver's hash_match)."""
+    import hashlib
+
+    c = canon(df)
+    payload = c.to_csv(index=False, float_format="%.17g").encode()
+    return hashlib.md5(payload).hexdigest()
+
+
 def main():
+    json_out = None
+    only = list(ONLY or [])
+    if "--json" in only:
+        i = only.index("--json")
+        json_out = only[i + 1]
+        del only[i : i + 2]
     spark = get_spark("oracle_check",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
@@ -77,36 +93,58 @@ def main():
         )
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
+        row = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = row
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
+            row["err"] = repr(e)[:300]
             print(f"FAIL {name}: spark error: {repr(e)[:300]}")
             n_fail += 1
             continue
         t1 = time.time()
+        row["spark_rows"] = len(sdf)
         if name not in osql:
+            row["rows_match"] = row["schema_match"] = len(sdf) >= 0
+            row["oracle_rows"] = None
             print(f"SKIP-ORACLE {name}: rows={len(sdf)} ({t1-t0:.1f}s)")
             continue
         try:
             ddf = con.execute(osql[name]).df()
         except Exception as e:
+            row["err"] = repr(e)[:300]
             print(f"FAIL {name}: duckdb error: {repr(e)[:300]}")
             n_fail += 1
             continue
+        row["oracle_rows"] = len(ddf)
+        row["rows_match"] = len(sdf) == len(ddf)
+        row["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
         problems = compare(name, sdf, ddf)
-        if problems:
+        if not problems:
+            row["hash_match"] = _value_hash(sdf) == _value_hash(ddf)
+        if problems or not row["hash_match"]:
             n_fail += 1
             print(f"FAIL {name} (spark {t1-t0:.1f}s):")
-            for p in problems:
+            for p in problems or ["value hashes differ after exact compare"]:
                 print(f"   {p}")
         else:
             n_pass += 1
             print(f"PASS {name}: rows={len(sdf)} (spark {t1-t0:.1f}s)")
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out} ({len(results)} rows)")
 
 
 if __name__ == "__main__":
