@@ -2149,3 +2149,23 @@ FROM p GROUP BY l, r
 ORDER BY pair_count DESC, l, r
 LIMIT 50
 """
+
+# Embedding per-dimension profile from exact quantized moments.
+# generate_subscripts is 1-based; Spark posexplode is 0-based.
+ORACLES["embedding_profile"] = f"""
+WITH e AS (
+  SELECT cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+         {_QELEM} AS qv
+  FROM embeddings
+), m AS (
+  SELECT dim, count(*) AS n,
+         cast(sum(qv) as bigint) AS s,
+         cast(sum(qv * qv) as bigint) AS ss
+  FROM e GROUP BY dim
+)
+SELECT dim, n, s, ss,
+  cast(s as double) / cast(n as double) AS mean_q,
+  (cast(n as double) * cast(ss as double) - cast(s as double) * cast(s as double))
+    / (cast(n as double) * cast(n as double)) AS var_q
+FROM m ORDER BY dim
+"""

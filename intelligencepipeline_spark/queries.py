@@ -3710,6 +3710,45 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-space profile (drift monitoring for the
+    vector column): mean and population variance of each dimension,
+    computed from EXACT integer sums of the quantized values
+    (similarity.quantize's floor(x*1000) — the same trick that makes
+    the ANN dot products hash-stable) with one shared double formula.
+    One posexplode + one keyed agg; at 100 TB this is a map-side
+    partial agg over dims × rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v").cast("double") * 1000).cast("long")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .select(F.col("dim").cast("long").alias("dim"), qv.alias("qv"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qv").alias("s"),
+            F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+        )
+        .select(
+            "dim",
+            "n",
+            "s",
+            "ss",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+                "mean_q"
+            ),
+            (
+                (
+                    F.col("n").cast("double") * F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).alias("var_q"),
+        )
+        .orderBy("dim")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3797,6 +3836,7 @@ QUERIES = {
     "distribution_drift": distribution_drift,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train": bpe_train_q,
+    "embedding_profile": embedding_profile,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
