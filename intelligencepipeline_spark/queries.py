@@ -1115,7 +1115,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalog entries that are genuinely non-SQL-expressible (iterative /
 # stateful) and therefore carry no oracle_sql: the driver records a
 # rows-only check for these; their correctness lives in unit tests.
-NON_SQL_QUERIES = {"ann_ivf_topk"}
+NON_SQL_QUERIES = {"ann_ivf_topk", "bpe_train"}
 
 
 def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
