@@ -2169,3 +2169,16 @@ SELECT dim, n, s, ss,
     / (cast(n as double) * cast(n as double)) AS var_q
 FROM m ORDER BY dim
 """
+
+# Ranking family with real ties (sort key excludes the unique id).
+ORACLES["ranking_functions"] = """
+SELECT cast(s_nationkey as bigint) AS nationkey, s_suppkey, s_acctbal,
+  cast(rank() OVER w as bigint) AS rnk,
+  cast(dense_rank() OVER w as bigint) AS drnk,
+  percent_rank() OVER w AS prnk,
+  cume_dist() OVER w AS cd
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey
+             ORDER BY cast(s_acctbal as decimal(18,2)))
+ORDER BY nationkey, s_suppkey
+"""

@@ -3749,6 +3749,28 @@ def embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function family in one proof: rank,
+    dense_rank, percent_rank, cume_dist over a per-nation supplier
+    acctbal ordering WITH ties (acctbal alone — doc_id is not in the
+    sort key, so rank vs dense_rank genuinely diverge).
+    percent_rank/cume_dist are exact ratios of window counts —
+    deterministic doubles. One keyed window shuffle."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").cast("decimal(18,2)")
+    )
+    return supp.select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cd"),
+    ).orderBy("nationkey", "s_suppkey")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3837,6 +3859,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_train": bpe_train_q,
     "embedding_profile": embedding_profile,
+    "ranking_functions": ranking_functions,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
