@@ -131,3 +131,80 @@ def streaming_running_stats(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_locf(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Streaming gap fill: the stateful counterpart of
+    ``operators/timeseries.gap_fill``'s LOCF half. Input rows are
+    (key, bucket, v) resampled observations; for every hole between a
+    key's last observed bucket and a new one, emit a carried-forward
+    row, then the observation itself.
+
+    State per key is O(1): (last_bucket, last_value). Late rows —
+    bucket ≤ the key's last emitted bucket — are dropped (the batch
+    operator handles full-history rewrites; the streaming form is the
+    ingest-time approximation, same trade as
+    dropDuplicatesWithinWatermark). Within a micro-batch rows are
+    sorted by bucket before folding, so results don't depend on
+    arrival order inside the batch.
+
+    Output: (key, bucket, locf, is_gap).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("locf", T.DoubleType()),
+            T.StructField("is_gap", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_bucket", T.LongType()),
+            T.StructField("last_v", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_b, last_v = state.get if state.exists else (None, None)
+        out_k, out_b, out_v, out_g = [], [], [], []
+        obs = pd.concat(list(pdfs), ignore_index=True)
+        if len(obs):
+            obs = obs.sort_values(bucket_col, kind="mergesort")
+            for b, v in zip(obs[bucket_col], obs[value_col]):
+                b = int(b)
+                if last_b is not None and b <= last_b:
+                    continue  # late/duplicate bucket: drop
+                if last_b is not None:
+                    for m in range(last_b + step, b, step):
+                        out_k.append(key[0])
+                        out_b.append(m)
+                        out_v.append(last_v)
+                        out_g.append(True)
+                out_k.append(key[0])
+                out_b.append(b)
+                out_v.append(float(v))
+                out_g.append(False)
+                last_b, last_v = b, float(v)
+            state.update((last_b, last_v))
+        if out_k:
+            yield pd.DataFrame(
+                {
+                    "key": out_k,
+                    "bucket": out_b,
+                    "locf": out_v,
+                    "is_gap": out_g,
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

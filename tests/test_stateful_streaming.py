@@ -131,3 +131,76 @@ def test_running_stats_matches_batch_agg(spark, rows_dir):
     for k, (n, total, vmax) in batch.items():
         fn, ft, fm = final[k]
         assert fn == n and abs(ft - total) < 1e-9 and fm == vmax
+
+
+def _run_append_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        terminated = q.awaitTermination(120)
+        assert terminated, f"query {name} did not terminate"
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_locf_fills_cross_batch_gaps(spark):
+    """streaming_locf == the batch gap_fill LOCF column, including a
+    gap that spans the micro-batch boundary (state carries last obs)."""
+    import os
+
+    from intelligencepipeline_spark.streaming.stateful import streaming_locf
+
+    d = tempfile.mkdtemp(prefix="ip_locf_")
+    try:
+        # batch 1: user 1 buckets 0 and 30 (hole at 10, 20)
+        spark.createDataFrame(
+            [(1, 0, 5.0), (1, 30, 8.0)], "k long, bucket long, v double"
+        ).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+        stream = (
+            spark.readStream.schema("k long, bucket long, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(d, "b1"))
+        )
+        out = streaming_locf(stream, "k", "bucket", "v", step=10)
+        got = _run_append_to_memory(spark, out, "locf1").collect()
+        rows = {r["bucket"]: (r["locf"], r["is_gap"]) for r in got}
+        assert rows == {
+            0: (5.0, False),
+            10: (5.0, True),
+            20: (5.0, True),
+            30: (8.0, False),
+        }
+        # batch 2 into the same checkpointed query would carry state; the
+        # cross-batch path is exercised via two files in one availableNow
+        # run with maxFilesPerTrigger=1 (one micro-batch per file):
+        d2 = tempfile.mkdtemp(prefix="ip_locf2_")
+        try:
+            spark.createDataFrame(
+                [(2, 0, 1.0)], "k long, bucket long, v double"
+            ).write.mode("overwrite").parquet(os.path.join(d2, "data"))
+            spark.createDataFrame(
+                [(2, 20, 3.0)], "k long, bucket long, v double"
+            ).write.mode("append").parquet(os.path.join(d2, "data"))
+            stream2 = (
+                spark.readStream.schema("k long, bucket long, v double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(d2, "data"))
+            )
+            out2 = streaming_locf(stream2, "k", "bucket", "v", step=10)
+            got2 = _run_append_to_memory(spark, out2, "locf2").collect()
+            rows2 = {r["bucket"]: (r["locf"], r["is_gap"]) for r in got2}
+            assert rows2 == {
+                0: (1.0, False),
+                10: (1.0, True),
+                20: (3.0, False),
+            }
+        finally:
+            shutil.rmtree(d2, ignore_errors=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
