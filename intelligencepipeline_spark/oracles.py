@@ -2182,3 +2182,25 @@ WINDOW w AS (PARTITION BY s_nationkey
              ORDER BY cast(s_acctbal as decimal(18,2)))
 ORDER BY nationkey, s_suppkey
 """
+
+# Streaming LOCF == batch gap-fill (locf half), same grid and fills.
+ORACLES["streaming_gap_fill"] = """
+WITH b AS (
+  SELECT user_id, cast(floor(epoch(ts)/3600)*3600 as bigint) AS bucket,
+         min(value) AS v
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM span
+), j AS (
+  SELECT g.user_id, g.bucket, b.v
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+)
+SELECT user_id, bucket,
+  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+  v IS NULL AS is_gap
+FROM j
+ORDER BY user_id, bucket
+"""

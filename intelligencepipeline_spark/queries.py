@@ -3771,6 +3771,46 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nationkey", "s_suppkey")
 
 
+def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LOCF (streaming/stateful.streaming_locf) held to the
+    BATCH gap-fill oracle: the resampled series of users 0-9 streams
+    through the stateful operator and must reproduce exactly the
+    locf/is_gap columns the batch operator derives — streaming == batch
+    for the carried-forward half (interpolation needs the future and is
+    batch-only by nature). The source is written as ONE file so
+    micro-batch order can't reorder buckets (in production the
+    resampler upstream guarantees per-key bucket monotonicity)."""
+    import tempfile
+
+    from intelligencepipeline_spark.operators.timeseries import resample
+    from intelligencepipeline_spark.streaming.stateful import streaming_locf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    sampled = resample(ev, "user_id", "ts", "value", 3600)
+    src = tempfile.mkdtemp(prefix="ip_sgf_src_")
+    sampled.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, bucket long, v double"
+    ).parquet(src)
+    out = streaming_locf(stream, "user_id", "bucket", "v", step=3600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_gap_fill_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_sgf_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming gap fill did not finish"
+    return (
+        spark.table("streaming_gap_fill_sink")
+        .select(
+            F.col("key").alias("user_id"), "bucket", "locf", "is_gap"
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3860,6 +3900,7 @@ QUERIES = {
     "bpe_train": bpe_train_q,
     "embedding_profile": embedding_profile,
     "ranking_functions": ranking_functions,
+    "streaming_gap_fill": streaming_gap_fill,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
