@@ -2204,3 +2204,26 @@ SELECT user_id, bucket,
 FROM j
 ORDER BY user_id, bucket
 """
+
+# Importance sampling: per-row md5 coin vs quality-derived weight.
+ORACLES["importance_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    cast(len({_RTOKS}) as bigint) AS n_toks,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+      % 1000 AS bucket
+  FROM documents
+), k AS (
+  SELECT lang, n_toks,
+    cast(bucket as double)
+      < least(greatest(cast(n_toks as double) / 100.0, 0.2), 0.9) * 1000
+      AS keep
+  FROM s
+)
+SELECT lang, count(*) AS n_docs,
+  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+  cast(sum(CASE WHEN keep THEN n_toks ELSE 0 END) as bigint) AS kept_tokens,
+  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double)
+    / cast(count(*) as double) AS keep_rate
+FROM k GROUP BY lang ORDER BY lang
+"""

@@ -3811,6 +3811,52 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW importance sampling for data curation (vs
+    domain_mix_sample's per-GROUP rates): each doc's keep probability
+    derives from its own quality (token count, clamped to [0.2, 0.9])
+    and the keep decision is the deterministic md5-bucket coin the
+    engine uses everywhere — same slice on any engine, partitioning, or
+    day, and upsampling a re-crawl never flips earlier decisions.
+    Exports the per-lang admitted counts + exact token mass, plus the
+    weight ratio as one division."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    w = F.least(
+        F.greatest(
+            F.col("n_toks").cast("double") / F.lit(100.0), F.lit(0.2)
+        ),
+        F.lit(0.9),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    scored = docs.select(
+        "doc_id", "lang", q["n_tokens"].alias("n_toks")
+    ).withColumn("keep", bucket.cast("double") < w * 1000)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+             ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3901,6 +3947,7 @@ QUERIES = {
     "embedding_profile": embedding_profile,
     "ranking_functions": ranking_functions,
     "streaming_gap_fill": streaming_gap_fill,
+    "importance_sample": importance_sample,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
