@@ -2227,3 +2227,30 @@ SELECT lang, count(*) AS n_docs,
     / cast(count(*) as double) AS keep_rate
 FROM k GROUP BY lang ORDER BY lang
 """
+
+# Quality-aware canonical member per near-dup cluster.
+ORACLES["quality_canonical_selection"] = f"""
+WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+), q AS (
+  SELECT c.node, c.component, cast(len({_RTOKS}) as bigint) AS n_toks
+  FROM comp c JOIN documents ON doc_id = c.node
+), r AS (
+  SELECT component, node, n_toks,
+    row_number() OVER (PARTITION BY component
+                       ORDER BY n_toks DESC, node) AS rn,
+    count(*) OVER (PARTITION BY component) AS n_members
+  FROM q
+)
+SELECT component, node AS keep_id,
+  cast(n_members as bigint) AS n_members, n_toks AS keep_tokens
+FROM r WHERE rn = 1 ORDER BY component
+"""

@@ -3857,6 +3857,40 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-pluggable dedup survivor selection: instead of
+    dedup_survivor_docs' min-id canonical member, keep each near-dup
+    cluster's HIGHEST-QUALITY document (token count, then min id as the
+    deterministic tie-break) — the policy real corpus dedup wants,
+    since the canonical doc is the one whose text ships to training.
+    Same LSH-verified edge set + connected components; the argmax is a
+    per-component window (WindowGroupLimit prunes it to one row per
+    cluster)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = _lsh_verified_edges(spark, sf_dir)
+    comp = connected_components(edges)
+    q = quality_score(F.col("text"))
+    scored = docs.select("doc_id", q["n_tokens"].alias("n_toks"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_toks"), F.col("node")
+    )
+    return (
+        comp.join(scored, comp.node == scored.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_toks").alias("keep_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3948,6 +3982,7 @@ QUERIES = {
     "ranking_functions": ranking_functions,
     "streaming_gap_fill": streaming_gap_fill,
     "importance_sample": importance_sample,
+    "quality_canonical_selection": quality_canonical_selection,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
