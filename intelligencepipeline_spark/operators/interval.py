@@ -1,0 +1,67 @@
+"""Interval × interval overlap join via time-cell gridding.
+
+``range_join`` (point-in-interval) and ``asof_join`` (nearest past
+point) cover point↔interval; this module covers interval↔interval
+overlap — concurrency analysis, conflicting bookings, co-occurring
+sessions. The naive form is a non-equi θ-join (s1 <= e2 AND s2 <= e1)
+that Spark can only plan as a broadcast nested loop or cartesian; the
+scale form grids time into coarse cells:
+
+* each interval explodes to the cells its span touches
+  (``sequence(floor(s/c), floor(e/c))`` — O(span/c) rows,
+  executor-side);
+* candidate pairs meet on an EQUI-join on the cell id (+ optional
+  partition keys), so Catalyst plans a hash join;
+* the exact overlap predicate then verifies candidates, and pairs
+  touching k shared cells are deduped with ``distinct``.
+
+Completeness: overlapping intervals share the cell containing any
+common instant, so every true pair meets on ≥1 cell — the grid can
+only ADD candidates, never lose one (the catalog oracle is the brute
+force θ-join). Pick ``cell_seconds`` near the typical interval length:
+too fine multiplies the explode factor, too coarse degrades selectivity
+toward all-pairs-per-cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str = "start",
+    end: str = "end",
+    cell_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) row pairs whose [start, end] intervals overlap
+    (closed intervals: touching endpoints count). Right-side columns
+    are renamed with ``suffix``. Epoch-second long columns expected."""
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    rs, re = start + suffix, end + suffix
+
+    def gridded(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / cell_seconds),
+                    F.floor(F.col(e) / cell_seconds),
+                )
+            ),
+        )
+
+    return (
+        gridded(left, start, end)
+        .join(gridded(r, rs, re), "__cell")
+        .filter(
+            (F.col(start) <= F.col(re)) & (F.col(rs) <= F.col(end))
+        )
+        .drop("__cell")
+        .distinct()
+    )

@@ -2254,3 +2254,31 @@ SELECT component, node AS keep_id,
   cast(n_members as bigint) AS n_members, n_toks AS keep_tokens
 FROM r WHERE rn = 1 ORDER BY component
 """
+
+# Interval overlap: brute theta-join oracle for the gridded equi plan.
+ORACLES["concurrent_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es
+  FROM events WHERE user_id < 20
+), m AS (
+  SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR es - prev > 3600 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY es, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM m
+), sess AS (
+  SELECT user_id, cast(session_id as bigint) AS session_id,
+    min(es) AS s_start, max(es) AS s_end
+  FROM s GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start)
+         AS overlap_secs
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id
+ AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+ORDER BY user_a, session_a, user_b, session_b
+"""

@@ -3891,6 +3891,38 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/interval.py): pairs
+    of DIFFERENT users' sessions (users 0-19, 1 h gap sessionization)
+    active at the same time, with the exact overlap duration in
+    seconds. The grid join is equi-planned; the oracle is the brute
+    θ-join it must exactly reproduce. Overlap math is integer
+    epoch-second arithmetic — hash-exact."""
+    from intelligencepipeline_spark.operators.interval import overlap_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    sess = session_stats(ev, key="user_id", ts="ts", gap_seconds=3600).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_epoch").alias("start"),
+        F.col("session_end_epoch").alias("end"),
+    )
+    pairs = overlap_join(sess, sess, cell_seconds=3600)
+    return (
+        pairs.filter(F.col("user_id") < F.col("user_id_r"))
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("session_id").alias("session_a"),
+            F.col("user_id_r").alias("user_b"),
+            F.col("session_id_r").alias("session_b"),
+            (
+                F.least("end", "end_r") - F.greatest("start", "start_r")
+            ).alias("overlap_secs"),
+        )
+        .orderBy("user_a", "session_a", "user_b", "session_b")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -3983,6 +4015,7 @@ QUERIES = {
     "streaming_gap_fill": streaming_gap_fill,
     "importance_sample": importance_sample,
     "quality_canonical_selection": quality_canonical_selection,
+    "concurrent_sessions": concurrent_sessions,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
