@@ -161,7 +161,7 @@ def test_streaming_locf_fills_cross_batch_gaps(spark):
         # batch 1: user 1 buckets 0 and 30 (hole at 10, 20)
         spark.createDataFrame(
             [(1, 0, 5.0), (1, 30, 8.0)], "k long, bucket long, v double"
-        ).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
         stream = (
             spark.readStream.schema("k long, bucket long, v double")
             .option("maxFilesPerTrigger", "1")
@@ -183,10 +183,12 @@ def test_streaming_locf_fills_cross_batch_gaps(spark):
         try:
             spark.createDataFrame(
                 [(2, 0, 1.0)], "k long, bucket long, v double"
-            ).write.mode("overwrite").parquet(os.path.join(d2, "data"))
+            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d2, "data"))
+            import time as _time
+            _time.sleep(1.1)  # distinct mtimes: file-source batch order is (modTime, path)
             spark.createDataFrame(
                 [(2, 20, 3.0)], "k long, bucket long, v double"
-            ).write.mode("append").parquet(os.path.join(d2, "data"))
+            ).coalesce(1).write.mode("append").parquet(os.path.join(d2, "data"))
             stream2 = (
                 spark.readStream.schema("k long, bucket long, v double")
                 .option("maxFilesPerTrigger", "1")
