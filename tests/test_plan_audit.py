@@ -273,3 +273,40 @@ def test_drift_single_count_agg(spark):
     a = audit(distribution_drift(spark, SF))
     assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
     assert a.reads_only("value", "user_id"), a.read_schemas
+
+
+def test_concurrent_sessions_equi_grid_join(spark):
+    from intelligencepipeline_spark.queries import concurrent_sessions
+
+    a = audit(concurrent_sessions(spark, SF))
+    # the overlap join must plan as an EQUI join on the grid cell —
+    # a theta-only plan would surface as cartesian/BNLJ
+    assert not a.cartesian, a.plan[:2000]
+    assert a.has_pushed_filter("user_id"), a.pushed_filters
+
+
+def test_embedding_profile_single_agg(spark):
+    from intelligencepipeline_spark.queries import embedding_profile
+
+    a = audit(embedding_profile(spark, SF))
+    assert a.reads_only("embedding"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+
+
+def test_importance_sample_rides_scan(spark):
+    from intelligencepipeline_spark.queries import importance_sample
+
+    a = audit(importance_sample(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.reads_only("doc_id", "lang", "text"), a.read_schemas
+
+
+def test_bpe_pair_counts_two_aggs_no_joins(spark):
+    from intelligencepipeline_spark.queries import bpe_pair_counts
+
+    a = audit(bpe_pair_counts(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    # doc_id rides along as the fanout repartition key
+    assert a.reads_only("text", "doc_id"), a.read_schemas
+    assert not a.cartesian
