@@ -1,0 +1,47 @@
+"""operators/interval.overlap_join edge semantics vs a brute-force
+python oracle: touching endpoints, nesting, long intervals spanning
+many grid cells, and cell-size independence (the grid may only add
+candidates the verify step removes — never lose a pair).
+"""
+
+import itertools
+
+import pytest
+
+from intelligencepipeline_spark.operators.interval import overlap_join
+
+INTERVALS = [
+    (1, 0, 10),      # id, start, end
+    (2, 10, 20),     # touches 1 at t=10
+    (3, 21, 30),     # disjoint from 2 by 1s
+    (4, 5, 25),      # nests/overlaps 1, 2, 3? (25 >= 21 -> overlaps 3)
+    (5, 0, 100_000), # spans many 3600s cells
+    (6, 99_000, 99_001),
+]
+
+
+def _brute():
+    out = set()
+    for (ia, sa, ea), (ib, sb, eb) in itertools.combinations(INTERVALS, 2):
+        if sa <= eb and sb <= ea:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+@pytest.mark.parametrize("cell", [10, 3600, 1_000_000])
+def test_overlap_join_matches_brute_force_any_cell_size(spark, cell):
+    df = spark.createDataFrame(INTERVALS, "id long, start long, end long")
+    got = {
+        (min(r["id"], r["id_r"]), max(r["id"], r["id_r"]))
+        for r in overlap_join(df, df, cell_seconds=cell).collect()
+        if r["id"] != r["id_r"]
+    }
+    assert got == _brute()
+
+
+def test_touching_endpoints_count_as_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 20)], "id long, start long, end long"
+    )
+    got = overlap_join(df, df, cell_seconds=7).filter("id < id_r").collect()
+    assert [(r["id"], r["id_r"]) for r in got] == [(1, 2)]
