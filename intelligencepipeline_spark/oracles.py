@@ -2282,3 +2282,27 @@ FROM sess a JOIN sess b
  AND a.s_start <= b.s_end AND b.s_start <= a.s_end
 ORDER BY user_a, session_a, user_b, session_b
 """
+
+# Declared-vs-detected language confusion matrix.
+ORACLES["lang_confusion"] = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS declared,
+    ({_S_EN}) AS score_en, ({_S_DE}) AS score_de,
+    ({_S_FR}) AS score_fr, ({_S_ES}) AS score_es
+  FROM documents
+), det AS (
+  SELECT declared,
+    CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+      WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+      WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 'es'
+      WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+      ELSE 'de' END AS detected
+  FROM scores
+), c AS (
+  SELECT declared, detected, count(*) AS n FROM det GROUP BY 1, 2
+)
+SELECT declared, detected, n,
+  cast(n as double)
+    / cast(sum(n) OVER (PARTITION BY declared) as double) AS declared_share
+FROM c ORDER BY declared, detected
+"""

@@ -3923,6 +3923,31 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: confusion matrix of the corpus's DECLARED
+    language column vs the engine's detector (F2/F7 heuristic,
+    functions/text.detect_language) — the check a training pipeline
+    runs before trusting upstream metadata. Exact counts + one recall
+    division per cell row. Expression-only detection riding the scan,
+    one count agg."""
+    docs = _t(spark, sf_dir, "documents")
+    wd = Window.partitionBy("declared")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            detect_language(F.col("text")).alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "declared_share",
+            F.col("n").cast("double")
+            / F.sum("n").over(wd).cast("double"),
+        )
+        .orderBy("declared", "detected")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4016,6 +4041,7 @@ QUERIES = {
     "importance_sample": importance_sample,
     "quality_canonical_selection": quality_canonical_selection,
     "concurrent_sessions": concurrent_sessions,
+    "lang_confusion": lang_confusion,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
