@@ -2306,3 +2306,10 @@ SELECT declared, detected, n,
     / cast(sum(n) OVER (PARTITION BY declared) as double) AS declared_share
 FROM c ORDER BY declared, detected
 """
+
+# Multi-format round-trip must equal the parquet original.
+ORACLES["multiformat_roundtrip"] = """
+SELECT lang, count(*) AS n_docs,
+  cast(sum(n_chars) as bigint) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""

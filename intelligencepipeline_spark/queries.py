@@ -3948,6 +3948,42 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth (S1's "any file in the directory" spirit,
+    participants/implementations.kt:334-341): the documents metadata
+    round-trips through CSV AND newline-JSON sinks/sources with
+    explicit schemas, and the reread frames must agree with the parquet
+    original — per-lang doc counts and exact char mass from the CSV
+    path, inner-joined against the JSON path (a mismatch would change
+    row counts). Proves the non-parquet readers/writers carry values
+    and types faithfully."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="ip_fmt_")
+    docs.coalesce(4).write.mode("overwrite").option("header", "true").csv(
+        f"{root}/csv"
+    )
+    docs.coalesce(4).write.mode("overwrite").json(f"{root}/json")
+    schema = "doc_id long, lang string, n_chars long"
+    from_csv = (
+        spark.read.schema(schema).option("header", "true").csv(f"{root}/csv")
+    )
+    from_json = spark.read.schema(schema).json(f"{root}/json")
+    agg_csv = from_csv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    agg_json = from_json.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        agg_csv.join(agg_json, ["lang", "n_docs", "total_chars"])
+        .orderBy("lang")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4042,6 +4078,7 @@ QUERIES = {
     "quality_canonical_selection": quality_canonical_selection,
     "concurrent_sessions": concurrent_sessions,
     "lang_confusion": lang_confusion,
+    "multiformat_roundtrip": multiformat_roundtrip,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
