@@ -2313,3 +2313,43 @@ SELECT lang, count(*) AS n_docs,
   cast(sum(n_chars) as bigint) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+# Markov transitions between consecutive event types per user.
+ORACLES["event_transition_matrix"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+      ORDER BY cast(floor(epoch(ts)) as bigint), event_id) AS from_type
+  FROM events
+), c AS (
+  SELECT from_type, event_type AS to_type, count(*) AS n
+  FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  cast(n as double)
+    / cast(sum(n) OVER (PARTITION BY from_type) as double) AS p
+FROM c ORDER BY from_type, to_type
+"""
+
+# Cohort retention triangle.
+ORACLES["retention_cohorts"] = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+    cast(floor(epoch(ts) / 86400) as bigint) AS day
+  FROM events
+), c AS (
+  SELECT user_id, day,
+    min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days
+), t AS (
+  SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+  FROM c GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, n_active,
+  max(CASE WHEN day_offset = 0 THEN n_active END)
+    OVER (PARTITION BY cohort_day) AS cohort_size,
+  cast(n_active as double)
+    / cast(max(CASE WHEN day_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_day) as double) AS retention
+FROM t ORDER BY cohort_day, day_offset
+"""
