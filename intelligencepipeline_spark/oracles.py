@@ -2353,3 +2353,21 @@ SELECT cohort_day, day_offset, n_active,
              OVER (PARTITION BY cohort_day) as double) AS retention
 FROM t ORDER BY cohort_day, day_offset
 """
+
+# Co-occurrence support of event-type pairs per user.
+ORACLES["cooccurrence_pairs"] = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), t AS (
+  SELECT count(DISTINCT user_id) AS total_users FROM events
+)
+SELECT type_a, type_b, n_users,
+  cast(n_users as double) / cast(total_users as double) AS support
+FROM p, t ORDER BY type_a, type_b
+"""

@@ -4044,6 +4044,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support counting: unordered event-type pairs that
+    co-occur for the same user, with support = co-occurring users /
+    total users (one division of exact ints). The pair generation is a
+    per-user equi self-join of the distinct (user, type) set — keyed on
+    user, never a global cross product; the type domain is tiny so the
+    pair space is bounded per user. The one-row user total broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    right = ut.select(
+        F.col("user_id"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        ut.join(right, "user_id")
+        .filter(F.col("event_type") < F.col("type_b"))
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    total = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("total_users")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            (F.col("n_users").cast("double")
+             / F.col("total_users").cast("double")).alias("support"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4141,6 +4175,7 @@ QUERIES = {
     "multiformat_roundtrip": multiformat_roundtrip,
     "event_transition_matrix": event_transition_matrix,
     "retention_cohorts": retention_cohorts,
+    "cooccurrence_pairs": cooccurrence_pairs,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
