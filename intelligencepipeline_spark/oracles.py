@@ -2371,3 +2371,100 @@ SELECT type_a, type_b, n_users,
   cast(n_users as double) / cast(total_users as double) AS support
 FROM p, t ORDER BY type_a, type_b
 """
+
+# A/B cells + z vs pooled proportion (sqrt is correctly rounded).
+ORACLES["ab_test_cells"] = """
+WITH pu AS (
+  SELECT user_id,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+         THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT cast(user_id % 2 as bigint) AS variant,
+         count(*) AS n, cast(sum(converted) as bigint) AS conv
+  FROM pu GROUP BY 1
+), t AS (
+  SELECT variant, n, conv,
+    cast(conv as double) / cast(n as double) AS rate,
+    cast(sum(conv) OVER () as double) / cast(sum(n) OVER () as double)
+      AS p_pool
+  FROM c
+)
+SELECT variant, n, conv, rate, p_pool,
+  (rate - p_pool) / sqrt(p_pool * (1.0 - p_pool) / cast(n as double))
+    AS z_vs_pool
+FROM t ORDER BY variant
+"""
+
+# Hottest join keys + skew factor.
+ORACLES["join_skew_report"] = """
+WITH c AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+), t AS (
+  SELECT o_custkey, n,
+    sum(n) OVER () AS total_rows,
+    count(*) OVER () AS n_keys,
+    row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
+  FROM c
+)
+SELECT cast(rk as bigint) AS rk, o_custkey, n,
+  cast(n as double) / cast(total_rows as double) AS row_share,
+  cast(n as double) * cast(n_keys as double) / cast(total_rows as double)
+    AS skew_factor
+FROM t WHERE rk <= 10 ORDER BY rk
+"""
+
+# Sparse integer-tf cosine via inverted index; rare-term candidates.
+ORACLES["sparse_cosine_pairs"] = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_NTOKS}) AS term
+  FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, cast(sum(tf * tf) as bigint) AS norm2 FROM tf GROUP BY 1
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), rare AS (
+  SELECT term FROM dfc WHERE df <= 60
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM tf x JOIN tf y ON x.term = y.term AND x.doc_id < y.doc_id
+  WHERE x.term IN (SELECT term FROM rare)
+), dots AS (
+  SELECT c.a, c.b, cast(sum(x.tf * y.tf) as bigint) AS dot
+  FROM cand c
+  JOIN tf x ON x.doc_id = c.a
+  JOIN tf y ON y.doc_id = c.b AND y.term = x.term
+  GROUP BY c.a, c.b
+)
+SELECT d.a, d.b, d.dot,
+  cast(d.dot as double)
+    / (sqrt(cast(na.norm2 as double)) * sqrt(cast(nb.norm2 as double)))
+    AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE cast(d.dot as double)
+    / (sqrt(cast(na.norm2 as double)) * sqrt(cast(nb.norm2 as double))) > 0.75
+ORDER BY d.a, d.b
+"""
+
+# Top-|z| anomalies from exact per-group decimal moments.
+ORACLES["zscore_anomalies"] = """
+WITH s AS (
+  SELECT event_type,
+    cast(count(*) as double) AS n,
+    cast(sum(cast(value as decimal(18,2))) as double) AS s,
+    cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2)))
+      as double) AS ss
+  FROM events GROUP BY 1
+), z AS (
+  SELECT e.event_id, e.event_type, e.value,
+    (e.value - s.s / s.n)
+      / sqrt((s.n * s.ss - s.s * s.s) / (s.n * s.n)) AS z
+  FROM events e JOIN s USING (event_type)
+)
+SELECT event_id, event_type, value, z, abs(z) AS abs_z
+FROM z ORDER BY abs_z DESC, event_id LIMIT 20
+"""

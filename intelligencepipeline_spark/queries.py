@@ -4078,6 +4078,195 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: per-variant conversion cells (user
+    parity as the assignment) and the two-proportion z statistic built
+    from exact counts with one shared IEEE formula (sqrt IS correctly
+    rounded, unlike ln — see distribution_drift). Exports one row per
+    variant plus the z on each row so the whole test is
+    reconstructible; conversion = user made >= 15 purchases (every
+    user purchases at least once in the synthetic data, which would
+    pool to p=1 and a zero-variance z)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    cells = per_user.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    w = Window.partitionBy()
+    n_tot = F.sum("n").over(w).cast("double")
+    conv_tot = F.sum("conv").over(w).cast("double")
+    p_pool = conv_tot / n_tot
+    # z from pooled proportions; identical expression on both engines
+    rate = F.col("conv").cast("double") / F.col("n").cast("double")
+    return (
+        cells.withColumn("rate", rate)
+        .withColumn("p_pool", p_pool)
+        .select(
+            "variant",
+            "n",
+            "conv",
+            "rate",
+            "p_pool",
+            (
+                (F.col("rate") - F.col("p_pool"))
+                / F.sqrt(
+                    F.col("p_pool")
+                    * (F.lit(1.0) - F.col("p_pool"))
+                    / F.col("n").cast("double")
+                )
+            ).alias("z_vs_pool"),
+        )
+        .orderBy("variant")
+    )
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational skew tooling (the diagnosis step before
+    operators/skew salting): per join-key frequency profile of
+    orders.o_custkey — the 10 hottest keys with their share of rows and
+    the skew factor vs the mean key load (divisions of exact ints).
+    One count agg + tiny window totals; this is the report you run
+    BEFORE a 100 TB join to decide salting/AQE settings."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("total_rows", F.sum("n").over(w))
+        .withColumn("n_keys", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "o_custkey")
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("long").alias("rk"),
+            "o_custkey",
+            "n",
+            (F.col("n").cast("double") / F.col("total_rows").cast("double")
+             ).alias("row_share"),
+            (
+                F.col("n").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_factor"),
+        )
+        .orderBy("rk")
+    )
+
+
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse vector similarity — the bag-of-words complement of the
+    dense-embedding family: document pairs sharing terms, scored by the
+    cosine of their INTEGER term-count vectors via an inverted-index
+    join (pairs meet once per shared term; dot/norms are exact int
+    sums; the cosine is one shared double formula). Docs pruned to the
+    ones sharing a rare-enough term (document frequency <= 60) keeps
+    the pair space bounded the same way LSH buckets do — common terms
+    contribute to scores only AFTER the candidate join. Threshold 0.75
+    on pairs among documents 0-99."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(normalize_text(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = terms.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("norm2")
+    )
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_counts.filter(F.col("df") <= 60).select("term")
+    cand_terms = terms.join(rare, "term", "left_semi")
+    cand_pairs = (
+        cand_terms.alias("x")
+        .join(cand_terms.alias("y"), "term")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    xt = terms.select(
+        F.col("doc_id").alias("a"), "term", F.col("tf").alias("tfa")
+    )
+    yt = terms.select(
+        F.col("doc_id").alias("b"), "term", F.col("tf").alias("tfb")
+    )
+    dots = (
+        cand_pairs.join(xt, "a")
+        .join(yt, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") > 0.75)
+        .select("a", "b", "dot", "cosine")
+        .orderBy("a", "b")
+    )
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flags: each event's z-score against its
+    type's mean/std derived from EXACT decimal moments (the corr_matrix
+    discipline applied per group), exporting the 20 most anomalous
+    events under a total ordering. The group stats are tiny →
+    broadcast back to the scan; |z| is one shared formula."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        / (F.col("n") * F.col("n"))
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("z"),
+            F.abs(z).alias("abs_z"),
+        )
+        .orderBy(F.desc("abs_z"), "event_id")
+        .limit(20)
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4176,6 +4365,10 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "retention_cohorts": retention_cohorts,
     "cooccurrence_pairs": cooccurrence_pairs,
+    "ab_test_cells": ab_test_cells,
+    "join_skew_report": join_skew_report,
+    "sparse_cosine_pairs": sparse_cosine_pairs,
+    "zscore_anomalies": zscore_anomalies,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
