@@ -53,3 +53,17 @@ def bucketed_join(
     both were written with write_bucketed_table on ``key`` with equal
     bucket counts, the physical plan contains no shuffle exchange."""
     return spark.table(left).join(spark.table(right), key, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *keys: str,
+) -> None:
+    """Hive-style partitioned parquet layout (directory per key value).
+    At 100 TB this is the coarse pruning layer ABOVE row-group stats:
+    a filter on a partition key turns into PartitionFilters at plan
+    time and unselected directories are never listed, let alone read.
+    Compose with Z-order inside each partition for two-level pruning
+    (directory, then row-group bounding boxes)."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)

@@ -60,3 +60,22 @@ def test_bucketed_agg_reuses_distribution(spark, bucketed_pair):
         spark.table(lname).groupBy("orderkey").agg(F.sum("l_quantity"))
     )
     assert a.shuffle_exchanges == 0, a.plan[:1500]
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from intelligencepipeline_spark.sources.bucketed import write_partitioned
+    from intelligencepipeline_spark.plans.audit import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, "lang")
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = formatted_plan(back)
+    # the lang predicate must be a PARTITION filter (directory pruning),
+    # not a data filter evaluated per row
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0], plan[:1500]
+    # values survive the round trip
+    orig = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == orig
