@@ -76,17 +76,65 @@ def main() -> None:
             timings[name] = min(timings[name], run_one(name))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # The driver keeps only the LAST ~2000 chars of stdout (BENCH_r01
+    # proved it: the full ~4 KB per-query line was decapitated and
+    # failed to parse). So: full per-query map -> bench_full.json on
+    # disk, and the ONE stdout JSON line carries the total plus a
+    # headline subset, trimmed to fit the tail window whole.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            fh,
         )
-    )
+
+    headline = [
+        # TPC-H relational deck
+        "q1_pricing_summary", "q3_top_revenue", "q9_product_profit",
+        "q13_customer_distribution", "q18_large_orders",
+        "q21_blocking_supplier",
+        # dedup family
+        "dedup_exact", "minhash_lsh_pairs", "dedup_pipeline",
+        "dedup_clusters", "simhash", "span_dedup_clean",
+        # similarity / ANN
+        "similarity_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "embedding_dedup_pairs", "sparse_cosine_pairs",
+        # text analysis / corpus prep
+        "quality_filter", "lang_id", "tfidf_top_terms", "ner_entities",
+        "corpus_prep_pipeline", "token_packing", "bpe_train",
+        # engine + streaming
+        "engine_enrichment", "consolidation_fold",
+        "streaming_consolidation", "chunk_command_fold",
+        "session_stats", "asof_join", "hypertable_rollup",
+        # prior slow entries (regression watch)
+        "hashed_embedding", "jaccard_pairs", "sentence_chunks",
+        "q10_returned_items", "q17_small_quantity_revenue",
+    ]
+    sub = {k: timings[k] for k in headline if k in timings}
+    line = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "detail": "bench_full.json",
+        "queries": sub,
+        "sf": sf,
+    }
+    out = json.dumps(line)
+    while len(out) > 1900 and sub:
+        sub.popitem()
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""Slowly-changing-dimension (type 2) operators.
+
+The reference's consolidation keeps only the LATEST state per key
+(`KafkaIntelligencePipeline.kt:364-382` — the KTable fold overwrites);
+a warehouse at 100 TB also needs the HISTORY: every state a key passed
+through, with validity intervals, and the ability to join facts to the
+state that was valid at fact time ("point-in-time" / temporal join).
+
+Both operators are pure DataFrame window/join compositions:
+
+* ``scd2_from_events`` — one shuffle (window over key, ordered by
+  time); consecutive-duplicate suppression and interval closing are
+  ``lag``/``lead`` expressions inside the same window, so the whole
+  build is a single stage after the shuffle.
+* ``point_in_time_join`` — reuses the as-of union+window technique
+  (operators/asof.py): union facts with dimension versions, one window
+  per key carries the latest version forward onto each fact row. One
+  shuffle, O(1) per row, no range explosion — the form that survives
+  a 1000-executor scale-up (a BETWEEN theta-join would be a
+  broadcast-nested-loop at best).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_events(
+    changes: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+) -> DataFrame:
+    """Fold a change stream into SCD2 rows
+    ``(key, state, effective_from, effective_to, version)``.
+
+    Consecutive repeats of the same state are suppressed (a re-assertion
+    of the current state is not a new version — Kotlin's KTable fold
+    has the same no-op behavior when the folded value is unchanged,
+    `MapIntelligencePipeline.kt:131-146`). ``effective_to`` is the next
+    version's start, NULL for the open (current) row. Ties on ``ts``
+    are broken deterministically by the state value so the build is
+    stable under shuffle order.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(state))
+    deduped = (
+        changes.select(key, state, ts)
+        .withColumn("_prev", F.lag(state).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state)))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts), F.col(state))
+    return deduped.select(
+        F.col(key),
+        F.col(state),
+        F.col(ts).alias("effective_from"),
+        F.lead(ts).over(w2).alias("effective_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join each fact row to the dimension version valid at its
+    timestamp (``effective_from <= fact_ts < effective_to``), as a
+    union + one window — never a range join.
+
+    Facts earlier than the key's first version get NULL dim columns
+    (left-join semantics on the temporal axis).
+    """
+    dim_cols = dim_cols or [
+        c
+        for c in dim.columns
+        if c not in {key, "effective_from", "effective_to"}
+    ]
+    d = dim.select(
+        F.col(key),
+        F.col("effective_from").alias("_ts"),
+        F.lit(1).alias("_is_dim"),
+        F.struct(*[F.col(c) for c in dim_cols]).alias("_state"),
+    )
+    f = facts.select(
+        F.col(key),
+        F.col(fact_ts).alias("_ts"),
+        F.lit(0).alias("_is_dim"),
+        F.lit(None).cast(d.schema["_state"].dataType).alias("_state"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_fact"),
+    )
+    # Dim rows sort BEFORE facts at the same instant (_is_dim desc) so a
+    # version starting exactly at fact_ts is already visible — the
+    # closed-open [from, to) contract.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts"), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        f.select(key, "_ts", "_is_dim", "_state", "_fact")
+        .unionByName(d.withColumn("_fact", F.lit(None).cast(f.schema["_fact"].dataType)))
+        .withColumn("_cur", F.last("_state", ignorenulls=True).over(w))
+        .filter(F.col("_is_dim") == 0)
+    )
+    out = joined.select(
+        "_fact.*", *[F.col("_cur")[c].alias(c) for c in dim_cols]
+    )
+    return out

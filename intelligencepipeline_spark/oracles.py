@@ -2468,3 +2468,146 @@ WITH s AS (
 SELECT event_id, event_type, value, z, abs(z) AS abs_z
 FROM z ORDER BY abs_z DESC, event_id LIMIT 20
 """
+
+
+# SCD2 build: consecutive-duplicate suppression then interval close +
+# version numbering, all under the same (ts, status) per-user order.
+_SCD2 = """
+ch0 AS (
+  SELECT user_id, event_type AS status, ts,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+      AS prev
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+), ch AS (
+  SELECT user_id, status, ts FROM ch0
+  WHERE prev IS NULL OR prev <> status
+), scd AS (
+  SELECT user_id, status, ts AS eff_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, status) AS eff_to,
+    cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, status)
+      as bigint) AS version
+  FROM ch
+)"""
+
+ORACLES["scd2_dimension"] = f"""
+WITH {_SCD2}
+SELECT user_id, status,
+  cast(floor(epoch(eff_from)) as bigint) AS eff_from_epoch,
+  coalesce(cast(floor(epoch(eff_to)) as bigint), -1) AS eff_to_epoch,
+  version
+FROM scd ORDER BY user_id, version
+"""
+
+# Point-in-time: the closed-open [from, to) interval containing the
+# fact timestamp (empty intervals from same-instant versions excluded
+# by ts < eff_to).
+ORACLES["point_in_time_join"] = f"""
+WITH {_SCD2}
+SELECT e.event_id, e.user_id,
+  cast(floor(epoch(e.ts)) as bigint) AS click_epoch,
+  coalesce(s.status, 'none') AS status,
+  coalesce(s.version, cast(-1 as bigint)) AS status_version
+FROM events e
+LEFT JOIN scd s ON s.user_id = e.user_id
+  AND e.ts >= s.eff_from AND (s.eff_to IS NULL OR e.ts < s.eff_to)
+WHERE e.event_type = 'click'
+ORDER BY e.event_id
+"""
+
+# First/last non-purchase touch strictly before each purchase.
+ORACLES["attribution_revenue"] = """
+WITH touched AS (
+  SELECT user_id, event_type, value,
+    coalesce(first_value(CASE WHEN event_type <> 'purchase'
+        THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      'direct') AS first_touch,
+    coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      'direct') AS last_touch
+  FROM events
+)
+SELECT first_touch, last_touch, count(*) AS n_purchases,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS revenue_cents
+FROM touched WHERE event_type = 'purchase'
+GROUP BY first_touch, last_touch
+ORDER BY first_touch, last_touch
+"""
+
+# Mergeable-HLL rollup: the oracle pins the exact counts; the sketch
+# assertions (union-of-partials == direct sketch, both within bound)
+# are booleans the Spark side must hold.
+ORACLES["hll_mergeable_rollup"] = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  count(DISTINCT cast(ts as date)) AS n_days,
+  true AS merge_lossless,
+  true AS merged_within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# Shingle containment over rare-shingle-blocked candidates (df <= 20);
+# intersection counts use ALL shingles of the candidate pair.
+ORACLES["containment_pairs"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  WHERE x.shingle IN (SELECT shingle FROM rare)
+), common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b, c.common,
+  cast(c.common as double) / cast(na.n as double) AS containment_ab,
+  cast(c.common as double) / cast(nb.n as double) AS containment_ba
+FROM common c
+JOIN sizes na ON na.doc_id = c.a
+JOIN sizes nb ON nb.doc_id = c.b
+WHERE cast(c.common as double) / cast(na.n as double) >= 0.6
+   OR cast(c.common as double) / cast(nb.n as double) >= 0.6
+ORDER BY c.a, c.b
+"""
+
+# Type-token + hapax ratios from normalized-token term frequencies.
+ORACLES["lexical_diversity"] = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_NTOKS}) AS tok FROM documents
+), tfc AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id,
+    cast(sum(tf) as bigint) AS n_tokens,
+    count(*) AS n_types,
+    cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) as bigint) AS n_hapax
+  FROM tfc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+  cast(n_types as double) / cast(n_tokens as double) AS ttr,
+  cast(n_hapax as double) / cast(n_types as double) AS hapax_share
+FROM per_doc ORDER BY doc_id
+"""
+
+# Equi-width histogram: 20 buckets of width 50, clamped to [0, 19].
+ORACLES["value_histogram"] = """
+SELECT event_type,
+  cast(greatest(0.0, least(19.0, floor(value / 50.0))) as bigint)
+    AS bucket,
+  count(*) AS n,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS sum_cents
+FROM events
+GROUP BY 1, 2 ORDER BY event_type, bucket
+"""

@@ -4267,6 +4267,282 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change stream —
+    the HISTORY companion to the reference's latest-state-only KTable
+    fold (`KafkaIntelligencePipeline.kt:364-382`): every status a user
+    passed through with [from, to) validity and a version number.
+    Status changes = signup/purchase/error events; consecutive repeats
+    of the same status are suppressed (re-asserting the current state
+    is not a new version — the KTable fold's no-op-on-equal behavior,
+    `MapIntelligencePipeline.kt:131-146`).
+
+    Plan: one shuffle on user_id; dedup-lag, interval-lead and
+    version row_number all share that window — a single stage after
+    the exchange, no joins."""
+    from intelligencepipeline_spark.operators.scd import scd2_from_events
+
+    ch = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase", "error"))
+        .select("user_id", F.col("event_type").alias("status"), "ts")
+    )
+    scd = scd2_from_events(ch, "user_id", "status", "ts")
+    return scd.select(
+        "user_id",
+        "status",
+        F.unix_timestamp("effective_from").alias("eff_from_epoch"),
+        F.coalesce(
+            F.unix_timestamp("effective_to"), F.lit(-1).cast("long")
+        ).alias("eff_to_epoch"),
+        F.col("version").cast("long").alias("version"),
+    ).orderBy("user_id", "version")
+
+
+def point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each click event picks up the
+    SCD2 status version valid at its timestamp. Implemented as the
+    as-of union+window form (operators/scd.point_in_time_join) — one
+    shuffle on user_id, O(1) per row; NEVER the BETWEEN theta-join,
+    which Catalyst can only run as a broadcast-nested-loop and which
+    explodes at 100 TB. Facts before a user's first version export the
+    'none'/-1 sentinels (left-temporal semantics, null-free for the
+    driver hash)."""
+    from intelligencepipeline_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_events,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", F.col("event_type").alias("status"), "ts")
+    dim = scd2_from_events(ch, "user_id", "status", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = point_in_time_join(
+        clicks, dim, "user_id", "ts", dim_cols=["status", "version"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.coalesce("status", F.lit("none")).alias("status"),
+        F.coalesce(F.col("version").cast("long"), F.lit(-1).cast("long")
+                   ).alias("status_version"),
+    ).orderBy("event_id")
+
+
+def attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style revenue attribution: each purchase is credited
+    to the user's FIRST preceding non-purchase touch (first-touch) and
+    LAST preceding non-purchase touch (last-touch); purchases with no
+    prior touch credit 'direct'. Output is the (first_touch,
+    last_touch) attribution matrix with purchase counts and exact
+    cents.
+
+    Plan: one shuffle on user_id; first/last with ignorenulls over the
+    UNBOUNDED-PRECEDING..-1 frame are computed in the same window
+    stage; the final matrix agg is tiny. Money stays decimal→cents
+    long (exact)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marker = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    enriched = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(F.first(marker, ignorenulls=True).over(w),
+                   F.lit("direct")).alias("first_touch"),
+        F.coalesce(F.last(marker, ignorenulls=True).over(w),
+                   F.lit("direct")).alias("last_touch"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE scale pattern for distinct counts
+    in cascading aggregates: per-(event_type, day) HLL sketches
+    (hll_sketch_agg) are UNIONED up to event_type level
+    (hll_union_agg) instead of re-scanning raw data. At 100 TB the
+    day-level sketch table is what you keep; any coarser distinct
+    count is a cheap register-wise merge (this is also how the
+    hypertable rollup cascade should count users).
+
+    Sketch estimates are engine-specific, so (sketch_accuracy's
+    contract) the exported row is the exact count plus booleans: the
+    merged estimate AND the direct whole-column estimate must each
+    land within the HLL error bound, and merged must equal direct —
+    union-of-partials loses nothing vs one-shot sketching (same lgK,
+    same registers)."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    merged = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias(
+            "direct_est"
+        ),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (F.col("merged_est") == F.col("direct_est")).alias(
+                "merge_lossless"
+            ),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_users")).cast(
+                    "double"
+                )
+                <= F.col("exact_users").cast("double") * 0.15
+            ).alias("merged_within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT
+    (|A∩B| / |A|): catches a small document embedded inside a larger
+    one, which symmetric Jaccard under-scores (|A∩B|/|A∪B| stays low
+    when |B| >> |A|). The training-data use case is excising quoted /
+    boilerplate-wrapped copies.
+
+    Candidates are blocked on RARE shingles (document frequency <= 20)
+    — the inverted-index join meets a pair once per rare shared
+    shingle, so the pair space is df²-bounded per shingle, never
+    all-pairs; common shingles still count toward the intersection
+    AFTER the candidate join. Same discipline as minhash-LSH buckets
+    (operators/dedup.py) and sparse_cosine_pairs."""
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles_df(docs)  # (doc_id, shingle) distinct
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfc.filter(F.col("df") <= 20).select("shingle")
+    rare_sh = sh.join(rare, "shingle", "left_semi")
+    cand = (
+        rare_sh.alias("x")
+        .join(rare_sh.alias("y"), "shingle")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    xa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    yb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        cand.join(xa, "a")
+        .join(yb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    c_ab = F.col("common").cast("double") / F.col("na").cast("double")
+    c_ba = F.col("common").cast("double") / F.col("nb").cast("double")
+    return (
+        common.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a", "b", "common",
+            c_ab.alias("containment_ab"),
+            c_ba.alias("containment_ba"),
+        )
+        .filter(
+            (F.col("containment_ab") >= 0.6)
+            | (F.col("containment_ba") >= 0.6)
+        )
+        .orderBy("a", "b")
+    )
+
+
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token
+    ratio and hapax-legomena share — cheap, language-agnostic filters
+    for templated/spammy text (low TTR = heavy repetition; very high
+    hapax share on long docs = gibberish). Complements the Gopher
+    repetition rules (repetition_filter) with a distribution-level
+    signal.
+
+    Plan: explode → (doc, token) count → per-doc agg; both ratios are
+    single IEEE divisions of exact ints. Two shuffles on doc_id-
+    dominated keys, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(normalize_text(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+         ).alias("ttr"),
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+         ).alias("hapax_share"),
+    ).orderBy("doc_id")
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event value per type (20 buckets of
+    width 50, clamped): the monitoring primitive behind drift/outlier
+    dashboards. Bucketing is a pure scan-stage expression; the agg is
+    (type, bucket)-keyed with map-side combine — one small shuffle
+    regardless of SF. Sum stays decimal→cents (exact)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.greatest(
+        F.lit(0.0), F.least(F.lit(19.0), F.floor(F.col("value") / 50.0))
+    ).cast("long")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4327,6 +4603,15 @@ QUERIES = {
     "streaming_stateful_stats": streaming_stateful_stats,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "repetition_filter": repetition_filter,
+    # -- (b2) round-2 additions (driver rows via rotation next round;
+    #    proven now by CORRECTNESS_local.json) -------------------------
+    "scd2_dimension": scd2_dimension,
+    "point_in_time_join": point_in_time_join_q,
+    "attribution_revenue": attribution_revenue,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
+    "containment_pairs": containment_pairs,
+    "lexical_diversity": lexical_diversity,
+    "value_histogram": value_histogram,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,

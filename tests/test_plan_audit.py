@@ -310,3 +310,77 @@ def test_bpe_pair_counts_two_aggs_no_joins(spark):
     # doc_id rides along as the fanout repartition key
     assert a.reads_only("text", "doc_id"), a.read_schemas
     assert not a.cartesian
+
+
+def test_scd2_single_user_shuffle(spark):
+    from intelligencepipeline_spark.queries import scd2_dimension
+
+    a = audit(scd2_dimension(spark, SF))
+    # lag-dedup, lead-close and version number all share the user_id
+    # window partitioning: one shuffle + the export sort, no joins
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 2, a.plan[:1500]
+    assert a.reads_only("user_id", "event_type", "ts"), a.read_schemas
+    assert a.has_pushed_filter("event_type"), a.pushed_filters
+
+
+def test_point_in_time_no_range_join(spark):
+    from intelligencepipeline_spark.queries import point_in_time_join_q
+
+    a = audit(point_in_time_join_q(spark, SF))
+    # the temporal join is union+window — a BETWEEN theta-join would
+    # surface as cartesian/BroadcastNestedLoop
+    assert not a.cartesian, a.plan[:2000]
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.reads_only("event_id", "user_id", "event_type", "ts"), (
+        a.read_schemas
+    )
+
+
+def test_attribution_windows_share_partitioning(spark):
+    from intelligencepipeline_spark.queries import attribution_revenue
+
+    a = audit(attribution_revenue(spark, SF))
+    # first+last touch in one window stage, then the tiny matrix agg
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 3, a.plan[:1500]
+    assert not a.cartesian
+
+
+def test_hll_rollup_merges_partials(spark):
+    from intelligencepipeline_spark.queries import hll_mergeable_rollup
+
+    a = audit(hll_mergeable_rollup(spark, SF))
+    # the 5-row merged/direct sides join broadcast; no cartesian
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert not a.cartesian
+    assert a.reads_only("event_type", "ts", "user_id"), a.read_schemas
+
+
+def test_containment_no_all_pairs(spark):
+    from intelligencepipeline_spark.queries import containment_pairs
+
+    a = audit(containment_pairs(spark, SF))
+    # candidate generation is an equi-join on the rare shingle — an
+    # all-pairs form would plan as cartesian
+    assert not a.cartesian, a.plan[:2000]
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+
+
+def test_lexical_diversity_join_free(spark):
+    from intelligencepipeline_spark.queries import lexical_diversity
+
+    a = audit(lexical_diversity(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+
+
+def test_value_histogram_one_shuffle(spark):
+    from intelligencepipeline_spark.queries import value_histogram
+
+    a = audit(value_histogram(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    # bucket expression rides the scan; (type, bucket) agg + sort
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+    assert a.reads_only("event_type", "value"), a.read_schemas

@@ -1,0 +1,110 @@
+"""SCD2 build + point-in-time join unit tests (operators/scd.py).
+
+Edge cases pinned: consecutive-duplicate suppression, open current
+row, same-instant version collisions (empty interval skipped), facts
+before the first version, and exact-boundary facts (closed-open)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.scd import (
+    point_in_time_join,
+    scd2_from_events,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "trial", _ts("2024-01-01T00:00:00")),
+            (1, "trial", _ts("2024-01-05T00:00:00")),  # repeat: suppressed
+            (1, "paid", _ts("2024-02-01T00:00:00")),
+            (1, "churned", _ts("2024-03-01T00:00:00")),
+            # user 2: two different states at the same instant
+            (2, "b_state", _ts("2024-01-01T00:00:00")),
+            (2, "a_state", _ts("2024-01-01T00:00:00")),
+        ],
+        "user_id long, status string, ts timestamp",
+    )
+    return scd2_from_events(changes, "user_id", "status", "ts")
+
+
+def test_scd2_versions_and_intervals(dim):
+    rows = {
+        (r.user_id, r.version): r
+        for r in dim.collect()
+    }
+    assert len(rows) == 5  # 3 for user 1 (repeat suppressed), 2 for user 2
+    v1 = rows[(1, 1)]
+    assert v1.status == "trial"
+    assert v1.effective_to == _ts("2024-02-01T00:00:00")
+    assert rows[(1, 3)].status == "churned"
+    assert rows[(1, 3)].effective_to is None  # open current row
+    # same-instant collision: deterministic (ts, status) order
+    assert rows[(2, 1)].status == "a_state"
+    assert rows[(2, 2)].status == "b_state"
+    assert rows[(2, 1)].effective_to == rows[(2, 2)].effective_from
+
+
+def test_point_in_time_picks_valid_version(spark, dim):
+    facts = spark.createDataFrame(
+        [
+            (10, 1, _ts("2023-12-31T23:59:59")),  # before first version
+            (11, 1, _ts("2024-01-01T00:00:00")),  # exact first boundary
+            (12, 1, _ts("2024-01-31T23:59:59")),  # last second of trial
+            (13, 1, _ts("2024-02-01T00:00:00")),  # exact paid boundary
+            (14, 1, _ts("2024-12-01T00:00:00")),  # open current row
+            (15, 2, _ts("2024-01-01T00:00:00")),  # same-instant versions
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: (r.status, r.version)
+        for r in point_in_time_join(
+            facts, dim, "user_id", "ts", dim_cols=["status", "version"]
+        ).collect()
+    }
+    assert got[10] == (None, None)
+    assert got[11] == ("trial", 1)
+    assert got[12] == ("trial", 1)
+    assert got[13] == ("paid", 2)
+    assert got[14] == ("churned", 3)
+    # the empty a_state interval is skipped; b_state (v2) is current
+    assert got[15] == ("b_state", 2)
+
+
+def test_point_in_time_matches_range_join(spark, events):
+    """Union+window form == naive BETWEEN join on real data."""
+    ch = events.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", F.col("event_type").alias("status"), "ts")
+    dim = scd2_from_events(ch, "user_id", "status", "ts")
+    facts = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    fast = point_in_time_join(
+        facts, dim, "user_id", "ts", dim_cols=["status", "version"]
+    ).select("event_id", "status", "version")
+    naive = (
+        facts.alias("f")
+        .join(
+            dim.alias("d"),
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.effective_from"))
+            & (
+                F.col("d.effective_to").isNull()
+                | (F.col("f.ts") < F.col("d.effective_to"))
+            ),
+            "left_outer",
+        )
+        .select("f.event_id", "d.status", "d.version")
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0

@@ -68,6 +68,13 @@ HEADLINE = [
     ("importance_sample", "per-row md5 coin rides the scan"),
     ("quality_canonical_selection", "components + per-cluster argmax window"),
     ("streaming_gap_fill", "stateful LOCF vs batch oracle"),
+    ("scd2_dimension", "SCD2 build: lag/lead/version share one user shuffle"),
+    ("point_in_time_join", "temporal join as union+window: no range explosion"),
+    ("attribution_revenue", "first/last-touch windows + tiny matrix agg"),
+    ("hll_mergeable_rollup", "mergeable HLL: day partials unioned, no rescan"),
+    ("containment_pairs", "rare-shingle-blocked candidates, no all-pairs"),
+    ("lexical_diversity", "tf explode + two keyed aggs, join-free"),
+    ("value_histogram", "scan-stage bucketing + one small shuffle"),
 ]
 
 
