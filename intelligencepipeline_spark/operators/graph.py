@@ -1,0 +1,82 @@
+"""Iterative graph analytics over DataFrames — integer-arithmetic
+PageRank.
+
+Companion to operators/components.py (connected components): where
+components answers "which docs form one near-duplicate cluster",
+PageRank ranks nodes by link mass — over the near-dup candidate graph
+it surfaces the hub/template documents that sit inside many clusters
+(prime excision candidates in corpus curation).
+
+Determinism: classic PageRank sums IEEE doubles, whose value depends
+on Spark's reduction order — unusable under a bit-exact cross-engine
+oracle. Ranks here are integer MICRO-UNITS (1.0 == 1_000_000) with
+floor division everywhere: ``contrib = rank div out_degree``,
+``rank' = 150000 + (85 * Σ contrib) div 100`` (damping 0.85). Integer
+sums are order-insensitive and exact, so any engine reproduces the
+run bit-for-bit. Dangling mass is dropped (the standard
+simplification); isolated nodes converge to the base 150000.
+
+Scale: each iteration is one join ranks⋈edges (both partitioned by
+src — AQE keeps it shuffle-local after the first round) plus one
+groupBy(dst) sum. O(iters) shuffles total, state is one long per
+node; the same shape GraphX/Pregel compiles to, without leaving the
+DataFrame planner. localCheckpoint between rounds keeps the lineage
+flat (the components discipline, operators/components.py:33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def pagerank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    key: str = "doc_id",
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Integer-micro-unit PageRank.
+
+    ``nodes``: one column ``key``. ``edges``: (src, dst) directed,
+    deduplicated. Returns (key, rank_micro, out_degree).
+    """
+    deg = edges.groupBy(F.col("src").alias(key)).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    base = MICRO * (100 - damping_pct) // 100
+    ranks = nodes.select(key, F.lit(MICRO).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(deg, key)
+            .join(edges, F.col(key) == F.col("src"))
+            .select(
+                F.col("dst"),
+                F.expr("rank_micro div out_degree").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inbox"))
+        )
+        ranks = (
+            nodes.join(contribs, F.col(key) == F.col("dst"), "left_outer")
+            .select(
+                F.col(key),
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inbox, 0L)) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(deg, key, "left_outer").select(
+        key,
+        "rank_micro",
+        F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+    )

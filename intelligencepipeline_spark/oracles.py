@@ -2611,3 +2611,111 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2 ORDER BY event_type, bucket
 """
+
+
+# LSH candidate pairs (shared by the graph oracles below) — identical
+# construction to ORACLES["minhash_lsh_pairs"].
+_LSH_PAIRS = f"""hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+)"""
+
+# Integer micro-unit PageRank, 3 unrolled iterations over the
+# symmetrized LSH graph: rank' = 150000 + (85 * Σ (rank // deg)) // 100.
+ORACLES["pagerank_neardup_graph"] = f"""
+WITH {_LSH_PAIRS},
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+), deg AS (
+  SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src
+), r0 AS (
+  SELECT doc_id, cast(1000000 as bigint) AS rank FROM documents
+), i1 AS (
+  SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS inbox
+  FROM r0 r JOIN deg d USING (doc_id) JOIN edges e ON e.src = r.doc_id
+  GROUP BY e.dst
+), r1 AS (
+  SELECT n.doc_id,
+    cast(150000 + (85 * coalesce(i.inbox, 0)) // 100 as bigint) AS rank
+  FROM documents n LEFT JOIN i1 i USING (doc_id)
+), i2 AS (
+  SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS inbox
+  FROM r1 r JOIN deg d USING (doc_id) JOIN edges e ON e.src = r.doc_id
+  GROUP BY e.dst
+), r2 AS (
+  SELECT n.doc_id,
+    cast(150000 + (85 * coalesce(i.inbox, 0)) // 100 as bigint) AS rank
+  FROM documents n LEFT JOIN i2 i USING (doc_id)
+), i3 AS (
+  SELECT e.dst AS doc_id, sum(r.rank // d.deg) AS inbox
+  FROM r2 r JOIN deg d USING (doc_id) JOIN edges e ON e.src = r.doc_id
+  GROUP BY e.dst
+), r3 AS (
+  SELECT n.doc_id,
+    cast(150000 + (85 * coalesce(i.inbox, 0)) // 100 as bigint) AS rank
+  FROM documents n LEFT JOIN i3 i USING (doc_id)
+)
+SELECT r3.doc_id, r3.rank AS rank_micro,
+  coalesce(d.deg, 0) AS out_degree
+FROM r3 LEFT JOIN deg d USING (doc_id)
+ORDER BY doc_id
+"""
+
+# Deterministic md5 negative draws, self-pairs shifted, LSH candidate
+# pairs rejected.
+ORACLES["negative_pair_sample"] = f"""
+WITH {_LSH_PAIRS},
+n AS (SELECT count(*) AS n_docs FROM documents),
+drawn AS (
+  SELECT d.doc_id AS a, s.slot, n.n_docs,
+    cast(concat('0x', substr(md5(
+      cast(d.doc_id as varchar) || ':' || cast(s.slot as varchar)
+    ), 1, 8)) as bigint) % n.n_docs AS b_raw
+  FROM documents d
+  CROSS JOIN (SELECT range AS slot FROM range(0, 3)) s
+  CROSS JOIN n
+), fixed AS (
+  SELECT a, slot,
+    CASE WHEN b_raw = a THEN (b_raw + 1) % n_docs ELSE b_raw END AS b
+  FROM drawn
+)
+SELECT a, slot, b FROM fixed f
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.a = least(f.a, f.b) AND p.b = greatest(f.a, f.b)
+)
+ORDER BY a, slot
+"""
+
+# Streaming sketch partials: exact counts pinned; booleans assert the
+# cross-batch union == one-shot sketch and the HLL bound held.
+ORACLES["streaming_hll_distinct"] = """
+SELECT event_type,
+  count(DISTINCT user_id) AS exact_users,
+  cast(4 as bigint) AS n_batches,
+  true AS merge_lossless,
+  true AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# Watermark finalization: append emits exactly the windows whose end
+# the final in-effect watermark (max(ts) - 1 day, always inside
+# Jan 30 00:00 after the tick row) has passed — days < Jan 30.
+ORACLES["streaming_watermark_finalize"] = """
+SELECT cast(floor(epoch(date_trunc('day', ts))) as bigint) AS day_epoch,
+  event_type, count(*) AS n
+FROM events
+WHERE ts < timestamp '2024-01-30 00:00:00'
+GROUP BY 1, 2 ORDER BY day_epoch, event_type
+"""

@@ -4543,6 +4543,251 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (operators/graph.pagerank_int) over
+    the minhash-LSH near-duplicate candidate graph: ranks surface the
+    hub/template documents sitting inside many near-dup clusters —
+    the docs whose excision cleans the most training data. 3
+    iterations, damping 0.85, ranks in exact micro-units so the run is
+    bit-reproducible on any engine (float PageRank is reduction-order
+    dependent and can't be oracle-checked).
+
+    Scale: edges come from the banded-LSH candidate generator (bounded
+    buckets, never all-pairs); each iteration is one src-join + one
+    dst-agg — O(iters) shuffles, lineage kept flat by localCheckpoint."""
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from intelligencepipeline_spark.operators.graph import pagerank_int
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs, _big = minhash_lsh_candidates(docs)
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    nodes = docs.select("doc_id")
+    return pagerank_int(nodes, edges, "doc_id", iterations=3).orderBy(
+        "doc_id"
+    )
+
+
+def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each doc draws 3 pseudo-random partners via the engine's md5 coin
+    (same pairs on any engine / partitioning / rerun — seeded rand()
+    is none of those), self-pairs shift by one, and any drawn pair
+    that is an LSH near-duplicate CANDIDATE is rejected (a near-dup is
+    a false negative that poisons the contrastive loss).
+
+    Scale: the draw is a scan-stage expression (explode of 3 slots);
+    the near-dup rejection is a broadcast anti-join against the
+    LSH pair list — no shuffle of the corpus."""
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    drawn = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc_id").alias("a"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("slot"),
+            "n_docs",
+        )
+        .withColumn(
+            "b_raw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("a").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_docs"),
+        )
+        .withColumn(
+            "b",
+            F.when(
+                F.col("b_raw") == F.col("a"),
+                (F.col("b_raw") + 1) % F.col("n_docs"),
+            ).otherwise(F.col("b_raw")),
+        )
+    )
+    pairs, _big = minhash_lsh_candidates(docs)  # (a, b) with a < b
+    near = pairs.select(
+        F.col("a").alias("lo"), F.col("b").alias("hi")
+    )
+    return (
+        drawn.join(
+            F.broadcast(near),
+            (F.least("a", "b") == F.col("lo"))
+            & (F.greatest("a", "b") == F.col("hi")),
+            "left_anti",
+        )
+        .select("a", F.col("slot").cast("long").alias("slot"), "b")
+        .orderBy("a", "slot")
+    )
+
+
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental distinct counting the scale-right way
+    (streaming/sketches.py): the event stream runs in 4 micro-batches;
+    each batch appends per-type HLL sketch PARTIALS to a store table;
+    the read path register-unions the partials. No growing
+    exact-distinct state — stream state is #keys × #batches tiny
+    sketches, and ANY coarser rollup (day→month→all-time) is the same
+    cheap union. The oracle pins the exact distinct counts; the
+    booleans assert the cross-batch union equals the one-shot batch
+    sketch (lossless) and lands within the HLL bound."""
+    import os
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.sketches import (
+        read_distinct_estimates,
+        sketch_partials_sink,
+    )
+
+    raw = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ip_shll_src_")
+    # 4 source files -> 4 micro-batches (merge order is irrelevant:
+    # sketch union is commutative, so no mtime pinning needed)
+    raw.repartition(4).write.mode("overwrite").parquet(src)
+    store = os.path.join(tempfile.mkdtemp(prefix="ip_shll_store_"), "sk")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        sketch_partials_sink(stream, "event_type", "user_id", store)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_shll_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming hll did not finish"
+    est = read_distinct_estimates(spark, store, "event_type")
+    direct = raw.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias(
+            "direct_est"
+        ),
+    )
+    return (
+        est.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("n_batches").cast("long").alias("n_batches"),
+            (F.col("est") == F.col("direct_est")).alias("merge_lossless"),
+            (
+                F.abs(F.col("est") - F.col("exact_users")).cast("double")
+                <= F.col("exact_users").cast("double") * 0.15
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark finalization semantics (§2.7) under a hard oracle —
+    the reference has NO watermarks (KafkaIntelligencePipeline.kt:89
+    replays and hopes); here the append-mode contract is checked: a
+    tumbling daily/type count emits each window EXACTLY ONCE, when the
+    watermark (max event time - 1 day) passes the window end, and
+    windows still inside the horizon are withheld.
+
+    Probed engine fact this proof is built on (PySpark 4.1: see
+    tests/test_streaming_watermark.py): input rows below the watermark
+    are NOT pre-filtered (numRowsDroppedByWatermark = 0) — lateness is
+    enforced at state EVICTION, so exactly-once emission is the
+    checkable guarantee, not input dropping. The stream runs in two
+    pinned micro-batches: all events, then a clock-tick row dated
+    Jan 31 whose only job is to run a batch with the advanced
+    watermark in effect (Jan 29.x) so every window ending on or
+    before it is evicted+emitted; the tick then lifts the watermark to
+    Jan 30 00:00 and the trailing no-data micro-batch (pinned on via
+    spark.sql.streaming.noDataMicroBatches.enabled) finalizes day 29.
+    Emitted set = days < Jan 30 exactly; the day-30 window and the
+    tick's own window stay open and withheld. The oracle recomputes
+    those finalized counts in SQL; a double emission would double
+    rows, a leak of open windows would add rows, and any state loss
+    would drop them."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    raw = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ip_swf_src_")
+    raw.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b1")
+    )
+    tick = spark.createDataFrame(
+        [(int(-1), "2024-01-31 00:00:00", int(-1), "view", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tick.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b2")
+    )
+    # batch order pinned by mtime (copies, not symlinks — the file
+    # lister stats the target): all data first, then the tick
+    flat = tempfile.mkdtemp(prefix="ip_swf_flat_")
+    i = 0
+    for sub in ("b1", "b2"):
+        d = os.path.join(src, sub)
+        for f_ in sorted(os.listdir(d)):
+            if not f_.endswith(".parquet"):
+                continue
+            dst = os.path.join(flat, f"part{i}.parquet")
+            shutil.copyfile(os.path.join(d, f_), dst)
+            os.utime(dst, (1700000000 + 60 * i, 1700000000 + 60 * i))
+            i += 1
+    stream = spark.readStream.schema(
+        spark.read.parquet(os.path.join(src, "b1")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(flat)
+    # watermarks require TIMESTAMP (ltz); the parquet round-trip
+    # yields NTZ — identical instants under the pinned UTC session
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("streaming_wm_finalize_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_swf_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "watermark finalize stream hung"
+    return (
+        spark.table("streaming_wm_finalize_sink")
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("day_epoch", "event_type")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4612,6 +4857,10 @@ QUERIES = {
     "containment_pairs": containment_pairs,
     "lexical_diversity": lexical_diversity,
     "value_histogram": value_histogram,
+    "pagerank_neardup_graph": pagerank_neardup_graph,
+    "negative_pair_sample": negative_pair_sample,
+    "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_watermark_finalize": streaming_watermark_finalize,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,

@@ -1,0 +1,57 @@
+"""Streaming mergeable-sketch state: incremental distinct counting.
+
+The scale-right way to keep "distinct users per key" fresh over an
+unbounded stream is NOT a growing exact-distinct state store — it is a
+tiny table of mergeable HLL sketches, appended per micro-batch and
+register-wise unioned at read time (the same algebra
+hll_mergeable_rollup proves in batch; Theta/HLL partials are how
+warehouse streaming pipelines do it).
+
+State size: #keys × #batches rows of ~2^lgK bytes each — compact the
+partials table periodically with the same union if batch count grows.
+Append-only + batch_id column keeps the sink idempotent under
+foreachBatch retries (re-delivered batch ids can be dropped by the
+MERGE variant; parquet append shown here records them for audit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sketch_partials_sink(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    store_path: str,
+    lg_k: int = 12,
+):
+    """foreachBatch writer: per-batch HLL partial sketches appended to
+    ``store_path``. Returns the started streaming query (AvailableNow
+    is the caller's trigger choice)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(key_col)
+            .agg(F.hll_sketch_agg(value_col, lg_k).alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return stream_df.writeStream.foreachBatch(_write)
+
+
+def read_distinct_estimates(
+    spark: SparkSession, store_path: str, key_col: str
+) -> DataFrame:
+    """Union the stored partials per key and estimate: (key, est)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy(key_col)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            F.countDistinct("batch_id").alias("n_batches"),
+        )
+    )

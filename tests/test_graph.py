@@ -1,0 +1,54 @@
+"""Integer PageRank (operators/graph.py) vs a hand-rolled Python
+reference on a known graph — exact match, since both are pure integer
+arithmetic."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.graph import MICRO, pagerank_int
+
+
+def _py_pagerank(nodes, edges, iters=3):
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: MICRO for n in nodes}
+    for _ in range(iters):
+        inbox = {n: 0 for n in nodes}
+        for s, d in edges:
+            inbox[d] += rank[s] // deg[s]
+        rank = {n: 150000 + (85 * inbox[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    nodes = list(range(6))
+    # a triangle 0-1-2 (symmetrized), a chain 3->4->5, isolated node 5
+    # has no out-edges (dangling), 0 also links to 3
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2),
+        (0, 3), (3, 4), (4, 5),
+    ]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.doc_id: (r.rank_micro, r.out_degree)
+        for r in pagerank_int(ndf, edf, "doc_id", iterations=3).collect()
+    }
+    want = _py_pagerank(nodes, edges)
+    for n in nodes:
+        assert got[n][0] == want[n], (n, got[n], want[n])
+    assert got[5] == (want[5], 0)  # dangling node: rank kept, degree 0
+    # total mass is conserved minus dangling leakage: sanity ordering —
+    # the triangle hub nodes outrank the chain tail
+    assert got[0][0] > got[4][0]
+
+
+def test_pagerank_isolated_nodes_get_base(spark):
+    ndf = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    edf = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {
+        r.doc_id: r.rank_micro
+        for r in pagerank_int(ndf, edf, "doc_id", iterations=3).collect()
+    }
+    assert got[2] == 150000  # isolated: damping base only
+    assert got[0] == got[1]  # symmetric pair

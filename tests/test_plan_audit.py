@@ -384,3 +384,15 @@ def test_value_histogram_one_shuffle(spark):
     # bucket expression rides the scan; (type, bucket) agg + sort
     assert a.shuffle_exchanges <= 2, a.plan[:1200]
     assert a.reads_only("event_type", "value"), a.read_schemas
+
+
+def test_negative_sample_broadcast_anti(spark):
+    from intelligencepipeline_spark.queries import negative_pair_sample
+
+    a = audit(negative_pair_sample(spark, SF))
+    # the near-dup rejection must be a broadcast anti-join; the draw
+    # itself is scan-stage expression work
+    assert "BroadcastHashJoin" in a.plan or "LeftAnti" in a.plan, (
+        a.plan[:2000]
+    )
+    assert not a.cartesian

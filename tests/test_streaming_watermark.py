@@ -1,0 +1,73 @@
+"""Pins the engine facts streaming_watermark_finalize is built on.
+
+PySpark 4.1's windowed aggregation does NOT pre-filter input rows
+below the watermark (numRowsDroppedByWatermark stays 0); lateness is
+enforced at state EVICTION, where append mode emits each window
+exactly once. If an upgrade changes either fact, these tests fail and
+the finalize proof's docstring needs re-deriving."""
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+T = dt.datetime
+
+
+def _staged_stream(spark, batches):
+    flat = tempfile.mkdtemp(prefix="wmprobe_")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "ts timestamp, k string")
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = os.path.join(flat, f"p{i}.parquet")
+        shutil.copyfile(os.path.join(d, f), dst)
+        os.utime(dst, (1700000000 + 60 * i, 1700000000 + 60 * i))
+    return (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+
+def test_late_rows_merge_and_window_emits_once(spark):
+    stream = _staged_stream(
+        spark,
+        [
+            [(T(2024, 1, 1, 5), "a"), (T(2024, 1, 1, 6), "a")],
+            [(T(2024, 1, 10, 12), "a")],  # advances watermark to Jan 9
+            [(T(2024, 1, 1, 7), "a")],  # LATE: below in-effect watermark
+        ],
+    )
+    counts = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmprobe_sink")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    # engine fact: the late row is MERGED into still-live state, not
+    # input-dropped — lateness acts at eviction time only
+    assert dropped == 0
+    rows = spark.table("wmprobe_sink").collect()
+    day1 = [r for r in rows if r.w.start == T(2024, 1, 1)]
+    # exactly ONE emission of the day-1 window, and it includes the
+    # late row (2 on-time + 1 late)
+    assert len(day1) == 1 and day1[0].n == 3
+    # the day-10 window is still inside the watermark horizon: withheld
+    assert all(r.w.start != T(2024, 1, 10) for r in rows)

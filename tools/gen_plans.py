@@ -75,6 +75,8 @@ HEADLINE = [
     ("containment_pairs", "rare-shingle-blocked candidates, no all-pairs"),
     ("lexical_diversity", "tf explode + two keyed aggs, join-free"),
     ("value_histogram", "scan-stage bucketing + one small shuffle"),
+    ("negative_pair_sample", "md5 draws ride the scan; near-dup reject broadcast anti"),
+    ("pagerank_neardup_graph", "integer PageRank: O(iters) shuffles, flat lineage"),
 ]
 
 
