@@ -2719,3 +2719,14 @@ FROM events
 WHERE ts < timestamp '2024-01-30 00:00:00'
 GROUP BY 1, 2 ORDER BY day_epoch, event_type
 """
+
+
+# Restart exactly-once: sink content after the two checkpoint-sharing
+# runs must equal the batch answer over all events.
+ORACLES["streaming_restart_exactly_once"] = """
+SELECT event_type, count(*) AS n,
+  count(DISTINCT user_id) AS n_users,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
