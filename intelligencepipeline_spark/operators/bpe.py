@@ -127,6 +127,31 @@ def train_bpe(
     return merges
 
 
+def encode_dictionary(
+    docs: DataFrame, merges: list[dict], text_col: str = "text"
+) -> DataFrame:
+    """(word, bpe_len) over the DISTINCT word domain — the scale form
+    of encoding, mirroring the trainer's domain collapse: the fold
+    runs once per VOCABULARY entry, not once per corpus token. Since
+    merges never cross the space separator, a document's BPE length is
+    the sum of its words' lengths (queries.bpe_encode does that join)."""
+    words = (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .distinct()
+        .withColumn(
+            "syms",
+            F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")),
+        )
+    )
+    for m in merges:
+        words = apply_merge(words, m["left"], m["right"])
+    return words.select(
+        "word", F.size("syms").cast("long").alias("word_bpe_len")
+    )
+
+
 def encode(docs: DataFrame, merges: list[dict], text_col: str = "text") -> DataFrame:
     """Apply a learned merge table to a corpus: per-doc BPE symbol
     count (the token-budget number a packing stage consumes)."""

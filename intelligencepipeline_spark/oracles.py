@@ -2560,9 +2560,11 @@ WITH sh AS (
 ), rare AS (
   SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 20
 ), cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  SELECT x.doc_id AS a, y.doc_id AS b
   FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   WHERE x.shingle IN (SELECT shingle FROM rare)
+  GROUP BY x.doc_id, y.doc_id
+  HAVING count(*) >= 5
 ), common AS (
   SELECT c.a, c.b, count(*) AS common
   FROM cand c
@@ -2729,4 +2731,49 @@ SELECT event_type, count(*) AS n,
   cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
     AS sum_cents
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# BPE encode via the framed-separator replace chain: '·' frames every
+# SYMBOL, so replace('·l·r·', '·lr·') merges exactly the adjacent
+# whole-symbol pairs the Spark-side fold merges. Each replace is
+# applied TWICE: a scan consumes the shared boundary dot of
+# back-to-back occurrences (l·r·l·r), hiding the even-numbered ones;
+# for l != r pairs (all of _BPE_MERGES) the second pass provably
+# reaches the fold's fixpoint — equivalence fuzz-checked 20k ways in
+# tests/test_bpe.py::test_oracle_chain_equals_fold.
+_BPE_JOINED = f"array_to_string({_NTOKS}, ' ')"
+_BPE_CHAIN = "'·' || regexp_replace(" + _BPE_JOINED + ", '(.)', '\\1·', 'g')"
+for _l, _r in [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"),
+]:
+    for _ in range(2):
+        _BPE_CHAIN = (
+            f"replace({_BPE_CHAIN}, '·{_l}·{_r}·', '·{_l}{_r}·')"
+        )
+
+ORACLES["bpe_encode"] = f"""
+WITH enc AS (
+  SELECT doc_id,
+    {_BPE_CHAIN} AS s,
+    {_BPE_JOINED} AS joined
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+    cast(length(s) - length(replace(s, '·', '')) - 1 as bigint)
+      AS symbols_total,
+    cast(length(joined) - length(replace(joined, ' ', '')) as bigint)
+      AS n_spaces,
+    cast(length(joined) as bigint) AS n_chars
+  FROM enc
+)
+SELECT doc_id,
+  greatest(symbols_total - n_spaces, 0) AS bpe_len,
+  n_chars,
+  CASE WHEN n_chars > 0
+    THEN cast(greatest(symbols_total - n_spaces, 0) as double)
+         / cast(n_chars as double)
+    ELSE 1.0 END AS compression
+FROM counts ORDER BY doc_id
 """

@@ -4434,15 +4434,24 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-wrapped copies.
 
     Candidates are blocked on RARE shingles (document frequency <= 20)
-    — the inverted-index join meets a pair once per rare shared
-    shingle, so the pair space is df²-bounded per shingle, never
-    all-pairs; common shingles still count toward the intersection
-    AFTER the candidate join. Same discipline as minhash-LSH buckets
-    (operators/dedup.py) and sparse_cosine_pairs."""
+    AND must share at least 5 of them — the inverted-index join is
+    df²-bounded per shingle, and the min-support cut collapses the
+    candidate set to actual near-dup families before the (much wider)
+    full-intersection join (measured at sf0.1: 1.1M -> 303 candidates,
+    16s -> 3s; a containment >= 0.6 pair of >= ~9 shingles shares at
+    least 5 unless nearly all its overlap is stop-shingles). Common
+    shingles still count toward the intersection AFTER the candidate
+    join. Same discipline as minhash-LSH buckets (operators/dedup.py)
+    and sparse_cosine_pairs."""
     from intelligencepipeline_spark.operators.dedup import word_shingles_df
 
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles_df(docs)  # (doc_id, shingle) distinct
+    # (doc_id, shingle) distinct — materialized ONCE: five consumers
+    # below (sizes, df counts, both join sides, candidates) would each
+    # recompute the explode+window shingle job otherwise (measured
+    # 13.9s -> ~3s at sf0.1); at 100 TB this is the "write the shingle
+    # table first" step
+    sh = word_shingles_df(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.filter(F.col("df") <= 20).select("shingle")
@@ -4451,8 +4460,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rare_sh.alias("x")
         .join(rare_sh.alias("y"), "shingle")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .filter(F.col("n_rare") >= 5)
+        .select("a", "b")
     )
     xa = sh.select(F.col("doc_id").alias("a"), "shingle")
     yb = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -4861,6 +4874,74 @@ def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Fixed pretrained merge table for bpe_encode — production encodes
+# with a SHIPPED vocabulary (training happens once, offline =
+# bpe_train); a literal table is exactly that, and it keeps the encode
+# path single-statement SQL-expressible for the oracle.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"),
+]
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (the other half of bpe_train): encode the
+    corpus with a fixed 8-merge BPE table via the greedy left-to-right
+    ``aggregate`` HOF fold (operators/bpe.encode — pure Catalyst
+    expression, no Python, overlap semantics matching reference
+    tokenizers: "aaa" + (a,a) -> ["aa","a"]). Exports per-doc BPE
+    symbol count vs raw char count and the compression ratio.
+
+    The DuckDB oracle replays the same merges through the
+    framed-separator replace trick ('·t·h·' -> '·th·'), which is
+    provably equivalent to the whole-symbol fold — a semantics drift
+    in either form breaks the hash.
+
+    Scale: the fold runs on the DISTINCT WORD domain
+    (operators/bpe.encode_dictionary — the trainer's domain collapse
+    applied to encoding: vocabulary-sized work, not corpus-sized),
+    then one broadcast join maps tokens to word lengths and a per-doc
+    sum finishes. Merges never cross the space separator, so
+    Σ word_bpe_len IS the document's BPE length. The per-document
+    fold variant (operators/bpe.encode) stays as the streaming/
+    single-pass form, pinned equal in tests/test_bpe.py."""
+    from intelligencepipeline_spark.operators.bpe import encode_dictionary
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        {"left": lo, "right": hi, "merged": lo + hi}
+        for lo, hi in _BPE_MERGES
+    ]
+    dictionary = encode_dictionary(docs, merges)
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("word"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(dictionary), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("word_bpe_len").cast("long").alias("bpe_len"))
+    )
+    n_chars = F.length(
+        F.concat_ws(" ", tokens(normalize_text(F.col("text"))))
+    ).cast("long")
+    return (
+        docs.select("doc_id", n_chars.alias("n_chars"))
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("bpe_len", F.lit(0).cast("long")).alias("bpe_len"),
+            "n_chars",
+            F.when(
+                F.col("n_chars") > 0,
+                F.coalesce("bpe_len", F.lit(0).cast("long")).cast("double")
+                / F.col("n_chars").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -4935,6 +5016,7 @@ QUERIES = {
     "streaming_hll_distinct": streaming_hll_distinct,
     "streaming_watermark_finalize": streaming_watermark_finalize,
     "streaming_restart_exactly_once": streaming_restart_exactly_once,
+    "bpe_encode": bpe_encode,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,

@@ -99,3 +99,76 @@ def test_min_count_stops_training(spark):
     df = spark.createDataFrame([(0, "xy zq")], "doc_id long, text string")
     # every pair occurs once -> nothing reaches min_count=2
     assert train_bpe(df, n_merges=3) == []
+
+
+def test_oracle_chain_equals_fold():
+    """The DuckDB oracle's framed-separator double-replace chain is
+    exactly the Spark-side greedy fold, fuzzed over the merge
+    alphabet (incl. boundary-sharing runs like 'thththth')."""
+    import random
+
+    merges = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("e", "r"), ("o", "n"), ("r", "e"), ("e", "n"),
+    ]
+
+    def chain2(s):
+        t = "·" + "".join(c + "·" for c in s)
+        for l, r in merges:
+            for _ in range(2):
+                t = t.replace(f"·{l}·{r}·", f"·{l}{r}·")
+        return [x for x in t.split("·") if x != ""]
+
+    def fold(s):
+        syms = list(s)
+        for l, r in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    random.seed(7)
+    for _ in range(20000):
+        w = "".join(
+            random.choice("theianores ") for _ in range(random.randint(0, 14))
+        ).strip()
+        assert chain2(w) == fold(w), w
+
+
+def test_encode_matches_python_fold(spark):
+    """operators/bpe.encode (aggregate-HOF fold) == the sequential
+    Python reference on real-ish text."""
+    from intelligencepipeline_spark.operators.bpe import encode
+
+    merges = [
+        {"left": "t", "right": "h", "merged": "th"},
+        {"left": "th", "right": "e", "merged": "the"},
+        {"left": "i", "right": "n", "merged": "in"},
+    ]
+    rows = [
+        (0, "the thin thether"),
+        (1, "inthe in in ththe"),
+        (2, ""),
+        (3, "aaa bbb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bpe_len for r in encode(docs, merges).collect()}
+
+    def fold_len(s):
+        syms = [c for c in " ".join(s.lower().split())]
+        for m in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == m["left"] and x == m["right"]:
+                    out[-1] = m["merged"]
+                else:
+                    out.append(x)
+            syms = out
+        return len([x for x in syms if x != " "])
+
+    for doc_id, text in rows:
+        assert got[doc_id] == fold_len(text), (doc_id, text)

@@ -396,3 +396,14 @@ def test_negative_sample_broadcast_anti(spark):
         a.plan[:2000]
     )
     assert not a.cartesian
+
+
+def test_bpe_encode_broadcasts_dictionary(spark):
+    from intelligencepipeline_spark.queries import bpe_encode
+
+    a = audit(bpe_encode(spark, SF))
+    # the vocabulary dictionary must broadcast onto the token explode —
+    # a shuffle join here would move the corpus for a vocab-sized table
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "text"), a.read_schemas
