@@ -1,0 +1,93 @@
+"""Misra-Gries heavy hitters — a mergeable frequency summary.
+
+The §2.9 "novel sketch" family member for frequent items: k counters
+per partition, O(1) amortized per row, summaries merge associatively
+(sum counters per item, then subtract the (k+1)-th largest combined
+count and drop non-positives — Agarwal et al., "Mergeable Summaries",
+PODS 2012). Guarantees after any merge tree:
+
+* every item with true frequency > n/k SURVIVES in the summary;
+* each surviving estimate undercounts by at most n/k.
+
+Summary CONTENT depends on row order (like any MG run), so the
+oracle-checkable contract is the theorem, not the state — see
+queries.heavy_hitters.
+
+Scale: partials are built per Arrow batch in mapInPandas (bounded k
+dict, never a per-partition distinct), the merge is a DataFrame
+groupBy + one window over ≤ partitions×k rows. Nothing reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_update(counters: dict, item, k: int) -> None:
+    if item in counters:
+        counters[item] += 1
+    elif len(counters) < k:
+        counters[item] = 1
+    else:
+        # decrement-all step; drop zeros
+        dead = []
+        for key in counters:
+            counters[key] -= 1
+            if counters[key] == 0:
+                dead.append(key)
+        for key in dead:
+            del counters[key]
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: (item, mg_count) rows,
+    at most k per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for b in batches:
+            for item in b[item_col]:
+                _mg_update(counters, item, k)
+        yield pd.DataFrame(
+            {"item": list(counters), "mg_count": list(counters.values())}
+        )
+
+    item_type = df.schema[item_col].dataType.simpleString()
+    return df.select(item_col).mapInPandas(
+        run, f"item {item_type}, mg_count long"
+    )
+
+
+def mg_merge(partials: DataFrame, k: int) -> DataFrame:
+    """Merge MG summaries: sum per item, subtract the (k+1)-th largest
+    combined count, keep positives. Output (item, mg_count).
+
+    The global rank window is over ≤ partitions×k rows — a single
+    tiny task, not a corpus sort."""
+    summed = partials.groupBy("item").agg(F.sum("mg_count").alias("c"))
+    ranked = summed.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), "item"))
+    )
+    kth = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == k + 1, F.col("c"))), F.lit(0)
+        ).alias("kth")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kth))
+        .withColumn("mg_count", F.col("c") - F.col("kth"))
+        .filter(F.col("mg_count") > 0)
+        .select("item", "mg_count")
+    )
+
+
+def mg_heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """End-to-end: per-partition partials -> one merge. (item,
+    mg_count) with the n/k survival + undercount guarantees."""
+    merged = mg_merge(mg_partials(df, item_col, k), k)
+    return merged

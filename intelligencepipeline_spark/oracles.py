@@ -2777,3 +2777,29 @@ SELECT doc_id,
     ELSE 1.0 END AS compression
 FROM counts ORDER BY doc_id
 """
+
+
+# Misra-Gries: exact hot-item counts pinned; survival + error-bound
+# booleans hold by the mergeable-summaries theorem for any row order.
+ORACLES["heavy_hitters"] = """
+WITH items AS (
+  SELECT CASE WHEN user_id % 10 < 3 THEN event_type
+         ELSE event_type || '_' || cast(user_id as varchar) END AS item
+  FROM events
+)
+SELECT item, count(*) AS exact_n,
+  true AS mg_found, true AS undercount_ok
+FROM items
+WHERE position('_' in item) = 0
+GROUP BY item ORDER BY item
+"""
+
+# Dead-letter lanes re-derived from the mod-7 corruption rule.
+ORACLES["serde_dead_letter"] = """
+SELECT
+  CASE WHEN doc_id % 7 = 0 THEN 'dead_letter' ELSE 'ok' END AS lane,
+  CASE WHEN doc_id % 7 = 0 THEN 'unparsed'
+       ELSE coalesce(lang, 'unparsed') END AS lang,
+  count(*) AS n, min(doc_id) AS first_doc
+FROM documents GROUP BY 1, 2 ORDER BY lane, lang
+"""

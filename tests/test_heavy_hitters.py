@@ -1,0 +1,50 @@
+"""Misra-Gries heavy hitters (operators/heavy_hitters.py)."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.heavy_hitters import (
+    _mg_update,
+    mg_heavy_hitters,
+    mg_merge,
+)
+
+
+def test_mg_update_classic_sequence():
+    c = {}
+    for x in ["a", "a", "a", "b", "c", "d"]:
+        _mg_update(c, x, 2)
+    # k=2: a survives with a lower-bound count, d never displaces it
+    assert "a" in c
+    assert c["a"] >= 1
+
+
+def test_survival_and_bound_guarantees(spark):
+    # 60% of rows are 'hot', the rest unique — hot MUST survive any
+    # partitioning with k=8 (freq 600 > 2n/k = 250) and never be
+    # overcounted
+    rows = [("hot",)] * 600 + [(f"t{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    got = {r.item: r.mg_count for r in mg_heavy_hitters(df, "item", 8).collect()}
+    assert "hot" in got
+    assert got["hot"] <= 600
+    assert 600 - got["hot"] <= 2 * 1000 / 8
+    assert len(got) <= 8
+
+
+def test_merge_subtracts_kth(spark):
+    # two partial summaries, k=2: merge keeps at most 2 positive items
+    partials = spark.createDataFrame(
+        [("a", 5), ("b", 2), ("a", 4), ("c", 3)],
+        "item string, mg_count long",
+    )
+    got = {r.item: r.mg_count for r in mg_merge(partials, 2).collect()}
+    # summed: a=9, c=3, b=2; (k+1)-th largest = 2 -> a=7, c=1, b dropped
+    assert got == {"a": 7, "c": 1}
+
+
+def test_exact_when_k_exceeds_domain(spark):
+    # k >= distinct items => no decrement ever fires: MG IS exact
+    rows = [("x",)] * 10 + [("y",)] * 5 + [("z",)] * 1
+    df = spark.createDataFrame(rows, "item string").repartition(3)
+    got = {r.item: r.mg_count for r in mg_heavy_hitters(df, "item", 16).collect()}
+    assert got == {"x": 10, "y": 5, "z": 1}
