@@ -2803,3 +2803,52 @@ SELECT
   count(*) AS n, min(doc_id) AS first_doc
 FROM documents GROUP BY 1, 2 ORDER BY lane, lang
 """
+
+
+# Stream-stream join proof: every record meets all its word chunks
+# inside the ±1 s window (equal timestamps by construction).
+ORACLES["streaming_join_proof"] = f"""
+SELECT doc_id,
+  cast(len({_RTOKS}) as bigint) AS n_chunks,
+  coalesce(lang, 'und') AS name,
+  cast(len({_RTOKS}) - 1 as bigint) AS max_index
+FROM documents
+WHERE len({_RTOKS}) > 0
+ORDER BY doc_id
+"""
+
+
+# Entity resolution: all-pairs levenshtein (the blocked join's oracle)
+# -> recursive min-label components -> canonical + roster.
+ORACLES["entity_resolution"] = """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+), pairs AS (
+  SELECT x.name AS a, y.name AS b
+  FROM names x JOIN names y ON x.name < y.name
+  WHERE levenshtein(x.name, y.name) <= 2
+), sym AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+)
+SELECT component AS canonical, count(*) AS n_variants,
+  string_agg(node, '|' ORDER BY node) AS variants
+FROM comp GROUP BY component ORDER BY canonical
+"""
+
+# Additive schema evolution: batch 2 (>= 200) wins overlaps and
+# carries the new column; batch-1-only rows surface the sentinel.
+ORACLES["schema_evolution_merge"] = """
+SELECT doc_id, coalesce(lang, 'und') AS lang,
+  CASE WHEN doc_id >= 200 THEN cast(n_chars % 100 as bigint)
+       ELSE cast(-1 as bigint) END AS quality
+FROM documents WHERE doc_id < 400 ORDER BY doc_id
+"""

@@ -5050,6 +5050,161 @@ def serde_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the reference's ONLY join (windowed stream-stream
+    equi-join of records with their chunks, JoinWindows.of(1000),
+    KafkaIntelligencePipelineTests.kt:272-275) — run as an actual
+    two-source Structured Streaming job through
+    streaming/pipeline.stream_stream_chunk_join and held to a batch
+    SQL oracle: every record meets its word chunks inside the ±1 s
+    window (timestamps constructed equal), so the joined stream must
+    reproduce the exact per-doc chunk counts. Watermarks on BOTH
+    sides bound the join state (the scale property the reference's
+    unwatermarked topology lacks).
+
+    Scale note: the memory sink collects the joined rows only because
+    the driver gate wants a DataFrame back; production would keep
+    flowing. State is O(rows within watermark), not O(stream)."""
+    import os
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        stream_stream_chunk_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    records = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("name"),
+        ts.alias("event_ts"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " +")).alias(
+            "chunk_index", "content"
+        ),
+    ).filter(F.length("content") > 0).withColumn(
+        "event_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    )
+    rdir = tempfile.mkdtemp(prefix="ip_sjp_r_")
+    cdir = tempfile.mkdtemp(prefix="ip_sjp_c_")
+    records.coalesce(1).write.mode("overwrite").parquet(rdir)
+    chunks.coalesce(2).write.mode("overwrite").parquet(cdir)
+    r_stream = spark.readStream.schema(
+        spark.read.parquet(rdir).schema
+    ).parquet(rdir).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    c_stream = spark.readStream.schema(
+        spark.read.parquet(cdir).schema
+    ).parquet(cdir).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    joined = stream_stream_chunk_join(r_stream, c_stream).select(
+        F.col("r.doc_id").alias("doc_id"), F.col("r.name").alias("name"),
+        F.col("c.chunk_index").alias("chunk_index"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("streaming_join_proof_sink")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ip_sjp_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream-stream join hung"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("streaming_join_proof_sink")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("name").alias("name"),
+            F.max("chunk_index").cast("long").alias("max_index"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage: fuzzy variant pairs (complete
+    length-band blocked levenshtein, operators/fuzzy.py) -> connected
+    components (operators/components.py) -> one canonical entity per
+    cluster with its variant roster. The composition the two operators
+    exist for: "these 4 spellings are one part" as a queryable table.
+
+    Scale: pair generation is the blocked join on the distinct value
+    domain; clustering cost tracks the sparse edge list; the roster agg
+    is one shuffle on component id. Singletons (no fuzzy partner) need
+    no cluster and are absent, same as dedup_clusters."""
+    from intelligencepipeline_spark.operators.components import (
+        connected_components,
+    )
+    from intelligencepipeline_spark.operators.fuzzy import fuzzy_self_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(part, "p_name", max_dist=2)
+    comp = connected_components(pairs, "name_a", "name_b")
+    return (
+        comp.groupBy(F.col("component").alias("canonical"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.array_join(F.array_sort(F.collect_list("node")), "|").alias(
+                "variants"
+            ),
+        )
+        .orderBy("canonical")
+    )
+
+
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the keyed merge store
+    (operators/merge.py): batch 1 upserts (doc_id, lang), batch 2
+    arrives with a NEW column (quality) and upserts through the same
+    store via unionByName(allowMissingColumns) — old rows surface the
+    new column as null, new rows carry it, overlapping keys take the
+    newer value. The warehouse-contract test every long-lived 100 TB
+    table eventually faces; the reference's Avro schema registry
+    (schema.json:1-44) solves the wire half, this is the at-rest half.
+
+    Exports the merged snapshot with sentinel-coalesced nulls so the
+    driver hash is stable."""
+    import tempfile
+
+    from intelligencepipeline_spark.operators.merge import (
+        merge_upsert,
+        read_merged,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="ip_sem_") + "/t"
+    b1 = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.coalesce("lang", F.lit("und")).alias("lang")
+    )
+    merge_upsert(b1, store, key="doc_id", order_col="doc_id")
+    b2 = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)
+    ).select(
+        "doc_id",
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        (F.col("n_chars") % 100).cast("long").alias("quality"),
+    )
+    merge_upsert(b2, store, key="doc_id", order_col="doc_id")
+    snap = read_merged(spark, store)
+    return snap.select(
+        "doc_id",
+        "lang",
+        F.coalesce("quality", F.lit(-1).cast("long")).alias("quality"),
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5127,6 +5282,9 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "heavy_hitters": heavy_hitters,
     "serde_dead_letter": serde_dead_letter,
+    "streaming_join_proof": streaming_join_proof,
+    "entity_resolution": entity_resolution,
+    "schema_evolution_merge": schema_evolution_merge,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
