@@ -116,6 +116,11 @@ def main() -> None:
         "engine_enrichment", "consolidation_fold",
         "streaming_consolidation", "chunk_command_fold",
         "session_stats", "asof_join", "hypertable_rollup",
+        "streaming_restart_exactly_once", "streaming_join_proof",
+        # round-2 operator families
+        "scd2_dimension", "point_in_time_join", "hll_mergeable_rollup",
+        "heavy_hitters", "pagerank_neardup_graph", "bpe_encode",
+        "entity_resolution",
         # prior slow entries (regression watch)
         "hashed_embedding", "jaccard_pairs", "sentence_chunks",
         "q10_returned_items", "q17_small_quantity_revenue",

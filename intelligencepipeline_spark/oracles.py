@@ -2852,3 +2852,54 @@ SELECT doc_id, coalesce(lang, 'und') AS lang,
        ELSE cast(-1 as bigint) END AS quality
 FROM documents WHERE doc_id < 400 ORDER BY doc_id
 """
+
+
+# ANN recall audit: brute-force vs multi-probe LSH top-10 for 20
+# queries; exact per-query hit counts under the shared total
+# tie-break.
+ORACLES["ann_recall_audit"] = f"""
+WITH e AS (
+  SELECT vec_id, {_QLIST} AS qe FROM embeddings
+), b AS (
+  SELECT vec_id, qe, {_BUCKET} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS qid, qe AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id < 20
+), bf AS (
+  SELECT q.qid, e.vec_id,
+    cast(list_sum(list_transform(range(1, 65), i -> e.qe[i] * q.qvec[i]))
+      as bigint) AS dot
+  FROM e, q WHERE e.vec_id <> q.qid
+), bf_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rk
+    FROM bf
+  ) WHERE rk <= 10
+), cand AS (
+  SELECT q.qid, b.vec_id,
+    cast(list_sum(list_transform(range(1, 65), i -> b.qe[i] * q.qvec[i]))
+      as bigint) AS dot
+  FROM b, q
+  WHERE b.vec_id <> q.qid
+    AND len(list_filter(range(1, 9),
+      j -> substr(b.bucket, j, 1) <> substr(q.qbucket, j, 1))) <= 1
+), lsh_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= 10
+), hits AS (
+  SELECT t.qid, count(*) AS n_hits
+  FROM bf_top t JOIN lsh_top l ON t.qid = l.qid AND t.vec_id = l.vec_id
+  GROUP BY t.qid
+), nl AS (
+  SELECT qid, count(*) AS n_lsh FROM lsh_top GROUP BY qid
+)
+SELECT q.qid,
+  coalesce(h.n_hits, 0) AS n_hits,
+  coalesce(nl.n_lsh, 0) AS n_lsh
+FROM q LEFT JOIN hits h ON h.qid = q.qid LEFT JOIN nl ON nl.qid = q.qid
+ORDER BY q.qid
+"""
