@@ -1,0 +1,100 @@
+"""Property-based tests for the round-2 operator families: Misra-Gries
+guarantees, integer PageRank vs a Python reference, and SCD2 interval
+laws — randomized over inputs the example tests don't reach."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.graph import MICRO, pagerank_int
+from intelligencepipeline_spark.operators.heavy_hitters import _mg_update
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_guarantees_pure(stream, k):
+    """Pure-Python MG state: (a) ≤ k counters, (b) no overcount,
+    (c) undercount ≤ n/k, (d) any item with freq > n/k survives."""
+    counters: dict = {}
+    for x in stream:
+        _mg_update(counters, x, k)
+    n = len(stream)
+    assert len(counters) <= k
+    from collections import Counter
+
+    true = Counter(stream)
+    for item, est in counters.items():
+        assert est <= true[item]
+        assert true[item] - est <= n / k
+    for item, freq in true.items():
+        if freq > n / k:
+            assert item in counters, (item, freq, n, k, counters)
+
+
+def _py_pagerank(nodes, edges, iters):
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {x: MICRO for x in nodes}
+    for _ in range(iters):
+        inbox = {x: 0 for x in nodes}
+        for s, d in edges:
+            inbox[d] += rank[s] // deg[s]
+        rank = {x: 150000 + (85 * inbox[x]) // 100 for x in nodes}
+    return rank
+
+
+def test_pagerank_random_graphs(spark):
+    """Random digraphs: Spark == Python reference exactly (integer
+    arithmetic leaves no tolerance), across shapes with dangling
+    nodes, self-loop-free multi-edges deduped, isolated nodes."""
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(3, 12)
+        nodes = list(range(n))
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(1, 3 * n))
+            }
+        )
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        ndf = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.doc_id: r.rank_micro
+            for r in pagerank_int(ndf, edf, "doc_id", iterations=2).collect()
+        }
+        want = _py_pagerank(nodes, edges, 2)
+        assert got == want, (trial, edges)
+
+
+def test_scd2_interval_laws(spark, events):
+    """On real event data: per key, intervals are disjoint, ordered,
+    contiguous (each effective_to == next effective_from), exactly one
+    open row, and versions are 1..n without gaps."""
+    from intelligencepipeline_spark.operators.scd import scd2_from_events
+
+    ch = events.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", F.col("event_type").alias("status"), "ts")
+    rows = scd2_from_events(ch, "user_id", "status", "ts").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for v in vs if v.effective_to is None) == 1
+        assert vs[-1].effective_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from, (user, a, b)
+            assert a.effective_from <= b.effective_from
+            assert a.status != b.status or a.effective_from != b.effective_from
