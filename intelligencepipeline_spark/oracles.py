@@ -2903,3 +2903,22 @@ SELECT q.qid,
 FROM q LEFT JOIN hits h ON h.qid = q.qid LEFT JOIN nl ON nl.qid = q.qid
 ORDER BY q.qid
 """
+
+
+# Native Python UDTF chunker == the expression split (no trim; empty
+# parts dropped, index over surviving parts).
+ORACLES["udtf_sentence_chunks"] = """
+WITH arr AS (
+  SELECT doc_id,
+    list_filter(
+      string_split(
+        regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+        chr(1)),
+      x -> x <> '') AS sents
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  cast(generate_subscripts(sents, 1) - 1 as bigint) AS chunk_index,
+  unnest(sents) AS content
+FROM arr ORDER BY doc_id, chunk_index
+"""

@@ -5278,6 +5278,52 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDTF surface via PySpark's NATIVE Python UDTF (Spark 3.5+
+    `@udtf`) — the modern API for the reference's ChunkProducer
+    flat-map (`IIntelligencePipeline.kt:12`): one class, lateral-join
+    invocation in SQL, N chunk rows per document. The engine's default
+    chunk path stays the expression+posexplode form (faster — stays in
+    codegen); this entry proves the Python-UDTF alternative produces
+    IDENTICAL chunks, for producers that genuinely need imperative
+    Python (the reference's CoreNLP ssplit, implementations.kt:57-89).
+
+    Scale: Python UDTFs run Arrow-batched like pandas UDFs — per-batch
+    interpreter cost, no shuffle; prefer expressions when semantics
+    allow (both paths are here so the trade is measurable)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_index int, content string")
+    class SentenceChunks:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            marked = re.sub(r"([.!?])\s+", "\\1\u0001", text)
+            idx = 0
+            for part in marked.split("\u0001"):
+                if part != "":
+                    yield idx, part
+                    idx += 1
+
+    spark.udtf.register("sentence_chunks_udtf", SentenceChunks)
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    out = spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.content
+        FROM udtf_docs_src d,
+        LATERAL sentence_chunks_udtf(d.doc_id, d.text) c
+        """
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "content",
+    ).orderBy("doc_id", "chunk_index")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5359,6 +5405,7 @@ QUERIES = {
     "entity_resolution": entity_resolution,
     "schema_evolution_merge": schema_evolution_merge,
     "ann_recall_audit": ann_recall_audit,
+    "udtf_sentence_chunks": udtf_sentence_chunks,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
