@@ -1,0 +1,62 @@
+"""tools/bench_diff.py — the per-round regression gate must read both
+bench_full.json files and the driver's truncated-tail BENCH_r{N}.json
+wrappers (r01 proved the stdout tail gets decapitated)."""
+
+import json
+import subprocess
+import sys
+import tempfile
+
+
+def _run(old, new, ratio="1.5"):
+    return subprocess.run(
+        [sys.executable, "tools/bench_diff.py", old, new, ratio],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+
+
+def _write(tmp, name, obj):
+    p = f"{tmp}/{name}"
+    with open(p, "w") as fh:
+        json.dump(obj, fh)
+    return p
+
+
+def test_flags_real_regressions_only():
+    with tempfile.TemporaryDirectory() as tmp:
+        old = _write(tmp, "old.json", {
+            "value": 3.0,
+            "queries": {"a": 1.0, "b": 2.0, "tiny": 0.1},
+        })
+        new = _write(tmp, "new.json", {
+            "value": 6.0,
+            # a: 3x AND +2s -> regression; tiny: 4x but only +0.3s
+            # absolute -> jitter, not flagged
+            "queries": {"a": 3.0, "b": 1.0, "tiny": 0.4, "fresh": 9.9},
+        })
+        r = _run(old, new)
+        assert r.returncode == 1, r.stdout
+        assert "SLOWER a" in r.stdout
+        assert "tiny" not in [
+            line.split()[1].rstrip(":") for line in r.stdout.splitlines()
+            if line.startswith("SLOWER")
+        ]
+        assert "NEW   fresh" in r.stdout
+
+
+def test_parses_truncated_driver_tail():
+    with tempfile.TemporaryDirectory() as tmp:
+        # r01-style wrapper: head of the JSON line cut off mid-name
+        old = _write(tmp, "r01.json", {
+            "n": 1, "rc": 0, "parsed": None,
+            "tail": '6_forecast": 0.758, "q7_nation": 1.172}, "sf": 0.1}\n',
+        })
+        new = _write(tmp, "new.json", {
+            "value": 2.0,
+            "queries": {"q7_nation": 1.0},
+        })
+        r = _run(old, new)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "q7_nation" in r.stdout or "total" in r.stdout
