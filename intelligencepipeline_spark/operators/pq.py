@@ -144,6 +144,56 @@ def pq_topk(
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
 
 
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 16,
+    k: int = 64,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build (or load) the fit-once PQ index: codebooks + the code
+    table, cached under a key derived from the input files (the
+    ivf_index discipline) so the query path never re-fits or
+    re-encodes."""
+    import hashlib
+    import os
+
+    spark = embeddings.sparkSession
+    if cache_root is None:
+        cbs = pq_fit(embeddings, m, k, iters, dim, id_col, vec_col)
+        return cbs, pq_encode(embeddings, cbs, id_col, vec_col)
+    sig_parts = [f"m={m}", f"k={k}", f"it={iters}", f"s={SCALE}"]
+    for path in sorted(embeddings.inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    base = os.path.join(cache_root, key)
+    cb_path = os.path.join(base, "codebooks.npy")
+    table_path = os.path.join(base, "codes")
+    done_path = os.path.join(base, "_DONE")
+    if os.path.exists(done_path):
+        cbs = np.load(cb_path)
+        return cbs, spark.read.parquet(table_path)
+    os.makedirs(base, exist_ok=True)
+    cbs = pq_fit(embeddings, m, k, iters, dim, id_col, vec_col)
+    codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(table_path)
+    np.save(cb_path, cbs)
+    with open(done_path, "w") as fh:
+        fh.write("ok")
+    return cbs, spark.read.parquet(table_path)
+
+
 def pq_topk_rerank(
     codes: DataFrame,
     raw: DataFrame,

@@ -1112,10 +1112,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "dot", "cosine")
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed-domain ANN (operators/pq.py): 64-d float vectors
+    stored as 16 byte codes (16 subspaces × 64 centroids); the query
+    scans the CODE table with an ADC lookup table, shortlists 100,
+    and exact-re-ranks only those raw rows — the faiss ADC+refine
+    layout. Codebooks + codes are fit-once/cached (pq_index), so this
+    query's plan is scan-codes + rerank-100 only. Iterative fit → no
+    SQL oracle (NON_SQL_QUERIES); pinned by tests/test_pq.py
+    (determinism, code ranges, recall floors vs brute force)."""
+    import numpy as np
+
+    from intelligencepipeline_spark.operators.pq import (
+        pq_index,
+        pq_topk_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs, codes = pq_index(
+        emb, m=16, k=64, iters=5, cache_root="/tmp/ip_pq_cache"
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return pq_topk_rerank(
+        codes.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") != 0),
+        cbs,
+        np.array(qrow.embedding),
+        k=10,
+        shortlist=100,
+    )
+
+
 # Catalog entries that are genuinely non-SQL-expressible (iterative /
 # stateful) and therefore carry no oracle_sql: the driver records a
 # rows-only check for these; their correctness lives in unit tests.
-NON_SQL_QUERIES = {"ann_ivf_topk", "bpe_train"}
+NON_SQL_QUERIES = {"ann_ivf_topk", "bpe_train", "pq_ann_topk"}
 
 
 def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5406,6 +5437,7 @@ QUERIES = {
     "schema_evolution_merge": schema_evolution_merge,
     "ann_recall_audit": ann_recall_audit,
     "udtf_sentence_chunks": udtf_sentence_chunks,
+    "pq_ann_topk": pq_ann_topk,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
