@@ -190,11 +190,15 @@ def stream_stream_chunk_join(
     ts_col: str = "event_ts",
     window_seconds: int = 1,
     watermark: str = "10 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """J1: windowed stream-stream equi-join of consolidated records with
     their chunks (ref JoinWindows.of(1000),
     KafkaIntelligencePipelineTests.kt:272-275) — watermarked on both
-    sides so join state is bounded."""
+    sides so join state is bounded. ``how='left_outer'`` adds the
+    semantics the reference lacks entirely: a record with NO chunks
+    inside the window still emits (null-extended) once the watermark
+    proves no match can arrive."""
     r = records.withWatermark(ts_col, watermark).alias("r")
     c = chunks.withWatermark(ts_col, watermark).alias("c")
     return r.join(
@@ -204,6 +208,7 @@ def stream_stream_chunk_join(
             f"c.{ts_col} BETWEEN r.{ts_col} - INTERVAL {window_seconds} SECOND "
             f"AND r.{ts_col} + INTERVAL {window_seconds} SECOND"
         ),
+        how,
     )
 
 
