@@ -2922,3 +2922,14 @@ SELECT doc_id,
   unnest(sents) AS content
 FROM arr ORDER BY doc_id, chunk_index
 """
+
+
+# Left-outer stream-stream join: even docs matched, odd docs emit one
+# null-extended row each after the watermark passes.
+ORACLES["streaming_outer_join_proof"] = """
+SELECT doc_id,
+  cast(1 as bigint) AS n_rows,
+  cast(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END as bigint) AS n_matched,
+  coalesce(lang, 'und') AS name
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""

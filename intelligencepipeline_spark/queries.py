@@ -5355,6 +5355,110 @@ def udtf_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_index")
 
 
+def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven null
+    emission — the semantic the reference's inner-only JoinWindows
+    cannot express: a record whose chunks never arrive inside the ±1 s
+    window still emits (null-extended) once the watermark PROVES no
+    match can come. Chunks exist only for EVEN doc_ids; a late tick
+    row on both streams lifts the watermark past every record so the
+    odd records' null rows flush (the streaming_watermark_finalize
+    technique). The oracle derives matched/unmatched from the parity
+    rule — a join that dropped unmatched rows (inner semantics) or
+    double-emitted them fails the row hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        stream_stream_chunk_join,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+    records = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("name"),
+        ts.alias("event_ts"),
+    )
+    chunks = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.lit("chunk0").alias("content"),
+        ts.alias("event_ts"),
+    )
+    tick_ts = "2024-02-01 00:00:00"
+    r_tick = spark.createDataFrame(
+        [(-1, "tick", tick_ts)], "doc_id long, name string, event_ts string"
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    c_tick = spark.createDataFrame(
+        [(-1, "tick", tick_ts)],
+        "doc_id long, content string, event_ts string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    def _stage(dfs: list) -> str:
+        flat = tempfile.mkdtemp(prefix="ip_soj_")
+        i = 0
+        for df in dfs:
+            d = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            for f_ in sorted(os.listdir(d)):
+                if f_.endswith(".parquet"):
+                    dst = os.path.join(flat, f"part{i}.parquet")
+                    shutil.copyfile(os.path.join(d, f_), dst)
+                    os.utime(dst, (1700000000 + 60 * i,) * 2)
+                    i += 1
+        return flat
+    rdir = _stage([records, r_tick])
+    cdir = _stage([chunks, c_tick])
+    r_stream = spark.readStream.schema(
+        "doc_id long, name string, event_ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(rdir).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    c_stream = spark.readStream.schema(
+        "doc_id long, content string, event_ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(cdir).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    joined = stream_stream_chunk_join(
+        r_stream, c_stream, how="left_outer"
+    ).select(
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.name").alias("name"),
+        F.col("c.content").alias("content"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("streaming_outer_join_sink")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ip_soj_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "outer join stream hung"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table("streaming_outer_join_sink")
+        .filter(F.col("doc_id") >= 0)  # the tick's own row is harness
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("content").alias("n_matched"),
+            F.max("name").alias("name"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5438,6 +5542,7 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "udtf_sentence_chunks": udtf_sentence_chunks,
     "pq_ann_topk": pq_ann_topk,
+    "streaming_outer_join_proof": streaming_outer_join_proof,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
