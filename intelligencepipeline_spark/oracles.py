@@ -2933,3 +2933,21 @@ SELECT doc_id,
   coalesce(lang, 'und') AS name
 FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
+
+
+# Python DataSource feed: both lanes regenerate md5(doc_id) rows for
+# ids 0..399; per-(lane, id%10) aggregates.
+ORACLES["python_datasource_feed"] = """
+WITH ids AS (
+  SELECT range AS doc_id, md5(cast(range as varchar)) AS payload
+  FROM range(0, 400)
+), lanes AS (
+  SELECT 'batch' AS lane, * FROM ids
+  UNION ALL
+  SELECT 'stream' AS lane, * FROM ids
+)
+SELECT lane, doc_id % 10 AS bucket, count(*) AS n,
+  count(DISTINCT payload) AS n_payloads,
+  min(payload) AS min_payload
+FROM lanes GROUP BY lane, bucket ORDER BY lane, bucket
+"""

@@ -5459,6 +5459,59 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via PySpark 4's Python DataSource API
+    (sources/pyfeed.py) — the runnable S1-family proof: ONE format
+    ('docfeed') serves a batch reader (partition-planned, executor-
+    side generation) AND a micro-batch stream reader (offset log,
+    AvailableNow drains it), and both must produce the SAME rows.
+    Payloads are md5(doc_id), so the DuckDB oracle regenerates the
+    feed exactly; the exported rows interleave a batch lane and a
+    stream lane — a connector bug in either surfaces as lane-specific
+    hash drift."""
+    import tempfile
+
+    from intelligencepipeline_spark.sources.pyfeed import register
+
+    register(spark)
+    n = 400
+    batch = (
+        spark.read.format("docfeed")
+        .option("n_docs", n)
+        .option("n_partitions", 8)
+        .load()
+        .withColumn("lane", F.lit("batch"))
+    )
+    stream = (
+        spark.readStream.format("docfeed")
+        .option("n_docs", n)
+        .option("batch_size", 150)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("python_datasource_feed_sink")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_pds_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "python data source stream hung"
+    streamed = spark.table("python_datasource_feed_sink").withColumn(
+        "lane", F.lit("stream")
+    )
+    both = batch.unionByName(streamed)
+    return (
+        both.groupBy("lane", (F.col("doc_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("payload").alias("n_payloads"),
+            F.min("payload").alias("min_payload"),
+        )
+        .orderBy("lane", "bucket")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5543,6 +5596,7 @@ QUERIES = {
     "udtf_sentence_chunks": udtf_sentence_chunks,
     "pq_ann_topk": pq_ann_topk,
     "streaming_outer_join_proof": streaming_outer_join_proof,
+    "python_datasource_feed": python_datasource_feed,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,

@@ -1,0 +1,101 @@
+"""Custom Python DataSource (PySpark 4 `pyspark.sql.datasource`) — the
+modern connector API, applied to the reference's S1 ingest shape
+(`DirectoryIngestor`, participants/implementations.kt:334-341): a
+deterministic document feed exposed as BOTH a batch reader and a
+micro-batch stream reader under one format name.
+
+Why this exists: S2-S4's Kafka connectors are plan-only in this
+container (no broker); this source is the runnable proof of the
+engine's connector surface — partition planning, per-partition reads,
+offset tracking, commit — with rows deterministic enough for a DuckDB
+oracle (payload = md5(doc_id), reproducible in any engine).
+
+Scale shape: `partitions()` splits the id range into `n_partitions`
+independent slices (executor-side generation, no driver data); the
+stream reader advances a monotonically increasing offset by
+`batch_size` ids per micro-batch — the same offset-log contract a
+Kafka source honors, so checkpoint/restart semantics compose.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _rows(start: int, end: int):
+    for i in range(start, end):
+        yield (i, hashlib.md5(str(i).encode()).hexdigest())
+
+
+class DocFeedBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n_docs", 500))
+        self.parts = int(options.get("n_partitions", 8))
+
+    def partitions(self):
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _Slice(s, min(s + step, self.n))
+            for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Slice):
+        yield from _rows(partition.start, partition.end)
+
+
+class DocFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n = int(options.get("n_docs", 500))
+        self.batch = int(options.get("batch_size", 200))
+
+    def initialOffset(self):
+        return {"id": 0}
+
+    def latestOffset(self):
+        # each poll advances one batch until the feed is exhausted —
+        # AvailableNow drains to the final offset then stops
+        return {"id": self.n}
+
+    def partitions(self, start: dict, end: dict):
+        return [_Slice(int(start["id"]), int(end["id"]))]
+
+    def read(self, partition: _Slice):
+        yield from _rows(partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DocFeedDataSource(DataSource):
+    """format('docfeed'): options n_docs, n_partitions, batch_size."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docfeed"
+
+    def schema(self) -> str:
+        return "doc_id bigint, payload string"
+
+    def reader(self, schema):
+        return DocFeedBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return DocFeedStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(DocFeedDataSource)
