@@ -1,0 +1,50 @@
+"""Custom Python DataSource (sources/pyfeed.py): partition planning,
+determinism, and batch==stream row parity."""
+
+import hashlib
+import tempfile
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.sources.pyfeed import register
+
+
+def test_batch_reader_partitions_and_rows(spark):
+    register(spark)
+    df = (
+        spark.read.format("docfeed")
+        .option("n_docs", 37)
+        .option("n_partitions", 4)
+        .load()
+    )
+    rows = {r.doc_id: r.payload for r in df.collect()}
+    assert len(rows) == 37
+    assert rows[5] == hashlib.md5(b"5").hexdigest()
+    assert sorted(rows) == list(range(37))
+
+
+def test_stream_reader_drains_to_batch_parity(spark):
+    register(spark)
+    stream = (
+        spark.readStream.format("docfeed")
+        .option("n_docs", 33)
+        .option("batch_size", 10)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pyfeed_test_sink")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("pyfeed_test_sink")
+    batch = (
+        spark.read.format("docfeed").option("n_docs", 33).load()
+    )
+    assert got.count() == 33
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.select(F.count_distinct("doc_id")).collect()[0][0] == 33
