@@ -2951,3 +2951,33 @@ SELECT lane, doc_id % 10 AS bucket, count(*) AS n,
   min(payload) AS min_payload
 FROM lanes GROUP BY lane, bucket ORDER BY lane, bucket
 """
+
+
+# Integer-surrogate bigram surprisal: bitlen(N) - bitlen(count) per
+# bigram occurrence (bitlen via binary-string length — exact log2
+# floor + 1 in both engines).
+ORACLES["bigram_surprisal"] = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+  LATERAL (SELECT unnest({_NTOKS}) AS tok,
+                  generate_subscripts({_NTOKS}, 1) AS pos) t
+), bigrams AS (
+  SELECT doc_id, tok || ' ' ||
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM toks
+  QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), dfc AS (
+  SELECT bg, count(*) AS bg_n FROM bigrams GROUP BY bg
+), tot AS (
+  SELECT count(*) AS n_total FROM bigrams
+), scored AS (
+  SELECT b.doc_id,
+    length(bin(t.n_total)) - length(bin(d.bg_n)) AS s
+  FROM bigrams b JOIN dfc d USING (bg) CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  cast(sum(s) as bigint) AS surprisal_bits,
+  cast(sum(s) as double) / cast(count(*) as double) AS bits_per_bigram
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

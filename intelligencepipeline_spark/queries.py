@@ -5512,6 +5512,59 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-style quality scoring WITHOUT floats: per-doc
+    corpus-bigram surprisal using the integer log2 surrogate
+    ``bitlen(N) - bitlen(count)`` (bitlen = length of the binary
+    string — floor(log2)+1, exact in any engine; real ln/log2 floats
+    round differently per libm and can never hash-match). High score =
+    the document's bigrams are rare in the corpus (novel or noisy);
+    low = templated/common text. Complements bigram_novelty's set
+    fraction with a magnitude-weighted signal — the hash-stable stand-
+    in for KenLM perplexity gates.
+
+    Plan: expression-side bigram build (window lead), one df-count agg
+    over the bigram domain, broadcast join back, per-doc sum — all
+    integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    dfc = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_n"))
+    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    scored = (
+        bigrams.join(F.broadcast(dfc), "bg")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (bitlen(F.col("n_total")) - bitlen(F.col("bg_n"))).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").cast("long").alias("surprisal_bits"),
+        )
+        .withColumn(
+            "bits_per_bigram",
+            F.col("surprisal_bits").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5597,6 +5650,7 @@ QUERIES = {
     "pq_ann_topk": pq_ann_topk,
     "streaming_outer_join_proof": streaming_outer_join_proof,
     "python_datasource_feed": python_datasource_feed,
+    "bigram_surprisal": bigram_surprisal,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
