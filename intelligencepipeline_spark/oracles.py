@@ -2981,3 +2981,37 @@ SELECT doc_id, count(*) AS n_bigrams,
   cast(sum(s) as double) / cast(count(*) as double) AS bits_per_bigram
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# Contract validation: PK dup groups, FK orphans (anti-join form),
+# null rates — one row per check.
+ORACLES["integrity_audit"] = """
+SELECT * FROM (
+  SELECT 'orders_pk_dup' AS check_name, count(*) AS n_violations FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'documents_pk_dup', count(*) FROM (
+    SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'orders_customer_orphans', count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_orders_orphans', count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'documents_null_text', count(*) FROM documents WHERE text IS NULL
+) ORDER BY check_name
+"""
+
+# k-anonymity histogram over (lang, source, n_chars-decile) classes.
+ORACLES["k_anonymity_audit"] = """
+WITH classes AS (
+  SELECT coalesce(lang, 'und') AS lang,
+    coalesce(source, 'none') AS source,
+    n_chars // 100 AS size_bucket,
+    count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT class_size, count(*) AS n_classes, class_size < 5 AS risky
+FROM classes GROUP BY class_size ORDER BY class_size
+"""

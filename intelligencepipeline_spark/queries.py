@@ -5565,6 +5565,87 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation across the warehouse: primary-key
+    uniqueness, foreign-key orphans (orders→customer,
+    lineitem→orders), and null-rate checks, exported as one
+    (check_name, n_violations) table — the CI gate a 100 TB lakehouse
+    runs after every load.
+
+    Plan: each FK check is a broadcast/shuffle LEFT ANTI join (never a
+    NOT IN subquery, which nulls poison); PK checks are keyed counts;
+    everything unions into a tiny result."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    pk_orders = one(
+        "orders_pk_dup",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    pk_docs = one(
+        "documents_pk_dup",
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1),
+    )
+    fk_orders = one(
+        "orders_customer_orphans",
+        orders.select("o_custkey").join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        ),
+    )
+    fk_li = one(
+        "lineitem_orders_orphans",
+        li.select("l_orderkey").join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        ),
+    )
+    null_docs = one(
+        "documents_null_text", docs.filter(F.col("text").isNull())
+    )
+    out = pk_orders
+    for d in (pk_docs, fk_orders, fk_li, null_docs):
+        out = out.unionByName(d)
+    return out.orderBy("check_name")
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data governance: k-anonymity screening over the
+    quasi-identifier (lang, source, n_chars-decile) — equivalence
+    classes smaller than k=5 are re-identification risks that a
+    release gate must suppress or generalize. Exports per-class-size
+    histograms plus the risky-class count — the whole audit is two
+    keyed aggs (class build + histogram), scale-flat."""
+    docs = _t(spark, sf_dir, "documents")
+    qid = docs.select(
+        F.coalesce("lang", F.lit("und")).alias("lang"),
+        F.coalesce("source", F.lit("none")).alias("source"),
+        F.expr("n_chars div 100").alias("size_bucket"),
+    )
+    classes = qid.groupBy("lang", "source", "size_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .withColumn("risky", F.col("class_size") < 5)
+        .orderBy("class_size")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5651,6 +5732,8 @@ QUERIES = {
     "streaming_outer_join_proof": streaming_outer_join_proof,
     "python_datasource_feed": python_datasource_feed,
     "bigram_surprisal": bigram_surprisal,
+    "integrity_audit": integrity_audit,
+    "k_anonymity_audit": k_anonymity_audit,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
