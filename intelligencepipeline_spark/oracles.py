@@ -3015,3 +3015,30 @@ WITH classes AS (
 SELECT class_size, count(*) AS n_classes, class_size < 5 AS risky
 FROM classes GROUP BY class_size ORDER BY class_size
 """
+
+
+# Cogroup reconciliation == full-outer join of the two keyed
+# aggregates (all-int arithmetic).
+ORACLES["cogroup_reconciliation"] = """
+WITH o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+    cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint))
+      as bigint) AS order_cents
+  FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
+), p AS (
+  SELECT user_id, count(*) AS n_purchases,
+    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint))
+      as bigint) AS purchase_cents
+  FROM events WHERE user_id < 300 AND event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT coalesce(o.user_id, p.user_id) AS user_id,
+  coalesce(o.n_orders, 0) AS n_orders,
+  coalesce(o.order_cents, 0) AS order_cents,
+  coalesce(p.n_purchases, 0) AS n_purchases,
+  coalesce(p.purchase_cents, 0) AS purchase_cents,
+  coalesce(o.n_orders, 0) > 0 AND coalesce(p.n_purchases, 0) > 0
+    AS both_active
+FROM o FULL OUTER JOIN p ON o.user_id = p.user_id
+ORDER BY user_id
+"""

@@ -5646,6 +5646,70 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last §2.8 UDx surface: ``groupBy().cogroup().applyInPandas``
+    — two keyed tables delivered to ONE Python function per key, for
+    reconciliation logic that genuinely needs both sides in memory
+    (here: per-customer order book vs event stream, comparing exact
+    cent totals and flagging mismatched activity). The engine
+    equivalents of this shape are the reference's side-by-side topic
+    consumers; Spark's cogroup is the batched, shuffle-once form.
+
+    Determinism: all arithmetic inside the pandas function is int64
+    (cents, counts) — no float accumulation — so the DuckDB full-outer
+    aggregate join reproduces it bit-for-bit.
+
+    Scale: one co-partitioned shuffle of each side; the UDF sees one
+    key group at a time (Arrow batches), never a whole partition."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 300)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame):
+        (uid,) = key
+        o_n = int(len(left))
+        o_cents = int(left["cents"].sum()) if o_n else 0
+        p_n = int(len(right))
+        p_cents = int(right["cents"].sum()) if p_n else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_orders": [o_n],
+                "order_cents": [o_cents],
+                "n_purchases": [p_n],
+                "purchase_cents": [p_cents],
+                "both_active": [o_n > 0 and p_n > 0],
+            }
+        )
+
+    out = (
+        orders.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_orders long, order_cents long, "
+            "n_purchases long, purchase_cents long, both_active boolean",
+        )
+    )
+    return out.orderBy("user_id")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5734,6 +5798,7 @@ QUERIES = {
     "bigram_surprisal": bigram_surprisal,
     "integrity_audit": integrity_audit,
     "k_anonymity_audit": k_anonymity_audit,
+    "cogroup_reconciliation": cogroup_reconciliation,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
