@@ -208,3 +208,71 @@ def streaming_locf(
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def transform_with_state_running_stats(stream_df, key_col: str, cents_col: str):
+    """§2.7 state stores via Spark 4's NEWEST stateful API —
+    ``transformWithStateInPandas`` (StatefulProcessor + typed
+    ValueState, RocksDB provider required): per-key running
+    (count, exact cents total, max) across micro-batches; the
+    applyInPandasWithState twin of ``streaming_running_stats``.
+
+    ENVIRONMENT GATE: the API's worker protocol needs
+    ``google.protobuf`` (absent in this container — no pip installs),
+    so this operator is import-gated and exercised by
+    tests/test_transform_with_state.py (skipped hermetically when
+    protobuf is missing) instead of a catalog entry. On a cluster
+    with protobuf it is the drop-in successor to
+    streaming_running_stats."""
+    import importlib.util
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    if not has_pb:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf "
+            "(not available in this container)"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, total long, mx long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0, -1
+            if self._agg.exists():
+                n, total, mx = self._agg.get()
+            for pdf in rows:
+                n += int(len(pdf))
+                total += int(pdf[cents_col].sum())
+                mx = max(mx, int(pdf[cents_col].max()))
+            self._agg.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "total_cents": [total],
+                    "max_cents": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=(
+            f"{key_col} long, n long, total_cents long, max_cents long"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

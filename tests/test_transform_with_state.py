@@ -1,0 +1,83 @@
+"""transformWithStateInPandas running stats (Spark 4 stateful API).
+
+Skips hermetically when google.protobuf is absent (this container has
+no pip): the operator itself raises a clear ImportError then, which is
+also pinned here.
+"""
+
+import importlib.util
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.streaming.stateful import (
+    transform_with_state_running_stats,
+)
+
+try:
+    HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAS_PROTOBUF = False
+
+
+def test_import_gate_raises_cleanly(spark):
+    if HAS_PROTOBUF:
+        pytest.skip("protobuf present: gate inactive")
+    with pytest.raises(ImportError, match="protobuf"):
+        transform_with_state_running_stats(None, "user_id", "cents")
+
+
+@pytest.mark.skipif(not HAS_PROTOBUF, reason="google.protobuf not installed")
+def test_running_stats_equal_batch(spark, events):
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tempfile.mkdtemp(prefix="tws_src_")
+        events.filter(F.col("user_id") < 50).select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        ).repartition(3).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, cents long").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        out = transform_with_state_running_stats(stream, "user_id", "cents")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_test_sink")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = (
+            spark.table("tws_test_sink")
+            .groupBy("user_id")
+            .agg(F.max("n").alias("n"), F.max("total_cents").alias("t"))
+        )
+        want = (
+            events.filter(F.col("user_id") < 50)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+                ).cast("long").alias("t"),
+            )
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
