@@ -407,3 +407,31 @@ def test_bpe_encode_broadcasts_dictionary(spark):
     assert a.broadcast_joins >= 1, a.plan[:2000]
     assert not a.cartesian
     assert a.reads_only("doc_id", "text"), a.read_schemas
+
+
+def test_integrity_audit_anti_joins(spark):
+    from intelligencepipeline_spark.queries import integrity_audit
+
+    a = audit(integrity_audit(spark, SF))
+    # FK checks must plan as anti-joins (NOT IN would be null-poisoned
+    # and turn into a BNLJ); no cartesian anywhere
+    assert "LeftAnti" in a.plan, a.plan[:2000]
+    assert not a.cartesian
+
+
+def test_bigram_surprisal_broadcasts_counts(spark):
+    from intelligencepipeline_spark.queries import bigram_surprisal
+
+    a = audit(bigram_surprisal(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:2000]
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+
+
+def test_cogroup_one_shuffle_per_side(spark):
+    from intelligencepipeline_spark.queries import cogroup_reconciliation
+
+    a = audit(cogroup_reconciliation(spark, SF))
+    # FlatMapCoGroupsInPandas over two co-partitioned children
+    assert "CoGroup" in a.plan or "cogroup" in a.plan.lower(), a.plan[:1500]
+    assert not a.cartesian

@@ -77,6 +77,14 @@ HEADLINE = [
     ("value_histogram", "scan-stage bucketing + one small shuffle"),
     ("negative_pair_sample", "md5 draws ride the scan; near-dup reject broadcast anti"),
     ("pagerank_neardup_graph", "integer PageRank: O(iters) shuffles, flat lineage"),
+    ("bpe_encode", "vocab-domain fold + broadcast dictionary join"),
+    ("containment_pairs", "rare-shingle candidates w/ min-support cut"),
+    ("entity_resolution", "blocked levenshtein + components + roster agg"),
+    ("integrity_audit", "FK checks as anti-joins, unioned tiny result"),
+    ("k_anonymity_audit", "two keyed aggs, scale-flat"),
+    ("bigram_surprisal", "lead-window bigrams + broadcast df-counts"),
+    ("ann_recall_audit", "both arms one scan; 20-query broadcast"),
+    ("cogroup_reconciliation", "co-partitioned cogroup, one shuffle per side"),
 ]
 
 
