@@ -5398,29 +5398,26 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, content string, event_ts string",
     ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
 
-    def _stage(dfs: list) -> str:
+    def _stage(df) -> str:
         flat = tempfile.mkdtemp(prefix="ip_soj_")
-        i = 0
-        for df in dfs:
-            d = tempfile.mkdtemp()
-            df.coalesce(1).write.mode("overwrite").parquet(d)
-            for f_ in sorted(os.listdir(d)):
-                if f_.endswith(".parquet"):
-                    dst = os.path.join(flat, f"part{i}.parquet")
-                    shutil.copyfile(os.path.join(d, f_), dst)
-                    os.utime(dst, (1700000000 + 60 * i,) * 2)
-                    i += 1
+        d = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(d, f_), os.path.join(flat, "part0.parquet")
+                )
         return flat
-    rdir = _stage([records, r_tick])
-    cdir = _stage([chunks, c_tick])
+    rdir = _stage(records.unionByName(r_tick))
+    cdir = _stage(chunks.unionByName(c_tick))
     r_stream = spark.readStream.schema(
         "doc_id long, name string, event_ts timestamp"
-    ).option("maxFilesPerTrigger", 1).parquet(rdir).withColumn(
+    ).parquet(rdir).withColumn(
         "event_ts", F.col("event_ts").cast("timestamp")
     )
     c_stream = spark.readStream.schema(
         "doc_id long, content string, event_ts timestamp"
-    ).option("maxFilesPerTrigger", 1).parquet(cdir).withColumn(
+    ).parquet(cdir).withColumn(
         "event_ts", F.col("event_ts").cast("timestamp")
     )
     joined = stream_stream_chunk_join(
