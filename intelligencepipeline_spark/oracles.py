@@ -3042,3 +3042,38 @@ SELECT coalesce(o.user_id, p.user_id) AS user_id,
 FROM o FULL OUTER JOIN p ON o.user_id = p.user_id
 ORDER BY user_id
 """
+
+
+# PQ machinery: formula codebooks cb[j][c][d] = (c*31+d*17+j*7) % 100
+# make every distance integer-valued (exact in float64 in ANY
+# summation order), so numpy encode/ADC must match SQL bit-for-bit.
+_PQ_DIST = (
+    "list_transform(range(0, 8), c -> "
+    "list_sum(list_transform(range(0, 16), d -> "
+    "(qe[j*16+d+1] - ((c*31 + d*17 + j*7) % 100)) * "
+    "(qe[j*16+d+1] - ((c*31 + d*17 + j*7) % 100)))))"
+)
+
+ORACLES["pq_adc_machinery"] = f"""
+WITH e AS (
+  SELECT vec_id, {_QLIST} AS qe FROM embeddings
+), codes AS (
+  SELECT vec_id,
+    list_transform(range(0, 4), j ->
+      list_position({_PQ_DIST}, list_min({_PQ_DIST})) - 1) AS code
+  FROM e
+), q AS (
+  SELECT qe AS qq FROM e WHERE vec_id = 0
+), adc AS (
+  SELECT c.vec_id, c.code,
+    list_sum(list_transform(range(0, 4), j ->
+      list_sum(list_transform(range(0, 16), d ->
+        (((c.code[j+1]*31 + d*17 + j*7) % 100) - q.qq[j*16+d+1]) *
+        (((c.code[j+1]*31 + d*17 + j*7) % 100) - q.qq[j*16+d+1])))))
+      AS adc
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> 0
+)
+SELECT vec_id, cast(adc as bigint) AS adc,
+  array_to_string(code, ',') AS code_word
+FROM adc ORDER BY adc, vec_id LIMIT 20
+"""

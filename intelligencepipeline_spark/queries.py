@@ -5707,6 +5707,53 @@ def cogroup_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def pq_adc_machinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green proof of the PQ ENCODE + ADC machinery
+    (operators/pq.pq_encode / pq_topk — the numpy mapInPandas
+    operators themselves, not a re-derivation): codebooks come from an
+    integer FORMULA (cb[j][c][d] = (c*31 + d*17 + j*7) % 100), so
+    every distance is integer-valued and float64-EXACT regardless of
+    summation order — numpy matmul on the Spark side and list_sum on
+    the DuckDB side must produce identical codes and identical ADC
+    scores bit-for-bit. This upgrades the trained-PQ entry
+    (pq_ann_topk, rows-only because k-means is iterative) with an
+    oracle-checked scoring path; codebook TRAINING quality stays
+    pinned by tests/test_pq.py.
+
+    Exports the ADC top-20 for query vector 0 with each hit's code
+    word — a drift in either the encoder's argmin or the ADC table
+    lookup flips codes/scores and fails the hash."""
+    import numpy as np
+
+    from intelligencepipeline_spark.operators.pq import pq_encode, pq_topk
+
+    m, kc, dsub = 4, 8, 16
+    j_, c_, d_ = np.meshgrid(
+        np.arange(m), np.arange(kc), np.arange(dsub), indexing="ij"
+    )
+    cbs = ((c_ * 31 + d_ * 17 + j_ * 7) % 100).astype(np.float64)
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, cbs)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    top = pq_topk(
+        codes.filter(F.col("vec_id") != 0),
+        cbs,
+        np.array(qrow.embedding),
+        k=20,
+    )
+    return (
+        top.join(codes, "vec_id")
+        .select(
+            "vec_id",
+            F.col("adc_dist").cast("long").alias("adc"),
+            F.concat_ws(
+                ",", F.transform("codes", lambda x: x.cast("string"))
+            ).alias("code_word"),
+        )
+        .orderBy("adc", "vec_id")
+    )
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5790,6 +5837,7 @@ QUERIES = {
     "ann_recall_audit": ann_recall_audit,
     "udtf_sentence_chunks": udtf_sentence_chunks,
     "pq_ann_topk": pq_ann_topk,
+    "pq_adc_machinery": pq_adc_machinery,
     "streaming_outer_join_proof": streaming_outer_join_proof,
     "python_datasource_feed": python_datasource_feed,
     "bigram_surprisal": bigram_surprisal,
