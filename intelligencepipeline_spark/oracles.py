@@ -3077,3 +3077,19 @@ SELECT vec_id, cast(adc as bigint) AS adc,
   array_to_string(code, ',') AS code_word
 FROM adc ORDER BY adc, vec_id LIMIT 20
 """
+
+
+# Recursive chain walk (first 20 events per user) == the plain
+# windowed-prefix aggregate.
+ORACLES["recursive_cte_chain"] = """
+WITH ev AS (
+  SELECT user_id,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents
+  FROM events WHERE user_id < 200
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) <= 20
+)
+SELECT user_id, count(*) AS n_events,
+  cast(sum(cents) as bigint) AS total_cents
+FROM ev GROUP BY user_id ORDER BY user_id
+"""

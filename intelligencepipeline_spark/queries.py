@@ -5754,6 +5754,66 @@ def pq_adc_machinery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native ``WITH RECURSIVE`` (new in 4.0; UNION ALL
+    recursion) — §2.9 'SQL surface for free', current edition: each
+    user's event chain is walked step by step (rn -> rn+1) carrying a
+    running cents total, and the folded result must equal the plain
+    aggregate. Acyclic-by-construction (the rn chain), with
+    spark.sql.cteRecursionLevelLimit raised above the longest per-user
+    chain, capped at the first 20 events per user — each recursion
+    LEVEL is a join job, so depth is the cost driver (docstring
+    guidance below); cyclic closures stay on the iterative operators
+    (connected_components) since recursive UNION-dedup is not yet
+    supported ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE] — probed).
+
+    Scale honesty: recursion materializes one join per DEPTH level —
+    right for hierarchy walks (BOMs, org charts, folder trees, depth
+    ~10-100), wrong for long per-key sequences where one window pass
+    (running_totals) does the same work in a single shuffle. This
+    entry proves semantics + parity, and the docstring is the
+    guidance."""
+    load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 200
+    ).createOrReplaceTempView("rcte_events_src")
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    try:
+        out = spark.sql(
+            """
+            WITH RECURSIVE ev0 AS (
+              SELECT user_id,
+                cast(cast(value as decimal(18,2)) * 100 as bigint)
+                  AS cents,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM rcte_events_src
+            ), ev AS (
+              SELECT * FROM ev0 WHERE rn <= 20
+            ), walk(user_id, rn, cum) AS (
+              SELECT user_id, rn, cents FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.rn, w.cum + e.cents
+              FROM walk w JOIN ev e
+                ON e.user_id = w.user_id AND e.rn = w.rn + 1
+            )
+            SELECT user_id,
+              cast(max(rn) as bigint) AS n_events,
+              max_by(cum, rn) AS total_cents
+            FROM walk GROUP BY user_id ORDER BY user_id
+            """
+        )
+        # materialize before the conf reset below (lazy plans would
+        # otherwise resolve against the restored limit)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+    return out.orderBy("user_id")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5844,6 +5904,7 @@ QUERIES = {
     "integrity_audit": integrity_audit,
     "k_anonymity_audit": k_anonymity_audit,
     "cogroup_reconciliation": cogroup_reconciliation,
+    "recursive_cte_chain": recursive_cte_chain,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
