@@ -3093,3 +3093,24 @@ SELECT user_id, count(*) AS n_events,
   cast(sum(cents) as bigint) AS total_cents
 FROM ev GROUP BY user_id ORDER BY user_id
 """
+
+
+# Array/HOF surface parity: each Spark op against its DuckDB list
+# equivalent; zip_with via the index-transform identity.
+ORACLES["array_functions_suite"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS tk FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+  cast(len(tk) as bigint) AS n_toks,
+  coalesce(array_to_string(tk[1:3], ','), '') AS first3,
+  coalesce(list_reverse(tk)[1], 'none') AS rev_first,
+  coalesce(list_sort(tk)[1], 'none') AS sorted_first,
+  list_contains(tk, 'the') AS has_the,
+  len(list_filter(tk, x -> length(x) = 0)) = 0 AS all_nonempty,
+  cast(coalesce(list_sum(list_transform(range(1, len(tk) + 1),
+    i -> length(tk[i]) * length(tk[len(tk) - i + 1]))), 0) as bigint)
+    AS zip_sum,
+  cast(2 * len(tk) as bigint) AS flat2
+FROM t ORDER BY doc_id
+"""

@@ -5814,6 +5814,48 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 beyond Q1-Q5: the array/HOF library surface
+    (slice/reverse/sort/exists/forall/zip_with/aggregate/flatten) in
+    one expression-only pass over the token arrays, each op pinned to
+    a DuckDB list-function equivalent (zip_with mirrored via the
+    index-transform identity, since DuckDB's list_zip names its struct
+    fields differently). All integer/string outputs with null
+    sentinels — scan-stage work, no shuffle before the export sort."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens(normalize_text(F.col("text")))
+    t = docs.select("doc_id", toks.alias("tk"))
+    n = F.size("tk")
+    zip_sum = F.aggregate(
+        F.zip_with(
+            F.col("tk"),
+            F.reverse("tk"),
+            lambda a, b: F.length(a) * F.length(b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_toks"),
+        F.coalesce(F.array_join(F.slice("tk", 1, 3), ","), F.lit("")).alias(
+            "first3"
+        ),
+        F.coalesce(F.element_at(F.reverse("tk"), 1), F.lit("none")).alias(
+            "rev_first"
+        ),
+        F.coalesce(
+            F.element_at(F.array_sort("tk"), 1), F.lit("none")
+        ).alias("sorted_first"),
+        F.exists("tk", lambda x: x == F.lit("the")).alias("has_the"),
+        F.forall("tk", lambda x: F.length(x) > 0).alias("all_nonempty"),
+        zip_sum.alias("zip_sum"),
+        F.size(F.flatten(F.array(F.col("tk"), F.col("tk"))))
+        .cast("long")
+        .alias("flat2"),
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the r01 correctness gate checked the
 # FIRST 50 entries only, so entries needing a fresh driver row lead —
 # (a) the 28 that got no r01 row, (b) this round's new operators,
@@ -5905,6 +5947,7 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "cogroup_reconciliation": cogroup_reconciliation,
     "recursive_cte_chain": recursive_cte_chain,
+    "array_functions_suite": array_functions_suite,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
     "engine_streaming_run": engine_streaming_run,
