@@ -1369,6 +1369,20 @@ SELECT command,
 FROM env GROUP BY command ORDER BY command
 """
 
+ORACLES["avro_serde_roundtrip"] = """
+SELECT coalesce(lang, 'und') AS lang,
+  count(*) AS n_docs,
+  count(DISTINCT doc_id) AS n_distinct,
+  cast(sum(cast(n_chars as bigint)) as bigint) AS sum_chars,
+  cast(max(1704067200 + doc_id % 86400) as bigint) AS max_epoch,
+  md5(array_to_string(list_sort(
+    list('doc_' || cast(doc_id as varchar))), ',')) AS name_digest,
+  md5(array_to_string(list_sort(list(source)), ',')) AS source_digest,
+  md5(array_to_string(list_sort(
+    list('/corpus/' || cast(doc_id as varchar))), ',')) AS path_digest
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
 # ===================================================================
 # Round-2: PII redaction, contamination, token packing, domain mixing
 # ===================================================================

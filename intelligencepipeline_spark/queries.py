@@ -2207,6 +2207,128 @@ def kafka_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def avro_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Avro wire format, RUNNABLE and proven without a jar — the
+    reference's vestigial Avro path (schema.json:1-44,
+    pipeline/avro/serialization.kt:10-23) made executable. DataRecord
+    envelopes (name, timestamp, nested representation struct, open
+    metadata map — the exact shapes of DATARECORD_SCHEMA) are encoded
+    to Avro *binary* by the pure-Python codec (sources/avro_codec.py,
+    byte-validated against Java Avro in tests/test_avro_codec.py),
+    decoded back, and aggregated per decoded language. The oracle
+    recomputes the aggregate from the raw table: any encode/decode
+    defect in varints, unions, maps, arrays or timestamp-micros breaks
+    the hash. Scale: two Arrow-batched UDF stages, no shuffle before
+    the final small agg; on a cluster the same edge swaps to the
+    spark-avro jar (sources/kafka.py serde="avro")."""
+    from pyspark.sql import types as T
+
+    from intelligencepipeline_spark.sources.avro_codec import (
+        avro_decode,
+        avro_encode,
+    )
+
+    value_schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("ingest_ts", T.TimestampType()),
+            T.StructField(
+                "representation",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("created_by", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "meta",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "values",
+                                T.MapType(T.StringType(), T.StringType()),
+                            ),
+                            T.StructField("created_by", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = _t(spark, sf_dir, "documents")
+    env = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("name"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") % 86400
+        ).alias("ingest_ts"),
+        F.struct(
+            F.concat(F.lit("/corpus/"), F.col("doc_id").cast("string"))
+            .alias("path"),
+            F.lit("directory").alias("created_by"),
+        ).alias("representation"),
+        F.array(
+            F.struct(
+                F.map_from_arrays(
+                    F.array(F.lit("lang"), F.lit("source")),
+                    F.array(
+                        F.coalesce(F.col("lang"), F.lit("und")),
+                        F.col("source"),
+                    ),
+                ).alias("values"),
+                F.lit("tika").alias("created_by"),
+            )
+        ).alias("meta"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    wire = env.select(
+        F.col("doc_id").cast("string").alias("key"),
+        avro_encode(
+            F.struct("name", "ingest_ts", "representation", "meta", "n_chars"),
+            value_schema,
+        ).alias("value"),
+    )
+    decoded = wire.select(
+        F.col("key").cast("long").alias("doc_id"),
+        avro_decode(F.col("value"), value_schema).alias("v"),
+    )
+    flat = decoded.select(
+        "doc_id",
+        F.col("v.name").alias("name"),
+        F.unix_timestamp("v.ingest_ts").alias("epoch"),
+        F.col("v.representation.path").alias("path"),
+        F.element_at(F.col("v.meta"), 1)["values"].alias("values"),
+        F.col("v.n_chars").alias("n_chars"),
+    )
+    return (
+        flat.groupBy(F.col("values")["lang"].alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("epoch").cast("long").alias("max_epoch"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("name")), ",")
+            ).alias("name_digest"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.col("values")["source"])
+                    ),
+                    ",",
+                )
+            ).alias("source_digest"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("path")), ",")
+            ).alias("path_digest"),
+        )
+        .orderBy("lang")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -5990,6 +6112,9 @@ QUERIES = {
     "join_skew_report": join_skew_report,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "zscore_anomalies": zscore_anomalies,
+    # -- (b3) round-2 late additions (rotation next round; proven now
+    #    by CORRECTNESS_local.json) ------------------------------------
+    "avro_serde_roundtrip": avro_serde_roundtrip,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

@@ -1,0 +1,304 @@
+"""Runnable Avro binary serde — pure Python, no jar required.
+
+The reference ships an Avro contract next to its JSON serde (reflection
+serializer ``pipeline/avro/serialization.kt:10-23``, hand-written schema
+``/root/reference/schema.json:1-44``) but never wires it in. Our engine
+makes the Avro path *executable* in two tiers:
+
+* **Cluster tier** — the spark-avro package (``to_avro``/``from_avro``,
+  wrappers in ``avro_serde.py``): JVM-side, codegen-friendly, what a
+  100 TB deployment uses.
+* **Hermetic tier (this module)** — a spec-compliant Avro *binary*
+  encoder/decoder for the subset of types our contracts use (records,
+  unions-with-null, arrays, maps, strings, bytes, int/long, float/
+  double, boolean, timestamp-micros/date logicals), exposed as
+  Arrow-batched pandas UDFs. The wire bytes are validated in tests
+  against the **independent Java Avro implementation** that ships on
+  Spark's classpath (``avro-1.12.1.jar``) via the JVM gateway — both
+  byte-identical encoding and cross-decoding — so this is provably the
+  real Avro format, not merely a self-inverse codec.
+
+Scale note: the pandas-UDF tier is the portability/proof path; its cost
+is one Arrow batch hop per partition with zero shuffles, and swapping
+in the jar-backed tier is a one-line change at the Kafka edge
+(``sources/kafka.py`` ``serde="avro"``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct as _struct
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intelligencepipeline_spark.sources.avro_serde import struct_to_avro_schema
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+# --------------------------------------------------------------------------
+# primitive wire format (Avro 1.x spec: zigzag varint longs, LE IEEE floats)
+# --------------------------------------------------------------------------
+
+def write_long(out: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)
+    z &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+# --------------------------------------------------------------------------
+# recursive value codec over a parsed Avro schema (dict / list / str forms)
+# --------------------------------------------------------------------------
+
+def _is_null(v: Any) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, dict, bytes, str)):
+        return False
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return False
+    # pandas scalar NaN/NaT
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _as_micros(v: Any) -> int:
+    if isinstance(v, pd.Timestamp):
+        return v.value // 1000  # pandas stores ns
+    if isinstance(v, _dt.datetime):
+        return int((v - _EPOCH).total_seconds() * 1_000_000)
+    return int(v)  # already micros
+
+
+def _map_items(v: Any):
+    # Spark's Arrow conversion yields MapType cells as list[(k, val)];
+    # plain dicts appear on the round-trip/decoded side.
+    if isinstance(v, dict):
+        return v.items()
+    return v
+
+
+def encode_value(v: Any, sch: Any, out: bytearray) -> None:
+    if isinstance(sch, list):  # union — index, then branch value
+        if _is_null(v):
+            out.append(sch.index("null") << 1)  # zigzag of small index
+            return
+        idx = next(i for i, b in enumerate(sch) if b != "null")
+        write_long(out, idx)
+        encode_value(v, sch[idx], out)
+        return
+    if isinstance(sch, str):
+        if sch == "null":
+            return
+        if sch in ("long", "int"):
+            write_long(out, int(v))
+        elif sch == "string":
+            b = str(v).encode("utf-8")
+            write_long(out, len(b))
+            out.extend(b)
+        elif sch == "bytes":
+            b = bytes(v)
+            write_long(out, len(b))
+            out.extend(b)
+        elif sch == "double":
+            out.extend(_struct.pack("<d", float(v)))
+        elif sch == "float":
+            out.extend(_struct.pack("<f", float(v)))
+        elif sch == "boolean":
+            out.append(1 if v else 0)
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported Avro primitive {sch!r}")
+        return
+    t = sch["type"]
+    lt = sch.get("logicalType")
+    if lt == "timestamp-micros":
+        write_long(out, _as_micros(v))
+    elif lt == "date":
+        d = v if isinstance(v, _dt.date) else v.date()
+        write_long(out, (d - _EPOCH_DATE).days)
+    elif t == "record":
+        for f in sch["fields"]:
+            encode_value(None if v is None else v.get(f["name"]), f["type"], out)
+    elif t == "array":
+        items = [] if _is_null(v) else list(v)
+        if items:
+            write_long(out, len(items))
+            for item in items:
+                encode_value(item, sch["items"], out)
+        write_long(out, 0)
+    elif t == "map":
+        items = [] if _is_null(v) else list(_map_items(v))
+        if items:
+            write_long(out, len(items))
+            for k, val in items:
+                kb = str(k).encode("utf-8")
+                write_long(out, len(kb))
+                out.extend(kb)
+                encode_value(val, sch["values"], out)
+        write_long(out, 0)
+    else:  # plain-primitive-in-dict form, e.g. {"type": "long"}
+        encode_value(v, t, out)
+
+
+def decode_value(buf: bytes, pos: int, sch: Any) -> tuple[Any, int]:
+    if isinstance(sch, list):
+        idx, pos = read_long(buf, pos)
+        return decode_value(buf, pos, sch[idx])
+    if isinstance(sch, str):
+        if sch == "null":
+            return None, pos
+        if sch in ("long", "int"):
+            return read_long(buf, pos)
+        if sch == "string":
+            n, pos = read_long(buf, pos)
+            return buf[pos:pos + n].decode("utf-8"), pos + n
+        if sch == "bytes":
+            n, pos = read_long(buf, pos)
+            return bytes(buf[pos:pos + n]), pos + n
+        if sch == "double":
+            return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+        if sch == "float":
+            return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+        if sch == "boolean":
+            return buf[pos] != 0, pos + 1
+        raise TypeError(f"unsupported Avro primitive {sch!r}")  # pragma: no cover
+    t = sch["type"]
+    lt = sch.get("logicalType")
+    if lt == "timestamp-micros":
+        n, pos = read_long(buf, pos)
+        return _EPOCH + _dt.timedelta(microseconds=n), pos
+    if lt == "date":
+        n, pos = read_long(buf, pos)
+        return _EPOCH_DATE + _dt.timedelta(days=n), pos
+    if t == "record":
+        rec = {}
+        for f in sch["fields"]:
+            rec[f["name"]], pos = decode_value(buf, pos, f["type"])
+        return rec, pos
+    if t == "array":
+        items = []
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix (spec-permitted)
+                _, pos = read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                item, pos = decode_value(buf, pos, sch["items"])
+                items.append(item)
+        return items, pos
+    if t == "map":
+        m = {}
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                klen, pos = read_long(buf, pos)
+                k = buf[pos:pos + klen].decode("utf-8")
+                pos += klen
+                m[k], pos = decode_value(buf, pos, sch["values"])
+        return m, pos
+    return decode_value(buf, pos, t)
+
+
+def encode_record(value: dict, sch: dict) -> bytes:
+    out = bytearray()
+    encode_value(value, sch, out)
+    return bytes(out)
+
+
+def decode_record(buf: bytes, sch: dict) -> dict:
+    value, pos = decode_value(buf, 0, sch)
+    if pos != len(buf):  # trailing garbage = corrupt frame
+        raise ValueError(f"{len(buf) - pos} undecoded trailing bytes")
+    return value
+
+
+# --------------------------------------------------------------------------
+# pandas-cell normalization (Arrow hands us numpy/pandas flavored values)
+# --------------------------------------------------------------------------
+
+def _pyify(v: Any) -> Any:
+    import numpy as np
+
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date, str, bytes)):
+        return v
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, dict):
+        return {k: _pyify(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [_pyify(x) for x in v]
+    return v
+
+
+# --------------------------------------------------------------------------
+# column-level API (the Kafka-edge drop-in for to_json / from_json)
+# --------------------------------------------------------------------------
+
+def avro_encode(col: Column, spark_schema: T.StructType) -> Column:
+    """Encode a struct column to Avro binary per the contract derived
+    from ``spark_schema`` (the hermetic counterpart of spark-avro's
+    ``to_avro``)."""
+    sch = struct_to_avro_schema(spark_schema, "Value")
+
+    @F.pandas_udf("binary")
+    def enc(pdf: pd.DataFrame) -> pd.Series:
+        names = [f["name"] for f in sch["fields"]]
+        vals = []
+        for row in pdf.itertuples(index=False):
+            rec = {n: _pyify(getattr(row, n)) for n in names}
+            vals.append(encode_record(rec, sch))
+        return pd.Series(vals, dtype=object)
+
+    return enc(col)
+
+
+def avro_decode(col: Column, spark_schema: T.StructType) -> Column:
+    """Decode an Avro binary column back to ``spark_schema`` (hermetic
+    ``from_avro``)."""
+    sch = struct_to_avro_schema(spark_schema, "Value")
+
+    @F.pandas_udf(spark_schema)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        rows = [decode_record(bytes(b), sch) for b in s]
+        return pd.DataFrame(
+            {f.name: [r[f.name] for r in rows] for f in spark_schema.fields}
+        )
+
+    return dec(col)

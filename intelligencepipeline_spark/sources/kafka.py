@@ -35,6 +35,7 @@ def read_topic(
     starting_offsets: str = "earliest",
     streaming: bool = True,
     max_offsets_per_trigger: int | None = None,
+    serde: str = "json",
 ) -> DataFrame:
     """Typed topic consumer (ref KafkaIntelligencePipeline.kt:65-66 etc.).
 
@@ -64,9 +65,41 @@ def read_topic(
     raw = reader.load()
     return raw.select(
         F.conv(F.hex(F.col("key")), 16, 10).cast("long").alias("doc_id"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        decode_value_col(F.col("value"), value_schema, serde).alias("v"),
         F.col("timestamp").alias("kafka_ts"),  # TimestampValueTransformer (P6) for free
     ).select("doc_id", "v.*", "kafka_ts")
+
+
+def decode_value_col(
+    value: "F.Column", value_schema: T.StructType, serde: str = "json"
+) -> "F.Column":
+    """Value deserializer for one topic message column.
+
+    ``json`` is the reference's wire format (serialization.kt:10-47);
+    ``avro`` is its vestigial alternative (avro/serialization.kt:10-23)
+    made runnable: the hermetic pure-Python binary codec
+    (sources/avro_codec.py, cross-validated against Java Avro). On a
+    cluster with the spark-avro package, swap in
+    ``avro_serde.from_avro_value`` for the JVM-side decode.
+    """
+    if serde == "avro":
+        from intelligencepipeline_spark.sources.avro_codec import avro_decode
+
+        return avro_decode(value, value_schema)
+    return F.from_json(value.cast("string"), value_schema)
+
+
+def encode_value_col(
+    df: DataFrame, cols: list[str], serde: str = "json"
+) -> "F.Column":
+    """Value serializer packing ``cols`` into one Kafka value column
+    (see decode_value_col for the serde tiers)."""
+    if serde == "avro":
+        from intelligencepipeline_spark.sources.avro_codec import avro_encode
+
+        value_schema = T.StructType([df.schema[c] for c in cols])
+        return avro_encode(F.struct(*[F.col(c) for c in cols]), value_schema)
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
 
 
 def write_topic(
@@ -75,13 +108,17 @@ def write_topic(
     topic: str,
     checkpoint: str,
     key_col: str = "doc_id",
+    serde: str = "json",
 ) -> "DataFrame.writeStream":
     """Topic producer (ref ``.to(topic, Produced.with(...))``,
     KafkaIntelligencePipeline.kt:115,147,242,...). All non-key columns are
-    JSON-packed into ``value``."""
+    packed into ``value`` — JSON by default, Avro binary with
+    ``serde="avro"`` (see decode_value_col)."""
     payload = df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[c for c in df.columns if c != key_col])).alias("value"),
+        encode_value_col(
+            df, [c for c in df.columns if c != key_col], serde
+        ).alias("value"),
     )
     return (
         payload.writeStream.format("kafka")

@@ -1,0 +1,250 @@
+"""Avro binary codec (sources/avro_codec.py).
+
+Three independent proofs that this is *real* Avro, not a self-inverse
+home format:
+
+1. golden bytes hand-computed from the Avro 1.x spec (zigzag varints,
+   length-prefixed strings, union indexes, block-terminated arrays);
+2. cross-validation against the Java Avro implementation shipped on
+   Spark's classpath (avro-1.12.x): Java decodes our bytes and
+   re-encodes byte-identically, and Java-encoded records decode to the
+   expected Python values;
+3. Spark-level round-trip through the Arrow pandas UDFs on an
+   event-envelope frame (timestamps, arrays of structs, open maps).
+
+Ref contract: /root/reference/schema.json:1-44 and the reflection serde
+pipeline/avro/serialization.kt:10-23 (vestigial there; runnable here).
+"""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from intelligencepipeline_spark.sources.avro_codec import (
+    avro_decode,
+    avro_encode,
+    decode_record,
+    encode_record,
+    read_long,
+    write_long,
+)
+from intelligencepipeline_spark.sources.avro_serde import struct_to_avro_schema
+
+
+def _varint(n):
+    out = bytearray()
+    write_long(out, n)
+    return bytes(out)
+
+
+def test_zigzag_varint_golden():
+    # Spec examples: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+    assert _varint(0) == b"\x00"
+    assert _varint(-1) == b"\x01"
+    assert _varint(1) == b"\x02"
+    assert _varint(-2) == b"\x03"
+    assert _varint(2) == b"\x04"
+    assert _varint(-64) == b"\x7f"
+    assert _varint(64) == b"\x80\x01"
+    for n in (0, 1, -1, 63, -64, 64, 2**40, -(2**40), 2**62, -(2**62)):
+        val, pos = read_long(_varint(n), 0)
+        assert val == n and pos == len(_varint(n))
+
+
+def test_record_golden_bytes():
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    b = encode_record({"id": 3, "name": "ab", "tags": ["x"]}, sch)
+    assert b == bytes(
+        [0x06]  # zigzag(3)
+        + [0x02]  # union index 1 (string)
+        + [0x04, ord("a"), ord("b")]  # len 2 + utf8
+        + [0x02, 0x02, ord("x")]  # array block count 1, "x"
+        + [0x00]  # array terminator
+    )
+    assert decode_record(b, sch) == {"id": 3, "name": "ab", "tags": ["x"]}
+    # null branch of the union
+    b2 = encode_record({"id": 0, "name": None, "tags": []}, sch)
+    assert b2 == bytes([0x00, 0x00, 0x00])
+
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("command", T.StringType(), False),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "representation",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("created_by", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "meta",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "values",
+                            T.MapType(T.StringType(), T.StringType()),
+                        ),
+                        T.StructField("created_by", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("confidence", T.FloatType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+SAMPLE = {
+    "command": "CREATE",
+    "event_ts": dt.datetime(2024, 1, 15, 12, 30, 45, 123456),
+    "name": "doc_1",
+    "representation": {"path": "/data/1", "created_by": "directory"},
+    "meta": [{"values": {"lang": "en"}, "created_by": "tika"}],
+    "confidence": 0.5,
+    "payload": b"\x01\x02",
+}
+
+
+def _jvm_helpers(spark):
+    jvm = spark.sparkContext._jvm
+    parser = jvm.org.apache.avro.Schema.Parser()
+    return jvm, parser
+
+
+def test_java_decodes_and_reencodes_identically(spark):
+    """Java Avro reads our bytes and writes them back bit-for-bit."""
+    import json
+
+    sch = struct_to_avro_schema(ENVELOPE, "Envelope")
+    ours = encode_record(SAMPLE, sch)
+    jvm, parser = _jvm_helpers(spark)
+    jsch = parser.parse(json.dumps(sch))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jsch)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+        ours, None
+    )
+    rec = reader.read(None, dec)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jsch)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(
+        baos, None
+    )
+    writer.write(rec, enc)
+    enc.flush()
+    theirs = bytes(baos.toByteArray())
+    assert theirs == ours
+
+
+def test_python_decodes_java_encoded_record(spark):
+    """A record built and encoded by Java Avro decodes to the expected
+    Python values (multi-entry map included; dict compare is
+    order-insensitive)."""
+    import json
+
+    simple = {
+        "type": "record",
+        "name": "M",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "opt", "type": ["null", "double"]},
+        ],
+    }
+    jvm, parser = _jvm_helpers(spark)
+    jsch = parser.parse(json.dumps(simple))
+    rec = jvm.org.apache.avro.generic.GenericData.Record(jsch)
+    rec.put("id", jvm.java.lang.Long.valueOf(42))
+    jmap = jvm.java.util.LinkedHashMap()
+    jmap.put("a", "1")
+    jmap.put("b", "2")
+    jmap.put("c", "3")
+    rec.put("m", jmap)
+    rec.put("opt", 2.5)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(jsch)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(
+        baos, None
+    )
+    writer.write(rec, enc)
+    enc.flush()
+    got = decode_record(bytes(baos.toByteArray()), simple)
+    assert got == {"id": 42, "m": {"a": "1", "b": "2", "c": "3"}, "opt": 2.5}
+    # and our own encoding of the same value is byte-identical
+    assert encode_record(got, simple) == bytes(baos.toByteArray())
+
+
+def test_spark_roundtrip_envelope(spark):
+    rows = [
+        (
+            "CREATE",
+            dt.datetime(2024, 1, 1, 0, 0, 7),
+            "doc_7",
+            ("/data/7", "directory"),
+            [({"lang": "en", "mime": "text/plain"}, "tika")],
+            1.0,
+            b"abc",
+        ),
+        ("UPSERT_METADATA", None, None, None, [], None, None),
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE)
+    wire = df.select(
+        avro_encode(F.struct(*[F.col(c) for c in df.columns]), ENVELOPE)
+        .alias("value")
+    )
+    back = wire.select(avro_decode(F.col("value"), ENVELOPE).alias("v")).select(
+        "v.*"
+    )
+    a = [r.asDict(recursive=True) for r in df.collect()]
+    b = [r.asDict(recursive=True) for r in back.collect()]
+    assert a == b
+
+
+def test_kafka_edge_avro_serde(spark):
+    """sources/kafka.py serde="avro": the value column a topic producer
+    would emit decodes back losslessly via the consumer-side helper."""
+    from intelligencepipeline_spark.sources.kafka import (
+        decode_value_col,
+        encode_value_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20)], "doc_id long, name string, n long"
+    )
+    wire = df.select(
+        F.col("doc_id"),
+        encode_value_col(df, ["name", "n"], serde="avro").alias("value"),
+    )
+    value_schema = T.StructType(
+        [df.schema["name"], df.schema["n"]]
+    )
+    back = wire.select(
+        "doc_id", decode_value_col(F.col("value"), value_schema, "avro").alias("v")
+    ).select("doc_id", "v.*")
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_decode_rejects_trailing_garbage():
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    with pytest.raises(ValueError):
+        decode_record(encode_record({"id": 1}, sch) + b"\x00", sch)
