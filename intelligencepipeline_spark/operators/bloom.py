@@ -1,0 +1,106 @@
+"""Distributed Bloom-filter prefilter — membership tests that ride the
+scan of the big side.
+
+The 100 TB shape this solves: "keep only rows whose key is in this
+set" where the probe side is huge and the member set is small-ish. A
+semi join shuffles or at least hashes the probe side per batch; a
+Bloom prefilter instead is built with ONE aggregation over the member
+set, collapses to a BOUNDED bitmask (``m/64`` longs — independent of
+either table's size), and is embedded as a literal array so the probe
+side's membership test is a pure JVM expression in the scan stage:
+zero shuffle, zero join, false positives bounded and verified exactly
+downstream on the ~p·N survivors only.
+
+Everything is deterministic — bit positions are md5-derived (seeded
+per hash index), so an external engine can re-derive the exact same
+filter, false positives included; that is what makes the operator
+oracle-checkable bit-for-bit.
+
+(Spark's own runtime row-group Bloom pushdown and Parquet bloom
+filters complement this; the explicit operator covers cross-table
+prefilters those cannot express, e.g. "events of flagged users".)
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bit_positions(col: Column, m: int, k: int) -> list[Column]:
+    """k deterministic bit positions in [0, m) per key (md5 seeded by
+    hash index, first 8 hex chars → exact int64 on every engine)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":{j}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+        for j in range(k)
+    ]
+
+
+def build_bloom(df: DataFrame, key: str, m: int = 4096, k: int = 3) -> list[int]:
+    """Fold the member set into an m-bit mask: one distributed agg
+    (distinct positions → bit_or per 64-bit word), then a bounded
+    driver collect of m/64 longs (64 longs for m=4096 — a broadcast
+    payload, not a data collect)."""
+    assert m % 64 == 0, "m must be a multiple of 64"
+    pos = df.select(
+        F.explode(F.array(*bit_positions(F.col(key), m, k))).alias("p")
+    ).distinct()
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                # SQL form: the Python shiftleft() helper only takes a
+                # literal shift amount, the SQL function takes a column
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    mask = [0] * (m // 64)
+    for r in words:
+        mask[r["w"]] = r["bits"]
+    return mask
+
+
+def might_contain(col: Column, mask: list[int], k: int) -> Column:
+    """Probe-side membership expression: k getbit tests against the
+    literal mask. Compiles into the scan stage (WholeStageCodegen) —
+    no join, no shuffle. False when definitely absent; true for all
+    members plus a deterministic false-positive set."""
+    m = len(mask) * 64
+    arr = F.array(*[F.lit(w).cast("long") for w in mask])
+    checks = [
+        F.getbit(
+            F.try_element_at(arr, (p / 64).cast("int") + 1),
+            (p % 64).cast("int"),
+        )
+        == 1
+        for p in bit_positions(col, m, k)
+    ]
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_key: str,
+    members: DataFrame,
+    member_key: str,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """probe rows whose key *might* be in members (no false negatives).
+
+    Callers needing exact semantics follow with a semi join — which now
+    touches only the Bloom survivors instead of the full probe table.
+    """
+    mask = build_bloom(members, member_key, m, k)
+    return probe.filter(might_contain(F.col(probe_key), mask, k))

@@ -1383,6 +1383,83 @@ SELECT coalesce(lang, 'und') AS lang,
 FROM documents GROUP BY 1 ORDER BY 1
 """
 
+def _bpos(key: str, j: int, m: int) -> str:
+    """Bloom bit position — same arithmetic as operators/bloom.py
+    bit_positions (md5 seeded by hash index, first 8 hex chars)."""
+    return (
+        f"cast(concat('0x', substr(md5(cast({key} as varchar) || ':{j}'), "
+        f"1, 8)) as bigint) % {m}"
+    )
+
+
+ORACLES["bloom_prefilter"] = f"""
+WITH members AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), bits AS (
+  SELECT DISTINCT {_bpos('c_custkey', 0, 1024)} AS p FROM members
+  UNION
+  SELECT DISTINCT {_bpos('c_custkey', 1, 1024)} AS p FROM members
+), probe AS (
+  SELECT o_orderpriority,
+    ({_bpos('o_custkey', 0, 1024)} IN (SELECT p FROM bits)
+     AND {_bpos('o_custkey', 1, 1024)} IN (SELECT p FROM bits)) AS cand,
+    o_custkey IN (SELECT c_custkey FROM members) AS is_m
+  FROM orders
+)
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  cast(sum(cast(cand as int)) as bigint) AS n_candidates,
+  cast(sum(cast(is_m as int)) as bigint) AS n_members,
+  cast(sum(cast((cand AND NOT is_m) as int)) as bigint) AS n_false_pos
+FROM probe GROUP BY 1 ORDER BY 1
+"""
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9/?=._-]*)?"
+_URL_NARR = (
+    "'see https://host' || cast(doc_id % 37 as varchar) || "
+    "'.example.com/p/' || cast(doc_id as varchar) || "
+    "' and http://cdn' || cast(doc_id % 11 as varchar) || "
+    "'.example.net/x?q=' || cast(doc_id % 5 as varchar) || "
+    "' ref https://' || source || '.org/d/' || "
+    "cast(doc_id as varchar) || ' ' || text"
+)
+
+ORACLES["url_domain_caps"] = f"""
+WITH nar AS (
+  SELECT doc_id, {_URL_NARR} AS narrative FROM documents
+), u AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(narrative, '{_URL_RE}', 0)) AS url
+  FROM nar
+), h AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS host
+  FROM u
+), d AS (
+  SELECT doc_id, url, host,
+    regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain
+  FROM h
+), rollup_ AS (
+  SELECT domain, count(*) AS n_urls,
+    count(DISTINCT doc_id) AS n_docs,
+    count(DISTINCT host) AS n_hosts
+  FROM d GROUP BY domain
+), per_doc AS (
+  SELECT DISTINCT domain, doc_id FROM d
+), ranked AS (
+  SELECT domain, doc_id,
+    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM per_doc
+), kept AS (
+  SELECT domain, count(*) AS n_kept,
+    md5(array_to_string(list_sort(list(cast(doc_id as varchar))), ','))
+      AS kept_digest
+  FROM ranked WHERE rn <= 7 GROUP BY domain
+)
+SELECT r.domain, r.n_urls, r.n_docs, r.n_hosts, k.n_kept, k.kept_digest
+FROM rollup_ r JOIN kept k USING (domain) ORDER BY r.domain
+"""
+
 # ===================================================================
 # Round-2: PII redaction, contamination, token packing, domain mixing
 # ===================================================================

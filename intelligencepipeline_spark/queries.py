@@ -2329,6 +2329,129 @@ def avro_serde_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter (operators/bloom.py): membership tests
+    that ride the probe-side scan. Members = BUILDING-segment
+    customers folded into a 1024-bit mask (ONE small agg + a bounded
+    64-long collect); orders are then classified by a pure-expression
+    k=2 getbit probe — no join, no shuffle on the fact side. m is
+    deliberately small so false positives OCCUR and are proven exact:
+    the oracle re-derives the identical md5-seeded bit positions, so
+    n_candidates / n_members / n_false_pos must match bit-for-bit.
+    At 100 TB the mask is a broadcast literal and the prefilter cuts
+    the downstream exact semi join to the ~p·N survivors."""
+    from intelligencepipeline_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    mask = build_bloom(members, "c_custkey", m=1024, k=2)
+    cand = orders.withColumn(
+        "cand", might_contain(F.col("o_custkey"), mask, k=2)
+    )
+    flagged = cand.join(
+        F.broadcast(
+            members.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit(1).alias("is_m"),
+            )
+        ),
+        "o_custkey",
+        "left",
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cand").cast("long")).alias("n_candidates"),
+            F.sum(F.col("is_m").isNotNull().cast("long")).alias("n_members"),
+            F.sum(
+                (F.col("cand") & F.col("is_m").isNull()).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + registrable-domain rollup + per-domain doc caps
+    — the web-corpus curation pass (rate-limit any single domain's
+    contribution to the training mix). URLs are injected
+    deterministically (the synthetic corpus has none), extracted with
+    an RE2-safe regex shared with the oracle, hosts parsed with the
+    built-in parse_url, and each registrable domain is capped at 7
+    docs (smallest doc_ids — deterministic survivors, digest-proven).
+    Scale: regexp+explode ride the scan; ONE domain-keyed shuffle for
+    the rollup and cap window; no joins besides the tiny result
+    stitch. Per-domain caps are exactly the hot-key guard that keeps
+    the domain shuffle skew-safe at 100 TB (a pathological domain
+    contributes rows, not unbounded state)."""
+    url_re = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9/?=._-]*)?"
+    docs = _t(spark, sf_dir, "documents")
+    nar = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://host"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://cdn"),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(".example.net/x?q="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" ref https://"),
+            F.col("source"),
+            F.lit(".org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("narrative"),
+    )
+    urls = nar.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("narrative", F.lit(url_re), 0)
+        ).alias("url"),
+    )
+    hosts = urls.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+    ).withColumn(
+        "domain",
+        F.regexp_extract(F.col("host"), r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1),
+    )
+    rollup = hosts.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+    per_doc = hosts.select("domain", "doc_id").distinct()
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    kept = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.col("doc_id").cast("string"))
+                    ),
+                    ",",
+                )
+            ).alias("kept_digest"),
+        )
+    )
+    return rollup.join(kept, "domain").orderBy("domain")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6115,6 +6238,8 @@ QUERIES = {
     # -- (b3) round-2 late additions (rotation next round; proven now
     #    by CORRECTNESS_local.json) ------------------------------------
     "avro_serde_roundtrip": avro_serde_roundtrip,
+    "bloom_prefilter": bloom_prefilter_q,
+    "url_domain_caps": url_domain_caps,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

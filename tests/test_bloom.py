@@ -1,0 +1,62 @@
+"""Bloom prefilter (operators/bloom.py): the classic guarantees, plus
+the determinism that makes it oracle-checkable."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.bloom import (
+    bit_positions,
+    bloom_prefilter,
+    build_bloom,
+    might_contain,
+)
+
+
+def test_no_false_negatives(spark):
+    members = spark.range(0, 200).withColumnRenamed("id", "k")
+    mask = build_bloom(members, "k", m=512, k=3)
+    kept = members.filter(might_contain(F.col("k"), mask, 3))
+    assert kept.count() == 200  # every member must pass
+
+
+def test_false_positives_exist_and_are_deterministic(spark):
+    members = spark.range(0, 300).withColumnRenamed("id", "k")
+    probe = spark.range(1000, 4000).withColumnRenamed("id", "k")
+    mask1 = build_bloom(members, "k", m=256, k=2)  # deliberately tight
+    mask2 = build_bloom(members, "k", m=256, k=2)
+    assert mask1 == mask2  # bit-identical across builds
+    fp1 = sorted(
+        r["k"]
+        for r in probe.filter(might_contain(F.col("k"), mask1, 2)).collect()
+    )
+    fp2 = sorted(
+        r["k"]
+        for r in bloom_prefilter(probe, "k", members, "k", m=256, k=2).collect()
+    )
+    assert fp1 == fp2
+    assert len(fp1) > 0  # tight m must produce false positives
+    assert len(fp1) < 3000  # but still filter most non-members
+
+
+def test_bit_positions_in_range(spark):
+    df = spark.range(0, 50).select(
+        *[p.alias(f"p{i}") for i, p in enumerate(
+            bit_positions(F.col("id"), 128, 4)
+        )]
+    )
+    mins = df.agg(*[F.min(f"p{i}") for i in range(4)]).collect()[0]
+    maxs = df.agg(*[F.max(f"p{i}") for i in range(4)]).collect()[0]
+    assert all(v >= 0 for v in mins)
+    assert all(v < 128 for v in maxs)
+
+
+def test_probe_is_expression_only(spark):
+    """The membership test must compile into the probe scan — no join,
+    no exchange introduced by the prefilter."""
+    from intelligencepipeline_spark.plans.audit import audit
+
+    members = spark.range(0, 100).withColumnRenamed("id", "k")
+    mask = build_bloom(members, "k", m=512, k=3)
+    probe = spark.range(0, 10000).withColumnRenamed("id", "k")
+    a = audit(probe.filter(might_contain(F.col("k"), mask, 3)))
+    assert a.shuffle_exchanges == 0, a.plan[:800]
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
