@@ -1,0 +1,111 @@
+"""Count-Min sketch — mergeable frequency estimation over unbounded
+key domains.
+
+Complements the Misra-Gries heavy hitters (operators/heavy_hitters.py):
+MG answers "which keys are frequent" with a bounded candidate set; CMS
+answers "how frequent is THIS key" for any key, with a one-sided error
+(estimates never undercount, overcount ≤ εN with probability 1-δ for
+depth d = ln(1/δ), width w = e/ε).
+
+Scale design: the sketch IS a d×w counter matrix, built with one
+aggregation — explode each row into its d (row, md5-position) cells and
+count — so partial aggregation combines map-side and the shuffle carries
+at most d·w rows per partition regardless of input size. Sketches from
+disjoint slices ADD cell-wise (mergeability, proven in tests), which is
+what makes per-day partials → monthly rollups work without rescans,
+exactly like the HLL rollup (operators/hll.py pattern). Point estimates
+broadcast the bounded matrix back to the probe keys.
+
+All hash positions are md5-derived (seeded per depth row), so an
+external engine re-derives the identical sketch — including collisions
+and overcounts — making the operator oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pos(col: Column, j: int, width: int) -> Column:
+    """Deterministic cell position for depth row j (same idiom as
+    operators/bloom.bit_positions)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f"#{j}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    depth: int = 3,
+    width: int = 256,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Build the sketch: DataFrame of (row, pos, cnt) cells, at most
+    depth*width rows. ONE aggregation; map-side combine bounds the
+    shuffle at depth*width rows per partition."""
+    w = weight if weight is not None else F.lit(1).cast("long")
+    cells = df.select(
+        F.col(key), w.alias("_w"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _pos(F.col(key), j, width).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    return (
+        cells.groupBy(F.col("cell.row").alias("row"), F.col("cell.pos").alias("pos"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with the same (depth, width) —
+    the rollup path (day partials → month, shard partials → global)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    probes: DataFrame, key: str, sketch: DataFrame, depth: int, width: int
+) -> DataFrame:
+    """Point estimates for the probe keys: min over depth rows of the
+    addressed cells. The sketch (≤ depth*width rows) broadcasts; the
+    probe side never shuffles on data volume."""
+    addressed = probes.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _pos(F.col(key), j, width).alias("pos"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key, "cell.row", "cell.pos")
+    joined = addressed.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return (
+        joined.groupBy(key)
+        # an unhit cell means count 0 (possible only for keys absent
+        # from the build input)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -1460,6 +1460,43 @@ SELECT r.domain, r.n_urls, r.n_docs, r.n_hosts, k.n_kept, k.kept_digest
 FROM rollup_ r JOIN kept k USING (domain) ORDER BY r.domain
 """
 
+ORACLES["streaming_backpressure_proof"] = """
+SELECT event_type,
+  count(*) AS n_events,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS sum_cents,
+  min(user_id) AS min_user,
+  max(user_id) AS max_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_CMS_POS = (
+    "cast(concat('0x', substr(md5(cast({k} as varchar) || '#' || "
+    "cast(t.j as varchar)), 1, 8)) as bigint) % 256"
+)
+
+ORACLES["cms_frequency"] = f"""
+WITH cells AS (
+  SELECT t.j AS row_, {_CMS_POS.format(k='user_id')} AS pos,
+    count(*) AS cnt
+  FROM events CROSS JOIN range(3) t(j)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+), est AS (
+  SELECT p.user_id, min(c.cnt) AS est_count
+  FROM probes p CROSS JOIN range(3) t(j)
+  JOIN cells c
+    ON c.row_ = t.j AND c.pos = {_CMS_POS.format(k='p.user_id')}
+  GROUP BY 1
+), tru AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+)
+SELECT e.user_id, e.est_count, t.true_count,
+  e.est_count - t.true_count AS overcount
+FROM est e JOIN tru t USING (user_id) ORDER BY e.user_id
+"""
+
 # ===================================================================
 # Round-2: PII redaction, contamination, token packing, domain mixing
 # ===================================================================

@@ -2452,6 +2452,114 @@ def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.join(kept, "domain").orderBy("domain")
 
 
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/cms.py) under the exact oracle: the
+    d=3 × w=256 counter matrix is built from TWO disjoint event slices
+    and cell-wise MERGED (the rollup path — partials add without
+    rescans, like the HLL rollup), then point-estimates for a probe
+    key set are min-over-rows of the addressed cells. md5-seeded
+    positions make the sketch — including its collisions — engine-
+    independent, so est_count, true_count and the one-sided overcount
+    must all match DuckDB bit-for-bit. w is sized so collisions OCCUR:
+    a sketch with no proven overcounts proves nothing. Scale: one agg
+    bounded at d·w rows per partition, bounded broadcast back to
+    probes; nothing grows with data volume except the input scan."""
+    from intelligencepipeline_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    sketch = cms_merge(
+        cms_build(half_a, "user_id", depth=3, width=256),
+        cms_build(half_b, "user_id", depth=3, width=256),
+    )
+    probes = (
+        ev.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    )
+    est = cms_estimate(probes, "user_id", sketch, depth=3, width=256)
+    true_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    return (
+        est.join(true_counts, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def streaming_backpressure_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Back-pressure / trigger control (§2.7) proven live: the events
+    table is staged as 6 separate files and replayed with
+    maxFilesPerTrigger=1 — the file-source twin of Kafka's
+    maxOffsetsPerTrigger (plumbed in sources/kafka.read_topic), which
+    is how a replay-from-earliest start avoids flooding the first
+    micro-batch (the reference throttles with commit.interval.ms +
+    unbuffered caching instead, KafkaIntelligencePipeline.kt:93-95).
+    The query body ASSERTS the rate limit held (≥5 non-empty batches,
+    no batch saw more than half the rows) and the oracle checks the
+    drained aggregate — so a green row proves bounded ingestion AND
+    unchanged results."""
+    import tempfile
+
+    ev_raw = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    total = ev_raw.count()
+    stage = tempfile.mkdtemp(prefix="ip_bp_src_")
+    ev_raw.repartition(6, "event_id").write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        # countDistinct is (rightly) unsupported on streams — bounded
+        # extremes stand in as the cross-engine check columns
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("streaming_backpressure_sink")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ip_bp_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "backpressure stream hung"
+        batches = [
+            p["numInputRows"]
+            for p in (q.recentProgress or [])
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert len(batches) >= 5, f"rate limit ignored: {batches}"
+    assert max(batches) <= total / 2, f"unbounded batch: {batches}"
+    return spark.table("streaming_backpressure_sink").orderBy("event_type")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6240,6 +6348,8 @@ QUERIES = {
     "avro_serde_roundtrip": avro_serde_roundtrip,
     "bloom_prefilter": bloom_prefilter_q,
     "url_domain_caps": url_domain_caps,
+    "cms_frequency": cms_frequency,
+    "streaming_backpressure_proof": streaming_backpressure_proof,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

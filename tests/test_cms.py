@@ -1,0 +1,67 @@
+"""Count-Min sketch (operators/cms.py): the CMS guarantees —
+one-sided error, mergeability, bounded size — plus determinism."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _skewed(spark):
+    # key k appears k+1 times, k in [0, 60): heavy tail on high keys
+    return (
+        spark.range(0, 60)
+        .select(F.explode(F.sequence(F.lit(0), F.col("id"))).alias("_"),
+                F.col("id").alias("k"))
+        .select("k")
+    )
+
+
+def test_never_undercounts(spark):
+    df = _skewed(spark)
+    sketch = cms_build(df, "k", depth=3, width=32)  # tight → collisions
+    probes = df.select("k").distinct()
+    est = cms_estimate(probes, "k", sketch, 3, 32)
+    true = df.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(true, "k").collect()
+    assert all(r["est_count"] >= r["t"] for r in joined)
+    # tight width must actually produce overcounts, else the test
+    # would pass for an exact counter too
+    assert any(r["est_count"] > r["t"] for r in joined)
+
+
+def test_merge_equals_single_pass(spark):
+    df = _skewed(spark).withColumn(
+        "half", (F.md5(F.col("k").cast("string")).substr(1, 1) < "8")
+    )
+    full = cms_build(df, "k", depth=3, width=64)
+    merged = cms_merge(
+        cms_build(df.filter("half"), "k", depth=3, width=64),
+        cms_build(df.filter("NOT half"), "k", depth=3, width=64),
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_sketch_is_bounded(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    sketch = cms_build(df, "k", depth=4, width=128)
+    assert sketch.count() <= 4 * 128
+
+
+def test_wider_is_tighter(spark):
+    df = _skewed(spark)
+    probes = df.select("k").distinct()
+    true = df.groupBy("k").agg(F.count(F.lit(1)).alias("t"))
+
+    def total_err(width):
+        sk = cms_build(df, "k", depth=3, width=width)
+        est = cms_estimate(probes, "k", sk, 3, width)
+        rows = est.join(true, "k").collect()
+        return sum(r["est_count"] - r["t"] for r in rows)
+
+    assert total_err(512) <= total_err(16)
