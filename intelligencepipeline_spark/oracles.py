@@ -1460,6 +1460,47 @@ SELECT r.domain, r.n_urls, r.n_docs, r.n_hosts, k.n_kept, k.kept_digest
 FROM rollup_ r JOIN kept k USING (domain) ORDER BY r.domain
 """
 
+ORACLES["lsh_recall_audit"] = f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+), exact AS (
+  SELECT a, b,
+    cast(common as double) / cast(sa.n + sb.n - common as double) AS jaccard
+  FROM inter
+  JOIN sizes sa ON a = sa.doc_id
+  JOIN sizes sb ON b = sb.doc_id
+  WHERE cast(common as double) / cast(sa.n + sb.n - common as double) >= 0.05
+), hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, bnd,
+    md5(sig[2 * bnd + 1] || '|' || sig[2 * bnd + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS bnd FROM range(0, 4)) r
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+), hit AS (
+  SELECT e.jaccard,
+    CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM exact e LEFT JOIN cand c ON e.a = c.a AND e.b = c.b
+)
+SELECT cast(least(floor(jaccard * 10), 9) as int) AS sim_band,
+  count(*) AS n_exact_pairs,
+  cast(sum(caught) as bigint) AS n_caught,
+  cast(count(*) - sum(caught) as bigint) AS n_missed
+FROM hit GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["streaming_backpressure_proof"] = """
 SELECT event_type,
   count(*) AS n_events,

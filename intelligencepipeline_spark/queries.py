@@ -2560,6 +2560,47 @@ def streaming_backpressure_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_backpressure_sink").orderBy("event_type")
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the minhash-LSH candidate generator against
+    EXACT Jaccard pairs, per similarity band — the quality gate you run
+    before trusting banded LSH at full scale (the companion of
+    ann_recall_audit, which audits the embedding-side ANN the same
+    way). Exact pairs (threshold 0.05 — low on purpose, so the audit
+    shows the S-curve BOTH catching the high-sim bands and dropping
+    the low-sim ones; full inverted-index form —
+    audit-scale by design, like jaccard_pairs) are left-joined against
+    the banded candidates; per floor(10*jaccard) band the audit
+    reports how many true pairs the 4x2 banding caught vs missed.
+    Everything is integer counts over deterministic md5 minhashes, so
+    the measured recall — including which individual pairs the
+    S-curve drops — is oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, shingle_k=3, threshold=0.05)
+    cand, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3
+    )
+    hit = exact.join(
+        cand.withColumn("caught", F.lit(1)), ["a", "b"], "left"
+    )
+    band = F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9))
+    return (
+        hit.groupBy(band.alias("sim_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.coalesce(F.col("caught"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("n_missed"),
+        )
+        .orderBy("sim_band")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6350,6 +6391,7 @@ QUERIES = {
     "url_domain_caps": url_domain_caps,
     "cms_frequency": cms_frequency,
     "streaming_backpressure_proof": streaming_backpressure_proof,
+    "lsh_recall_audit": lsh_recall_audit,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
