@@ -1460,6 +1460,38 @@ SELECT r.domain, r.n_urls, r.n_docs, r.n_hosts, k.n_kept, k.kept_digest
 FROM rollup_ r JOIN kept k USING (domain) ORDER BY r.domain
 """
 
+ORACLES["leakage_safe_split"] = f"""
+WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS component FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id,
+    coalesce(c.component, d.doc_id) AS cluster,
+    c.component IS NOT NULL AS clustered
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), sp AS (
+  SELECT doc_id, cluster, clustered,
+    CASE WHEN cast(concat('0x', substr(md5(cast(cluster as varchar)), 1, 8))
+      as bigint) % 10 < 8 THEN 'train' ELSE 'eval' END AS split,
+    CASE WHEN cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+      as bigint) % 10 < 8 THEN 'train' ELSE 'eval' END AS naive_split
+  FROM assigned
+)
+SELECT split, count(*) AS n_docs,
+  count(DISTINCT cluster) AS n_clusters,
+  cast(sum(cast(clustered as int)) as bigint) AS n_clustered_docs,
+  cast(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) as bigint)
+    AS n_rescued
+FROM sp GROUP BY split ORDER BY split
+"""
+
 ORACLES["lsh_recall_audit"] = f"""
 WITH shing AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents

@@ -2601,6 +2601,64 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split — the step that makes held-out
+    eval honest: assigning SPLITS PER DOC leaks whenever two near-
+    duplicates land on opposite sides, so the unit of assignment must
+    be the near-dup CLUSTER. Clusters come from the scale path
+    (LSH-pruned verified edges -> connected components, the
+    dedup_clusters machinery); each cluster is routed by an md5 coin
+    (80/20), every member inherits the cluster's side, and the query
+    body ASSERTS no cluster spans splits. n_rescued counts the docs a
+    naive per-doc coin would have put on the other side — the
+    train/eval contamination this op removes (the complement of
+    contamination_check, which DETECTS leakage after the fact).
+    Oracle: the identical edges + recursive-CTE closure + md5 routing
+    in SQL."""
+    from intelligencepipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(_lsh_verified_edges(spark, sf_dir))
+
+    def split_of(c):
+        bucket = (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 10
+        )
+        return F.when(bucket < 8, F.lit("train")).otherwise(F.lit("eval"))
+
+    assigned = (
+        docs.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster", F.coalesce("component", F.col("doc_id")))
+        .withColumn("split", split_of(F.col("cluster")))
+        .withColumn("naive_split", split_of(F.col("doc_id")))
+    )
+    spanning = (
+        assigned.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spanning == 0, f"{spanning} clusters span train/eval"
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum(F.col("component").isNotNull().cast("long")).alias(
+                "n_clustered_docs"
+            ),
+            F.sum(
+                (F.col("naive_split") != F.col("split")).cast("long")
+            ).alias("n_rescued"),
+        )
+        .orderBy("split")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6392,6 +6450,7 @@ QUERIES = {
     "cms_frequency": cms_frequency,
     "streaming_backpressure_proof": streaming_backpressure_proof,
     "lsh_recall_audit": lsh_recall_audit,
+    "leakage_safe_split": leakage_safe_split,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
