@@ -1460,6 +1460,61 @@ SELECT r.domain, r.n_urls, r.n_docs, r.n_hosts, k.n_kept, k.kept_digest
 FROM rollup_ r JOIN kept k USING (domain) ORDER BY r.domain
 """
 
+_BP_Q = (
+    "array_to_string(tk[cast(floor(n * {i} / 4) as int) + 1 : "
+    "cast(floor(n * {i1} / 4) as int)], ' ')"
+)
+
+ORACLES["boilerplate_line_removal"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+    len(string_split(text, ' ')) AS n
+  FROM documents
+), lines AS (
+  SELECT doc_id, source,
+    unnest([0, 1, 2, 3, 4, 5, 6]) AS idx,
+    unnest([
+      'nav ' || source || ' home',
+      'promo tier ' || cast(doc_id % 5 as varchar),
+      {_BP_Q.format(i=0, i1=1)},
+      {_BP_Q.format(i=1, i1=2)},
+      {_BP_Q.format(i=2, i1=3)},
+      {_BP_Q.format(i=3, i1=4)},
+      'copyright footer all rights'
+    ]) AS line
+  FROM toks
+), src_sizes AS (
+  SELECT source, count(DISTINCT doc_id) AS n_src_docs
+  FROM documents GROUP BY source
+), freq AS (
+  SELECT source, line, count(DISTINCT doc_id) AS n_line_docs
+  FROM lines GROUP BY 1, 2
+), boiler AS (
+  SELECT f.source, f.line
+  FROM freq f JOIN src_sizes s USING (source)
+  WHERE f.n_line_docs * 10 > s.n_src_docs
+), kept AS (
+  SELECT l.doc_id, l.source, l.idx, l.line
+  FROM lines l LEFT JOIN boiler b
+    ON l.source = b.source AND l.line = b.line
+  WHERE b.line IS NULL
+), rebuilt AS (
+  SELECT doc_id, source, count(*) AS n_kept_lines,
+    md5(array_to_string(list(line ORDER BY idx), ' | ')) AS doc_digest
+  FROM kept GROUP BY doc_id, source
+), agg AS (
+  SELECT source, count(*) AS n_docs,
+    cast(sum(n_kept_lines) as bigint) AS n_kept_lines,
+    md5(array_to_string(list_sort(list(doc_digest)), ',')) AS corpus_digest
+  FROM rebuilt GROUP BY source
+), nb AS (
+  SELECT source, count(*) AS n_boiler_lines FROM boiler GROUP BY source
+)
+SELECT a.source, a.n_docs, a.n_kept_lines, a.corpus_digest,
+  nb.n_boiler_lines
+FROM agg a JOIN nb USING (source) ORDER BY a.source
+"""
+
 ORACLES["leakage_safe_split"] = f"""
 WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
   SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges

@@ -2659,6 +2659,98 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal by LINE FREQUENCY: lines that recur
+    across many documents of the same source (nav bars, promo banners,
+    copyright footers) are template chrome, not content — strip any
+    line appearing in >10% of its source's docs, keep the rest in
+    original order. Lines are injected deterministically (the synthetic
+    corpus is flat text): a per-source nav (100% of docs), a 5-variant
+    promo (20%), a global footer (100%), and four body quarters
+    (unique). The digest of every reconstructed doc is exported, so
+    dropping a content line or keeping a chrome line anywhere in the
+    corpus breaks the hash. Scale: one (source,line)-keyed agg for the
+    frequency table (map-side combined; line cardinality ~ corpus
+    body), broadcast-joined back; reconstruction is a per-doc window-
+    free fold. Complements span_dedup_clean (intra-doc 5-gram spans)
+    with the cross-doc template case."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def quarter(i: int):
+        start = F.floor(n * i / 4).cast("int") + 1
+        length = (
+            F.floor(n * (i + 1) / 4).cast("int")
+            - F.floor(n * i / 4).cast("int")
+        )
+        return F.array_join(F.slice(toks, start, length), " ")
+
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.array(
+                F.concat(F.lit("nav "), F.col("source"), F.lit(" home")),
+                F.concat(
+                    F.lit("promo tier "),
+                    (F.col("doc_id") % 5).cast("string"),
+                ),
+                quarter(0),
+                quarter(1),
+                quarter(2),
+                quarter(3),
+                F.lit("copyright footer all rights"),
+            )
+        ).alias("idx", "line"),
+    )
+    src_sizes = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_src_docs")
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("n_line_docs")
+    )
+    boiler = (
+        freq.join(F.broadcast(src_sizes), "source")
+        .filter(F.col("n_line_docs") * 10 > F.col("n_src_docs"))
+        .select("source", "line", F.lit(1).alias("is_boiler"))
+    )
+    kept = lines.join(boiler, ["source", "line"], "left").filter(
+        F.col("is_boiler").isNull()
+    )
+    rebuilt = kept.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "line"))
+                    ),
+                    lambda x: x["line"],
+                ),
+                " | ",
+            )
+        ).alias("doc_digest"),
+    )
+    return (
+        rebuilt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept_lines").alias("n_kept_lines"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("doc_digest")), ",")
+            ).alias("corpus_digest"),
+        )
+        .join(
+            boiler.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_boiler_lines")
+            ),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6451,6 +6543,7 @@ QUERIES = {
     "streaming_backpressure_proof": streaming_backpressure_proof,
     "lsh_recall_audit": lsh_recall_audit,
     "leakage_safe_split": leakage_safe_split,
+    "boilerplate_line_removal": boilerplate_line_removal,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

@@ -85,6 +85,12 @@ HEADLINE = [
     ("bigram_surprisal", "lead-window bigrams + broadcast df-counts"),
     ("ann_recall_audit", "both arms one scan; 20-query broadcast"),
     ("cogroup_reconciliation", "co-partitioned cogroup, one shuffle per side"),
+    ("avro_serde_roundtrip", "Avro binary codec: two Arrow UDF stages, no pre-agg shuffle"),
+    ("bloom_prefilter", "bloom mask literal: probe test rides the fact scan"),
+    ("url_domain_caps", "regex+explode on scan; one domain shuffle for rollup+cap"),
+    ("cms_frequency", "d*w-bounded sketch agg + bounded broadcast to probes"),
+    ("lsh_recall_audit", "both arms share shingles; candidates via band join"),
+    ("leakage_safe_split", "cluster routing: LSH edges + CC + one split agg"),
 ]
 
 
