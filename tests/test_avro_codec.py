@@ -240,6 +240,47 @@ def test_kafka_edge_avro_serde(spark):
     assert sorted(back.collect()) == sorted(df.collect())
 
 
+def test_roundtrip_property():
+    """Hypothesis: arbitrary records of the contract's type subset
+    survive encode→decode exactly (pure-Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sch = {
+        "type": "record",
+        "name": "P",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "b", "type": ["null", "boolean"]},
+            {"name": "raw", "type": ["null", "bytes"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    record = st.fixed_dictionaries(
+        {
+            "id": longs,
+            "s": st.none() | st.text(max_size=40),
+            "d": st.none()
+            | st.floats(allow_nan=False, allow_infinity=False),
+            "b": st.none() | st.booleans(),
+            "raw": st.none() | st.binary(max_size=20),
+            "tags": st.lists(st.text(max_size=10), max_size=5),
+            "m": st.dictionaries(st.text(max_size=8), longs, max_size=5),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(record)
+    def check(rec):
+        assert decode_record(encode_record(rec, sch), sch) == rec
+
+    check()
+
+
 def test_decode_rejects_trailing_garbage():
     sch = {
         "type": "record",
