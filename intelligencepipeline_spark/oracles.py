@@ -1515,6 +1515,14 @@ SELECT a.source, a.n_docs, a.n_kept_lines, a.corpus_digest,
 FROM agg a JOIN nb USING (source) ORDER BY a.source
 """
 
+ORACLES["python_datasource_sink"] = """
+SELECT doc_id % 8 AS bucket,
+  count(*) AS n_docs,
+  count(DISTINCT doc_id) AS n_distinct,
+  md5(array_to_string(list_sort(list(md5(text))), ',')) AS payload_digest
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["leakage_safe_split"] = f"""
 WITH RECURSIVE {_LSH_EDGE_CTES}, sym AS (
   SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges

@@ -2751,6 +2751,47 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-family custom SINK via the Python DataSource WRITER API —
+    the other half of python_datasource_feed's connector proof: tasks
+    write part files and return commit messages, only the driver-side
+    commit publishes them in a manifest, and the read-back trusts
+    manifested files alone. Atomicity (failed job publishes nothing)
+    and streaming exactly-once on checkpoint replay are pinned in
+    tests/test_pyfeed.py; here the documents corpus flows write →
+    manifest → read-back → aggregate, and the oracle recomputes from
+    the source table — any dropped/duplicated/unmanifested row breaks
+    the hash. Scale: parts stream per executor with no driver data
+    path; the manifest is one bounded driver write (file list), the
+    same contract as the built-in file sink's metadata log."""
+    import tempfile
+
+    from intelligencepipeline_spark.sources.pyfeed import (
+        read_docsink,
+        register,
+    )
+
+    register(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select("doc_id", F.md5("text").alias("payload"))
+    sink = tempfile.mkdtemp(prefix="ip_sinkq_")
+    out.write.format("docfeed").option("path", sink).mode(
+        "overwrite"
+    ).save()
+    back = read_docsink(spark, sink)
+    return (
+        back.groupBy((F.col("doc_id") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("payload")), ",")
+            ).alias("payload_digest"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6544,6 +6585,7 @@ QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
     "leakage_safe_split": leakage_safe_split,
     "boilerplate_line_removal": boilerplate_line_removal,
+    "python_datasource_sink": python_datasource_sink,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

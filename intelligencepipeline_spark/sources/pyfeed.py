@@ -15,6 +15,10 @@ independent slices (executor-side generation, no driver data); the
 stream reader advances a monotonically increasing offset by
 `batch_size` ids per micro-batch — the same offset-log contract a
 Kafka source honors, so checkpoint/restart semantics compose.
+
+The same format also registers batch AND streaming WRITERS (the
+S6-family sink) with a manifest two-phase commit: see the sink-side
+section below.
 """
 
 from __future__ import annotations
@@ -22,11 +26,16 @@ from __future__ import annotations
 import hashlib
 import json
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -80,8 +89,123 @@ class DocFeedStreamReader(DataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------------------
+# Sink side: the S6-family custom sink with a REAL two-phase commit.
+# Tasks write part files and return commit messages; only the driver's
+# commit() publishes them in a manifest, and readers trust ONLY
+# manifested files — a failed/aborted write is invisible (atomicity),
+# and the streaming variant keys manifests by batchId so a checkpoint
+# replay republishes the same batch idempotently (effective
+# exactly-once, the same contract as the built-in file sink's _spark_
+# metadata log).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+def _write_part(path: str, iterator) -> _Committed:
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.jsonl"
+    tmp = os.path.join(path, name + ".tmp")
+    n = 0
+    with open(tmp, "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    os.rename(tmp, os.path.join(path, name))
+    return _Committed(name, n)
+
+
+def _publish(path: str, manifest_name: str, files: list, n_rows: int) -> None:
+    import os
+
+    tmp = os.path.join(path, manifest_name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"files": files, "n_rows": n_rows}, fh)
+    os.rename(tmp, os.path.join(path, manifest_name))
+
+
+def _drop_parts(path: str, messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None:
+            try:
+                os.remove(os.path.join(path, m.filename))
+            except OSError:
+                pass
+
+
+class DocSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _Committed:
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        import os
+
+        files = [m.filename for m in messages if m is not None]
+        n = sum(m.n_rows for m in messages if m is not None)
+        if not self.overwrite and os.path.exists(
+            os.path.join(self.path, "_MANIFEST.json")
+        ):
+            with open(os.path.join(self.path, "_MANIFEST.json")) as fh:
+                prev = json.load(fh)
+            files = prev["files"] + files
+            n += prev["n_rows"]
+        _publish(self.path, "_MANIFEST.json", files, n)
+
+    def abort(self, messages) -> None:
+        _drop_parts(self.path, messages)
+
+
+class DocSinkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _Committed:
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        # per-epoch manifest; a replayed batchId simply overwrites its
+        # own manifest — committed data is never duplicated
+        files = [m.filename for m in messages if m is not None]
+        n = sum(m.n_rows for m in messages if m is not None)
+        _publish(self.path, f"_MANIFEST-{batchId}.json", files, n)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_parts(self.path, messages)
+
+
+def read_docsink(spark, path: str):
+    """Read back ONLY manifested rows (the sink's visibility rule)."""
+    import glob
+    import os
+
+    files: list[str] = []
+    for mpath in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
+        with open(mpath) as fh:
+            files += [os.path.join(path, f) for f in json.load(fh)["files"]]
+    schema = "doc_id bigint, payload string"
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
 class DocFeedDataSource(DataSource):
-    """format('docfeed'): options n_docs, n_partitions, batch_size."""
+    """format('docfeed'): batch + stream readers (options n_docs,
+    n_partitions, batch_size) AND batch + stream writers with a
+    manifest commit protocol (option path)."""
 
     @classmethod
     def name(cls) -> str:
@@ -95,6 +219,12 @@ class DocFeedDataSource(DataSource):
 
     def streamReader(self, schema):
         return DocFeedStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return DocSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return DocSinkStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

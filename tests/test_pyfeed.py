@@ -48,3 +48,93 @@ def test_stream_reader_drains_to_batch_parity(spark):
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
     assert got.select(F.count_distinct("doc_id")).collect()[0][0] == 33
+
+
+def test_batch_writer_commit_protocol(spark):
+    """Batch sink: only driver-committed part files become visible;
+    append merges manifests; overwrite replaces them."""
+    import os
+
+    from intelligencepipeline_spark.sources.pyfeed import read_docsink
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_")
+    df = (
+        spark.read.format("docfeed").option("n_docs", 20)
+        .option("n_partitions", 3).load()
+    )
+    df.write.format("docfeed").option("path", sink).mode("append").save()
+    assert os.path.exists(os.path.join(sink, "_MANIFEST.json"))
+    back = read_docsink(spark, sink)
+    assert back.count() == 20
+    # append doubles the visible rows
+    df.write.format("docfeed").option("path", sink).mode("append").save()
+    assert read_docsink(spark, sink).count() == 40
+    # overwrite resets the manifest
+    df.write.format("docfeed").option("path", sink).mode("overwrite").save()
+    assert read_docsink(spark, sink).count() == 20
+    rows = {r.doc_id: r.payload for r in read_docsink(spark, sink).collect()}
+    assert rows[7] == hashlib.md5(b"7").hexdigest()
+
+
+def test_failed_write_publishes_nothing(spark):
+    """Atomicity: a job that dies mid-write leaves NO visible rows —
+    the manifest is only written by the driver-side commit."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from intelligencepipeline_spark.sources.pyfeed import read_docsink
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_fail_")
+    df = (
+        spark.read.format("docfeed").option("n_docs", 10)
+        .option("n_partitions", 2).load()
+    )
+
+    @F.udf("string")
+    def boom(p):
+        raise ValueError("injected failure")
+
+    bad = df.select("doc_id", boom("payload").alias("payload"))
+    with pytest.raises(Exception):
+        bad.write.format("docfeed").option("path", sink).mode(
+            "append"
+        ).save()
+    assert read_docsink(spark, sink).count() == 0
+
+
+def test_stream_writer_exactly_once_on_replay(spark):
+    """Streaming sink: per-batch manifests; restarting from the same
+    checkpoint after completion re-publishes nothing new (idempotent
+    epoch commits)."""
+    import glob
+    import os
+
+    from intelligencepipeline_spark.sources.pyfeed import read_docsink
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_s_")
+    ckpt = tempfile.mkdtemp(prefix="ip_docsink_ck_")
+
+    def run():
+        stream = (
+            spark.readStream.format("docfeed")
+            .option("n_docs", 30).option("batch_size", 10).load()
+        )
+        q = (
+            stream.writeStream.format("docfeed")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    n1 = read_docsink(spark, sink).count()
+    manifests1 = sorted(glob.glob(os.path.join(sink, "_MANIFEST*")))
+    assert n1 == 30
+    run()  # replay from the same checkpoint: nothing new to publish
+    assert read_docsink(spark, sink).count() == 30
+    assert sorted(glob.glob(os.path.join(sink, "_MANIFEST*"))) == manifests1
