@@ -1,0 +1,68 @@
+"""Task-level fault tolerance: a transient task failure is retried by
+the scheduler and the job still completes exactly-once (§2.7 — the
+reference's fault story is per-topology isolation; Spark's is per-task
+retry, proven here). Runs in a subprocess because retries need a
+`local[N,F]` master (F = maxFailures), and the shared test session is
+already pinned to local[*]."""
+
+import subprocess
+import sys
+import textwrap
+
+SCRIPT = textwrap.dedent(
+    """
+    import os, tempfile
+    from pyspark.sql import SparkSession, functions as F
+
+    marker_dir = tempfile.mkdtemp(prefix="ip_retry_")
+    spark = (
+        SparkSession.builder.master("local[4,2]")  # 2 attempts/task
+        .appName("retry-proof")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+    def flaky(batches):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        marker = os.path.join(
+            marker_dir, f"p{ctx.partitionId()}"
+        )
+        # first attempt of partition 1 dies AFTER yielding some rows —
+        # the retry must supersede it without duplication
+        for pdf in batches:
+            yield pdf
+            if ctx.partitionId() == 1 and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected transient failure")
+
+    df = (
+        spark.range(0, 1000)
+        .repartition(4)
+        .mapInPandas(flaky, "id long")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("s"),
+        )
+    )
+    row = df.collect()[0]
+    assert row["n"] == 1000, row
+    assert row["s"] == 999 * 1000 // 2, row
+    assert os.path.exists(os.path.join(marker_dir, "p1"))  # it DID fail once
+    print("RETRY_OK")
+    spark.stop()
+    """
+)
+
+
+def test_transient_task_failure_is_retried_exactly_once():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "RETRY_OK" in proc.stdout, (
+        proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
+    )
