@@ -1515,6 +1515,17 @@ SELECT a.source, a.n_docs, a.n_kept_lines, a.corpus_digest,
 FROM agg a JOIN nb USING (source) ORDER BY a.source
 """
 
+ORACLES["variant_json_ops"] = """
+SELECT event_type AS etype,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS sum_cents,
+  count(*) AS n_id_roundtrip,
+  count(*) AS n_missing_null
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["python_datasource_sink"] = """
 SELECT doc_id % 8 AS bucket,
   count(*) AS n_docs,

@@ -2792,6 +2792,53 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured payloads kept as open
+    binary-JSON (the modern form of the reference's stringly
+    Metadata.values map, datarecords.kt:25-26) — build a nested JSON
+    envelope per event, parse_json into a VARIANT column, extract
+    typed fields back with variant_get paths (nested object + array
+    indexing), and aggregate. The oracle recomputes from the raw
+    columns, so any loss or coercion drift through the
+    build→parse→extract cycle breaks the hash. Scale: VARIANT keeps
+    the shredded binary form through the scan (no per-query re-parse
+    of JSON text) — the right at-rest shape for open metadata at
+    100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("user_id").alias("uid"),
+                (_dec("value") * 100).cast("long").alias("cents"),
+            ).alias("who"),
+            F.array(F.col("event_id"), F.col("user_id")).alias("ids"),
+        )
+    )
+    v = ev.select(F.col("event_id"), F.parse_json(js).alias("v"))
+    flat = v.select(
+        "event_id",
+        F.variant_get("v", "$.type", "string").alias("etype"),
+        F.variant_get("v", "$.who.uid", "long").alias("uid"),
+        F.variant_get("v", "$.who.cents", "long").alias("cents"),
+        F.variant_get("v", "$.ids[0]", "long").alias("first_id"),
+        # a missing path is SQL NULL (is_variant_null is for JSON null)
+        F.variant_get("v", "$.missing", "long").isNull().alias("miss"),
+    )
+    return (
+        flat.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("uid").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum((F.col("first_id") == F.col("event_id")).cast("long"))
+            .alias("n_id_roundtrip"),
+            F.sum(F.col("miss").cast("long")).alias("n_missing_null"),
+        )
+        .orderBy("etype")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6586,6 +6633,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "boilerplate_line_removal": boilerplate_line_removal,
     "python_datasource_sink": python_datasource_sink,
+    "variant_json_ops": variant_json_ops,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

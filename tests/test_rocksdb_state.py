@@ -1,0 +1,74 @@
+"""RocksDB state store provider (§2.7 — the reference keeps its KTable
+state in RocksDB via Kafka Streams Materialized; Spark's equivalent is
+the RocksDB state store, the provider production deployments use for
+large keyed state because it spills off-heap instead of growing the
+JVM heap). Prove it actually runs a stateful query on this build and
+persists RocksDB artifacts in the checkpoint."""
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def test_stateful_agg_on_rocksdb_provider(spark):
+    src = tempfile.mkdtemp(prefix="ip_rdb_src_")
+    ckpt = tempfile.mkdtemp(prefix="ip_rdb_ck_")
+    spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        agg = stream.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_state_sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "rocksdb-backed stream hung"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in spark.table("rocksdb_state_sink").collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # the state dir must contain RocksDB artifacts (.zip snapshots /
+    # .sst files / rocksdb dirs), not the HDFS-provider's .delta files
+    state_files = glob.glob(
+        os.path.join(ckpt, "state", "**", "*"), recursive=True
+    )
+    assert any(
+        f.endswith((".zip", ".sst")) or "rocksdb" in os.path.basename(f).lower()
+        for f in state_files
+    ), state_files[:20]
+    assert not any(f.endswith(".delta") for f in state_files), (
+        "HDFS provider artifacts found — RocksDB provider did not engage"
+    )
