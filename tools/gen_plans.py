@@ -91,6 +91,7 @@ HEADLINE = [
     ("cms_frequency", "d*w-bounded sketch agg + bounded broadcast to probes"),
     ("lsh_recall_audit", "both arms share shingles; candidates via band join"),
     ("leakage_safe_split", "cluster routing: LSH edges + CC + one split agg"),
+    ("variant_json_ops", "VARIANT shredding: typed path extraction rides the scan"),
 ]
 
 
