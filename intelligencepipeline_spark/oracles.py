@@ -1515,6 +1515,47 @@ SELECT a.source, a.n_docs, a.n_kept_lines, a.corpus_digest,
 FROM agg a JOIN nb USING (source) ORDER BY a.source
 """
 
+ORACLES["adaptive_quality_cutoff"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+    count(*) OVER (PARTITION BY source) AS n_src
+  FROM toks
+), cutoff AS (
+  SELECT source, n_tokens AS cutoff_tokens FROM ranked
+  WHERE rn = greatest(1, cast(floor(n_src / 10) as bigint))
+)
+SELECT t.source, c.cutoff_tokens,
+  count(*) AS n_kept,
+  cast(sum(t.n_tokens) as bigint) AS kept_tokens,
+  min(t.n_tokens) AS min_kept_tokens
+FROM toks t JOIN cutoff c ON t.source = c.source
+WHERE t.n_tokens >= c.cutoff_tokens
+GROUP BY t.source, c.cutoff_tokens ORDER BY t.source
+"""
+
+ORACLES["token_budget_mix"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), filled AS (
+  SELECT *, sum(n_tokens) OVER
+      (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM toks
+)
+SELECT source,
+  count(*) AS n_kept,
+  cast(max(cum_tokens) as bigint) AS tokens_used,
+  md5(array_to_string(list_sort(list(cast(doc_id as varchar))), ','))
+    AS kept_digest
+FROM filled WHERE cum_tokens <= 20000
+GROUP BY source ORDER BY source
+"""
+
 ORACLES["variant_json_ops"] = """
 SELECT event_type AS etype,
   count(*) AS n_events,

@@ -2839,6 +2839,90 @@ def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adaptive_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality threshold — instead of one global
+    cutoff (which over-prunes terse sources and under-prunes verbose
+    ones), each source drops its own bottom decile by token count.
+    The cutoff is a DISCRETE percentile computed explicitly (value at
+    rank floor(n/10) under a total (n_tokens, doc_id) order) — integer
+    selection, no interpolation, so both engines pick the identical
+    element; engine quantile functions interpolate differently and
+    would break the hash. Scale: one source-keyed window + one agg
+    over the same partitioning — a single shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = toks.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_src", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    cutoff = (
+        ranked.filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.floor(F.col("n_src") / 10))
+        )
+        .select("source", F.col("n_tokens").alias("cutoff_tokens"))
+    )
+    kept = toks.join(F.broadcast(cutoff), "source").filter(
+        F.col("n_tokens") >= F.col("cutoff_tokens")
+    )
+    return (
+        kept.groupBy("source", "cutoff_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.min("n_tokens").alias("min_kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction: each source contributes its
+    BEST documents (longest here — the quality proxy is pluggable)
+    until a fixed per-source token budget is hit, so the final mix has
+    controlled source proportions in TOKENS, not documents — the knob
+    that actually matters to a training run. Greedy fill = window
+    cumulative sum under a total (quality desc, doc_id) order; a doc
+    is kept iff its running total stays within budget. All integer
+    arithmetic; kept-set digest exported, so off-by-one-doc at any
+    budget boundary anywhere breaks the hash. Scale: one source-keyed
+    window, one agg, same partitioning — a single shuffle."""
+    budget = 20000
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = filled.filter(F.col("cum_tokens") <= budget)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("cum_tokens").alias("tokens_used"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.col("doc_id").cast("string"))
+                    ),
+                    ",",
+                )
+            ).alias("kept_digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6009,7 +6093,11 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # plain load_table: this query stages 200 rows for the stream —
+    # the documents CPU-fanout repartition would only add shuffles
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
     ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
     records = docs.select(
         "doc_id",
@@ -6060,7 +6148,7 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.content").alias("content"),
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.writeStream.outputMode("append")
@@ -6634,6 +6722,8 @@ QUERIES = {
     "boilerplate_line_removal": boilerplate_line_removal,
     "python_datasource_sink": python_datasource_sink,
     "variant_json_ops": variant_json_ops,
+    "adaptive_quality_cutoff": adaptive_quality_cutoff,
+    "token_budget_mix": token_budget_mix,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
