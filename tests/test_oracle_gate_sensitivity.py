@@ -1,0 +1,68 @@
+"""Mutation sanity for the correctness gate itself: the comparator in
+tools/oracle_check.py must FLAG results that are wrong in each way the
+gate claims to catch — a gate that passes everything proves nothing.
+Pure-pandas; no Spark session."""
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from oracle_check import _value_hash, compare  # noqa: E402
+
+
+def _base():
+    return pd.DataFrame(
+        {
+            "k": ["a", "b", "c"],
+            "n": pd.array([1, 2, 3], dtype="int64"),
+            "x": [1.5, 2.5, 3.5],
+        }
+    )
+
+
+def test_identical_frames_pass():
+    assert compare("t", _base(), _base()) == []
+    assert _value_hash(_base()) == _value_hash(_base())
+
+
+def test_row_order_is_insensitive():
+    shuffled = _base().iloc[[2, 0, 1]].reset_index(drop=True)
+    assert compare("t", _base(), shuffled) == []
+    assert _value_hash(_base()) == _value_hash(shuffled)
+
+
+def test_single_value_mutation_is_caught():
+    bad = _base()
+    bad.loc[1, "n"] = 99
+    assert compare("t", _base(), bad) != []
+    assert _value_hash(_base()) != _value_hash(bad)
+
+
+def test_float_last_ulp_mutation_is_caught():
+    import numpy as np
+
+    bad = _base()
+    bad.loc[0, "x"] = np.nextafter(bad.loc[0, "x"], np.inf)
+    assert _value_hash(_base()) != _value_hash(bad)
+
+
+def test_duplicated_row_is_caught():
+    bad = pd.concat([_base(), _base().iloc[[0]]], ignore_index=True)
+    assert _value_hash(_base()) != _value_hash(bad)
+
+
+def test_null_vs_value_is_caught():
+    bad = _base()
+    bad.loc[2, "k"] = None
+    assert _value_hash(_base()) != _value_hash(bad)
+
+
+def test_dtype_widening_is_caught():
+    bad = _base()
+    bad["n"] = bad["n"].astype("float64")  # pandas int->float widening
+    assert compare("t", _base(), bad) != [] or _value_hash(
+        _base()
+    ) != _value_hash(bad)
