@@ -133,6 +133,11 @@ def main() -> None:
         # prior slow entries (regression watch)
         "hashed_embedding", "jaccard_pairs", "sentence_chunks",
         "q10_returned_items", "q17_small_quantity_revenue",
+        # round-2 continuation families
+        "avro_serde_roundtrip", "bloom_prefilter", "cms_frequency",
+        "url_domain_caps", "lsh_recall_audit", "leakage_safe_split",
+        "boilerplate_line_removal", "python_datasource_sink",
+        "variant_json_ops", "token_budget_mix",
     ]
     sub = {k: timings[k] for k in headline if k in timings}
     line = {
