@@ -1556,6 +1556,17 @@ FROM filled WHERE cum_tokens <= 20000
 GROUP BY source ORDER BY source
 """
 
+ORACLES["streaming_static_join"] = """
+SELECT c.c_mktsegment AS segment,
+  count(*) AS n_events,
+  cast(sum(cast(cast(e.value as decimal(18,2)) * 100 as bigint)) as bigint)
+    AS sum_cents,
+  min(e.user_id) AS min_user,
+  max(e.user_id) AS max_user
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["variant_json_ops"] = """
 SELECT event_type AS etype,
   count(*) AS n_events,

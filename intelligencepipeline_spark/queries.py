@@ -2923,6 +2923,61 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the per-micro-batch dimension enrichment
+    every production stream does (the reference's capability-lookup
+    F10 shape, but against a TABLE): the events stream joins the
+    static customer dimension (user_id -> c_custkey) inside each
+    micro-batch and folds a per-segment aggregate. Spark re-resolves
+    the static side per batch and broadcasts it under AQE-less
+    streaming plans — unlike a stream-stream join this needs NO
+    watermark and NO join state, which is why it is the right shape
+    for slowly-changing dims at 100 TB (state cost: zero; the dim
+    re-reads each batch and at scale is a broadcast of the dim
+    files). Oracle: the same join and fold in batch SQL."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_raw = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    stage = tempfile.mkdtemp(prefix="ip_ssj_src_")
+    ev_raw.repartition(3, "event_id").write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, cents long"
+    ).parquet(stage)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("streaming_static_join_sink")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ip_ssj_ck_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream-static join hung"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table("streaming_static_join_sink").orderBy("segment")
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6724,6 +6779,7 @@ QUERIES = {
     "variant_json_ops": variant_json_ops,
     "adaptive_quality_cutoff": adaptive_quality_cutoff,
     "token_budget_mix": token_budget_mix,
+    "streaming_static_join": streaming_static_join,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
