@@ -1556,6 +1556,47 @@ FROM filled WHERE cum_tokens <= 20000
 GROUP BY source ORDER BY source
 """
 
+ORACLES["watermark_sizing_audit"] = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+    cast(floor(epoch(ts)) as bigint) AS es,
+    cast(floor(epoch(ts)) as bigint)
+      + (cast(concat('0x', substr(md5(cast(event_id as varchar)), 1, 8))
+              as bigint) % 600 - 300) AS arrival
+  FROM events
+), late AS (
+  SELECT event_type,
+    greatest(0, max(es) OVER
+      (PARTITION BY user_id ORDER BY arrival, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - es)
+      AS lateness
+  FROM base
+)
+SELECT event_type,
+  count(*) AS n_events,
+  cast(sum(CASE WHEN lateness > 0 THEN 1 ELSE 0 END) as bigint) AS n_late,
+  max(lateness) AS max_late_sec,
+  cast(sum(lateness) as bigint) AS total_late_sec
+FROM late GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["null_safe_join"] = """
+WITH keyed AS (
+  SELECT event_id,
+    CASE WHEN user_id % 7 = 3 THEN NULL ELSE user_id % 7 END AS k
+  FROM events
+), l AS (
+  SELECT k, count(*) AS n_left FROM keyed WHERE event_id % 2 = 0 GROUP BY k
+), r AS (
+  SELECT k, count(*) AS n_right FROM keyed WHERE event_id % 2 = 1 GROUP BY k
+)
+SELECT coalesce(cast(l.k as varchar), 'NULL') AS key,
+  l.n_left, r.n_right,
+  l.n_left * r.n_right AS n_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+ORDER BY key
+"""
+
 ORACLES["streaming_static_join"] = """
 SELECT c.c_mktsegment AS segment,
   count(*) AS n_events,

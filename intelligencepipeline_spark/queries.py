@@ -2978,6 +2978,95 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("streaming_static_join_sink").orderBy("segment")
 
 
+def watermark_sizing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that SIZES
+    `withWatermark`: a delay below the observed disorder silently
+    drops state for late rows, one far above it bloats state. Arrival
+    times get deterministic md5 jitter (±300 s — the synthetic corpus
+    arrives perfectly ordered, real feeds do not), then per user the
+    events are replayed in ARRIVAL order and each row's lateness is
+    how far its event time lags the running event-time maximum. The
+    per-type rollup (count, late rows, max/total lateness) is exactly
+    the evidence for choosing the watermark delay used across the
+    streaming proofs. Scale: one user-keyed window + one small agg;
+    the running max never needs a global order. All integer seconds —
+    oracle-exact."""
+    ev = _t(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 600
+        - 300
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        (F.unix_timestamp("ts") + jitter).alias("arrival"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = base.withColumn(
+        "lateness",
+        F.greatest(F.lit(0), F.max("es").over(w) - F.col("es")),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("lateness") > 0).cast("long")).alias("n_late"),
+            F.max("lateness").alias("max_late_sec"),
+            F.sum("lateness").alias("total_late_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    relational semantic a plain equi-join silently loses: NULL join
+    keys match each other instead of dropping the rows. Two disjoint
+    event slices are keyed with a NULL-bearing bucket (bucket 3 →
+    NULL); the null-safe inner join must produce the NULL=NULL row
+    with both sides' counts, and the exported n_pairs makes a
+    dropped-null-row bug a row-count mismatch, not just a hash one.
+    Scale: same hash-join machinery as `=` (null keys co-hash to one
+    partition — pair with salting if nulls are the hot key)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.when((F.col("user_id") % 7) == 3, F.lit(None)).otherwise(
+        F.col("user_id") % 7
+    )
+    left = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    right = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(key.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    joined = left.join(right, left["k"].eqNullSafe(right["k"]), "inner")
+    return (
+        joined.select(
+            F.coalesce(left["k"].cast("string"), F.lit("NULL")).alias("key"),
+            "n_left",
+            "n_right",
+            (F.col("n_left") * F.col("n_right")).alias("n_pairs"),
+        )
+        .orderBy("key")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6780,6 +6869,8 @@ QUERIES = {
     "adaptive_quality_cutoff": adaptive_quality_cutoff,
     "token_budget_mix": token_budget_mix,
     "streaming_static_join": streaming_static_join,
+    "watermark_sizing_audit": watermark_sizing_audit,
+    "null_safe_join": null_safe_join,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
