@@ -87,3 +87,66 @@ def asof_join(
         *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Forward as-of join: every left row, plus ``value_cols`` from the
+    EARLIEST right row with ``right_ts >= left_ts`` and equal key(s)
+    (null if none) — "what happens next" lookups (time-to-next-event,
+    next price tick, label-after-feature joins for training data).
+
+    Same union+window shape as the backward join — ONE keyed shuffle,
+    O(1)/row, no range explosion — with the frame reversed
+    (current row → unbounded following, ``first ignorenulls``).
+    Right-side ties on (key, ts) resolve to the MIN value tuple (the
+    mirror of backward's max), deterministic in both engines.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+
+    # left sorts BEFORE right at equal ts (side 0 < 1) so a same-ts
+    # right row is inside the left row's forward frame → inclusive
+    # `right_ts >= left_ts`.
+    l_tag = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(0))
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(
+        *[
+            F.min(f"{c}{suffix}").alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+    )
+
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(f"{c}{suffix}", ignorenulls=True)
+            .over(w)
+            .alias(f"__carry_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col(_SIDE) == 0).select(
+        *[c for c in left.columns],
+        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -1580,6 +1580,68 @@ SELECT event_type,
 FROM late GROUP BY 1 ORDER BY 1
 """
 
+ORACLES["asof_forward_join"] = """
+WITH clicks AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS es,
+    cast(floor(epoch(ts)) as bigint) AS p_es,
+    min(cast(cast(value as decimal(18,2)) * 100 as bigint)) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2, 3
+), u AS (
+  SELECT user_id, es, 0 AS side, cast(NULL as bigint) AS p_es,
+    cast(NULL as bigint) AS cents
+  FROM clicks
+  UNION ALL
+  SELECT user_id, es, 1, p_es, cents FROM purch
+), wnd AS (
+  SELECT user_id, es, side,
+    first_value(p_es IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY es, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_es,
+    first_value(cents IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY es, side
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cents
+  FROM u
+)
+SELECT user_id,
+  count(*) AS n_clicks,
+  count(next_es) AS n_matched,
+  cast(sum(next_es - es) as bigint) AS total_gap_sec,
+  cast(sum(next_cents) as bigint) AS sum_next_cents
+FROM wnd WHERE side = 0 GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["capped_sessions"] = """
+WITH base AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER
+      (PARTITION BY user_id ORDER BY es, event_id) IS NULL
+    OR es - lag(es) OVER
+      (PARTITION BY user_id ORDER BY es, event_id) > 500
+    THEN 1 ELSE 0 END AS new_s
+  FROM base
+), sess AS (
+  SELECT *, sum(new_s) OVER
+      (PARTITION BY user_id ORDER BY es, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), capped AS (
+  SELECT *, cast(floor((es - min(es) OVER
+      (PARTITION BY user_id, session_id)) / 3600) as bigint) AS sub_id
+  FROM sess
+)
+SELECT user_id, cast(session_id as bigint) AS session_id, sub_id,
+  count(*) AS n_events,
+  min(es) AS start_epoch,
+  max(es) AS end_epoch
+FROM capped GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
 ORACLES["null_safe_join"] = """
 WITH keyed AS (
   SELECT event_id,

@@ -3067,6 +3067,85 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_forward_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.asof_join_forward) — the
+    "what happens next" lookup: every click paired with the user's
+    NEXT purchase at-or-after it (time-to-convert, label-after-feature
+    training joins). Same union+window scale shape as the backward
+    as-of (one keyed shuffle, no range explosion), frame reversed.
+    Export folds per user: clicks, matched clicks, total gap seconds
+    and the matched purchases' cents — any off-by-one at a same-second
+    boundary (the join is inclusive) shifts the integer sums."""
+    from intelligencepipeline_spark.operators.asof import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.unix_timestamp("ts").alias("p_es"),
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="es",
+        right_ts="es",
+        value_cols=["p_es", "cents"],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.count("p_es_right").alias("n_matched"),
+            F.sum(F.col("p_es_right") - F.col("es")).alias("total_gap_sec"),
+            F.sum("cents_right").alias("sum_next_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions WITH a max-duration cap — the production variant
+    of A3: idle-gap sessionization (500 s, the reference's window)
+    plus an hour cap that splits marathon sessions into bounded
+    sub-sessions, because unbounded session state is exactly what
+    kills a streaming job under a never-idle key (a bot). The cap is
+    a pure expression over the session start (floor((t-start)/3600)),
+    so it adds NO shuffle beyond the one user-keyed window — and the
+    per-sub-session rows are what a state store would hold, now
+    provably bounded. Oracle: the same two-window derivation in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    marked = base.withColumn("prev", F.lag("es").over(w)).withColumn(
+        "new_s",
+        (F.col("prev").isNull() | ((F.col("es") - F.col("prev")) > 500))
+        .cast("int"),
+    )
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_id", F.sum("new_s").over(wr))
+    ws = Window.partitionBy("user_id", "session_id")
+    capped = sess.withColumn(
+        "sub_id",
+        F.floor((F.col("es") - F.min("es").over(ws)) / 3600).cast("long"),
+    )
+    return (
+        capped.groupBy("user_id", "session_id", "sub_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("es").alias("start_epoch"),
+            F.max("es").alias("end_epoch"),
+        )
+        .orderBy("user_id", "session_id", "sub_id")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6871,6 +6950,8 @@ QUERIES = {
     "streaming_static_join": streaming_static_join,
     "watermark_sizing_audit": watermark_sizing_audit,
     "null_safe_join": null_safe_join,
+    "asof_forward_join": asof_forward_join_q,
+    "capped_sessions": capped_sessions,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

@@ -95,3 +95,37 @@ def test_asof_right_tie_deterministic(spark):
         left, right, on="k", left_ts="lts", right_ts="rts", value_cols=["rv"]
     )
     assert out.collect()[0].rv_right == 9
+
+
+def test_asof_forward_semantics(spark):
+    from intelligencepipeline_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "z")], "k long, ts long, v string"
+    )
+    out = {
+        (r.k, r.ts): r.v_right
+        for r in asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert out[(1, 10)] == "a"  # same-ts right row matches (inclusive)
+    assert out[(1, 25)] == "b"  # next future row
+    assert out[(1, 40)] is None  # nothing after -> null
+    assert out[(2, 5)] is None  # right exists only in the past
+
+
+def test_asof_forward_tie_deterministic(spark):
+    from intelligencepipeline_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 20, "x"), (1, 20, "m")], "k long, ts long, v string"
+    )
+    rows = asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="ts"
+    ).collect()
+    assert rows[0].v_right == "m"  # MIN value tuple (mirror of backward max)
