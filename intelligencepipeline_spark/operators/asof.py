@@ -57,12 +57,22 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     # Deterministic tie-break among right rows sharing (key, ts): keep
-    # the max value tuple. Cheap keyed agg, map-side combinable.
-    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(
-        *[
-            F.max(f"{c}{suffix}").alias(f"{c}{suffix}")
-            for c in value_cols
-        ]
+    # the max value TUPLE (struct max = lexicographic compare), not
+    # per-column maxes — per-column would stitch fields from different
+    # rows into a record that never existed. Cheap keyed agg.
+    packed = F.struct(*[F.col(f"{c}{suffix}") for c in value_cols])
+    r_tag = (
+        r_tag.groupBy(*keys, _TS, _SIDE)
+        .agg(F.max(packed).alias("__pack"))
+        .select(
+            *keys,
+            _TS,
+            _SIDE,
+            *[
+                F.col("__pack")[f"{c}{suffix}"].alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
     )
 
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -124,11 +134,21 @@ def asof_join_forward(
         F.lit(1).alias(_SIDE),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
-    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(
-        *[
-            F.min(f"{c}{suffix}").alias(f"{c}{suffix}")
-            for c in value_cols
-        ]
+    # min value TUPLE, not per-column mins (see the backward join's
+    # tie-break note — mixing columns across rows fabricates records)
+    packed = F.struct(*[F.col(f"{c}{suffix}") for c in value_cols])
+    r_tag = (
+        r_tag.groupBy(*keys, _TS, _SIDE)
+        .agg(F.min(packed).alias("__pack"))
+        .select(
+            *keys,
+            _TS,
+            _SIDE,
+            *[
+                F.col("__pack")[f"{c}{suffix}"].alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
     )
 
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)

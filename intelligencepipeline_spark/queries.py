@@ -2574,11 +2574,20 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer counts over deterministic md5 minhashes, so
     the measured recall — including which individual pairs the
     S-curve drops — is oracle-exact."""
+    from pyspark import StorageLevel
+
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
     docs = _t(spark, sf_dir, "documents")
-    exact = jaccard_pairs(docs, shingle_k=3, threshold=0.05)
+    sh = word_shingles_df(docs, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    exact = jaccard_pairs(docs, shingle_k=3, threshold=0.05, shingles=sh)
     cand, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3
+        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
     )
+    # the oracle generates candidates WITHOUT the bucket cap — if any
+    # band bucket overflowed, the audit itself would be lying; fail
+    # loudly instead of silently under-reporting recall
+    assert _big.limit(1).count() == 0, "over-cap LSH bucket in audit"
     hit = exact.join(
         cand.withColumn("caught", F.lit(1)), ["a", "b"], "left"
     )

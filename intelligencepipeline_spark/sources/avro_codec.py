@@ -81,11 +81,17 @@ def _is_null(v: Any) -> bool:
         return True
     if isinstance(v, (list, tuple, dict, bytes, str)):
         return False
+    # float NaN is a real IEEE value, NOT null — Spark distinguishes
+    # them (NaN groups/joins as itself) and Avro doubles carry NaN fine
+    if isinstance(v, float):
+        return False
     import numpy as np
 
     if isinstance(v, np.ndarray):
         return False
-    # pandas scalar NaN/NaT
+    if isinstance(v, np.floating):
+        return False
+    # pandas scalar NA/NaT (non-float)
     try:
         return bool(pd.isna(v))
     except (TypeError, ValueError):
@@ -120,6 +126,14 @@ def encode_value(v: Any, sch: Any, out: bytearray) -> None:
     if isinstance(sch, str):
         if sch == "null":
             return
+        if _is_null(v):
+            # non-union schema position: a null here is data corruption
+            # waiting to happen (str(None) would encode "None") — fail
+            # loudly. Spark does NOT enforce declared non-nullability
+            # for Python-built rows, so this guard is load-bearing.
+            raise ValueError(
+                f"null value for non-nullable Avro type {sch!r}"
+            )
         if sch in ("long", "int"):
             write_long(out, int(v))
         elif sch == "string":
@@ -141,6 +155,8 @@ def encode_value(v: Any, sch: Any, out: bytearray) -> None:
         return
     t = sch["type"]
     lt = sch.get("logicalType")
+    if lt and _is_null(v):
+        raise ValueError(f"null value for non-nullable Avro type {lt!r}")
     if lt == "timestamp-micros":
         write_long(out, _as_micros(v))
     elif lt == "date":

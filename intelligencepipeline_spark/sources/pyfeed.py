@@ -152,13 +152,29 @@ class DocSinkWriter(DataSourceWriter):
         return _write_part(self.path, iterator)
 
     def commit(self, messages) -> None:
+        import glob
         import os
 
         files = [m.filename for m in messages if m is not None]
         n = sum(m.n_rows for m in messages if m is not None)
-        if not self.overwrite and os.path.exists(
-            os.path.join(self.path, "_MANIFEST.json")
-        ):
+        if self.overwrite:
+            # overwrite supersedes EVERYTHING previously published —
+            # batch manifest AND per-epoch streaming manifests (the
+            # reader globs _MANIFEST*.json) — and drops their data
+            # files so nothing stays visible or accumulates
+            old_files: list[str] = []
+            for mpath in glob.glob(
+                os.path.join(self.path, "_MANIFEST*.json")
+            ):
+                with open(mpath) as fh:
+                    old_files += json.load(fh)["files"]
+                os.remove(mpath)
+            for f in old_files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+        elif os.path.exists(os.path.join(self.path, "_MANIFEST.json")):
             with open(os.path.join(self.path, "_MANIFEST.json")) as fh:
                 prev = json.load(fh)
             files = prev["files"] + files
@@ -187,8 +203,14 @@ class DocSinkStreamWriter(DataSourceStreamWriter):
         _drop_parts(self.path, messages)
 
 
-def read_docsink(spark, path: str):
-    """Read back ONLY manifested rows (the sink's visibility rule)."""
+def read_docsink(
+    spark, path: str, schema: str = "doc_id bigint, payload string"
+):
+    """Read back ONLY manifested rows (the sink's visibility rule).
+
+    The sink itself serializes arbitrary rows; pass the frame's actual
+    schema when it differs from the docfeed default — the JSON reader
+    would otherwise surface nulls for unknown columns."""
     import glob
     import os
 
@@ -196,7 +218,6 @@ def read_docsink(spark, path: str):
     for mpath in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
         with open(mpath) as fh:
             files += [os.path.join(path, f) for f in json.load(fh)["files"]]
-    schema = "doc_id bigint, payload string"
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)

@@ -129,3 +129,27 @@ def test_asof_forward_tie_deterministic(spark):
         left, right, on="k", left_ts="ts", right_ts="ts"
     ).collect()
     assert rows[0].v_right == "m"  # MIN value tuple (mirror of backward max)
+
+
+def test_asof_tie_is_whole_tuple_not_per_column(spark):
+    """Tie-break must pick ONE right row, never stitch fields from
+    different rows into a record that never existed."""
+    from intelligencepipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5, 9), (1, 10, 7, 1)], "k long, ts long, price long, qty long"
+    )
+    back = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["price", "qty"],
+    ).collect()[0]
+    assert (back.price_right, back.qty_right) == (7, 1)  # max tuple, row B
+    fwd = asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["price", "qty"],
+    ).collect()[0]
+    assert (fwd.price_right, fwd.qty_right) == (5, 9)  # min tuple, row A

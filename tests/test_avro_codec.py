@@ -281,6 +281,42 @@ def test_roundtrip_property():
     check()
 
 
+def test_null_for_non_nullable_schema_raises():
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "s", "type": "string"}],  # NOT a null union
+    }
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_record({"s": None}, sch)
+    lsch = {
+        "type": "record",
+        "name": "R2",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    with pytest.raises(ValueError, match="non-nullable"):
+        encode_record({"ts": None}, lsch)
+
+
+def test_nan_is_a_double_not_null():
+    import math
+
+    sch = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "d", "type": ["null", "double"]}],
+    }
+    out = decode_record(encode_record({"d": float("nan")}, sch), sch)
+    assert out["d"] is not None and math.isnan(out["d"])
+    out2 = decode_record(encode_record({"d": None}, sch), sch)
+    assert out2["d"] is None
+
+
 def test_decode_rejects_trailing_garbage():
     sch = {
         "type": "record",

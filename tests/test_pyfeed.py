@@ -138,3 +138,49 @@ def test_stream_writer_exactly_once_on_replay(spark):
     run()  # replay from the same checkpoint: nothing new to publish
     assert read_docsink(spark, sink).count() == 30
     assert sorted(glob.glob(os.path.join(sink, "_MANIFEST*"))) == manifests1
+
+
+def test_overwrite_supersedes_streaming_manifests(spark):
+    """mode('overwrite') must hide rows published by earlier STREAMING
+    epochs too (the reader trusts every _MANIFEST*.json), and drop the
+    superseded part files."""
+    import glob
+    import os
+
+    from intelligencepipeline_spark.sources.pyfeed import read_docsink
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_ow_")
+    ckpt = tempfile.mkdtemp(prefix="ip_docsink_owck_")
+    stream = (
+        spark.readStream.format("docfeed")
+        .option("n_docs", 30).option("batch_size", 10).load()
+    )
+    q = (
+        stream.writeStream.format("docfeed")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert read_docsink(spark, sink).count() == 30
+    df = (
+        spark.read.format("docfeed").option("n_docs", 20)
+        .option("n_partitions", 2).load()
+    )
+    df.write.format("docfeed").option("path", sink).mode("overwrite").save()
+    assert read_docsink(spark, sink).count() == 20  # not 50
+    # exactly one manifest remains; superseded part files are gone
+    assert glob.glob(os.path.join(sink, "_MANIFEST*.json")) == [
+        os.path.join(sink, "_MANIFEST.json")
+    ]
+    with open(os.path.join(sink, "_MANIFEST.json")) as fh:
+        import json as js
+
+        manifested = set(js.load(fh)["files"])
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(sink, "part-*.jsonl"))
+    }
+    assert on_disk == manifested

@@ -89,7 +89,7 @@ HEADLINE = [
     ("bloom_prefilter", "bloom mask literal: probe test rides the fact scan"),
     ("url_domain_caps", "regex+explode on scan; one domain shuffle for rollup+cap"),
     ("cms_frequency", "d*w-bounded sketch agg + bounded broadcast to probes"),
-    ("lsh_recall_audit", "both arms share shingles; candidates via band join"),
+    ("lsh_recall_audit", "shared persisted shingles; candidates via band join"),
     ("leakage_safe_split", "cluster routing: LSH edges + CC + one split agg"),
     ("variant_json_ops", "VARIANT shredding: typed path extraction rides the scan"),
 ]
