@@ -1642,6 +1642,63 @@ SELECT user_id, cast(session_id as bigint) AS session_id, sub_id,
 FROM capped GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
+ORACLES["paragraph_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk,
+    len(string_split(text, ' ')) AS n
+  FROM documents
+), paras AS (
+  SELECT doc_id, source,
+    unnest([0, 1, 2, 3]) AS idx,
+    unnest([
+      {_BP_Q.format(i=0, i1=1)},
+      {_BP_Q.format(i=1, i1=2)},
+      {_BP_Q.format(i=2, i1=3)},
+      {_BP_Q.format(i=3, i1=4)}
+    ]) AS para
+  FROM toks
+), hashed AS (
+  SELECT doc_id, source, idx, para, md5(para) AS h FROM paras
+), winners AS (
+  -- (doc_id, idx) lexicographic min == min(doc_id*4+idx) since idx<4
+  SELECT h, min(doc_id * 4 + idx) AS wkey FROM hashed GROUP BY h
+), kept AS (
+  SELECT p.doc_id, p.source, p.idx, p.para
+  FROM hashed p JOIN winners w
+    ON p.h = w.h AND p.doc_id * 4 + p.idx = w.wkey
+), rebuilt AS (
+  SELECT doc_id, source, count(*) AS n_kept,
+    md5(array_to_string(list(para ORDER BY idx), ' | ')) AS doc_digest
+  FROM kept GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs,
+  cast(sum(n_kept) as bigint) AS n_kept_paras,
+  cast(4 * count(*) - sum(n_kept) as bigint) AS n_excised,
+  md5(array_to_string(list_sort(list(doc_digest)), ',')) AS corpus_digest
+FROM rebuilt GROUP BY source ORDER BY source
+"""
+
+ORACLES["user_growth_accumulation"] = """
+WITH base AS (
+  SELECT user_id, event_id, cast(ts as date) AS day FROM events
+), flagged AS (
+  SELECT *, CASE WHEN row_number() OVER
+      (PARTITION BY user_id ORDER BY day, event_id) = 1
+    THEN 1 ELSE 0 END AS f
+  FROM base
+), daily AS (
+  SELECT day, count(*) AS n_events,
+    count(DISTINCT user_id) AS n_active,
+    cast(sum(f) as bigint) AS n_new
+  FROM flagged GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_active, n_new,
+  cast(sum(n_new) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+    AS cum_users
+FROM daily ORDER BY day
+"""
+
 ORACLES["null_safe_join"] = """
 WITH keyed AS (
   SELECT event_id,

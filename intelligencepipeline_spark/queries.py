@@ -3155,6 +3155,114 @@ def capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PARAGRAPH dedup, first-wins — the C4-style pass
+    at sub-document granularity: every paragraph (body quarters here,
+    the boilerplate_line_removal segmentation) is hashed and only its
+    globally FIRST occurrence (min (doc_id, idx)) survives; repeats in
+    any later document are excised and the doc re-assembled from its
+    surviving paragraphs in order. Complements
+    boilerplate_line_removal (frequency threshold, per source) and
+    span_dedup_clean (intra-doc): this is exact global dedup with a
+    deterministic winner. Scale: ONE paragraph-hash shuffle for the
+    winner agg (min is map-side combinable), broadcast-free join back
+    on the same hash key; reassembly is a per-doc fold. Export:
+    per-source counts + corpus digest of the rebuilt docs — keeping a
+    duplicate or dropping a first-occurrence anywhere breaks it."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def quarter(i: int):
+        start = F.floor(n * i / 4).cast("int") + 1
+        length = (
+            F.floor(n * (i + 1) / 4).cast("int")
+            - F.floor(n * i / 4).cast("int")
+        )
+        return F.array_join(F.slice(toks, start, length), " ")
+
+    paras = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.array(quarter(0), quarter(1), quarter(2), quarter(3))
+        ).alias("idx", "para"),
+    ).withColumn("h", F.md5("para"))
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = paras.join(winners, "h").filter(
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("idx") == F.col("w.idx"))
+    )
+    rebuilt = kept.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda x: x["para"],
+                ),
+                " | ",
+            )
+        ).alias("doc_digest"),
+    )
+    return (
+        rebuilt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").alias("n_kept_paras"),
+            (F.lit(4) * F.count(F.lit(1)) - F.sum("n_kept")).alias(
+                "n_excised"
+            ),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("doc_digest")), ",")
+            ).alias("corpus_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+def user_growth_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT accumulation — daily active vs NEW vs
+    cumulative users. The scale trick is the first-seen flag: a
+    count(distinct) over an expanding window rescans history per day,
+    but row_number()==1 per user marks each user's first event once,
+    and a day-level running sum of those flags IS the cumulative
+    distinct count — two keyed windows, no expanding rescans, exact
+    (the pattern behind every growth dashboard at 100 TB; the
+    approximate variant is streaming_hll_distinct). All integers."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").alias("day"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day", "event_id")
+    flagged = base.withColumn(
+        "first_seen", (F.row_number().over(w) == 1).cast("long")
+    )
+    daily = flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active"),
+        F.sum("first_seen").alias("n_new"),
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("cum_users", F.sum("n_new").over(wd))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_active",
+            "n_new",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -6961,6 +7069,8 @@ QUERIES = {
     "null_safe_join": null_safe_join,
     "asof_forward_join": asof_forward_join_q,
     "capped_sessions": capped_sessions,
+    "paragraph_dedup": paragraph_dedup,
+    "user_growth_accumulation": user_growth_accumulation,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
