@@ -1699,6 +1699,56 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_active, n_new,
 FROM daily ORDER BY day
 """
 
+ORACLES["mad_anomalies"] = """
+WITH cents AS (
+  SELECT event_id, event_type,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, cents AS med FROM (
+    SELECT *, row_number() OVER
+        (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS n
+    FROM cents
+  ) WHERE rn = cast(floor((n + 1) / 2) as bigint)
+), dev AS (
+  SELECT c.event_id, c.event_type, c.cents,
+    abs(c.cents - m.med) AS d, m.med
+  FROM cents c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, d AS mad FROM (
+    SELECT *, row_number() OVER
+        (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rn = cast(floor((n + 1) / 2) as bigint)
+)
+SELECT d.event_type,
+  count(*) AS n_events,
+  max(d.med) AS median_cents,
+  max(a.mad) AS mad_cents,
+  cast(sum(CASE WHEN d.d > 5 * a.mad THEN 1 ELSE 0 END) as bigint)
+    AS n_anomalies,
+  cast(coalesce(sum(CASE WHEN d.d > 5 * a.mad THEN d.cents END), 0)
+    as bigint) AS anomalous_cents
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+ORACLES["label_centroids"] = f"""
+WITH cells AS (
+  SELECT label,
+    cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+    {_QELEM} AS q
+  FROM embeddings
+)
+SELECT label, dim,
+  count(*) AS n_vecs,
+  cast(sum(q) as bigint) AS sum_q,
+  cast(sum(q) as double) / cast(count(*) as double) AS mean_q
+FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 ORACLES["null_safe_join"] = """
 WITH keyed AS (
   SELECT event_id,

@@ -3263,6 +3263,92 @@ def user_growth_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screening: median/MAD instead of mean/std (the
+    zscore_anomalies companion) — one wild value shifts a mean and
+    inflates the std enough to hide itself; the median and the median
+    absolute deviation barely move. Both medians are DISCRETE rank
+    selections under a total order (the adaptive_quality_cutoff
+    technique — engine quantile interpolation would break the hash),
+    on exact integer cents. Flag = deviation > 5x MAD. Scale: two
+    type-keyed windows plus broadcast of the per-type constants back
+    to the scan — no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        (_dec("value") * 100).cast("long").alias("cents"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        cents.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    dev = cents.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                (F.col("d") > 5 * F.col("mad")).cast("long")
+            ).alias("n_anomalies"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("d") > 5 * F.col("mad"), F.col("cents"))
+                ),
+                F.lit(0),
+            ).alias("anomalous_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in EXACT integer space: quantized
+    element sums + counts per (label, dim) — the class-centroid pass
+    behind clustering diagnostics and nearest-centroid baselines.
+    Exported as (sum, count) pairs instead of float means so the
+    compare is reduction-order-proof; the one float column is a single
+    IEEE division per row. Scale: posexplode + ONE (label, dim) keyed
+    agg, map-side combinable; output cardinality = labels x dims,
+    independent of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("q"),
+    )
+    return (
+        cells.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").alias("sum_q"),
+            (
+                F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_q"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -7071,6 +7157,8 @@ QUERIES = {
     "capped_sessions": capped_sessions,
     "paragraph_dedup": paragraph_dedup,
     "user_growth_accumulation": user_growth_accumulation,
+    "mad_anomalies": mad_anomalies,
+    "label_centroids": label_centroids,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
