@@ -80,3 +80,69 @@ def pagerank_int(
         "rank_micro",
         F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
     )
+
+
+def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle enumeration via degree-ordered orientation — the
+    classic bound that makes triangle counting feasible on skewed
+    graphs: every edge points from its lower-(degree, id) endpoint to
+    the higher one, so each wedge join fans out by ORIENTED out-degree
+    (O(sqrt(m)) on any graph) instead of raw degree (unbounded on a
+    hub), and each triangle is produced exactly once from its
+    min-rank vertex — no post-dedup.
+
+    Returns (x, y, z) rows with x < y < z (node ids).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(
+                F.col("node").alias("v"), F.col("deg").alias("dv")
+            ),
+            "v",
+        )
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("p"),
+        F.col("o1.dst").alias("q"),
+        F.col("o2.dst").alias("r"),
+    )
+    closing = e.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("q", "r") == F.col("cu"))
+        & (F.greatest("q", "r") == F.col("cv")),
+    )
+    srt = F.array_sort(F.array("p", "q", "r"))
+    return tri.select(
+        srt[0].alias("x"), srt[1].alias("y"), srt[2].alias("z")
+    )

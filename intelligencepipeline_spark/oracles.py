@@ -1749,6 +1749,24 @@ SELECT label, dim,
 FROM cells GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+ORACLES["triangle_count"] = f"""
+WITH {_LSH_EDGE_CTES}, c AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM edges WHERE a <> b
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM c e1
+  JOIN c e2 ON e1.v = e2.u
+  JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT count(*) AS n_triangles,
+  md5(coalesce(array_to_string(list_sort(list(
+    cast(x as varchar) || '-' || cast(y as varchar) || '-'
+      || cast(z as varchar))), ','), '')) AS triangle_digest,
+  (SELECT count(*) FROM c) AS n_edges
+FROM tri
+"""
+
 ORACLES["null_safe_join"] = """
 WITH keyed AS (
   SELECT event_id,

@@ -3349,6 +3349,47 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph (operators/graph.triangles
+    over the LSH-verified edge set) — triangles vs open wedges is the
+    clustering-coefficient signal that tells near-CLIQUE duplicate
+    groups (template families) apart from chains (drifting revisions),
+    which changes how aggressively dedup survivorship can prune.
+    Degree-ordered orientation bounds every join by oriented
+    out-degree (O(sqrt(m))) and yields each triangle once — no
+    all-pairs, no dedup pass. The oracle enumerates a<b<c joins over
+    the identical SQL-derived edges; the triple digest pins the exact
+    triangle SET, not just the count."""
+    from pyspark import StorageLevel
+
+    from intelligencepipeline_spark.operators.graph import triangles
+
+    # the triangle join consumes the edge list several times (degrees,
+    # orientation, closing edges) — persist the SPARSE edge output,
+    # not the heavy LSH pipeline that derives it
+    edges = _lsh_verified_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tri = triangles(edges)
+    trip = tri.select(
+        F.concat_ws(
+            "-",
+            F.col("x").cast("string"),
+            F.col("y").cast("string"),
+            F.col("z").cast("string"),
+        ).alias("t")
+    )
+    n_edges = edges.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    return trip.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("t")), ",")
+        ).alias("triangle_digest"),
+    ).crossJoin(n_edges.agg(F.count(F.lit(1)).alias("n_edges")))
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (functions/text.redact_pii) — the
     pre-training scrub pass. PII is injected deterministically into a
@@ -7159,6 +7200,7 @@ QUERIES = {
     "user_growth_accumulation": user_growth_accumulation,
     "mad_anomalies": mad_anomalies,
     "label_centroids": label_centroids,
+    "triangle_count": triangle_count,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,

@@ -86,3 +86,22 @@ def test_star_two_big_chains(spark):
             for r in connected_components_star(df).collect()}
     assert all(comp[n] == 0 for n in range(0, 41))
     assert all(comp[n] == 1000 for n in range(1000, 1041))
+
+
+def test_triangle_enumeration_known_graphs(spark):
+    from intelligencepipeline_spark.operators.graph import triangles
+
+    def tris(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return sorted(
+            (r.x, r.y, r.z) for r in triangles(df).collect()
+        )
+
+    # K4: all 4 triangles, each exactly once
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert tris(k4) == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+    # square: none
+    assert tris([(0, 1), (1, 2), (2, 3), (3, 0)]) == []
+    # hub star: none; triangle + pendant: one (reversed/dup edges ok)
+    assert tris([(9, 1), (9, 2), (9, 3), (9, 4)]) == []
+    assert tris([(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)]) == [(1, 2, 3)]
