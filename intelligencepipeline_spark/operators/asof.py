@@ -61,20 +61,14 @@ def asof_join(
     # per-column maxes — per-column would stitch fields from different
     # rows into a record that never existed. Cheap keyed agg.
     packed = F.struct(*[F.col(f"{c}{suffix}") for c in value_cols])
-    r_tag = (
-        r_tag.groupBy(*keys, _TS, _SIDE)
-        .agg(F.max(packed).alias("__pack"))
-        .select(
-            *keys,
-            _TS,
-            _SIDE,
-            *[
-                F.col("__pack")[f"{c}{suffix}"].alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
-        )
-    )
+    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(F.max(packed).alias("__pack"))
 
+    # The carry stays PACKED through the window: a struct whose fields
+    # are null is itself non-null, so `last(ignorenulls)` skips exactly
+    # the left-side rows (their missing `__pack` unions in as NULL) and
+    # never mixes value columns from different right rows — per-column
+    # carries would stitch across timestamps whenever a matched right
+    # row holds a NULL in one value column.
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # side=0 (right) sorts before side=1 (left) at equal ts → inclusive
     # `left.ts >= right.ts`, matching DuckDB ASOF JOIN.
@@ -84,17 +78,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True)
-            .over(w)
-            .alias(f"__carry_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__pack", ignorenulls=True).over(w).alias("__carry")
     )
     out = carried.filter(F.col(_SIDE) == 1).select(
         *[c for c in left.columns],
-        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.col("__carry")[f"{c}{suffix}"].alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )
     return out
 
@@ -137,20 +128,12 @@ def asof_join_forward(
     # min value TUPLE, not per-column mins (see the backward join's
     # tie-break note — mixing columns across rows fabricates records)
     packed = F.struct(*[F.col(f"{c}{suffix}") for c in value_cols])
-    r_tag = (
-        r_tag.groupBy(*keys, _TS, _SIDE)
-        .agg(F.min(packed).alias("__pack"))
-        .select(
-            *keys,
-            _TS,
-            _SIDE,
-            *[
-                F.col("__pack")[f"{c}{suffix}"].alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
-        )
-    )
+    r_tag = r_tag.groupBy(*keys, _TS, _SIDE).agg(F.min(packed).alias("__pack"))
 
+    # Packed carry, same reason as the backward join: `first(ignorenulls)`
+    # over the single struct column skips only left rows, never falls
+    # through to a LATER right row for a column that was NULL in the
+    # matched one.
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
@@ -158,15 +141,12 @@ def asof_join_forward(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.first(f"{c}{suffix}", ignorenulls=True)
-            .over(w)
-            .alias(f"__carry_{c}")
-            for c in value_cols
-        ],
+        "*", F.first("__pack", ignorenulls=True).over(w).alias("__carry")
     )
     return carried.filter(F.col(_SIDE) == 0).select(
         *[c for c in left.columns],
-        *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[
+            F.col("__carry")[f"{c}{suffix}"].alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )

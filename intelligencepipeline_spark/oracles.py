@@ -1591,26 +1591,26 @@ WITH clicks AS (
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1, 2, 3
 ), u AS (
-  SELECT user_id, es, 0 AS side, cast(NULL as bigint) AS p_es,
-    cast(NULL as bigint) AS cents
+  -- packed carry, mirroring operators/asof.py: left rows union in a
+  -- NULL struct; right rows a non-null struct (even if fields were
+  -- null) so one first_value(IGNORE NULLS) carries the whole row
+  SELECT user_id, es, 0 AS side,
+    cast(NULL as STRUCT(p_es BIGINT, cents BIGINT)) AS pack
   FROM clicks
   UNION ALL
-  SELECT user_id, es, 1, p_es, cents FROM purch
+  SELECT user_id, es, 1, {'p_es': p_es, 'cents': cents} FROM purch
 ), wnd AS (
   SELECT user_id, es, side,
-    first_value(p_es IGNORE NULLS) OVER
+    first_value(pack IGNORE NULLS) OVER
       (PARTITION BY user_id ORDER BY es, side
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_es,
-    first_value(cents IGNORE NULLS) OVER
-      (PARTITION BY user_id ORDER BY es, side
-       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cents
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS carry
   FROM u
 )
 SELECT user_id,
   count(*) AS n_clicks,
-  count(next_es) AS n_matched,
-  cast(sum(next_es - es) as bigint) AS total_gap_sec,
-  cast(sum(next_cents) as bigint) AS sum_next_cents
+  count(carry.p_es) AS n_matched,
+  cast(sum(carry.p_es - es) as bigint) AS total_gap_sec,
+  cast(sum(carry.cents) as bigint) AS sum_next_cents
 FROM wnd WHERE side = 0 GROUP BY user_id ORDER BY user_id
 """
 

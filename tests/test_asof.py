@@ -153,3 +153,38 @@ def test_asof_tie_is_whole_tuple_not_per_column(spark):
         value_cols=["price", "qty"],
     ).collect()[0]
     assert (fwd.price_right, fwd.qty_right) == (5, 9)  # min tuple, row A
+
+
+def test_asof_null_value_column_not_stitched_across_timestamps(spark):
+    """A NULL value column in the matched right row must come through as
+    NULL — not fall through to a DIFFERENT right row's value (the
+    per-column-carry bug: fields stitched across timestamps)."""
+    from intelligencepipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    # forward: earliest future row is ts=200 with cents NULL; a
+    # per-column carry would grab cents=500 from ts=300.
+    right = spark.createDataFrame(
+        [(1, 200, 200, None), (1, 300, 300, 500)],
+        "k long, ts long, p_es long, cents long",
+    )
+    fwd = asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["p_es", "cents"],
+    ).collect()[0]
+    assert (fwd.p_es_right, fwd.cents_right) == (200, None)
+
+    # backward: latest past row is ts=90 with cents NULL; a per-column
+    # carry would keep cents=400 from the older ts=50 row.
+    right_b = spark.createDataFrame(
+        [(1, 50, 50, 400), (1, 90, 90, None)],
+        "k long, ts long, p_es long, cents long",
+    )
+    back = asof_join(
+        left, right_b, on="k", left_ts="ts", right_ts="ts",
+        value_cols=["p_es", "cents"],
+    ).collect()[0]
+    assert (back.p_es_right, back.cents_right) == (90, None)
