@@ -269,25 +269,32 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    max_df: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+    """N-gram Jaccard similarity pairs >= threshold.
 
-    With ``candidates`` (e.g. from LSH) verification is candidate-only
-    and the pruning is pushed BELOW the expensive work: the inverted
-    index keeps only docs appearing in some candidate pair, and pair
-    rows are semi-joined against candidates before the intersection
-    aggregation — so cost scales with the candidate set, not the
-    corpus. Without candidates it is the full inverted-index join —
-    fine at small SF; at 100 TB always pass candidates.
-    Output: (a, b, jaccard). ``sizes`` (the denominator) always uses
-    the full per-doc shingle counts, so the score is unchanged.
+    With ``candidates`` (e.g. from LSH) the semantics are EXACT and the
+    pruning is pushed BELOW the expensive work: the inverted index keeps
+    only docs appearing in some candidate pair, and pair rows are
+    semi-joined against candidates before the intersection aggregation —
+    so cost scales with the candidate set, not the corpus.
+
+    Without candidates the inverted index itself is the candidate
+    generator, bucketed per shingle with a DOCUMENT-FREQUENCY CAP
+    (``max_df``): shingles shared by more than ``max_df`` docs are
+    excluded from the intersection count (idf-style pruning — an
+    ultra-common shingle carries no near-dup signal but makes its
+    bucket quadratic; a boilerplate-heavy shard would otherwise stall
+    the whole stage at 100 TB). ``sizes`` (the denominator) always uses
+    the full per-doc shingle counts, so capped-shingle overlap only
+    LOWERS a pair's score, never raises it.
+    Output: (a, b, jaccard).
     """
     if shingles is None:
         shingles = word_shingles_df(df, text_col, key, shingle_k)
     sh = shingles.withColumnRenamed(key, "id")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
 
-    sh_joined = sh
     if candidates is not None:
         cand_ids = candidates.select(
             F.explode(F.array("a", "b")).alias("id")
@@ -295,15 +302,27 @@ def jaccard_pairs(
         # no broadcast hint: AQE broadcasts when the id set is small
         # (typical) and falls back to shuffle when it isn't
         sh_joined = sh.join(cand_ids, "id", "left_semi")
-
-    pair_rows = (
-        sh_joined.alias("x")
-        .join(sh_joined.alias("y"), "shingle")
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-    )
-    if candidates is not None:
-        pair_rows = pair_rows.join(candidates, ["a", "b"], "left_semi")
+        pair_rows = (
+            sh_joined.alias("x")
+            .join(sh_joined.alias("y"), "shingle")
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .join(candidates, ["a", "b"], "left_semi")
+        )
+    else:
+        # One keyed agg per shingle; buckets over the cap are dropped
+        # BEFORE pair explosion, bounding worst-case work at
+        # max_df^2/2 rows per shingle instead of corpus^2.
+        buckets = sh.groupBy("shingle").agg(
+            F.collect_list("id").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        pair_rows = (
+            buckets.filter(F.col("n") <= max_df)
+            .select(F.explode("members").alias("a"), F.col("members"))
+            .select("a", F.explode("members").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
     inter = pair_rows.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("common")
     )

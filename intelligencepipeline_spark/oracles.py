@@ -346,9 +346,15 @@ WITH shing AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), kept AS (
+  -- mirror of the operator's max_df=1000 cap: shingles shared by more
+  -- than 1000 docs are excluded from the intersection (sizes keep the
+  -- full per-doc counts)
+  SELECT doc_id, shingle FROM shing
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
 ), inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-  FROM shing x JOIN shing y USING (shingle)
+  FROM kept x JOIN kept y USING (shingle)
   WHERE x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )

@@ -64,7 +64,6 @@ from intelligencepipeline_spark.operators.sessionize import session_stats
 from intelligencepipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine,
-    cosine_pairs_blas,
     int_dot,
     norm2,
     quantize,
@@ -565,11 +564,13 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (>= 0.3), WITHOUT candidate
-    pruning: this entry proves the exact-Jaccard SEMANTICS (the full
-    inverted-shingle self-join is small-SF-only by design); the scale
-    path is the candidates= form proven by dedup_pipeline and
-    dedup_clusters."""
+    """3-gram Jaccard near-dup pairs (>= 0.3) via the df-capped
+    inverted-shingle index (max_df=1000, mirrored in the oracle):
+    buckets over the cap are dropped before pair explosion, so no
+    shingle group can go quadratic on a boilerplate-heavy shard. The
+    LSH-candidates exact form is proven by dedup_pipeline and
+    dedup_clusters; the uncapped==capped equivalence on low-df corpora
+    is pinned in tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs(docs, shingle_k=3, threshold=0.3).orderBy("a", "b")
 

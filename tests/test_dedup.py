@@ -79,6 +79,48 @@ def test_jaccard_pairs(spark):
     assert all(j >= 0.5 for j in out.values())
 
 
+def test_jaccard_df_cap_drops_common_shingle_buckets(spark):
+    """max_df: shingles shared by more than max_df docs are excluded
+    from the intersection (bucket never explodes), while sizes keep the
+    full per-doc counts — capped overlap lowers scores, never raises."""
+    # docs 1..4 all share shingle-set of "common words here"; docs 1,2
+    # additionally share "rare trigram overlap".
+    rows = [
+        (1, "common words here rare trigram overlap"),
+        (2, "common words here rare trigram overlap"),
+        (3, "common words here something else entirely"),
+        (4, "common words here another tail phrase x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.05, max_df=1000).collect()
+    }
+    # cap at 3: every shingle common to all 4 docs is dropped from the
+    # intersection; (1,2) remain paired via their rare shingles with a
+    # LOWER score; cross pairs sharing only capped shingles vanish.
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.05, max_df=3).collect()
+    }
+    assert uncapped[(1, 2)] == 1.0 and capped[(1, 2)] == 3 / 5
+    # (1,3) share ONLY the capped shingle -> present uncapped, gone capped
+    assert (1, 3) in uncapped and (1, 3) not in capped
+    # uncapped == capped when no shingle hits the cap (low-df corpus):
+    # the exact-Jaccard semantics proof
+    hi = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus_df(spark), threshold=0.5).collect()
+    }
+    hi_uncapped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            corpus_df(spark), threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert hi == hi_uncapped
+
+
 def test_simhash_hamming_pairs(spark):
     out = {(r["a"], r["b"]): r["hamming"]
            for r in simhash_hamming_pairs(corpus_df(spark), max_hamming=3).collect()}

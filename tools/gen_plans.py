@@ -92,6 +92,7 @@ HEADLINE = [
     ("lsh_recall_audit", "shared persisted shingles; candidates via band join"),
     ("leakage_safe_split", "cluster routing: LSH edges + CC + one split agg"),
     ("variant_json_ops", "VARIANT shredding: typed path extraction rides the scan"),
+    ("jaccard_pairs", "df-capped inverted index: buckets>max_df dropped pre-explosion"),
 ]
 
 
