@@ -515,6 +515,14 @@ SELECT vec_id, cast(dot as bigint) AS dot,
 FROM dots ORDER BY dot DESC, vec_id LIMIT 10
 """
 
+# ann_ivf_topk is exported at FULL probe (n_probe == n_clusters), where
+# the IVF invariant says the result is exactly the brute-force top-k —
+# same integer-quantized dots, same (dot desc, vec_id) tie-break — so
+# its oracle IS the brute-force query. An oracle mismatch here would
+# mean the index lost or duplicated vectors (bad cell assignment,
+# partition write/read drift) or scored them differently.
+ORACLES["ann_ivf_topk"] = ORACLES["similarity_topk"]
+
 # embedding_dedup_pairs oracle is defined below the LSH helpers (it
 # re-derives the same 6 md5-hyperplane buckets the Spark operator uses).
 

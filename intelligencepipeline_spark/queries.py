@@ -1097,10 +1097,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse quantizer trains on a deterministic hash-sample (driver
     numpy — no distributed fit passes) and the cell-assigned table is
     PERSISTED PARTITIONED BY cell, so this query's plan is probe-only:
-    centroid argsort on the driver + a partition-pruned scan of
-    n_probe/16 of the index + exact re-rank. Iterative fit → no SQL
-    oracle (NON_SQL_QUERIES); pinned by tests/test_ivf.py (determinism
-    + full-probe == brute-force + recall bound)."""
+    centroid argsort on the driver + a cell-pruned scan + exact
+    re-rank. Exported at FULL probe (n_probe == n_clusters), where the
+    IVF invariant `full-probe top-k == brute-force top-k` holds exactly
+    (integer-quantized dots on both sides) — which makes the whole
+    index-build + cell-assignment + probe machinery SQL-checkable
+    against the brute-force oracle. The partition-pruned approximate
+    path (n_probe=4: scans 4/16 of the index, recall-bounded) is pinned
+    by tests/test_ivf.py."""
     from intelligencepipeline_spark.operators.ivf import ivf_index, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1108,7 +1112,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_clusters=16, iters=3, cache_root="/tmp/ip_ivf_cache"
     )
     return ivf_topk(
-        emb, query_id=0, k=10, n_probe=4,
+        emb, query_id=0, k=10, n_probe=16,
         centroids=centroids, assigned=assigned,
     ).select("vec_id", "dot", "cosine")
 
@@ -1147,7 +1151,9 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalog entries that are genuinely non-SQL-expressible (iterative /
 # stateful) and therefore carry no oracle_sql: the driver records a
 # rows-only check for these; their correctness lives in unit tests.
-NON_SQL_QUERIES = {"ann_ivf_topk", "bpe_train", "pq_ann_topk"}
+# (ann_ivf_topk left this set in r03: exported at full probe, where
+# IVF == brute force exactly and the brute-force SQL is its oracle.)
+NON_SQL_QUERIES = {"bpe_train", "pq_ann_topk"}
 
 
 def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
