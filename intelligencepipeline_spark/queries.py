@@ -7050,68 +7050,51 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# Registry order is driver-visible: the r01 correctness gate checked the
-# FIRST 50 entries only, so entries needing a fresh driver row lead —
-# (a) the 28 that got no r01 row, (b) this round's new operators,
-# (c) the queries whose export/semantics changed this round. The
-# previously-green remainder follows (rotate again next round if the
-# cap persists).
+# Registry order is driver-visible: the correctness gate checks the
+# FIRST 50 entries only, so each round the window rotates onto entries
+# with no driver row yet. r01 checked its first-50; r02 checked the
+# then-first-50. This r03 ordering puts 49 never-driver-checked entries
+# (§2.7 streaming-proof family first) plus the re-oracled ann_ivf_topk
+# (r02 row was err:"no_oracle"; now carries the full-probe==brute-force
+# SQL oracle) into positions 1-50.
+#
+# PLANNED r04 WINDOW (the remaining never-checked entries — move these
+# to positions 1-50 before the r04 driver run; any operators new in r03
+# follow immediately after them):
+#   rolling_range_spend, stratified_fixed_sample, salted_join_revenue,
+#   q2_min_cost_supplier, q11_important_parts, q20_excess_suppliers,
+#   corr_matrix, curriculum_bins, gap_fill_series, bigram_novelty,
+#   span_dedup_clean, fuzzy_name_pairs, zorder_layout,
+#   incremental_corpus_update, iqr_outliers, chi_square_contingency,
+#   distribution_drift, bpe_pair_counts, bpe_train (rows-only),
+#   embedding_profile, ranking_functions, importance_sample,
+#   quality_canonical_selection, concurrent_sessions, lang_confusion,
+#   multiformat_roundtrip, event_transition_matrix, retention_cohorts,
+#   cooccurrence_pairs, ab_test_cells, join_skew_report,
+#   sparse_cosine_pairs, zscore_anomalies, pq_ann_topk (rows-only),
+#   url_domain_caps, boilerplate_line_removal, variant_json_ops,
+#   adaptive_quality_cutoff, token_budget_mix, null_safe_join,
+#   capped_sessions, user_growth_accumulation, mad_anomalies,
+#   label_centroids, triangle_count  [45 entries; r03 additions fill
+#   the remaining 5 slots]
 QUERIES = {
-    # -- (a) no driver row in r01 --------------------------------------
-    "latest_event_per_user": latest_event_per_user,
-    "set_ops": set_ops,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ner_entities": ner_entities,
-    "chunk_lang": chunk_lang,
-    "pos_tag_counts": pos_tag_counts,
-    "doc_with_chunks": doc_with_chunks,
-    "salted_user_stats": salted_user_stats,
+    # ==== r03 driver window: positions 1-50 ===========================
+    # -- §2.7 streaming-proof family (never driver-checked) ------------
+    "streaming_join_proof": streaming_join_proof,
+    "streaming_restart_exactly_once": streaming_restart_exactly_once,
+    "streaming_watermark_finalize": streaming_watermark_finalize,
+    "streaming_backpressure_proof": streaming_backpressure_proof,
+    "streaming_dedup_proof": streaming_dedup_proof,
+    "engine_streaming_run": engine_streaming_run,
+    "changelog_replay": changelog_replay,
+    "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_outer_join_proof": streaming_outer_join_proof,
+    "streaming_gap_fill": streaming_gap_fill,
+    "streaming_static_join": streaming_static_join,
+    "watermark_sizing_audit": watermark_sizing_audit,
+    # -- re-oracled this round (r02 row was err:"no_oracle") -----------
     "ann_ivf_topk": ann_ivf_topk,
-    "hypertable_rollup": hypertable_rollup,
-    "keyphrases": keyphrases,
-    "sentence_chunks": sentence_chunks_q,
-    "hashed_embedding": hashed_embedding,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "full_outer_activity": full_outer_activity,
-    "top_value_suppliers": top_value_suppliers,
-    "text_extraction": text_extraction,
-    "dedup_clusters": dedup_clusters,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q10_returned_items": q10_returned_items,
-    "streaming_consolidation": streaming_consolidation,
-    "dedup_survivor_docs": dedup_survivor_docs,
-    "profile_columns": profile_columns,
-    "deterministic_sample": deterministic_sample,
-    "q9_product_profit": q9_product_profit,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q21_blocking_supplier": q21_blocking_supplier,
-    # -- (c) export canonicalization / semantics changed this round ----
-    "json_extract_agg": json_extract_agg,
-    "running_totals": running_totals,
-    "cube_agg": cube_agg,
-    "consolidation_fold": consolidation_fold,
-    "session_stats": session_stats_q,
-    "similarity_topk": similarity_topk,
-    "embedding_dedup_pairs": embedding_dedup_pairs,
-    # -- (b) new this round --------------------------------------------
-    "html_rendition": html_rendition,
-    "chunk_command_fold": chunk_command_fold,
-    "kafka_serde_roundtrip": kafka_serde_roundtrip,
-    "pii_redaction": pii_redaction,
-    "contamination_check": contamination_check,
-    "token_packing": token_packing,
-    "domain_mix_sample": domain_mix_sample,
-    "chunk_metadata_enrichment": chunk_metadata_enrichment,
-    "proposer_max_score": proposer_max_score,
-    "side_effect_sink": side_effect_sink,
-    "datarecords_snapshot": datarecords_snapshot,
-    "streaming_session_windows": streaming_session_windows,
-    "streaming_stateful_stats": streaming_stateful_stats,
-    "corpus_prep_pipeline": corpus_prep_pipeline,
-    "repetition_filter": repetition_filter,
-    # -- (b2) round-2 additions (driver rows via rotation next round;
-    #    proven now by CORRECTNESS_local.json) -------------------------
+    # -- remaining never-driver-checked (b2/b3 families) ---------------
     "scd2_dimension": scd2_dimension,
     "point_in_time_join": point_in_time_join_q,
     "attribution_revenue": attribution_revenue,
@@ -7121,20 +7104,14 @@ QUERIES = {
     "value_histogram": value_histogram,
     "pagerank_neardup_graph": pagerank_neardup_graph,
     "negative_pair_sample": negative_pair_sample,
-    "streaming_hll_distinct": streaming_hll_distinct,
-    "streaming_watermark_finalize": streaming_watermark_finalize,
-    "streaming_restart_exactly_once": streaming_restart_exactly_once,
     "bpe_encode": bpe_encode,
     "heavy_hitters": heavy_hitters,
     "serde_dead_letter": serde_dead_letter,
-    "streaming_join_proof": streaming_join_proof,
     "entity_resolution": entity_resolution,
     "schema_evolution_merge": schema_evolution_merge,
     "ann_recall_audit": ann_recall_audit,
     "udtf_sentence_chunks": udtf_sentence_chunks,
-    "pq_ann_topk": pq_ann_topk,
     "pq_adc_machinery": pq_adc_machinery,
-    "streaming_outer_join_proof": streaming_outer_join_proof,
     "python_datasource_feed": python_datasource_feed,
     "bigram_surprisal": bigram_surprisal,
     "integrity_audit": integrity_audit,
@@ -7144,12 +7121,19 @@ QUERIES = {
     "array_functions_suite": array_functions_suite,
     "sketch_accuracy": sketch_accuracy,
     "unpivot_event_matrix": unpivot_event_matrix,
-    "engine_streaming_run": engine_streaming_run,
-    "changelog_replay": changelog_replay,
-    "streaming_dedup_proof": streaming_dedup_proof,
     "media_pipeline": media_pipeline,
     "event_funnel": event_funnel,
     "sliding_window_counts": sliding_window_counts,
+    "avro_serde_roundtrip": avro_serde_roundtrip,
+    "bloom_prefilter": bloom_prefilter_q,
+    "cms_frequency": cms_frequency,
+    "lsh_recall_audit": lsh_recall_audit,
+    "leakage_safe_split": leakage_safe_split,
+    "python_datasource_sink": python_datasource_sink,
+    "asof_forward_join": asof_forward_join_q,
+    "paragraph_dedup": paragraph_dedup,
+    # ==== end of r03 driver window (position 50) ======================
+    # -- planned r04 window (see comment above) ------------------------
     "rolling_range_spend": rolling_range_spend,
     "stratified_fixed_sample": stratified_fixed_sample,
     "salted_join_revenue": salted_join_revenue,
@@ -7171,7 +7155,6 @@ QUERIES = {
     "bpe_train": bpe_train_q,
     "embedding_profile": embedding_profile,
     "ranking_functions": ranking_functions,
-    "streaming_gap_fill": streaming_gap_fill,
     "importance_sample": importance_sample,
     "quality_canonical_selection": quality_canonical_selection,
     "concurrent_sessions": concurrent_sessions,
@@ -7184,30 +7167,68 @@ QUERIES = {
     "join_skew_report": join_skew_report,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "zscore_anomalies": zscore_anomalies,
-    # -- (b3) round-2 late additions (rotation next round; proven now
-    #    by CORRECTNESS_local.json) ------------------------------------
-    "avro_serde_roundtrip": avro_serde_roundtrip,
-    "bloom_prefilter": bloom_prefilter_q,
+    "pq_ann_topk": pq_ann_topk,
     "url_domain_caps": url_domain_caps,
-    "cms_frequency": cms_frequency,
-    "streaming_backpressure_proof": streaming_backpressure_proof,
-    "lsh_recall_audit": lsh_recall_audit,
-    "leakage_safe_split": leakage_safe_split,
     "boilerplate_line_removal": boilerplate_line_removal,
-    "python_datasource_sink": python_datasource_sink,
     "variant_json_ops": variant_json_ops,
     "adaptive_quality_cutoff": adaptive_quality_cutoff,
     "token_budget_mix": token_budget_mix,
-    "streaming_static_join": streaming_static_join,
-    "watermark_sizing_audit": watermark_sizing_audit,
     "null_safe_join": null_safe_join,
-    "asof_forward_join": asof_forward_join_q,
     "capped_sessions": capped_sessions,
-    "paragraph_dedup": paragraph_dedup,
     "user_growth_accumulation": user_growth_accumulation,
     "mad_anomalies": mad_anomalies,
     "label_centroids": label_centroids,
     "triangle_count": triangle_count,
+    # -- driver-green in r01/r02 ---------------------------------------
+    "latest_event_per_user": latest_event_per_user,
+    "set_ops": set_ops,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ner_entities": ner_entities,
+    "chunk_lang": chunk_lang,
+    "pos_tag_counts": pos_tag_counts,
+    "doc_with_chunks": doc_with_chunks,
+    "salted_user_stats": salted_user_stats,
+    "hypertable_rollup": hypertable_rollup,
+    "keyphrases": keyphrases,
+    "sentence_chunks": sentence_chunks_q,
+    "hashed_embedding": hashed_embedding,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "full_outer_activity": full_outer_activity,
+    "top_value_suppliers": top_value_suppliers,
+    "text_extraction": text_extraction,
+    "dedup_clusters": dedup_clusters,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "streaming_consolidation": streaming_consolidation,
+    "dedup_survivor_docs": dedup_survivor_docs,
+    "profile_columns": profile_columns,
+    "deterministic_sample": deterministic_sample,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_blocking_supplier": q21_blocking_supplier,
+    "json_extract_agg": json_extract_agg,
+    "running_totals": running_totals,
+    "cube_agg": cube_agg,
+    "consolidation_fold": consolidation_fold,
+    "session_stats": session_stats_q,
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
+    "html_rendition": html_rendition,
+    "chunk_command_fold": chunk_command_fold,
+    "kafka_serde_roundtrip": kafka_serde_roundtrip,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+    "token_packing": token_packing,
+    "domain_mix_sample": domain_mix_sample,
+    "chunk_metadata_enrichment": chunk_metadata_enrichment,
+    "proposer_max_score": proposer_max_score,
+    "side_effect_sink": side_effect_sink,
+    "datarecords_snapshot": datarecords_snapshot,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_stateful_stats": streaming_stateful_stats,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "repetition_filter": repetition_filter,
     # -- previously green ----------------------------------------------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
