@@ -123,13 +123,80 @@ def _write_part(path: str, iterator) -> _Committed:
     return _Committed(name, n)
 
 
-def _publish(path: str, manifest_name: str, files: list, n_rows: int) -> None:
+def _load_manifests(path: str) -> list[dict]:
+    """All published manifests with their metadata, gen-ascending.
+    Legacy manifests without a gen sort first (gen 0, non-barrier)."""
+    import glob
+    import os
+
+    out = []
+    for mpath in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        m.setdefault("gen", 0)
+        m.setdefault("barrier", False)
+        m["_path"] = mpath
+        out.append(m)
+    out.sort(key=lambda m: m["gen"])
+    return out
+
+
+def _visible_manifests(manifests: list[dict]) -> list[dict]:
+    """The reader's visibility rule: a BARRIER manifest (an overwrite
+    commit) supersedes every manifest with a lower gen; everything at
+    or after the newest barrier is visible."""
+    floor_gen = max(
+        (m["gen"] for m in manifests if m["barrier"]), default=None
+    )
+    if floor_gen is None:
+        return manifests
+    return [m for m in manifests if m["gen"] >= floor_gen]
+
+
+def _publish(
+    path: str,
+    manifest_name: str,
+    files: list,
+    n_rows: int,
+    gen: int,
+    barrier: bool,
+) -> None:
     import os
 
     tmp = os.path.join(path, manifest_name + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"files": files, "n_rows": n_rows}, fh)
+        json.dump(
+            {"files": files, "n_rows": n_rows, "gen": gen, "barrier": barrier},
+            fh,
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(tmp, os.path.join(path, manifest_name))
+
+
+def _next_gen(manifests: list[dict]) -> int:
+    return max((m["gen"] for m in manifests), default=0) + 1
+
+
+def _gc_superseded(path: str, manifests: list[dict], keep_gen: int) -> None:
+    """Garbage-collect manifests (and their data files) whose gen is
+    below the newest barrier. Pure cleanup: visibility already flipped
+    when the barrier manifest was published, so a crash anywhere in
+    here changes nothing a reader sees."""
+    import os
+
+    for m in manifests:
+        if m["gen"] >= keep_gen:
+            continue
+        for f in m["files"]:
+            try:
+                os.remove(os.path.join(path, f))
+            except OSError:
+                pass
+        try:
+            os.remove(m["_path"])
+        except OSError:
+            pass
 
 
 def _drop_parts(path: str, messages) -> None:
@@ -144,6 +211,12 @@ def _drop_parts(path: str, messages) -> None:
 
 
 class DocSinkWriter(DataSourceWriter):
+    """Batch writer. Commit order is publish-THEN-gc: the new manifest
+    (an atomic rename) is the single visibility switch, so a crash at
+    any point leaves the sink either fully pre-commit or fully
+    post-commit — never empty, never a mix. (Single concurrent writer
+    assumed, as with any file-sink metadata log.)"""
+
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
@@ -152,40 +225,36 @@ class DocSinkWriter(DataSourceWriter):
         return _write_part(self.path, iterator)
 
     def commit(self, messages) -> None:
-        import glob
-        import os
-
         files = [m.filename for m in messages if m is not None]
         n = sum(m.n_rows for m in messages if m is not None)
+        manifests = _load_manifests(self.path)
+        gen = _next_gen(manifests)
+        # Overwrite publishes a BARRIER manifest FIRST — readers atomically
+        # stop seeing older gens the moment it lands — and only then
+        # garbage-collects the superseded manifests + data files. Append
+        # publishes its own delta manifest (no read-modify-write of
+        # previous manifests; readers union all visible gens).
+        _publish(
+            self.path,
+            f"_MANIFEST-b{gen:09d}.json",
+            files,
+            n,
+            gen,
+            barrier=self.overwrite,
+        )
         if self.overwrite:
-            # overwrite supersedes EVERYTHING previously published —
-            # batch manifest AND per-epoch streaming manifests (the
-            # reader globs _MANIFEST*.json) — and drops their data
-            # files so nothing stays visible or accumulates
-            old_files: list[str] = []
-            for mpath in glob.glob(
-                os.path.join(self.path, "_MANIFEST*.json")
-            ):
-                with open(mpath) as fh:
-                    old_files += json.load(fh)["files"]
-                os.remove(mpath)
-            for f in old_files:
-                try:
-                    os.remove(os.path.join(self.path, f))
-                except OSError:
-                    pass
-        elif os.path.exists(os.path.join(self.path, "_MANIFEST.json")):
-            with open(os.path.join(self.path, "_MANIFEST.json")) as fh:
-                prev = json.load(fh)
-            files = prev["files"] + files
-            n += prev["n_rows"]
-        _publish(self.path, "_MANIFEST.json", files, n)
+            _gc_superseded(self.path, manifests, keep_gen=gen)
 
     def abort(self, messages) -> None:
         _drop_parts(self.path, messages)
 
 
 class DocSinkStreamWriter(DataSourceStreamWriter):
+    """Streaming writer — APPEND output mode only. complete/update
+    would need each epoch to supersede the previous one; rather than
+    silently unioning epochs (duplicated rows), non-append modes are
+    rejected up front in DocFeedDataSource.streamWriter."""
+
     def __init__(self, options, overwrite: bool):
         self.path = options["path"]
 
@@ -194,10 +263,18 @@ class DocSinkStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         # per-epoch manifest; a replayed batchId simply overwrites its
-        # own manifest — committed data is never duplicated
+        # own manifest — committed data is never duplicated. gen rides
+        # the same counter as batch commits so a later batch overwrite
+        # correctly supersedes earlier epochs.
         files = [m.filename for m in messages if m is not None]
         n = sum(m.n_rows for m in messages if m is not None)
-        _publish(self.path, f"_MANIFEST-{batchId}.json", files, n)
+        manifests = _load_manifests(self.path)
+        name = f"_MANIFEST-s{batchId:09d}.json"
+        replay = [m for m in manifests if m["_path"].endswith(name)]
+        # replay keeps its original gen (idempotent re-publish);
+        # a fresh epoch takes the next gen
+        gen = replay[0]["gen"] if replay else _next_gen(manifests)
+        _publish(self.path, name, files, n, gen, barrier=False)
 
     def abort(self, messages, batchId: int) -> None:
         _drop_parts(self.path, messages)
@@ -206,18 +283,17 @@ class DocSinkStreamWriter(DataSourceStreamWriter):
 def read_docsink(
     spark, path: str, schema: str = "doc_id bigint, payload string"
 ):
-    """Read back ONLY manifested rows (the sink's visibility rule).
+    """Read back ONLY manifested rows (the sink's visibility rule):
+    union every manifest at or after the newest barrier gen.
 
     The sink itself serializes arbitrary rows; pass the frame's actual
     schema when it differs from the docfeed default — the JSON reader
     would otherwise surface nulls for unknown columns."""
-    import glob
     import os
 
     files: list[str] = []
-    for mpath in sorted(glob.glob(os.path.join(path, "_MANIFEST*.json"))):
-        with open(mpath) as fh:
-            files += [os.path.join(path, f) for f in json.load(fh)["files"]]
+    for m in _visible_manifests(_load_manifests(path)):
+        files += [os.path.join(path, f) for f in m["files"]]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
@@ -245,6 +321,12 @@ class DocFeedDataSource(DataSource):
         return DocSinkWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "docfeed sink supports append output mode only: "
+                "complete/update would union per-epoch manifests into "
+                "duplicated rows (use a batch overwrite to supersede)"
+            )
         return DocSinkStreamWriter(self.options, overwrite)
 
 

@@ -64,7 +64,9 @@ def test_batch_writer_commit_protocol(spark):
         .option("n_partitions", 3).load()
     )
     df.write.format("docfeed").option("path", sink).mode("append").save()
-    assert os.path.exists(os.path.join(sink, "_MANIFEST.json"))
+    import glob
+
+    assert glob.glob(os.path.join(sink, "_MANIFEST-b*.json"))
     back = read_docsink(spark, sink)
     assert back.count() == 20
     # append doubles the visible rows
@@ -171,16 +173,98 @@ def test_overwrite_supersedes_streaming_manifests(spark):
     )
     df.write.format("docfeed").option("path", sink).mode("overwrite").save()
     assert read_docsink(spark, sink).count() == 20  # not 50
-    # exactly one manifest remains; superseded part files are gone
-    assert glob.glob(os.path.join(sink, "_MANIFEST*.json")) == [
-        os.path.join(sink, "_MANIFEST.json")
-    ]
-    with open(os.path.join(sink, "_MANIFEST.json")) as fh:
+    # exactly one (barrier) manifest remains; superseded part files gone
+    remaining = glob.glob(os.path.join(sink, "_MANIFEST*.json"))
+    assert len(remaining) == 1
+    with open(remaining[0]) as fh:
         import json as js
 
-        manifested = set(js.load(fh)["files"])
+        m = js.load(fh)
+    assert m["barrier"] is True
+    manifested = set(m["files"])
     on_disk = {
         os.path.basename(p)
         for p in glob.glob(os.path.join(sink, "part-*.jsonl"))
     }
     assert on_disk == manifested
+
+
+def test_overwrite_crash_window_never_loses_committed_data(spark):
+    """The commit's visibility switch is the barrier-manifest rename:
+    BEFORE it lands readers still see the full previous state (nothing
+    was deleted yet); AFTER it lands — even if the GC step never runs —
+    readers see exactly the new state. There is no point in the commit
+    where previously committed data is lost while nothing is published."""
+    import os
+
+    from intelligencepipeline_spark.sources.pyfeed import (
+        _gc_superseded,
+        _load_manifests,
+        _publish,
+        read_docsink,
+    )
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_crash_")
+    df = (
+        spark.read.format("docfeed").option("n_docs", 20)
+        .option("n_partitions", 2).load()
+    )
+    df.write.format("docfeed").option("path", sink).mode("append").save()
+    assert read_docsink(spark, sink).count() == 20
+
+    # simulate an overwrite commit that crashed BETWEEN publishing the
+    # barrier manifest and garbage-collecting the old gen: write one
+    # data file + barrier manifest by hand, GC never runs
+    prev = _load_manifests(sink)
+    gen = prev[-1]["gen"] + 1
+    with open(os.path.join(sink, "part-crash.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 999, "payload": "x"}\n')
+    _publish(
+        sink, f"_MANIFEST-b{gen:09d}.json", ["part-crash.jsonl"], 1,
+        gen, barrier=True,
+    )
+    # old manifests + files still on disk, but readers see ONLY the new gen
+    assert read_docsink(spark, sink).count() == 1
+    # ... and the next GC (as run by any later overwrite commit) is pure
+    # cleanup: visibility unchanged
+    _gc_superseded(sink, prev, keep_gen=gen)
+    assert read_docsink(spark, sink).count() == 1
+
+    # the OTHER half of the window: before the barrier manifest lands,
+    # nothing has been deleted — a crash pre-publish leaves the previous
+    # state fully intact (nothing in the commit path deletes before
+    # publishing; asserted here by re-checking a fresh sink)
+    sink2 = tempfile.mkdtemp(prefix="ip_docsink_crash2_")
+    df.write.format("docfeed").option("path", sink2).mode("append").save()
+    before = read_docsink(spark, sink2).count()
+    # a stray uncommitted part file (task output whose job died) is
+    # invisible and harmless
+    with open(os.path.join(sink2, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1000, "payload": "y"}\n')
+    assert read_docsink(spark, sink2).count() == before
+
+
+def test_stream_writer_rejects_non_append_modes(spark):
+    """complete/update would union per-epoch manifests into duplicated
+    rows; the sink refuses them up front."""
+    import pytest
+
+    register(spark)
+    sink = tempfile.mkdtemp(prefix="ip_docsink_mode_")
+    ckpt = tempfile.mkdtemp(prefix="ip_docsink_modeck_")
+    stream = (
+        spark.readStream.format("docfeed")
+        .option("n_docs", 10).option("batch_size", 10).load()
+    )
+    agg = stream.groupBy().count()
+    with pytest.raises(Exception, match="append output mode only"):
+        q = (
+            agg.writeStream.format("docfeed")
+            .outputMode("complete")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
