@@ -272,10 +272,14 @@ def decode_record(buf: bytes, sch: dict) -> dict:
 def _pyify(v: Any) -> Any:
     import numpy as np
 
+    from pyspark.sql import Row
+
     if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date, str, bytes)):
         return v
     if isinstance(v, np.generic):
         return v.item()
+    if isinstance(v, Row):  # nested struct (Row IS a tuple — check first)
+        return {k: _pyify(x) for k, x in v.asDict().items()}
     if isinstance(v, dict):
         return {k: _pyify(x) for k, x in v.items()}
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -290,31 +294,36 @@ def _pyify(v: Any) -> Any:
 def avro_encode(col: Column, spark_schema: T.StructType) -> Column:
     """Encode a struct column to Avro binary per the contract derived
     from ``spark_schema`` (the hermetic counterpart of spark-avro's
-    ``to_avro``)."""
-    sch = struct_to_avro_schema(spark_schema, "Value")
+    ``to_avro``).
 
-    @F.pandas_udf("binary")
-    def enc(pdf: pd.DataFrame) -> pd.Series:
-        names = [f["name"] for f in sch["fields"]]
-        vals = []
-        for row in pdf.itertuples(index=False):
-            rec = {n: _pyify(getattr(row, n)) for n in names}
-            vals.append(encode_record(rec, sch))
-        return pd.Series(vals, dtype=object)
+    Arrow-optimized Python UDF, NOT a pandas UDF: the Arrow→pandas hop
+    would deliver NULLs of nullable long/double fields as float NaN
+    (pandas has no integer NA in the default dtypes), so a NULL bigint
+    would crash int(NaN) and a NULL double would silently encode as
+    IEEE NaN. The Arrow row path honors the validity bitmap — NULL
+    arrives as None, a stored NaN stays NaN — keeping the two
+    distinguishable end to end. Transfer stays Arrow-batched; the
+    per-row codec loop is inherent to Avro either way."""
+    sch = struct_to_avro_schema(spark_schema, "Value")
+    names = [f["name"] for f in sch["fields"]]
+
+    @F.udf(returnType="binary", useArrow=True)
+    def enc(row) -> bytes:
+        rec = {n: _pyify(row[n]) for n in names}
+        return encode_record(rec, sch)
 
     return enc(col)
 
 
 def avro_decode(col: Column, spark_schema: T.StructType) -> Column:
     """Decode an Avro binary column back to ``spark_schema`` (hermetic
-    ``from_avro``)."""
+    ``from_avro``). Arrow-optimized Python UDF for the same NULL/NaN
+    fidelity as ``avro_encode``: a decoded null union branch returns
+    None (a true SQL NULL), a decoded NaN double stays NaN."""
     sch = struct_to_avro_schema(spark_schema, "Value")
 
-    @F.pandas_udf(spark_schema)
-    def dec(s: pd.Series) -> pd.DataFrame:
-        rows = [decode_record(bytes(b), sch) for b in s]
-        return pd.DataFrame(
-            {f.name: [r[f.name] for r in rows] for f in spark_schema.fields}
-        )
+    @F.udf(returnType=spark_schema, useArrow=True)
+    def dec(b) -> dict:
+        return decode_record(bytes(b), sch)
 
     return dec(col)

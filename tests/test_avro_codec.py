@@ -325,3 +325,38 @@ def test_decode_rejects_trailing_garbage():
     }
     with pytest.raises(ValueError):
         decode_record(encode_record({"id": 1}, sch) + b"\x00", sch)
+
+
+def test_column_api_nullable_numerics_null_vs_nan(spark):
+    """END-TO-END null fidelity through the Spark column API: a NULL
+    bigint must encode the null union branch (not crash on int(NaN)),
+    a NULL double must round-trip as SQL NULL, and a REAL NaN double
+    must round-trip as NaN — the three cases the pandas hop used to
+    conflate (Arrow-UDF validity-bitmap fix)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("d", T.DoubleType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, None, None), (2, 5, float("nan")), (3, 7, 1.5)], sch
+    )
+    wire = df.select(
+        avro_encode(F.struct(*[F.col(c) for c in df.columns]), sch)
+        .alias("value")
+    )
+    back = {
+        r.id: r
+        for r in wire.select(avro_decode(F.col("value"), sch).alias("v"))
+        .select("v.*")
+        .collect()
+    }
+    assert back[1].n is None and back[1].d is None
+    assert back[2].n == 5 and math.isnan(back[2].d)
+    assert back[3].n == 7 and back[3].d == 1.5
