@@ -2,6 +2,7 @@ from intelligencepipeline_spark.streaming.pipeline import (
     consolidate_stream,
     consolidate_to_bucketed_table,
     consolidate_to_table,
+    read_bucketed_snapshot,
     session_window_reassembly,
     stream_stream_chunk_join,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "consolidate_stream",
     "consolidate_to_bucketed_table",
     "consolidate_to_table",
+    "read_bucketed_snapshot",
     "session_window_reassembly",
     "stream_stream_chunk_join",
     "streaming_dedup_content",

@@ -87,6 +87,63 @@ def consolidate_to_table(
     return writer.start()
 
 
+# --------------------------------------------------------------------
+# Bucketed snapshot manifest commit: the crash-safety layer under
+# consolidate_to_bucketed_table. Each bucket's current contents live in
+# a generation subdirectory `bucket=<b>/gen=<g>/`; `_MANIFEST.json`
+# maps bucket -> current gen and is the SINGLE visibility switch (tmp
+# write + fsync + atomic rename). A commit writes brand-new gen dirs
+# (deleting nothing), publishes the manifest, and only then
+# garbage-collects the superseded gens — so a crash at ANY point leaves
+# readers on a complete, consistent snapshot (the old one pre-publish,
+# the new one post-publish). This is the same two-phase contract as the
+# docfeed sink (sources/pyfeed.py) and what Delta's MERGE log would
+# provide; implemented manifest-style because the container has no
+# delta jar.
+# --------------------------------------------------------------------
+
+_SNAPSHOT_MANIFEST = "_MANIFEST.json"
+
+
+def _read_snapshot_manifest(table_path: str) -> dict | None:
+    import json
+
+    p = os.path.join(table_path, _SNAPSHOT_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _publish_snapshot_manifest(table_path: str, manifest: dict) -> None:
+    import json
+
+    tmp = os.path.join(table_path, _SNAPSHOT_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(table_path, _SNAPSHOT_MANIFEST))
+
+
+def read_bucketed_snapshot(spark, table_path: str) -> DataFrame:
+    """Read the manifest-current state of a bucketed snapshot (the only
+    correct read path — a plain ``spark.read.parquet(table)`` would also
+    see superseded or in-flight generation directories)."""
+    manifest = _read_snapshot_manifest(table_path)
+    if manifest is None or not manifest["buckets"]:
+        raise FileNotFoundError(f"no snapshot manifest at {table_path}")
+    paths = [
+        os.path.join(table_path, f"bucket={b}", f"gen={g}")
+        for b, g in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+    # basePath keeps `bucket` (and `gen`) as partition columns; gen is
+    # commit bookkeeping, not data
+    return (
+        spark.read.option("basePath", table_path).parquet(*paths).drop("gen")
+    )
+
+
 def consolidate_to_bucketed_table(
     events: DataFrame,
     table_path: str,
@@ -99,49 +156,92 @@ def consolidate_to_bucketed_table(
     rewrites the whole table every batch; fine for tests, wrong at
     scale).
 
-    Layout: ``table_path/bucket=<pmod(doc_id, n_buckets)>/``. Per batch:
-    fold the batch, list its touched buckets (a tiny distinct), read
-    ONLY those partitions of the snapshot (partition pruning), merge,
-    and rewrite just those directories via dynamic partition overwrite.
-    Per-batch cost scales with the batch's key spread, not table size.
+    Layout: ``table_path/bucket=<pmod(doc_id, n_buckets)>/gen=<g>/``
+    with a manifest naming each bucket's current gen (see the commit
+    notes above — the manifest rename is the atomic visibility switch,
+    closing the crash window a read-merge-dynamic-overwrite would
+    have between deleting and rewriting a partition). Per batch: fold
+    the batch, list its touched buckets (a tiny distinct), read ONLY
+    those buckets of the snapshot (manifest-pruned paths), merge, write
+    the merged buckets as NEW gen dirs, publish, GC. Per-batch cost
+    scales with the batch's key spread, not table size.
 
     Size ``n_buckets`` so one bucket ≈ a few GB at the target scale
     (100 TB / 64k buckets ≈ 1.6 GB). With Delta on the classpath,
-    replace the read-merge-overwrite with ``MERGE INTO`` keyed on
-    (bucket, doc_id) — same layout, stronger atomicity.
+    replace this machinery with ``MERGE INTO`` keyed on
+    (bucket, doc_id) — same layout, same contract.
     """
+    import shutil
+
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
         folded = consolidate_events(batch, strict=False)
-        if os.path.exists(table_path):
-            touched = [
-                r[0]
-                for r in folded.select(
-                    F.pmod("doc_id", F.lit(n_buckets)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-            existing = spark.read.parquet(table_path).filter(
-                F.col("bucket").isin(touched)
+        manifest = _read_snapshot_manifest(table_path) or {
+            "gen": 0,
+            "buckets": {},
+        }
+        touched = [
+            r[0]
+            for r in folded.select(
+                F.pmod("doc_id", F.lit(n_buckets)).alias("b")
             )
-            merged = _merge_folds(existing.drop("bucket"), folded)
+            .distinct()
+            .collect()
+        ]
+        current = {
+            b: g for b, g in manifest["buckets"].items() if int(b) in touched
+        }
+        if current:
+            paths = [
+                os.path.join(table_path, f"bucket={b}", f"gen={g}")
+                for b, g in current.items()
+            ]
+            existing = (
+                spark.read.option("basePath", table_path)
+                .parquet(*paths)
+                .drop("bucket", "gen")
+            )
+            merged = _merge_folds(existing, folded)
         else:
             merged = folded
         out = merged.withColumn(
             "bucket", F.pmod("doc_id", F.lit(n_buckets))
         )
-        # Materialize before overwriting partitions we just read from
-        # (lineage truncation; Delta MERGE removes the need for this).
-        out = out.localCheckpoint(eager=True)
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(table_path)
+        # Phase 1 — WRITE: new gen dirs via a staging dir; nothing
+        # current is modified or deleted. A fresh gen per attempt (not
+        # per epoch) keeps a replayed epoch from touching a live dir;
+        # the fold's idempotence makes the replayed contents identical.
+        gen = manifest["gen"] + 1
+        staging = os.path.join(table_path, f"_staging-gen-{gen}")
+        shutil.rmtree(staging, ignore_errors=True)
+        out.write.partitionBy("bucket").parquet(staging)
+        new_buckets = dict(manifest["buckets"])
+        for d in os.listdir(staging):
+            if not d.startswith("bucket="):
+                continue
+            b = d.split("=", 1)[1]
+            dest = os.path.join(table_path, d, f"gen={gen}")
+            os.makedirs(os.path.join(table_path, d), exist_ok=True)
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(os.path.join(staging, d), dest)
+            new_buckets[b] = gen
+        shutil.rmtree(staging, ignore_errors=True)
+        # Phase 2 — PUBLISH: one atomic rename flips every touched
+        # bucket to its new gen simultaneously.
+        _publish_snapshot_manifest(
+            table_path, {"gen": gen, "buckets": new_buckets}
         )
+        # Phase 3 — GC: superseded gens of the touched buckets. Pure
+        # cleanup; a crash here leaves only invisible garbage, removed
+        # the next time the bucket is touched.
+        for b, old_gen in current.items():
+            if new_buckets.get(b) != old_gen:
+                shutil.rmtree(
+                    os.path.join(table_path, f"bucket={b}", f"gen={old_gen}"),
+                    ignore_errors=True,
+                )
 
     writer = events.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint

@@ -121,6 +121,7 @@ def test_bucketed_snapshot_incremental_merge(spark, event_dir):
 
     from intelligencepipeline_spark.streaming.pipeline import (
         consolidate_to_bucketed_table,
+        read_bucketed_snapshot,
     )
 
     table = tempfile.mkdtemp(prefix="ip_btable_") + "/consolidated"
@@ -147,7 +148,7 @@ def test_bucketed_snapshot_incremental_merge(spark, event_dir):
     )
     q2.awaitTermination(120)
 
-    snap = spark.read.parquet(table)
+    snap = read_bucketed_snapshot(spark, table)
     assert any(d.startswith("bucket=") for d in os.listdir(table))
 
     all_events = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
@@ -159,3 +160,77 @@ def test_bucketed_snapshot_incremental_merge(spark, event_dir):
         m["created_by"] for m in b[1]["meta"]
     )
     assert s[9]["name"] == "/z"
+
+
+def test_bucketed_snapshot_crash_between_write_and_publish(spark, event_dir):
+    """Kill-between-read-and-overwrite safety: a merge attempt that
+    dies AFTER writing its new gen dirs but BEFORE publishing the
+    manifest leaves readers on the exact pre-batch snapshot; a retry
+    then converges normally. (The old dynamic-partition-overwrite path
+    could lose the overwritten partitions in this window.)"""
+    import json
+    import os
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        consolidate_to_bucketed_table,
+        read_bucketed_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="ip_btable_crash_") + "/consolidated"
+    ckpt = tempfile.mkdtemp(prefix="ip_bckpt_crash_")
+    q = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+    before = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+    assert set(before) == {1, 2}
+    with open(os.path.join(table, "_MANIFEST.json")) as fh:
+        manifest_before = json.load(fh)
+
+    # simulate the crashed attempt: new gen dirs exist on disk (copied
+    # from the live ones) but the manifest was never republished
+    crash_gen = manifest_before["gen"] + 7
+    for b, g in manifest_before["buckets"].items():
+        src = os.path.join(table, f"bucket={b}", f"gen={g}")
+        dst = os.path.join(table, f"bucket={b}", f"gen={crash_gen}")
+        shutil.copytree(src, dst)
+    # an abandoned staging dir too
+    os.makedirs(os.path.join(table, f"_staging-gen-{crash_gen}"), exist_ok=True)
+
+    # readers see EXACTLY the pre-crash snapshot — no loss, no doubling
+    after_crash = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+    assert after_crash == before
+
+    # recovery: new events land, the stream restarts from the same
+    # checkpoint, and the snapshot converges to the full batch fold
+    late = spark.createDataFrame(
+        [
+            (1, "UPSERT_METADATA", "2024-01-01 00:00:06", None, None,
+             ({"pos": "NN"}, "stanford")),
+        ],
+        EVENT_SCHEMA_STR,
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    late.write.mode("append").parquet(event_dir)
+    q2 = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4, checkpoint=ckpt
+    )
+    q2.awaitTermination(120)
+    snap = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+    all_events = spark.read.schema(EVENT_SCHEMA).parquet(event_dir)
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in consolidate_events(all_events, strict=False).collect()
+    }
+    assert set(snap) == set(batch)
+    assert sorted(m["created_by"] for m in snap[1]["meta"]) == sorted(
+        m["created_by"] for m in batch[1]["meta"]
+    )
