@@ -60,3 +60,24 @@ def test_parses_truncated_driver_tail():
         r = _run(old, new)
         assert r.returncode == 0, r.stdout + r.stderr
         assert "q7_nation" in r.stdout or "total" in r.stdout
+
+
+def test_local_bench_never_regresses_vs_committed_round_bench():
+    """The adversarial per-round gate (r02 verdict item 8): the repo's
+    current bench_full.json must not show any query >1.5x AND >0.5s
+    slower than the last driver-recorded round bench. Red here means a
+    change this round regressed something the way r02's
+    streaming_consolidation scare looked — fix it or justify it before
+    shipping. (bench_full.json is regenerated each round by bench.py;
+    comparing the committed r02 artifact against itself is impossible
+    because the driver file lacks the full per-query map.)"""
+    import glob
+    import os
+
+    rounds = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    assert rounds, "driver bench artifacts missing"
+    baseline = rounds[-1]
+    current = "/root/repo/bench_full.json"
+    assert os.path.exists(current), "run bench.py to produce bench_full.json"
+    r = _run(baseline, current)
+    assert r.returncode == 0, f"bench regression vs {baseline}:\n{r.stdout}"
