@@ -220,16 +220,21 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     max_bucket: int = 1000,
     shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded minhash-LSH.
 
     rows-per-band r = num_hashes // bands; docs sharing any band land in
     the same bucket. Output: (a, b) with a < b, distinct across bands.
+    Pass precomputed ``shingles``/``signatures`` to share scans with
+    sibling operators in a composed pipeline.
     """
     r = num_hashes // bands
-    sig = minhash_signatures_df(
-        df, text_col, key, num_hashes, shingle_k, shingles=shingles
-    ).select(
+    if signatures is None:
+        signatures = minhash_signatures_df(
+            df, text_col, key, num_hashes, shingle_k, shingles=shingles
+        )
+    sig = signatures.select(
         F.col(key).alias("a"), F.col("signature").alias("sig")
     )
     banded = sig.select(

@@ -3683,3 +3683,150 @@ SELECT doc_id,
   cast(2 * len(tk) as bigint) AS flat2
 FROM t ORDER BY doc_id
 """
+
+
+# ===================================================================
+# Round-3 additions (b4): estimator audit, CDC diff, compaction plan,
+# JL projection, vocab coverage
+# ===================================================================
+
+# MinHash estimator audit: candidates + signatures + exact intersection
+# all re-derived in SQL (same md5-rotation family as minhash_signatures).
+ORACLES["minhash_jaccard_estimate_audit"] = f"""
+WITH hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+), shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+  cast(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) as bigint)
+    AS sig_matches,
+  cast(coalesce(i.common, 0) as bigint) AS common,
+  cast(za.n + zb.n - coalesce(i.common, 0) as bigint) AS union_sz,
+  cast(len(list_filter(range(1, 9), i -> sa.sig[i] = sb.sig[i])) as double)
+    / 8.0 AS est_jaccard,
+  cast(coalesce(i.common, 0) as double)
+    / cast(za.n + zb.n - coalesce(i.common, 0) as double) AS exact_jaccard
+FROM cand c
+JOIN sigs sa ON c.a = sa.doc_id
+JOIN sigs sb ON c.b = sb.doc_id
+LEFT JOIN inter i ON c.a = i.a AND c.b = i.b
+JOIN sizes za ON c.a = za.doc_id
+JOIN sizes zb ON c.b = zb.doc_id
+ORDER BY c.a, c.b
+"""
+
+# CDC snapshot diff: v1 (ts < cutoff) vs v2 (all), same fold both sides.
+ORACLES["snapshot_diff"] = """
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+    cast(floor(epoch(ts)) as bigint) AS es,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents,
+    ts < timestamp '2024-01-15 00:00:00' AS in_v1
+  FROM events
+), v1a AS (
+  SELECT user_id, count(*) AS old_n, sum(cents) AS old_cents
+  FROM base WHERE in_v1 GROUP BY user_id
+), v1l AS (
+  SELECT user_id, event_type AS old_last FROM base WHERE in_v1
+  QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY es DESC, event_id DESC) = 1
+), v1 AS (
+  SELECT v1a.user_id, old_n, old_cents, old_last
+  FROM v1a JOIN v1l USING (user_id)
+), v2a AS (
+  SELECT user_id, count(*) AS new_n, sum(cents) AS new_cents
+  FROM base GROUP BY user_id
+), v2l AS (
+  SELECT user_id, event_type AS new_last FROM base
+  QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY es DESC, event_id DESC) = 1
+), v2 AS (
+  SELECT v2a.user_id, new_n, new_cents, new_last
+  FROM v2a JOIN v2l USING (user_id)
+)
+SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+  CASE WHEN v1.user_id IS NULL THEN 'added'
+       WHEN v2.user_id IS NULL THEN 'removed'
+       WHEN v1.old_n = v2.new_n AND v1.old_cents = v2.new_cents
+            AND v1.old_last = v2.new_last THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  cast(coalesce(old_n, -1) as bigint) AS old_n,
+  cast(coalesce(new_n, -1) as bigint) AS new_n,
+  cast(coalesce(old_cents, -1) as bigint) AS old_cents,
+  cast(coalesce(new_cents, -1) as bigint) AS new_cents,
+  coalesce(old_last, '') AS old_last,
+  coalesce(new_last, '') AS new_last
+FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+ORDER BY user_id
+"""
+
+# Compaction plan: the oracle recomputes per-bucket stats from the
+# LOGICAL table with n_files pinned to 1 — the hash compare proves the
+# physical one-file-per-bucket write.
+ORACLES["file_compaction_plan"] = """
+SELECT cast(user_id % 23 as bigint) AS bucket,
+  cast(1 as bigint) AS n_files,
+  count(*) AS n_rows,
+  cast(CASE WHEN count(*) < 400 THEN 1 ELSE 0 END as bigint) AS is_small
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+# JL projection: the full sign matrix re-derived from md5 parity in SQL.
+ORACLES["random_projection_sketch"] = f"""
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, {_QELEM} AS q
+  FROM embeddings
+), dims AS (
+  SELECT range AS j FROM range(0, 16)
+), terms AS (
+  SELECT vec_id, j,
+    CASE WHEN substr(md5(j || '_' || i), 1, 1)
+           IN ('0','2','4','6','8','a','c','e')
+         THEN q ELSE -q END AS t
+  FROM el CROSS JOIN dims
+), proj AS (
+  SELECT vec_id, j, cast(sum(t) as bigint) AS p
+  FROM terms GROUP BY 1, 2
+)
+SELECT vec_id,
+  string_agg(p, '|' ORDER BY j) AS proj,
+  cast(sum(p * p) as bigint) AS sq_norm
+FROM proj GROUP BY vec_id ORDER BY vec_id
+"""
+
+# Vocab coverage: top-256 by (freq desc, token asc), OOV per language.
+ORACLES["vocab_oov_audit"] = f"""
+WITH toks AS (
+  SELECT lang, unnest({_NTOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT 256
+), marked AS (
+  SELECT t.lang, t.tok, v.tok IS NOT NULL AS in_vocab
+  FROM toks t LEFT JOIN vocab v USING (tok)
+)
+SELECT lang, count(*) AS n_tokens,
+  cast(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) as bigint) AS n_oov,
+  cast(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) as double)
+    / cast(count(*) as double) AS oov_rate
+FROM marked GROUP BY lang ORDER BY lang
+"""

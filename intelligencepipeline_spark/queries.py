@@ -7056,6 +7056,304 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ===================================================================
+# (b4) round-3 additions: sketch audits, CDC diff, storage planning,
+# dimensionality reduction, tokenizer coverage
+# ===================================================================
+
+
+def minhash_jaccard_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash ESTIMATOR audit (the statistical contract behind the
+    whole LSH dedup family): for every banded-LSH candidate pair,
+    export the signature agreement count (0..8) next to the EXACT
+    shingle intersection/union — est_jaccard = matches/8 is the
+    unbiased MinHash estimate of exact_jaccard, and the oracle
+    re-derives both sides independently (md5-rotation signatures in
+    SQL, exact set intersection in SQL). Any drift in the signature
+    math, band hashing, or shingle derivation breaks the hash compare.
+
+    Scale: candidates come from the capped LSH buckets (never
+    all-pairs); the exact side is restricted to candidate docs before
+    the inverted-index join — the same pruned shape as dedup_pipeline.
+    Both ratios are single IEEE divisions of exact integers."""
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
+    docs = _t(spark, sf_dir, "documents")
+    # one shingle scan + one signature build feed candidates, the
+    # estimator, AND the exact-verification side (persist: three
+    # consumers, tiny per-doc rows)
+    sh0 = word_shingles_df(docs, k=3).persist()
+    sigs = minhash_signatures_df(
+        docs, num_hashes=8, shingle_k=3, shingles=sh0
+    ).persist()
+    pairs, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3, signatures=sigs
+    )
+
+    sh = sh0.withColumnRenamed("doc_id", "id")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    cand_ids = pairs.select(
+        F.explode(F.array("a", "b")).alias("id")
+    ).distinct()
+    shc = sh.join(cand_ids, "id", "left_semi")
+    inter = (
+        shc.alias("x")
+        .join(shc.alias("y"), "shingle")
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .join(pairs, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+    sa = sigs.select(
+        F.col("doc_id").alias("a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b"), F.col("signature").alias("sig_b")
+    )
+    out = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnsRenamed({"id": "a", "n": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"id": "b", "n": "nb"}), "b")
+        .select(
+            "a",
+            "b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            .cast("long")
+            .alias("sig_matches"),
+            F.coalesce(F.col("common"), F.lit(0)).cast("long").alias("common"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("common"), F.lit(0)))
+            .cast("long")
+            .alias("union_sz"),
+        )
+        .withColumn(
+            "est_jaccard", F.col("sig_matches").cast("double") / F.lit(8.0)
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.col("common").cast("double") / F.col("union_sz").cast("double"),
+        )
+        .orderBy("a", "b")
+    )
+    return out
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot DIFF (the table-versioning audit a training-data
+    pipeline runs between corpus releases): per-user consolidated state
+    at a cutoff (v1) vs current (v2), full-outer joined and classified
+    added/changed/unchanged (removed impossible on an append-only log
+    but handled). Exports both versions' aggregates per key so any
+    fold or classification drift is hash-visible.
+
+    Scale: two keyed aggs + a row_number compaction + one full-outer
+    join, all on user_id — four co-keyed shuffles, no fanout; AQE
+    merges the exchanges where partitioning matches."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def state(df: DataFrame, tag: str) -> DataFrame:
+        base = df.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").cast("long").alias("es"),
+            (_dec("value") * 100).cast("long").alias("cents"),
+        )
+        agg = base.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum("cents").alias(f"{tag}_cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("es"), F.desc("event_id")
+        )
+        last = (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias(f"{tag}_last"))
+        )
+        return agg.join(last, "user_id")
+
+    v1 = state(ev.filter(F.col("ts") < cutoff), "old")
+    v2 = state(ev, "new")
+    d = v1.join(v2, "user_id", "full_outer")
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_n") == F.col("new_n"))
+            & (F.col("old_cents") == F.col("new_cents"))
+            & (F.col("old_last") == F.col("new_last")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return d.select(
+        "user_id",
+        status.alias("status"),
+        F.coalesce("old_n", F.lit(-1)).cast("long").alias("old_n"),
+        F.coalesce("new_n", F.lit(-1)).cast("long").alias("new_n"),
+        F.coalesce("old_cents", F.lit(-1)).cast("long").alias("old_cents"),
+        F.coalesce("new_cents", F.lit(-1)).cast("long").alias("new_cents"),
+        F.coalesce("old_last", F.lit("")).alias("old_last"),
+        F.coalesce("new_last", F.lit("")).alias("new_last"),
+    ).orderBy("user_id")
+
+
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planner (the storage-maintenance operator
+    every 100 TB lake runs nightly): stage the events table one file
+    per bucket (repartition-by-key write), then introspect the physical
+    layout with input_file_name() — per-bucket file count, row count,
+    and a small-file flag against a target row threshold. The oracle
+    recomputes the same stats from the LOGICAL table (bucket = user_id
+    % 23, n_files = 1), so the hash compare proves the physical claim
+    'exactly one file per bucket, containing exactly that bucket's
+    rows' — a broken repartition or a task-split write turns the row
+    red.
+
+    Scale: the staging write is one keyed shuffle + one pass (what the
+    real compactor pays); the planner itself reads footer-cheap stats
+    (here rows via count, on a lake: parquet metadata only)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        F.pmod("user_id", F.lit(23)).cast("long").alias("bucket"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="ip_compact_") + "/t"
+    (
+        staged.repartition(23, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).withColumn(
+        "file", F.input_file_name()
+    )
+    per_file = back.groupBy("bucket", "file").agg(
+        F.count(F.lit(1)).alias("rows_in_file")
+    )
+    plan = per_file.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rows_in_file").cast("long").alias("n_rows"),
+    )
+    return plan.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_files",
+        "n_rows",
+        (F.col("n_rows") < 400).cast("long").alias("is_small"),
+    ).orderBy("bucket")
+
+
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION (64-d → 16-d) with
+    md5-derived deterministic ±1 signs — the dimensionality-reduction
+    preprocessing for cheap ANN / clustering at scale. Sign(j,i) =
+    parity of the first hex digit of md5('<j>_<i>'), derived INSIDE
+    both engines (no Python-side literals), so the oracle re-derives
+    the full projection matrix and every projected coordinate exactly
+    (integer-quantized inputs, integer sums).
+
+    Scale: posexplode fanout (64·16 rows per vector) into one keyed
+    partial-agg shuffle on (vec_id, j) — expression-only, no UDF, no
+    driver matrix. Exports the 16 coordinates joined to a string plus
+    the projected squared norm (the JL-preserved quantity)."""
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    _EVEN = ["0", "2", "4", "6", "8", "a", "c", "e"]
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode(quantize(F.col("embedding"))).alias("i", "q")
+    )
+    dims = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    sign_is_pos = F.substring(
+        F.md5(F.concat_ws("_", F.col("j"), F.col("i"))), 1, 1
+    ).isin(_EVEN)
+    terms = el.crossJoin(dims).select(
+        "vec_id",
+        "j",
+        F.when(sign_is_pos, F.col("q")).otherwise(-F.col("q")).alias("t"),
+    )
+    proj = terms.groupBy("vec_id", "j").agg(
+        F.sum("t").cast("long").alias("p")
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "p"))),
+                    lambda x: x["p"].cast("string"),
+                ),
+                "|",
+            ).alias("proj"),
+            F.sum(F.col("p") * F.col("p")).cast("long").alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCABULARY COVERAGE audit (the OOV-rate check run
+    before committing a tokenizer to a training corpus): vocab = top
+    256 normalized tokens by corpus frequency (ties by token), then
+    per-language token totals, OOV counts, and the OOV rate. A vocab
+    ordering drift, tokenization mismatch, or join bug shifts the
+    counts and breaks the hash.
+
+    Scale: one explode + keyed agg builds the vocab; the 256-row vocab
+    broadcasts back onto the token stream (no second corpus shuffle
+    beyond the per-lang agg). The rate is one IEEE division of exact
+    integers."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    )
+    # top-256 via TakeOrderedAndProject (distributed per-partition
+    # top-k + merge), NOT a global row_number window — a single-
+    # partition window over the whole vocabulary would bottleneck at
+    # 100 TB token diversity
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(256)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7185,6 +7483,12 @@ QUERIES = {
     "mad_anomalies": mad_anomalies,
     "label_centroids": label_centroids,
     "triangle_count": triangle_count,
+    # -- (b4) new in r03: the 5 slots completing the planned r04 window
+    "minhash_jaccard_estimate_audit": minhash_jaccard_estimate_audit,
+    "snapshot_diff": snapshot_diff,
+    "file_compaction_plan": file_compaction_plan,
+    "random_projection_sketch": random_projection_sketch,
+    "vocab_oov_audit": vocab_oov_audit,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
