@@ -570,9 +570,19 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle group can go quadratic on a boilerplate-heavy shard. The
     LSH-candidates exact form is proven by dedup_pipeline and
     dedup_clusters; the uncapped==capped equivalence on low-df corpora
-    is pinned in tests/test_dedup.py."""
-    docs = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, shingle_k=3, threshold=0.3).orderBy("a", "b")
+    is pinned in tests/test_dedup.py. The shingle scan (explode +
+    lead-window — the expensive part) is persisted and shared between
+    the sizes branch and the bucket branch instead of recomputed; no
+    _fanout here — the shingle window's doc_id shuffle already spreads
+    the CPU work, so the fanout repartition would be a pure extra
+    exchange."""
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles_df(docs, k=3).persist()
+    return jaccard_pairs(
+        docs, shingle_k=3, threshold=0.3, shingles=sh
+    ).orderBy("a", "b")
 
 
 # ===================================================================
