@@ -5986,11 +5986,18 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src, "b1")
     )
-    tick = spark.createDataFrame(
-        [(int(-1), "2024-01-31 00:00:00", int(-1), "view", 0.0, "{}")],
-        "event_id long, ts string, user_id long, event_type string, "
-        "value double, props string",
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # JVM-literal local relation (range+lits), NOT createDataFrame from
+    # a Python list: the list path parallelizes into defaultParallelism
+    # Python partitions, costing ~5 s of Python-worker round-trips per
+    # write of a 1-row frame.
+    tick = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit("2024-01-31 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
     tick.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src, "b2")
     )
@@ -6599,14 +6606,19 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("chunk0").alias("content"),
         ts.alias("event_ts"),
     )
-    tick_ts = "2024-02-01 00:00:00"
-    r_tick = spark.createDataFrame(
-        [(-1, "tick", tick_ts)], "doc_id long, name string, event_ts string"
-    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
-    c_tick = spark.createDataFrame(
-        [(-1, "tick", tick_ts)],
-        "doc_id long, content string, event_ts string",
-    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    # JVM-literal ticks (see streaming_watermark_finalize's note: a
+    # Python-list createDataFrame costs ~5 s per staged write)
+    tick_ts = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    r_tick = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("tick").alias("name"),
+        tick_ts.alias("event_ts"),
+    )
+    c_tick = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("tick").alias("content"),
+        tick_ts.alias("event_ts"),
+    )
 
     def _stage(df) -> str:
         flat = tempfile.mkdtemp(prefix="ip_soj_")
