@@ -104,3 +104,35 @@ def test_aqe_coalesces_small_shuffle(spark):
     )
     plan = _executed_plan(df)
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:3000]
+
+
+def test_runtime_bloom_filter_join_pushdown(spark):
+    """Runtime row-level filtering: for a selective join, Spark injects
+    a bloom filter built from the small (creation) side into the big
+    (application) side's scan — BloomFilterMightContain in the final
+    plan — so most non-matching fact rows die before the shuffle. At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~the join's selectivity; it composes with DPP
+    (partition-level) as the row-level layer. Thresholds are lowered
+    here because the rule's defaults target multi-GB scans."""
+    big = spark.range(0, 500000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("pad"),
+    )
+    dim = spark.range(0, 50000).select(
+        (F.col("id") * 10).alias("k"), F.lit("d").alias("v")
+    )
+    with _with_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        joined = big.join(dim.filter(F.col("k") % 20 == 0), "k")
+        plan = _executed_plan(joined)
+    assert "bloom_filter" in plan.lower() or "BloomFilterMightContain" in plan, (
+        "runtime bloom filter did not fire:\n" + plan[:2000]
+    )

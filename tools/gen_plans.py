@@ -93,6 +93,11 @@ HEADLINE = [
     ("leakage_safe_split", "cluster routing: LSH edges + CC + one split agg"),
     ("variant_json_ops", "VARIANT shredding: typed path extraction rides the scan"),
     ("jaccard_pairs", "df-capped inverted index: buckets>max_df dropped pre-explosion"),
+    ("minhash_jaccard_estimate_audit", "estimator audit: shared shingle+sig scan, candidate-pruned exact arm"),
+    ("snapshot_diff", "CDC diff: co-keyed aggs + one full-outer join, no fanout"),
+    ("file_compaction_plan", "compaction planner over input_file_name; keyed staging write"),
+    ("random_projection_sketch", "JL projection: expression fanout + one (vec,dim) partial agg"),
+    ("vocab_oov_audit", "TakeOrdered vocab + 256-row broadcast back onto token stream"),
 ]
 
 
