@@ -1,0 +1,101 @@
+"""Round-3 operators (b4 family): invariants beyond the oracle hash —
+estimator bounds, diff partitioning, physical layout, projection
+algebra, vocabulary coverage. All at sf0.001 for speed; the value-hash
+equivalence itself is covered by tools/oracle_check.py."""
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def q():
+    from intelligencepipeline_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_snapshot_diff_partitions_the_keyspace(spark, q):
+    rows = q["snapshot_diff"](spark, SF).collect()
+    statuses = {r.status for r in rows}
+    assert statuses <= {"added", "changed", "unchanged"}  # append-only log
+    for r in rows:
+        if r.status == "added":
+            assert r.old_n == -1 and r.new_n > 0
+        else:
+            # v1 state is a prefix of v2: counts/cents can only grow
+            assert 0 < r.old_n <= r.new_n
+            assert r.old_cents <= r.new_cents
+        if r.status == "unchanged":
+            assert (r.old_n, r.old_cents, r.old_last) == (
+                r.new_n,
+                r.new_cents,
+                r.new_last,
+            )
+        if r.status == "changed":
+            assert (r.old_n, r.old_cents, r.old_last) != (
+                r.new_n,
+                r.new_cents,
+                r.new_last,
+            )
+    # every current user appears exactly once
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+
+
+def test_random_projection_is_deterministic_and_algebraic(spark, q):
+    a = {r.vec_id: r for r in q["random_projection_sketch"](spark, SF).collect()}
+    b = {r.vec_id: r for r in q["random_projection_sketch"](spark, SF).collect()}
+    assert len(a) == len(b) > 0
+    for vid, r in a.items():
+        coords = [int(x) for x in r.proj.split("|")]
+        assert len(coords) == 16
+        assert sum(c * c for c in coords) == r.sq_norm  # exported norm honest
+        assert b[vid].proj == r.proj  # run-to-run bit-identical
+
+
+def test_minhash_estimator_bounds_and_exact_dup_pair(spark, q):
+    rows = q["minhash_jaccard_estimate_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.sig_matches <= 8
+        assert 0 <= r.common <= r.union_sz
+        assert math.isclose(r.est_jaccard, r.sig_matches / 8.0)
+        assert math.isclose(r.exact_jaccard, r.common / r.union_sz)
+        # an exact duplicate pair must have full signature agreement
+        if r.exact_jaccard == 1.0:
+            assert r.sig_matches == 8
+
+
+def test_file_compaction_plan_counts_cover_the_table(spark, q):
+    rows = q["file_compaction_plan"](spark, SF).collect()
+    ev_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n_rows for r in rows) == ev_n
+    assert all(r.n_files == 1 for r in rows)  # one file per bucket, physically
+    assert all(r.is_small in (0, 1) for r in rows)
+
+
+def test_vocab_oov_rates_are_consistent(spark, q):
+    rows = q["vocab_oov_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert math.isclose(r.oov_rate, r.n_oov / r.n_tokens)
+    # OOV must exist exactly when the corpus vocabulary exceeds the
+    # 256-token budget (at sf0.001 it may not)
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_distinct = (
+        docs.select(F.explode(tokens(normalize_text(F.col("text")))).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert (n_distinct > 256) == any(r.n_oov > 0 for r in rows)
