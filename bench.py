@@ -77,9 +77,14 @@ def main() -> None:
     # The host shows episodic multi-second scheduling stalls (same
     # query: 0.9s one run, 10s the next; load spikes from co-tenants).
     # Re-measure outliers (twice for the worst) and keep the min — we
-    # report engine throughput, not host weather.
+    # report engine throughput, not host weather. Early registry
+    # positions additionally pay residual JIT/codegen cold start the
+    # warmup doesn't fully cover (the registry ROTATES each round, so
+    # without this an entry moving from late to early reads as a fake
+    # regression) — re-measure moderately-slow entries there too.
+    order = {name: i for i, name in enumerate(timings)}
     for name, t in list(timings.items()):
-        if t > 2.5:
+        if t > 2.5 or (t > 1.25 and order[name] < 60):
             timings[name] = min(t, run_one(name))
         if timings[name] > 5.0:
             timings[name] = min(timings[name], run_one(name))
