@@ -3830,3 +3830,37 @@ SELECT lang, count(*) AS n_tokens,
     / cast(count(*) as double) AS oov_rate
 FROM marked GROUP BY lang ORDER BY lang
 """
+
+
+# The bucketed manifest-committed merge store end-to-end: snapshot ==
+# the batch fold of the mapped DataRecordEvents (signup→CREATE name/ts,
+# rest→UPSERT_METADATA {event_type, value_cents} set-union).
+ORACLES["bucketed_snapshot_consolidation"] = """
+WITH m AS (
+  SELECT user_id AS doc_id,
+    event_type = 'signup' AS is_create,
+    cast(floor(epoch(ts)) as bigint) AS es,
+    event_type,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents
+  FROM events
+), creates AS (
+  SELECT doc_id, max(es) AS create_epoch FROM m WHERE is_create GROUP BY doc_id
+), metas AS (
+  SELECT doc_id,
+    cast(count(DISTINCT event_type || '|' || cents) as bigint) AS n_meta,
+    array_to_string(list_sort(list_distinct(list(
+      'event_type=' || event_type || '|value_cents=' || cents))), ',')
+      AS meta_summary
+  FROM m WHERE NOT is_create GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN c.doc_id IS NULL THEN ''
+       ELSE '/u' || cast(d.doc_id as varchar) END AS name,
+  coalesce(c.create_epoch, -1) AS create_epoch,
+  coalesce(mt.n_meta, 0) AS n_meta,
+  coalesce(mt.meta_summary, '') AS meta_summary
+FROM (SELECT DISTINCT doc_id FROM m) d
+LEFT JOIN creates c USING (doc_id)
+LEFT JOIN metas mt USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -7376,6 +7376,111 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_snapshot_consolidation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MANIFEST-COMMITTED bucketed merge store run end-to-end (A1 +
+    §2.7 incremental-merge + the r02-verdict crash-safety machinery,
+    all in one driver-gated proof): driver events are mapped to
+    DataRecordEvents (signup→CREATE, rest→UPSERT_METADATA carrying
+    {event_type, value_cents}), streamed in TWO AvailableNow runs
+    through ONE checkpoint into consolidate_to_bucketed_table — each
+    batch writes new generation dirs, atomically publishes the bucket
+    manifest, then GCs superseded gens — and the snapshot read back via
+    read_bucketed_snapshot must equal the batch fold recomputed by the
+    DuckDB oracle. A lost bucket (torn overwrite), a doubled merge
+    (bad replay), or a stale manifest read all break the hash.
+
+    Scale: per batch the merge touches only the batch's buckets
+    (manifest-pruned read + new-gen write); the commit is one fsynced
+    rename regardless of table size."""
+    import os
+    import shutil
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        consolidate_to_bucketed_table,
+        read_bucketed_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    is_create = F.col("event_type") == "signup"
+    cents_str = (_dec("value") * 100).cast("long").cast("string")
+    uname = F.concat(F.lit("/u"), F.col("user_id").cast("string"))
+    mapped = ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.when(is_create, F.lit("CREATE"))
+        .otherwise(F.lit("UPSERT_METADATA"))
+        .alias("command"),
+        F.col("ts").alias("event_ts"),
+        F.when(is_create, uname).alias("name"),
+        F.when(
+            is_create,
+            F.struct(
+                uname.alias("path"), F.lit("events").alias("created_by")
+            ),
+        ).alias("representation"),
+        F.when(
+            ~is_create,
+            F.struct(
+                F.map_from_arrays(
+                    F.array(F.lit("event_type"), F.lit("value_cents")),
+                    F.array(F.col("event_type"), cents_str),
+                ).alias("values"),
+                F.lit("events").alias("created_by"),
+            ),
+        ).alias("metadata"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    src = tempfile.mkdtemp(prefix="ip_bsc_src_")
+    stage = tempfile.mkdtemp(prefix="ip_bsc_stage_")
+    for h in (0, 1):
+        mapped.filter(F.col("half") == h).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"h{h}"))
+    table = tempfile.mkdtemp(prefix="ip_bsc_tab_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="ip_bsc_ck_")
+    schema = mapped.drop("half").schema
+
+    def _land(h: int) -> None:
+        d = os.path.join(stage, f"h{h}")
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"h{h}.parquet")
+                )
+
+    for h in (0, 1):  # two incremental runs, one checkpoint
+        _land(h)
+        q = consolidate_to_bucketed_table(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            n_buckets=8,
+            checkpoint=ckpt,
+        )
+        assert q.awaitTermination(300), "bucketed merge run hung"
+
+    snap = read_bucketed_snapshot(spark, table)
+    meta_str = F.transform(
+        F.col("meta"),
+        lambda m: F.concat(
+            F.lit("event_type="),
+            m["values"]["event_type"],
+            F.lit("|value_cents="),
+            m["values"]["value_cents"],
+        ),
+    )
+    return snap.select(
+        "doc_id",
+        F.coalesce("name", F.lit("")).alias("name"),
+        F.coalesce(
+            F.unix_timestamp("ingest_ts").cast("long"), F.lit(-1)
+        ).alias("create_epoch"),
+        F.size("meta").cast("long").alias("n_meta"),
+        F.array_join(F.array_sort(meta_str), ",").alias("meta_summary"),
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7511,6 +7616,9 @@ QUERIES = {
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
+    # -- (b5) r03-late additions: outside both planned windows; rotate
+    #    into the r05 driver window with anything newer ----------------
+    "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
