@@ -4,6 +4,8 @@ from intelligencepipeline_spark.streaming.pipeline import (
     consolidate_to_table,
     read_bucketed_snapshot,
     session_window_reassembly,
+    snapshot_versions,
+    vacuum_bucketed_snapshot,
     stream_stream_chunk_join,
 )
 from intelligencepipeline_spark.streaming.rollup import (
@@ -29,6 +31,8 @@ __all__ = [
     "consolidate_to_table",
     "read_bucketed_snapshot",
     "session_window_reassembly",
+    "snapshot_versions",
+    "vacuum_bucketed_snapshot",
     "stream_stream_chunk_join",
     "streaming_dedup_content",
     "streaming_dedup_exact",

@@ -105,10 +105,15 @@ def consolidate_to_table(
 _SNAPSHOT_MANIFEST = "_MANIFEST.json"
 
 
-def _read_snapshot_manifest(table_path: str) -> dict | None:
+def _read_snapshot_manifest(
+    table_path: str, version: int | None = None
+) -> dict | None:
     import json
 
-    p = os.path.join(table_path, _SNAPSHOT_MANIFEST)
+    name = (
+        _SNAPSHOT_MANIFEST if version is None else f"_MANIFEST-v{version}.json"
+    )
+    p = os.path.join(table_path, name)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
@@ -116,23 +121,85 @@ def _read_snapshot_manifest(table_path: str) -> dict | None:
 
 
 def _publish_snapshot_manifest(table_path: str, manifest: dict) -> None:
+    """Two writes, one visibility switch: the immutable per-version
+    manifest (`_MANIFEST-v<gen>.json`, the time-travel log) lands
+    first, then the `_MANIFEST.json` pointer is atomically replaced.
+    Readers of the pointer can never observe a version whose v-file is
+    missing."""
     import json
 
+    body = json.dumps(manifest)
+    vpath = os.path.join(table_path, f"_MANIFEST-v{manifest['gen']}.json")
+    tmp = vpath + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, vpath)
     tmp = os.path.join(table_path, _SNAPSHOT_MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        fh.write(body)
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, os.path.join(table_path, _SNAPSHOT_MANIFEST))
 
 
-def read_bucketed_snapshot(spark, table_path: str) -> DataFrame:
+def snapshot_versions(table_path: str) -> list[int]:
+    """Gens with a retained (time-travel-readable) version manifest."""
+    import re
+
+    out = []
+    for f_ in os.listdir(table_path):
+        m = re.fullmatch(r"_MANIFEST-v(\d+)\.json", f_)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def vacuum_bucketed_snapshot(table_path: str, keep_gens: int = 1) -> None:
+    """Delta-VACUUM analog: keep the newest ``keep_gens`` version
+    manifests, delete older ones, then delete every gen directory no
+    retained version references. Pure cleanup — the current pointer is
+    untouched, so readers are unaffected at any interleaving; a crash
+    mid-vacuum just leaves some garbage for the next vacuum."""
+    import shutil
+
+    keep = snapshot_versions(table_path)[-max(1, keep_gens):]
+    referenced: set[tuple[str, int]] = set()
+    for v in keep:
+        m = _read_snapshot_manifest(table_path, version=v)
+        if m:
+            referenced |= {(b, g) for b, g in m["buckets"].items()}
+    for v in snapshot_versions(table_path):
+        if v not in keep:
+            os.remove(os.path.join(table_path, f"_MANIFEST-v{v}.json"))
+    for d in os.listdir(table_path):
+        if not d.startswith("bucket="):
+            continue
+        b = d.split("=", 1)[1]
+        bdir = os.path.join(table_path, d)
+        for g in os.listdir(bdir):
+            if not g.startswith("gen="):
+                continue
+            if (b, int(g.split("=", 1)[1])) not in referenced:
+                shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)
+
+
+def read_bucketed_snapshot(
+    spark, table_path: str, version: int | None = None
+) -> DataFrame:
     """Read the manifest-current state of a bucketed snapshot (the only
     correct read path — a plain ``spark.read.parquet(table)`` would also
-    see superseded or in-flight generation directories)."""
-    manifest = _read_snapshot_manifest(table_path)
+    see superseded or in-flight generation directories). Pass
+    ``version=<gen>`` (see ``snapshot_versions``) to TIME-TRAVEL to any
+    retained commit — every version manifest pins the full bucket→gen
+    map it published."""
+    manifest = _read_snapshot_manifest(table_path, version=version)
     if manifest is None or not manifest["buckets"]:
-        raise FileNotFoundError(f"no snapshot manifest at {table_path}")
+        raise FileNotFoundError(
+            f"no snapshot manifest at {table_path}"
+            + (f" for version {version}" if version is not None else "")
+        )
     paths = [
         os.path.join(table_path, f"bucket={b}", f"gen={g}")
         for b, g in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
@@ -150,6 +217,7 @@ def consolidate_to_bucketed_table(
     n_buckets: int = 64,
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    keep_gens: int = 1,
 ):
     """Incremental foreachBatch merge into a BUCKET-PARTITIONED parquet
     snapshot — the 100 TB version of ``consolidate_to_table`` (which
@@ -167,9 +235,13 @@ def consolidate_to_bucketed_table(
     scales with the batch's key spread, not table size.
 
     Size ``n_buckets`` so one bucket ≈ a few GB at the target scale
-    (100 TB / 64k buckets ≈ 1.6 GB). With Delta on the classpath,
-    replace this machinery with ``MERGE INTO`` keyed on
-    (bucket, doc_id) — same layout, same contract.
+    (100 TB / 64k buckets ≈ 1.6 GB). ``keep_gens > 1`` retains that
+    many committed versions for TIME TRAVEL
+    (``read_bucketed_snapshot(..., version=g)`` over
+    ``snapshot_versions``); ``vacuum_bucketed_snapshot`` trims history
+    later. With Delta on the classpath, replace this machinery with
+    ``MERGE INTO`` keyed on (bucket, doc_id) — same layout, same
+    contract (and the same VACUUM story).
     """
     import shutil
 
@@ -233,11 +305,33 @@ def consolidate_to_bucketed_table(
         _publish_snapshot_manifest(
             table_path, {"gen": gen, "buckets": new_buckets}
         )
-        # Phase 3 — GC: superseded gens of the touched buckets. Pure
-        # cleanup; a crash here leaves only invisible garbage, removed
-        # the next time the bucket is touched.
+        # Phase 3 — GC with retention: keep the newest ``keep_gens``
+        # version manifests (time travel via
+        # read_bucketed_snapshot(version=...)), drop older ones, and
+        # delete a touched bucket's superseded gen dir only when no
+        # retained version still references it. Pure cleanup; a crash
+        # here leaves only invisible garbage, removed the next time the
+        # bucket is touched (or by vacuum_bucketed_snapshot). Cost is
+        # O(touched buckets + versions), never a full-table scan.
+        versions = snapshot_versions(table_path)
+        retained = versions[-max(1, keep_gens):]
+        referenced: set[tuple[str, int]] = set()
+        for v in retained:
+            vm = _read_snapshot_manifest(table_path, version=v)
+            if vm:
+                referenced |= {
+                    (b, g) for b, g in vm["buckets"].items() if b in current
+                }
+        for v in versions:
+            if v not in retained:
+                try:
+                    os.remove(
+                        os.path.join(table_path, f"_MANIFEST-v{v}.json")
+                    )
+                except OSError:
+                    pass
         for b, old_gen in current.items():
-            if new_buckets.get(b) != old_gen:
+            if new_buckets.get(b) != old_gen and (b, old_gen) not in referenced:
                 shutil.rmtree(
                     os.path.join(table_path, f"bucket={b}", f"gen={old_gen}"),
                     ignore_errors=True,

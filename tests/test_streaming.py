@@ -234,3 +234,75 @@ def test_bucketed_snapshot_crash_between_write_and_publish(spark, event_dir):
     assert sorted(m["created_by"] for m in snap[1]["meta"]) == sorted(
         m["created_by"] for m in batch[1]["meta"]
     )
+
+
+def test_bucketed_snapshot_time_travel_and_vacuum(spark, event_dir):
+    """keep_gens=3: every commit's full bucket map is retained as an
+    immutable version manifest — read_bucketed_snapshot(version=v)
+    reproduces the exact post-commit-v state; vacuum_bucketed_snapshot
+    then trims history without touching the current pointer."""
+    import pytest as _pytest
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        consolidate_to_bucketed_table,
+        read_bucketed_snapshot,
+        snapshot_versions,
+        vacuum_bucketed_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="ip_btable_tt_") + "/consolidated"
+    ckpt = tempfile.mkdtemp(prefix="ip_bckpt_tt_")
+    q = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4,
+        checkpoint=ckpt, keep_gens=3,
+    )
+    q.awaitTermination(120)
+    v1 = snapshot_versions(table)[-1]
+    state_v1 = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+
+    late = spark.createDataFrame(
+        [
+            (1, "UPSERT_METADATA", "2024-01-01 00:00:06", None, None,
+             ({"pos": "NN"}, "stanford")),
+            (9, "CREATE", "2024-01-01 00:00:07", "/z", ("/z", "dir"), None),
+        ],
+        EVENT_SCHEMA_STR,
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    late.write.mode("append").parquet(event_dir)
+    q2 = consolidate_to_bucketed_table(
+        read_stream(spark, event_dir), table, n_buckets=4,
+        checkpoint=ckpt, keep_gens=3,
+    )
+    q2.awaitTermination(120)
+
+    versions = snapshot_versions(table)
+    assert v1 in versions and versions[-1] > v1
+    # time travel: version v1 still reads the exact pre-late state
+    tt = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table, version=v1)
+        .drop("bucket")
+        .collect()
+    }
+    assert tt == state_v1 and set(tt) == {1, 2}
+    # current state includes the late events
+    cur = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+    assert set(cur) == {1, 2, 9}
+
+    # vacuum to 1 version: old version manifest + its orphaned gen dirs
+    # go away; the current read is untouched; time travel now errors
+    vacuum_bucketed_snapshot(table, keep_gens=1)
+    assert snapshot_versions(table) == [versions[-1]]
+    cur2 = {
+        r["doc_id"]: r.asDict()
+        for r in read_bucketed_snapshot(spark, table).drop("bucket").collect()
+    }
+    assert cur2 == cur
+    with _pytest.raises(FileNotFoundError):
+        read_bucketed_snapshot(spark, table, version=v1).collect()
