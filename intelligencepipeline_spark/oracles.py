@@ -3864,3 +3864,46 @@ LEFT JOIN creates c USING (doc_id)
 LEFT JOIN metas mt USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# Time-travel diff: v1 = fold of the event_id-even half, v2 = fold of
+# all events; full-outer diff classified per doc.
+ORACLES["time_travel_diff"] = """
+WITH m AS (
+  SELECT user_id AS doc_id, event_id,
+    event_type = 'signup' AS is_create,
+    event_type,
+    cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents
+  FROM events
+), fold AS (
+  SELECT half, doc_id,
+    CASE WHEN bool_or(is_create)
+         THEN '/u' || cast(doc_id as varchar) ELSE '' END AS name,
+    cast(count(DISTINCT CASE WHEN NOT is_create
+          THEN event_type || '|' || cents END) as bigint) AS n_meta,
+    coalesce(array_to_string(list_sort(list_distinct(list(
+      CASE WHEN NOT is_create
+        THEN 'event_type=' || event_type || '|value_cents=' || cents
+      END))), ','), '') AS summary
+  FROM (
+    SELECT 'old' AS half, * FROM m WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'new' AS half, * FROM m
+  ) GROUP BY half, doc_id
+), old AS (SELECT * FROM fold WHERE half = 'old'),
+   new AS (SELECT * FROM fold WHERE half = 'new')
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+  CASE WHEN old.doc_id IS NULL THEN 'added'
+       WHEN new.doc_id IS NULL THEN 'removed'
+       WHEN old.name = new.name AND old.n_meta = new.n_meta
+            AND old.summary = new.summary THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  coalesce(old.name, '') AS old_name,
+  coalesce(new.name, '') AS new_name,
+  coalesce(old.n_meta, -1) AS old_n_meta,
+  coalesce(new.n_meta, -1) AS new_n_meta,
+  coalesce(old.summary, '') AS old_summary,
+  coalesce(new.summary, '') AS new_summary
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""

@@ -7376,6 +7376,41 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_as_datarecord_events(ev: DataFrame) -> DataFrame:
+    """Map the driver's events table onto DATARECORD_EVENT_SCHEMA
+    (signup→CREATE with name/representation, rest→UPSERT_METADATA
+    carrying {event_type, value_cents}), plus a ``half`` split column
+    (event_id parity) for two-batch incremental-merge proofs."""
+    is_create = F.col("event_type") == "signup"
+    cents_str = (_dec("value") * 100).cast("long").cast("string")
+    uname = F.concat(F.lit("/u"), F.col("user_id").cast("string"))
+    return ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.when(is_create, F.lit("CREATE"))
+        .otherwise(F.lit("UPSERT_METADATA"))
+        .alias("command"),
+        F.col("ts").alias("event_ts"),
+        F.when(is_create, uname).alias("name"),
+        F.when(
+            is_create,
+            F.struct(
+                uname.alias("path"), F.lit("events").alias("created_by")
+            ),
+        ).alias("representation"),
+        F.when(
+            ~is_create,
+            F.struct(
+                F.map_from_arrays(
+                    F.array(F.lit("event_type"), F.lit("value_cents")),
+                    F.array(F.col("event_type"), cents_str),
+                ).alias("values"),
+                F.lit("events").alias("created_by"),
+            ),
+        ).alias("metadata"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+
+
 def bucketed_snapshot_consolidation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7404,34 +7439,7 @@ def bucketed_snapshot_consolidation(
     )
 
     ev = load_table(spark, sf_dir, "events")
-    is_create = F.col("event_type") == "signup"
-    cents_str = (_dec("value") * 100).cast("long").cast("string")
-    uname = F.concat(F.lit("/u"), F.col("user_id").cast("string"))
-    mapped = ev.select(
-        F.col("user_id").alias("doc_id"),
-        F.when(is_create, F.lit("CREATE"))
-        .otherwise(F.lit("UPSERT_METADATA"))
-        .alias("command"),
-        F.col("ts").alias("event_ts"),
-        F.when(is_create, uname).alias("name"),
-        F.when(
-            is_create,
-            F.struct(
-                uname.alias("path"), F.lit("events").alias("created_by")
-            ),
-        ).alias("representation"),
-        F.when(
-            ~is_create,
-            F.struct(
-                F.map_from_arrays(
-                    F.array(F.lit("event_type"), F.lit("value_cents")),
-                    F.array(F.col("event_type"), cents_str),
-                ).alias("values"),
-                F.lit("events").alias("created_by"),
-            ),
-        ).alias("metadata"),
-        (F.col("event_id") % 2).alias("half"),
-    )
+    mapped = _events_as_datarecord_events(ev)
     src = tempfile.mkdtemp(prefix="ip_bsc_src_")
     stage = tempfile.mkdtemp(prefix="ip_bsc_stage_")
     for h in (0, 1):
@@ -7478,6 +7486,101 @@ def bucketed_snapshot_consolidation(
         ).alias("create_epoch"),
         F.size("meta").cast("long").alias("n_meta"),
         F.array_join(F.array_sort(meta_str), ",").alias("meta_summary"),
+    ).orderBy("doc_id")
+
+
+def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL under the oracle gate: two incremental merge commits
+    into the bucketed store with ``keep_gens=2``, then version v1 is
+    read back THROUGH the retained version manifest and diffed against
+    the current snapshot — added/changed/unchanged per doc. The oracle
+    recomputes both versions' folds from the raw events (v1 = the
+    event_id-even half), so a time-travel read that returned the wrong
+    generation for any bucket (pointer corruption, GC over-deletion,
+    manifest drift) breaks the hash.
+
+    Scale: versioned manifests are O(buckets) JSON; retention cost is
+    bounded by keep_gens; the diff itself is one full-outer join on
+    doc_id of two manifest-pruned reads."""
+    import os
+    import shutil
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.pipeline import (
+        consolidate_to_bucketed_table,
+        read_bucketed_snapshot,
+        snapshot_versions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mapped = _events_as_datarecord_events(ev)
+    src = tempfile.mkdtemp(prefix="ip_ttd_src_")
+    stage = tempfile.mkdtemp(prefix="ip_ttd_stage_")
+    for h in (0, 1):
+        mapped.filter(F.col("half") == h).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"h{h}"))
+    table = tempfile.mkdtemp(prefix="ip_ttd_tab_") + "/t"
+    ckpt = tempfile.mkdtemp(prefix="ip_ttd_ck_")
+    schema = mapped.drop("half").schema
+    for h in (0, 1):
+        d = os.path.join(stage, f"h{h}")
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"h{h}.parquet")
+                )
+        q = consolidate_to_bucketed_table(
+            spark.readStream.schema(schema).parquet(src),
+            table,
+            n_buckets=8,
+            checkpoint=ckpt,
+            keep_gens=2,
+        )
+        assert q.awaitTermination(300), "time-travel merge run hung"
+        if h == 0:
+            v1 = snapshot_versions(table)[-1]
+
+    def canon(snap: DataFrame, tag: str) -> DataFrame:
+        meta_str = F.transform(
+            F.col("meta"),
+            lambda m: F.concat(
+                F.lit("event_type="),
+                m["values"]["event_type"],
+                F.lit("|value_cents="),
+                m["values"]["value_cents"],
+            ),
+        )
+        return snap.select(
+            "doc_id",
+            F.coalesce("name", F.lit("")).alias(f"{tag}_name"),
+            F.size("meta").cast("long").alias(f"{tag}_n_meta"),
+            F.array_join(F.array_sort(meta_str), ",").alias(f"{tag}_summary"),
+        )
+
+    old = canon(read_bucketed_snapshot(spark, table, version=v1), "old")
+    new = canon(read_bucketed_snapshot(spark, table), "new")
+    d = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_n_meta").isNull(), F.lit("added"))
+        .when(F.col("new_n_meta").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_name") == F.col("new_name"))
+            & (F.col("old_n_meta") == F.col("new_n_meta"))
+            & (F.col("old_summary") == F.col("new_summary")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return d.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("old_name", F.lit("")).alias("old_name"),
+        F.coalesce("new_name", F.lit("")).alias("new_name"),
+        F.coalesce("old_n_meta", F.lit(-1)).cast("long").alias("old_n_meta"),
+        F.coalesce("new_n_meta", F.lit(-1)).cast("long").alias("new_n_meta"),
+        F.coalesce("old_summary", F.lit("")).alias("old_summary"),
+        F.coalesce("new_summary", F.lit("")).alias("new_summary"),
     ).orderBy("doc_id")
 
 
@@ -7619,6 +7722,7 @@ QUERIES = {
     # -- (b5) r03-late additions: outside both planned windows; rotate
     #    into the r05 driver window with anything newer ----------------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
+    "time_travel_diff": time_travel_diff,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
