@@ -7609,8 +7609,10 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   url_domain_caps, boilerplate_line_removal, variant_json_ops,
 #   adaptive_quality_cutoff, token_budget_mix, null_safe_join,
 #   capped_sessions, user_growth_accumulation, mad_anomalies,
-#   label_centroids, triangle_count  [45 entries; r03 additions fill
-#   the remaining 5 slots]
+#   label_centroids, triangle_count  [45 entries; the 5 (b4) r03
+#   additions fill the remaining slots]. The 2 (b5) late additions
+#   (bucketed_snapshot_consolidation, time_travel_diff) go FIRST in
+#   the r05 window with anything newer.
 QUERIES = {
     # ==== r03 driver window: positions 1-50 ===========================
     # -- §2.7 streaming-proof family (never driver-checked) ------------
