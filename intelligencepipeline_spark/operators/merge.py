@@ -129,6 +129,19 @@ def merge_upsert(
         return
 
     # ---- bucketed-parquet fallback -------------------------------
+    # Commits go through the shared manifest protocol
+    # (operators/snapshot_store.py): new gen dirs → atomic manifest
+    # publish → GC — the crash-at-any-point-safe analog of Delta's
+    # transaction log (the dynamic-partition-overwrite form this
+    # replaces could lose a touched bucket between its delete and its
+    # rewrite).
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        commit_buckets,
+        read_snapshot,
+        snapshot_exists,
+        touched_buckets,
+    )
+
     bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
     if delete_col is not None:
         live = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
@@ -138,25 +151,14 @@ def merge_upsert(
         live = updates
         dead_or_live_keys = updates.select(key)
 
-    # An existing-but-empty directory (mkdtemp targets, fresh mounts)
-    # is NOT an existing table — first merge bootstraps it.
-    has_table = os.path.isdir(table_path) and any(
-        e.startswith("bucket=") for e in os.listdir(table_path)
-    )
-    if not has_table:
+    if not snapshot_exists(table_path):
         out = live.withColumn("bucket", bucket)
-        out.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("bucket").parquet(table_path)
+        os.makedirs(table_path, exist_ok=True)
+        commit_buckets(table_path, out, touched_buckets(out, bucket))
         return
 
-    # Driver-side by design and provably bounded: bucket = pmod(hash,
-    # n_buckets) < n_buckets values, independent of update volume.
-    touched = [
-        r[0]
-        for r in updates.select(bucket.alias("b")).distinct().collect()
-    ]
-    existing = spark.read.parquet(table_path).filter(
+    touched = touched_buckets(updates, bucket)
+    existing = read_snapshot(spark, table_path).filter(
         F.col("bucket").isin(touched)
     )
     kept = existing.drop("bucket").join(
@@ -167,24 +169,16 @@ def merge_upsert(
     merged = kept.unionByName(
         live, allowMissingColumns=True
     ).withColumn("bucket", bucket)
-    # Materialize before overwriting partitions we just read from
-    # (lineage truncation; Delta MERGE removes the need for this).
-    merged = merged.localCheckpoint(eager=True)
-    # Dynamic partition overwrite only rewrites partitions PRESENT in
-    # the output — a touched bucket whose rows were all deleted would
-    # keep its stale directory. Clear those explicitly.
-    out_buckets = {
-        r[0] for r in merged.select("bucket").distinct().collect()
-    }
-    for b in set(touched) - out_buckets:
-        shutil.rmtree(
-            os.path.join(table_path, f"bucket={b}"), ignore_errors=True
-        )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(table_path)
+    # No localCheckpoint needed: the commit writes NEW gen dirs, so the
+    # read-from and written-to paths never overlap.
+    # A touched bucket whose rows were all deleted produces no staged
+    # dir — drop it from the manifest so its stale gen disappears.
+    out_buckets = {r[0] for r in merged.select("bucket").distinct().collect()}
+    commit_buckets(
+        table_path,
+        merged,
+        touched,
+        drop_buckets=set(touched) - out_buckets,
     )
 
 
@@ -200,21 +194,27 @@ def compact_table(
     the file index at 100 TB). Rewrites each bucket's rows into
     ~target_rows_per_file files. Returns the number of buckets
     compacted. (Delta backends use OPTIMIZE instead.)"""
-    df = spark.read.parquet(table_path)
-    if "bucket" not in df.columns:
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        commit_buckets,
+        read_manifest,
+        read_snapshot,
+        snapshot_exists,
+    )
+
+    if not snapshot_exists(table_path):
         return 0
+    df = read_snapshot(spark, table_path)
     counts = {r["bucket"]: r["n"] for r in
               df.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
     out = df.repartition(
         max(1, sum(counts.values()) // target_rows_per_file + 1),
         F.col("bucket"),
     )
-    out = out.localCheckpoint(eager=True)  # read fully before overwrite
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(table_path)
+    # The compacted rewrite is itself one manifest commit over every
+    # bucket — readers flip from many-small-files to few-large-files
+    # atomically, and a crash mid-compaction changes nothing.
+    commit_buckets(
+        table_path, out, list(read_manifest(table_path)["buckets"])
     )
     return len(counts)
 
@@ -227,14 +227,32 @@ def read_changelog(spark, table_path: str) -> DataFrame:
     ``latest_per_key(df, key, "v")`` + ``NOT _deleted`` reproduces the
     snapshot (proven by the changelog_replay catalog query)."""
     base = os.path.join(table_path, "_changelog")
-    return spark.read.parquet(base)
+    # Only COMMITTED versions: a merge that crashed mid-entry leaves a
+    # v= dir without _SUCCESS — invisible garbage (the next merge
+    # allocates a fresh v), never a torn replay.
+    dirs = [
+        os.path.join(base, d)
+        for d in sorted(os.listdir(base))
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    ]
+    return spark.read.option("basePath", base).parquet(*dirs)
 
 
 def read_merged(spark, table_path: str) -> DataFrame:
     """Snapshot read of a merge_upsert target (drops the internal
-    bucket column; Delta tables read transparently the same way)."""
+    bucket column; Delta tables read transparently the same way).
+    Manifest-aware: only committed generations are visible; plain
+    parquet dirs (no manifest) still read as a legacy fallback."""
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        read_snapshot,
+        snapshot_exists,
+    )
+
     dt = _delta_table(spark, table_path)
     if dt is not None:
         return dt.toDF()
+    if snapshot_exists(table_path):
+        return read_snapshot(spark, table_path).drop("bucket")
     df = spark.read.parquet(table_path)
     return df.drop("bucket") if "bucket" in df.columns else df

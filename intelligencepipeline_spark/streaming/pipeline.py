@@ -88,127 +88,33 @@ def consolidate_to_table(
 
 
 # --------------------------------------------------------------------
-# Bucketed snapshot manifest commit: the crash-safety layer under
-# consolidate_to_bucketed_table. Each bucket's current contents live in
-# a generation subdirectory `bucket=<b>/gen=<g>/`; `_MANIFEST.json`
-# maps bucket -> current gen and is the SINGLE visibility switch (tmp
-# write + fsync + atomic rename). A commit writes brand-new gen dirs
-# (deleting nothing), publishes the manifest, and only then
-# garbage-collects the superseded gens — so a crash at ANY point leaves
-# readers on a complete, consistent snapshot (the old one pre-publish,
-# the new one post-publish). This is the same two-phase contract as the
-# docfeed sink (sources/pyfeed.py) and what Delta's MERGE log would
-# provide; implemented manifest-style because the container has no
-# delta jar.
+# Bucketed snapshot manifest commit — the crash-safety layer under
+# consolidate_to_bucketed_table. The machinery (gen dirs + atomic
+# manifest publish + retention GC + time travel) is SHARED with the
+# generic keyed merge store (operators/merge.py): see
+# operators/snapshot_store.py for the protocol documentation. These
+# re-exports keep the streaming-side names stable.
 # --------------------------------------------------------------------
 
-_SNAPSHOT_MANIFEST = "_MANIFEST.json"
-
-
-def _read_snapshot_manifest(
-    table_path: str, version: int | None = None
-) -> dict | None:
-    import json
-
-    name = (
-        _SNAPSHOT_MANIFEST if version is None else f"_MANIFEST-v{version}.json"
-    )
-    p = os.path.join(table_path, name)
-    if not os.path.exists(p):
-        return None
-    with open(p) as fh:
-        return json.load(fh)
-
-
-def _publish_snapshot_manifest(table_path: str, manifest: dict) -> None:
-    """Two writes, one visibility switch: the immutable per-version
-    manifest (`_MANIFEST-v<gen>.json`, the time-travel log) lands
-    first, then the `_MANIFEST.json` pointer is atomically replaced.
-    Readers of the pointer can never observe a version whose v-file is
-    missing."""
-    import json
-
-    body = json.dumps(manifest)
-    vpath = os.path.join(table_path, f"_MANIFEST-v{manifest['gen']}.json")
-    tmp = vpath + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(body)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, vpath)
-    tmp = os.path.join(table_path, _SNAPSHOT_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(body)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, os.path.join(table_path, _SNAPSHOT_MANIFEST))
-
-
-def snapshot_versions(table_path: str) -> list[int]:
-    """Gens with a retained (time-travel-readable) version manifest."""
-    import re
-
-    out = []
-    for f_ in os.listdir(table_path):
-        m = re.fullmatch(r"_MANIFEST-v(\d+)\.json", f_)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def vacuum_bucketed_snapshot(table_path: str, keep_gens: int = 1) -> None:
-    """Delta-VACUUM analog: keep the newest ``keep_gens`` version
-    manifests, delete older ones, then delete every gen directory no
-    retained version references. Pure cleanup — the current pointer is
-    untouched, so readers are unaffected at any interleaving; a crash
-    mid-vacuum just leaves some garbage for the next vacuum."""
-    import shutil
-
-    keep = snapshot_versions(table_path)[-max(1, keep_gens):]
-    referenced: set[tuple[str, int]] = set()
-    for v in keep:
-        m = _read_snapshot_manifest(table_path, version=v)
-        if m:
-            referenced |= {(b, g) for b, g in m["buckets"].items()}
-    for v in snapshot_versions(table_path):
-        if v not in keep:
-            os.remove(os.path.join(table_path, f"_MANIFEST-v{v}.json"))
-    for d in os.listdir(table_path):
-        if not d.startswith("bucket="):
-            continue
-        b = d.split("=", 1)[1]
-        bdir = os.path.join(table_path, d)
-        for g in os.listdir(bdir):
-            if not g.startswith("gen="):
-                continue
-            if (b, int(g.split("=", 1)[1])) not in referenced:
-                shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)
+from intelligencepipeline_spark.operators.snapshot_store import (  # noqa: E402
+    commit_buckets as _commit_buckets,
+    read_manifest as _read_snapshot_manifest,
+    read_snapshot as _read_snapshot,
+    snapshot_versions,
+    vacuum_snapshot as vacuum_bucketed_snapshot,
+)
 
 
 def read_bucketed_snapshot(
     spark, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Read the manifest-current state of a bucketed snapshot (the only
-    correct read path — a plain ``spark.read.parquet(table)`` would also
-    see superseded or in-flight generation directories). Pass
+    correct read path — a plain ``spark.read.parquet(table)`` would
+    also see superseded or in-flight generation directories). Pass
     ``version=<gen>`` (see ``snapshot_versions``) to TIME-TRAVEL to any
     retained commit — every version manifest pins the full bucket→gen
     map it published."""
-    manifest = _read_snapshot_manifest(table_path, version=version)
-    if manifest is None or not manifest["buckets"]:
-        raise FileNotFoundError(
-            f"no snapshot manifest at {table_path}"
-            + (f" for version {version}" if version is not None else "")
-        )
-    paths = [
-        os.path.join(table_path, f"bucket={b}", f"gen={g}")
-        for b, g in sorted(manifest["buckets"].items(), key=lambda kv: int(kv[0]))
-    ]
-    # basePath keeps `bucket` (and `gen`) as partition columns; gen is
-    # commit bookkeeping, not data
-    return (
-        spark.read.option("basePath", table_path).parquet(*paths).drop("gen")
-    )
+    return _read_snapshot(spark, table_path, version=version)
 
 
 def consolidate_to_bucketed_table(
@@ -243,8 +149,6 @@ def consolidate_to_bucketed_table(
     ``MERGE INTO`` keyed on (bucket, doc_id) — same layout, same
     contract (and the same VACUUM story).
     """
-    import shutil
-
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
@@ -281,61 +185,10 @@ def consolidate_to_bucketed_table(
         out = merged.withColumn(
             "bucket", F.pmod("doc_id", F.lit(n_buckets))
         )
-        # Phase 1 — WRITE: new gen dirs via a staging dir; nothing
-        # current is modified or deleted. A fresh gen per attempt (not
-        # per epoch) keeps a replayed epoch from touching a live dir;
-        # the fold's idempotence makes the replayed contents identical.
-        gen = manifest["gen"] + 1
-        staging = os.path.join(table_path, f"_staging-gen-{gen}")
-        shutil.rmtree(staging, ignore_errors=True)
-        out.write.partitionBy("bucket").parquet(staging)
-        new_buckets = dict(manifest["buckets"])
-        for d in os.listdir(staging):
-            if not d.startswith("bucket="):
-                continue
-            b = d.split("=", 1)[1]
-            dest = os.path.join(table_path, d, f"gen={gen}")
-            os.makedirs(os.path.join(table_path, d), exist_ok=True)
-            shutil.rmtree(dest, ignore_errors=True)
-            os.rename(os.path.join(staging, d), dest)
-            new_buckets[b] = gen
-        shutil.rmtree(staging, ignore_errors=True)
-        # Phase 2 — PUBLISH: one atomic rename flips every touched
-        # bucket to its new gen simultaneously.
-        _publish_snapshot_manifest(
-            table_path, {"gen": gen, "buckets": new_buckets}
-        )
-        # Phase 3 — GC with retention: keep the newest ``keep_gens``
-        # version manifests (time travel via
-        # read_bucketed_snapshot(version=...)), drop older ones, and
-        # delete a touched bucket's superseded gen dir only when no
-        # retained version still references it. Pure cleanup; a crash
-        # here leaves only invisible garbage, removed the next time the
-        # bucket is touched (or by vacuum_bucketed_snapshot). Cost is
-        # O(touched buckets + versions), never a full-table scan.
-        versions = snapshot_versions(table_path)
-        retained = versions[-max(1, keep_gens):]
-        referenced: set[tuple[str, int]] = set()
-        for v in retained:
-            vm = _read_snapshot_manifest(table_path, version=v)
-            if vm:
-                referenced |= {
-                    (b, g) for b, g in vm["buckets"].items() if b in current
-                }
-        for v in versions:
-            if v not in retained:
-                try:
-                    os.remove(
-                        os.path.join(table_path, f"_MANIFEST-v{v}.json")
-                    )
-                except OSError:
-                    pass
-        for b, old_gen in current.items():
-            if new_buckets.get(b) != old_gen and (b, old_gen) not in referenced:
-                shutil.rmtree(
-                    os.path.join(table_path, f"bucket={b}", f"gen={old_gen}"),
-                    ignore_errors=True,
-                )
+        # WRITE → PUBLISH → GC via the shared commit protocol
+        # (operators/snapshot_store.commit_buckets): new gen dirs,
+        # one atomic manifest rename, retention-aware cleanup.
+        _commit_buckets(table_path, out, touched, keep_gens=keep_gens)
 
     writer = events.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint

@@ -164,10 +164,40 @@ def test_compact_table(spark, tmp_path):
         )
         merge_upsert(b, path, key="doc_id", n_buckets=2)
     before = read_merged(spark, path).orderBy("doc_id").collect()
-    n_files_before = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    n_files_before = len(glob.glob(f"{path}/bucket=*/gen=*/*.parquet"))
     assert compact_table(spark, path) == 2
     after = read_merged(spark, path).orderBy("doc_id").collect()
-    n_files_after = len(glob.glob(f"{path}/bucket=*/*.parquet"))
+    n_files_after = len(glob.glob(f"{path}/bucket=*/gen=*/*.parquet"))
     assert before == after            # content identical
     assert n_files_after < n_files_before
     assert n_files_after <= 2         # one file per bucket at this size
+
+
+def test_merge_crash_between_write_and_publish(spark, tdir):
+    """The merge commit's visibility switch is the manifest rename:
+    new gen dirs on disk WITHOUT a republished manifest are invisible,
+    so a crash mid-commit leaves readers on the exact pre-merge
+    snapshot (the replaced dynamic-partition-overwrite could lose the
+    touched bucket in that window)."""
+    import json
+    import shutil as _sh
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k", n_buckets=2)
+    before = _snap(spark, tdir)
+    with open(os.path.join(tdir, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    # simulate the crashed attempt: copy each live gen dir to a newer
+    # gen that was never published
+    for b, g in manifest["buckets"].items():
+        _sh.copytree(
+            os.path.join(tdir, f"bucket={b}", f"gen={g}"),
+            os.path.join(tdir, f"bucket={b}", f"gen={g + 9}"),
+        )
+    assert _snap(spark, tdir) == before
+    # and a later merge over the same buckets commits cleanly
+    upd = spark.createDataFrame([(2, "B", 20)], "k long, v string, ts long")
+    merge_upsert(upd, tdir, key="k", n_buckets=2)
+    assert _snap(spark, tdir) == {1: ("a", 10), 2: ("B", 20)}
