@@ -63,6 +63,11 @@ def consolidate_to_table(
     aggregation under at-least-once delivery. With Delta on the
     classpath, replace the read/overwrite with ``MERGE INTO`` — the
     logic is unchanged.
+
+    NOTE: this whole-table-rewrite variant is the didactic/test tier;
+    its final overwrite is not crash-atomic. The production path is
+    ``consolidate_to_bucketed_table`` (manifest commit: atomic publish,
+    crash-safe at any point, incremental per-bucket cost).
     """
     checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
 
