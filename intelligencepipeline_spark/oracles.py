@@ -3907,3 +3907,40 @@ SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 ORDER BY doc_id
 """
+
+
+# Token-bucket recurrence replayed as a recursive CTE: seq-ordered
+# per-user steps carrying (tokens, cumulative accepts).
+ORACLES["rate_limit_audit"] = """
+WITH RECURSIVE base AS (
+  SELECT user_id,
+    cast(floor(epoch(ts)) as bigint) AS es, event_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY floor(epoch(ts)), event_id) AS seq
+  FROM events
+), step AS (
+  SELECT user_id, seq, es,
+    cast(CASE WHEN 5000 >= 5000 THEN 5000 - 5000 ELSE 5000 END as bigint)
+      AS tokens,
+    cast(CASE WHEN 5000 >= 5000 THEN 1 ELSE 0 END as bigint) AS acc
+  FROM base WHERE seq = 1
+  UNION ALL
+  SELECT b.user_id, b.seq, b.es,
+    cast(least(5000, s.tokens + (b.es - s.es) * 1)
+      - CASE WHEN least(5000, s.tokens + (b.es - s.es) * 1) >= 5000
+             THEN 5000 ELSE 0 END as bigint) AS tokens,
+    cast(s.acc + CASE WHEN least(5000, s.tokens + (b.es - s.es) * 1) >= 5000
+                      THEN 1 ELSE 0 END as bigint) AS acc
+  FROM base b JOIN step s ON b.user_id = s.user_id AND b.seq = s.seq + 1
+), finals AS (
+  SELECT user_id, seq, tokens, acc,
+    row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM step
+)
+SELECT user_id,
+  cast(seq as bigint) AS n_events,
+  acc AS n_accepted,
+  cast(seq - acc as bigint) AS n_rejected,
+  tokens AS final_tokens
+FROM finals WHERE rn = 1 ORDER BY user_id
+"""
