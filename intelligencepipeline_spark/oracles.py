@@ -3944,3 +3944,65 @@ SELECT user_id,
   tokens AS final_tokens
 FROM finals WHERE rn = 1 ORDER BY user_id
 """
+
+
+# Linear multi-touch attribution: identical epoch assignment (running
+# purchase count over the total order key) and the same DIV +
+# largest-remainder allocation.
+ORACLES["linear_attribution"] = """
+WITH base AS (
+  SELECT user_id, event_type,
+    cast(floor(epoch(ts)) as bigint) * 1000000 + event_id AS k,
+    CASE WHEN event_type = 'purchase'
+         THEN cast(cast(value as decimal(18,2)) * 100 as bigint) END AS cents,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), rows_e AS (
+  SELECT *, coalesce(sum(is_p) OVER
+      (PARTITION BY user_id ORDER BY k
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS epoch
+  FROM base
+), purchases AS (
+  SELECT user_id, epoch AS e, cents FROM rows_e WHERE is_p = 1
+), touches AS (
+  SELECT user_id, event_type, epoch AS e, k,
+    row_number() OVER (PARTITION BY user_id, epoch ORDER BY k) AS r,
+    count(*) OVER (PARTITION BY user_id, epoch) AS n
+  FROM rows_e WHERE is_p = 0
+), alloc AS (
+  SELECT t.user_id, t.event_type,
+    p.cents // t.n + CASE WHEN t.r <= p.cents % t.n THEN 1 ELSE 0 END
+      AS attributed
+  FROM touches t JOIN purchases p ON t.user_id = p.user_id AND t.e = p.e
+), per_type AS (
+  SELECT user_id,
+    cast(coalesce(sum(CASE WHEN event_type = 'view'
+                           THEN attributed END), 0) as bigint) AS view_cents,
+    cast(coalesce(sum(CASE WHEN event_type = 'click'
+                           THEN attributed END), 0) as bigint) AS click_cents
+  FROM alloc GROUP BY user_id
+), p_stats AS (
+  SELECT p.user_id,
+    count(*) AS touched_purchases,
+    sum(p.cents) AS attributed_total
+  FROM purchases p
+  WHERE EXISTS (SELECT 1 FROM touches t
+                WHERE t.user_id = p.user_id AND t.e = p.e)
+  GROUP BY p.user_id
+), totals AS (
+  SELECT user_id, count(*) AS n_purchases, sum(cents) AS total_cents
+  FROM purchases GROUP BY user_id
+)
+SELECT t.user_id,
+  t.n_purchases,
+  cast(coalesce(s.touched_purchases, 0) as bigint) AS touched_purchases,
+  cast(coalesce(pt.view_cents, 0) as bigint) AS view_cents,
+  cast(coalesce(pt.click_cents, 0) as bigint) AS click_cents,
+  cast(t.total_cents - coalesce(s.attributed_total, 0) as bigint)
+    AS unattributed_cents,
+  cast(t.total_cents as bigint) AS total_cents
+FROM totals t
+LEFT JOIN p_stats s USING (user_id)
+LEFT JOIN per_type pt USING (user_id)
+ORDER BY t.user_id
+"""

@@ -7649,6 +7649,113 @@ def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution with LARGEST-REMAINDER integer
+    allocation (the exact-money counterpart of attribution_revenue's
+    first/last-touch models): each purchase's cents split equally
+    across the view/click touches since the user's previous purchase —
+    share = cents DIV n_touches, and the remainder goes one cent each
+    to the EARLIEST touches, so every allocated cent is accounted for
+    (sum(view)+sum(click)+unattributed == total, enforced by the hash).
+    Purchase membership is decided by the total order
+    key = es·10⁶ + event_id (collision-free while event_id < 10⁶;
+    regenerate the key width for bigger catalogs), so same-second ties
+    are deterministic in both engines.
+
+    Scale: the union+window epoch assignment is the as-of-join shape —
+    ONE keyed shuffle, no range join, no per-purchase fanout; the
+    allocation is a rank comparison inside the epoch group."""
+    ev = _t(spark, sf_dir, "events")
+    key = (F.unix_timestamp("ts").cast("long") * F.lit(1_000_000)
+           + F.col("event_id"))
+    cents = (_dec("value") * 100).cast("long")
+    base = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        key.alias("k"),
+        F.when(F.col("event_type") == "purchase", cents).alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    # epoch = number of purchases strictly BEFORE this row: touches with
+    # epoch e belong to purchase #(e+1); purchase #j itself has epoch j-1
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    epoch = F.coalesce(F.sum("is_p").over(w), F.lit(0)).alias("epoch")
+    rows = base.select("*", epoch)
+    purchases = rows.filter(F.col("is_p") == 1).select(
+        "user_id", F.col("epoch").alias("e"), F.col("cents"),
+        F.col("k").alias("pk"),
+    )
+    touches = rows.filter(F.col("is_p") == 0).select(
+        "user_id", "event_type", F.col("epoch").alias("e"), F.col("k"),
+    )
+    wt = Window.partitionBy("user_id", "e").orderBy("k")
+    ranked = touches.withColumn("r", F.row_number().over(wt))
+    sized = ranked.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "e"))
+    )
+    alloc = sized.join(purchases, ["user_id", "e"]).select(
+        "user_id",
+        "event_type",
+        # integer DIV + largest-remainder: exact to the cent
+        (
+            F.expr("cents DIV n").cast("long")
+            + (F.col("r") <= F.col("cents") % F.col("n")).cast("long")
+        ).alias("attributed"),
+    )
+    per_type = alloc.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("attributed"))
+        ).alias("view_cents_n"),
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("attributed"))
+        ).alias("click_cents_n"),
+    )
+    # purchases whose epoch has no touches stay unattributed
+    touched_epochs = touches.select("user_id", "e").distinct()
+    p_stats = purchases.join(
+        touched_epochs, ["user_id", "e"], "left_semi"
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("touched_purchases"),
+        F.sum("cents").alias("attributed_total"),
+    )
+    totals = purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").alias("total_cents"),
+    )
+    out = (
+        totals.join(p_stats, "user_id", "left")
+        .join(per_type, "user_id", "left")
+        .select(
+            "user_id",
+            "n_purchases",
+            F.coalesce("touched_purchases", F.lit(0))
+            .cast("long")
+            .alias("touched_purchases"),
+            F.coalesce("view_cents_n", F.lit(0))
+            .cast("long")
+            .alias("view_cents"),
+            F.coalesce("click_cents_n", F.lit(0))
+            .cast("long")
+            .alias("click_cents"),
+            (
+                F.col("total_cents")
+                - F.coalesce("attributed_total", F.lit(0))
+            )
+            .cast("long")
+            .alias("unattributed_cents"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7791,6 +7898,7 @@ QUERIES = {
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
     "time_travel_diff": time_travel_diff,
     "rate_limit_audit": rate_limit_audit,
+    "linear_attribution": linear_attribution,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
