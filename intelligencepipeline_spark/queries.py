@@ -7782,9 +7782,10 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   adaptive_quality_cutoff, token_budget_mix, null_safe_join,
 #   capped_sessions, user_growth_accumulation, mad_anomalies,
 #   label_centroids, triangle_count  [45 entries; the 5 (b4) r03
-#   additions fill the remaining slots]. The 2 (b5) late additions
-#   (bucketed_snapshot_consolidation, time_travel_diff) go FIRST in
-#   the r05 window with anything newer.
+#   additions fill the remaining slots]. The 4 (b5) late additions
+#   (bucketed_snapshot_consolidation, time_travel_diff,
+#   rate_limit_audit, linear_attribution) go FIRST in the r05 window
+#   with anything newer.
 QUERIES = {
     # ==== r03 driver window: positions 1-50 ===========================
     # -- §2.7 streaming-proof family (never driver-checked) ------------

@@ -19,6 +19,7 @@ from intelligencepipeline_spark.streaming.dedup import (
 )
 from intelligencepipeline_spark.streaming.stateful import (
     streaming_first_seen,
+    streaming_rate_limit,
     streaming_running_stats,
 )
 
@@ -37,5 +38,6 @@ __all__ = [
     "streaming_dedup_content",
     "streaming_dedup_exact",
     "streaming_first_seen",
+    "streaming_rate_limit",
     "streaming_running_stats",
 ]

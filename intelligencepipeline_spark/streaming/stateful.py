@@ -133,6 +133,76 @@ def streaming_running_stats(
     )
 
 
+def streaming_rate_limit(
+    df: DataFrame,
+    key_col: str,
+    es_col: str = "es",
+    id_col: str = "event_id",
+    cap: int = 5000,
+    rate: int = 1,
+    cost: int = 1000,
+) -> DataFrame:
+    """Streaming per-key TOKEN-BUCKET rate limiting — the stateful
+    production form of the batch ``rate_limit_audit`` recurrence
+    (queries.py): state carries (tokens, last_es, n, accepted) across
+    micro-batches; each batch's rows replay in (es, id) order through
+    ``refill = min(cap, tokens + Δt·rate); accept iff refill ≥ cost``.
+    Emits the running per-key totals every batch (update mode — the
+    quota dashboard's changelog). Exactly equal to the batch fold when
+    batches arrive in event-time order (the file-source staging used by
+    every streaming proof here); out-of-order arrival degrades to
+    arrival-order semantics, which is what a real-time limiter enforces
+    anyway (it cannot un-admit the past)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_accepted", T.LongType()),
+            T.StructField("final_tokens", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tokens", T.LongType()),
+            T.StructField("last", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("acc", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tokens, last, n, acc = (
+            state.get if state.exists else (cap, -1, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values([es_col, id_col])
+            for es in pdf[es_col].astype("int64"):
+                if last < 0:
+                    refill = cap
+                else:
+                    refill = min(cap, tokens + (int(es) - last) * rate)
+                ok = refill >= cost
+                tokens = refill - (cost if ok else 0)
+                last = int(es)
+                n += 1
+                acc += int(ok)
+        state.update((tokens, last, n, acc))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_events": [n],
+                "n_accepted": [acc],
+                "final_tokens": [tokens],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_locf(
     df: DataFrame,
     key_col: str,

@@ -206,3 +206,83 @@ def test_streaming_locf_fills_cross_batch_gaps(spark):
             shutil.rmtree(d2, ignore_errors=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rate_limit_equals_batch_fold(spark):
+    """The stateful token bucket across THREE micro-batches equals the
+    batch recurrence replayed in one pass (same cap/rate/cost), state
+    carrying tokens/last/accepted between batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from intelligencepipeline_spark.streaming.stateful import (
+        streaming_rate_limit,
+    )
+
+    CAP, RATE, COST = 500, 1, 300
+    rows = []
+    # user 1: burst at t=0..4 (drains bucket), then sparse
+    for i, es in enumerate([0, 1, 2, 3, 4, 1000, 1100, 5000]):
+        rows.append((1, es, i))
+    # user 2: evenly spaced, always refilled
+    for i, es in enumerate([0, 600, 1200, 1800]):
+        rows.append((2, es, 100 + i))
+    import pandas as pd
+
+    def batch_ref():
+        out = {}
+        for k in (1, 2):
+            evs = sorted((es, i) for (u, es, i) in rows if u == k)
+            tokens, last, acc = CAP, -1, 0
+            for es, _i in evs:
+                refill = CAP if last < 0 else min(CAP, tokens + (es - last) * RATE)
+                ok = refill >= COST
+                tokens = refill - (COST if ok else 0)
+                last = es
+                acc += int(ok)
+            out[k] = (len(evs), acc, tokens)
+        return out
+
+    src = tempfile.mkdtemp(prefix="ip_srl_")
+    df = spark.createDataFrame(rows, "user_id long, es long, event_id long")
+    # three time-ordered files -> three micro-batches (maxFilesPerTrigger=1)
+    stage = tempfile.mkdtemp()
+    cuts = [(0, 3), (3, 1200), (1200, 10**9)]
+    for j, (lo, hi) in enumerate(cuts):
+        part = df.filter((df.es >= lo) & (df.es < hi))
+        d = os.path.join(stage, f"b{j}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"f{j}.parquet")
+                shutil.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1700000000 + 60 * j,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, es long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_rate_limit(
+            stream, "user_id", cap=CAP, rate=RATE, cost=COST
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("srl_sink")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    # last update per key is the final state
+    final = {
+        r.key: (r.n_events, r.n_accepted, r.final_tokens)
+        for r in spark.sql(
+            "select * from srl_sink"
+        ).orderBy("n_events").collect()
+    }
+    assert final == batch_ref()
+    # the burst actually rejected something (both branches exercised)
+    assert final[1][1] < final[1][0]
