@@ -99,3 +99,23 @@ def test_vocab_oov_rates_are_consistent(spark, q):
         .count()
     )
     assert (n_distinct > 256) == any(r.n_oov > 0 for r in rows)
+
+
+def test_rate_limit_audit_invariants(spark, q):
+    rows = q["rate_limit_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_accepted + r.n_rejected == r.n_events
+        assert r.n_accepted >= 1  # first event always admits (full bucket)
+        assert 0 <= r.final_tokens <= 5000
+
+
+def test_linear_attribution_conserves_cents(spark, q):
+    rows = q["linear_attribution"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.view_cents + r.click_cents + r.unattributed_cents
+            == r.total_cents
+        )
+        assert 0 <= r.touched_purchases <= r.n_purchases
