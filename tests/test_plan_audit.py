@@ -435,3 +435,33 @@ def test_cogroup_one_shuffle_per_side(spark):
     # FlatMapCoGroupsInPandas over two co-partitioned children
     assert "CoGroup" in a.plan or "cogroup" in a.plan.lower(), a.plan[:1500]
     assert not a.cartesian
+
+
+def test_round3_new_entries_plan_shapes(spark):
+    """b4/b5 additions keep their documented scale shapes: no cartesian
+    products anywhere; the vocab audit broadcasts its tiny vocab; the
+    CDC diff and attribution stay join-bounded; the JL projection has
+    no Python stage at all (expression-only fanout + partial agg)."""
+    from intelligencepipeline_spark.queries import (
+        linear_attribution,
+        random_projection_sketch,
+        snapshot_diff,
+        vocab_oov_audit,
+    )
+
+    a = audit(vocab_oov_audit(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:1500]  # 256-row vocab broadcast
+    assert not a.cartesian
+
+    a = audit(snapshot_diff(spark, SF))
+    assert not a.cartesian
+    assert a.sortmerge_joins + a.broadcast_joins >= 1  # the full-outer diff
+
+    a = audit(random_projection_sketch(spark, SF))
+    assert not a.cartesian  # 16-row dims side rides a broadcast, not a CJ
+    assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
+        "JL projection must stay expression-only"
+    )
+
+    a = audit(linear_attribution(spark, SF))
+    assert not a.cartesian
