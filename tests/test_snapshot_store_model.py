@@ -1,0 +1,83 @@
+"""Model-based check of the shared manifest commit protocol
+(operators/snapshot_store.py through operators/merge.py): a randomized
+(seeded) sequence of upserts / deletes / compactions / vacuums must
+always leave the store equal to a plain dict model, with every
+intermediate read served from a complete committed snapshot.
+
+This is the trust anchor for BOTH incremental stores (the merge store
+here and the consolidation snapshot, which share commit_buckets)."""
+
+import os
+import random
+import shutil
+import tempfile
+
+import pytest
+
+from intelligencepipeline_spark.operators.merge import (
+    compact_table,
+    merge_upsert,
+    read_merged,
+)
+from intelligencepipeline_spark.operators.snapshot_store import (
+    read_manifest,
+    snapshot_versions,
+    vacuum_snapshot,
+)
+
+
+def _store_state(spark, path):
+    return {r.k: r.v for r in read_merged(spark, path).collect()}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 1009])
+def test_random_op_sequences_match_dict_model(spark, seed):
+    rng = random.Random(seed)
+    d = tempfile.mkdtemp(prefix=f"ip_model_{seed}_")
+    path = os.path.join(d, "t")
+    model: dict[int, str] = {}
+    keys = list(range(40))
+
+    try:
+        for step in range(7):
+            op = rng.choice(["upsert", "upsert", "delete", "compact", "vacuum"])
+            if op == "upsert" or not model:
+                batch = {
+                    k: f"s{step}v{k}"
+                    for k in rng.sample(keys, rng.randint(1, 12))
+                }
+                df = spark.createDataFrame(
+                    list(batch.items()), "k long, v string"
+                )
+                merge_upsert(df, path, key="k", n_buckets=4)
+                model.update(batch)
+            elif op == "delete":
+                dead = rng.sample(sorted(model), rng.randint(1, len(model)))
+                df = spark.createDataFrame(
+                    [(k, None, True) for k in dead]
+                    + [(999 + step, f"n{step}", False)],
+                    "k long, v string, deleted boolean",
+                )
+                merge_upsert(df, path, key="k", delete_col="deleted",
+                             n_buckets=4)
+                for k in dead:
+                    model.pop(k, None)
+                model[999 + step] = f"n{step}"
+            elif op == "compact":
+                compact_table(spark, path)
+            elif op == "vacuum":
+                vacuum_snapshot(path, keep_gens=1)
+            assert _store_state(spark, path) == model, f"step {step} ({op})"
+
+            # protocol invariants after every op: the pointer equals the
+            # newest retained version manifest, and every referenced gen
+            # dir exists on disk
+            m = read_manifest(path)
+            versions = snapshot_versions(path)
+            assert versions and m["gen"] == versions[-1]
+            for b, g in m["buckets"].items():
+                assert os.path.isdir(
+                    os.path.join(path, f"bucket={b}", f"gen={g}")
+                ), f"missing gen dir for bucket {b} after {op}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
