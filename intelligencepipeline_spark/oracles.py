@@ -4006,3 +4006,39 @@ LEFT JOIN p_stats s USING (user_id)
 LEFT JOIN per_type pt USING (user_id)
 ORDER BY t.user_id
 """
+
+
+# Byte histogram re-derived from the odd-position hex digits of
+# hex(utf8(text)): digit value d == high nibble d == bin d.
+ORACLES["byte_histogram_features"] = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+    cast(octet_length(encode(text)) as bigint) AS n_bytes
+  FROM documents
+), digits AS (
+  SELECT doc_id, n_bytes,
+    list_transform(range(1, cast(length(hx) as bigint) + 1, 2),
+                   i -> substr(hx, cast(i as int), 1)) AS dg
+  FROM h
+), binned AS (
+  SELECT doc_id, n_bytes,
+    list_transform(range(0, 16),
+      b -> cast(len(list_filter(dg,
+             x -> x = substr('0123456789ABCDEF', cast(b as int) + 1, 1)))
+           as bigint)) AS hist
+  FROM digits
+), top AS (
+  SELECT doc_id, n_bytes, hist,
+    list_max(list_transform(range(0, 16),
+      b -> [hist[cast(b as int) + 1], -b])) AS t
+  FROM binned
+)
+SELECT doc_id, n_bytes,
+  array_to_string(hist, '|') AS hist,
+  cast(-t[2] as bigint) AS top_bin,
+  CASE WHEN n_bytes > 0 THEN
+    cast(hist[3] + hist[4] + hist[5] + hist[6] + hist[7] + hist[8]
+      as double) / cast(n_bytes as double)
+  ELSE 0.0 END AS printable_ratio
+FROM top ORDER BY doc_id
+"""

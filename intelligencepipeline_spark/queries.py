@@ -7756,6 +7756,67 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction made REAL (upgrading the stubbed
+    decode path): a 16-bin high-nibble byte histogram over the opaque
+    binary payload, computed with numpy over Arrow batches
+    (functions/multimodal.byte_histogram) — the exact
+    decode→vectorized-transform→fixed-width-vector shape an image or
+    audio featurizer has, runnable hermetically because bytes are
+    bytes. The oracle re-derives every bin from the odd-position hex
+    digits of hex(payload), so the UDF's batch handling, nibble math,
+    and null/empty edge cases are all hash-checked. printable_ratio
+    (bins 2-7 = ASCII printable range) is one IEEE division of exact
+    integers; top_bin ties resolve to the smallest bin.
+
+    Scale: one Arrow-batched pandas UDF riding the scan (no shuffle
+    before the per-doc output); 16 longs per row out — the same
+    plumbing budget a 2048-d image embedding would use."""
+    from intelligencepipeline_spark.functions.multimodal import (
+        byte_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    h = docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        byte_histogram(payload).alias("hist"),
+    )
+    # top_bin: max count, ties -> smallest bin (struct max over
+    # (count, -bin) then negate back)
+    top = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda b: F.struct(
+                F.element_at("hist", b + 1).alias("n"),
+                (-b).alias("negbin"),
+            ),
+        )
+    )
+    printable = F.aggregate(
+        F.slice("hist", 3, 6), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = h.select(
+        "doc_id",
+        "n_bytes",
+        "hist",
+        (-top["negbin"]).cast("long").alias("top_bin"),
+        F.when(F.col("n_bytes") > 0,
+               printable.cast("double") / F.col("n_bytes").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("printable_ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(F.transform("hist", lambda x: x.cast("string")), "|")
+        .alias("hist"),
+        "top_bin",
+        "printable_ratio",
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7900,6 +7961,7 @@ QUERIES = {
     "time_travel_diff": time_travel_diff,
     "rate_limit_audit": rate_limit_audit,
     "linear_attribution": linear_attribution,
+    "byte_histogram_features": byte_histogram_features,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
