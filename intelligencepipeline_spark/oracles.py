@@ -4042,3 +4042,57 @@ SELECT doc_id, n_bytes,
   ELSE 0.0 END AS printable_ratio
 FROM top ORDER BY doc_id
 """
+
+
+# Lloyd k-means replayed move-for-move: init = the 8 smallest vec_ids,
+# exact integer squared-L2 assignment (ties -> smaller cid), centroid
+# update floor(sum/count) with empty clusters carrying the previous
+# centroid, re-assignment, then the per-cluster profile. Matches
+# operators/kmeans.py's determinism contract exactly.
+ORACLES["embedding_kmeans"] = f"""
+WITH q AS (
+  SELECT vec_id, cast(generate_subscripts(embedding, 1) - 1 as bigint)
+    AS dim, {_QELEM} AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8)
+), cent0 AS (
+  SELECT s.cid, q.dim, q.v AS c FROM seeds s JOIN q USING (vec_id)
+), d1 AS (
+  SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist2
+  FROM q JOIN cent0 c USING (dim) GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+), upd AS (
+  SELECT a.cid, q.dim,
+    cast(floor(cast(sum(q.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM a1 a JOIN q USING (vec_id) GROUP BY 1, 2
+), cent1 AS (
+  SELECT c0.cid, c0.dim, coalesce(u.c, c0.c) AS c
+  FROM cent0 c0 LEFT JOIN upd u ON c0.cid = u.cid AND c0.dim = u.dim
+), d2 AS (
+  SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist2
+  FROM q JOIN cent1 c USING (dim) GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT vec_id, cid, dist2,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM d2) WHERE rn = 1
+), digest AS (
+  SELECT cid, string_agg(c, '|' ORDER BY dim) AS centroid
+  FROM cent1 GROUP BY cid
+)
+SELECT a.cid AS cluster_id,
+  count(*) AS n_members,
+  cast(sum(a.dist2) as bigint) AS inertia,
+  min(a.vec_id) AS min_member,
+  max(a.vec_id) AS max_member,
+  max(g.centroid) AS centroid
+FROM a2 a JOIN digest g USING (cid)
+GROUP BY a.cid ORDER BY cluster_id
+"""

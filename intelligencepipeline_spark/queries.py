@@ -7817,6 +7817,35 @@ def byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd K-MEANS over the embedding corpus
+    (operators/kmeans.kmeans) — the clustering pass behind SemDeDup,
+    cluster-balanced sampling, and curriculum mixing. k=8, 2 assignment
+    rounds, everything in exact integer space (quantized vectors,
+    integer squared-L2, floor(sum/count) centroid updates, argmin ties
+    to the smaller cluster id), so the DuckDB oracle replays BOTH
+    iterations move-for-move: init from the 8 smallest vec_ids,
+    assignment, centroid update, re-assignment, per-cluster profile.
+    A drifted distance, tie-break, update rule, or lost/duplicated
+    vector breaks the hash.
+
+    Scale: assignment is expression-only (k integer folds over literal
+    centroid arrays — codegen, no UDF, no data-side explode, no
+    shuffle); update is posexplode -> one map-side-combinable
+    (cluster, dim) agg; centroids cross the driver between rounds as
+    k·d longs (bounded, corpus-independent — MLlib KMeans' own shape).
+    Exports per-cluster size, exact integer inertia, id extremes, and
+    the centroid digest."""
+    from intelligencepipeline_spark.operators.kmeans import (
+        cluster_profile,
+        kmeans,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans(emb, k=8, iterations=2)
+    return cluster_profile(assigned, centroids, "vec_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7962,6 +7991,7 @@ QUERIES = {
     "rate_limit_audit": rate_limit_audit,
     "linear_attribution": linear_attribution,
     "byte_histogram_features": byte_histogram_features,
+    "embedding_kmeans": embedding_kmeans,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
