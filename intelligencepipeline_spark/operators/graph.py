@@ -82,6 +82,68 @@ def pagerank_int(
     )
 
 
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    key: str = "doc_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous Label Propagation (community detection) with
+    deterministic tie-breaks — the third leg of the near-dup-graph
+    toolkit next to connected components (cluster membership) and
+    PageRank (hub ranking): LPA finds DENSE sub-communities inside a
+    component (template families inside a loosely chained cluster),
+    which is what decides whether survivorship keeps one doc per
+    component or one per community.
+
+    Classic LPA is randomized (random visit order, random ties) and
+    cannot be oracle-checked; this variant is the standard
+    deterministic synchronous form: every round each node adopts the
+    MOST FREQUENT label among its neighbors, ties to the SMALLEST
+    label, keeping its own label when it has no neighbors. Integer
+    labels, integer counts — bit-reproducible on any engine.
+
+    ``edges`` must be symmetric directed (src, dst). Scale: each round
+    is one labels⋈edges join + one (dst, label) count agg + one argmax
+    agg — O(iters) keyed shuffles, one long of state per node, lineage
+    kept flat with localCheckpoint (the components discipline)."""
+    labels = nodes.select(
+        F.col(key), F.col(key).cast("long").alias("label")
+    )
+    for _ in range(iterations):
+        neigh = edges.join(
+            labels.select(F.col(key).alias("src"), "label"), "src"
+        ).select(F.col("dst"), "label")
+        counts = neigh.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # argmax(count) with ties to the smallest label: max over
+        # struct(n, -label), negate back.
+        best = (
+            counts.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.col("dst").alias(key),
+                (-F.col("b.neg")).cast("long").alias("new_label"),
+            )
+        )
+        labels = (
+            labels.join(best, key, "left_outer")
+            .select(
+                F.col(key),
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact triangle enumeration via degree-ordered orientation — the
     classic bound that makes triangle counting feasible on skewed

@@ -4096,3 +4096,60 @@ SELECT a.cid AS cluster_id,
 FROM a2 a JOIN digest g USING (cid)
 GROUP BY a.cid ORDER BY cluster_id
 """
+
+
+# Synchronous LPA unrolled 3 rounds over the symmetrized LSH candidate
+# graph: adopt the most frequent neighbor label (ties -> smallest),
+# keep your own when isolated. Mirrors operators/graph.label_propagation.
+ORACLES["label_propagation_communities"] = f"""
+WITH {_LSH_PAIRS},
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+), l0 AS (
+  SELECT doc_id, doc_id AS label FROM documents
+),
+c1 AS (
+  SELECT e.dst, l.label, count(*) AS n
+  FROM edges e JOIN l0 l ON e.src = l.doc_id GROUP BY 1, 2
+), b1 AS (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+      row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+    FROM c1) WHERE rn = 1
+), l1 AS (
+  SELECT l.doc_id, coalesce(b.label, l.label) AS label
+  FROM l0 l LEFT JOIN b1 b ON l.doc_id = b.dst
+),
+c2 AS (
+  SELECT e.dst, l.label, count(*) AS n
+  FROM edges e JOIN l1 l ON e.src = l.doc_id GROUP BY 1, 2
+), b2 AS (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+      row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+    FROM c2) WHERE rn = 1
+), l2 AS (
+  SELECT l.doc_id, coalesce(b.label, l.label) AS label
+  FROM l1 l LEFT JOIN b2 b ON l.doc_id = b.dst
+),
+c3 AS (
+  SELECT e.dst, l.label, count(*) AS n
+  FROM edges e JOIN l2 l ON e.src = l.doc_id GROUP BY 1, 2
+), b3 AS (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+      row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+    FROM c3) WHERE rn = 1
+), l3 AS (
+  SELECT l.doc_id, coalesce(b.label, l.label) AS label
+  FROM l2 l LEFT JOIN b3 b ON l.doc_id = b.dst
+)
+SELECT label AS community_id,
+  count(*) AS n_members,
+  min(doc_id) AS min_member,
+  max(doc_id) AS max_member,
+  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS member_digest
+FROM l3 GROUP BY label ORDER BY community_id
+"""

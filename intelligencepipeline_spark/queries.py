@@ -7846,6 +7846,66 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(assigned, centroids, "vec_id")
 
 
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic synchronous LABEL PROPAGATION
+    (operators/graph.label_propagation) over the minhash-LSH near-dup
+    candidate graph — community detection that splits a loosely
+    chained duplicate component into its dense template families,
+    deciding whether survivorship prunes per-component or
+    per-community. 3 synchronized rounds, most-frequent-neighbor
+    label, ties to the smallest label; the oracle unrolls all 3 rounds
+    in SQL over the identical edge set, so a drifted tie-break, a
+    missed isolated node, or an asymmetric edge breaks the hash.
+
+    Scale: edges from the capped banded-LSH candidate generator (never
+    all-pairs); each round is join + two keyed aggs = O(iters)
+    shuffles with one long of state per node."""
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from intelligencepipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs, _big = minhash_lsh_candidates(docs)
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    labels = label_propagation(
+        docs.select("doc_id"), edges, "doc_id", iterations=3
+    )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_member"),
+            F.max("doc_id").alias("max_member"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("member_digest"),
+        )
+        .select(
+            F.col("label").alias("community_id"),
+            "n_members",
+            "min_member",
+            "max_member",
+            "member_digest",
+        )
+        .orderBy("community_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 checked the
@@ -7992,6 +8052,7 @@ QUERIES = {
     "linear_attribution": linear_attribution,
     "byte_histogram_features": byte_histogram_features,
     "embedding_kmeans": embedding_kmeans,
+    "label_propagation_communities": label_propagation_communities,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,

@@ -52,3 +52,62 @@ def test_pagerank_isolated_nodes_get_base(spark):
     }
     assert got[2] == 150000  # isolated: damping base only
     assert got[0] == got[1]  # symmetric pair
+
+
+# ---- label propagation ------------------------------------------------
+
+
+def _py_lpa(nodes, edges, iters=3):
+    """Hand-rolled synchronous LPA: most frequent neighbor label, ties
+    to the smallest label, keep own when isolated."""
+    label = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            counts = {}
+            for s, d in edges:
+                if d == n:
+                    lbl = label[s]
+                    counts[lbl] = counts.get(lbl, 0) + 1
+            if counts:
+                best = sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0][0]
+                new[n] = best
+            else:
+                new[n] = label[n]
+        label = new
+    return label
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from intelligencepipeline_spark.operators.graph import label_propagation
+
+    nodes = list(range(7))
+    # two triangles 0-1-2 and 4-5-6 bridged by 2-3-4; node count odd so
+    # the bridge node sees genuine frequency ties.
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = und + [(b, a) for a, b in und]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in label_propagation(ndf, edf, "doc_id", 3).collect()
+    }
+    assert got == _py_lpa(nodes, edges, 3)
+
+
+def test_label_propagation_isolated_node_keeps_own_label(spark):
+    from intelligencepipeline_spark.operators.graph import label_propagation
+
+    ndf = spark.createDataFrame([(0,), (1,), (9,)], "doc_id long")
+    edf = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {
+        r["doc_id"]: r["label"]
+        for r in label_propagation(ndf, edf, "doc_id", 2).collect()
+    }
+    assert got[9] == 9
+    # a 2-cycle oscillates under synchronous LPA (known property) —
+    # the deterministic contract is "matches the reference replay",
+    # not "converged": after 2 rounds each node is back to its own.
+    assert got == _py_lpa([0, 1, 9], [(0, 1), (1, 0)], 2)
