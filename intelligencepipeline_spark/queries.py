@@ -7908,91 +7908,24 @@ def label_propagation_communities(
 
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
-# with no driver row yet. r01 checked its first-50; r02 checked the
-# then-first-50. This r03 ordering puts 49 never-driver-checked entries
-# (§2.7 streaming-proof family first) plus the re-oracled ann_ivf_topk
-# (r02 row was err:"no_oracle"; now carries the full-probe==brute-force
-# SQL oracle) into positions 1-50.
+# with no driver row yet. r01 checked its first-50; r02 the
+# then-first-50; r03 the streaming-proof family + b2/b3 remainder
+# (50/50 green). This r04 ordering executes the rotation planned in
+# the r03 comment verbatim: the 45 remaining never-driver-checked
+# entries plus the 5 (b4) r03 additions occupy positions 1-50.
 #
-# PLANNED r04 WINDOW (the remaining never-checked entries — move these
-# to positions 1-50 before the r04 driver run; any operators new in r03
-# follow immediately after them):
-#   rolling_range_spend, stratified_fixed_sample, salted_join_revenue,
-#   q2_min_cost_supplier, q11_important_parts, q20_excess_suppliers,
-#   corr_matrix, curriculum_bins, gap_fill_series, bigram_novelty,
-#   span_dedup_clean, fuzzy_name_pairs, zorder_layout,
-#   incremental_corpus_update, iqr_outliers, chi_square_contingency,
-#   distribution_drift, bpe_pair_counts, bpe_train (rows-only),
-#   embedding_profile, ranking_functions, importance_sample,
-#   quality_canonical_selection, concurrent_sessions, lang_confusion,
-#   multiformat_roundtrip, event_transition_matrix, retention_cohorts,
-#   cooccurrence_pairs, ab_test_cells, join_skew_report,
-#   sparse_cosine_pairs, zscore_anomalies, pq_ann_topk (rows-only),
-#   url_domain_caps, boilerplate_line_removal, variant_json_ops,
-#   adaptive_quality_cutoff, token_budget_mix, null_safe_join,
-#   capped_sessions, user_growth_accumulation, mad_anomalies,
-#   label_centroids, triangle_count  [45 entries; the 5 (b4) r03
-#   additions fill the remaining slots]. The 4 (b5) late additions
-#   (bucketed_snapshot_consolidation, time_travel_diff,
-#   rate_limit_audit, linear_attribution) go FIRST in the r05 window
-#   with anything newer.
+# PLANNED r05 WINDOW (move these to positions 1-50 before the r05
+# driver run; any operators new in r04 follow immediately after
+# them — they are already placed directly below the r04 window in
+# registry order so the rotation is a single block move):
+#   bucketed_snapshot_consolidation, time_travel_diff,
+#   rate_limit_audit, linear_attribution, byte_histogram_features,
+#   embedding_kmeans, label_propagation_communities  [the 7 (b5)
+#   r03-late additions] + every (b6) r04 addition listed in the
+#   section below them. After r05 every entry ever registered has a
+#   driver CORRECTNESS row.
 QUERIES = {
-    # ==== r03 driver window: positions 1-50 ===========================
-    # -- §2.7 streaming-proof family (never driver-checked) ------------
-    "streaming_join_proof": streaming_join_proof,
-    "streaming_restart_exactly_once": streaming_restart_exactly_once,
-    "streaming_watermark_finalize": streaming_watermark_finalize,
-    "streaming_backpressure_proof": streaming_backpressure_proof,
-    "streaming_dedup_proof": streaming_dedup_proof,
-    "engine_streaming_run": engine_streaming_run,
-    "changelog_replay": changelog_replay,
-    "streaming_hll_distinct": streaming_hll_distinct,
-    "streaming_outer_join_proof": streaming_outer_join_proof,
-    "streaming_gap_fill": streaming_gap_fill,
-    "streaming_static_join": streaming_static_join,
-    "watermark_sizing_audit": watermark_sizing_audit,
-    # -- re-oracled this round (r02 row was err:"no_oracle") -----------
-    "ann_ivf_topk": ann_ivf_topk,
-    # -- remaining never-driver-checked (b2/b3 families) ---------------
-    "scd2_dimension": scd2_dimension,
-    "point_in_time_join": point_in_time_join_q,
-    "attribution_revenue": attribution_revenue,
-    "hll_mergeable_rollup": hll_mergeable_rollup,
-    "containment_pairs": containment_pairs,
-    "lexical_diversity": lexical_diversity,
-    "value_histogram": value_histogram,
-    "pagerank_neardup_graph": pagerank_neardup_graph,
-    "negative_pair_sample": negative_pair_sample,
-    "bpe_encode": bpe_encode,
-    "heavy_hitters": heavy_hitters,
-    "serde_dead_letter": serde_dead_letter,
-    "entity_resolution": entity_resolution,
-    "schema_evolution_merge": schema_evolution_merge,
-    "ann_recall_audit": ann_recall_audit,
-    "udtf_sentence_chunks": udtf_sentence_chunks,
-    "pq_adc_machinery": pq_adc_machinery,
-    "python_datasource_feed": python_datasource_feed,
-    "bigram_surprisal": bigram_surprisal,
-    "integrity_audit": integrity_audit,
-    "k_anonymity_audit": k_anonymity_audit,
-    "cogroup_reconciliation": cogroup_reconciliation,
-    "recursive_cte_chain": recursive_cte_chain,
-    "array_functions_suite": array_functions_suite,
-    "sketch_accuracy": sketch_accuracy,
-    "unpivot_event_matrix": unpivot_event_matrix,
-    "media_pipeline": media_pipeline,
-    "event_funnel": event_funnel,
-    "sliding_window_counts": sliding_window_counts,
-    "avro_serde_roundtrip": avro_serde_roundtrip,
-    "bloom_prefilter": bloom_prefilter_q,
-    "cms_frequency": cms_frequency,
-    "lsh_recall_audit": lsh_recall_audit,
-    "leakage_safe_split": leakage_safe_split,
-    "python_datasource_sink": python_datasource_sink,
-    "asof_forward_join": asof_forward_join_q,
-    "paragraph_dedup": paragraph_dedup,
-    # ==== end of r03 driver window (position 50) ======================
-    # -- planned r04 window (see comment above) ------------------------
+    # ==== r04 driver window: positions 1-50 ===========================
     "rolling_range_spend": rolling_range_spend,
     "stratified_fixed_sample": stratified_fixed_sample,
     "salted_join_revenue": salted_join_revenue,
@@ -8038,14 +7971,14 @@ QUERIES = {
     "mad_anomalies": mad_anomalies,
     "label_centroids": label_centroids,
     "triangle_count": triangle_count,
-    # -- (b4) new in r03: the 5 slots completing the planned r04 window
+    # -- (b4) new in r03: the 5 slots completing the r04 window --------
     "minhash_jaccard_estimate_audit": minhash_jaccard_estimate_audit,
     "snapshot_diff": snapshot_diff,
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
-    # -- (b5) r03-late additions: outside both planned windows; rotate
-    #    into the r05 driver window with anything newer ----------------
+    # ==== end of r04 driver window (position 50) ======================
+    # -- (b5) r03-late additions: lead the r05 window (see plan above) -
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
     "time_travel_diff": time_travel_diff,
     "rate_limit_audit": rate_limit_audit,
@@ -8053,6 +7986,58 @@ QUERIES = {
     "byte_histogram_features": byte_histogram_features,
     "embedding_kmeans": embedding_kmeans,
     "label_propagation_communities": label_propagation_communities,
+    # -- (b6) new in r04: follow the b5 block into the r05 window ------
+    # -- driver-green in r03 -------------------------------------------
+    "streaming_join_proof": streaming_join_proof,
+    "streaming_restart_exactly_once": streaming_restart_exactly_once,
+    "streaming_watermark_finalize": streaming_watermark_finalize,
+    "streaming_backpressure_proof": streaming_backpressure_proof,
+    "streaming_dedup_proof": streaming_dedup_proof,
+    "engine_streaming_run": engine_streaming_run,
+    "changelog_replay": changelog_replay,
+    "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_outer_join_proof": streaming_outer_join_proof,
+    "streaming_gap_fill": streaming_gap_fill,
+    "streaming_static_join": streaming_static_join,
+    "watermark_sizing_audit": watermark_sizing_audit,
+    "ann_ivf_topk": ann_ivf_topk,
+    "scd2_dimension": scd2_dimension,
+    "point_in_time_join": point_in_time_join_q,
+    "attribution_revenue": attribution_revenue,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
+    "containment_pairs": containment_pairs,
+    "lexical_diversity": lexical_diversity,
+    "value_histogram": value_histogram,
+    "pagerank_neardup_graph": pagerank_neardup_graph,
+    "negative_pair_sample": negative_pair_sample,
+    "bpe_encode": bpe_encode,
+    "heavy_hitters": heavy_hitters,
+    "serde_dead_letter": serde_dead_letter,
+    "entity_resolution": entity_resolution,
+    "schema_evolution_merge": schema_evolution_merge,
+    "ann_recall_audit": ann_recall_audit,
+    "udtf_sentence_chunks": udtf_sentence_chunks,
+    "pq_adc_machinery": pq_adc_machinery,
+    "python_datasource_feed": python_datasource_feed,
+    "bigram_surprisal": bigram_surprisal,
+    "integrity_audit": integrity_audit,
+    "k_anonymity_audit": k_anonymity_audit,
+    "cogroup_reconciliation": cogroup_reconciliation,
+    "recursive_cte_chain": recursive_cte_chain,
+    "array_functions_suite": array_functions_suite,
+    "sketch_accuracy": sketch_accuracy,
+    "unpivot_event_matrix": unpivot_event_matrix,
+    "media_pipeline": media_pipeline,
+    "event_funnel": event_funnel,
+    "sliding_window_counts": sliding_window_counts,
+    "avro_serde_roundtrip": avro_serde_roundtrip,
+    "bloom_prefilter": bloom_prefilter_q,
+    "cms_frequency": cms_frequency,
+    "lsh_recall_audit": lsh_recall_audit,
+    "leakage_safe_split": leakage_safe_split,
+    "python_datasource_sink": python_datasource_sink,
+    "asof_forward_join": asof_forward_join_q,
+    "paragraph_dedup": paragraph_dedup,
     # -- driver-green in r01/r02 ---------------------------------------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
