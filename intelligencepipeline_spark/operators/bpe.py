@@ -17,11 +17,13 @@ implements exactly that shape:
   (the learned merge table), like IVF's k×dim centroids: bounded and
   tiny by construction.
 
-The full trainer is iterative and therefore not single-statement
-SQL-expressible; its catalog entry is rows-only and correctness is
+The trainer is iterative but every step is deterministic over the
+bounded word domain, so the catalog entry's DuckDB oracle unrolls all
+merges move-for-move (oracles._bpe_train_sql: pair-count + argmax +
+list_reduce greedy merge per iteration); correctness is additionally
 pinned by unit tests against a pure-Python reference implementation
-(tests/test_bpe.py). The first iteration's pair counting IS
-SQL-expressible and has a full DuckDB oracle (bpe_pair_counts).
+(tests/test_bpe.py). The first iteration's pair counting also stands
+alone as the bpe_pair_counts entry.
 """
 
 from __future__ import annotations

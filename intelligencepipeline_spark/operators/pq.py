@@ -194,6 +194,210 @@ def pq_index(
     return cbs, spark.read.parquet(table_path)
 
 
+def pq_fit_integer(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[dict[int, dict[int, list[int]]], DataFrame]:
+    """Distributed PQ codebook fit in EXACT integer space — the
+    oracle-replayable variant of pq_fit: per-subspace Lloyd with the
+    operators/kmeans discipline (quantized longs, integer squared-L2,
+    argmin ties to the smaller centroid id, floor(sum/count) updates,
+    seeds = the k smallest ids' subvectors, empty clusters keep their
+    previous centroid). All m subspaces train in the SAME Spark jobs:
+    assignment is one expression-only projection computing every
+    subspace's code (m·k integer folds over literal centroids — pure
+    codegen, no UDF, no shuffle), the update is ONE map-side-combinable
+    (subspace, centroid, dim) agg, and the k·dim longs of codebook
+    state cross the driver between rounds, corpus-size independent.
+
+    Returns ``(codebooks, coded)``: codebooks[j][c] = list of dsub
+    ints; coded = (id, qvec, codes array<int>) under the FINAL
+    codebooks — the assignment IS the code table, so encode is free.
+    """
+    from intelligencepipeline_spark.operators.kmeans import _sq_dist
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    dsub = dim // m
+
+    def assign(q: DataFrame, cbs: dict) -> DataFrame:
+        code_cols = []
+        for j in range(m):
+            sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+            cands = F.array(
+                *[
+                    F.struct(
+                        _sq_dist(sub, cbs[j][c]).alias("dist2"),
+                        F.lit(int(c)).alias("cluster"),
+                    )
+                    for c in range(k)
+                ]
+            )
+            code_cols.append(F.array_min(cands)["cluster"])
+        return q.select(
+            id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
+        )
+
+    q = embeddings.select(
+        F.col(id_col).alias(id_col), quantize(F.col(vec_col)).alias("qvec")
+    )
+    seeds = q.orderBy(id_col).limit(k).collect()  # k·dim longs
+    if len(seeds) < k:
+        raise ValueError(f"corpus ({len(seeds)}) smaller than k ({k})")
+    cbs = {
+        j: {
+            c: [int(v) for v in seeds[c]["qvec"][j * dsub:(j + 1) * dsub]]
+            for c in range(k)
+        }
+        for j in range(m)
+    }
+    coded = assign(q, cbs)
+    for _ in range(iters - 1):
+        upd = (
+            coded.select("codes", F.posexplode("qvec").alias("dim", "v"))
+            .select(
+                F.floor(F.col("dim") / dsub).cast("int").alias("j"),
+                F.element_at(
+                    "codes", F.floor(F.col("dim") / dsub).cast("int") + 1
+                ).alias("c"),
+                (F.col("dim") % dsub).cast("int").alias("d"),
+                "v",
+            )
+            .groupBy("j", "c", "d")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()  # k·dim rows of longs, corpus-independent
+        )
+        new_c = {j: {c: list(cent) for c, cent in cbs[j].items()} for j in cbs}
+        for row in upd:  # empty clusters keep previous dims
+            new_c[int(row["j"])][int(row["c"])][int(row["d"])] = int(row["cv"])
+        cbs = new_c
+        coded = assign(q, cbs)
+    return cbs, coded
+
+
+def pq_index_integer(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> tuple[dict[int, dict[int, list[int]]], DataFrame]:
+    """Fit-once cache over pq_fit_integer (the pq_index discipline:
+    key = params + input file signature, two-phase _DONE commit): the
+    codebooks land as JSON, the coded table as parquet, and the query
+    path never re-fits or re-encodes."""
+    import hashlib
+    import json
+    import os
+
+    spark = embeddings.sparkSession
+    if cache_root is None:
+        return pq_fit_integer(embeddings, m, k, iters, dim, id_col, vec_col)
+    sig_parts = [f"int,m={m}", f"k={k}", f"it={iters}", f"s={SCALE}"]
+    for path in sorted(embeddings.inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    base = os.path.join(cache_root, key)
+    cb_path = os.path.join(base, "codebooks.json")
+    table_path = os.path.join(base, "coded")
+    done_path = os.path.join(base, "_DONE")
+    if os.path.exists(done_path):
+        with open(cb_path) as fh:
+            raw = json.load(fh)
+        cbs = {
+            int(j): {int(c): [int(v) for v in cent] for c, cent in sub.items()}
+            for j, sub in raw.items()
+        }
+        return cbs, spark.read.parquet(table_path)
+    os.makedirs(base, exist_ok=True)
+    cbs, coded = pq_fit_integer(embeddings, m, k, iters, dim, id_col, vec_col)
+    coded.write.mode("overwrite").parquet(table_path)
+    with open(cb_path, "w") as fh:
+        json.dump(cbs, fh)
+    with open(done_path, "w") as fh:
+        fh.write("ok")
+    return cbs, spark.read.parquet(table_path)
+
+
+def pq_adc_rerank_integer(
+    coded: DataFrame,
+    codebooks: dict[int, dict[int, list[int]]],
+    query_qvec: list[int],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC + exact refine over the integer code table: the driver
+    builds the m×k squared-distance lookup table from the quantized
+    query (exact python ints), the scan sums m literal-array lookups
+    per row (codegen; no shuffle, no raw-vector reads), TakeOrdered
+    keeps ``shortlist``, and ONLY those rows' vectors are re-ranked
+    with the exact integer L2 — the faiss ADC+refine layout with every
+    number oracle-replayable. Returns (id, adc, d2) by (d2, id)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query_qvec[j * dsub + d] - codebooks[j][c][d]) ** 2
+                for d in range(dsub)
+            )
+            for c in range(len(codebooks[j]))
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at(lut_lit, j + 1), F.element_at("codes", j + 1) + 1
+        )
+        for j in range(m)
+    ).cast("long")
+    short = (
+        coded.select(id_col, "qvec", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
+    exact = short.select(
+        id_col,
+        "adc",
+        F.aggregate(
+            F.zip_with("qvec", qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    return exact.orderBy(F.asc("d2"), F.asc(id_col)).limit(k)
+
+
 def pq_topk_rerank(
     codes: DataFrame,
     raw: DataFrame,

@@ -2719,6 +2719,64 @@ ORDER BY pair_count DESC, l, r
 LIMIT 50
 """
 
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Full BPE training unrolled move-for-move: each of the n_merges
+    iterations is one (pair-count, argmax, greedy-merge) CTE triple
+    replaying operators/bpe.train_bpe exactly.
+
+    The greedy left-to-right merge fold (Spark: aggregate HOF appending
+    to acc, merging when last(acc)=l and x=r) is replayed with DuckDB's
+    list_reduce over a space-joined accumulator string: the last symbol
+    is the text after the final space, and a merge appends x with NO
+    separator (acc already ends with l). Space is a safe separator —
+    symbols come from space-split tokens. Early stop (best pair count
+    < 2) falls out structurally: the argmax CTE goes empty, the cross
+    join empties every later state, and the rank-k UNION branch
+    contributes no row — exactly train_bpe's break."""
+    parts = [
+        f"""WITH wf AS (
+  SELECT word, cast(count(*) as bigint) AS n FROM (
+    SELECT unnest({_NTOKS}) AS word FROM documents
+  ) GROUP BY word
+), s0 AS (
+  SELECT word, n,
+    list_transform(range(1, length(word) + 1),
+                   i -> substr(word, cast(i as int), 1)) AS syms
+  FROM wf
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", p{k} AS (
+  SELECT l, r, cast(sum(n) as bigint) AS c FROM (
+    SELECT syms[cast(i as int)] AS l, syms[cast(i as int) + 1] AS r, n
+    FROM s{k - 1}, unnest(range(1, len(syms))) AS u(i)
+  ) GROUP BY l, r
+), b{k} AS (
+  SELECT l, r, c FROM p{k} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+), s{k} AS (
+  SELECT w.word, w.n,
+    string_split(list_reduce(w.syms, (acc, x) ->
+      CASE WHEN regexp_extract(acc, '[^ ]*$') = b.l AND x = b.r
+           THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+  FROM s{k - 1} w, b{k} b
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f'SELECT cast({k - 1} as bigint) AS rank, l AS "left",'
+        f' r AS "right", l || r AS merged, c AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+# Full 8-merge BPE trainer, unrolled (pattern: the label-propagation
+# 3-round unroll). Leaves NON_SQL_QUERIES: every merge is now
+# hash-checked against the distributed trainer.
+ORACLES["bpe_train"] = _bpe_train_sql(8)
+
 # Embedding per-dimension profile from exact quantized moments.
 # generate_subscripts is 1-based; Spark posexplode is 0-based.
 ORACLES["embedding_profile"] = f"""
@@ -4152,4 +4210,75 @@ SELECT label AS community_id,
   max(doc_id) AS max_member,
   md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS member_digest
 FROM l3 GROUP BY label ORDER BY community_id
+"""
+
+# Trained-PQ ANN, replayed end to end (pq_fit_integer +
+# pq_adc_rerank_integer, m=8 subspaces x k=16 centroids, 2 assignment
+# rounds): per-subspace integer Lloyd unrolled exactly like
+# embedding_kmeans (seeds = 16 smallest vec_ids, argmin ties to the
+# smaller centroid id, floor(sum/count) updates, empty clusters keep
+# their previous centroid), then the encoding argmin, the ADC lookup
+# table from query vec 0, the top-100 shortlist, and the exact
+# integer-L2 re-rank of only those rows.
+ORACLES["pq_ann_topk"] = f"""
+WITH q AS (
+  SELECT vec_id, cast(generate_subscripts(embedding, 1) - 1 as bigint)
+    AS dim, {_QELEM} AS v
+  FROM embeddings
+), e AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM q
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 16)
+), cent0 AS (
+  SELECT s.cid, e.j, e.d, e.v AS c FROM seeds s JOIN e USING (vec_id)
+), d1 AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM e JOIN cent0 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), a1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM d1) WHERE rn = 1
+), upd AS (
+  SELECT a.cid, e.j, e.d,
+    cast(floor(cast(sum(e.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM a1 a JOIN e ON a.vec_id = e.vec_id AND a.j = e.j
+  GROUP BY 1, 2, 3
+), cent1 AS (
+  SELECT c0.cid, c0.j, c0.d, coalesce(u.c, c0.c) AS c
+  FROM cent0 c0 LEFT JOIN upd u
+    ON c0.cid = u.cid AND c0.j = u.j AND c0.d = u.d
+), dd AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM e JOIN cent1 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM dd) WHERE rn = 1
+), lut AS (
+  SELECT c.j, c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS ld
+  FROM cent1 c JOIN e qe ON qe.vec_id = 0 AND qe.j = c.j AND qe.d = c.d
+  GROUP BY 1, 2
+), adc AS (
+  SELECT k.vec_id, cast(sum(l.ld) as bigint) AS adc
+  FROM codes k JOIN lut l ON k.j = l.j AND k.cid = l.cid
+  WHERE k.vec_id <> 0 GROUP BY 1
+), short AS (
+  SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 100
+), exact AS (
+  SELECT s.vec_id, s.adc,
+    cast(sum((ce.v - qe.v) * (ce.v - qe.v)) as bigint) AS d2
+  FROM short s
+  JOIN q ce ON ce.vec_id = s.vec_id
+  JOIN q qe ON qe.vec_id = 0 AND qe.dim = ce.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
 """

@@ -1128,31 +1128,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ compressed-domain ANN (operators/pq.py): 64-d float vectors
-    stored as 16 byte codes (16 subspaces × 64 centroids); the query
-    scans the CODE table with an ADC lookup table, shortlists 100,
-    and exact-re-ranks only those raw rows — the faiss ADC+refine
-    layout. Codebooks + codes are fit-once/cached (pq_index), so this
-    query's plan is scan-codes + rerank-100 only. Iterative fit → no
-    SQL oracle (NON_SQL_QUERIES); pinned by tests/test_pq.py
-    (determinism, code ranges, recall floors vs brute force)."""
-    import numpy as np
-
+    """PQ compressed-domain ANN (operators/pq.py): vectors stored as
+    8 subspace codes (8 subspaces × 16 centroids); the query scans the
+    CODE table with an ADC lookup table, shortlists 100, and
+    exact-re-ranks only those rows — the faiss ADC+refine layout. The
+    codebooks are fit with the DISTRIBUTED integer per-subspace Lloyd
+    (pq_fit_integer: quantized longs, exact integer squared-L2, argmin
+    ties to the smaller centroid id, floor(sum/count) updates, seeds =
+    the 16 smallest ids, 2 assignment rounds), so the DuckDB oracle
+    replays the ENTIRE path move-for-move — both k-means rounds
+    unrolled (the embedding_kmeans pattern), the encoding argmin, the
+    ADC table, the shortlist, and the exact re-rank. A drifted
+    centroid update, code assignment, or ADC lookup breaks the hash;
+    recall floors vs brute force stay pinned by tests/test_pq.py."""
     from intelligencepipeline_spark.operators.pq import (
-        pq_index,
-        pq_topk_rerank,
+        pq_adc_rerank_integer,
+        pq_index_integer,
     )
+    from intelligencepipeline_spark.operators.similarity import quantize
 
     emb = _t(spark, sf_dir, "embeddings")
-    cbs, codes = pq_index(
-        emb, m=16, k=64, iters=5, cache_root="/tmp/ip_pq_cache"
+    cbs, coded = pq_index_integer(
+        emb, m=8, k=16, iters=2, cache_root="/tmp/ip_pq_cache"
     )
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
-    return pq_topk_rerank(
-        codes.filter(F.col("vec_id") != 0),
-        emb.filter(F.col("vec_id") != 0),
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]
+    )
+    return pq_adc_rerank_integer(
+        coded.filter(F.col("vec_id") != 0),
         cbs,
-        np.array(qrow.embedding),
+        [int(v) for v in qrow.qv],
         k=10,
         shortlist=100,
     )
@@ -1161,9 +1168,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Catalog entries that are genuinely non-SQL-expressible (iterative /
 # stateful) and therefore carry no oracle_sql: the driver records a
 # rows-only check for these; their correctness lives in unit tests.
-# (ann_ivf_topk left this set in r03: exported at full probe, where
-# IVF == brute force exactly and the brute-force SQL is its oracle.)
-NON_SQL_QUERIES = {"bpe_train", "pq_ann_topk"}
+# The set emptied over rounds: ann_ivf_topk left in r03 (full-probe
+# export == brute force); bpe_train left in r04 (8-merge SQL unroll);
+# pq_ann_topk left in r04 (integer k-means codebooks, 2-iter unroll).
+NON_SQL_QUERIES: set[str] = set()
 
 
 def doc_with_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4932,9 +4940,11 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed BPE training, 8 merges (operators/bpe.py):
     corpus -> word-frequency domain (one shuffle) -> k iterations of
     expression-side pair counts + argmax + greedy HOF merge fold.
-    Iterative, hence rows-only for the driver gate; exact equivalence
-    to the sequential reference algorithm (same merges, same order,
-    same counts, same tie-breaks) is pinned by tests/test_bpe.py."""
+    The DuckDB oracle unrolls all 8 merges (pair-count CTE + argmax
+    CTE + list_reduce greedy merge per iteration), so a drifted
+    tie-break, merge-overlap rule, or weighting breaks the hash;
+    equivalence to the sequential reference is additionally pinned by
+    tests/test_bpe.py."""
     from intelligencepipeline_spark.operators.bpe import train_bpe
 
     merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)

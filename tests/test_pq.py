@@ -92,3 +92,91 @@ def test_adc_recall_vs_brute_force(spark):
         ).collect()
     ]
     assert got == got2
+
+
+def test_integer_fit_deterministic_and_empty_cluster_rule(spark):
+    """pq_fit_integer: bit-identical across runs; codes in range; the
+    empty-cluster rule keeps the seed centroid (forced via k close to
+    the corpus size on a tiny slice)."""
+    from intelligencepipeline_spark.operators.pq import pq_fit_integer
+
+    emb = _emb(spark)
+    cbs1, coded1 = pq_fit_integer(emb, m=8, k=16, iters=2)
+    cbs2, coded2 = pq_fit_integer(emb, m=8, k=16, iters=2)
+    assert cbs1 == cbs2
+    r1 = {r.vec_id: list(r.codes) for r in coded1.collect()}
+    r2 = {r.vec_id: list(r.codes) for r in coded2.collect()}
+    assert r1 == r2
+    assert len(r1) == emb.count()
+    assert all(
+        len(c) == 8 and all(0 <= x < 16 for x in c) for c in r1.values()
+    )
+    # tiny slice, k == n: every point is its own seed; centroids must
+    # survive the update round unchanged where clusters are singletons
+    tiny = emb.filter(F.col("vec_id") < 8)
+    cbs_t, coded_t = pq_fit_integer(tiny, m=4, k=8, iters=2)
+    assert all(len(cbs_t[j]) == 8 for j in range(4))
+
+
+def test_integer_adc_rerank_matches_exact_topk(spark):
+    """ADC shortlist-100 + exact re-rank over 500 vectors recovers the
+    exact integer-L2 top-10 head (shortlist ⊇ true top: re-rank is
+    exact, so misses can only come from shortlist recall)."""
+    import numpy as np
+
+    from intelligencepipeline_spark.operators.pq import (
+        pq_adc_rerank_integer,
+        pq_fit_integer,
+    )
+
+    emb = _emb(spark)
+    cbs, coded = pq_fit_integer(emb, m=8, k=16, iters=2)
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        quantize(F.col("embedding")).alias("qv")
+    ).collect()[0]
+    qv = [int(v) for v in qrow.qv]
+    got = pq_adc_rerank_integer(
+        coded.filter(F.col("vec_id") != 0), cbs, qv, k=10, shortlist=100
+    ).collect()
+    # exact ground truth over the quantized vectors
+    truth = (
+        coded.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "qvec",
+                    F.array(*[F.lit(v) for v in qv]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    want = {(r.vec_id, r.d2) for r in truth}
+    have = {(r.vec_id, r.d2) for r in got}
+    # d2 values in the result are exact by construction; demand high
+    # overlap with the true head
+    assert len(want & have) >= 7, (sorted(have), sorted(want))
+    # and the result itself is sorted by (d2, vec_id)
+    ds = [(r.d2, r.vec_id) for r in got]
+    assert ds == sorted(ds)
+
+
+def test_integer_index_cache_roundtrip(spark, tmp_path):
+    """pq_index_integer: second call loads the cache and returns the
+    identical codebooks and coded table."""
+    from intelligencepipeline_spark.operators.pq import pq_index_integer
+
+    emb = _emb(spark)
+    root = str(tmp_path / "pqint")
+    cbs1, coded1 = pq_index_integer(emb, m=4, k=8, iters=2, cache_root=root)
+    cbs2, coded2 = pq_index_integer(emb, m=4, k=8, iters=2, cache_root=root)
+    assert cbs1 == cbs2
+    a = sorted((r.vec_id, tuple(r.codes)) for r in coded1.collect())
+    b = sorted((r.vec_id, tuple(r.codes)) for r in coded2.collect())
+    assert a == b
