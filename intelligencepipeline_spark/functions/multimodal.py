@@ -8,10 +8,15 @@ The engine treats non-text modalities as first-class columns:
 
 Decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages
 so bytes never round-trip through the driver and batches amortize model
-startup. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-container — the decode bodies below are deterministic fakes / stubs
-behind ``STUB_DECODE``; the Spark-side plumbing (schemas, batch
-iteration, partition sizing) is real and tested.
+startup. Two codec paths are REAL, pure-stdlib implementations —
+24bpp BMP (decode_bmp/encode_bmp, incl. nearest-neighbor resize) and
+PCM16 WAV (decode_wav) — so ``_decode_features`` and ``resize_images``
+do genuine pixel/sample work for those MIME types, hash-checked by the
+bmp_decode_stats / wav_decode_stats oracle entries. The heavyweight
+codecs (PIL/ffmpeg/torchaudio for jpeg/mp4/...) are NOT in this
+container — those mime types keep the deterministic sha-stub behind
+``STUB_DECODE``; the Spark-side plumbing (schemas, batch iteration,
+partition sizing) is identical for both paths.
 
 At 100 TB: binary columns live in parquet alongside metadata, so
 predicate pushdown on ``media_meta.mime`` prunes row groups before any
@@ -56,6 +61,7 @@ def sniff_mime(media: Column) -> Column:
         F.when(head.startswith("89504E47"), F.lit("image/png"))
         .when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
         .when(head.startswith("47494638"), F.lit("image/gif"))
+        .when(head.startswith("424D"), F.lit("image/bmp"))
         .when(head.startswith("494433"), F.lit("audio/mpeg"))
         .when(head.startswith("52494646"), F.lit("audio/wav"))
         .when(F.substring(media, 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4"))
@@ -63,15 +69,154 @@ def sniff_mime(media: Column) -> Column:
     )
 
 
+def decode_bmp(content: bytes):
+    """REAL pure-stdlib BMP decode: 24bpp uncompressed
+    BITMAPINFOHEADER, bottom-up (positive height) or top-down
+    (negative), 4-byte row padding. Returns ``(width, height, pixels)``
+    with pixels an ``(h, w, 3)`` uint8 numpy array in image order
+    (row 0 = top) and B,G,R channel order as stored."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", content, 18)
+    _planes, bpp = struct.unpack_from("<HH", content, 26)
+    (comp,) = struct.unpack_from("<I", content, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24bpp uncompressed BMP supported")
+    top_down, h = h < 0, abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    stride = (w * 3 + 3) // 4 * 4
+    if off + stride * h > len(content):
+        raise ValueError("truncated BMP pixel data")
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for row in range(h):
+        line = np.frombuffer(
+            content, dtype=np.uint8, count=w * 3, offset=off + row * stride
+        )
+        px[row if top_down else h - 1 - row] = line.reshape(w, 3)
+    return w, h, px
+
+
+def encode_bmp(px) -> bytes:
+    """Inverse of decode_bmp: (h, w, 3) uint8 array -> 24bpp
+    bottom-up BMP bytes with standard 4-byte row padding."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for row in range(h - 1, -1, -1):  # bottom-up
+        body += px[row].tobytes() + pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + bytes(body)
+
+
+def decode_wav(content: bytes):
+    """REAL pure-stdlib WAV decode: RIFF/WAVE chunk walk, PCM16 only.
+    Returns ``(sample_rate, n_channels, samples)`` with samples an
+    interleaved little-endian int16 numpy array."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(content) < 44
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (sz,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only PCM16 WAV supported")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    return rate, n_ch, samples
+
+
 def _decode_features(content: bytes) -> list[float]:
-    """Deterministic fake 'embedding' of media bytes (8 floats from the
-    sha256 digest). Replace with a real decode+model when codecs exist."""
+    """8-float feature vector per media payload.
+
+    REAL paths (pure-stdlib codecs, every component an exact small
+    integer so float32 represents it exactly and the SQL oracle can
+    replay it):
+
+    * BMP  -> [w, h, sum_b, sum_g, sum_r, px_min, px_max, topleft_b]
+      (channel sums over all pixels; topleft_b = blue value of image
+      row 0 col 0, which lives in the LAST file row of a bottom-up
+      BMP — an order-sensitive probe of the row layout).
+    * WAV  -> [rate, n_ch, n_samples, sum, s_min, s_max, first, last]
+      (int16 LE samples; first/last are order-sensitive endianness
+      probes).
+
+    Other mime types keep the deterministic sha256 stub (the
+    heavyweight codecs aren't in this container); malformed BMP/WAV
+    payloads fall back to the stub rather than failing the batch."""
+    b = content or b""
+    mime = _sniff_py(b)
+    try:
+        if mime == "image/bmp":
+            import numpy as np
+
+            w, h, px = decode_bmp(b)
+            flat = px.reshape(-1, 3).astype(np.int64)
+            return [
+                float(w),
+                float(h),
+                float(flat[:, 0].sum()),
+                float(flat[:, 1].sum()),
+                float(flat[:, 2].sum()),
+                float(px.min()),
+                float(px.max()),
+                float(px[0, 0, 0]),
+            ]
+        if mime == "audio/wav":
+            s64 = None
+            rate, n_ch, samples = decode_wav(b)
+            s64 = samples.astype("int64")
+            return [
+                float(rate),
+                float(n_ch),
+                float(len(samples)),
+                float(s64.sum()) if len(s64) else 0.0,
+                float(s64.min()) if len(s64) else 0.0,
+                float(s64.max()) if len(s64) else 0.0,
+                float(s64[0]) if len(s64) else 0.0,
+                float(s64[-1]) if len(s64) else 0.0,
+            ]
+    except ValueError:
+        pass  # unsupported variant of a real format -> stub below
     if not STUB_DECODE:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg — not in this container"
         )
-    h = hashlib.sha256(content or b"").digest()
-    return [b / 255.0 for b in h[:8]]
+    h = hashlib.sha256(b).digest()
+    return [x / 255.0 for x in h[:8]]
 
 
 def extract_media_features(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -108,6 +253,8 @@ def _sniff_py(content: bytes | None) -> str:
         return "image/jpeg"
     if b.startswith(b"GIF8"):
         return "image/gif"
+    if b.startswith(b"BM"):
+        return "image/bmp"
     if b.startswith(b"ID3"):
         return "audio/mpeg"
     if b.startswith(b"RIFF"):
@@ -129,12 +276,12 @@ def resize_images(
     target_h: int = 224,
     media_col: str = "media",
 ) -> DataFrame:
-    """mapInPandas image resize plumbing (aspect-preserving fit into
-    ``target_w x target_h``). The pixel work is stubbed (no PIL in this
-    container): output bytes are a deterministic digest of
-    (content, dims) so downstream plumbing — schema, batching, joins —
-    is fully testable. Swap ``_fake_resize`` for a PIL/opencv body on a
-    real cluster; the operator contract is unchanged.
+    """mapInPandas image resize (aspect-preserving fit into
+    ``target_w x target_h``). BMP payloads get a REAL nearest-neighbor
+    resample (decode_bmp -> index-sampled numpy grid -> encode_bmp);
+    other formats keep the deterministic digest stub (no PIL in this
+    container) so downstream plumbing — schema, batching, joins — is
+    testable either way. The operator contract is format-independent.
     """
 
     def _fit(w: int, h: int) -> tuple[int, int]:
@@ -143,14 +290,26 @@ def resize_images(
         scale = min(target_w / w, target_h / h)
         return max(1, int(w * scale)), max(1, int(h * scale))
 
+    def _resize_bmp(content: bytes, ow: int, oh: int) -> bytes:
+        import numpy as np
+
+        w, h, px = decode_bmp(content)
+        xs = (np.arange(ow) * w) // ow  # nearest-neighbor source cols
+        ys = (np.arange(oh) * h) // oh
+        return encode_bmp(px[ys][:, xs])
+
     def _fake_resize(content: bytes, ow: int, oh: int) -> bytes:
+        b = content or b""
+        if b.startswith(b"BM"):
+            try:
+                return _resize_bmp(b, ow, oh)
+            except ValueError:
+                pass  # unsupported BMP variant -> stub
         if not STUB_DECODE:
             raise NotImplementedError(
                 "real resize requires PIL/opencv — not in this container"
             )
-        return hashlib.sha256(
-            (content or b"") + f"|{ow}x{oh}".encode()
-        ).digest()
+        return hashlib.sha256(b + f"|{ow}x{oh}".encode()).digest()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

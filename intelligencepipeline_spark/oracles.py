@@ -4282,3 +4282,63 @@ WITH q AS (
 )
 SELECT vec_id, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
 """
+
+# Real BMP decode replayed from the md5 hex digits that built the
+# pixels: byte i of the 24-byte pixel payload is hex pair i of
+# md5(text) || md5(text||'x')[:16]. Channel c = positions with
+# i % 3 = c (stride 12 = width*3, so row order can't shift channels);
+# topleft_b is byte 12 — the first byte of the SECOND file row, which
+# a bottom-up decode must surface as image row 0.
+ORACLES["bmp_decode_stats"] = """
+WITH hx AS (
+  SELECT doc_id, md5(text) || substr(md5(text || 'x'), 1, 16) AS hs
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    cast(i as bigint) AS i,
+    cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2)) as bigint) AS v
+  FROM hx, unnest(range(0, 24)) AS u(i)
+)
+SELECT doc_id,
+  'image/bmp' AS mime,
+  cast(78 as bigint) AS n_bytes,
+  cast(4 as bigint) AS width,
+  cast(2 as bigint) AS height,
+  cast(sum(CASE WHEN i % 3 = 0 THEN v END) as bigint) AS sum_b,
+  cast(sum(CASE WHEN i % 3 = 1 THEN v END) as bigint) AS sum_g,
+  cast(sum(CASE WHEN i % 3 = 2 THEN v END) as bigint) AS sum_r,
+  cast(min(v) as bigint) AS px_min,
+  cast(max(v) as bigint) AS px_max,
+  cast(max(CASE WHEN i = 12 THEN v END) as bigint) AS topleft_b
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Real WAV decode replayed: sample i = int16 LE from hex pairs 2i
+# (lo) and 2i+1 (hi) of md5(text), sign-extended.
+ORACLES["wav_decode_stats"] = """
+WITH hx AS (
+  SELECT doc_id, md5(text) AS hs FROM documents
+), s AS (
+  SELECT doc_id, cast(i as bigint) AS i,
+    cast(concat('0x', substr(hs, cast(4 * i + 1 as int), 2)) as bigint)
+      + 256 * cast(concat('0x', substr(hs, cast(4 * i + 3 as int), 2)) as bigint)
+      AS raw
+  FROM hx, unnest(range(0, 8)) AS u(i)
+), v AS (
+  SELECT doc_id, i,
+    raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM s
+)
+SELECT doc_id,
+  'audio/wav' AS mime,
+  cast(60 as bigint) AS n_bytes,
+  cast(8000 as bigint) AS sample_rate,
+  cast(1 as bigint) AS n_channels,
+  cast(8 as bigint) AS n_samples,
+  cast(sum(v) as bigint) AS sum_s,
+  cast(min(v) as bigint) AS s_min,
+  cast(max(v) as bigint) AS s_max,
+  cast(max(CASE WHEN i = 0 THEN v END) as bigint) AS first_s,
+  cast(max(CASE WHEN i = 7 THEN v END) as bigint) AS last_s
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""

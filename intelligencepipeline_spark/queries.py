@@ -7827,6 +7827,106 @@ def byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path, hash-checked end to end: a 4x2 24bpp BMP
+    is built per document as pure expression work (fixed 54-byte header
+    literal + 24 md5-derived pixel bytes via unhex), then decoded by
+    the PURE-STDLIB BMP decoder inside the production mapInPandas
+    feature extractor (functions/multimodal.decode_bmp via
+    extract_media_features — struct header parse, bottom-up row order,
+    stride handling, numpy channel split). Every exported stat is an
+    exact small integer, so the oracle re-derives them from the md5
+    hex digits: channel sums = byte positions mod 3, and topleft_b (=
+    image row 0, which lives in the LAST file row of a bottom-up BMP)
+    proves the row-order handling — a top-down read breaks the hash.
+
+    Scale: generation + decode ride the scan (no shuffle, no driver
+    data); Arrow batches bound memory exactly as a real image corpus
+    would."""
+    from intelligencepipeline_spark.functions.multimodal import (
+        encode_bmp,
+        extract_media_features,
+    )
+
+    import numpy as np
+
+    header = encode_bmp(np.zeros((2, 4, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("text")),
+                    F.substring(
+                        F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
+                    ),
+                )
+            ),
+        ).alias("media"),
+    )
+    feats = extract_media_features(media, "media")
+    comp = [
+        ("width", 1), ("height", 2), ("sum_b", 3), ("sum_g", 4),
+        ("sum_r", 5), ("px_min", 6), ("px_max", 7), ("topleft_b", 8),
+    ]
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.element_at("feature", i).cast("long").alias(name)
+            for name, i in comp
+        ],
+    ).orderBy("doc_id")
+
+
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, hash-checked end to end: a PCM16 mono
+    8 kHz WAV (44-byte canonical header literal + 16 md5-derived data
+    bytes = 8 samples) is built per document by expression, then
+    decoded by the PURE-STDLIB RIFF chunk walker inside the production
+    extractor (functions/multimodal.decode_wav — fmt/data chunk scan,
+    little-endian int16 interpretation). The oracle re-derives each
+    SIGNED sample from hex-digit pairs (lo + 256*hi - 65536*[hi>=128]),
+    so the first/last exports catch an endianness or order drift and
+    the sum/min/max catch any sign-extension bug."""
+    import struct
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        extract_media_features,
+    )
+
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + 16, b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", 16,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(F.lit(header), F.unhex(F.md5(F.col("text")))).alias(
+            "media"
+        ),
+    )
+    feats = extract_media_features(media, "media")
+    comp = [
+        ("sample_rate", 1), ("n_channels", 2), ("n_samples", 3),
+        ("sum_s", 4), ("s_min", 5), ("s_max", 6), ("first_s", 7),
+        ("last_s", 8),
+    ]
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        *[
+            F.element_at("feature", i).cast("long").alias(name)
+            for name, i in comp
+        ],
+    ).orderBy("doc_id")
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd K-MEANS over the embedding corpus
     (operators/kmeans.kmeans) — the clustering pass behind SemDeDup,
@@ -7997,6 +8097,8 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "label_propagation_communities": label_propagation_communities,
     # -- (b6) new in r04: follow the b5 block into the r05 window ------
+    "bmp_decode_stats": bmp_decode_stats,
+    "wav_decode_stats": wav_decode_stats,
     # -- driver-green in r03 -------------------------------------------
     "streaming_join_proof": streaming_join_proof,
     "streaming_restart_exactly_once": streaming_restart_exactly_once,

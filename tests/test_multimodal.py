@@ -80,3 +80,157 @@ def test_resize_images_plumbing(spark):
     exp = hashlib.sha256(raw[1] + b"|224x168").digest()
     assert bytes(out[1].resized) == exp
     assert out[1].mime == "image/png"
+
+
+def test_bmp_codec_roundtrip():
+    """encode_bmp -> decode_bmp is the identity on pixel arrays,
+    including non-multiple-of-4 strides (padding)."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(4, 2), (3, 5), (1, 1), (7, 3)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        blob = encode_bmp(px)
+        w2, h2, px2 = decode_bmp(blob)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px, px2)
+        # stride is 4-byte aligned
+        assert (len(blob) - 54) == ((w * 3 + 3) // 4 * 4) * h
+
+
+def test_bmp_decode_rejects_malformed():
+    import pytest
+
+    from intelligencepipeline_spark.functions.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    # declared 24bpp but truncated pixel data
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import encode_bmp
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-8])
+
+
+def test_bmp_real_resize_nearest_neighbor(spark):
+    """resize_images on a BMP payload does real pixel work: a 2x2
+    checker upsampled through the aspect-fit produces the expected
+    nearest-neighbor blocks, and the output is itself a decodable BMP."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 1] = [10, 20, 30]
+    px[1, 0] = [40, 50, 60]
+    blob = encode_bmp(px)
+    from intelligencepipeline_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, media binary"
+    ).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.lit(2).cast("int").alias("width"),
+            F.lit(2).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+    row = resize_images(df, 4, 4).collect()[0]
+    assert row.mime == "image/bmp"
+    assert (row.out_width, row.out_height) == (4, 4)
+    w, h, out = decode_bmp(bytes(row.resized))
+    assert (w, h) == (4, 4)
+    # each source pixel becomes a 2x2 block
+    assert np.array_equal(out[0:2, 2:4], np.broadcast_to([10, 20, 30], (2, 2, 3)))
+    assert np.array_equal(out[2:4, 0:2], np.broadcast_to([40, 50, 60], (2, 2, 3)))
+    assert np.array_equal(out[0:2, 0:2], np.zeros((2, 2, 3)))
+
+
+def test_wav_codec_decode_and_chunk_walk():
+    """decode_wav: PCM16 parse incl. sign, extra chunks before data,
+    odd-size word alignment, and malformed rejection."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from intelligencepipeline_spark.functions.multimodal import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 256], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    # put an odd-sized junk chunk before fmt/data to exercise the walk
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = junk + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, n_ch, got = decode_wav(blob)
+    assert (rate, n_ch) == (8000, 1)
+    assert np.array_equal(got, samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 40)
+    # non-PCM format code rejected
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_decode_features_real_paths():
+    """_decode_features: exact stats for BMP/WAV, sha stub elsewhere,
+    stub fallback for malformed magic-byte payloads."""
+    import struct
+
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        _decode_features,
+        encode_bmp,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    f = _decode_features(encode_bmp(px))
+    flat = px.reshape(-1, 3).astype(int)
+    assert f[:2] == [4.0, 2.0]
+    assert f[2:5] == [
+        float(flat[:, 0].sum()),
+        float(flat[:, 1].sum()),
+        float(flat[:, 2].sum()),
+    ]
+    assert f[5:] == [0.0, 23.0, float(px[0, 0, 0])]
+    samples = np.array([5, -7, 100, -200], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 8) + samples.tobytes()
+    )
+    assert _decode_features(blob) == [
+        8000.0, 1.0, 4.0, -102.0, -200.0, 100.0, 5.0, -200.0,
+    ]
+    # malformed BMP magic falls back to the sha stub, not an exception
+    import hashlib
+
+    bad = b"BM" + b"\x01" * 10
+    want = [b / 255.0 for b in hashlib.sha256(bad).digest()[:8]]
+    assert _decode_features(bad) == want
