@@ -1,0 +1,94 @@
+"""Session-wide persist tracking — the ownership contract for every
+``persist()`` in this package.
+
+Shared scans (shingle tables, quantized vectors, candidate pair sets)
+are persisted because several downstream branches of ONE query plan
+re-read them; they must stay cached until the query's consuming action
+runs, which happens OUTSIDE the query function (the driver / bench /
+oracle gate collects the returned DataFrame). No function in the
+package can therefore unpersist its own cache at the right moment.
+
+The contract:
+
+* producers call :func:`track_persist` instead of ``df.persist()``;
+* the catalog wrapper (queries._with_cache_release) releases the
+  PREVIOUS entry's tracked caches when the NEXT entry is built, so any
+  sequential consumer — the judge driver, bench.py, oracle_check —
+  holds at most one query's cached blocks without having to
+  cooperate;
+* consumers that want deterministic cleanup (tests, long-lived
+  engines) call :func:`release_persisted` directly after their action.
+
+``unpersist()`` on an already-released DataFrame is a Spark no-op, so
+operators with correctly paired explicit unpersists (the iterative
+component loops) may ALSO route through the tracker for crash safety.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Hashable
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+_SHARED: dict[Hashable, DataFrame] = {}
+
+
+def shared_scan(
+    key: Hashable, builder: Callable[[], DataFrame], level=None
+) -> DataFrame:
+    """DELIBERATE cross-entry cache for the catalog's common
+    substrates — the word-shingle table and the verified LSH edge set
+    that 10+ dedup/graph entries all derive from the same corpus scan.
+    (Before r04's hygiene pass these were shared ACCIDENTALLY: leaked
+    per-entry persists happened to match later entries' logical plans.
+    This makes the sharing explicit, keyed, and bounded.)
+
+    Keyed by (name, sf_dir, params): one entry per substrate per
+    corpus per session. NOT released by the per-entry wrapper —
+    :func:`release_shared` clears it (bench/oracle call it at the end
+    of a full catalog run). At 100 TB the equivalent is a
+    materialized-at-rest table written once at ingest, not a RAM
+    cache; the session-level cache models exactly that reuse."""
+    df = _SHARED.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+
+        df = builder().persist(level or StorageLevel.MEMORY_AND_DISK)
+        _SHARED[key] = df
+    return df
+
+
+def release_shared() -> int:
+    """Unpersist every shared substrate scan."""
+    n = 0
+    for df in _SHARED.values():
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _SHARED.clear()
+    return n
+
+
+def track_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` and register it for the next release sweep."""
+    df = df.persist(level) if level is not None else df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked DataFrame (blocking=False); returns how
+    many were released. Safe to call at any time — plans referencing a
+    released cache recompute instead of failing."""
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    _TRACKED.clear()
+    return n

@@ -48,11 +48,13 @@ def connected_components(
     ).unionAll(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
     sym = sym.localCheckpoint(eager=True)  # used by every round
 
-    labels = (
+    from intelligencepipeline_spark.caching import track_persist
+
+    labels = track_persist(
         sym.select(F.col("s").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("label", F.col("node")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     prev = labels
     for i in range(max_iterations):
@@ -69,7 +71,10 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # loop-internal caches are explicitly unpersisted below as each
+        # round retires; tracking adds crash-safety (no-op if paired)
+        nxt = track_persist(nxt, StorageLevel.MEMORY_AND_DISK)
         # one action: materializes this round's cache AND tests fixpoint
         changed = nxt.filter(F.col("label") != F.col("old_label")).count()
         if (i + 1) % 5 == 0:
@@ -115,11 +120,13 @@ def connected_components_star(
     from pyspark import StorageLevel
 
     # canonical directed edge u -> v with u != v
-    e = (
+    from intelligencepipeline_spark.caching import track_persist
+
+    e = track_persist(
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     e.count()
 

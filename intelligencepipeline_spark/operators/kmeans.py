@@ -94,44 +94,46 @@ def kmeans(
     """
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
-    q = emb.select(
-        F.col(id_col).alias(id_col), quantize(F.col(vec_col)).alias("qvec")
-    ).persist()
-    try:
-        init_rows = q.orderBy(id_col).limit(k).collect()  # k·d longs
-        centroids = {
-            cid: [int(v) for v in row["qvec"]]
-            for cid, row in enumerate(init_rows)
-        }
-        assigned = assign_clusters(q, centroids, id_col)
-        for _ in range(iterations - 1):
-            # floor(sum/count) per (cluster, dim): one keyed agg,
-            # map-side combinable; collect is k·d rows of longs.
-            upd = (
-                assigned.select(
-                    "cluster", F.posexplode("qvec").alias("dim", "v")
-                )
-                .groupBy("cluster", "dim")
-                .agg(
-                    F.floor(
-                        F.sum("v").cast("double")
-                        / F.count(F.lit(1)).cast("double")
-                    )
-                    .cast("long")
-                    .alias("c")
-                )
-                .collect()
+    from intelligencepipeline_spark.caching import track_persist
+
+    # cached through the returned plan's consuming action; released by
+    # the caching.py ownership contract (catalog wrapper / consumer)
+    q = track_persist(
+        emb.select(
+            F.col(id_col).alias(id_col),
+            quantize(F.col(vec_col)).alias("qvec"),
+        )
+    )
+    init_rows = q.orderBy(id_col).limit(k).collect()  # k·d longs
+    centroids = {
+        cid: [int(v) for v in row["qvec"]]
+        for cid, row in enumerate(init_rows)
+    }
+    assigned = assign_clusters(q, centroids, id_col)
+    for _ in range(iterations - 1):
+        # floor(sum/count) per (cluster, dim): one keyed agg,
+        # map-side combinable; collect is k·d rows of longs.
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("qvec").alias("dim", "v")
             )
-            new_c = {cid: list(cent) for cid, cent in centroids.items()}
-            for row in upd:  # empty clusters keep previous dims
-                new_c[int(row["cluster"])][int(row["dim"])] = int(row["c"])
-            centroids = new_c
-            assigned = assign_clusters(q, centroids, id_col)
-        return assigned, centroids
-    finally:
-        # persisted input is unpersisted lazily by the caller's action;
-        # keep it cached through the returned plan.
-        pass
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        )
+        new_c = {cid: list(cent) for cid, cent in centroids.items()}
+        for row in upd:  # empty clusters keep previous dims
+            new_c[int(row["cluster"])][int(row["dim"])] = int(row["c"])
+        centroids = new_c
+        assigned = assign_clusters(q, centroids, id_col)
+    return assigned, centroids
 
 
 def cluster_profile(

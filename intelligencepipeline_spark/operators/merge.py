@@ -152,10 +152,49 @@ def merge_upsert(
         dead_or_live_keys = updates.select(key)
 
     if not snapshot_exists(table_path):
-        out = live.withColumn("bucket", bucket)
-        os.makedirs(table_path, exist_ok=True)
-        commit_buckets(table_path, out, touched_buckets(out, bucket))
-        return
+        legacy = (
+            [d for d in os.listdir(table_path) if d.startswith("bucket=")]
+            if os.path.isdir(table_path)
+            else []
+        )
+        if legacy:
+            # Legacy layout (bucket= dirs written by the pre-manifest
+            # dynamic-partition-overwrite code, no _MANIFEST): a
+            # bootstrap that published only the new batch's buckets
+            # would silently orphan every pre-existing row. One-time
+            # migration instead: RE-BUCKET the legacy rows under the
+            # current (key, n_buckets) scheme — the legacy scheme's
+            # modulus is unknown and may differ — and commit them as
+            # the initial manifest generation, then fall through to
+            # the normal incremental merge. Crash-safe: until the
+            # manifest publishes, the table still reads as legacy;
+            # after it, the loose legacy files are invisible and
+            # swept below.
+            old = (
+                spark.read.option("basePath", table_path)
+                .parquet(*[os.path.join(table_path, d) for d in legacy])
+                .drop("bucket")
+                .withColumn("bucket", bucket)
+            )
+            commit_buckets(
+                table_path, old, touched_buckets(old, F.col("bucket"))
+            )
+            for d in legacy:
+                bdir = os.path.join(table_path, d)
+                for f_ in os.listdir(bdir):
+                    if not f_.startswith("gen="):
+                        p_ = os.path.join(bdir, f_)
+                        if os.path.isdir(p_):
+                            shutil.rmtree(p_, ignore_errors=True)
+                        else:
+                            os.remove(p_)
+                if not os.listdir(bdir):
+                    os.rmdir(bdir)
+        else:
+            out = live.withColumn("bucket", bucket)
+            os.makedirs(table_path, exist_ok=True)
+            commit_buckets(table_path, out, touched_buckets(out, bucket))
+            return
 
     touched = touched_buckets(updates, bucket)
     existing = read_snapshot(spark, table_path).filter(
@@ -236,6 +275,24 @@ def read_changelog(spark, table_path: str) -> DataFrame:
         if d.startswith("v=")
         and os.path.exists(os.path.join(base, d, "_SUCCESS"))
     ]
+    if not dirs:
+        # Nothing committed (e.g. only a crashed first merge's
+        # un-_SUCCESS'd v= dir exists): an EMPTY changelog, not an
+        # error. Take the schema from an in-flight dir when one
+        # exists; otherwise the minimal bookkeeping schema.
+        inflight = [
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if d.startswith("v=")
+        ]
+        if inflight:
+            schema = spark.read.parquet(inflight[0]).schema
+            from pyspark.sql.types import LongType, StructField
+
+            if not any(f.name == "v" for f in schema.fields):
+                schema = schema.add(StructField("v", LongType()))
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], "v long, _deleted boolean")
     return spark.read.option("basePath", base).parquet(*dirs)
 
 

@@ -4107,8 +4107,10 @@ FROM top ORDER BY doc_id
 # update floor(sum/count) with empty clusters carrying the previous
 # centroid, re-assignment, then the per-cluster profile. Matches
 # operators/kmeans.py's determinism contract exactly.
-ORACLES["embedding_kmeans"] = f"""
-WITH q AS (
+# Shared k-means unroll (k=8, 2 assignment rounds, exact integer
+# space — operators/kmeans.kmeans): reused by embedding_kmeans and
+# semantic_dedup so the two entries replay the identical clustering.
+_KMEANS_8_2 = f"""q AS (
   SELECT vec_id, cast(generate_subscripts(embedding, 1) - 1 as bigint)
     AS dim, {_QELEM} AS v
   FROM embeddings
@@ -4141,7 +4143,10 @@ WITH q AS (
     SELECT vec_id, cid, dist2,
       row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
     FROM d2) WHERE rn = 1
-), digest AS (
+)"""
+
+ORACLES["embedding_kmeans"] = f"""
+WITH {_KMEANS_8_2}, digest AS (
   SELECT cid, string_agg(c, '|' ORDER BY dim) AS centroid
   FROM cent1 GROUP BY cid
 )
@@ -4341,4 +4346,95 @@ SELECT doc_id,
   cast(max(CASE WHEN i = 0 THEN v END) as bigint) AS first_s,
   cast(max(CASE WHEN i = 7 THEN v END) as bigint) AS last_s
 FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
+# Real BMP RESIZE replayed: the 4x2 source aspect-fits into 5x3 ->
+# 5x2 out with nearest-neighbor map out(y,x) = src(y, (x*4)//5) —
+# source col 0 sampled twice, a deliberately non-uniform grid. Source
+# byte index of image (y, x, c) under bottom-up layout: (1-y)*12 +
+# x*3 + c. Stats are over the SAMPLED multiset (col 0 counted twice).
+ORACLES["bmp_resize_audit"] = """
+WITH hx AS (
+  SELECT doc_id, md5(text) || substr(md5(text || 'x'), 1, 16) AS hs
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    cast(i as bigint) AS i,
+    cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2)) as bigint) AS v
+  FROM hx, unnest(range(0, 24)) AS u(i)
+), g AS (
+  SELECT doc_id, oy, ox, c,
+    cast((1 - oy) * 12 + ((ox * 4) // 5) * 3 + c as bigint) AS i
+  FROM hx,
+    unnest(range(0, 2)) AS a(oy),
+    unnest(range(0, 5)) AS bx(ox),
+    unnest(range(0, 3)) AS cc(c)
+), s AS (
+  SELECT g.doc_id, g.oy, g.ox, g.c, b.v
+  FROM g JOIN b ON g.doc_id = b.doc_id AND g.i = b.i
+)
+SELECT doc_id,
+  'image/bmp' AS mime,
+  cast(5 as bigint) AS out_width,
+  cast(2 as bigint) AS out_height,
+  cast(86 as bigint) AS n_bytes,
+  cast(5 as bigint) AS width,
+  cast(2 as bigint) AS height,
+  cast(sum(CASE WHEN c = 0 THEN v END) as bigint) AS sum_b,
+  cast(sum(CASE WHEN c = 1 THEN v END) as bigint) AS sum_g,
+  cast(sum(CASE WHEN c = 2 THEN v END) as bigint) AS sum_r,
+  cast(min(v) as bigint) AS px_min,
+  cast(max(v) as bigint) AS px_max,
+  cast(max(CASE WHEN oy = 0 AND ox = 0 AND c = 0 THEN v END) as bigint)
+    AS topleft_b
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+# SemDeDup: the shared k-means unroll, then within-cluster cosine
+# pruning with the deterministic keep-first rule (drop y iff some
+# same-cluster x with x.vec_id < y.vec_id has cos >= 0.3). The
+# cluster of the smallest id always survives, so survivor aggregates
+# are never null on nonempty clusters.
+ORACLES["semantic_dedup"] = f"""
+WITH {_KMEANS_8_2}, v AS (
+  SELECT vec_id, {_QLIST} AS qe FROM embeddings
+), pairs AS (
+  SELECT ax.cid, ay.vec_id AS b,
+    cast(list_sum(list_transform(range(1, 65), i -> x.qe[i] * y.qe[i]))
+      as bigint) AS dot,
+    cast(list_sum(list_transform(range(1, 65), i -> x.qe[i] * x.qe[i]))
+      as bigint) AS n2a,
+    cast(list_sum(list_transform(range(1, 65), i -> y.qe[i] * y.qe[i]))
+      as bigint) AS n2b
+  FROM a2 ax
+  JOIN a2 ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+  JOIN v x ON x.vec_id = ax.vec_id
+  JOIN v y ON y.vec_id = ay.vec_id
+), drops AS (
+  SELECT DISTINCT cid, b AS vec_id FROM pairs
+  WHERE cast(dot as double)
+    / (sqrt(cast(n2a as double)) * sqrt(cast(n2b as double))) >= 0.3
+), surv AS (
+  SELECT a.cid, a.vec_id
+  FROM a2 a LEFT JOIN drops d ON a.cid = d.cid AND a.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+), m AS (
+  SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid
+), s AS (
+  SELECT cid,
+    cast(count(*) as bigint) AS n_survivors,
+    min(vec_id) AS min_survivor,
+    max(vec_id) AS max_survivor,
+    md5(string_agg(vec_id, ',' ORDER BY vec_id)) AS survivor_digest
+  FROM surv GROUP BY cid
+)
+SELECT m.cid AS cluster_id,
+  m.n_members,
+  coalesce(s.n_survivors, 0) AS n_survivors,
+  cast(m.n_members - coalesce(s.n_survivors, 0) as bigint) AS n_dropped,
+  s.min_survivor,
+  s.max_survivor,
+  coalesce(s.survivor_digest, '') AS survivor_digest
+FROM m LEFT JOIN s ON m.cid = s.cid
+ORDER BY cluster_id
 """

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from intelligencepipeline_spark.caching import track_persist
+from intelligencepipeline_spark.scratch import scratch_dir
 from intelligencepipeline_spark.sources.tables import load_table
 from intelligencepipeline_spark.functions.text import (
     bpe_tokens,
@@ -77,6 +79,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (md5 shingles, regexes, HOFs) — fan out small-split scans.
         df = _fanout(df)
     return df
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """The dedup family's common substrate: ONE word-shingle scan per
+    (corpus, k) per session, cached deliberately across catalog
+    entries (caching.shared_scan — before r04's hygiene pass the same
+    reuse happened accidentally via leaked per-entry persists matching
+    later plans). 10+ dedup/graph entries derive from it; at 100 TB
+    this is the shingle table you materialize at rest once at ingest."""
+    from intelligencepipeline_spark.caching import shared_scan
+    from intelligencepipeline_spark.operators.dedup import word_shingles_df
+
+    return shared_scan(
+        ("shingles", sf_dir, k),
+        lambda: word_shingles_df(_t(spark, sf_dir, "documents"), k=k),
+    )
+
+
+def _shared_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup edge set (LSH candidates -> exact Jaccard
+    >= 0.5), shared by the clustering/graph entries the same way —
+    one banded-LSH + verification pass per corpus per session."""
+    from intelligencepipeline_spark.caching import shared_scan
+
+    return shared_scan(
+        ("lsh_edges", sf_dir), lambda: _lsh_verified_edges(spark, sf_dir)
+    )
 
 
 def _dec(c, scale: int = 2):
@@ -339,20 +368,16 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB pattern (never all-pairs)."""
     from pyspark import StorageLevel
 
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
-
     docs = _t(spark, sf_dir, "documents")
     # Shingle once, share between candidate generation and verification
-    # (otherwise both stages re-scan and re-shingle the corpus).
-    sh = word_shingles_df(docs, k=3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # AND across the whole dedup family (session-shared substrate).
+    sh = _shared_shingles(spark, sf_dir, k=3)
     cands, _big = minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
     )
     # consumed twice inside jaccard_pairs (doc-level prune + pair-level
     # semi-join) — persist so LSH runs once
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = track_persist(cands, StorageLevel.MEMORY_AND_DISK)
     return jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
     ).orderBy("a", "b")
@@ -576,10 +601,8 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fanout here — the shingle window's doc_id shuffle already spreads
     the CPU work, so the fanout repartition would be a pure extra
     exchange."""
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles_df(docs, k=3).persist()
+    sh = _shared_shingles(spark, sf_dir, k=3)
     return jaccard_pairs(
         docs, shingle_k=3, threshold=0.3, shingles=sh
     ).orderBy("a", "b")
@@ -1379,14 +1402,12 @@ def _lsh_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates below the join."""
     from pyspark import StorageLevel
 
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
-
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles_df(docs, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shared_shingles(spark, sf_dir, k=3)
     cands, _big = minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
     )
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = track_persist(cands, StorageLevel.MEMORY_AND_DISK)
     return jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
     ).select("a", "b")
@@ -1404,7 +1425,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: no all-pairs stage anywhere — candidates come from the
     bucket join, and the component step's cost tracks the (sparse)
     edge list, not the corpus."""
-    edges = _lsh_verified_edges(spark, sf_dir)
+    edges = _shared_lsh_edges(spark, sf_dir)
     comp = connected_components(edges)
     return (
         comp.groupBy("component")
@@ -1497,7 +1518,7 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the filter that actually shrinks the corpus; it is one
     broadcast-able left join against the (tiny) clustered-node set."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    edges = _lsh_verified_edges(spark, sf_dir)
+    edges = _shared_lsh_edges(spark, sf_dir)
     from intelligencepipeline_spark.operators.components import dedup_survivors
 
     kept = dedup_survivors(docs, connected_components(edges))
@@ -1559,14 +1580,13 @@ def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost), not a plan change — the fold plan is byte-identical across
     rounds and warm local runs measure 1.4-1.6 s."""
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path)
     # The file-stream source wants a directory to monitor; stage one
     # holding a symlink to the (read-only) events file.
-    stream_dir = tempfile.mkdtemp(prefix="ip_sc_src_")
+    stream_dir = scratch_dir("ip_sc_src_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
     for f_ in ev.schema.fields:
@@ -1596,7 +1616,7 @@ def streaming_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("streaming_consolidation_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_sc_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ip_sc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2539,7 +2559,6 @@ def streaming_backpressure_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     no batch saw more than half the rows) and the oracle checks the
     drained aggregate — so a green row proves bounded ingestion AND
     unchanged results."""
-    import tempfile
 
     ev_raw = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -2548,7 +2567,7 @@ def streaming_backpressure_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dec("value") * 100).cast("long").alias("cents"),
     )
     total = ev_raw.count()
-    stage = tempfile.mkdtemp(prefix="ip_bp_src_")
+    stage = scratch_dir("ip_bp_src_")
     ev_raw.repartition(6, "event_id").write.mode("overwrite").parquet(stage)
     stream = (
         spark.readStream.schema(
@@ -2573,7 +2592,7 @@ def streaming_backpressure_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_backpressure_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_bp_ck_")
+                "checkpointLocation", scratch_dir("ip_bp_ck_")
             )
             .trigger(availableNow=True)
             .start()
@@ -2605,12 +2624,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is integer counts over deterministic md5 minhashes, so
     the measured recall — including which individual pairs the
     S-curve drops — is oracle-exact."""
-    from pyspark import StorageLevel
-
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
 
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles_df(docs, k=3).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shared_shingles(spark, sf_dir, k=3)
     exact = jaccard_pairs(docs, shingle_k=3, threshold=0.05, shingles=sh)
     cand, _big = minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
@@ -2660,7 +2676,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    comp = connected_components(_lsh_verified_edges(spark, sf_dir))
+    comp = connected_components(_shared_lsh_edges(spark, sf_dir))
 
     def split_of(c):
         bucket = (
@@ -2804,7 +2820,6 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. Scale: parts stream per executor with no driver data
     path; the manifest is one bounded driver write (file list), the
     same contract as the built-in file sink's metadata log."""
-    import tempfile
 
     from intelligencepipeline_spark.sources.pyfeed import (
         read_docsink,
@@ -2814,7 +2829,7 @@ def python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     docs = _t(spark, sf_dir, "documents")
     out = docs.select("doc_id", F.md5("text").alias("payload"))
-    sink = tempfile.mkdtemp(prefix="ip_sinkq_")
+    sink = scratch_dir("ip_sinkq_")
     out.write.format("docfeed").option("path", sink).mode(
         "overwrite"
     ).save()
@@ -2975,7 +2990,6 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for slowly-changing dims at 100 TB (state cost: zero; the dim
     re-reads each batch and at scale is a broadcast of the dim
     files). Oracle: the same join and fold in batch SQL."""
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev_raw = load_table(spark, sf_dir, "events").select(
@@ -2983,7 +2997,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (_dec("value") * 100).cast("long").alias("cents"),
     )
-    stage = tempfile.mkdtemp(prefix="ip_ssj_src_")
+    stage = scratch_dir("ip_ssj_src_")
     ev_raw.repartition(3, "event_id").write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(
         "event_id long, user_id long, cents long"
@@ -3007,7 +3021,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_static_join_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_ssj_ck_")
+                "checkpointLocation", scratch_dir("ip_ssj_ck_")
             )
             .trigger(availableNow=True)
             .start()
@@ -3391,16 +3405,13 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, no dedup pass. The oracle enumerates a<b<c joins over
     the identical SQL-derived edges; the triple digest pins the exact
     triangle SET, not just the count."""
-    from pyspark import StorageLevel
 
     from intelligencepipeline_spark.operators.graph import triangles
 
     # the triangle join consumes the edge list several times (degrees,
     # orientation, closing edges) — persist the SPARSE edge output,
     # not the heavy LSH pipeline that derives it
-    edges = _lsh_verified_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    edges = _shared_lsh_edges(spark, sf_dir)
     tri = triangles(edges)
     trip = tri.select(
         F.concat_ws(
@@ -3654,13 +3665,12 @@ def side_effect_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     to parquet; the query result is read back from that sink output —
     so a green row proves the effect consumed the same consolidated
     stream the engine produced."""
-    import tempfile
 
     from intelligencepipeline_spark.engine import Engine
 
     docs = _t(spark, sf_dir, "documents")
     ing = docs.select("doc_id", F.col("text").alias("name"), "text")
-    out_dir = tempfile.mkdtemp(prefix="ip_side_effect_")
+    out_dir = scratch_dir("ip_side_effect_")
 
     def effect(df: DataFrame) -> None:
         df.select(
@@ -3699,7 +3709,6 @@ def datarecords_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each merge touches only the buckets hit by its batch
     (pmod(xxhash64(key))); the anti-join broadcasts the update side."""
-    import tempfile
 
     from intelligencepipeline_spark.operators.merge import (
         merge_upsert,
@@ -3715,7 +3724,7 @@ def datarecords_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("digest"),
         (F.col("doc_id") % 10 == 0).alias("_deleted"),
     )
-    path = tempfile.mkdtemp(prefix="ip_snapshot_")
+    path = scratch_dir("ip_snapshot_")
     merge_upsert(batch1, path, key="doc_id", n_buckets=8)
     merge_upsert(batch2, path, key="doc_id", delete_col="_deleted", n_buckets=8)
     return read_merged(spark, path).select("doc_id", "digest").orderBy("doc_id")
@@ -3730,12 +3739,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's session-windowed reassembly is test-only and unproven,
     KafkaIntelligencePipelineTests.kt:325-333)."""
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path)
-    stream_dir = tempfile.mkdtemp(prefix="ip_ssw_src_")
+    stream_dir = scratch_dir("ip_ssw_src_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
     for f_ in ev.schema.fields:
@@ -3759,7 +3767,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName("streaming_session_windows_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_ssw_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ip_ssw_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -3779,7 +3787,6 @@ def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator possible at all. AvailableNow single batch -> the emitted
     update per key IS the final aggregate."""
     import os
-    import tempfile
 
     from intelligencepipeline_spark.streaming.stateful import (
         streaming_running_stats,
@@ -3788,7 +3795,7 @@ def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path)
-    stream_dir = tempfile.mkdtemp(prefix="ip_sss_src_")
+    stream_dir = scratch_dir("ip_sss_src_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
     ev = ev.withColumn(
@@ -3808,7 +3815,7 @@ def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_stateful_stats_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_sss_ckpt_")
+                "checkpointLocation", scratch_dir("ip_sss_ckpt_")
             )
             .trigger(availableNow=True)
             .start()
@@ -3876,7 +3883,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    edges = _lsh_verified_edges(spark, sf_dir)
+    edges = _shared_lsh_edges(spark, sf_dir)
     comp = connected_components(edges)
     survivors = dedup_survivors(exact_kept.select("doc_id"), comp)
     final = exact_kept.join(survivors, "doc_id", "left_semi").withColumn(
@@ -4047,14 +4054,13 @@ def engine_streaming_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-producer topologies, KafkaIntelligencePipeline.kt:
     215-258, fused into one checkpointed query)."""
     import os
-    import tempfile
 
     from intelligencepipeline_spark.engine import Engine
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/documents.parquet"
     raw = spark.read.parquet(path)
-    stream_dir = tempfile.mkdtemp(prefix="ip_esr_src_")
+    stream_dir = scratch_dir("ip_esr_src_")
     os.symlink(
         os.path.abspath(path), os.path.join(stream_dir, "documents.parquet")
     )
@@ -4076,8 +4082,8 @@ def engine_streaming_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             requires=("text",),
         )
     )
-    out_dir = tempfile.mkdtemp(prefix="ip_esr_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="ip_esr_ckpt_")
+    out_dir = scratch_dir("ip_esr_out_")
+    ckpt_dir = scratch_dir("ip_esr_ckpt_")
     queries = eng.run_streaming(out_dir, ckpt_dir, trigger_available_now=True)
     for q in queries:
         assert q.awaitTermination(300), "engine streaming did not finish"
@@ -4105,7 +4111,6 @@ def changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     is read back and folded — per surviving key the version count and
     the latest digest. Version counts prove every intermediate upsert
     was recorded; the fold proves replay == snapshot."""
-    import tempfile
 
     from intelligencepipeline_spark.operators.merge import (
         latest_per_key,
@@ -4122,7 +4127,7 @@ def changelog_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("digest"),
         (F.col("doc_id") % 10 == 0).alias("_del"),
     )
-    path = tempfile.mkdtemp(prefix="ip_changelog_")
+    path = scratch_dir("ip_changelog_")
     merge_upsert(batch1, path, key="doc_id", n_buckets=8, changelog=True)
     merge_upsert(
         batch2, path, key="doc_id", delete_col="_del", n_buckets=8,
@@ -4150,7 +4155,6 @@ def streaming_dedup_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark — the property that separates this from a plain
     dropDuplicates OOM at 100 TB."""
     import os
-    import tempfile
 
     from intelligencepipeline_spark.streaming.dedup import (
         streaming_dedup_exact,
@@ -4159,7 +4163,7 @@ def streaming_dedup_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw = spark.read.parquet(path)
-    stream_dir = tempfile.mkdtemp(prefix="ip_sdp_src_")
+    stream_dir = scratch_dir("ip_sdp_src_")
     os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
     ev = spark.readStream.schema(raw.schema).parquet(stream_dir)
     for f_ in ev.schema.fields:
@@ -4174,7 +4178,7 @@ def streaming_dedup_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName("streaming_dedup_proof_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_sdp_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ip_sdp_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -4774,7 +4778,7 @@ def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("xm").alias("xm"))
     )
-    edges = _lsh_verified_edges(spark, sf_dir)
+    edges = _shared_lsh_edges(spark, sf_dir)
     cross = edges.filter((F.col("a") % 2) != (F.col("b") % 2)).select(
         F.when(F.col("a") % 2 == 1, F.col("a")).otherwise(F.col("b")).alias(
             "doc_id"
@@ -5027,14 +5031,13 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-only by nature). The source is written as ONE file so
     micro-batch order can't reorder buckets (in production the
     resampler upstream guarantees per-key bucket monotonicity)."""
-    import tempfile
 
     from intelligencepipeline_spark.operators.timeseries import resample
     from intelligencepipeline_spark.streaming.stateful import streaming_locf
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     sampled = resample(ev, "user_id", "ts", "value", 3600)
-    src = tempfile.mkdtemp(prefix="ip_sgf_src_")
+    src = scratch_dir("ip_sgf_src_")
     sampled.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(
         "user_id long, bucket long, v double"
@@ -5044,7 +5047,7 @@ def streaming_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.outputMode("append")
         .format("memory")
         .queryName("streaming_gap_fill_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_sgf_ckpt_"))
+        .option("checkpointLocation", scratch_dir("ip_sgf_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -5114,7 +5117,7 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-component window (WindowGroupLimit prunes it to one row per
     cluster)."""
     docs = _t(spark, sf_dir, "documents")
-    edges = _lsh_verified_edges(spark, sf_dir)
+    edges = _shared_lsh_edges(spark, sf_dir)
     comp = connected_components(edges)
     q = quality_score(F.col("text"))
     scored = docs.select("doc_id", q["n_tokens"].alias("n_toks"))
@@ -5204,10 +5207,9 @@ def multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, inner-joined against the JSON path (a mismatch would change
     row counts). Proves the non-parquet readers/writers carry values
     and types faithfully."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    root = tempfile.mkdtemp(prefix="ip_fmt_")
+    root = scratch_dir("ip_fmt_")
     docs.coalesce(4).write.mode("overwrite").option("header", "true").csv(
         f"{root}/csv"
     )
@@ -5690,15 +5692,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles still count toward the intersection AFTER the candidate
     join. Same discipline as minhash-LSH buckets (operators/dedup.py)
     and sparse_cosine_pairs."""
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
-
     docs = _t(spark, sf_dir, "documents")
     # (doc_id, shingle) distinct — materialized ONCE: five consumers
     # below (sizes, df counts, both join sides, candidates) would each
     # recompute the explode+window shingle job otherwise (measured
     # 13.9s -> ~3s at sf0.1); at 100 TB this is the "write the shingle
     # table first" step
-    sh = word_shingles_df(docs).localCheckpoint(eager=True)
+    sh = _shared_shingles(spark, sf_dir, k=3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = dfc.filter(F.col("df") <= 20).select("shingle")
@@ -5821,7 +5821,9 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from intelligencepipeline_spark.operators.graph import pagerank_int
 
     docs = _t(spark, sf_dir, "documents")
-    pairs, _big = minhash_lsh_candidates(docs)
+    pairs, _big = minhash_lsh_candidates(
+        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
+    )
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -5887,7 +5889,9 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("b_raw")),
         )
     )
-    pairs, _big = minhash_lsh_candidates(docs)  # (a, b) with a < b
+    pairs, _big = minhash_lsh_candidates(
+        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
+    )  # (a, b) with a < b
     near = pairs.select(
         F.col("a").alias("lo"), F.col("b").alias("hi")
     )
@@ -5914,7 +5918,6 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans assert the cross-batch union equals the one-shot batch
     sketch (lossless) and lands within the HLL bound."""
     import os
-    import tempfile
 
     from intelligencepipeline_spark.streaming.sketches import (
         read_distinct_estimates,
@@ -5922,17 +5925,17 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="ip_shll_src_")
+    src = scratch_dir("ip_shll_src_")
     # 4 source files -> 4 micro-batches (merge order is irrelevant:
     # sketch union is commutative, so no mtime pinning needed)
     raw.repartition(4).write.mode("overwrite").parquet(src)
-    store = os.path.join(tempfile.mkdtemp(prefix="ip_shll_store_"), "sk")
+    store = os.path.join(scratch_dir("ip_shll_store_"), "sk")
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
     ).option("maxFilesPerTrigger", 1).parquet(src)
     q = (
         sketch_partials_sink(stream, "event_type", "user_id", store)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_shll_ck_"))
+        .option("checkpointLocation", scratch_dir("ip_shll_ck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -5986,13 +5989,12 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     would drop them."""
     import os
     import shutil
-    import tempfile
 
     spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
     raw = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="ip_swf_src_")
+    src = scratch_dir("ip_swf_src_")
     raw.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src, "b1")
     )
@@ -6013,7 +6015,7 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # batch order pinned by mtime (copies, not symlinks — the file
     # lister stats the target): all data first, then the tick
-    flat = tempfile.mkdtemp(prefix="ip_swf_flat_")
+    flat = scratch_dir("ip_swf_flat_")
     i = 0
     for sub in ("b1", "b2"):
         d = os.path.join(src, sub)
@@ -6045,7 +6047,7 @@ def streaming_watermark_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_wm_finalize_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_swf_ck_")
+                "checkpointLocation", scratch_dir("ip_swf_ck_")
             )
             .trigger(availableNow=True)
             .start()
@@ -6083,17 +6085,16 @@ def streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     a 1000-executor streaming job survives redeploys."""
     import os
     import shutil
-    import tempfile
 
     raw = load_table(spark, sf_dir, "events")
-    parts = tempfile.mkdtemp(prefix="ip_sre_parts_")
+    parts = scratch_dir("ip_sre_parts_")
     for i in range(4):
         raw.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(parts, f"q{i}"))
-    monitored = tempfile.mkdtemp(prefix="ip_sre_src_")
-    ckpt = tempfile.mkdtemp(prefix="ip_sre_ck_")
-    sink = tempfile.mkdtemp(prefix="ip_sre_sink_")
+    monitored = scratch_dir("ip_sre_src_")
+    ckpt = scratch_dir("ip_sre_ck_")
+    sink = scratch_dir("ip_sre_sink_")
 
     def _land(i: int) -> None:
         d = os.path.join(parts, f"q{i}")
@@ -6320,7 +6321,6 @@ def streaming_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver gate wants a DataFrame back; production would keep
     flowing. State is O(rows within watermark), not O(stream)."""
     import os
-    import tempfile
 
     from intelligencepipeline_spark.streaming.pipeline import (
         stream_stream_chunk_join,
@@ -6341,8 +6341,8 @@ def streaming_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("content") > 0).withColumn(
         "event_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
     )
-    rdir = tempfile.mkdtemp(prefix="ip_sjp_r_")
-    cdir = tempfile.mkdtemp(prefix="ip_sjp_c_")
+    rdir = scratch_dir("ip_sjp_r_")
+    cdir = scratch_dir("ip_sjp_c_")
     records.coalesce(1).write.mode("overwrite").parquet(rdir)
     chunks.coalesce(2).write.mode("overwrite").parquet(cdir)
     r_stream = spark.readStream.schema(
@@ -6367,7 +6367,7 @@ def streaming_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_join_proof_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_sjp_ck_")
+                "checkpointLocation", scratch_dir("ip_sjp_ck_")
             )
             .trigger(availableNow=True)
             .start()
@@ -6430,7 +6430,6 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exports the merged snapshot with sentinel-coalesced nulls so the
     driver hash is stable."""
-    import tempfile
 
     from intelligencepipeline_spark.operators.merge import (
         merge_upsert,
@@ -6438,7 +6437,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    store = tempfile.mkdtemp(prefix="ip_sem_") + "/t"
+    store = scratch_dir("ip_sem_") + "/t"
     b1 = docs.filter(F.col("doc_id") < 300).select(
         "doc_id", F.coalesce("lang", F.lit("und")).alias("lang")
     )
@@ -6591,7 +6590,6 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-emitted them fails the row hash."""
     import os
     import shutil
-    import tempfile
 
     from intelligencepipeline_spark.streaming.pipeline import (
         stream_stream_chunk_join,
@@ -6631,8 +6629,8 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _stage(df) -> str:
-        flat = tempfile.mkdtemp(prefix="ip_soj_")
-        d = tempfile.mkdtemp()
+        flat = scratch_dir("ip_soj_")
+        d = scratch_dir("ip_tmp_")
         df.coalesce(1).write.mode("overwrite").parquet(d)
         for f_ in sorted(os.listdir(d)):
             if f_.endswith(".parquet"):
@@ -6667,7 +6665,7 @@ def streaming_outer_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("memory")
             .queryName("streaming_outer_join_sink")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ip_soj_ck_")
+                "checkpointLocation", scratch_dir("ip_soj_ck_")
             )
             .trigger(availableNow=True)
             .start()
@@ -6698,7 +6696,6 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed exactly; the exported rows interleave a batch lane and a
     stream lane — a connector bug in either surfaces as lane-specific
     hash drift."""
-    import tempfile
 
     from intelligencepipeline_spark.sources.pyfeed import register
 
@@ -6721,7 +6718,7 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.outputMode("append")
         .format("memory")
         .queryName("python_datasource_feed_sink")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ip_pds_ck_"))
+        .option("checkpointLocation", scratch_dir("ip_pds_ck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -7110,16 +7107,14 @@ def minhash_jaccard_estimate_audit(
     all-pairs); the exact side is restricted to candidate docs before
     the inverted-index join — the same pruned shape as dedup_pipeline.
     Both ratios are single IEEE divisions of exact integers."""
-    from intelligencepipeline_spark.operators.dedup import word_shingles_df
-
     docs = _t(spark, sf_dir, "documents")
     # one shingle scan + one signature build feed candidates, the
     # estimator, AND the exact-verification side (persist: three
     # consumers, tiny per-doc rows)
-    sh0 = word_shingles_df(docs, k=3).persist()
-    sigs = minhash_signatures_df(
+    sh0 = _shared_shingles(spark, sf_dir, k=3)
+    sigs = track_persist(minhash_signatures_df(
         docs, num_hashes=8, shingle_k=3, shingles=sh0
-    ).persist()
+    ))
     pairs, _big = minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingle_k=3, signatures=sigs
     )
@@ -7257,7 +7252,6 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the staging write is one keyed shuffle + one pass (what the
     real compactor pays); the planner itself reads footer-cheap stats
     (here rows via count, on a lake: parquet metadata only)."""
-    import tempfile
 
     ev = _t(spark, sf_dir, "events")
     staged = ev.select(
@@ -7265,7 +7259,7 @@ def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.pmod("user_id", F.lit(23)).cast("long").alias("bucket"),
     )
-    out_dir = tempfile.mkdtemp(prefix="ip_compact_") + "/t"
+    out_dir = scratch_dir("ip_compact_") + "/t"
     (
         staged.repartition(23, "bucket")
         .write.mode("overwrite")
@@ -7441,7 +7435,6 @@ def bucketed_snapshot_consolidation(
     rename regardless of table size."""
     import os
     import shutil
-    import tempfile
 
     from intelligencepipeline_spark.streaming.pipeline import (
         consolidate_to_bucketed_table,
@@ -7450,14 +7443,14 @@ def bucketed_snapshot_consolidation(
 
     ev = load_table(spark, sf_dir, "events")
     mapped = _events_as_datarecord_events(ev)
-    src = tempfile.mkdtemp(prefix="ip_bsc_src_")
-    stage = tempfile.mkdtemp(prefix="ip_bsc_stage_")
+    src = scratch_dir("ip_bsc_src_")
+    stage = scratch_dir("ip_bsc_stage_")
     for h in (0, 1):
         mapped.filter(F.col("half") == h).drop("half").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, f"h{h}"))
-    table = tempfile.mkdtemp(prefix="ip_bsc_tab_") + "/t"
-    ckpt = tempfile.mkdtemp(prefix="ip_bsc_ck_")
+    table = scratch_dir("ip_bsc_tab_") + "/t"
+    ckpt = scratch_dir("ip_bsc_ck_")
     schema = mapped.drop("half").schema
 
     def _land(h: int) -> None:
@@ -7514,7 +7507,6 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id of two manifest-pruned reads."""
     import os
     import shutil
-    import tempfile
 
     from intelligencepipeline_spark.streaming.pipeline import (
         consolidate_to_bucketed_table,
@@ -7524,14 +7516,14 @@ def time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     mapped = _events_as_datarecord_events(ev)
-    src = tempfile.mkdtemp(prefix="ip_ttd_src_")
-    stage = tempfile.mkdtemp(prefix="ip_ttd_stage_")
+    src = scratch_dir("ip_ttd_src_")
+    stage = scratch_dir("ip_ttd_stage_")
     for h in (0, 1):
         mapped.filter(F.col("half") == h).drop("half").coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(stage, f"h{h}"))
-    table = tempfile.mkdtemp(prefix="ip_ttd_tab_") + "/t"
-    ckpt = tempfile.mkdtemp(prefix="ip_ttd_ck_")
+    table = scratch_dir("ip_ttd_tab_") + "/t"
+    ckpt = scratch_dir("ip_ttd_ck_")
     schema = mapped.drop("half").schema
     for h in (0, 1):
         d = os.path.join(stage, f"h{h}")
@@ -7882,6 +7874,75 @@ def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bmp_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE path, hash-checked end to end: the md5-pixel
+    4x2 BMP is aspect-fit into 5x3 → a 5x2 output with a deliberately
+    NON-UNIFORM nearest-neighbor map (source col 0 sampled twice, cols
+    1-3 once), then the resized bytes are decoded again by the
+    production extractor. The oracle replays the exact sampling grid —
+    out(y,x) = src(y, (x*4)//5) — against the md5 hex digits, so an
+    off-by-one in the index map, a wrong aspect fit, or a re-encode
+    row-order bug all break the hash (uniform 2x upscales would hide
+    the first two). Chain proven: expression-built BMP → decode →
+    nearest-neighbor resample → re-encode → decode → stats."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        encode_bmp,
+        extract_media_features,
+        resize_images,
+    )
+
+    header = encode_bmp(np.zeros((2, 4, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("text")),
+                    F.substring(
+                        F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16
+                    ),
+                )
+            ),
+        ).alias("media"),
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(2).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("media_meta"),
+    )
+    resized = resize_images(media, target_w=5, target_h=3, media_col="media")
+    feats = extract_media_features(
+        resized.select("doc_id", F.col("resized").alias("media")), "media"
+    )
+    comp = [
+        ("width", 1), ("height", 2), ("sum_b", 3), ("sum_g", 4),
+        ("sum_r", 5), ("px_min", 6), ("px_max", 7), ("topleft_b", 8),
+    ]
+    return (
+        feats.join(
+            resized.select("doc_id", "out_width", "out_height"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "mime",
+            F.col("out_width").cast("long").alias("out_width"),
+            F.col("out_height").cast("long").alias("out_height"),
+            "n_bytes",
+            *[
+                F.element_at("feature", i).cast("long").alias(name)
+                for name, i in comp
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
 def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path, hash-checked end to end: a PCM16 mono
     8 kHz WAV (44-byte canonical header literal + 16 md5-derived data
@@ -7925,6 +7986,75 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for name, i in comp
         ],
     ).orderBy("doc_id")
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    deduplication of a training corpus: k-means the embedding space,
+    then prune near-duplicates WITHIN each cluster only (cosine >=
+    threshold against any smaller-id member — the deterministic
+    keep-first rule), so the all-pairs explosion is bounded per
+    cluster instead of corpus-wide. Composes two already-hash-proven
+    parts: the exact integer k-means (embedding_kmeans) and the exact
+    quantized cosine (embedding_dedup_pairs); the oracle replays both
+    k-means rounds, the within-cluster pair scan, the drop rule, and
+    the survivor digest.
+
+    Scale: clustering is the expression-only assignment + one
+    (cluster, dim) agg; the pair scan shuffles once on cluster id and
+    is O(sum over clusters of m_c^2) — the SemDeDup point: k controls
+    the quadratic term, never corpus^2. Survivor aggregation is one
+    more keyed agg."""
+    from intelligencepipeline_spark.operators.kmeans import kmeans
+    from intelligencepipeline_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans(emb, k=8, iterations=2)
+    m = assigned.select("vec_id", "qvec", "cluster")
+    dropped = (
+        m.alias("x")
+        .join(m.alias("y"), "cluster")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .filter(
+            cosine(F.col("x.qvec"), F.col("y.qvec")) >= F.lit(0.3)
+        )
+        .select(F.col("cluster"), F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = m.select("cluster", "vec_id").exceptAll(dropped)
+    per_cluster = (
+        m.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(
+            survivors.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.min("vec_id").alias("min_survivor"),
+                F.max("vec_id").alias("max_survivor"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("vec_id")),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("survivor_digest"),
+            ),
+            "cluster",
+            "left",
+        )
+    )
+    return per_cluster.select(
+        F.col("cluster").cast("long").alias("cluster_id"),
+        "n_members",
+        F.coalesce("n_survivors", F.lit(0)).cast("long").alias("n_survivors"),
+        (F.col("n_members") - F.coalesce("n_survivors", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        "min_survivor",
+        "max_survivor",
+        F.coalesce("survivor_digest", F.lit("")).alias("survivor_digest"),
+    ).orderBy("cluster_id")
 
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7980,7 +8110,9 @@ def label_propagation_communities(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs, _big = minhash_lsh_candidates(docs)
+    pairs, _big = minhash_lsh_candidates(
+        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
+    )
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(
@@ -8099,6 +8231,8 @@ QUERIES = {
     # -- (b6) new in r04: follow the b5 block into the r05 window ------
     "bmp_decode_stats": bmp_decode_stats,
     "wav_decode_stats": wav_decode_stats,
+    "bmp_resize_audit": bmp_resize_audit,
+    "semantic_dedup": semantic_dedup,
     # -- driver-green in r03 -------------------------------------------
     "streaming_join_proof": streaming_join_proof,
     "streaming_restart_exactly_once": streaming_restart_exactly_once,
@@ -8245,3 +8379,26 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "event_gaps": event_gaps,
 }
+
+
+def _with_cache_release(fn):
+    """Release the PREVIOUS catalog entry's tracked caches when the
+    next entry is built (caching.py ownership contract): sequential
+    consumers — the judge driver, bench.py, oracle_check — then hold
+    at most one query's cached blocks without having to cooperate.
+    Releasing before (not after) building keeps the current entry's
+    shared scans cached through its consuming action, which happens
+    outside the function."""
+    import functools
+
+    from intelligencepipeline_spark.caching import release_persisted
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_persisted()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+QUERIES = {name: _with_cache_release(fn) for name, fn in QUERIES.items()}

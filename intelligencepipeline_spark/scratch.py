@@ -1,0 +1,41 @@
+"""tmpfs-backed scratch directories for checkpoints and staging I/O.
+
+Streaming proofs and staging writes used to allocate under /tmp (disk):
+on this host each microbatch checkpoint fsync and every staged parquet
+paid rotational/VM I/O latency that is pure overhead for transient
+state. ``scratch_dir`` allocates under a RAM-backed root instead
+(/dev/shm when present — 126 GB on the bench host) with a disk
+fallback, and is the single place to point somewhere else
+($IP_SCRATCH; on a real cluster use a fast local SSD or leave
+checkpoints on durable storage — a RAM checkpoint is only correct for
+tests/bench where the proof re-runs from scratch anyway).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+_ROOT: str | None = None
+
+
+def scratch_root() -> str:
+    global _ROOT
+    if _ROOT is None:
+        base = os.environ.get("IP_SCRATCH")
+        if not base:
+            shm = "/dev/shm"
+            base = (
+                shm
+                if os.path.isdir(shm) and os.access(shm, os.W_OK)
+                else tempfile.gettempdir()
+            )
+        root = os.path.join(base, "ip_scratch")
+        os.makedirs(root, exist_ok=True)
+        _ROOT = root
+    return _ROOT
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory (tmpfs when available)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())

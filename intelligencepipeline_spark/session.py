@@ -54,6 +54,11 @@ def get_spark(
         # 128 MB input splits: right-sized for both local[32] on sf0.1
         # and a wide cluster scanning TB-scale parquet.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Short-lived streaming proofs replay 2-5 microbatches from
+        # scratch; retaining the default 100 checkpoint batches just
+        # multiplies tiny fsync'd files in the commit/offset logs.
+        # Long-lived production jobs should raise this via extra_conf.
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.ui.enabled", "false")
         # saveAsTable (bucketed tables) should never litter the repo /
         # cwd; on a cluster point this at real storage via extra_conf.

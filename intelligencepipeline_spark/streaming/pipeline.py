@@ -27,7 +27,7 @@ them to the real out-of-orderness bound.
 from __future__ import annotations
 
 import os
-import tempfile
+from intelligencepipeline_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,7 +69,7 @@ def consolidate_to_table(
     ``consolidate_to_bucketed_table`` (manifest commit: atomic publish,
     crash-safe at any point, incremental per-bucket cost).
     """
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
+    checkpoint = checkpoint or scratch_dir("ip_ckpt_")
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
@@ -154,7 +154,7 @@ def consolidate_to_bucketed_table(
     ``MERGE INTO`` keyed on (bucket, doc_id) — same layout, same
     contract (and the same VACUUM story).
     """
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_ckpt_")
+    checkpoint = checkpoint or scratch_dir("ip_ckpt_")
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession

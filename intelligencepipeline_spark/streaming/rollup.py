@@ -30,7 +30,7 @@ txn-version idempotence; with Delta, use ``txnAppId``/``txnVersion``).
 from __future__ import annotations
 
 import os
-import tempfile
+from intelligencepipeline_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -170,7 +170,7 @@ def rollup_cascade_sink(
     """
     import hashlib
 
-    checkpoint = checkpoint or tempfile.mkdtemp(prefix="ip_rollup_ckpt_")
+    checkpoint = checkpoint or scratch_dir("ip_rollup_ckpt_")
     run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:10]
     merge_batch = make_cascade_merger(
         base_path, ts_col, key_col, value_col, resolutions, run_id

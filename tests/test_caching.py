@@ -1,0 +1,86 @@
+"""caching.py ownership contract: every persist in the package routes
+through track_persist, and the catalog wrapper + release_persisted
+leave no cached RDDs behind after queries are consumed."""
+
+import pathlib
+import re
+
+
+def _jids(spark):
+    return set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+
+
+def test_catalog_releases_all_tracked_caches(spark):
+    """Run cache-heavy catalog entries (shingle scans, kmeans input,
+    LSH edges), consume them, release: every cache those entries
+    created is gone. Entries chosen to avoid localCheckpoint (whose
+    blocks are owned by the ContextCleaner, not this contract)."""
+    from intelligencepipeline_spark.caching import (
+        release_persisted,
+        release_shared,
+    )
+    from intelligencepipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    release_persisted()
+    release_shared()
+    before = _jids(spark)
+    for name in (
+        "jaccard_pairs",
+        "embedding_kmeans",
+        "minhash_jaccard_estimate_audit",
+    ):
+        QUERIES[name](spark, sf).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    assert len(_jids(spark) - before) > 0  # the entries did cache
+    release_persisted()
+    release_shared()
+    assert _jids(spark) - before == set()
+
+
+def test_wrapper_releases_previous_entrys_caches(spark):
+    """Building the NEXT catalog entry releases the previous one's
+    tracked caches — the no-cooperation path the judge driver uses."""
+    from intelligencepipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    from intelligencepipeline_spark.caching import (
+        _SHARED,
+        release_persisted,
+        release_shared,
+    )
+
+    release_persisted()
+    release_shared()
+    before = _jids(spark)
+    QUERIES["embedding_kmeans"](spark, sf).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    assert len(_jids(spark) - before) > 0
+    # building (not even consuming) the next entry sweeps the TRACKED
+    # caches; deliberate shared substrates (shingles/edges) survive
+    shared_ids = {df.rdd.id() for df in _SHARED.values()}
+    QUERIES["q6_forecast_revenue"](spark, sf)
+    assert (_jids(spark) - before) <= shared_ids
+    release_persisted()
+    release_shared()
+
+
+def test_no_untracked_persist_in_package():
+    """Grep gate: no .persist(/.cache( call site in the package
+    outside caching.py itself — everything routes through
+    track_persist (paired explicit unpersists remain allowed)."""
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "intelligencepipeline_spark"
+    )
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        if p.name == "caching.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\.persist\(|\.cache\(", line):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert offenders == [], offenders

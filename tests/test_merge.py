@@ -201,3 +201,55 @@ def test_merge_crash_between_write_and_publish(spark, tdir):
     upd = spark.createDataFrame([(2, "B", 20)], "k long, v string, ts long")
     merge_upsert(upd, tdir, key="k", n_buckets=2)
     assert _snap(spark, tdir) == {1: ("a", 10), 2: ("B", 20)}
+
+
+def test_legacy_layout_bootstrap_migrates_not_orphans(spark, tdir):
+    """A manifest-less legacy table (bucket= dirs from the old
+    dynamic-partition-overwrite code) is migrated into the initial
+    manifest on the first new-style merge: pre-existing rows stay
+    visible, updates apply, and the loose legacy files are swept."""
+    from pyspark.sql import functions as F2
+
+    legacy = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (17, "q", 10)],
+        "k long, v string, ts long",
+    ).withColumn("bucket", F2.pmod(F2.xxhash64(F2.col("k")), F2.lit(8)))
+    legacy.write.partitionBy("bucket").parquet(tdir)  # no manifest
+    assert not os.path.exists(os.path.join(tdir, "_MANIFEST.json"))
+
+    upd = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20)], "k long, v string, ts long"
+    )
+    merge_upsert(upd, tdir, key="k")
+    got = _snap(spark, tdir)
+    assert got == {
+        1: ("a", 10), 2: ("B", 20), 17: ("q", 10), 4: ("d", 20),
+    }
+    # legacy loose files are gone; only gen= dirs remain per bucket
+    for d in os.listdir(tdir):
+        if d.startswith("bucket="):
+            assert all(
+                f.startswith("gen=") for f in os.listdir(os.path.join(tdir, d))
+            ), os.listdir(os.path.join(tdir, d))
+
+
+def test_read_changelog_empty_when_nothing_committed(spark, tdir):
+    """Only a crashed (un-_SUCCESS'd) first merge exists: the
+    changelog reads as EMPTY with the in-flight schema, not an error."""
+    import pyspark.sql.functions as F2
+
+    from intelligencepipeline_spark.operators.merge import read_changelog
+
+    base = os.path.join(tdir, "_changelog")
+    os.makedirs(os.path.join(base, "v=1"), exist_ok=True)
+    spark.createDataFrame(
+        [(1, "a", False)], "k long, v string, _deleted boolean"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v=1"))
+    os.remove(os.path.join(base, "v=1", "_SUCCESS"))  # simulate crash
+    df = read_changelog(spark, tdir)
+    assert df.count() == 0
+    assert "v" in df.columns and "_deleted" in df.columns
+    # and a bare empty dir also reads as empty
+    shutil.rmtree(base)
+    os.makedirs(base)
+    assert read_changelog(spark, tdir).count() == 0

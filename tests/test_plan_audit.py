@@ -465,3 +465,70 @@ def test_round3_new_entries_plan_shapes(spark):
 
     a = audit(linear_attribution(spark, SF))
     assert not a.cartesian
+
+
+def test_round4_new_entries_plan_shapes(spark):
+    """r04 additions (b5 tail + b6 codec entries) keep their documented
+    scale shapes: the byte/media featurizers ride the scan with no
+    joins and no shuffle before the per-doc output; kmeans assignment
+    is expression-only over literal centroids (no Python stage, no
+    data-side explode); label propagation is join+agg bounded with no
+    cartesian; pq_ann_topk's shortlist re-rank broadcasts, never
+    shuffles the code table for the top-k."""
+    from intelligencepipeline_spark.queries import (
+        bmp_decode_stats,
+        byte_histogram_features,
+        label_propagation_communities,
+        pq_ann_topk,
+        wav_decode_stats,
+    )
+
+    a = audit(bmp_decode_stats(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+
+    a = audit(wav_decode_stats(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+
+    a = audit(byte_histogram_features(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    # range exchange for the final orderBy (+ its AQE read); never a
+    # keyed shuffle before the per-doc output
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+    assert not a.cartesian
+
+    a = audit(label_propagation_communities(spark, SF))
+    assert not a.cartesian
+
+    a = audit(pq_ann_topk(spark, SF))
+    assert not a.cartesian
+    assert a.sortmerge_joins == 0, a.plan[:1500]
+
+
+def test_kmeans_assignment_expression_only(spark):
+    """embedding_kmeans: the assignment projection must stay free of
+    Python stages (literal-centroid folds in codegen) and of any
+    data-side explode before the final per-cluster agg."""
+    from intelligencepipeline_spark.queries import embedding_kmeans
+
+    a = audit(embedding_kmeans(spark, SF))
+    assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
+        "assignment must be expression-only"
+    )
+    assert not a.cartesian
+
+
+def test_semantic_dedup_cluster_bounded(spark):
+    """SemDeDup: the pair scan must join on cluster (no cartesian, no
+    corpus-wide pair explosion) and the assignment stays
+    expression-only (no Python stage anywhere in the plan)."""
+    from intelligencepipeline_spark.queries import semantic_dedup
+
+    a = audit(semantic_dedup(spark, SF))
+    assert not a.cartesian
+    assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
+        "clustering + cosine must be pure expressions"
+    )

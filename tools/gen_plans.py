@@ -98,6 +98,17 @@ HEADLINE = [
     ("file_compaction_plan", "compaction planner over input_file_name; keyed staging write"),
     ("random_projection_sketch", "JL projection: expression fanout + one (vec,dim) partial agg"),
     ("vocab_oov_audit", "TakeOrdered vocab + 256-row broadcast back onto token stream"),
+    ("bucketed_snapshot_consolidation", "stream->manifest store: keyed fold + bucketed two-phase commit"),
+    ("time_travel_diff", "version-pinned snapshot reads + one full-outer diff join"),
+    ("rate_limit_audit", "recursive-CTE token bucket: per-user chain, depth = events"),
+    ("linear_attribution", "window credit split: one user shuffle, no self-join"),
+    ("byte_histogram_features", "Arrow UDF rides the scan; no pre-output shuffle"),
+    ("embedding_kmeans", "expression-only assignment over literal centroids + (cluster,dim) agg"),
+    ("label_propagation_communities", "3 sync rounds: join + two keyed aggs each, no cartesian"),
+    ("bmp_decode_stats", "expression-built BMP + stdlib decode in mapInPandas, scan-ride"),
+    ("wav_decode_stats", "expression-built WAV + stdlib PCM16 decode, scan-ride"),
+    ("bmp_resize_audit", "decode->NN-resample->re-encode->decode chain, still scan-ride"),
+    ("semantic_dedup", "SemDeDup: k-means blocks the cosine scan; one cluster shuffle"),
 ]
 
 

@@ -138,6 +138,13 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name}: rows={len(sdf)} (spark {t1-t0:.1f}s)")
+    from intelligencepipeline_spark.caching import (
+        release_persisted,
+        release_shared,
+    )
+
+    release_persisted()
+    release_shared()  # per-entry + shared substrates (ownership contract)
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
         import json
