@@ -4438,3 +4438,50 @@ SELECT m.cid AS cluster_id,
 FROM m LEFT JOIN s ON m.cid = s.cid
 ORDER BY cluster_id
 """
+
+# P6 record-timestamp pairing: the wire construction is pure
+# arithmetic over documents, so the oracle re-derives what the real
+# consumer parse path (key-byte decode + from_json + kafka_ts carry)
+# must reproduce. A wrong key endianness, JSON field drift, or a
+# dropped/shifted timestamp pairing breaks the hash.
+ORACLES["kafka_timestamp_pairing"] = """
+SELECT doc_id,
+  coalesce(lang, 'und') AS lang,
+  cast(n_chars as bigint) AS n_chars,
+  cast(1704067200 + doc_id % 86400 as bigint) AS ts_epoch,
+  cast(floor((1704067200 + doc_id % 86400) / 3600) as bigint)
+    AS hour_bucket
+FROM documents ORDER BY doc_id
+"""
+
+# A4 + A5 evaluator matrix: MaxScore = lexicographic max proposal;
+# best_proposition = argmax(confidence) ties to the LARGER proposal
+# (max_by over struct(confidence, proposal)); NoScore = ('', 0).
+# Parallel unnests zip positionally in DuckDB, mirroring the Spark
+# array-of-structs explode.
+ORACLES["evaluator_matrix"] = """
+WITH props AS (
+  SELECT doc_id,
+    unnest(['lang:' || coalesce(lang, 'und'),
+            'src:' || coalesce(source, '?'),
+            'len:' || cast(n_chars % 10 as varchar)]) AS p,
+    unnest([cast(concat('0x', substr(md5(cast(doc_id as varchar) || 'l'), 1, 4)) as bigint) % 100,
+            cast(concat('0x', substr(md5(cast(doc_id as varchar) || 's'), 1, 4)) as bigint) % 100,
+            cast(concat('0x', substr(md5(cast(doc_id as varchar) || 'n'), 1, 4)) as bigint) % 100]) AS c
+  FROM documents
+), ms AS (
+  SELECT doc_id, max(p) AS ms_proposal FROM props GROUP BY doc_id
+), bp AS (
+  SELECT doc_id, p AS bp_proposal, mx AS bp_score FROM (
+    SELECT doc_id, p,
+      max(c) OVER (PARTITION BY doc_id) AS mx,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, p DESC)
+        AS rn
+    FROM props) WHERE rn = 1
+)
+SELECT m.doc_id, m.ms_proposal, b.bp_proposal,
+  cast(b.bp_score as bigint) AS bp_score,
+  '' AS ns_proposal, cast(0 as bigint) AS ns_score
+FROM ms m JOIN bp b USING (doc_id)
+ORDER BY doc_id
+"""

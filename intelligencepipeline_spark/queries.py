@@ -7988,6 +7988,148 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def kafka_timestamp_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (record-timestamp pairing) proven hermetically: a
+    Kafka-wire-shaped frame — 8-byte big-endian Long key, JSON value
+    bytes, per-record ingestion timestamp — is fed through the EXACT
+    consumer parse path the live connector uses
+    (sources/kafka.parse_topic_batch: key decode via hex/conv, value
+    from_json, timestamp carried as kafka_ts). The export pins all
+    three contracts at once: the key byte roundtrip (a wrong
+    endianness or sign handling breaks doc_id), the payload decode
+    (lang/n_chars re-emerge from the JSON bytes), and the pairing
+    (ts_epoch + its event-time hour bucket must match the
+    construction arithmetic). Only the broker wire itself stays
+    env-gated (tests/test_kafka_broker_it.py)."""
+    from pyspark.sql import types as T
+
+    from intelligencepipeline_spark.sources.kafka import parse_topic_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    wire = docs.select(
+        F.unhex(F.lpad(F.hex(F.col("doc_id")), 16, "0")).alias("key"),
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                )
+            ),
+            "UTF-8",
+        ).alias("value"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") % 86400
+        ).alias("timestamp"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    parsed = parse_topic_batch(wire, schema)
+    ts_epoch = F.unix_timestamp("kafka_ts").cast("long")
+    return parsed.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        ts_epoch.alias("ts_epoch"),
+        F.floor(ts_epoch / 3600).cast("long").alias("hour_bucket"),
+    ).orderBy("doc_id")
+
+
+def evaluator_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + A5 evaluators side by side, hash-checked (closing the
+    coverage table's last test-only row): a deterministic proposition
+    frame — three md5-confidence proposals per document — is pushed
+    through ALL of operators/facts: ``max_score`` (the reference's
+    MaxScore, lexicographic max proposal), ``best_proposition`` (the
+    confidence-argmax closing the reference's evaluator TODO, ties to
+    the larger proposal), and ``no_score`` (the reference's NoScore
+    constant (null, 0.0)). One row per doc with every evaluator's
+    verdict; integer confidences so every export is exact.
+
+    Scale: the proposition build is expression-only on the scan; each
+    evaluator is one keyed agg with map-side partials; the joins are
+    co-keyed on doc_id."""
+    from intelligencepipeline_spark.operators.facts import (
+        best_proposition,
+        max_score,
+        no_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def conf(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(tag))
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+
+    props = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("lang:"),
+                        F.coalesce(F.col("lang"), F.lit("und")),
+                    ).alias("proposal"),
+                    conf("l").alias("confidence"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("src:"),
+                        F.coalesce(F.col("source"), F.lit("?")),
+                    ).alias("proposal"),
+                    conf("s").alias("confidence"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("len:"), (F.col("n_chars") % 10).cast("string")
+                    ).alias("proposal"),
+                    conf("n").alias("confidence"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.proposal", "p.confidence")
+    ms = max_score(props)
+    bp = best_proposition(props)
+    ns = no_score(props)
+    return (
+        ms.select("doc_id", F.col("proposal").alias("ms_proposal"))
+        .join(
+            bp.select(
+                "doc_id",
+                F.col("proposal").alias("bp_proposal"),
+                F.col("score").cast("long").alias("bp_score"),
+            ),
+            "doc_id",
+        )
+        .join(
+            ns.select(
+                "doc_id",
+                F.coalesce(F.col("proposal"), F.lit("")).alias(
+                    "ns_proposal"
+                ),
+                F.col("score").cast("long").alias("ns_score"),
+            ),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
     deduplication of a training corpus: k-means the embedding space,
@@ -8233,6 +8375,8 @@ QUERIES = {
     "wav_decode_stats": wav_decode_stats,
     "bmp_resize_audit": bmp_resize_audit,
     "semantic_dedup": semantic_dedup,
+    "kafka_timestamp_pairing": kafka_timestamp_pairing,
+    "evaluator_matrix": evaluator_matrix,
     # -- driver-green in r03 -------------------------------------------
     "streaming_join_proof": streaming_join_proof,
     "streaming_restart_exactly_once": streaming_restart_exactly_once,

@@ -63,10 +63,29 @@ def read_topic(
             "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
         )
     raw = reader.load()
+    return parse_topic_batch(raw, value_schema, serde)
+
+
+def parse_topic_batch(
+    raw: DataFrame, value_schema: T.StructType, serde: str = "json"
+) -> DataFrame:
+    """The post-wire half of every topic consumer — exactly what
+    ``read_topic`` applies after ``load()``: big-endian Long key
+    decode, value deserialization (json/avro), and the
+    RECORD-TIMESTAMP PAIRING (P6, the reference's
+    TimestampValueTransformer: each record travels with its Kafka
+    ingestion timestamp as ``kafka_ts``).
+
+    Factored out so the parse contract is provable WITHOUT a broker:
+    the ``kafka_timestamp_pairing`` catalog entry feeds a wire-shaped
+    frame (key binary, value binary, timestamp) through this exact
+    function and hash-checks key roundtrip, payload decode, and the
+    timestamp pairing against a SQL oracle; the live connector path
+    shares this code unchanged."""
     return raw.select(
         F.conv(F.hex(F.col("key")), 16, 10).cast("long").alias("doc_id"),
         decode_value_col(F.col("value"), value_schema, serde).alias("v"),
-        F.col("timestamp").alias("kafka_ts"),  # TimestampValueTransformer (P6) for free
+        F.col("timestamp").alias("kafka_ts"),
     ).select("doc_id", "v.*", "kafka_ts")
 
 

@@ -234,3 +234,74 @@ def test_decode_features_real_paths():
     bad = b"BM" + b"\x01" * 10
     want = [b / 255.0 for b in hashlib.sha256(bad).digest()[:8]]
     assert _decode_features(bad) == want
+
+
+def test_bmp_roundtrip_property():
+    """Property: encode->decode is the identity for ANY pixel array
+    (hypothesis over dims + content, covering every stride-padding
+    residue class)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def prop(w, h, seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)
+        ).astype(np.uint8)
+        w2, h2, px2 = decode_bmp(encode_bmp(px))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px, px2)
+
+    prop()
+
+
+def test_wav_decode_property():
+    """Property: any int16 sample array round-trips through a
+    synthesized PCM16 WAV, with arbitrary junk chunks interleaved."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from intelligencepipeline_spark.functions.multimodal import decode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=64,
+        ),
+        junk=st.binary(min_size=0, max_size=9),
+        junk_first=st.booleans(),
+    )
+    def prop(samples, junk, junk_first):
+        arr = np.array(samples, dtype="<i2")
+        data = arr.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        jc = b"JUNK" + struct.pack("<I", len(junk)) + junk
+        if len(junk) & 1:
+            jc += b"\x00"  # word alignment
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        body = (jc + body) if junk_first else (body + jc)
+        blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        rate, n_ch, got = decode_wav(blob)
+        assert (rate, n_ch) == (8000, 1)
+        assert np.array_equal(got, arr)
+
+    prop()

@@ -532,3 +532,26 @@ def test_semantic_dedup_cluster_bounded(spark):
     assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
         "clustering + cosine must be pure expressions"
     )
+
+
+def test_p6_and_evaluators_plan_shapes(spark):
+    """kafka_timestamp_pairing: pure projection riding the scan (no
+    joins at all); evaluator_matrix: keyed aggs + doc_id-co-keyed
+    joins, never a cartesian."""
+    from intelligencepipeline_spark.queries import (
+        evaluator_matrix,
+        kafka_timestamp_pairing,
+    )
+
+    a = audit(kafka_timestamp_pairing(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.reads_only("doc_id", "lang", "source", "n_chars"), (
+        a.read_schemas
+    )
+    assert not a.cartesian
+
+    a = audit(evaluator_matrix(spark, SF))
+    assert not a.cartesian
+    assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
+        "evaluators must be pure aggs"
+    )

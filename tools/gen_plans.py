@@ -78,7 +78,6 @@ HEADLINE = [
     ("negative_pair_sample", "md5 draws ride the scan; near-dup reject broadcast anti"),
     ("pagerank_neardup_graph", "integer PageRank: O(iters) shuffles, flat lineage"),
     ("bpe_encode", "vocab-domain fold + broadcast dictionary join"),
-    ("containment_pairs", "rare-shingle candidates w/ min-support cut"),
     ("entity_resolution", "blocked levenshtein + components + roster agg"),
     ("integrity_audit", "FK checks as anti-joins, unioned tiny result"),
     ("k_anonymity_audit", "two keyed aggs, scale-flat"),
@@ -109,6 +108,8 @@ HEADLINE = [
     ("wav_decode_stats", "expression-built WAV + stdlib PCM16 decode, scan-ride"),
     ("bmp_resize_audit", "decode->NN-resample->re-encode->decode chain, still scan-ride"),
     ("semantic_dedup", "SemDeDup: k-means blocks the cosine scan; one cluster shuffle"),
+    ("kafka_timestamp_pairing", "post-wire consumer parse: key decode + serde + ts pairing, scan-ride"),
+    ("evaluator_matrix", "3 evaluators = 3 keyed aggs + co-keyed joins, no cartesian"),
 ]
 
 
