@@ -9,14 +9,32 @@ fallback, and is the single place to point somewhere else
 ($IP_SCRATCH; on a real cluster use a fast local SSD or leave
 checkpoints on durable storage — a RAM checkpoint is only correct for
 tests/bench where the proof re-runs from scratch anyway).
-"""
+
+Lifecycle: RAM is a shared resource, so scratch is OWNED PER PROCESS —
+everything lands under ``<root>/<pid>``, removed at interpreter exit
+(atexit), and on startup any sibling pid-dir whose process is gone is
+swept (crashed runs can't accumulate; one catalog run allocates
+~1000 dirs / ~1 GB at sf0.1)."""
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 _ROOT: str | None = None
+
+
+def _sweep_dead(base: str) -> None:
+    try:
+        for d in os.listdir(base):
+            if not d.isdigit() or int(d) == os.getpid():
+                continue
+            if not os.path.exists(f"/proc/{d}"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    except OSError:
+        pass
 
 
 def scratch_root() -> str:
@@ -30,12 +48,17 @@ def scratch_root() -> str:
                 if os.path.isdir(shm) and os.access(shm, os.W_OK)
                 else tempfile.gettempdir()
             )
-        root = os.path.join(base, "ip_scratch")
+        top = os.path.join(base, "ip_scratch")
+        os.makedirs(top, exist_ok=True)
+        _sweep_dead(top)
+        root = os.path.join(top, str(os.getpid()))
         os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         _ROOT = root
     return _ROOT
 
 
 def scratch_dir(prefix: str) -> str:
-    """A fresh scratch directory (tmpfs when available)."""
+    """A fresh scratch directory (tmpfs when available), owned by this
+    process and removed at exit."""
     return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())

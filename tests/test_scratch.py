@@ -1,0 +1,42 @@
+"""scratch.py lifecycle: per-process ownership, exit cleanup, and
+dead-pid sweep — RAM-backed scratch must not accumulate across runs."""
+
+import os
+import subprocess
+import sys
+
+
+def test_scratch_per_process_and_cleanup(tmp_path):
+    env = dict(os.environ, IP_SCRATCH=str(tmp_path))
+    code = (
+        "from intelligencepipeline_spark.scratch import scratch_dir;"
+        "print(scratch_dir('t_'))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    d = out.stdout.strip()
+    assert d.startswith(str(tmp_path / "ip_scratch"))
+    # the allocating process exited -> its pid subtree is gone
+    assert not os.path.exists(d)
+    top = tmp_path / "ip_scratch"
+    assert [p for p in os.listdir(top) if p.isdigit()] == []
+
+
+def test_scratch_sweeps_dead_pid_dirs(tmp_path):
+    top = tmp_path / "ip_scratch"
+    top.mkdir()
+    stale = top / "999999999"  # no such pid
+    stale.mkdir()
+    (stale / "junk").write_text("x")
+    env = dict(os.environ, IP_SCRATCH=str(tmp_path))
+    code = (
+        "from intelligencepipeline_spark.scratch import scratch_root;"
+        "scratch_root()"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, env=env, cwd="/root/repo", check=True,
+    )
+    assert not stale.exists()
