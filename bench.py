@@ -81,15 +81,23 @@ def main() -> None:
     # load spike cannot survive it, while a real plan regression is
     # present in both passes and stays. Entries whose min is still
     # noisy (> 2.5s) get one extra measurement.
+    t_start = time.time()
+    # Wall budget: the harness runs bench under an external timeout; a
+    # co-tenant load episode must degrade pass-2 coverage (later
+    # registry positions keep their pass-1 number — a value-independent
+    # cutoff, so no gate bias), never kill the run.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "700"))
     timings: dict[str, float] = {}
     for name in QUERIES:
         if only and name not in only:
             continue
         timings[name] = run_one(name)
     for name in list(timings):
+        if time.time() - t_start > budget:
+            break
         timings[name] = min(timings[name], run_one(name))
     for name, t in list(timings.items()):
-        if t > 2.5:
+        if t > 2.5 and time.time() - t_start <= budget:
             timings[name] = min(t, run_one(name))
 
     from intelligencepipeline_spark.caching import (
