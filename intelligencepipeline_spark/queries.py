@@ -8293,23 +8293,188 @@ def label_propagation_communities(
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
-# then-first-50; r03 the streaming-proof family + b2/b3 remainder
-# (50/50 green). This r04 ordering executes the rotation planned in
-# the r03 comment verbatim: the 45 remaining never-driver-checked
-# entries plus the 5 (b4) r03 additions occupy positions 1-50.
+# then-first-50; r03 the streaming-proof family + b2/b3 remainder;
+# r04 the 45 remaining never-checked + 5 (b4) additions — 192/192
+# green across four rounds. This r05 ordering executes the rotation
+# planned in the r04 comment and verdict verbatim: the 13 (b5)+(b6)
+# never-driver-checked entries lead, and positions 14-50 re-prove the
+# OLDEST driver rows (the r01 window, original CORRECTNESS_r01 order)
+# on current code. After r05 every entry registered before this round
+# has a driver CORRECTNESS row.
 #
-# PLANNED r05 WINDOW (move these to positions 1-50 before the r05
-# driver run; any operators new in r04 follow immediately after
-# them — they are already placed directly below the r04 window in
+# PLANNED r06 WINDOW (move these to positions 1-50 before the r06
+# driver run; the blocks already sit directly below the r05 window in
 # registry order so the rotation is a single block move):
-#   bucketed_snapshot_consolidation, time_travel_diff,
-#   rate_limit_audit, linear_attribution, byte_histogram_features,
-#   embedding_kmeans, label_propagation_communities  [the 7 (b5)
-#   r03-late additions] + every (b6) r04 addition listed in the
-#   section below them. After r05 every entry ever registered has a
-#   driver CORRECTNESS row.
+#   every (b7) r05 addition [never driver-checked] + the r01 window
+#   remainder (similarity_topk .. event_gaps, 13 entries) + the
+#   oldest r02-window entries, in CORRECTNESS_r02 order, to pad to
+#   50 — continuing the stalest-rows-first re-proof policy.
 QUERIES = {
-    # ==== r04 driver window: positions 1-50 ===========================
+    # ==== r05 driver window: positions 1-50 ===========================
+    # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
+    "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
+    "time_travel_diff": time_travel_diff,
+    "rate_limit_audit": rate_limit_audit,
+    "linear_attribution": linear_attribution,
+    "byte_histogram_features": byte_histogram_features,
+    "embedding_kmeans": embedding_kmeans,
+    "label_propagation_communities": label_propagation_communities,
+    "bmp_decode_stats": bmp_decode_stats,
+    "wav_decode_stats": wav_decode_stats,
+    "bmp_resize_audit": bmp_resize_audit,
+    "semantic_dedup": semantic_dedup,
+    "kafka_timestamp_pairing": kafka_timestamp_pairing,
+    "evaluator_matrix": evaluator_matrix,
+    # -- positions 14-50: the OLDEST driver rows (r01 window, original
+    #    order) re-proven on current code per the r04 verdict ----------
+    "q1_pricing_summary": q1_pricing_summary,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracketed_revenue": q19_bracketed_revenue,
+    "q22_inactive_customers": q22_inactive_customers,
+    "q3_top_revenue": q3_top_revenue,
+    "topk_per_group": topk_per_group,
+    "rollup_agg": rollup_agg,
+    "anti_join_guard": anti_join_guard,
+    "range_join": range_join,
+    "json_extract_agg": json_extract_agg,
+    "percentiles": percentiles,
+    "pivot_counts": pivot_counts,
+    "running_totals": running_totals,
+    "semi_join": semi_join,
+    "cube_agg": cube_agg,
+    "dedup_pipeline": dedup_pipeline,
+    "event_union": event_union,
+    "consolidation_fold": consolidation_fold,
+    "session_stats": session_stats_q,
+    "max_score": max_score_q,
+    "sequence_edit_ops": sequence_edit_ops,
+    "chunk_explode": chunk_explode,
+    "window_chunks": window_chunks_q,
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash": simhash_q,
+    "jaccard_pairs": jaccard_pairs_q,
+    # ==== end of r05 driver window (position 50) ======================
+    # -- (b7) new in r05: lead the r06 window (see plan above) ---------
+    # -- r01 window remainder: fill the r06 window after (b7) ----------
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
+    "engine_enrichment": engine_enrichment,
+    "session_window_batch": session_window_batch,
+    "multimodal_meta": multimodal_meta,
+    "asof_join": asof_join_q,
+    "quality_filter": quality_filter,
+    "top_terms": top_terms,
+    "grouping_sets_agg": grouping_sets_agg,
+    "winnow_fingerprints": winnow_fingerprints,
+    "bpe_token_stats": bpe_token_stats,
+    "ann_lsh_topk": ann_lsh_topk,
+    "event_gaps": event_gaps,
+    # -- driver-green in r02 (next-oldest re-proof candidates) ---------
+    "latest_event_per_user": latest_event_per_user,
+    "set_ops": set_ops,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ner_entities": ner_entities,
+    "chunk_lang": chunk_lang,
+    "pos_tag_counts": pos_tag_counts,
+    "doc_with_chunks": doc_with_chunks,
+    "salted_user_stats": salted_user_stats,
+    "ann_ivf_topk": ann_ivf_topk,
+    "hypertable_rollup": hypertable_rollup,
+    "keyphrases": keyphrases,
+    "sentence_chunks": sentence_chunks_q,
+    "hashed_embedding": hashed_embedding,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "full_outer_activity": full_outer_activity,
+    "top_value_suppliers": top_value_suppliers,
+    "text_extraction": text_extraction,
+    "dedup_clusters": dedup_clusters,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "streaming_consolidation": streaming_consolidation,
+    "dedup_survivor_docs": dedup_survivor_docs,
+    "profile_columns": profile_columns,
+    "deterministic_sample": deterministic_sample,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_blocking_supplier": q21_blocking_supplier,
+    "html_rendition": html_rendition,
+    "chunk_command_fold": chunk_command_fold,
+    "kafka_serde_roundtrip": kafka_serde_roundtrip,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+    "token_packing": token_packing,
+    "domain_mix_sample": domain_mix_sample,
+    "chunk_metadata_enrichment": chunk_metadata_enrichment,
+    "proposer_max_score": proposer_max_score,
+    "side_effect_sink": side_effect_sink,
+    "datarecords_snapshot": datarecords_snapshot,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_stateful_stats": streaming_stateful_stats,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "repetition_filter": repetition_filter,
+    # -- driver-green in r03 --------------------------------------------
+    "streaming_join_proof": streaming_join_proof,
+    "streaming_restart_exactly_once": streaming_restart_exactly_once,
+    "streaming_watermark_finalize": streaming_watermark_finalize,
+    "streaming_backpressure_proof": streaming_backpressure_proof,
+    "streaming_dedup_proof": streaming_dedup_proof,
+    "engine_streaming_run": engine_streaming_run,
+    "changelog_replay": changelog_replay,
+    "streaming_hll_distinct": streaming_hll_distinct,
+    "streaming_outer_join_proof": streaming_outer_join_proof,
+    "streaming_gap_fill": streaming_gap_fill,
+    "streaming_static_join": streaming_static_join,
+    "watermark_sizing_audit": watermark_sizing_audit,
+    "scd2_dimension": scd2_dimension,
+    "point_in_time_join": point_in_time_join_q,
+    "attribution_revenue": attribution_revenue,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
+    "containment_pairs": containment_pairs,
+    "lexical_diversity": lexical_diversity,
+    "value_histogram": value_histogram,
+    "pagerank_neardup_graph": pagerank_neardup_graph,
+    "negative_pair_sample": negative_pair_sample,
+    "bpe_encode": bpe_encode,
+    "heavy_hitters": heavy_hitters,
+    "serde_dead_letter": serde_dead_letter,
+    "entity_resolution": entity_resolution,
+    "schema_evolution_merge": schema_evolution_merge,
+    "ann_recall_audit": ann_recall_audit,
+    "udtf_sentence_chunks": udtf_sentence_chunks,
+    "pq_adc_machinery": pq_adc_machinery,
+    "python_datasource_feed": python_datasource_feed,
+    "bigram_surprisal": bigram_surprisal,
+    "integrity_audit": integrity_audit,
+    "k_anonymity_audit": k_anonymity_audit,
+    "cogroup_reconciliation": cogroup_reconciliation,
+    "recursive_cte_chain": recursive_cte_chain,
+    "array_functions_suite": array_functions_suite,
+    "sketch_accuracy": sketch_accuracy,
+    "unpivot_event_matrix": unpivot_event_matrix,
+    "media_pipeline": media_pipeline,
+    "event_funnel": event_funnel,
+    "sliding_window_counts": sliding_window_counts,
+    "avro_serde_roundtrip": avro_serde_roundtrip,
+    "bloom_prefilter": bloom_prefilter_q,
+    "cms_frequency": cms_frequency,
+    "lsh_recall_audit": lsh_recall_audit,
+    "leakage_safe_split": leakage_safe_split,
+    "python_datasource_sink": python_datasource_sink,
+    "asof_forward_join": asof_forward_join_q,
+    "paragraph_dedup": paragraph_dedup,
+    # -- driver-green in r04 --------------------------------------------
     "rolling_range_spend": rolling_range_spend,
     "stratified_fixed_sample": stratified_fixed_sample,
     "salted_join_revenue": salted_join_revenue,
@@ -8355,173 +8520,11 @@ QUERIES = {
     "mad_anomalies": mad_anomalies,
     "label_centroids": label_centroids,
     "triangle_count": triangle_count,
-    # -- (b4) new in r03: the 5 slots completing the r04 window --------
     "minhash_jaccard_estimate_audit": minhash_jaccard_estimate_audit,
     "snapshot_diff": snapshot_diff,
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
-    # ==== end of r04 driver window (position 50) ======================
-    # -- (b5) r03-late additions: lead the r05 window (see plan above) -
-    "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
-    "time_travel_diff": time_travel_diff,
-    "rate_limit_audit": rate_limit_audit,
-    "linear_attribution": linear_attribution,
-    "byte_histogram_features": byte_histogram_features,
-    "embedding_kmeans": embedding_kmeans,
-    "label_propagation_communities": label_propagation_communities,
-    # -- (b6) new in r04: follow the b5 block into the r05 window ------
-    "bmp_decode_stats": bmp_decode_stats,
-    "wav_decode_stats": wav_decode_stats,
-    "bmp_resize_audit": bmp_resize_audit,
-    "semantic_dedup": semantic_dedup,
-    "kafka_timestamp_pairing": kafka_timestamp_pairing,
-    "evaluator_matrix": evaluator_matrix,
-    # -- driver-green in r03 -------------------------------------------
-    "streaming_join_proof": streaming_join_proof,
-    "streaming_restart_exactly_once": streaming_restart_exactly_once,
-    "streaming_watermark_finalize": streaming_watermark_finalize,
-    "streaming_backpressure_proof": streaming_backpressure_proof,
-    "streaming_dedup_proof": streaming_dedup_proof,
-    "engine_streaming_run": engine_streaming_run,
-    "changelog_replay": changelog_replay,
-    "streaming_hll_distinct": streaming_hll_distinct,
-    "streaming_outer_join_proof": streaming_outer_join_proof,
-    "streaming_gap_fill": streaming_gap_fill,
-    "streaming_static_join": streaming_static_join,
-    "watermark_sizing_audit": watermark_sizing_audit,
-    "ann_ivf_topk": ann_ivf_topk,
-    "scd2_dimension": scd2_dimension,
-    "point_in_time_join": point_in_time_join_q,
-    "attribution_revenue": attribution_revenue,
-    "hll_mergeable_rollup": hll_mergeable_rollup,
-    "containment_pairs": containment_pairs,
-    "lexical_diversity": lexical_diversity,
-    "value_histogram": value_histogram,
-    "pagerank_neardup_graph": pagerank_neardup_graph,
-    "negative_pair_sample": negative_pair_sample,
-    "bpe_encode": bpe_encode,
-    "heavy_hitters": heavy_hitters,
-    "serde_dead_letter": serde_dead_letter,
-    "entity_resolution": entity_resolution,
-    "schema_evolution_merge": schema_evolution_merge,
-    "ann_recall_audit": ann_recall_audit,
-    "udtf_sentence_chunks": udtf_sentence_chunks,
-    "pq_adc_machinery": pq_adc_machinery,
-    "python_datasource_feed": python_datasource_feed,
-    "bigram_surprisal": bigram_surprisal,
-    "integrity_audit": integrity_audit,
-    "k_anonymity_audit": k_anonymity_audit,
-    "cogroup_reconciliation": cogroup_reconciliation,
-    "recursive_cte_chain": recursive_cte_chain,
-    "array_functions_suite": array_functions_suite,
-    "sketch_accuracy": sketch_accuracy,
-    "unpivot_event_matrix": unpivot_event_matrix,
-    "media_pipeline": media_pipeline,
-    "event_funnel": event_funnel,
-    "sliding_window_counts": sliding_window_counts,
-    "avro_serde_roundtrip": avro_serde_roundtrip,
-    "bloom_prefilter": bloom_prefilter_q,
-    "cms_frequency": cms_frequency,
-    "lsh_recall_audit": lsh_recall_audit,
-    "leakage_safe_split": leakage_safe_split,
-    "python_datasource_sink": python_datasource_sink,
-    "asof_forward_join": asof_forward_join_q,
-    "paragraph_dedup": paragraph_dedup,
-    # -- driver-green in r01/r02 ---------------------------------------
-    "latest_event_per_user": latest_event_per_user,
-    "set_ops": set_ops,
-    "tfidf_top_terms": tfidf_top_terms,
-    "ner_entities": ner_entities,
-    "chunk_lang": chunk_lang,
-    "pos_tag_counts": pos_tag_counts,
-    "doc_with_chunks": doc_with_chunks,
-    "salted_user_stats": salted_user_stats,
-    "hypertable_rollup": hypertable_rollup,
-    "keyphrases": keyphrases,
-    "sentence_chunks": sentence_chunks_q,
-    "hashed_embedding": hashed_embedding,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "full_outer_activity": full_outer_activity,
-    "top_value_suppliers": top_value_suppliers,
-    "text_extraction": text_extraction,
-    "dedup_clusters": dedup_clusters,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q10_returned_items": q10_returned_items,
-    "streaming_consolidation": streaming_consolidation,
-    "dedup_survivor_docs": dedup_survivor_docs,
-    "profile_columns": profile_columns,
-    "deterministic_sample": deterministic_sample,
-    "q9_product_profit": q9_product_profit,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q21_blocking_supplier": q21_blocking_supplier,
-    "json_extract_agg": json_extract_agg,
-    "running_totals": running_totals,
-    "cube_agg": cube_agg,
-    "consolidation_fold": consolidation_fold,
-    "session_stats": session_stats_q,
-    "similarity_topk": similarity_topk,
-    "embedding_dedup_pairs": embedding_dedup_pairs,
-    "html_rendition": html_rendition,
-    "chunk_command_fold": chunk_command_fold,
-    "kafka_serde_roundtrip": kafka_serde_roundtrip,
-    "pii_redaction": pii_redaction,
-    "contamination_check": contamination_check,
-    "token_packing": token_packing,
-    "domain_mix_sample": domain_mix_sample,
-    "chunk_metadata_enrichment": chunk_metadata_enrichment,
-    "proposer_max_score": proposer_max_score,
-    "side_effect_sink": side_effect_sink,
-    "datarecords_snapshot": datarecords_snapshot,
-    "streaming_session_windows": streaming_session_windows,
-    "streaming_stateful_stats": streaming_stateful_stats,
-    "corpus_prep_pipeline": corpus_prep_pipeline,
-    "repetition_filter": repetition_filter,
-    # -- previously green ----------------------------------------------
-    "q1_pricing_summary": q1_pricing_summary,
-    "q4_order_priority": q4_order_priority,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    "q7_nation_volume": q7_nation_volume,
-    "q8_market_share": q8_market_share,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q18_large_orders": q18_large_orders,
-    "q19_bracketed_revenue": q19_bracketed_revenue,
-    "q22_inactive_customers": q22_inactive_customers,
-    "q3_top_revenue": q3_top_revenue,
-    "topk_per_group": topk_per_group,
-    "rollup_agg": rollup_agg,
-    "anti_join_guard": anti_join_guard,
-    "range_join": range_join,
-    "percentiles": percentiles,
-    "pivot_counts": pivot_counts,
-    "semi_join": semi_join,
-    "dedup_pipeline": dedup_pipeline,
-    "event_union": event_union,
-    "max_score": max_score_q,
-    "sequence_edit_ops": sequence_edit_ops,
-    "chunk_explode": chunk_explode,
-    "window_chunks": window_chunks_q,
-    "token_stats": token_stats,
-    "lang_id": lang_id,
-    "dedup_exact": dedup_exact,
-    "minhash_signatures": minhash_signatures,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "simhash": simhash_q,
-    "jaccard_pairs": jaccard_pairs_q,
-    "engine_enrichment": engine_enrichment,
-    "session_window_batch": session_window_batch,
-    "multimodal_meta": multimodal_meta,
-    "asof_join": asof_join_q,
-    "quality_filter": quality_filter,
-    "top_terms": top_terms,
-    "grouping_sets_agg": grouping_sets_agg,
-    "winnow_fingerprints": winnow_fingerprints,
-    "bpe_token_stats": bpe_token_stats,
-    "ann_lsh_topk": ann_lsh_topk,
-    "event_gaps": event_gaps,
 }
 
 
