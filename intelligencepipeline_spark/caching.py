@@ -49,14 +49,35 @@ def shared_scan(
     :func:`release_shared` clears it (bench/oracle call it at the end
     of a full catalog run). At 100 TB the equivalent is a
     materialized-at-rest table written once at ingest, not a RAM
-    cache; the session-level cache models exactly that reuse."""
+    cache; the session-level cache models exactly that reuse.
+
+    Entries are valid only for the SparkSession that built them: if
+    the session was stopped and recreated in-process, a cached
+    DataFrame is bound to the dead session and every consumer would
+    fail until process restart. The cache therefore records the owning
+    session and drops ALL entries on mismatch before serving."""
     df = _SHARED.get(key)
+    if df is not None and not _session_alive(df):
+        # Stale entries from a stopped session: drop WITHOUT unpersist
+        # (their JVM-side state died with the session) and rebuild on
+        # whatever session the builder uses.
+        _SHARED.clear()
+        df = None
     if df is None:
         from pyspark import StorageLevel
 
         df = builder().persist(level or StorageLevel.MEMORY_AND_DISK)
         _SHARED[key] = df
     return df
+
+
+def _session_alive(df: DataFrame) -> bool:
+    """True iff the session that owns ``df`` is still usable."""
+    try:
+        sc = df.sparkSession.sparkContext
+        return sc._jsc is not None  # stopped sessions null this out
+    except Exception:
+        return False
 
 
 def release_shared() -> int:

@@ -286,12 +286,20 @@ def read_changelog(spark, table_path: str) -> DataFrame:
             if d.startswith("v=")
         ]
         if inflight:
-            schema = spark.read.parquet(inflight[0]).schema
-            from pyspark.sql.types import LongType, StructField
+            try:
+                schema = spark.read.parquet(inflight[0]).schema
+            except Exception:
+                # The in-flight dir may hold ZERO parquet files (a
+                # merge that crashed before any task wrote — exactly
+                # the scenario this path targets): 'unable to infer
+                # schema'. Fall through to the minimal schema.
+                schema = None
+            if schema is not None:
+                from pyspark.sql.types import LongType, StructField
 
-            if not any(f.name == "v" for f in schema.fields):
-                schema = schema.add(StructField("v", LongType()))
-            return spark.createDataFrame([], schema)
+                if not any(f.name == "v" for f in schema.fields):
+                    schema = schema.add(StructField("v", LongType()))
+                return spark.createDataFrame([], schema)
         return spark.createDataFrame([], "v long, _deleted boolean")
     return spark.read.option("basePath", base).parquet(*dirs)
 

@@ -204,6 +204,20 @@ def vacuum_snapshot(table_path: str, keep_gens: int = 1) -> None:
         bdir = os.path.join(table_path, d)
         for g in os.listdir(bdir):
             if not g.startswith("gen="):
+                # Loose pre-manifest (legacy-layout) files: once a
+                # manifest exists, only gen= dirs are readable, so
+                # anything else under a bucket= dir is invisible
+                # garbage. Normally the bootstrap migration sweeps
+                # these in the same invocation that publishes the
+                # initial manifest; a crash between the publish and
+                # that sweep orphans them forever (later runs see
+                # snapshot_exists() and never re-enter the branch).
+                # Vacuum is the designated second chance.
+                p = os.path.join(bdir, g)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
                 continue
             if (b, int(g.split("=", 1)[1])) not in referenced:
                 shutil.rmtree(os.path.join(bdir, g), ignore_errors=True)

@@ -81,3 +81,23 @@ def test_local_bench_never_regresses_vs_committed_round_bench():
     assert os.path.exists(current), "run bench.py to produce bench_full.json"
     r = _run(baseline, current)
     assert r.returncode == 0, f"bench regression vs {baseline}:\n{r.stdout}"
+
+
+def test_uniform_slowdown_surfaces_raw_list(tmp_path, capsys):
+    """ADVICE r04: a uniform 2x catalog slowdown is absorbed by host
+    normalization (exit 0) but must still print the raw regression
+    list and a triage NOTE — never a silent green."""
+    import json
+
+    from tools.bench_diff import diff
+
+    old = {"value": 25.0, "queries": {f"q{i:02d}": 1.0 for i in range(25)}}
+    new = {"value": 50.0, "queries": {f"q{i:02d}": 2.0 for i in range(25)}}
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(old))
+    b.write_text(json.dumps(new))
+    rc = diff(str(a), str(b), 1.5)
+    out = capsys.readouterr().out
+    assert rc == 0  # normalized gate passes (host-drift hypothesis)
+    assert "SLOWER(raw)" in out
+    assert "NOTE" in out and "25 raw regressions" in out

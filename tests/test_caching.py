@@ -84,3 +84,37 @@ def test_no_untracked_persist_in_package():
             if re.search(r"\.persist\(|\.cache\(", line):
                 offenders.append(f"{p.name}:{i}: {line.strip()}")
     assert offenders == [], offenders
+
+
+def test_shared_scan_rebuilds_when_owning_session_is_dead(spark):
+    """ADVICE r04: _SHARED entries are valid only for the session that
+    built them; a dead owner must trigger a clear + rebuild, not a
+    dead-session DataFrame handed to the caller."""
+    from intelligencepipeline_spark import caching
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(3)
+
+    key = ("test_shared_scan_session", "x")
+    caching.release_shared()
+    df1 = caching.shared_scan(key, builder)
+    assert caching.shared_scan(key, builder) is df1
+    assert len(calls) == 1
+
+    class _DeadSC:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadSC()
+
+    class _DeadDF:
+        sparkSession = _DeadSession()
+
+    caching._SHARED[key] = _DeadDF()  # simulate stop+recreate
+    df2 = caching.shared_scan(key, builder)
+    assert len(calls) == 2
+    assert df2.count() == 3  # bound to the LIVE session
+    caching.release_shared()

@@ -257,3 +257,48 @@ def test_read_changelog_empty_when_nothing_committed(spark, tdir):
     shutil.rmtree(base)
     os.makedirs(base)
     assert read_changelog(spark, tdir).count() == 0
+
+
+def test_read_changelog_empty_inflight_dir_without_parquet(spark, tdir):
+    """ADVICE r04: a crashed v= dir containing ZERO parquet files (the
+    crash-before-any-task-wrote case) must read as the minimal empty
+    changelog, not throw 'unable to infer schema'."""
+    from intelligencepipeline_spark.operators.merge import read_changelog
+
+    base = os.path.join(tdir, "_changelog")
+    os.makedirs(os.path.join(base, "v=1"), exist_ok=True)  # no files at all
+    df = read_changelog(spark, tdir)
+    assert df.count() == 0
+    assert "v" in df.columns and "_deleted" in df.columns
+
+
+def test_vacuum_sweeps_orphaned_legacy_files(spark, tdir):
+    """ADVICE r04: legacy loose files orphaned by a crash between the
+    bootstrap migration's manifest publish and its sweep are collected
+    by vacuum_snapshot (they are invisible to readers either way)."""
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        snapshot_exists,
+        vacuum_snapshot,
+    )
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, ts long"
+    ).createOrReplaceTempView("up0")
+    merge_upsert(spark.table("up0"), tdir, key="k", n_buckets=4)
+    assert snapshot_exists(tdir)
+    # Simulate the orphan: a loose pre-manifest parquet file and a
+    # loose part dir under an existing bucket= dir.
+    bdir = next(
+        os.path.join(tdir, d) for d in os.listdir(tdir) if d.startswith("bucket=")
+    )
+    loose_file = os.path.join(bdir, "part-00000-legacy.parquet")
+    open(loose_file, "wb").write(b"not-read")
+    loose_dir = os.path.join(bdir, "legacy-subdir")
+    os.makedirs(loose_dir)
+    open(os.path.join(loose_dir, "x"), "w").write("y")
+
+    before = _snap(spark, tdir)
+    vacuum_snapshot(tdir)
+    assert not os.path.exists(loose_file)
+    assert not os.path.exists(loose_dir)
+    assert _snap(spark, tdir) == before  # readers unaffected

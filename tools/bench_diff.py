@@ -57,12 +57,15 @@ def diff(old_path: str, new_path: str, ratio: float = 1.5) -> int:
     if scale > 1.1:
         print(f"HOST  median slowdown {host:.2f}x -> normalizing by {scale:.2f}x")
     regressed = []
+    raw_regressed = []
     improved = []
     for name, t_new in sorted(nq.items()):
         t_old = oq.get(name)
         if t_old is None:
             print(f"NEW   {name}: {t_new:.2f}s")
             continue
+        if t_new > t_old * ratio and t_new - t_old > 0.5:
+            raw_regressed.append((name, t_old, t_new))
         t_adj = t_new / scale
         if t_adj > t_old * ratio and t_adj - t_old > 0.5:
             regressed.append((name, t_old, t_new))
@@ -74,9 +77,26 @@ def diff(old_path: str, new_path: str, ratio: float = 1.5) -> int:
         print(f"FASTER {name}: {a:.2f}s -> {b:.2f}s")
     for name, a, b in regressed:
         print(f"SLOWER {name}: {a:.2f}s -> {b:.2f}s  (> {ratio}x)")
+    # Normalization blind spot, surfaced for manual triage: a commit
+    # that slows the WHOLE catalog uniformly (up to the 2.5x cap)
+    # shifts the median and passes the normalized gate. Print the raw
+    # (un-normalized) list too, so broad slowdowns are never silent —
+    # the exit code stays on the normalized list because host drift is
+    # the measured common case (identical-commit A/B showed 2x).
+    for name, a, b in raw_regressed:
+        if (name, a, b) not in regressed:
+            print(f"SLOWER(raw) {name}: {a:.2f}s -> {b:.2f}s  (pre-normalization)")
+    if raw_regressed and not regressed:
+        print(
+            f"NOTE  {len(raw_regressed)} raw regressions were fully "
+            f"absorbed by the {scale:.2f}x host normalization — verify "
+            "the host-drift explanation (re-run on a quiet host or A/B "
+            "the previous commit) before trusting the green exit."
+        )
     print(
         f"total: {old.get('value')}s -> {new.get('value')}s "
-        f"({len(nq)} queries, {len(regressed)} regressed)"
+        f"({len(nq)} queries, {len(regressed)} regressed, "
+        f"{len(raw_regressed)} raw-regressed)"
     )
     return 1 if regressed else 0
 
