@@ -8,11 +8,13 @@ The engine treats non-text modalities as first-class columns:
 
 Decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages
 so bytes never round-trip through the driver and batches amortize model
-startup. Two codec paths are REAL, pure-stdlib implementations —
-24bpp BMP (decode_bmp/encode_bmp, incl. nearest-neighbor resize) and
-PCM16 WAV (decode_wav) — so ``_decode_features`` and ``resize_images``
-do genuine pixel/sample work for those MIME types, hash-checked by the
-bmp_decode_stats / wav_decode_stats oracle entries. The heavyweight
+startup. Three codec paths are REAL, pure-stdlib implementations —
+24bpp BMP (decode_bmp/encode_bmp, incl. nearest-neighbor resize),
+non-interlaced 8-bit RGB/RGBA PNG (decode_png/encode_png via zlib,
+all five scanline filters), and PCM16 WAV (decode_wav) — so
+``_decode_features`` and ``resize_images`` do genuine pixel/sample
+work for those MIME types, hash-checked by the bmp_decode_stats /
+png_decode_stats / wav_decode_stats oracle entries. The heavyweight
 codecs (PIL/ffmpeg/torchaudio for jpeg/mp4/...) are NOT in this
 container — those mime types keep the deterministic sha-stub behind
 ``STUB_DECODE``; the Spark-side plumbing (schemas, batch iteration,
@@ -125,6 +127,151 @@ def encode_bmp(px) -> bytes:
     return bytes(header) + bytes(body)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes):
+    """REAL pure-stdlib PNG decode: zlib + struct cover the whole
+    format for non-interlaced 8-bit truecolor — IHDR/IDAT chunk walk,
+    zlib inflate, and per-row reversal of all five scanline filters
+    (None/Sub/Up/Average/Paeth). Color types 2 (RGB) and 6 (RGBA),
+    bit depth 8, interlace 0 only; anything else raises ValueError so
+    callers fall back to the stub path.
+
+    Returns ``(width, height, pixels)`` with pixels an ``(h, w, ch)``
+    uint8 numpy array in image order (row 0 = top — PNG scanlines are
+    stored top-down, the opposite of a bottom-up BMP) and R,G,B[,A]
+    channel order as stored."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError("only 8-bit RGB/RGBA PNG supported")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    rowlen = w * ch
+    if len(raw) < h * (rowlen + 1):
+        raise ValueError("truncated PNG scanline data")
+    px = np.zeros((h, rowlen), dtype=np.uint8)
+    prior = bytearray(rowlen)
+    for y in range(h):
+        off = y * (rowlen + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + rowlen])
+        if ftype == 1:  # Sub
+            for i in range(ch, rowlen):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prior[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prior = line
+        px[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return w, h, px.reshape(h, w, ch)
+
+
+def encode_png(px, filters=None) -> bytes:
+    """Inverse of decode_png: (h, w, 3|4) uint8 array -> non-interlaced
+    8-bit truecolor PNG bytes. ``filters`` optionally picks the scanline
+    filter per row (list of 0-4, default all 0/None) — the catalog's
+    png_decode_stats entry encodes with every non-trivial filter so the
+    decoder's filter reversal is what the oracle hash actually checks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png expects 3 or 4 channels")
+    color = 2 if ch == 3 else 6
+    rowlen = w * ch
+    filters = list(filters) if filters is not None else [0] * h
+    if len(filters) != h:
+        raise ValueError("one filter per row required")
+    out = bytearray()
+    prior = bytearray(rowlen)
+    for y in range(h):
+        line = bytearray(px[y].tobytes())
+        ftype = filters[y]
+        filt = bytearray(rowlen)
+        for i in range(rowlen):
+            left = line[i - ch] if i >= ch else 0
+            if ftype == 0:
+                filt[i] = line[i]
+            elif ftype == 1:
+                filt[i] = (line[i] - left) & 0xFF
+            elif ftype == 2:
+                filt[i] = (line[i] - prior[i]) & 0xFF
+            elif ftype == 3:
+                filt[i] = (line[i] - (left + prior[i]) // 2) & 0xFF
+            elif ftype == 4:
+                ul = prior[i - ch] if i >= ch else 0
+                filt[i] = (line[i] - _paeth(left, prior[i], ul)) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+        out += bytes([ftype]) + bytes(filt)
+        prior = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(content: bytes):
     """REAL pure-stdlib WAV decode: RIFF/WAVE chunk walk, PCM16 only.
     Returns ``(sample_rate, n_channels, samples)`` with samples an
@@ -170,6 +317,11 @@ def _decode_features(content: bytes) -> list[float]:
       (channel sums over all pixels; topleft_b = blue value of image
       row 0 col 0, which lives in the LAST file row of a bottom-up
       BMP — an order-sensitive probe of the row layout).
+    * PNG  -> [w, h, sum_r, sum_g, sum_b, px_min, px_max, topleft_r]
+      (RGB channel order and top-down rows — the OPPOSITE layout of
+      BMP on both axes, so each entry's probe falsifies the other's
+      bug; sums are over the first three channels, min/max over all,
+      so RGB and RGBA images report comparable stats).
     * WAV  -> [rate, n_ch, n_samples, sum, s_min, s_max, first, last]
       (int16 LE samples; first/last are order-sensitive endianness
       probes).
@@ -185,6 +337,21 @@ def _decode_features(content: bytes) -> list[float]:
 
             w, h, px = decode_bmp(b)
             flat = px.reshape(-1, 3).astype(np.int64)
+            return [
+                float(w),
+                float(h),
+                float(flat[:, 0].sum()),
+                float(flat[:, 1].sum()),
+                float(flat[:, 2].sum()),
+                float(px.min()),
+                float(px.max()),
+                float(px[0, 0, 0]),
+            ]
+        if mime == "image/png":
+            import numpy as np
+
+            w, h, px = decode_png(b)
+            flat = px.reshape(h * w, -1).astype(np.int64)
             return [
                 float(w),
                 float(h),
@@ -298,6 +465,14 @@ def resize_images(
         ys = (np.arange(oh) * h) // oh
         return encode_bmp(px[ys][:, xs])
 
+    def _resize_png(content: bytes, ow: int, oh: int) -> bytes:
+        import numpy as np
+
+        w, h, px = decode_png(content)
+        xs = (np.arange(ow) * w) // ow
+        ys = (np.arange(oh) * h) // oh
+        return encode_png(px[ys][:, xs])  # filter 0 rows on re-encode
+
     def _fake_resize(content: bytes, ow: int, oh: int) -> bytes:
         b = content or b""
         if b.startswith(b"BM"):
@@ -305,6 +480,11 @@ def resize_images(
                 return _resize_bmp(b, ow, oh)
             except ValueError:
                 pass  # unsupported BMP variant -> stub
+        if b.startswith(b"\x89PNG"):
+            try:
+                return _resize_png(b, ow, oh)
+            except ValueError:
+                pass  # unsupported PNG variant -> stub
         if not STUB_DECODE:
             raise NotImplementedError(
                 "real resize requires PIL/opencv — not in this container"

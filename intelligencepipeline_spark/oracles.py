@@ -4348,6 +4348,36 @@ SELECT doc_id,
 FROM v GROUP BY doc_id ORDER BY doc_id
 """
 
+# Real PNG decode replayed: pixel byte i of the 4x4 RGB image is hex
+# pair i of md5(text)||md5(text||'x')||md5(text||'y') — the decoder's
+# zlib inflate + filter reversal must reproduce them exactly. Channel
+# = i%3 in R,G,B order (PNG storage order); topleft_r = byte 0
+# (top-down scanlines). Compressed size is NOT exported (zlib-build
+# detail).
+ORACLES["png_decode_stats"] = """
+WITH hx AS (
+  SELECT doc_id,
+    md5(text) || md5(text || 'x') || md5(text || 'y') AS hs
+  FROM documents
+), b AS (
+  SELECT doc_id,
+    cast(i as bigint) AS i,
+    cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2)) as bigint) AS v
+  FROM hx, unnest(range(0, 48)) AS u(i)
+)
+SELECT doc_id,
+  'image/png' AS mime,
+  cast(4 as bigint) AS width,
+  cast(4 as bigint) AS height,
+  cast(sum(CASE WHEN i % 3 = 0 THEN v END) as bigint) AS sum_r,
+  cast(sum(CASE WHEN i % 3 = 1 THEN v END) as bigint) AS sum_g,
+  cast(sum(CASE WHEN i % 3 = 2 THEN v END) as bigint) AS sum_b,
+  cast(min(v) as bigint) AS px_min,
+  cast(max(v) as bigint) AS px_max,
+  cast(max(CASE WHEN i = 0 THEN v END) as bigint) AS topleft_r
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
 # Real BMP RESIZE replayed: the 4x2 source aspect-fits into 5x3 ->
 # 5x2 out with nearest-neighbor map out(y,x) = src(y, (x*4)//5) —
 # source col 0 sampled twice, a deliberately non-uniform grid. Source

@@ -7988,6 +7988,70 @@ def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec path, hash-checked end to end: a 4x4 8-bit RGB
+    PNG is built per document — 48 md5-derived pixel bytes
+    (md5(text) || md5(text||'x') || md5(text||'y')) encoded with
+    scanline filters [Sub, Up, Average, Paeth], one per row — then
+    decoded by the PURE-STDLIB zlib+struct decoder inside the
+    production mapInPandas extractor (functions/multimodal.decode_png:
+    IHDR/IDAT walk, zlib inflate, per-row filter REVERSAL). Because
+    every non-trivial filter is used, the oracle hash — which replays
+    the raw pixel bytes straight from md5 hex digits — only matches if
+    the filter arithmetic is exactly right; topleft_r (= byte 0,
+    top-down rows, RGB order) falsifies the row/channel-order bugs the
+    bottom-up BGR bmp entry cannot. Generation is Python-side (zlib
+    has no SQL expression form), but runs INSIDE the same distributed
+    scan: doc bytes never visit the driver.
+
+    Scale: generation + decode ride the scan (no shuffle); Arrow
+    batches bound memory exactly as a real image corpus would. n_bytes
+    is deliberately NOT exported — compressed size is a zlib-build
+    detail, not a semantic."""
+    import hashlib
+
+    import pandas as pd
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                raw = (
+                    hashlib.md5(t).digest()
+                    + hashlib.md5(t + b"x").digest()
+                    + hashlib.md5(t + b"y").digest()
+                )
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
+                media.append(encode_png(px, filters=[1, 2, 3, 4]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, media binary"
+    )
+    feats = extract_media_features(media, "media")
+    comp = [
+        ("width", 1), ("height", 2), ("sum_r", 3), ("sum_g", 4),
+        ("sum_b", 5), ("px_min", 6), ("px_max", 7), ("topleft_r", 8),
+    ]
+    return feats.select(
+        "doc_id",
+        "mime",
+        *[
+            F.element_at("feature", i).cast("long").alias(name)
+            for name, i in comp
+        ],
+    ).orderBy("doc_id")
+
+
 def kafka_timestamp_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (record-timestamp pairing) proven hermetically: a
     Kafka-wire-shaped frame — 8-byte big-endian Long key, JSON value
@@ -8366,6 +8430,7 @@ QUERIES = {
     "jaccard_pairs": jaccard_pairs_q,
     # ==== end of r05 driver window (position 50) ======================
     # -- (b7) new in r05: lead the r06 window (see plan above) ---------
+    "png_decode_stats": png_decode_stats,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

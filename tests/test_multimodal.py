@@ -305,3 +305,101 @@ def test_wav_decode_property():
         assert np.array_equal(got, arr)
 
     prop()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """decode_png(encode_png(px)) == px for RGB and RGBA under every
+    scanline filter and a per-row filter mix — the reversal arithmetic
+    (Sub/Up/Average/Paeth) is what png_decode_stats's oracle checks."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for ch in (3, 4):
+        for h, w in [(1, 1), (2, 4), (5, 7), (16, 9)]:
+            px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            for filters in (
+                None,
+                [1] * h,
+                [2] * h,
+                [3] * h,
+                [4] * h,
+                [y % 5 for y in range(h)],
+            ):
+                b = encode_png(px, filters)
+                w2, h2, got = decode_png(b)
+                assert (w2, h2) == (w, h)
+                assert (got == px).all()
+
+
+def test_png_decode_rejects_malformed():
+    import numpy as np
+    import pytest as _pt
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        _decode_features,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = bytearray(encode_png(px))
+    with _pt.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nshort")
+    with _pt.raises(ValueError):
+        decode_png(b"not a png at all")
+    interlaced = bytearray(good)
+    assert interlaced[28] == 0  # IHDR interlace byte
+    interlaced[28] = 1
+    with _pt.raises(ValueError):
+        decode_png(bytes(interlaced))
+    paletted = bytearray(good)
+    paletted[25] = 3  # IHDR color type byte
+    with _pt.raises(ValueError):
+        decode_png(bytes(paletted))
+    # extractor falls back to the stub instead of failing the batch
+    feats = _decode_features(bytes(interlaced))
+    assert len(feats) == 8 and all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_png_decode_features_and_resize(spark):
+    """PNG rows are TOP-DOWN and channels R,G,B — the opposite of BMP
+    on both axes; topleft_r must read pixel byte 0. The resize path
+    re-encodes a real nearest-neighbor sample."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        _decode_features,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    feats = _decode_features(encode_png(px, [1, 2, 3, 4]))
+    flat = px.reshape(-1, 3).astype(np.int64)
+    assert feats == [
+        4.0,
+        4.0,
+        float(flat[:, 0].sum()),
+        float(flat[:, 1].sum()),
+        float(flat[:, 2].sum()),
+        0.0,
+        47.0,
+        0.0,  # topleft_r = byte 0: a row flip would read 36
+    ]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(px)), ("image/png", 4, 4, None, None))],
+        "doc_id long, media binary, media_meta struct<mime:string,"
+        "width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+    out = resize_images(df, target_w=2, target_h=2).collect()[0]
+    assert (out.out_width, out.out_height) == (2, 2)
+    w2, h2, got = decode_png(bytes(out.resized))
+    xs = (np.arange(2) * 4) // 2
+    assert (got == px[xs][:, xs]).all()

@@ -1,0 +1,33 @@
+"""Incrementally fold a subset run's results into the committed
+artifacts, so adding one catalog entry doesn't force a full-catalog
+re-run just to keep tests/test_artifact_sync.py green.
+
+Usage:
+    python tools/merge_artifacts.py NEW_CORRECTNESS.json NEW_BENCH.json
+
+Merges NEW_CORRECTNESS.json rows into CORRECTNESS_local.json and
+NEW_BENCH.json's queries/value into bench_full.json (value = sum of
+merged per-query seconds; the full two-pass bench before each round
+snapshot re-measures everything properly)."""
+
+import json
+import sys
+
+corr_new, bench_new = sys.argv[1], sys.argv[2]
+
+with open("CORRECTNESS_local.json") as fh:
+    corr = json.load(fh)
+corr.update(json.load(open(corr_new)))
+with open("CORRECTNESS_local.json", "w") as fh:
+    json.dump(corr, fh, indent=2)
+print(f"CORRECTNESS_local.json: {len(corr)} entries")
+
+with open("bench_full.json") as fh:
+    bench = json.load(fh)
+nb = json.load(open(bench_new))
+bench["queries"].update(nb["queries"])
+bench["n_queries"] = len(bench["queries"])
+bench["value"] = round(sum(bench["queries"].values()), 3)
+with open("bench_full.json", "w") as fh:
+    json.dump(bench, fh, indent=2)
+print(f"bench_full.json: {bench['n_queries']} queries, {bench['value']}s")
