@@ -1,0 +1,194 @@
+"""IVFPQ — the faiss-standard composition of the two ANN quantizers
+this package already proves separately (Jégou et al., TPAMI 2011, the
+IVFADC layout): an IVF coarse quantizer partitions the corpus into
+cells, vectors inside each cell are stored as m-byte PQ codes, and a
+query (1) picks its n_probe nearest coarse cells, (2) ADC-scans ONLY
+those cells' code table, (3) exact-re-ranks the shortlist.
+
+Neither part alone is the 100 TB ANN architecture:
+
+* IVF alone still stores (and re-rank-scans) raw vectors per probed
+  cell — 256 bytes/vector at 64-d float;
+* PQ alone scans the WHOLE code table per query — compressed, but
+  O(corpus).
+
+Composed, a query touches ~(n_probe/k_coarse) of a table that is
+already dim*4/m bytes per row (here: 2/8 of a 32-byte-per-vector
+table), and the at-rest layout — code table PARTITIONED BY cell —
+turns the probe into parquet partition pruning, so the files of
+unprobed cells are never opened (pinned by tests/test_plan_audit.py).
+
+Determinism discipline (same as operators/kmeans + pq_fit_integer —
+what makes the DuckDB oracle replay the ENTIRE path move-for-move):
+quantized integer vectors, exact integer squared-L2 everywhere, argmin
+ties to the smaller id, floor(sum/count) centroid updates, seeds = the
+smallest ids, fixed iteration counts. The coarse fit is
+operators/kmeans.kmeans (the embedding_kmeans unroll), the codebook
+fit is operators/pq.pq_fit_integer (the pq_ann_topk unroll), and the
+probe selection is a pure-python exact-integer argsort — nothing in
+the query path is float-order dependent.
+
+This implementation PQ-encodes RAW vectors, not residuals
+(vector - coarse centroid): residual encoding buys recall at the cost
+of an extra distributed subtraction pass before the codebook fit and
+is a drop-in upgrade — the layout, probe, ADC and re-rank are
+identical either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.similarity import SCALE
+
+
+def ivfpq_index_integer(
+    embeddings: DataFrame,
+    k_coarse: int = 8,
+    m: int = 8,
+    k_pq: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> tuple[dict[int, list[int]], dict[int, dict[int, list[int]]], DataFrame]:
+    """Build (or load) the fit-once IVFPQ index. Returns
+    ``(coarse_centroids, pq_codebooks, table)`` where table =
+    (id, qvec, codes, cell) — at rest PARTITIONED BY cell when
+    ``cache_root`` is given (the ivf_index/pq_index caching
+    discipline: params + input-file signature key, _DONE two-phase
+    commit), so the probe path partition-prunes and never re-fits.
+
+    Build cost: the coarse fit and the PQ fit each follow their
+    operator's bounded shape (expression-only assignment, one keyed
+    agg per round, k·dim driver state); the combine is ONE equi-join
+    of two projections of the same scan, paid once at index-build
+    time. qvec is kept in the at-rest table so the exact re-rank reads
+    the probed partitions only — raw-vector storage stays cold."""
+    from intelligencepipeline_spark.operators.kmeans import kmeans
+    from intelligencepipeline_spark.operators.pq import pq_fit_integer
+
+    spark = embeddings.sparkSession
+
+    def build() -> tuple[dict, dict, DataFrame]:
+        assigned, coarse = kmeans(
+            embeddings, k=k_coarse, iterations=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cbs, coded = pq_fit_integer(
+            embeddings, m=m, k=k_pq, iters=iters, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+        table = coded.join(
+            assigned.select(id_col, F.col("cluster").alias("cell")), id_col
+        )
+        return coarse, cbs, table
+
+    if cache_root is None:
+        return build()
+
+    sig_parts = [
+        f"ivfpq,kc={k_coarse}", f"m={m}", f"kpq={k_pq}",
+        f"it={iters}", f"s={SCALE}",
+    ]
+    for path in sorted(embeddings.inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    base = os.path.join(cache_root, key)
+    meta_path = os.path.join(base, "quantizers.json")
+    table_path = os.path.join(base, "table")
+    done_path = os.path.join(base, "_DONE")
+    if os.path.exists(done_path):
+        with open(meta_path) as fh:
+            raw = json.load(fh)
+        coarse = {
+            int(c): [int(v) for v in cent]
+            for c, cent in raw["coarse"].items()
+        }
+        cbs = {
+            int(j): {int(c): [int(v) for v in cent] for c, cent in sub.items()}
+            for j, sub in raw["pq"].items()
+        }
+        return coarse, cbs, spark.read.parquet(table_path)
+    os.makedirs(base, exist_ok=True)
+    coarse, cbs, table = build()
+    table.write.mode("overwrite").partitionBy("cell").parquet(table_path)
+    with open(meta_path, "w") as fh:
+        json.dump({"coarse": coarse, "pq": cbs}, fh)
+    with open(done_path, "w") as fh:
+        fh.write("ok")
+    return coarse, cbs, spark.read.parquet(table_path)
+
+
+def probe_cells(
+    coarse: dict[int, list[int]], query_qvec: list[int], n_probe: int
+) -> list[int]:
+    """The n_probe coarse cells nearest the query — exact python-int
+    squared-L2, ties to the smaller cell id (the assign_clusters
+    tie rule, so probe selection and assignment can't disagree)."""
+    d = {
+        cid: sum((int(q) - int(c)) ** 2 for q, c in zip(query_qvec, cent))
+        for cid, cent in coarse.items()
+    }
+    return sorted(d, key=lambda cid: (d[cid], cid))[:n_probe]
+
+
+def ivfpq_topk_integer(
+    embeddings: DataFrame,
+    query_id: int,
+    topk: int = 10,
+    n_probe: int = 2,
+    k_coarse: int = 8,
+    m: int = 8,
+    k_pq: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: str | None = None,
+) -> DataFrame:
+    """IVFPQ ANN top-k: probe n_probe coarse cells, ADC-scan only
+    their PQ codes (partition-pruned when the index is at rest),
+    exact-re-rank the shortlist. Returns
+    (id, cell, adc, d2) ascending by (d2, id)."""
+    from intelligencepipeline_spark.operators.pq import (
+        pq_adc_rerank_integer,
+    )
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    coarse, cbs, table = ivfpq_index_integer(
+        embeddings, k_coarse=k_coarse, m=m, k_pq=k_pq, iters=iters,
+        dim=dim, id_col=id_col, vec_col=vec_col, cache_root=cache_root,
+    )
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(quantize(F.col(vec_col)).alias("qv"))
+        .collect()
+    )
+    if not qrow:
+        raise ValueError(f"query id {query_id} not in corpus")
+    qvec = [int(v) for v in qrow[0]["qv"]]
+    probes = probe_cells(coarse, qvec, n_probe)
+    cands = table.filter(
+        F.col("cell").isin([int(c) for c in probes])
+        & (F.col(id_col) != query_id)
+    )
+    return pq_adc_rerank_integer(
+        cands, cbs, qvec, k=topk, shortlist=shortlist,
+        id_col=id_col, passthrough=("cell",),
+    )

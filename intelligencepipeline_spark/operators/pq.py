@@ -351,6 +351,7 @@ def pq_adc_rerank_integer(
     k: int = 10,
     shortlist: int = 100,
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """ADC + exact refine over the integer code table: the driver
     builds the m×k squared-distance lookup table from the quantized
@@ -358,7 +359,9 @@ def pq_adc_rerank_integer(
     per row (codegen; no shuffle, no raw-vector reads), TakeOrdered
     keeps ``shortlist``, and ONLY those rows' vectors are re-ranked
     with the exact integer L2 — the faiss ADC+refine layout with every
-    number oracle-replayable. Returns (id, adc, d2) by (d2, id)."""
+    number oracle-replayable. Returns (id, *passthrough, adc, d2) by
+    (d2, id); ``passthrough`` names extra ``coded`` columns carried to
+    the output (e.g. the IVF ``cell`` in the IVFPQ composition)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     lut = [
@@ -381,13 +384,14 @@ def pq_adc_rerank_integer(
         for j in range(m)
     ).cast("long")
     short = (
-        coded.select(id_col, "qvec", adc.alias("adc"))
+        coded.select(id_col, *passthrough, "qvec", adc.alias("adc"))
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
     )
     qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
     exact = short.select(
         id_col,
+        *passthrough,
         "adc",
         F.aggregate(
             F.zip_with("qvec", qlit, lambda a, b: (a - b) * (a - b)),

@@ -4288,6 +4288,83 @@ WITH q AS (
 SELECT vec_id, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
 """
 
+# IVFPQ replayed end to end: the coarse 8-cell/2-round k-means is the
+# _KMEANS_8_2 unroll (cells = a2), the 8x16/2-round PQ codebooks are
+# the pq_ann_topk unroll (p-prefixed CTEs), the probe picks the 2
+# coarse cells nearest the query (ties to the smaller cid — the
+# assignment tie rule), and the ADC scan is RESTRICTED to vectors
+# whose coarse cell is probed before shortlist/re-rank.
+ORACLES["ivfpq_ann_topk"] = f"""
+WITH {_KMEANS_8_2}, pe AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM q
+), pseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 16)
+), pcent0 AS (
+  SELECT s.cid, e.j, e.d, e.v AS c FROM pseeds s JOIN pe e USING (vec_id)
+), pd1 AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent0 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pa1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pd1) WHERE rn = 1
+), pupd AS (
+  SELECT a.cid, e.j, e.d,
+    cast(floor(cast(sum(e.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM pa1 a JOIN pe e ON a.vec_id = e.vec_id AND a.j = e.j
+  GROUP BY 1, 2, 3
+), pcent1 AS (
+  SELECT c0.cid, c0.j, c0.d, coalesce(u.c, c0.c) AS c
+  FROM pcent0 c0 LEFT JOIN pupd u
+    ON c0.cid = u.cid AND c0.j = u.j AND c0.d = u.d
+), pdd AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent1 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pcodes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pdd) WHERE rn = 1
+), qd AS (
+  SELECT c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS dist2
+  FROM cent1 c JOIN q qe ON qe.vec_id = 0 AND qe.dim = c.dim
+  GROUP BY 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist2, cid) AS rn FROM qd
+  ) WHERE rn <= 2
+), lut AS (
+  SELECT c.j, c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS ld
+  FROM pcent1 c JOIN pe qe ON qe.vec_id = 0 AND qe.j = c.j AND qe.d = c.d
+  GROUP BY 1, 2
+), adc AS (
+  SELECT k.vec_id, cast(max(cell.cid) as int) AS cell,
+         cast(sum(l.ld) as bigint) AS adc
+  FROM pcodes k
+  JOIN lut l ON k.j = l.j AND k.cid = l.cid
+  JOIN a2 cell ON cell.vec_id = k.vec_id
+  JOIN probe p ON cell.cid = p.cid
+  WHERE k.vec_id <> 0 GROUP BY 1
+), short AS (
+  SELECT vec_id, cell, adc FROM adc ORDER BY adc, vec_id LIMIT 50
+), exact AS (
+  SELECT s.vec_id, s.cell, s.adc,
+    cast(sum((ce.v - qe.v) * (ce.v - qe.v)) as bigint) AS d2
+  FROM short s
+  JOIN q ce ON ce.vec_id = s.vec_id
+  JOIN q qe ON qe.vec_id = 0 AND qe.dim = ce.dim
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, cell, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
+"""
+
 # Real BMP decode replayed from the md5 hex digits that built the
 # pixels: byte i of the 24-byte pixel payload is hex pair i of
 # md5(text) || md5(text||'x')[:16]. Channel c = positions with

@@ -8052,6 +8052,39 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (operators/ivfpq.py) — the faiss-standard IVFADC
+    composition of the two quantizers this catalog already proves
+    separately: an 8-cell integer k-means coarse quantizer (the
+    embedding_kmeans machinery) partitions the corpus, vectors are
+    stored as 8×16 integer PQ codes (the pq_ann_topk machinery), and
+    the query probes its 2 nearest cells, ADC-scans ONLY those cells'
+    codes, shortlists 50, and exact-re-ranks to top 10. This is the
+    actual 100 TB ANN architecture — IVF alone re-ranks raw vectors
+    per cell, PQ alone scans the whole code table; composed, a query
+    reads ~n_probe/k_coarse of a 32-byte-per-vector table, and the
+    at-rest layout (code table PARTITIONED BY cell, fit-once cache)
+    turns the probe into parquet partition pruning (pinned by
+    tests/test_plan_audit.py::test_ivfpq_probe_partition_prunes).
+
+    Both fits are exact-integer and fixed-iteration, so the DuckDB
+    oracle replays the WHOLE path move-for-move: both coarse k-means
+    rounds (the _KMEANS_8_2 unroll), both PQ codebook rounds, the
+    probe-cell argsort (ties to the smaller cell id), the ADC lookup
+    restricted to probed cells, the shortlist cut, and the exact
+    re-rank. A drift anywhere — a centroid update, a tie-break, a
+    probe choice, one vector in the wrong cell — breaks the hash."""
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_topk_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_integer(
+        emb, query_id=0, topk=10, n_probe=2, k_coarse=8, m=8, k_pq=16,
+        iters=2, shortlist=50, cache_root="/tmp/ip_ivfpq_cache",
+    )
+
+
 def kafka_timestamp_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (record-timestamp pairing) proven hermetically: a
     Kafka-wire-shaped frame — 8-byte big-endian Long key, JSON value
@@ -8431,6 +8464,7 @@ QUERIES = {
     # ==== end of r05 driver window (position 50) ======================
     # -- (b7) new in r05: lead the r06 window (see plan above) ---------
     "png_decode_stats": png_decode_stats,
+    "ivfpq_ann_topk": ivfpq_ann_topk,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -1,0 +1,119 @@
+"""IVFPQ (operators/ivfpq.py): determinism, equivalence to the
+PQ-only path under a full probe, cache roundtrip, and recall against
+the exact brute-force baseline. The partition-pruning plan pin lives
+in tests/test_plan_audit.py::test_ivfpq_probe_partition_prunes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.ivfpq import (
+    ivfpq_index_integer,
+    ivfpq_topk_integer,
+    probe_cells,
+)
+from intelligencepipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_ivfpq_deterministic(spark, emb):
+    a = _rows(ivfpq_topk_integer(emb, query_id=0, topk=10))
+    b = _rows(ivfpq_topk_integer(emb, query_id=0, topk=10))
+    assert a == b
+    assert len(a) == 10
+    d2s = [r[-1] for r in a]
+    assert d2s == sorted(d2s)
+
+
+def test_ivfpq_full_probe_equals_pq_only(spark, emb):
+    """Probing every coarse cell removes the IVF restriction: the
+    result must equal the plain PQ ADC+rerank path with the same
+    codebooks (the composition adds pruning, never different math)."""
+    from intelligencepipeline_spark.operators.pq import (
+        pq_adc_rerank_integer,
+        pq_fit_integer,
+    )
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    full = ivfpq_topk_integer(
+        emb, query_id=0, topk=10, n_probe=8, k_coarse=8, shortlist=50
+    )
+    cbs, coded = pq_fit_integer(emb, m=8, k=16, iters=2)
+    qv = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    ref = pq_adc_rerank_integer(
+        coded.filter(F.col("vec_id") != 0), cbs, qv, k=10, shortlist=50
+    )
+    assert [(r.vec_id, r.adc, r.d2) for r in full.collect()] == _rows(ref)
+
+
+def test_probe_cells_tie_rule():
+    coarse = {0: [0, 0], 1: [0, 0], 2: [5, 5]}
+    # cells 0 and 1 tie exactly -> smaller cid first
+    assert probe_cells(coarse, [1, 1], 2) == [0, 1]
+    assert probe_cells(coarse, [5, 5], 1) == [2]
+
+
+def test_ivfpq_cache_roundtrip(spark, emb, tmp_path):
+    root = str(tmp_path / "ivfpq")
+    c1, p1, t1 = ivfpq_index_integer(emb, cache_root=root)
+    first = _rows(
+        ivfpq_topk_integer(emb, query_id=3, topk=5, cache_root=root)
+    )
+    c2, p2, t2 = ivfpq_index_integer(emb, cache_root=root)  # cached load
+    assert c1 == c2 and p1 == p2
+    assert t2.count() == emb.count()
+    assert set(t2.columns) == {"vec_id", "qvec", "codes", "cell"}
+    again = _rows(
+        ivfpq_topk_integer(emb, query_id=3, topk=5, cache_root=root)
+    )
+    assert first == again
+
+
+def test_ivfpq_recall_vs_brute_force(spark, emb):
+    """Exact integer-L2 brute-force top-10 vs the probed result: the
+    2-of-8-cell probe with a 50 shortlist must keep most of the true
+    neighbors (floor set ~2x below observed so noise can't flake it;
+    the real pin is the oracle hash, which is exact)."""
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    qv = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    )
+    qlit = F.array(*[F.lit(int(x)) for x in qv])
+    truth = {
+        r.vec_id
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    quantize(F.col("embedding")),
+                    qlit,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    got = {r.vec_id for r in ivfpq_topk_integer(emb, query_id=0, topk=10).collect()}
+    assert len(got & truth) >= 4, (got, truth)

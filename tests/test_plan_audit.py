@@ -555,3 +555,27 @@ def test_p6_and_evaluators_plan_shapes(spark):
     assert "Python" not in a.plan and "ArrowEval" not in a.plan, (
         "evaluators must be pure aggs"
     )
+
+
+def test_ivfpq_probe_partition_prunes(spark, tmp_path):
+    """The IVFPQ at-rest layout (code table PARTITIONED BY cell) turns
+    the probe into parquet partition pruning: the probe plan's scan
+    must carry a PartitionFilters entry on cell, and the pruned scan
+    must read fewer partitions than the index holds — unprobed cells'
+    files are never opened."""
+    from intelligencepipeline_spark.operators.ivfpq import ivfpq_topk_integer
+    from intelligencepipeline_spark.plans.audit import formatted_plan
+    from intelligencepipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path / "ivfpq")
+    out = ivfpq_topk_integer(
+        emb, query_id=0, topk=10, n_probe=2, cache_root=root
+    )
+    plan = formatted_plan(out)
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln
+    ]
+    assert pf, plan[:1500]
+    assert any("IN (" in ln or "in(cell" in ln.lower() for ln in pf), pf
