@@ -136,6 +136,27 @@ def kmeans(
     return assigned, centroids
 
 
+def semdedup_k(n: int, target_cluster_size: int = 64) -> int:
+    """SemDeDup cluster-count sizing: ``k = ceil(n / target)``.
+
+    The within-cluster pair scan costs Σ_c m_c² ≈ n·(n/k) for balanced
+    clusters. A FIXED k is therefore ~n²/k — quadratic in corpus size,
+    the exact trap SemDeDup exists to avoid; it merely delays the
+    blow-up. Scaling k with n pins the expected cluster size, making
+    the pair term ~n·target — LINEAR in corpus size with a chosen
+    constant. (SemDeDup itself, Abbas et al. 2023 §3, sizes k this
+    way: 50k clusters over LAION-440M ≈ 9k vectors/cluster.)
+
+    ``target_cluster_size`` is the real knob: the largest m for which
+    an m² in-cluster comparison is acceptable per task (64 here keeps
+    the catalog's exact-replay oracles cheap; thousands are fine on a
+    cluster). Callers must use this function — a bare ``k=<int>`` at a
+    call site is the unscalable form."""
+    if n < 1 or target_cluster_size < 1:
+        raise ValueError("n and target_cluster_size must be >= 1")
+    return max(1, -(-n // target_cluster_size))
+
+
 def cluster_profile(
     assigned: DataFrame, centroids: dict[int, list[int]], id_col: str
 ) -> DataFrame:

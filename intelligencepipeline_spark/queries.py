@@ -8241,14 +8241,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: clustering is the expression-only assignment + one
     (cluster, dim) agg; the pair scan shuffles once on cluster id and
-    is O(sum over clusters of m_c^2) — the SemDeDup point: k controls
-    the quadratic term, never corpus^2. Survivor aggregation is one
-    more keyed agg."""
-    from intelligencepipeline_spark.operators.kmeans import kmeans
+    is O(sum over clusters of m_c^2). k is SIZED, never pinned:
+    k = semdedup_k(n, target_cluster_size) = ceil(n/target), so the
+    pair term is ~n*target — linear in corpus size (a fixed k is
+    ~n^2/k, the quadratic trap; SCALING.md 'SemDeDup cluster sizing').
+    At the oracle SFs (500 vectors, target 64) this resolves to k=8 —
+    the exact _KMEANS_8_2 unroll the oracle replays; at sf0.1 bench it
+    grows to 32 with the same code path."""
+    from intelligencepipeline_spark.operators.kmeans import (
+        kmeans,
+        semdedup_k,
+    )
     from intelligencepipeline_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _cents = kmeans(emb, k=8, iterations=2)
+    k = semdedup_k(emb.count(), target_cluster_size=64)
+    assigned, _cents = kmeans(emb, k=k, iterations=2)
     m = assigned.select("vec_id", "qvec", "cluster")
     dropped = (
         m.alias("x")

@@ -116,3 +116,23 @@ def test_assignment_plan_is_shuffle_free(spark, emb):
         q, {0: [0] * 64, 1: [1] * 64}, "vec_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map work: scan + project
+
+
+def test_semdedup_k_sizing_rule():
+    """k = ceil(n/target): the linear-cost SemDeDup sizing (a fixed k
+    is ~n^2/k — the trap SCALING.md documents)."""
+    import pytest as _pt
+
+    from intelligencepipeline_spark.operators.kmeans import semdedup_k
+
+    assert semdedup_k(500, 64) == 8  # the oracle-SF resolution
+    assert semdedup_k(2000, 64) == 32  # sf0.1 bench resolution
+    assert semdedup_k(1, 64) == 1
+    assert semdedup_k(64, 64) == 1
+    assert semdedup_k(65, 64) == 2
+    # pair term stays ~n*target as n grows 1000x
+    for n in (10**6, 10**9):
+        k = semdedup_k(n, 1000)
+        assert n * (n / k) <= n * 1000 * 1.01
+    with _pt.raises(ValueError):
+        semdedup_k(0, 64)
