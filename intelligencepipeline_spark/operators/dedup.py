@@ -412,3 +412,84 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 15,
+    id_col: str = "doc_id",
+    tok_col: str = "toks",
+) -> DataFrame:
+    """Exact substring dedup, Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499) ExactSubstr
+    pattern: any k-token window whose text occurs MORE THAN ONCE
+    corpus-wide (in another doc or repeated within one) is a
+    duplicated substring; overlapping duplicated windows merge into
+    MAXIMAL removed spans. Returns one row per maximal span:
+    (id, span_start, span_end) in 1-based token positions, inclusive.
+
+    Lee et al. find duplicated substrings with a corpus-level suffix
+    array — inherently single-machine. The distributed variant here is
+    the bounded fixed-window form: every k-token window is hashed
+    (md5 over the joined tokens — exact string equality, not
+    probabilistic banding), ONE keyed count finds hashes with occ > 1,
+    and a per-doc sort-free island merge (running-max window over
+    start positions) produces the maximal spans. The fixed k is the
+    bound: matching is per-window hash equality — one map-side-
+    combinable groupBy + one semi-join, NEVER all-pairs, no inverted
+    index that can blow up on a hot window (a window occurring a
+    million times contributes one hash row with occ=1e6, not 1e12
+    pairs). The tradeoff vs a suffix array is granularity: duplicated
+    substrings shorter than k are not seen, and removal boundaries
+    are k-aligned at the ends — Lee et al.'s own minimum-length
+    threshold (50 tokens) plays exactly this role.
+
+    Plan shape: windows are built expression-side (transform over
+    sequence — O(tokens), zero Python); the island merge is two window
+    functions over (id, start) — one shuffle on the doc key."""
+    w = docs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({tok_col}) >= {k} THEN"
+                f" transform(sequence(1, size({tok_col}) - {k} + 1),"
+                f"   i -> struct(i AS pos,"
+                f"        md5(concat_ws(' ', slice({tok_col}, i, {k})))"
+                f"        AS wh))"
+                " ELSE array() END"
+            )
+        ).alias("w"),
+    ).select(id_col, "w.pos", "w.wh")
+    dup_hashes = (
+        w.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("wh")
+    )
+    dup_w = w.join(dup_hashes, "wh").select(
+        id_col, "pos", (F.col("pos") + (k - 1)).alias("end")
+    )
+    # Gaps-and-islands: a window starts a new island iff it begins
+    # after every earlier window's end (running max over pos order).
+    from pyspark.sql import Window
+
+    byid = Window.partitionBy(id_col).orderBy("pos", "end")
+    prev_max_end = F.max("end").over(
+        byid.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup_w.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            byid.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        F.max("end").alias("span_end"),
+    ).drop("island")

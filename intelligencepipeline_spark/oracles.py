@@ -2580,6 +2580,71 @@ FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id
 ORDER BY b.doc_id
 """
 
+# Exact substring dedup replayed: 15-token window hashes, occ>1 ->
+# duplicated, gaps-and-islands merge into maximal spans (same running-
+# max window trick), kept text rebuilt by position anti-filter and
+# digested — the oracle checks the excision itself. The fixed k=15 is
+# the cap, mirrored here.
+ORACLES["substring_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, cast(len(toks) as bigint) AS n_tokens, toks FROM t
+), w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+14], ' ')) AS wh
+  FROM base, unnest(range(1, len(toks) - 13)) AS u(i)
+  WHERE len(toks) >= 15
+), dup AS (
+  SELECT wh FROM w GROUP BY 1 HAVING count(*) > 1
+), dupw AS (
+  SELECT w.doc_id, w.pos, w.pos + 14 AS e FROM w JOIN dup USING (wh)
+), fl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      THEN 1 ELSE 0 END AS ni
+  FROM dupw
+), isl AS (
+  SELECT doc_id, pos, e,
+    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, cast(count(*) as bigint) AS n_spans,
+    cast(sum(span_end - span_start + 1) as bigint) AS removed_tokens
+  FROM spans GROUP BY doc_id
+), tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS pos
+  FROM base
+), kd AS (
+  SELECT tp.doc_id, md5(string_agg(tp.tok, ' ' ORDER BY tp.pos)) AS dg
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id
+      AND tp.pos BETWEEN s.span_start AND s.span_end)
+  GROUP BY tp.doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+  coalesce(p.n_spans, 0) AS n_spans,
+  coalesce(p.removed_tokens, 0) AS removed_tokens,
+  b.n_tokens - coalesce(p.removed_tokens, 0) AS kept_tokens,
+  cast(b.n_tokens - coalesce(p.removed_tokens, 0) as double)
+    / cast(greatest(b.n_tokens, 1) as double) AS kept_ratio,
+  coalesce(kd.dg, md5('')) AS kept_digest
+FROM base b
+LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+LEFT JOIN kd ON b.doc_id = kd.doc_id
+ORDER BY b.doc_id
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

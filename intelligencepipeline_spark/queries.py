@@ -8085,6 +8085,74 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup (Lee et al. 2022, arXiv:2107.06499 —
+    the ExactSubstr pass every serious training-data pipeline runs):
+    any 15-token window occurring more than once corpus-wide is a
+    duplicated substring; overlapping hits merge into MAXIMAL removed
+    spans (operators/dedup.exact_substring_spans), and each document
+    exports its span count, removed/kept token counts, and the md5 of
+    the ACTUAL kept text — the excision itself is what the oracle
+    hash-checks, not just coverage arithmetic (the difference from
+    span_dedup_clean, which counts covered positions of short grams).
+
+    Lee et al. use a corpus-level suffix array (single-machine); this
+    is the bounded distributed form — fixed-k rolling windows, one
+    map-side-combinable hash count, one semi-join, a two-window-
+    function island merge. The fixed k IS the cap, mirrored in the
+    oracle: matching is per-window hash equality, never all-pairs, and
+    a window occurring a million times is one count row, not 10^12
+    pairs. Kept-text reconstruction is expression-side (filter with
+    index over the token array against the doc's merged span list —
+    no positional explode)."""
+    from intelligencepipeline_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    K = 15
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    base = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks"
+    )
+    spans = exact_substring_spans(base, k=K, tok_col="toks")
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("removed_tokens"),
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    in_span = lambda t, i: F.coalesce(  # noqa: E731
+        F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["span_start"])
+            & (i + 1 <= sp["span_end"]),
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(F.col("toks"), lambda t, i: ~in_span(t, i))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("removed_tokens", F.lit(0))
+        .cast("long")
+        .alias("removed_tokens"),
+        (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        (
+            (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+            .cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("kept_ratio"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_digest"),
+    ).orderBy("doc_id")
+
+
 def kafka_timestamp_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (record-timestamp pairing) proven hermetically: a
     Kafka-wire-shaped frame — 8-byte big-endian Long key, JSON value
@@ -8473,6 +8541,7 @@ QUERIES = {
     # -- (b7) new in r05: lead the r06 window (see plan above) ---------
     "png_decode_stats": png_decode_stats,
     "ivfpq_ann_topk": ivfpq_ann_topk,
+    "substring_dedup": substring_dedup,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -146,3 +146,55 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(left, right, "k", n_salts=4).collect()
     )
     assert plain == salted and len(plain) == 51
+
+
+def test_exact_substring_spans_island_merge(spark):
+    """Lee et al. ExactSubstr semantics on a hand-built corpus:
+    duplicated k-windows merge into maximal spans; overlapping and
+    adjacent-but-disjoint islands behave per the gaps-and-islands
+    rule; unique docs produce no spans."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = [f"s{i}" for i in range(6)]  # a 6-token shared run
+    docs = [
+        # doc 1 and 2 share tokens 3..8 (positions 3-8 in doc1, 1-6 in doc2)
+        (1, ["a1", "a2"] + shared + ["a9", "a10"]),
+        (2, shared + ["b7", "b8", "b9", "b10"]),
+        # doc 3: internal repeat -> two windows, overlapping -> ONE span
+        (3, ["x"] + ["r1", "r2", "r3", "r4"] * 3 + ["y"]),
+        (4, [f"u{i}" for i in range(12)]),  # unique -> no spans
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    out = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in exact_substring_spans(df, k=4, tok_col="toks").collect()
+    }
+    # doc1: windows at pos 3,4,5 (the 6 shared tokens give 3 k=4
+    # windows) -> merged span [3, 8]; doc2: [1, 6]
+    assert out[1] == (3, 8)
+    assert out[2] == (1, 6)
+    # doc3: "r1 r2 r3 r4" repeats at pos 2,6,10; window (pos p..p+3)
+    # duplicated for every p in 2..10 (the repeat makes all interior
+    # windows recur) -> one maximal span [2, 13]
+    assert out[3] == (2, 13)
+    assert 4 not in out
+    # disjoint islands stay separate: two docs sharing two runs
+    # separated by unique gaps
+    run_a = [f"p{i}" for i in range(4)]
+    run_b = [f"q{i}" for i in range(4)]
+    df2 = spark.createDataFrame(
+        [
+            (10, run_a + ["g1", "g2"] + run_b),
+            (11, run_a + ["h1", "h2", "h3"] + run_b),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    spans2 = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substring_spans(df2, k=4, tok_col="toks").collect()
+    )
+    assert spans2 == [(10, 1, 4), (10, 7, 10), (11, 1, 4), (11, 8, 11)]
