@@ -64,7 +64,10 @@ def main() -> None:
     # after the driver regenerates testdata their on-disk cache keys
     # are cold, so pre-build them once un-timed — the timed pass then
     # measures the steady-state probe path, run-to-run comparable.
-    for name in ("ann_ivf_topk", "pq_ann_topk", "ivfpq_ann_topk"):
+    for name in (
+        "ann_ivf_topk", "pq_ann_topk", "ivfpq_ann_topk",
+        "ivfpq_residual_topk",
+    ):
         if name in QUERIES and (not only or name in only):
             run_one(name)
 

@@ -28,11 +28,13 @@ fit is operators/pq.pq_fit_integer (the pq_ann_topk unroll), and the
 probe selection is a pure-python exact-integer argsort — nothing in
 the query path is float-order dependent.
 
-This implementation PQ-encodes RAW vectors, not residuals
-(vector - coarse centroid): residual encoding buys recall at the cost
-of an extra distributed subtraction pass before the codebook fit and
-is a drop-in upgrade — the layout, probe, ADC and re-rank are
-identical either way.
+Both encodings are implemented: ``residual=False`` PQ-encodes RAW
+vectors (one shared ADC table per query), ``residual=True`` is the
+faiss-default IVFADC refinement — codes store
+r = vector - coarse_centroid[cell], spending the same code budget on
+the within-cell offset (better recall, identical storage) at the cost
+of one ADC lookup table per probed cell. The layout, probe, shortlist
+and exact re-rank are identical either way.
 """
 
 from __future__ import annotations
@@ -57,6 +59,7 @@ def ivfpq_index_integer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_root: str | None = None,
+    residual: bool = False,
 ) -> tuple[dict[int, list[int]], dict[int, dict[int, list[int]]], DataFrame]:
     """Build (or load) the fit-once IVFPQ index. Returns
     ``(coarse_centroids, pq_codebooks, table)`` where table =
@@ -64,6 +67,17 @@ def ivfpq_index_integer(
     ``cache_root`` is given (the ivf_index/pq_index caching
     discipline: params + input-file signature key, _DONE two-phase
     commit), so the probe path partition-prunes and never re-fits.
+
+    ``residual=True`` is the faiss-default IVFADC refinement: PQ
+    codebooks train on and codes store r = qvec - coarse_centroid[cell]
+    instead of the raw vector. Residuals are centered near zero, so
+    the same m×k code budget spends its resolution on the
+    within-cell offset rather than re-describing the cell location —
+    better recall at identical storage. The residual subtraction is
+    expression-side (zip_with against a literal centroid matrix
+    indexed by the assigned cell — codegen, no extra pass); queries
+    then need one ADC lookup table PER PROBED CELL (the query residual
+    differs per cell), still n_probe tiny driver tables.
 
     Build cost: the coarse fit and the PQ fit each follow their
     operator's bounded shape (expression-only assignment, one keyed
@@ -81,13 +95,38 @@ def ivfpq_index_integer(
             embeddings, k=k_coarse, iterations=iters,
             id_col=id_col, vec_col=vec_col,
         )
-        cbs, coded = pq_fit_integer(
-            embeddings, m=m, k=k_pq, iters=iters, dim=dim,
-            id_col=id_col, vec_col=vec_col,
-        )
-        table = coded.join(
-            assigned.select(id_col, F.col("cluster").alias("cell")), id_col
-        )
+        if residual:
+            cent_lit = F.array(
+                *[
+                    F.array(*[F.lit(int(v)) for v in coarse[c]])
+                    for c in sorted(coarse)
+                ]
+            )
+            rvec = F.zip_with(
+                "qvec",
+                F.element_at(cent_lit, F.col("cluster") + 1),
+                lambda a, b: a - b,
+            )
+            cbs, coded = pq_fit_integer(
+                assigned.select(id_col, rvec.alias("rvec")),
+                m=m, k=k_pq, iters=iters, dim=dim,
+                id_col=id_col, vec_col="rvec", pre_quantized=True,
+            )
+            table = coded.select(id_col, "codes").join(
+                assigned.select(
+                    id_col, "qvec", F.col("cluster").alias("cell")
+                ),
+                id_col,
+            )
+        else:
+            cbs, coded = pq_fit_integer(
+                embeddings, m=m, k=k_pq, iters=iters, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
+            table = coded.join(
+                assigned.select(id_col, F.col("cluster").alias("cell")),
+                id_col,
+            )
         return coarse, cbs, table
 
     if cache_root is None:
@@ -95,7 +134,7 @@ def ivfpq_index_integer(
 
     sig_parts = [
         f"ivfpq,kc={k_coarse}", f"m={m}", f"kpq={k_pq}",
-        f"it={iters}", f"s={SCALE}",
+        f"it={iters}", f"s={SCALE}", f"res={int(residual)}",
     ]
     for path in sorted(embeddings.inputFiles()):
         if path.startswith("file:"):
@@ -161,12 +200,23 @@ def ivfpq_topk_integer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_root: str | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFPQ ANN top-k: probe n_probe coarse cells, ADC-scan only
     their PQ codes (partition-pruned when the index is at rest),
     exact-re-rank the shortlist. Returns
-    (id, cell, adc, d2) ascending by (d2, id)."""
+    (id, cell, adc, d2) ascending by (d2, id).
+
+    With ``residual=True`` (the faiss IVFADC default) the codes store
+    within-cell residuals, so the ADC pass uses one lookup table per
+    probed cell (query residual differs per cell) — each probed cell's
+    branch is still a partition-pruned scan + codegen lookup sum, and
+    the branches union before the shortlist cut."""
+    from functools import reduce
+
     from intelligencepipeline_spark.operators.pq import (
+        adc_expr_integer,
+        adc_lut_integer,
         pq_adc_rerank_integer,
     )
     from intelligencepipeline_spark.operators.similarity import quantize
@@ -174,6 +224,7 @@ def ivfpq_topk_integer(
     coarse, cbs, table = ivfpq_index_integer(
         embeddings, k_coarse=k_coarse, m=m, k_pq=k_pq, iters=iters,
         dim=dim, id_col=id_col, vec_col=vec_col, cache_root=cache_root,
+        residual=residual,
     )
     qrow = (
         embeddings.filter(F.col(id_col) == query_id)
@@ -184,11 +235,41 @@ def ivfpq_topk_integer(
         raise ValueError(f"query id {query_id} not in corpus")
     qvec = [int(v) for v in qrow[0]["qv"]]
     probes = probe_cells(coarse, qvec, n_probe)
-    cands = table.filter(
-        F.col("cell").isin([int(c) for c in probes])
-        & (F.col(id_col) != query_id)
+    if not residual:
+        cands = table.filter(
+            F.col("cell").isin([int(c) for c in probes])
+            & (F.col(id_col) != query_id)
+        )
+        return pq_adc_rerank_integer(
+            cands, cbs, qvec, k=topk, shortlist=shortlist,
+            id_col=id_col, passthrough=("cell",),
+        )
+
+    branches = []
+    for c in probes:
+        q_res = [qvec[d] - coarse[c][d] for d in range(len(qvec))]
+        lut = adc_lut_integer(cbs, q_res)
+        branches.append(
+            table.filter(
+                (F.col("cell") == int(c)) & (F.col(id_col) != query_id)
+            ).select(
+                id_col, "cell", "qvec", adc_expr_integer(lut).alias("adc")
+            )
+        )
+    short = (
+        reduce(lambda a, b: a.unionByName(b), branches)
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(shortlist)
     )
-    return pq_adc_rerank_integer(
-        cands, cbs, qvec, k=topk, shortlist=shortlist,
-        id_col=id_col, passthrough=("cell",),
+    qlit = F.array(*[F.lit(int(x)) for x in qvec])
+    exact = short.select(
+        id_col,
+        "cell",
+        "adc",
+        F.aggregate(
+            F.zip_with("qvec", qlit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
     )
+    return exact.orderBy(F.asc("d2"), F.asc(id_col)).limit(topk)

@@ -202,6 +202,7 @@ def pq_fit_integer(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> tuple[dict[int, dict[int, list[int]]], DataFrame]:
     """Distributed PQ codebook fit in EXACT integer space — the
     oracle-replayable variant of pq_fit: per-subspace Lloyd with the
@@ -218,6 +219,9 @@ def pq_fit_integer(
     Returns ``(codebooks, coded)``: codebooks[j][c] = list of dsub
     ints; coded = (id, qvec, codes array<int>) under the FINAL
     codebooks — the assignment IS the code table, so encode is free.
+
+    ``pre_quantized=True`` treats ``vec_col`` as an already-integer
+    ``array<long>`` (e.g. IVF residuals) and skips the quantize step.
     """
     from intelligencepipeline_spark.operators.kmeans import _sq_dist
     from intelligencepipeline_spark.operators.similarity import quantize
@@ -246,8 +250,13 @@ def pq_fit_integer(
             id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
         )
 
+    qexpr = (
+        F.col(vec_col).cast("array<long>")
+        if pre_quantized
+        else quantize(F.col(vec_col))
+    )
     q = embeddings.select(
-        F.col(id_col).alias(id_col), quantize(F.col(vec_col)).alias("qvec")
+        F.col(id_col).alias(id_col), qexpr.alias("qvec")
     )
     seeds = q.orderBy(id_col).limit(k).collect()  # k·dim longs
     if len(seeds) < k:
@@ -344,6 +353,40 @@ def pq_index_integer(
     return cbs, spark.read.parquet(table_path)
 
 
+def adc_lut_integer(
+    codebooks: dict[int, dict[int, list[int]]], query_qvec: list[int]
+) -> list[list[int]]:
+    """The m×k ADC lookup table for one (possibly residualized) query:
+    exact python-int squared-L2 between each subspace's query slice
+    and each codebook centroid."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (int(query_qvec[j * dsub + d]) - codebooks[j][c][d]) ** 2
+                for d in range(dsub)
+            )
+            for c in range(len(codebooks[j]))
+        ]
+        for j in range(m)
+    ]
+
+
+def adc_expr_integer(lut: list[list[int]]):
+    """The ADC score as a pure codegen expression over a ``codes``
+    column: m literal-array lookups summed — no UDF, no shuffle."""
+    lut_lit = F.array(
+        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
+    )
+    return sum(
+        F.element_at(
+            F.element_at(lut_lit, j + 1), F.element_at("codes", j + 1) + 1
+        )
+        for j in range(len(lut))
+    ).cast("long")
+
+
 def pq_adc_rerank_integer(
     coded: DataFrame,
     codebooks: dict[int, dict[int, list[int]]],
@@ -362,29 +405,12 @@ def pq_adc_rerank_integer(
     number oracle-replayable. Returns (id, *passthrough, adc, d2) by
     (d2, id); ``passthrough`` names extra ``coded`` columns carried to
     the output (e.g. the IVF ``cell`` in the IVFPQ composition)."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    lut = [
-        [
-            sum(
-                (query_qvec[j * dsub + d] - codebooks[j][c][d]) ** 2
-                for d in range(dsub)
-            )
-            for c in range(len(codebooks[j]))
-        ]
-        for j in range(m)
-    ]
-    lut_lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
-    )
-    adc = sum(
-        F.element_at(
-            F.element_at(lut_lit, j + 1), F.element_at("codes", j + 1) + 1
-        )
-        for j in range(m)
-    ).cast("long")
+    lut = adc_lut_integer(codebooks, query_qvec)
     short = (
-        coded.select(id_col, *passthrough, "qvec", adc.alias("adc"))
+        coded.select(
+            id_col, *passthrough, "qvec",
+            adc_expr_integer(lut).alias("adc"),
+        )
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
     )

@@ -4430,6 +4430,92 @@ WITH {_KMEANS_8_2}, pe AS (
 SELECT vec_id, cell, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
 """
 
+# IVFADC with residual encoding replayed: coarse k-means as in
+# ivfpq_ann_topk, then residual elements re = v - coarse_centroid[cell]
+# feed the PQ unroll; the ADC lookup table is PER PROBED CELL (query
+# residual differs per cell) and the scan is restricted to probed
+# cells before shortlist and raw-vector re-rank.
+ORACLES["ivfpq_residual_topk"] = f"""
+WITH {_KMEANS_8_2}, re AS (
+  SELECT qq.vec_id, qq.dim, qq.v - cc.c AS v
+  FROM q qq
+  JOIN a2 aa ON aa.vec_id = qq.vec_id
+  JOIN cent1 cc ON cc.cid = aa.cid AND cc.dim = qq.dim
+), pe AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM re
+), pseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM re ORDER BY vec_id LIMIT 16)
+), pcent0 AS (
+  SELECT s.cid, e.j, e.d, e.v AS c FROM pseeds s JOIN pe e USING (vec_id)
+), pd1 AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent0 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pa1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pd1) WHERE rn = 1
+), pupd AS (
+  SELECT a.cid, e.j, e.d,
+    cast(floor(cast(sum(e.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM pa1 a JOIN pe e ON a.vec_id = e.vec_id AND a.j = e.j
+  GROUP BY 1, 2, 3
+), pcent1 AS (
+  SELECT c0.cid, c0.j, c0.d, coalesce(u.c, c0.c) AS c
+  FROM pcent0 c0 LEFT JOIN pupd u
+    ON c0.cid = u.cid AND c0.j = u.j AND c0.d = u.d
+), pdd AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent1 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pcodes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pdd) WHERE rn = 1
+), qd AS (
+  SELECT c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS dist2
+  FROM cent1 c JOIN q qe ON qe.vec_id = 0 AND qe.dim = c.dim
+  GROUP BY 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist2, cid) AS rn FROM qd
+  ) WHERE rn <= 2
+), lut AS (
+  SELECT p.cid AS pcell, pc.j, pc.cid,
+    sum(((qe.v - cc.c) - pc.c) * ((qe.v - cc.c) - pc.c)) AS ld
+  FROM probe p
+  JOIN cent1 cc ON cc.cid = p.cid
+  JOIN q qe ON qe.vec_id = 0 AND qe.dim = cc.dim
+  JOIN pcent1 pc
+    ON pc.j = cast(floor(cc.dim / 8) as bigint) AND pc.d = cc.dim % 8
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT k.vec_id, cast(max(aa.cid) as int) AS cell,
+         cast(sum(l.ld) as bigint) AS adc
+  FROM pcodes k
+  JOIN a2 aa ON aa.vec_id = k.vec_id
+  JOIN probe p ON aa.cid = p.cid
+  JOIN lut l ON l.pcell = aa.cid AND l.j = k.j AND l.cid = k.cid
+  WHERE k.vec_id <> 0 GROUP BY 1
+), short AS (
+  SELECT vec_id, cell, adc FROM adc ORDER BY adc, vec_id LIMIT 50
+), exact AS (
+  SELECT s.vec_id, s.cell, s.adc,
+    cast(sum((ce.v - qe.v) * (ce.v - qe.v)) as bigint) AS d2
+  FROM short s
+  JOIN q ce ON ce.vec_id = s.vec_id
+  JOIN q qe ON qe.vec_id = 0 AND qe.dim = ce.dim
+  GROUP BY 1, 2, 3
+)
+SELECT vec_id, cell, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
+"""
+
 # Real BMP decode replayed from the md5 hex digits that built the
 # pixels: byte i of the 24-byte pixel payload is hex pair i of
 # md5(text) || md5(text||'x')[:16]. Channel c = positions with

@@ -8085,6 +8085,34 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the faiss-default refinement of
+    ivfpq_ann_topk: PQ codebooks train on and codes store
+    r = vector - coarse_centroid[cell], so the same 8x16 code budget
+    resolves the within-cell offset instead of re-describing the cell
+    location (better recall, identical storage). The query then needs
+    one ADC lookup table PER PROBED CELL (its residual differs per
+    cell): each probed cell is a partition-pruned scan + codegen
+    lookup sum, branches union before the shortlist cut, exact re-rank
+    on the raw quantized vectors finishes.
+
+    The oracle replays everything the raw-variant oracle replays PLUS
+    the residualization: coarse k-means (_KMEANS_8_2), the residual
+    subtraction against the assigned cell's centroid, both PQ rounds
+    ON RESIDUALS, the per-cell query LUTs, the probed-cell ADC, the
+    shortlist, and the raw-vector re-rank."""
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_topk_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_integer(
+        emb, query_id=0, topk=10, n_probe=2, k_coarse=8, m=8, k_pq=16,
+        iters=2, shortlist=50, cache_root="/tmp/ip_ivfpq_cache",
+        residual=True,
+    )
+
+
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SUBSTRING dedup (Lee et al. 2022, arXiv:2107.06499 —
     the ExactSubstr pass every serious training-data pipeline runs):
@@ -8541,6 +8569,7 @@ QUERIES = {
     # -- (b7) new in r05: lead the r06 window (see plan above) ---------
     "png_decode_stats": png_decode_stats,
     "ivfpq_ann_topk": ivfpq_ann_topk,
+    "ivfpq_residual_topk": ivfpq_residual_topk,
     "substring_dedup": substring_dedup,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,

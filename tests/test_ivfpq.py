@@ -117,3 +117,48 @@ def test_ivfpq_recall_vs_brute_force(spark, emb):
     }
     got = {r.vec_id for r in ivfpq_topk_integer(emb, query_id=0, topk=10).collect()}
     assert len(got & truth) >= 4, (got, truth)
+
+
+def test_ivfpq_residual_deterministic_and_exact_rerank(spark, emb):
+    """Residual variant: deterministic, d2 ascending, and every
+    returned d2 equals the true exact integer distance (the re-rank
+    reads raw qvec, so residualization can't distort distances)."""
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    a = _rows(ivfpq_topk_integer(emb, query_id=0, topk=10, residual=True))
+    b = _rows(ivfpq_topk_integer(emb, query_id=0, topk=10, residual=True))
+    assert a == b and len(a) == 10
+    d2s = [r[-1] for r in a]
+    assert d2s == sorted(d2s)
+    qv = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    truth = {
+        r.vec_id: sum(
+            (int(x) - q) ** 2 for x, q in zip(r.qv, qv)
+        )
+        for r in emb.select(
+            "vec_id", quantize(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    for vec_id, _cell, _adc, d2 in a:
+        assert d2 == truth[vec_id]
+
+
+def test_ivfpq_residual_codes_differ_from_raw(spark, emb):
+    """Residual codebooks train on r = v - centroid[cell], not raw
+    vectors — the two indexes must not be byte-identical (if they
+    were, residualization silently didn't happen)."""
+    _, cbs_raw, t_raw = ivfpq_index_integer(emb)
+    _, cbs_res, t_res = ivfpq_index_integer(emb, residual=True)
+    assert cbs_raw != cbs_res
+    raw_codes = {r.vec_id: tuple(r.codes) for r in t_raw.collect()}
+    res_codes = {r.vec_id: tuple(r.codes) for r in t_res.collect()}
+    assert raw_codes != res_codes
+    # same cells either way: residualization changes codes, not layout
+    raw_cells = {r.vec_id: r.cell for r in t_raw.collect()}
+    res_cells = {r.vec_id: r.cell for r in t_res.collect()}
+    assert raw_cells == res_cells
