@@ -2645,6 +2645,61 @@ LEFT JOIN kd ON b.doc_id = kd.doc_id
 ORDER BY b.doc_id
 """
 
+# Temperature mixing replayed: weight = floor(sqrt(src_tokens)) (one
+# IEEE sqrt on an exact int), largest-remainder apportionment of the
+# 10000-token budget (integer div/mod, +1 to the L largest remainders,
+# ties to the smaller source), md5-order greedy fill per source.
+ORACLES["temperature_mix"] = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_tokens) as bigint) AS src_tokens
+  FROM toks GROUP BY 1
+), w AS (
+  SELECT *, cast(floor(sqrt(cast(src_tokens as double))) as bigint)
+    AS weight
+  FROM stats
+), q1 AS (
+  SELECT *, sum(weight) OVER () AS w_total FROM w
+), q2 AS (
+  SELECT *, (10000 * weight) // w_total AS base,
+    (10000 * weight) % w_total AS rem
+  FROM q1
+), q3 AS (
+  SELECT *, 10000 - sum(base) OVER () AS leftover,
+    row_number() OVER (ORDER BY rem DESC, source) AS rr
+  FROM q2
+), quotas AS (
+  SELECT source, n_docs, src_tokens, weight,
+    cast(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END as bigint)
+      AS alloc_tokens
+  FROM q3
+), filled AS (
+  SELECT t.source, t.doc_id, t.n_tokens, qt.alloc_tokens,
+    sum(t.n_tokens) OVER (PARTITION BY t.source
+      ORDER BY md5(cast(t.doc_id as varchar)), t.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks t JOIN quotas qt USING (source)
+), kept AS (
+  SELECT * FROM filled WHERE cum <= alloc_tokens
+), picked AS (
+  SELECT source, cast(count(*) as bigint) AS n_picked,
+    cast(max(cum) as bigint) AS picked_tokens,
+    md5(string_agg(cast(doc_id as varchar), ','
+      ORDER BY cast(doc_id as varchar))) AS picked_digest
+  FROM kept GROUP BY 1
+)
+SELECT qq.source, qq.n_docs, qq.src_tokens, qq.weight, qq.alloc_tokens,
+  coalesce(p.n_picked, 0) AS n_picked,
+  coalesce(p.picked_tokens, 0) AS picked_tokens,
+  coalesce(p.picked_digest, md5('')) AS picked_digest
+FROM quotas qq LEFT JOIN picked p USING (source)
+ORDER BY source
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

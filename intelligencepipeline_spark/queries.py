@@ -8113,6 +8113,112 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixing — the pretraining mixture
+    recipe (GPT-3 §2.2 / PaLM-style): sources are sampled
+    proportionally to n^alpha with alpha < 1, UPWEIGHTING small
+    high-value sources relative to bulk web text. alpha = 0.5 here so
+    the weight is floor(sqrt(n_tokens)) — one correctly-rounded IEEE
+    sqrt on an exact integer then floor, engine-stable (the float
+    export rule every green entry follows). A global budget of 10 000
+    tokens splits across sources by LARGEST-REMAINDER integer
+    apportionment (base = B*w div W, +1 token to the L largest
+    remainders, ties to the smaller source — exact ints, the
+    linear_attribution discipline), then each source greedy-fills its
+    allocation with documents in md5(doc_id) order (the reproducible
+    shuffle) under a running token sum. Picked-set digest exported:
+    one doc swapped anywhere breaks the hash.
+
+    Scale: one (source) agg for the stats, the apportionment runs on
+    the SOURCE-level table (bounded by #sources, not corpus), and the
+    fill is one source-keyed window — two keyed shuffles total. The
+    unpartitioned apportionment window is over #sources rows,
+    corpus-independent."""
+    B = 10000
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    stats = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("src_tokens"),
+    )
+    wghts = stats.withColumn(
+        "weight", F.floor(F.sqrt(F.col("src_tokens"))).cast("long")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = (
+        wghts.withColumn("w_total", F.sum("weight").over(wall))
+        .withColumn(
+            "base", F.expr(f"({B} * weight) div w_total")
+        )
+        .withColumn("rem", F.expr(f"({B} * weight) % w_total"))
+        .withColumn("leftover", F.lit(B) - F.sum("base").over(wall))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("source"))
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    order = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    filled = (
+        toks.join(
+            F.broadcast(quotas.select("source", "alloc_tokens")), "source"
+        )
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum") <= F.col("alloc_tokens"))
+    )
+    picked = filled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_picked"),
+        F.max("cum").alias("picked_tokens"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))),
+                ",",
+            )
+        ).alias("picked_digest"),
+    )
+    return (
+        quotas.select(
+            "source", "n_docs", "src_tokens", "weight", "alloc_tokens"
+        )
+        .join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "weight",
+            "alloc_tokens",
+            F.coalesce("n_picked", F.lit(0)).cast("long").alias("n_picked"),
+            F.coalesce("picked_tokens", F.lit(0))
+            .cast("long")
+            .alias("picked_tokens"),
+            F.coalesce("picked_digest", F.md5(F.lit("")))
+            .alias("picked_digest"),
+        )
+        .orderBy("source")
+    )
+
+
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SUBSTRING dedup (Lee et al. 2022, arXiv:2107.06499 —
     the ExactSubstr pass every serious training-data pipeline runs):
@@ -8571,6 +8677,7 @@ QUERIES = {
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
     "substring_dedup": substring_dedup,
+    "temperature_mix": temperature_mix,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
