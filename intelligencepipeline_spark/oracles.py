@@ -2700,6 +2700,38 @@ FROM quotas qq LEFT JOIN picked p USING (source)
 ORDER BY source
 """
 
+# Range-partition planning replayed: same md5-bucket sample, same
+# discrete rank selection (greatest(1, i*n//8), fully tied-down
+# order), correlated boundary count per row, same rollup.
+ORACLES["range_partition_plan"] = """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE cast(concat('0x', substr(md5(concat(
+      cast(l_orderkey as varchar), '-', cast(l_linenumber as varchar)
+    )), 1, 8)) as bigint) % 100 < 20
+), n AS (
+  SELECT count(*) AS c FROM s
+), rk AS (
+  SELECT l_extendedprice AS v,
+    row_number() OVER (
+      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM s
+), rset AS (
+  SELECT DISTINCT greatest(1, (i * c) // 8) AS r
+  FROM n, unnest(range(1, 8)) AS u(i)
+), b AS (
+  SELECT rk.v AS bv FROM rk JOIN rset ON rk.rn = rset.r
+), asg AS (
+  SELECT l.l_extendedprice AS v,
+    (SELECT count(*) FROM b WHERE b.bv <= l.l_extendedprice) AS pid
+  FROM lineitem l
+)
+SELECT cast(pid as bigint) AS pid, cast(count(*) as bigint) AS n_rows,
+  min(v) AS min_value, max(v) AS max_value
+FROM asg GROUP BY pid ORDER BY pid
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

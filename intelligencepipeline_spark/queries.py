@@ -8113,6 +8113,74 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-PARTITION planning — the primitive under every 100 TB
+    global sort / sorted write (Spark's RangePartitioner, TeraSort's
+    sampler): pick P-1 boundary values from a bounded deterministic
+    sample so the P ranges are equi-depth, then assign every row its
+    partition expression-side and prove balance. Sample = the
+    md5-bucket row predicate (rides the scan — no sort, no shuffle to
+    sample); boundaries = the sample values at ranks floor(i*n/P)
+    under a fully-tied-down order (value, orderkey, linenumber) —
+    DISCRETE rank selection, no quantile interpolation (the
+    engine-portability rule). Only P-1 values cross the driver.
+    Assignment is a literal-boundary comparison sum (codegen, no
+    join); the exported per-partition counts and min/max prove the
+    equi-depth shape AND pin every row's routing — one row in the
+    wrong range breaks min/max.
+
+    The oracle replays the sample predicate, the rank selection, a
+    correlated boundary count per row, and the same rollup."""
+    P = 8
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    samp = li.filter(bucket < 20)
+    n_s = samp.count()  # one bounded scalar to the driver
+    ranks = {max(1, (i * n_s) // P) for i in range(1, P)}
+    rw = Window.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    bounds = sorted(
+        r.l_extendedprice
+        for r in samp.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn").isin(sorted(ranks)))
+        .select("l_extendedprice")
+        .collect()
+    )  # P-1 doubles — the whole driver payload
+    pid = sum(
+        (F.col("l_extendedprice") >= F.lit(float(b))).cast("int")
+        for b in bounds
+    ).cast("long")
+    return (
+        li.groupBy(pid.alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("min_value"),
+            F.max("l_extendedprice").alias("max_value"),
+        )
+        .orderBy("pid")
+    )
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEMPERATURE-scaled source mixing — the pretraining mixture
     recipe (GPT-3 §2.2 / PaLM-style): sources are sampled
@@ -8678,6 +8746,7 @@ QUERIES = {
     "ivfpq_residual_topk": ivfpq_residual_topk,
     "substring_dedup": substring_dedup,
     "temperature_mix": temperature_mix,
+    "range_partition_plan": range_partition_plan,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
