@@ -1,0 +1,83 @@
+"""Mergeable quantile sketch — the bottom-k rank sample (Cohen &
+Kaplan 2007, "Summarizing data using bottom-k sketches"), completing
+the mergeable-sketch family (HLL distinct counts, Count-Min
+frequencies, Bloom membership, Misra-Gries heavy hitters — and now
+quantiles).
+
+Every row gets a deterministic pseudo-random RANK = md5(key); the
+sketch of a dataset is the k rows with the smallest ranks — a uniform
+k-sample that is
+
+* MERGEABLE: sketch(A ∪ B) = bottom-k(sketch(A) ∪ sketch(B)) — the
+  defining property, what lets per-partition / per-day / per-source
+  sketches roll up without touching raw data again (proven exactly by
+  tests/test_quantile_sketch.py);
+* DETERMINISTIC: md5 ranks, so the same data yields the same sketch on
+  any engine, partitioning, or run — unlike seeded reservoir sampling,
+  and unlike KLL/t-digest whose compactions are randomized or
+  merge-order dependent;
+* BOUNDED: k rows regardless of data size; the standard rank-error
+  bound for a uniform k-sample gives |est_rank/n - q| = O(1/sqrt(k))
+  with high probability.
+
+The q-quantile estimate is the sample value at rank
+max(1, ceil(q*k)) under a fully-tied-down (value, key) order —
+DISCRETE selection, no interpolation (the engine-portability rule
+every green entry follows).
+
+Scale shape: computing the sketch is ONE TakeOrdered(k) by rank —
+per-partition heaps + a driver merge of k rows per partition, no
+shuffle of the data. The accuracy audit (exact rank of each estimate)
+is one broadcast of the tiny estimate list + a conditional-count agg
+over the corpus — one scan, map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rank_col(key: Column) -> Column:
+    """The sketch rank: md5 of the row key (hex string — lexicographic
+    order is the rank order; no integer truncation, so no collisions
+    beyond md5's)."""
+    return F.md5(key.cast("string"))
+
+
+def bottomk_sketch(
+    df: DataFrame, key: Column, value_col: str, k: int = 256
+) -> DataFrame:
+    """The bottom-k sketch of ``df``: (rank, value) for the k smallest
+    ranks. One TakeOrdered(k) — no shuffle."""
+    return (
+        df.select(rank_col(key).alias("rank"), F.col(value_col))
+        .orderBy("rank")
+        .limit(k)
+    )
+
+
+def merge_sketches(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """sketch(A) ⊕ sketch(B): union, keep the k smallest ranks."""
+    return a.unionByName(b).orderBy("rank").limit(k)
+
+
+def sketch_quantiles(
+    sketch: DataFrame, qs: list[float], value_col: str, k: int
+) -> list[tuple[float, float]]:
+    """(q, estimate) for each q: the sample value at discrete rank
+    max(1, ceil(q*k)) under (value, rank) order. The sketch is <= k
+    rows, so this is a driver-side sort of a bounded list."""
+    import math
+
+    rows = sorted(
+        (r[value_col], r["rank"]) for r in sketch.collect()
+    )
+    n = len(rows)
+    out = []
+    for q in qs:
+        # one IEEE product then ceil — the same double math a SQL
+        # replay (ceil(q * k)) performs, so ranks agree bit-for-bit
+        r = min(n, max(1, math.ceil(q * k)))
+        out.append((q, rows[r - 1][0]))
+    return out

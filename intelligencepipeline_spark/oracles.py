@@ -2732,6 +2732,37 @@ SELECT cast(pid as bigint) AS pid, cast(count(*) as bigint) AS n_rows,
 FROM asg GROUP BY pid ORDER BY pid
 """
 
+# Bottom-k quantile sketch replayed: same md5 ranks, same LIMIT-k
+# sketch, same discrete ceil(q*k) selection under (value, rank)
+# order, same corpus-wide exact-rank audit.
+ORACLES["quantile_sketch_audit"] = """
+WITH sk AS (
+  SELECT md5(cast(event_id as varchar)) AS rank, value
+  FROM events ORDER BY rank LIMIT 256
+), ordered AS (
+  SELECT value, row_number() OVER (ORDER BY value, rank) AS rn FROM sk
+), nsk AS (
+  SELECT count(*) AS c FROM sk
+), qs AS (
+  SELECT cast(q as double) AS q
+  FROM (VALUES (0.01),(0.05),(0.25),(0.5),(0.75),(0.95),(0.99)) AS v(q)
+), est AS (
+  SELECT q,
+    (SELECT value FROM ordered, nsk
+     WHERE rn = least(c, greatest(1, cast(ceil(q * 256) as bigint))))
+    AS est
+  FROM qs
+)
+SELECT e.q, e.est,
+  cast(sum(CASE WHEN ev.value < e.est THEN 1 ELSE 0 END) as bigint)
+    AS exact_lt,
+  cast(sum(CASE WHEN ev.value <= e.est THEN 1 ELSE 0 END) as bigint)
+    AS exact_le,
+  cast(count(*) as bigint) AS n
+FROM est e, events ev
+GROUP BY 1, 2 ORDER BY q
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

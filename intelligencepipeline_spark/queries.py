@@ -8113,6 +8113,50 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE sketch (operators/quantile_sketch.py — the
+    bottom-k rank sample, Cohen & Kaplan 2007), completing the
+    mergeable-sketch family (HLL / CMS / Bloom / Misra-Gries /
+    quantiles): the 256 events with the smallest md5(event_id) ranks
+    are a deterministic uniform sample; the q-quantile estimate is the
+    sample value at discrete rank ceil(q*256). Unlike KLL/t-digest the
+    sketch is bit-deterministic on any engine or partitioning, and
+    merge = union + keep-k (exact mergeability is unit-test pinned).
+    This entry AUDITS the estimates against the full corpus: for each
+    q, the exact < / <= ranks of the estimated value — the honest
+    accuracy statement a monitoring deployment wants (a uniform
+    256-sample pins rank error to O(1/sqrt(256)) ~ 6%).
+
+    Scale: the sketch is one TakeOrdered(256) by rank (per-partition
+    heaps, no shuffle); the audit broadcasts 7 estimate literals and
+    makes one conditional-count pass (map-side combinable to 7 rows)."""
+    from intelligencepipeline_spark.operators.quantile_sketch import (
+        bottomk_sketch,
+        sketch_quantiles,
+    )
+
+    K = 256
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    sk = bottomk_sketch(ev, F.col("event_id"), "value", k=K)
+    ests = sketch_quantiles(sk, qs, "value", K)
+    lits = spark.createDataFrame(ests, "q double, est double")
+    return (
+        ev.crossJoin(F.broadcast(lits))
+        .groupBy("q", "est")
+        .agg(
+            F.sum((F.col("value") < F.col("est")).cast("long")).alias(
+                "exact_lt"
+            ),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias(
+                "exact_le"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("q")
+    )
+
+
 def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-PARTITION planning — the primitive under every 100 TB
     global sort / sorted write (Spark's RangePartitioner, TeraSort's
@@ -8747,6 +8791,7 @@ QUERIES = {
     "substring_dedup": substring_dedup,
     "temperature_mix": temperature_mix,
     "range_partition_plan": range_partition_plan,
+    "quantile_sketch_audit": quantile_sketch_audit,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

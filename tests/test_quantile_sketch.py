@@ -1,0 +1,61 @@
+"""Bottom-k quantile sketch: exact mergeability, determinism, and the
+rank-error bound on real data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.quantile_sketch import (
+    bottomk_sketch,
+    merge_sketches,
+    sketch_quantiles,
+)
+from intelligencepipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return load_table(spark, SF, "events").select("event_id", "value")
+
+
+def _rows(df):
+    return sorted((r.rank, r.value) for r in df.collect())
+
+
+def test_mergeability_exact(spark, ev):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the defining
+    property, exact to the row."""
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    whole = bottomk_sketch(ev, F.col("event_id"), "value", k=64)
+    merged = merge_sketches(
+        bottomk_sketch(a, F.col("event_id"), "value", k=64),
+        bottomk_sketch(b, F.col("event_id"), "value", k=64),
+        k=64,
+    )
+    assert _rows(whole) == _rows(merged)
+
+
+def test_deterministic_across_partitionings(spark, ev):
+    one = bottomk_sketch(ev.coalesce(1), F.col("event_id"), "value", k=64)
+    many = bottomk_sketch(
+        ev.repartition(16), F.col("event_id"), "value", k=64
+    )
+    assert _rows(one) == _rows(many)
+
+
+def test_sketch_bounded(spark, ev):
+    assert bottomk_sketch(ev, F.col("event_id"), "value", k=32).count() == 32
+
+
+def test_quantile_estimates_within_rank_error(spark, ev):
+    """The uniform-sample bound: for k=256, observed rank error on the
+    real events table should sit well inside ~4/sqrt(k)=0.25 (loose so
+    it can't flake; the catalog entry's oracle is the exact pin)."""
+    k = 256
+    sk = bottomk_sketch(ev, F.col("event_id"), "value", k=k)
+    n = ev.count()
+    for q, est in sketch_quantiles(sk, [0.25, 0.5, 0.75], "value", k):
+        lt = ev.filter(F.col("value") < est).count()
+        assert abs(lt / n - q) < 0.25, (q, est, lt / n)
