@@ -2763,6 +2763,51 @@ FROM est e, events ev
 GROUP BY 1, 2 ORDER BY q
 """
 
+# Bottom-k sketch rollup replayed level by level: day sketches from
+# the scan, type sketches from day-sketch rows only, in-plan median at
+# rank least(c, 32), digest over the merged ranks.
+ORACLES["quantile_sketch_rollup"] = """
+WITH ev AS (
+  SELECT event_type, cast(ts as date) AS day,
+    md5(cast(event_id as varchar)) AS rank, value
+  FROM events
+), day_sk AS (
+  SELECT * FROM (
+    SELECT event_type, day, rank, value,
+      row_number() OVER (PARTITION BY event_type, day ORDER BY rank)
+        AS rn
+    FROM ev) WHERE rn <= 64
+), type_sk AS (
+  SELECT * FROM (
+    SELECT event_type, day, rank, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY rank) AS rn
+    FROM day_sk) WHERE rn <= 64
+), med AS (
+  SELECT event_type, value AS median_est FROM (
+    SELECT event_type, value, rank,
+      row_number() OVER (PARTITION BY event_type ORDER BY value, rank)
+        AS vrn,
+      count(*) OVER (PARTITION BY event_type) AS c
+    FROM type_sk)
+  WHERE vrn = least(c, 32)
+), per_type AS (
+  SELECT event_type,
+    cast(count(DISTINCT day) as bigint) AS n_days,
+    cast(count(*) as bigint) AS sketch_rows,
+    md5(string_agg(rank, ',' ORDER BY rank)) AS sketch_digest
+  FROM type_sk GROUP BY 1
+), day_rows AS (
+  SELECT event_type, cast(count(*) as bigint) AS day_sketch_rows
+  FROM day_sk GROUP BY 1
+)
+SELECT p.event_type, p.n_days, d.day_sketch_rows, p.sketch_rows,
+  m.median_est, p.sketch_digest
+FROM per_type p
+JOIN day_rows d USING (event_type)
+JOIN med m USING (event_type)
+ORDER BY p.event_type
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

@@ -8157,6 +8157,77 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketches used the way mergeable sketches earn
+    their keep at 100 TB — a ROLLUP where each level is built ONLY
+    from the sketches below it, never from raw data again (the
+    hll_mergeable_rollup pattern, now for quantiles): per
+    (event_type, day) 64-sketches from the events scan, then
+    type-level sketches merged from the day sketches (union + keep-k
+    per type = one window rank over day-sketch rows), and the
+    type-level median read directly IN-PLAN at discrete rank
+    ceil(0.5*k) — no driver-side sketch math anywhere. Exports per
+    type the day/sketch row counts, the median estimate, and the md5
+    digest of the merged sketch's ranks — one wrong row at ANY level
+    breaks the digest.
+
+    Scale: level 1 is one keyed window over the scan; level 2 runs on
+    day-sketch rows only (bounded by k * #groups, corpus-independent)
+    — exactly why mergeable sketches beat re-scans for hierarchical
+    monitoring."""
+    K = 64
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.md5(F.col("event_id").cast("string")).alias("rank"),
+        "value",
+    )
+    day_w = Window.partitionBy("event_type", "day").orderBy("rank")
+    day_sk = ev.withColumn("rn", F.row_number().over(day_w)).filter(
+        F.col("rn") <= K
+    )
+    type_w = Window.partitionBy("event_type").orderBy("rank")
+    type_sk = (
+        day_sk.select("event_type", "day", "rank", "value")
+        .withColumn("rn", F.row_number().over(type_w))
+        .filter(F.col("rn") <= K)
+    )
+    val_w = Window.partitionBy("event_type").orderBy("value", "rank")
+    cnt_w = Window.partitionBy("event_type")
+    med = (
+        type_sk.withColumn("vrn", F.row_number().over(val_w))
+        .withColumn("c", F.count(F.lit(1)).over(cnt_w))
+        .withColumn(
+            "target", F.least(F.col("c"), F.lit(K // 2))
+        )
+        .filter(F.col("vrn") == F.col("target"))
+        .select("event_type", F.col("value").alias("median_est"))
+    )
+    per_type = type_sk.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days"),
+        F.count(F.lit(1)).alias("sketch_rows"),
+        F.md5(F.array_join(F.array_sort(F.collect_list("rank")), ",")).alias(
+            "sketch_digest"
+        ),
+    )
+    day_rows = day_sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("day_sketch_rows")
+    )
+    return (
+        per_type.join(day_rows, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "day_sketch_rows",
+            "sketch_rows",
+            "median_est",
+            "sketch_digest",
+        )
+        .orderBy("event_type")
+    )
+
+
 def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-PARTITION planning — the primitive under every 100 TB
     global sort / sorted write (Spark's RangePartitioner, TeraSort's
@@ -8792,6 +8863,7 @@ QUERIES = {
     "temperature_mix": temperature_mix,
     "range_partition_plan": range_partition_plan,
     "quantile_sketch_audit": quantile_sketch_audit,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
