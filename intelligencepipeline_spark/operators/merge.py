@@ -258,6 +258,125 @@ def compact_table(
     return len(counts)
 
 
+def purge_key(
+    spark,
+    table_path: str,
+    key: str,
+    values: list,
+) -> dict:
+    """Right-to-be-forgotten (GDPR art. 17) over a merge_upsert store:
+    remove every trace of ``values`` from the CURRENT SNAPSHOT, every
+    RETAINED HISTORICAL GENERATION, and the CHANGELOG — a tombstone
+    delete is not enough, because the changelog and retained versions
+    still replay the data.
+
+    Changelog: each committed ``v=`` dir containing a hit is rewritten
+    through a two-phase swap (write ``_purged-v=N`` with _SUCCESS →
+    rename old to ``_trash-v=N`` → rename staged into place → drop
+    trash). A crash at any point leaves either the old dir (purge
+    incomplete: re-run) or a completed staging dir; ``purge_key``
+    starts by finishing any interrupted swap, so re-running always
+    converges. Underscore prefixes keep trash/staging invisible to
+    ``read_changelog`` (it only reads ``v=`` dirs with _SUCCESS).
+
+    Snapshot: the buckets containing hits are rewritten WITHOUT the
+    purged rows through the normal manifest commit (atomic flip), then
+    ``vacuum_snapshot(keep_gens=1)`` drops every older generation and
+    manifest — retention is deliberately collapsed, because a retained
+    time-travel version that still serves the purged rows defeats the
+    purge.
+
+    Cost: O(changelog versions containing hits) + O(buckets containing
+    hits) — never a full-table rewrite; hit location is one filtered
+    scan each. Returns counts for auditability."""
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        commit_buckets,
+        read_snapshot,
+        snapshot_exists,
+        vacuum_snapshot,
+    )
+
+    vals = [v for v in values]
+    stats = {
+        "changelog_versions_rewritten": 0,
+        "changelog_rows_purged": 0,
+        "snapshot_buckets_rewritten": 0,
+        "snapshot_rows_purged": 0,
+    }
+
+    clog = os.path.join(table_path, "_changelog")
+    if os.path.isdir(clog):
+        # finish interrupted swaps / drop trash from a prior crash
+        for d in sorted(os.listdir(clog)):
+            p = os.path.join(clog, d)
+            if d.startswith("_trash-v="):
+                shutil.rmtree(p, ignore_errors=True)
+            elif d.startswith("_purged-v="):
+                final = os.path.join(clog, d[len("_purged-"):])
+                if os.path.exists(os.path.join(p, "_SUCCESS")) and not (
+                    os.path.exists(final)
+                ):
+                    os.rename(p, final)
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
+        for d in sorted(os.listdir(clog)):
+            if not d.startswith("v="):
+                continue
+            vdir = os.path.join(clog, d)
+            if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                continue  # uncommitted garbage — invisible to replay
+            try:
+                vdf = spark.read.parquet(vdir)
+            except Exception:
+                continue  # empty crashed dir: nothing to purge
+            hits = vdf.filter(F.col(key).isin(vals)).count()
+            if not hits:
+                continue
+            staged = os.path.join(clog, f"_purged-{d}")
+            shutil.rmtree(staged, ignore_errors=True)
+            vdf.filter(~F.col(key).isin(vals)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            trash = os.path.join(clog, f"_trash-{d}")
+            os.rename(vdir, trash)
+            os.rename(staged, vdir)
+            shutil.rmtree(trash, ignore_errors=True)
+            stats["changelog_versions_rewritten"] += 1
+            stats["changelog_rows_purged"] += hits
+
+    dt = _delta_table(spark, table_path)
+    if dt is not None:
+        quoted = ", ".join(repr(v) for v in vals)
+        dt.delete(f"{key} IN ({quoted})")
+        return stats
+
+    if snapshot_exists(table_path):
+        snap = read_snapshot(spark, table_path)
+        hit_rows = snap.filter(F.col(key).isin(vals))
+        touched = [
+            r[0] for r in hit_rows.select("bucket").distinct().collect()
+        ]
+        if touched:
+            stats["snapshot_rows_purged"] = hit_rows.count()
+            stats["snapshot_buckets_rewritten"] = len(touched)
+            remaining = snap.filter(
+                F.col("bucket").isin(touched) & ~F.col(key).isin(vals)
+            )
+            out_buckets = {
+                r[0] for r in remaining.select("bucket").distinct().collect()
+            }
+            commit_buckets(
+                table_path,
+                remaining,
+                touched,
+                drop_buckets=set(touched) - out_buckets,
+            )
+        # collapse retention: an older generation or manifest that can
+        # still serve the purged rows defeats the purge
+        vacuum_snapshot(table_path, keep_gens=1)
+    return stats
+
+
 def read_changelog(spark, table_path: str) -> DataFrame:
     """Replay the upsert history recorded by ``merge_upsert(...,
     changelog=True)``: every version of every key, with ``v`` (the

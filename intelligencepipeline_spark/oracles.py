@@ -2808,6 +2808,49 @@ JOIN med m USING (event_type)
 ORDER BY p.event_type
 """
 
+# GDPR purge replayed from raw events: batches = per-user folds of
+# the event_id halves, snapshot = batch-1 rows overriding batch-0,
+# changelog = both batches with v, purged users excised everywhere.
+ORACLES["forget_key_purge"] = """
+WITH b0 AS (
+  SELECT user_id, cast(count(*) as bigint) AS n_ev,
+    cast(sum(cast(floor(value) as bigint)) as bigint) AS v_sum
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+), b1 AS (
+  SELECT user_id, cast(count(*) as bigint) AS n_ev,
+    cast(sum(cast(floor(value) as bigint)) as bigint) AS v_sum
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+), snap AS (
+  SELECT * FROM b1
+  UNION ALL
+  SELECT * FROM b0 WHERE user_id NOT IN (SELECT user_id FROM b1)
+), snap_kept AS (
+  SELECT * FROM snap WHERE user_id NOT IN (0, 1, 2, 3, 4)
+), clog_kept AS (
+  SELECT 0 AS v, * FROM b0 WHERE user_id NOT IN (0, 1, 2, 3, 4)
+  UNION ALL
+  SELECT 1 AS v, * FROM b1 WHERE user_id NOT IN (0, 1, 2, 3, 4)
+)
+SELECT 'changelog' AS probe, cast(count(*) as bigint) AS n_rows,
+  cast(0 as bigint) AS purged_rows,
+  md5(string_agg(
+    concat(cast(v as varchar), ':', cast(user_id as varchar), ':',
+           cast(n_ev as varchar), ':', cast(v_sum as varchar)), '|'
+    ORDER BY concat(cast(v as varchar), ':', cast(user_id as varchar),
+      ':', cast(n_ev as varchar), ':', cast(v_sum as varchar))))
+  AS digest
+FROM clog_kept
+UNION ALL
+SELECT 'snapshot', cast(count(*) as bigint), cast(0 as bigint),
+  md5(string_agg(
+    concat(cast(user_id as varchar), ':', cast(n_ev as varchar), ':',
+           cast(v_sum as varchar)), '|'
+    ORDER BY concat(cast(user_id as varchar), ':',
+      cast(n_ev as varchar), ':', cast(v_sum as varchar))))
+FROM snap_kept
+ORDER BY probe
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

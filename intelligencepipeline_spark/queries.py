@@ -8157,6 +8157,83 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forget_key_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN (GDPR art. 17) end to end on the merge
+    store (operators/merge.purge_key): two changelog-tracked merges
+    build per-user state, then users 0-4 are purged — from the CURRENT
+    snapshot, from every RETAINED GENERATION (retention is collapsed:
+    a time-travel version that still serves the data defeats the
+    purge), and from the CHANGELOG history via crash-safe two-phase
+    dir swaps (a tombstone delete is NOT enough; the changelog would
+    replay the user). Exports one probe row each for the read-back
+    snapshot and changelog: row count, purged-key occurrences (must be
+    0), and a full-content digest — the oracle recomputes both from
+    the raw events with the purged users excised, so a single
+    surviving or lost row anywhere breaks the hash.
+
+    Scale: purge cost is O(changelog versions with hits) + O(buckets
+    with hits), never a table rewrite; the two merges are the normal
+    incremental path."""
+    import os
+
+    from intelligencepipeline_spark.operators.merge import (
+        merge_upsert,
+        purge_key,
+        read_changelog,
+        read_merged,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def batch(h: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_id") % 2 == h)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_ev"),
+                F.sum(F.floor("value").cast("long")).alias("v_sum"),
+            )
+        )
+
+    table = os.path.join(scratch_dir("ip_purge_"), "t")
+    merge_upsert(batch(0), table, key="user_id", n_buckets=8, changelog=True)
+    merge_upsert(batch(1), table, key="user_id", n_buckets=8, changelog=True)
+    purged = [0, 1, 2, 3, 4]
+    purge_key(spark, table, "user_id", purged)
+
+    snap = read_merged(spark, table)
+    clog = read_changelog(spark, table)
+
+    def probe(df: DataFrame, name: str, with_v: bool) -> DataFrame:
+        parts = (
+            [F.col("v").cast("string")] if with_v else []
+        ) + [
+            F.col("user_id").cast("string"),
+            F.col("n_ev").cast("string"),
+            F.col("v_sum").cast("string"),
+        ]
+        return df.select(
+            F.lit(name).alias("probe"),
+            F.lit(1).alias("one"),
+            F.col("user_id"),
+            F.concat_ws(":", *parts).alias("line"),
+        ).groupBy("probe").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("user_id").isin(purged).cast("long")
+            ).alias("purged_rows"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("line")), "|")
+            ).alias("digest"),
+        )
+
+    return (
+        probe(clog, "changelog", with_v=True)
+        .unionByName(probe(snap, "snapshot", with_v=False))
+        .orderBy("probe")
+    )
+
+
 def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketches used the way mergeable sketches earn
     their keep at 100 TB — a ROLLUP where each level is built ONLY
@@ -8864,6 +8941,7 @@ QUERIES = {
     "range_partition_plan": range_partition_plan,
     "quantile_sketch_audit": quantile_sketch_audit,
     "quantile_sketch_rollup": quantile_sketch_rollup,
+    "forget_key_purge": forget_key_purge,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

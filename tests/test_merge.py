@@ -302,3 +302,85 @@ def test_vacuum_sweeps_orphaned_legacy_files(spark, tdir):
     assert not os.path.exists(loose_file)
     assert not os.path.exists(loose_dir)
     assert _snap(spark, tdir) == before  # readers unaffected
+
+
+def test_purge_key_removes_all_traces(spark, tdir):
+    """GDPR purge: snapshot, changelog, AND retained generations lose
+    the key; everything else is untouched; re-running is a no-op."""
+    from intelligencepipeline_spark.operators.merge import (
+        purge_key,
+        read_changelog,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, v string, ts long",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "k long, v string, ts long"
+    )
+    merge_upsert(b1, tdir, key="k", n_buckets=4, changelog=True)
+    merge_upsert(b2, tdir, key="k", n_buckets=4, changelog=True)
+
+    stats = purge_key(spark, tdir, "k", [2, 3])
+    assert stats["changelog_rows_purged"] == 3  # k=2 twice, k=3 once
+    assert stats["snapshot_rows_purged"] == 2
+    snap = _snap(spark, tdir)
+    assert set(snap) == {1, 4}
+    clog = read_changelog(spark, tdir)
+    assert clog.filter("k in (2, 3)").count() == 0
+    assert clog.count() == 2  # k=1 (v0) and k=4 (v1) survive
+    # idempotent
+    again = purge_key(spark, tdir, "k", [2, 3])
+    assert again["changelog_rows_purged"] == 0
+    assert again["snapshot_rows_purged"] == 0
+    assert _snap(spark, tdir) == snap
+
+
+def test_purge_key_recovers_interrupted_swap(spark, tdir):
+    """A staged-but-unswapped changelog rewrite (crash after the old
+    dir went to trash) is finished by the next purge_key call."""
+    from intelligencepipeline_spark.operators.merge import (
+        purge_key,
+        read_changelog,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, ts long"
+    )
+    merge_upsert(b1, tdir, key="k", n_buckets=4, changelog=True)
+    clog = os.path.join(tdir, "_changelog")
+    # simulate the crash window: staged purged dir complete, old dir
+    # moved to trash, final rename never happened
+    spark.read.parquet(os.path.join(clog, "v=0")).filter(
+        "k <> 2"
+    ).coalesce(1).write.parquet(os.path.join(clog, "_purged-v=0"))
+    os.rename(
+        os.path.join(clog, "v=0"), os.path.join(clog, "_trash-v=0")
+    )
+    stats = purge_key(spark, tdir, "k", [2])
+    clog_df = read_changelog(spark, tdir)
+    assert clog_df.filter("k = 2").count() == 0
+    assert clog_df.count() == 1
+    assert not any(
+        d.startswith(("_purged-", "_trash-")) for d in os.listdir(clog)
+    )
+    assert stats["snapshot_rows_purged"] == 1
+    assert set(_snap(spark, tdir)) == {1}
+
+
+def test_purge_key_collapses_time_travel_retention(spark, tdir):
+    """After a purge no retained manifest version can serve the purged
+    rows (vacuum to keep_gens=1 is part of the purge contract)."""
+    from intelligencepipeline_spark.operators.merge import purge_key
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        snapshot_versions,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, ts long"
+    )
+    merge_upsert(b1, tdir, key="k", n_buckets=4)
+    purge_key(spark, tdir, "k", [2])
+    assert len(snapshot_versions(tdir)) == 1
+    assert set(_snap(spark, tdir)) == {1}
