@@ -4722,6 +4722,77 @@ WITH {_KMEANS_8_2}, re AS (
 SELECT vec_id, cell, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
 """
 
+# PNG resize replayed: out(y,x) = src((y*4)//3, (x*4)//3) — source
+# row/col 3 dropped; sampled byte index = sy*12 + sx*3 + c over the
+# 48 md5 hex pairs; channel = i % 3 (RGB, top-down).
+ORACLES["png_resize_audit"] = """
+WITH hx AS (
+  SELECT doc_id,
+    md5(text) || md5(text || 'x') || md5(text || 'y') AS hs
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    cast(((oy * 4) // 3) * 12 + ((ox * 4) // 3) * 3 + c as bigint) AS i,
+    cast(c as bigint) AS c
+  FROM hx,
+    unnest(range(0, 3)) AS a(oy),
+    unnest(range(0, 3)) AS bx(ox),
+    unnest(range(0, 3)) AS cc(c)
+), s AS (
+  SELECT g.doc_id, g.i, g.c,
+    cast(concat('0x', substr(h.hs, cast(2 * g.i + 1 as int), 2))
+      as bigint) AS v
+  FROM g JOIN hx h USING (doc_id)
+)
+SELECT doc_id,
+  'image/png' AS mime,
+  cast(3 as bigint) AS out_width,
+  cast(3 as bigint) AS out_height,
+  cast(3 as bigint) AS width,
+  cast(3 as bigint) AS height,
+  cast(sum(CASE WHEN c = 0 THEN v END) as bigint) AS sum_r,
+  cast(sum(CASE WHEN c = 1 THEN v END) as bigint) AS sum_g,
+  cast(sum(CASE WHEN c = 2 THEN v END) as bigint) AS sum_b,
+  cast(min(v) as bigint) AS px_min,
+  cast(max(v) as bigint) AS px_max,
+  cast(max(CASE WHEN i = 0 THEN v END) as bigint) AS topleft_r
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+# WAV decimation replayed: kept sample j = original sample 2j =
+# int16 LE from hex pairs 4*(2j) and 4*(2j)+2 of md5(text) (stride 8
+# in hex chars), sign-extended; rate halves, 60-byte output (44-byte
+# header + 8 bytes).
+ORACLES["wav_resample_audit"] = """
+WITH hx AS (
+  SELECT doc_id, md5(text) AS hs FROM documents
+), s AS (
+  SELECT doc_id, cast(j as bigint) AS j,
+    cast(concat('0x', substr(hs, cast(8 * j + 1 as int), 2)) as bigint)
+      + 256 * cast(concat('0x', substr(hs, cast(8 * j + 3 as int), 2))
+        as bigint) AS raw
+  FROM hx, unnest(range(0, 4)) AS u(j)
+), v AS (
+  SELECT doc_id, j,
+    raw - CASE WHEN raw >= 32768 THEN 65536 ELSE 0 END AS v
+  FROM s
+)
+SELECT doc_id,
+  'audio/wav' AS mime,
+  cast(4000 as bigint) AS out_rate,
+  cast(4 as bigint) AS out_samples,
+  cast(52 as bigint) AS n_bytes,
+  cast(4000 as bigint) AS sample_rate,
+  cast(1 as bigint) AS n_channels,
+  cast(4 as bigint) AS n_samples,
+  cast(sum(v) as bigint) AS sum_s,
+  cast(min(v) as bigint) AS s_min,
+  cast(max(v) as bigint) AS s_max,
+  cast(max(CASE WHEN j = 0 THEN v END) as bigint) AS first_s,
+  cast(max(CASE WHEN j = 3 THEN v END) as bigint) AS last_s
+FROM v GROUP BY doc_id ORDER BY doc_id
+"""
+
 # Real BMP decode replayed from the md5 hex digits that built the
 # pixels: byte i of the 24-byte pixel payload is hex pair i of
 # md5(text) || md5(text||'x')[:16]. Channel c = positions with

@@ -8547,6 +8547,143 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def png_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG RESIZE path, hash-checked end to end (the PNG analog
+    of bmp_resize_audit): the md5-pixel 4x4 PNG — encoded with all
+    four non-trivial scanline filters — is aspect-fit into 3x3, so the
+    nearest-neighbor map out(y,x) = src((y*4)//3, (x*4)//3) DROPS
+    source row/col 3, then the resized bytes (filter-0 re-encode) are
+    decoded again by the production extractor. The oracle replays the
+    sampling grid against the md5 hex digits: a filter-reversal bug, a
+    wrong grid index, or a re-encode row/channel-order bug all break
+    the hash. Compressed size not exported (zlib-build detail)."""
+    import hashlib
+
+    import pandas as pd
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        encode_png,
+        extract_media_features,
+        resize_images,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                raw = (
+                    hashlib.md5(t).digest()
+                    + hashlib.md5(t + b"x").digest()
+                    + hashlib.md5(t + b"y").digest()
+                )
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4, 3)
+                media.append(encode_png(px, filters=[1, 2, 3, 4]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (
+        docs.select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, media binary")
+        .select(
+            "doc_id",
+            "media",
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.lit(4).cast("int").alias("width"),
+                F.lit(4).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("int").alias("sample_rate"),
+            ).alias("media_meta"),
+        )
+    )
+    resized = resize_images(media, target_w=3, target_h=3, media_col="media")
+    feats = extract_media_features(
+        resized.select("doc_id", F.col("resized").alias("media")), "media"
+    )
+    comp = [
+        ("width", 1), ("height", 2), ("sum_r", 3), ("sum_g", 4),
+        ("sum_b", 5), ("px_min", 6), ("px_max", 7), ("topleft_r", 8),
+    ]
+    return (
+        feats.join(
+            resized.select("doc_id", "out_width", "out_height"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "mime",
+            F.col("out_width").cast("long").alias("out_width"),
+            F.col("out_height").cast("long").alias("out_height"),
+            *[
+                F.element_at("feature", i).cast("long").alias(name)
+                for name, i in comp
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def wav_resample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio RESAMPLE path, hash-checked end to end: the
+    md5-sample 8-sample PCM16 WAV is DECIMATED by 2
+    (functions/multimodal.resample_audio: decode → every 2nd sample →
+    re-encode at 4 kHz), then the resampled bytes are decoded again by
+    the production extractor. Kept samples are the EVEN-indexed
+    originals, so the oracle replays them straight from the md5 hex
+    pairs at stride 8 — an off-by-one in the decimation index, a rate
+    drift, or a re-encode endianness bug breaks the hash. (Naive
+    decimation by design — a production resampler adds an anti-alias
+    filter; the codec round-trip and Spark plumbing are what's real.)"""
+    import struct
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        extract_media_features,
+        resample_audio,
+    )
+
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + 16, b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", 16,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(F.lit(header), F.unhex(F.md5(F.col("text")))).alias(
+            "media"
+        ),
+    )
+    resampled = resample_audio(media, factor=2, media_col="media")
+    feats = extract_media_features(
+        resampled.select("doc_id", F.col("resampled").alias("media")),
+        "media",
+    )
+    comp = [
+        ("sample_rate", 1), ("n_channels", 2), ("n_samples", 3),
+        ("sum_s", 4), ("s_min", 5), ("s_max", 6), ("first_s", 7),
+        ("last_s", 8),
+    ]
+    return (
+        feats.join(
+            resampled.select("doc_id", "out_rate", "out_samples"), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "mime",
+            F.col("out_rate").cast("long").alias("out_rate"),
+            F.col("out_samples").cast("long").alias("out_samples"),
+            "n_bytes",
+            *[
+                F.element_at("feature", i).cast("long").alias(name)
+                for name, i in comp
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
 def kafka_timestamp_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (record-timestamp pairing) proven hermetically: a
     Kafka-wire-shaped frame — 8-byte big-endian Long key, JSON value
@@ -8942,6 +9079,8 @@ QUERIES = {
     "quantile_sketch_audit": quantile_sketch_audit,
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "forget_key_purge": forget_key_purge,
+    "png_resize_audit": png_resize_audit,
+    "wav_resample_audit": wav_resample_audit,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -403,3 +403,37 @@ def test_png_decode_features_and_resize(spark):
     w2, h2, got = decode_png(bytes(out.resized))
     xs = (np.arange(2) * 4) // 2
     assert (got == px[xs][:, xs]).all()
+
+
+def test_wav_encode_decode_roundtrip_and_decimation(spark):
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    samples = np.array([100, -200, 300, -400, 500, -600], dtype="<i2")
+    blob = encode_wav(8000, samples)
+    rate, n_ch, got = decode_wav(blob)
+    assert (rate, n_ch) == (8000, 1)
+    assert np.array_equal(got, samples)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, media binary"
+    )
+    out = resample_audio(df, factor=2).collect()[0]
+    assert (out.out_rate, out.out_samples) == (4000, 3)
+    r2, _, dec = decode_wav(bytes(out.resampled))
+    assert r2 == 4000
+    assert np.array_equal(dec, samples[::2])
+    # stereo decimation keeps frames, not raw interleaved positions
+    stereo = encode_wav(8000, samples, n_channels=2)  # 3 frames
+    df2 = spark.createDataFrame(
+        [(2, bytearray(stereo))], "doc_id long, media binary"
+    )
+    out2 = resample_audio(df2, factor=2).collect()[0]
+    _, ch2, dec2 = decode_wav(bytes(out2.resampled))
+    assert ch2 == 2
+    assert np.array_equal(dec2, samples.reshape(-1, 2)[::2].reshape(-1))
