@@ -66,7 +66,7 @@ def main() -> None:
     # measures the steady-state probe path, run-to-run comparable.
     for name in (
         "ann_ivf_topk", "pq_ann_topk", "ivfpq_ann_topk",
-        "ivfpq_residual_topk",
+        "ivfpq_residual_topk", "ivfpq_incremental",
     ):
         if name in QUERIES and (not only or name in only):
             run_one(name)

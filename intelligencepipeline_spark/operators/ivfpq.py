@@ -60,6 +60,7 @@ def ivfpq_index_integer(
     vec_col: str = "embedding",
     cache_root: str | None = None,
     residual: bool = False,
+    sig_extra: str = "",
 ) -> tuple[dict[int, list[int]], dict[int, dict[int, list[int]]], DataFrame]:
     """Build (or load) the fit-once IVFPQ index. Returns
     ``(coarse_centroids, pq_codebooks, table)`` where table =
@@ -132,9 +133,12 @@ def ivfpq_index_integer(
     if cache_root is None:
         return build()
 
+    # sig_extra disambiguates indexes built over a FILTERED view of
+    # the same files (inputFiles alone would collide the cache keys)
     sig_parts = [
         f"ivfpq,kc={k_coarse}", f"m={m}", f"kpq={k_pq}",
         f"it={iters}", f"s={SCALE}", f"res={int(residual)}",
+        f"x={sig_extra}",
     ]
     for path in sorted(embeddings.inputFiles()):
         if path.startswith("file:"):
@@ -273,3 +277,33 @@ def ivfpq_topk_integer(
         ).alias("d2"),
     )
     return exact.orderBy(F.asc("d2"), F.asc(id_col)).limit(topk)
+
+
+def ivfpq_append_integer(
+    new_vectors: DataFrame,
+    coarse: dict[int, list[int]],
+    codebooks: dict[int, dict[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL index maintenance — the operation a live 100 TB ANN
+    deployment runs every ingest batch: new vectors enter an EXISTING
+    index by (1) coarse-assigning to the fitted cells and (2)
+    PQ-encoding under the fitted codebooks — both expression-only
+    projections over the new batch (codegen, no shuffle, no refit, no
+    touch of the existing table). Returns (id, qvec, codes, cell) rows
+    appendable to the index table (at rest: write them into the
+    matching cell partitions). Quantizer drift is the operational
+    trade: refit on a cadence, not per batch — faiss's own guidance."""
+    from intelligencepipeline_spark.operators.kmeans import assign_clusters
+    from intelligencepipeline_spark.operators.pq import pq_encode_integer
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    q = new_vectors.select(
+        F.col(id_col).alias(id_col), quantize(F.col(vec_col)).alias("qvec")
+    )
+    assigned = assign_clusters(q, coarse, id_col)
+    coded = pq_encode_integer(assigned.select(id_col, "qvec"), codebooks, id_col)
+    return coded.join(
+        assigned.select(id_col, F.col("cluster").alias("cell")), id_col
+    )

@@ -194,6 +194,41 @@ def pq_index(
     return cbs, spark.read.parquet(table_path)
 
 
+def pq_encode_integer(
+    q: DataFrame,
+    codebooks: dict[int, dict[int, list[int]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode (id, qvec) rows under FIXED literal integer codebooks:
+    one expression-only projection computing every subspace's code
+    (m·k integer folds over literal centroids — pure codegen, no UDF,
+    no shuffle; argmin ties to the smaller centroid id). This is both
+    pq_fit_integer's assignment step and the standalone APPEND path —
+    new vectors enter an existing index through exactly this function,
+    no refit."""
+    from intelligencepipeline_spark.operators.kmeans import _sq_dist
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist(sub, codebooks[j][c]).alias("dist2"),
+                    F.lit(int(c)).alias("cluster"),
+                )
+                for c in range(k)
+            ]
+        )
+        code_cols.append(F.array_min(cands)["cluster"])
+    return q.select(
+        id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
 def pq_fit_integer(
     embeddings: DataFrame,
     m: int = 8,
@@ -223,7 +258,6 @@ def pq_fit_integer(
     ``pre_quantized=True`` treats ``vec_col`` as an already-integer
     ``array<long>`` (e.g. IVF residuals) and skips the quantize step.
     """
-    from intelligencepipeline_spark.operators.kmeans import _sq_dist
     from intelligencepipeline_spark.operators.similarity import quantize
 
     if dim % m:
@@ -233,22 +267,7 @@ def pq_fit_integer(
     dsub = dim // m
 
     def assign(q: DataFrame, cbs: dict) -> DataFrame:
-        code_cols = []
-        for j in range(m):
-            sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-            cands = F.array(
-                *[
-                    F.struct(
-                        _sq_dist(sub, cbs[j][c]).alias("dist2"),
-                        F.lit(int(c)).alias("cluster"),
-                    )
-                    for c in range(k)
-                ]
-            )
-            code_cols.append(F.array_min(cands)["cluster"])
-        return q.select(
-            id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
-        )
+        return pq_encode_integer(q, cbs, id_col=id_col)
 
     qexpr = (
         F.col(vec_col).cast("array<long>")

@@ -4793,6 +4793,102 @@ SELECT doc_id,
 FROM v GROUP BY doc_id ORDER BY doc_id
 """
 
+# Incremental IVFPQ replayed: both quantizer fits unrolled over the
+# BASE half only (the _KMEANS_8_2 fragment re-rooted onto emb_base),
+# then ALL vectors assigned + encoded under the fitted quantizers.
+_KMEANS_8_2_BASE = _KMEANS_8_2.replace("FROM embeddings", "FROM emb_base")
+ORACLES["ivfpq_incremental"] = f"""
+WITH emb_base AS (
+  SELECT * FROM embeddings WHERE vec_id < 250
+), {_KMEANS_8_2_BASE}, qall AS (
+  SELECT vec_id, cast(generate_subscripts(embedding, 1) - 1 as bigint)
+    AS dim, {_QELEM} AS v
+  FROM embeddings
+), dall AS (
+  SELECT qa.vec_id, c.cid, sum((qa.v - c.c) * (qa.v - c.c)) AS dist2
+  FROM qall qa JOIN cent1 c USING (dim) GROUP BY 1, 2
+), aall AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM dall) WHERE rn = 1
+), pe AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM q
+), pseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 16)
+), pcent0 AS (
+  SELECT s.cid, e.j, e.d, e.v AS c FROM pseeds s JOIN pe e USING (vec_id)
+), pd1 AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent0 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pa1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pd1) WHERE rn = 1
+), pupd AS (
+  SELECT a.cid, e.j, e.d,
+    cast(floor(cast(sum(e.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM pa1 a JOIN pe e ON a.vec_id = e.vec_id AND a.j = e.j
+  GROUP BY 1, 2, 3
+), pcent1 AS (
+  SELECT c0.cid, c0.j, c0.d, coalesce(u.c, c0.c) AS c
+  FROM pcent0 c0 LEFT JOIN pupd u
+    ON c0.cid = u.cid AND c0.j = u.j AND c0.d = u.d
+), peall AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM qall
+), pddall AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM peall e JOIN pcent1 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pcodes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pddall) WHERE rn = 1
+), qd AS (
+  SELECT c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS dist2
+  FROM cent1 c JOIN qall qe ON qe.vec_id = 0 AND qe.dim = c.dim
+  GROUP BY 1
+), probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist2, cid) AS rn FROM qd
+  ) WHERE rn <= 2
+), lut AS (
+  SELECT c.j, c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS ld
+  FROM pcent1 c
+  JOIN peall qe ON qe.vec_id = 0 AND qe.j = c.j AND qe.d = c.d
+  GROUP BY 1, 2
+), adc AS (
+  SELECT k.vec_id, cast(max(cell.cid) as int) AS cell,
+         cast(max(CASE WHEN k.vec_id >= 250 THEN 1 ELSE 0 END) as bigint)
+           AS is_new,
+         cast(sum(l.ld) as bigint) AS adc
+  FROM pcodes k
+  JOIN lut l ON k.j = l.j AND k.cid = l.cid
+  JOIN aall cell ON cell.vec_id = k.vec_id
+  JOIN probe p ON cell.cid = p.cid
+  WHERE k.vec_id <> 0 GROUP BY 1
+), short AS (
+  SELECT vec_id, cell, is_new, adc FROM adc ORDER BY adc, vec_id LIMIT 50
+), exact AS (
+  SELECT s.vec_id, s.cell, s.is_new, s.adc,
+    cast(sum((ce.v - qe.v) * (ce.v - qe.v)) as bigint) AS d2
+  FROM short s
+  JOIN qall ce ON ce.vec_id = s.vec_id
+  JOIN qall qe ON qe.vec_id = 0 AND qe.dim = ce.dim
+  GROUP BY 1, 2, 3, 4
+)
+SELECT vec_id, cell, is_new, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
+"""
+
 # Real BMP decode replayed from the md5 hex digits that built the
 # pixels: byte i of the 24-byte pixel payload is hex pair i of
 # md5(text) || md5(text||'x')[:16]. Channel c = positions with

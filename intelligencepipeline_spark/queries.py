@@ -8479,6 +8479,67 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance (operators/ivfpq.
+    ivfpq_append_integer) — what a live deployment runs every ingest
+    batch: the IVFPQ index is FIT on the base half of the corpus
+    (vec_id < 250), then the new half enters WITHOUT REFIT — coarse
+    assignment to the fitted cells + PQ encoding under the fitted
+    codebooks, both expression-only projections over the new batch
+    (no shuffle, no touch of the base table). A query over the merged
+    index returns neighbors from BOTH halves (is_new exported per hit
+    proves new vectors actually join results).
+
+    The oracle replays the split exactly: both k-means fits unrolled
+    over the BASE half only, assignment + encoding of ALL vectors
+    under those fitted quantizers, probe, probed-cell ADC, shortlist,
+    exact re-rank. A refit that leaked new vectors into the training
+    set, a drifted append assignment, or a lost batch breaks the hash.
+    Quantizer drift is the deliberate operational trade — refit on a
+    cadence, not per batch (faiss guidance)."""
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_append_integer,
+        ivfpq_index_integer,
+        probe_cells,
+    )
+    from intelligencepipeline_spark.operators.pq import (
+        pq_adc_rerank_integer,
+    )
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    coarse, cbs, base_table = ivfpq_index_integer(
+        base, k_coarse=8, m=8, k_pq=16, iters=2,
+        cache_root="/tmp/ip_ivfpq_cache", sig_extra="base_lt_250",
+    )
+    appended = ivfpq_append_integer(new, coarse, cbs)
+    cols = ["vec_id", "qvec", "codes"]
+    table = (
+        base_table.select(*cols, F.col("cell").cast("int").alias("cell"))
+        .unionByName(
+            appended.select(*cols, F.col("cell").cast("int").alias("cell"))
+        )
+        .withColumn("is_new", (F.col("vec_id") >= 250).cast("long"))
+    )
+    qvec = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    probes = probe_cells(coarse, qvec, 2)
+    cands = table.filter(
+        F.col("cell").isin([int(c) for c in probes])
+        & (F.col("vec_id") != 0)
+    )
+    return pq_adc_rerank_integer(
+        cands, cbs, qvec, k=10, shortlist=50,
+        passthrough=("cell", "is_new"),
+    )
+
+
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SUBSTRING dedup (Lee et al. 2022, arXiv:2107.06499 —
     the ExactSubstr pass every serious training-data pipeline runs):
@@ -9073,6 +9134,7 @@ QUERIES = {
     "png_decode_stats": png_decode_stats,
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
+    "ivfpq_incremental": ivfpq_incremental,
     "substring_dedup": substring_dedup,
     "temperature_mix": temperature_mix,
     "range_partition_plan": range_partition_plan,

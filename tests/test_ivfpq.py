@@ -162,3 +162,22 @@ def test_ivfpq_residual_codes_differ_from_raw(spark, emb):
     raw_cells = {r.vec_id: r.cell for r in t_raw.collect()}
     res_cells = {r.vec_id: r.cell for r in t_res.collect()}
     assert raw_cells == res_cells
+
+
+def test_ivfpq_append_equals_index_encode(spark, emb):
+    """Appending vectors under an index's own quantizers must produce
+    byte-identical (cell, codes) to what the index build produced for
+    those same vectors — the refit-free path changes nothing else."""
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_append_integer,
+    )
+
+    coarse, cbs, table = ivfpq_index_integer(emb)
+    appended = ivfpq_append_integer(emb, coarse, cbs)
+    a = {
+        r.vec_id: (r.cell, tuple(r.codes)) for r in table.collect()
+    }
+    b = {
+        r.vec_id: (r.cell, tuple(r.codes)) for r in appended.collect()
+    }
+    assert a == b
