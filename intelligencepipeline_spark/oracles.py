@@ -2851,6 +2851,47 @@ FROM snap_kept
 ORDER BY probe
 """
 
+# Streaming bottom-k sketch replayed: deterministic event_id%4 batch
+# split -> per-(type,batch) bottom-128 partials -> merged bottom-128;
+# lossless must be TRUE because the batches partition the stream and
+# bottom-k merge is exact.
+ORACLES["streaming_quantile_sketch"] = """
+WITH ev AS (
+  SELECT event_type, event_id % 4 AS b,
+    md5(cast(event_id as varchar)) AS rank, value
+  FROM events
+), partials AS (
+  SELECT event_type, b, rank, value FROM (
+    SELECT event_type, b, rank, value,
+      row_number() OVER (PARTITION BY event_type, b ORDER BY rank) AS rn
+    FROM ev) WHERE rn <= 128
+), np AS (
+  SELECT event_type, cast(count(*) as bigint) AS n_partials
+  FROM partials GROUP BY 1
+), merged AS (
+  SELECT event_type, rank, value FROM (
+    SELECT event_type, rank, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY rank) AS rn
+    FROM partials) WHERE rn <= 128
+), med AS (
+  SELECT event_type, value AS median_est FROM (
+    SELECT event_type, value,
+      row_number() OVER (PARTITION BY event_type ORDER BY value, rank)
+        AS vrn,
+      count(*) OVER (PARTITION BY event_type) AS c
+    FROM merged)
+  WHERE vrn = least(c, 64)
+), pt AS (
+  SELECT event_type, cast(count(*) as bigint) AS sketch_rows,
+    md5(string_agg(rank, ',' ORDER BY rank)) AS merged_digest
+  FROM merged GROUP BY 1
+)
+SELECT p.event_type, n.n_partials, p.sketch_rows, m.median_est,
+  p.merged_digest, true AS lossless
+FROM pt p JOIN np n USING (event_type) JOIN med m USING (event_type)
+ORDER BY p.event_type
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

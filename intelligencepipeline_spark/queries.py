@@ -8157,6 +8157,106 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile monitoring via mergeable bottom-k sketches
+    (streaming/sketches.quantile_partials_sink): the event stream runs
+    in 4 deterministic micro-batches (event_id % 4 file split); each
+    batch appends per-type bottom-128 partials to a store; the read
+    path merges with one window rank. Because bottom-k is EXACTLY
+    mergeable and the batches partition the stream, the merged store
+    equals the one-shot batch sketch row-for-row — the ``lossless``
+    boolean compares the two digests and the oracle hash-checks it
+    TRUE (a streaming path that dropped, duplicated, or re-ranked one
+    row anywhere flips it). Median read in-plan at discrete rank
+    least(c, 64). State: <= k rows per (type, batch) — never a growing
+    exact store, any coarser rollup is the same cheap merge."""
+    import os
+
+    from intelligencepipeline_spark.streaming.sketches import (
+        quantile_partials_sink,
+        read_merged_quantile_sketch,
+    )
+
+    K = 128
+    raw = load_table(spark, sf_dir, "events")
+    src = scratch_dir("ip_sqs_src_")
+    stage = scratch_dir("ip_sqs_stage_")
+    for b in range(4):
+        d = os.path.join(stage, f"b{b}")
+        raw.filter(F.col("event_id") % 4 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        import shutil as _sh
+
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+    store = os.path.join(scratch_dir("ip_sqs_store_"), "sk")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        quantile_partials_sink(
+            stream, "event_type", "event_id", "value", store, k=K
+        )
+        .option("checkpointLocation", scratch_dir("ip_sqs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming quantile sketch hung"
+
+    merged = read_merged_quantile_sketch(spark, store, "event_type", k=K)
+    n_partials = (
+        spark.read.parquet(store)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_partials"))
+    )
+    val_w = Window.partitionBy("event_type").orderBy("value", "rank")
+    cnt_w = Window.partitionBy("event_type")
+    med = (
+        merged.withColumn("vrn", F.row_number().over(val_w))
+        .withColumn("c", F.count(F.lit(1)).over(cnt_w))
+        .filter(F.col("vrn") == F.least(F.col("c"), F.lit(K // 2)))
+        .select("event_type", F.col("value").alias("median_est"))
+    )
+    digest = F.md5(F.array_join(F.array_sort(F.collect_list("rank")), ","))
+    m_agg = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("sketch_rows"),
+        digest.alias("merged_digest"),
+    )
+    direct_w = Window.partitionBy("event_type").orderBy("rank")
+    direct = (
+        raw.select(
+            "event_type",
+            F.md5(F.col("event_id").cast("string")).alias("rank"),
+        )
+        .withColumn("rn", F.row_number().over(direct_w))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(digest.alias("direct_digest"))
+    )
+    return (
+        m_agg.join(n_partials, "event_type")
+        .join(med, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_partials",
+            "sketch_rows",
+            "median_est",
+            "merged_digest",
+            (F.col("merged_digest") == F.col("direct_digest")).alias(
+                "lossless"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def forget_key_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIGHT-TO-BE-FORGOTTEN (GDPR art. 17) end to end on the merge
     store (operators/merge.purge_key): two changelog-tracked merges
@@ -9141,6 +9241,7 @@ QUERIES = {
     "quantile_sketch_audit": quantile_sketch_audit,
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "forget_key_purge": forget_key_purge,
+    "streaming_quantile_sketch": streaming_quantile_sketch,
     "png_resize_audit": png_resize_audit,
     "wav_resample_audit": wav_resample_audit,
     # -- r01 window remainder: fill the r06 window after (b7) ----------

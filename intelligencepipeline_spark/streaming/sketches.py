@@ -55,3 +55,58 @@ def read_distinct_estimates(
             F.countDistinct("batch_id").alias("n_batches"),
         )
     )
+
+
+def quantile_partials_sink(
+    stream_df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    store_path: str,
+    k: int = 128,
+):
+    """foreachBatch writer for BOTTOM-K QUANTILE sketch partials
+    (operators/quantile_sketch.py): per batch and per group, the k
+    rows with the smallest md5(key) ranks are appended to
+    ``store_path``. Because bottom-k is exactly mergeable and the
+    batches partition the stream, the merged store EQUALS the one-shot
+    batch sketch row-for-row — streaming loses nothing (the
+    streaming_quantile_sketch entry exports that equality as a
+    hash-checked boolean). State: <= k rows per (group, batch)."""
+    from pyspark.sql import Window
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(group_col).orderBy("rank")
+        (
+            batch_df.select(
+                group_col,
+                F.md5(F.col(key_col).cast("string")).alias("rank"),
+                F.col(value_col).alias("value"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return stream_df.writeStream.foreachBatch(_write)
+
+
+def read_merged_quantile_sketch(
+    spark: SparkSession, store_path: str, group_col: str, k: int = 128
+) -> DataFrame:
+    """Merge the stored partials per group: keep the k smallest ranks
+    (one window rank over <= k x #batches rows per group). Returns
+    (group, rank, value) — the merged sketch rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("rank")
+    return (
+        spark.read.parquet(store_path)
+        .select(group_col, "rank", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
