@@ -164,6 +164,10 @@ def main() -> None:
         "url_domain_caps", "lsh_recall_audit", "leakage_safe_split",
         "boilerplate_line_removal", "python_datasource_sink",
         "variant_json_ops", "token_budget_mix",
+        # round-5 families
+        "ivfpq_ann_topk", "ivfpq_residual_topk", "substring_dedup",
+        "temperature_mix", "quantile_sketch_audit", "forget_key_purge",
+        "png_decode_stats", "streaming_quantile_sketch",
     ]
     sub = {k: timings[k] for k in headline if k in timings}
     line = {

@@ -31,7 +31,7 @@ def _load(path: str) -> dict:
         "queries": {
             k: float(v)
             for k, v in pairs
-            if k not in ("value", "sf", "n", "rc", "cpus")
+            if k not in ("value", "sf", "n", "rc", "cpus", "n_queries")
         },
     }
 
