@@ -579,3 +579,47 @@ def test_ivfpq_probe_partition_prunes(spark, tmp_path):
     ]
     assert pf, plan[:1500]
     assert any("IN (" in ln or "in(cell" in ln.lower() for ln in pf), pf
+
+
+def test_substring_dedup_no_product_prunes_scan(spark):
+    from intelligencepipeline_spark.queries import substring_dedup
+
+    a = audit(substring_dedup(spark, SF))
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+
+
+def test_temperature_mix_broadcasts_quotas(spark):
+    """The per-source allocation join must broadcast the bounded
+    source-level quota table, never shuffle the corpus against it."""
+    from intelligencepipeline_spark.queries import temperature_mix
+
+    a = audit(temperature_mix(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:1200]
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+
+
+def test_range_partition_plan_assignment_is_joinless(spark):
+    """Partition assignment is a literal-boundary comparison sum: the
+    returned plan is scan -> partial agg -> exchange -> final agg with
+    NO join operator (boundaries were collected driver-side, P-1
+    values)."""
+    from intelligencepipeline_spark.queries import range_partition_plan
+
+    a = audit(range_partition_plan(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert a.reads_only(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ), a.read_schemas
+
+
+def test_quantile_sketch_rollup_two_window_levels(spark):
+    from intelligencepipeline_spark.queries import quantile_sketch_rollup
+
+    a = audit(quantile_sketch_rollup(spark, SF))
+    assert not a.cartesian
+    assert a.reads_only("event_type", "ts", "event_id", "value"), (
+        a.read_schemas
+    )

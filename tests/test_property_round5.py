@@ -1,0 +1,103 @@
+"""Property tests for the round-5 operators: PNG codec roundtrip over
+arbitrary images/filters, bottom-k sketch mergeability over arbitrary
+splits, substring-span invariants."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_property(h, w, ch, seed, data):
+    from intelligencepipeline_spark.functions.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, ch), dtype=np.uint8
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    w2, h2, got = decode_png(encode_png(px, filters))
+    assert (w2, h2) == (w, h)
+    assert (got == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(0, 60),
+    k=st.integers(1, 16),
+    cut=st.integers(0, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bottomk_merge_equals_whole_pure(n, k, cut, seed):
+    """Pure-python model of the bottom-k algebra: merging sketches of
+    any 2-way split == sketch of the whole (md5 ranks, keep-k)."""
+    import hashlib
+
+    rng = np.random.RandomState(seed)
+    keys = rng.choice(10**6, size=n, replace=False) if n else []
+    ranked = sorted(
+        (hashlib.md5(str(int(x)).encode()).hexdigest(), int(x))
+        for x in keys
+    )
+    whole = ranked[:k]
+    cut = min(cut, n)
+    a = sorted(
+        (hashlib.md5(str(int(x)).encode()).hexdigest(), int(x))
+        for x in keys[:cut]
+    )[:k]
+    b = sorted(
+        (hashlib.md5(str(int(x)).encode()).hexdigest(), int(x))
+        for x in keys[cut:]
+    )[:k]
+    merged = sorted(a + b)[:k]
+    assert merged == whole
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_span_invariants(spark, docs):
+    """Spans are within bounds, disjoint, sorted, at least k long, and
+    every span's window multiset really does recur corpus-wide."""
+    from intelligencepipeline_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    k = 4
+    rows = [(i, [f"t{t}" for t in toks]) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    spans = {}
+    for r in exact_substring_spans(df, k=k, tok_col="toks").collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    all_windows = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            key = tuple(toks[p:p + k])
+            all_windows[key] = all_windows.get(key, 0) + 1
+    for doc_id, sp in spans.items():
+        toks = docs[doc_id]
+        sp = sorted(sp)
+        for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+            assert e1 < s2  # disjoint, ordered
+        for s, e in sp:
+            assert 1 <= s <= e <= len(toks)
+            assert e - s + 1 >= k
+            # the span's first window recurs corpus-wide
+            first = tuple(toks[s - 1:s - 1 + k])
+            assert all_windows[first] > 1
