@@ -2892,6 +2892,24 @@ FROM pt p JOIN np n USING (event_type) JOIN med m USING (event_type)
 ORDER BY p.event_type
 """
 
+# Padding-waste audit replayed: explicit power-of-two CASE chain
+# (floor 8), exact integer sums, one final division.
+ORACLES["padding_efficiency"] = f"""
+WITH t AS (
+  SELECT cast(len({_RTOKS}) as bigint) AS n FROM documents
+), b AS (
+  SELECT n, cast(CASE WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16
+    WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 ELSE 128 END
+    as bigint) AS cap
+  FROM t
+)
+SELECT cap AS bucket_cap, cast(count(*) as bigint) AS n_docs,
+  cast(sum(n) as bigint) AS sum_tokens,
+  cast(sum(cap - n) as bigint) AS padding_waste,
+  cast(sum(n) as double) / cast(sum(cap) as double) AS fill_ratio
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """
@@ -4928,6 +4946,30 @@ WITH emb_base AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT vec_id, cell, is_new, adc, d2 FROM exact ORDER BY d2, vec_id LIMIT 10
+"""
+
+# Cluster-balanced sample replayed: the _KMEANS_8_2 unroll gives the
+# final assignment (a2); each cluster picks its first 16 members in
+# md5(vec_id) order.
+ORACLES["cluster_balanced_sample"] = f"""
+WITH {_KMEANS_8_2}, picked AS (
+  SELECT cid, vec_id FROM (
+    SELECT a.cid, a.vec_id,
+      row_number() OVER (PARTITION BY a.cid
+        ORDER BY md5(cast(a.vec_id as varchar)), a.vec_id) AS rn
+    FROM a2 a) WHERE rn <= 16
+), pop AS (
+  SELECT cid, cast(count(*) as bigint) AS n_members FROM a2 GROUP BY 1
+), agg AS (
+  SELECT cid, cast(count(*) as bigint) AS n_picked,
+    min(vec_id) AS min_picked, max(vec_id) AS max_picked,
+    md5(string_agg(cast(vec_id as varchar), ','
+      ORDER BY cast(vec_id as varchar))) AS picked_digest
+  FROM picked GROUP BY 1
+)
+SELECT p.cid AS cluster_id, p.n_members, a.n_picked, a.min_picked,
+  a.max_picked, a.picked_digest
+FROM pop p JOIN agg a USING (cid) ORDER BY cluster_id
 """
 
 # Real BMP decode replayed from the md5 hex digits that built the

@@ -8157,6 +8157,103 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED sampling — the curriculum/diversity sampling
+    pass the kmeans operator exists to serve (and the standard remedy
+    for web-scale topic skew: equal representation per embedding
+    cluster instead of frequency-proportional): k-means the embedding
+    space (the proven exact-integer k=8/2-round fit), then each
+    cluster contributes its first m=16 members in md5(vec_id) order —
+    the reproducible shuffle, so the sample is engine- and
+    partitioning-independent. Exports per cluster the population, the
+    picked count (min(m, population) — small clusters are NOT
+    oversampled; weighted repeat is a policy layered above), and the
+    picked-set digest.
+
+    Scale: assignment is the expression-only k-fold projection; the
+    pick is one cluster-keyed window rank. Oracle: the _KMEANS_8_2
+    unroll + a per-cluster md5-order window."""
+    from intelligencepipeline_spark.operators.kmeans import kmeans
+
+    M = 16
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans(emb, k=8, iterations=2)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    picked = assigned.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= M
+    )
+    pop = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    agg = picked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_picked"),
+        F.min("vec_id").alias("min_picked"),
+        F.max("vec_id").alias("max_picked"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("vec_id").cast("string"))),
+                ",",
+            )
+        ).alias("picked_digest"),
+    )
+    return (
+        pop.join(agg, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster_id"),
+            "n_members",
+            "n_picked",
+            "min_picked",
+            "max_picked",
+            "picked_digest",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED batching audit — the padding-waste measurement
+    behind bucketed collation (batch same-length sequences together so
+    pad-to-longest wastes less compute; the standard inference/training
+    throughput lever): each document lands in the smallest
+    power-of-two token bucket >= its length (floor 8), and each bucket
+    reports its population, real tokens, PADDING WASTE (cap - length
+    summed — the compute you burn on pad tokens), and the fill ratio
+    (one division of exact integers). Bucket caps are an explicit
+    integer CASE chain, not 2^ceil(log2 n) — log2 is not correctly-
+    rounded everywhere, and the hash compare would pay for that.
+
+    Scale: pure expression + one keyed agg (map-side combinable to
+    <= 5 rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text"))).cast("long")
+    cap = (
+        F.when(n <= 8, 8)
+        .when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .otherwise(128)
+        .cast("long")
+    )
+    staged = docs.select(n.alias("n_tokens"), cap.alias("bucket_cap"))
+    return (
+        staged.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tokens")).alias(
+                "padding_waste"
+            ),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.sum("bucket_cap").cast("double")
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
 def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile monitoring via mergeable bottom-k sketches
     (streaming/sketches.quantile_partials_sink): the event stream runs
@@ -9242,6 +9339,8 @@ QUERIES = {
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "forget_key_purge": forget_key_purge,
     "streaming_quantile_sketch": streaming_quantile_sketch,
+    "cluster_balanced_sample": cluster_balanced_sample,
+    "padding_efficiency": padding_efficiency,
     "png_resize_audit": png_resize_audit,
     "wav_resample_audit": wav_resample_audit,
     # -- r01 window remainder: fill the r06 window after (b7) ----------
