@@ -58,17 +58,36 @@ def assign_clusters(
 
     array_min over struct(dist2, cid) = argmin with ties to the smaller
     cluster id — struct ordering is field-by-field in both engines.
-    """
-    cands = F.array(
+
+    Shape: ONE transform over a literal (k, dim) centroid matrix, not
+    k separate fold expressions — identical integer math and tie rule,
+    but the expression tree stays ~dim nodes instead of k·dim, so
+    Janino compile time is k-independent (with semdedup_k sizing, k
+    grows with the corpus; at k=32 the k-fold form spent multiple
+    seconds per assignment round just compiling)."""
+    if sorted(centroids) != list(range(len(centroids))):
+        raise ValueError("centroid ids must be contiguous 0..k-1")
+    cents = F.array(
         *[
-            F.struct(
-                _sq_dist(F.col("qvec"), cent).alias("dist2"),
-                F.lit(int(cid)).alias("cluster"),
-            )
-            for cid, cent in sorted(centroids.items())
+            F.array(*[F.lit(int(v)) for v in cent])
+            for _cid, cent in sorted(centroids.items())
         ]
     )
-    best = F.array_min(cands)
+    # centroids are emitted in ascending cid order, so the transform
+    # index IS the cluster id; (dist2, cluster) struct order keeps the
+    # tie-to-smaller-id rule under array_min.
+    dists = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qvec"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist2"),
+            i.cast("int").alias("cluster"),
+        ),
+    )
+    best = F.array_min(dists)
     return q.select(
         id_col,
         "qvec",
