@@ -205,25 +205,44 @@ def pq_encode_integer(
     no shuffle; argmin ties to the smaller centroid id). This is both
     pq_fit_integer's assignment step and the standalone APPEND path —
     new vectors enter an existing index through exactly this function,
-    no refit."""
-    from intelligencepipeline_spark.operators.kmeans import _sq_dist
+    no refit.
 
+    Shape: per subspace, ONE transform over a literal (k, dsub)
+    codebook matrix (the assign_clusters trick) — m transform
+    expressions total instead of m·k separate folds, so Janino compile
+    time is k-independent; math and the tie-to-smaller-id rule are
+    identical."""
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
+
+    def cands_for(sub, cb_lit):
+        # factory keeps the HOF lambda at arity 2 (element, index) —
+        # the index IS the centroid id (contiguous 0..k-1, guarded)
+        return F.transform(
+            cb_lit,
+            lambda cvec, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, cvec, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist2"),
+                i.cast("int").alias("cluster"),
+            ),
+        )
+
     code_cols = []
     for j in range(m):
+        if sorted(codebooks[j]) != list(range(k)):
+            raise ValueError("codebook centroid ids must be 0..k-1")
         sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-        cands = F.array(
+        cb_lit = F.array(
             *[
-                F.struct(
-                    _sq_dist(sub, codebooks[j][c]).alias("dist2"),
-                    F.lit(int(c)).alias("cluster"),
-                )
+                F.array(*[F.lit(int(v)) for v in codebooks[j][c]])
                 for c in range(k)
             ]
         )
-        code_cols.append(F.array_min(cands)["cluster"])
+        code_cols.append(F.array_min(cands_for(sub, cb_lit))["cluster"])
     return q.select(
         id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
     )
