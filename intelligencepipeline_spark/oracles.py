@@ -2910,6 +2910,40 @@ SELECT cap AS bucket_cap, cast(count(*) as bigint) AS n_docs,
 FROM b GROUP BY 1 ORDER BY 1
 """
 
+# Overlapping stride chunking replayed: W=16, S=8, chunk j covers
+# [1+j*8, min(1+j*8+15, n)], count = 1 + (max(0,n-16)+7)//8; every
+# chunk string rebuilt and digested in order.
+ORACLES["overlap_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, cast(len(toks) as bigint) AS n,
+    cast(CASE WHEN len(toks) = 0 THEN 0 ELSE
+      1 + (greatest(len(toks) - 16, 0) + 7) // 8 END as bigint)
+      AS n_chunks,
+    toks
+  FROM t
+), ch AS (
+  SELECT doc_id, j,
+    cast(least(16, n - j * 8) as bigint) AS clen,
+    array_to_string(
+      toks[cast(1 + j * 8 as int) :
+           cast(j * 8 + least(16, n - j * 8) as int)], ' ') AS chunk
+  FROM c, unnest(range(0, n_chunks)) AS u(j)
+), agg AS (
+  SELECT doc_id,
+    cast(sum(clen) as bigint) AS total_chunk_tokens,
+    md5(string_agg(chunk, '|' ORDER BY j)) AS chunks_digest
+  FROM ch GROUP BY doc_id
+)
+SELECT c.doc_id, c.n AS n_tokens, c.n_chunks,
+  coalesce(a.total_chunk_tokens, 0) AS total_chunk_tokens,
+  coalesce(a.total_chunk_tokens, 0) - c.n AS overlap_tokens,
+  coalesce(a.chunks_digest, md5('')) AS chunks_digest
+FROM c LEFT JOIN agg a USING (doc_id)
+ORDER BY c.doc_id
+"""
+
 # Fuzzy pairs: the oracle is the brute-force all-pairs scan the blocked
 # join must exactly reproduce (completeness proof in operators/fuzzy.py).
 ORACLES["fuzzy_name_pairs"] = """

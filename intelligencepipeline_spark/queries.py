@@ -8157,6 +8157,70 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING stride chunking — the RAG/embedding-indexing
+    standard (window W=16 tokens, stride S=8, 50% overlap so no
+    boundary sentence is ever split away from all its context),
+    complementing the engine's non-overlapping chunkers (F5 sentence
+    chunks, fixed window_chunks). Chunk j covers tokens
+    [1+j*S, min(1+j*S+W-1, n)]; the chunk count is
+    1 + ceil(max(0, n-W)/S) (exact integer ceil via (x+S-1) div S).
+    Exports per doc the chunk count, total chunk tokens, overlap
+    tokens (the index-size cost of the overlap), and the md5 of the
+    ordered chunk texts — the oracle rebuilds every chunk string, so
+    an off-by-one in any boundary breaks the hash.
+
+    Scale: all expression-side (transform over sequence — zero Python,
+    rides the scan) + one keyed agg."""
+    W, S = 16, 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("toks")
+    )
+    staged = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(toks) = 0 THEN 0 ELSE"
+            f" 1 + (greatest(size(toks) - {W}, 0) + {S} - 1) div {S} END"
+        )
+        .cast("long")
+        .alias("n_chunks"),
+        "toks",
+    ).withColumn(
+        "chunks",
+        F.expr(
+            f"CASE WHEN size(toks) = 0 THEN array() ELSE"
+            f" transform(sequence(0, cast(n_chunks as int) - 1),"
+            f"   j -> concat_ws(' ',"
+            f"     slice(toks, 1 + j * {S},"
+            f"           least({W}, size(toks) - j * {S})))) END"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_chunks",
+        F.expr(
+            f"aggregate(transform(sequence(0, cast(n_chunks as int) - 1),"
+            f"   j -> least({W}, size(toks) - j * {S})),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        .cast("long")
+        .alias("total_chunk_tokens"),
+        (
+            F.expr(
+                f"aggregate(transform(sequence(0, cast(n_chunks as int) - 1),"
+                f"   j -> least({W}, size(toks) - j * {S})),"
+                f" 0L, (acc, x) -> acc + x)"
+            )
+            - F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("overlap_tokens"),
+        F.md5(F.array_join(F.col("chunks"), "|")).alias("chunks_digest"),
+    ).orderBy("doc_id")
+
+
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLUSTER-BALANCED sampling — the curriculum/diversity sampling
     pass the kmeans operator exists to serve (and the standard remedy
@@ -9339,6 +9403,7 @@ QUERIES = {
     "quantile_sketch_rollup": quantile_sketch_rollup,
     "forget_key_purge": forget_key_purge,
     "streaming_quantile_sketch": streaming_quantile_sketch,
+    "overlap_chunks": overlap_chunks,
     "cluster_balanced_sample": cluster_balanced_sample,
     "padding_efficiency": padding_efficiency,
     "png_resize_audit": png_resize_audit,
