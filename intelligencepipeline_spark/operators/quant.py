@@ -1,0 +1,308 @@
+"""Vector quantization for ANN at corpus scale: binary (sign-bit)
+codes with Hamming shortlisting, int8 scalar quantization (SQ8) with
+integer approximate scoring, and Matryoshka prefix-dimension search.
+
+Engine extension for LLM-data pipelines (the reference's similarity
+surface stops at exact search; these are the compressed-index paths a
+100 TB embedding store actually deploys, complementing IVF/PQ in
+operators/ivf.py and operators/pq.py):
+
+* ``binary_codes`` / ``binary_hamming_topk`` — 1 bit per dimension
+  (64-dim vector -> 8 bytes, a 32x memory cut vs float32). Hamming
+  distance via XOR + popcount is the cheapest possible scan; a
+  Hamming shortlist then exact integer re-rank recovers accuracy.
+* ``sq8_topk`` — per-dimension min/max calibration (one 1-row
+  aggregate, broadcast), 8-bit codes, integer approximate dot
+  product, exact re-rank of the shortlist.
+* ``matryoshka_topk`` — search on a prefix of the dimensions
+  (Matryoshka representation learning): prefix top-k as the cheap
+  pass, full-dimension scoring for the final ranking, recall audit.
+
+Determinism: everything before the final cosine division is exact
+integer arithmetic on ``similarity.quantize`` longs, so the DuckDB
+oracles replay it bit-for-bit. All shortlists carry a total order
+(metric, then id) — no tie at any cut line is ambiguous.
+
+Scale shape: codes are computed at ingest and stored columnar (8 or
+64 bytes/vector); the candidate scan is a sequential no-shuffle pass
+with a TakeOrderedAndProject top-k; only the shortlist (constant
+rows) is re-scored against the full-precision vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.similarity import (
+    cosine,
+    int_dot,
+    quantize,
+)
+
+
+def binary_codes(vec: Column, dim: int = 64) -> Column:
+    """Pack per-dimension sign bits (q_i >= 0 -> 1) into two 32-bit
+    words stored as longs: ``struct(lo, hi)``.
+
+    Two words rather than one 64-bit code so no bit ever lands in a
+    signed long's sign position — XOR/popcount would still be correct
+    there, but unsigned-range words make the oracle replay portable.
+    dim is a compile-time constant, so the pack is a statically
+    unrolled sum of 32 conditional terms per word — whole-stage
+    codegen, no higher-order functions.
+    """
+    if dim != 64:
+        raise ValueError("binary_codes is specialized to dim=64")
+    # One transform for the sign bits, then a dot against a LITERAL
+    # power-of-two array per word — the expression tree is constant
+    # regardless of dim (the r05 k-independent-compile pattern), not
+    # 64 unrolled conditionals each re-deriving quantize(vec).
+    signs = F.transform(
+        quantize(vec),
+        lambda v: F.when(v >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    lo = int_dot(F.slice(signs, 1, 32), pow2)
+    hi = int_dot(F.slice(signs, 33, 32), pow2)
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed codes (struct(lo, hi))."""
+    return (
+        F.bit_count(a["lo"].bitwiseXOR(b["lo"]))
+        + F.bit_count(a["hi"].bitwiseXOR(b["hi"]))
+    ).cast("long")
+
+
+def binary_hamming_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via binary codes: Hamming-shortlist then exact
+    integer re-rank.
+
+    Plan: scan computes 8-byte codes (written at ingest in a
+    deployment), XOR+popcount against the broadcast query code,
+    TakeOrdered on (hamming, id) for the shortlist, exact int-dot
+    re-rank of those ``shortlist`` rows, TakeOrdered (dot desc, id)
+    for the answer. The big side never shuffles; per-vector scan work
+    is two XORs and two popcounts.
+    """
+    coded = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        binary_codes(F.col(vec_col)).alias("code"),
+    )
+    q = coded.filter(F.col(id_col) == query_id).select(
+        F.col("code").alias("qcode"),
+        quantize(F.col(vec_col)).alias("qvec"),
+    )
+    short = (
+        coded.join(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qvec"),
+            hamming64(F.col("code"), F.col("qcode")).alias("hamming"),
+        )
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            F.col("hamming"),
+            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot"),
+            cosine(quantize(F.col(vec_col)), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("dot"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sq8_calibration(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[int], list[int]]:
+    """Per-dimension (min, span) of the quantized values — the whole
+    calibration state is 2*dim longs, fetched to the driver exactly
+    like PQ codebooks (a deliberate bounded fit: the result size is
+    dim-proportional, never data-proportional; refreshed at ingest
+    cadence in a deployment).
+
+    Computed via posexplode + keyed agg: the partial aggregate
+    combines to dim rows per partition before the single tiny
+    shuffle — no 2*dim-expression unrolled aggregate (whose analysis
+    cost is what the k-independent pattern exists to avoid)."""
+    ex = embeddings.select(
+        F.posexplode(quantize(F.col(vec_col))).alias("i", "v")
+    )
+    rows = (
+        ex.groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mins = [int(r["mn"]) for r in rows]
+    spans = [int(r["mx"]) - int(r["mn"]) for r in rows]
+    return mins, spans
+
+
+def sq8_code_expr(vec: Column, mins: list[int], spans: list[int]) -> Column:
+    """array<long> codes: floor((q_i - mn_i) * 255 / span_i), 0 for a
+    constant dimension. One zip_with over LITERAL calibration arrays —
+    a constant-size expression tree (k-independent compile). Operands
+    are non-negative exact integers far below 2^53, so the correctly-
+    rounded double division followed by floor equals integer floor
+    division in every engine (DuckDB replays it with `//`):
+    |raw - n*span| >= 1 keeps the true quotient >= ~6e-7 away from
+    the next integer while the division error is <= 1 ulp ~ 1e-10."""
+    mn_arr = F.array(*[F.lit(m).cast("long") for m in mins])
+    span_arr = F.array(*[F.lit(s).cast("long") for s in spans])
+    raw = F.zip_with(quantize(vec), mn_arr, lambda v, m: (v - m) * 255)
+    return F.zip_with(
+        raw,
+        span_arr,
+        lambda r, s: F.when(s <= 0, F.lit(0).cast("long")).otherwise(
+            F.floor(r.cast("double") / s.cast("double")).cast("long")
+        ),
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via int8 scalar quantization: integer approximate
+    dot on 1-byte codes, exact re-rank of the shortlist.
+
+    Calibration is a bounded driver fit (2*dim longs, the PQ-codebook
+    contract) inlined as literal arrays; codes would be written at
+    ingest in a deployment. The approximate scan is an integer
+    multiply-add; only ``shortlist`` rows touch the full-precision
+    vectors again.
+    """
+    mins, spans = sq8_calibration(embeddings, vec_col)
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sq8_code_expr(F.col(vec_col), mins, spans).alias("code"),
+    )
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("code").alias("qcode"), quantize(F.col(vec_col)).alias("qvec")
+    )
+    short = (
+        base.join(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("qvec"),
+            int_dot(F.col("code"), F.col("qcode")).alias("approx_dot"),
+        )
+        .orderBy(F.desc("approx_dot"), F.col(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            F.col(id_col),
+            F.col("approx_dot"),
+            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot"),
+            cosine(quantize(F.col(vec_col)), F.col("qvec")).alias("cosine"),
+        )
+        .orderBy(F.desc("dot"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-dimension exact top-k annotated with each neighbor's rank
+    under prefix-dimension search (Matryoshka audit).
+
+    Returns one row per full top-k neighbor: ``vec_id, full_rank,
+    dot, prefix_rank`` (-1 when the prefix search missed it) and the
+    constant ``prefix_recall`` = |overlap| / k — the number a
+    deployment reads before deciding to search at the 4x cheaper
+    width. Both searches are broadcast-query scans with TakeOrdered;
+    the audit join is k x k rows; the global row_number windows rank
+    k-row frames, never the corpus.
+    """
+    qfull = embeddings.filter(F.col(id_col) == query_id).select(
+        quantize(F.col(vec_col)).alias("qvec"),
+        quantize(F.slice(F.col(vec_col), 1, prefix_dim)).alias("qpre"),
+    )
+    scored = (
+        embeddings.join(F.broadcast(qfull))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            int_dot(quantize(F.col(vec_col)), F.col("qvec")).alias("dot"),
+            int_dot(
+                quantize(F.slice(F.col(vec_col), 1, prefix_dim)),
+                F.col("qpre"),
+            ).alias("pre_dot"),
+        )
+    )
+    full_top = (
+        scored.orderBy(F.desc("dot"), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "full_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("dot"), F.col(id_col))
+            ),
+        )
+    )
+    pre_top = (
+        scored.orderBy(F.desc("pre_dot"), F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "prefix_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("pre_dot"), F.col(id_col))
+            ),
+        )
+        .select(F.col(id_col), F.col("prefix_rank"))
+    )
+    joined = full_top.join(pre_top, id_col, "left").select(
+        F.col(id_col),
+        F.col("full_rank").cast("long").alias("full_rank"),
+        F.col("dot"),
+        F.coalesce(F.col("prefix_rank"), F.lit(-1))
+        .cast("long")
+        .alias("prefix_rank"),
+    )
+    overlap = joined.agg(
+        F.sum(F.when(F.col("prefix_rank") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit")
+    )
+    return joined.join(F.broadcast(overlap)).select(
+        F.col(id_col),
+        F.col("full_rank"),
+        F.col("dot"),
+        F.col("prefix_rank"),
+        (F.col("n_hit").cast("double") / F.lit(float(k))).alias(
+            "prefix_recall"
+        ),
+    )

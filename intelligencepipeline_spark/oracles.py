@@ -5233,3 +5233,109 @@ SELECT m.doc_id, m.ms_proposal, b.bp_proposal,
 FROM ms m JOIN bp b USING (doc_id)
 ORDER BY doc_id
 """
+
+# ===================================================================
+# (b8) r05-continuation widening: compressed-vector ANN family
+# ===================================================================
+
+# binary_quant_ann never needs the packed sign words the Spark side
+# stores: the Hamming distance between two sign-bit codes equals the
+# count of dimensions whose sign predicates disagree, which SQL counts
+# directly off the quantized values. Shortlist and re-rank cuts carry
+# the same (metric, vec_id) total order as the operator.
+ORACLES["binary_quant_ann"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), q AS (
+  SELECT i, v FROM e WHERE vec_id = 0
+), ham AS (
+  SELECT e.vec_id,
+    sum(CASE WHEN (e.v >= 0) <> (q.v >= 0) THEN 1 ELSE 0 END) AS hamming,
+    sum(e.v * q.v) AS dot,
+    sum(e.v * e.v) AS n2e, sum(q.v * q.v) AS n2q
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+), short AS (
+  SELECT * FROM ham ORDER BY hamming, vec_id LIMIT 50
+)
+SELECT vec_id, cast(hamming as bigint) AS hamming,
+  cast(dot as bigint) AS dot,
+  cast(dot as double)
+    / (sqrt(cast(n2e as double)) * sqrt(cast(n2q as double))) AS cosine
+FROM short ORDER BY dot DESC, vec_id LIMIT 10
+"""
+
+# sq8_ann_topk: calibration = per-dimension min/max over the whole
+# table (query row included, as the operator does); codes via `//`
+# (integer floor division — the operator's floor(double-div) of the
+# same non-negative exact integers is provably identical, see the
+# operator docstring).
+ORACLES["sq8_ann_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), cal AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i
+), c AS (
+  SELECT e.vec_id, e.i, e.v,
+    CASE WHEN cal.mx - cal.mn <= 0 THEN 0
+         ELSE ((e.v - cal.mn) * 255) // (cal.mx - cal.mn)
+    END AS code
+  FROM e JOIN cal USING (i)
+), qc AS (
+  SELECT i, code, v FROM c WHERE vec_id = 0
+), approx AS (
+  SELECT c.vec_id,
+    sum(c.code * qc.code) AS approx_dot,
+    sum(c.v * qc.v) AS dot,
+    sum(c.v * c.v) AS n2e, sum(qc.v * qc.v) AS n2q
+  FROM c JOIN qc USING (i)
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+), short AS (
+  SELECT * FROM approx ORDER BY approx_dot DESC, vec_id LIMIT 50
+)
+SELECT vec_id, cast(approx_dot as bigint) AS approx_dot,
+  cast(dot as bigint) AS dot,
+  cast(dot as double)
+    / (sqrt(cast(n2e as double)) * sqrt(cast(n2q as double))) AS cosine
+FROM short ORDER BY dot DESC, vec_id LIMIT 10
+"""
+
+# matryoshka_recall_audit: the prefix dot is the partial sum of the
+# same per-dimension products (quantize commutes with slicing);
+# prefix_recall is one division of exact integers by the literal k.
+ORACLES["matryoshka_recall_audit"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), q AS (
+  SELECT i, v FROM e WHERE vec_id = 0
+), dots AS (
+  SELECT e.vec_id,
+    sum(e.v * q.v) AS dot,
+    sum(CASE WHEN e.i <= 16 THEN e.v * q.v ELSE 0 END) AS pre_dot
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+), full_top AS (
+  SELECT vec_id, cast(dot as bigint) AS dot,
+    row_number() OVER (ORDER BY dot DESC, vec_id) AS full_rank
+  FROM dots ORDER BY dot DESC, vec_id LIMIT 10
+), pre_top AS (
+  SELECT vec_id,
+    row_number() OVER (ORDER BY pre_dot DESC, vec_id) AS prefix_rank
+  FROM dots ORDER BY pre_dot DESC, vec_id LIMIT 10
+), j AS (
+  SELECT f.vec_id, f.full_rank, f.dot,
+    coalesce(p.prefix_rank, -1) AS prefix_rank
+  FROM full_top f LEFT JOIN pre_top p USING (vec_id)
+)
+SELECT vec_id, cast(full_rank as bigint) AS full_rank, dot,
+  cast(prefix_rank as bigint) AS prefix_rank,
+  cast((SELECT sum(CASE WHEN prefix_rank > 0 THEN 1 ELSE 0 END) FROM j)
+       as double) / 10.0 AS prefix_recall
+FROM j
+"""

@@ -9316,6 +9316,84 @@ def label_propagation_communities(
     )
 
 
+# ===================================================================
+# (b8) r05-continuation widening: compressed-vector ANN family
+# (binary / SQ8 / Matryoshka), content-defined chunking dedup, Gopher
+# quality rules, WordPiece encode, encoding/layout advisors, G.711
+# companding, retention sweep, l-diversity
+# ===================================================================
+
+
+def binary_quant_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-QUANTIZED ANN (operators/quant.py) — 1 bit per
+    dimension: each 64-dim vector packs to two 32-bit sign words
+    (8 bytes, a 32x memory cut vs float32); candidate scan is
+    XOR + popcount Hamming distance against the broadcast query code;
+    the 50-row Hamming shortlist is exact-integer re-ranked to the
+    top 10. This is the cheapest compressed-index scan that exists —
+    at 100 TB the code table is ~n x 8 bytes read sequentially with
+    no shuffle (TakeOrderedAndProject both cuts), and re-rank touches
+    50 full vectors.
+
+    Exactness: sign bits of the quantized integers (q >= 0), integer
+    Hamming counts, integer dots; the one float export is the single
+    cosine division of exact operands. The oracle replays the sign
+    predicate per dimension (it never needs the packed words — the
+    Hamming count equals the number of disagreeing sign bits, which
+    SQL counts directly), the (hamming, vec_id) shortlist cut, and
+    the re-rank."""
+    from intelligencepipeline_spark.operators.quant import (
+        binary_hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, query_id=0, k=10, shortlist=50)
+
+
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZED (SQ8) ANN (operators/quant.py) — the faiss
+    SQ8 path: per-dimension min/max calibration is a bounded driver
+    fit (128 longs — the PQ-codebook contract — inlined as literal
+    arrays, so the code expression compiles k-independently); every
+    vector stores 64 1-byte codes
+    code_i = floor((q_i - mn_i)*255/(mx_i - mn_i)); the
+    approximate scan is an integer code-dot; the 50-row shortlist is
+    exact-re-ranked to the top 10. At 100 TB: 64 bytes/vector (4x
+    cut), calibration refreshed at ingest cadence, scan
+    shuffle-free.
+
+    Exactness: quantized integers in, integer floor-division codes
+    (non-negative operands far below 2^53, so floor(double-div) ==
+    integer floor division in every engine — DuckDB replays with
+    `//`), integer approximate dots, integer exact re-rank; cosine is
+    the single terminal division. The oracle re-derives calibration,
+    codes, both cuts."""
+    from intelligencepipeline_spark.operators.quant import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, query_id=0, k=10, shortlist=50)
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA prefix-dimension search audit (operators/quant.py)
+    — MRL-trained embeddings let a deployment search the FIRST 16 of
+    64 dimensions at 4x less compute/IO; this entry measures what
+    that buys: the exact full-width top-10 for query vec_id=0,
+    annotated with each neighbor's rank under prefix-16 search
+    (prefix_rank = -1 when the cheap pass missed it) and the
+    constant prefix_recall = overlap/k. Both searches are broadcast-
+    query scans + TakeOrdered; the window ranks 10-row frames, never
+    the corpus.
+
+    Exactness: both widths use integer dots on quantized values (the
+    prefix dot is a plain prefix sum of the same products);
+    prefix_recall is one division of exact integers."""
+    from intelligencepipeline_spark.operators.quant import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_topk(emb, query_id=0, k=10, prefix_dim=16)
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9408,7 +9486,12 @@ QUERIES = {
     "padding_efficiency": padding_efficiency,
     "png_resize_audit": png_resize_audit,
     "wav_resample_audit": wav_resample_audit,
-    # -- r01 window remainder: fill the r06 window after (b7) ----------
+    # -- (b8) new in the r05 continuation: join (b7) at the front of
+    #    the r06 window ------------------------------------------------
+    "binary_quant_ann": binary_quant_ann,
+    "sq8_ann_topk": sq8_ann_topk,
+    "matryoshka_recall_audit": matryoshka_recall_audit,
+    # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
     "engine_enrichment": engine_enrichment,

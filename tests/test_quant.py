@@ -1,0 +1,126 @@
+"""Compressed-vector ANN (operators/quant.py): binary sign-bit codes,
+SQ8 scalar quantization, Matryoshka prefix search — determinism,
+invariants against the exact brute-force baseline, and code-domain
+bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.quant import (
+    binary_codes,
+    binary_hamming_topk,
+    hamming64,
+    matryoshka_topk,
+    sq8_calibration,
+    sq8_topk,
+)
+from intelligencepipeline_spark.operators.similarity import (
+    brute_force_topk,
+)
+from intelligencepipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_binary_codes_pack_unsigned_words(spark, emb):
+    rows = (
+        emb.limit(20)
+        .select(binary_codes(F.col("embedding")).alias("c"))
+        .collect()
+    )
+    for r in rows:
+        assert 0 <= r["c"]["lo"] < 1 << 32
+        assert 0 <= r["c"]["hi"] < 1 << 32
+
+
+def test_hamming_self_is_zero(spark, emb):
+    d = (
+        emb.limit(10)
+        .select(binary_codes(F.col("embedding")).alias("c"))
+        .select(hamming64(F.col("c"), F.col("c")).alias("h"))
+        .collect()
+    )
+    assert all(r["h"] == 0 for r in d)
+
+
+def test_binary_topk_deterministic_and_reranked(spark, emb):
+    a = _rows(binary_hamming_topk(emb, query_id=0, k=10, shortlist=50))
+    b = _rows(binary_hamming_topk(emb, query_id=0, k=10, shortlist=50))
+    assert a == b
+    assert len(a) == 10
+    dots = [r[2] for r in a]
+    assert dots == sorted(dots, reverse=True)
+    assert all(r[0] != 0 for r in a)
+
+
+def test_binary_full_shortlist_equals_exact(spark, emb):
+    """shortlist = corpus removes the Hamming restriction: the result
+    must equal exact brute-force top-k (the code path prunes, never
+    rescoring differently)."""
+    n = emb.count()
+    approx = _rows(
+        binary_hamming_topk(emb, query_id=0, k=10, shortlist=n).select(
+            "vec_id", "dot"
+        )
+    )
+    exact = _rows(
+        brute_force_topk(emb, query_id=0, k=10).select("vec_id", "dot")
+    )
+    assert approx == exact
+
+
+def test_sq8_calibration_bounded_and_ordered(spark, emb):
+    mins, spans = sq8_calibration(emb)
+    assert len(mins) == 64 and len(spans) == 64
+    assert all(s >= 0 for s in spans)
+
+
+def test_sq8_topk_deterministic_and_code_bounded(spark, emb):
+    a = _rows(sq8_topk(emb, query_id=0, k=10, shortlist=50))
+    assert a == _rows(sq8_topk(emb, query_id=0, k=10, shortlist=50))
+    assert len(a) == 10
+    dots = [r[2] for r in a]
+    assert dots == sorted(dots, reverse=True)
+
+
+def test_sq8_full_shortlist_equals_exact(spark, emb):
+    n = emb.count()
+    approx = _rows(
+        sq8_topk(emb, query_id=0, k=10, shortlist=n).select(
+            "vec_id", "dot"
+        )
+    )
+    exact = _rows(
+        brute_force_topk(emb, query_id=0, k=10).select("vec_id", "dot")
+    )
+    assert approx == exact
+
+
+def test_matryoshka_audit_shape(spark, emb):
+    rows = matryoshka_topk(emb, query_id=0, k=10, prefix_dim=16).collect()
+    assert len(rows) == 10
+    ranks = sorted(r["full_rank"] for r in rows)
+    assert ranks == list(range(1, 11))
+    rec = {r["prefix_recall"] for r in rows}
+    assert len(rec) == 1
+    hit = sum(1 for r in rows if r["prefix_rank"] > 0)
+    assert rec.pop() == hit / 10.0
+    for r in rows:
+        assert r["prefix_rank"] == -1 or 1 <= r["prefix_rank"] <= 10
+
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark, emb):
+    """prefix_dim = full dim makes both searches identical — recall
+    must be exactly 1 and ranks must agree row-for-row."""
+    rows = matryoshka_topk(emb, query_id=0, k=10, prefix_dim=64).collect()
+    assert all(r["prefix_recall"] == 1.0 for r in rows)
+    assert all(r["prefix_rank"] == r["full_rank"] for r in rows)
