@@ -189,6 +189,84 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — the published doc-level filter suite
+# that became the de-facto pre-training baseline). Thresholds are the
+# paper's; stopwords are the paper's 8-word list.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(text: Column) -> Column:
+    """Gopher document-quality rules as a struct of exact metrics and
+    per-rule booleans plus the conjunctive ``keep`` flag.
+
+    Expression-only (rides the scan, zero shuffle — the shape a 100 TB
+    quality-filter pass must have). Every ratio is ONE IEEE division
+    of exact integers, so the DuckDB oracle replays it bit-for-bit:
+
+    * ``n_words`` in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+    * ``mean_word_len`` (sum of word lengths / n_words) in [3, 10]
+    * ``symbol_ratio`` — '#' or '...' occurrences per word <= 0.1
+    * ``alpha_frac`` — words containing an alphabetic char >= 0.8
+    * ``n_stopwords`` — occurrences of the paper's 8 stopwords >= 2
+    """
+    def rules(toks: Column) -> Column:
+        n_words = F.size(toks)
+        sum_len = F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        n_stop = F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))
+        )
+        denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_len = sum_len.cast("double") / denom_w
+        n_sym = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + (F.length(t) - F.length(F.replace(t, F.lit("#"))))
+            + F.when(t.contains("..."), F.lit(1)).otherwise(F.lit(0)),
+        )
+        sym_ratio = n_sym.cast("double") / denom_w
+        alpha_frac = n_alpha.cast("double") / denom_w
+        ok_words = (n_words >= GOPHER_MIN_WORDS) & (
+            n_words <= GOPHER_MAX_WORDS
+        )
+        ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+            mean_len <= GOPHER_MAX_MEAN_LEN
+        )
+        ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+        ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+        ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_frac"),
+            n_stop.cast("long").alias("n_stopwords"),
+            ok_words.alias("ok_words"),
+            ok_mean.alias("ok_mean_len"),
+            ok_sym.alias("ok_symbol"),
+            ok_alpha.alias("ok_alpha"),
+            ok_stop.alias("ok_stopwords"),
+            (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias(
+                "keep"
+            ),
+        )
+
+    # Single-element-array trick (see winnow_hashes): bind the token
+    # array once so the split isn't re-evaluated per rule.
+    return F.element_at(F.transform(F.array(tokens(text)), rules), 1)
+
+
 # PII patterns — RE2-safe (no lookaround/backrefs) so the SAME pattern
 # strings run in Spark (Java regex) and the DuckDB oracle (RE2).
 # Order matters: the SSN-shaped id must be redacted before the generic

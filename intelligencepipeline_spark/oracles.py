@@ -5339,3 +5339,51 @@ SELECT vec_id, cast(full_rank as bigint) AS full_rank, dot,
        as double) / 10.0 AS prefix_recall
 FROM j
 """
+
+# gopher_quality_rules: replays each rule off the same empty-filtered
+# token split (the _RTOKS contract). list_sum of exact integers stays
+# integer; every exported ratio is ONE division of exact integers by
+# greatest(n_words,1), matching the Spark expression op-for-op.
+ORACLES["gopher_quality_rules"] = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    cast(len(toks) as bigint) AS n_words,
+    cast(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+         as bigint) AS sum_len,
+    cast(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         as bigint) AS n_alpha,
+    cast(len(list_filter(toks, x -> lower(x) IN
+      ('the','be','to','of','and','that','have','with')))
+         as bigint) AS n_stopwords,
+    cast(coalesce(list_sum(list_transform(toks, x ->
+      length(x) - length(replace(x, '#', ''))
+      + CASE WHEN contains(x, '...') THEN 1 ELSE 0 END)), 0)
+         as bigint) AS n_sym
+  FROM t
+), r AS (
+  SELECT doc_id, n_words, n_stopwords,
+    cast(sum_len as double) / cast(greatest(n_words, 1) as double)
+      AS mean_word_len,
+    cast(n_sym as double) / cast(greatest(n_words, 1) as double)
+      AS symbol_ratio,
+    cast(n_alpha as double) / cast(greatest(n_words, 1) as double)
+      AS alpha_frac
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+  n_stopwords,
+  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+  (symbol_ratio <= 0.1) AS ok_symbol,
+  (alpha_frac >= 0.8) AS ok_alpha,
+  (n_stopwords >= 2) AS ok_stopwords,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (alpha_frac >= 0.8)
+   AND (n_stopwords >= 2)) AS keep
+FROM r ORDER BY doc_id
+"""

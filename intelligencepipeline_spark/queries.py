@@ -9394,6 +9394,29 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_topk(emb, query_id=0, k=10, prefix_dim=16)
 
 
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER document-quality filter suite (functions/text.gopher_rules;
+    Rae et al. 2021 §A1.1 — the published rule set that became the
+    de-facto pre-training baseline): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, stopword
+    floor, and the conjunctive keep flag.
+
+    Expression-only — the whole rule suite rides the parquet scan with
+    zero shuffles, which is exactly the shape a 100 TB quality pass
+    must have (filter at read, never materialize the rejects). Every
+    ratio is ONE IEEE division of exact integers; the oracle replays
+    each rule off the same empty-filtered token split."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(F.col("text"))
+    return (
+        docs.select("doc_id", g.alias("g"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9491,6 +9514,7 @@ QUERIES = {
     "binary_quant_ann": binary_quant_ann,
     "sq8_ann_topk": sq8_ann_topk,
     "matryoshka_recall_audit": matryoshka_recall_audit,
+    "gopher_quality_rules": gopher_quality_rules,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

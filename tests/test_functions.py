@@ -73,3 +73,33 @@ def test_named_entities(spark):
     )
     types = {e["type"] for e in out}
     assert {"PERSON", "DATE", "TIME", "SUM"} <= types
+
+
+def test_gopher_rules(spark):
+    from intelligencepipeline_spark.functions.text import gopher_rules
+
+    # 60 words, all stopword 'the' -> passes count/alpha/stopword
+    # rules but fails mean-word-len (3.0 boundary is inclusive: 'the'
+    # has len 3, so it PASSES ok_mean_len).
+    g = one(spark, " ".join(["the"] * 60), gopher_rules)
+    assert g["n_words"] == 60
+    assert g["mean_word_len"] == 3.0
+    assert g["ok_words"] and g["ok_mean_len"] and g["ok_alpha"]
+    assert g["ok_stopwords"] and g["keep"]
+
+    # short doc fails the word-count floor
+    g2 = one(spark, "the quick brown fox", gopher_rules)
+    assert g2["n_words"] == 4
+    assert not g2["ok_words"] and not g2["keep"]
+
+    # symbol-heavy doc fails symbol ratio: 60 words, 12 hashes
+    g3 = one(
+        spark, " ".join(["the"] * 48 + ["#tag"] * 12), gopher_rules
+    )
+    assert g3["symbol_ratio"] == 0.2
+    assert not g3["ok_symbol"] and not g3["keep"]
+
+    # numeric-only words fail the alphabetic fraction
+    g4 = one(spark, " ".join(["123"] * 60), gopher_rules)
+    assert g4["alpha_frac"] == 0.0
+    assert not g4["ok_alpha"]
