@@ -152,6 +152,75 @@ def winnow_hashes(text: Column, k: int = 5, w: int = 4) -> Column:
     return F.array_sort(F.array_distinct(mins))
 
 
+def cdc_chunks(text: Column, w: int = 3, divisor: int = 8) -> Column:
+    """Content-defined chunking (the FastCDC / Rabin-fingerprint
+    pattern of dedup storage, at word granularity): a rolling hash
+    over the last ``w`` words places a chunk boundary wherever
+    ``hash % divisor == 0``, so identical passages chunk identically
+    REGARDLESS of their byte offset — the property fixed-size chunking
+    lacks and the reason CDC is the storage-dedup standard.
+
+    Returns the array of chunk strings (space-joined word runs).
+    Expression-only: boundaries, starts/ends and slices are all array
+    ops inside the scan — per-row, zero shuffle, so at 100 TB chunking
+    rides the read like any projection. Mean chunk length ~``divisor``
+    words. The window hash mixes md5-derived word hashes (gram_hash)
+    with small coefficients, staying far inside long range; everything
+    is exact integer arithmetic the SQL oracle replays verbatim."""
+
+    def chunked(toks: Column) -> Column:
+        n = F.size(toks)
+
+        def win_hash(hs: Column) -> Column:
+            # boundary-eligible window hash at position i (1-based,
+            # i >= w); positions < w get 1 (never divisible).
+            return F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.when(
+                    i >= w,
+                    sum(
+                        F.element_at(hs, i - off) * (2 ** off)
+                        for off in range(w)
+                    ),
+                ).otherwise(F.lit(1)),
+            )
+
+        word_hashes = F.transform(toks, gram_hash)
+        hs = F.element_at(F.transform(F.array(word_hashes), win_hash), 1)
+
+        def pieces(bound: Column) -> Column:
+            starts = F.concat(
+                F.array(F.lit(1)), F.transform(bound, lambda b: b + 1)
+            )
+            ends = F.concat(bound, F.array(n))
+            return F.transform(
+                F.sequence(F.lit(1), F.size(starts)),
+                lambda j: F.array_join(
+                    F.slice(
+                        toks,
+                        F.element_at(starts, j),
+                        F.element_at(ends, j)
+                        - F.element_at(starts, j)
+                        + 1,
+                    ),
+                    " ",
+                ),
+            )
+
+        # boundary AFTER position i when the window hash divides; the
+        # final position never opens a boundary (no empty tail chunk).
+        bounds = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i < n) & (F.element_at(hs, i) % divisor == 0),
+        )
+        return F.when(
+            n >= 1,
+            F.element_at(F.transform(F.array(bounds), pieces), 1),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), chunked), 1)
+
+
 # BPE-ish subword pattern: runs of letters are split into 1-4 char
 # pieces (greedy, like a coarse byte-pair vocabulary cap), digits run
 # together, any other non-space char is its own token. Same regex

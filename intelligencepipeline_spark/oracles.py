@@ -5387,3 +5387,50 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
    AND (n_stopwords >= 2)) AS keep
 FROM r ORDER BY doc_id
 """
+
+# cdc_chunk_dedup: replays the content-defined chunker move-for-move —
+# md5-prefix word hashes, the (4,2,1)-coefficient window hash, the
+# "boundary after i when hs[i] % 8 = 0 and i < n" rule, and the
+# 1-based inclusive slice reassembly (DuckDB l[a:b] == Spark
+# slice(l, a, b-a+1)). The corpus-level dedup is the same keyed count
+# with the same (n_occ DESC, chunk) total order at the cut.
+ORACLES["cdc_chunk_dedup"] = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    list_transform(toks,
+      x -> cast(concat('0x', substr(md5(x), 1, 8)) as bigint)) AS wh
+  FROM t WHERE len(toks) >= 1
+), hs AS (
+  SELECT doc_id, toks, n,
+    list_transform(range(1, n + 1),
+      i -> CASE WHEN i >= 3 THEN wh[i] + 2 * wh[i-1] + 4 * wh[i-2]
+           ELSE 1 END) AS win
+  FROM h
+), b AS (
+  SELECT doc_id, toks, n,
+    list_filter(range(1, n + 1),
+      i -> i < n AND win[i] % 8 = 0) AS bounds
+  FROM hs
+), se AS (
+  SELECT doc_id, toks,
+    list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+    list_append(bounds, n) AS ends
+  FROM b
+), ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(starts) + 1),
+    j -> array_to_string(toks[starts[j]:ends[j]], ' '))) AS chunk
+  FROM se
+), agg AS (
+  SELECT chunk,
+    cast(count(*) as bigint) AS n_occ,
+    cast(count(DISTINCT doc_id) as bigint) AS n_docs
+  FROM ch GROUP BY chunk HAVING count(*) > 1
+)
+SELECT chunk, cast(len(string_split(chunk, ' ')) as bigint) AS n_words,
+  n_occ, n_docs
+FROM agg ORDER BY n_occ DESC, chunk LIMIT 100
+"""

@@ -103,3 +103,25 @@ def test_gopher_rules(spark):
     g4 = one(spark, " ".join(["123"] * 60), gopher_rules)
     assert g4["alpha_frac"] == 0.0
     assert not g4["ok_alpha"]
+
+
+def test_cdc_chunks_offset_invariance(spark):
+    from intelligencepipeline_spark.functions.text import cdc_chunks
+
+    shared = "the fast key order sort table scan merge part window small hash"
+    df = spark.createDataFrame(
+        [(0, "x0 y1 z2 " + shared), (1, "q7 " + shared), (2, ""), (3, "one two")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", cdc_chunks(F.col("text")).alias("c")
+        ).collect()
+    }
+    # reassembly is lossless
+    assert " ".join(rows[0]) == "x0 y1 z2 " + shared
+    # after the first content-defined boundary, shifted copies chunk
+    # identically (the CDC property fixed-stride chunking lacks)
+    assert rows[0][1:] == rows[1][1:] and len(rows[0]) > 1
+    assert rows[2] == [] and rows[3] == ["one two"]
