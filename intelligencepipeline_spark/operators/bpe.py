@@ -176,3 +176,122 @@ def encode(docs: DataFrame, merges: list[dict], text_col: str = "text") -> DataF
             F.size(F.filter(F.col("syms"), lambda x: x != F.lit(" ")))
         ).cast("long"),
     ).drop("syms")
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (Wu et al. 2016 / BERT tokenizer): greedy LONGEST-match-first
+# subword encode against a learned gram vocabulary. Differs from BPE's
+# merge-rank greed — at each position the longest vocab entry wins, so
+# the encode is a per-word left-to-right fold, not a replace chain.
+# ---------------------------------------------------------------------------
+
+
+def train_wordpiece_vocab(
+    docs: DataFrame,
+    n_trigrams: int = 8,
+    n_bigrams: int = 16,
+    text_col: str = "text",
+) -> dict[int, list[str]]:
+    """Learn a {3: [...], 2: [...]} character-gram vocabulary from the
+    frequency-weighted distinct-word domain (same scale shape as BPE
+    training: ONE corpus-wide groupBy, then everything runs on the
+    bounded (word, n) dictionary). Selection is top-k by weighted count
+    with a TOTAL deterministic tie-break (count desc, gram asc); driver
+    state is n_trigrams + n_bigrams strings — bounded like the BPE
+    merge table. Single characters are implicitly always in-vocab
+    (char fallback), so there is no UNK."""
+    wf = word_freqs(docs, text_col)
+
+    def top_grams(n: int, k: int) -> list[str]:
+        arr = F.when(
+            F.length("word") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - (n - 1)),
+                lambda i: F.substring(F.col("word"), i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rows = (
+            wf.select(F.explode(arr).alias("gram"), "n")
+            .groupBy("gram")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "gram")
+            .limit(k)
+            .collect()
+        )
+        return [r["gram"] for r in rows]
+
+    return {3: top_grams(3, n_trigrams), 2: top_grams(2, n_bigrams)}
+
+
+def wordpiece_encode(
+    docs: DataFrame, vocab: dict[int, list[str]], text_col: str = "text"
+) -> DataFrame:
+    """Per-document WordPiece encode stats: token count plus how many
+    takes were trigram/bigram vocab hits, and the chars-per-token
+    compression. The greedy longest-first match is a pure-expression
+    ``aggregate`` fold per word over character positions (struct
+    accumulator (pos, cnt, c3, c2)); vocab enters as literals, so the
+    whole encode stays inside whole-stage codegen — per-row, zero
+    shuffle, the shape a 100 TB tokenizer pass needs. A substring read
+    past the word end returns a SHORT string, which can never equal a
+    full-length vocab gram — both engines share that semantic, so the
+    fold is replayed move-for-move by the SQL oracle."""
+    v3, v2 = vocab.get(3, []), vocab.get(2, [])
+
+    def word_state(w):
+        init = F.struct(
+            F.lit(1).alias("pos"),
+            F.lit(0).alias("cnt"),
+            F.lit(0).alias("c3"),
+            F.lit(0).alias("c2"),
+        )
+
+        def step(acc, i):
+            take3 = (
+                w.substr(acc["pos"], F.lit(3)).isin(*v3)
+                if v3
+                else F.lit(False)
+            )
+            take2 = (
+                w.substr(acc["pos"], F.lit(2)).isin(*v2)
+                if v2
+                else F.lit(False)
+            )
+            adv = lambda d, d3, d2: F.struct(  # noqa: E731
+                (acc["pos"] + d).alias("pos"),
+                (acc["cnt"] + 1).alias("cnt"),
+                (acc["c3"] + d3).alias("c3"),
+                (acc["c2"] + d2).alias("c2"),
+            )
+            return (
+                F.when(i < acc["pos"], acc)
+                .when(take3, adv(3, 1, 0))
+                .when(take2, adv(2, 0, 1))
+                .otherwise(adv(1, 0, 0))
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+
+    def doc_stats(toks):
+        states = F.transform(toks, word_state)
+        total = lambda field: F.aggregate(  # noqa: E731
+            states, F.lit(0), lambda a, s: a + s[field]
+        )
+        n_chars = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+        wp_len = total("cnt")
+        return F.struct(
+            wp_len.cast("long").alias("wp_len"),
+            total("c3").cast("long").alias("n_tri"),
+            total("c2").cast("long").alias("n_bi"),
+            n_chars.cast("long").alias("n_chars"),
+            F.when(
+                n_chars > 0,
+                wp_len.cast("double") / n_chars.cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("compression"),
+        )
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    stats = F.element_at(F.transform(F.array(toks), doc_stats), 1)
+    return docs.select("doc_id", stats.alias("s")).select("doc_id", "s.*")

@@ -5434,3 +5434,76 @@ SELECT chunk, cast(len(string_split(chunk, ' ')) as bigint) AS n_words,
   n_occ, n_docs
 FROM agg ORDER BY n_occ DESC, chunk LIMIT 100
 """
+
+# wordpiece_encode_stats: vocab = top-8 trigrams + top-16 bigrams over
+# the frequency-weighted distinct-word domain (count DESC, gram ASC
+# total order at both cuts — exactly the Spark trainer's); encode =
+# greedy longest-match-first. Two DuckDB traps shaped this oracle:
+# (1) v1.0.0 mis-evaluates list_reduce NESTED inside list_transform
+# (non-deterministically wrong accumulator states), and (2) even a
+# FLAT list_reduce goes wrong when its lambda calls list_contains on a
+# list built by list(... ORDER BY ...) (found: 'column' encoded as 5
+# tokens instead of 2). So the greedy walk is a RECURSIVE CTE over
+# (word, pos) — zero lambdas — on the DISTINCT word dictionary
+# (greedy encode is word-local), joined back for per-doc sums.
+ORACLES["wordpiece_encode_stats"] = f"""
+WITH RECURSIVE wf AS (
+  SELECT word, cast(count(*) as bigint) AS n
+  FROM (SELECT unnest({_NTOKS}) AS word FROM documents)
+  GROUP BY word
+), g3 AS (
+  SELECT gram, cast(sum(n) as bigint) AS cnt FROM (
+    SELECT unnest(CASE WHEN length(word) >= 3
+      THEN list_transform(range(1, length(word) - 1),
+                          i -> substr(word, i, 3))
+      ELSE [] END) AS gram, n FROM wf)
+  GROUP BY gram ORDER BY cnt DESC, gram LIMIT 8
+), g2 AS (
+  SELECT gram, cast(sum(n) as bigint) AS cnt FROM (
+    SELECT unnest(CASE WHEN length(word) >= 2
+      THEN list_transform(range(1, length(word)),
+                          i -> substr(word, i, 2))
+      ELSE [] END) AS gram, n FROM wf)
+  GROUP BY gram ORDER BY cnt DESC, gram LIMIT 16
+), walk AS (
+  SELECT word, 1 AS pos, 0 AS cnt, 0 AS c3, 0 AS c2 FROM wf
+  UNION ALL
+  SELECT word,
+    CASE WHEN hit3 THEN pos + 3 WHEN hit2 THEN pos + 2
+         ELSE pos + 1 END,
+    cnt + 1,
+    c3 + CASE WHEN hit3 THEN 1 ELSE 0 END,
+    c2 + CASE WHEN NOT hit3 AND hit2 THEN 1 ELSE 0 END
+  FROM (
+    SELECT w.word, w.pos, w.cnt, w.c3, w.c2,
+      substr(w.word, w.pos, 3) IN (SELECT gram FROM g3) AS hit3,
+      substr(w.word, w.pos, 2) IN (SELECT gram FROM g2) AS hit2
+    FROM walk w WHERE w.pos <= length(w.word)) s
+), wparts AS (
+  SELECT word,
+    cast(cnt as bigint) AS cnt, cast(c3 as bigint) AS c3,
+    cast(c2 as bigint) AS c2,
+    cast(length(word) as bigint) AS wlen
+  FROM walk WHERE pos > length(word)
+), occ AS (
+  SELECT doc_id, unnest({_NTOKS}) AS word FROM documents
+), sums AS (
+  SELECT o.doc_id,
+    cast(sum(w.cnt) as bigint) AS wp_len,
+    cast(sum(w.c3) as bigint) AS n_tri,
+    cast(sum(w.c2) as bigint) AS n_bi,
+    cast(sum(w.wlen) as bigint) AS n_chars
+  FROM occ o JOIN wparts w USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+  coalesce(s.wp_len, 0) AS wp_len,
+  coalesce(s.n_tri, 0) AS n_tri,
+  coalesce(s.n_bi, 0) AS n_bi,
+  coalesce(s.n_chars, 0) AS n_chars,
+  CASE WHEN coalesce(s.n_chars, 0) > 0
+    THEN cast(s.wp_len as double) / cast(s.n_chars as double)
+    ELSE 1.0 END AS compression
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""

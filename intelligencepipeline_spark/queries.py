@@ -9453,6 +9453,34 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE tokenizer (operators/bpe.train_wordpiece_vocab +
+    wordpiece_encode — Wu et al. 2016 / the BERT tokenizer family):
+    learns a character-gram vocabulary from the frequency-weighted
+    distinct-word domain (two bounded collects, 8+16 strings — the BPE
+    merge-table contract), then greedy LONGEST-match-first encodes
+    every document as a pure-expression fold — per-row, zero shuffle,
+    whole-stage codegen, the shape a 100 TB tokenizer pass needs.
+    Exports per-doc token count, trigram/bigram hit counts, char count
+    and the chars-per-token compression.
+
+    Oracle note: greedy encode is word-local, so the DuckDB oracle
+    computes identical per-word states over the DISTINCT word
+    dictionary (flat fold) and joins them back — algebraically the
+    same sums. (DuckDB v1.0.0 mis-evaluates list_reduce nested inside
+    list_transform — non-deterministically wrong states — so the
+    oracle must avoid the nested form; Spark's nested fold is pinned
+    against a pure-Python greedy reference in tests/test_bpe.py.)"""
+    from intelligencepipeline_spark.operators.bpe import (
+        train_wordpiece_vocab,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_wordpiece_vocab(docs)
+    return wordpiece_encode(docs, vocab).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9552,6 +9580,7 @@ QUERIES = {
     "matryoshka_recall_audit": matryoshka_recall_audit,
     "gopher_quality_rules": gopher_quality_rules,
     "cdc_chunk_dedup": cdc_chunk_dedup,
+    "wordpiece_encode_stats": wordpiece_encode_stats,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -172,3 +172,62 @@ def test_encode_matches_python_fold(spark):
 
     for doc_id, text in rows:
         assert got[doc_id] == fold_len(text), (doc_id, text)
+
+
+def _py_wordpiece(word, v3, v2):
+    """Pure-Python greedy longest-match-first reference."""
+    p, cnt, c3, c2 = 0, 0, 0, 0
+    while p < len(word):
+        if word[p : p + 3] in v3 and p + 3 <= len(word):
+            p, cnt, c3 = p + 3, cnt + 1, c3 + 1
+        elif word[p : p + 2] in v2 and p + 2 <= len(word):
+            p, cnt, c2 = p + 2, cnt + 1, c2 + 1
+        else:
+            p, cnt = p + 1, cnt + 1
+    return cnt, c3, c2
+
+
+def test_wordpiece_encode_matches_python_reference(spark, docs):
+    import re
+
+    from intelligencepipeline_spark.operators.bpe import (
+        train_wordpiece_vocab,
+        wordpiece_encode,
+    )
+
+    vocab = train_wordpiece_vocab(docs)
+    assert len(vocab[3]) == 8 and len(vocab[2]) == 16
+    assert all(len(g) == 3 for g in vocab[3])
+    assert all(len(g) == 2 for g in vocab[2])
+
+    out = {
+        r["doc_id"]: r
+        for r in wordpiece_encode(docs, vocab).limit(2000).collect()
+    }
+    v3, v2 = set(vocab[3]), set(vocab[2])
+    for row in docs.select("doc_id", "text").limit(20).collect():
+        norm = re.sub(
+            " +", " ", re.sub("[^a-z0-9 ]", " ", (row["text"] or "").lower())
+        ).strip()
+        toks = [t for t in norm.split(" ") if t]
+        wp = tri = bi = nch = 0
+        for w in toks:
+            c, t3, t2 = _py_wordpiece(w, v3, v2)
+            wp, tri, bi, nch = wp + c, tri + t3, bi + t2, nch + len(w)
+        got = out[row["doc_id"]]
+        assert (got["wp_len"], got["n_tri"], got["n_bi"], got["n_chars"]) == (
+            wp, tri, bi, nch,
+        ), row["doc_id"]
+
+
+def test_wordpiece_longest_match_first(spark):
+    """Greedy longest-first differs from replace-chain semantics:
+    vocab3={bcd}, vocab2={ab} on 'abcd' must take 'ab' at pos 1
+    (3 tokens), not 'bcd' (2 tokens)."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.operators.bpe import wordpiece_encode
+
+    df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    r = wordpiece_encode(df, {3: ["bcd"], 2: ["ab"]}).first()
+    assert r["wp_len"] == 3 and r["n_tri"] == 0 and r["n_bi"] == 1
