@@ -626,3 +626,55 @@ def byte_histogram(media: Column, bins: int = 16) -> Column:
         return pd.Series(out)
 
     return hist(media)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding (ITU-T G.711, the telephony/audio-ingest
+# standard 2:1 log-companding of PCM16 to 8-bit codes). Pure integer
+# column expressions — no UDF, no shuffle; an audio-normalization pass
+# at 100 TB rides the scan exactly like a string projection. The
+# classic bit-twiddling (sign | exponent<<4 | mantissa, complemented)
+# is expressed with div/mod/CASE so the same arithmetic runs verbatim
+# in the DuckDB oracle (no engine-specific shift/NOT semantics).
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 132
+_MULAW_CLIP = 32635
+
+
+def _pow2(e: Column, base: int = 1) -> Column:
+    """2**(e) * base via a literal lookup (e in 0..7) — keeps the
+    expression integer-exact in both engines (F.pow is double)."""
+    return F.element_at(
+        F.array(*[F.lit(base * (1 << k)) for k in range(8)]),
+        (e + 1).cast("int"),
+    )
+
+
+def mulaw_encode(s: Column) -> Column:
+    """PCM16 sample -> 8-bit mu-law code (0..255), G.711 encode:
+    clip at 32635, add bias 132, segment = floor(log2) of the biased
+    magnitude's top byte, 4-bit mantissa, complemented output with
+    0x80 sign for negatives."""
+    mag = F.least(F.abs(s), F.lit(_MULAW_CLIP)) + F.lit(_MULAW_BIAS)
+    v = (mag / 128).cast("long")  # biased magnitude >> 7, in 1..255
+    e = (
+        F.when(v >= 128, 7).when(v >= 64, 6).when(v >= 32, 5)
+        .when(v >= 16, 4).when(v >= 8, 3).when(v >= 4, 2)
+        .when(v >= 2, 1).otherwise(0)
+    )
+    mant = (mag / _pow2(e, 8)).cast("long") % 16
+    sign = F.when(s < 0, 128).otherwise(0)
+    return (F.lit(255) - (sign + e * 16 + mant)).cast("long")
+
+
+def mulaw_decode(c: Column) -> Column:
+    """8-bit mu-law code -> PCM16 sample (exact inverse of the
+    quantized segment+mantissa form; max roundtrip error halves per
+    segment — the companding property this codec exists for)."""
+    u = F.lit(255) - c
+    body = u % 128
+    e = (body / 16).cast("long")
+    mant = body % 16
+    t = (mant * 8 + _MULAW_BIAS) * _pow2(e) - F.lit(_MULAW_BIAS)
+    return F.when(u >= 128, -t).otherwise(t).cast("long")

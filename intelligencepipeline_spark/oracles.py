@@ -5507,3 +5507,59 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN sums s USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# mulaw_companding_audit: per-sample G.711 encode/decode replayed
+# RELATIONALLY (unnest of positions 0..7; zero SQL lambdas — see the
+# wordpiece oracle's DuckDB-lambda findings). Samples are the
+# wav_decode_stats fixture: little-endian int16 from md5 hex pairs.
+# Exponent = CASE ladder on the biased magnitude's top byte; powers
+# of two come from literal list indexing, so everything is exact
+# integer arithmetic identical to the Spark expressions.
+ORACLES["mulaw_companding_audit"] = """
+WITH pos AS (SELECT unnest(range(0, 8)) AS i),
+s AS (
+  SELECT d.doc_id, p.i,
+    (cast(concat('0x', substr(md5(d.text), 4 * p.i + 1, 2)) as bigint)
+     + 256 * cast(concat('0x', substr(md5(d.text), 4 * p.i + 3, 2)) as bigint)
+     - 65536 * (CASE WHEN cast(concat('0x',
+         substr(md5(d.text), 4 * p.i + 3, 2)) as bigint) >= 128
+         THEN 1 ELSE 0 END)) AS smp
+  FROM documents d, pos p
+), enc AS (
+  SELECT doc_id, i, smp,
+    least(abs(smp), 32635) + 132 AS mag
+  FROM s
+), e1 AS (
+  SELECT doc_id, i, smp, mag,
+    CASE WHEN mag // 128 >= 128 THEN 7 WHEN mag // 128 >= 64 THEN 6
+         WHEN mag // 128 >= 32 THEN 5 WHEN mag // 128 >= 16 THEN 4
+         WHEN mag // 128 >= 8 THEN 3 WHEN mag // 128 >= 4 THEN 2
+         WHEN mag // 128 >= 2 THEN 1 ELSE 0 END AS e
+  FROM enc
+), code AS (
+  SELECT doc_id, i, smp,
+    255 - (CASE WHEN smp < 0 THEN 128 ELSE 0 END + e * 16
+           + (mag // ([8,16,32,64,128,256,512,1024][e + 1])) % 16)
+      AS c
+  FROM e1
+), dec AS (
+  SELECT doc_id, i, smp, c,
+    CASE WHEN (255 - c) >= 128 THEN
+      -((((255 - c) % 128) % 16 * 8 + 132)
+        * ([1,2,4,8,16,32,64,128][((255 - c) % 128) // 16 + 1]) - 132)
+    ELSE
+      ((((255 - c) % 128) % 16 * 8 + 132)
+        * ([1,2,4,8,16,32,64,128][((255 - c) % 128) // 16 + 1]) - 132)
+    END AS d
+  FROM code
+)
+SELECT doc_id,
+  cast(sum(CASE WHEN abs(d - smp) = 0 THEN 1 ELSE 0 END) as bigint)
+    AS n_exact,
+  cast(max(abs(d - smp)) as bigint) AS max_abs_err,
+  cast(sum(abs(d - smp)) as bigint) AS sum_abs_err,
+  cast(sum(abs(d - smp)) as double) / 8.0 AS mean_abs_err,
+  cast(max(CASE WHEN i = 0 THEN c END) as bigint) AS first_code,
+  cast(max(CASE WHEN i = 7 THEN c END) as bigint) AS last_code
+FROM dec GROUP BY doc_id ORDER BY doc_id
+"""

@@ -9481,6 +9481,62 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_encode(docs, vocab).orderBy("doc_id")
 
 
+def mulaw_companding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 MU-LAW companding roundtrip audit (functions/multimodal.
+    mulaw_encode/mulaw_decode — the telephony/audio-ingest standard
+    2:1 log companding of PCM16 to 8-bit codes). 8 deterministic PCM16
+    samples per document (little-endian int16 pairs straight from
+    md5(text) hex — the wav_decode_stats fixture contract) are
+    encoded, decoded, and error-audited: exact-roundtrip count,
+    max/sum/mean absolute error, plus order-sensitive first/last code
+    probes that pin the segment/mantissa/sign bit layout.
+
+    Entirely integer column expressions (div/mod/CASE — no shifts, no
+    UDF, no shuffle): an audio-normalization pass at 100 TB rides the
+    scan like a string projection. The oracle replays encode+decode
+    per sample relationally (unnest positions, zero SQL lambdas)."""
+    from intelligencepipeline_spark.functions.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def byte_at(j):  # j-th byte of md5(text) as 0..255
+        return F.conv(
+            F.substring(F.md5(F.col("text")), 2 * j + 1, 2), 16, 10
+        ).cast("long")
+
+    def sample(i):  # little-endian int16 from bytes (2i, 2i+1)
+        lo, hi = byte_at(2 * i), byte_at(2 * i + 1)
+        return lo + 256 * hi - 65536 * (hi >= 128).cast("long")
+
+    samples = F.array(*[sample(i) for i in range(8)])
+
+    def audit(arr):
+        codes = F.transform(arr, mulaw_encode)
+        dec = F.transform(codes, mulaw_decode)
+        errs = F.zip_with(arr, dec, lambda s, d: F.abs(d - s))
+        sum_err = F.aggregate(errs, F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.struct(
+            F.size(F.filter(errs, lambda x: x == 0))
+            .cast("long")
+            .alias("n_exact"),
+            F.array_max(errs).cast("long").alias("max_abs_err"),
+            sum_err.alias("sum_abs_err"),
+            (sum_err.cast("double") / F.lit(8.0)).alias("mean_abs_err"),
+            F.element_at(codes, 1).alias("first_code"),
+            F.element_at(codes, 8).alias("last_code"),
+        )
+
+    a = F.element_at(F.transform(F.array(samples), audit), 1)
+    return (
+        docs.select("doc_id", a.alias("a"))
+        .select("doc_id", "a.*")
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9581,6 +9637,7 @@ QUERIES = {
     "gopher_quality_rules": gopher_quality_rules,
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "wordpiece_encode_stats": wordpiece_encode_stats,
+    "mulaw_companding_audit": mulaw_companding_audit,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

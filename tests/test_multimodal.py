@@ -437,3 +437,44 @@ def test_wav_encode_decode_roundtrip_and_decimation(spark):
     _, ch2, dec2 = decode_wav(bytes(out2.resampled))
     assert ch2 == 2
     assert np.array_equal(dec2, samples.reshape(-1, 2)[::2].reshape(-1))
+
+
+def test_mulaw_companding(spark):
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    vals = list(range(-32768, 32768, 1013)) + [
+        -32768, -32635, -132, -1, 0, 1, 131, 132, 32124, 32635, 32767,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s long")
+    rows = df.select(
+        "s",
+        mulaw_encode(F.col("s")).alias("c"),
+        mulaw_decode(mulaw_encode(F.col("s"))).alias("d"),
+    ).collect()
+
+    def enc(s):  # reference bit-twiddling form (G.711 / audioop)
+        sign = 0x80 if s < 0 else 0
+        m = min(abs(s), 32635) + 132
+        e = 7
+        while e > 0 and (m >> 7) < (1 << e):
+            e -= 1
+        return 255 - (sign + (e << 4) + ((m >> (e + 3)) & 0xF))
+
+    def dec(c):
+        u = 255 - c
+        e, mant = (u & 0x7F) >> 4, u & 0xF
+        t = ((mant * 8) + 132) * (1 << e) - 132
+        return -t if u & 0x80 else t
+
+    for r in rows:
+        assert r["c"] == enc(r["s"]) and 0 <= r["c"] <= 255, r["s"]
+        assert r["d"] == dec(enc(r["s"])), r["s"]
+        # companding bound: error <= half the segment step of |s|
+        assert abs(r["d"] - max(-32635, min(32635, r["s"]))) <= 512
+    # code 0xFF (=255) is positive zero-ish; silence encodes to 255
+    assert dict((r["s"], r["c"]) for r in rows)[0] == 255
