@@ -5563,3 +5563,48 @@ SELECT doc_id,
   cast(max(CASE WHEN i = 7 THEN c END) as bigint) AS last_code
 FROM dec GROUP BY doc_id ORDER BY doc_id
 """
+
+# retention_sweep_plan: partition-level TTL plan — watermark = max day
+# over the table (scalar subquery == the broadcast 1-row join);
+# epoch_day/age_days are exact date integer arithmetic; the policy
+# CASE mirrors the Spark literal map (alphabetical WHEN order is
+# irrelevant: keys are disjoint).
+ORACLES["retention_sweep_plan"] = """
+WITH wm AS (SELECT max(cast(ts as date)) AS wm_day FROM events),
+parts AS (
+  SELECT event_type, cast(ts as date) AS day,
+    cast(count(*) as bigint) AS n_rows
+  FROM events GROUP BY event_type, cast(ts as date)
+)
+SELECT p.event_type,
+  cast(datediff('day', DATE '1970-01-01', p.day) as bigint) AS epoch_day,
+  p.n_rows,
+  cast(datediff('day', p.day, w.wm_day) as bigint) AS age_days,
+  cast(CASE p.event_type
+    WHEN 'click' THEN 7 WHEN 'view' THEN 7 WHEN 'error' THEN 14
+    WHEN 'signup' THEN 90 WHEN 'purchase' THEN 90 ELSE 14
+  END as bigint) AS retention_days,
+  CASE WHEN datediff('day', p.day, w.wm_day) > CASE p.event_type
+    WHEN 'click' THEN 7 WHEN 'view' THEN 7 WHEN 'error' THEN 14
+    WHEN 'signup' THEN 90 WHEN 'purchase' THEN 90 ELSE 14 END
+  THEN 'DROP' ELSE 'RETAIN' END AS action
+FROM parts p, wm w
+ORDER BY p.event_type, epoch_day
+"""
+
+# l_diversity_audit: k-anonymity group sizes + l-diversity distinct
+# sensitive bands per quasi-identifier group; band = floor of ONE
+# IEEE division (exact in both engines).
+ORACLES["l_diversity_audit"] = """
+SELECT cast(c_nationkey as bigint) AS nationkey,
+  c_mktsegment AS mktsegment,
+  cast(count(*) as bigint) AS k_size,
+  cast(count(DISTINCT cast(floor(c_acctbal / 1000) as bigint)) as bigint)
+    AS l_distinct,
+  count(*) < 5 AS k_violation,
+  count(DISTINCT cast(floor(c_acctbal / 1000) as bigint)) < 3
+    AS l_violation
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY nationkey, mktsegment
+"""

@@ -9537,6 +9537,102 @@ def mulaw_companding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-event-type retention policy (days). Governance config enters as
+# literals so the sweep plan compiles to one scan + one keyed agg.
+RETENTION_DAYS = {
+    "click": 7,
+    "view": 7,
+    "error": 14,
+    "signup": 90,
+    "purchase": 90,
+}
+RETENTION_DEFAULT_DAYS = 14
+
+
+def retention_sweep_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-RETENTION TTL SWEEP PLAN (governance family, next to
+    merge.purge_key's GDPR erasure): given a per-event-type retention
+    policy, emit the PARTITION-LEVEL drop plan — per (event_type, day)
+    partition: row count, age vs the corpus watermark (max ts, so the
+    plan is deterministic for any frozen dataset), the policy window,
+    and DROP/RETAIN. This is the metadata-only shape retention must
+    have at 100 TB: expired data is removed by dropping whole
+    date/type partitions off the manifest (one list operation), never
+    by row-level deletes; the plan itself is one scan + one keyed agg
+    + a broadcast 1-row watermark join.
+
+    Exports epoch-day ints and day-granular ages (exact integer
+    arithmetic in both engines — no timestamp formatting drift)."""
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg(
+        F.max(F.to_date("ts")).alias("wm_day")
+    )  # 1-row watermark, broadcast
+    retention = F.col("event_type")
+    keep = F.lit(RETENTION_DEFAULT_DAYS)
+    for etype, days in sorted(RETENTION_DAYS.items()):
+        keep = F.when(retention == etype, days).otherwise(keep)
+    parts = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(wm))
+    )
+    return (
+        parts.select(
+            "event_type",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("epoch_day"),
+            F.col("n_rows"),
+            F.datediff(F.col("wm_day"), F.col("day"))
+            .cast("long")
+            .alias("age_days"),
+            keep.cast("long").alias("retention_days"),
+        )
+        .withColumn(
+            "action",
+            F.when(
+                F.col("age_days") > F.col("retention_days"), "DROP"
+            ).otherwise("RETAIN"),
+        )
+        .orderBy("event_type", "epoch_day")
+    )
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY / L-DIVERSITY privacy audit (Sweeney 2002;
+    Machanavajjhala et al. 2007 — the standard re-identification
+    checks run before releasing a training corpus): group by the
+    quasi-identifier (nation, market segment), measure group size k
+    and the number of distinct sensitive values l (account-balance
+    thousand-bands), and flag groups violating k>=5 anonymity or
+    l>=3 diversity. ONE keyed agg — at 100 TB this is a map-side
+    partial count + countDistinct per QI group, no other shuffle.
+
+    Band = floor(acctbal/1000): a single IEEE division + floor of
+    the same double in both engines — exact."""
+    cust = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count("*").alias("k_size"),
+            F.countDistinct(band).alias("l_distinct"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "k_size",
+            "l_distinct",
+            (F.col("k_size") < 5).alias("k_violation"),
+            (F.col("l_distinct") < 3).alias("l_violation"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9638,6 +9734,8 @@ QUERIES = {
     "cdc_chunk_dedup": cdc_chunk_dedup,
     "wordpiece_encode_stats": wordpiece_encode_stats,
     "mulaw_companding_audit": mulaw_companding_audit,
+    "retention_sweep_plan": retention_sweep_plan,
+    "l_diversity_audit": l_diversity_audit,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
