@@ -5608,3 +5608,101 @@ FROM customer
 GROUP BY c_nationkey, c_mktsegment
 ORDER BY nationkey, mktsegment
 """
+
+# encoding_advisor: one windowed flag pass + one wide aggregate,
+# unpivoted to a row per column — mirrors the Spark plan shape.
+# Generated per column spec to keep the arithmetic literally identical.
+_ENC_COLS = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+_enc_flags = []
+_enc_aggs = ["cast(count(*) as bigint) AS n_rows"]
+_enc_rows = []
+for _c, _num in _ENC_COLS:
+    _enc_flags.append(
+        f"cast({_c} as varchar) AS s_{_c}, "
+        f"CASE WHEN lag(cast({_c} as varchar)) OVER w IS NULL "
+        f"OR cast({_c} as varchar) <> lag(cast({_c} as varchar)) OVER w "
+        f"THEN 1 ELSE 0 END AS newrun_{_c}, "
+        f"CASE WHEN lag({_c}) OVER w IS NULL OR {_c} >= lag({_c}) OVER w "
+        f"THEN 1 ELSE 0 END AS nondecr_{_c}"
+    )
+    _enc_aggs.append(
+        f"cast(count(DISTINCT s_{_c}) as bigint) AS nd_{_c}, "
+        f"cast(sum(newrun_{_c}) as bigint) AS runs_{_c}, "
+        f"cast(sum(nondecr_{_c}) as bigint) AS mono_{_c}"
+    )
+    _is_num_sql = "TRUE" if _num else "FALSE"
+    _enc_rows.append(f"""
+SELECT '{_c}' AS column_name, n_rows, nd_{_c} AS n_distinct,
+  runs_{_c} AS n_runs,
+  cast(nd_{_c} as double) / cast(n_rows as double) AS distinct_pct,
+  cast(n_rows as double) / cast(runs_{_c} as double) AS avg_run_len,
+  cast(mono_{_c} as double) / cast(n_rows as double) AS frac_nondecr,
+  CASE
+    WHEN cast(n_rows as double) / cast(runs_{_c} as double) >= 2.0
+      THEN 'RLE'
+    WHEN cast(nd_{_c} as double) / cast(n_rows as double) <= 0.05
+      THEN 'DICT'
+    WHEN {_is_num_sql}
+      AND cast(mono_{_c} as double) / cast(n_rows as double) >= 0.9
+      THEN 'DELTA'
+    ELSE 'PLAIN'
+  END AS encoding
+FROM a""")
+
+ORACLES["encoding_advisor"] = (
+    "WITH f AS (\n  SELECT l_orderkey, l_linenumber,\n    "
+    + ",\n    ".join(_enc_flags)
+    + "\n  FROM lineitem\n"
+    + "  WINDOW w AS (PARTITION BY l_orderkey\n    ORDER BY l_linenumber, l_extendedprice, l_partkey)\n"
+    + "), a AS (\n  SELECT "
+    + ",\n    ".join(_enc_aggs)
+    + "\n  FROM f\n)\n"
+    + "\nUNION ALL\n".join(_enc_rows)
+    + "\nORDER BY column_name"
+)
+
+# sort_layout_advisor: ntile(32) bucket spans per candidate sort key,
+# coverage = sum(span)/(32*global span); generated per (key, probe)
+# so the arithmetic matches the Spark union move-for-move. The ntile
+# ORDER BY carries the same verified-unique tiebreak tuple.
+_SLA_KEYS = ("l_orderkey", "l_partkey", "l_suppkey", "ship_us")
+_SLA_PROBES = ("l_partkey", "ship_us")
+_sla_rows = []
+for _k in _SLA_KEYS:
+    for _p in _SLA_PROBES:
+        _sla_rows.append(f"""
+SELECT '{_k}' AS sort_key, '{_p}' AS probe,
+  CASE WHEN max(mx) - min(mn) > 0
+    THEN cast(sum(mx - mn) as double)
+         / (32.0 * cast(max(mx) - min(mn) as double))
+    ELSE 0.0 END AS coverage
+FROM (
+  SELECT bucket, min(p) AS mn, max(p) AS mx FROM (
+    SELECT ntile(32) OVER (ORDER BY {_k}, l_orderkey, l_linenumber,
+        l_extendedprice, l_partkey) AS bucket,
+      {_p} AS p
+    FROM b) GROUP BY bucket)""")
+
+ORACLES["sort_layout_advisor"] = (
+    "WITH b AS (\n"
+    "  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,\n"
+    "    l_extendedprice, epoch_us(l_shipdate) AS ship_us\n"
+    "  FROM lineitem\n"
+    "  WHERE (l_orderkey * 7 + l_linenumber) % 5 = 0\n"
+    "), cov AS (\n"
+    + "\nUNION ALL\n".join(_sla_rows)
+    + "\n)\n"
+    "SELECT sort_key, probe, coverage,\n"
+    "  cast(row_number() OVER (PARTITION BY probe\n"
+    "    ORDER BY coverage, sort_key) as bigint) AS rnk,\n"
+    "  row_number() OVER (PARTITION BY probe\n"
+    "    ORDER BY coverage, sort_key) = 1 AS recommended\n"
+    "FROM cov ORDER BY probe, rnk"
+)

@@ -9633,6 +9633,193 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Encoding-advisor column specs: (name, is_numeric). Run/monotonicity
+# stats are computed within l_orderkey groups (the row-group analogue:
+# parquet encodes per page, so per-group runs are the right statistic
+# — and the window never needs a global sort).
+ENCODING_ADVISOR_COLS = (
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+
+
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-ENCODING ADVISOR (physical-design family): per column,
+    measure cardinality, run structure and monotonicity in ONE window
+    pass + ONE wide aggregate, then recommend the parquet encoding —
+    RLE when average run length >= 2, else DICT when distinct ratio
+    <= 5%, else DELTA for >=90%-nondecreasing numeric columns, else
+    PLAIN. Runs/monotonicity are measured within l_orderkey groups
+    (parquet encodes per page; the window is partitioned, never a
+    global sort — at 100 TB this is one shuffle by the natural key,
+    or zero if the table is already bucketed by it).
+
+    All stats are exact integers; the two exported ratios are single
+    IEEE divisions. The unpivot is 6 one-row projections of the same
+    aggregate — driver-side constant work."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    # extend the order to a verified-unique tuple so lag() is total
+    # (identical rows would be order-invariant anyway).
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_partkey"
+    )
+
+    proj, aggs = [], [F.count(F.lit(1)).alias("n_rows")]
+    for c, _num in ENCODING_ADVISOR_COLS:
+        s = F.col(c).cast("string")
+        lag_s = F.lag(s).over(w)
+        lag_raw = F.lag(F.col(c)).over(w)
+        proj.append(s.alias(f"s_{c}"))
+        proj.append(
+            (lag_s.isNull() | (s != lag_s))
+            .cast("long")
+            .alias(f"newrun_{c}")
+        )
+        proj.append(
+            (lag_raw.isNull() | (F.col(c) >= lag_raw))
+            .cast("long")
+            .alias(f"nondecr_{c}")
+        )
+    flags = li.select("l_orderkey", "l_linenumber", *proj)
+    for c, _num in ENCODING_ADVISOR_COLS:
+        aggs += [
+            F.countDistinct(f"s_{c}").alias(f"nd_{c}"),
+            F.sum(f"newrun_{c}").alias(f"runs_{c}"),
+            F.sum(f"nondecr_{c}").alias(f"mono_{c}"),
+        ]
+    wide = flags.agg(*aggs)
+
+    outs = []
+    for c, is_num in ENCODING_ADVISOR_COLS:
+        n = F.col("n_rows").cast("long")
+        nd = F.col(f"nd_{c}").cast("long")
+        runs = F.col(f"runs_{c}").cast("long")
+        mono = F.col(f"mono_{c}").cast("long")
+        distinct_pct = nd.cast("double") / n.cast("double")
+        avg_run = n.cast("double") / runs.cast("double")
+        frac_mono = mono.cast("double") / n.cast("double")
+        rec = (
+            F.when(avg_run >= 2.0, "RLE")
+            .when(distinct_pct <= 0.05, "DICT")
+            .when(F.lit(is_num) & (frac_mono >= 0.9), "DELTA")
+            .otherwise("PLAIN")
+        )
+        outs.append(
+            wide.select(
+                F.lit(c).alias("column_name"),
+                n.alias("n_rows"),
+                nd.alias("n_distinct"),
+                runs.alias("n_runs"),
+                distinct_pct.alias("distinct_pct"),
+                avg_run.alias("avg_run_len"),
+                frac_mono.alias("frac_nondecr"),
+                rec.alias("encoding"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("column_name")
+
+
+def sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-KEY LAYOUT ADVISOR (physical-design family, the min-max
+    pruning question behind Z-order/cluster-by choices): for each
+    candidate sort key, bucket the table into 32 equal ntile ranges
+    under that order, take per-bucket [min, max] of each probe column,
+    and score coverage = sum(bucket spans) / (32 * global span) —
+    the expected fraction of buckets a uniform point-lookup on the
+    probe column cannot prune. Lower is better; sorting by the probe
+    itself approaches 1/32, an uncorrelated key approaches 1. The
+    advisor emits a ranked row per (sort_key, probe) with the winner
+    flagged — exactly the evidence a 100 TB table layout decision
+    needs, where at scale the same statistic comes from a row sample
+    or the parquet footer min/max instead of a global ntile sort.
+
+    Every span is exact integer arithmetic (timestamps as epoch
+    micros); coverage is one IEEE division. The ntile order is
+    extended to a verified-unique tuple so bucket assignment is total
+    in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Deterministic 1-in-5 sample: the advisor statistic, like every
+    # production layout advisor, runs on a sample — the global ntile
+    # sort must never see the full table. The predicate pushes to the
+    # parquet scan and is replayed verbatim by the oracle.
+    base = li.filter(
+        (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5 == 0
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias(
+            "ship_us"
+        ),
+    )
+    probes = [("l_partkey", F.col("l_partkey")), ("ship_us", F.col("ship_us"))]
+    candidates = ["l_orderkey", "l_partkey", "l_suppkey", "ship_us"]
+
+    rows = None
+    for key in candidates:
+        wk = Window.orderBy(
+            key, "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey"
+        )
+        bucketed = base.select(
+            F.ntile(32).over(wk).alias("bucket"),
+            *[p.alias(f"p_{n}") for n, p in probes],
+        )
+        spans = bucketed.groupBy("bucket").agg(
+            *[
+                f(F.col(f"p_{n}")).alias(f"{tag}_{n}")
+                for n, _ in probes
+                for tag, f in (("mn", F.min), ("mx", F.max))
+            ]
+        )
+        # ONE aggregate per candidate covering every probe (a 1-row
+        # wide result), then a cheap projection per probe — 4 sorts +
+        # 4 aggs total, not 4x2 of each.
+        wide = spans.agg(
+            *[
+                a
+                for n, _ in probes
+                for a in (
+                    F.sum(F.col(f"mx_{n}") - F.col(f"mn_{n}")).alias(
+                        f"span_sum_{n}"
+                    ),
+                    (F.max(f"mx_{n}") - F.min(f"mn_{n}")).alias(
+                        f"gspan_{n}"
+                    ),
+                )
+            ]
+        )
+        for n, _ in probes:
+            cov = wide.select(
+                F.lit(key).alias("sort_key"),
+                F.lit(n).alias("probe"),
+                F.when(
+                    F.col(f"gspan_{n}") > 0,
+                    F.col(f"span_sum_{n}").cast("double")
+                    / (32.0 * F.col(f"gspan_{n}").cast("double")),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("coverage"),
+            )
+            rows = cov if rows is None else rows.unionAll(cov)
+
+    wrank = Window.partitionBy("probe").orderBy("coverage", "sort_key")
+    return (
+        rows.withColumn("rnk", F.row_number().over(wrank).cast("long"))
+        .withColumn("recommended", F.col("rnk") == 1)
+        .orderBy("probe", "rnk")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9736,6 +9923,8 @@ QUERIES = {
     "mulaw_companding_audit": mulaw_companding_audit,
     "retention_sweep_plan": retention_sweep_plan,
     "l_diversity_audit": l_diversity_audit,
+    "encoding_advisor": encoding_advisor,
+    "sort_layout_advisor": sort_layout_advisor,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

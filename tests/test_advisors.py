@@ -1,0 +1,37 @@
+"""Physical-design advisors: encoding + sort layout."""
+
+from tests.conftest import SF_DIR
+
+
+def test_encoding_advisor_recommendations(spark):
+    from intelligencepipeline_spark.queries import encoding_advisor
+
+    rows = {r["column_name"]: r for r in encoding_advisor(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus",
+    }
+    # l_orderkey is constant within its own partition groups -> long
+    # runs -> RLE; low-cardinality flags never come out PLAIN.
+    assert rows["l_orderkey"]["encoding"] == "RLE"
+    assert rows["l_orderkey"]["avg_run_len"] >= 2.0
+    assert rows["l_returnflag"]["encoding"] in ("RLE", "DICT")
+    assert rows["l_returnflag"]["n_distinct"] <= 5
+    for r in rows.values():
+        assert r["n_runs"] <= r["n_rows"]
+        assert 0.0 < r["distinct_pct"] <= 1.0
+
+
+def test_sort_layout_advisor_self_sort_wins(spark):
+    from intelligencepipeline_spark.queries import sort_layout_advisor
+
+    rows = sort_layout_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    best = {r["probe"]: r["sort_key"] for r in rows if r["recommended"]}
+    # sorting by the probe column itself must win its own ranking
+    assert best == {"l_partkey": "l_partkey", "ship_us": "ship_us"}
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0 + 1e-9
+        if r["sort_key"] == r["probe"]:
+            # near-perfect clustering: ~1/32 coverage
+            assert r["coverage"] < 0.1
