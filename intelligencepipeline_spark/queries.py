@@ -9835,7 +9835,8 @@ def sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PLANNED r06 WINDOW (move these to positions 1-50 before the r06
 # driver run; the blocks already sit directly below the r05 window in
 # registry order so the rotation is a single block move):
-#   every (b7) r05 addition [never driver-checked] + the r01 window
+#   every (b7) r05 addition [16] + every (b8) r05-continuation
+#   addition [11] (both never driver-checked) + the r01 window
 #   remainder (similarity_topk .. event_gaps, 13 entries) + the
 #   oldest r02-window entries, in CORRECTNESS_r02 order, to pad to
 #   50 — continuing the stalest-rows-first re-proof policy.
