@@ -5706,3 +5706,37 @@ ORACLES["sort_layout_advisor"] = (
     "    ORDER BY coverage, sort_key) = 1 AS recommended\n"
     "FROM cov ORDER BY probe, rnk"
 )
+
+# hrw_shard_assignment: the per-row weight argmax is replayed
+# relationally — unnest the shard set, rank by (weight DESC, shard)
+# per doc, keep rank 1 (strict-> with lower-index-wins ties, same as
+# the Spark greatest-chain). Weights are 60-bit md5-prefix ints.
+ORACLES["hrw_shard_assignment"] = """
+WITH w8 AS (
+  SELECT doc_id, shard FROM (
+    SELECT d.doc_id, s.shard,
+      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+        cast(concat('0x', substr(md5(concat(cast(d.doc_id as varchar),
+          ':', cast(s.shard as varchar))), 1, 15)) as bigint) DESC,
+        s.shard) AS rn
+    FROM documents d, (SELECT unnest(range(0, 8)) AS shard) s)
+  WHERE rn = 1
+), w9 AS (
+  SELECT doc_id, shard FROM (
+    SELECT d.doc_id, s.shard,
+      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+        cast(concat('0x', substr(md5(concat(cast(d.doc_id as varchar),
+          ':', cast(s.shard as varchar))), 1, 15)) as bigint) DESC,
+        s.shard) AS rn
+    FROM documents d, (SELECT unnest(range(0, 9)) AS shard) s)
+  WHERE rn = 1
+)
+SELECT cast(a.shard as bigint) AS shard8,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(CASE WHEN b.shard <> a.shard THEN 1 ELSE 0 END) as bigint)
+    AS n_moved,
+  cast(min(a.doc_id) as bigint) AS min_doc,
+  cast(max(a.doc_id) as bigint) AS max_doc
+FROM w8 a JOIN w9 b USING (doc_id)
+GROUP BY a.shard ORDER BY shard8
+"""

@@ -9820,6 +9820,61 @@ def sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hrw_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) HASHING shard audit — the
+    consistent-placement primitive behind shard routing and cache
+    affinity (Thaler & Ravishankar 1998): each document goes to the
+    shard with max md5(doc_id:shard); when the shard set grows N=8 ->
+    9, ONLY docs whose new shard-9 weight beats their old winner move
+    (expected 1/9 — the minimal-disruption property plain mod-N
+    hashing lacks, where ~8/9 move). Exports per-shard counts under
+    both shard sets plus the moved-doc count per old shard, with the
+    weight argmax computed as an exact integer max over md5 prefixes.
+
+    Expression-only: the 8/9 weights are a per-row greatest() chain
+    inside the scan; the audit is one keyed agg. At 100 TB shard
+    routing rides ingest with zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def weight(shard: int) -> "F.Column":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f":{shard}"))), 1, 15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def argmax_shard(n: int) -> "F.Column":
+        best = F.lit(0)
+        best_w = weight(0)
+        for s in range(1, n):
+            w = weight(s)
+            is_b = w > best_w
+            best = F.when(is_b, s).otherwise(best)
+            best_w = F.when(is_b, w).otherwise(best_w)
+        return best.cast("long")
+
+    assigned = docs.select(
+        "doc_id",
+        argmax_shard(8).alias("shard8"),
+        argmax_shard(9).alias("shard9"),
+    )
+    return (
+        assigned.groupBy("shard8")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("shard9") != F.col("shard8")).cast("long")).alias(
+                "n_moved"
+            ),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard8")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9926,6 +9981,7 @@ QUERIES = {
     "l_diversity_audit": l_diversity_audit,
     "encoding_advisor": encoding_advisor,
     "sort_layout_advisor": sort_layout_advisor,
+    "hrw_shard_assignment": hrw_shard_assignment,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -35,3 +35,18 @@ def test_sort_layout_advisor_self_sort_wins(spark):
         if r["sort_key"] == r["probe"]:
             # near-perfect clustering: ~1/32 coverage
             assert r["coverage"] < 0.1
+
+
+def test_hrw_minimal_disruption(spark):
+    from intelligencepipeline_spark.queries import hrw_shard_assignment
+
+    rows = hrw_shard_assignment(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    total = sum(r["n_docs"] for r in rows)
+    moved = sum(r["n_moved"] for r in rows)
+    assert total == 500
+    # HRW property: adding shard 9 moves ~1/9 of docs (binomial
+    # around 55.6 for n=500); mod-N hashing would move ~8/9.
+    assert 25 <= moved <= 95, moved
+    # balance: no shard is pathologically loaded
+    assert all(20 <= r["n_docs"] <= 120 for r in rows)
