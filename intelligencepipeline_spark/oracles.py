@@ -5740,3 +5740,60 @@ SELECT cast(a.shard as bigint) AS shard8,
 FROM w8 a JOIN w9 b USING (doc_id)
 GROUP BY a.shard ORDER BY shard8
 """
+
+# heaps_vocab_growth: identical first-occurrence formulation — min
+# first step per distinct word, per-step counts, window cumsums over
+# the step frame. Steps come from the numeric source suffix.
+ORACLES["heaps_vocab_growth"] = f"""
+WITH words AS (
+  SELECT cast(substr(source, 4) as bigint) AS step,
+    unnest({_NTOKS}) AS word
+  FROM documents
+), tok AS (
+  SELECT step, cast(count(*) as bigint) AS n_tokens
+  FROM words GROUP BY step
+), firsts AS (
+  SELECT step, cast(count(*) as bigint) AS new_words FROM (
+    SELECT word, min(step) AS step FROM words GROUP BY word)
+  GROUP BY step
+), frame AS (
+  SELECT t.step, t.n_tokens, coalesce(f.new_words, 0) AS new_words
+  FROM tok t LEFT JOIN firsts f USING (step)
+)
+SELECT step,
+  cast(sum(n_tokens) OVER (ORDER BY step
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+    AS cum_tokens,
+  cast(sum(new_words) OVER (ORDER BY step
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+    AS cum_vocab,
+  cast(new_words as bigint) AS new_words,
+  cast(sum(new_words) OVER (ORDER BY step
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+  / cast(sum(n_tokens) OVER (ORDER BY step
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+    AS ttr
+FROM frame ORDER BY step
+"""
+
+# merkle_corpus_manifest: bucket digest = md5 of ORDER BY-sorted leaf
+# digests (string_agg with ORDER BY — canonical order, not agg order),
+# root = md5 of bucket digests in bucket order, joined to every row.
+ORACLES["merkle_corpus_manifest"] = """
+WITH leaf AS (
+  SELECT cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+         as bigint) % 16 AS bucket,
+    md5(text) AS lf
+  FROM documents
+), b AS (
+  SELECT bucket, cast(count(*) as bigint) AS n_docs,
+    md5(string_agg(lf, '' ORDER BY lf)) AS bucket_digest
+  FROM leaf GROUP BY bucket
+), r AS (
+  SELECT md5(string_agg(bucket_digest, '' ORDER BY bucket))
+    AS root_digest FROM b
+)
+SELECT cast(b.bucket as bigint) AS bucket, b.n_docs, b.bucket_digest,
+  r.root_digest
+FROM b, r ORDER BY bucket
+"""

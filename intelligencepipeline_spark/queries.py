@@ -9875,6 +9875,117 @@ def hrw_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW VOCABULARY GROWTH CURVE (corpus-composition staple:
+    V(n) ~ K*n^beta tells you whether more data still buys new
+    vocabulary): sources are processed in deterministic numeric order
+    and the curve reports, per step, cumulative tokens, cumulative
+    DISTINCT vocabulary, the step's newly-seen words, and the
+    cumulative type-token ratio.
+
+    The cumulative distinct is the FIRST-OCCURRENCE trick — one
+    groupBy(word) for min(first step), one count per step, one window
+    cumsum over the 20-row step frame — NOT a per-step re-count of a
+    growing prefix (which is quadratic and unshippable at 100 TB).
+    TTR is one division of exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    from intelligencepipeline_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    step = F.substring("source", 4, 10).cast("long")
+    words = docs.select(
+        step.alias("step"),
+        F.explode(tokens(normalize_text(F.col("text")))).alias("word"),
+    )
+    tok_counts = words.groupBy("step").agg(F.count("*").alias("n_tokens"))
+    firsts = (
+        words.groupBy("word")
+        .agg(F.min("step").alias("step"))
+        .groupBy("step")
+        .agg(F.count("*").alias("new_words"))
+    )
+    frame = tok_counts.join(firsts, "step", "left").select(
+        "step",
+        "n_tokens",
+        F.coalesce("new_words", F.lit(0)).alias("new_words"),
+    )
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        frame.select(
+            "step",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("new_words").over(w).cast("long").alias("cum_vocab"),
+            F.col("new_words").cast("long").alias("new_words"),
+        )
+        .withColumn(
+            "ttr",
+            F.col("cum_vocab").cast("double")
+            / F.col("cum_tokens").cast("double"),
+        )
+        .orderBy("step")
+    )
+
+
+def merkle_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERKLE INTEGRITY MANIFEST over the corpus (the anti-entropy /
+    replica-sync primitive: two sites compare the root, then only the
+    buckets that differ — O(log) traffic instead of shipping digests
+    for every document): leaf = md5(text) per doc, bucket digest =
+    md5 over the SORTED leaf digests of md5-assigned bucket (sorted:
+    aggregation order must never leak into a digest), root = md5 over
+    bucket digests in bucket order, exported on every row.
+
+    Scale shape: one keyed agg for buckets (16 here; at 100 TB the
+    fanout grows and the same fold recurses into a deeper tree so no
+    node ever concatenates unbounded state), one 1-row broadcast for
+    the root. Everything is md5 over canonical strings — exact in
+    both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    leaf = F.md5(F.col("text"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(16),
+    )
+    buckets = (
+        docs.select(bucket.alias("bucket"), leaf.alias("leaf"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("leaf")))
+            ).alias("bucket_digest"),
+        )
+    )
+    root = buckets.orderBy("bucket").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("bucket", "bucket_digest"))
+                    ),
+                    lambda s: s["bucket_digest"],
+                ),
+            )
+        ).alias("root_digest")
+    )
+    return (
+        buckets.crossJoin(F.broadcast(root))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "bucket_digest",
+            "root_digest",
+        )
+        .orderBy("bucket")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -9982,6 +10093,8 @@ QUERIES = {
     "encoding_advisor": encoding_advisor,
     "sort_layout_advisor": sort_layout_advisor,
     "hrw_shard_assignment": hrw_shard_assignment,
+    "heaps_vocab_growth": heaps_vocab_growth,
+    "merkle_corpus_manifest": merkle_corpus_manifest,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -50,3 +50,47 @@ def test_hrw_minimal_disruption(spark):
     assert 25 <= moved <= 95, moved
     # balance: no shard is pathologically loaded
     assert all(20 <= r["n_docs"] <= 120 for r in rows)
+
+
+def test_heaps_vocab_growth_monotone(spark):
+    from intelligencepipeline_spark.queries import heaps_vocab_growth
+
+    rows = heaps_vocab_growth(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert rows[0]["cum_vocab"] == rows[0]["new_words"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_tokens"] > a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+        assert b["ttr"] <= a["ttr"] + 1e-12  # TTR decays as corpus grows
+    total_new = sum(r["new_words"] for r in rows)
+    assert rows[-1]["cum_vocab"] == total_new
+
+
+def test_merkle_manifest_localizes_change(spark, tmp_path):
+    import shutil
+
+    from intelligencepipeline_spark.queries import merkle_corpus_manifest
+
+    base = merkle_corpus_manifest(spark, SF_DIR).collect()
+    assert len({r["root_digest"] for r in base}) == 1
+    # re-run over a copy with ONE doc's text changed: root must change
+    # and exactly one bucket digest must differ
+    import duckdb
+
+    mod_dir = tmp_path / "sfmod"
+    mod_dir.mkdir()
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.sql(
+            f"COPY (SELECT doc_id, CASE WHEN doc_id = 7 THEN text || ' tampered' "
+            f"ELSE text END AS text, lang, source, n_chars "
+            f"FROM '{SF_DIR}/{t}.parquet') TO '{mod_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    mod = merkle_corpus_manifest(spark, str(mod_dir)).collect()
+    assert mod[0]["root_digest"] != base[0]["root_digest"]
+    diffs = [
+        (a["bucket"], a["bucket_digest"], b["bucket_digest"])
+        for a, b in zip(base, mod)
+        if a["bucket_digest"] != b["bucket_digest"]
+    ]
+    assert len(diffs) == 1
