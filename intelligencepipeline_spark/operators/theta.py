@@ -1,0 +1,72 @@
+"""KMV / Theta sketch set operations: mergeable distinct-count
+sketches with union / intersection / Jaccard estimates.
+
+Engine extension for LLM-data pipelines (the k-minimum-values form of
+the DataSketches Theta sketch — Beyer et al. 2007, Dasgupta et al.
+2016): keep the k smallest hash values of a key set; the k-th smallest
+value theta estimates density, so |S| ~ (k-1) * H / kth where H is the
+hash range. Two sketches combine by set algebra on their retained
+hashes — the property that makes them the standard for cross-table
+audience overlap at warehouse scale:
+
+* union: k smallest of the merged retained sets;
+* intersection: retained values present in BOTH sketches below
+  theta = min(theta_a, theta_b), scaled by H / theta;
+* exact mode: a set smaller than k keeps every hash and every
+  estimate collapses to the exact count (theta = H).
+
+Scale shape: building a sketch is ONE distinct + TakeOrderedAndProject
+(k rows out of any corpus size); set ops run on <= 2k rows. Hashes are
+60-bit md5 prefixes — exact integers, so the DuckDB oracle replays the
+whole pipeline and the entry self-audits against exact distinct
+counts. All estimate arithmetic multiplies exact-in-double operands
+(counts <= 2^53, H = 2^60) before ONE rounding division, so results
+are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Hash range: 60-bit md5 prefix (15 hex digits) — fits a long with
+# headroom, and 2**60 is a power of two so every scaled literal below
+# stays exactly representable in double.
+THETA_H = float(2**60)
+
+
+def key_hash(key: Column) -> Column:
+    """60-bit md5-prefix hash of the canonical string form of a key."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key: str, k: int) -> DataFrame:
+    """Retained-hash set: the k smallest distinct key hashes
+    (TakeOrderedAndProject — k rows regardless of corpus size)."""
+    return (
+        df.select(key_hash(F.col(key)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def sketch_summary(retained: DataFrame, k: int) -> DataFrame:
+    """1-row (n_ret, theta, est): theta = kth smallest hash when the
+    sketch is full, else the full hash range (exact mode)."""
+    return retained.agg(
+        F.count("*").alias("n_ret"), F.max("h").alias("kth")
+    ).select(
+        "n_ret",
+        F.when(F.col("n_ret") >= k, F.col("kth"))
+        .otherwise(F.lit(2**60))
+        .cast("long")
+        .alias("theta"),
+        F.when(F.col("n_ret") < k, F.col("n_ret").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * THETA_H) / F.col("kth").cast("double")
+        )
+        .alias("est"),
+    )

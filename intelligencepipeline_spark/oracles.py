@@ -5797,3 +5797,74 @@ SELECT cast(b.bucket as bigint) AS bucket, b.n_docs, b.bucket_digest,
   r.root_digest
 FROM b, r ORDER BY bucket
 """
+
+# theta_sketch_set_ops: KMV replayed relationally — distinct 60-bit
+# md5-prefix hashes, ORDER BY h LIMIT k retained sets, exact-mode CASE
+# (theta = 2^60 when under-full). 63*2^60 = 72634054790231359488 is
+# exactly representable in double (6-bit mantissa), so each estimate
+# is exact-operand arithmetic with ONE rounding division — identical
+# to the Spark expressions.
+ORACLES["theta_sketch_set_ops"] = """
+WITH ka AS (
+  SELECT DISTINCT cast(concat('0x',
+    substr(md5(cast(user_id as varchar)), 1, 15)) as bigint) AS h
+  FROM events ORDER BY h LIMIT 64
+), kb AS (
+  SELECT DISTINCT cast(concat('0x',
+    substr(md5(cast(o_custkey as varchar)), 1, 15)) as bigint) AS h
+  FROM orders ORDER BY h LIMIT 64
+), ku AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM ka UNION ALL SELECT h FROM kb)
+  ORDER BY h LIMIT 64
+), sa AS (
+  SELECT count(*) AS na, max(h) AS kth_a,
+    CASE WHEN count(*) >= 64 THEN max(h)
+         ELSE 1152921504606846976 END AS ta,
+    CASE WHEN count(*) < 64 THEN cast(count(*) as double)
+         ELSE 72634054790231359488.0 / cast(max(h) as double)
+    END AS est_a
+  FROM ka
+), sb AS (
+  SELECT count(*) AS nb, max(h) AS kth_b,
+    CASE WHEN count(*) >= 64 THEN max(h)
+         ELSE 1152921504606846976 END AS tb,
+    CASE WHEN count(*) < 64 THEN cast(count(*) as double)
+         ELSE 72634054790231359488.0 / cast(max(h) as double)
+    END AS est_b
+  FROM kb
+), su AS (
+  SELECT CASE WHEN count(*) < 64 THEN cast(count(*) as double)
+         ELSE 72634054790231359488.0 / cast(max(h) as double)
+    END AS est_union
+  FROM ku
+), inter AS (
+  SELECT cast(count(*) as bigint) AS n_inter_sample
+  FROM ka JOIN kb USING (h), sa, sb
+  WHERE h < least(sa.ta, sb.tb)
+), ex AS (
+  SELECT
+    (SELECT cast(count(DISTINCT user_id) as bigint) FROM events)
+      AS n_a_exact,
+    (SELECT cast(count(DISTINCT o_custkey) as bigint) FROM orders)
+      AS n_b_exact,
+    (SELECT cast(count(*) as bigint) FROM (
+      SELECT DISTINCT user_id AS key FROM events
+      UNION SELECT DISTINCT o_custkey FROM orders)) AS n_union_exact,
+    (SELECT cast(count(*) as bigint) FROM
+      (SELECT DISTINCT user_id AS key FROM events) a
+      JOIN (SELECT DISTINCT o_custkey AS key FROM orders) b
+      USING (key)) AS n_inter_exact
+)
+SELECT cast(64 as bigint) AS k,
+  ex.n_a_exact, sa.est_a, ex.n_b_exact, sb.est_b,
+  ex.n_union_exact, su.est_union, ex.n_inter_exact,
+  (cast(i.n_inter_sample as double) * 1152921504606846976.0)
+    / cast(least(sa.ta, sb.tb) as double) AS est_inter,
+  cast(ex.n_inter_exact as double) / cast(ex.n_union_exact as double)
+    AS jaccard_exact,
+  ((cast(i.n_inter_sample as double) * 1152921504606846976.0)
+    / cast(least(sa.ta, sb.tb) as double)) / su.est_union
+    AS jaccard_est
+FROM sa, sb, su, inter i, ex
+"""

@@ -9986,6 +9986,93 @@ def merkle_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THETA/KMV SKETCH SET OPERATIONS (operators/theta.py — the
+    DataSketches-standard audience-overlap tool): k=64 minimum-value
+    sketches over the event-user and order-customer key sets, then
+    union / intersection / Jaccard ESTIMATES from retained-hash set
+    algebra, each self-audited against the exact distinct counts in
+    the same row. Exact mode exercises automatically where a set is
+    smaller than k (sf0.001 users), estimate mode where larger —
+    the same CASE handles both, cross-scale.
+
+    Scale shape: each sketch is one distinct + TakeOrdered (64 rows
+    out of ANY corpus); the set ops touch <= 128 rows; the exact
+    audit columns are ordinary countDistincts that a production run
+    would drop. Estimates multiply exact-in-double operands before
+    ONE rounding division — bit-identical in the oracle."""
+    from intelligencepipeline_spark.operators.theta import (
+        THETA_H,
+        kmv_sketch,
+        sketch_summary,
+    )
+
+    k = 64
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    ra = kmv_sketch(ev, "key", k).localCheckpoint(eager=True)
+    rb = kmv_sketch(od, "key", k).localCheckpoint(eager=True)
+    sa = sketch_summary(ra, k).select(
+        F.col("n_ret").alias("na"), F.col("theta").alias("ta"),
+        F.col("est").alias("est_a"),
+    )
+    sb = sketch_summary(rb, k).select(
+        F.col("n_ret").alias("nb"), F.col("theta").alias("tb"),
+        F.col("est").alias("est_b"),
+    )
+    su = sketch_summary(
+        ra.union(rb).distinct().orderBy("h").limit(k), k
+    ).select(F.col("est").alias("est_union"))
+
+    both = sa.crossJoin(sb)
+    theta = F.least("ta", "tb")
+    inter_n = (
+        ra.join(rb, "h")
+        .crossJoin(F.broadcast(both.select(theta.alias("theta"))))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_inter_sample"))
+    )
+    exact = (
+        ev.distinct()
+        .join(od.distinct(), "key")
+        .agg(F.count("*").alias("n_inter_exact"))
+        .crossJoin(ev.agg(F.countDistinct("key").alias("n_a_exact")))
+        .crossJoin(od.agg(F.countDistinct("key").alias("n_b_exact")))
+        .crossJoin(
+            ev.union(od)
+            .agg(F.countDistinct("key").alias("n_union_exact"))
+        )
+    )
+    row = (
+        both.crossJoin(su)
+        .crossJoin(inter_n)
+        .crossJoin(exact)
+    )
+    est_inter = (
+        F.col("n_inter_sample").cast("double") * F.lit(THETA_H)
+    ) / theta.cast("double")
+    return row.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_a_exact").cast("long").alias("n_a_exact"),
+        F.col("est_a"),
+        F.col("n_b_exact").cast("long").alias("n_b_exact"),
+        F.col("est_b"),
+        F.col("n_union_exact").cast("long").alias("n_union_exact"),
+        F.col("est_union"),
+        F.col("n_inter_exact").cast("long").alias("n_inter_exact"),
+        est_inter.alias("est_inter"),
+        (
+            F.col("n_inter_exact").cast("double")
+            / F.col("n_union_exact").cast("double")
+        ).alias("jaccard_exact"),
+        (est_inter / F.col("est_union")).alias("jaccard_est"),
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10095,6 +10182,7 @@ QUERIES = {
     "hrw_shard_assignment": hrw_shard_assignment,
     "heaps_vocab_growth": heaps_vocab_growth,
     "merkle_corpus_manifest": merkle_corpus_manifest,
+    "theta_sketch_set_ops": theta_sketch_set_ops,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

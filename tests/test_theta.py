@@ -1,0 +1,48 @@
+"""KMV/Theta sketch set operations."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_kmv_exact_mode_small_set(spark):
+    from intelligencepipeline_spark.operators.theta import (
+        kmv_sketch,
+        sketch_summary,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "key long")
+    ret = kmv_sketch(df, "key", 64)
+    assert ret.count() == 10
+    s = sketch_summary(ret, 64).first()
+    assert s["est"] == 10.0  # exact mode
+    assert s["theta"] == 2**60
+
+
+def test_kmv_estimate_accuracy(spark):
+    from intelligencepipeline_spark.operators.theta import (
+        kmv_sketch,
+        sketch_summary,
+    )
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "key long")
+    s = sketch_summary(kmv_sketch(df, "key", 64), 64).first()
+    # KMV relative error ~ 1/sqrt(k-1) ~ 12.6%; allow 4 sigma
+    assert abs(s["est"] - n) / n < 0.5, s["est"]
+
+
+def test_theta_entry_self_audit(spark):
+    from intelligencepipeline_spark.queries import theta_sketch_set_ops
+
+    r = theta_sketch_set_ops(spark, SF_DIR).first()
+    # sf0.001: 15 users subset of 150 custkeys -> exact mode for A
+    assert r["n_a_exact"] <= 64 and r["est_a"] == float(r["n_a_exact"])
+    assert r["n_inter_exact"] == r["n_a_exact"]  # subset relation
+    assert r["n_union_exact"] == r["n_b_exact"]
+    # estimates stay within sketch error of exact
+    for est, exact in (
+        (r["est_b"], r["n_b_exact"]),
+        (r["est_union"], r["n_union_exact"]),
+    ):
+        assert abs(est - exact) / exact < 0.6, (est, exact)
