@@ -5868,3 +5868,34 @@ SELECT cast(64 as bigint) AS k,
     AS jaccard_est
 FROM sa, sb, su, inter i, ex
 """
+
+# ewma_daily_anomalies: the alpha=1/2 recursion replayed as a
+# RECURSIVE CTE over per-type day ranks — the same sequential op
+# order (0.5*x + 0.5*prev), so bit-exact. Residual at rank 1 is 0
+# and the seed is the first observation, matching the Spark fold.
+ORACLES["ewma_daily_anomalies"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+    cast(datediff('day', DATE '1970-01-01', cast(ts as date)) as bigint)
+      AS epoch_day,
+    cast(count(*) as bigint) AS n
+  FROM events GROUP BY event_type, cast(ts as date)
+), ranked AS (
+  SELECT event_type, epoch_day, n,
+    row_number() OVER (PARTITION BY event_type ORDER BY epoch_day)
+      AS rn
+  FROM daily
+), walk AS (
+  SELECT event_type, epoch_day, n, rn,
+    cast(n as double) AS ewma, cast(0.0 as double) AS resid
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.event_type, r.epoch_day, r.n, r.rn,
+    0.5 * cast(r.n as double) + 0.5 * w.ewma AS ewma,
+    cast(r.n as double) - w.ewma AS resid
+  FROM ranked r JOIN walk w
+    ON r.event_type = w.event_type AND r.rn = w.rn + 1
+)
+SELECT event_type, epoch_day, n, ewma, resid
+FROM walk ORDER BY event_type, epoch_day
+"""

@@ -10073,6 +10073,76 @@ def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA FORECAST RESIDUALS per event type (the classic
+    exponentially-weighted control chart — the one-parameter streaming
+    forecaster MAD/z-score entries don't cover because it needs true
+    RECURSION, not a window): daily counts fold left-to-right with
+    alpha = 1/2 (ewma' = 0.5*x + 0.5*ewma, seeded at the first day);
+    the exported residual x_t - ewma_{t-1} is the one-step prediction
+    error an alerting rule thresholds.
+
+    alpha = 1/2 keeps every product an exact exponent shift, so the
+    whole recursion is bit-exact and the DuckDB oracle (a recursive
+    CTE — same sequential op order) reproduces it to the last bit.
+    Scale shape: ONE keyed agg to daily counts, then the fold runs on
+    a per-type array of ~30 elements (sort_array(collect_list) on a
+    BOUNDED frame — days per type, not rows)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+    ).agg(F.count("*").alias("n"))
+    packed = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("epoch_day", "n"))).alias(
+            "seq"
+        )
+    )
+
+    out_t = (
+        "array<struct<epoch_day:bigint,n:bigint,ewma:double,"
+        "resid:double>>"
+    )
+
+    def fold(seq):
+        init = F.struct(
+            F.lit(0.0).alias("ewma"),
+            F.lit(True).alias("first"),
+            F.array().cast(out_t).alias("out"),
+        )
+
+        def step(acc, e):
+            x = e["n"].cast("double")
+            prev = acc["ewma"]
+            ew = F.when(acc["first"], x).otherwise(
+                F.lit(0.5) * x + F.lit(0.5) * prev
+            )
+            resid = F.when(acc["first"], F.lit(0.0)).otherwise(x - prev)
+            row = F.struct(
+                e["epoch_day"].cast("long").alias("epoch_day"),
+                e["n"].cast("long").alias("n"),
+                ew.alias("ewma"),
+                resid.alias("resid"),
+            )
+            return F.struct(
+                ew.alias("ewma"),
+                F.lit(False).alias("first"),
+                F.concat(acc["out"], F.array(row)).alias("out"),
+            )
+
+        return F.aggregate(seq, init, step, lambda acc: acc["out"])
+
+    return (
+        packed.select(
+            "event_type", F.explode(fold(F.col("seq"))).alias("r")
+        )
+        .select("event_type", "r.*")
+        .orderBy("event_type", "epoch_day")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10183,6 +10253,7 @@ QUERIES = {
     "heaps_vocab_growth": heaps_vocab_growth,
     "merkle_corpus_manifest": merkle_corpus_manifest,
     "theta_sketch_set_ops": theta_sketch_set_ops,
+    "ewma_daily_anomalies": ewma_daily_anomalies,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -94,3 +94,25 @@ def test_merkle_manifest_localizes_change(spark, tmp_path):
         if a["bucket_digest"] != b["bucket_digest"]
     ]
     assert len(diffs) == 1
+
+
+def test_ewma_recursion_exact(spark):
+    from intelligencepipeline_spark.queries import ewma_daily_anomalies
+
+    rows = ewma_daily_anomalies(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) == 5
+    for seq in by_type.values():
+        # python reference fold, bit-exact with alpha = 1/2
+        ewma = None
+        for r in seq:
+            x = float(r["n"])
+            if ewma is None:
+                assert r["resid"] == 0.0 and r["ewma"] == x
+                ewma = x
+            else:
+                assert r["resid"] == x - ewma
+                ewma = 0.5 * x + 0.5 * ewma
+                assert r["ewma"] == ewma
