@@ -623,3 +623,51 @@ def test_quantile_sketch_rollup_two_window_levels(spark):
     assert a.reads_only("event_type", "ts", "event_id", "value"), (
         a.read_schemas
     )
+
+
+def test_b8_new_entries_plan_shapes(spark):
+    """b8 additions keep their documented scale shapes: quality rules,
+    CDC chunk build, mu-law and HRW routing ride the scan (no join, no
+    keyed shuffle before their single agg/orderBy); the layout
+    advisor's sample predicate reaches the parquet scan; the theta
+    sketch never shuffles more than its k-row retained sets for the
+    set ops (exact-audit countDistincts aside)."""
+    from intelligencepipeline_spark.queries import (
+        cdc_chunk_dedup,
+        gopher_quality_rules,
+        hrw_shard_assignment,
+        mulaw_companding_audit,
+        sort_layout_advisor,
+    )
+
+    a = audit(gopher_quality_rules(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    # range exchange for the final orderBy only — rules are scan-side
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+    assert not a.cartesian
+
+    a = audit(mulaw_companding_audit(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
+    assert not a.cartesian
+
+    a = audit(cdc_chunk_dedup(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    # chunk-keyed agg (+AQE reads) and the top-k cut; chunking itself
+    # adds no exchange
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+
+    a = audit(hrw_shard_assignment(spark, SF))
+    assert a.reads_only("doc_id"), a.read_schemas
+    # weight argmax is per-row: one keyed agg + final sort at most
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+
+    a = audit(sort_layout_advisor(spark, SF))
+    assert a.has_pushed_filter("l_orderkey") or a.has_pushed_filter(
+        "l_linenumber"
+    ) or "(((l_orderkey" in a.plan, a.pushed_filters  # sample predicate pushed
+    assert not a.cartesian
