@@ -5899,3 +5899,36 @@ WITH RECURSIVE daily AS (
 SELECT event_type, epoch_day, n, ewma, resid
 FROM walk ORDER BY event_type, epoch_day
 """
+
+# hard_negative_mining: per-(query, neighbor) integer dots from the
+# quantized elements, near-dup exclusion at cosine >= 0.95, per-query
+# (dot DESC, neighbor) rank cut at 5 — the same total order as the
+# Spark window.
+ORACLES["hard_negative_mining"] = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, {_QELEM} AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, i, v FROM e WHERE vec_id < 8),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    sum(e.v * q.v) AS dot,
+    sum(q.v * q.v) AS n2q, sum(e.v * e.v) AS n2c
+  FROM e JOIN q USING (i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id, cast(dot as bigint) AS dot,
+    cast(dot as double)
+      / (sqrt(cast(n2q as double)) * sqrt(cast(n2c as double)))
+      AS cosine
+  FROM pairs
+), ranked AS (
+  SELECT query_id, neighbor_id, dot, cosine,
+    cast(row_number() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, neighbor_id) as bigint) AS rank
+  FROM scored WHERE cosine < 0.95
+)
+SELECT cast(query_id as bigint) AS query_id,
+  cast(neighbor_id as bigint) AS neighbor_id, dot, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""

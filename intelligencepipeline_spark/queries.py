@@ -10143,6 +10143,65 @@ def ewma_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training (the DPR/SimCSE
+    data op: the best negatives are the most-similar NON-duplicates):
+    for each of 8 query embeddings, score the corpus by exact integer
+    dot, EXCLUDE self and near-duplicates (cosine >= 0.95 — those are
+    positives, and training on them as negatives poisons the loss),
+    and keep the 5 hardest remaining per query with their ranks.
+
+    Scale shape: 8 query vectors broadcast into a per-row expression
+    scan (no shuffle to score); the per-query top-5 is a window
+    PARTITIONED by query — never a global sort. At 100 TB the same
+    selection runs over an IVF/PQ shortlist (operators/ivf.py) instead
+    of the full corpus; the filter-then-rank semantics are identical.
+    Integer dots and one terminal cosine division — oracle-exact."""
+    from intelligencepipeline_spark.operators.similarity import (
+        int_dot,
+        quantize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        quantize(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        quantize(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qv"), F.col("cv")).alias("dot"),
+            int_dot(F.col("qv"), F.col("qv")).alias("n2q"),
+            int_dot(F.col("cv"), F.col("cv")).alias("n2c"),
+        )
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("n2q").cast("double"))
+                * F.sqrt(F.col("n2c").cast("double"))
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), "neighbor_id"
+    )
+    return (
+        scored.filter(F.col("cosine") < 0.95)
+        .withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10254,6 +10313,7 @@ QUERIES = {
     "merkle_corpus_manifest": merkle_corpus_manifest,
     "theta_sketch_set_ops": theta_sketch_set_ops,
     "ewma_daily_anomalies": ewma_daily_anomalies,
+    "hard_negative_mining": hard_negative_mining,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
