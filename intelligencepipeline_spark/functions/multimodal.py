@@ -678,3 +678,63 @@ def mulaw_decode(c: Column) -> Column:
     mant = body % 16
     t = (mant * 8 + _MULAW_BIAS) * _pow2(e) - F.lit(_MULAW_BIAS)
     return F.when(u >= 128, -t).otherwise(t).cast("long")
+
+
+def dhash_images(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """PERCEPTUAL DIFFERENCE-HASH (dHash) over decoded images — the
+    standard cheap image near-dup key (row-wise brightness gradient
+    signs): gray = (299R + 587G + 114B) // 1000 per pixel (exact
+    integer), bit i = gray[y, x] > gray[y, x+1] scanning rows
+    top-down, hash = the packed bit integer. Identical images hash
+    equal regardless of byte-level container differences; near-dups
+    differ in a few bits (hamming-joinable with the simhash blocking
+    in operators/dedup.py).
+
+    Runs inside the SAME mapInPandas lane as extract_media_features
+    (Arrow batches, decode rides the scan, no shuffle); BMP and PNG
+    use the real pure-stdlib decoders. Production note: real corpora
+    resize to the canonical 9x8 grid first (resize_images); the hash
+    math is grid-size-agnostic.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(blob) if blob is not None else b""
+                mime = _sniff_py(b)
+                try:
+                    if mime == "image/bmp":
+                        w, h, px = decode_bmp(b)
+                        r, g, bl = (
+                            px[:, :, 2].astype(np.int64),
+                            px[:, :, 1].astype(np.int64),
+                            px[:, :, 0].astype(np.int64),
+                        )
+                    elif mime == "image/png":
+                        w, h, px = decode_png(b)
+                        r, g, bl = (
+                            px[:, :, 0].astype(np.int64),
+                            px[:, :, 1].astype(np.int64),
+                            px[:, :, 2].astype(np.int64),
+                        )
+                    else:
+                        out.append((doc_id, 0, 0, -1))
+                        continue
+                except ValueError:
+                    out.append((doc_id, 0, 0, -1))
+                    continue
+                gray = (299 * r + 587 * g + 114 * bl) // 1000
+                bits = gray[:, :-1] > gray[:, 1:]
+                dh = 0
+                for i, bit in enumerate(bits.reshape(-1)):
+                    dh |= int(bit) << i
+                out.append((doc_id, w, h, dh))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "dhash"]
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(
+        batches, "doc_id long, width long, height long, dhash long"
+    )

@@ -5932,3 +5932,42 @@ SELECT cast(query_id as bigint) AS query_id,
   cast(neighbor_id as bigint) AS neighbor_id, dot, cosine, rank
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
+
+# image_dhash_dedup: pixel bytes replayed from the md5 hex fixture
+# through the bottom-up BGR BMP layout — image row y lives in file
+# row (1-y), byte (file_row*12 + 3x + c) with c = 0/1/2 = B/G/R.
+# gray is exact integer division; the 6 gradient bits pack by
+# (y*3 + x). Pure relational (unnest positions, no lambdas).
+ORACLES["image_dhash_dedup"] = """
+WITH hexes AS (
+  SELECT doc_id, source,
+    concat(md5(source), substr(md5(concat(source, 'x')), 1, 16)) AS hx
+  FROM documents
+), px AS (
+  SELECT h.doc_id, h.source, y.y, x.x,
+    ((299 * cast(concat('0x', substr(h.hx,
+        2 * ((1 - y.y) * 12 + 3 * x.x + 2) + 1, 2)) as bigint)
+      + 587 * cast(concat('0x', substr(h.hx,
+        2 * ((1 - y.y) * 12 + 3 * x.x + 1) + 1, 2)) as bigint)
+      + 114 * cast(concat('0x', substr(h.hx,
+        2 * ((1 - y.y) * 12 + 3 * x.x + 0) + 1, 2)) as bigint))
+     // 1000) AS gray
+  FROM hexes h,
+    (SELECT unnest(range(0, 2)) AS y) y,
+    (SELECT unnest(range(0, 4)) AS x) x
+), bits AS (
+  SELECT a.doc_id, a.source,
+    cast(sum(CASE WHEN a.gray > b.gray
+      THEN ([1,2,4,8,16,32])[cast(a.y * 3 + a.x as int) + 1]
+      ELSE 0 END) as bigint) AS dhash
+  FROM px a JOIN px b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 3
+  GROUP BY a.doc_id, a.source
+)
+SELECT dhash, cast(count(*) as bigint) AS n_docs,
+  cast(count(DISTINCT source) as bigint) AS n_sources,
+  cast(min(doc_id) as bigint) AS min_doc,
+  cast(max(doc_id) as bigint) AS max_doc
+FROM bits GROUP BY dhash ORDER BY dhash
+"""

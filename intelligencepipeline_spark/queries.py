@@ -10202,6 +10202,58 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE DEDUP via difference hash (functions/
+    multimodal.dhash_images): a 4x2 24bpp BMP is generated per doc
+    from md5(source) — so documents sharing a source share an image,
+    giving REAL duplicate clusters — decoded by the production
+    pure-stdlib BMP decoder inside mapInPandas, gray-projected
+    ((299R+587G+114B)//1000, exact integer), and hashed by row-wise
+    gradient signs. Groups by dhash = the near-dup clusters an image
+    corpus dedups on (hamming-adjacent variants block with the
+    simhash machinery).
+
+    The oracle replays pixel bytes straight from md5 hex digits
+    through the bottom-up BGR layout — a row-order or channel-order
+    bug in the decode path breaks the hash. Decode rides the scan
+    (Arrow batches, no shuffle); the dedup is ONE keyed agg."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+
+    header = encode_bmp(np.zeros((2, 4, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("source")),
+                    F.substring(
+                        F.md5(F.concat(F.col("source"), F.lit("x"))), 1, 16
+                    ),
+                )
+            ),
+        ).alias("media"),
+    )
+    hashed = dhash_images(media, "media")
+    return (
+        hashed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("dhash")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10314,6 +10366,7 @@ QUERIES = {
     "theta_sketch_set_ops": theta_sketch_set_ops,
     "ewma_daily_anomalies": ewma_daily_anomalies,
     "hard_negative_mining": hard_negative_mining,
+    "image_dhash_dedup": image_dhash_dedup,
     # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,

@@ -478,3 +478,32 @@ def test_mulaw_companding(spark):
         assert abs(r["d"] - max(-32635, min(32635, r["s"]))) <= 512
     # code 0xFF (=255) is positive zero-ish; silence encodes to 255
     assert dict((r["s"], r["c"]) for r in rows)[0] == 255
+
+
+def test_dhash_container_invariant(spark):
+    """Same pixels through BMP (BGR bottom-up) and PNG (RGB top-down)
+    must produce the SAME dhash — the decoders normalize layout."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = [[17, 200, 3], [90, 90, 90], [255, 0, 128], [40, 41, 42]]
+    px_rgb = np.array([rng, rng[::-1]], dtype=np.uint8)  # (2,4,3) RGB
+    px_bgr = px_rgb[:, :, ::-1]
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_bmp(px_bgr))), (1, bytearray(encode_png(px_rgb)))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r for r in dhash_images(df).collect()}
+    assert rows[0]["width"] == 4 and rows[0]["height"] == 2
+    assert rows[0]["dhash"] == rows[1]["dhash"]
+    assert rows[0]["dhash"] >= 0
+    # non-image bytes get the -1 sentinel, not a crash
+    df2 = spark.createDataFrame(
+        [(9, bytearray(b"not an image"))], "doc_id long, media binary"
+    )
+    assert dhash_images(df2).first()["dhash"] == -1
