@@ -8119,7 +8119,7 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch family (HLL / CMS / Bloom / Misra-Gries /
     quantiles): the 256 events with the smallest md5(event_id) ranks
     are a deterministic uniform sample; the q-quantile estimate is the
-    sample value at discrete rank ceil(q*256). Unlike KLL/t-digest the
+    sample value at discrete rank ceil(q * min(n, 256)). Unlike KLL/t-digest the
     sketch is bit-deterministic on any engine or partitioning, and
     merge = union + keep-k (exact mergeability is unit-test pinned).
     This entry AUDITS the estimates against the full corpus: for each
@@ -8328,8 +8328,8 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the one-shot batch sketch row-for-row — the ``lossless``
     boolean compares the two digests and the oracle hash-checks it
     TRUE (a streaming path that dropped, duplicated, or re-ranked one
-    row anywhere flips it). Median read in-plan at discrete rank
-    least(c, 64). State: <= k rows per (type, batch) — never a growing
+    row anywhere flips it). Median read in-plan at the effective-
+    sample-size rank ceil(0.5 * min(c, k)). State: <= k rows per (type, batch) — never a growing
     exact store, any coarser rollup is the same cheap merge."""
     import os
 
@@ -8381,7 +8381,14 @@ def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         merged.withColumn("vrn", F.row_number().over(val_w))
         .withColumn("c", F.count(F.lit(1)).over(cnt_w))
-        .filter(F.col("vrn") == F.least(F.col("c"), F.lit(K // 2)))
+        # effective sample size, as in quantile_sketch_rollup
+        .filter(
+            F.col("vrn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.least(F.col("c"), F.lit(K)) * F.lit(0.5)),
+            )
+        )
         .select("event_type", F.col("value").alias("median_est"))
     )
     digest = F.md5(F.array_join(F.array_sort(F.collect_list("rank")), ","))
@@ -8535,8 +8542,15 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         type_sk.withColumn("vrn", F.row_number().over(val_w))
         .withColumn("c", F.count(F.lit(1)).over(cnt_w))
+        # effective sample size: ceil(0.5 * min(c, k)) — a bare
+        # min(c, k/2) over-shoots the median when the group holds
+        # fewer than k rows (exact mode)
         .withColumn(
-            "target", F.least(F.col("c"), F.lit(K // 2))
+            "target",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.least(F.col("c"), F.lit(K)) * F.lit(0.5)),
+            ),
         )
         .filter(F.col("vrn") == F.col("target"))
         .select("event_type", F.col("value").alias("median_est"))
@@ -10258,24 +10272,80 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
 # then-first-50; r03 the streaming-proof family + b2/b3 remainder;
-# r04 the 45 remaining never-checked + 5 (b4) additions — 192/192
-# green across four rounds. This r05 ordering executes the rotation
-# planned in the r04 comment and verdict verbatim: the 13 (b5)+(b6)
-# never-driver-checked entries lead, and positions 14-50 re-prove the
-# OLDEST driver rows (the r01 window, original CORRECTNESS_r01 order)
-# on current code. After r05 every entry registered before this round
-# has a driver CORRECTNESS row.
+# r04 the 45 remaining never-checked + 5 (b4) additions; r05 the 13
+# (b5)+(b6) never-checked entries + the 37-entry r01-window re-proof —
+# 205/205 green across five rounds, so every entry registered before
+# r06 already has a driver CORRECTNESS row EXCEPT the 34 below.
+# This r06 ordering executes the rotation planned in the r05 comment
+# and verdict: the 16 (b7) + 18 (b8) never-driver-checked entries
+# lead (34 total), padded to 50 with the 13-entry r01-window
+# remainder (similarity_topk .. event_gaps) and the 3 OLDEST
+# r02-window rows (CORRECTNESS_r02 order) — continuing the
+# stalest-rows-first re-proof policy. After r06 the driver union is
+# 239/239: every entry ever registered has a green driver row.
 #
-# PLANNED r06 WINDOW (move these to positions 1-50 before the r06
-# driver run; the blocks already sit directly below the r05 window in
-# registry order so the rotation is a single block move):
-#   every (b7) r05 addition [16] + every (b8) r05-continuation
-#   addition [11] (both never driver-checked) + the r01 window
-#   remainder (similarity_topk .. event_gaps, 13 entries) + the
-#   oldest r02-window entries, in CORRECTNESS_r02 order, to pad to
-#   50 — continuing the stalest-rows-first re-proof policy.
+# PLANNED r07 WINDOW: any round-6 additions (never driver-checked)
+# lead, padded with the next-oldest r02-window rows in
+# CORRECTNESS_r02 order (ner_entities, chunk_lang, pos_tag_counts,
+# doc_with_chunks, ...) to 50.
 QUERIES = {
-    # ==== r05 driver window: positions 1-50 ===========================
+    # ==== r06 driver window: positions 1-50 ===========================
+    # -- (b7)+(b8): the 34 never-driver-checked r05 additions lead ----
+    "png_decode_stats": png_decode_stats,
+    "ivfpq_ann_topk": ivfpq_ann_topk,
+    "ivfpq_residual_topk": ivfpq_residual_topk,
+    "ivfpq_incremental": ivfpq_incremental,
+    "substring_dedup": substring_dedup,
+    "temperature_mix": temperature_mix,
+    "range_partition_plan": range_partition_plan,
+    "quantile_sketch_audit": quantile_sketch_audit,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
+    "forget_key_purge": forget_key_purge,
+    "streaming_quantile_sketch": streaming_quantile_sketch,
+    "overlap_chunks": overlap_chunks,
+    "cluster_balanced_sample": cluster_balanced_sample,
+    "padding_efficiency": padding_efficiency,
+    "png_resize_audit": png_resize_audit,
+    "wav_resample_audit": wav_resample_audit,
+    # -- (b8) ----------------------------------------------------------
+    "binary_quant_ann": binary_quant_ann,
+    "sq8_ann_topk": sq8_ann_topk,
+    "matryoshka_recall_audit": matryoshka_recall_audit,
+    "gopher_quality_rules": gopher_quality_rules,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
+    "wordpiece_encode_stats": wordpiece_encode_stats,
+    "mulaw_companding_audit": mulaw_companding_audit,
+    "retention_sweep_plan": retention_sweep_plan,
+    "l_diversity_audit": l_diversity_audit,
+    "encoding_advisor": encoding_advisor,
+    "sort_layout_advisor": sort_layout_advisor,
+    "hrw_shard_assignment": hrw_shard_assignment,
+    "heaps_vocab_growth": heaps_vocab_growth,
+    "merkle_corpus_manifest": merkle_corpus_manifest,
+    "theta_sketch_set_ops": theta_sketch_set_ops,
+    "ewma_daily_anomalies": ewma_daily_anomalies,
+    "hard_negative_mining": hard_negative_mining,
+    "image_dhash_dedup": image_dhash_dedup,
+    # -- r01-window remainder re-proof (13) ----------------------------
+    "similarity_topk": similarity_topk,
+    "embedding_dedup_pairs": embedding_dedup_pairs,
+    "engine_enrichment": engine_enrichment,
+    "session_window_batch": session_window_batch,
+    "multimodal_meta": multimodal_meta,
+    "asof_join": asof_join_q,
+    "quality_filter": quality_filter,
+    "top_terms": top_terms,
+    "grouping_sets_agg": grouping_sets_agg,
+    "winnow_fingerprints": winnow_fingerprints,
+    "bpe_token_stats": bpe_token_stats,
+    "ann_lsh_topk": ann_lsh_topk,
+    "event_gaps": event_gaps,
+    # -- oldest r02-window rows, CORRECTNESS_r02 order (3 pad) ---------
+    "latest_event_per_user": latest_event_per_user,
+    "set_ops": set_ops,
+    "tfidf_top_terms": tfidf_top_terms,
+    # ==== end of r06 driver window (position 50) ======================
+    # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
     "time_travel_diff": time_travel_diff,
@@ -10329,62 +10399,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash": simhash_q,
     "jaccard_pairs": jaccard_pairs_q,
-    # ==== end of r05 driver window (position 50) ======================
-    # -- (b7) new in r05: lead the r06 window (see plan above) ---------
-    "png_decode_stats": png_decode_stats,
-    "ivfpq_ann_topk": ivfpq_ann_topk,
-    "ivfpq_residual_topk": ivfpq_residual_topk,
-    "ivfpq_incremental": ivfpq_incremental,
-    "substring_dedup": substring_dedup,
-    "temperature_mix": temperature_mix,
-    "range_partition_plan": range_partition_plan,
-    "quantile_sketch_audit": quantile_sketch_audit,
-    "quantile_sketch_rollup": quantile_sketch_rollup,
-    "forget_key_purge": forget_key_purge,
-    "streaming_quantile_sketch": streaming_quantile_sketch,
-    "overlap_chunks": overlap_chunks,
-    "cluster_balanced_sample": cluster_balanced_sample,
-    "padding_efficiency": padding_efficiency,
-    "png_resize_audit": png_resize_audit,
-    "wav_resample_audit": wav_resample_audit,
-    # -- (b8) new in the r05 continuation: join (b7) at the front of
-    #    the r06 window ------------------------------------------------
-    "binary_quant_ann": binary_quant_ann,
-    "sq8_ann_topk": sq8_ann_topk,
-    "matryoshka_recall_audit": matryoshka_recall_audit,
-    "gopher_quality_rules": gopher_quality_rules,
-    "cdc_chunk_dedup": cdc_chunk_dedup,
-    "wordpiece_encode_stats": wordpiece_encode_stats,
-    "mulaw_companding_audit": mulaw_companding_audit,
-    "retention_sweep_plan": retention_sweep_plan,
-    "l_diversity_audit": l_diversity_audit,
-    "encoding_advisor": encoding_advisor,
-    "sort_layout_advisor": sort_layout_advisor,
-    "hrw_shard_assignment": hrw_shard_assignment,
-    "heaps_vocab_growth": heaps_vocab_growth,
-    "merkle_corpus_manifest": merkle_corpus_manifest,
-    "theta_sketch_set_ops": theta_sketch_set_ops,
-    "ewma_daily_anomalies": ewma_daily_anomalies,
-    "hard_negative_mining": hard_negative_mining,
-    "image_dhash_dedup": image_dhash_dedup,
-    # -- r01 window remainder: fill the r06 window after (b7)+(b8) -----
-    "similarity_topk": similarity_topk,
-    "embedding_dedup_pairs": embedding_dedup_pairs,
-    "engine_enrichment": engine_enrichment,
-    "session_window_batch": session_window_batch,
-    "multimodal_meta": multimodal_meta,
-    "asof_join": asof_join_q,
-    "quality_filter": quality_filter,
-    "top_terms": top_terms,
-    "grouping_sets_agg": grouping_sets_agg,
-    "winnow_fingerprints": winnow_fingerprints,
-    "bpe_token_stats": bpe_token_stats,
-    "ann_lsh_topk": ann_lsh_topk,
-    "event_gaps": event_gaps,
     # -- driver-green in r02 (next-oldest re-proof candidates) ---------
-    "latest_event_per_user": latest_event_per_user,
-    "set_ops": set_ops,
-    "tfidf_top_terms": tfidf_top_terms,
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
     "pos_tag_counts": pos_tag_counts,
