@@ -727,9 +727,15 @@ def dhash_images(df: DataFrame, media_col: str = "media") -> DataFrame:
                     continue
                 gray = (299 * r + 587 * g + 114 * bl) // 1000
                 bits = gray[:, :-1] > gray[:, 1:]
+                # XOR-fold gradient bit i into position i % 63: images
+                # with >= 63 gradient bits (the canonical 9x8 grid is
+                # 64) would otherwise overflow the signed-long Arrow
+                # column. Identity for smaller grids; the fold is XOR
+                # so hamming distance between folded hashes still
+                # lower-bounds the unfolded distance.
                 dh = 0
                 for i, bit in enumerate(bits.reshape(-1)):
-                    dh |= int(bit) << i
+                    dh ^= int(bit) << (i % 63)
                 out.append((doc_id, w, h, dh))
             yield pd.DataFrame(
                 out, columns=["doc_id", "width", "height", "dhash"]

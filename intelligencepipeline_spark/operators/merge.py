@@ -258,6 +258,16 @@ def compact_table(
     return len(counts)
 
 
+def _sql_literal(v) -> str:
+    """Render a Python value as a safe ANSI-SQL literal: strings with
+    embedded single quotes doubled (''), everything else via str()."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def purge_key(
     spark,
     table_path: str,
@@ -346,8 +356,22 @@ def purge_key(
 
     dt = _delta_table(spark, table_path)
     if dt is not None:
-        quoted = ", ".join(repr(v) for v in vals)
+        # SQL-quote by doubling single quotes: repr() is PYTHON quoting
+        # (backslash escapes), which both mis-parses and lets an
+        # attacker-chosen key value inject into the delete predicate.
+        quoted = ", ".join(_sql_literal(v) for v in vals)
         dt.delete(f"{key} IN ({quoted})")
+        # Delta's delete only writes a new version: the purged rows'
+        # data files stay readable via time travel until vacuumed,
+        # which defeats the GDPR contract (the snapshot-store path
+        # collapses history via vacuum_snapshot for the same reason).
+        check_key = "spark.databricks.delta.retentionDurationCheck.enabled"
+        prev = spark.conf.get(check_key, "true")
+        try:
+            spark.conf.set(check_key, "false")
+            dt.vacuum(0)
+        finally:
+            spark.conf.set(check_key, prev)
         return stats
 
     if snapshot_exists(table_path):

@@ -21,7 +21,7 @@ k-sample that is
   with high probability.
 
 The q-quantile estimate is the sample value at rank
-max(1, ceil(q*k)) under a fully-tied-down (value, key) order —
+max(1, ceil(q*min(n,k))) under a fully-tied-down (value, key) order —
 DISCRETE selection, no interpolation (the engine-portability rule
 every green entry follows).
 
@@ -66,8 +66,12 @@ def sketch_quantiles(
     sketch: DataFrame, qs: list[float], value_col: str, k: int
 ) -> list[tuple[float, float]]:
     """(q, estimate) for each q: the sample value at discrete rank
-    max(1, ceil(q*k)) under (value, rank) order. The sketch is <= k
-    rows, so this is a driver-side sort of a bounded list."""
+    max(1, ceil(q * min(n, k))) under (value, rank) order. Using the
+    EFFECTIVE sample size min(n, k) matters when the data has fewer
+    than k rows (exact mode): a bare ceil(q*k) would clamp every
+    upper quantile to the maximum even though the sketch holds the
+    full data. The sketch is <= k rows, so this is a driver-side sort
+    of a bounded list."""
     import math
 
     rows = sorted(
@@ -77,7 +81,8 @@ def sketch_quantiles(
     out = []
     for q in qs:
         # one IEEE product then ceil — the same double math a SQL
-        # replay (ceil(q * k)) performs, so ranks agree bit-for-bit
-        r = min(n, max(1, math.ceil(q * k)))
+        # replay (ceil(q * least(n, k))) performs, so ranks agree
+        # bit-for-bit
+        r = max(1, math.ceil(q * min(n, k)))
         out.append((q, rows[r - 1][0]))
     return out

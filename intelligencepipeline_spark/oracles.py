@@ -2749,7 +2749,7 @@ WITH sk AS (
 ), est AS (
   SELECT q,
     (SELECT value FROM ordered, nsk
-     WHERE rn = least(c, greatest(1, cast(ceil(q * 256) as bigint))))
+     WHERE rn = greatest(1, cast(ceil(q * least(c, 256)) as bigint)))
     AS est
   FROM qs
 )
@@ -2765,7 +2765,8 @@ GROUP BY 1, 2 ORDER BY q
 
 # Bottom-k sketch rollup replayed level by level: day sketches from
 # the scan, type sketches from day-sketch rows only, in-plan median at
-# rank least(c, 32), digest over the merged ranks.
+# effective-sample-size rank ceil(0.5*least(c,k)), digest over the
+# merged ranks.
 ORACLES["quantile_sketch_rollup"] = """
 WITH ev AS (
   SELECT event_type, cast(ts as date) AS day,
@@ -2789,7 +2790,7 @@ WITH ev AS (
         AS vrn,
       count(*) OVER (PARTITION BY event_type) AS c
     FROM type_sk)
-  WHERE vrn = least(c, 32)
+  WHERE vrn = greatest(1, cast(ceil(0.5 * least(c, 64)) as bigint))
 ), per_type AS (
   SELECT event_type,
     cast(count(DISTINCT day) as bigint) AS n_days,
@@ -2880,7 +2881,7 @@ WITH ev AS (
         AS vrn,
       count(*) OVER (PARTITION BY event_type) AS c
     FROM merged)
-  WHERE vrn = least(c, 64)
+  WHERE vrn = greatest(1, cast(ceil(0.5 * least(c, 128)) as bigint))
 ), pt AS (
   SELECT event_type, cast(count(*) as bigint) AS sketch_rows,
     md5(string_agg(rank, ',' ORDER BY rank)) AS merged_digest

@@ -25,6 +25,44 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of driver cwd.
+
+    mapInPandas / pandas_udf closures are pickled BY REFERENCE to their
+    defining module, so every Python worker must be able to
+    ``import intelligencepipeline_spark`` on its own. When the driver
+    happens to run from the repo root that works by accident (cwd on
+    ``sys.path``); from any other cwd — or on a real cluster where
+    executors share nothing with the driver's filesystem layout — it
+    dies with a worker-side ``ModuleNotFoundError``. Shipping a zip of
+    the package via ``addPyFile`` puts it on every worker's
+    ``sys.path`` (Spark distributes it and prepends the download dir),
+    which is exactly how a 1000-executor cluster would receive it.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ip_spark_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"ip_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        import zipfile
+
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in sorted(files):
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    sc._ip_spark_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "intelligencepipeline_spark",
     master: str | None = None,
@@ -80,4 +118,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

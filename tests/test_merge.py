@@ -384,3 +384,17 @@ def test_purge_key_collapses_time_travel_retention(spark, tdir):
     purge_key(spark, tdir, "k", [2])
     assert len(snapshot_versions(tdir)) == 1
     assert set(_snap(spark, tdir)) == {1}
+
+
+def test_sql_literal_quoting():
+    """purge_key's Delta predicate must SQL-quote values (doubled
+    single quotes), not Python-repr them — repr both mis-parses and
+    lets a quote-bearing key value inject into the delete (ADVICE
+    r05)."""
+    from intelligencepipeline_spark.operators.merge import _sql_literal
+
+    assert _sql_literal("plain") == "'plain'"
+    assert _sql_literal("O'Brien") == "'O''Brien'"
+    assert _sql_literal("x') OR ('1'='1") == "'x'') OR (''1''=''1'"
+    assert _sql_literal(42) == "42"
+    assert _sql_literal(True) == "true"

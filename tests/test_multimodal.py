@@ -507,3 +507,29 @@ def test_dhash_container_invariant(spark):
         [(9, bytearray(b"not an image"))], "doc_id long, media binary"
     )
     assert dhash_images(df2).first()["dhash"] == -1
+
+
+def test_dhash_canonical_9x8_grid_fits_signed_long(spark):
+    """The canonical 9x8 dhash grid has 8*(9-1)=64 gradient bits —
+    one more than a signed long holds. The XOR-fold (bit i -> i % 63)
+    must keep the value in [0, 2^63) instead of overflowing the
+    pandas->Arrow conversion; identical images must still collide."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+
+    # alternating gradient so every one of the 64 bits is exercised,
+    # including bit 63 (which folds onto bit 0)
+    px = np.zeros((8, 9, 3), dtype=np.uint8)
+    px[:, 1::2, :] = 255
+    blob = bytearray(encode_bmp(px))
+    df = spark.createDataFrame(
+        [(0, blob), (1, blob)], "doc_id long, media binary"
+    )
+    rows = {r["doc_id"]: r for r in dhash_images(df).collect()}
+    assert rows[0]["width"] == 9 and rows[0]["height"] == 8
+    assert 0 <= rows[0]["dhash"] < 2**63
+    assert rows[0]["dhash"] == rows[1]["dhash"]

@@ -59,3 +59,20 @@ def test_quantile_estimates_within_rank_error(spark, ev):
     for q, est in sketch_quantiles(sk, [0.25, 0.5, 0.75], "value", k):
         lt = ev.filter(F.col("value") < est).count()
         assert abs(lt / n - q) < 0.25, (q, est, lt / n)
+
+
+def test_exact_mode_small_n_uses_effective_sample_size(spark):
+    """When the data has FEWER than k rows the sketch holds everything
+    (exact mode): quantiles must select rank ceil(q * n), not
+    ceil(q * k) — the old clamp min(n, ...) collapsed every upper
+    quantile to the maximum (ADVICE r05)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "event_id long, value double"
+    )
+    sk = bottomk_sketch(df, F.col("event_id"), "value", k=256)
+    ests = dict(sketch_quantiles(sk, [0.1, 0.5, 0.9, 1.0], "value", 256))
+    # exact discrete quantiles of 1..10: rank ceil(q*10)
+    assert ests[0.1] == 1.0
+    assert ests[0.5] == 5.0
+    assert ests[0.9] == 9.0
+    assert ests[1.0] == 10.0
