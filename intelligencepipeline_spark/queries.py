@@ -9845,30 +9845,39 @@ def hrw_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shard sets plus the moved-doc count per old shard, with the
     weight argmax computed as an exact integer max over md5 prefixes.
 
-    Expression-only: the 8/9 weights are a per-row greatest() chain
-    inside the scan; the audit is one keyed agg. At 100 TB shard
-    routing rides ingest with zero shuffles."""
+    Expression-only: the 8/9 weights are ONE array transform +
+    array_max per row (a loop in generated code, not an n-way
+    unrolled when() chain — the unrolled form blew past janino's
+    64 KB method limit and fell back to interpreted eval); the audit
+    is one keyed agg. At 100 TB shard routing rides ingest with zero
+    shuffles."""
     docs = _t(spark, sf_dir, "documents")
 
-    def weight(shard: int) -> "F.Column":
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"),
-                               F.lit(f":{shard}"))), 1, 15,
-            ),
-            16,
-            10,
-        ).cast("long")
-
     def argmax_shard(n: int) -> "F.Column":
-        best = F.lit(0)
-        best_w = weight(0)
-        for s in range(1, n):
-            w = weight(s)
-            is_b = w > best_w
-            best = F.when(is_b, s).otherwise(best)
-            best_w = F.when(is_b, w).otherwise(best_w)
-        return best.cast("long")
+        # max by (weight, -shard): highest weight wins, LOWEST shard
+        # on a weight tie (mirrors the oracle's ORDER BY w DESC, s)
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                s.cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("w"),
+                (-s).alias("neg_shard"),
+            ),
+        )
+        return (-F.array_max(pairs)["neg_shard"]).cast("long")
 
     assigned = docs.select(
         "doc_id",
