@@ -1,0 +1,299 @@
+"""Unigram-LM (SentencePiece-style) tokenizer: trainer + encoder.
+
+Completes the production tokenizer triple next to BPE
+(``operators/bpe.py``) and WordPiece (``train_wordpiece_vocab``) —
+reference scope: the tokenizer/chunker surface of
+``implementations.kt`` (sentence chunker / annotators), re-expressed
+as corpus-trained subword models the way an LLM-data pipeline needs
+them.
+
+Kudo (2018) trains a unigram language model by EM over segmentation
+lattices with float log-likelihoods and probabilistic pruning. This
+implementation keeps the EM STRUCTURE — seed a large candidate vocab,
+alternate (E) segment the corpus under current piece scores with (M)
+re-estimate scores from usage and prune — but swaps the float
+likelihood for an EXACT INTEGER surrogate so the whole trainer is
+bit-deterministic on any engine, partitioning, or run (the repo-wide
+oracle-exactness rule):
+
+* a segmentation is scored (fewest pieces, then highest total integer
+  piece score, then longest-first position tie-break) — a TOTAL
+  deterministic order, Viterbi-solved by a per-word DP;
+* piece scores are frequency-weighted usage counts (bigints), never
+  log-probs;
+* pruning keeps the top ``vocab_size`` multi-char pieces by
+  (score desc, piece asc); single characters are never pruned (char
+  fallback — no UNK), mirroring SentencePiece's required-char set.
+
+Scale shape (the BPE trainer's, exactly): ONE corpus-wide groupBy
+collapses 100 TB to the bounded (word, n) dictionary; every EM
+iteration runs expression-only DP folds on that domain; driver state
+is the vocab table (vocab_size + alphabet rows of (piece, score)) —
+bounded like the BPE merge table and IVF's k*d centroids. Encoding
+runs the same DP once per DISTINCT word and joins back, never once
+per corpus token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from intelligencepipeline_spark.operators.bpe import word_freqs
+
+MAX_PIECE_LEN = 4
+
+
+def _score_map(vocab: dict[str, int]) -> Column:
+    """The (piece -> integer score) table as a map literal: bounded by
+    construction (vocab_size + alphabet), so the DP below stays one
+    whole-stage-codegen expression with zero joins."""
+    kv: list[Column] = []
+    for piece in sorted(vocab):
+        kv.append(F.lit(piece))
+        kv.append(F.lit(int(vocab[piece])).cast("long"))
+    return F.create_map(*kv)
+
+
+def _viterbi_dp(w: Column, m: Column, max_len: int = MAX_PIECE_LEN) -> Column:
+    """dp array for word ``w``: element k is the best state for the
+    length-(k-1) prefix as struct(p, sc, fr) = (piece count, total
+    score, backpointer). Candidates at each position are the <=
+    ``max_len`` pieces ending there, evaluated LONGEST FIRST with
+    strictly-better-replaces — so ties on (pieces, score) pin to the
+    longest piece, the same total order the SQL oracle replays.
+    Single chars are always feasible (char fallback), scored 0 when
+    unmapped, so the DP never dead-ends."""
+    state_t = "struct<ok:boolean,p:int,sc:bigint,fr:int>"
+    init = F.array(
+        F.struct(
+            F.lit(True).alias("ok"),
+            F.lit(0).alias("p"),
+            F.lit(0).cast("long").alias("sc"),
+            F.lit(0).alias("fr"),
+        )
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        def cand(L: int) -> Column:
+            jj = i - F.lit(L) + 1
+            piece = w.substr(jj, F.lit(L))
+            # clamp the index so the (discarded) invalid branch can
+            # never trip element_at's index-0 error
+            prev = F.element_at(acc, F.greatest(jj, F.lit(1)))
+            sc = F.element_at(m, piece)
+            return F.struct(
+                ((jj >= 1) & ((F.lit(L) == 1) | sc.isNotNull())).alias(
+                    "ok"
+                ),
+                (prev["p"] + 1).alias("p"),
+                (prev["sc"] + F.coalesce(sc, F.lit(0).cast("long"))).alias(
+                    "sc"
+                ),
+                (jj - 1).alias("fr"),
+            )
+
+        # pick via an inner fold so `best` is a lambda VARIABLE, not a
+        # repeated subtree — a when().otherwise(best) chain duplicates
+        # the previous level ~5x per step and the expression tree (and
+        # codegen) blows up exponentially in max_len
+        cands = F.array(*[cand(L) for L in range(max_len, 0, -1)])
+        best = F.aggregate(
+            cands,
+            F.lit(None).cast(state_t),
+            lambda b, c: F.when(
+                c["ok"]
+                & (
+                    b.isNull()
+                    | (c["p"] < b["p"])
+                    | ((c["p"] == b["p"]) & (c["sc"] > b["sc"]))
+                ),
+                c,
+            ).otherwise(b),
+        )
+        return F.concat(acc, F.array(best))
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+
+
+def _backtrack_pieces(w: Column, dp: Column) -> Column:
+    """The Viterbi segmentation of ``w`` as array<string>, walking the
+    dp backpointers end-to-start (at most length(w) hops, extra
+    iterations are no-ops once cur reaches 1)."""
+    init = F.struct(
+        (F.length(w) + 1).alias("cur"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+
+    def step(acc: Column, _i: Column) -> Column:
+        cur = acc["cur"]
+        fr = F.element_at(dp, F.greatest(cur, F.lit(1)))["fr"]
+        piece = w.substr(fr + 1, cur - 1 - fr)
+        return F.when(
+            cur > 1,
+            F.struct(
+                (fr + 1).alias("cur"),
+                F.concat(F.array(piece), acc["pieces"]).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)[
+        "pieces"
+    ]
+
+
+def _usage_counts(wf: DataFrame, vocab: dict[str, int]) -> DataFrame:
+    """(piece, score) frequency-weighted usage over the word domain's
+    Viterbi segmentations under the current scores — the exact-integer
+    E-step statistic."""
+    m = _score_map(vocab)
+    seg = wf.withColumn("dp", _viterbi_dp(F.col("word"), m)).withColumn(
+        "pieces", _backtrack_pieces(F.col("word"), F.col("dp"))
+    )
+    return (
+        seg.select(F.explode("pieces").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("score"))
+    )
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 16,
+    seed_size: int = 32,
+    n_iters: int = 2,
+    max_len: int = MAX_PIECE_LEN,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Learn a unigram vocab {piece: score}. Deterministic: seed = the
+    alphabet plus the ``seed_size`` most frequent substrings of length
+    2..max_len (weighted count desc, piece asc); each EM round
+    re-scores by segmentation usage and prunes multi-char pieces to
+    the top ``vocab_size`` (usage desc, piece asc), chars kept always.
+    Two bounded collects per round (alphabet-sized + vocab_size-sized)
+    — driver state stays tokenizer-table sized."""
+    wf = word_freqs(docs, text_col).localCheckpoint(eager=True)
+
+    def gram_fn(L: int):
+        # closure factory, NOT `lambda i, L=L`: PySpark inspects HOF
+        # lambda arity, and a 2-arg lambda becomes (value, index) —
+        # the default arg would be silently overwritten by the index
+        def f(i: Column) -> Column:
+            return F.substring(F.col("word"), i, F.lit(L))
+
+        return f
+
+    def grams(lo: int, hi: int) -> Column:
+        lists = [
+            F.when(
+                F.length("word") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - (L - 1)),
+                    gram_fn(L),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            for L in range(lo, hi + 1)
+        ]
+        return F.concat(*lists) if len(lists) > 1 else lists[0]
+
+    chars = (
+        wf.select(F.explode(grams(1, 1)).alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("score"))
+        .collect()
+    )
+    alphabet = {r["piece"] for r in chars}
+    vocab: dict[str, int] = {r["piece"]: r["score"] for r in chars}
+    seed = (
+        wf.select(F.explode(grams(2, max_len)).alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("score"))
+        .orderBy(F.desc("score"), "piece")
+        .limit(seed_size)
+        .collect()
+    )
+    for r in seed:
+        vocab[r["piece"]] = r["score"]
+
+    for _ in range(n_iters):
+        # usage is bounded by |vocab| (used pieces are a subset), so
+        # ONE collect + a driver-side sort replaces two jobs that
+        # would each re-run the DP fold
+        rows = _usage_counts(wf, vocab).collect()
+        new_chars = {
+            r["piece"]: r["score"] for r in rows if len(r["piece"]) == 1
+        }
+        kept = sorted(
+            (r for r in rows if len(r["piece"]) > 1),
+            key=lambda r: (-r["score"], r["piece"]),
+        )[:vocab_size]
+        vocab = {c: new_chars.get(c, 0) for c in alphabet}
+        for r in kept:
+            vocab[r["piece"]] = r["score"]
+    return vocab
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    max_len: int = MAX_PIECE_LEN,
+) -> DataFrame:
+    """Per-document unigram encode stats over the DISTINCT word domain
+    (the trainer's domain collapse, so the DP runs once per vocabulary
+    entry and a broadcast-sized word table joins back): n_pieces,
+    n_multi (multi-char pieces used), n_chars, and chars-per-piece
+    compression (one IEEE division of exact integers)."""
+    from intelligencepipeline_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    m = _score_map(vocab)
+    words = (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col(text_col)))).alias("word")
+        )
+        .distinct()
+        .withColumn("dp", _viterbi_dp(F.col("word"), m, max_len))
+        .withColumn("pieces", _backtrack_pieces(F.col("word"), F.col("dp")))
+        .select(
+            "word",
+            F.size("pieces").cast("long").alias("w_pieces"),
+            F.size(
+                F.filter(F.col("pieces"), lambda p: F.length(p) > 1)
+            )
+            .cast("long")
+            .alias("w_multi"),
+            F.length("word").cast("long").alias("w_chars"),
+        )
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    )
+    sums = (
+        occ.join(F.broadcast(words), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_pieces").alias("n_pieces"),
+            F.sum("w_multi").alias("n_multi"),
+            F.sum("w_chars").alias("n_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.coalesce("n_multi", F.lit(0)).alias("n_multi"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.when(
+                F.coalesce("n_chars", F.lit(0)) > 0,
+                F.col("n_pieces").cast("double")
+                / F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("compression"),
+        )
+    )

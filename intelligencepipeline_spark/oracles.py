@@ -5972,3 +5972,205 @@ SELECT dhash, cast(count(*) as bigint) AS n_docs,
   cast(max(doc_id) as bigint) AS max_doc
 FROM bits GROUP BY dhash ORDER BY dhash
 """
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py): the oracle replays the
+# ENTIRE trainer — seed vocab, then _UNI_ITERS EM rounds each made of a
+# recursive-CTE Viterbi DP walk (dp_p/dp_sc/dp_fr lists, candidates
+# longest-first with strictly-better-replaces on (fewest pieces,
+# highest score)), a backpointer walk extracting the segmentation, a
+# frequency-weighted usage re-count, and the same (score desc, piece
+# asc) prune. Two duckdb-1.0 traps shaped the SQL: (1) un-MATERIALIZED
+# CTEs are inlined, so each round's vocab would re-execute the whole
+# previous round per lookup (exponential); (2) correlated scalar
+# subqueries into a derived CTE return NULL inside a recursive term —
+# piece-score lookups are LEFT JOINs instead.
+# ---------------------------------------------------------------------------
+_UNI_MAX_LEN = 4
+_UNI_SEED = 32
+_UNI_VOCAB = 16
+_UNI_ITERS = 2
+
+
+def _uni_walk(t: int, vocab: str) -> str:
+    """Recursive-CTE Viterbi DP over the word domain under vocab table
+    `vocab`: dp lists dp_p/dp_sc/dp_fr, candidates longest-first with
+    strictly-better-replaces (fewest pieces, then highest score)."""
+    # layer A: piece scores for the <=4 candidate lengths ending at i,
+    # via LEFT JOINs (correlated scalar subqueries into a derived CTE
+    # return NULL inside a recursive term on duckdb 1.0)
+    scores = ", ".join(
+        f"vv{L}.score AS s{L}" for L in range(1, _UNI_MAX_LEN + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN {vocab} vv{L} ON w.i >= {L} "
+        f"AND vv{L}.piece = substr(w.word, w.i - {L - 1}, {L})"
+        for L in range(1, _UNI_MAX_LEN + 1)
+    )
+    layer_a = (
+        f"SELECT w.word, w.i, w.dp_p, w.dp_sc, w.dp_fr, {scores} "
+        f"FROM walk{t} w {joins} WHERE w.i <= length(w.word)"
+    )
+    # layer B: candidate states (p, sc, fr) + validity per length
+    cands = []
+    for L in range(1, _UNI_MAX_LEN + 1):
+        valid = (
+            "TRUE" if L == 1 else f"(i >= {L} AND s{L} IS NOT NULL)"
+        )
+        cands.append(
+            f"{valid} AS v{L}, "
+            f"CASE WHEN i >= {L} THEN dp_p[i - {L - 1}] + 1 END AS p{L}, "
+            f"CASE WHEN i >= {L} THEN dp_sc[i - {L - 1}] + "
+            f"coalesce(s{L}, 0) END AS c{L}, "
+            f"i - {L} AS f{L}"
+        )
+    layer_b = (
+        f"SELECT word, i, dp_p, dp_sc, dp_fr, {', '.join(cands)} "
+        f"FROM ({layer_a})"
+    )
+    # layer C: fold longest-first; first strictly-better wins
+    top = _UNI_MAX_LEN
+    layer = (
+        f"SELECT *, CASE WHEN v{top} THEN p{top} END AS bp, "
+        f"CASE WHEN v{top} THEN c{top} END AS bc, "
+        f"CASE WHEN v{top} THEN f{top} END AS bf FROM ({layer_b})"
+    )
+    for L in range(_UNI_MAX_LEN - 1, 0, -1):
+        better = (
+            f"(v{L} AND (bp IS NULL OR p{L} < bp OR "
+            f"(p{L} = bp AND c{L} > bc)))"
+        )
+        layer = (
+            f"SELECT * EXCLUDE (bp, bc, bf), "
+            f"CASE WHEN {better} THEN p{L} ELSE bp END AS bp, "
+            f"CASE WHEN {better} THEN c{L} ELSE bc END AS bc, "
+            f"CASE WHEN {better} THEN f{L} ELSE bf END AS bf "
+            f"FROM ({layer})"
+        )
+    return (
+        f"walk{t} AS (\n"
+        f"  SELECT word, 1 AS i, [0] AS dp_p, "
+        f"[cast(0 as bigint)] AS dp_sc, [0] AS dp_fr FROM wf\n"
+        f"  UNION ALL\n"
+        f"  SELECT word, i + 1, list_append(dp_p, bp), "
+        f"list_append(dp_sc, bc), list_append(dp_fr, bf)\n"
+        f"  FROM ({layer})\n"
+        f")"
+    )
+
+
+def _uni_bt(t: int) -> str:
+    """Backpointer walk: the Viterbi segmentation pieces per word."""
+    return (
+        f"bt{t} AS (\n"
+        f"  SELECT word, length(word) + 1 AS cur, dp_fr, "
+        f"CAST([] AS VARCHAR[]) AS pieces\n"
+        f"  FROM walk{t} WHERE i = length(word) + 1\n"
+        f"  UNION ALL\n"
+        f"  SELECT word, dp_fr[cur] + 1, dp_fr,\n"
+        f"    list_append(pieces, substr(word, dp_fr[cur] + 1, "
+        f"cur - 1 - dp_fr[cur]))\n"
+        f"  FROM bt{t} WHERE cur > 1\n"
+        f"), segs{t} AS MATERIALIZED (SELECT word, pieces FROM bt{t} WHERE cur = 1)"
+    )
+
+
+def _uni_usage_and_next(t: int) -> str:
+    return (
+        f"usage{t} AS (\n"
+        f"  SELECT piece, cast(sum(n) as bigint) AS score\n"
+        f"  FROM (SELECT w.n, unnest(s.pieces) AS piece\n"
+        f"        FROM segs{t} s JOIN wf w USING (word))\n"
+        f"  GROUP BY piece\n"
+        f"), vocab{t} AS MATERIALIZED (\n"
+        f"  SELECT c.piece, coalesce(u.score, cast(0 as bigint)) AS score\n"
+        f"  FROM chars0 c LEFT JOIN usage{t} u ON c.piece = u.piece\n"
+        f"  UNION ALL\n"
+        f"  SELECT piece, score FROM (\n"
+        f"    SELECT piece, score FROM usage{t} WHERE length(piece) > 1\n"
+        f"    ORDER BY score DESC, piece LIMIT {_UNI_VOCAB})\n"
+        f")"
+    )
+
+
+def _unigram_ctes() -> str:
+    grams = []
+    for L in range(2, _UNI_MAX_LEN + 1):
+        grams.append(
+            f"CASE WHEN length(word) >= {L} THEN "
+            f"list_transform(range(1, length(word) - {L - 2}), "
+            f"i -> substr(word, i, {L})) ELSE [] END"
+        )
+    gram_list = grams[0]
+    for g in grams[1:]:
+        gram_list = f"list_concat({gram_list}, {g})"
+    parts = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, cast(count(*) as bigint) AS n
+  FROM (SELECT unnest({_NTOKS}) AS word FROM documents)
+  GROUP BY word
+)""",
+        """chars0 AS MATERIALIZED (
+  SELECT piece, cast(sum(n) as bigint) AS score FROM (
+    SELECT unnest(list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, i, 1))) AS piece, n
+    FROM wf)
+  GROUP BY piece
+)""",
+        f"""seed_multi AS MATERIALIZED (
+  SELECT piece, score FROM (
+    SELECT piece, cast(sum(n) as bigint) AS score FROM (
+      SELECT unnest({gram_list}) AS piece, n FROM wf)
+    GROUP BY piece ORDER BY score DESC, piece LIMIT {_UNI_SEED})
+)""",
+        """vocab0 AS MATERIALIZED (
+  SELECT piece, score FROM chars0
+  UNION ALL SELECT piece, score FROM seed_multi
+)""",
+    ]
+    for t in range(1, _UNI_ITERS + 1):
+        parts.append(_uni_walk(t, f"vocab{t - 1}"))
+        parts.append(_uni_bt(t))
+        parts.append(_uni_usage_and_next(t))
+    return ",\n".join(parts)
+
+
+ORACLES["unigram_train"] = f"""
+WITH RECURSIVE {_unigram_ctes()}
+SELECT piece, score, cast(length(piece) as bigint) AS piece_len,
+  (length(piece) = 1) AS is_char
+FROM vocab{_UNI_ITERS} ORDER BY piece
+"""
+
+_UNI_F = _UNI_ITERS + 1
+ORACLES["unigram_encode_stats"] = f"""
+WITH RECURSIVE {_unigram_ctes()},
+{_uni_walk(_UNI_F, f"vocab{_UNI_ITERS}")},
+{_uni_bt(_UNI_F)},
+wstats AS (
+  SELECT word,
+    cast(length(pieces) as bigint) AS w_pieces,
+    cast(length(list_filter(pieces, x -> length(x) > 1)) as bigint)
+      AS w_multi,
+    cast(length(word) as bigint) AS w_chars
+  FROM segs{_UNI_F}
+), occ AS (
+  SELECT doc_id, unnest({_NTOKS}) AS word FROM documents
+), sums AS (
+  SELECT o.doc_id,
+    cast(sum(w.w_pieces) as bigint) AS n_pieces,
+    cast(sum(w.w_multi) as bigint) AS n_multi,
+    cast(sum(w.w_chars) as bigint) AS n_chars
+  FROM occ o JOIN wstats w USING (word) GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+  coalesce(s.n_pieces, 0) AS n_pieces,
+  coalesce(s.n_multi, 0) AS n_multi,
+  coalesce(s.n_chars, 0) AS n_chars,
+  CASE WHEN coalesce(s.n_chars, 0) > 0
+    THEN cast(s.n_pieces as double) / cast(s.n_chars as double)
+    ELSE 1.0 END AS compression
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -10277,6 +10277,52 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def unigram_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (operators/unigram.py) — completes the production tokenizer triple
+    next to BPE (bpe_train) and WordPiece (wordpiece_encode_stats).
+    Kudo-2018 EM structure with an exact-integer likelihood surrogate:
+    seed = alphabet + top-32 substrings (len 2-4, weighted count desc,
+    piece asc), then 2 EM rounds of (E) Viterbi-segment the word
+    domain under current scores — objective (fewest pieces, highest
+    total score, longest-piece tie-break), a TOTAL order — and (M)
+    re-score by frequency-weighted usage, pruning multi-char pieces to
+    the top 16 (chars never pruned: char fallback, no UNK). Exports
+    the learned vocab table. The DuckDB oracle replays BOTH EM rounds
+    move-for-move: recursive-CTE DP walk + backpointer walk per round,
+    usage re-count, same prune order.
+
+    Scale: ONE corpus groupBy collapses 100 TB to the (word, n)
+    dictionary; each round is two expression-only DP folds over that
+    bounded domain; driver state = vocab_size + alphabet rows."""
+    from intelligencepipeline_spark.operators.unigram import train_unigram
+
+    vocab = train_unigram(_t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [(p, int(s), len(p), len(p) == 1) for p, s in sorted(vocab.items())],
+        "piece string, score long, piece_len long, is_char boolean",
+    ).orderBy("piece")
+
+
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM ENCODE over the trained vocab (train + encode in one
+    entry, like bpe_encode): per-document Viterbi piece count,
+    multi-char piece count, char count, and chars-per-piece
+    compression (one IEEE division of exact integers). The DP runs
+    once per DISTINCT word (the trainer's domain collapse) and the
+    word stats broadcast-join back to the token stream — per-token
+    work at 100 TB is a hash probe, not a DP."""
+    from intelligencepipeline_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram(docs)
+    return unigram_encode(docs, vocab).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10354,6 +10400,9 @@ QUERIES = {
     "set_ops": set_ops,
     "tfidf_top_terms": tfidf_top_terms,
     # ==== end of r06 driver window (position 50) ======================
+    # -- (b9) new in r06: never driver-checked — lead the r07 window ---
+    "unigram_train": unigram_train_q,
+    "unigram_encode_stats": unigram_encode_stats,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,

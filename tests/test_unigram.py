@@ -1,0 +1,146 @@
+"""Unigram-LM tokenizer: Spark trainer/encoder vs a sequential
+pure-Python reference implementation, plus determinism and the
+segmentation objective's total order."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.unigram import (
+    MAX_PIECE_LEN,
+    train_unigram,
+    unigram_encode,
+)
+from intelligencepipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- sequential reference (same integer objective) --------------------
+
+
+def _norm_words(texts):
+    words = []
+    for t in texts:
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        t = re.sub(r" +", " ", t).strip()
+        words.extend(w for w in t.split(" ") if w)
+    return words
+
+
+def _viterbi_ref(word, vocab, max_len=MAX_PIECE_LEN):
+    """(pieces, score): fewest pieces, then highest total score, then
+    longest-piece-first tie-break (candidates scanned longest first,
+    strictly-better replaces)."""
+    n = len(word)
+    dp = [(0, 0, 0)]  # (pieces, score, backpointer)
+    for i in range(1, n + 1):
+        best = None
+        for L in range(min(max_len, i), 0, -1):
+            piece = word[i - L : i]
+            if L > 1 and piece not in vocab:
+                continue
+            prev = dp[i - L]
+            cand = (
+                prev[0] + 1,
+                prev[1] + vocab.get(piece, 0),
+                i - L,
+            )
+            if (
+                best is None
+                or cand[0] < best[0]
+                or (cand[0] == best[0] and cand[1] > best[1])
+            ):
+                best = cand
+        dp.append(best)
+    pieces = []
+    cur = n
+    while cur > 0:
+        fr = dp[cur][2]
+        pieces.append(word[fr:cur])
+        cur = fr
+    return list(reversed(pieces))
+
+
+def _train_ref(texts, vocab_size=16, seed_size=32, n_iters=2):
+    wf = Counter(_norm_words(texts))
+    chars = Counter()
+    grams = Counter()
+    for w, n in wf.items():
+        for i in range(len(w)):
+            chars[w[i]] += n
+        for L in range(2, MAX_PIECE_LEN + 1):
+            for i in range(len(w) - L + 1):
+                grams[w[i : i + L]] += n
+    alphabet = set(chars)
+    vocab = dict(chars)
+    for g, c in sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :seed_size
+    ]:
+        vocab[g] = c
+    for _ in range(n_iters):
+        usage = Counter()
+        for w, n in wf.items():
+            for p in _viterbi_ref(w, vocab):
+                usage[p] += n
+        kept = sorted(
+            ((p, s) for p, s in usage.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:vocab_size]
+        vocab = {c: usage.get(c, 0) for c in alphabet}
+        vocab.update(dict(kept))
+    return vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def texts(docs):
+    return [r["text"] for r in docs.select("text").collect()]
+
+
+def test_trainer_matches_sequential_reference(spark, docs, texts):
+    assert train_unigram(docs) == _train_ref(texts)
+
+
+def test_encode_matches_reference_segmentation(spark, docs, texts):
+    vocab = _train_ref(texts)
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_multi"], r["n_chars"])
+        for r in unigram_encode(docs, vocab).collect()
+    }
+    for r in docs.select("doc_id", "text").limit(20).collect():
+        words = _norm_words([r["text"]])
+        pieces = [p for w in words for p in _viterbi_ref(w, vocab)]
+        exp = (
+            len(pieces),
+            sum(1 for p in pieces if len(p) > 1),
+            sum(len(w) for w in words),
+        )
+        assert got[r["doc_id"]] == exp, (r["doc_id"], got[r["doc_id"]], exp)
+
+
+def test_objective_total_order_toy(spark):
+    """'abcd' with vocab {'ab','cd','abc'} (equal scores) must pick
+    ab+cd (2 pieces) over abc+d (2 pieces, lower score when 'd'
+    scores 0) — and never the 4-char fallback."""
+    df = spark.createDataFrame([(0, "abcd abcd")], "doc_id long, text string")
+    vocab = {c: 1 for c in "abcd"}
+    vocab.update({"ab": 10, "cd": 10, "abc": 10})
+    row = unigram_encode(df, vocab).first()
+    # ab|cd: 2 pieces both multi; abc|d would be (2 pieces, 10+1=11)
+    # vs ab|cd (2 pieces, 20) -> score breaks the tie
+    assert row["n_pieces"] == 4 and row["n_multi"] == 4
+
+
+def test_char_fallback_no_unk(spark):
+    """Words with characters absent from the vocab still segment
+    (single-char fallback, scored 0)."""
+    df = spark.createDataFrame([(0, "zzzq")], "doc_id long, text string")
+    row = unigram_encode(df, {"a": 1}).first()
+    assert row["n_pieces"] == 4 and row["n_multi"] == 0
