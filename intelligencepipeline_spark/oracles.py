@@ -6174,3 +6174,22 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN sums s USING (doc_id)
 ORDER BY d.doc_id
 """
+
+# streaming_ivfpq_ingest: because the micro-batches PARTITION the new
+# half and ivfpq_append_integer is deterministic under the fitted
+# quantizers, the streamed index equals the one-shot batch append
+# row-for-row — so the probe replay IS the ivfpq_incremental unroll,
+# with the two streaming audit columns pinned: n_batches from the
+# vec_id % 2 file split, lossless TRUE (a dropped/doubled batch or
+# drifted assignment flips the Spark side's digest comparison).
+ORACLES["streaming_ivfpq_ingest"] = ORACLES["ivfpq_incremental"].replace(
+    "SELECT vec_id, cell, is_new, adc, d2 FROM exact "
+    "ORDER BY d2, vec_id LIMIT 10",
+    """SELECT vec_id, cell, is_new, adc, d2,
+  (SELECT cast(count(DISTINCT vec_id % 2) as bigint)
+   FROM embeddings WHERE vec_id >= 250) AS n_batches,
+  true AS lossless
+FROM (SELECT vec_id, cell, is_new, adc, d2 FROM exact
+      ORDER BY d2, vec_id LIMIT 10)
+ORDER BY d2, vec_id""",
+)

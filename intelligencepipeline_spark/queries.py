@@ -10323,6 +10323,140 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode(docs, vocab).orderBy("doc_id")
 
 
+
+def streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL 100 TB ANN loop — ingest -> encode -> append ->
+    query — run as a real stream: the IVFPQ index is fit on the base
+    half of the corpus (vec_id < 250) and written AT REST partitioned
+    by cell; the new half then arrives in 2 deterministic micro-
+    batches (vec_id % 2 file split, AvailableNow) and each batch is
+    appended by ivfpq_append_integer — coarse-assign + PQ-encode under
+    the FITTED quantizers, expression-only, no refit, no touch of
+    existing rows — written into the matching cell partitions only
+    (pinned by tests/test_ivfpq.py::test_streaming_append_touches_only
+    _hit_cells). A post-append probe (2 cells, ADC shortlist, exact
+    re-rank) returns neighbors from BOTH halves (is_new per hit).
+
+    ``lossless`` hash-checks that the streamed index EQUALS the
+    one-shot batch append row-for-row (same digest over (vec_id, cell,
+    codes, qvec)) — a dropped batch, double-applied retry, or drifted
+    assignment flips it. ``n_batches`` is the actual micro-batch count.
+    The oracle replays the fit/append split exactly (the
+    ivfpq_incremental unroll) and pins lossless TRUE.
+
+    Scale: append cost is O(batch) expression work + one write per
+    TOUCHED cell partition; probe cost is partition-pruned reads of
+    n_probe cells. State: the k_coarse*d + m*k_pq*d/m quantizer table."""
+    import os
+    import shutil as _sh
+
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_append_integer,
+        ivfpq_index_integer,
+        probe_cells,
+    )
+    from intelligencepipeline_spark.operators.pq import (
+        pq_adc_rerank_integer,
+    )
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    coarse, cbs, base_table = ivfpq_index_integer(
+        base, k_coarse=8, m=8, k_pq=16, iters=2,
+        cache_root="/tmp/ip_ivfpq_cache", sig_extra="base_lt_250",
+    )
+    cols = ["vec_id", "qvec", "codes"]
+
+    def as_index(df: DataFrame) -> DataFrame:
+        return df.select(*cols, F.col("cell").cast("int").alias("cell"))
+
+    index_dir = os.path.join(scratch_dir("ip_sivf_"), "index")
+    as_index(base_table).coalesce(1).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(index_dir)
+
+    src = scratch_dir("ip_sivf_src_")
+    stage = scratch_dir("ip_sivf_stage_")
+    for b in range(2):
+        d = os.path.join(stage, f"b{b}")
+        new.filter(F.col("vec_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+    batch_ids: list[int] = []
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        # one file per touched cell: the batch is micro-batch sized by
+        # definition, so a single writer task avoids 32 near-empty
+        # shuffle partitions fsyncing into every hit partition
+        as_index(
+            ivfpq_append_integer(batch_df, coarse, cbs)
+        ).coalesce(1).write.mode("append").partitionBy("cell").parquet(
+            index_dir
+        )
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", scratch_dir("ip_sivf_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming ivfpq ingest hung"
+
+    table = spark.read.parquet(index_dir).withColumn(
+        "is_new", (F.col("vec_id") >= 250).cast("long")
+    )
+    row_sig = F.concat_ws(
+        ":",
+        F.col("vec_id").cast("string"),
+        F.col("cell").cast("string"),
+        F.concat_ws(",", F.col("codes")),
+        F.concat_ws(",", F.col("qvec")),
+    )
+    digest = F.md5(F.array_join(F.array_sort(F.collect_list(row_sig)), "|"))
+    streamed_digest = table.agg(digest.alias("d"))
+    oneshot_digest = (
+        as_index(base_table)
+        .unionByName(as_index(ivfpq_append_integer(new, coarse, cbs)))
+        .agg(digest.alias("d"))
+    )
+    lossless = (
+        streamed_digest.crossJoin(
+            oneshot_digest.withColumnRenamed("d", "d2")
+        )
+        .select((F.col("d") == F.col("d2")).alias("lossless"))
+    )
+
+    qvec = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select(quantize(F.col("embedding")).alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    probes = probe_cells(coarse, qvec, 2)
+    cands = table.filter(
+        F.col("cell").isin([int(c) for c in probes])
+        & (F.col("vec_id") != 0)
+    )
+    res = pq_adc_rerank_integer(
+        cands, cbs, qvec, k=10, shortlist=50,
+        passthrough=("cell", "is_new"),
+    )
+    return res.withColumn(
+        "n_batches", F.lit(len(batch_ids)).cast("long")
+    ).crossJoin(F.broadcast(lossless))
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10403,6 +10537,7 @@ QUERIES = {
     # -- (b9) new in r06: never driver-checked — lead the r07 window ---
     "unigram_train": unigram_train_q,
     "unigram_encode_stats": unigram_encode_stats,
+    "streaming_ivfpq_ingest": streaming_ivfpq_ingest,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,

@@ -181,3 +181,54 @@ def test_ivfpq_append_equals_index_encode(spark, emb):
         r.vec_id: (r.cell, tuple(r.codes)) for r in appended.collect()
     }
     assert a == b
+
+
+def test_streaming_append_touches_only_hit_cells(spark, emb, tmp_path):
+    """The streaming ingest's append writes files ONLY into the cell
+    partitions its batch vectors land in — the at-rest property that
+    makes incremental maintenance O(batch), never a table rewrite."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.operators.ivfpq import (
+        ivfpq_append_integer,
+    )
+
+    base = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250).limit(20)
+    coarse, cbs, base_table = ivfpq_index_integer(base)
+    index_dir = str(tmp_path / "index")
+    base_table.select(
+        "vec_id", "qvec", "codes", F.col("cell").cast("int").alias("cell")
+    ).coalesce(1).write.mode("overwrite").partitionBy("cell").parquet(
+        index_dir
+    )
+
+    def cell_files():
+        out = {}
+        for d in os.listdir(index_dir):
+            if d.startswith("cell="):
+                out[int(d.split("=")[1])] = sorted(
+                    f
+                    for f in os.listdir(os.path.join(index_dir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = cell_files()
+    appended = ivfpq_append_integer(new, coarse, cbs)
+    hit_cells = {
+        int(r["cell"]) for r in appended.select("cell").distinct().collect()
+    }
+    appended.select(
+        "vec_id", "qvec", "codes", F.col("cell").cast("int").alias("cell")
+    ).coalesce(1).write.mode("append").partitionBy("cell").parquet(index_dir)
+    after = cell_files()
+    changed = {
+        c for c in after if after[c] != before.get(c, [])
+    }
+    assert changed == hit_cells, (changed, hit_cells)
+    # untouched cells are byte-identical file lists
+    for c in set(before) - hit_cells:
+        assert after[c] == before[c]
