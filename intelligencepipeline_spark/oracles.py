@@ -6193,3 +6193,128 @@ FROM (SELECT vec_id, cell, is_new, adc, d2 FROM exact
       ORDER BY d2, vec_id LIMIT 10)
 ORDER BY d2, vec_id""",
 )
+
+# embedding_drift_audit: same fixed 8-bin quantized histograms per
+# dim, same exact-integer cross-normalized gap, one final division.
+ORACLES["embedding_drift_audit"] = f"""
+WITH binned AS (
+  SELECT cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+    cast(floor(({_QELEM} + 1000) / 250) as bigint) AS bin,
+    (vec_id >= 250) AS is_new
+  FROM embeddings
+), per_bin AS (
+  SELECT dim, bin,
+    cast(sum(CASE WHEN is_new THEN 0 ELSE 1 END) as bigint) AS a,
+    cast(sum(CASE WHEN is_new THEN 1 ELSE 0 END) as bigint) AS b
+  FROM binned GROUP BY 1, 2
+), counts AS (
+  SELECT dim,
+    cast(sum(CASE WHEN is_new THEN 0 ELSE 1 END) as bigint) AS na,
+    cast(sum(CASE WHEN is_new THEN 1 ELSE 0 END) as bigint) AS nb
+  FROM binned GROUP BY 1
+)
+SELECT p.dim,
+  max(c.na) AS n_base, max(c.nb) AS n_new,
+  cast(sum((p.a * c.nb - p.b * c.na) * (p.a * c.nb - p.b * c.na))
+    as bigint) AS drift_num,
+  cast(sum(abs(p.a * c.nb - p.b * c.na)) as bigint) AS l1_num,
+  cast(count(*) as bigint) AS n_bins,
+  cast(sum((p.a * c.nb - p.b * c.na) * (p.a * c.nb - p.b * c.na))
+    as double)
+    / cast(max(c.na) * max(c.nb) * max(c.na) * max(c.nb) as double)
+    AS drift
+FROM per_bin p JOIN counts c USING (dim)
+GROUP BY p.dim ORDER BY p.dim
+"""
+
+# join_cardinality_advisor: same degree aggs, full-outer key domain,
+# md5 bottom-64 sample, exact integer product then one division.
+ORACLES["join_cardinality_advisor"] = """
+WITH pairs AS (
+  SELECT 'customer_orders' AS join_name,
+    cast(c_custkey as varchar) AS k, 1 AS side FROM customer
+  UNION ALL
+  SELECT 'customer_orders', cast(o_custkey as varchar), 2 FROM orders
+  UNION ALL
+  SELECT 'orders_lineitem', cast(o_orderkey as varchar), 1 FROM orders
+  UNION ALL
+  SELECT 'orders_lineitem', cast(l_orderkey as varchar), 2 FROM lineitem
+  UNION ALL
+  SELECT 'events_self', cast(user_id as varchar), 1 FROM events
+  UNION ALL
+  SELECT 'events_self', cast(user_id as varchar), 2 FROM events
+), deg AS (
+  SELECT join_name, k,
+    cast(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) as bigint) AS dr,
+    cast(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) as bigint) AS ds,
+    md5(k) AS rank
+  FROM pairs GROUP BY 1, 2
+), totals AS (
+  SELECT join_name, cast(count(*) as bigint) AS n_keys,
+    cast(sum(dr * ds) as bigint) AS exact_size
+  FROM deg GROUP BY 1
+), ranked AS (
+  SELECT join_name, dr, ds,
+    row_number() OVER (PARTITION BY join_name ORDER BY rank) AS rn
+  FROM deg
+), sample AS (
+  SELECT join_name, cast(count(*) as bigint) AS k_sample,
+    cast(sum(dr * ds) as bigint) AS sampled_sum
+  FROM ranked WHERE rn <= 64 GROUP BY 1
+)
+SELECT t.join_name, t.n_keys, s.k_sample, t.exact_size, s.sampled_sum,
+  cast(s.sampled_sum * t.n_keys as double) / cast(s.k_sample as double)
+    AS est_size
+FROM totals t JOIN sample s USING (join_name)
+ORDER BY join_name
+"""
+
+# incremental_agg_maintenance: the three merges replayed as literal
+# changelog versions; incremental deltas via the same per-key lag;
+# snapshot = latest-per-key NOT deleted; consistency must hold.
+ORACLES["incremental_agg_maintenance"] = """
+WITH base AS (
+  SELECT doc_id, cast(substr(source, 4) as bigint) % 5 AS grp,
+    cast(length(text) as bigint) AS val
+  FROM documents
+), log AS (
+  SELECT doc_id, grp, val, 0 AS v, false AS del FROM base
+  UNION ALL
+  SELECT doc_id, grp, val * 2, 1, false FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, grp, cast(0 as bigint), 2, true FROM base
+  WHERE doc_id % 10 = 0
+), d AS (
+  SELECT *,
+    lag(val) OVER (PARTITION BY doc_id ORDER BY v) AS prev_val,
+    lag(del) OVER (PARTITION BY doc_id ORDER BY v) AS prev_del
+  FROM log
+), deltas AS (
+  SELECT grp,
+    (CASE WHEN del THEN 0 ELSE val END)
+      - (CASE WHEN prev_del IS NOT NULL AND NOT prev_del
+              THEN prev_val ELSE 0 END) AS dv,
+    (CASE WHEN del THEN 0 ELSE 1 END)
+      - (CASE WHEN prev_del IS NOT NULL AND NOT prev_del
+              THEN 1 ELSE 0 END) AS dn
+  FROM d
+), inc AS (
+  SELECT grp, cast(sum(dn) as bigint) AS n_docs_inc,
+    cast(sum(dv) as bigint) AS total_inc
+  FROM deltas GROUP BY 1
+), snap AS (
+  SELECT grp, cast(count(*) as bigint) AS n_docs_direct,
+    cast(sum(val) as bigint) AS total_direct
+  FROM (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC)
+        AS rn
+      FROM log) WHERE rn = 1 AND NOT del)
+  GROUP BY 1
+)
+SELECT i.grp, i.n_docs_inc, i.total_inc, s.n_docs_direct,
+  s.total_direct,
+  (i.n_docs_inc = s.n_docs_direct AND i.total_inc = s.total_direct)
+    AS consistent
+FROM inc i JOIN snap s USING (grp) ORDER BY grp
+"""

@@ -10457,6 +10457,235 @@ def streaming_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(lossless))
 
 
+
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DISTRIBUTION DRIFT between two corpus halves (the
+    monitoring pass a live embedding pipeline runs when the encoder or
+    upstream corpus changes): per dimension, quantized values bin into
+    8 fixed-width buckets and the halves' bin histograms are compared
+    with an exact-integer drift statistic — per dim,
+    drift_num = sum over bins of (a_i*Nb - b_i*Na)^2 (the cross-
+    normalized count gap, all bigint math) and drift = drift_num
+    scaled by 1/(Na*Nb)^2, ONE IEEE division of exact integers (the
+    PSI/chi-square role without engine-divergent logarithms). A dim
+    whose distribution shifted ranks straight to the top.
+
+    Scale: one posexplode scan -> (dim, bin) keyed agg (map-side
+    combinable, 64*8 groups regardless of corpus size) -> 64-row dim
+    agg. No collect, no join, no skew surface."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v").cast("double") * 1000).cast("long")
+    binned = emb.select(
+        F.posexplode("embedding").alias("dim", "v"),
+        (F.col("vec_id") >= 250).alias("is_new"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor((qv + 1000) / 250).cast("long").alias("bin"),
+        "is_new",
+    )
+    per_bin = binned.groupBy("dim", "bin").agg(
+        F.sum((~F.col("is_new")).cast("long")).alias("a"),
+        F.sum(F.col("is_new").cast("long")).alias("b"),
+    )
+    counts = binned.groupBy("dim").agg(
+        F.sum((~F.col("is_new")).cast("long")).alias("na"),
+        F.sum(F.col("is_new").cast("long")).alias("nb"),
+    )
+    gap = F.col("a") * F.col("nb") - F.col("b") * F.col("na")
+    return (
+        per_bin.join(counts, "dim")
+        .groupBy("dim")
+        .agg(
+            F.max("na").alias("n_base"),
+            F.max("nb").alias("n_new"),
+            F.sum(gap * gap).alias("drift_num"),
+            F.sum(F.abs(gap)).alias("l1_num"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .select(
+            "dim",
+            "n_base",
+            "n_new",
+            "drift_num",
+            "l1_num",
+            "n_bins",
+            (
+                F.col("drift_num").cast("double")
+                / (F.col("n_base") * F.col("n_new")
+                   * F.col("n_base") * F.col("n_new")).cast("double")
+            ).alias("drift"),
+        )
+        .orderBy("dim")
+    )
+
+
+
+def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION advisor (what a cost-based planner needs
+    BEFORE committing to a join strategy at 100 TB): for three
+    representative joins, the exact output cardinality
+    sum_k dR(k)*dS(k) is compared against a KMV-style estimate from a
+    DETERMINISTIC bottom-k key sample — the 64 keys of the union
+    domain with the smallest md5 ranks, est = sampled_degree_product
+    * n_keys / k (exact integer product, ONE IEEE division). The same
+    bottom-k hash sample a planner can maintain as a tiny mergeable
+    sketch per table; md5 ranks make it engine- and run-stable.
+
+    Scale: per join, two keyed degree aggs (map-side combinable), one
+    full-outer degree join on the bounded distinct-key domain, a
+    TakeOrdered(64), and 1-row combines. Never materializes the join
+    it is estimating — that is the point."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    events = _t(spark, sf_dir, "events")
+    K = 64
+
+    def advise(name: str, left: DataFrame, right: DataFrame, key: str):
+        d_r = left.groupBy(key).agg(F.count(F.lit(1)).alias("dr"))
+        d_s = right.groupBy(key).agg(F.count(F.lit(1)).alias("ds"))
+        dom = (
+            d_r.join(d_s, key, "full_outer")
+            .select(
+                F.col(key).alias("k"),
+                F.coalesce("dr", F.lit(0)).alias("dr"),
+                F.coalesce("ds", F.lit(0)).alias("ds"),
+            )
+            .withColumn("rank", F.md5(F.col("k").cast("string")))
+        )
+        totals = dom.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("dr") * F.col("ds")).alias("exact_size"),
+        )
+        sample = (
+            dom.orderBy("rank")
+            .limit(K)
+            .agg(
+                F.count(F.lit(1)).alias("k_sample"),
+                F.sum(F.col("dr") * F.col("ds")).alias("sampled_sum"),
+            )
+        )
+        return (
+            totals.crossJoin(sample)
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_keys",
+                "k_sample",
+                "exact_size",
+                "sampled_sum",
+                (
+                    (F.col("sampled_sum") * F.col("n_keys")).cast("double")
+                    / F.col("k_sample").cast("double")
+                ).alias("est_size"),
+            )
+        )
+
+    return (
+        advise("customer_orders",
+               customer.select(F.col("c_custkey").alias("ck")),
+               orders.select(F.col("o_custkey").alias("ck")), "ck")
+        .unionByName(
+            advise("orders_lineitem",
+                   orders.select(F.col("o_orderkey").alias("ok")),
+                   lineitem.select(F.col("l_orderkey").alias("ok")), "ok")
+        )
+        .unionByName(
+            advise("events_self",
+                   events.select("user_id"),
+                   events.select("user_id"), "user_id")
+        )
+        .orderBy("join_name")
+    )
+
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE over the changelog
+    (the warehouse IVM contract: keep a groupBy view fresh WITHOUT
+    rescanning the base table): three changelog-tracked merges hit a
+    keyed store (full insert, update of every 3rd key, delete of every
+    10th), then the per-group (count, sum) view is maintained two ways
+    — DIRECT re-aggregation of the physical snapshot, and INCREMENTAL
+    from changelog deltas only (per key, lag over versions turns each
+    log row into a +/- contribution: insert +val, update new-old,
+    delete -old). The exported ``consistent`` boolean hash-pins their
+    equality per group; a missed tombstone, double-applied update, or
+    wrong delta sign flips it.
+
+    Scale: the incremental path reads ONLY the changelog versions
+    (O(changed rows) per refresh — the whole point at 100 TB, where
+    the base table is petabytes and a refresh batch is megabytes);
+    one lag window keyed by doc_id, one keyed agg."""
+    from intelligencepipeline_spark.operators.merge import (
+        merge_upsert,
+        read_changelog,
+    )
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("long") % 5).alias("grp"),
+        F.length("text").cast("long").alias("val"),
+    )
+    path = scratch_dir("ip_ivm_")
+    merge_upsert(base, path, key="doc_id", n_buckets=8, changelog=True)
+    upd = base.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "val", F.col("val") * 2
+    )
+    merge_upsert(upd, path, key="doc_id", n_buckets=8, changelog=True)
+    dels = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("val", F.lit(0).cast("long"))
+        .withColumn("_del", F.lit(True))
+    )
+    merge_upsert(
+        dels, path, key="doc_id", delete_col="_del", n_buckets=8,
+        changelog=True,
+    )
+
+    log = read_changelog(spark, path)
+    w = Window.partitionBy("doc_id").orderBy("v")
+    d = log.withColumn("prev_val", F.lag("val").over(w)).withColumn(
+        "prev_del", F.lag("_deleted").over(w)
+    )
+    prev_live = F.col("prev_del").isNotNull() & ~F.col("prev_del")
+    dv = F.when(F.col("_deleted"), F.lit(0)).otherwise(F.col("val")) - F.when(
+        prev_live, F.col("prev_val")
+    ).otherwise(F.lit(0))
+    dn = F.when(F.col("_deleted"), F.lit(0)).otherwise(F.lit(1)) - F.when(
+        prev_live, F.lit(1)
+    ).otherwise(F.lit(0))
+    inc = d.groupBy("grp").agg(
+        F.sum(dn).alias("n_docs_inc"), F.sum(dv).alias("total_inc")
+    )
+    snap = (
+        read_snapshot(spark, path)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_direct"),
+            F.sum("val").alias("total_direct"),
+        )
+    )
+    return (
+        inc.join(snap, "grp")
+        .select(
+            "grp",
+            "n_docs_inc",
+            "total_inc",
+            "n_docs_direct",
+            "total_direct",
+            (
+                (F.col("n_docs_inc") == F.col("n_docs_direct"))
+                & (F.col("total_inc") == F.col("total_direct"))
+            ).alias("consistent"),
+        )
+        .orderBy("grp")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10538,6 +10767,9 @@ QUERIES = {
     "unigram_train": unigram_train_q,
     "unigram_encode_stats": unigram_encode_stats,
     "streaming_ivfpq_ingest": streaming_ivfpq_ingest,
+    "embedding_drift_audit": embedding_drift_audit,
+    "join_cardinality_advisor": join_cardinality_advisor,
+    "incremental_agg_maintenance": incremental_agg_maintenance,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
