@@ -671,3 +671,32 @@ def test_b8_new_entries_plan_shapes(spark):
         "l_linenumber"
     ) or "(((l_orderkey" in a.plan, a.pushed_filters  # sample predicate pushed
     assert not a.cartesian
+
+
+def test_b9_plan_shapes(spark):
+    """r06 additions: drift audit is one scan -> bounded keyed aggs
+    (no join of data-proportional sides, no cartesian); the join
+    advisor never materializes the joins it estimates (only degree
+    aggs + the bounded full-outer key-domain join); unigram encode's
+    word-stats join back to the token stream is a broadcast."""
+    from intelligencepipeline_spark.queries import (
+        embedding_drift_audit,
+        join_cardinality_advisor,
+        unigram_encode_stats,
+    )
+
+    a = audit(embedding_drift_audit(spark, SF))
+    assert a.reads_only("vec_id", "embedding"), a.read_schemas
+    assert a.sortmerge_joins == 0, a.plan[:1500]
+    assert not a.cartesian
+
+    a = audit(join_cardinality_advisor(spark, SF))
+    assert not a.cartesian
+    # degree tables join per key domain; the 1-row totals x sample
+    # combine is the only cross join shape and Spark plans it as a
+    # broadcast nested loop over single-row sides
+    assert a.sortmerge_joins == 0 or a.broadcast_joins >= 1, a.plan[:1500]
+
+    a = audit(unigram_encode_stats(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:1500]
+    assert not a.cartesian
