@@ -6318,3 +6318,40 @@ SELECT i.grp, i.n_docs_inc, i.total_inc, s.n_docs_direct,
     AS consistent
 FROM inc i JOIN snap s USING (grp) ORDER BY grp
 """
+
+# bucketed_colocated_join: plain relational replay — bucketing changes
+# the physical plan (zero exchanges, asserted in-entry), never results.
+ORACLES["bucketed_colocated_join"] = """
+SELECT o.o_orderpriority,
+  cast(count(*) as bigint) AS n_rows,
+  cast(sum(l.l_quantity) as bigint) AS total_qty,
+  cast(count(DISTINCT l.l_orderkey) as bigint) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+# image_dhash_near_pairs: same pixel/dhash replay per DISTINCT source,
+# then the banded hamming join (3-bit bands; hamming <= 1 implies a
+# matching band) verified with exact bit_count(xor).
+ORACLES["image_dhash_near_pairs"] = ORACLES["image_dhash_dedup"].replace(
+    """SELECT dhash, cast(count(*) as bigint) AS n_docs,
+  cast(count(DISTINCT source) as bigint) AS n_sources,
+  cast(min(doc_id) as bigint) AS min_doc,
+  cast(max(doc_id) as bigint) AS max_doc
+FROM bits GROUP BY dhash ORDER BY dhash""",
+    """, sh AS (
+  SELECT DISTINCT cast(substr(source, 4) as bigint) AS src_id, dhash
+  FROM bits
+), bands AS (
+  SELECT src_id, dhash, 0 AS bi, dhash % 8 AS bv FROM sh
+  UNION ALL
+  SELECT src_id, dhash, 1, (dhash // 8) % 8 FROM sh
+)
+SELECT DISTINCT a.src_id AS src_a, b.src_id AS src_b,
+  a.dhash AS dhash_a, b.dhash AS dhash_b,
+  cast(bit_count(xor(a.dhash, b.dhash)) as bigint) AS hamming
+FROM bands a
+JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.src_id < b.src_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
+ORDER BY src_a, src_b""",
+)

@@ -10686,6 +10686,152 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED BUCKETED JOIN run end-to-end as a catalog entry
+    (sources/bucketed.py; until now only unit-test-proven): lineitem
+    and orders are written bucketed+sorted by orderkey, and the
+    subsequent equi-join plans with ZERO shuffle exchanges — asserted
+    IN-ENTRY on the physical plan before the result is aggregated, so
+    a regression that silently reintroduces the shuffle fails the
+    driver row, not just a test. The export is the joined per-priority
+    rollup (row count, total quantity, distinct orders).
+
+    This is the batch analog of the reference's Kafka-keyed J1 join
+    co-location (KafkaIntelligencePipelineTests.kt:272-275): pay the
+    shuffle ONCE at write time, then every later join on the key reads
+    pre-distributed, pre-sorted buckets. At 100 TB: size buckets to a
+    few hundred MB of the fact table (~64k-256k buckets) and the fact
+    table never shuffles again."""
+    import uuid
+
+    from intelligencepipeline_spark.plans.audit import audit
+    from intelligencepipeline_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed_table,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    base = scratch_dir("ip_bjoin_")
+    suffix = uuid.uuid4().hex[:8]
+    lname, rname = f"t_li_{suffix}", f"t_ord_{suffix}"
+    write_bucketed_table(li, lname, "orderkey", 8, path=f"{base}/li")
+    write_bucketed_table(orders, rname, "orderkey", 8, path=f"{base}/ord")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lname, rname, "orderkey")
+        shape = audit(joined)
+        assert shape.shuffle_exchanges == 0, shape.plan[:2000]
+        assert shape.sortmerge_joins == 1, shape.plan[:2000]
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_quantity").cast("long").alias("total_qty"),
+                F.countDistinct("orderkey").alias("n_orders"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        # materialize under the no-broadcast conf, then drop the
+        # catalog entries (scratch data dies with the process)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {lname}")
+        spark.sql(f"DROP TABLE IF EXISTS {rname}")
+
+
+
+def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE IMAGE PAIRS via banded hamming join over dhash —
+    the scale path image_dhash_dedup's docstring promises (exact-group
+    dedup catches identical hashes; VARIANTS differ in a few gradient
+    bits): per distinct source, one image through the real BMP decode
+    lane -> dhash; the hash splits into 3-bit bands and candidate
+    pairs meet ONLY where a band matches (hamming <= 1 guarantees >= 1
+    equal band — the minhash-LSH banding argument on bit planes);
+    candidates verify with an exact bit_count(xor) and pairs at
+    hamming <= 1 export. Never all-pairs: the join is band-keyed, same
+    shape as minhash_lsh_pairs.
+
+    Scale: images/hashes per source dedupe FIRST (distinct on the
+    bounded source domain), bands explode 2x rows, the band join's
+    fanout is bucket-bounded exactly like LSH; verification is one
+    integer expression per candidate."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+
+    header = encode_bmp(np.zeros((2, 4, 3), dtype=np.uint8))[:54]
+    srcs = (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select(
+            F.substring("source", 4, 10).cast("long").alias("doc_id"),
+            F.concat(
+                F.lit(header),
+                F.unhex(
+                    F.concat(
+                        F.md5(F.col("source")),
+                        F.substring(
+                            F.md5(F.concat(F.col("source"), F.lit("x"))),
+                            1,
+                            16,
+                        ),
+                    )
+                ),
+            ).alias("media"),
+        )
+    )
+    hashed = dhash_images(srcs, "media").select(
+        F.col("doc_id").alias("src_id"), "dhash"
+    )
+    bands = hashed.select(
+        "src_id",
+        "dhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"), (F.col("dhash") % 8).alias("bv")
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.floor(F.col("dhash") / 8).cast("long").alias("bv"),
+                ),
+            )
+        ).alias("band"),
+    ).select("src_id", "dhash", "band.bi", (F.col("band.bv") % 8).alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.src_id") < F.col("b.src_id")),
+        )
+        .filter(ham <= 1)
+        .select(
+            F.col("a.src_id").alias("src_a"),
+            F.col("b.src_id").alias("src_b"),
+            F.col("a.dhash").alias("dhash_a"),
+            F.col("b.dhash").alias("dhash_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .orderBy("src_a", "src_b")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10770,6 +10916,8 @@ QUERIES = {
     "embedding_drift_audit": embedding_drift_audit,
     "join_cardinality_advisor": join_cardinality_advisor,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "bucketed_colocated_join": bucketed_colocated_join,
+    "image_dhash_near_pairs": image_dhash_near_pairs,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
