@@ -6355,3 +6355,64 @@ JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.src_id < b.src_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 1
 ORDER BY src_a, src_b""",
 )
+
+# corpus_datasheet: one-scan corpus summary; divisions at the end only.
+ORACLES["corpus_datasheet"] = f"""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h,
+    cast(len({_NTOKS}) as bigint) AS n_toks,
+    cast(length(text) as bigint) AS n_chars,
+    {_NTOKS} AS toks
+  FROM documents
+), vol AS (
+  SELECT cast(count(*) as bigint) AS n_docs,
+    cast(count(DISTINCT source) as bigint) AS n_sources,
+    cast(sum(n_toks) as bigint) AS n_tokens,
+    cast(sum(n_chars) as bigint) AS n_chars,
+    cast(count(DISTINCT h) as bigint) AS n_distinct_texts
+  FROM base
+), vocab AS (
+  SELECT cast(count(DISTINCT w) as bigint) AS vocab_size
+  FROM (SELECT unnest(toks) AS w FROM base)
+)
+SELECT n_docs, n_sources, n_tokens, n_chars, vocab_size,
+  n_distinct_texts, n_docs - n_distinct_texts AS dup_docs,
+  cast(n_tokens as double) / cast(n_docs as double)
+    AS mean_tokens_per_doc,
+  cast(vocab_size as double) / cast(n_tokens as double)
+    AS type_token_ratio
+FROM vol, vocab
+"""
+
+# rrf_quality_fusion: same integer signals (integer DIV), same
+# tied-down ranks, same fixed-order reciprocal sum.
+ORACLES["rrf_quality_fusion"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    cast(len({_NTOKS}) as bigint) AS n_toks,
+    cast(len(list_distinct({_NTOKS})) as bigint) AS n_distinct,
+    cast(len(list_filter({_NTOKS},
+      x -> x IN ('the', 'a', 'of', 'and', 'to'))) as bigint) AS n_stop
+  FROM documents
+), sig AS (
+  SELECT doc_id, n_toks,
+    (n_distinct * 1000) // greatest(n_toks, 1) AS ttr_milli,
+    (n_stop * 1000) // greatest(n_toks, 1) AS stop_milli
+  FROM base
+), ranked AS (
+  SELECT doc_id,
+    cast(row_number() OVER (ORDER BY n_toks DESC, doc_id) as bigint)
+      AS r_volume,
+    cast(row_number() OVER (ORDER BY ttr_milli DESC, doc_id) as bigint)
+      AS r_ttr,
+    cast(row_number() OVER (ORDER BY stop_milli DESC, doc_id) as bigint)
+      AS r_stop
+  FROM sig
+)
+SELECT doc_id, r_volume, r_ttr, r_stop,
+  cast(1 as double) / cast(60 + r_volume as double)
+    + cast(1 as double) / cast(60 + r_ttr as double)
+    + cast(1 as double) / cast(60 + r_stop as double) AS rrf
+FROM ranked
+ORDER BY rrf DESC, doc_id LIMIT 20
+"""

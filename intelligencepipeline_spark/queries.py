@@ -10832,6 +10832,125 @@ def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASHEET-FOR-THE-DATASET summary (Gebru et al. 2021's
+    documentation practice, as one reproducible query): the corpus-
+    level numbers every training-data release publishes — document /
+    source counts, token and char volume, vocabulary size, exact-
+    duplicate document count, mean tokens per doc and type-token
+    ratio (each ONE IEEE division of exact integers). One row out.
+
+    Scale: one normalized scan feeding three keyed aggs (text-hash
+    for exact dups, word for vocabulary, plain row agg for volume) —
+    every agg map-side combinable; no collect, no join of
+    data-proportional sides (1-row combines only)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(toks).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+        toks.alias("toks"),
+    )
+    vol = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("h").alias("n_distinct_texts"),
+    )
+    vocab = (
+        base.select(F.explode("toks").alias("w"))
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    return (
+        vol.crossJoin(vocab)
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            "n_chars",
+            "vocab_size",
+            "n_distinct_texts",
+            (F.col("n_docs") - F.col("n_distinct_texts")).alias("dup_docs"),
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_tokens_per_doc"),
+            (
+                F.col("vocab_size").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+def rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION over independent quality signals
+    (Cormack et al. 2009 — the standard way to combine heterogeneous
+    rankings without calibrating scores): each document is ranked by
+    three integer signals (token volume, scaled type-token ratio,
+    scaled stopword share) under fully-tied-down orders, and fused by
+    score = sum of 1/(60 + rank_i) — three divisions and two adds in
+    a FIXED expression order, identical IEEE sequence in the oracle.
+    Exports the fused top-20: the documents a curation pass keeps
+    first. The same fusion shape combines retrieval backends (BM25 +
+    ANN) in a RAG stack.
+
+    Scale: per-doc signals are expression-only on the scan; each rank
+    is one window over the doc domain; fusion is a projection."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        stop.alias("n_stop"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        # integer DIV, not float-divide-then-cast: Spark's cast
+        # truncates but DuckDB's rounds, so only exact integer
+        # division is engine-portable
+        F.expr(
+            "CAST((n_distinct * 1000) DIV greatest(n_toks, 1) AS LONG)"
+        ).alias("ttr_milli"),
+        F.expr(
+            "CAST((n_stop * 1000) DIV greatest(n_toks, 1) AS LONG)"
+        ).alias("stop_milli"),
+    )
+
+    def rk(col: str, name: str):
+        return F.row_number().over(
+            Window.orderBy(F.desc(col), "doc_id")
+        ).cast("long").alias(name)
+
+    ranked = base.select(
+        "doc_id",
+        rk("n_toks", "r_volume"),
+        rk("ttr_milli", "r_ttr"),
+        rk("stop_milli", "r_stop"),
+    )
+    fused = (
+        F.lit(1.0) / (F.lit(60) + F.col("r_volume"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_ttr"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_stop"))
+    )
+    return (
+        ranked.select(
+            "doc_id", "r_volume", "r_ttr", "r_stop", fused.alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -10921,6 +11040,8 @@ QUERIES = {
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "bucketed_colocated_join": bucketed_colocated_join,
     "image_dhash_near_pairs": image_dhash_near_pairs,
+    "corpus_datasheet": corpus_datasheet,
+    "rrf_quality_fusion": rrf_quality_fusion,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
