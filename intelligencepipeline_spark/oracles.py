@@ -6416,3 +6416,17 @@ SELECT doc_id, r_volume, r_ttr, r_stop,
 FROM ranked
 ORDER BY rrf DESC, doc_id LIMIT 20
 """
+
+# orc_partition_pruned_scan: the ORC/partition layout changes the
+# physical read path (pruning asserted in-entry via inputFiles), never
+# results — the oracle scans directly.
+ORACLES["orc_partition_pruned_scan"] = """
+SELECT strftime(cast(ts as date), '%Y-%m-%d') AS day,
+  cast(count(*) as bigint) AS n_events,
+  cast(min(event_id) as bigint) AS min_event,
+  cast(max(event_id) as bigint) AS max_event,
+  cast(sum(cast(floor(cast(value as double) * 1000) as bigint))
+    as bigint) AS qvalue_sum
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY 1
+"""

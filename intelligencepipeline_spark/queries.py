@@ -10951,6 +10951,53 @@ def rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def orc_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source + HIVE-PARTITIONED layout with PRUNING PROVEN
+    (sources/bucketed.write_partitioned's contract, now a driver row):
+    events land as ORC partitioned by event_type; the read filters one
+    type and the entry asserts the scan's PartitionFilters carry the
+    predicate — the planner proof that unselected directories are
+    pruned before listing (inputFiles() can't show this: it reports
+    the relation's files BEFORE execution-time pruning). The
+    export is the per-day rollup of the selected type from the ORC
+    path, hash-checked against the oracle's direct scan (a type/value
+    mangling in the ORC writer or reader breaks it).
+
+    Scale: partition pruning is the coarse layer ABOVE row-group
+    stats — a filter on the partition key means unselected directories
+    are never even LISTED; at 100 TB that is the difference between a
+    metadata lookup and a petabyte scan. ORC is the second columnar
+    at-rest format after parquet (same pushdown contract)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    root = scratch_dir("ip_orc_")
+    ev.coalesce(4).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).orc(root)
+    back = spark.read.orc(root).filter(F.col("event_type") == "click")
+    from intelligencepipeline_spark.plans.audit import audit
+
+    shape = audit(back)
+    assert any(
+        "PartitionFilters" in ln and "click" in ln
+        for ln in shape.plan.splitlines()
+    ), shape.plan[:1500]
+    return (
+        back.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+            F.sum(
+                F.floor(F.col("value").cast("double") * 1000).cast("long")
+            ).alias("qvalue_sum"),
+        )
+        .orderBy("day")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11042,6 +11089,7 @@ QUERIES = {
     "image_dhash_near_pairs": image_dhash_near_pairs,
     "corpus_datasheet": corpus_datasheet,
     "rrf_quality_fusion": rrf_quality_fusion,
+    "orc_partition_pruned_scan": orc_partition_pruned_scan,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
