@@ -6430,3 +6430,39 @@ SELECT strftime(cast(ts as date), '%Y-%m-%d') AS day,
 FROM events WHERE event_type = 'click'
 GROUP BY 1 ORDER BY 1
 """
+
+# zonemap_prune_audit: same two layouts, same 1000-row zones, same
+# (max < lo OR min > hi) skip rule, one division per layout.
+ORACLES["zonemap_prune_audit"] = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+    cast(floor(cast(l_extendedprice as double) * 100) as bigint)
+      AS price_c
+  FROM lineitem
+), lay AS (
+  SELECT 'natural' AS layout, price_c,
+    (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 1000
+      AS zone
+  FROM li
+  UNION ALL
+  SELECT 'sorted', price_c,
+    (row_number() OVER (ORDER BY price_c, l_orderkey, l_linenumber) - 1)
+      // 1000
+  FROM li
+), z AS (
+  SELECT layout, zone, min(price_c) AS zmin, max(price_c) AS zmax
+  FROM lay GROUP BY 1, 2
+), per AS (
+  SELECT layout, cast(count(*) as bigint) AS n_zones,
+    cast(sum(CASE WHEN zmax < 2000000 OR zmin > 2500000
+             THEN 1 ELSE 0 END) as bigint) AS n_skipped
+  FROM z GROUP BY 1
+), sel AS (
+  SELECT cast(count(*) as bigint) AS n_selected FROM li
+  WHERE price_c >= 2000000 AND price_c <= 2500000
+)
+SELECT layout, n_zones, n_skipped, n_zones - n_skipped AS n_scanned,
+  cast(n_skipped as double) / cast(n_zones as double) AS skip_ratio,
+  n_selected
+FROM per, sel ORDER BY layout
+"""
