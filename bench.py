@@ -175,7 +175,7 @@ def main() -> None:
         "unigram_train", "unigram_encode_stats", "streaming_ivfpq_ingest",
         "embedding_drift_audit", "join_cardinality_advisor",
         "incremental_agg_maintenance", "bucketed_colocated_join",
-        "image_dhash_near_pairs",
+        "image_dhash_near_pairs", "tokenizer_fertility_matrix",
     ]
     sub = {k: timings[k] for k in headline if k in timings}
     line = {

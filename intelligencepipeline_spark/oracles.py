@@ -3085,26 +3085,12 @@ LIMIT 50
 """
 
 
-def _bpe_train_sql(n_merges: int) -> str:
-    """Full BPE training unrolled move-for-move: each of the n_merges
-    iterations is one (pair-count, argmax, greedy-merge) CTE triple
-    replaying operators/bpe.train_bpe exactly.
-
-    The greedy left-to-right merge fold (Spark: aggregate HOF appending
-    to acc, merging when last(acc)=l and x=r) is replayed with DuckDB's
-    list_reduce over a space-joined accumulator string: the last symbol
-    is the text after the final space, and a merge appends x with NO
-    separator (acc already ends with l). Space is a safe separator —
-    symbols come from space-split tokens. Early stop (best pair count
-    < 2) falls out structurally: the argmax CTE goes empty, the cross
-    join empties every later state, and the rank-k UNION branch
-    contributes no row — exactly train_bpe's break."""
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The s0..s{n} / p{k} / b{k} CTE chain of the BPE unroll (no WITH
+    header, no wf — callers supply both), so composites like
+    tokenizer_fertility_matrix can reuse the trainer move-for-move."""
     parts = [
-        f"""WITH wf AS (
-  SELECT word, cast(count(*) as bigint) AS n FROM (
-    SELECT unnest({_NTOKS}) AS word FROM documents
-  ) GROUP BY word
-), s0 AS (
+        """, s0 AS (
   SELECT word, n,
     list_transform(range(1, length(word) + 1),
                    i -> substr(word, cast(i as int), 1)) AS syms
@@ -3128,18 +3114,40 @@ def _bpe_train_sql(n_merges: int) -> str:
   FROM s{k - 1} w, b{k} b
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """Full BPE training unrolled move-for-move: each of the n_merges
+    iterations is one (pair-count, argmax, greedy-merge) CTE triple
+    replaying operators/bpe.train_bpe exactly.
+
+    The greedy left-to-right merge fold (Spark: aggregate HOF appending
+    to acc, merging when last(acc)=l and x=r) is replayed with DuckDB's
+    list_reduce over a space-joined accumulator string: the last symbol
+    is the text after the final space, and a merge appends x with NO
+    separator (acc already ends with l). Space is a safe separator —
+    symbols come from space-split tokens. Early stop (best pair count
+    < 2) falls out structurally: the argmax CTE goes empty, the cross
+    join empties every later state, and the rank-k UNION branch
+    contributes no row — exactly train_bpe's break."""
+    header = f"""WITH wf AS (
+  SELECT word, cast(count(*) as bigint) AS n FROM (
+    SELECT unnest({_NTOKS}) AS word FROM documents
+  ) GROUP BY word
+)"""
     sel = "\nUNION ALL\n".join(
         f'SELECT cast({k - 1} as bigint) AS rank, l AS "left",'
         f' r AS "right", l || r AS merged, c AS pair_count FROM b{k}'
         for k in range(1, n_merges + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank")
-    return "".join(parts)
+    return (
+        header
+        + _bpe_chain_sql(n_merges)
+        + f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank"
+    )
 
 
-# Full 8-merge BPE trainer, unrolled (pattern: the label-propagation
-# 3-round unroll). Leaves NON_SQL_QUERIES: every merge is now
-# hash-checked against the distributed trainer.
 ORACLES["bpe_train"] = _bpe_train_sql(8)
 
 # Embedding per-dimension profile from exact quantized moments.
@@ -6465,4 +6473,43 @@ SELECT layout, n_zones, n_skipped, n_zones - n_skipped AS n_scanned,
   cast(n_skipped as double) / cast(n_zones as double) AS skip_ratio,
   n_selected
 FROM per, sel ORDER BY layout
+"""
+
+# tokenizer_fertility_matrix: the tokenizer-triple capstone — ALL THREE
+# trainers replayed move-for-move in ONE query (BPE 8-merge unroll,
+# WordPiece recursive greedy walk, Unigram 2-round EM), sharing one
+# word-frequency CTE, each reduced to its corpus-total unit count.
+# The WordPiece block is sliced verbatim from its own oracle and the
+# BPE chain comes from the same generator as bpe_train, so the
+# composite can never drift from the per-tokenizer entries.
+_WP_BLOCK = ORACLES["wordpiece_encode_stats"][
+    ORACLES["wordpiece_encode_stats"].index(", g3 AS (")
+    : ORACLES["wordpiece_encode_stats"].index("), occ AS (") + 1
+]
+ORACLES["tokenizer_fertility_matrix"] = f"""
+WITH RECURSIVE {_unigram_ctes()},
+{_uni_walk(_UNI_F, f"vocab{_UNI_ITERS}")},
+{_uni_bt(_UNI_F)}
+{_WP_BLOCK}
+{_bpe_chain_sql(8)},
+totals AS (
+  SELECT cast(sum(n) as bigint) AS n_words,
+    cast(sum(n * length(word)) as bigint) AS n_chars
+  FROM wf
+), m AS (
+  SELECT 'whitespace' AS tokenizer, n_words AS n_units FROM totals
+  UNION ALL
+  SELECT 'bpe', cast(sum(n * len(syms)) as bigint) FROM s8
+  UNION ALL
+  SELECT 'wordpiece', cast(sum(w.n * p.cnt) as bigint)
+  FROM wparts p JOIN wf w USING (word)
+  UNION ALL
+  SELECT 'unigram', cast(sum(w.n * len(s.pieces)) as bigint)
+  FROM segs{_UNI_F} s JOIN wf w USING (word)
+)
+SELECT m.tokenizer, m.n_units, t.n_words, t.n_chars,
+  cast(m.n_units as double) / cast(t.n_words as double) AS fertility,
+  cast(t.n_chars as double) / cast(m.n_units as double)
+    AS chars_per_unit
+FROM m, totals t ORDER BY tokenizer
 """

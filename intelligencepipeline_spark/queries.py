@@ -11065,6 +11065,87 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def tokenizer_fertility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY MATRIX — the tokenizer-selection table a
+    training-data team actually reads: all three production tokenizers
+    (BPE 8-merge, WordPiece, Unigram-LM) plus the whitespace baseline,
+    trained on THIS corpus and reduced to corpus totals — units,
+    fertility (units per whitespace word) and chars-per-unit
+    compression, each ONE IEEE division of exact integers. The oracle
+    replays all three trainers move-for-move in a single query,
+    composed from the same generators/text as their individual
+    entries (bpe_train / wordpiece_encode_stats / unigram_train), so
+    the matrix can never drift from the per-tokenizer proofs.
+
+    Scale: three bounded-domain trainings over ONE shared (word, n)
+    dictionary scan; every total is a 1-row combine; encodes run per
+    DISTINCT word, never per corpus token."""
+    from intelligencepipeline_spark.operators.bpe import (
+        encode_dictionary,
+        train_bpe,
+        train_wordpiece_vocab,
+        word_freqs,
+        wordpiece_encode,
+    )
+    from intelligencepipeline_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    totals = wf.agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("n_chars"),
+    )
+
+    merges = train_bpe(docs, n_merges=8)
+    bpe_units = (
+        encode_dictionary(docs, merges)
+        .join(wf, "word")
+        .agg(
+            F.sum(F.col("n") * F.col("word_bpe_len"))
+            .cast("long")
+            .alias("n_units")
+        )
+    )
+    wp_units = wordpiece_encode(docs, train_wordpiece_vocab(docs)).agg(
+        F.sum("wp_len").cast("long").alias("n_units")
+    )
+    uni_units = unigram_encode(docs, train_unigram(docs)).agg(
+        F.sum("n_pieces").cast("long").alias("n_units")
+    )
+
+    def row(name: str, units: DataFrame) -> DataFrame:
+        return units.select(F.lit(name).alias("tokenizer"), "n_units")
+
+    m = (
+        row("whitespace", totals.select(F.col("n_words").alias("n_units")))
+        .unionByName(row("bpe", bpe_units))
+        .unionByName(row("wordpiece", wp_units))
+        .unionByName(row("unigram", uni_units))
+    )
+    return (
+        m.crossJoin(F.broadcast(totals))
+        .select(
+            "tokenizer",
+            "n_units",
+            "n_words",
+            "n_chars",
+            (
+                F.col("n_units").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_units").cast("double")
+            ).alias("chars_per_unit"),
+        )
+        .orderBy("tokenizer")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11158,6 +11239,7 @@ QUERIES = {
     "rrf_quality_fusion": rrf_quality_fusion,
     "orc_partition_pruned_scan": orc_partition_pruned_scan,
     "zonemap_prune_audit": zonemap_prune_audit,
+    "tokenizer_fertility_matrix": tokenizer_fertility_matrix,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
