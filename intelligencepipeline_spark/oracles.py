@@ -6513,3 +6513,43 @@ SELECT m.tokenizer, m.n_units, t.n_words, t.n_chars,
     AS chars_per_unit
 FROM m, totals t ORDER BY tokenizer
 """
+
+_zsql2 = _zsql("x", "y")
+
+# zorder_prune_audit: same zones, same 2-D skip rule; the Morton code
+# is the byte-identical zvalue_sql expression.
+ORACLES["zorder_prune_audit"] = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+    cast(l_partkey % 8 as bigint) AS x,
+    cast(l_orderkey % 8 as bigint) AS y
+  FROM lineitem
+), lay AS (
+  SELECT 'sorted_x' AS layout, x, y,
+    (row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) - 1)
+      // 250 AS zone
+  FROM li
+  UNION ALL
+  SELECT 'zorder', x, y,
+    (row_number() OVER (ORDER BY {_zsql2}, l_orderkey, l_linenumber)
+      - 1) // 250
+  FROM li
+), z AS (
+  SELECT layout, zone, min(x) AS xmin, max(x) AS xmax,
+    min(y) AS ymin, max(y) AS ymax
+  FROM lay GROUP BY 1, 2
+), per AS (
+  SELECT layout, cast(count(*) as bigint) AS n_zones,
+    cast(sum(CASE WHEN xmax < 2 OR xmin > 3
+                    OR ymax < 2 OR ymin > 3
+             THEN 1 ELSE 0 END) as bigint) AS n_skipped
+  FROM z GROUP BY 1
+), sel AS (
+  SELECT cast(count(*) as bigint) AS n_selected FROM li
+  WHERE x BETWEEN 2 AND 3 AND y BETWEEN 2 AND 3
+)
+SELECT layout, n_zones, n_skipped, n_zones - n_skipped AS n_scanned,
+  cast(n_skipped as double) / cast(n_zones as double) AS skip_ratio,
+  n_selected
+FROM per, sel ORDER BY layout
+"""

@@ -11146,6 +11146,80 @@ def tokenizer_fertility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER vs SINGLE-COLUMN SORT, data-skipping measured on a 2-D
+    predicate (the companion to zonemap_prune_audit, and the
+    quantified case FOR functions/zorder.py): lineitem keyed by
+    (partkey%8, orderkey%8, dimensions that spread at every SF) is zoned two ways — sorted by x
+    alone, and sorted by the Morton code zvalue(x, y) — and a box
+    predicate (both dimensions constrained) is tested against each
+    250-row zone's (min, max) on BOTH columns. The single-column sort
+    prunes on x but its zones stripe the FULL y range; Z-order zones
+    hold tight bounding boxes in both dimensions, so far more zones
+    skip. That differential IS the reason Delta/Iceberg Z-ORDER
+    exists; here it is a hash-checked number.
+
+    Scale: two window row_numbers + zone aggs over the bounded zone
+    domain; the Morton code is the byte-identical integer expression
+    the oracle replays via zvalue_sql."""
+    from intelligencepipeline_spark.functions.zorder import zvalue
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 8).alias("x"),
+        (F.col("l_orderkey") % 8).alias("y"),
+    )
+    LO, HI = 2, 3
+
+    def layout(name: str, order_cols: list) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        zones = li.withColumn("rn", F.row_number().over(w)).withColumn(
+            "zone", F.expr("CAST((rn - 1) DIV 250 AS LONG)")
+        )
+        z = zones.groupBy("zone").agg(
+            F.min("x").alias("xmin"),
+            F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"),
+            F.max("y").alias("ymax"),
+        )
+        skipped = (
+            (F.col("xmax") < LO)
+            | (F.col("xmin") > HI)
+            | (F.col("ymax") < LO)
+            | (F.col("ymin") > HI)
+        )
+        return z.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_zones"),
+            F.sum(skipped.cast("long")).alias("n_skipped"),
+        ).select(
+            "layout",
+            "n_zones",
+            "n_skipped",
+            (F.col("n_zones") - F.col("n_skipped")).alias("n_scanned"),
+            (
+                F.col("n_skipped").cast("double")
+                / F.col("n_zones").cast("double")
+            ).alias("skip_ratio"),
+        )
+
+    zcol = zvalue(F.col("x"), F.col("y"))
+    selected = li.filter(
+        F.col("x").between(LO, HI) & F.col("y").between(LO, HI)
+    ).agg(F.count(F.lit(1)).alias("n_selected"))
+    return (
+        layout("sorted_x", ["x", "l_orderkey", "l_linenumber"])
+        .unionByName(
+            layout("zorder", [zcol, F.col("l_orderkey"),
+                              F.col("l_linenumber")])
+        )
+        .crossJoin(F.broadcast(selected))
+        .orderBy("layout")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11240,6 +11314,7 @@ QUERIES = {
     "orc_partition_pruned_scan": orc_partition_pruned_scan,
     "zonemap_prune_audit": zonemap_prune_audit,
     "tokenizer_fertility_matrix": tokenizer_fertility_matrix,
+    "zorder_prune_audit": zorder_prune_audit,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
