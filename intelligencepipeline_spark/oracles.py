@@ -6553,3 +6553,35 @@ SELECT layout, n_zones, n_skipped, n_zones - n_skipped AS n_scanned,
   n_selected
 FROM per, sel ORDER BY layout
 """
+
+# streaming_drift_monitor: count partials are exactly mergeable and
+# the micro-batches partition the stream, so the merged histogram
+# equals the one-shot batch histogram — the replay is the batch drift
+# computation with lossless pinned TRUE; top-8 dims by drift_num.
+ORACLES["streaming_drift_monitor"] = f"""
+WITH binned AS (
+  SELECT cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+    cast(floor(({_QELEM} + 1000) / 250) as bigint) AS bin,
+    (vec_id >= 250) AS is_new
+  FROM embeddings
+), ah AS (
+  SELECT dim, bin, cast(count(*) as bigint) AS a FROM binned
+  WHERE NOT is_new GROUP BY 1, 2
+), bh AS (
+  SELECT dim, bin, cast(count(*) as bigint) AS b FROM binned
+  WHERE is_new GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(ah.dim, bh.dim) AS dim,
+    coalesce(ah.a, 0) AS a, coalesce(bh.b, 0) AS b
+  FROM ah FULL OUTER JOIN bh ON ah.dim = bh.dim AND ah.bin = bh.bin
+), counts AS (
+  SELECT dim, cast(sum(a) as bigint) AS na, cast(sum(b) as bigint) AS nb
+  FROM j GROUP BY 1
+)
+SELECT j.dim,
+  cast(sum((j.a * c.nb - j.b * c.na) * (j.a * c.nb - j.b * c.na))
+    as bigint) AS drift_num,
+  true AS lossless
+FROM j JOIN counts c USING (dim)
+GROUP BY j.dim ORDER BY drift_num DESC, j.dim LIMIT 8
+"""

@@ -11220,6 +11220,118 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring — embedding_drift_audit's histogram
+    kept fresh over an unbounded vector stream the mergeable-partials
+    way (the quantile/HLL-partials pattern): the new half of the
+    corpus streams in 3 deterministic micro-batches (vec_id % 3),
+    each appending its per-(dim, bin) COUNT partials to a store;
+    read-side merge is one keyed SUM (counts are exactly mergeable,
+    so the merged histogram EQUALS the one-shot batch histogram —
+    ``lossless`` hash-pins it). The exported rows are the top-8 dims
+    by the exact-integer drift statistic vs the base half, from the
+    MERGED streaming store. State: dims x bins x batches count rows,
+    compacted by the same sum — never raw vectors.
+
+    Scale: per batch one posexplode + keyed agg (512 groups); merge
+    cost is independent of stream length after compaction."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.floor(F.col("v").cast("double") * 1000).cast("long")
+
+    def hist(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.posexplode("embedding").alias("dim", "v"))
+            .select(
+                F.col("dim").cast("long").alias("dim"),
+                F.floor((qv + 1000) / 250).cast("long").alias("bin"),
+            )
+            .groupBy("dim", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    base_hist = hist(emb.filter(F.col("vec_id") < 250))
+    new = emb.filter(F.col("vec_id") >= 250)
+
+    src = scratch_dir("ip_sdrift_src_")
+    stage = scratch_dir("ip_sdrift_stage_")
+    import shutil as _sh
+
+    for b in range(3):
+        d = os.path.join(stage, f"b{b}")
+        new.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+    store = scratch_dir("ip_sdrift_store_")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        hist(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).coalesce(1).write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_write)
+        .option("checkpointLocation", scratch_dir("ip_sdrift_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming drift monitor hung"
+
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("dim", "bin")
+        .agg(F.sum("c").alias("b"))
+    )
+    digest = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", "dim", "bin", F.col("cnt"))
+                )
+            ),
+            "|",
+        )
+    )
+    m_digest = merged.select(
+        "dim", "bin", F.col("b").alias("cnt")
+    ).agg(digest.alias("d"))
+    oneshot_digest = hist(new).select(
+        "dim", "bin", F.col("c").alias("cnt")
+    ).agg(digest.alias("d"))
+    lossless = m_digest.crossJoin(
+        oneshot_digest.withColumnRenamed("d", "d2")
+    ).select((F.col("d") == F.col("d2")).alias("lossless"))
+
+    a = base_hist.withColumnRenamed("c", "a")
+    joined = a.join(merged, ["dim", "bin"], "full_outer").select(
+        "dim",
+        F.coalesce("a", F.lit(0)).alias("a"),
+        F.coalesce("b", F.lit(0)).alias("b"),
+    )
+    counts = joined.groupBy("dim").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    gap = F.col("a") * F.col("nb") - F.col("b") * F.col("na")
+    return (
+        joined.join(counts, "dim")
+        .groupBy("dim")
+        .agg(F.sum(gap * gap).alias("drift_num"))
+        .orderBy(F.desc("drift_num"), "dim")
+        .limit(8)
+        .crossJoin(F.broadcast(lossless))
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11315,6 +11427,7 @@ QUERIES = {
     "zonemap_prune_audit": zonemap_prune_audit,
     "tokenizer_fertility_matrix": tokenizer_fertility_matrix,
     "zorder_prune_audit": zorder_prune_audit,
+    "streaming_drift_monitor": streaming_drift_monitor,
     # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
     # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
