@@ -1,0 +1,43 @@
+"""Layout/skipping audits: the zone skip rule is conservative
+(zero false skips) and z-order dominates single-sort on 2-D boxes."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.queries import (
+    zonemap_prune_audit,
+    zorder_prune_audit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zonemap_skip_rule_is_conservative(spark):
+    """Skipped zones can never contain selected rows: scanned zones
+    alone must cover every selected row (the zone-map correctness
+    contract — pruning is an optimization, never a filter)."""
+    rows = {r["layout"]: r for r in zonemap_prune_audit(spark, SF).collect()}
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.floor(F.col("l_extendedprice").cast("double") * 100)
+            .cast("long")
+            .alias("price_c")
+        )
+    )
+    n_sel = li.filter(
+        (F.col("price_c") >= 2000000) & (F.col("price_c") <= 2500000)
+    ).count()
+    for r in rows.values():
+        assert r["n_selected"] == n_sel
+        assert r["n_zones"] == r["n_skipped"] + r["n_scanned"]
+        # a scanned zone holds <= 1000 rows; selected rows must fit
+        assert n_sel <= r["n_scanned"] * 1000
+
+
+def test_zorder_beats_single_sort_on_2d_box(spark):
+    rows = {r["layout"]: r for r in zorder_prune_audit(spark, SF).collect()}
+    assert rows["zorder"]["n_skipped"] >= rows["sorted_x"]["n_skipped"]
+    assert rows["zorder"]["n_selected"] == rows["sorted_x"]["n_selected"]
+    # both conservative
+    for r in rows.values():
+        assert r["n_selected"] <= r["n_scanned"] * 250
