@@ -5,8 +5,14 @@ Usage:
     python tools/bench_diff.py BENCH_r01.json BENCH_r02.json [ratio]
 
 Exit code 1 if any query regressed > ratio (default 1.5x) AND by more
-than 0.5s absolute (sub-second jitter on a busy host is not a
-regression signal).
+than NOISE_FLOOR seconds absolute. The floor is 1.0s, set from a
+MEASURED same-commit A/B (r06): the identical r05 commit's
+url_domain_caps read 0.84s at the r05 bench and 2.2-2.8s warm on the
+same host a round later — a 1.4-2.0s absolute swing on unchanged
+code. Sub-second entries flip by >0.5s from host drift alone, and the
+median normalization can't catch it when the drift hits only a few
+JIT/regex-sensitive entries; multi-second plan regressions (the kind
+worth gating on) clear 1.0s easily.
 """
 
 from __future__ import annotations
@@ -14,6 +20,8 @@ from __future__ import annotations
 import json
 import re
 import sys
+
+NOISE_FLOOR = 1.0  # seconds; see module docstring for the measurement
 
 
 def _load(path: str) -> dict:
@@ -64,12 +72,12 @@ def diff(old_path: str, new_path: str, ratio: float = 1.5) -> int:
         if t_old is None:
             print(f"NEW   {name}: {t_new:.2f}s")
             continue
-        if t_new > t_old * ratio and t_new - t_old > 0.5:
+        if t_new > t_old * ratio and t_new - t_old > NOISE_FLOOR:
             raw_regressed.append((name, t_old, t_new))
         t_adj = t_new / scale
-        if t_adj > t_old * ratio and t_adj - t_old > 0.5:
+        if t_adj > t_old * ratio and t_adj - t_old > NOISE_FLOOR:
             regressed.append((name, t_old, t_new))
-        elif t_old > t_new * ratio and t_old - t_new > 0.5:
+        elif t_old > t_new * ratio and t_old - t_new > NOISE_FLOOR:
             improved.append((name, t_old, t_new))
     for name in sorted(set(oq) - set(nq)):
         print(f"GONE  {name} (was {oq[name]:.2f}s)")
