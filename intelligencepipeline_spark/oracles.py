@@ -6585,3 +6585,20 @@ SELECT j.dim,
 FROM j JOIN counts c USING (dim)
 GROUP BY j.dim ORDER BY drift_num DESC, j.dim LIMIT 8
 """
+
+# aqe_skew_join_proof: range-generated inputs are engine-identical;
+# the oracle replays the join counts and pins the observed runtime
+# split flag TRUE (AQE regressing to an unsplit hot partition fails
+# the Spark side's in-entry assert before the compare even runs).
+ORACLES["aqe_skew_join_proof"] = """
+WITH l AS (
+  SELECT CASE WHEN id < 200000 THEN 0 ELSE id % 97 END AS k
+  FROM (SELECT unnest(range(0, 220000)) AS id)
+), r AS (
+  SELECT id % 97 AS k FROM (SELECT unnest(range(0, 20000)) AS id)
+)
+SELECT cast(l.k as bigint) AS k, cast(count(*) as bigint) AS n_pairs,
+  true AS skew_split
+FROM l JOIN r ON l.k = r.k
+GROUP BY 1 ORDER BY k
+"""
