@@ -11417,13 +11417,16 @@ def aqe_skew_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stalest-rows-first re-proof policy. After r06 the driver union is
 # 239/239: every entry ever registered has a green driver row.
 #
-# PLANNED r07 WINDOW: the 8 (b9) r06 additions (unigram_train,
+# PLANNED r07 WINDOW: the 16 (b9) r06 additions (unigram_train,
 # unigram_encode_stats, streaming_ivfpq_ingest, embedding_drift_audit,
 # join_cardinality_advisor, incremental_agg_maintenance,
-# bucketed_colocated_join, image_dhash_near_pairs — never
-# driver-checked, registered directly after position 50) lead, padded
-# to 50 with the next-oldest r02-window rows in CORRECTNESS_r02 order
-# (ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks, ...).
+# bucketed_colocated_join, image_dhash_near_pairs, corpus_datasheet,
+# rrf_quality_fusion, orc_partition_pruned_scan, zonemap_prune_audit,
+# tokenizer_fertility_matrix, zorder_prune_audit,
+# streaming_drift_monitor, aqe_skew_join_proof — never driver-checked,
+# registered directly after position 50) lead, padded to 50 with the
+# next-oldest r02-window rows in CORRECTNESS_r02 order (ner_entities,
+# chunk_lang, pos_tag_counts, doc_with_chunks, ...).
 QUERIES = {
     # ==== r06 driver window: positions 1-50 ===========================
     # -- (b7)+(b8): the 34 never-driver-checked r05 additions lead ----
