@@ -11408,28 +11408,87 @@ def aqe_skew_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04 the 45 remaining never-checked + 5 (b4) additions; r05 the 13
 # (b5)+(b6) never-checked entries + the 37-entry r01-window re-proof —
 # 205/205 green across five rounds, so every entry registered before
-# r06 already has a driver CORRECTNESS row EXCEPT the 34 below.
-# This r06 ordering executes the rotation planned in the r05 comment
-# and verdict: the 16 (b7) + 18 (b8) never-driver-checked entries
-# lead (34 total), padded to 50 with the 13-entry r01-window
-# remainder (similarity_topk .. event_gaps) and the 3 OLDEST
-# r02-window rows (CORRECTNESS_r02 order) — continuing the
-# stalest-rows-first re-proof policy. After r06 the driver union is
-# 239/239: every entry ever registered has a green driver row.
+# r06 checked the 16 (b7) + 18 (b8) never-driver-checked entries +
+# the 13-entry r01-window remainder + the 3 oldest r02-window rows.
+# After r06 the driver union is 239/239: every entry registered
+# before r06 has a green driver row; zero wrong answers in six rounds.
 #
-# PLANNED r07 WINDOW: the 16 (b9) r06 additions (unigram_train,
-# unigram_encode_stats, streaming_ivfpq_ingest, embedding_drift_audit,
-# join_cardinality_advisor, incremental_agg_maintenance,
-# bucketed_colocated_join, image_dhash_near_pairs, corpus_datasheet,
-# rrf_quality_fusion, orc_partition_pruned_scan, zonemap_prune_audit,
-# tokenizer_fertility_matrix, zorder_prune_audit,
-# streaming_drift_monitor, aqe_skew_join_proof — never driver-checked,
-# registered directly after position 50) lead, padded to 50 with the
-# next-oldest r02-window rows in CORRECTNESS_r02 order (ner_entities,
-# chunk_lang, pos_tag_counts, doc_with_chunks, ...).
+# This r07 ordering executes the rotation planned in the r06 comment
+# and ordered by the r06 verdict: the 16 (b9) r06 additions
+# (unigram_train .. aqe_skew_join_proof, never driver-checked) lead,
+# padded to 50 with the 34 next-oldest r02-window rows in
+# CORRECTNESS_r02 order (ner_entities .. side_effect_sink) —
+# "next-oldest" = freshest driver row is still r02 (rows re-proved in
+# r05/r06, e.g. ann_ivf_topk, are skipped as no longer stalest).
+# After r07 the driver union is 255/255 over the pre-r07 registry.
+#
+# PLANNED r08 WINDOW: the (b10) r07 additions (registered directly
+# after position 50: ngram_lm_perplexity_gate, sft_turn_audit,
+# sft_loss_mask_spans, preference_pair_dedup, image_text_pair_gate,
+# streaming_session_ttl, ...) lead, padded to 50 with the 5 remaining
+# r02-freshest rows in CORRECTNESS_r02 order (datarecords_snapshot,
+# streaming_session_windows, streaming_stateful_stats,
+# corpus_prep_pipeline, repetition_filter) and then the oldest
+# r03-window rows in CORRECTNESS_r03 order.
 QUERIES = {
-    # ==== r06 driver window: positions 1-50 ===========================
-    # -- (b7)+(b8): the 34 never-driver-checked r05 additions lead ----
+    # ==== r07 driver window: positions 1-50 ===========================
+    # -- (b9): the 16 never-driver-checked r06 additions lead ----------
+    "unigram_train": unigram_train_q,
+    "unigram_encode_stats": unigram_encode_stats,
+    "streaming_ivfpq_ingest": streaming_ivfpq_ingest,
+    "embedding_drift_audit": embedding_drift_audit,
+    "join_cardinality_advisor": join_cardinality_advisor,
+    "incremental_agg_maintenance": incremental_agg_maintenance,
+    "bucketed_colocated_join": bucketed_colocated_join,
+    "image_dhash_near_pairs": image_dhash_near_pairs,
+    "corpus_datasheet": corpus_datasheet,
+    "rrf_quality_fusion": rrf_quality_fusion,
+    "orc_partition_pruned_scan": orc_partition_pruned_scan,
+    "zonemap_prune_audit": zonemap_prune_audit,
+    "tokenizer_fertility_matrix": tokenizer_fertility_matrix,
+    "zorder_prune_audit": zorder_prune_audit,
+    "streaming_drift_monitor": streaming_drift_monitor,
+    "aqe_skew_join_proof": aqe_skew_join_proof,
+    # -- next-oldest r02-window rows, CORRECTNESS_r02 order (34 pad):
+    #    stalest-rows-first re-proof policy; after this window the only
+    #    entries whose freshest driver row is r02 are the 5 listed in
+    #    the PLANNED r08 WINDOW comment above. ------------------------
+    "ner_entities": ner_entities,
+    "chunk_lang": chunk_lang,
+    "pos_tag_counts": pos_tag_counts,
+    "doc_with_chunks": doc_with_chunks,
+    "salted_user_stats": salted_user_stats,
+    "hypertable_rollup": hypertable_rollup,
+    "keyphrases": keyphrases,
+    "sentence_chunks": sentence_chunks_q,
+    "hashed_embedding": hashed_embedding,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "full_outer_activity": full_outer_activity,
+    "top_value_suppliers": top_value_suppliers,
+    "text_extraction": text_extraction,
+    "dedup_clusters": dedup_clusters,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q10_returned_items": q10_returned_items,
+    "streaming_consolidation": streaming_consolidation,
+    "dedup_survivor_docs": dedup_survivor_docs,
+    "profile_columns": profile_columns,
+    "deterministic_sample": deterministic_sample,
+    "q9_product_profit": q9_product_profit,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_blocking_supplier": q21_blocking_supplier,
+    "html_rendition": html_rendition,
+    "chunk_command_fold": chunk_command_fold,
+    "kafka_serde_roundtrip": kafka_serde_roundtrip,
+    "pii_redaction": pii_redaction,
+    "contamination_check": contamination_check,
+    "token_packing": token_packing,
+    "domain_mix_sample": domain_mix_sample,
+    "chunk_metadata_enrichment": chunk_metadata_enrichment,
+    "proposer_max_score": proposer_max_score,
+    "side_effect_sink": side_effect_sink,
+    # ==== end of r07 driver window (position 50) ======================
+    # -- remaining entries, prior registration order -------------------
     "png_decode_stats": png_decode_stats,
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
@@ -11446,7 +11505,6 @@ QUERIES = {
     "padding_efficiency": padding_efficiency,
     "png_resize_audit": png_resize_audit,
     "wav_resample_audit": wav_resample_audit,
-    # -- (b8) ----------------------------------------------------------
     "binary_quant_ann": binary_quant_ann,
     "sq8_ann_topk": sq8_ann_topk,
     "matryoshka_recall_audit": matryoshka_recall_audit,
@@ -11465,7 +11523,6 @@ QUERIES = {
     "ewma_daily_anomalies": ewma_daily_anomalies,
     "hard_negative_mining": hard_negative_mining,
     "image_dhash_dedup": image_dhash_dedup,
-    # -- r01-window remainder re-proof (13) ----------------------------
     "similarity_topk": similarity_topk,
     "embedding_dedup_pairs": embedding_dedup_pairs,
     "engine_enrichment": engine_enrichment,
@@ -11479,30 +11536,9 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "ann_lsh_topk": ann_lsh_topk,
     "event_gaps": event_gaps,
-    # -- oldest r02-window rows, CORRECTNESS_r02 order (3 pad) ---------
     "latest_event_per_user": latest_event_per_user,
     "set_ops": set_ops,
     "tfidf_top_terms": tfidf_top_terms,
-    # ==== end of r06 driver window (position 50) ======================
-    # -- (b9) new in r06: never driver-checked — lead the r07 window ---
-    "unigram_train": unigram_train_q,
-    "unigram_encode_stats": unigram_encode_stats,
-    "streaming_ivfpq_ingest": streaming_ivfpq_ingest,
-    "embedding_drift_audit": embedding_drift_audit,
-    "join_cardinality_advisor": join_cardinality_advisor,
-    "incremental_agg_maintenance": incremental_agg_maintenance,
-    "bucketed_colocated_join": bucketed_colocated_join,
-    "image_dhash_near_pairs": image_dhash_near_pairs,
-    "corpus_datasheet": corpus_datasheet,
-    "rrf_quality_fusion": rrf_quality_fusion,
-    "orc_partition_pruned_scan": orc_partition_pruned_scan,
-    "zonemap_prune_audit": zonemap_prune_audit,
-    "tokenizer_fertility_matrix": tokenizer_fertility_matrix,
-    "zorder_prune_audit": zorder_prune_audit,
-    "streaming_drift_monitor": streaming_drift_monitor,
-    "aqe_skew_join_proof": aqe_skew_join_proof,
-    # -- r05 driver window (driver-green r05): b5/b6 + r01 re-proof ----
-    # -- (b5)+(b6): the 13 never-driver-checked entries lead -----------
     "bucketed_snapshot_consolidation": bucketed_snapshot_consolidation,
     "time_travel_diff": time_travel_diff,
     "rate_limit_audit": rate_limit_audit,
@@ -11516,8 +11552,6 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "kafka_timestamp_pairing": kafka_timestamp_pairing,
     "evaluator_matrix": evaluator_matrix,
-    # -- positions 14-50: the OLDEST driver rows (r01 window, original
-    #    order) re-proven on current code per the r04 verdict ----------
     "q1_pricing_summary": q1_pricing_summary,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -11555,48 +11589,12 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash": simhash_q,
     "jaccard_pairs": jaccard_pairs_q,
-    # -- driver-green in r02 (next-oldest re-proof candidates) ---------
-    "ner_entities": ner_entities,
-    "chunk_lang": chunk_lang,
-    "pos_tag_counts": pos_tag_counts,
-    "doc_with_chunks": doc_with_chunks,
-    "salted_user_stats": salted_user_stats,
     "ann_ivf_topk": ann_ivf_topk,
-    "hypertable_rollup": hypertable_rollup,
-    "keyphrases": keyphrases,
-    "sentence_chunks": sentence_chunks_q,
-    "hashed_embedding": hashed_embedding,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "full_outer_activity": full_outer_activity,
-    "top_value_suppliers": top_value_suppliers,
-    "text_extraction": text_extraction,
-    "dedup_clusters": dedup_clusters,
-    "q5_local_supplier_volume": q5_local_supplier_volume,
-    "q10_returned_items": q10_returned_items,
-    "streaming_consolidation": streaming_consolidation,
-    "dedup_survivor_docs": dedup_survivor_docs,
-    "profile_columns": profile_columns,
-    "deterministic_sample": deterministic_sample,
-    "q9_product_profit": q9_product_profit,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q21_blocking_supplier": q21_blocking_supplier,
-    "html_rendition": html_rendition,
-    "chunk_command_fold": chunk_command_fold,
-    "kafka_serde_roundtrip": kafka_serde_roundtrip,
-    "pii_redaction": pii_redaction,
-    "contamination_check": contamination_check,
-    "token_packing": token_packing,
-    "domain_mix_sample": domain_mix_sample,
-    "chunk_metadata_enrichment": chunk_metadata_enrichment,
-    "proposer_max_score": proposer_max_score,
-    "side_effect_sink": side_effect_sink,
     "datarecords_snapshot": datarecords_snapshot,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_stats": streaming_stateful_stats,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "repetition_filter": repetition_filter,
-    # -- driver-green in r03 --------------------------------------------
     "streaming_join_proof": streaming_join_proof,
     "streaming_restart_exactly_once": streaming_restart_exactly_once,
     "streaming_watermark_finalize": streaming_watermark_finalize,
@@ -11646,7 +11644,6 @@ QUERIES = {
     "python_datasource_sink": python_datasource_sink,
     "asof_forward_join": asof_forward_join_q,
     "paragraph_dedup": paragraph_dedup,
-    # -- driver-green in r04 --------------------------------------------
     "rolling_range_spend": rolling_range_spend,
     "stratified_fixed_sample": stratified_fixed_sample,
     "salted_join_revenue": salted_join_revenue,
