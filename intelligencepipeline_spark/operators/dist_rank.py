@@ -1,0 +1,138 @@
+"""Distributed rank-from-distribution: total-order ranks without a
+single-partition sort.
+
+``row_number()``/``ntile()`` over a global ``ORDER BY (value, tiebreak)``
+plan as ``Exchange SinglePartition`` + one sort of the ENTIRE input —
+the canonical 100 TB killer (Spark even warns "No Partition Defined for
+Window operation! Moving all data to a single partition"). When the
+value domain is BOUNDED (doc lengths, milli-ratios in [0, 1000], token
+counts), the same rank decomposes exactly:
+
+    rank(row) = #rows whose value sorts strictly before row.value
+              + position of row.tiebreak within its value group
+
+The first term comes from an exact ``(value -> count)`` histogram — one
+map-side-combinable keyed agg, collected driver-side (bounded by the
+value DOMAIN, not the row count; the same bounded-collect discipline as
+the tokenizer vocab state and range_partition_plan's P-1 boundaries),
+cumulated in plain integer Python, and broadcast back. The second term
+is a ``row_number`` over ``Window.partitionBy(value)`` — a PARTITIONED
+window, shuffling on a bounded-cardinality key. Net plan: one keyed
+agg + one broadcast join + one partitioned window; zero single-partition
+exchanges at any scale.
+
+This is the TeraSort/percentile-from-histogram argument specialized to
+exact integer ranks; no sampling, so results are bit-identical to the
+global-window form (pinned in tests/test_dist_rank.py against
+``row_number``/``ntile`` at two SFs).
+
+Reference parity: the reference has no ranking surface at all (its
+stores are Kafka-Streams KTables, ``interfaces.kt:30-60``); this module
+exists so the catalog's curriculum/fusion entries keep their semantics
+at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_by_histogram(
+    df: DataFrame,
+    col: str,
+    tiebreak: str,
+    name: str,
+    descending: bool = False,
+) -> tuple[DataFrame, int]:
+    """Add ``name`` = ``row_number() OVER (ORDER BY col [DESC], tiebreak)``
+    to ``df`` without any single-partition exchange; also return the
+    total row count (free from the histogram — no extra scan), which
+    :func:`ntile_from_rank` needs for bucket boundaries.
+
+    ``col`` must be an integer column with a bounded domain (the
+    histogram is collected driver-side) and ``(col, tiebreak)`` must be
+    a total order of the rows — the same precondition the global-window
+    form needs for a deterministic, hash-stable rank.
+    """
+    return multi_rank_by_histogram(df, [(col, name, descending)], tiebreak)
+
+
+def multi_rank_by_histogram(
+    df: DataFrame,
+    specs: list[tuple[str, str, bool]],
+    tiebreak: str,
+) -> tuple[DataFrame, int]:
+    """Add several total-order rank columns in ONE histogram job.
+
+    ``specs`` is ``[(value_col, rank_name, descending), ...]``. All
+    value histograms are counted in a single stacked aggregation
+    (explode of (signal, value) structs -> one keyed agg -> one bounded
+    collect), so N rank columns cost one histogram job instead of N.
+    Each rank then joins its broadcast cumulative table and adds a
+    window PARTITIONED by its value column — same bit-exact contract as
+    :func:`rank_by_histogram`. Returns ``(df_with_ranks, n_rows)``.
+    """
+    spark = df.sparkSession
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("sig"),
+                    F.col(col).cast("long").alias("val"),
+                )
+                for col, _, _ in specs
+            ]
+        )
+    ).alias("sv")
+    hist = (
+        df.select(stacked)
+        .groupBy(F.col("sv.sig").alias("sig"), F.col("sv.val").alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_sig: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_sig.setdefault(r["sig"], []).append((int(r["val"]), int(r["cnt"])))
+    out, total = df, 0
+    for col, name, descending in specs:
+        rows = sorted(by_sig.get(col, []), reverse=descending)
+        below_col = f"_below_{name}"
+        cum_rows, acc = [], 0
+        for v, c in rows:
+            cum_rows.append((v, acc))
+            acc += c
+        total = acc
+        cum = spark.createDataFrame(cum_rows, f"{col} long, {below_col} long")
+        pos = F.row_number().over(Window.partitionBy(col).orderBy(tiebreak))
+        out = (
+            out.join(F.broadcast(cum), col)
+            .withColumn(name, (F.col(below_col) + pos).cast("long"))
+            .drop(below_col)
+        )
+    return out, total
+
+
+def ntile_from_rank(rank_col: str, n_rows: int, n_tiles: int) -> Column:
+    """Map a 1-based total-order rank column to its ``ntile(n_tiles)``
+    bucket with pure integer arithmetic (Spark/DuckDB/ANSI semantics:
+    the first ``n_rows mod n_tiles`` buckets hold one extra row, i.e.
+    bucket = ceil(r/(q+1)) while r <= (q+1)*rem, else
+    rem + ceil((r-(q+1)*rem)/q), with q = n DIV k, rem = n MOD k).
+
+    ``n_rows`` is driver-side (the histogram total) so the bucket
+    boundaries fold to literals and the projection rides the scan.
+    Exact-integer ``DIV`` keeps the result engine-portable (float
+    floor-division would round differently across engines).
+    """
+    q, rem = divmod(int(n_rows), int(n_tiles))
+    if q == 0:
+        # n_rows < n_tiles: every bucket has one row -> bucket = rank
+        return F.col(rank_col).cast("long")
+    cut = (q + 1) * rem
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {cut}"
+        f" THEN ({rank_col} + {q}) DIV {q + 1}"
+        f" ELSE {rem} + ({rank_col} - {cut} + {q - 1}) DIV {q}"
+        f" END AS LONG)"
+    )

@@ -58,6 +58,15 @@ class PlanAudit:
     def has_pushed_filter(self, fragment: str) -> bool:
         return any(fragment in p for p in self.pushed_filters)
 
+    @property
+    def has_single_partition_exchange(self) -> bool:
+        """True if anything plans as ``Exchange SinglePartition`` — the
+        global-window / global-sort shape that serializes the whole
+        input through one task (fine for a ≤32-row partial-agg combine,
+        fatal for a data-proportional Window at 100 TB). Entries
+        rewritten via operators/dist_rank.py pin this to False."""
+        return "SinglePartition" in self.plan
+
 
 _DETAIL = __import__("re").compile(r"^\((\d+)\)\s+(\S.*)$")
 

@@ -4563,16 +4563,29 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum binning for training-data scheduling: ntile(10) over
     a short-to-long document ordering (n_chars, doc_id — a TOTAL order,
     so every engine assigns identical bins; ntile over a partial order
-    is nondeterministic). One global sort at 100 TB — for true scale
-    swap ntile for a rank-from-distribution (percent_rank against
-    pre-agged exact histogram), same contract."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
+    is nondeterministic).
+
+    Scale (the r06-verdict-ordered rank-from-distribution): no global
+    window anywhere — an exact (n_chars -> count) histogram is
+    pre-aggregated (map-side combinable, collected over the bounded
+    length domain), cumulative counts are broadcast back, and the
+    within-length position is a window PARTITIONED by n_chars
+    (operators/dist_rank.py). The ntile bucket is pure integer DIV on
+    the resulting rank, so bins are bit-identical to the ntile form —
+    pinned in tests/test_dist_rank.py — with zero single-partition
+    exchanges (pinned in tests/test_plan_audit.py)."""
+    from intelligencepipeline_spark.operators.dist_rank import (
+        ntile_from_rank,
+        rank_by_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked, n_total = rank_by_histogram(docs, "n_chars", "doc_id", "r")
     return (
-        docs.select(
+        ranked.select(
             "doc_id",
             "n_chars",
-            F.ntile(10).over(w).cast("long").alias("bin"),
+            ntile_from_rank("r", n_total, 10).alias("bin"),
         )
         .orderBy("doc_id")
     )
@@ -10900,8 +10913,16 @@ def rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first. The same fusion shape combines retrieval backends (BM25 +
     ANN) in a RAG stack.
 
-    Scale: per-doc signals are expression-only on the scan; each rank
-    is one window over the doc domain; fusion is a projection."""
+    Scale (the r06-verdict-ordered rank-from-distribution): per-doc
+    signals are expression-only on the scan and persisted once; each
+    of the three ranks is built WITHOUT a global window — an exact
+    histogram on the signal's bounded domain (token counts; milli
+    ratios in [0, 1000]) is collected, descending-cumulated
+    driver-side, broadcast back, and the within-value position is a
+    window PARTITIONED by the signal value (operators/dist_rank.py).
+    Ranks are bit-identical to the global row_number form (pinned in
+    tests/test_dist_rank.py) with zero single-partition exchanges
+    (pinned in tests/test_plan_audit.py); fusion stays a projection."""
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(normalize_text(F.col("text")))
     stop = F.size(
@@ -10926,17 +10947,21 @@ def rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stop_milli"),
     )
 
-    def rk(col: str, name: str):
-        return F.row_number().over(
-            Window.orderBy(F.desc(col), "doc_id")
-        ).cast("long").alias(name)
-
-    ranked = base.select(
-        "doc_id",
-        rk("n_toks", "r_volume"),
-        rk("ttr_milli", "r_ttr"),
-        rk("stop_milli", "r_stop"),
+    from intelligencepipeline_spark.operators.dist_rank import (
+        multi_rank_by_histogram,
     )
+
+    base = track_persist(base)
+    ranked, _ = multi_rank_by_histogram(
+        base,
+        [
+            ("n_toks", "r_volume", True),
+            ("ttr_milli", "r_ttr", True),
+            ("stop_milli", "r_stop", True),
+        ],
+        "doc_id",
+    )
+    ranked = ranked.select("doc_id", "r_volume", "r_ttr", "r_stop")
     fused = (
         F.lit(1.0) / (F.lit(60) + F.col("r_volume"))
         + F.lit(1.0) / (F.lit(60) + F.col("r_ttr"))

@@ -673,6 +673,35 @@ def test_b8_new_entries_plan_shapes(spark):
     assert not a.cartesian
 
 
+def test_curriculum_bins_no_global_window(spark):
+    """r06 verdict item 2: the ntile is now rank-from-distribution —
+    histogram agg + broadcast cum + n_chars-PARTITIONED window. The
+    plan must carry no Exchange SinglePartition at all (the old global
+    ntile(10) window planned exactly that)."""
+    from intelligencepipeline_spark.queries import curriculum_bins
+
+    a = audit(curriculum_bins(spark, SF))
+    assert not a.has_single_partition_exchange, a.plan[:2000]
+    assert a.broadcast_joins >= 1, a.plan[:1500]  # cum table broadcast
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "n_chars"), a.read_schemas
+
+
+def test_rrf_fusion_no_global_window(spark):
+    """r06 verdict item 2: all three RRF ranks are histogram ranks —
+    three broadcast cum joins + three value-PARTITIONED windows, zero
+    single-partition exchanges (the old form had three global
+    row_number sorts of the whole doc domain)."""
+    from intelligencepipeline_spark.queries import rrf_quality_fusion
+
+    a = audit(rrf_quality_fusion(spark, SF))
+    assert not a.has_single_partition_exchange, a.plan[:2000]
+    assert a.broadcast_joins >= 3, a.plan[:1500]
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+
+
 def test_b9_plan_shapes(spark):
     """r06 additions: drift audit is one scan -> bounded keyed aggs
     (no join of data-proportional sides, no cartesian); the join
