@@ -1,0 +1,146 @@
+"""N-gram language-model quality gate (CCNet-style, hash-exact).
+
+CCNet/Gopher pipelines gate web text by the perplexity of a language
+model trained on a trusted reference corpus (KenLM in the original).
+This module is that gate re-expressed Spark-first with the repo's
+integer-surrogate discipline: a TRIGRAM STUPID-BACKOFF model (Brants et
+al. 2007, "Large Language Models in Machine Translation") whose per-
+token cost is the integer log2 surrogate ``bitlen(context_count) -
+bitlen(ngram_count)`` (bitlen = length of the binary string =
+floor(log2)+1 — exact in any engine, where a real ``ln`` differs per
+libm and can never hash-match). Backoff levels add integer penalty
+bits (1 per level ≈ the -log2 of a 0.5 backoff factor — the
+integer-exact stand-in for Brants' 0.4):
+
+    trigram seen:   bitlen(c2(w-2,w-1))   - bitlen(c3(w-2,w-1,w))
+    bigram  seen:  1 + bitlen(c1(w-1))    - bitlen(c2(w-1,w))
+    unigram seen:  2 + bitlen(N_train)    - bitlen(c1(w))
+    OOV:           3 + bitlen(N_train)
+
+A document's score is the exact integer sum of its per-token bits;
+bits/token is ONE IEEE division of two exact integers at export.
+
+Scale shape: token fan-out rides the scan; the two ``lag`` contexts
+share one doc_id-partitioned window (a single shuffle); the three
+count tables are map-side-combinable keyed aggs over the n-gram
+domains; scoring joins are equi-joins co-keyed on those same n-grams
+(AQE broadcasts the small ones; at 100 TB they are plain shuffle
+joins — never a cartesian, never a Python stage). The training corpus
+is a FILTER on the same scan (reference-corpus split), so train and
+score are one lineage.
+
+Reference parity: the reference's quality surface is MaxScore/NoScore
+fact evaluation (``interfaces.kt:30-60``); the LM gate is part of this
+repo's LLM-training-data extension (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bitlen(c: Column) -> Column:
+    """floor(log2(c)) + 1 for positive integers, as an exact integer
+    (length of the binary representation)."""
+    return F.length(F.bin(c))
+
+
+def ngram_terms(docs: DataFrame, token_col: Column) -> DataFrame:
+    """(doc_id, pos, cur, prev1, prev2) — one row per token with its
+    two predecessors, built from ONE doc_id-partitioned window."""
+    toks = docs.select(
+        "doc_id", F.posexplode(token_col).alias("pos", "cur")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return toks.withColumn("prev1", F.lag("cur", 1).over(w)).withColumn(
+        "prev2", F.lag("cur", 2).over(w)
+    )
+
+
+def stupid_backoff_bits(
+    terms: DataFrame, train: DataFrame
+) -> DataFrame:
+    """Score every row of ``terms`` against the trigram stupid-backoff
+    model counted from ``train`` (same schema). Returns ``terms`` plus
+    an integer ``bits`` column (see module docstring for the ladder).
+    """
+    uni = train.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
+    bg = (
+        train.filter(F.col("prev1").isNotNull())
+        .groupBy("prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    tg = (
+        train.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    tot = train.agg(F.count(F.lit(1)).alias("n_train"))
+    joined = (
+        terms.join(uni, "cur", "left")
+        .join(
+            uni.withColumnRenamed("cur", "prev1").withColumnRenamed(
+                "c1", "c1_ctx"
+            ),
+            "prev1",
+            "left",
+        )
+        .join(bg.withColumnRenamed("c2", "c2_bg"), ["prev1", "cur"], "left")
+        # context bigram (prev2, prev1): bg's (prev1, cur) keys re-aimed
+        .join(bg.toDF("prev2", "prev1", "c2_ctx"), ["prev2", "prev1"], "left")
+        .join(tg, ["prev2", "prev1", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    bits = (
+        F.when(
+            F.col("c3").isNotNull(),
+            _bitlen(F.col("c2_ctx")) - _bitlen(F.col("c3")),
+        )
+        .when(
+            F.col("c2_bg").isNotNull(),
+            F.lit(1) + _bitlen(F.col("c1_ctx")) - _bitlen(F.col("c2_bg")),
+        )
+        .when(
+            F.col("c1").isNotNull(),
+            F.lit(2) + _bitlen(F.col("n_train")) - _bitlen(F.col("c1")),
+        )
+        .otherwise(F.lit(3) + _bitlen(F.col("n_train")))
+    )
+    return joined.withColumn("bits", bits.cast("long"))
+
+
+def perplexity_gate(
+    docs: DataFrame,
+    token_col: Column,
+    train_filter: Column,
+    keep_bits_numer: int = 9,
+    keep_bits_denom: int = 2,
+) -> DataFrame:
+    """Per-document LM gate: train stupid-backoff on ``docs`` rows
+    matching ``train_filter`` (the trusted reference split), score ALL
+    docs, keep those with bits/token <= numer/denom (default 4.5 —
+    compared in exact integers: ``lm_bits * denom <= n_toks * numer``).
+    """
+    terms = ngram_terms(docs, token_col)
+    scored = stupid_backoff_bits(terms, terms.filter(train_filter))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("bits").cast("long").alias("lm_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "lm_bits",
+            (
+                F.col("lm_bits").cast("double")
+                / F.col("n_toks").cast("double")
+            ).alias("bits_per_token"),
+            (
+                F.col("lm_bits") * F.lit(keep_bits_denom)
+                <= F.col("n_toks") * F.lit(keep_bits_numer)
+            ).alias("keep"),
+        )
+    )

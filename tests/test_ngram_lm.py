@@ -1,0 +1,112 @@
+"""operators/ngram_lm.py — the trigram stupid-backoff gate must match
+a brute-force Python scorer move for move (counts, backoff ladder,
+integer bits, keep flag)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import normalize_text, tokens
+from intelligencepipeline_spark.operators.ngram_lm import perplexity_gate
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_tokens(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _bitlen(n):
+    return n.bit_length()
+
+
+def _brute_force(doc_toks):
+    """doc_id -> (n_toks, lm_bits, keep) computed in plain Python."""
+    uni, bg, tg, n_train = {}, {}, {}, 0
+    for doc_id, toks in doc_toks.items():
+        if doc_id % 2 != 0:
+            continue
+        n_train += len(toks)
+        for i, w in enumerate(toks):
+            uni[w] = uni.get(w, 0) + 1
+            if i >= 1:
+                k = (toks[i - 1], w)
+                bg[k] = bg.get(k, 0) + 1
+            if i >= 2:
+                k = (toks[i - 2], toks[i - 1], w)
+                tg[k] = tg.get(k, 0) + 1
+    out = {}
+    for doc_id, toks in doc_toks.items():
+        if not toks:
+            continue
+        bits = 0
+        for i, w in enumerate(toks):
+            p1 = toks[i - 1] if i >= 1 else None
+            p2 = toks[i - 2] if i >= 2 else None
+            if p2 is not None and (p2, p1, w) in tg:
+                bits += _bitlen(bg[(p2, p1)]) - _bitlen(tg[(p2, p1, w)])
+            elif p1 is not None and (p1, w) in bg:
+                bits += 1 + _bitlen(uni[p1]) - _bitlen(bg[(p1, w)])
+            elif w in uni:
+                bits += 2 + _bitlen(n_train) - _bitlen(uni[w])
+            else:
+                bits += 3 + _bitlen(n_train)
+        out[doc_id] = (len(toks), bits, bits * 2 <= len(toks) * 9)
+    return out
+
+
+def test_gate_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    want = _brute_force({d: _py_tokens(t) for d, t in raw.items()})
+    got = perplexity_gate(
+        docs,
+        tokens(normalize_text(F.col("text"))),
+        F.col("doc_id") % 2 == 0,
+    ).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_toks, lm_bits, keep = want[r["doc_id"]]
+        assert (r["n_toks"], r["lm_bits"], r["keep"]) == (
+            n_toks,
+            lm_bits,
+            keep,
+        ), r
+        assert r["bits_per_token"] == lm_bits / n_toks
+
+
+def test_gate_separates_train_from_heldout(spark):
+    """The model must actually model: held-out (odd) docs score higher
+    than training (even) docs on average — a broken count join would
+    flatten or invert this."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = perplexity_gate(
+        docs,
+        tokens(normalize_text(F.col("text"))),
+        F.col("doc_id") % 2 == 0,
+    ).collect()
+    even = [r["bits_per_token"] for r in rows if r["doc_id"] % 2 == 0]
+    odd = [r["bits_per_token"] for r in rows if r["doc_id"] % 2 == 1]
+    assert sum(odd) / len(odd) > sum(even) / len(even) + 0.5
+
+
+def test_oov_floor_dominates(spark):
+    """A doc of pure OOV gibberish must score above every backoff
+    level: its bits/token is 3 + bitlen(N_train) exactly."""
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zzqx vvqk wwqj")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perplexity_gate(
+            docs,
+            tokens(normalize_text(F.col("text"))),
+            F.col("doc_id") % 2 == 0,
+        ).collect()
+    }
+    n_train = 6
+    assert rows[1]["lm_bits"] == 3 * (3 + n_train.bit_length())
+    assert not rows[1]["keep"]
+    assert rows[0]["keep"]
