@@ -1,0 +1,254 @@
+"""Conversation / SFT data operators (r06 verdict item 5).
+
+The one LLM-pipeline family the catalog lacked: chat-style training
+data needs (a) role-turn structure validation, (b) loss-mask span
+computation (which token ranges train — assistant turns — and which
+are context), and (c) preference-pair hygiene (duplicate / conflicting
+prompts between DPO-style pairs). All three are expression-first over
+the same deterministic conversation derivation, so they compose with
+the rest of the catalog and replay exactly in the DuckDB oracles.
+
+Conversation derivation (the test corpus has no chat table, so
+conversations are derived deterministically — the analogue of the
+reference's chunk machinery, interfaces.kt:49-51, which likewise
+derives sub-document units):
+
+* conv_id = doc_id; turns = consecutive 8-token windows of the
+  normalized text (functions/nlp.window_chunks — the PARAGRAPH-style
+  chunking for unpunctuated corpora), empty windows dropped;
+* role(turn) = 'user'/'assistant' by md5-parity of the turn text (the
+  engine-portable hash trick used across the catalog) — content-
+  derived, so alternation violations occur naturally instead of being
+  staged;
+* a turn containing the token 'query' is a TOOL-CALL turn (marker
+  stand-in; swap the predicate for a schema tag on real chat data).
+
+Scale shape: turn/role arrays are built expression-side on the scan
+(no shuffle); per-turn outputs use one posexplode + one conv-keyed
+window; preference dedup groups on bag-of-words prompt keys and
+reuses the banded minhash-LSH candidate machinery (operators/dedup.py)
+— keyed joins only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.nlp import window_chunks
+from intelligencepipeline_spark.functions.text import normalize_text
+
+TURN_TOKENS = 8
+TOOL_CALL_TOKEN = "query"
+
+
+def _role(turn: Column) -> Column:
+    """'user'/'assistant' by md5-parity of the turn text (engine-
+    portable: conv(substr(md5)) == DuckDB's 0x-cast)."""
+    parity = (
+        F.conv(F.substring(F.md5(turn), 1, 8), 16, 10).cast("long") % 2
+    )
+    return F.when(parity == 0, F.lit("user")).otherwise(F.lit("assistant"))
+
+
+def conversation_turns(docs: DataFrame) -> DataFrame:
+    """(conv_id, turns array<string>, roles array<string>) — the shared
+    derivation; expression-only, rides the scan.
+
+    The windowing is ONE greedy regexp_extract_all over the normalized
+    text (consecutive runs of up to TURN_TOKENS space-separated
+    tokens) — byte-identical to window_chunks + drop-empties (pinned
+    in tests/test_sft.py) but 4x faster: HOF transform/slice chains
+    are CodegenFallback (interpreted per window), the regex is a
+    single codegen'd pass. Token-less docs are excluded with the cheap
+    string predicate normalize != '' (a size(turns) filter would
+    inline the array build into an interpreted predicate)."""
+    norm = normalize_text(F.col("text"))
+    turns = F.regexp_extract_all(
+        norm, F.lit(r"\S+( \S+){0,%d}" % (TURN_TOKENS - 1)), 0
+    )
+    return (
+        docs.filter(norm != "")
+        .select(F.col("doc_id").alias("conv_id"), turns.alias("turns"))
+        .withColumn("roles", F.transform("turns", _role))
+    )
+
+
+def turn_audit(convs: DataFrame) -> DataFrame:
+    """Per-conversation validity audit: alternation, boundary roles,
+    degenerate turns, dangling tool calls — all computed with array
+    HOFs on the (turns, roles) pair, zero shuffles before the export
+    sort."""
+    n = F.size("roles")
+    adjacent_same = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("roles"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("roles"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    is_call = lambda t: F.array_contains(  # noqa: E731
+        F.split(t, " "), TOOL_CALL_TOKEN
+    )
+    n_tool_calls = F.size(F.filter(F.col("turns"), is_call))
+    short_turns = F.size(
+        F.filter(F.col("turns"), lambda t: F.size(F.split(t, " ")) < 3)
+    )
+    out = convs.select(
+        "conv_id",
+        n.cast("long").alias("n_turns"),
+        (F.element_at("roles", 1) == "user").alias("starts_with_user"),
+        (F.element_at("roles", -1) == "assistant").alias(
+            "ends_with_assistant"
+        ),
+        adjacent_same.cast("long").alias("n_alternation_violations"),
+        short_turns.cast("long").alias("n_short_turns"),
+        n_tool_calls.cast("long").alias("n_tool_calls"),
+        is_call(F.element_at("turns", -1)).alias("dangling_tool_call"),
+    )
+    return out.withColumn(
+        "valid",
+        F.col("starts_with_user")
+        & F.col("ends_with_assistant")
+        & (F.col("n_alternation_violations") == 0)
+        & ~F.col("dangling_tool_call"),
+    )
+
+
+def loss_mask_spans(convs: DataFrame) -> DataFrame:
+    """One row per ASSISTANT turn with its trainable token span
+    [span_start, span_end) in the packed conversation — the chat-
+    template loss mask. posexplode + ONE conv-keyed window (cumulative
+    token offsets); the mask fraction check is
+    sum(n_tokens of assistant turns) / total."""
+    per_turn = convs.select(
+        "conv_id",
+        F.posexplode(
+            F.zip_with(
+                "turns",
+                "roles",
+                lambda t, r: F.struct(
+                    t.alias("turn"),
+                    r.alias("role"),
+                    F.size(F.split(t, " ")).alias("n_tokens"),
+                ),
+            )
+        ).alias("turn_index", "t"),
+    ).select("conv_id", "turn_index", "t.role", "t.n_tokens")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = per_turn.withColumn(
+        "span_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("span_end", F.col("span_start") + F.col("n_tokens"))
+    return spans.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_index").cast("long").alias("turn_index"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def preference_pairs(docs: DataFrame) -> DataFrame:
+    """(pair_id, prompt, chosen, rejected) from conversations with at
+    least three turns: turn 1 prompts, turns 2/3 are the candidate
+    completions — the deterministic DPO-pair derivation."""
+    convs = conversation_turns(docs)
+    return convs.filter(F.size("turns") >= 3).select(
+        F.col("conv_id").alias("pair_id"),
+        F.element_at("turns", 1).alias("prompt"),
+        F.element_at("turns", 2).alias("chosen"),
+        F.element_at("turns", 3).alias("rejected"),
+    )
+
+
+def _bag_key(col: Column) -> Column:
+    """Order-insensitive bag-of-words key — the exact-dup blocking key
+    for short prompt strings."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.split(col, " "))), " "
+    )
+
+
+def preference_pair_audit(docs: DataFrame) -> DataFrame:
+    """Per-pair hygiene: exact-duplicate prompt groups (bag-of-words
+    key; canonical = min pair_id), chosen==rejected degeneracy,
+    cross-pair preference conflicts (my chosen is someone else's
+    rejected under the same prompt key), and near-duplicate prompt
+    partners via the SAME banded minhash-LSH used for document dedup.
+
+    Every join is keyed (prompt_key or LSH band bucket) — never
+    all-pairs."""
+    from intelligencepipeline_spark.caching import track_persist
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    pairs = preference_pairs(docs).select(
+        "pair_id",
+        "prompt",
+        "chosen",
+        "rejected",
+        _bag_key(F.col("prompt")).alias("prompt_key"),
+        _bag_key(F.col("chosen")).alias("chosen_key"),
+        _bag_key(F.col("rejected")).alias("rejected_key"),
+    )
+    # Four branches (groups, conflict self-join, LSH, final join) read
+    # pairs; persist it once — the at-scale analogue is the pair table
+    # materialized at rest before hygiene passes.
+    pairs = track_persist(pairs)
+    groups = pairs.groupBy("prompt_key").agg(
+        F.count(F.lit(1)).alias("n_group"),
+        F.min("pair_id").alias("canonical_pair"),
+    )
+    conflicts = (
+        pairs.select("prompt_key", "pair_id", "chosen_key")
+        .join(
+            pairs.select(
+                "prompt_key",
+                F.col("pair_id").alias("other_pair"),
+                F.col("rejected_key").alias("other_rejected"),
+            ),
+            "prompt_key",
+        )
+        .filter(
+            (F.col("pair_id") != F.col("other_pair"))
+            & (F.col("chosen_key") == F.col("other_rejected"))
+        )
+        .groupBy("pair_id")
+        .agg(F.count(F.lit(1)).alias("n_conflicts"))
+    )
+    lsh_pairs, _big = minhash_lsh_candidates(pairs, "prompt", "pair_id")
+    partners = (
+        lsh_pairs.select(F.col("a").alias("pair_id"))
+        .union(lsh_pairs.select(F.col("b").alias("pair_id")))
+        .groupBy("pair_id")
+        .agg(F.count(F.lit(1)).alias("n_neardup_partners"))
+    )
+    return (
+        pairs.join(groups, "prompt_key")
+        .join(conflicts, "pair_id", "left")
+        .join(partners, "pair_id", "left")
+        .select(
+            "pair_id",
+            "prompt_key",
+            F.col("n_group").cast("long").alias("n_group"),
+            (F.col("pair_id") == F.col("canonical_pair")).alias(
+                "is_canonical"
+            ),
+            (F.col("chosen_key") == F.col("rejected_key")).alias(
+                "degenerate_pair"
+            ),
+            F.coalesce(F.col("n_conflicts"), F.lit(0))
+            .cast("long")
+            .alias("n_conflicts"),
+            F.coalesce(F.col("n_neardup_partners"), F.lit(0))
+            .cast("long")
+            .alias("n_neardup_partners"),
+        )
+    )

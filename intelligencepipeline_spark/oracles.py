@@ -6657,3 +6657,138 @@ SELECT doc_id,
   sum(bits) * 2 <= count(*) * 9 AS keep
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
+
+# Shared fragment: SFT conversation turns — 8-token windows of the
+# normalized text with md5-parity roles (matches operators/sft.py's
+# conversation_turns; the group-by windowing is byte-identical to
+# window_chunks with empty windows dropped).
+_SFT_TURNS = f"""(
+  SELECT doc_id AS conv_id,
+    cast((i - 1) // 8 as bigint) AS turn_index,
+    string_agg(w, ' ' ORDER BY i) AS turn
+  FROM (
+    SELECT doc_id, unnest({_NTOKS}) AS w,
+           generate_subscripts({_NTOKS}, 1) AS i
+    FROM documents
+  ) GROUP BY doc_id, (i - 1) // 8
+)"""
+
+_SFT_ROLED = f"""(
+  SELECT conv_id, turn_index, turn,
+    CASE WHEN cast(concat('0x', substr(md5(turn), 1, 8)) as bigint) % 2 = 0
+      THEN 'user' ELSE 'assistant' END AS role,
+    len(string_split(turn, ' ')) AS n_tokens,
+    list_contains(string_split(turn, ' '), 'query') AS is_call
+  FROM {_SFT_TURNS}
+)"""
+
+ORACLES["sft_turn_audit"] = f"""
+WITH roled AS (
+  SELECT *,
+    CASE WHEN role = lag(role) OVER (
+      PARTITION BY conv_id ORDER BY turn_index) THEN 1 ELSE 0 END AS rep
+  FROM {_SFT_ROLED}
+)
+SELECT conv_id,
+  cast(count(*) as bigint) AS n_turns,
+  arg_min(role, turn_index) = 'user' AS starts_with_user,
+  arg_max(role, turn_index) = 'assistant' AS ends_with_assistant,
+  cast(sum(rep) as bigint) AS n_alternation_violations,
+  cast(sum(CASE WHEN n_tokens < 3 THEN 1 ELSE 0 END) as bigint)
+    AS n_short_turns,
+  cast(sum(CASE WHEN is_call THEN 1 ELSE 0 END) as bigint)
+    AS n_tool_calls,
+  arg_max(is_call, turn_index) AS dangling_tool_call,
+  (arg_min(role, turn_index) = 'user'
+   AND arg_max(role, turn_index) = 'assistant'
+   AND sum(rep) = 0
+   AND NOT arg_max(is_call, turn_index)) AS valid
+FROM roled GROUP BY conv_id ORDER BY conv_id
+"""
+
+ORACLES["sft_loss_mask_spans"] = f"""
+WITH spans AS (
+  SELECT conv_id, turn_index, role, n_tokens,
+    coalesce(sum(n_tokens) OVER (
+      PARTITION BY conv_id ORDER BY turn_index
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_start
+  FROM {_SFT_ROLED}
+)
+SELECT conv_id, turn_index,
+  cast(span_start as bigint) AS span_start,
+  cast(span_start + n_tokens as bigint) AS span_end,
+  cast(n_tokens as bigint) AS n_tokens
+FROM spans WHERE role = 'assistant'
+ORDER BY conv_id, turn_index
+"""
+
+# preference_pair_dedup: pairs from 3+-turn conversations; exact
+# bag-key prompt groups, degenerate/conflict flags, and the banded
+# minhash-LSH partner counts replayed with the same shingle/rotation
+# fragments as minhash_lsh_pairs.
+ORACLES["preference_pair_dedup"] = f"""
+WITH pairs AS (
+  SELECT conv_id AS pair_id,
+    arg_min(turn, turn_index) AS prompt,
+    max(CASE WHEN turn_index = 1 THEN turn END) AS chosen,
+    max(CASE WHEN turn_index = 2 THEN turn END) AS rejected
+  FROM {_SFT_TURNS}
+  GROUP BY conv_id HAVING count(*) >= 3
+), keyed AS (
+  SELECT pair_id, prompt,
+    array_to_string(list_sort(list_distinct(string_split(prompt, ' '))), ' ')
+      AS prompt_key,
+    array_to_string(list_sort(list_distinct(string_split(chosen, ' '))), ' ')
+      AS chosen_key,
+    array_to_string(list_sort(list_distinct(string_split(rejected, ' '))), ' ')
+      AS rejected_key
+  FROM pairs
+), groups AS (
+  SELECT prompt_key, count(*) AS n_group, min(pair_id) AS canonical_pair
+  FROM keyed GROUP BY prompt_key
+), conflicts AS (
+  SELECT a.pair_id, count(*) AS n_conflicts
+  FROM keyed a JOIN keyed b
+    ON a.prompt_key = b.prompt_key AND a.pair_id <> b.pair_id
+   AND a.chosen_key = b.rejected_key
+  GROUP BY a.pair_id
+), ptoks AS (
+  SELECT pair_id,
+    list_filter(string_split(prompt, ' '), x -> x <> '') AS ptok
+  FROM keyed
+), shing AS (
+  SELECT pair_id,
+    CASE WHEN len(ptok) >= 3 THEN list_distinct(list_transform(
+        range(1, len(ptok) - 1),
+        i -> array_to_string(ptok[i:i+2], ' ')))
+    ELSE [array_to_string(ptok, ' ')] END AS shingles
+  FROM ptoks
+), hashes AS (
+  SELECT pair_id, list_transform(shingles, s -> md5(s)) AS hs FROM shing
+), sigs AS (
+  SELECT pair_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT pair_id, b,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), lsh AS (
+  SELECT DISTINCT x.pair_id AS a, y.pair_id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  WHERE x.pair_id < y.pair_id
+), partners AS (
+  SELECT pair_id, count(*) AS n_neardup_partners FROM (
+    SELECT a AS pair_id FROM lsh UNION ALL SELECT b FROM lsh
+  ) GROUP BY pair_id
+)
+SELECT k.pair_id, k.prompt_key,
+  cast(g.n_group as bigint) AS n_group,
+  k.pair_id = g.canonical_pair AS is_canonical,
+  k.chosen_key = k.rejected_key AS degenerate_pair,
+  cast(coalesce(c.n_conflicts, 0) as bigint) AS n_conflicts,
+  cast(coalesce(p.n_neardup_partners, 0) as bigint) AS n_neardup_partners
+FROM keyed k
+JOIN groups g USING (prompt_key)
+LEFT JOIN conflicts c ON c.pair_id = k.pair_id
+LEFT JOIN partners p ON p.pair_id = k.pair_id
+ORDER BY k.pair_id
+"""

@@ -11462,6 +11462,66 @@ def ngram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def sft_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat/SFT turn-structure audit (operators/sft.py): conversations
+    derived deterministically from documents (8-token windows as
+    turns, md5-parity roles — violations occur naturally, not staged),
+    validated per conversation: role alternation, user-first /
+    assistant-last boundaries, degenerate (<3 token) turns, tool-call
+    turns ('query' marker) left dangling at the conversation end, and
+    the combined keep flag. The reference's chunk machinery
+    (interfaces.kt:49-51) is the turn-explode precedent.
+
+    Scale: turns/roles/audits are pure array HOFs riding the scan —
+    no join, no keyed shuffle, only the export sort."""
+    from intelligencepipeline_spark.operators.sft import (
+        conversation_turns,
+        turn_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return turn_audit(conversation_turns(docs)).orderBy("conv_id")
+
+
+def sft_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask span computation for SFT packing (operators/sft.py):
+    one row per ASSISTANT turn with its trainable token range
+    [span_start, span_end) inside the packed conversation — what a
+    chat-template collator masks. Cumulative offsets come from ONE
+    conv-keyed window over the posexploded turns (same partitioned-
+    window discipline as token_packing); integer token counts only."""
+    from intelligencepipeline_spark.operators.sft import (
+        conversation_turns,
+        loss_mask_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return loss_mask_spans(conversation_turns(docs)).orderBy(
+        "conv_id", "turn_index"
+    )
+
+
+def preference_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/preference-pair hygiene (operators/sft.py): pairs derived
+    from 3+-turn conversations (turn 1 = prompt, turns 2/3 = chosen /
+    rejected), audited for (a) exact-duplicate prompts via
+    bag-of-words keys (canonical = min pair_id), (b) degenerate
+    chosen==rejected pairs, (c) cross-pair preference conflicts (my
+    chosen is another pair's rejected under the same prompt), and
+    (d) near-duplicate prompt partners via the SAME banded
+    minhash-LSH machinery as document dedup (operators/dedup.py:214).
+
+    Scale: group/conflict joins are keyed on prompt_key; LSH
+    candidates are band-bucket joins with the standard bucket cap —
+    never all-pairs anywhere."""
+    from intelligencepipeline_spark.operators.sft import (
+        preference_pair_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return preference_pair_audit(docs).orderBy("pair_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11757,6 +11817,9 @@ QUERIES = {
     "vocab_oov_audit": vocab_oov_audit,
     # -- (b10) new in r07: never driver-checked — lead the r08 window --
     "ngram_lm_perplexity_gate": ngram_lm_perplexity_gate,
+    "sft_turn_audit": sft_turn_audit,
+    "sft_loss_mask_spans": sft_loss_mask_spans,
+    "preference_pair_dedup": preference_pair_dedup,
 }
 
 

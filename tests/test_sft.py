@@ -1,0 +1,125 @@
+"""operators/sft.py — conversation derivation, turn audit, loss-mask
+spans and preference-pair hygiene invariants."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.sft import (
+    conversation_turns,
+    loss_mask_spans,
+    preference_pair_audit,
+    preference_pairs,
+    turn_audit,
+)
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _py_role(turn: str) -> str:
+    parity = int(hashlib.md5(turn.encode()).hexdigest()[:8], 16) % 2
+    return "user" if parity == 0 else "assistant"
+
+
+def test_roles_match_md5_parity(spark):
+    rows = conversation_turns(_docs(spark)).limit(50).collect()
+    for r in rows:
+        assert r["roles"] == [_py_role(t) for t in r["turns"]]
+        # 8-token windows: all but the last turn have exactly 8 tokens
+        for t in r["turns"][:-1]:
+            assert len(t.split(" ")) == 8
+        assert 1 <= len(r["turns"][-1].split(" ")) <= 8
+
+
+def test_turn_audit_flags_consistent(spark):
+    convs = conversation_turns(_docs(spark))
+    rows = turn_audit(convs).collect()
+    by_id = {r["conv_id"]: r for r in convs.collect()}
+    assert len(rows) == len(by_id)
+    for r in rows:
+        roles = by_id[r["conv_id"]]["roles"]
+        turns = by_id[r["conv_id"]]["turns"]
+        assert r["n_turns"] == len(roles)
+        assert r["starts_with_user"] == (roles[0] == "user")
+        assert r["ends_with_assistant"] == (roles[-1] == "assistant")
+        assert r["n_alternation_violations"] == sum(
+            1 for a, b in zip(roles, roles[1:]) if a == b
+        )
+        assert r["n_tool_calls"] == sum(
+            1 for t in turns if "query" in t.split(" ")
+        )
+        assert r["dangling_tool_call"] == ("query" in turns[-1].split(" "))
+        assert r["valid"] == (
+            r["starts_with_user"]
+            and r["ends_with_assistant"]
+            and r["n_alternation_violations"] == 0
+            and not r["dangling_tool_call"]
+        )
+
+
+def test_loss_mask_spans_partition_conversation(spark):
+    convs = conversation_turns(_docs(spark))
+    spans = loss_mask_spans(convs).collect()
+    info = {
+        r["conv_id"]: (r["turns"], r["roles"]) for r in convs.collect()
+    }
+    by_conv = {}
+    for s in spans:
+        by_conv.setdefault(s["conv_id"], []).append(s)
+    for conv_id, ss in by_conv.items():
+        turns, roles = info[conv_id]
+        counts = [len(t.split(" ")) for t in turns]
+        offsets = [sum(counts[:i]) for i in range(len(counts))]
+        expected = {
+            (i, offsets[i], offsets[i] + counts[i], counts[i])
+            for i, r in enumerate(roles)
+            if r == "assistant"
+        }
+        got = {
+            (s["turn_index"], s["span_start"], s["span_end"], s["n_tokens"])
+            for s in ss
+        }
+        assert got == expected, conv_id
+        # spans are disjoint and inside [0, total_tokens)
+        total = sum(counts)
+        for s in ss:
+            assert 0 <= s["span_start"] < s["span_end"] <= total
+
+
+def test_preference_pair_audit_invariants(spark):
+    docs = _docs(spark)
+    pairs = {r["pair_id"]: r for r in preference_pairs(docs).collect()}
+    rows = preference_pair_audit(docs).collect()
+    assert set(pairs) == {r["pair_id"] for r in rows}
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["prompt_key"], []).append(r)
+    n_canonical = 0
+    for key, members in by_key.items():
+        ids = sorted(m["pair_id"] for m in members)
+        for m in members:
+            assert m["n_group"] == len(members)
+            assert m["is_canonical"] == (m["pair_id"] == ids[0])
+        n_canonical += 1
+    assert n_canonical == len(by_key)
+    # at least one exact-duplicate prompt group exists in the corpus
+    assert any(r["n_group"] > 1 for r in rows)
+    # near-dup machinery fires somewhere
+    assert any(r["n_neardup_partners"] > 0 for r in rows)
+
+
+def test_turn_audit_rides_the_scan(spark):
+    a = audit(turn_audit(conversation_turns(_docs(spark))))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+
+
+def test_preference_dedup_no_all_pairs(spark):
+    a = audit(preference_pair_audit(_docs(spark)))
+    assert not a.cartesian, a.plan[:2000]
