@@ -6792,3 +6792,66 @@ LEFT JOIN conflicts c ON c.pair_id = k.pair_id
 LEFT JOIN partners p ON p.pair_id = k.pair_id
 ORDER BY k.pair_id
 """
+
+# image_text_pair_gate: the 5x4 BMP pixel bytes replayed from the four
+# md5 blocks through the bottom-up BGR layout (stride 16 = 15 padded),
+# dhash bit i = y*4 + x; the text side replays simhash16's bit math;
+# hamming via xor + bit_count; all stats exact-integer.
+ORACLES["image_text_pair_gate"] = """
+WITH hexes AS (
+  SELECT doc_id, source, text,
+    concat(md5(text), md5(concat(text, 'a')),
+           md5(concat(text, 'b')), md5(concat(text, 'c'))) AS hx
+  FROM documents
+), px AS (
+  SELECT h.doc_id, y.y, x.x,
+    ((299 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 2) + 1, 2)) as bigint)
+      + 587 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 1) + 1, 2)) as bigint)
+      + 114 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 0) + 1, 2)) as bigint))
+     // 1000) AS gray
+  FROM hexes h,
+    (SELECT unnest(range(0, 4)) AS y) y,
+    (SELECT unnest(range(0, 5)) AS x) x
+), dh AS (
+  SELECT a.doc_id,
+    cast(sum(CASE WHEN a.gray > b.gray
+      THEN (1 << cast(a.y * 4 + a.x as int)) ELSE 0 END) as bigint)
+      AS dhash
+  FROM px a JOIN px b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 4
+  GROUP BY a.doc_id
+), tok AS (
+  SELECT doc_id, unnest(list_transform({ntoks}, t -> md5(t))) AS h
+  FROM documents
+), tbits AS (
+  SELECT doc_id, j,
+    2 * sum(((strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+             >> (3 - (j % 4))) & 1) - count(*) AS s
+  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r
+  GROUP BY doc_id, j
+), th AS (
+  SELECT doc_id,
+    cast(sum(CASE WHEN s > 0 THEN (1 << cast(15 - j as int))
+             ELSE 0 END) as bigint) AS thash
+  FROM tbits GROUP BY doc_id
+), scored AS (
+  SELECT d.source,
+    (8 - cast(bit_count(xor(dh.dhash, th.thash)) as bigint)) * 125
+      AS alignment_milli,
+    cast(bit_count(xor(dh.dhash, th.thash)) as bigint) <= 7 AS kept
+  FROM documents d
+  JOIN dh ON dh.doc_id = d.doc_id
+  JOIN th ON th.doc_id = d.doc_id
+)
+SELECT source,
+  cast(count(*) as bigint) AS n_pairs,
+  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000 // count(*)
+    as bigint) AS survival_milli,
+  cast(sum(alignment_milli) // count(*) as bigint) AS mean_align_milli
+FROM scored GROUP BY source ORDER BY source
+""".replace("{ntoks}", _NTOKS)

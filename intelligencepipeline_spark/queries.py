@@ -11522,6 +11522,88 @@ def preference_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pair_audit(docs).orderBy("pair_id")
 
 
+def image_text_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-TEXT PAIR FILTERING (CLIP-score stand-in, r06 verdict
+    item 6): the standard pretraining-pair gate — embed both
+    modalities, cosine, threshold, per-source survival stats. The
+    embeddings are the repo's deterministic stand-ins (swap for real
+    encoders via the same mapInPandas lane): image side = 16-bit dHash
+    of the per-doc 5x4 BMP (REAL pure-stdlib decode inside Arrow
+    batches, functions/multimodal.dhash_images — pixels derived from
+    md5(text), four md5 blocks exactly fill the 4 padded 16-byte BMP
+    rows); text side = the existing 16-bit SimHash token embedding
+    (operators/dedup.simhash16). Cosine of +/-1 bit vectors =
+    (16 - 2*hamming)/16, computed in exact integers (alignment_milli);
+    a pair survives at hamming <= 7 (alignment > 0).
+
+    Pairs come KEYED BY doc_id (one image per doc joins its own text)
+    — never all-pairs; survival aggregates by source. The oracle
+    replays pixel bytes through the bottom-up BGR BMP layout, the
+    simhash bit math, and xor/bit_count."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+    from intelligencepipeline_spark.operators.dedup import simhash16
+
+    header = encode_bmp(np.zeros((4, 5, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("text")),
+                    F.md5(F.concat(F.col("text"), F.lit("a"))),
+                    F.md5(F.concat(F.col("text"), F.lit("b"))),
+                    F.md5(F.concat(F.col("text"), F.lit("c"))),
+                )
+            ),
+        ).alias("media"),
+    )
+    img = dhash_images(media, "media").select("doc_id", "dhash")
+    txt = docs.select(
+        "doc_id",
+        "source",
+        F.conv(simhash16(F.col("text")), 2, 10).cast("long").alias("thash"),
+    )
+    pairs = img.join(txt, "doc_id")
+    hamming = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.col("thash"))
+    ).cast("long")
+    # (16 - 2h) * 1000 / 16 = (8 - h) * 125 — pure integer arithmetic
+    scored = pairs.select(
+        "source",
+        ((F.lit(8) - hamming) * 125).cast("long").alias("alignment_milli"),
+        (hamming <= 7).alias("kept"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum("alignment_milli").cast("long").alias("sum_align_milli"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            "n_kept",
+            F.expr("CAST(n_kept * 1000 DIV n_pairs AS LONG)").alias(
+                "survival_milli"
+            ),
+            F.expr("CAST(sum_align_milli DIV n_pairs AS LONG)").alias(
+                "mean_align_milli"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11820,6 +11902,7 @@ QUERIES = {
     "sft_turn_audit": sft_turn_audit,
     "sft_loss_mask_spans": sft_loss_mask_spans,
     "preference_pair_dedup": preference_pair_dedup,
+    "image_text_pair_gate": image_text_pair_gate,
 }
 
 

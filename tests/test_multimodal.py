@@ -533,3 +533,23 @@ def test_dhash_canonical_9x8_grid_fits_signed_long(spark):
     assert rows[0]["width"] == 9 and rows[0]["height"] == 8
     assert 0 <= rows[0]["dhash"] < 2**63
     assert rows[0]["dhash"] == rows[1]["dhash"]
+
+
+def test_image_text_pair_gate_consistency(spark):
+    """The CLIP-stand-in gate: per-source stats are internally
+    consistent (kept <= pairs, survival/alignment from exact integer
+    arithmetic, alignment bounded by the 16-bit cosine range) and the
+    pairing is keyed — every doc contributes exactly one pair."""
+    from intelligencepipeline_spark.queries import image_text_pair_gate
+
+    rows = image_text_pair_gate(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    n_total = sum(r["n_pairs"] for r in rows)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert n_total == docs
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_pairs"]
+        assert r["survival_milli"] == r["n_kept"] * 1000 // r["n_pairs"]
+        assert -1000 <= r["mean_align_milli"] <= 1000
