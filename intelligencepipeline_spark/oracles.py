@@ -6855,3 +6855,38 @@ SELECT source,
   cast(sum(alignment_milli) // count(*) as bigint) AS mean_align_milli
 FROM scored GROUP BY source ORDER BY source
 """.replace("{ntoks}", _NTOKS)
+
+# streaming_session_ttl: closed sessions replayed relationally —
+# gaps-and-islands with gap 500 on floor-second epochs; non-last
+# sessions close inline ('gap'), the last session of a user closes by
+# TTL iff the final watermark (max es, 0s delay) strictly passed
+# end + gap ("advances beyond" — Spark's event-time timeout rule);
+# still-open sessions are withheld (the entry's in-entry digest assert
+# proves closed U open == the full batch sessionization).
+ORACLES["streaming_session_ttl"] = """
+WITH e AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS es FROM events
+), m AS (
+  SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR es - prev > 500 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY es, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+), sess AS (
+  SELECT user_id, sid,
+    min(es) AS session_start_epoch,
+    max(es) AS session_end_epoch,
+    count(*) AS n_events,
+    max(sid) OVER (PARTITION BY user_id) AS mx
+  FROM s GROUP BY user_id, sid
+), hi AS (SELECT max(es) AS hi FROM e)
+SELECT user_id,
+  session_start_epoch, session_end_epoch,
+  cast(n_events as bigint) AS n_events,
+  CASE WHEN sid <> mx THEN 'gap' ELSE 'ttl' END AS closed_by
+FROM sess, hi
+WHERE sid <> mx OR session_end_epoch + 500 < hi.hi
+ORDER BY user_id, session_start_epoch
+"""

@@ -11604,6 +11604,136 @@ def image_text_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-EVICTED STREAMING SESSION STORE (r06 verdict item 7): the
+    state-size bound the reference worries about for its RocksDB
+    KTables (KafkaIntelligencePipeline.kt:90) proven as a catalog row.
+    Events stream in TWO pinned micro-batches (time-split at the epoch
+    midpoint, maxFilesPerTrigger=1); a custom applyInPandasWithState
+    session store (streaming/stateful.streaming_session_ttl,
+    EventTimeTimeout) holds ONE open session per active key and emits
+    a row per CLOSED session: 'gap' when a later event proves the
+    500 s gap, 'ttl' when the event-time timeout fires after the
+    watermark passes session_end + gap (the trailing no-data
+    micro-batch runs the final eviction wave). State is therefore
+    O(keys active within the gap horizon) — idle keys leave the store.
+
+    LOSSLESS: in-entry digest assert — emitted closed sessions UNION
+    the withheld-open remainder (last session per user with
+    end + gap >= max event time) equals batch gaps-and-islands
+    sessionization exactly; also asserts at least one TTL eviction
+    actually fired. The oracle replays closed sessions relationally:
+    non-last sessions are 'gap', last sessions with
+    end + 500 < max(es) are 'ttl', open sessions withheld."""
+    import os
+    import shutil as _sh
+
+    from intelligencepipeline_spark.streaming.stateful import (
+        streaming_session_ttl as _sttl,
+    )
+
+    GAP = 500
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("es"),
+    )
+    mm = ev.agg(F.min("es").alias("lo"), F.max("es").alias("hi")).collect()[0]
+    t_mid = (int(mm["lo"]) + int(mm["hi"])) // 2
+    hi = int(mm["hi"])
+    src = scratch_dir("ip_sttl_src_")
+    stage = scratch_dir("ip_sttl_stage_")
+    for i, cond in enumerate(
+        [F.col("es") <= t_mid, F.col("es") > t_mid]
+    ):
+        d = os.path.join(stage, f"b{i}")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{i}.parquet")
+                )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("wmts", F.timestamp_seconds(F.col("es")))
+        .withWatermark("wmts", "0 seconds")
+    )
+    sess = _sttl(stream, "user_id", "es", GAP)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("streaming_session_ttl_sink")
+            .option("checkpointLocation", scratch_dir("ip_sttl_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "session TTL stream did not finish"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table("streaming_session_ttl_sink")
+
+    # ---- in-entry lossless proof: closed U open == batch sessions ----
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flag = F.when(
+        F.col("prev").isNull() | (F.col("es") - F.col("prev") > GAP), 1
+    ).otherwise(0)
+    sess_b = (
+        ev.withColumn("prev", F.lag("es").over(w))
+        .withColumn(
+            "sid",
+            F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("es").alias("session_start_epoch"),
+            F.max("es").alias("session_end_epoch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    open_rem = (
+        sess_b.withColumn(
+            "mx", F.max("sid").over(Window.partitionBy("user_id"))
+        )
+        .where(
+            (F.col("sid") == F.col("mx"))
+            & (F.col("session_end_epoch") + GAP >= hi)
+        )
+        .select(
+            "user_id",
+            "session_start_epoch",
+            "session_end_epoch",
+            "n_events",
+        )
+    )
+    sig = F.concat_ws(
+        ":",
+        F.col("user_id"),
+        F.col("session_start_epoch"),
+        F.col("session_end_epoch"),
+        F.col("n_events"),
+    )
+    digest = F.md5(F.array_join(F.array_sort(F.collect_list(sig)), "|"))
+    streamed = (
+        out.select("user_id", "session_start_epoch",
+                   "session_end_epoch", "n_events")
+        .unionByName(open_rem)
+        .agg(digest.alias("d"))
+    )
+    direct = sess_b.agg(digest.alias("d"))
+    chk = streamed.crossJoin(direct.withColumnRenamed("d", "d2")).collect()[0]
+    assert chk["d"] == chk["d2"], "TTL session store lost or forged rows"
+    n_ttl = out.where(F.col("closed_by") == "ttl").count()
+    assert n_ttl >= 1, "no TTL eviction fired — state bound unproven"
+    return out.orderBy("user_id", "session_start_epoch")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11903,6 +12033,7 @@ QUERIES = {
     "sft_loss_mask_spans": sft_loss_mask_spans,
     "preference_pair_dedup": preference_pair_dedup,
     "image_text_pair_gate": image_text_pair_gate,
+    "streaming_session_ttl": streaming_session_ttl,
 }
 
 

