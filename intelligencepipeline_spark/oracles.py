@@ -6890,3 +6890,49 @@ FROM sess, hi
 WHERE sid <> mx OR session_end_epoch + 500 < hi.hi
 ORDER BY user_id, session_start_epoch
 """
+
+# bm25_topk: every constant recomputed relationally (N, total tokens,
+# milli avgdl, per-term df), then the same integer formulas — odds-
+# ratio idf milli, k1=1.2/b=0.75 tf part with milli-quantized avgdl,
+# per-term (idf * tf_part) // 1000 summed.
+ORACLES["bm25_topk"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+  WHERE len({_NTOKS}) >= 1
+), stats AS (
+  SELECT count(*) AS n, sum(len(toks)) AS tt,
+    sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS df_dup,
+    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
+      AS df_vector,
+    sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)
+      AS df_stream
+  FROM base
+), consts AS (
+  SELECT n, tt, tt * 1000 // n AS a,
+    (2 * (n - df_dup) + 1) * 1000 // (2 * df_dup + 1) AS idf_dup,
+    (2 * (n - df_vector) + 1) * 1000 // (2 * df_vector + 1) AS idf_vector,
+    (2 * (n - df_stream) + 1) * 1000 // (2 * df_stream + 1) AS idf_stream
+  FROM stats
+), scored AS (
+  SELECT b.doc_id,
+    cast(len(b.toks) as bigint) AS dl,
+    cast(len(list_filter(b.toks, x -> x = 'dup')) as bigint) AS tf_dup,
+    cast(len(list_filter(b.toks, x -> x = 'vector')) as bigint)
+      AS tf_vector,
+    cast(len(list_filter(b.toks, x -> x = 'stream')) as bigint)
+      AS tf_stream,
+    c.a, c.idf_dup, c.idf_vector, c.idf_stream
+  FROM base b CROSS JOIN consts c
+)
+SELECT doc_id, dl, tf_dup, tf_vector, tf_stream,
+  cast(
+    (idf_dup * ((22000 * tf_dup * a) //
+      (10 * tf_dup * a + 3 * a + 9000 * dl))) // 1000
+    + (idf_vector * ((22000 * tf_vector * a) //
+      (10 * tf_vector * a + 3 * a + 9000 * dl))) // 1000
+    + (idf_stream * ((22000 * tf_stream * a) //
+      (10 * tf_stream * a + 3 * a + 9000 * dl))) // 1000
+  as bigint) AS score_milli
+FROM scored
+ORDER BY score_milli DESC, doc_id LIMIT 20
+"""

@@ -11734,6 +11734,85 @@ def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start_epoch")
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OKAPI BM25 RANKED RETRIEVAL over the document corpus — the
+    lexical half of the RAG/hybrid-retrieval stack (rrf_quality_fusion
+    is the fusion half), absent from the catalog until now. Scoring is
+    EXACT INTEGER end-to-end (no libm, no float sums):
+
+    * idf surrogate: milli of the Robertson odds ratio
+      (N - df + 0.5)/(df + 0.5)  ->  ((2(N-df)+1)*1000) DIV (2df+1)
+      — monotone in the true log-idf, engine-exact;
+    * tf part with k1 = 1.2, b = 0.75 and MILLI-QUANTIZED avgdl
+      (A = total_tokens*1000 DIV N, one bounded driver value):
+      tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+      == (22000*tf*A) DIV (10*tf*A + 3*A + 9000*dl)
+      — every factor bounded by MAX DOC LENGTH, not corpus size, so
+      the integer math never overflows at any corpus scale;
+    * score_milli = sum over the fixed query terms of
+      (idf_milli * tf_part_milli) DIV 1000 — integer adds.
+
+    Query = ('dup', 'vector', 'stream'): one rare term (df ~5%) and
+    two common ones, so idf weighting is actually exercised. Corpus
+    stats (N, total tokens, per-term df) are one aggregation collect
+    (bounded: 1 row + |query| values — the range_partition_plan
+    discipline); scoring is a pure projection over the scan; top-20
+    is TakeOrdered. The oracle recomputes every constant relationally
+    and replays the integer formulas verbatim."""
+    Q = ["dup", "vector", "stream"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).alias("tt"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).alias(f"df_{t}")
+            for t in Q
+        ],
+    ).collect()[0]
+    n_docs, tt = int(stats["n"]), int(stats["tt"])
+    avgdl_milli = tt * 1000 // n_docs
+    idf_milli = {
+        t: (2 * (n_docs - int(stats[f"df_{t}"])) + 1) * 1000
+        // (2 * int(stats[f"df_{t}"]) + 1)
+        for t in Q
+    }
+    dl = F.size("toks")
+
+    def _eq(term_lit: str):
+        # closure factory: a default-arg lambda would change the HOF
+        # arity to (value, index) — see .claude/skills/verify gotchas
+        return lambda x: x == F.lit(term_lit)
+
+    score = None
+    tf_cols = []
+    for t in Q:
+        tf = F.size(F.filter("toks", _eq(t)))
+        tf_cols.append(tf.cast("long").alias(f"tf_{t}"))
+        term = F.expr(
+            f"CAST(({idf_milli[t]} * ((22000 * tf_{t} * {avgdl_milli}) DIV "
+            f"(10 * tf_{t} * {avgdl_milli} + 3 * {avgdl_milli} "
+            f"+ 9000 * dl))) DIV 1000 AS LONG)"
+        )
+        score = term if score is None else score + term
+    return (
+        base.select("doc_id", dl.cast("long").alias("dl"), *tf_cols)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in Q],
+            score.alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), "doc_id")
+        .limit(20)
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12034,6 +12113,7 @@ QUERIES = {
     "preference_pair_dedup": preference_pair_dedup,
     "image_text_pair_gate": image_text_pair_gate,
     "streaming_session_ttl": streaming_session_ttl,
+    "bm25_topk": bm25_topk,
 }
 
 

@@ -1,0 +1,66 @@
+"""bm25_topk — the integer BM25 must match a brute-force Python scorer
+(same odds-ratio idf surrogate, milli avgdl, k1=1.2 / b=0.75 integer
+forms), and the plan must stay a scan-side projection."""
+
+import re
+
+from intelligencepipeline_spark.plans.audit import audit
+from intelligencepipeline_spark.queries import bm25_topk
+
+SF = "/root/testdata/sf0.001"
+Q = ["dup", "vector", "stream"]
+
+
+def _py_tokens(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _brute_force(doc_toks):
+    docs = {d: t for d, t in doc_toks.items() if t}
+    n = len(docs)
+    tt = sum(len(t) for t in docs.values())
+    a = tt * 1000 // n
+    df = {q: sum(1 for t in docs.values() if q in t) for q in Q}
+    idf = {q: (2 * (n - df[q]) + 1) * 1000 // (2 * df[q] + 1) for q in Q}
+    scored = []
+    for d, toks in docs.items():
+        dl = len(toks)
+        s = 0
+        tfs = {}
+        for q in Q:
+            tf = sum(1 for x in toks if x == q)
+            tfs[q] = tf
+            part = (22000 * tf * a) // (10 * tf * a + 3 * a + 9000 * dl)
+            s += (idf[q] * part) // 1000
+        scored.append((d, dl, tfs, s))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    return scored[:20]
+
+
+def test_bm25_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = _brute_force(raw)
+    got = bm25_topk(spark, SF).collect()
+    assert len(got) == len(want) == 20
+    for g, (d, dl, tfs, s) in zip(got, want):
+        assert g["doc_id"] == d
+        assert g["dl"] == dl
+        assert g["score_milli"] == s
+        for q in Q:
+            assert g[f"tf_{q}"] == tfs[q]
+    # the rare term dominates the head of the ranking: idf weighting
+    # is actually in effect, not just tf
+    assert got[0]["tf_dup"] > 0
+
+
+def test_bm25_plan_scan_side(spark):
+    a = audit(bm25_topk(spark, SF))
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.has_single_partition_exchange, a.plan[:1500]
