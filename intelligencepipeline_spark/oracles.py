@@ -6936,3 +6936,24 @@ SELECT doc_id, dl, tf_dup, tf_vector, tf_stream,
 FROM scored
 ORDER BY score_milli DESC, doc_id LIMIT 20
 """
+
+# quality_gate_agreement: composes the two gates' own oracle bodies
+# (ORDER BY stripped) and cross-tabulates keep flags over half-bit
+# perplexity bins — any drift in either gate's oracle breaks this one
+# too, by construction.
+import re as _re
+
+_LM_BODY = _re.sub(r"ORDER BY doc_id\s*$", "",
+                   ORACLES["ngram_lm_perplexity_gate"].strip())
+_GOPHER_BODY = _re.sub(r"ORDER BY doc_id\s*$", "",
+                       ORACLES["gopher_quality_rules"].strip())
+ORACLES["quality_gate_agreement"] = f"""
+WITH lm AS ({_LM_BODY}),
+ gr AS ({_GOPHER_BODY})
+SELECT least(15, ((lm.lm_bits * 10) // lm.n_toks) // 5)
+    AS bpt_halfbit_bin,
+  lm.keep AS lm_keep, gr.keep AS gopher_keep,
+  cast(count(*) as bigint) AS n_docs
+FROM lm JOIN gr USING (doc_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""

@@ -11813,6 +11813,51 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION / AGREEMENT AUDIT between the two
+    quality gates — the check a curation team runs before trusting a
+    new filter: cross-tabulate the trained n-gram LM gate
+    (ngram_lm_perplexity_gate) against the rule-based Gopher gate
+    (gopher_quality_rules) across half-bit perplexity bins. Rows
+    where the gates disagree at low perplexity are rule
+    false-positives; disagreement at high perplexity is the LM
+    catching what rules cannot. Composes two catalog operators
+    end-to-end (operators/ngram_lm.perplexity_gate +
+    functions/text.gopher_rules) with integer-only binning
+    (half-bit bins of lm_bits*10 DIV n_toks, clamped to 15).
+
+    Scale: both gates are scan-side or keyed-agg shapes already
+    proven; the join is co-keyed on doc_id; the export is a bounded
+    (bin x 2 x 2) contingency table."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = perplexity_gate(
+        docs,
+        tokens(normalize_text(F.col("text"))),
+        F.col("doc_id") % 2 == 0,
+    ).select("doc_id", "n_toks", "lm_bits", F.col("keep").alias("lm_keep"))
+    gr = docs.select(
+        "doc_id",
+        gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
+    )
+    bin_ = F.least(
+        F.lit(15),
+        F.expr("CAST(((lm_bits * 10) DIV n_toks) DIV 5 AS LONG)"),
+    )
+    return (
+        lm.join(gr, "doc_id")
+        .groupBy(
+            bin_.alias("bpt_halfbit_bin"), "lm_keep", "gopher_keep"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bpt_halfbit_bin", "lm_keep", "gopher_keep")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -11834,14 +11879,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05/r06, e.g. ann_ivf_topk, are skipped as no longer stalest).
 # After r07 the driver union is 255/255 over the pre-r07 registry.
 #
-# PLANNED r08 WINDOW: the (b10) r07 additions (registered directly
-# after position 50: ngram_lm_perplexity_gate, sft_turn_audit,
-# sft_loss_mask_spans, preference_pair_dedup, image_text_pair_gate,
-# streaming_session_ttl, ...) lead, padded to 50 with the 5 remaining
-# r02-freshest rows in CORRECTNESS_r02 order (datarecords_snapshot,
-# streaming_session_windows, streaming_stateful_stats,
-# corpus_prep_pipeline, repetition_filter) and then the oldest
-# r03-window rows in CORRECTNESS_r03 order.
+# PLANNED r08 WINDOW: the 8 (b10) r07 additions (registered at the
+# END of this dict, after the r04 block: ngram_lm_perplexity_gate,
+# sft_turn_audit, sft_loss_mask_spans, preference_pair_dedup,
+# image_text_pair_gate, streaming_session_ttl, bm25_topk,
+# quality_gate_agreement — never driver-checked) lead, padded to 50
+# with the 5 remaining r02-freshest rows in CORRECTNESS_r02 order
+# (datarecords_snapshot, streaming_session_windows,
+# streaming_stateful_stats, corpus_prep_pipeline, repetition_filter)
+# and then the 37 oldest r03-window rows in CORRECTNESS_r03 order.
 QUERIES = {
     # ==== r07 driver window: positions 1-50 ===========================
     # -- (b9): the 16 never-driver-checked r06 additions lead ----------
@@ -12114,6 +12160,7 @@ QUERIES = {
     "image_text_pair_gate": image_text_pair_gate,
     "streaming_session_ttl": streaming_session_ttl,
     "bm25_topk": bm25_topk,
+    "quality_gate_agreement": quality_gate_agreement,
 }
 
 
