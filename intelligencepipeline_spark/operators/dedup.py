@@ -183,8 +183,9 @@ def simhash_df(
 ) -> DataFrame:
     """DataFrame-level 16-bit SimHash: exploded tokens -> 16 codegen'd
     bit-contribution sums in one keyed aggregation (the column form
-    ``simhash16`` runs 16 interpreted HOF folds per row). Exactly the
-    same signature values. Output: (key, simhash string).
+    ``simhash16`` folds all 16 counters in one interpreted HOF pass —
+    use that for in-row composition, this for explode-shaped plans).
+    Exactly the same signature values. Output: (key, simhash string).
 
     Docs with zero tokens are absent from the exploded form; they are
     re-attached with the all-zeros signature ``simhash16`` yields.

@@ -4579,9 +4579,11 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_by_histogram,
     )
 
+    from intelligencepipeline_spark.plans.audit import audit as _audit
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked, n_total = rank_by_histogram(docs, "n_chars", "doc_id", "r")
-    return (
+    out = (
         ranked.select(
             "doc_id",
             "n_chars",
@@ -4589,6 +4591,11 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    # in-entry plan pin (b9 discipline): a regression back to a global
+    # window fails the driver row itself, not just a test
+    a = _audit(out)
+    assert not a.has_single_partition_exchange, a.plan[:800]
+    return out
 
 
 def gap_fill_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10967,13 +10974,20 @@ def rrf_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1.0) / (F.lit(60) + F.col("r_ttr"))
         + F.lit(1.0) / (F.lit(60) + F.col("r_stop"))
     )
-    return (
+    out = (
         ranked.select(
             "doc_id", "r_volume", "r_ttr", "r_stop", fused.alias("rrf")
         )
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+    # in-entry plan pin (b9 discipline): a regression back to the
+    # three global row_number sorts fails the driver row itself
+    from intelligencepipeline_spark.plans.audit import audit as _audit
+
+    a = _audit(out)
+    assert not a.has_single_partition_exchange, a.plan[:800]
+    return out
 
 
 
