@@ -110,6 +110,15 @@ HEADLINE = [
     ("semantic_dedup", "SemDeDup: k-means blocks the cosine scan; one cluster shuffle"),
     ("kafka_timestamp_pairing", "post-wire consumer parse: key decode + serde + ts pairing, scan-ride"),
     ("evaluator_matrix", "3 evaluators = 3 keyed aggs + co-keyed joins, no cartesian"),
+    ("curriculum_bins", "histogram rank-from-distribution: broadcast cum + value-partitioned window, NO single-partition exchange"),
+    ("rrf_quality_fusion", "3 histogram ranks (one stacked hist job) + fixed-order fusion, NO single-partition exchange"),
+    ("ngram_lm_perplexity_gate", "trigram backoff: 1 doc window, 3 n-gram aggs, 5 co-keyed joins"),
+    ("sft_turn_audit", "regex turn windows + array-HOF audits, pure scan-ride"),
+    ("sft_loss_mask_spans", "turn explode + one conv-keyed cumsum window"),
+    ("preference_pair_dedup", "bag-key groups + LSH band joins over persisted pairs"),
+    ("image_text_pair_gate", "dhash decode lane + simhash, doc_id-keyed pairs, source agg"),
+    ("bm25_topk", "integer BM25 rides the scan; bounded stats collect; TakeOrdered top-k"),
+    ("quality_gate_agreement", "two gates co-keyed on doc_id -> bounded contingency agg"),
 ]
 
 
