@@ -6957,3 +6957,39 @@ SELECT least(15, ((lm.lm_bits * 10) // lm.n_toks) // 5)
 FROM lm JOIN gr USING (doc_id)
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
+
+# inverted_postings_index: the positional gather, both delta chains
+# (doc gaps first-absolute, position gaps first-absolute) and the
+# LEB128 varint widths replayed relationally.
+ORACLES["inverted_postings_index"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term, t.pos
+  FROM documents,
+  LATERAL (SELECT unnest({_NTOKS}) AS term,
+                  generate_subscripts({_NTOKS}, 1) - 1 AS pos) t
+), per AS (
+  SELECT term, doc_id, list_sort(list(pos)) AS ps
+  FROM tok GROUP BY term, doc_id
+), gaps AS (
+  SELECT term, doc_id, ps, len(ps) AS tf,
+    coalesce(doc_id - lag(doc_id) OVER (
+      PARTITION BY term ORDER BY doc_id), doc_id) AS dgap
+  FROM per
+), costed AS (
+  SELECT term, tf,
+    greatest(1, (length(bin(dgap)) + 6) // 7) AS doc_bytes,
+    greatest(1, (length(bin(ps[1])) + 6) // 7)
+      + coalesce(list_sum(list_transform(range(2, len(ps) + 1),
+          i -> greatest(1, (length(bin(ps[i] - ps[i-1])) + 6) // 7))), 0)
+      AS pos_bytes
+  FROM gaps
+)
+SELECT term,
+  cast(count(*) as bigint) AS df,
+  cast(sum(tf) as bigint) AS cf,
+  cast(sum(doc_bytes + pos_bytes) as bigint) AS varint_bytes,
+  cast(8 * (count(*) + sum(tf)) as bigint) AS fixed_bytes,
+  cast(sum(doc_bytes + pos_bytes) as double)
+    / cast(8 * (count(*) + sum(tf)) as double) AS compression_ratio
+FROM costed GROUP BY term ORDER BY term
+"""

@@ -11872,6 +11872,92 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL INVERTED-INDEX CONSTRUCTION with gap + varint layout
+    accounting — the physical index build behind bm25_topk, expressed
+    as the Lucene-style layout computation: per term, postings are
+    (doc_id, sorted positions); doc_ids delta-encode against the
+    previous posting (first absolute), positions delta-encode within
+    the doc (first absolute), and every delta is costed at its LEB128
+    varint width greatest(1, (bitlen(v)+6) DIV 7) — exact integers.
+    Exports per-term df, collection frequency, encoded vs fixed-width
+    (8 B/int) byte totals and the compression ratio (one IEEE
+    division) — the numbers an index-layout advisor optimizes.
+
+    Scale: explode -> one (term, doc_id) agg (positions gather under
+    the SAME key the index is laid out by) -> one term-partitioned
+    window for doc gaps -> one term agg. The term domain is the
+    natural index shard key; no global ordering anywhere. The oracle
+    replays the gather, both delta chains, and the varint arithmetic
+    relationally."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "term"
+        ),
+    )
+
+    def vb(c: str):
+        # LEB128 byte width of a non-negative integer column, exact
+        return F.expr(
+            f"greatest(1, (length(bin({c})) + 6) DIV 7)"
+        ).cast("long")
+
+    per = tok.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    n = F.size("ps")
+    pos_bytes = F.expr(
+        "greatest(1, (length(bin(element_at(ps, 1))) + 6) DIV 7)"
+        " + aggregate(zip_with(slice(ps, 2, size(ps) - 1),"
+        "                      slice(ps, 1, size(ps) - 1),"
+        "                      (a, b) -> a - b),"
+        "             0L,"
+        "             (acc, g) -> acc + greatest(1,"
+        "               (length(bin(g)) + 6) DIV 7))"
+    ).cast("long")
+    w = Window.partitionBy("term").orderBy("doc_id")
+    rows = (
+        per.withColumn(
+            "dgap",
+            F.coalesce(
+                F.col("doc_id") - F.lag("doc_id").over(w), F.col("doc_id")
+            ),
+        )
+        .select(
+            "term",
+            n.cast("long").alias("tf"),
+            vb("dgap").alias("doc_bytes"),
+            pos_bytes.alias("pos_bytes"),
+        )
+    )
+    return (
+        rows.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.sum(F.col("doc_bytes") + F.col("pos_bytes"))
+            .cast("long")
+            .alias("varint_bytes"),
+        )
+        .select(
+            "term",
+            "df",
+            "cf",
+            "varint_bytes",
+            (F.lit(8) * (F.col("df") + F.col("cf")))
+            .cast("long")
+            .alias("fixed_bytes"),
+            (
+                F.col("varint_bytes").cast("double")
+                / (F.lit(8) * (F.col("df") + F.col("cf"))).cast("double")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("term")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12175,6 +12261,7 @@ QUERIES = {
     "streaming_session_ttl": streaming_session_ttl,
     "bm25_topk": bm25_topk,
     "quality_gate_agreement": quality_gate_agreement,
+    "inverted_postings_index": inverted_postings_index,
 }
 
 
