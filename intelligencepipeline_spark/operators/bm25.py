@@ -1,0 +1,82 @@
+"""Okapi BM25 scoring in exact integers (see bm25_topk's docstring in
+queries.py for the derivation):
+
+* idf surrogate: milli odds ratio ((2(N-df)+1)*1000 DIV (2df+1)) —
+  monotone in the true log-idf;
+* tf saturation with k1 = 1.2, b = 0.75 and milli-quantized avgdl
+  (A = total_tokens*1000 DIV N): (22000*tf*A) DIV
+  (10*tf*A + 3*A + 9000*dl) — every factor bounded by max doc length;
+* per-term contribution (idf * tf_part) DIV 1000; document score is
+  the integer sum.
+
+Shared by bm25_topk (ranking), wand_pruning_audit (MaxScore/WAND
+upper-bound skipping) and phrase queries. Corpus stats are ONE bounded
+aggregation collect (the range_partition_plan discipline); scoring is
+a pure projection on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ["dup", "vector", "stream"]
+
+
+def bm25_scored(
+    docs: DataFrame,
+    token_col: Column,
+    query_terms: list[str] | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Score EVERY document against ``query_terms``. Returns
+    ``(frame, idf_milli)`` where frame has (doc_id, dl, tf_<t>...,
+    s_<t>... per-term integer contributions, score_milli)."""
+    terms = query_terms if query_terms is not None else QUERY_TERMS
+    base = docs.select("doc_id", token_col.alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).alias("tt"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", t), 1).otherwise(0)
+            ).alias(f"df_{t}")
+            for t in terms
+        ],
+    ).collect()[0]
+    n_docs, tt = int(stats["n"]), int(stats["tt"])
+    avgdl_milli = tt * 1000 // n_docs
+    idf_milli = {
+        t: (2 * (n_docs - int(stats[f"df_{t}"])) + 1) * 1000
+        // (2 * int(stats[f"df_{t}"]) + 1)
+        for t in terms
+    }
+
+    def _eq(term_lit: str):
+        # closure factory: a default-arg lambda would change the HOF
+        # arity to (value, index) — see .claude/skills/verify gotchas
+        return lambda x: x == F.lit(term_lit)
+
+    tf_cols = [
+        F.size(F.filter("toks", _eq(t))).cast("long").alias(f"tf_{t}")
+        for t in terms
+    ]
+    staged = base.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols
+    )
+    s_cols = []
+    score = None
+    for t in terms:
+        s = F.expr(
+            f"CAST(({idf_milli[t]} * ((22000 * tf_{t} * {avgdl_milli}) DIV "
+            f"(10 * tf_{t} * {avgdl_milli} + 3 * {avgdl_milli} "
+            f"+ 9000 * dl))) DIV 1000 AS LONG)"
+        ).alias(f"s_{t}")
+        s_cols.append(s)
+        col = F.col(f"s_{t}")
+        score = col if score is None else score + col
+    scored = staged.select("*", *s_cols).select(
+        "*", score.cast("long").alias("score_milli")
+    )
+    return scored, idf_milli

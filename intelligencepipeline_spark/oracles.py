@@ -6993,3 +6993,107 @@ SELECT term,
     / cast(8 * (count(*) + sum(tf)) as double) AS compression_ratio
 FROM costed GROUP BY term ORDER BY term
 """
+
+# wand_pruning_audit: same bm25 scoring CTEs with per-term
+# contribution columns; theta = min of the exact top-20; per-term
+# upper bounds = corpus max contributions; subset verdicts replayed.
+ORACLES["wand_pruning_audit"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+  WHERE len({_NTOKS}) >= 1
+), stats AS (
+  SELECT count(*) AS n, sum(len(toks)) AS tt,
+    sum(CASE WHEN list_contains(toks, 'dup') THEN 1 ELSE 0 END) AS df_dup,
+    sum(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
+      AS df_vector,
+    sum(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END)
+      AS df_stream
+  FROM base
+), consts AS (
+  SELECT tt * 1000 // n AS a,
+    (2 * (n - df_dup) + 1) * 1000 // (2 * df_dup + 1) AS idf_dup,
+    (2 * (n - df_vector) + 1) * 1000 // (2 * df_vector + 1) AS idf_vector,
+    (2 * (n - df_stream) + 1) * 1000 // (2 * df_stream + 1) AS idf_stream
+  FROM stats
+), tf AS (
+  SELECT b.doc_id, cast(len(b.toks) as bigint) AS dl,
+    cast(len(list_filter(b.toks, x -> x = 'dup')) as bigint) AS tf_dup,
+    cast(len(list_filter(b.toks, x -> x = 'vector')) as bigint)
+      AS tf_vector,
+    cast(len(list_filter(b.toks, x -> x = 'stream')) as bigint)
+      AS tf_stream,
+    c.a, c.idf_dup, c.idf_vector, c.idf_stream
+  FROM base b CROSS JOIN consts c
+), sc AS (
+  SELECT doc_id, tf_dup, tf_vector, tf_stream,
+    (idf_dup * ((22000 * tf_dup * a) //
+      (10 * tf_dup * a + 3 * a + 9000 * dl))) // 1000 AS s_dup,
+    (idf_vector * ((22000 * tf_vector * a) //
+      (10 * tf_vector * a + 3 * a + 9000 * dl))) // 1000 AS s_vector,
+    (idf_stream * ((22000 * tf_stream * a) //
+      (10 * tf_stream * a + 3 * a + 9000 * dl))) // 1000 AS s_stream
+  FROM tf
+), tot AS (
+  SELECT *, s_dup + s_vector + s_stream AS score FROM sc
+), ub AS (
+  SELECT max(s_dup) AS ud, max(s_vector) AS uv, max(s_stream) AS us
+  FROM tot
+), th AS (
+  SELECT min(score) AS th FROM (
+    SELECT score FROM tot ORDER BY score DESC, doc_id LIMIT 20)
+)
+SELECT tf_dup > 0 AS has_dup,
+  tf_vector > 0 AS has_vector,
+  tf_stream > 0 AS has_stream,
+  cast(count(*) as bigint) AS n_docs,
+  cast((CASE WHEN tf_dup > 0 THEN ub.ud ELSE 0 END
+      + CASE WHEN tf_vector > 0 THEN ub.uv ELSE 0 END
+      + CASE WHEN tf_stream > 0 THEN ub.us ELSE 0 END) as bigint)
+    AS ub_sum_milli,
+  (CASE WHEN tf_dup > 0 THEN ub.ud ELSE 0 END
+      + CASE WHEN tf_vector > 0 THEN ub.uv ELSE 0 END
+      + CASE WHEN tf_stream > 0 THEN ub.us ELSE 0 END) < th.th
+    AS skippable,
+  cast(max(score) as bigint) AS max_actual_milli
+FROM tot CROSS JOIN ub CROSS JOIN th
+GROUP BY 1, 2, 3, 5, 6
+ORDER BY 1, 2, 3
+"""
+
+# phrase_match_stats: positional-index phrase intersection replayed —
+# postings of w1 shifted by one intersect postings of w2 per doc.
+ORACLES["phrase_match_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term, t.pos
+  FROM documents,
+  LATERAL (SELECT unnest({_NTOKS}) AS term,
+                  generate_subscripts({_NTOKS}, 1) - 1 AS pos) t
+  WHERE t.term IN ('data', 'stream', 'batch')
+), per AS (
+  SELECT term, doc_id, list_sort(list(pos)) AS ps
+  FROM tok GROUP BY term, doc_id
+), phrases AS (
+  SELECT * FROM (VALUES ('data', 'stream'), ('stream', 'data'),
+                        ('batch', 'batch')) v(w1, w2)
+), m AS (
+  SELECT p.w1 || ' ' || p.w2 AS phrase, a.doc_id,
+    len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps)) AS n_occ
+  FROM phrases p
+  JOIN per a ON a.term = p.w1
+  JOIN per b ON b.term = p.w2 AND b.doc_id = a.doc_id
+), agg AS (
+  SELECT phrase,
+    cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_occ) as bigint) AS n_occurrences,
+    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM m WHERE n_occ > 0 GROUP BY phrase
+)
+SELECT ph.phrase,
+  cast(coalesce(a.n_docs, 0) as bigint) AS n_docs,
+  cast(coalesce(a.n_occurrences, 0) as bigint) AS n_occurrences,
+  cast(coalesce(a.min_doc, -1) as bigint) AS min_doc,
+  cast(coalesce(a.max_doc, -1) as bigint) AS max_doc
+FROM (SELECT w1 || ' ' || w2 AS phrase FROM phrases) ph
+LEFT JOIN agg a USING (phrase)
+ORDER BY ph.phrase
+"""

@@ -11770,57 +11770,25 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two common ones, so idf weighting is actually exercised. Corpus
     stats (N, total tokens, per-term df) are one aggregation collect
     (bounded: 1 row + |query| values — the range_partition_plan
-    discipline); scoring is a pure projection over the scan; top-20
-    is TakeOrdered. The oracle recomputes every constant relationally
-    and replays the integer formulas verbatim."""
-    Q = ["dup", "vector", "stream"]
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokens(normalize_text(F.col("text")))
-    base = docs.select("doc_id", toks.alias("toks")).filter(
-        F.size("toks") >= 1
+    discipline); scoring is a pure projection over the scan
+    (operators/bm25.bm25_scored, shared with wand_pruning_audit);
+    top-20 is TakeOrdered. The oracle recomputes every constant
+    relationally and replays the integer formulas verbatim."""
+    from intelligencepipeline_spark.operators.bm25 import (
+        QUERY_TERMS,
+        bm25_scored,
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size("toks")).alias("tt"),
-        *[
-            F.sum(
-                F.when(F.array_contains("toks", t), 1).otherwise(0)
-            ).alias(f"df_{t}")
-            for t in Q
-        ],
-    ).collect()[0]
-    n_docs, tt = int(stats["n"]), int(stats["tt"])
-    avgdl_milli = tt * 1000 // n_docs
-    idf_milli = {
-        t: (2 * (n_docs - int(stats[f"df_{t}"])) + 1) * 1000
-        // (2 * int(stats[f"df_{t}"]) + 1)
-        for t in Q
-    }
-    dl = F.size("toks")
 
-    def _eq(term_lit: str):
-        # closure factory: a default-arg lambda would change the HOF
-        # arity to (value, index) — see .claude/skills/verify gotchas
-        return lambda x: x == F.lit(term_lit)
-
-    score = None
-    tf_cols = []
-    for t in Q:
-        tf = F.size(F.filter("toks", _eq(t)))
-        tf_cols.append(tf.cast("long").alias(f"tf_{t}"))
-        term = F.expr(
-            f"CAST(({idf_milli[t]} * ((22000 * tf_{t} * {avgdl_milli}) DIV "
-            f"(10 * tf_{t} * {avgdl_milli} + 3 * {avgdl_milli} "
-            f"+ 9000 * dl))) DIV 1000 AS LONG)"
-        )
-        score = term if score is None else score + term
+    docs = _t(spark, sf_dir, "documents")
+    scored, _idf = bm25_scored(
+        docs, tokens(normalize_text(F.col("text")))
+    )
     return (
-        base.select("doc_id", dl.cast("long").alias("dl"), *tf_cols)
-        .select(
+        scored.select(
             "doc_id",
             "dl",
-            *[f"tf_{t}" for t in Q],
-            score.alias("score_milli"),
+            *[f"tf_{t}" for t in QUERY_TERMS],
+            "score_milli",
         )
         .orderBy(F.desc("score_milli"), "doc_id")
         .limit(20)
@@ -11956,6 +11924,166 @@ def inverted_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+def wand_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND / MaxScore UPPER-BOUND PRUNING audit for the bm25_topk
+    query — the reason top-k retrieval is sublinear at 100 TB: a
+    document whose per-term upper bounds sum below the current
+    threshold theta (the exact 20th-best score) can be SKIPPED without
+    scoring (Broder et al. 2003; Turtle & Flood's MaxScore). This
+    entry makes the skip set a hash-checked number: per query-term
+    subset (which of dup/vector/stream the doc contains), the doc
+    count, the subset's upper-bound sum (max per-term contribution
+    over the corpus), and the skippable verdict ub_sum < theta.
+
+    SOUNDNESS is asserted in-entry: the maximum ACTUAL score over all
+    skippable docs is strictly below theta — a pruning rule that
+    could drop a top-k result fails the driver row itself.
+
+    Scale: reuses operators/bm25.bm25_scored (scan-side projection);
+    theta and the 3 per-term bounds are bounded collects; the export
+    is a <= 8-row subset table. The oracle recomputes theta, the
+    bounds, and the verdicts relationally."""
+    from intelligencepipeline_spark.operators.bm25 import (
+        QUERY_TERMS,
+        bm25_scored,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored, _idf = bm25_scored(
+        docs, tokens(normalize_text(F.col("text")))
+    )
+    scored = track_persist(scored)
+    theta = int(
+        scored.orderBy(F.desc("score_milli"), "doc_id")
+        .limit(20)
+        .agg(F.min("score_milli").alias("m"))
+        .collect()[0]["m"]
+    )
+    ubs_row = scored.agg(
+        *[F.max(f"s_{t}").alias(t) for t in QUERY_TERMS]
+    ).collect()[0]
+    ubs = {t: int(ubs_row[t]) for t in QUERY_TERMS}
+    ub_sum = None
+    flags = []
+    for t in QUERY_TERMS:
+        has = (F.col(f"tf_{t}") > 0).alias(f"has_{t}")
+        flags.append(has)
+        contrib = F.when(F.col(f"tf_{t}") > 0, ubs[t]).otherwise(0)
+        ub_sum = contrib if ub_sum is None else ub_sum + contrib
+    subsets = (
+        scored.select(
+            *flags,
+            ub_sum.cast("long").alias("ub_sum_milli"),
+            "score_milli",
+        )
+        .groupBy(
+            *[f"has_{t}" for t in QUERY_TERMS], "ub_sum_milli"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("score_milli").alias("max_actual_milli"),
+        )
+        .select(
+            *[f"has_{t}" for t in QUERY_TERMS],
+            "n_docs",
+            "ub_sum_milli",
+            (F.col("ub_sum_milli") < theta).alias("skippable"),
+            "max_actual_milli",
+        )
+        .orderBy(*[f"has_{t}" for t in QUERY_TERMS])
+    )
+    # soundness: no skippable subset can reach the top-20 threshold
+    bad = subsets.filter(
+        F.col("skippable") & (F.col("max_actual_milli") >= theta)
+    ).count()
+    assert bad == 0, "WAND upper bound would have pruned a top-k doc"
+    return subsets
+
+
+def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE QUERIES over the positional index — the operation the
+    positions in inverted_postings_index exist for: for each fixed
+    2-token phrase, intersect the first term's positions SHIFTED BY
+    ONE with the second term's positions per document (Lucene's
+    exact-phrase algorithm), and export per-phrase document frequency,
+    occurrence count, and the doc-id range.
+
+    LOSSLESS in-entry assert: the positional-intersection counts
+    equal an independent scan-side bigram count (zip_with over
+    adjacent tokens) — the two algorithms must agree occurrence for
+    occurrence or the driver row fails.
+
+    Scale: the postings gather is the same (term, doc_id) agg the
+    index build uses, FILTERED to the phrase's terms before the
+    gather (predicate on the exploded term — only matching postings
+    shuffle); the per-phrase join is doc_id-keyed. The oracle replays
+    gather, shift, and intersection."""
+    PHRASES = [("data", "stream"), ("stream", "data"), ("batch", "batch")]
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    wanted = sorted({w for p in PHRASES for w in p})
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(toks).alias("pos", "term")
+        ).filter(F.col("term").isin(*wanted))
+    )
+    per = tok.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    per = track_persist(per)
+    out = None
+    for w1, w2 in PHRASES:
+        a = per.filter(F.col("term") == w1).select(
+            "doc_id", F.col("ps").alias("ps1")
+        )
+        b = per.filter(F.col("term") == w2).select(
+            "doc_id", F.col("ps").alias("ps2")
+        )
+        matches = a.join(b, "doc_id").select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform("ps1", lambda p: p + 1), F.col("ps2")
+                )
+            ).alias("n_occ"),
+        ).filter(F.col("n_occ") > 0)
+        row = matches.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_occ"), F.lit(0))
+            .cast("long")
+            .alias("n_occurrences"),
+            F.coalesce(F.min("doc_id"), F.lit(-1)).alias("min_doc"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc"),
+        ).select(F.lit(f"{w1} {w2}").alias("phrase"), "*")
+        out = row if out is None else out.unionByName(row)
+
+    # independent scan-side bigram recount must agree exactly
+    bg = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bigram")
+    )
+    recount = {
+        r["bigram"]: int(r["n"])
+        for r in bg.filter(
+            F.col("bigram").isin(*[f"{a} {b}" for a, b in PHRASES])
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out.collect():
+        assert int(r["n_occurrences"]) == recount.get(r["phrase"], 0), (
+            r["phrase"],
+            recount,
+        )
+    return out.orderBy("phrase")
 
 
 # Registry order is driver-visible: the correctness gate checks the
@@ -12262,6 +12390,8 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "quality_gate_agreement": quality_gate_agreement,
     "inverted_postings_index": inverted_postings_index,
+    "wand_pruning_audit": wand_pruning_audit,
+    "phrase_match_stats": phrase_match_stats,
 }
 
 

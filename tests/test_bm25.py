@@ -64,3 +64,44 @@ def test_bm25_plan_scan_side(spark):
     assert not a.cartesian
     assert a.reads_only("doc_id", "text"), a.read_schemas
     assert not a.has_single_partition_exchange, a.plan[:1500]
+
+
+def test_wand_bounds_sound_and_tight(spark):
+    """Upper bounds dominate every member's actual score; at least one
+    subset is skippable (pruning does something) and the full-query
+    subset is not (it contains the top docs)."""
+    from intelligencepipeline_spark.queries import wand_pruning_audit
+
+    rows = wand_pruning_audit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["max_actual_milli"] <= r["ub_sum_milli"]
+    assert any(r["skippable"] for r in rows)
+    full = [r for r in rows if r["has_dup"] and r["has_vector"] and r["has_stream"]]
+    assert full and not full[0]["skippable"]
+
+
+def test_phrase_matches_brute_force(spark):
+    from intelligencepipeline_spark.queries import phrase_match_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    got = {r["phrase"]: r for r in phrase_match_stats(spark, SF).collect()}
+    for w1, w2 in [("data", "stream"), ("stream", "data"), ("batch", "batch")]:
+        per_doc = {
+            d: sum(
+                1
+                for i in range(len(t) - 1)
+                if t[i] == w1 and t[i + 1] == w2
+            )
+            for d, t in raw.items()
+        }
+        hits = {d: n for d, n in per_doc.items() if n > 0}
+        r = got[f"{w1} {w2}"]
+        assert r["n_docs"] == len(hits)
+        assert r["n_occurrences"] == sum(hits.values())
+        assert r["min_doc"] == (min(hits) if hits else -1)
+        assert r["max_doc"] == (max(hits) if hits else -1)
