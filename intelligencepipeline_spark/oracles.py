@@ -7097,3 +7097,29 @@ FROM (SELECT w1 || ' ' || w2 AS phrase FROM phrases) ph
 LEFT JOIN agg a USING (phrase)
 ORDER BY ph.phrase
 """
+
+# streaming_postings_ingest: per-bucket stats from a relational
+# one-shot index build (md5-derived term buckets); the lossless flag
+# is pinned TRUE — the Spark side's streamed-vs-oneshot digest assert
+# fails the row before the compare if the append loop drifts.
+ORACLES["streaming_postings_ingest"] = f"""
+WITH tok AS (
+  SELECT doc_id, t.term, t.pos
+  FROM documents,
+  LATERAL (SELECT unnest({_NTOKS}) AS term,
+                  generate_subscripts({_NTOKS}, 1) - 1 AS pos) t
+), per AS (
+  SELECT term, doc_id, count(*) AS n_pos
+  FROM tok GROUP BY term, doc_id
+), bucketed AS (
+  SELECT cast(concat('0x', substr(md5(term), 1, 2)) as bigint) % 8
+      AS bucket, term, doc_id, n_pos
+  FROM per
+)
+SELECT bucket,
+  cast(count(DISTINCT term) as bigint) AS n_terms,
+  cast(count(*) as bigint) AS n_postings,
+  cast(sum(n_pos) as bigint) AS n_positions,
+  true AS lossless
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""

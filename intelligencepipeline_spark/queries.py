@@ -12086,6 +12086,121 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("phrase")
 
 
+def streaming_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INCREMENTAL INDEX INGEST — the operational loop for
+    the lexical index, mirroring streaming_ivfpq_ingest for ANN:
+    documents arrive in TWO micro-batches (doc_id parity split,
+    maxFilesPerTrigger=1); each batch's positional postings
+    (term, doc_id, sorted positions) append to a parquet index
+    PARTITIONED BY an md5-derived term bucket (engine-portable hash,
+    8 buckets = the shard key a distributed index routes queries by).
+    Append-only is correct here because micro-batches partition the
+    doc space — no posting is ever rewritten (the Lucene
+    segment-append argument).
+
+    LOSSLESS in-entry assert: the read-back index digests equal to a
+    one-shot batch index build over the full corpus (md5 over sorted
+    (term, doc_id, positions) signatures); n_batches == 2 is also
+    asserted. Export: per-bucket term/posting/position counts plus
+    the pinned lossless flag — the shard-balance numbers an index
+    deployment monitors.
+
+    Scale: per batch, only the touched bucket partitions receive one
+    writer file; the probe side prunes by bucket directory. The
+    oracle recomputes the per-bucket stats relationally and pins
+    lossless TRUE (the Spark-side assert fails the row first)."""
+    import os
+    import shutil as _sh
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = scratch_dir("ip_spost_src_")
+    stage = scratch_dir("ip_spost_stage_")
+    for b in range(2):
+        d = os.path.join(stage, f"b{b}")
+        docs.filter(F.col("doc_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+    index_dir = scratch_dir("ip_spost_idx_")
+
+    def _postings(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            "doc_id",
+            F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+                "pos", "term"
+            ),
+        )
+        return tok.groupBy("term", "doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("ps")
+        ).select(
+            "term",
+            "doc_id",
+            "ps",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast(
+                    "long"
+                )
+                % 8
+            ).alias("bucket"),
+        )
+
+    batch_ids: list[int] = []
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        _postings(batch_df).coalesce(1).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(index_dir)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_append)
+        .option("checkpointLocation", scratch_dir("ip_spost_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "streaming postings ingest hung"
+    assert len(batch_ids) == 2, batch_ids
+
+    index = spark.read.parquet(index_dir)
+    sig = F.concat_ws(
+        ":",
+        F.col("term"),
+        F.col("doc_id").cast("string"),
+        F.concat_ws(",", F.col("ps")),
+        F.col("bucket").cast("string"),
+    )
+    digest = F.md5(F.array_join(F.array_sort(F.collect_list(sig)), "|"))
+    chk = (
+        index.agg(digest.alias("d"))
+        .crossJoin(_postings(docs).agg(digest.alias("d2")))
+        .collect()[0]
+    )
+    assert chk["d"] == chk["d2"], "streamed index != one-shot build"
+    return (
+        index.groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum(F.size("ps")).cast("long").alias("n_positions"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_terms",
+            "n_postings",
+            "n_positions",
+            F.lit(True).alias("lossless"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12107,15 +12222,17 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r05/r06, e.g. ann_ivf_topk, are skipped as no longer stalest).
 # After r07 the driver union is 255/255 over the pre-r07 registry.
 #
-# PLANNED r08 WINDOW: the 8 (b10) r07 additions (registered at the
+# PLANNED r08 WINDOW: the 12 (b10) r07 additions (registered at the
 # END of this dict, after the r04 block: ngram_lm_perplexity_gate,
 # sft_turn_audit, sft_loss_mask_spans, preference_pair_dedup,
 # image_text_pair_gate, streaming_session_ttl, bm25_topk,
-# quality_gate_agreement — never driver-checked) lead, padded to 50
-# with the 5 remaining r02-freshest rows in CORRECTNESS_r02 order
-# (datarecords_snapshot, streaming_session_windows,
-# streaming_stateful_stats, corpus_prep_pipeline, repetition_filter)
-# and then the 37 oldest r03-window rows in CORRECTNESS_r03 order.
+# quality_gate_agreement, inverted_postings_index, wand_pruning_audit,
+# phrase_match_stats, streaming_postings_ingest — never
+# driver-checked) lead, padded to 50 with the 5 remaining r02-freshest
+# rows in CORRECTNESS_r02 order (datarecords_snapshot,
+# streaming_session_windows, streaming_stateful_stats,
+# corpus_prep_pipeline, repetition_filter) and then the 33 oldest
+# r03-window rows in CORRECTNESS_r03 order.
 QUERIES = {
     # ==== r07 driver window: positions 1-50 ===========================
     # -- (b9): the 16 never-driver-checked r06 additions lead ----------
@@ -12392,6 +12509,7 @@ QUERIES = {
     "inverted_postings_index": inverted_postings_index,
     "wand_pruning_audit": wand_pruning_audit,
     "phrase_match_stats": phrase_match_stats,
+    "streaming_postings_ingest": streaming_postings_ingest,
 }
 
 

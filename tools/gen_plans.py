@@ -119,6 +119,9 @@ HEADLINE = [
     ("image_text_pair_gate", "dhash decode lane + simhash, doc_id-keyed pairs, source agg"),
     ("bm25_topk", "integer BM25 rides the scan; bounded stats collect; TakeOrdered top-k"),
     ("quality_gate_agreement", "two gates co-keyed on doc_id -> bounded contingency agg"),
+    ("inverted_postings_index", "(term,doc) positional gather + term-keyed gap window + term agg"),
+    ("wand_pruning_audit", "scored scan persisted; bounded theta/UB collects; 8-row subset agg"),
+    ("phrase_match_stats", "term-filtered postings gather; doc_id-keyed phrase joins"),
 ]
 
 
