@@ -1,0 +1,74 @@
+"""Property tests for the round-7 operators: histogram ranks vs global
+windows over arbitrary tied data, the integer ntile formula over
+arbitrary (n_rows, n_tiles), and the LEB128 width formula against a
+real varint encoder."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.dist_rank import (
+    ntile_from_rank,
+    rank_by_histogram,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+    descending=st.booleans(),
+)
+def test_histogram_rank_equals_global_window(spark, values, descending):
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got, total = rank_by_histogram(df, "v", "id", "r", descending=descending)
+    order = (
+        Window.orderBy(F.desc("v"), "id")
+        if descending
+        else Window.orderBy("v", "id")
+    )
+    want = df.select(
+        "id", F.row_number().over(order).cast("long").alias("r")
+    )
+    assert total == len(values)
+    assert sorted(map(tuple, got.select("id", "r").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n_rows=st.integers(min_value=1, max_value=200),
+    n_tiles=st.integers(min_value=1, max_value=12),
+)
+def test_ntile_formula_property(spark, n_rows, n_tiles):
+    df = spark.range(1, n_rows + 1).select(F.col("id").alias("r"))
+    got = df.select("r", ntile_from_rank("r", n_rows, n_tiles).alias("b"))
+    want = df.select(
+        "r",
+        F.ntile(n_tiles).over(Window.orderBy("r")).cast("long").alias("b"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def _leb128_len(v: int) -> int:
+    """Length of the actual unsigned LEB128 encoding."""
+    n = 0
+    while True:
+        n += 1
+        v >>= 7
+        if v == 0:
+            return n
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=300, deadline=None)
+def test_varint_width_formula(v):
+    """The postings-index byte cost greatest(1, (bitlen+6) DIV 7)
+    equals the real LEB128 width for every non-negative value."""
+    bitlen = len(bin(v)) - 2 if v > 0 else 1
+    formula = max(1, (bitlen + 6) // 7)
+    assert formula == _leb128_len(v), v
