@@ -744,3 +744,84 @@ def dhash_images(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.select("doc_id", media_col).mapInPandas(
         batches, "doc_id long, width long, height long, dhash long"
     )
+
+
+def vad_segments(
+    df: DataFrame,
+    media_col: str = "media",
+    frame_samples: int = 8,
+    threshold: int = 2_860_000_000,
+) -> DataFrame:
+    """ENERGY-BASED VOICE-ACTIVITY SEGMENTATION over decoded WAV audio
+    — the pre-ASR gate an audio training pipeline runs before paying
+    for transcription: PCM16 samples are framed, each frame's exact
+    integer energy (sum of squared samples) is thresholded, and
+    consecutive active frames merge into speech segments
+    (gaps-and-islands over the frame index).
+
+    Runs in the SAME mapInPandas lane as the other codecs: the REAL
+    pure-stdlib RIFF walker decodes each blob; framing, energy and
+    segmentation are exact integer arithmetic on bounded per-doc
+    state (n_frames rows), so the DuckDB oracle replays them
+    relationally. Swap the deterministic fixture for real audio and
+    the operator is production VAD (energy thresholding is the
+    classic first-pass detector; plug a model into the same lane for
+    a learned one).
+
+    Output: (doc_id, n_frames, n_active, n_segments, longest_segment,
+    energy_total).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    _rate, _ch, samples = decode_wav(b)
+                except ValueError:
+                    out.append((doc_id, 0, 0, 0, 0, 0))
+                    continue
+                n_frames = len(samples) // frame_samples
+                energies = [
+                    sum(
+                        int(s) * int(s)
+                        for s in samples[
+                            f * frame_samples : (f + 1) * frame_samples
+                        ]
+                    )
+                    for f in range(n_frames)
+                ]
+                active = [e > threshold for e in energies]
+                n_segments, longest, run = 0, 0, 0
+                for a in active:
+                    if a:
+                        run += 1
+                        if run == 1:
+                            n_segments += 1
+                        longest = max(longest, run)
+                    else:
+                        run = 0
+                out.append(
+                    (
+                        doc_id,
+                        n_frames,
+                        sum(active),
+                        n_segments,
+                        longest,
+                        sum(energies),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "n_active", "n_segments",
+                    "longest_segment", "energy_total",
+                ],
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(
+        batches,
+        "doc_id long, n_frames long, n_active long, n_segments long,"
+        " longest_segment long, energy_total long",
+    )

@@ -7123,3 +7123,57 @@ SELECT bucket,
   true AS lossless
 FROM bucketed GROUP BY bucket ORDER BY bucket
 """
+
+# audio_vad_segments: signed PCM16 samples re-derived from the 8 md5
+# blocks (lo + 256*hi - 65536*[hi>=128]), framed by k//8, exact
+# integer energies thresholded at 2.86e9, runs merged by
+# gaps-and-islands over the frame index.
+ORACLES["audio_vad_segments"] = """
+WITH hexes AS (
+  SELECT doc_id,
+    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+      || md5(text || 'd') || md5(text || 'e') || md5(text || 'f')
+      || md5(text || 'g') AS hx
+  FROM documents
+), smp AS (
+  SELECT h.doc_id, k.k,
+    cast(concat('0x', substr(h.hx, 2 * (2 * k.k) + 1, 2)) as bigint)
+      + 256 * cast(concat('0x', substr(h.hx, 2 * (2 * k.k + 1) + 1, 2))
+                   as bigint)
+      - CASE WHEN cast(concat('0x',
+          substr(h.hx, 2 * (2 * k.k + 1) + 1, 2)) as bigint) >= 128
+        THEN 65536 ELSE 0 END AS s
+  FROM hexes h, (SELECT unnest(range(0, 64)) AS k) k
+), fr AS (
+  SELECT doc_id, k // 8 AS f, sum(s * s) AS energy
+  FROM smp GROUP BY doc_id, k // 8
+), act AS (
+  SELECT doc_id, f, energy, energy > 2860000000 AS active
+  FROM fr
+), marked AS (
+  SELECT *, CASE WHEN active AND NOT coalesce(lag(active) OVER (
+      PARTITION BY doc_id ORDER BY f), false) THEN 1 ELSE 0 END AS st
+  FROM act
+), seg AS (
+  SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY f
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM marked
+), runs AS (
+  SELECT doc_id, seg_id, count(*) AS run_len
+  FROM seg WHERE active GROUP BY doc_id, seg_id
+)
+SELECT a.doc_id,
+  cast(count(*) as bigint) AS n_frames,
+  cast(sum(CASE WHEN a.active THEN 1 ELSE 0 END) as bigint) AS n_active,
+  cast(coalesce(max(r.n_segments), 0) as bigint) AS n_segments,
+  cast(coalesce(max(r.longest), 0) as bigint) AS longest_segment,
+  cast(sum(CASE WHEN a.active THEN 1 ELSE 0 END) * 1000
+       // greatest(count(*), 1) as bigint) AS active_milli,
+  cast(sum(a.energy) as bigint) AS energy_total
+FROM act a
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_segments, max(run_len) AS longest
+  FROM runs GROUP BY doc_id
+) r ON r.doc_id = a.doc_id
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""

@@ -553,3 +553,41 @@ def test_image_text_pair_gate_consistency(spark):
         assert 0 <= r["n_kept"] <= r["n_pairs"]
         assert r["survival_milli"] == r["n_kept"] * 1000 // r["n_pairs"]
         assert -1000 <= r["mean_align_milli"] <= 1000
+
+
+def test_vad_segments_brute_force(spark):
+    """VAD framing/energy/segmentation vs a pure-Python replay of the
+    same fixture."""
+    import hashlib
+    import struct
+
+    from intelligencepipeline_spark.queries import audio_vad_segments
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r for r in audio_vad_segments(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in list(texts.items())[:100]:
+        data = b"".join(
+            hashlib.md5((text + s).encode()).digest()
+            for s in ["", "a", "b", "c", "d", "e", "f", "g"]
+        )
+        samples = [
+            struct.unpack_from("<h", data, 2 * k)[0] for k in range(64)
+        ]
+        energies = [
+            sum(x * x for x in samples[8 * f : 8 * f + 8]) for f in range(8)
+        ]
+        active = [e > 2_860_000_000 for e in energies]
+        n_seg, longest, run = 0, 0, 0
+        for a in active:
+            run = run + 1 if a else 0
+            if run == 1:
+                n_seg += 1
+            longest = max(longest, run)
+        r = got[doc_id]
+        assert r["n_frames"] == 8
+        assert r["n_active"] == sum(active)
+        assert r["n_segments"] == n_seg
+        assert r["longest_segment"] == longest
+        assert r["energy_total"] == sum(energies)
