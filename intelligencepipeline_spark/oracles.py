@@ -7177,3 +7177,73 @@ LEFT JOIN (
 ) r ON r.doc_id = a.doc_id
 GROUP BY a.doc_id ORDER BY a.doc_id
 """
+
+# subject_access_report: per-subject footprint across events/orders/
+# lineitem with exact cents; full-outer legs coalesced to 0 sentinels.
+ORACLES["subject_access_report"] = """
+WITH ev AS (
+  SELECT user_id,
+    cast(count(*) as bigint) AS n_events,
+    cast(min(floor(epoch(ts))) as bigint) AS first_event_epoch,
+    cast(max(floor(epoch(ts))) as bigint) AS last_event_epoch,
+    cast(count(DISTINCT event_type) as bigint) AS n_event_types,
+    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint))
+         as bigint) AS event_value_cents
+  FROM events WHERE user_id % 100 = 7 GROUP BY user_id
+), o AS (
+  SELECT o_custkey AS user_id,
+    cast(count(*) as bigint) AS n_orders,
+    cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint))
+         as bigint) AS order_cents
+  FROM orders WHERE o_custkey % 100 = 7 GROUP BY o_custkey
+), li AS (
+  SELECT o_custkey AS user_id, cast(count(*) as bigint) AS n_lineitems
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_custkey % 100 = 7 GROUP BY o_custkey
+)
+SELECT coalesce(ev.user_id, o.user_id, li.user_id) AS subject_id,
+  coalesce(n_events, 0) AS n_events,
+  coalesce(first_event_epoch, 0) AS first_event_epoch,
+  coalesce(last_event_epoch, 0) AS last_event_epoch,
+  coalesce(n_event_types, 0) AS n_event_types,
+  coalesce(event_value_cents, 0) AS event_value_cents,
+  coalesce(n_orders, 0) AS n_orders,
+  coalesce(order_cents, 0) AS order_cents,
+  coalesce(n_lineitems, 0) AS n_lineitems
+FROM ev
+FULL OUTER JOIN o USING (user_id)
+FULL OUTER JOIN li USING (user_id)
+ORDER BY subject_id
+"""
+
+# epoch_shuffle_audit: ranks replayed as global row_number over
+# (16-bit md5 bucket, doc_id) — the oracle may sort globally, the
+# Spark side proves the histogram-rank decomposition.
+ORACLES["epoch_shuffle_audit"] = """
+WITH keyed AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar) || '#e1'), 1, 4))
+      as bigint) AS k1,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar) || '#e2'), 1, 4))
+      as bigint) AS k2
+  FROM documents
+), ranked AS (
+  SELECT doc_id,
+    cast(row_number() OVER (ORDER BY k1, doc_id) as bigint) AS r1,
+    cast(row_number() OVER (ORDER BY k2, doc_id) as bigint) AS r2
+  FROM keyed
+), disp AS (
+  SELECT doc_id, abs(r1 - r2) AS d,
+    (SELECT count(*) FROM keyed) AS n
+  FROM ranked
+), summary AS (
+  SELECT max(d) AS max_d, sum(d) * 1000 // max(n) AS mean_milli
+  FROM disp
+)
+SELECT least(9, (d * 10) // n) AS disp_decile,
+  cast(count(*) as bigint) AS n_docs,
+  cast(s.max_d as bigint) AS max_displacement,
+  cast(s.mean_milli as bigint) AS mean_displacement_milli
+FROM disp CROSS JOIN summary s
+GROUP BY 1, 3, 4 ORDER BY 1
+"""
