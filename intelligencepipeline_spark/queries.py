@@ -12409,29 +12409,24 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After r06 the driver union is 239/239: every entry registered
 # before r06 has a green driver row; zero wrong answers in six rounds.
 #
-# This r07 ordering executes the rotation planned in the r06 comment
-# and ordered by the r06 verdict: the 16 (b9) r06 additions
-# (unigram_train .. aqe_skew_join_proof, never driver-checked) lead,
-# padded to 50 with the 34 next-oldest r02-window rows in
-# CORRECTNESS_r02 order (ner_entities .. side_effect_sink) —
-# "next-oldest" = freshest driver row is still r02 (rows re-proved in
-# r05/r06, e.g. ann_ivf_topk, are skipped as no longer stalest).
-# After r07 the driver union is 255/255 over the pre-r07 registry.
-#
-# PLANNED r08 WINDOW: the 12 (b10) r07 additions (registered at the
-# END of this dict, after the r04 block: ngram_lm_perplexity_gate,
-# sft_turn_audit, sft_loss_mask_spans, preference_pair_dedup,
-# image_text_pair_gate, streaming_session_ttl, bm25_topk,
-# quality_gate_agreement, inverted_postings_index, wand_pruning_audit,
-# phrase_match_stats, streaming_postings_ingest — never
-# driver-checked) lead, padded to 50 with the 5 remaining r02-freshest
-# rows in CORRECTNESS_r02 order (datarecords_snapshot,
-# streaming_session_windows, streaming_stateful_stats,
-# corpus_prep_pipeline, repetition_filter) and then the 33 oldest
-# r03-window rows in CORRECTNESS_r03 order.
+# The r07 session planned a rotation assuming the r06-planned r07
+# driver run would land; no CORRECTNESS_r07 artifact ever arrived, so
+# the 16 (b9) entries that led the r07 window are still (as far as the
+# committed artifacts show) never driver-checked. The r08 ordering
+# below therefore leads with ALL 31 never-driver-checked entries —
+# 16 (b9) + 12 (b10) + 3 (b11) — padded to 50 with the 19 stalest
+# (freshest driver row = r02) rows in CORRECTNESS_r02 order. This is
+# correct under either history: if the r07 run did happen, the b9 and
+# r02 rows are harmless re-proofs; if it did not, every never-checked
+# entry gets its first driver row.
 QUERIES = {
-    # ==== r07 driver window: positions 1-50 ===========================
-    # -- (b9): the 16 never-driver-checked r06 additions lead ----------
+    # ==== r08 driver window: positions 1-50 ===========================
+    # The r07 driver correctness run never landed (no CORRECTNESS_r07
+    # artifact), so ALL 31 never-driver-checked entries lead this
+    # window: the 16 b9 (r06 additions), the 12 b10 (r07 additions),
+    # and the 3 b11 (r07 late additions) — correct whether or not the
+    # r07 run happened (b9 rows would merely be re-proofs).
+    # -- (b9): r06 additions ------------------------------------------
     "unigram_train": unigram_train_q,
     "unigram_encode_stats": unigram_encode_stats,
     "streaming_ivfpq_ingest": streaming_ivfpq_ingest,
@@ -12448,10 +12443,27 @@ QUERIES = {
     "zorder_prune_audit": zorder_prune_audit,
     "streaming_drift_monitor": streaming_drift_monitor,
     "aqe_skew_join_proof": aqe_skew_join_proof,
-    # -- next-oldest r02-window rows, CORRECTNESS_r02 order (34 pad):
-    #    stalest-rows-first re-proof policy; after this window the only
-    #    entries whose freshest driver row is r02 are the 5 listed in
-    #    the PLANNED r08 WINDOW comment above. ------------------------
+    # -- (b10): r07 additions -----------------------------------------
+    "ngram_lm_perplexity_gate": ngram_lm_perplexity_gate,
+    "sft_turn_audit": sft_turn_audit,
+    "sft_loss_mask_spans": sft_loss_mask_spans,
+    "preference_pair_dedup": preference_pair_dedup,
+    "image_text_pair_gate": image_text_pair_gate,
+    "streaming_session_ttl": streaming_session_ttl,
+    "bm25_topk": bm25_topk,
+    "quality_gate_agreement": quality_gate_agreement,
+    "inverted_postings_index": inverted_postings_index,
+    "wand_pruning_audit": wand_pruning_audit,
+    "phrase_match_stats": phrase_match_stats,
+    "streaming_postings_ingest": streaming_postings_ingest,
+    # -- (b11): r07 late additions ------------------------------------
+    "audio_vad_segments": audio_vad_segments,
+    "subject_access_report": subject_access_report,
+    "epoch_shuffle_audit": epoch_shuffle_audit,
+    # -- 19 stalest rows (freshest driver row = r02), CORRECTNESS_r02
+    #    order, pad to 50. After this window the stalest queue is the
+    #    20 remaining r02-fresh rows then the r03 window (see PLANNED
+    #    r09 WINDOW below). ---------------------------------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
     "pos_tag_counts": pos_tag_counts,
@@ -12471,6 +12483,14 @@ QUERIES = {
     "streaming_consolidation": streaming_consolidation,
     "dedup_survivor_docs": dedup_survivor_docs,
     "profile_columns": profile_columns,
+    # ==== end of r08 driver window (position 50) ======================
+    # PLANNED r09 WINDOW: any b12 entries added in r08 lead (registered
+    # at the END of this dict), then the 20 remaining r02-fresh rows in
+    # CORRECTNESS_r02 order (deterministic_sample .. repetition_filter),
+    # then the oldest r03-window rows in CORRECTNESS_r03 order
+    # (streaming_join_proof, streaming_restart_exactly_once, ...) up to
+    # 50.
+    # -- remaining entries, prior registration order -------------------
     "deterministic_sample": deterministic_sample,
     "q9_product_profit": q9_product_profit,
     "q13_customer_distribution": q13_customer_distribution,
@@ -12486,8 +12506,6 @@ QUERIES = {
     "chunk_metadata_enrichment": chunk_metadata_enrichment,
     "proposer_max_score": proposer_max_score,
     "side_effect_sink": side_effect_sink,
-    # ==== end of r07 driver window (position 50) ======================
-    # -- remaining entries, prior registration order -------------------
     "png_decode_stats": png_decode_stats,
     "ivfpq_ann_topk": ivfpq_ann_topk,
     "ivfpq_residual_topk": ivfpq_residual_topk,
@@ -12693,23 +12711,8 @@ QUERIES = {
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
-    # -- (b10) new in r07: never driver-checked — lead the r08 window --
-    "ngram_lm_perplexity_gate": ngram_lm_perplexity_gate,
-    "sft_turn_audit": sft_turn_audit,
-    "sft_loss_mask_spans": sft_loss_mask_spans,
-    "preference_pair_dedup": preference_pair_dedup,
-    "image_text_pair_gate": image_text_pair_gate,
-    "streaming_session_ttl": streaming_session_ttl,
-    "bm25_topk": bm25_topk,
-    "quality_gate_agreement": quality_gate_agreement,
-    "inverted_postings_index": inverted_postings_index,
-    "wand_pruning_audit": wand_pruning_audit,
-    "phrase_match_stats": phrase_match_stats,
-    "streaming_postings_ingest": streaming_postings_ingest,
-    "audio_vad_segments": audio_vad_segments,
-    "subject_access_report": subject_access_report,
-    "epoch_shuffle_audit": epoch_shuffle_audit,
 }
+
 
 
 def _with_cache_release(fn):
