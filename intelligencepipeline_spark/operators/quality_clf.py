@@ -1,0 +1,232 @@
+"""Trained document-quality classifier (fastText-style, hash-exact).
+
+The production pattern behind GPT-3/LLaMA data curation is a LINEAR
+classifier over hashed bag-of-words features (fastText; Joulin et al.
+2016) trained to imitate a trusted quality signal, then run over the
+whole crawl because it is orders of magnitude cheaper than the signal
+it imitates. This module is that pattern re-expressed Spark-first with
+the repo's integer-surrogate discipline: a MULTINOMIAL NAIVE BAYES
+classifier (the closed-form member of the linear-classifier family —
+its decision function is exactly a linear score over bag-of-features
+counts, McCallum & Nigam 1998) over HASHED CHARACTER-TRIGRAM buckets
+(fastText's subword features + its hashing trick: char n-grams of
+``^token$`` carry word length, symbol content, and stopword identity
+— the aspects quality rules actually measure, where bare token
+identity is topical and carries almost none of it), trained on the
+Gopher rule gate's keep/drop labels over the even-doc_id split and
+scored over every document.
+
+Exactness: all training state is integer counts; per-token class cost
+is a QUARTER-BIT fixed-point log2 surrogate (finer than the whole-bit
+bitlen ladder of operators/ngram_lm.py — NB decisions sum many small
+log-ratios, and whole-bit quantization was measured to eat the signal
+entirely): the add-one-smoothed probability is floored to 15-bit fixed
+point, raised to the 4th power, and its binary length read off —
+
+    p15        = ((cnt + 1) * 32768) DIV (tot + B)
+    qbits(p15) = 64 - bitlen(p15^4)        # ~4 * (15 - log2 p15) + 3
+
+which is exact integer arithmetic in any engine and OVERFLOW-SAFE AT
+ANY CORPUS SCALE because p15 < 2^15 is bounded regardless of count
+magnitudes (p15^4 < 2^60; the pre-division product cnt*32768 holds to
+cnt ~ 2.8e14 tokens per class — beyond a 100 TB corpus). Token cost
+for class c uses (cnt[b,c], tot_c, B); the class prior uses
+(N_c, N, 2). A document's class score is the exact integer sum of
+quarter-bits; predict keep iff ``qbits_keep <= qbits_drop`` (ties
+keep — surprisal is cost, lower wins).
+
+Scale shape: ONE token fan-out rides the scan; training counts are a
+map-side-combinable groupBy over the bounded (bucket, class) domain
+(2B rows); scoring joins are ONE broadcast join against the B-row
+model table plus one 1-row broadcast of the totals; per-doc scores
+are one doc-keyed agg. No cartesian, no Python stage, no global
+window — at 100 TB the model table is still B rows.
+
+Reference parity: the reference's quality surface is MaxScore/NoScore
+fact evaluation (interfaces.kt:30-60); the trained classifier extends
+it per SURVEY.md §2.9 (LLM-training-data operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bitlen(c: Column) -> Column:
+    """floor(log2(c)) + 1 for positive integers, exact (binary length)."""
+    return F.length(F.bin(c))
+
+
+def _qbits(cnt_expr: str, tot_expr: str, smooth: int) -> str:
+    """SQL expression: quarter-bit surprisal of the add-one-smoothed
+    probability (cnt+1)/(tot+smooth) — see module docstring. Exact
+    integer DIV (the bm25/dist_rank idiom: float floor-division
+    rounds differently across engines)."""
+    p = f"((({cnt_expr}) + 1) * 32768) DIV (({tot_expr}) + {smooth})"
+    return (
+        f"CAST(64 - length(bin(({p}) * ({p}) * ({p}) * ({p}))) AS LONG)"
+    )
+
+
+def hash_bucket(tok: Column, n_buckets: int) -> Column:
+    """Hashing-trick feature bucket: first 8 md5 hex chars as an
+    unsigned int, mod n_buckets (portable: conv(substr(md5)) ==
+    DuckDB's 0x-cast; same idiom as operators/sft.py roles)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def char_trigram_features(token_col: Column) -> Column:
+    """fastText-style subword features: for each token, the character
+    trigrams of ``^token$`` (boundary-marked, so short tokens and
+    affixes are distinct features); flattened per document. HOF
+    reference form — kept for tests/small frames; the scoring hot
+    path uses the regexp form below (HOF lambdas are CodegenFallback
+    and ran ~10x slower, the r07 preference_pair_dedup lesson)."""
+    return F.flatten(
+        F.transform(
+            token_col,
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.concat(F.lit("^"), t, F.lit("$")).substr(
+                    i, F.lit(3)
+                ),
+            ),
+        )
+    )
+
+
+# Overlapping trigrams of ^tok$ in ONE JVM regex call (lookahead
+# group): byte-identical to char_trigram_features per token, pinned
+# in tests/test_quality_clf.py.
+_TRIGRAM_RE = r"(?=(.{3}))"
+
+
+def nb_train_score(
+    docs: DataFrame,
+    token_col: Column,
+    label_col: Column,
+    train_filter: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Train hashed-bucket multinomial NB over char-trigram features
+    of ``token_col`` (array<string>) on ``docs`` rows matching
+    ``train_filter`` with boolean ``label_col`` as the keep label;
+    score EVERY doc. Returns per-doc (doc_id, n_feats, bits_keep,
+    bits_drop, margin_bits, nb_keep, label_keep, agree)."""
+    base = docs.select(
+        "doc_id",
+        token_col.alias("toks"),
+        label_col.alias("label_keep"),
+        train_filter.alias("is_train"),
+    )
+    toks = (
+        base.select(
+            "doc_id",
+            "label_keep",
+            "is_train",
+            F.explode("toks").alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "label_keep",
+            "is_train",
+            F.explode(
+                F.regexp_extract_all(
+                    F.concat(F.lit("^"), F.col("tok"), F.lit("$")),
+                    F.lit(_TRIGRAM_RE),
+                    1,
+                )
+            ).alias("feat"),
+        )
+        .withColumn("bucket", hash_bucket(F.col("feat"), n_buckets))
+    )
+
+    # Model: B-row (bucket -> per-class counts) table + 1-row totals.
+    # Feature totals come from the MODEL table (one fan-out pass, not
+    # two: tot_c = sum of the bucket counts); doc totals off the base
+    # frame (no fan-out).
+    model = (
+        toks.filter("is_train")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("label_keep"), 1).otherwise(0)).alias(
+                "cnt_keep"
+            ),
+            F.sum(F.when(F.col("label_keep"), 0).otherwise(1)).alias(
+                "cnt_drop"
+            ),
+        )
+    )
+    from intelligencepipeline_spark.caching import track_persist
+
+    model = track_persist(model)
+    feat_totals = model.agg(
+        F.sum("cnt_keep").alias("tot_keep"),
+        F.sum("cnt_drop").alias("tot_drop"),
+    )
+    doc_totals = base.filter("is_train").agg(
+        F.sum(F.when(F.col("label_keep"), 1).otherwise(0)).alias("n_keep_docs"),
+        F.sum(F.when(F.col("label_keep"), 0).otherwise(1)).alias("n_drop_docs"),
+    )
+    totals = F.broadcast(feat_totals).crossJoin(F.broadcast(doc_totals))
+
+    scored = (
+        toks.join(F.broadcast(model), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "tok_bits_keep",
+            F.expr(_qbits("coalesce(cnt_keep, 0)", "tot_keep", n_buckets)),
+        )
+        .withColumn(
+            "tok_bits_drop",
+            F.expr(_qbits("coalesce(cnt_drop, 0)", "tot_drop", n_buckets)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("tok_bits_keep").alias("sum_bits_keep"),
+            F.sum("tok_bits_drop").alias("sum_bits_drop"),
+        )
+    )
+    return (
+        base.select("doc_id", "label_keep")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "bits_keep",
+            (
+                F.coalesce(F.col("sum_bits_keep"), F.lit(0))
+                + F.expr(
+                    _qbits("n_keep_docs", "n_keep_docs + n_drop_docs", 2)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "bits_drop",
+            (
+                F.coalesce(F.col("sum_bits_drop"), F.lit(0))
+                + F.expr(
+                    _qbits("n_drop_docs", "n_keep_docs + n_drop_docs", 2)
+                )
+            ).cast("long"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_feats"),
+            "bits_keep",
+            "bits_drop",
+            (F.col("bits_drop") - F.col("bits_keep"))
+            .cast("long")
+            .alias("margin_bits"),
+            (F.col("bits_keep") <= F.col("bits_drop")).alias("nb_keep"),
+            "label_keep",
+            (
+                (F.col("bits_keep") <= F.col("bits_drop"))
+                == F.col("label_keep")
+            ).alias("agree"),
+        )
+    )

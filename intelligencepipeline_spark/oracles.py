@@ -7247,3 +7247,79 @@ SELECT least(9, (d * 10) // n) AS disp_decile,
 FROM disp CROSS JOIN summary s
 GROUP BY 1, 3, 4 ORDER BY 1
 """
+
+# nb_quality_classifier: the hashed char-trigram multinomial NB
+# replayed count-for-count — same Gopher labels (composed from that
+# gate's own oracle body, so label drift breaks this row too), same
+# even-doc_id training split, same ^token$ trigram features over the
+# raw whitespace split, same md5%256 hashing trick, same quarter-bit
+# fixed-point surprisal ladder (p15 = (cnt+1)*32768 // (tot+smooth);
+# 64 - length(bin(p15^4))), same tie-keeps decision rule.
+ORACLES["nb_quality_classifier"] = f"""
+WITH gr AS ({_GOPHER_BODY}),
+lab AS (SELECT doc_id, keep AS label_keep FROM gr),
+feats AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, length('^' || tok || '$') - 1),
+    i -> substr('^' || tok || '$', i, 3))) AS feat
+  FROM (SELECT doc_id, unnest({_RTOKS}) AS tok FROM documents)
+), bt AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(feat), 1, 8)) as bigint) % 256 AS bucket
+  FROM feats
+), train_docs AS (
+  SELECT l.doc_id, l.label_keep FROM lab l WHERE l.doc_id % 2 = 0
+), train_toks AS (
+  SELECT bt.bucket, t.label_keep FROM bt JOIN train_docs t USING (doc_id)
+), model AS (
+  SELECT bucket,
+    sum(CASE WHEN label_keep THEN 1 ELSE 0 END) AS cnt_keep,
+    sum(CASE WHEN label_keep THEN 0 ELSE 1 END) AS cnt_drop
+  FROM train_toks GROUP BY bucket
+), totals AS (
+  SELECT
+    (SELECT count(*) FROM train_docs WHERE label_keep) AS n_keep_docs,
+    (SELECT count(*) FROM train_docs WHERE NOT label_keep) AS n_drop_docs,
+    (SELECT count(*) FROM train_toks WHERE label_keep) AS tot_keep,
+    (SELECT count(*) FROM train_toks WHERE NOT label_keep) AS tot_drop
+), scored AS (
+  SELECT b.doc_id, count(*) AS n_feats,
+    sum(64 - length(bin(
+      ((coalesce(m.cnt_keep, 0) + 1) * 32768 // (t.tot_keep + 256))
+      * ((coalesce(m.cnt_keep, 0) + 1) * 32768 // (t.tot_keep + 256))
+      * ((coalesce(m.cnt_keep, 0) + 1) * 32768 // (t.tot_keep + 256))
+      * ((coalesce(m.cnt_keep, 0) + 1) * 32768 // (t.tot_keep + 256))
+    ))) AS sbk,
+    sum(64 - length(bin(
+      ((coalesce(m.cnt_drop, 0) + 1) * 32768 // (t.tot_drop + 256))
+      * ((coalesce(m.cnt_drop, 0) + 1) * 32768 // (t.tot_drop + 256))
+      * ((coalesce(m.cnt_drop, 0) + 1) * 32768 // (t.tot_drop + 256))
+      * ((coalesce(m.cnt_drop, 0) + 1) * 32768 // (t.tot_drop + 256))
+    ))) AS sbd
+  FROM bt b LEFT JOIN model m USING (bucket) CROSS JOIN totals t
+  GROUP BY b.doc_id
+), final AS (
+  SELECT l.doc_id,
+    cast(coalesce(s.n_feats, 0) as bigint) AS n_feats,
+    cast(coalesce(s.sbk, 0) + 64 - length(bin(
+      ((t.n_keep_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_keep_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_keep_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_keep_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+    )) as bigint) AS bits_keep,
+    cast(coalesce(s.sbd, 0) + 64 - length(bin(
+      ((t.n_drop_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_drop_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_drop_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+      * ((t.n_drop_docs + 1) * 32768 // (t.n_keep_docs + t.n_drop_docs + 2))
+    )) as bigint) AS bits_drop,
+    l.label_keep
+  FROM lab l LEFT JOIN scored s USING (doc_id) CROSS JOIN totals t
+)
+SELECT doc_id, n_feats, bits_keep, bits_drop,
+  cast(bits_drop - bits_keep as bigint) AS margin_bits,
+  (bits_keep <= bits_drop) AS nb_keep,
+  label_keep,
+  ((bits_keep <= bits_drop) = label_keep) AS agree
+FROM final ORDER BY doc_id
+"""

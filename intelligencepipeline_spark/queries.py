@@ -12397,6 +12397,44 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (operators/quality_clf.py — the
+    fastText pattern behind GPT-3/LLaMA curation: a linear classifier
+    over HASHED bag-of-words features distilled from a trusted but
+    expensive signal, then run over the whole crawl). Here: hashed-
+    bucket multinomial Naive Bayes (the closed-form linear member of
+    the family) trained on the Gopher rule gate's keep/drop labels
+    over the even-doc_id split, scoring EVERY document by exact
+    integer surprisal bits (bitlen log2 surrogate, add-one smoothing —
+    same discipline as the ngram LM gate). Exports per-doc class bits,
+    margin, the NB prediction, the Gopher label, and agreement.
+    Features are fastText's subword form — hashed char trigrams of
+    ^token$ over the RAW token split (the same split the teacher
+    rules read) — because the quality signal lives in token SHAPE
+    (length, symbols, stopwords), not token identity; held-out
+    agreement beats the majority class (pinned in
+    tests/test_quality_clf.py).
+
+    Scale: one feature fan-out riding the scan; training counts are a
+    map-side-combinable agg over the bounded (bucket, class) domain;
+    scoring is ONE 256-row broadcast join + one 1-row broadcast total
+    + one doc-keyed agg. The model table stays 256 rows at 100 TB.
+    Reference: quality surface is MaxScore/NoScore evaluation
+    (interfaces.kt:30-60); extension per SURVEY §2.9."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.quality_clf import (
+        nb_train_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_train_score(
+        docs,
+        tokens(F.col("text")),
+        gopher_rules(F.col("text"))["keep"],
+        F.col("doc_id") % 2 == 0,
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12711,6 +12749,8 @@ QUERIES = {
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
+    # -- (b12) new in r08: never driver-checked — lead the r09 window --
+    "nb_quality_classifier": nb_quality_classifier,
 }
 
 

@@ -1,0 +1,165 @@
+"""operators/quality_clf.py — the hashed-bucket Naive Bayes classifier
+must match a brute-force Python trainer/scorer move for move (hash
+buckets, counts, add-one bitlen ladder, prior, tie-keeps rule)."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import tokens
+from intelligencepipeline_spark.operators.quality_clf import nb_train_score
+
+SF = "/root/testdata/sf0.001"
+B = 256
+
+
+def _py_feats(raw):
+    """Char trigrams of ^token$ over the raw whitespace split."""
+    out = []
+    for t in (raw or "").split(" "):
+        if not t:
+            continue
+        s = "^" + t + "$"
+        out.extend(s[i : i + 3] for i in range(len(s) - 2))
+    return out
+
+
+def _bucket(tok):
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+
+def _py_gopher_keep(raw):
+    toks = [t for t in (raw or "").split(" ") if t]
+    n = len(toks)
+    if n == 0:
+        return False
+    sum_len = sum(len(t) for t in toks)
+    n_alpha = sum(1 for t in toks if re.search("[a-zA-Z]", t))
+    stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = sum(1 for t in toks if t.lower() in stop)
+    n_sym = sum(t.count("#") + (1 if "..." in t else 0) for t in toks)
+    mean_len = sum_len / n
+    return (
+        50 <= n <= 100000
+        and 3.0 <= mean_len <= 10.0
+        and n_sym / n <= 0.1
+        and n_alpha / n >= 0.8
+        and n_stop >= 2
+    )
+
+
+def _qbits(cnt, tot, smooth):
+    """Quarter-bit surprisal — mirrors operators/quality_clf._qbits,
+    including the engine's bin(0) = '0' (length 1) floor."""
+    p = ((cnt + 1) * 32768) // (tot + smooth)
+    return 64 - max((p ** 4).bit_length(), 1)
+
+
+def _brute_force(doc_raw):
+    """doc_id -> (bits_keep, bits_drop, nb_keep) in plain Python."""
+    labels = {d: _py_gopher_keep(t) for d, t in doc_raw.items()}
+    toks = {d: _py_feats(t) for d, t in doc_raw.items()}
+    cnt = {}  # (bucket, label) -> n
+    tot = {True: 0, False: 0}
+    ndocs = {True: 0, False: 0}
+    for d, ts in toks.items():
+        if d % 2 != 0:
+            continue
+        lab = labels[d]
+        ndocs[lab] += 1
+        for t in ts:
+            cnt[(_bucket(t), lab)] = cnt.get((_bucket(t), lab), 0) + 1
+            tot[lab] += 1
+    n = ndocs[True] + ndocs[False]
+    out = {}
+    for d, ts in toks.items():
+        bk = _qbits(ndocs[True], n, 2)
+        bd = _qbits(ndocs[False], n, 2)
+        for t in ts:
+            b = _bucket(t)
+            bk += _qbits(cnt.get((b, True), 0), tot[True], B)
+            bd += _qbits(cnt.get((b, False), 0), tot[False], B)
+        out[d] = (bk, bd, bk <= bd, labels[d])
+    return out
+
+
+def _run(spark, docs):
+    from intelligencepipeline_spark.functions.text import gopher_rules
+
+    return nb_train_score(
+        docs,
+        tokens(F.col("text")),
+        gopher_rules(F.col("text"))["keep"],
+        F.col("doc_id") % 2 == 0,
+    ).collect()
+
+
+def test_nb_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    want = _brute_force(raw)
+    got = _run(spark, docs)
+    assert len(got) == len(want)
+    for r in got:
+        bk, bd, keep, lab = want[r["doc_id"]]
+        assert (r["bits_keep"], r["bits_drop"], r["nb_keep"], r["label_keep"]) == (
+            bk,
+            bd,
+            keep,
+            lab,
+        ), r
+        assert r["margin_bits"] == bd - bk
+        assert r["agree"] == (keep == lab)
+
+
+def test_nb_actually_classifies(spark):
+    """Distillation must beat a constant predictor: agreement with the
+    Gopher label above the majority-class rate on held-out docs — a
+    broken count join degenerates to the prior and fails this."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [r for r in _run(spark, docs) if r["doc_id"] % 2 == 1]
+    agree = sum(1 for r in rows if r["agree"])
+    keep = sum(1 for r in rows if r["label_keep"])
+    majority = max(keep, len(rows) - keep)
+    assert agree > majority
+
+
+def test_nb_empty_doc_scores_prior_only(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat with the mat " * 20), (1, ""), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in _run(spark, docs)}
+    for d in (1, 2):
+        assert rows[d]["n_feats"] == 0
+        # prior-only: the class bits reduce to the two prior terms.
+        assert rows[d]["bits_keep"] == rows[0]["bits_keep"] - (
+            rows[0]["bits_keep"] - rows[d]["bits_keep"]
+        )
+        assert rows[d]["bits_keep"] >= 0 and rows[d]["bits_drop"] >= 0
+
+
+def test_regexp_trigrams_match_hof_reference(spark):
+    """The regexp lookahead hot path must be byte-identical to the
+    HOF reference featurizer (the r07 lesson's pinning discipline)."""
+    from intelligencepipeline_spark.operators.quality_clf import (
+        _TRIGRAM_RE,
+        char_trigram_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    both = docs.select(
+        char_trigram_features(tokens(F.col("text"))).alias("ref"),
+        F.flatten(
+            F.transform(
+                tokens(F.col("text")),
+                lambda t: F.regexp_extract_all(
+                    F.concat(F.lit("^"), t, F.lit("$")),
+                    F.lit(_TRIGRAM_RE),
+                    1,
+                ),
+            )
+        ).alias("hot"),
+    )
+    assert both.filter("ref <> hot").count() == 0
