@@ -1,0 +1,179 @@
+"""Principal-component analysis over embedding columns, hash-exact.
+
+The standard embedding post-processing steps (whitening, ABTT
+"all-but-the-top", drift monitoring, dimensionality auditing) all
+start from the same two artifacts: the per-dimension mean and the top
+eigenvector(s) of the covariance. This module computes both with the
+repo's integer-surrogate discipline so the result is bit-identical in
+any engine:
+
+* vectors are milli-quantized (floor(x*1000), the operators/similarity
+  SCALE convention) and SHIFTED nonnegative (+1000) so every integer
+  division in sight has nonnegative operands where floor == trunc;
+* the per-dim mean is the floor mean ``sum DIV n`` (exact integer);
+* the Gram/covariance-scaled matrix ``M[j,k] = sum_r c_rj * c_rk``
+  over centered values is an exact integer agg over the BOUNDED d^2
+  key domain (map-side combinable; the only shuffle is d^2 rows);
+* the top eigenvector comes from FIXED-ITERATION integer power
+  iteration on the d x d matrix: v0 = all-ones; each step computes
+  w = M v exactly, then rescales to ``v = trunc(w * 1024 / max|w|)``
+  (signed trunc division — identical in Spark DIV, DuckDB // and
+  Python via the sign-split form). Sixty-four steps (the synthetic
+  test corpus is near-isotropic — eigengap ratio ~0.93-0.99 — so ten
+  steps measurably under-converge; real embedding corpora have
+  dominant directions and converge much faster), then sign-canonicalize
+  (component with the largest |v| — smallest index on ties — made
+  positive). No float enters until the exported ratios.
+
+Driver state is d (mean) + d^2 (Gram) + d (vector) integers — the
+same bounded-collect class as k-means centroids (operators/kmeans.py);
+everything over the corpus is distributed and map-side combinable.
+
+Overflow ledger: |c| <= 2000 so |M[j,k]| <= 4e6 * n (int64-safe to
+n ~ 2.3e12 rows); the iteration itself runs in PYTHON BIG INTS on the
+driver where overflow cannot occur at any n. The SQL oracle replays
+the same schedule in BIGINT, which holds to n ~ 1.7e7 at d = 64
+(|w*1024| <= d * maxM * 1024^2) — far above the oracle's test scales.
+At 100 TB you would right-shift the Gram before iterating (documented
+in SCALING.md) — the algorithm is unchanged.
+
+Reference parity: the reference has no linear-algebra surface; this
+extends SURVEY.md §2.9 (embedding operators) alongside IVF/PQ/k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MILLI = 1000
+RESCALE = 1024
+ITERS = 64
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Signed trunc division (Spark DIV / DuckDB // semantics; Python's
+    // floors, so split on sign)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def quantized_dims(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, dim, qv) with qv = floor(x*1000) + 1000 (nonnegative)."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: (
+                    F.floor(x.cast("double") * MILLI).cast("long")
+                    + MILLI
+                ),
+            )
+        ).alias("dim", "qv"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+def dim_means(qd: DataFrame) -> DataFrame:
+    """Per-dim floor mean over the nonneg shifted domain: (dim, mu, n)."""
+    return qd.groupBy("dim").agg(
+        F.expr("sum(qv) DIV count(*)").cast("long").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact integer centered Gram: (j, k, val) over the d^2 domain.
+
+    Shape: one posexplode chain (NO self-join — the second explode is
+    a Generate over the row's own centered array), partial-agg down to
+    d^2 keys. The centered array is built by broadcasting the d-row
+    mean table folded into ONE array-typed row."""
+    qd = quantized_dims(emb, vec_col)
+    mu_arr = dim_means(qd).agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mu"))
+        ).alias("mus")
+    ).select(F.transform("mus", lambda s: s["mu"]).alias("mu_arr"))
+    centered = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                F.col(vec_col),
+                lambda x: (
+                    F.floor(x.cast("double") * MILLI).cast("long")
+                    + MILLI
+                ),
+            ).alias("qarr"),
+        )
+        .crossJoin(F.broadcast(mu_arr))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "qarr", "mu_arr", lambda q, m: q - m
+            ).alias("carr"),
+        )
+    )
+    e1 = centered.select(
+        "carr", F.posexplode("carr").alias("j", "cj")
+    )
+    e2 = e1.select(
+        F.col("j").cast("long").alias("j"),
+        "cj",
+        F.posexplode("carr").alias("k", "ck"),
+    )
+    return (
+        e2.groupBy("j", F.col("k").cast("long").alias("k"))
+        .agg(F.sum(F.col("cj") * F.col("ck")).alias("val"))
+    )
+
+
+def power_iteration(gram_rows, d: int, iters: int = ITERS) -> list[int]:
+    """Exact integer power iteration on the collected (j, k, val)
+    rows; returns the sign-canonicalized scaled eigenvector (Python
+    big ints — no overflow at any scale)."""
+    m = {}
+    for r in gram_rows:
+        m[(int(r["j"]), int(r["k"]))] = int(r["val"])
+    v = [1] * d
+    for _ in range(iters):
+        w = [
+            sum(m.get((j, k), 0) * v[k] for k in range(d))
+            for j in range(d)
+        ]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_trunc_div(x * RESCALE, mx) for x in w]
+    # sign canon: largest |v| (smallest index on tie) positive
+    jstar = max(range(d), key=lambda j: (abs(v[j]), -j))
+    if v[jstar] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_top_component(
+    spark: SparkSession, emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """d-row result: (dim, mu_milli, pc1, lambda_num, lambda_den,
+    trace) — the top principal direction (scaled integers in
+    [-1024, 1024]), its Rayleigh quotient as an exact integer ratio,
+    and the total variance trace for variance-explained audits."""
+    gram = gram_matrix(emb, vec_col).collect()  # d^2 bounded
+    d = max(int(r["j"]) for r in gram) + 1
+    v = power_iteration(gram, d)
+    m = {(int(r["j"]), int(r["k"])): int(r["val"]) for r in gram}
+    mv = [sum(m.get((j, k), 0) * v[k] for k in range(d)) for j in range(d)]
+    lam_num = sum(v[j] * mv[j] for j in range(d))
+    lam_den = sum(x * x for x in v)
+    trace = sum(m.get((j, j), 0) for j in range(d))
+    mu = {
+        int(r["dim"]): int(r["mu"])
+        for r in dim_means(quantized_dims(emb, vec_col)).collect()
+    }
+    rows = [
+        (j, mu[j] - MILLI, v[j], lam_num, lam_den, trace)
+        for j in range(d)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim long, mu_milli long, pc1 long, lambda_num long, "
+        "lambda_den long, trace long",
+    )

@@ -7323,3 +7323,72 @@ SELECT doc_id, n_feats, bits_keep, bits_drop,
   ((bits_keep <= bits_drop) = label_keep) AS agree
 FROM final ORDER BY doc_id
 """
+
+# embedding_pca_top_component: quantization, floor means, the exact
+# integer centered Gram, ten power-iteration steps (trunc-div rescale
+# — DuckDB // truncates toward zero like Spark DIV; the sign-split
+# CASE keeps it explicit), sign canonicalization, Rayleigh quotient
+# and trace — all replayed relationally; the iteration is a recursive
+# CTE over the bounded d^2 matrix.
+ORACLES["embedding_pca_top_component"] = f"""
+WITH RECURSIVE
+q AS (
+  SELECT vec_id,
+    cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+    {_QELEM} + 1000 AS qv
+  FROM embeddings
+),
+mu AS (
+  SELECT dim, sum(qv) // count(*) AS m, count(*) AS n FROM q GROUP BY dim
+),
+c AS (
+  SELECT q.vec_id, q.dim, q.qv - mu.m AS cv FROM q JOIN mu USING (dim)
+),
+gram AS (
+  SELECT a.dim AS j, b.dim AS k, cast(sum(a.cv * b.cv) as bigint) AS val
+  FROM c a JOIN c b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+it AS (
+  SELECT 0 AS iter, dim AS j, cast(1 as bigint) AS v FROM mu
+  UNION ALL
+  SELECT iter + 1, j,
+    CASE WHEN wj >= 0 THEN (wj * 1024) // greatest(mx, 1)
+         ELSE -((-wj * 1024) // greatest(mx, 1)) END AS v
+  FROM (
+    SELECT w.iter, w.j, w.wj, max(abs(w.wj)) OVER () AS mx
+    FROM (
+      SELECT it.iter, g.j, sum(g.val * it.v) AS wj
+      FROM it JOIN gram g ON g.k = it.j
+      GROUP BY 1, 2
+    ) w
+  )
+  WHERE iter < 64
+),
+vraw AS (SELECT j, v FROM it WHERE iter = 64),
+canon AS (
+  SELECT CASE WHEN (
+    SELECT v FROM vraw ORDER BY abs(v) DESC, j ASC LIMIT 1
+  ) < 0 THEN -1 ELSE 1 END AS sgn
+),
+vfin AS (SELECT j, v * sgn AS v FROM vraw, canon),
+mv AS (
+  SELECT g.j, sum(g.val * vfin.v) AS mvj
+  FROM gram g JOIN vfin ON vfin.j = g.k
+  GROUP BY g.j
+),
+stats AS (
+  SELECT
+    (SELECT sum(vfin.v * mv.mvj) FROM vfin JOIN mv USING (j)) AS lam_num,
+    (SELECT sum(v * v) FROM vfin) AS lam_den,
+    (SELECT sum(val) FROM gram WHERE j = k) AS trace
+)
+SELECT mu.dim,
+  cast(mu.m - 1000 as bigint) AS mu_milli,
+  cast(vfin.v as bigint) AS pc1,
+  cast(s.lam_num as bigint) AS lambda_num,
+  cast(s.lam_den as bigint) AS lambda_den,
+  cast(s.trace as bigint) AS trace
+FROM mu JOIN vfin ON vfin.j = mu.dim CROSS JOIN stats s
+ORDER BY mu.dim
+"""

@@ -12435,6 +12435,31 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA TOP PRINCIPAL COMPONENT of the embedding corpus
+    (operators/pca.py) — the artifact behind embedding whitening,
+    all-but-the-top post-processing, and drift monitoring: per-dim
+    floor means, the exact integer centered Gram matrix over the
+    bounded d^2 key domain, and the top eigenvector from 64 steps of
+    integer power iteration (trunc-div rescale to +-1024, sign
+    canonicalized), with its Rayleigh quotient and the covariance
+    trace as exact integer ratios for variance-explained audits.
+
+    Scale: quantize/center ride the scan (the d-row mean table folds
+    into ONE broadcast array row); the Gram is a posexplode chain —
+    NO self-join — partial-aggregated to d^2 keys, so the only
+    shuffle is d^2 rows regardless of corpus size; iteration state is
+    d^2 driver integers (the k-means bounded-collect class). Oracle
+    replays quantization, floor means, Gram, and all 64 iterations
+    in a recursive CTE with the same trunc-div; property tests pin
+    the direction against numpy (cosine > 0.999) and a brute-force
+    Python replay (tests/test_pca.py)."""
+    from intelligencepipeline_spark.operators.pca import pca_top_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_top_component(spark, emb).orderBy("dim")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12751,6 +12776,7 @@ QUERIES = {
     "vocab_oov_audit": vocab_oov_audit,
     # -- (b12) new in r08: never driver-checked — lead the r09 window --
     "nb_quality_classifier": nb_quality_classifier,
+    "embedding_pca_top_component": embedding_pca_top_component,
 }
 
 

@@ -1,0 +1,107 @@
+"""operators/pca.py — integer power iteration must (a) replay move
+for move in brute-force Python, and (b) actually find the principal
+direction (cosine vs numpy's eigenvector)."""
+
+import math
+
+import numpy as np
+
+from intelligencepipeline_spark.operators.pca import (
+    _trunc_div,
+    gram_matrix,
+    pca_top_component,
+    power_iteration,
+    quantized_dims,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_pipeline(vecs):
+    """Brute-force replay: quantize, floor-center, gram, iterate."""
+    n, d = len(vecs), len(vecs[0])
+    q = [[math.floor(float(x) * 1000) + 1000 for x in v] for v in vecs]
+    mu = [sum(q[r][j] for r in range(n)) // n for j in range(d)]
+    c = [[q[r][j] - mu[j] for j in range(d)] for r in range(n)]
+    m = {}
+    for j in range(d):
+        for k in range(d):
+            m[(j, k)] = sum(c[r][j] * c[r][k] for r in range(n))
+    v = [1] * d
+    for _ in range(64):
+        w = [sum(m[(j, k)] * v[k] for k in range(d)) for j in range(d)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [_trunc_div(x * 1024, mx) for x in w]
+    jstar = max(range(d), key=lambda j: (abs(v[j]), -j))
+    if v[jstar] < 0:
+        v = [-x for x in v]
+    return mu, m, v
+
+
+def test_matches_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").select("embedding").collect()
+    ]
+    mu, m, v = _py_pipeline(vecs)
+    rows = pca_top_component(spark, emb).orderBy("dim").collect()
+    assert len(rows) == len(vecs[0])
+    for r in rows:
+        j = r["dim"]
+        assert r["mu_milli"] == mu[j] - 1000
+        assert r["pc1"] == v[j], (j, r["pc1"], v[j])
+    lam_num = sum(
+        v[j] * sum(m[(j, k)] * v[k] for k in range(len(v)))
+        for j in range(len(v))
+    )
+    assert rows[0]["lambda_num"] == lam_num
+    assert rows[0]["lambda_den"] == sum(x * x for x in v)
+    assert rows[0]["trace"] == sum(m[(j, j)] for j in range(len(v)))
+
+
+def test_direction_matches_numpy(spark):
+    """The integer iteration must land on the real top eigenvector:
+    |cosine| > 0.999 against numpy's eigh on the same quantized,
+    floor-centered data."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").select("embedding").collect()
+    ]
+    _, m, v = _py_pipeline(vecs)
+    d = len(v)
+    mm = np.array([[m[(j, k)] for k in range(d)] for j in range(d)], float)
+    evals, evecs = np.linalg.eigh(mm)
+    top = evecs[:, -1]
+    va = np.array(v, float)
+    cos = abs(va @ top) / (np.linalg.norm(va) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    # Rayleigh quotient within 0.1% of the true top eigenvalue
+    rows = pca_top_component(spark, emb).collect()
+    lam = rows[0]["lambda_num"] / rows[0]["lambda_den"]
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-3
+
+
+def test_gram_is_symmetric_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    g = {
+        (r["j"], r["k"]): r["val"]
+        for r in gram_matrix(emb).collect()
+    }
+    assert all(g[(j, k)] == g[(k, j)] for (j, k) in g)
+    # diagonal nonnegative
+    assert all(g[(j, j)] >= 0 for (j, _) in g if _ == j)
+
+
+def test_power_iteration_known_matrix():
+    """2x2 with known dominant direction (3,1)/(1,3): top eigvec is
+    (1,1)/sqrt(2) -> scaled equal components."""
+    rows = [
+        {"j": 0, "k": 0, "val": 3},
+        {"j": 0, "k": 1, "val": 1},
+        {"j": 1, "k": 0, "val": 1},
+        {"j": 1, "k": 1, "val": 3},
+    ]
+    v = power_iteration(rows, 2)
+    assert v == [1024, 1024]
