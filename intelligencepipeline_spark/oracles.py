@@ -7392,3 +7392,24 @@ SELECT mu.dim,
 FROM mu JOIN vfin ON vfin.j = mu.dim CROSS JOIN stats s
 ORDER BY mu.dim
 """
+
+# corrupt_record_ingest_audit: the lane's OUTPUT is fully determined
+# by the injected fault rule (truncation wins the %7/%13 overlap) and
+# the catalog — the Spark side additionally asserts in-entry that the
+# PERMISSIVE reader actually produced those classes and that every
+# salvage succeeded, so reader-semantics drift fails the row before
+# this compare runs.
+ORACLES["corrupt_record_ingest_audit"] = """
+WITH cls AS (
+  SELECT source, n_chars, doc_id,
+    CASE WHEN doc_id % 7 = 3 THEN 'corrupt_truncated'
+         WHEN doc_id % 13 = 5 THEN 'corrupt_badtype'
+         ELSE 'ok' END AS status
+  FROM documents
+)
+SELECT source, status,
+  cast(count(*) as bigint) AS n_rows,
+  cast(count(DISTINCT doc_id) as bigint) AS n_docs_recovered,
+  cast(sum(n_chars) as bigint) AS recovered_chars
+FROM cls GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -12460,6 +12460,123 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(spark, emb).orderBy("dim")
 
 
+def corrupt_record_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-QUARANTINE INGEST LANE — the PERMISSIVE-mode JSONL read
+    every production landing zone needs: a JSONL feed is derived from
+    documents with two deterministic fault classes injected (doc_id%7
+    == 3: line truncated to 20 chars — broken JSON; else doc_id%13 ==
+    5: doc_id serialized as a non-numeric string — type violation),
+    read back with an explicit schema + columnNameOfCorruptRecord,
+    rows classified ok / corrupt_truncated / corrupt_badtype from the
+    captured raw line, identity salvaged in two stages — regexp over
+    the raw text (doc_id survives the truncation prefix; Spark keeps
+    well-typed fields of a badtype row, probed and pinned in
+    tests/test_corrupt_ingest.py), then RECONCILED against the
+    catalog by the salvaged key (the quarantine-then-reconcile move:
+    source/n_chars of a truncated row live only in the catalog).
+    In-entry asserts: total rows == corpus rows, every quarantined
+    row matches its injected class rule, every salvage succeeds — a
+    reader-semantics regression fails this driver row, not just a
+    test.
+
+    Scale: classification and regexp salvage ride the scan; the
+    reconcile is ONE doc_id equi-join; the only other shuffle is the
+    bounded (source, status) agg. The PERMISSIVE + quarantine +
+    salvage pattern is the reference's dead-letter concern
+    (serde_dead_letter's file-format twin). Exports per (source,
+    status): row count, distinct recovered docs, total recovered
+    chars."""
+    docs = _t(spark, sf_dir, "documents")
+    land = scratch_dir("ip_jsonl_")
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    bad = F.concat(
+        F.lit('{"doc_id":"x'),
+        F.col("doc_id").cast("string"),
+        F.lit('","source":"'),
+        F.col("source"),
+        F.lit('","n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    feed = docs.select(
+        F.when(F.col("doc_id") % 7 == 3, F.substring(line, 1, 20))
+        .when(F.col("doc_id") % 13 == 5, bad)
+        .otherwise(line)
+        .alias("value")
+    )
+    feed.write.mode("overwrite").text(land)
+
+    raw = spark.read.schema(
+        "doc_id long, source string, n_chars long, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(land)
+    classified = raw.select(
+        F.when(F.col("_corrupt").isNull(), "ok")
+        .when(~F.col("_corrupt").endswith("}"), "corrupt_truncated")
+        .otherwise("corrupt_badtype")
+        .alias("status"),
+        F.coalesce(
+            F.col("doc_id"),
+            F.regexp_extract(F.col("_corrupt"), r'"doc_id":"?x?(\d+)', 1)
+            .cast("long"),
+        ).alias("rec_doc_id"),
+        F.coalesce(
+            F.col("source"),
+            F.nullif(
+                F.regexp_extract(
+                    F.col("_corrupt"), r'"source":"([a-z]+)"', 1
+                ),
+                F.lit(""),
+            ),
+        ).alias("raw_source"),
+        F.col("n_chars").alias("raw_n_chars"),
+    )
+    catalog = docs.select(
+        F.col("doc_id").alias("rec_doc_id"),
+        F.col("source").alias("cat_source"),
+        F.col("n_chars").alias("cat_n_chars"),
+    )
+    reconciled = classified.join(catalog, "rec_doc_id", "left").select(
+        "status",
+        "rec_doc_id",
+        F.coalesce("raw_source", "cat_source").alias("rec_source"),
+        F.coalesce("raw_n_chars", "cat_n_chars").alias("rec_n_chars"),
+    )
+    out = (
+        reconciled.groupBy(
+            F.col("rec_source").alias("source"), "status"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("rec_doc_id").alias("n_docs_recovered"),
+            F.sum(F.coalesce("rec_n_chars", F.lit(0)))
+            .cast("long")
+            .alias("recovered_chars"),
+        )
+        .orderBy("source", "status")
+    )
+    rows = out.collect()
+    n_total = docs.count()
+    assert sum(r["n_rows"] for r in rows) == n_total, "row loss in lane"
+    assert all(
+        r["n_docs_recovered"] == r["n_rows"] for r in rows
+    ), "salvage failed (reader semantics changed?)"
+    expect = docs.select(
+        F.when(F.col("doc_id") % 7 == 3, "corrupt_truncated")
+        .when(F.col("doc_id") % 13 == 5, "corrupt_badtype")
+        .otherwise("ok")
+        .alias("status")
+    ).groupBy("status").count().collect()
+    got = {}
+    for r in rows:
+        got[r["status"]] = got.get(r["status"], 0) + r["n_rows"]
+    assert {r["status"]: r["count"] for r in expect} == got, (
+        "quarantine classes drifted from the injected fault rule"
+    )
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12777,6 +12894,7 @@ QUERIES = {
     # -- (b12) new in r08: never driver-checked — lead the r09 window --
     "nb_quality_classifier": nb_quality_classifier,
     "embedding_pca_top_component": embedding_pca_top_component,
+    "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
 }
 
 

@@ -1,0 +1,73 @@
+"""corrupt_record_ingest_audit — pins the PERMISSIVE reader semantics
+the entry's salvage logic depends on, and the fault-injection rule."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.scratch import scratch_dir
+
+
+def _read(spark, path):
+    return (
+        spark.read.schema(
+            "doc_id long, source string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def test_permissive_reader_semantics(spark):
+    """The three behaviors the lane relies on: ok rows have null
+    _corrupt; truncated JSON nulls ALL fields and captures the raw
+    line; a type-violating field nulls ONLY that field (well-typed
+    siblings are kept) and still captures the raw line."""
+    d = scratch_dir("ip_jsonl_test_")
+    lines = [
+        '{"doc_id":1,"source":"web","n_chars":10}',
+        '{"doc_id":2,"sour',
+        '{"doc_id":"x3","source":"cms","n_chars":30}',
+    ]
+    with open(os.path.join(d, "part.json"), "w") as fh:
+        fh.write("\n".join(lines))
+    rows = {r["_corrupt"] is None: None for r in _read(spark, d).collect()}
+    by_line = {
+        (r["_corrupt"] or "ok"): r for r in _read(spark, d).collect()
+    }
+    ok = by_line["ok"]
+    assert (ok["doc_id"], ok["source"], ok["n_chars"]) == (1, "web", 10)
+    trunc = by_line['{"doc_id":2,"sour']
+    assert trunc["doc_id"] is None and trunc["source"] is None
+    bad = by_line['{"doc_id":"x3","source":"cms","n_chars":30}']
+    assert bad["doc_id"] is None
+    assert bad["source"] == "cms" and bad["n_chars"] == 30
+
+
+def test_lane_matches_fault_rule(spark):
+    """End-to-end at sf0.001: per-status totals equal the injected
+    modular rule (truncation wins the overlap) and salvage is total."""
+    from intelligencepipeline_spark.queries import QUERIES
+
+    out = QUERIES["corrupt_record_ingest_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        r["status"]: r["n"]
+        for r in docs.select(
+            F.when(F.col("doc_id") % 7 == 3, "corrupt_truncated")
+            .when(F.col("doc_id") % 13 == 5, "corrupt_badtype")
+            .otherwise("ok")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in out:
+        got[r["status"]] = got.get(r["status"], 0) + r["n_rows"]
+        assert r["n_docs_recovered"] == r["n_rows"]
+    assert got == want
