@@ -1,0 +1,105 @@
+"""Late-interaction (ColBERT-style) reranking, hash-exact.
+
+The production retrieval stack is a CASCADE: a cheap sparse scorer
+(BM25) selects a small candidate pool, then an expensive fine scorer
+reranks only that pool. ColBERT's fine scorer is MaxSim (Khattab &
+Zaharia 2020): score(q, d) = sum over query tokens of the MAX
+similarity against any document token. This module is that cascade
+with the repo's integer discipline: token embeddings are 16-bit md5
+masks read as +-1 vectors (the simhash/image_text_pair_gate
+convention), so token-token similarity is the exact integer
+
+    sim(a, b) = 16 - 2 * bit_count(mask(a) XOR mask(b))
+
+(dot product of two 16-dim +-1 vectors), MaxSim is a max/sum over
+exact integers, and the whole rerank is engine-portable.
+
+Scale shape: the rerank NEVER touches the full corpus — document
+tokens are joined against the BOUNDED candidate pool (broadcast: the
+pool is top-k output), the query side is a broadcast of |q| rows, and
+the per-(doc, qterm) max + per-doc sum are aggs over pool-bounded
+domains. The final ordering windows run over k rows (the
+sample-bounded window exception). At 100 TB the candidate semi-join
+is the same broadcast; only stage 1 (BM25) scans the corpus.
+
+Reference parity: retrieval surface extends SURVEY §2.9 alongside
+bm25_topk / wand_pruning_audit; the cascade mirrors the reference's
+MaxScore evaluator precedence (interfaces.kt:30-60) — cheap bound
+first, expensive exact second.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def token_mask16(tok: Column) -> Column:
+    """16-bit embedding mask: first 4 md5 hex chars (portable:
+    conv(substr(md5)) == DuckDB 0x-cast)."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+
+
+def maxsim_rerank(
+    spark: SparkSession,
+    candidates: DataFrame,
+    doc_tokens: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Rerank ``candidates`` (doc_id, bm25_milli) by MaxSim against
+    ``doc_tokens`` (doc_id, tok). Returns top_k rows of (doc_id,
+    bm25_milli, bm25_rank, maxsim, rerank_pos, rank_shift)."""
+    w_bm25 = Window.orderBy(F.desc("bm25_milli"), "doc_id")
+    cand = candidates.select(
+        "doc_id",
+        "bm25_milli",
+        F.row_number().over(w_bm25).cast("long").alias("bm25_rank"),
+    )
+    # Pool-bounded: distinct tokens of candidate docs only.
+    dtok = (
+        doc_tokens.join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .select("doc_id", "tok")
+        .distinct()
+        .withColumn("dmask", token_mask16(F.col("tok")))
+    )
+    qdf = spark.createDataFrame(
+        [(t,) for t in query_terms], "qt string"
+    ).withColumn("qmask", token_mask16(F.col("qt")))
+    sims = (
+        dtok.crossJoin(F.broadcast(qdf))
+        .select(
+            "doc_id",
+            "qt",
+            (
+                F.lit(16)
+                - 2
+                * F.bit_count(
+                    F.expr("dmask ^ qmask").cast("long")
+                ).cast("long")
+            ).alias("sim"),
+        )
+        .groupBy("doc_id", "qt")
+        .agg(F.max("sim").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").cast("long").alias("maxsim"))
+    )
+    w_rr = Window.orderBy(
+        F.desc("maxsim"), F.desc("bm25_milli"), "doc_id"
+    )
+    return (
+        cand.join(sims, "doc_id")
+        .select(
+            "doc_id",
+            "bm25_milli",
+            "bm25_rank",
+            "maxsim",
+            F.row_number().over(w_rr).cast("long").alias("rerank_pos"),
+        )
+        .withColumn(
+            "rank_shift",
+            (F.col("bm25_rank") - F.col("rerank_pos")).cast("long"),
+        )
+        .orderBy("rerank_pos")
+        .limit(top_k)
+    )

@@ -7413,3 +7413,46 @@ SELECT source, status,
   cast(sum(n_chars) as bigint) AS recovered_chars
 FROM cls GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# late_interaction_rerank: composes the BM25 oracle body (its LIMIT
+# re-aimed at the 100-row pool, so idf/tf drift in that oracle breaks
+# this row too), then replays 16-bit md5 masks, xor/bit_count sims,
+# the per-(doc, qterm) max, the per-doc sum, and both rank orders.
+_BM25_100 = ORACLES["bm25_topk"].strip().replace("LIMIT 20", "LIMIT 100")
+ORACLES["late_interaction_rerank"] = f"""
+WITH cand AS ({_BM25_100}),
+ranked AS (
+  SELECT doc_id, cast(score_milli as bigint) AS bm25_milli,
+    cast(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+      as bigint) AS bm25_rank
+  FROM cand
+),
+dtok AS (
+  SELECT DISTINCT t.doc_id, t.tok,
+    cast(concat('0x', substr(md5(t.tok), 1, 4)) as bigint) AS dmask
+  FROM (SELECT doc_id, unnest({_NTOKS}) AS tok FROM documents) t
+  JOIN ranked r ON r.doc_id = t.doc_id
+),
+qe AS (
+  SELECT qt, cast(concat('0x', substr(md5(qt), 1, 4)) as bigint) AS qmask
+  FROM (VALUES ('dup'), ('vector'), ('stream')) q(qt)
+),
+sims AS (
+  SELECT t.doc_id, q.qt,
+    max(16 - 2 * cast(bit_count(xor(t.dmask, q.qmask)) as bigint))
+      AS best
+  FROM dtok t CROSS JOIN qe q
+  GROUP BY 1, 2
+),
+ms AS (SELECT doc_id, cast(sum(best) as bigint) AS maxsim FROM sims GROUP BY 1),
+rr AS (
+  SELECT r.doc_id, r.bm25_milli, r.bm25_rank, ms.maxsim,
+    cast(row_number() OVER (
+      ORDER BY ms.maxsim DESC, r.bm25_milli DESC, r.doc_id)
+      as bigint) AS rerank_pos
+  FROM ranked r JOIN ms USING (doc_id)
+)
+SELECT doc_id, bm25_milli, bm25_rank, maxsim, rerank_pos,
+  cast(bm25_rank - rerank_pos as bigint) AS rank_shift
+FROM rr ORDER BY rerank_pos LIMIT 10
+"""

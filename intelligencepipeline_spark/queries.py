@@ -12577,6 +12577,49 @@ def corrupt_record_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVE-THEN-RERANK CASCADE (operators/late_interaction.py —
+    the ColBERT MaxSim pattern): stage 1 is the catalog's own exact-
+    integer BM25 (operators/bm25.bm25_scored) cutting the corpus to a
+    top-100 candidate pool; stage 2 reranks ONLY that pool by late
+    interaction — 16-bit md5 token embeddings read as +-1 vectors,
+    token-token similarity 16 - 2*bit_count(xor), MaxSim = sum over
+    query terms of the max over the doc's distinct tokens. Exports
+    the top-10 with both scores, both ranks, and the rank shift (docs
+    whose bag-of-words score overstated their fine-grained match move
+    down — the measurable value of the second stage).
+
+    Scale: the expensive stage never touches the corpus — doc tokens
+    are semi-joined against the BROADCAST 100-row pool, the query
+    side is a 3-row broadcast, and all aggs/windows run over
+    pool-bounded domains (the sample-bounded window exception). Only
+    stage 1 scans the corpus, in one pass. Oracle composes the BM25
+    oracle body (LIMIT re-aimed at 100) and replays masks, sims, and
+    both rank orders."""
+    from intelligencepipeline_spark.operators.bm25 import (
+        QUERY_TERMS,
+        bm25_scored,
+    )
+    from intelligencepipeline_spark.operators.late_interaction import (
+        maxsim_rerank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(normalize_text(F.col("text")))
+    scored, _idf = bm25_scored(docs, toks)
+    cands = (
+        scored.select(
+            "doc_id", F.col("score_milli").alias("bm25_milli")
+        )
+        .orderBy(F.desc("bm25_milli"), "doc_id")
+        .limit(100)
+    )
+    doc_tokens = docs.select(
+        "doc_id", F.explode(toks).alias("tok")
+    )
+    return maxsim_rerank(spark, cands, doc_tokens, QUERY_TERMS)
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12895,6 +12938,7 @@ QUERIES = {
     "nb_quality_classifier": nb_quality_classifier,
     "embedding_pca_top_component": embedding_pca_top_component,
     "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
+    "late_interaction_rerank": late_interaction_rerank,
 }
 
 

@@ -1,0 +1,88 @@
+"""operators/late_interaction.py — MaxSim rerank vs brute-force
+Python, plus the cascade invariants."""
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.late_interaction import (
+    maxsim_rerank,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["dup", "vector", "stream"]
+
+
+def _mask(tok):
+    return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _py_maxsim(toks):
+    total = 0
+    for qt in TERMS:
+        qm = _mask(qt)
+        total += max(
+            16 - 2 * bin(qm ^ _mask(t)).count("1") for t in set(toks)
+        )
+    return total
+
+
+def test_maxsim_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cands = docs.select(
+        "doc_id", (F.col("doc_id") * 0 + 1000).alias("bm25_milli")
+    ).limit(30)
+    cand_ids = {r["doc_id"] for r in cands.collect()}
+    toks_by_doc = {
+        r["doc_id"]: _norm_toks(r["text"])
+        for r in docs.filter(F.col("doc_id").isin(cand_ids)).collect()
+    }
+    doc_tokens = docs.selectExpr(
+        "doc_id",
+        "explode(filter(split(trim(regexp_replace(regexp_replace("
+        "lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), "
+        "x -> x != '')) AS tok",
+    )
+    out = maxsim_rerank(spark, cands, doc_tokens, TERMS, top_k=30).collect()
+    assert len(out) == len([d for d in cand_ids if toks_by_doc.get(d)])
+    for r in out:
+        assert r["maxsim"] == _py_maxsim(toks_by_doc[r["doc_id"]]), r
+    # rerank order: maxsim desc, bm25 desc, doc_id; positions 1..n
+    ms = [(-r["maxsim"], -r["bm25_milli"], r["doc_id"]) for r in out]
+    assert ms == sorted(ms)
+    assert [r["rerank_pos"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_cascade_end_to_end(spark):
+    from intelligencepipeline_spark.queries import QUERIES
+
+    out = QUERIES["late_interaction_rerank"](spark, SF).collect()
+    assert len(out) == 10
+    # the rerank must actually reorder something on this corpus
+    # (all-zero shifts would mean the second stage is a no-op)
+    assert any(r["rank_shift"] != 0 for r in out)
+    # every exported doc came from the top-100 bm25 pool
+    assert all(1 <= r["bm25_rank"] <= 100 for r in out)
+
+
+def test_identical_tokens_dont_change_maxsim(spark):
+    """MaxSim over distinct tokens == over repeated tokens (max is
+    idempotent) — the distinct() in the operator is an optimization,
+    not a semantics change."""
+    cands = spark.createDataFrame([(1, 500)], "doc_id long, bm25_milli long")
+    t1 = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta")], "doc_id long, tok string"
+    )
+    t2 = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (1, "beta")],
+        "doc_id long, tok string",
+    )
+    r1 = maxsim_rerank(spark, cands, t1, TERMS).collect()[0]["maxsim"]
+    r2 = maxsim_rerank(spark, cands, t2, TERMS).collect()[0]["maxsim"]
+    assert r1 == r2
