@@ -7456,3 +7456,73 @@ SELECT doc_id, bm25_milli, bm25_rank, maxsim, rerank_pos,
   cast(bm25_rank - rerank_pos as bigint) AS rank_shift
 FROM rr ORDER BY rerank_pos LIMIT 10
 """
+
+# hybrid_retrieval_fusion: composes the BM25 oracle body (full score
+# table, LIMIT stripped), then replays the PRF centroid (top-3
+# embedded lexical hits), quantized dots, both top-100 pools, the
+# pool-bounded min-max normalization and the 600:400 integer fusion.
+_BM25_ALL = _re.sub(
+    r"ORDER BY score_milli DESC, doc_id LIMIT 20\s*$",
+    "",
+    ORACLES["bm25_topk"].strip(),
+)
+ORACLES["hybrid_retrieval_fusion"] = f"""
+WITH sparse0 AS ({_BM25_ALL}),
+sparse AS (SELECT doc_id, cast(score_milli as bigint) AS s FROM sparse0),
+embq AS (
+  SELECT vec_id AS doc_id,
+    list_transform(embedding,
+      x -> cast(floor(cast(x as double) * 1000) as bigint)) AS qe
+  FROM embeddings
+),
+top3 AS (
+  SELECT sparse.doc_id, qe FROM sparse JOIN embq USING (doc_id)
+  ORDER BY s DESC, doc_id LIMIT 3
+),
+cent AS (
+  SELECT dim, sum(qv) AS c FROM (
+    SELECT unnest(qe) AS qv, generate_subscripts(qe, 1) AS dim FROM top3
+  ) GROUP BY dim
+),
+dense AS (
+  SELECT t.doc_id, cast(sum(t.qv * c.c) as bigint) AS d
+  FROM (
+    SELECT doc_id, unnest(qe) AS qv, generate_subscripts(qe, 1) AS dim
+    FROM embq
+  ) t JOIN cent c USING (dim)
+  GROUP BY t.doc_id
+),
+spool AS (SELECT doc_id FROM sparse ORDER BY s DESC, doc_id LIMIT 100),
+dpool AS (SELECT doc_id FROM dense ORDER BY d DESC, doc_id LIMIT 100),
+pool AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM spool UNION ALL SELECT doc_id FROM dpool
+  )
+),
+j AS (
+  SELECT p.doc_id, s.s, d.d FROM pool p
+  LEFT JOIN sparse s USING (doc_id) LEFT JOIN dense d USING (doc_id)
+),
+mm AS (
+  SELECT min(s) AS smin, max(s) AS smax, min(d) AS dmin, max(d) AS dmax
+  FROM j
+),
+normed AS (
+  SELECT j.doc_id,
+    cast(coalesce(j.s, 0) as bigint) AS sparse_milli,
+    cast(coalesce(j.d, 0) as bigint) AS dense_dot,
+    j.d IS NOT NULL AS has_embedding,
+    cast(CASE WHEN j.s IS NOT NULL
+      THEN (j.s - mm.smin) * 1000 // greatest(mm.smax - mm.smin, 1)
+      ELSE 0 END as bigint) AS sparse_norm,
+    cast(CASE WHEN j.d IS NOT NULL
+      THEN (j.d - mm.dmin) * 1000 // greatest(mm.dmax - mm.dmin, 1)
+      ELSE 0 END as bigint) AS dense_norm
+  FROM j CROSS JOIN mm
+)
+SELECT doc_id, sparse_milli, dense_dot, has_embedding,
+  sparse_norm, dense_norm,
+  cast((600 * dense_norm + 400 * sparse_norm) // 1000 as bigint)
+    AS fused_milli
+FROM normed ORDER BY fused_milli DESC, doc_id LIMIT 10
+"""

@@ -12620,6 +12620,123 @@ def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_rerank(spark, cands, doc_tokens, QUERY_TERMS)
 
 
+def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID (dense + sparse) RETRIEVAL with pseudo-relevance
+    feedback — the standard two-tower production shape: the exact-
+    integer BM25 scores every document (sparse leg); the dense query
+    vector is built by ROCCHIO-STYLE PRF — the element-wise sum of
+    the quantized embeddings of the top-3 lexical hits that have
+    embeddings — and scored by exact integer dot product over the
+    EMBEDDED SUBSET of the corpus (at sf0.1 only 2000 of 5000 docs
+    carry embeddings — the entry models that honestly: docs without
+    an embedding fall back to sparse-only, dense_norm = 0). The
+    candidate pool is the union of both top-100 lists; each leg is
+    min-max normalized to milli OVER THE POOL, fused 600:400
+    dense:sparse with integer DIV, top-10 exported with every
+    component score.
+
+    Scale: sparse is the one corpus scan (bm25_scored); the PRF
+    centroid is a 3-row join folded to ONE broadcast array row; dense
+    is a zip_with dot riding the embeddings scan; pools are top-k
+    cuts and every min-max/fusion agg runs over the bounded <=200-row
+    pool. Oracle composes the BM25 oracle body (so idf drift breaks
+    this row too) and replays centroid, dots, pools, normalization
+    and fusion."""
+    from intelligencepipeline_spark.operators.bm25 import bm25_scored
+    from intelligencepipeline_spark.operators.similarity import quantize
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        quantize(F.col("embedding")).alias("qe"),
+    )
+    scored, _idf = bm25_scored(
+        docs, tokens(normalize_text(F.col("text")))
+    )
+    sparse = scored.select("doc_id", F.col("score_milli").alias("s"))
+
+    top3 = (
+        sparse.join(emb, "doc_id")
+        .orderBy(F.desc("s"), "doc_id")
+        .limit(3)
+    )
+    centroid = (
+        top3.select(F.posexplode("qe").alias("dim", "qv"))
+        .groupBy("dim")
+        .agg(F.sum("qv").alias("c"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs")
+        )
+        .select(F.transform("cs", lambda s: s["c"]).alias("cent"))
+    )
+    dense = (
+        emb.crossJoin(F.broadcast(centroid))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with("qe", "cent", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    spool = sparse.orderBy(F.desc("s"), "doc_id").limit(100).select("doc_id")
+    dpool = dense.orderBy(F.desc("d"), "doc_id").limit(100).select("doc_id")
+    pool = spool.union(dpool).distinct()
+    j = pool.join(sparse, "doc_id", "left").join(dense, "doc_id", "left")
+    mm = j.agg(
+        F.min("s").alias("smin"),
+        F.max("s").alias("smax"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+    )
+    normed = (
+        j.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            F.coalesce("s", F.lit(0)).cast("long").alias("sparse_milli"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("dense_dot"),
+            F.col("d").isNotNull().alias("has_embedding"),
+            F.when(
+                F.col("s").isNotNull(),
+                F.expr(
+                    "(s - smin) * 1000 DIV greatest(smax - smin, 1)"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("sparse_norm"),
+            F.when(
+                F.col("d").isNotNull(),
+                F.expr(
+                    "(d - dmin) * 1000 DIV greatest(dmax - dmin, 1)"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("dense_norm"),
+        )
+        .withColumn(
+            "fused_milli",
+            F.expr("(600 * dense_norm + 400 * sparse_norm) DIV 1000")
+            .cast("long"),
+        )
+    )
+    return (
+        normed.orderBy(F.desc("fused_milli"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "sparse_milli",
+            "dense_dot",
+            "has_embedding",
+            "sparse_norm",
+            "dense_norm",
+            "fused_milli",
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -12939,6 +13056,7 @@ QUERIES = {
     "embedding_pca_top_component": embedding_pca_top_component,
     "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
     "late_interaction_rerank": late_interaction_rerank,
+    "hybrid_retrieval_fusion": hybrid_retrieval_fusion,
 }
 
 

@@ -1,0 +1,53 @@
+"""hybrid_retrieval_fusion — fusion invariants (the exactness work is
+done by the composed DuckDB oracle; these pin the algebra and the
+sparse-fallback contract)."""
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fusion_invariants(spark):
+    rows = QUERIES["hybrid_retrieval_fusion"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["sparse_norm"] <= 1000
+        assert 0 <= r["dense_norm"] <= 1000
+        # fused recomputes from the exported norms
+        assert r["fused_milli"] == (
+            600 * r["dense_norm"] + 400 * r["sparse_norm"]
+        ) // 1000
+        # sparse-fallback contract
+        if not r["has_embedding"]:
+            assert r["dense_norm"] == 0 and r["dense_dot"] == 0
+    fused = [r["fused_milli"] for r in rows]
+    assert fused == sorted(fused, reverse=True)
+
+
+def test_dense_leg_actually_contributes(spark):
+    """With 600:400 weighting, the top-10 must not be the pure BM25
+    top-10 (the dense leg reorders) — a broken centroid or dot that
+    degenerates to zeros would make fusion collapse onto sparse."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+    from intelligencepipeline_spark.operators.bm25 import bm25_scored
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scored, _ = bm25_scored(docs, tokens(normalize_text(F.col("text"))))
+    bm25_top = [
+        r["doc_id"]
+        for r in scored.orderBy(
+            F.desc("score_milli"), "doc_id"
+        ).limit(10).collect()
+    ]
+    fused_top = [
+        r["doc_id"] for r in QUERIES["hybrid_retrieval_fusion"](spark, SF).collect()
+    ]
+    assert fused_top != bm25_top
+    # and at least one fused hit carries a real dense score
+    rows = QUERIES["hybrid_retrieval_fusion"](spark, SF).collect()
+    assert any(r["dense_norm"] > 0 for r in rows)
