@@ -1,0 +1,89 @@
+"""Differentially-private release mechanisms, hash-exact.
+
+The discrete (two-sided geometric) Laplace mechanism at epsilon = ln 2
+(alpha = e^-eps = 1/2): P(0) = 1/3, P(+-k) = (1/3)(1/2)^k — the
+standard integer-valued DP noise for counting queries (Ghosh,
+Roughgarden & Sundararajan 2009). Sampling is EXACT inverse-CDF over
+a 48-bit hash-derived uniform, all in integer comparisons:
+
+    cumulative by magnitude: Q(k) = 1 - (2/3)(1/2)^k
+    u < Q(k)  <=>  h * 3 * 2^k < (3 * 2^k - 2) * 2^48
+
+(h = first 12 md5 hex chars of the salted bin key; 3 * 2^56 < 2^63 so
+every comparison is int64-safe). Magnitude is the smallest k in 0..7
+satisfying the inequality, CLIPPED at 8 (residual tail mass ~2.6e-3 —
+documented truncation, standard in bounded-noise deployments); the
+sign comes from the 13th hex char's parity.
+
+DETERMINISM vs PRIVACY: production DP draws fresh randomness per
+release; here the noise is a deterministic function of the salted bin
+key so the oracle can replay it bit-for-bit — the mechanism SHAPE
+(inverse CDF, clipping, suppression) is what this module proves.
+Entries that use it export both the true and noised counts for
+auditability; a real release would export the noised side only.
+
+Scale: the ladder is a pure CASE expression riding the aggregated
+frame (one row per released bin) — zero cost at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CLIP = 8
+_POW48 = 1 << 48
+
+
+def _hash48(key: Column, salt: str) -> Column:
+    """48-bit uniform from md5 of the salted key (portable:
+    conv(substr(md5)) == DuckDB 0x-cast)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "#"), key)), 1, 12),
+        16,
+        10,
+    ).cast("long")
+
+
+def _sign_bit(key: Column, salt: str) -> Column:
+    """+1 / -1 from the 13th md5 hex char's parity."""
+    odd = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "#"), key)), 13, 1
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return F.when(odd == 1, F.lit(-1)).otherwise(F.lit(1))
+
+
+def two_sided_geometric(key: Column, salt: str = "dp") -> Column:
+    """Deterministic discrete-Laplace noise (eps = ln 2, clip 8) for
+    the given bin key. Exact integer inverse CDF — see module doc."""
+    h = _hash48(key, salt)
+    mag = None
+    for k in range(CLIP):
+        cond = h * (3 * (1 << k)) < (3 * (1 << k) - 2) * _POW48
+        mag = (
+            F.when(cond, F.lit(k)) if mag is None else mag.when(cond, F.lit(k))
+        )
+    mag = mag.otherwise(F.lit(CLIP))
+    return (mag * _sign_bit(key, salt)).cast("long")
+
+
+def two_sided_geometric_py(key: str, salt: str = "dp") -> int:
+    """Brute-force Python replay (tests)."""
+    import hashlib
+
+    hx = hashlib.md5(f"{salt}#{key}".encode()).hexdigest()
+    h = int(hx[:12], 16)
+    mag = CLIP
+    for k in range(CLIP):
+        if h * (3 * (1 << k)) < (3 * (1 << k) - 2) * _POW48:
+            mag = k
+            break
+    sign = -1 if int(hx[12], 16) % 2 == 1 else 1
+    return mag * sign

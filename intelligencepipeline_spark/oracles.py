@@ -7526,3 +7526,44 @@ SELECT doc_id, sparse_milli, dense_dot, has_embedding,
     AS fused_milli
 FROM normed ORDER BY fused_milli DESC, doc_id LIMIT 10
 """
+
+# dp_histogram_release: the discrete-Laplace ladder replayed exactly —
+# same 48-bit salted hash, same Q(k) integer inequalities, same clip,
+# same 13th-hex-char sign, same max(.,0) post-processing and
+# suppression threshold.
+ORACLES["dp_histogram_release"] = """
+WITH hist AS (
+  SELECT source, lang, cast(count(*) as bigint) AS n_true
+  FROM documents GROUP BY 1, 2
+), keyed AS (
+  SELECT *, md5('dp#' || source || '|' || lang) AS hx FROM hist
+), noise AS (
+  SELECT source, lang, n_true,
+    (CASE
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 3
+           < 1 * 281474976710656 THEN 0
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 6
+           < 4 * 281474976710656 THEN 1
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 12
+           < 10 * 281474976710656 THEN 2
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 24
+           < 22 * 281474976710656 THEN 3
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 48
+           < 46 * 281474976710656 THEN 4
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 96
+           < 94 * 281474976710656 THEN 5
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 192
+           < 190 * 281474976710656 THEN 6
+      WHEN cast(concat('0x', substr(hx, 1, 12)) as bigint) * 384
+           < 382 * 281474976710656 THEN 7
+      ELSE 8 END)
+    * (CASE WHEN cast(concat('0x', substr(hx, 13, 1)) as bigint) % 2 = 1
+        THEN -1 ELSE 1 END) AS noise
+  FROM keyed
+)
+SELECT source, lang, n_true,
+  cast(noise as bigint) AS noise,
+  cast(greatest(n_true + noise, 0) as bigint) AS n_dp,
+  greatest(n_true + noise, 0) >= 10 AS released
+FROM noise ORDER BY source, lang
+"""

@@ -12737,6 +12737,47 @@ def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE (operators/dp.py) —
+    the governance family's statistical-release member (next to
+    k_anonymity_audit / l_diversity_audit / forget_key_purge): the
+    (source, lang) document histogram released through the discrete
+    Laplace mechanism at eps = ln 2 (two-sided geometric noise, exact
+    integer inverse-CDF over 48 hash bits, clipped at +-8), with the
+    standard small-bin SUPPRESSION rule (released only when the
+    noised count clears 10). Noise here is a deterministic function
+    of the salted bin key so the oracle replays it bit-for-bit — the
+    mechanism shape is what's proven; both sides are exported for
+    auditability where a production release would drop n_true (and
+    draw fresh randomness).
+
+    Scale: the mechanism is a pure CASE ladder riding the aggregated
+    frame — one keyed agg over the bounded bin domain, then zero-cost
+    expressions. Reference: governance extension per SURVEY §2.9."""
+    from intelligencepipeline_spark.operators.dp import (
+        two_sided_geometric,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    key = F.concat_ws("|", "source", "lang")
+    return (
+        hist.withColumn("noise", two_sided_geometric(key))
+        .withColumn(
+            "n_dp",
+            F.greatest(F.col("n_true") + F.col("noise"), F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("released", F.col("n_dp") >= 10)
+        .select(
+            "source", "lang", "n_true", "noise", "n_dp", "released"
+        )
+        .orderBy("source", "lang")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13057,6 +13098,7 @@ QUERIES = {
     "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
     "late_interaction_rerank": late_interaction_rerank,
     "hybrid_retrieval_fusion": hybrid_retrieval_fusion,
+    "dp_histogram_release": dp_histogram_release,
 }
 
 

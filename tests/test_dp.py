@@ -1,0 +1,59 @@
+"""operators/dp.py — the discrete-Laplace mechanism: Spark column vs
+the Python replay, distribution shape, and the release entry."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.dp import (
+    CLIP,
+    two_sided_geometric,
+    two_sided_geometric_py,
+)
+
+
+def test_column_matches_python_replay(spark):
+    keys = [f"bin{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", two_sided_geometric(F.col("k")).alias("n")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == two_sided_geometric_py(k), k
+
+
+def test_distribution_shape():
+    """Over many keys the empirical mass must look two-sided
+    geometric: P(0) ~ 1/3, symmetric-ish, magnitudes bounded by the
+    clip, monotone decaying."""
+    import collections
+
+    n = 20000
+    c = collections.Counter(
+        two_sided_geometric_py(f"key{i}") for i in range(n)
+    )
+    assert set(c) <= set(range(-CLIP, CLIP + 1))
+    p0 = c[0] / n
+    assert abs(p0 - 1 / 3) < 0.02
+    # decay: mass at |1| > mass at |2| > mass at |3|
+    m = {k: (c[k] + c[-k]) / n for k in (1, 2, 3)}
+    assert m[1] > m[2] > m[3]
+    # symmetry within noise
+    assert abs(c[1] - c[-1]) / n < 0.02
+
+
+def test_release_entry_post_processing(spark):
+    from intelligencepipeline_spark.queries import QUERIES
+
+    rows = QUERIES["dp_histogram_release"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["noise"]) <= CLIP
+        assert r["n_dp"] == max(r["n_true"] + r["noise"], 0)
+        assert r["released"] == (r["n_dp"] >= 10)
+    # suppression must actually engage on the small-bin domain
+    assert any(not r["released"] for r in rows)
+    assert any(r["released"] for r in rows)
