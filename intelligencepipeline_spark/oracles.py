@@ -7567,3 +7567,52 @@ SELECT source, lang, n_true,
   greatest(n_true + noise, 0) >= 10 AS released
 FROM noise ORDER BY source, lang
 """
+
+# span_corruption_plan: hash, 5-lag coverage test, island merge and
+# integer ratios replayed; positions 0-based to match posexplode.
+ORACLES["span_corruption_plan"] = f"""
+WITH toks AS (
+  SELECT doc_id, t.pos
+  FROM documents,
+  LATERAL (SELECT generate_subscripts({_NTOKS}, 1) - 1 AS pos) t
+), marked AS (
+  SELECT doc_id, pos,
+    cast(concat('0x', substr(md5(concat_ws('#', doc_id, pos)), 1, 8))
+      as bigint) % 20 = 0 AS is_start,
+    1 + (cast(concat('0x', substr(md5(concat_ws('#', doc_id, pos)), 1, 8))
+      as bigint) // 20) % 5 AS span_len
+  FROM toks
+), cov AS (
+  SELECT doc_id, pos,
+    (coalesce(is_start, false) AND span_len > 0)
+    OR (coalesce(lag(is_start, 1) OVER w, false)
+        AND coalesce(lag(span_len, 1) OVER w, 0) > 1)
+    OR (coalesce(lag(is_start, 2) OVER w, false)
+        AND coalesce(lag(span_len, 2) OVER w, 0) > 2)
+    OR (coalesce(lag(is_start, 3) OVER w, false)
+        AND coalesce(lag(span_len, 3) OVER w, 0) > 3)
+    OR (coalesce(lag(is_start, 4) OVER w, false)
+        AND coalesce(lag(span_len, 4) OVER w, 0) > 4)
+    AS corrupted
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, corrupted,
+    corrupted AND NOT coalesce(
+      lag(corrupted, 1) OVER (PARTITION BY doc_id ORDER BY pos), false)
+    AS new_span
+  FROM cov
+), agg AS (
+  SELECT doc_id,
+    cast(count(*) as bigint) AS n_toks,
+    cast(sum(CASE WHEN corrupted THEN 1 ELSE 0 END) as bigint)
+      AS n_corrupted,
+    cast(sum(CASE WHEN new_span THEN 1 ELSE 0 END) as bigint) AS n_spans
+  FROM isl GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_corrupted, n_spans,
+  cast(n_corrupted * 1000 // n_toks as bigint) AS corruption_milli,
+  cast(CASE WHEN n_spans > 0 THEN n_corrupted * 1000 // n_spans
+       ELSE 0 END as bigint) AS mean_span_len_milli
+FROM agg ORDER BY doc_id
+"""

@@ -12778,6 +12778,92 @@ def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN-CORRUPTION MASKING PLAN (Raffel et al. 2020 §3.1.4
+    — the denoising-pretraining objective): ~15% of each document's
+    tokens are masked in spans of mean length 3, deterministically —
+    a position STARTS a span iff md5(doc_id#pos) % 20 == 0 (5% of
+    positions) with span length 1 + (h DIV 20) % 5 (mean 3, so
+    expected coverage 15%); overlapping/adjacent spans merge
+    (gaps-and-islands), one sentinel per merged span, spans clip at
+    the document end. Exports per doc: token count, merged span
+    (= sentinel) count, corrupted-token count, milli corruption
+    ratio, milli mean span length — the numbers a pretraining data
+    loader needs to budget sequence lengths for inputs vs targets.
+
+    Scale: the coverage test is a fixed 5-lag look-back and the merge
+    is one more lag — BOTH ride a single doc_id-partitioned window
+    (one shuffle); everything else is per-row hashing in the scan.
+    The sft_loss_mask_spans analogue for the denoising objective;
+    oracle replays hash, look-back, merge, and ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalize_text(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("#", F.col("doc_id"), F.col("pos"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    marked = toks.select(
+        "doc_id",
+        "pos",
+        (h % 20 == 0).alias("is_start"),
+        (1 + F.expr("(conv(substring(md5(concat_ws('#', doc_id, pos)), 1, 8), 16, 10) DIV 20) % 5")).cast(
+            "long"
+        ).alias("span_len"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = F.lit(False)
+    for k in range(5):
+        cov = cov | (
+            F.coalesce(F.lag("is_start", k).over(w), F.lit(False))
+            & (F.coalesce(F.lag("span_len", k).over(w), F.lit(0)) > k)
+        )
+    covered = marked.withColumn("corrupted", cov)
+    islands = covered.withColumn(
+        "new_span",
+        F.col("corrupted")
+        & ~F.coalesce(F.lag("corrupted", 1).over(w), F.lit(False)),
+    )
+    return (
+        islands.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("corrupted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_corrupted"),
+            F.sum(F.when(F.col("new_span"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_corrupted",
+            "n_spans",
+            F.expr("n_corrupted * 1000 DIV n_toks")
+            .cast("long")
+            .alias("corruption_milli"),
+            F.expr(
+                "CASE WHEN n_spans > 0 THEN n_corrupted * 1000 DIV n_spans ELSE 0 END"
+            )
+            .cast("long")
+            .alias("mean_span_len_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13099,6 +13185,7 @@ QUERIES = {
     "late_interaction_rerank": late_interaction_rerank,
     "hybrid_retrieval_fusion": hybrid_retrieval_fusion,
     "dp_histogram_release": dp_histogram_release,
+    "span_corruption_plan": span_corruption_plan,
 }
 
 

@@ -1,0 +1,70 @@
+"""span_corruption_plan — brute-force Python replay of the masking
+rule, plus the coverage-budget property the objective depends on."""
+
+import hashlib
+import re
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _py_plan(doc_id, n):
+    starts = {}
+    for p in range(n):
+        h = int(
+            hashlib.md5(f"{doc_id}#{p}".encode()).hexdigest()[:8], 16
+        )
+        if h % 20 == 0:
+            starts[p] = 1 + (h // 20) % 5
+    corrupted = [
+        any(
+            s <= p < s + l
+            for s, l in starts.items()
+            if p - 4 <= s <= p
+        )
+        for p in range(n)
+    ]
+    n_corr = sum(corrupted)
+    n_spans = sum(
+        1
+        for p in range(n)
+        if corrupted[p] and (p == 0 or not corrupted[p - 1])
+    )
+    return n_corr, n_spans
+
+
+def test_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = {
+        r["doc_id"]: len(_norm_toks(r["text"]))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    rows = QUERIES["span_corruption_plan"](spark, SF).collect()
+    assert len(rows) == sum(1 for n in raw.values() if n > 0)
+    for r in rows:
+        n = raw[r["doc_id"]]
+        n_corr, n_spans = _py_plan(r["doc_id"], n)
+        assert (r["n_toks"], r["n_corrupted"], r["n_spans"]) == (
+            n,
+            n_corr,
+            n_spans,
+        ), r
+        assert r["corruption_milli"] == n_corr * 1000 // n
+
+
+def test_corpus_coverage_near_budget(spark):
+    """Aggregate corruption must sit near the 15% design budget
+    (5% span starts x mean length 3) — a broken look-back or merge
+    shifts it far off."""
+    rows = QUERIES["span_corruption_plan"](spark, SF).collect()
+    tot = sum(r["n_toks"] for r in rows)
+    corr = sum(r["n_corrupted"] for r in rows)
+    assert 0.10 < corr / tot < 0.20, corr / tot
+    # spans are nonempty wherever corruption exists
+    assert all((r["n_spans"] > 0) == (r["n_corrupted"] > 0) for r in rows)
