@@ -7616,3 +7616,41 @@ SELECT doc_id, n_toks, n_corrupted, n_spans,
        ELSE 0 END as bigint) AS mean_span_len_milli
 FROM agg ORDER BY doc_id
 """
+
+# streaming_cms_heavy_hitters: CMS linearity makes the streaming
+# merge equal the one-shot sketch (the Spark side digest-asserts it
+# before this compare runs), so the replay is the one-shot build —
+# exact token counts, md5 cell addressing per depth row, min-over-
+# rows estimates for the exact top-20; lossless pinned TRUE.
+ORACLES["streaming_cms_heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT unnest({_NTOKS}) AS tok FROM documents
+), cnt AS (
+  SELECT tok, cast(count(*) as bigint) AS true_count FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, true_count FROM cnt
+  ORDER BY true_count DESC, tok LIMIT 20
+), cells AS (
+  SELECT j.row AS row,
+    cast(concat('0x', substr(md5(tok || '#' || j.row), 1, 8)) as bigint)
+      % 256 AS pos,
+    cast(count(*) as bigint) AS cnt
+  FROM toks, (VALUES (0), (1), (2)) j(row)
+  GROUP BY 1, 2
+), probe AS (
+  SELECT t.tok, t.true_count, j.row,
+    cast(concat('0x', substr(md5(t.tok || '#' || j.row), 1, 8)) as bigint)
+      % 256 AS pos
+  FROM top t, (VALUES (0), (1), (2)) j(row)
+), est AS (
+  SELECT p.tok, p.true_count,
+    min(coalesce(c.cnt, 0)) AS est_count
+  FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.pos = p.pos
+  GROUP BY 1, 2
+)
+SELECT tok, true_count,
+  cast(est_count as bigint) AS est_count,
+  cast(est_count - true_count as bigint) AS overcount,
+  true AS lossless
+FROM est ORDER BY true_count DESC, tok
+"""

@@ -1,0 +1,42 @@
+"""streaming_cms_heavy_hitters — entry contract (the in-entry digest
+assert carries the linearity proof; these pin the export semantics
+and a brute-force estimate replay)."""
+
+import hashlib
+import re
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _pos(tok, j, width=256):
+    return int(
+        hashlib.md5(f"{tok}#{j}".encode()).hexdigest()[:8], 16
+    ) % width
+
+
+def test_entry_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    counts = {}
+    for r in docs.select("text").collect():
+        for t in _norm_toks(r["text"]):
+            counts[t] = counts.get(t, 0) + 1
+    cells = {}
+    for t, c in counts.items():
+        for j in range(3):
+            k = (j, _pos(t, j))
+            cells[k] = cells.get(k, 0) + c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["streaming_cms_heavy_hitters"](spark, SF).collect()
+    assert [(r["tok"], r["true_count"]) for r in rows] == top
+    for r in rows:
+        est = min(cells[(j, _pos(r["tok"], j))] for j in range(3))
+        assert r["est_count"] == est, r
+        assert r["overcount"] == est - r["true_count"] >= 0
+        assert r["lossless"]
