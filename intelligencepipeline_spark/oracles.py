@@ -7654,3 +7654,40 @@ SELECT tok, true_count,
   true AS lossless
 FROM est ORDER BY true_count DESC, tok
 """
+
+# blocklist_safety_gate: list, severities, thresholds and the
+# tri-state routing replayed off the same normalized token split.
+ORACLES["blocklist_safety_gate"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_NTOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, source,
+    len(list_filter(toks, x -> x = 'dup')) AS h_dup,
+    len(list_filter(toks, x -> x = 'slow')) AS h_slow,
+    len(list_filter(toks, x -> x = 'big')) AS h_big
+  FROM t
+), scored AS (
+  SELECT doc_id, source,
+    3 * h_dup + h_slow + h_big AS severity_score,
+    h_dup + h_slow + h_big AS n_hits,
+    (h_dup > 0) AS has_severe
+  FROM hits
+), routed AS (
+  SELECT *,
+    CASE WHEN has_severe OR severity_score >= 8 THEN 'drop'
+         WHEN severity_score >= 5 THEN 'flag'
+         ELSE 'keep' END AS disposition
+  FROM scored
+), agg AS (
+  SELECT source, disposition,
+    cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_hits) as bigint) AS total_hits,
+    cast(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) as bigint)
+      AS n_docs_with_hits
+  FROM routed GROUP BY 1, 2
+)
+SELECT source, disposition, n_docs, total_hits, n_docs_with_hits,
+  cast(n_docs_with_hits * 1000 // n_docs as bigint)
+    AS hit_doc_rate_milli
+FROM agg ORDER BY source, disposition
+"""

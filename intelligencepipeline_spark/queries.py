@@ -12982,6 +12982,88 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def blocklist_safety_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-BLOCKLIST SAFETY GATE — the moderation stage every
+    production corpus passes before training (the word-list tier
+    under a learned classifier; cf. C4's badwords filter): a severity-
+    weighted term blocklist is matched against the normalized token
+    stream, per-doc hit counts and the exact integer severity score
+    are computed, and docs route to a TRI-STATE disposition — drop
+    (any severe term or score >= 6), flag for review (score >= 2),
+    else keep. Exports per (source, disposition): docs, total hits,
+    milli hit-doc rate — the per-source safety dashboard.
+
+    The blocklist here is a deterministic stand-in domain (terms
+    drawn from the synthetic corpus vocabulary with assigned
+    severities) — the OPERATOR is the product: broadcast list,
+    expression-only matching, tri-state routing, per-source rates.
+
+    Scale: matching is array_intersect-free exact counting via
+    aggregate over the bounded 6-term list per doc (pure expression,
+    rides the scan); the only shuffle is the bounded (source,
+    disposition) agg. Oracle replays list, weights, thresholds and
+    routing."""
+    docs = _t(spark, sf_dir, "documents")
+    # (term, severity): 3 = severe (instant drop), 1 = mild. Terms
+    # chosen from the synthetic corpus vocabulary so every
+    # disposition is actually populated (~60/33/7 keep/flag/drop at
+    # sf0.01) — a gate whose drop branch never fires proves nothing.
+    blocklist = [
+        ("dup", 3),
+        ("slow", 1),
+        ("big", 1),
+    ]
+    toks = tokens(normalize_text(F.col("text")))
+
+    def _eq(term_lit: str):
+        # closure factory: a default-arg lambda would change the HOF
+        # arity to (value, index) — the operators/bm25.py gotcha
+        return lambda x: x == F.lit(term_lit)
+
+    hit_cols = []
+    for term, sev in blocklist:
+        c = F.size(F.filter(toks, _eq(term)))
+        hit_cols.append((term, sev, c))
+    score = None
+    severe = None
+    n_hits = None
+    for term, sev, c in hit_cols:
+        s = (c * sev).cast("long")
+        score = s if score is None else score + s
+        n_hits = c.cast("long") if n_hits is None else n_hits + c
+        sv = (c > 0) & F.lit(sev >= 3)
+        severe = sv if severe is None else severe | sv
+    scored = docs.select(
+        "doc_id",
+        "source",
+        score.alias("severity_score"),
+        n_hits.alias("n_hits"),
+        severe.alias("has_severe"),
+    ).withColumn(
+        "disposition",
+        F.when(
+            F.col("has_severe") | (F.col("severity_score") >= 8), "drop"
+        )
+        .when(F.col("severity_score") >= 5, "flag")
+        .otherwise("keep"),
+    )
+    return (
+        scored.groupBy("source", "disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_with_hits"),
+        )
+        .withColumn(
+            "hit_doc_rate_milli",
+            F.expr("n_docs_with_hits * 1000 DIV n_docs").cast("long"),
+        )
+        .orderBy("source", "disposition")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13305,6 +13387,7 @@ QUERIES = {
     "dp_histogram_release": dp_histogram_release,
     "span_corruption_plan": span_corruption_plan,
     "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
+    "blocklist_safety_gate": blocklist_safety_gate,
 }
 
 

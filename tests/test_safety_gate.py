@@ -1,0 +1,58 @@
+"""blocklist_safety_gate — brute-force routing replay and the
+three-disposition liveness contract."""
+
+import re
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+BLOCKLIST = [("dup", 3), ("slow", 1), ("big", 1)]
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _route(toks):
+    hits = {t: toks.count(t) for t, _ in BLOCKLIST}
+    score = sum(hits[t] * s for t, s in BLOCKLIST)
+    severe = any(hits[t] > 0 for t, s in BLOCKLIST if s >= 3)
+    if severe or score >= 8:
+        return "drop", sum(hits.values())
+    if score >= 5:
+        return "flag", sum(hits.values())
+    return "keep", sum(hits.values())
+
+
+def test_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    want = {}
+    for r in docs.select("source", "text").collect():
+        disp, nh = _route(_norm_toks(r["text"]))
+        k = (r["source"], disp)
+        d = want.setdefault(k, [0, 0, 0])
+        d[0] += 1
+        d[1] += nh
+        d[2] += 1 if nh > 0 else 0
+    rows = QUERIES["blocklist_safety_gate"](spark, SF).collect()
+    got = {
+        (r["source"], r["disposition"]): [
+            r["n_docs"],
+            r["total_hits"],
+            r["n_docs_with_hits"],
+        ]
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert (
+            r["hit_doc_rate_milli"]
+            == r["n_docs_with_hits"] * 1000 // r["n_docs"]
+        )
+
+
+def test_all_dispositions_fire(spark):
+    rows = QUERIES["blocklist_safety_gate"](spark, SF).collect()
+    disps = {r["disposition"] for r in rows}
+    assert disps == {"keep", "flag", "drop"}, disps
