@@ -1,0 +1,143 @@
+"""Margin-based bitext mining (Artetxe & Schwenk 2019), hash-exact.
+
+Cross-lingual pair mining is the standard way to build translation /
+cross-lingual training pairs from two monolingual corpora: embed both
+sides, find nearest neighbors, and keep pairs whose similarity stands
+out RELATIVE to each side's neighborhood (the margin criterion —
+absolute cosine thresholds fail because embedding-space density
+varies), requiring mutual best match.
+
+This module re-expresses the pipeline with the repo's integer
+discipline and its LSH banding argument:
+
+* each embedding is SIGN-BINARIZED into 8 bands of 8 bits (band b
+  packs the sign bits of dims 8b..8b+7), so similarity is the exact
+  integer ``sim = 64 - hamming`` over the banded masks — and the same
+  bands are the blocking keys: candidate pairs must share at least
+  one (band_id, band_value), NEVER all-pairs (two vectors with
+  hamming <= 7 share >= 1 equal band by pigeonhole — the
+  image_dhash_near_pairs argument at 8 bands);
+* per-side neighborhoods use the top-k (k = 4) candidate sims; the
+  margin is the exactly-rationalized ratio
+
+      margin = 2 * sim / (avg_k(x) + avg_k(y))
+             = (2 * sim * kx * ky) / (sumk_x * ky + sumk_y * kx)
+
+  exported as margin_milli with integer DIV (short sides with fewer
+  than k neighbors use their true neighbor count — no float, no
+  padding bias);
+* a pair is MINED when it is the mutual best match (sim desc, partner
+  asc — deterministic ties) AND margin_milli clears the threshold.
+
+Scale shape: banding keys ride the scan; the candidate join is
+band-keyed (shuffle on (band_id, value), never a cross join); top-k /
+best-match windows are PARTITIONED per doc (bounded by its candidate
+count). At 100 TB this is the minhash-LSH shape with sign bands.
+
+Reference parity: extends SURVEY §2.9 (cross-lingual pair
+construction); the banding reuses the repo's own LSH argument
+(operators/dedup.py, image_dhash_near_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BANDS = 8
+BAND_BITS = 8
+K_NN = 4
+
+
+def sign_bands(vec_col: Column) -> Column:
+    """array<long> of 8 band masks: band b folds the sign bits
+    (x >= 0) of dims 8b..8b+7 MSB-first (acc*2 + bit — an in-order
+    fold, so no shift-by-column is needed)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.sequence(F.lit(0), F.lit(BAND_BITS - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(
+                    vec_col, (b * BAND_BITS + j + 1).cast("int")
+                )
+                >= 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def banded_candidates(
+    left: DataFrame, right: DataFrame
+) -> DataFrame:
+    """Bipartite LSH blocking: (x_id, y_id, x_bands, y_bands) pairs
+    sharing >= 1 (band_id, band_value). ``left``/``right`` need
+    (doc_id, bands)."""
+    lx = left.select(
+        F.col("doc_id").alias("x_id"),
+        F.col("bands").alias("x_bands"),
+        F.posexplode("bands").alias("band_id", "bv"),
+    )
+    rx = right.select(
+        F.col("doc_id").alias("y_id"),
+        F.col("bands").alias("y_bands"),
+        F.posexplode("bands").alias("band_id", "bv"),
+    )
+    return (
+        lx.join(rx, ["band_id", "bv"])
+        .select("x_id", "y_id", "x_bands", "y_bands")
+        .distinct()
+    )
+
+
+def hamming_sim(a: Column, b: Column) -> Column:
+    """64 - hamming over two band-mask arrays (exact integer)."""
+    return F.lit(64) - F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + h.cast("long"),
+    )
+
+
+def mine_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    margin_threshold_milli: int = 1050,
+) -> DataFrame:
+    """Full mining pipeline over two (doc_id, bands) frames. Returns
+    mutual-best pairs with (x_id, y_id, sim, margin_milli, mined)."""
+    cand = banded_candidates(left, right).withColumn(
+        "sim", hamming_sim(F.col("x_bands"), F.col("y_bands")).cast("long")
+    ).select("x_id", "y_id", "sim")
+
+    wx = Window.partitionBy("x_id").orderBy(F.desc("sim"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("sim"), "x_id")
+    ranked = cand.withColumn(
+        "rx", F.row_number().over(wx)
+    ).withColumn("ry", F.row_number().over(wy))
+
+    kx = ranked.filter(F.col("rx") <= K_NN).groupBy("x_id").agg(
+        F.sum("sim").alias("sumk_x"), F.count(F.lit(1)).alias("kx")
+    )
+    ky = ranked.filter(F.col("ry") <= K_NN).groupBy("y_id").agg(
+        F.sum("sim").alias("sumk_y"), F.count(F.lit(1)).alias("ky")
+    )
+    best = ranked.filter((F.col("rx") == 1) & (F.col("ry") == 1))
+    return (
+        best.join(kx, "x_id")
+        .join(ky, "y_id")
+        .withColumn(
+            "margin_milli",
+            F.expr(
+                "2 * sim * kx * ky * 1000 DIV "
+                "greatest(sumk_x * ky + sumk_y * kx, 1)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "mined", F.col("margin_milli") >= margin_threshold_milli
+        )
+        .select("x_id", "y_id", "sim", "margin_milli", "mined")
+    )

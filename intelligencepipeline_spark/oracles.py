@@ -7691,3 +7691,62 @@ SELECT source, disposition, n_docs, total_hits, n_docs_with_hits,
     AS hit_doc_rate_milli
 FROM agg ORDER BY source, disposition
 """
+
+# bitext_mining_margin: bands (MSB-first sign fold), band-keyed
+# blocking, hamming sims, top-4 neighborhoods, the rationalized
+# margin and mutual-best rule replayed relationally.
+ORACLES["bitext_mining_margin"] = """
+WITH banded AS (
+  SELECT e.vec_id AS doc_id, d.lang,
+    list_transform(range(0, 8), b ->
+      list_aggregate(
+        list_transform(range(0, 8), j ->
+          CASE WHEN e.embedding[cast(b * 8 + j + 1 as bigint)] >= 0
+            THEN cast(1 as bigint) ELSE cast(0 as bigint) END
+          * cast(power(2, 7 - j) as bigint)),
+        'sum')) AS bands
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang IN ('en', 'de')
+), lx AS (
+  SELECT doc_id AS x_id, bands AS x_bands,
+    generate_subscripts(bands, 1) - 1 AS band_id, unnest(bands) AS bv
+  FROM banded WHERE lang = 'en'
+), rx AS (
+  SELECT doc_id AS y_id, bands AS y_bands,
+    generate_subscripts(bands, 1) - 1 AS band_id, unnest(bands) AS bv
+  FROM banded WHERE lang = 'de'
+), cand AS (
+  SELECT DISTINCT x_id, y_id, x_bands, y_bands
+  FROM lx JOIN rx USING (band_id, bv)
+), sims AS (
+  SELECT x_id, y_id,
+    64 - cast(list_aggregate(
+      list_transform(range(1, 9),
+        i -> cast(bit_count(xor(x_bands[i], y_bands[i])) as bigint)),
+      'sum') as bigint) AS sim
+  FROM cand
+), ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rx_,
+    row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS ry_
+  FROM sims
+), kx AS (
+  SELECT x_id, sum(sim) AS sumk_x, count(*) AS kx FROM ranked
+  WHERE rx_ <= 4 GROUP BY x_id
+), ky AS (
+  SELECT y_id, sum(sim) AS sumk_y, count(*) AS ky FROM ranked
+  WHERE ry_ <= 4 GROUP BY y_id
+), best AS (
+  SELECT r.x_id, r.y_id, r.sim FROM ranked r
+  WHERE r.rx_ = 1 AND r.ry_ = 1
+), margins AS (
+  SELECT b.x_id, b.y_id, b.sim,
+    cast(2 * b.sim * kx.kx * ky.ky * 1000 //
+      greatest(kx.sumk_x * ky.ky + ky.sumk_y * kx.kx, 1) as bigint)
+      AS margin_milli
+  FROM best b JOIN kx ON kx.x_id = b.x_id JOIN ky ON ky.y_id = b.y_id
+)
+SELECT x_id AS en_doc, y_id AS de_doc, cast(sim as bigint) AS sim,
+  margin_milli, margin_milli >= 1050 AS mined
+FROM margins ORDER BY margin_milli DESC, en_doc, de_doc
+"""

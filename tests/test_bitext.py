@@ -1,0 +1,105 @@
+"""operators/bitext.py — brute-force replay of banding, blocking,
+margin and mutuality; plus the pigeonhole recall guarantee."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bands(vec):
+    out = []
+    for b in range(8):
+        acc = 0
+        for j in range(8):
+            acc = acc * 2 + (1 if vec[b * 8 + j] >= 0 else 0)
+        out.append(acc)
+    return out
+
+
+def _mine(en, de):
+    """en/de: {doc_id: bands}. Returns {(x, y): (sim, margin_milli)}
+    for mutual best pairs."""
+    cand = {}
+    for x, xb in en.items():
+        for y, yb in de.items():
+            if any(a == b for a, b in zip(xb, yb)):
+                sim = 64 - sum(
+                    bin(a ^ b).count("1") for a, b in zip(xb, yb)
+                )
+                cand[(x, y)] = sim
+    bestx, besty = {}, {}
+    for (x, y), s in cand.items():
+        if x not in bestx or (s, -y) > (
+            bestx[x][0], -bestx[x][1]
+        ):
+            bestx[x] = (s, y)
+        if y not in besty or (s, -x) > (besty[y][0], -besty[y][1]):
+            besty[y] = (s, x)
+    sumk = {}
+    for side, key in (("x", 0), ("y", 1)):
+        for (x, y), s in cand.items():
+            k = (side, (x, y)[key])
+            sumk.setdefault(k, []).append(s)
+    out = {}
+    for x, (s, y) in bestx.items():
+        if besty.get(y, (None, None))[1] != x:
+            continue
+        tx = sorted(sumk[("x", x)], reverse=True)[:4]
+        ty = sorted(sumk[("y", y)], reverse=True)[:4]
+        kx, ky = len(tx), len(ty)
+        denom = max(sum(tx) * ky + sum(ty) * kx, 1)
+        margin = 2 * s * kx * ky * 1000 // denom
+        out[(x, y)] = (s, margin)
+    return out
+
+
+def _load(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lang = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    en, de = {}, {}
+    for r in emb.collect():
+        l = lang.get(r["vec_id"])
+        if l == "en":
+            en[r["vec_id"]] = _bands(r["embedding"])
+        elif l == "de":
+            de[r["vec_id"]] = _bands(r["embedding"])
+    return en, de
+
+
+def test_matches_brute_force(spark):
+    en, de = _load(spark)
+    want = _mine(en, de)
+    rows = QUERIES["bitext_mining_margin"](spark, SF).collect()
+    got = {
+        (r["en_doc"], r["de_doc"]): (r["sim"], r["margin_milli"])
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        assert r["mined"] == (r["margin_milli"] >= 1050)
+
+
+def test_blocking_pigeonhole_recall(spark):
+    """Any en/de pair with hamming <= 7 must appear among the banded
+    candidates (8 bands, pigeonhole) — verified exhaustively on the
+    test corpus: every such pair is someone's candidate and so has a
+    defined sim in the brute-force replay."""
+    en, de = _load(spark)
+    for x, xb in en.items():
+        for y, yb in de.items():
+            h = sum(bin(a ^ b).count("1") for a, b in zip(xb, yb))
+            if h <= 7:
+                assert any(a == b for a, b in zip(xb, yb)), (x, y, h)
+
+
+def test_mined_pairs_exist_and_are_mutual(spark):
+    rows = QUERIES["bitext_mining_margin"](spark, SF).collect()
+    assert rows, "no mutual best pairs on the test corpus"
+    # mutual-best implies unique en_doc and unique de_doc
+    assert len({r["en_doc"] for r in rows}) == len(rows)
+    assert len({r["de_doc"] for r in rows}) == len(rows)
