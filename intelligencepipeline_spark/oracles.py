@@ -7750,3 +7750,53 @@ SELECT x_id AS en_doc, y_id AS de_doc, cast(sim as bigint) AS sim,
   margin_milli, margin_milli >= 1050 AS mined
 FROM margins ORDER BY margin_milli DESC, en_doc, de_doc
 """
+
+# domain_reweighting_plan: composes the LM gate's oracle body, then
+# replays per-source sums, milli means, excess vs the best source,
+# the 1000 + 4*excess raw weights and largest-remainder
+# renormalization to exactly 1000.
+ORACLES["domain_reweighting_plan"] = f"""
+WITH lm AS ({_LM_BODY}),
+src AS (
+  SELECT lm.doc_id, lm.lm_bits, lm.n_toks, d.source
+  FROM lm JOIN documents d USING (doc_id)
+), per AS (
+  SELECT source, sum(lm_bits) AS bits, sum(n_toks) AS toks,
+    cast(count(*) as bigint) AS n_docs
+  FROM src GROUP BY source
+), wm AS (
+  SELECT *, cast(bits * 1000 // toks as bigint) AS mean_milli FROM per
+), best AS (SELECT min(mean_milli) AS best_milli FROM wm),
+raw AS (
+  SELECT wm.*, wm.mean_milli - b.best_milli AS excess_milli,
+    1000 + 4 * (wm.mean_milli - b.best_milli) AS raw_weight
+  FROM wm CROSS JOIN best b
+), tot AS (SELECT sum(raw_weight) AS tot FROM raw),
+shares AS (
+  SELECT r.*, r.raw_weight * 1000 // t.tot AS floor_share,
+    (r.raw_weight * 1000) % t.tot AS rem
+  FROM raw r CROSS JOIN tot t
+), short AS (SELECT 1000 - sum(floor_share) AS short FROM shares),
+ranked AS (
+  SELECT s.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM shares s
+)
+SELECT source, n_docs, mean_milli,
+  cast(excess_milli as bigint) AS excess_milli,
+  cast(floor_share + CASE WHEN rk <= sh.short THEN 1 ELSE 0 END
+    as bigint) AS weight_milli
+FROM ranked CROSS JOIN short sh ORDER BY source
+"""
+
+# uncertainty_sampling_plan: composes the NB classifier's oracle body
+# and replays the held-out filter, |margin| order and 25-row cut.
+_NB_BODY = _re.sub(r"ORDER BY doc_id\s*$", "",
+                   ORACLES["nb_quality_classifier"].strip())
+ORACLES["uncertainty_sampling_plan"] = f"""
+WITH nb AS ({_NB_BODY})
+SELECT doc_id,
+  cast(abs(margin_bits) as bigint) AS abs_margin,
+  margin_bits, nb_keep, label_keep, agree
+FROM nb WHERE doc_id % 2 = 1
+ORDER BY abs_margin, doc_id LIMIT 25
+"""

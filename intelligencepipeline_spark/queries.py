@@ -13114,6 +13114,154 @@ def bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_reweighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOREMI-STYLE DOMAIN REWEIGHTING (Xie et al. 2023, the
+    excess-loss idea in its one-shot form): per-source EXCESS LOSS
+    under the catalog's own trained LM gate — each source's mean
+    bits/token above the best source's — becomes its sampling weight
+    (sources where the reference model does worst are upweighted, the
+    DoReMi signal). All integer-exact: per-source totals are exact
+    sums; the source mean is cross-multiplied against the minimum
+    (excess_num/excess_den kept rational), the weight is
+    1000 + excess scaled by a 4000-milli gain, and final mixture
+    weights renormalize to exactly 1000 milli with LARGEST-REMAINDER
+    rounding (deterministic; weights sum to 1000 by construction —
+    asserted in-entry). Composes ngram_lm_perplexity_gate
+    end-to-end, the quality_gate_agreement composition discipline.
+
+    Scale: the LM gate's own shape (one token fan-out, co-keyed
+    count joins) plus a bounded per-source agg; the reweighting
+    ladder runs on the <=20-row source domain."""
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = perplexity_gate(
+        docs,
+        tokens(normalize_text(F.col("text"))),
+        F.col("doc_id") % 2 == 0,
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    per_src = track_persist(
+        gated.groupBy("source").agg(
+            F.sum("lm_bits").alias("bits"),
+            F.sum("n_toks").alias("toks"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    # the <=20-row source table is persisted AND eagerly materialized:
+    # the downstream aggregates (best, tot, short) are broadcast
+    # subtrees that execute CONCURRENTLY in the final job — without
+    # the eager count they all miss the still-empty cache and each
+    # re-runs the full LM scoring lineage (measured 53s -> ~10s at
+    # sf0.01)
+    per_src.count()
+    # best source = minimal mean bits/token: min by cross-multiplied
+    # comparison folded through a 1-row agg (min_by on the exact
+    # rational encoded as bits/toks cross products is not SQL-stable;
+    # instead compare via milli-quantized mean, deterministic in both
+    # engines, ties to the smaller value)
+    with_mean = per_src.withColumn(
+        "mean_milli", F.expr("bits * 1000 DIV toks").cast("long")
+    )
+    best = with_mean.agg(F.min("mean_milli").alias("best_milli"))
+    raw = (
+        with_mean.crossJoin(F.broadcast(best))
+        .withColumn(
+            "excess_milli",
+            (F.col("mean_milli") - F.col("best_milli")).cast("long"),
+        )
+        .withColumn(
+            "raw_weight",
+            (F.lit(1000) + 4 * F.col("excess_milli")).cast("long"),
+        )
+    )
+    tot = raw.agg(F.sum("raw_weight").alias("tot"))
+    shares = (
+        raw.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "floor_share",
+            F.expr("raw_weight * 1000 DIV tot").cast("long"),
+        )
+        .withColumn(
+            "rem", F.expr("(raw_weight * 1000) % tot").cast("long")
+        )
+    )
+    w_rem = Window.orderBy(F.desc("rem"), "source")
+    short = shares.agg(
+        (F.lit(1000) - F.sum("floor_share")).alias("short")
+    )
+    out = (
+        shares.crossJoin(F.broadcast(short))
+        .withColumn("rk", F.row_number().over(w_rem).cast("long"))
+        .withColumn(
+            "weight_milli",
+            (
+                F.col("floor_share")
+                + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mean_milli",
+            "excess_milli",
+            "weight_milli",
+        )
+        .orderBy("source")
+    )
+    rows = out.collect()
+    assert sum(r["weight_milli"] for r in rows) == 1000, (
+        "largest-remainder renormalization must sum to exactly 1000"
+    )
+    return out
+
+
+def uncertainty_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING BATCH SELECTION (uncertainty sampling, Lewis &
+    Gale 1994 — the labeling-budget allocator every classifier-
+    curation loop runs): the catalog's trained NB quality classifier
+    (nb_quality_classifier) scores every HELD-OUT document (odd
+    doc_id — you don't re-label training data); the next labeling
+    batch is the 25 docs with the SMALLEST |margin| (closest to the
+    decision boundary, where a label buys the most information),
+    deterministic ties by doc_id. Exports the batch with margins,
+    current prediction, teacher label, and whether the two disagree
+    (boundary docs should show elevated disagreement — that is why
+    they are worth labeling).
+
+    Scale: the classifier's own shape (feature fan-out + 256-row
+    broadcast model) plus one TakeOrdered cut by |margin| — no global
+    sort materialization. Composes operators/quality_clf.py
+    end-to-end."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.quality_clf import (
+        nb_train_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = nb_train_score(
+        docs,
+        tokens(F.col("text")),
+        gopher_rules(F.col("text"))["keep"],
+        F.col("doc_id") % 2 == 0,
+    )
+    return (
+        scored.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("abs_margin", F.abs("margin_bits").cast("long"))
+        .orderBy("abs_margin", "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            "abs_margin",
+            "margin_bits",
+            "nb_keep",
+            "label_keep",
+            "agree",
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13439,6 +13587,8 @@ QUERIES = {
     "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
     "blocklist_safety_gate": blocklist_safety_gate,
     "bitext_mining_margin": bitext_mining_margin,
+    "domain_reweighting_plan": domain_reweighting_plan,
+    "uncertainty_sampling_plan": uncertainty_sampling_plan,
 }
 
 

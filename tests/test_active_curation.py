@@ -1,0 +1,41 @@
+"""domain_reweighting_plan + uncertainty_sampling_plan — composition
+entries over the trained gates; these pin the selection/renormalization
+algebra against the composed operators' own outputs."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_reweighting_algebra(spark):
+    rows = QUERIES["domain_reweighting_plan"](spark, SF).collect()
+    assert sum(r["weight_milli"] for r in rows) == 1000
+    best = min(r["mean_milli"] for r in rows)
+    for r in rows:
+        assert r["excess_milli"] == r["mean_milli"] - best
+    # monotone: strictly larger excess never gets a smaller weight
+    # beyond the 1-milli largest-remainder wobble
+    srt = sorted(rows, key=lambda r: r["excess_milli"])
+    for a, b in zip(srt, srt[1:]):
+        if b["excess_milli"] > a["excess_milli"]:
+            assert b["weight_milli"] >= a["weight_milli"] - 1
+    # the DoReMi signal: some source is actually upweighted
+    assert max(r["excess_milli"] for r in rows) > 0
+
+
+def test_uncertainty_batch_is_minimal_margin(spark):
+    batch = QUERIES["uncertainty_sampling_plan"](spark, SF).collect()
+    assert len(batch) == 25
+    full = QUERIES["nb_quality_classifier"](spark, SF).collect()
+    held = sorted(
+        (abs(r["margin_bits"]), r["doc_id"], r)
+        for r in full
+        if r["doc_id"] % 2 == 1
+    )
+    want = [(m, d) for m, d, _ in held[:25]]
+    got = [(r["abs_margin"], r["doc_id"]) for r in batch]
+    assert got == want
+    for r in batch:
+        assert r["agree"] == (r["nb_keep"] == r["label_keep"])
