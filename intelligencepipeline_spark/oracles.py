@@ -7800,3 +7800,27 @@ SELECT doc_id,
 FROM nb WHERE doc_id % 2 = 1
 ORDER BY abs_margin, doc_id LIMIT 25
 """
+
+# embedding_outlier_audit: composes the PCA oracle body (the full
+# 64-iteration recursive CTE, ORDER BY stripped) and replays centered
+# projections and the top-10 |projection| cut.
+_PCA_BODY = _re.sub(r"ORDER BY mu\.dim\s*$", "",
+                    ORACLES["embedding_pca_top_component"].strip())
+ORACLES["embedding_outlier_audit"] = f"""
+WITH pca AS ({_PCA_BODY}),
+q AS (
+  SELECT vec_id, cast(label as bigint) AS label,
+    cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+    {_QELEM} + 1000 AS qv
+  FROM embeddings
+), proj AS (
+  SELECT q.vec_id, q.label,
+    cast(sum((q.qv - (pca.mu_milli + 1000)) * pca.pc1) as bigint)
+      AS pc1_proj
+  FROM q JOIN pca ON pca.dim = q.dim
+  GROUP BY q.vec_id, q.label
+)
+SELECT vec_id, label, pc1_proj,
+  cast(abs(pc1_proj) as bigint) AS abs_proj
+FROM proj ORDER BY abs_proj DESC, vec_id LIMIT 10
+"""

@@ -13262,6 +13262,55 @@ def uncertainty_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER DETECTION along the principal direction —
+    the practical consumer of embedding_pca_top_component (the
+    all-but-the-top observation, Mu & Viswanath 2018: embedding
+    spaces develop a dominant direction that encodes frequency/
+    artifact signal, and the vectors FURTHEST along it are the
+    artifacts worth auditing): every embedded vector's exact-integer
+    projection onto the mined top component (centered milli values x
+    the +-1024-scaled eigenvector), exported as the top-10 by
+    |projection| with labels — the audit queue.
+
+    Scale: the PCA state (d means + d eigenvector ints) is bounded
+    driver state folded back as literal arrays; the projection is a
+    zip_with dot riding the embeddings scan; the cut is TakeOrdered.
+    Oracle composes the full PCA oracle (64-iteration recursive CTE)
+    and replays projections — eigenvector drift breaks this row too."""
+    from intelligencepipeline_spark.operators.pca import (
+        MILLI,
+        pca_top_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = pca_top_component(spark, emb).orderBy("dim").collect()
+    mu_shift = [int(r["mu_milli"]) + MILLI for r in comp]
+    v = [int(r["pc1"]) for r in comp]
+    mu_arr = F.array(*[F.lit(m).cast("long") for m in mu_shift])
+    v_arr = F.array(*[F.lit(x).cast("long") for x in v])
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * MILLI).cast("long") + MILLI,
+    )
+    centered = F.zip_with(qarr, mu_arr, lambda q, m: q - m)
+    proj = F.aggregate(
+        F.zip_with(centered, v_arr, lambda c, w: c * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            proj.alias("pc1_proj"),
+        )
+        .withColumn("abs_proj", F.abs("pc1_proj").cast("long"))
+        .orderBy(F.desc("abs_proj"), "vec_id")
+        .limit(10)
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13589,6 +13638,7 @@ QUERIES = {
     "bitext_mining_margin": bitext_mining_margin,
     "domain_reweighting_plan": domain_reweighting_plan,
     "uncertainty_sampling_plan": uncertainty_sampling_plan,
+    "embedding_outlier_audit": embedding_outlier_audit,
 }
 
 

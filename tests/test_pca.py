@@ -105,3 +105,31 @@ def test_power_iteration_known_matrix():
     ]
     v = power_iteration(rows, 2)
     assert v == [1024, 1024]
+
+
+def test_outlier_audit_matches_brute_force(spark):
+    """embedding_outlier_audit: projections equal the brute-force
+    centered dot against the brute-force eigenvector."""
+    from intelligencepipeline_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    recs = {
+        r["vec_id"]: (r["embedding"], r["label"])
+        for r in emb.collect()
+    }
+    vecs = [recs[i][0] for i in sorted(recs)]
+    mu, _, v = _py_pipeline(vecs)
+    want = {}
+    for vid in sorted(recs):
+        q = [
+            math.floor(float(x) * 1000) + 1000 for x in recs[vid][0]
+        ]
+        want[vid] = sum((q[j] - mu[j]) * v[j] for j in range(len(v)))
+    rows = QUERIES["embedding_outlier_audit"](spark, SF).collect()
+    assert len(rows) == 10
+    top = sorted(
+        ((abs(p), -vid) for vid, p in want.items()), reverse=True
+    )[:10]
+    assert [(r["abs_proj"], -r["vec_id"]) for r in rows] == top
+    for r in rows:
+        assert r["pc1_proj"] == want[r["vec_id"]]
