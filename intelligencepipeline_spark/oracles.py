@@ -7824,3 +7824,33 @@ SELECT vec_id, label, pc1_proj,
   cast(abs(pc1_proj) as bigint) AS abs_proj
 FROM proj ORDER BY abs_proj DESC, vec_id LIMIT 10
 """
+
+# gazetteer_entity_tagging: dictionary membership (md5 % 5),
+# categories (md5 DIV 5 % 3), the token-stream join and per-source
+# rates replayed.
+ORACLES["gazetteer_entity_tagging"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_NTOKS}) AS tok FROM documents
+), gaz AS (
+  SELECT term,
+    ['tech', 'place', 'org'][cast((h // 5) % 3 + 1 as int)] AS category
+  FROM (
+    SELECT DISTINCT tok AS term,
+      cast(concat('0x', substr(md5(tok), 1, 8)) as bigint) AS h
+    FROM toks
+  ) WHERE h % 5 = 0
+), tagged AS (
+  SELECT t.doc_id, t.source, g.term, g.category
+  FROM toks t JOIN gaz g ON g.term = t.tok
+), totals AS (
+  SELECT source, count(*) AS n_toks_src FROM toks GROUP BY source
+)
+SELECT tg.source, tg.category,
+  cast(count(*) as bigint) AS n_occurrences,
+  cast(count(DISTINCT tg.doc_id) as bigint) AS n_docs,
+  cast(count(DISTINCT tg.term) as bigint) AS n_terms,
+  cast(count(*) * 1000 // t.n_toks_src as bigint) AS tagged_rate_milli
+FROM tagged tg JOIN totals t USING (source)
+GROUP BY tg.source, tg.category, t.n_toks_src
+ORDER BY tg.source, tg.category
+"""
