@@ -729,3 +729,45 @@ def test_b9_plan_shapes(spark):
     a = audit(unigram_encode_stats(spark, SF))
     assert a.broadcast_joins >= 1, a.plan[:1500]
     assert not a.cartesian
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    """nb_quality_classifier: the 256-row model join must broadcast —
+    a sort-merge join on the feature stream would shuffle the whole
+    fan-out by bucket."""
+    from intelligencepipeline_spark.queries import QUERIES
+
+    a = audit(QUERIES["nb_quality_classifier"](spark, SF))
+    assert a.broadcast_joins >= 1, a.plan
+    assert not a.cartesian, a.plan
+
+
+def test_gazetteer_broadcasts_dictionary(spark):
+    from intelligencepipeline_spark.queries import QUERIES
+
+    a = audit(QUERIES["gazetteer_entity_tagging"](spark, SF))
+    assert a.broadcast_joins >= 1, a.plan
+    assert not a.cartesian, a.plan
+
+
+def test_pca_gram_has_no_join(spark):
+    """gram_matrix is a posexplode chain — the d^2 aggregation must
+    appear WITHOUT any join operator (the self-join formulation would
+    shuffle the corpus twice)."""
+    from intelligencepipeline_spark.operators.pca import gram_matrix
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = audit(gram_matrix(emb))
+    assert a.sortmerge_joins == 0 and not a.cartesian, a.plan
+    # the d-row mean fold broadcasts; no other join machinery exists
+    assert "SortMergeJoin" not in a.plan, a.plan
+
+
+def test_late_interaction_pool_joins_broadcast(spark):
+    """The rerank stage's joins (candidate pool, query terms) are all
+    broadcast — nothing in stage 2 shuffles on corpus volume."""
+    from intelligencepipeline_spark.queries import QUERIES
+
+    a = audit(QUERIES["late_interaction_rerank"](spark, SF))
+    assert not a.cartesian, a.plan
+    assert a.sortmerge_joins == 0, a.plan
