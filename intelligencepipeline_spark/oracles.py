@@ -7854,3 +7854,49 @@ FROM tagged tg JOIN totals t USING (source)
 GROUP BY tg.source, tg.category, t.n_toks_src
 ORDER BY tg.source, tg.category
 """
+
+# topic_model_lite: composes the shared _KMEANS_8_2 unroll (a2 =
+# final assignments) and replays the ppm-quantized lift labeling.
+ORACLES["topic_model_lite"] = f"""
+WITH {_KMEANS_8_2},
+members AS (SELECT vec_id AS doc_id, cid AS cluster FROM a2),
+sizes AS (
+  SELECT cluster, cast(count(*) as bigint) AS n_members
+  FROM members GROUP BY cluster
+),
+toks AS (
+  SELECT m.cluster, t.tok
+  FROM (SELECT doc_id, unnest({_NTOKS}) AS tok FROM documents) t
+  JOIN members m USING (doc_id)
+),
+corpus AS (SELECT tok, count(*) AS tf_all FROM toks GROUP BY tok),
+ctot AS (SELECT count(*) AS total_toks FROM toks),
+pc AS (SELECT cluster, tok, count(*) AS tf_c FROM toks GROUP BY 1, 2),
+cltot AS (SELECT cluster, count(*) AS toks_c FROM toks GROUP BY 1),
+lifted AS (
+  SELECT p.cluster, p.tok, p.tf_c,
+    (p.tf_c * 1000000 // cl.toks_c) AS rate_c_ppm,
+    (c.tf_all * 1000000 // t.total_toks) AS rate_all_ppm
+  FROM pc p JOIN cltot cl USING (cluster)
+  JOIN corpus c USING (tok) CROSS JOIN ctot t
+  WHERE p.tf_c >= 5
+),
+ranked AS (
+  SELECT cluster, tok, tf_c,
+    cast(rate_c_ppm * 1000 // greatest(rate_all_ppm, 1) as bigint)
+      AS lift_milli,
+    row_number() OVER (PARTITION BY cluster
+      ORDER BY rate_c_ppm * 1000 // greatest(rate_all_ppm, 1) DESC, tok)
+      AS rank
+  FROM lifted
+)
+SELECT r.cluster AS cluster_id,
+  cast(r.rank as bigint) AS rank,
+  r.tok AS term,
+  cast(r.tf_c as bigint) AS tf_cluster,
+  r.lift_milli,
+  s.n_members
+FROM ranked r JOIN sizes s ON s.cluster = r.cluster
+WHERE r.rank <= 3
+ORDER BY cluster_id, rank
+"""

@@ -13386,6 +13386,88 @@ def gazetteer_entity_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topic_model_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIGHTWEIGHT TOPIC MODELING — the corpus-understanding pass a
+    curation team runs before mixing decisions (cluster-then-label,
+    the standard cheap alternative to LDA): documents cluster by
+    their embeddings through the catalog's exact-integer k-means
+    (operators/kmeans.py, k=8, 2 rounds — the same machinery and
+    oracle fragment as embedding_kmeans/semantic_dedup), then each
+    cluster is LABELED by its top-3 lift terms — per-cluster token
+    rate over corpus token rate, both pre-quantized to ppm so the
+    lift ratio is exact integer math BOUNDED AT ANY CORPUS SIZE
+    (rate_ppm <= 1e6 regardless of counts; no cross-multiplied
+    overflow), min cluster-tf 5, ties to the lexicographically
+    smaller term. Exports (cluster_id, rank, term, tf_cluster,
+    lift_milli, n_members).
+
+    Scale: clustering is the k-means operator's shape (k*d driver
+    state, expression assignment); labeling is one token fan-out,
+    one doc_id equi-join against the assignment, bounded
+    (cluster, tok) aggs and per-cluster windows. Oracle composes the
+    shared _KMEANS_8_2 unroll so clustering drift breaks this row
+    too."""
+    from intelligencepipeline_spark.operators.kmeans import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assigned, _cents = kmeans(emb, k=8, iterations=2)
+    members = assigned.select(
+        F.col("vec_id").alias("doc_id"), F.col("cluster")
+    )
+    sizes = members.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("tok"),
+    ).join(members, "doc_id")
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_all"))
+    corpus_tot = toks.agg(F.count(F.lit(1)).alias("total_toks"))
+    per_cluster = toks.groupBy("cluster", "tok").agg(
+        F.count(F.lit(1)).alias("tf_c")
+    )
+    cluster_tot = toks.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("toks_c")
+    )
+    lifted = (
+        per_cluster.join(cluster_tot, "cluster")
+        .join(corpus, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .filter(F.col("tf_c") >= 5)
+        .withColumn(
+            "rate_c_ppm", F.expr("tf_c * 1000000 DIV toks_c").cast("long")
+        )
+        .withColumn(
+            "rate_all_ppm",
+            F.expr("tf_all * 1000000 DIV total_toks").cast("long"),
+        )
+        .withColumn(
+            "lift_milli",
+            F.expr(
+                "rate_c_ppm * 1000 DIV greatest(rate_all_ppm, 1)"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("lift_milli"), "tok"
+    )
+    return (
+        lifted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .join(sizes, "cluster")
+        .select(
+            F.col("cluster").cast("long").alias("cluster_id"),
+            "rank",
+            F.col("tok").alias("term"),
+            F.col("tf_c").cast("long").alias("tf_cluster"),
+            "lift_milli",
+            "n_members",
+        )
+        .orderBy("cluster_id", "rank")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13715,6 +13797,7 @@ QUERIES = {
     "uncertainty_sampling_plan": uncertainty_sampling_plan,
     "embedding_outlier_audit": embedding_outlier_audit,
     "gazetteer_entity_tagging": gazetteer_entity_tagging,
+    "topic_model_lite": topic_model_lite,
 }
 
 

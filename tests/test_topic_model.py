@@ -1,0 +1,74 @@
+"""topic_model_lite — labeling algebra against the entry's own
+cluster assignments, and lift sanity."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def test_lift_labels_match_brute_force(spark):
+    from intelligencepipeline_spark.operators.kmeans import kmeans
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assigned, _ = kmeans(emb, k=8, iterations=2)
+    cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    texts = {r["doc_id"]: _norm_toks(r["text"]) for r in docs.collect()}
+    pc, cltot, corpus, total = {}, {}, {}, 0
+    sizes = {}
+    for d, toks in texts.items():
+        c = cl.get(d)
+        if c is None:
+            continue
+        sizes[c] = sizes.get(c, 0) + 1
+        for t in toks:
+            pc[(c, t)] = pc.get((c, t), 0) + 1
+            cltot[c] = cltot.get(c, 0) + 1
+            corpus[t] = corpus.get(t, 0) + 1
+            total += 1
+    want = {}
+    for c in sorted(cltot):
+        cand = []
+        for (cc, t), tf in pc.items():
+            if cc != c or tf < 5:
+                continue
+            rc = tf * 1000000 // cltot[c]
+            ra = corpus[t] * 1000000 // total
+            cand.append((-(rc * 1000 // max(ra, 1)), t, tf))
+        cand.sort()
+        for rank, (nl, t, tf) in enumerate(cand[:3], 1):
+            want[(c, rank)] = (t, tf, -nl, sizes[c])
+    rows = QUERIES["topic_model_lite"](spark, SF).collect()
+    got = {
+        (r["cluster_id"], r["rank"]): (
+            r["term"],
+            r["tf_cluster"],
+            r["lift_milli"],
+            r["n_members"],
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_lift_is_discriminative(spark):
+    """Top labels must actually be lifted (> 1.0x corpus rate) —
+    uniform token spread would make every lift ~1000."""
+    rows = QUERIES["topic_model_lite"](spark, SF).collect()
+    assert rows
+    assert max(r["lift_milli"] for r in rows) > 1000
+    # every populated cluster gets at most 3 labels, ranks contiguous
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster_id"], []).append(r["rank"])
+    for ranks in by_c.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
