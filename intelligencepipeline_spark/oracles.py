@@ -7900,3 +7900,24 @@ FROM ranked r JOIN sizes s ON s.cluster = r.cluster
 WHERE r.rank <= 3
 ORDER BY cluster_id, rank
 """
+
+# classifier_reliability_curve: composes the NB oracle body and
+# replays the clamped confidence binning and per-bin rates.
+ORACLES["classifier_reliability_curve"] = f"""
+WITH nb AS ({_NB_BODY}),
+binned AS (
+  SELECT least(abs(margin_bits) // 20, 7) AS conf_bin,
+    agree, abs(margin_bits) AS am
+  FROM nb WHERE doc_id % 2 = 1
+), agg AS (
+  SELECT conf_bin,
+    cast(count(*) as bigint) AS n_docs,
+    cast(sum(CASE WHEN agree THEN 1 ELSE 0 END) as bigint) AS n_agree,
+    sum(am) AS sum_margin
+  FROM binned GROUP BY conf_bin
+)
+SELECT cast(conf_bin as bigint) AS conf_bin, n_docs, n_agree,
+  cast(n_agree * 1000 // n_docs as bigint) AS agree_rate_milli,
+  cast(sum_margin * 1000 // n_docs as bigint) AS mean_abs_margin_milli
+FROM agg ORDER BY conf_bin
+"""

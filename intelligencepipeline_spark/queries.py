@@ -13468,6 +13468,64 @@ def topic_model_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM for the trained NB quality classifier —
+    the calibration audit a team runs before trusting a classifier's
+    margins as confidence (the quality_gate_agreement discipline
+    applied to the learned gate): held-out documents bin by
+    CONFIDENCE (|margin| in 8 clamped 20-quarter-bit-wide bins), and
+    each bin reports its agreement rate with the teacher label — a
+    calibrated classifier's agreement rises monotonically-ish with
+    |margin|; a flat curve means margins carry no information.
+    Exports per bin: docs, agreements, milli agreement rate, milli
+    mean |margin|.
+
+    Scale: the classifier's own shape + one bounded 8-bin agg.
+    Oracle composes the NB oracle body (drift there breaks this row
+    too)."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.quality_clf import (
+        nb_train_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = nb_train_score(
+        docs,
+        tokens(F.col("text")),
+        gopher_rules(F.col("text"))["keep"],
+        F.col("doc_id") % 2 == 0,
+    )
+    return (
+        scored.filter(F.col("doc_id") % 2 == 1)
+        .withColumn(
+            "conf_bin",
+            F.least(F.expr("abs(margin_bits) DIV 20"), F.lit(7)).cast(
+                "long"
+            ),
+        )
+        .groupBy("conf_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("agree"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+            F.sum(F.abs("margin_bits")).cast("long").alias("sum_margin"),
+        )
+        .select(
+            "conf_bin",
+            "n_docs",
+            "n_agree",
+            F.expr("n_agree * 1000 DIV n_docs").cast("long").alias(
+                "agree_rate_milli"
+            ),
+            F.expr("sum_margin * 1000 DIV n_docs").cast("long").alias(
+                "mean_abs_margin_milli"
+            ),
+        )
+        .orderBy("conf_bin")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13798,6 +13856,7 @@ QUERIES = {
     "embedding_outlier_audit": embedding_outlier_audit,
     "gazetteer_entity_tagging": gazetteer_entity_tagging,
     "topic_model_lite": topic_model_lite,
+    "classifier_reliability_curve": classifier_reliability_curve,
 }
 
 

@@ -39,3 +39,18 @@ def test_uncertainty_batch_is_minimal_margin(spark):
     assert got == want
     for r in batch:
         assert r["agree"] == (r["nb_keep"] == r["label_keep"])
+
+
+def test_reliability_curve_is_calibrated(spark):
+    """classifier_reliability_curve: agreement must rise with
+    confidence — the high-confidence tail (bins >= 2) beats the
+    boundary bin, and rates recompute from the exported counts."""
+    rows = QUERIES["classifier_reliability_curve"](spark, SF).collect()
+    assert rows == sorted(rows, key=lambda r: r["conf_bin"])
+    for r in rows:
+        assert r["agree_rate_milli"] == r["n_agree"] * 1000 // r["n_docs"]
+    lo = rows[0]
+    hi_docs = sum(r["n_docs"] for r in rows if r["conf_bin"] >= 2)
+    hi_agree = sum(r["n_agree"] for r in rows if r["conf_bin"] >= 2)
+    assert hi_docs > 0
+    assert hi_agree * 1000 // hi_docs > lo["agree_rate_milli"]
