@@ -1,0 +1,122 @@
+"""Bradley-Terry preference-strength fitting (MM algorithm),
+hash-exact.
+
+Reward-model data work needs per-GROUP strength estimates from
+pairwise preferences (which source/annotator/model wins how often
+against which): the Bradley-Terry model P(i beats j) =
+w_i / (w_i + w_j), fit by Hunter's (2004) minorize-maximize
+iteration:
+
+    w_i <- W_i / sum_j n_ij / (w_i + w_j)
+
+where W_i = total wins of i and n_ij = comparisons between i and j.
+This module runs a FIXED-POINT integer form of that iteration so the
+result is bit-identical in any engine:
+
+* strengths live in milli units (start 1000 each);
+* each step computes d_i = sum_j (n_ij * 1_000_000) DIV (w_i + w_j)
+  then w_i' = (W_i * 1_000_000) DIV max(d_i, 1), then renormalizes
+  to mean 1000 exactly: w_i'' = (w_i' * 1000 * k) DIV sum_j w_j';
+* 16 iterations, all operands positive (DIV == floor == trunc in
+  Spark, DuckDB and Python).
+
+Scale shape: raw preference events aggregate to the BOUNDED
+(item, item) pair-count matrix first (map-side combinable — the only
+pass over the data); the iteration runs on k + k^2 driver integers
+(the k-means/PCA bounded-collect class) and is replayed by the
+oracle in a recursive CTE.
+
+Reference parity: extends SURVEY §2.9 (preference-data operators,
+next to preference_pair_dedup); the fixed-point discipline follows
+operators/pca.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ITERS = 16
+MILLI = 1000
+SCALE = 1_000_000
+
+
+def pair_counts(prefs: DataFrame) -> DataFrame:
+    """(winner, loser) events -> symmetric bounded count matrix rows
+    (i, j, n_ij, wins_i_over_j) for i != j, one row per ORDERED pair
+    that had at least one comparison."""
+    w = prefs.groupBy(
+        F.col("winner").alias("i"), F.col("loser").alias("j")
+    ).agg(F.count(F.lit(1)).alias("wins"))
+    mirrored = w.select("i", "j", "wins").unionByName(
+        w.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            F.lit(0).cast("long").alias("wins"),
+        )
+    )
+    return mirrored.groupBy("i", "j").agg(
+        F.sum("wins").cast("long").alias("wins")
+    )
+
+
+def bt_fit(pair_rows, iters: int = ITERS) -> dict:
+    """Python replay of the MM fixed point over collected
+    (i, j, wins) rows. Returns {item: strength_milli}."""
+    wins = {}
+    items = set()
+    for r in pair_rows:
+        i, j, n = r["i"], r["j"], int(r["wins"])
+        items.add(i)
+        items.add(j)
+        wins[(i, j)] = wins.get((i, j), 0) + n
+    n_ij = {}
+    for (i, j), n in wins.items():
+        key = (i, j)
+        n_ij[key] = n + wins.get((j, i), 0)
+    W = {i: 0 for i in items}
+    for (i, j), n in wins.items():
+        W[i] += n
+    k = len(items)
+    w = {i: MILLI for i in items}
+    for _ in range(iters):
+        nxt = {}
+        for i in items:
+            d = 0
+            for j in items:
+                if i == j:
+                    continue
+                n = n_ij.get((i, j), 0)
+                if n:
+                    d += (n * SCALE) // (w[i] + w[j])
+            nxt[i] = (W[i] * SCALE) // max(d, 1)
+        tot = sum(nxt.values())
+        w = {i: (v * MILLI * k) // max(tot, 1) for i, v in nxt.items()}
+    return w
+
+
+def bt_strengths(
+    spark: SparkSession, prefs: DataFrame, iters: int = ITERS
+) -> DataFrame:
+    """Full pipeline: aggregate pair counts (distributed), fit on the
+    driver (bounded), return (item, n_wins, n_comparisons,
+    strength_milli)."""
+    pc = pair_counts(prefs)
+    rows = pc.collect()  # bounded: k^2 item pairs
+    w = bt_fit(rows, iters)
+    stats = {}
+    for r in rows:
+        i, j, n = r["i"], r["j"], int(r["wins"])
+        s = stats.setdefault(i, [0, 0])
+        s[0] += n
+        sj = stats.setdefault(j, [0, 0])
+        s[1] += n
+        sj[1] += n
+    out = [
+        (i, stats[i][0], stats[i][1], w[i])
+        for i in sorted(w)
+    ]
+    return spark.createDataFrame(
+        out,
+        "item string, n_wins long, n_comparisons long, strength_milli long",
+    )

@@ -7921,3 +7921,81 @@ SELECT cast(conf_bin as bigint) AS conf_bin, n_docs, n_agree,
   cast(sum_margin * 1000 // n_docs as bigint) AS mean_abs_margin_milli
 FROM agg ORDER BY conf_bin
 """
+
+# preference_strength_fit: ring pairing, winner rule, pair counts and
+# all 16 MM iterations replayed; the recursive term self-joins it
+# twice (w_i + w_j) and renormalizes via a window over the step.
+ORACLES["preference_strength_fit"] = """
+WITH RECURSIVE
+dd AS (SELECT count(*) AS d FROM documents),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.n_chars AS ca,
+    b.n_chars AS cb, a.doc_id AS ia, b.doc_id AS ib
+  FROM documents a CROSS JOIN dd
+  JOIN documents b ON b.doc_id = (a.doc_id + 137) % dd.d
+  WHERE a.source <> b.source
+),
+prefs AS (
+  SELECT
+    CASE WHEN ca > cb THEN sa WHEN cb > ca THEN sb
+         WHEN ia < ib THEN sa ELSE sb END AS winner,
+    CASE WHEN ca > cb THEN sb WHEN cb > ca THEN sa
+         WHEN ia < ib THEN sb ELSE sa END AS loser
+  FROM pairs
+),
+wcnt AS (
+  SELECT winner AS i, loser AS j, cast(count(*) as bigint) AS wins
+  FROM prefs GROUP BY 1, 2
+),
+npair AS (
+  SELECT i, j, sum(w) AS n FROM (
+    SELECT i, j, wins AS w FROM wcnt
+    UNION ALL
+    SELECT j AS i, i AS j, 0 AS w FROM wcnt
+  ) GROUP BY 1, 2
+),
+npair_sym AS (
+  SELECT a.i, a.j, a.n + coalesce(b.n, 0) AS n
+  FROM npair a LEFT JOIN npair b ON b.i = a.j AND b.j = a.i
+),
+items AS (SELECT DISTINCT i FROM npair),
+wtot AS (
+  SELECT items.i, coalesce(sum(wcnt.wins), 0) AS W
+  FROM items LEFT JOIN wcnt ON wcnt.i = items.i GROUP BY items.i
+),
+kk AS (SELECT count(*) AS k FROM items),
+it(iter, item, w) AS (
+  SELECT 0, i, cast(1000 as bigint) FROM items
+  UNION ALL
+  SELECT s.iter + 1, s.item,
+    (s.raw * 1000 * (SELECT k FROM kk))
+      // greatest(sum(s.raw) OVER (), 1)
+  FROM (
+    SELECT a.iter, a.item,
+      (wt.W * 1000000) //
+        greatest(sum((np.n * 1000000) // (a.w + b.w)), 1) AS raw
+    FROM it a
+    JOIN npair_sym np ON np.i = a.item AND np.n > 0
+    JOIN it b ON b.item = np.j AND b.iter = a.iter
+    JOIN wtot wt ON wt.i = a.item
+    GROUP BY a.iter, a.item, wt.W
+  ) s
+  WHERE s.iter < 16
+),
+final AS (SELECT item, w FROM it WHERE iter = 16),
+stats AS (
+  SELECT items.i AS item,
+    (SELECT coalesce(sum(wins), 0) FROM wcnt WHERE wcnt.i = items.i)
+      AS n_wins,
+    (SELECT coalesce(sum(n), 0) FROM npair_sym
+     WHERE npair_sym.i = items.i) AS n_comparisons
+  FROM items
+)
+SELECT s.item AS source,
+  cast(s.n_wins as bigint) AS n_wins,
+  cast(s.n_comparisons as bigint) AS n_comparisons,
+  cast(f.w as bigint) AS strength_milli,
+  cast(row_number() OVER (ORDER BY f.w DESC, s.item) as bigint) AS rank
+FROM stats s JOIN final f ON f.item = s.item
+ORDER BY source
+"""

@@ -1,0 +1,90 @@
+"""operators/bradley_terry.py — MM fixed point vs known-answer
+fixtures and the model's defining property (strength order reflects
+matchup-adjusted, not raw, win rates)."""
+
+from intelligencepipeline_spark.operators.bradley_terry import (
+    bt_fit,
+    bt_strengths,
+    pair_counts,
+)
+
+
+def _rows(pairs):
+    return [{"i": i, "j": j, "wins": n} for (i, j), n in pairs.items()]
+
+
+def test_symmetric_matchup_equal_strengths():
+    """a beats b 5, b beats a 5 -> equal strengths (renorm: 1000)."""
+    w = bt_fit(_rows({("a", "b"): 5, ("b", "a"): 5}))
+    assert w["a"] == w["b"]
+    assert abs(w["a"] - 1000) <= 1
+
+
+def test_dominance_orders_strengths():
+    w = bt_fit(_rows({("a", "b"): 9, ("b", "a"): 1,
+                      ("b", "c"): 9, ("c", "b"): 1}))
+    assert w["a"] > w["b"] > w["c"]
+
+
+def test_matchup_adjustment_beats_raw_winrate():
+    """c only ever plays the champion a and wins 4/10; d farms the
+    weak e 9/10. Raw win rate says d >> c; BT must still rank the
+    champion a first and credit c's hard schedule with strength
+    comparable to or above d's raw-rate lead suggests."""
+    pairs = {
+        ("a", "b"): 9, ("b", "a"): 1,
+        ("a", "c"): 6, ("c", "a"): 4,
+        ("d", "e"): 9, ("e", "d"): 1,
+        ("a", "e"): 9, ("e", "a"): 1,
+        ("b", "d"): 5, ("d", "b"): 5,
+    }
+    w = bt_fit(_rows(pairs))
+    assert max(w, key=w.get) == "a"
+    # c's only opponent is the champion; a 40% rate there still
+    # implies strength above e (who loses to everyone)
+    assert w["c"] > w["e"]
+
+
+def test_spark_pipeline_matches_fit(spark):
+    prefs = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")] * 2 + [("b", "c")] * 4,
+        "winner string, loser string",
+    )
+    rows = {r["item"]: r for r in bt_strengths(spark, prefs).collect()}
+    pc = {
+        (r["i"], r["j"]): r["wins"]
+        for r in pair_counts(prefs).collect()
+    }
+    w = bt_fit(_rows(pc))
+    for item, r in rows.items():
+        assert r["strength_milli"] == w[item]
+    assert rows["a"]["n_wins"] == 5
+    assert rows["a"]["n_comparisons"] == 7
+    assert rows["b"]["n_wins"] == 6
+    assert rows["b"]["n_comparisons"] == 11
+    assert rows["c"]["n_wins"] == 0
+
+
+def test_entry_strengths_track_source_length(spark):
+    """On the corpus, a source whose docs are systematically longer
+    should outrank a systematically shorter one (the winner rule is
+    length); check the extremes agree with mean n_chars."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.queries import QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    rows = QUERIES["preference_strength_fit"](spark, SF).collect()
+    assert sum(r["strength_milli"] for r in rows) >= 19 * 1000
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    means = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()
+    }
+    by_strength = sorted(
+        rows, key=lambda r: (-r["strength_milli"], r["source"])
+    )
+    top, bottom = by_strength[0], by_strength[-1]
+    assert means[top["source"]] > means[bottom["source"]]
