@@ -12617,7 +12617,14 @@ def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tokens = docs.select(
         "doc_id", F.explode(toks).alias("tok")
     )
-    return maxsim_rerank(spark, cands, doc_tokens, QUERY_TERMS)
+    out = maxsim_rerank(spark, cands, doc_tokens, QUERY_TERMS)
+    # in-entry plan pin (the b9 layout-entry discipline): stage 2 must
+    # be broadcast-only — a sort-merge join or cartesian here means
+    # the rerank shuffles on corpus volume and the row should fail
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "SortMergeJoin" not in plan, "rerank stage lost its broadcast"
+    assert "CartesianProduct" not in plan, "rerank stage went cartesian"
+    return out
 
 
 def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13362,7 +13369,7 @@ def gazetteer_entity_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_toks_src")
     )
-    return (
+    out = (
         tagged.groupBy("source", "category")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -13384,6 +13391,11 @@ def gazetteer_entity_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "category")
     )
+    # in-entry plan pin: the dictionary join must broadcast — a
+    # sort-merge dictionary join shuffles the token stream by term
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dictionary join lost broadcast"
+    return out
 
 
 def topic_model_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
