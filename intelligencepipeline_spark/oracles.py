@@ -7999,3 +7999,19 @@ SELECT s.item AS source,
 FROM stats s JOIN final f ON f.item = s.item
 ORDER BY source
 """
+
+# streaming_observed_metrics: the Spark side asserts in-entry that
+# observe()'s per-batch metrics equal a recomputation from the
+# written rows, so the replay is the deterministic batch split
+# (event_id % 3, staged-file order = batch order) and its metrics.
+ORACLES["streaming_observed_metrics"] = """
+SELECT cast(event_id % 3 as bigint) AS batch_id,
+  cast(count(*) as bigint) AS n_rows,
+  cast(sum(cast(floor(cast(value as double) * 100) as bigint))
+    as bigint) AS sum_cents,
+  cast(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_null_props,
+  cast(min(event_id) as bigint) AS min_event,
+  cast(max(event_id) as bigint) AS max_event
+FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -13608,6 +13608,137 @@ def preference_strength_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DATA-QUALITY CIRCUIT BREAKER via ``Dataset.observe``
+    — the production pattern for per-micro-batch quality metrics
+    WITHOUT a second pass over the stream: metrics (row count,
+    distinct-ish user floor, exact integer value cents, null-props
+    count) piggyback on the batch's own execution and surface through
+    StreamingQueryProgress.observedMetrics. Events arrive in 3
+    deterministic micro-batches (event_id % 3 staged files,
+    maxFilesPerTrigger=1); the entry collects each batch's observed
+    metrics from the progress events AND recomputes the same metrics
+    from the written rows — the in-entry assert pins them EQUAL per
+    batch (an observe() regression fails the driver row). Exports per
+    batch_id: the observed metrics plus the batch-recomputed row
+    count.
+
+    Scale: observe adds an AggregateInExecution to the existing
+    batch plan — zero extra scans; metrics are exact integers
+    (value pre-quantized to cents; no float sums cross the
+    engine boundary). Oracle replays the batch split and metrics."""
+    import os
+    import shutil as _sh
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value").cast("double") * 100)
+        .cast("long")
+        .alias("value_cents"),
+        F.col("props").isNull().alias("null_props"),
+        (F.col("event_id") % 3).cast("long").alias("b"),
+    )
+    src = scratch_dir("ip_obs_src_")
+    stage = scratch_dir("ip_obs_stage_")
+    for b in range(3):
+        d = os.path.join(stage, f"b{b}")
+        ev.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                _sh.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+    store = scratch_dir("ip_obs_store_")
+    schema = ev.drop("b").schema
+
+    observed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .observe(
+            "quality",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.sum(F.when(F.col("null_props"), 1).otherwise(0)).alias(
+                "n_null_props"
+            ),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).coalesce(1).write.mode("append").parquet(store)
+
+    q = (
+        observed.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", scratch_dir("ip_obs_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "observed-metrics stream hung"
+    import json as _json
+
+    got = {}
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        om = (d.get("observedMetrics") or {}).get("quality")
+        if om and d.get("numInputRows", 0) > 0:
+            got[int(d["batchId"])] = om
+    assert len(got) == 3, f"expected 3 observed batches, got {list(got)}"
+
+    written = spark.read.parquet(store)
+    recomputed = {
+        int(r["batch_id"]): r
+        for r in written.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.sum(F.when(F.col("null_props"), 1).otherwise(0)).alias(
+                "n_null_props"
+            ),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .collect()
+    }
+    for bid, om in got.items():
+        rc = recomputed[bid]
+        for k in (
+            "n_rows",
+            "sum_cents",
+            "n_null_props",
+            "min_event",
+            "max_event",
+        ):
+            assert int(om[k]) == int(rc[k]), (
+                f"observe() drifted from batch truth: {bid}.{k}"
+            )
+    rows = [
+        (
+            bid,
+            int(om["n_rows"]),
+            int(om["sum_cents"]),
+            int(om["n_null_props"]),
+            int(om["min_event"]),
+            int(om["max_event"]),
+        )
+        for bid, om in sorted(got.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "batch_id long, n_rows long, sum_cents long, n_null_props long, "
+        "min_event long, max_event long",
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13940,6 +14071,7 @@ QUERIES = {
     "topic_model_lite": topic_model_lite,
     "classifier_reliability_curve": classifier_reliability_curve,
     "preference_strength_fit": preference_strength_fit,
+    "streaming_observed_metrics": streaming_observed_metrics,
 }
 
 
