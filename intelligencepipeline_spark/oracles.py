@@ -8015,3 +8015,44 @@ SELECT cast(event_id % 3 as bigint) AS batch_id,
   cast(max(event_id) as bigint) AS max_event
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+# zipf_fit_audit: the quarter-bit log2 surrogate (m*m*m*m, not ^ —
+# DuckDB's ^ is POWER), ranking, top-1000 cut, moment sums and the
+# integer slope replayed.
+ORACLES["zipf_fit_audit"] = f"""
+WITH freq AS (
+  SELECT tok, cast(count(*) as bigint) AS n
+  FROM (SELECT unnest({_NTOKS}) AS tok FROM documents)
+  GROUP BY tok
+), tot AS (
+  SELECT sum(n) AS total_toks, count(*) AS vocab_size,
+    max(n) AS top_freq
+  FROM freq
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM freq
+), pts AS (
+  SELECT
+    4 * (length(bin(rank)) - 15) + length(bin(mr * mr * mr * mr)) AS x,
+    4 * (length(bin(n)) - 15) + length(bin(mn * mn * mn * mn)) AS y
+  FROM (
+    SELECT rank, n,
+      (rank * 32768) // (1 << length(bin(rank))) AS mr,
+      (n * 32768) // (1 << length(bin(n))) AS mn
+    FROM ranked WHERE rank <= 1000
+  )
+), sums AS (
+  SELECT cast(count(*) as bigint) AS n_points,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM pts
+)
+SELECT cast(t.vocab_size as bigint) AS vocab_size,
+  s.n_points,
+  cast(s.sx as bigint) AS sx, cast(s.sy as bigint) AS sy,
+  cast(s.sxx as bigint) AS sxx, cast(s.sxy as bigint) AS sxy,
+  cast(s.syy as bigint) AS syy,
+  cast(-((s.n_points * s.sxy - s.sx * s.sy) * 1000000
+    // (s.n_points * s.sxx - s.sx * s.sx)) as bigint) AS alpha_micro,
+  cast(t.top_freq * 1000 // t.total_toks as bigint) AS head_share_milli
+FROM sums s CROSS JOIN tot t
+"""

@@ -1,0 +1,81 @@
+"""zipf_fit_audit — brute-force replay of the quarter-bit log fit,
+and the audit's actual purpose: the synthetic corpus (31-token
+near-uniform vocabulary) must FAIL the natural-text alpha band."""
+
+import re
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def _qlog2(n):
+    bl = n.bit_length()
+    m = (n * 32768) // (1 << bl)
+    return 4 * (bl - 15) + (m ** 4).bit_length()
+
+
+def _brute(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    freq = {}
+    for r in docs.select("text").collect():
+        for t in _norm_toks(r["text"]):
+            freq[t] = freq.get(t, 0) + 1
+    ranked = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    pts = [
+        (_qlog2(i + 1), _qlog2(n)) for i, (_, n) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    alpha = -((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+    tot = sum(freq.values())
+    return {
+        "vocab_size": len(freq),
+        "n_points": n,
+        "sx": sx,
+        "sy": sy,
+        "sxx": sxx,
+        "sxy": sxy,
+        "syy": syy,
+        "alpha_micro": alpha,
+        "head_share_milli": max(freq.values()) * 1000 // tot,
+    }
+
+
+def test_matches_brute_force(spark):
+    row = QUERIES["zipf_fit_audit"](spark, SF).collect()[0]
+    want = _brute(spark)
+    for k, v in want.items():
+        assert row[k] == v, (k, row[k], v)
+
+
+def test_flags_synthetic_corpus(spark):
+    """Natural text sits near alpha ~ 1; the synthetic corpus's
+    near-uniform 31-token vocabulary must land FAR below the band —
+    the audit firing is the point."""
+    row = QUERIES["zipf_fit_audit"](spark, SF).collect()[0]
+    assert row["alpha_micro"] < 500_000, row["alpha_micro"]
+    assert row["vocab_size"] < 100
+
+
+def test_surrogate_tracks_log2():
+    """qlog2 must be within its quantization of 4*log2(n) + 1 and
+    monotone."""
+    import math
+
+    prev = None
+    for n in [1, 2, 3, 5, 8, 100, 12345, 10**6, 10**9]:
+        q = _qlog2(n)
+        assert abs(q - (4 * math.log2(n) + 1)) <= 1.0, (n, q)
+        if prev is not None:
+            assert q >= prev
+        prev = q
