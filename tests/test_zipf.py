@@ -36,7 +36,11 @@ def _brute(spark):
     sxx = sum(x * x for x, _ in pts)
     sxy = sum(x * y for x, y in pts)
     syy = sum(y * y for _, y in pts)
-    alpha = -((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors —
+    # the numerator is negative, so mirror trunc semantics exactly
+    num = (n * sxy - sx * sy) * 1000000
+    den = n * sxx - sx * sx
+    alpha = -(-((-num) // den) if num < 0 else num // den)
     tot = sum(freq.values())
     return {
         "vocab_size": len(freq),
