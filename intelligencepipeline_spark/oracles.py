@@ -8056,3 +8056,64 @@ SELECT cast(t.vocab_size as bigint) AS vocab_size,
   cast(t.top_freq * 1000 // t.total_toks as bigint) AS head_share_milli
 FROM sums s CROSS JOIN tot t
 """
+
+# lsh_parameter_advisor: the 4x2 banding (the lsh_recall_audit
+# fragment), exact milli Jaccard over the candidate pairs, and all
+# four S-curve power ladders (x*s // 1000 folds) replayed; the
+# advisor's honest scope (reachable-mass-only distribution) is
+# inherited from the candidate generation itself.
+ORACLES["lsh_parameter_advisor"] = f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+), hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, bnd,
+    md5(sig[2 * bnd + 1] || '|' || sig[2 * bnd + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS bnd FROM range(0, 4)) r
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+  FROM shing x JOIN shing y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), sm AS (
+  SELECT common * 1000 // (sa.n + sb.n - common) AS s
+  FROM inter i
+  JOIN cand c ON c.a = i.a AND c.b = i.b
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+), scored AS (
+  SELECT s, cast(8 as bigint) AS bands, cast(1 as bigint) AS rows_per_band,
+    cast(1000 - (((((((((((((((((1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) * ((1000 - (((1000) * (s)) // 1000)))) // 1000) as bigint) AS p FROM sm
+  UNION ALL
+  SELECT s, cast(4 as bigint) AS bands, cast(2 as bigint) AS rows_per_band,
+    cast(1000 - (((((((((1000) * ((1000 - (((((1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) * ((1000 - (((((1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) * ((1000 - (((((1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) * ((1000 - (((((1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) as bigint) AS p FROM sm
+  UNION ALL
+  SELECT s, cast(2 as bigint) AS bands, cast(4 as bigint) AS rows_per_band,
+    cast(1000 - (((((1000) * ((1000 - (((((((((1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) * ((1000 - (((((((((1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) as bigint) AS p FROM sm
+  UNION ALL
+  SELECT s, cast(1 as bigint) AS bands, cast(8 as bigint) AS rows_per_band,
+    cast(1000 - (((1000) * ((1000 - (((((((((((((((((1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000) * (s)) // 1000)))) // 1000) as bigint) AS p FROM sm
+), agg AS (
+  SELECT bands, rows_per_band,
+    cast(count(*) as bigint) AS n_pairs,
+    cast(sum(CASE WHEN s >= 500 THEN 1 ELSE 0 END) as bigint) AS n_hi,
+    sum(CASE WHEN s >= 500 THEN p ELSE 0 END) AS sum_p_hi,
+    sum(CASE WHEN s < 500 THEN p ELSE 0 END) AS sum_p_lo
+  FROM scored GROUP BY 1, 2
+)
+SELECT bands, rows_per_band, n_pairs, n_hi,
+  cast(CASE WHEN n_hi > 0 THEN sum_p_hi // n_hi ELSE 0 END as bigint)
+    AS recall_hi_milli,
+  cast(CASE WHEN n_pairs - n_hi > 0 THEN sum_p_lo // (n_pairs - n_hi)
+       ELSE 0 END as bigint) AS fp_lo_milli
+FROM agg ORDER BY bands
+"""
