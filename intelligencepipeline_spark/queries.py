@@ -13846,7 +13846,7 @@ def lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     shingles = _shared_shingles(spark, sf_dir)
-    cands = minhash_lsh_candidates(
+    cands, _big = minhash_lsh_candidates(
         docs, num_hashes=8, bands=4, shingles=shingles
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,44 @@
+"""lsh_parameter_advisor — the S-curve power ladder vs brute force,
+and the banding trade-off it exists to expose."""
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _p_capture(s_milli, b, r):
+    p = 1000
+    for _ in range(r):
+        p = (p * s_milli) // 1000
+    q = 1000 - p
+    qb = 1000
+    for _ in range(b):
+        qb = (qb * q) // 1000
+    return 1000 - qb
+
+
+def test_power_ladder_known_values():
+    # s = 0.5, b = 4, r = 2: p = 1 - (1 - 0.25)^4 ~ 0.684
+    assert abs(_p_capture(500, 4, 2) - 684) <= 4
+    # s = 1.0 always caught; s = 0 never
+    for b, r in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        assert _p_capture(1000, b, r) == 1000
+        assert _p_capture(0, b, r) == 0
+
+
+def test_advisor_tradeoff_monotone(spark):
+    """More bands (fewer rows per band) must never lower recall on
+    the high-similarity mass and never lower the false-positive mass
+    — the S-curve steepens one way."""
+    rows = sorted(
+        QUERIES["lsh_parameter_advisor"](spark, SF).collect(),
+        key=lambda row: row["bands"],
+    )
+    assert [r["bands"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall_hi_milli"] for r in rows]
+    fps = [r["fp_lo_milli"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert fps == sorted(fps)
+    # all configs score the same observed pair population
+    assert len({r["n_pairs"] for r in rows}) == 1
+    assert len({r["n_hi"] for r in rows}) == 1
