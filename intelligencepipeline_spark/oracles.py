@@ -8117,3 +8117,39 @@ SELECT bands, rows_per_band, n_pairs, n_hi,
        ELSE 0 END as bigint) AS fp_lo_milli
 FROM agg ORDER BY bands
 """
+
+# ingestion_trend_forecast: day indexing (per-type min-day origin),
+# moment sums and both trunc divisions replayed.
+ORACLES["ingestion_trend_forecast"] = """
+WITH daily AS (
+  SELECT event_type,
+    cast(floor(floor(epoch(ts)) / 86400) as bigint) AS day,
+    cast(count(*) as bigint) AS y
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, min(day) AS day0 FROM daily GROUP BY 1
+), pts AS (
+  SELECT d.event_type, d.day - b.day0 AS x, d.y
+  FROM daily d JOIN base b USING (event_type)
+), sums AS (
+  SELECT event_type,
+    cast(count(*) as bigint) AS n_days,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT event_type, n_days,
+  cast(sy as bigint) AS total_events,
+  cast(sx as bigint) AS sx,
+  cast(sxx as bigint) AS sxx,
+  cast(sxy as bigint) AS sxy,
+  cast((n_days * sxy - sx * sy) * 1000000
+    // (n_days * sxx - sx * sx) as bigint) AS slope_micro,
+  cast((sy * sxx - sx * sxy) * 1000000
+    // (n_days * sxx - sx * sx) as bigint) AS intercept_micro,
+  cast((sy * sxx - sx * sxy) * 1000000 // (n_days * sxx - sx * sx)
+    + ((n_days * sxy - sx * sy) * 1000000
+       // (n_days * sxx - sx * sx)) * n_days as bigint)
+    AS forecast_next_micro
+FROM sums ORDER BY event_type
+"""

@@ -13914,6 +13914,71 @@ def lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingestion_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGESTION CAPACITY FORECAST — the ops dashboard behind every
+    landing zone: per event type, the daily arrival counts fit with
+    PURE-INTEGER least squares over the day index (counts and day
+    indexes are exact ints, so unlike the Zipf fit no log surrogate
+    is even needed) and extrapolated one day ahead:
+
+        slope_micro     = (n*Sxy - Sx*Sy) * 1e6 DIV (n*Sxx - Sx^2)
+        intercept_micro = (Sy*Sxx - Sx*Sxy) * 1e6 DIV (n*Sxx - Sx^2)
+        forecast_micro  = intercept_micro + slope_micro * n
+
+    (trunc DIV on possibly-negative numerators — identical in Spark,
+    DuckDB and the test replay). Exports per event_type: observed
+    days, total events, the moment sums, slope, and the next-day
+    forecast in micro-events.
+
+    Scale: ONE scan -> (event_type, day) counts (map-side
+    combinable), then per-type 1-row regressions over the bounded
+    day domain. Oracle replays day indexing, sums, and both
+    divisions."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = daily.groupBy("event_type").agg(
+        F.min("day").alias("day0")
+    )
+    pts = daily.join(base, "event_type").select(
+        "event_type",
+        (F.col("day") - F.col("day0")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "CAST(n_days AS LONG) AS n_days",
+        "CAST(sy AS LONG) AS total_events",
+        "CAST(sx AS LONG) AS sx",
+        "CAST(sxx AS LONG) AS sxx",
+        "CAST(sxy AS LONG) AS sxy",
+        "CAST((n_days * sxy - sx * sy) * 1000000"
+        " DIV (n_days * sxx - sx * sx) AS LONG) AS slope_micro",
+        "CAST((sy * sxx - sx * sxy) * 1000000"
+        " DIV (n_days * sxx - sx * sx) AS LONG) AS intercept_micro",
+        "CAST((sy * sxx - sx * sxy) * 1000000"
+        " DIV (n_days * sxx - sx * sx)"
+        " + ((n_days * sxy - sx * sy) * 1000000"
+        " DIV (n_days * sxx - sx * sx)) * n_days AS LONG)"
+        " AS forecast_next_micro",
+    ).orderBy("event_type")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -14269,6 +14334,7 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     "lsh_parameter_advisor": lsh_parameter_advisor,
+    "ingestion_trend_forecast": ingestion_trend_forecast,
 }
 
 

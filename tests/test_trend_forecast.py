@@ -1,0 +1,63 @@
+"""ingestion_trend_forecast — brute-force integer regression replay
+and known-answer slopes."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tdiv(a, b):
+    return -((-a) // b) if (a < 0) != (b < 0) else abs(a) // abs(b)
+
+
+def _fit(xy):
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    sxy = sum(x * y for x, y in xy)
+    den = n * sxx - sx * sx
+    slope = _tdiv((n * sxy - sx * sy) * 1000000, den)
+    inter = _tdiv((sy * sxx - sx * sxy) * 1000000, den)
+    return slope, inter, inter + slope * n
+
+
+def test_matches_brute_force(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = {}
+    for r in (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    ):
+        pts.setdefault(r["event_type"], {})[int(r["day"])] = r["y"]
+    rows = QUERIES["ingestion_trend_forecast"](spark, SF).collect()
+    assert len(rows) == len(pts)
+    for r in rows:
+        days = pts[r["event_type"]]
+        d0 = min(days)
+        xy = sorted((d - d0, y) for d, y in days.items())
+        slope, inter, fc = _fit(xy)
+        assert r["n_days"] == len(xy)
+        assert r["total_events"] == sum(y for _, y in xy)
+        assert r["slope_micro"] == slope, r
+        assert r["intercept_micro"] == inter
+        assert r["forecast_next_micro"] == fc
+
+
+def test_known_answer_perfect_line():
+    # y = 100 + 7x over 10 days: slope 7e6, intercept 1e8,
+    # forecast day 10 = 170e6
+    xy = [(x, 100 + 7 * x) for x in range(10)]
+    slope, inter, fc = _fit(xy)
+    assert slope == 7_000_000
+    assert inter == 100_000_000
+    assert fc == 170_000_000
