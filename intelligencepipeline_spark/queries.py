@@ -14066,7 +14066,7 @@ QUERIES = {
     "dedup_survivor_docs": dedup_survivor_docs,
     "profile_columns": profile_columns,
     # ==== end of r08 driver window (position 50) ======================
-    # PLANNED r09 WINDOW: the 20 (b12) r08 additions lead (registered
+    # PLANNED r09 WINDOW: the 21 (b12) r08 additions lead (registered
     # at the END of this dict, in registration order:
     # nb_quality_classifier, embedding_pca_top_component,
     # corrupt_record_ingest_audit, late_interaction_rerank,
@@ -14077,8 +14077,8 @@ QUERIES = {
     # embedding_outlier_audit, gazetteer_entity_tagging,
     # topic_model_lite, classifier_reliability_curve,
     # preference_strength_fit, streaming_observed_metrics,
-    # zipf_fit_audit, lsh_parameter_advisor), padded to 50 with the
-    # first 20 remaining
+    # zipf_fit_audit, lsh_parameter_advisor, ingestion_trend_forecast),
+    # padded to 50 with the first 20 remaining
     # r02-fresh rows in CORRECTNESS_r02 order (deterministic_sample,
     # q9_product_profit, q13_customer_distribution, q15_top_supplier,
     # q21_blocking_supplier, html_rendition, chunk_command_fold,
@@ -14086,12 +14086,12 @@ QUERIES = {
     # token_packing, domain_mix_sample, chunk_metadata_enrichment,
     # proposer_max_score, side_effect_sink, datarecords_snapshot,
     # streaming_session_windows, streaming_stateful_stats,
-    # corpus_prep_pipeline, repetition_filter) and then the 10 oldest
+    # corpus_prep_pipeline, repetition_filter) and then the 9 oldest
     # r03-window rows in CORRECTNESS_r03 order (streaming_join_proof,
     # streaming_restart_exactly_once, streaming_watermark_finalize,
     # streaming_backpressure_proof, streaming_dedup_proof,
     # engine_streaming_run, changelog_replay, streaming_hll_distinct,
-    # streaming_outer_join_proof, streaming_gap_fill) to 50.
+    # streaming_outer_join_proof) to 50.
     # -- remaining entries, prior registration order -------------------
     "deterministic_sample": deterministic_sample,
     "q9_product_profit": q9_product_profit,
