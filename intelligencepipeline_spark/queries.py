@@ -14002,12 +14002,13 @@ def ingestion_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r02 rows are harmless re-proofs; if it did not, every never-checked
 # entry gets its first driver row.
 QUERIES = {
-    # ==== r08 driver window: positions 1-50 ===========================
-    # The r07 driver correctness run never landed (no CORRECTNESS_r07
-    # artifact), so ALL 31 never-driver-checked entries lead this
-    # window: the 16 b9 (r06 additions), the 12 b10 (r07 additions),
-    # and the 3 b11 (r07 late additions) — correct whether or not the
-    # r07 run happened (b9 rows would merely be re-proofs).
+    # ==== r07 driver window: positions 1-50 ===========================
+    # The latest driver artifact is CORRECTNESS_r06 (union 239), so 52
+    # entries have never been driver-checked: 16 b9 + 12 b10 + 3 b11 +
+    # 21 b12. The window holds 50: all of b9/b10/b11 lead, then the
+    # FIRST 19 b12 entries in registration order. The 2 remaining b12
+    # rows (lsh_parameter_advisor, ingestion_trend_forecast) plus this
+    # round's b13 additions lead the r08 window.
     # -- (b9): r06 additions ------------------------------------------
     "unigram_train": unigram_train_q,
     "unigram_encode_stats": unigram_encode_stats,
@@ -14042,10 +14043,44 @@ QUERIES = {
     "audio_vad_segments": audio_vad_segments,
     "subject_access_report": subject_access_report,
     "epoch_shuffle_audit": epoch_shuffle_audit,
-    # -- 19 stalest rows (freshest driver row = r02), CORRECTNESS_r02
-    #    order, pad to 50. After this window the stalest queue is the
-    #    20 remaining r02-fresh rows then the r03 window (see PLANNED
-    #    r09 WINDOW below). ---------------------------------------------
+    # -- (b12) first 19, registration order: never driver-checked ------
+    "nb_quality_classifier": nb_quality_classifier,
+    "embedding_pca_top_component": embedding_pca_top_component,
+    "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
+    "late_interaction_rerank": late_interaction_rerank,
+    "hybrid_retrieval_fusion": hybrid_retrieval_fusion,
+    "dp_histogram_release": dp_histogram_release,
+    "span_corruption_plan": span_corruption_plan,
+    "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
+    "blocklist_safety_gate": blocklist_safety_gate,
+    "bitext_mining_margin": bitext_mining_margin,
+    "domain_reweighting_plan": domain_reweighting_plan,
+    "uncertainty_sampling_plan": uncertainty_sampling_plan,
+    "embedding_outlier_audit": embedding_outlier_audit,
+    "gazetteer_entity_tagging": gazetteer_entity_tagging,
+    "topic_model_lite": topic_model_lite,
+    "classifier_reliability_curve": classifier_reliability_curve,
+    "preference_strength_fit": preference_strength_fit,
+    "streaming_observed_metrics": streaming_observed_metrics,
+    "zipf_fit_audit": zipf_fit_audit,
+    # ==== end of r07 driver window (position 50) ======================
+    # PLANNED r08 WINDOW: the 2 remaining b12 rows
+    # (lsh_parameter_advisor, ingestion_trend_forecast — at the END of
+    # this dict) and the b13 additions lead; pad to 50 with the stalest
+    # rows (freshest driver row = r02) in CORRECTNESS_r02 order:
+    # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
+    # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
+    # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
+    # top_value_suppliers, text_extraction, dedup_clusters,
+    # q5_local_supplier_volume, q10_returned_items,
+    # streaming_consolidation, dedup_survivor_docs, profile_columns,
+    # deterministic_sample, q9_product_profit, q13_customer_distribution,
+    # q15_top_supplier, q21_blocking_supplier, html_rendition,
+    # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
+    # contamination_check, token_packing, domain_mix_sample,
+    # chunk_metadata_enrichment, proposer_max_score, side_effect_sink,
+    # then r03-window rows as needed.
+    # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
     "pos_tag_counts": pos_tag_counts,
@@ -14065,33 +14100,6 @@ QUERIES = {
     "streaming_consolidation": streaming_consolidation,
     "dedup_survivor_docs": dedup_survivor_docs,
     "profile_columns": profile_columns,
-    # ==== end of r08 driver window (position 50) ======================
-    # PLANNED r09 WINDOW: the 21 (b12) r08 additions lead (registered
-    # at the END of this dict, in registration order:
-    # nb_quality_classifier, embedding_pca_top_component,
-    # corrupt_record_ingest_audit, late_interaction_rerank,
-    # hybrid_retrieval_fusion, dp_histogram_release,
-    # span_corruption_plan, streaming_cms_heavy_hitters,
-    # blocklist_safety_gate, bitext_mining_margin,
-    # domain_reweighting_plan, uncertainty_sampling_plan,
-    # embedding_outlier_audit, gazetteer_entity_tagging,
-    # topic_model_lite, classifier_reliability_curve,
-    # preference_strength_fit, streaming_observed_metrics,
-    # zipf_fit_audit, lsh_parameter_advisor, ingestion_trend_forecast),
-    # padded to 50 with the first 20 remaining
-    # r02-fresh rows in CORRECTNESS_r02 order (deterministic_sample,
-    # q9_product_profit, q13_customer_distribution, q15_top_supplier,
-    # q21_blocking_supplier, html_rendition, chunk_command_fold,
-    # kafka_serde_roundtrip, pii_redaction, contamination_check,
-    # token_packing, domain_mix_sample, chunk_metadata_enrichment,
-    # proposer_max_score, side_effect_sink, datarecords_snapshot,
-    # streaming_session_windows, streaming_stateful_stats,
-    # corpus_prep_pipeline, repetition_filter) and then the 9 oldest
-    # r03-window rows in CORRECTNESS_r03 order (streaming_join_proof,
-    # streaming_restart_exactly_once, streaming_watermark_finalize,
-    # streaming_backpressure_proof, streaming_dedup_proof,
-    # engine_streaming_run, changelog_replay, streaming_hll_distinct,
-    # streaming_outer_join_proof) to 50.
     # -- remaining entries, prior registration order -------------------
     "deterministic_sample": deterministic_sample,
     "q9_product_profit": q9_product_profit,
@@ -14313,26 +14321,7 @@ QUERIES = {
     "file_compaction_plan": file_compaction_plan,
     "random_projection_sketch": random_projection_sketch,
     "vocab_oov_audit": vocab_oov_audit,
-    # -- (b12) new in r08: never driver-checked — lead the r09 window --
-    "nb_quality_classifier": nb_quality_classifier,
-    "embedding_pca_top_component": embedding_pca_top_component,
-    "corrupt_record_ingest_audit": corrupt_record_ingest_audit,
-    "late_interaction_rerank": late_interaction_rerank,
-    "hybrid_retrieval_fusion": hybrid_retrieval_fusion,
-    "dp_histogram_release": dp_histogram_release,
-    "span_corruption_plan": span_corruption_plan,
-    "streaming_cms_heavy_hitters": streaming_cms_heavy_hitters,
-    "blocklist_safety_gate": blocklist_safety_gate,
-    "bitext_mining_margin": bitext_mining_margin,
-    "domain_reweighting_plan": domain_reweighting_plan,
-    "uncertainty_sampling_plan": uncertainty_sampling_plan,
-    "embedding_outlier_audit": embedding_outlier_audit,
-    "gazetteer_entity_tagging": gazetteer_entity_tagging,
-    "topic_model_lite": topic_model_lite,
-    "classifier_reliability_curve": classifier_reliability_curve,
-    "preference_strength_fit": preference_strength_fit,
-    "streaming_observed_metrics": streaming_observed_metrics,
-    "zipf_fit_audit": zipf_fit_audit,
+    # -- (b12) last 2: never driver-checked — lead the r08 window ------
     "lsh_parameter_advisor": lsh_parameter_advisor,
     "ingestion_trend_forecast": ingestion_trend_forecast,
 }
