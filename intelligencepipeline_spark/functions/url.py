@@ -1,0 +1,88 @@
+"""URL canonicalization — the normalization pass every web-scale
+ingest runs before exact URL dedup and opt-out sweeps (the reference's
+ingest keys records by source identifier, interfaces.kt:23-31; for a
+crawl corpus that key IS the canonical URL, so the canonicalizer is
+the analogue of its record-identity discipline).
+
+Everything here is built-in expressions (regexp_extract /
+array_sort / filter) — no UDFs, fully inside codegen, and each rule
+is replayed verbatim by the DuckDB oracle (oracles.py _CANON_*).
+
+Canonical form (documented choices, applied in this order):
+  1. scheme dropped entirely (http/https variants of one resource
+     collapse — the dedup-recall-maximizing choice, stated honestly:
+     this is a DEDUP key, not a fetchable address),
+  2. host lowercased, leading "www." stripped,
+  3. default ports :80 / :443 stripped (any scheme — consistent with
+     rule 1), other explicit ports kept,
+  4. path: runs of trailing "/" stripped; empty path becomes "/",
+  5. query: params split on "&", tracking params dropped (key starts
+     with "utm_", or key is fbclid/gclid), survivors sorted
+     lexicographically and re-joined,
+  6. fragment dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tracking params dropped by rule 5. Checked by exact "key=" prefix
+# (substr arithmetic, not regex) so both engines agree byte-for-byte.
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def _strip_scheme(url: Column) -> Column:
+    return F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host: lowercased, no www., no port."""
+    rest = _strip_scheme(url)
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_port_suffix(url: Column) -> Column:
+    """':NNNN' for explicit non-default ports, '' otherwise."""
+    rest = _strip_scheme(url)
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    return F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Canonical path: trailing-slash runs stripped, '' -> '/'."""
+    rest = _strip_scheme(url)
+    path = F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Canonical query: tracking params dropped, rest sorted."""
+    rest = _strip_scheme(url)
+    q = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    parts = F.split(q, "&")
+    kept = F.filter(
+        parts,
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (F.substring(p, 1, 6) != "gclid="),
+    )
+    joined = F.array_join(F.array_sort(kept), "&")
+    return F.when(joined == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), joined)
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """The full canonical dedup key (rules 1-6 above)."""
+    return F.concat(
+        url_host(url), url_port_suffix(url), url_path(url),
+        url_query_canonical(url),
+    )

@@ -8153,3 +8153,175 @@ SELECT event_type, n_days,
     AS forecast_next_micro
 FROM sums ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# (b13) URL family — the derived-variant substrate and every
+# canonicalization rule (scheme drop, host lower + de-www, default-port
+# strip, trailing-slash strip, tracking-param drop + sort, fragment
+# drop) replayed with DuckDB regexp/list ops.
+# ---------------------------------------------------------------------------
+
+_URLS = f"""(
+  SELECT doc_id, unnest([
+    'https://' || hostm || path || '?id=' || idp || '&utm_source=rss',
+    'HTTP://www.' || lower(hostm) || ':80' || path || '/?utm_campaign=x&id=' || idp,
+    'https://' || upper(hostm) || ':443' || path || '?utm_medium=z&id=' || idp || '#frag'
+  ]) AS url
+  FROM (
+    SELECT doc_id,
+      'Docs.' || source || '.Example.com' AS hostm,
+      '/' || ({_NTOKS})[1] || '/' || cast(doc_id % 100 as varchar) AS path,
+      cast(doc_id % 7 as varchar) AS idp
+    FROM documents
+  )
+)"""
+
+_URL_CANON_FIELDS = r"""
+  SELECT doc_id, url,
+    regexp_replace(
+      lower(regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), '^([^:]*)', 1)),
+      '^www\.', '') AS host,
+    CASE WHEN regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), ':([0-9]+)$', 1)
+              IN ('', '80', '443') THEN ''
+         ELSE ':' || regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), ':([0-9]+)$', 1)
+    END AS portsfx,
+    CASE WHEN regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1), '/+$', '')
+    END AS path,
+    list_sort(list_filter(string_split(regexp_extract(rest, '\?([^#]*)', 1), '&'),
+      p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+       AND substr(p, 1, 7) <> 'fbclid=' AND substr(p, 1, 6) <> 'gclid=')) AS kept
+  FROM (
+    SELECT doc_id, url,
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+    FROM raw_urls
+  )
+"""
+
+_URL_CANON = """
+  SELECT doc_id, host, path,
+    host || portsfx || path ||
+    CASE WHEN len(kept) = 0 THEN '' ELSE '?' || array_to_string(kept, '&') END
+    AS canon
+  FROM fields
+"""
+
+ORACLES["url_canonical_dedup"] = f"""
+WITH raw_urls AS (SELECT * FROM {_URLS}),
+fields AS ({_URL_CANON_FIELDS}),
+canons AS ({_URL_CANON})
+SELECT canon AS canonical_url,
+  cast(count(*) as bigint) AS n_urls,
+  cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+  cast(min(doc_id) as bigint) AS survivor_doc_id
+FROM canons GROUP BY canon
+"""
+
+# robots_opt_out_sweep: rules VALUES list mirrors queries._OPT_OUT_RULES
+# verbatim; the prefix chain is the same segment-boundary expansion.
+ORACLES["robots_opt_out_sweep"] = f"""
+WITH raw_urls AS (SELECT * FROM {_URLS}),
+fields AS ({_URL_CANON_FIELDS}),
+canons AS ({_URL_CANON}),
+canon_d AS (SELECT DISTINCT canon, host, path FROM canons),
+rules(host, prefix) AS (VALUES
+  ('docs.src0.example.com', '/the'),
+  ('docs.src0.example.com', '/data'),
+  ('docs.src4.example.com', '/spark'),
+  ('docs.src8.example.com', '/join'),
+  ('docs.src12.example.com', '/merge'),
+  ('docs.src16.example.com', '/the')),
+prefixes AS (
+  SELECT canon, host,
+    unnest(list_transform(range(1, len(segs) + 1),
+      i -> '/' || array_to_string(segs[1:i], '/'))) AS prefix
+  FROM (
+    SELECT canon, host,
+      list_filter(string_split(path, '/'), s -> s <> '') AS segs
+    FROM canon_d
+  )
+),
+hits AS (
+  SELECT DISTINCT p.canon
+  FROM prefixes p JOIN rules r ON p.host = r.host AND p.prefix = r.prefix
+)
+SELECT c.host,
+  cast(count(*) as bigint) AS n_canonical,
+  cast(sum(CASE WHEN h.canon IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_disallowed,
+  cast(sum(CASE WHEN h.canon IS NULL THEN 1 ELSE 0 END) as bigint) AS n_kept
+FROM canon_d c LEFT JOIN hits h ON c.canon = h.canon
+GROUP BY c.host
+"""
+
+
+def _dqlog2(e: str) -> str:
+    """Quarter-bit log2 surrogate, DuckDB spelling (matches
+    queries._qlog2_spark; // is trunc division, bin() on BIGINT)."""
+    m = f"((({e}) * 32768) // (1 << length(bin({e}))))"
+    return f"(4 * (length(bin({e})) - 15) + length(bin({m} * {m} * {m} * {m})))"
+
+
+# secret_scanning_gate: injection, candidate extraction (assignment
+# values / long bare tokens), AKIA + hex patterns, and the quarter-bit
+# entropy ladder replayed; multiplicity carried through the (doc, c)
+# grouping so duplicate candidates count like Spark's exploded rows.
+ORACLES["secret_scanning_gate"] = f"""
+WITH aug AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 11 = 0 THEN ' api_key=AKIA' ||
+      upper(substr(md5(cast(doc_id as varchar)), 1, 16)) ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0 THEN ' token=' ||
+      md5(cast(doc_id as varchar)) ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0 THEN ' pad=' || repeat('xy', 20)
+      ELSE '' END AS scan_text
+  FROM documents
+), cand_rows AS (
+  SELECT doc_id,
+    unnest(list_filter(list_transform(string_split(scan_text, ' '),
+      t -> CASE WHEN instr(t, '=') > 0
+        THEN regexp_extract(t, '=([^=]*)$', 1) ELSE t END),
+      c -> length(c) >= 16)) AS c
+  FROM aug
+), cand_m AS (
+  SELECT doc_id, c, count(*) AS m FROM cand_rows GROUP BY 1, 2
+), contrib AS (
+  SELECT doc_id, c, m, length(c) AS n,
+    (length(c) - length(replace(c, d, ''))) AS cnt
+  FROM (
+    SELECT doc_id, c, m,
+      unnest(list_distinct(list_transform(range(1, length(c) + 1),
+        i -> substr(c, i, 1)))) AS d
+    FROM cand_m
+  )
+), h AS (
+  SELECT doc_id, c, any_value(m) AS m, any_value(n) AS n,
+    sum(cnt * ({_dqlog2('n')} - {_dqlog2('cnt')})) AS h_total
+  FROM contrib GROUP BY doc_id, c
+), scored AS (
+  SELECT doc_id, m,
+    CASE WHEN regexp_matches(c, '^AKIA[A-Z0-9]{{16}}$')
+           OR regexp_matches(c, '^[0-9a-f]{{32,}}$') THEN 1 ELSE 0 END
+      AS pattern_hit,
+    CASE WHEN n >= 20 AND h_total // n >= 14 THEN 1 ELSE 0 END
+      AS entropy_hit
+  FROM h
+), per_doc AS (
+  SELECT doc_id, sum(m) AS n_candidates,
+    sum(m * pattern_hit) AS n_pattern_hits,
+    sum(m * entropy_hit) AS n_entropy_hits,
+    sum(m * CASE WHEN pattern_hit = 1 OR entropy_hit = 1 THEN 1 ELSE 0 END)
+      AS n_secret_hits
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+  cast(coalesce(p.n_candidates, 0) as bigint) AS n_candidates,
+  cast(coalesce(p.n_pattern_hits, 0) as bigint) AS n_pattern_hits,
+  cast(coalesce(p.n_entropy_hits, 0) as bigint) AS n_entropy_hits,
+  cast(coalesce(p.n_secret_hits, 0) as bigint) AS n_secret_hits,
+  CASE WHEN coalesce(p.n_secret_hits, 0) > 0 THEN 'drop' ELSE 'keep' END
+    AS verdict
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

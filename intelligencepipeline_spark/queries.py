@@ -13979,6 +13979,276 @@ def ingestion_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _derived_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-corpus URL substrate: the synthetic corpus carries no
+    URLs, so each doc deterministically derives THREE raw variants of
+    one underlying resource (mixed-case host, www + default-port +
+    trailing-slash + tracking-param + fragment noise) — the exact
+    variant zoo canonicalization exists to collapse. Analogous to how
+    the image lanes synthesize BMP bytes through the REAL decoder: the
+    derivation is synthetic, the operator under test is real.
+    Pure expressions; (doc_id, variant, url)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Docs."), F.col("source"), F.lit(".Example.com")
+        ).alias("hostm"),
+        F.concat(
+            F.lit("/"),
+            F.element_at(tokens(normalize_text(F.col("text"))), 1),
+            F.lit("/"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("path"),
+        (F.col("doc_id") % 7).cast("string").alias("idp"),
+    )
+    v1 = F.concat(
+        F.lit("https://"), F.col("hostm"), F.col("path"),
+        F.lit("?id="), F.col("idp"), F.lit("&utm_source=rss"),
+    )
+    v2 = F.concat(
+        F.lit("HTTP://www."), F.lower(F.col("hostm")), F.lit(":80"),
+        F.col("path"), F.lit("/?utm_campaign=x&id="), F.col("idp"),
+    )
+    v3 = F.concat(
+        F.lit("https://"), F.upper(F.col("hostm")), F.lit(":443"),
+        F.col("path"), F.lit("?utm_medium=z&id="), F.col("idp"),
+        F.lit("#frag"),
+    )
+    return base.select(
+        "doc_id", F.posexplode(F.array(v1, v2, v3)).alias("variant", "url")
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION + EXACT URL DEDUP — the first dedup pass of
+    every crawl pipeline (CCNet/C4 dedup by URL before any content
+    pass; the reference keys records by source identifier,
+    interfaces.kt:23-31 — for a crawl that key IS the canonical URL).
+    functions/url.canonical_url applies the 6 documented rules
+    (scheme dropped, host lowercased + de-www'd, default ports
+    stripped, trailing-slash runs stripped, tracking params dropped +
+    survivors sorted, fragment dropped) as pure built-in expressions.
+    Exports per canonical key: variant count, distinct-doc count, and
+    the min-doc_id survivor — the 3 derived variants per doc MUST
+    collapse to one key, and docs sharing (source, first-token,
+    id mod 100, id mod 7) collapse further across docs.
+
+    Scale: canonicalization is a stateless expression scan (no UDF,
+    no shuffle); the dedup itself is ONE groupBy on the canonical
+    key — partial aggregation map-side, and at 100 TB the canonical
+    key is exactly what you'd bucket the at-rest crawl by. Oracle
+    replays every rule (regexp/list ops) and the grouping."""
+    from intelligencepipeline_spark.functions.url import canonical_url
+
+    urls = _derived_urls(spark, sf_dir)
+    return (
+        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .select(
+            F.col("canon").alias("canonical_url"),
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("survivor_doc_id").cast("long").alias("survivor_doc_id"),
+        )
+    )
+
+
+# Opt-out rules for robots_opt_out_sweep — (host, path-prefix) disallow
+# pairs, the robots.txt/opt-out ledger every compliant crawl keeps.
+# Literal and tiny by nature (a rules table, not data), broadcast to
+# the scan; mirrored verbatim in the oracle's VALUES list.
+_OPT_OUT_RULES: tuple[tuple[str, str], ...] = (
+    ("docs.src0.example.com", "/the"),
+    ("docs.src0.example.com", "/data"),
+    ("docs.src4.example.com", "/spark"),
+    ("docs.src8.example.com", "/join"),
+    ("docs.src12.example.com", "/merge"),
+    ("docs.src16.example.com", "/the"),
+)
+
+
+def robots_opt_out_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS/OPT-OUT COMPLIANCE SWEEP — drop every canonical URL whose
+    path falls under a disallowed (host, path-prefix) rule, the
+    compliance pass a crawl corpus runs before training use (the
+    reference's idempotence guard is the same shape: a keyed
+    exists-check gating ingest, IntelligencePipeline.kt's dataRecords
+    guard). The scalable mechanism is the point: each URL explodes its
+    path's SEGMENT-PREFIX CHAIN (/a/b -> ['/a','/a/b'], bounded by
+    path depth) and the rules table joins by EQUALITY on
+    (host, prefix) — a broadcast hash join, never a LIKE-prefix
+    theta-join/BNLJ. Exports per host: canonical URLs, disallowed,
+    kept.
+
+    Scale: prefix fan-out is bounded (depth <= 3 here, single-digit
+    for real URLs); rules are a broadcast dim; one groupBy on host.
+    Oracle replays canonicalization, the prefix chain, and the rule
+    join."""
+    from intelligencepipeline_spark.functions.url import (
+        canonical_url, url_host, url_path,
+    )
+
+    urls = _derived_urls(spark, sf_dir)
+    canon = (
+        urls.select(
+            canonical_url(F.col("url")).alias("canon"),
+            url_host(F.col("url")).alias("host"),
+            url_path(F.col("url")).alias("path"),
+        )
+        .groupBy("canon", "host", "path")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    segs = F.filter(F.split(F.col("path"), "/"), lambda s: s != "")
+    with_prefix = canon.select(
+        "canon",
+        "host",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(segs)),
+                lambda i: F.concat(
+                    F.lit("/"), F.array_join(F.slice(segs, F.lit(1), i), "/")
+                ),
+            )
+        ).alias("prefix"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(
+            list(_OPT_OUT_RULES), schema="host string, prefix string"
+        )
+    )
+    hit = (
+        with_prefix.join(rules, ["host", "prefix"], "leftsemi")
+        .select("canon", "host")
+        .distinct()
+    )
+    return (
+        canon.join(hit.select("canon").withColumn("dis", F.lit(1)), "canon", "left")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_canonical"),
+            F.sum(F.when(F.col("dis").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_disallowed"),
+            F.sum(F.when(F.col("dis").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "host",
+            F.col("n_canonical").cast("long").alias("n_canonical"),
+            "n_disallowed",
+            "n_kept",
+        )
+    )
+
+
+def _qlog2_spark(e: str) -> str:
+    """Quarter-bit log2 surrogate as a Spark-SQL fragment (the
+    zipf_fit_audit surrogate, reused): affine in log2 with slope 4,
+    monotone, exact-integer, engine-portable. qlog2(n) =
+    4*(bitlen(n)-15) + bitlen(m^4), m = n*32768 >> bitlen(n)."""
+    m = f"((({e}) * 32768) DIV shiftleft(1, cast(length(bin({e})) as int)))"
+    return (
+        f"CAST(4 * (length(bin({e})) - 15)"
+        f" + length(bin({m} * {m} * {m} * {m})) AS LONG)"
+    )
+
+
+def secret_scanning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECRET / CREDENTIAL SCANNING GATE — the safety pass every code
+    or web corpus runs before training (leaked API keys must not reach
+    the model): per doc, candidate tokens (assignment values and long
+    bare tokens, length >= 16) are scored by TWO independent rules —
+    (a) pattern: AWS-style '^AKIA[A-Z0-9]{16}$' or a 32+-char hex
+    blob, (b) entropy: length >= 20 AND exact per-char Shannon entropy
+    >= 3.5 bits, computed ENTIRELY in integers with the quarter-bit
+    qlog2 surrogate (H_qbits = sum_d cnt_d*(qlog2(n)-qlog2(cnt_d))
+    DIV n over the token's distinct chars; the affine offset cancels
+    in the difference). The corpus carries no secrets, so docs
+    deterministically inject them (doc_id%11: an AKIA key, %13: a
+    32-hex token, %17: a LOW-entropy 40-char filler that must NOT
+    flag) — the injection is synthetic, the scanner is real, and the
+    filler pins the entropy rule's specificity. Exports per doc:
+    candidate/pattern/entropy/secret counts and the keep/drop verdict.
+
+    Scale: stateless expression scan (split + bounded per-candidate
+    char fold, no UDF, no shuffle beyond the final doc rollup of an
+    already-doc-keyed explode). Oracle replays injection, candidate
+    extraction, both rules, and the qlog2 entropy ladder. Reference
+    parity: the null/quality guard family (IntelligencePipeline.kt's
+    filter-before-ingest discipline) applied to the safety dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.selectExpr(
+        "doc_id",
+        "concat(text,"
+        " CASE WHEN doc_id % 11 = 0 THEN concat(' api_key=AKIA',"
+        "   upper(substring(md5(cast(doc_id as string)), 1, 16)))"
+        "   ELSE '' END,"
+        " CASE WHEN doc_id % 13 = 0 THEN concat(' token=',"
+        "   md5(cast(doc_id as string))) ELSE '' END,"
+        " CASE WHEN doc_id % 17 = 0 THEN concat(' pad=', repeat('xy', 20))"
+        "   ELSE '' END) AS scan_text",
+    )
+    cands = aug.selectExpr(
+        "doc_id",
+        "explode_outer(filter(transform(split(scan_text, ' '),"
+        " t -> CASE WHEN instr(t, '=') > 0"
+        "   THEN regexp_extract(t, '=([^=]*)$', 1) ELSE t END),"
+        " c -> length(c) >= 16)) AS c",
+    )
+    qn = _qlog2_spark("length(c)")
+    qcnt = _qlog2_spark("(length(c) - length(replace(c, d, '')))")
+    scored = cands.selectExpr(
+        "doc_id",
+        "c",
+        "CASE WHEN c IS NULL THEN 0"
+        " WHEN c RLIKE '^AKIA[A-Z0-9]{16}$' THEN 1"
+        " WHEN c RLIKE '^[0-9a-f]{32,}$' THEN 1 ELSE 0 END AS pattern_hit",
+        "CASE WHEN c IS NULL OR length(c) < 20 THEN 0"
+        " WHEN aggregate("
+        "   array_distinct(transform(sequence(1, length(c)),"
+        "     i -> substring(c, i, 1))),"
+        "   CAST(0 AS LONG),"
+        f"  (acc, d) -> acc + (length(c) - length(replace(c, d, '')))"
+        f"    * ({qn} - {qcnt})"
+        " ) DIV length(c) >= 14 THEN 1 ELSE 0 END AS entropy_hit",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum("pattern_hit").cast("long").alias("n_pattern_hits"),
+            F.sum("entropy_hit").cast("long").alias("n_entropy_hits"),
+            F.sum(
+                F.when(
+                    (F.col("pattern_hit") == 1) | (F.col("entropy_hit") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_secret_hits"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_candidates",
+            "n_pattern_hits",
+            "n_entropy_hits",
+            "n_secret_hits",
+            "CASE WHEN n_secret_hits > 0 THEN 'drop' ELSE 'keep' END"
+            " AS verdict",
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -13991,16 +14261,12 @@ def ingestion_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After r06 the driver union is 239/239: every entry registered
 # before r06 has a green driver row; zero wrong answers in six rounds.
 #
-# The r07 session planned a rotation assuming the r06-planned r07
-# driver run would land; no CORRECTNESS_r07 artifact ever arrived, so
-# the 16 (b9) entries that led the r07 window are still (as far as the
-# committed artifacts show) never driver-checked. The r08 ordering
-# below therefore leads with ALL 31 never-driver-checked entries —
-# 16 (b9) + 12 (b10) + 3 (b11) — padded to 50 with the 19 stalest
-# (freshest driver row = r02) rows in CORRECTNESS_r02 order. This is
-# correct under either history: if the r07 run did happen, the b9 and
-# r02 rows are harmless re-proofs; if it did not, every never-checked
-# entry gets its first driver row.
+# Two build sessions ran between the r06 and r07 driver runs (their
+# planned r07/r08 driver windows never executed), so at the r07 run
+# 52 entries have no driver row: 16 (b9) + 12 (b10) + 3 (b11) +
+# 21 (b12). The window below holds the 50 oldest of them in
+# registration order; the 2 newest b12 rows and the (b13) additions
+# lead the r08 window.
 QUERIES = {
     # ==== r07 driver window: positions 1-50 ===========================
     # The latest driver artifact is CORRECTNESS_r06 (union 239), so 52
@@ -14324,6 +14590,11 @@ QUERIES = {
     # -- (b12) last 2: never driver-checked — lead the r08 window ------
     "lsh_parameter_advisor": lsh_parameter_advisor,
     "ingestion_trend_forecast": ingestion_trend_forecast,
+    # -- (b13) new in r07: never driver-checked — r08 window after the
+    #    two b12 rows above ---------------------------------------------
+    "url_canonical_dedup": url_canonical_dedup,
+    "robots_opt_out_sweep": robots_opt_out_sweep,
+    "secret_scanning_gate": secret_scanning_gate,
 }
 
 

@@ -1,0 +1,169 @@
+"""URL canonicalization + secret scanning (b13): rule-by-rule pins on
+functions/url.canonical_url, variant-collapse and idempotence
+properties, and a brute-force Python replay of the secret gate's
+quarter-bit entropy rule."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.url import canonical_url
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_rules_pinned(spark):
+    got = _canon(
+        spark,
+        [
+            # scheme dropped, host lowercased, www stripped
+            "HTTPS://WWW.Example.COM/A/b",
+            "http://example.com/A/b",
+            # default ports stripped, explicit kept
+            "https://example.com:443/x",
+            "http://example.com:80/x",
+            "http://example.com:8080/x",
+            # trailing slash runs; empty path -> /
+            "https://example.com/x///",
+            "https://example.com",
+            # tracking params dropped, survivors sorted; fragment dropped
+            "https://example.com/p?utm_source=a&b=2&a=1&fbclid=zz#frag",
+            "https://example.com/p?a=1&b=2",
+        ],
+    )
+    assert got[0] == "example.com/A/b"
+    assert got[1] == "example.com/A/b"
+    assert got[2] == "example.com/x"
+    assert got[3] == "example.com/x"
+    assert got[4] == "example.com:8080/x"
+    assert got[5] == "example.com/x"
+    assert got[6] == "example.com/"
+    assert got[7] == "example.com/p?a=1&b=2"
+    assert got[7] == got[8]
+
+
+def test_idempotent_on_canonical_output(spark):
+    """canonical(canonical-as-url) == canonical for scheme-less keys
+    re-wrapped in a scheme — the fixpoint property a dedup key needs."""
+    raw = [
+        "HTTP://www.Foo.Example.com:80/a/b/?utm_x=1&z=9&y=2#f",
+        "https://foo.example.com/a/b?y=2&z=9",
+    ]
+    first = _canon(spark, raw)
+    assert first[0] == first[1]
+    again = _canon(spark, ["https://" + c for c in first])
+    assert again == first
+
+
+def test_variants_collapse_per_doc(spark):
+    out = QUERIES["url_canonical_dedup"](spark, SF)
+    rows = out.collect()
+    # every canonical group holds doc-multiples of 3 raw variants
+    assert all(r["n_urls"] == 3 * r["n_docs"] for r in rows)
+    assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_opt_out_only_ruled_hosts(spark):
+    rows = QUERIES["robots_opt_out_sweep"](spark, SF).collect()
+    ruled = {
+        "docs.src0.example.com",
+        "docs.src4.example.com",
+        "docs.src8.example.com",
+        "docs.src12.example.com",
+        "docs.src16.example.com",
+    }
+    by_host = {r["host"]: r for r in rows}
+    assert len(by_host) == 20
+    for host, r in by_host.items():
+        assert r["n_disallowed"] + r["n_kept"] == r["n_canonical"]
+        if host not in ruled:
+            assert r["n_disallowed"] == 0
+    assert sum(r["n_disallowed"] for r in rows) > 0
+
+
+def _qlog2(n):
+    bl = n.bit_length()
+    m = (n * 32768) // (1 << bl)
+    return 4 * (bl - 15) + (m**4).bit_length()
+
+
+def _entropy_hit(c):
+    n = len(c)
+    if n < 20:
+        return 0
+    h = sum(
+        c.count(d) * (_qlog2(n) - _qlog2(c.count(d))) for d in set(c)
+    )
+    return 1 if h // n >= 14 else 0
+
+
+def test_secret_gate_matches_brute_force(spark, docs):
+    import hashlib
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["secret_scanning_gate"](spark, SF).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        did, text = r["doc_id"], r["text"]
+        scan = text
+        if did % 11 == 0:
+            scan += " api_key=AKIA" + hashlib.md5(
+                str(did).encode()
+            ).hexdigest()[:16].upper()
+        if did % 13 == 0:
+            scan += " token=" + hashlib.md5(str(did).encode()).hexdigest()
+        if did % 17 == 0:
+            scan += " pad=" + "xy" * 20
+        cands = []
+        for t in scan.split(" "):
+            c = t.rsplit("=", 1)[-1] if "=" in t else t
+            if len(c) >= 16:
+                cands.append(c)
+        pat = sum(
+            1
+            for c in cands
+            if re.fullmatch(r"AKIA[A-Z0-9]{16}", c)
+            or re.fullmatch(r"[0-9a-f]{32,}", c)
+        )
+        ent = sum(_entropy_hit(c) for c in cands)
+        sec = sum(
+            1
+            for c in cands
+            if (
+                re.fullmatch(r"AKIA[A-Z0-9]{16}", c)
+                or re.fullmatch(r"[0-9a-f]{32,}", c)
+                or _entropy_hit(c)
+            )
+        )
+        g = got[did]
+        assert (
+            g["n_candidates"],
+            g["n_pattern_hits"],
+            g["n_entropy_hits"],
+            g["n_secret_hits"],
+        ) == (len(cands), pat, ent, sec), did
+        assert g["verdict"] == ("drop" if sec else "keep")
+
+
+def test_low_entropy_filler_is_kept(spark):
+    """The xy-repeat injection (doc_id%17, not %11/%13) is a candidate
+    but must NOT flag — pins the entropy rule's specificity."""
+    rows = (
+        QUERIES["secret_scanning_gate"](spark, SF)
+        .filter(
+            "doc_id % 17 = 0 AND doc_id % 11 != 0 AND doc_id % 13 != 0"
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_candidates"] >= 1
+        assert r["n_secret_hits"] == 0
+        assert r["verdict"] == "keep"
