@@ -8374,3 +8374,78 @@ SELECT i.event_id, i.user_id,
   cast(coalesce(h.n_clicks, 0) as bigint) AS n_clicks
 FROM intervals i LEFT JOIN hits h ON i.event_id = h.event_id
 """
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled Gonzalez greedy k-center (matches
+    operators/coreset.greedy_kcenter step-for-step): s_i = the step-i
+    selection (1 row), m_i carries every point's running min distance
+    to the chosen centers; final assignment ties to the EARLIER
+    center via the first-match CASE chain."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    parts = [
+        "qv AS (SELECT vec_id AS vid, list_transform(embedding,"
+        " x -> cast(floor(cast(x as double) * 1000) as bigint)) AS q"
+        " FROM embeddings)",
+        "s0 AS (SELECT vid, q, cast(0 as bigint) AS dmin FROM qv"
+        " ORDER BY list_sum(list_transform(q, x -> x * x)) DESC, vid"
+        " LIMIT 1)",
+        f"m0 AS (SELECT v.vid, v.q, {d2('v.q', 'c.q')} AS dmin"
+        " FROM qv v CROSS JOIN s0 c)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"s{i} AS (SELECT vid, q, dmin FROM m{i - 1}"
+            f" ORDER BY dmin DESC, vid LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"m{i} AS (SELECT v.vid, v.q,"
+                f" least(v.dmin, {d2('v.q', 'c.q')}) AS dmin"
+                f" FROM m{i - 1} v CROSS JOIN s{i} c)"
+            )
+    dcols = ", ".join(f"{d2('v.q', f'c{i}.q')} AS d{i}" for i in range(k))
+    cjoins = " ".join(f"CROSS JOIN s{i} c{i}" for i in range(k))
+    parts.append(f"dall AS (SELECT v.vid, {dcols} FROM qv v {cjoins})")
+    m = "least(" + ", ".join(f"d{i}" for i in range(k)) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(k))
+        + " END"
+    )
+    parts.append(
+        f"asg AS (SELECT vid, {m} AS m, {case} AS cluster"
+        f" FROM (SELECT vid, {m} AS m,"
+        + ", ".join(f"d{i}" for i in range(k))
+        + " FROM dall))"
+    )
+    parts.append(
+        "agg AS (SELECT cluster, cast(count(*) as bigint) AS n_assigned,"
+        " cast(max(m) as bigint) AS radius_d2 FROM asg GROUP BY cluster)"
+    )
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, vid, cast(dmin as bigint) AS sel_d2 FROM s{i}"
+        for i in range(k)
+    )
+    parts.append(f"steps AS ({steps})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT cast(s.step as bigint) AS step,
+  cast(s.vid as bigint) AS center_vec_id,
+  s.sel_d2,
+  coalesce(a.n_assigned, 0) AS n_assigned,
+  coalesce(a.radius_d2, 0) AS radius_d2
+FROM steps s LEFT JOIN agg a ON a.cluster = s.step
+"""
+    )
+
+
+ORACLES["kcenter_coreset_selection"] = _kcenter_sql(8)

@@ -1,0 +1,53 @@
+"""greedy_kcenter (b13): brute-force Python replay of the Gonzalez
+loop — selection order, tie-breaks, coverage radii — plus the greedy
+maximin-monotonicity invariant."""
+
+import math
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(vecs, k=8):
+    qs = {vid: [math.floor(float(x) * 1000) for x in v] for vid, v in vecs}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    first = max(qs, key=lambda vid: (d2(qs[vid], [0] * 64), -vid))
+    sel = [(first, 0)]
+    dmin = {vid: d2(qs[vid], qs[first]) for vid in qs}
+    for _ in range(1, k):
+        nxt = max(qs, key=lambda vid: (dmin[vid], -vid))
+        sel.append((nxt, dmin[nxt]))
+        for vid in qs:
+            dmin[vid] = min(dmin[vid], d2(qs[vid], qs[nxt]))
+    centers = [qs[vid] for vid, _ in sel]
+    stats = [[0, 0] for _ in range(k)]
+    for vid, q in qs.items():
+        ds = [d2(q, c) for c in centers]
+        m = min(ds)
+        c = ds.index(m)
+        stats[c][0] += 1
+        stats[c][1] = max(stats[c][1], m)
+    return sel, stats
+
+
+def test_kcenter_matches_brute_force(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    sel, stats = _brute(vecs, k=8)
+    rows = sorted(
+        QUERIES["kcenter_coreset_selection"](spark, SF).collect(),
+        key=lambda r: r["step"],
+    )
+    assert len(rows) == 8
+    for i, r in enumerate(rows):
+        assert r["center_vec_id"] == sel[i][0], i
+        assert r["sel_d2"] == sel[i][1], i
+        assert r["n_assigned"] == stats[i][0], i
+        assert r["radius_d2"] == stats[i][1], i
+    seldists = [r["sel_d2"] for r in rows[1:]]
+    assert seldists == sorted(seldists, reverse=True)
+    assert sum(r["n_assigned"] for r in rows) == len(vecs)
