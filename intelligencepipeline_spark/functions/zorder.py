@@ -40,3 +40,61 @@ def zvalue_sql(x: str, y: str, bits: int = 10) -> str:
         parts.append(f"((({x} >> {i}) & 1) << {2 * i})")
         parts.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(parts) + ")"
+
+
+def with_hilbert(
+    df, x: str, y: str, bits: int = 3, out: str = "hvalue"
+):
+    """Hilbert-curve index d of the 2-D point (x, y), low ``bits`` per
+    dimension (inputs already non-negative and < 2**bits) — the
+    locality-tighter alternative to the Morton code: consecutive d
+    values are always grid-adjacent, so equal-size zones get tighter
+    bounding boxes than Z-order's quadrant jumps (the reason
+    Databricks liquid clustering moved past Z-ORDER).
+
+    Standard public xy2d bit transform (Hamilton's algorithm), unrolled
+    per bit as chained withColumns — each step is a handful of integer
+    CASE/AND/XOR expressions, the whole thing stays in codegen, and
+    the DuckDB oracle replays it via oracles._hilbert_sql with the
+    identical step order."""
+    from pyspark.sql import functions as F
+
+    df = (
+        df.withColumn("_hx", F.col(x).cast("long"))
+        .withColumn("_hy", F.col(y).cast("long"))
+        .withColumn("_hd", F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = (
+            df.withColumn("_rx", rx.cast("long"))
+            .withColumn("_ry", ry.cast("long"))
+        )
+        df = df.withColumn(
+            "_hd",
+            F.col("_hd")
+            + F.lit(s * s)
+            * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+        )
+        nx = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        df = (
+            df.withColumn("_nx", nx)
+            .withColumn("_ny", ny)
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+            .drop("_nx", "_ny", "_rx", "_ry")
+        )
+    return df.withColumn(out, F.col("_hd")).drop("_hx", "_hy", "_hd")

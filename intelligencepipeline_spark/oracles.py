@@ -8449,3 +8449,69 @@ FROM steps s LEFT JOIN agg a ON a.cluster = s.step
 
 
 ORACLES["kcenter_coreset_selection"] = _kcenter_sql(8)
+
+
+def _hilbert_chain(bits: int = 3) -> str:
+    """Hamilton xy2d unrolled as nested subqueries (matches
+    functions/zorder.with_hilbert step-for-step; DuckDB xor()/& —
+    ^ is POWER in DuckDB, never use it for bits)."""
+    inner = (
+        "SELECT l_orderkey, l_linenumber, x, y,"
+        " x AS hx, y AS hy, cast(0 as bigint) AS hd FROM li"
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        inner = f"""SELECT l_orderkey, l_linenumber, x, y,
+      CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END
+           ELSE hx END AS hx,
+      CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END
+           ELSE hy END AS hy,
+      hd + {s * s} * xor(3 * rx, ry) AS hd
+    FROM (SELECT *,
+        CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+        CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+      FROM ({inner}))"""
+    return inner
+
+
+_zsql3 = _zsql("x", "y", 3)
+
+# hilbert_layout_prune_audit: the zorder_prune_audit zones + skip rule
+# with the third (Hilbert) layout; the xy2d transform is replayed via
+# the nested-subquery chain above.
+ORACLES["hilbert_layout_prune_audit"] = f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+    cast(l_partkey % 8 as bigint) AS x,
+    cast(l_orderkey % 8 as bigint) AS y
+  FROM lineitem
+), hv AS (
+  {_hilbert_chain(3)}
+), lay AS (
+  SELECT 'sorted_x' AS layout, x, y,
+    (row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) - 1)
+      // 250 AS zone
+  FROM li
+  UNION ALL
+  SELECT 'zorder', x, y,
+    (row_number() OVER (ORDER BY {_zsql3}, l_orderkey, l_linenumber)
+      - 1) // 250
+  FROM li
+  UNION ALL
+  SELECT 'hilbert', x, y,
+    (row_number() OVER (ORDER BY hd, l_orderkey, l_linenumber) - 1)
+      // 250
+  FROM hv
+), z AS (
+  SELECT layout, zone, min(x) AS xmin, max(x) AS xmax,
+    min(y) AS ymin, max(y) AS ymax
+  FROM lay GROUP BY 1, 2
+)
+SELECT layout, cast(count(*) as bigint) AS n_zones,
+  cast(sum(CASE WHEN xmax < 2 OR xmin > 3 OR ymax < 2 OR ymin > 3
+           THEN 1 ELSE 0 END) as bigint) AS n_skipped,
+  cast(count(*) - sum(CASE WHEN xmax < 2 OR xmin > 3
+                             OR ymax < 2 OR ymin > 3
+                      THEN 1 ELSE 0 END) as bigint) AS n_scanned
+FROM z GROUP BY 1 ORDER BY layout
+"""

@@ -1,0 +1,41 @@
+"""functions/zorder.with_hilbert (b13): the two defining properties on
+the full 8x8 grid — bijectivity onto 0..63 and unit grid-adjacency of
+consecutive indexes (the locality Z-order lacks) — checked against a
+brute-force Python xy2d."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.zorder import with_hilbert
+
+
+def _xy2d(x, y, bits=3):
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - y, s - 1 - x
+            else:
+                x, y = y, x
+    return d
+
+
+def test_hilbert_grid(spark):
+    grid = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    rows = with_hilbert(grid, "x", "y", bits=3).collect()
+    got = {(r["x"], r["y"]): r["hvalue"] for r in rows}
+    # matches the brute-force transform everywhere
+    for (x, y), h in got.items():
+        assert h == _xy2d(x, y), (x, y)
+    # bijective onto 0..63
+    assert sorted(got.values()) == list(range(64))
+    # consecutive indexes are grid-adjacent (|dx| + |dy| == 1)
+    inv = {h: xy for xy, h in got.items()}
+    for h in range(63):
+        (x1, y1), (x2, y2) = inv[h], inv[h + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, h
