@@ -8515,3 +8515,42 @@ SELECT layout, cast(count(*) as bigint) AS n_zones,
                       THEN 1 ELSE 0 END) as bigint) AS n_scanned
 FROM z GROUP BY 1 ORDER BY layout
 """
+
+
+# ccnet_perplexity_buckets: composes the LM oracle body; per-language
+# tercile THRESHOLD VALUES (ceil(n/3)/ceil(2n/3)-th smallest milli-bpt
+# from the bounded histogram), then value bucketing — the window here
+# runs over the bounded (lang, milli_bpt) histogram domain only.
+ORACLES["ccnet_perplexity_buckets"] = f"""
+WITH lm AS ({_LM_BODY}),
+m AS (
+  SELECT lm.doc_id, d.lang, lm.n_toks, lm.lm_bits,
+    lm.lm_bits * 1000 // lm.n_toks AS milli_bpt
+  FROM lm JOIN documents d USING (doc_id)
+), n AS (
+  SELECT lang, count(*) AS n FROM m GROUP BY 1
+), cums AS (
+  SELECT lang, milli_bpt, count(*) AS c FROM m GROUP BY 1, 2
+), cum AS (
+  SELECT lang, milli_bpt,
+    sum(c) OVER (PARTITION BY lang ORDER BY milli_bpt) AS cum
+  FROM cums
+), thr AS (
+  SELECT cum.lang,
+    min(CASE WHEN cum >= (n.n + 2) // 3 THEN milli_bpt END) AS t1_milli,
+    min(CASE WHEN cum >= (2 * n.n + 2) // 3 THEN milli_bpt END) AS t2_milli
+  FROM cum JOIN n USING (lang) GROUP BY 1
+)
+SELECT m.lang,
+  CASE WHEN milli_bpt <= t1_milli THEN 'head'
+       WHEN milli_bpt <= t2_milli THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(n_toks) as bigint) AS total_toks,
+  cast(sum(lm_bits) as bigint) AS total_bits,
+  cast(any_value(t1_milli) as bigint) AS t1_milli,
+  cast(any_value(t2_milli) as bigint) AS t2_milli,
+  cast(sum(lm_bits) * 1000 // sum(n_toks) as bigint) AS avg_milli_bpt
+FROM m JOIN thr USING (lang)
+GROUP BY 1, 2
+"""

@@ -14512,6 +14512,87 @@ def hilbert_layout_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNET HEAD/MIDDLE/TAIL SPLIT — the per-language perplexity
+    tercile bucketing of Wenzek et al.'s CCNet (the curation step
+    between the LM gate and training mixes: head = cleanest third,
+    tail = candidate-drop third, PER LANGUAGE so low-resource
+    languages aren't starved by a global cut). Composes the repo's
+    trained trigram stupid-backoff LM (operators/ngram_lm — the same
+    scores the gate exports, so drift there breaks this row too).
+    Buckets come from VALUE thresholds, not ranks: t1/t2 = the
+    ceil(n/3)- and ceil(2n/3)-th smallest milli-bits/token per
+    language (exact integers; ties share the boundary value's bucket
+    in both engines by construction), computed from a bounded
+    per-(lang, milli_bpt) histogram — the dist_rank discipline, no
+    global window, no single-partition sort. Exports per (lang,
+    bucket): docs, token/bit totals, exact avg milli-bpt, thresholds.
+
+    Scale: LM scoring is the proven gate shape; the histogram is
+    bounded by the value domain (milli-bpt <= ~30k) x languages, NOT
+    corpus size; thresholds broadcast back. Oracle composes the LM
+    oracle body and replays histogram, thresholds, bucketing."""
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = perplexity_gate(
+        docs, tokens(normalize_text(F.col("text"))), F.col("doc_id") % 2 == 0
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    m = scored.withColumn(
+        "milli_bpt", F.expr("lm_bits * 1000 DIV n_toks")
+    )
+    hist = (
+        m.groupBy("lang", "milli_bpt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_lang.setdefault(r["lang"], []).append(
+            (int(r["milli_bpt"]), int(r["c"]))
+        )
+    thr_rows = []
+    for lang, vs in per_lang.items():
+        vs.sort()
+        n = sum(c for _, c in vs)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        cum, t1, t2 = 0, None, None
+        for v, c in vs:
+            cum += c
+            if t1 is None and cum >= k1:
+                t1 = v
+            if t2 is None and cum >= k2:
+                t2 = v
+        thr_rows.append((lang, t1, t2))
+    thr = F.broadcast(
+        spark.createDataFrame(
+            thr_rows, "lang string, t1_milli long, t2_milli long"
+        )
+    )
+    return (
+        m.join(thr, "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("milli_bpt") <= F.col("t1_milli"), "head")
+            .when(F.col("milli_bpt") <= F.col("t2_milli"), "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_toks"),
+            F.sum("lm_bits").cast("long").alias("total_bits"),
+            F.first("t1_milli").alias("t1_milli"),
+            F.first("t2_milli").alias("t2_milli"),
+        )
+        .withColumn(
+            "avg_milli_bpt", F.expr("total_bits * 1000 DIV total_toks")
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -14862,6 +14943,7 @@ QUERIES = {
     "interval_bucket_join": interval_bucket_join,
     "kcenter_coreset_selection": kcenter_coreset_selection,
     "hilbert_layout_prune_audit": hilbert_layout_prune_audit,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
 }
 
 

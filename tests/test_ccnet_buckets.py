@@ -1,0 +1,57 @@
+"""ccnet_perplexity_buckets (b13): brute-force replay of the
+per-language tercile thresholds and value bucketing from the LM gate's
+own per-doc scores (which have their own brute-force suite in
+test_ngram_lm.py)."""
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.text import (
+    normalize_text,
+    tokens,
+)
+from intelligencepipeline_spark.operators.ngram_lm import perplexity_gate
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_buckets_match_brute_force(spark, docs):
+    scored = perplexity_gate(
+        docs, tokens(normalize_text(F.col("text"))), F.col("doc_id") % 2 == 0
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    per_doc = [
+        (r["lang"], r["lm_bits"] * 1000 // r["n_toks"], r["n_toks"], r["lm_bits"])
+        for r in scored.collect()
+    ]
+    langs = {}
+    for lang, m, nt, lb in per_doc:
+        langs.setdefault(lang, []).append((m, nt, lb))
+    want = {}
+    for lang, vals in langs.items():
+        ms = sorted(m for m, _, _ in vals)
+        n = len(ms)
+        t1 = ms[(n + 2) // 3 - 1]
+        t2 = ms[(2 * n + 2) // 3 - 1]
+        for m, nt, lb in vals:
+            b = "head" if m <= t1 else ("middle" if m <= t2 else "tail")
+            key = (lang, b)
+            d = want.setdefault(key, [0, 0, 0, t1, t2])
+            d[0] += 1
+            d[1] += nt
+            d[2] += lb
+    rows = QUERIES["ccnet_perplexity_buckets"](spark, SF).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        nd, nt, lb, t1, t2 = want[(r["lang"], r["bucket"])]
+        assert (r["n_docs"], r["total_toks"], r["total_bits"]) == (nd, nt, lb)
+        assert (r["t1_milli"], r["t2_milli"]) == (t1, t2)
+        assert r["avg_milli_bpt"] == lb * 1000 // nt
+    # terciles: every language's head holds at least ceil(n/3) docs
+    # (ties can only grow it), and buckets partition the language
+    for lang, vals in langs.items():
+        n = len(vals)
+        head = next(
+            r["n_docs"] for r in rows if r["lang"] == lang and r["bucket"] == "head"
+        )
+        assert head >= (n + 2) // 3
+        assert sum(r["n_docs"] for r in rows if r["lang"] == lang) == n
