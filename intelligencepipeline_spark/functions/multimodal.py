@@ -383,6 +383,7 @@ def _decode_features(content: bytes) -> list[float]:
       row 0 col 0, which lives in the LAST file row of a bottom-up
       BMP — an order-sensitive probe of the row layout).
     * PNG  -> [w, h, sum_r, sum_g, sum_b, px_min, px_max, topleft_r]
+    * GIF  -> same layout as PNG (palette resolved to RGB, top-down)
       (RGB channel order and top-down rows — the OPPOSITE layout of
       BMP on both axes, so each entry's probe falsifies the other's
       bug; sums are over the first three channels, min/max over all,
@@ -417,6 +418,21 @@ def _decode_features(content: bytes) -> list[float]:
 
             w, h, px = decode_png(b)
             flat = px.reshape(h * w, -1).astype(np.int64)
+            return [
+                float(w),
+                float(h),
+                float(flat[:, 0].sum()),
+                float(flat[:, 1].sum()),
+                float(flat[:, 2].sum()),
+                float(px.min()),
+                float(px.max()),
+                float(px[0, 0, 0]),
+            ]
+        if mime == "image/gif":
+            import numpy as np
+
+            w, h, px = decode_gif(b)
+            flat = px.reshape(h * w, 3).astype(np.int64)
             return [
                 float(w),
                 float(h),
@@ -825,3 +841,184 @@ def vad_segments(
         "doc_id long, n_frames long, n_active long, n_segments long,"
         " longest_segment long, energy_total long",
     )
+
+
+def decode_gif(content: bytes):
+    """REAL pure-stdlib GIF decode: GIF87a/89a, global color table,
+    one non-interlaced image block, full variable-width LZW with
+    clear/EOI codes and the deferred width-growth rule (decoder grows
+    at next_code == 2^width; the encoder's matching rule is
+    2^width + 1 — the classic off-by-one pair). Extensions (GCE,
+    comments, app blocks) are skipped structurally. Returns
+    ``(width, height, pixels)`` with pixels an (h, w, 3) uint8 RGB
+    array via the palette. Interlaced or LCT images raise ValueError
+    (honest scope, same discipline as the BMP/PNG lanes)."""
+    import struct
+
+    import numpy as np
+
+    b = content or b""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without global color table unsupported")
+    gct_size = 2 << (packed & 0x07)
+    palette = [
+        (b[pos + 3 * i], b[pos + 3 * i + 1], b[pos + 3 * i + 2])
+        for i in range(gct_size)
+    ]
+    pos += 3 * gct_size
+    while pos < len(b) and b[pos] == 0x21:  # extension: label + blocks
+        pos += 2
+        while b[pos] != 0:
+            pos += 1 + b[pos]
+        pos += 1
+    if pos >= len(b) or b[pos] != 0x2C:
+        raise ValueError("no image descriptor")
+    ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+    pos += 10
+    if ipacked & 0x80:
+        raise ValueError("local color table unsupported")
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if (ix, iy, iw, ih) != (0, 0, w, h):
+        raise ValueError("partial-frame GIF unsupported")
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()
+    while b[pos] != 0:
+        n = b[pos]
+        data += b[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: dict[int, tuple[int, ...]] = {}
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = {i: (i,) for i in range(clear)}
+        width = mcs + 1
+        next_code = eoi + 1
+        prev = None
+
+    width = mcs + 1
+    next_code = eoi + 1
+    prev: int | None = None
+    reset()
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    i = 0
+    done = False
+    while not done:
+        while nbits < width:
+            if i >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            done = True
+            continue
+        if prev is None:
+            if code not in table:
+                raise ValueError("bad first LZW code")
+            out.extend(table[code])
+            prev = code
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + (table[prev][0],)
+        else:
+            raise ValueError("bad LZW code")
+        out.extend(entry)
+        if next_code < 4096:
+            table[next_code] = table[prev] + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) != w * h:
+        raise ValueError("pixel count mismatch")
+    idx = np.array(out, dtype=np.int64).reshape(h, w)
+    if int(idx.max()) >= len(palette):
+        raise ValueError("palette index out of range")
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    pal = np.array(palette, dtype=np.uint8)
+    px[:] = pal[idx]
+    return w, h, px
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Inverse of decode_gif: (h, w) palette indexes + an RGB palette
+    (power-of-two length 2..256) -> single-frame GIF89a bytes with
+    real variable-width LZW (encoder width grows at
+    next_code == 2^width + 1, pairing decode_gif's rule)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.int64)
+    h, w = idx.shape
+    n = len(palette)
+    if n < 2 or n & (n - 1):
+        raise ValueError("palette length must be a power of two >= 2")
+    if int(idx.max()) >= n or int(idx.min()) < 0:
+        raise ValueError("index out of palette range")
+    gct_bits = n.bit_length() - 1  # 2^gct_bits == n
+    mcs = max(2, gct_bits)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | (gct_bits - 1), 0, 0)
+    for r, g, bl in palette:
+        out += bytes((r, g, bl))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    codes.append((clear, width))
+    flat = [int(v) for v in idx.reshape(-1)]
+    buf = (flat[0],)
+    for v in flat[1:]:
+        cand = buf + (v,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = (v,)
+    codes.append((table[buf], width))
+    codes.append((eoi, width))
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    for off in range(0, len(stream), 255):
+        block = stream[off : off + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -8554,3 +8554,34 @@ SELECT m.lang,
 FROM m JOIN thr USING (lang)
 GROUP BY 1, 2
 """
+
+
+# Real GIF decode replayed: pixel index i = hex pair i of md5(text)
+# mod 8; palette color = ((31i)%256, (63i)%256, (127i)%256). The LZW
+# roundtrip must reproduce these exactly; topleft_r = palette r of
+# byte 0 (top-down rows).
+ORACLES["gif_decode_stats"] = """
+WITH hx AS (
+  SELECT doc_id, md5(text) AS hs FROM documents
+), b AS (
+  SELECT doc_id, cast(i as bigint) AS i,
+    cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2)) as bigint) % 8
+      AS idx
+  FROM hx, unnest(range(0, 16)) AS u(i)
+), px AS (
+  SELECT doc_id, i,
+    (idx * 31) % 256 AS r, (idx * 63) % 256 AS g, (idx * 127) % 256 AS bl
+  FROM b
+)
+SELECT doc_id,
+  'image/gif' AS mime,
+  cast(4 as bigint) AS width,
+  cast(4 as bigint) AS height,
+  cast(sum(r) as bigint) AS sum_r,
+  cast(sum(g) as bigint) AS sum_g,
+  cast(sum(bl) as bigint) AS sum_b,
+  cast(least(min(r), min(g), min(bl)) as bigint) AS px_min,
+  cast(greatest(max(r), max(g), max(bl)) as bigint) AS px_max,
+  cast(max(CASE WHEN i = 0 THEN r END) as bigint) AS topleft_r
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""

