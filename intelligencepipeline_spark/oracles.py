@@ -8585,3 +8585,23 @@ SELECT doc_id,
   cast(max(CASE WHEN i = 0 THEN r END) as bigint) AS topleft_r
 FROM px GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# streaming_pass_at_k: (n, c) count pairs are linear and the
+# micro-batches partition the stream, so merged partials equal the
+# one-shot counts — the replay is the batch estimator with lossless
+# pinned TRUE.
+ORACLES["streaming_pass_at_k"] = f"""
+WITH grouped AS (
+  SELECT user_id, event_type,
+    cast(count(*) as bigint) AS n,
+    cast(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) as bigint) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n AS n_attempts, c AS n_success,
+  {_dpassk(1)} AS pass_at_1_nano,
+  {_dpassk(5)} AS pass_at_5_nano,
+  {_dpassk(10)} AS pass_at_10_nano,
+  TRUE AS lossless
+FROM grouped
+"""
