@@ -8605,3 +8605,52 @@ SELECT user_id, event_type, n AS n_attempts, c AS n_success,
   TRUE AS lossless
 FROM grouped
 """
+
+
+# corpus_dedup_funnel: the four-stage survival ledger composed from
+# the URL-canonicalization fragments, the exact-fingerprint rule, the
+# verified LSH edge CTEs, and the LM/Gopher/secret oracle bodies —
+# drift in any composed operator breaks this row by construction.
+_SECRET_BODY = ORACLES["secret_scanning_gate"].strip()
+
+ORACLES["corpus_dedup_funnel"] = f"""
+WITH raw_urls AS (SELECT * FROM {_URLS}),
+fields AS ({_URL_CANON_FIELDS}),
+canons AS ({_URL_CANON}),
+s1 AS (SELECT min(doc_id) AS doc_id FROM canons GROUP BY canon),
+fps AS (
+  SELECT doc_id, md5({_NORM}) AS f FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM s1)
+),
+s2 AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY f),
+{_LSH_EDGE_CTES},
+s3 AS (
+  SELECT doc_id FROM s2 WHERE doc_id NOT IN (
+    SELECT e.b FROM edges e
+    WHERE e.a IN (SELECT doc_id FROM s2)
+      AND e.b IN (SELECT doc_id FROM s2))
+),
+lm AS ({_LM_BODY}),
+gr AS ({_GOPHER_BODY}),
+sec AS ({_SECRET_BODY}),
+s4 AS (
+  SELECT s3.doc_id FROM s3
+  JOIN lm USING (doc_id) JOIN gr USING (doc_id) JOIN sec USING (doc_id)
+  WHERE lm.keep AND gr.keep AND sec.n_secret_hits = 0
+),
+c AS (
+  SELECT (SELECT count(*) FROM documents) AS n0,
+    (SELECT count(*) FROM s1) AS n1,
+    (SELECT count(*) FROM s2) AS n2,
+    (SELECT count(*) FROM s3) AS n3,
+    (SELECT count(*) FROM s4) AS n4
+)
+SELECT stage, cast(n_in as bigint) AS n_in, cast(n_out as bigint) AS n_out,
+  cast(n_in - n_out as bigint) AS n_dropped
+FROM (
+  SELECT '1_url_dedup' AS stage, n0 AS n_in, n1 AS n_out FROM c
+  UNION ALL SELECT '2_exact_text_dedup', n1, n2 FROM c
+  UNION ALL SELECT '3_near_dup_drop', n2, n3 FROM c
+  UNION ALL SELECT '4_quality_gates', n3, n4 FROM c
+) ORDER BY stage
+"""

@@ -27,6 +27,7 @@ from intelligencepipeline_spark.sources.tables import load_table
 from intelligencepipeline_spark.functions.text import (
     bpe_tokens,
     detect_language,
+    fingerprint,
     language_scores,
     normalize_text,
     quality_score,
@@ -14754,6 +14755,92 @@ def streaming_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lossless", F.lit(lossless))
 
 
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CURATION FUNNEL — the per-stage survival ledger every
+    training-data paper publishes (C4/RefinedWeb/FineWeb "data funnel"
+    table), composed END-TO-END from five catalog operators so drift
+    in ANY of them breaks this row too: (1) URL canonical dedup
+    (functions/url, min-doc_id survivor per canonical key), (2) exact
+    text dedup (md5 of normalize_text, min-doc_id survivor), (3)
+    near-dup drop (the shared banded-LSH verified >= 0.5-Jaccard edge
+    set; the documented ONE-PASS rule drops b when some surviving
+    a < b is its near-dup — full component survivorship is
+    dedup_survivor_docs' job), (4) the combined quality gate: Gopher
+    rules AND the trained LM gate AND the secret scanner. Exports per
+    stage: n_in, n_out, n_dropped.
+
+    Scale: every stage is an already-proven shape (expression scans,
+    one groupBy per dedup key, the banded edge join, broadcast-free
+    leftsemi/anti chaining); survivor sets are persisted once and
+    consumed twice; only the 5 stage COUNTS cross the driver. Oracle
+    composes the URL/LM/Gopher/secret oracle bodies and the LSH edge
+    CTEs verbatim."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.functions.url import canonical_url
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
+    s1 = track_persist(
+        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n1 = s1.count()
+
+    s2 = track_persist(
+        docs.join(s1, "doc_id", "leftsemi")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n2 = s2.count()
+
+    edges = _shared_lsh_edges(spark, sf_dir)
+    dup_b = (
+        edges.join(s2.withColumnRenamed("doc_id", "a"), "a", "leftsemi")
+        .join(s2.withColumnRenamed("doc_id", "b"), "b", "leftsemi")
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = track_persist(s2.join(dup_b, "doc_id", "left_anti"))
+    n3 = s3.count()
+
+    lm = perplexity_gate(
+        docs, tokens(normalize_text(F.col("text"))), F.col("doc_id") % 2 == 0
+    ).select("doc_id", F.col("keep").alias("lm_keep"))
+    gr = docs.select(
+        "doc_id",
+        gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
+    )
+    sec = secret_scanning_gate(spark, sf_dir).select(
+        "doc_id", (F.col("n_secret_hits") == 0).alias("secret_keep")
+    )
+    n4 = (
+        s3.join(lm, "doc_id")
+        .join(gr, "doc_id")
+        .join(sec, "doc_id")
+        .filter("lm_keep AND gopher_keep AND secret_keep")
+        .count()
+    )
+    rows = [
+        ("1_url_dedup", n0, n1),
+        ("2_exact_text_dedup", n1, n2),
+        ("3_near_dup_drop", n2, n3),
+        ("4_quality_gates", n3, n4),
+    ]
+    return spark.createDataFrame(
+        [(s, i, o, i - o) for s, i, o in rows],
+        "stage string, n_in long, n_out long, n_dropped long",
+    ).orderBy("stage")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -14835,9 +14922,14 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW: the 2 remaining b12 rows
-    # (lsh_parameter_advisor, ingestion_trend_forecast — at the END of
-    # this dict) and the b13 additions lead; pad to 50 with the stalest
+    # PLANNED r08 WINDOW (50): the 12 never-driver-checked entries lead
+    # — the 2 remaining b12 rows (lsh_parameter_advisor,
+    # ingestion_trend_forecast) then the 10 b13 rows in registration
+    # order (url_canonical_dedup, robots_opt_out_sweep,
+    # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
+    # kcenter_coreset_selection, hilbert_layout_prune_audit,
+    # ccnet_perplexity_buckets, gif_decode_stats, streaming_pass_at_k;
+    # all at the END of this dict) — padded to 50 with the 38 stalest
     # rows (freshest driver row = r02) in CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
@@ -14850,7 +14942,8 @@ QUERIES = {
     # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
     # contamination_check, token_packing, domain_mix_sample,
     # chunk_metadata_enrichment, proposer_max_score, side_effect_sink,
-    # then r03-window rows as needed.
+    # datarecords_snapshot, streaming_session_windows,
+    # streaming_stateful_stats, corpus_prep_pipeline.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
@@ -15107,6 +15200,7 @@ QUERIES = {
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "gif_decode_stats": gif_decode_stats,
     "streaming_pass_at_k": streaming_pass_at_k,
+    "corpus_dedup_funnel": corpus_dedup_funnel,
 }
 
 
