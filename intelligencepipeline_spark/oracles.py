@@ -8654,3 +8654,38 @@ FROM (
   UNION ALL SELECT '4_quality_gates', n3, n4 FROM c
 ) ORDER BY stage
 """
+
+
+# tokenizer_merge_curve: reads the trainer's OWN s0..s8 unroll states
+# (the _bpe_chain_sql CTE chain bpe_train proves move-for-move) at the
+# even checkpoints; totals from the same wf domain.
+ORACLES["tokenizer_merge_curve"] = (
+    f"""WITH wf AS (
+  SELECT word, cast(count(*) as bigint) AS n FROM (
+    SELECT unnest({_NTOKS}) AS word FROM documents
+  ) GROUP BY word
+)"""
+    + _bpe_chain_sql(8)
+    + """
+, tot AS (
+  SELECT cast(sum(n) as bigint) AS n_words,
+    cast(sum(n * length(word)) as bigint) AS n_chars
+  FROM wf
+), curve AS (
+  SELECT 0 AS checkpoint, cast(sum(n * len(syms)) as bigint) AS n_units FROM s0
+  UNION ALL
+  SELECT 2, cast(sum(n * len(syms)) as bigint) FROM s2
+  UNION ALL
+  SELECT 4, cast(sum(n * len(syms)) as bigint) FROM s4
+  UNION ALL
+  SELECT 6, cast(sum(n * len(syms)) as bigint) FROM s6
+  UNION ALL
+  SELECT 8, cast(sum(n * len(syms)) as bigint) FROM s8
+)
+SELECT cast(checkpoint as bigint) AS checkpoint, n_units,
+  t.n_words, t.n_chars,
+  cast(n_units * 1000 // t.n_words as bigint) AS milli_fertility,
+  cast(t.n_chars * 1000 // n_units as bigint) AS milli_chars_per_unit
+FROM curve CROSS JOIN tot t ORDER BY checkpoint
+"""
+)

@@ -14841,6 +14841,71 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stage")
 
 
+def tokenizer_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER TRAINING CURVE — compression vs merge count, the
+    plot every tokenizer-sizing decision reads (fertility falls as
+    merges accumulate; the knee picks the vocab size): the catalog's
+    own BPE trainer (operators/bpe.train_bpe) runs once to 8 merges,
+    then the corpus is re-encoded at checkpoints 0/2/4/6/8 merges
+    over the DISTINCT word domain (encode_dictionary's vocab-bounded
+    fold) and weighted by word frequency. Exports per checkpoint:
+    total units, corpus word/char totals, exact milli fertility
+    (units per 1000 words) and milli chars-per-unit. In-entry pins:
+    exactly 8 merges trained (the oracle's unroll depth) and n_units
+    non-increasing in the merge count (each merge can only shrink an
+    encoding).
+
+    Scale: ONE training run (8 bounded argmax collects, the proven
+    bpe_train shape); each checkpoint is a vocab-domain fold + one
+    1-row weighted agg — corpus tokens are never re-exploded. The
+    oracle reuses the trainer's s0..s8 unroll chain, reading the
+    SAME intermediate states the training replay proves."""
+    from intelligencepipeline_spark.operators.bpe import (
+        encode_dictionary,
+        train_bpe,
+        word_freqs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freqs(docs).localCheckpoint(eager=True)
+    tot = wf.agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.length("word")).cast("long").alias("n_chars"),
+    ).collect()[0]
+    n_words, n_chars = int(tot["n_words"]), int(tot["n_chars"])
+    merges = train_bpe(docs, n_merges=8)
+    assert len(merges) == 8, f"early stop at {len(merges)} merges"
+    rows = []
+    for k in (0, 2, 4, 6, 8):
+        n_units = int(
+            encode_dictionary(docs, merges[:k])
+            .join(wf, "word")
+            .agg(
+                F.sum(F.col("n") * F.col("word_bpe_len"))
+                .cast("long")
+                .alias("u")
+            )
+            .collect()[0]["u"]
+        )
+        rows.append(
+            (
+                k,
+                n_units,
+                n_words,
+                n_chars,
+                n_units * 1000 // n_words,
+                n_chars * 1000 // n_units,
+            )
+        )
+    units = [r[1] for r in rows]
+    assert all(a >= b for a, b in zip(units, units[1:])), units
+    return spark.createDataFrame(
+        rows,
+        "checkpoint long, n_units long, n_words long, n_chars long,"
+        " milli_fertility long, milli_chars_per_unit long",
+    ).orderBy("checkpoint")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15202,6 +15267,7 @@ QUERIES = {
     "gif_decode_stats": gif_decode_stats,
     "streaming_pass_at_k": streaming_pass_at_k,
     "corpus_dedup_funnel": corpus_dedup_funnel,
+    "tokenizer_merge_curve": tokenizer_merge_curve,
 }
 
 
