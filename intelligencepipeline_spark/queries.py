@@ -14179,12 +14179,15 @@ def secret_scanning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler pins the entropy rule's specificity. Exports per doc:
     candidate/pattern/entropy/secret counts and the keep/drop verdict.
 
-    Scale: stateless expression scan (split + bounded per-candidate
-    char fold, no UDF, no shuffle beyond the final doc rollup of an
-    already-doc-keyed explode). Oracle replays injection, candidate
-    extraction, both rules, and the qlog2 entropy ladder. Reference
-    parity: the null/quality guard family (IntelligencePipeline.kt's
-    filter-before-ingest discipline) applied to the safety dimension."""
+    Scale: a SINGLE stateless expression scan — candidates stay an
+    array column and every count is a size(filter(...)) fold over it,
+    so there is NO explode, NO shuffle, no UDF anywhere (the first
+    version exploded candidates and re-grouped by doc_id — a pointless
+    corpus-wide shuffle for a per-row stat). Oracle replays injection,
+    candidate extraction, both rules, and the qlog2 entropy ladder.
+    Reference parity: the null/quality guard family
+    (IntelligencePipeline.kt's filter-before-ingest discipline)
+    applied to the safety dimension."""
     docs = _t(spark, sf_dir, "documents")
     aug = docs.selectExpr(
         "doc_id",
@@ -14199,54 +14202,42 @@ def secret_scanning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = aug.selectExpr(
         "doc_id",
-        "explode_outer(filter(transform(split(scan_text, ' '),"
+        "filter(transform(split(scan_text, ' '),"
         " t -> CASE WHEN instr(t, '=') > 0"
         "   THEN regexp_extract(t, '=([^=]*)$', 1) ELSE t END),"
-        " c -> length(c) >= 16)) AS c",
+        " c -> length(c) >= 16) AS cs",
     )
     qn = _qlog2_spark("length(c)")
     qcnt = _qlog2_spark("(length(c) - length(replace(c, d, '')))")
-    scored = cands.selectExpr(
-        "doc_id",
-        "c",
-        "CASE WHEN c IS NULL THEN 0"
-        " WHEN c RLIKE '^AKIA[A-Z0-9]{16}$' THEN 1"
-        " WHEN c RLIKE '^[0-9a-f]{32,}$' THEN 1 ELSE 0 END AS pattern_hit",
-        "CASE WHEN c IS NULL OR length(c) < 20 THEN 0"
-        " WHEN aggregate("
-        "   array_distinct(transform(sequence(1, length(c)),"
-        "     i -> substring(c, i, 1))),"
-        "   CAST(0 AS LONG),"
-        f"  (acc, d) -> acc + (length(c) - length(replace(c, d, '')))"
-        f"    * ({qn} - {qcnt})"
-        " ) DIV length(c) >= 14 THEN 1 ELSE 0 END AS entropy_hit",
+    pattern = (
+        "c RLIKE '^AKIA[A-Z0-9]{16}$' OR c RLIKE '^[0-9a-f]{32,}$'"
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_candidates"),
-            F.sum("pattern_hit").cast("long").alias("n_pattern_hits"),
-            F.sum("entropy_hit").cast("long").alias("n_entropy_hits"),
-            F.sum(
-                F.when(
-                    (F.col("pattern_hit") == 1) | (F.col("entropy_hit") == 1),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_secret_hits"),
-        )
-        .selectExpr(
-            "doc_id",
-            "n_candidates",
-            "n_pattern_hits",
-            "n_entropy_hits",
-            "n_secret_hits",
-            "CASE WHEN n_secret_hits > 0 THEN 'drop' ELSE 'keep' END"
-            " AS verdict",
-        )
+    entropy = (
+        "length(c) >= 20 AND aggregate("
+        " array_distinct(transform(sequence(1, length(c)),"
+        "   i -> substring(c, i, 1))),"
+        " CAST(0 AS LONG),"
+        f" (acc, d) -> acc + (length(c) - length(replace(c, d, '')))"
+        f"   * ({qn} - {qcnt})"
+        ") DIV length(c) >= 14"
+    )
+    return cands.selectExpr(
+        "doc_id",
+        "CAST(size(cs) AS LONG) AS n_candidates",
+        f"CAST(size(filter(cs, c -> {pattern})) AS LONG)"
+        " AS n_pattern_hits",
+        f"CAST(size(filter(cs, c -> {entropy})) AS LONG)"
+        " AS n_entropy_hits",
+        f"CAST(size(filter(cs, c -> ({pattern}) OR ({entropy}))) AS LONG)"
+        " AS n_secret_hits",
+    ).selectExpr(
+        "doc_id",
+        "n_candidates",
+        "n_pattern_hits",
+        "n_entropy_hits",
+        "n_secret_hits",
+        "CASE WHEN n_secret_hits > 0 THEN 'drop' ELSE 'keep' END"
+        " AS verdict",
     )
 
 
