@@ -14978,16 +14978,16 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 13 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 14 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 11 b13 rows in registration
+    # ingestion_trend_forecast) then the 12 b13 rows in registration
     # order (url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
     # ccnet_perplexity_buckets, gif_decode_stats, streaming_pass_at_k,
-    # corpus_dedup_funnel; all at the END of this dict) — padded to 50
-    # with the 37 stalest rows (freshest driver row = r02) in
-    # CORRECTNESS_r02 order:
+    # corpus_dedup_funnel, tokenizer_merge_curve; all at the END of
+    # this dict) — padded to 50 with the 36 stalest rows (freshest
+    # driver row = r02) in CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -14999,8 +14999,7 @@ QUERIES = {
     # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
     # contamination_check, token_packing, domain_mix_sample,
     # chunk_metadata_enrichment, proposer_max_score, side_effect_sink,
-    # datarecords_snapshot, streaming_session_windows,
-    # streaming_stateful_stats.
+    # datarecords_snapshot, streaming_session_windows.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
