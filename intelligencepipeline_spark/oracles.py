@@ -8689,3 +8689,202 @@ SELECT cast(checkpoint as bigint) AS checkpoint, n_units,
 FROM curve CROSS JOIN tot t ORDER BY checkpoint
 """
 )
+
+
+# license_classifier_gate: injection, fixed marker precedence, rollup.
+ORACLES["license_classifier_gate"] = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+    cast(len({_RTOKS}) as bigint) AS n_tokens,
+    text ||
+    CASE WHEN doc_id % 7 = 0 THEN
+      ' spdx license identifier mit permission is hereby granted'
+    WHEN doc_id % 7 = 1 THEN
+      ' licensed under the apache license version 2 0'
+    WHEN doc_id % 7 = 2 THEN
+      ' gnu general public license v3'
+    ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT source, n_tokens,
+    CASE
+      WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'
+      WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'
+      WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'
+      WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'
+      ELSE 'unknown' END AS license
+  FROM aug
+)
+SELECT source, license,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(n_tokens) as bigint) AS n_tokens,
+  license IN ('mit', 'apache-2.0') AS keep
+FROM c GROUP BY source, license
+"""
+
+# data_mix_epoch_scheduler: composes the Gopher oracle body for the
+# keep flag; shares, caps, and the exported unallocated remainder
+# replayed in exact integers.
+ORACLES["data_mix_epoch_scheduler"] = f"""
+WITH gr AS ({_GOPHER_BODY}),
+per_doc AS (
+  SELECT d.source, cast(len({_RTOKS}) as bigint) AS n_toks, gr.keep
+  FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+),
+per_src AS (
+  SELECT source,
+    cast(sum(n_toks) as bigint) AS n_tokens,
+    cast(sum(CASE WHEN keep THEN n_toks ELSE 0 END) as bigint)
+      AS kept_tokens
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT cast(sum(n_tokens) as bigint) AS total_tokens,
+    cast(sum(kept_tokens) as bigint) AS total_kept
+  FROM per_src
+),
+a AS (
+  SELECT source, n_tokens, kept_tokens,
+    cast(2 * t.total_tokens * kept_tokens // t.total_kept as bigint)
+      AS alloc_tokens,
+    cast(least(4000, (2 * t.total_tokens * kept_tokens // t.total_kept)
+      * 1000 // n_tokens) as bigint) AS milli_epochs
+  FROM per_src CROSS JOIN tot t
+)
+SELECT source, n_tokens, kept_tokens, alloc_tokens, milli_epochs,
+  cast(n_tokens * milli_epochs // 1000 as bigint) AS scheduled_tokens,
+  cast(alloc_tokens - n_tokens * milli_epochs // 1000 as bigint)
+    AS unallocated_tokens
+FROM a
+"""
+
+
+# decontamination_span_expansion: gram positions, the md5-bucket eval
+# set, +-1 expansion with clamping, and the gaps-and-islands merge
+# replayed with window functions over per-doc positions.
+ORACLES["decontamination_span_expansion"] = f"""
+WITH toked AS (
+  SELECT doc_id, {_NTOKS} AS ts FROM documents
+), grams AS (
+  SELECT doc_id, len(ts) AS n_toks, cast(i as bigint) AS pos,
+    ts[cast(i as int) + 1] || ' ' || ts[cast(i as int) + 2] || ' '
+      || ts[cast(i as int) + 3] AS gram
+  FROM toked, unnest(range(0, greatest(len(ts) - 2, 0))) AS u(i)
+  WHERE len(ts) >= 3
+), eval_docs AS (
+  SELECT doc_id FROM documents
+  WHERE cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+        as bigint) % 100 < 10
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE doc_id IN (SELECT doc_id FROM eval_docs)
+), hits AS (
+  SELECT doc_id, n_toks,
+    greatest(pos - 1, 0) AS s,
+    least(pos + 3, n_toks - 1) AS e
+  FROM grams WHERE gram IN (SELECT gram FROM eval_grams)
+), marked AS (
+  SELECT doc_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), islands AS (
+  SELECT doc_id, s, e,
+    sum(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), per_island AS (
+  SELECT doc_id, island, count(*) AS n_grams,
+    min(s) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id,
+    cast(sum(n_grams) as bigint) AS n_contaminated_grams,
+    cast(count(*) as bigint) AS n_spans,
+    cast(sum(e - s + 1) as bigint) AS tokens_removed
+  FROM per_island GROUP BY doc_id
+)
+SELECT t.doc_id, cast(len(t.ts) as bigint) AS n_toks,
+  coalesce(p.n_contaminated_grams, 0) AS n_contaminated_grams,
+  coalesce(p.n_spans, 0) AS n_spans,
+  coalesce(p.tokens_removed, 0) AS tokens_removed,
+  cast(len(t.ts) - coalesce(p.tokens_removed, 0) as bigint)
+    AS tokens_kept
+FROM toked t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+# conversation_tree_linearization: the 3-ary forest, the structural
+# leaf rule, and the three bounded parent joins replayed; concat_ws
+# null-skipping mirrored via DuckDB concat_ws (also skips NULLs).
+ORACLES["conversation_tree_linearization"] = f"""
+WITH nodes AS (
+  SELECT doc_id // 27 AS conv, doc_id % 27 AS node,
+    ({_NTOKS})[1] AS turn
+  FROM documents
+), parents AS (
+  SELECT DISTINCT conv, (node - 1) // 3 AS node FROM nodes WHERE node > 0
+), leaves AS (
+  SELECT n.conv, n.node AS leaf, n.turn AS t3 FROM nodes n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM parents p WHERE p.conv = n.conv AND p.node = n.node)
+), chain AS (
+  SELECT l.conv, l.leaf, l.t3,
+    CASE WHEN l.leaf > 0 THEN (l.leaf - 1) // 3 END AS p1
+  FROM leaves l
+), c2 AS (
+  SELECT c.*, n.turn AS t2,
+    CASE WHEN c.p1 > 0 THEN (c.p1 - 1) // 3 END AS p2
+  FROM chain c LEFT JOIN nodes n ON n.conv = c.conv AND n.node = c.p1
+), c3 AS (
+  SELECT c.*, n.turn AS t1,
+    CASE WHEN c.p2 > 0 THEN (c.p2 - 1) // 3 END AS p3
+  FROM c2 c LEFT JOIN nodes n ON n.conv = c.conv AND n.node = c.p2
+), c4 AS (
+  SELECT c.*, n.turn AS t0
+  FROM c3 c LEFT JOIN nodes n ON n.conv = c.conv AND n.node = c.p3
+)
+SELECT cast(conv as bigint) AS conv, cast(leaf as bigint) AS leaf,
+  cast(CASE WHEN leaf = 0 THEN 1 WHEN leaf <= 3 THEN 2
+       WHEN leaf <= 12 THEN 3 ELSE 4 END as bigint) AS depth,
+  md5(concat_ws('>', t0, t1, t2, t3)) AS path_digest,
+  cast(CASE WHEN t0 IS NULL THEN 0 ELSE 1 END
+    + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END + 1 as bigint) AS path_len
+FROM c4
+"""
+
+# per_domain_quality_drift: Gopher keep rate per (source, snapshot)
+# cell + the pure-integer per-source slope, zero-denominator guarded.
+ORACLES["per_domain_quality_drift"] = f"""
+WITH gr AS ({_GOPHER_BODY}),
+cells AS (
+  SELECT d.source, d.doc_id // 50 AS snap,
+    cast(count(*) as bigint) AS n,
+    cast(sum(CASE WHEN gr.keep THEN 1 ELSE 0 END) as bigint) AS k
+  FROM documents d JOIN gr ON d.doc_id = gr.doc_id
+  GROUP BY d.source, d.doc_id // 50
+),
+base AS (SELECT source, min(snap) AS snap0 FROM cells GROUP BY source),
+pts AS (
+  SELECT c.source, cast(c.snap - b.snap0 as bigint) AS x,
+    cast(c.k * 1000 // c.n as bigint) AS y, c.n, c.k
+  FROM cells c JOIN base b ON c.source = b.source
+),
+sums AS (
+  SELECT source, cast(count(*) as bigint) AS n_snapshots,
+    cast(sum(n) as bigint) AS n_docs,
+    cast(sum(k) as bigint) AS n_kept,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY source
+)
+SELECT source, n_snapshots, n_docs, n_kept,
+  cast(n_kept * 1000 // n_docs as bigint) AS mean_keep_permille,
+  cast(CASE WHEN n_snapshots * sxx - sx * sx = 0 THEN 0
+    ELSE (n_snapshots * sxy - sx * sy) * 1000000
+      // (n_snapshots * sxx - sx * sx) END as bigint) AS slope_micro
+FROM sums
+"""

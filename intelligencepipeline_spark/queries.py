@@ -14897,6 +14897,350 @@ def tokenizer_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("checkpoint")
 
 
+def license_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LICENSE CLASSIFICATION GATE — the code-corpus compliance pass
+    (The Stack/StarCoder train only on permissive licenses): each doc
+    is classified by marker phrases with a FIXED precedence (SPDX tag
+    first — it is authoritative — then Apache, GPL, MIT body text),
+    and the gate keeps permissive (mit/apache-2.0) docs. The corpus
+    carries no licenses, so docs deterministically inject marker
+    phrases by doc_id%5 (0: SPDX MIT tag + MIT body, 1: Apache body,
+    2: GPL body, 3-4: none -> unknown); the injection is synthetic,
+    the classifier — length-arithmetic phrase detection, the
+    engine-exact _occurrences trick, no regex — is real. Exports per
+    (source, license): docs, tokens, and the gate verdict.
+
+    Scale: stateless expression scan + ONE bounded (source x license)
+    rollup; marker matching is substring arithmetic inside codegen.
+    Oracle replays injection, precedence, and the rollup. Reference
+    parity: the representation-metadata enrichment family
+    (implementations.kt's Tika metadata producers) applied to the
+    compliance dimension."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG)"
+        " AS n_tokens",
+        "concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        "   ' spdx license identifier mit permission is hereby granted'"
+        " WHEN doc_id % 7 = 1 THEN"
+        "   ' licensed under the apache license version 2 0'"
+        " WHEN doc_id % 7 = 2 THEN"
+        "   ' gnu general public license v3'"
+        " ELSE '' END) AS t",
+    )
+    classified = aug.selectExpr(
+        "source",
+        "n_tokens",
+        "CASE"
+        " WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'"
+        " WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'"
+        " WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'"
+        " WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'"
+        " ELSE 'unknown' END AS license",
+    )
+    return (
+        classified.groupBy("source", "license")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "license",
+            "n_docs",
+            "n_tokens",
+            "license IN ('mit', 'apache-2.0') AS keep",
+        )
+    )
+
+
+def data_mix_epoch_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-MIX EPOCH SCHEDULER — the "epochs per subset" planning
+    table every pretraining run publishes (LLaMA Table 1): given a
+    token budget of 2x the corpus, each source's target allocation is
+    proportional to its QUALITY-KEPT token mass (the Gopher gate's
+    own keep flag — drift there breaks this row), and its repeat
+    factor is capped at 4 epochs: milli_epochs = least(4000,
+    alloc * 1000 DIV n_tokens), all exact integers, single pass
+    (the cap's unallocated remainder is EXPORTED, not silently
+    redistributed — redistribution is the next planning iteration's
+    input, stated honestly). Exports per source: token mass, kept
+    mass, allocation, milli epochs, scheduled tokens, unallocated.
+
+    Scale: one scan -> (source) rollup (gopher_rules rides the scan);
+    the budget join is a 1-row broadcast. Oracle replays the gate,
+    shares, caps."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        gopher_rules(F.col("text")).getField("keep").alias("keep"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("kept_tokens").cast("long").alias("total_kept"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "kept_tokens",
+            "CAST(2 * total_tokens * kept_tokens DIV total_kept AS LONG)"
+            " AS alloc_tokens",
+            "CAST(least(4000, (2 * total_tokens * kept_tokens"
+            " DIV total_kept) * 1000 DIV n_tokens) AS LONG)"
+            " AS milli_epochs",
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "kept_tokens",
+            "alloc_tokens",
+            "milli_epochs",
+            "CAST(n_tokens * milli_epochs DIV 1000 AS LONG)"
+            " AS scheduled_tokens",
+            "CAST(alloc_tokens - n_tokens * milli_epochs DIV 1000 AS LONG)"
+            " AS unallocated_tokens",
+        )
+    )
+
+
+def decontamination_span_expansion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DECONTAMINATION WITH SPAN EXPANSION — the GPT-3/PaLM appendix
+    detail the plain contamination gate misses: instead of dropping a
+    whole document that shares 3-grams with the eval set, mark each
+    contaminated gram's position, EXPAND +-1 token around it, and
+    MERGE overlapping windows into removal spans (gaps-and-islands
+    over per-doc positions). The eval set is the same deterministic
+    md5-bucket<10 sample contamination_check uses; exports per doc:
+    token count, contaminated grams, merged span count, tokens
+    removed/kept — the surgical-removal ledger.
+
+    Scale: grams build as an in-row transform (no posexplode
+    self-join); the eval gram set BROADCASTS (leftsemi probe — the
+    corpus never shuffles for membership); islands run in windows
+    PARTITIONED BY doc_id. Oracle replays gram positions, the +-1
+    expansion, clamping, and the island merge."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("ts")
+    )
+    grams = toked.filter(F.size("ts") >= 3).select(
+        "doc_id",
+        F.size("ts").alias("n_toks"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i + 1),
+                        F.element_at(F.col("ts"), i + 2),
+                        F.element_at(F.col("ts"), i + 3),
+                    ).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "n_toks", F.col("g.pos").alias("pos"),
+        F.col("g.gram").alias("gram"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    eval_grams = F.broadcast(
+        grams.join(docs.filter(bucket < 10).select("doc_id"), "doc_id",
+                   "leftsemi")
+        .select("gram")
+        .distinct()
+    )
+    hits = grams.join(eval_grams, "gram", "leftsemi").select(
+        "doc_id",
+        "n_toks",
+        F.greatest(F.col("pos") - 1, F.lit(0)).alias("s"),
+        F.least(F.col("pos") + 3, F.col("n_toks") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        hits.withColumn("prev_max_e", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.min("s").alias("s"),
+        F.max("e").alias("e"),
+    )
+    per_doc = per_island.groupBy("doc_id").agg(
+        F.sum("n_grams").cast("long").alias("n_contaminated_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+    )
+    return (
+        toked.select("doc_id", F.size("ts").cast("long").alias("n_toks"))
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_toks",
+            "coalesce(n_contaminated_grams, 0) AS n_contaminated_grams",
+            "coalesce(n_spans, 0) AS n_spans",
+            "coalesce(tokens_removed, 0) AS tokens_removed",
+            "n_toks - coalesce(tokens_removed, 0) AS tokens_kept",
+        )
+    )
+
+
+def conversation_tree_linearization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRANCHED-CONVERSATION LINEARIZATION — the RLHF/SFT preprocessing
+    step for tree-structured chats (each regeneration branch forks the
+    tree; training wants one row per ROOT-TO-LEAF path): docs form a
+    deterministic 3-ary forest (conv = doc_id DIV 27, node = doc_id %
+    27, parent = (node-1) DIV 3; the tail conv is PARTIAL, so the
+    leaf rule must be structural, not positional), each node's turn =
+    its first normalized token. Leaves = nodes with no present child
+    (left_anti against the parent set); paths materialize via THREE
+    bounded parent equi-joins (tree depth is fixed; concat_ws skips
+    absent ancestors), exporting per leaf: conv, node, depth, the
+    path turn digest, and path length.
+
+    Scale: the parent joins are depth-bounded equi-joins on (conv,
+    node) — the iterative-join analogue of the chunk-reassembly
+    family; no recursion on the data side, no explode. Oracle replays
+    the forest, the structural leaf rule, and all three joins."""
+    docs = _t(spark, sf_dir, "documents")
+    nodes = docs.select(
+        (F.col("doc_id") / 27).cast("long").alias("conv"),
+        (F.col("doc_id") % 27).alias("node"),
+        F.element_at(tokens(normalize_text(F.col("text"))), 1).alias("turn"),
+    )
+    parents = (
+        nodes.filter(F.col("node") > 0)
+        .select("conv", F.expr("(node - 1) DIV 3").alias("node"))
+        .distinct()
+    )
+    leaves = nodes.join(parents, ["conv", "node"], "left_anti").select(
+        "conv", F.col("node").alias("leaf"), F.col("turn").alias("t3")
+    )
+    chain = leaves.withColumn("p1", F.expr("CASE WHEN leaf > 0 THEN (leaf - 1) DIV 3 END"))
+    chain = chain.join(
+        nodes.select("conv", F.col("node").alias("p1"),
+                     F.col("turn").alias("t2")),
+        ["conv", "p1"], "left",
+    )
+    chain = chain.withColumn(
+        "p2", F.expr("CASE WHEN p1 > 0 THEN (p1 - 1) DIV 3 END")
+    ).join(
+        nodes.select("conv", F.col("node").alias("p2"),
+                     F.col("turn").alias("t1")),
+        ["conv", "p2"], "left",
+    )
+    chain = chain.withColumn(
+        "p3", F.expr("CASE WHEN p2 > 0 THEN (p2 - 1) DIV 3 END")
+    ).join(
+        nodes.select("conv", F.col("node").alias("p3"),
+                     F.col("turn").alias("t0")),
+        ["conv", "p3"], "left",
+    )
+    return chain.selectExpr(
+        "conv",
+        "leaf",
+        "CAST(CASE WHEN leaf = 0 THEN 1 WHEN leaf <= 3 THEN 2"
+        " WHEN leaf <= 12 THEN 3 ELSE 4 END AS LONG) AS depth",
+        "md5(concat_ws('>', t0, t1, t2, t3)) AS path_digest",
+        "CAST(CASE WHEN t0 IS NULL THEN 0 ELSE 1 END"
+        " + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END"
+        " + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END + 1 AS LONG)"
+        " AS path_len",
+    )
+
+
+def per_domain_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN QUALITY DRIFT — the curation-monitoring trend every
+    continuously-crawled corpus tracks (is source X getting worse
+    snapshot over snapshot?): docs bucket into crawl snapshots
+    (doc_id DIV 50), each (source, snapshot) cell reports its Gopher
+    keep rate in exact permille, and the per-source trend is the
+    PURE-INTEGER least-squares slope over snapshot index (the
+    ingestion_trend_forecast regression shape, composed with the
+    Gopher gate so drift in either breaks this row). Exports per
+    source: snapshots, doc totals, mean keep permille, slope micro.
+
+    Scale: one scan -> (source, snapshot) keyed agg (map-side
+    combinable), then per-source 1-row regressions over the bounded
+    snapshot domain."""
+    from intelligencepipeline_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            "source",
+            F.expr("doc_id DIV 50").alias("snap"),
+            gopher_rules(F.col("text")).getField("keep").alias("keep"),
+        )
+        .groupBy("source", "snap")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("k"),
+        )
+    )
+    base = cells.groupBy("source").agg(F.min("snap").alias("snap0"))
+    pts = cells.join(base, "source").selectExpr(
+        "source",
+        "CAST(snap - snap0 AS LONG) AS x",
+        "CAST(k * 1000 DIV n AS LONG) AS y",
+        "CAST(n AS LONG) AS n",
+        "CAST(k AS LONG) AS k",
+    )
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_snapshots AS LONG) AS n_snapshots",
+            "n_docs",
+            "n_kept",
+            "CAST(n_kept * 1000 DIV n_docs AS LONG) AS mean_keep_permille",
+            "CAST(CASE WHEN n_snapshots * sxx - sx * sx = 0 THEN 0"
+            " ELSE (n_snapshots * sxy - sx * sy) * 1000000"
+            " DIV (n_snapshots * sxx - sx * sx) END AS LONG)"
+            " AS slope_micro",
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15258,6 +15602,11 @@ QUERIES = {
     "streaming_pass_at_k": streaming_pass_at_k,
     "corpus_dedup_funnel": corpus_dedup_funnel,
     "tokenizer_merge_curve": tokenizer_merge_curve,
+    "license_classifier_gate": license_classifier_gate,
+    "data_mix_epoch_scheduler": data_mix_epoch_scheduler,
+    "decontamination_span_expansion": decontamination_span_expansion,
+    "conversation_tree_linearization": conversation_tree_linearization,
+    "per_domain_quality_drift": per_domain_quality_drift,
 }
 
 

@@ -1,0 +1,132 @@
+"""Wave-2 b13 curation operators: brute-force replays for the
+decontamination span merge and the conversation-tree linearization,
+and invariant pins for the license gate and epoch scheduler."""
+
+import hashlib
+import re
+
+from intelligencepipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm_toks(raw):
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", (raw or "").lower()))
+    return [t for t in norm.strip().split(" ") if t]
+
+
+def test_decontamination_spans_match_brute_force(spark, docs):
+    texts = {r["doc_id"]: _norm_toks(r["text"]) for r in docs.collect()}
+    eval_ids = {
+        d
+        for d in texts
+        if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 10
+    }
+    eval_grams = {
+        " ".join(ts[i : i + 3])
+        for d, ts in texts.items()
+        if d in eval_ids
+        for i in range(len(ts) - 2)
+    }
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["decontamination_span_expansion"](spark, SF).collect()
+    }
+    assert set(got) == set(texts)
+    some_spans = 0
+    for d, ts in texts.items():
+        n = len(ts)
+        hits = [
+            i
+            for i in range(max(n - 2, 0))
+            if n >= 3 and " ".join(ts[i : i + 3]) in eval_grams
+        ]
+        # expand +-1, clamp, merge
+        ivs = [(max(i - 1, 0), min(i + 3, n - 1)) for i in hits]
+        spans = []
+        for s, e in sorted(ivs):
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        removed = sum(e - s + 1 for s, e in spans)
+        r = got[d]
+        assert (
+            r["n_toks"],
+            r["n_contaminated_grams"],
+            r["n_spans"],
+            r["tokens_removed"],
+            r["tokens_kept"],
+        ) == (n, len(hits), len(spans), removed, n - removed), d
+        some_spans += len(spans)
+    assert some_spans > 0
+    # eval docs are fully self-contaminated: every gram hits
+    for d in eval_ids:
+        if len(texts[d]) >= 3:
+            assert got[d]["n_contaminated_grams"] == len(texts[d]) - 2
+
+
+def test_tree_linearization_matches_brute_force(spark, docs):
+    turns = {}
+    for r in docs.collect():
+        ts = _norm_toks(r["text"])
+        turns[r["doc_id"]] = ts[0] if ts else None
+    nodes = {(d // 27, d % 27): turns[d] for d in turns}
+    parents = {
+        (c, (n - 1) // 3) for (c, n) in nodes if n > 0
+    }
+    leaves = [(c, n) for (c, n) in nodes if (c, n) not in parents]
+    got = {
+        (r["conv"], r["leaf"]): r
+        for r in QUERIES["conversation_tree_linearization"](spark, SF).collect()
+    }
+    assert set(got) == set(leaves)
+    for c, n in leaves:
+        path = []
+        cur = n
+        while True:
+            path.append(nodes.get((c, cur)))
+            if cur == 0:
+                break
+            cur = (cur - 1) // 3
+            if (c, cur) not in nodes:
+                break
+        path = [p for p in reversed(path) if p is not None]
+        digest = hashlib.md5(">".join(path).encode()).hexdigest()
+        r = got[(c, n)]
+        assert r["path_digest"] == digest, (c, n)
+        assert r["path_len"] == len(path)
+        depth = 1 if n == 0 else (2 if n <= 3 else (3 if n <= 12 else 4))
+        assert r["depth"] == depth
+    # full 27-node convs: children of i are 3i+1..3i+3, so internal
+    # nodes are 0..8 and leaves are 9..26 -> exactly 18 leaves
+    full = [c for c in {c for c, _ in nodes} if sum(1 for cc, _ in nodes if cc == c) == 27]
+    assert full
+    for c in full:
+        assert sum(1 for (cc, _n) in leaves if cc == c) == 18
+
+
+def test_license_gate_invariants(spark):
+    rows = QUERIES["license_classifier_gate"](spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["license"], 0)
+        by[r["license"]] += r["n_docs"]
+        assert r["keep"] == (r["license"] in ("mit", "apache-2.0"))
+    assert set(by) == {"mit", "apache-2.0", "gpl-3.0", "unknown"}
+    assert sum(by.values()) == 500
+    # doc_id%7 classes: 0 -> mit, 1 -> apache, 2 -> gpl, rest unknown
+    assert by["unknown"] > by["mit"]
+
+
+def test_epoch_scheduler_invariants(spark):
+    rows = QUERIES["data_mix_epoch_scheduler"](spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r["milli_epochs"] <= 4000
+        assert r["scheduled_tokens"] == r["n_tokens"] * r["milli_epochs"] // 1000
+        assert r["unallocated_tokens"] == r["alloc_tokens"] - r["scheduled_tokens"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+        # capped sources leave a remainder; uncapped fill their alloc
+        if r["milli_epochs"] < 4000:
+            assert abs(r["unallocated_tokens"]) <= r["n_tokens"] // 1000 + 1
