@@ -15322,16 +15322,19 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 14 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 19 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 12 b13 rows in registration
+    # ingestion_trend_forecast) then the 17 b13 rows in registration
     # order (url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
     # ccnet_perplexity_buckets, gif_decode_stats, streaming_pass_at_k,
-    # corpus_dedup_funnel, tokenizer_merge_curve; all at the END of
-    # this dict) — padded to 50 with the 36 stalest rows (freshest
-    # driver row = r02) in CORRECTNESS_r02 order:
+    # corpus_dedup_funnel, tokenizer_merge_curve,
+    # license_classifier_gate, data_mix_epoch_scheduler,
+    # decontamination_span_expansion, conversation_tree_linearization,
+    # per_domain_quality_drift; all at the END of this dict) — padded
+    # to 50 with the 31 stalest rows (freshest driver row = r02) in
+    # CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -15341,9 +15344,7 @@ QUERIES = {
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
     # q15_top_supplier, q21_blocking_supplier, html_rendition,
     # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
-    # contamination_check, token_packing, domain_mix_sample,
-    # chunk_metadata_enrichment, proposer_max_score, side_effect_sink,
-    # datarecords_snapshot, streaming_session_windows.
+    # contamination_check, token_packing, domain_mix_sample.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
