@@ -771,3 +771,80 @@ def test_late_interaction_pool_joins_broadcast(spark):
     a = audit(QUERIES["late_interaction_rerank"](spark, SF))
     assert not a.cartesian, a.plan
     assert a.sortmerge_joins == 0, a.plan
+
+
+def test_b13_plan_shapes(spark):
+    """b13 additions keep their documented scale shapes: the scanning
+    gates ride the scan (no joins, no keyed shuffle beyond their
+    rollups), rule/eval-gram dimensions broadcast, the interval join
+    is equi (no product), and nothing introduces an un-partitioned
+    window."""
+    from intelligencepipeline_spark.queries import (
+        conversation_tree_linearization,
+        data_mix_epoch_scheduler,
+        decontamination_span_expansion,
+        interval_bucket_join,
+        license_classifier_gate,
+        pass_at_k_estimate,
+        per_domain_quality_drift,
+        robots_opt_out_sweep,
+        secret_scanning_gate,
+        url_canonical_dedup,
+    )
+
+    a = audit(secret_scanning_gate(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    # the deliberate fanout repartition is the only exchange
+    assert a.shuffle_exchanges <= 1, a.plan[:1200]
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(url_canonical_dedup(spark, SF))
+    assert a.reads_only("doc_id", "text", "source"), a.read_schemas
+    assert a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(robots_opt_out_sweep(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:2000]  # rules table
+    assert not a.cartesian
+
+    a = audit(pass_at_k_estimate(spark, SF))
+    assert a.reads_only("user_id", "event_type", "value"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 1, a.plan[:1200]
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(interval_bucket_join(spark, SF))
+    assert not a.cartesian
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert a.broadcast_joins + a.sortmerge_joins >= 1, a.plan[:2000]
+    assert not a.has_single_partition_exchange
+
+    a = audit(license_classifier_gate(spark, SF))
+    assert a.reads_only("doc_id", "text", "source"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(data_mix_epoch_scheduler(spark, SF))
+    assert a.reads_only("doc_id", "text", "source"), a.read_schemas
+    assert not a.cartesian  # the 1-row totals join is broadcast
+
+    a = audit(decontamination_span_expansion(spark, SF))
+    assert a.broadcast_joins >= 1, a.plan[:2000]  # eval gram set
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(conversation_tree_linearization(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert not a.has_single_partition_exchange
+
+    a = audit(per_domain_quality_drift(spark, SF))
+    assert a.reads_only("doc_id", "text", "source"), a.read_schemas
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
