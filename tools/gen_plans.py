@@ -122,6 +122,16 @@ HEADLINE = [
     ("inverted_postings_index", "(term,doc) positional gather + term-keyed gap window + term agg"),
     ("wand_pruning_audit", "scored scan persisted; bounded theta/UB collects; 8-row subset agg"),
     ("phrase_match_stats", "term-filtered postings gather; doc_id-keyed phrase joins"),
+    ("url_canonical_dedup", "expression canonicalizer rides the scan; one canonical-key agg"),
+    ("robots_opt_out_sweep", "segment-prefix explode + broadcast rules equi-join, no LIKE theta"),
+    ("secret_scanning_gate", "candidate array folds per-row: zero shuffles beyond fanout"),
+    ("pass_at_k_estimate", "one keyed count agg + per-row nano ladders, join-free"),
+    ("interval_bucket_join", "bucket-expanded equi-join + residual filter, no BNLJ/product"),
+    ("license_classifier_gate", "substring precedence rides the scan; (source,license) rollup"),
+    ("data_mix_epoch_scheduler", "gate rides scan; source rollup; 1-row budget broadcast"),
+    ("decontamination_span_expansion", "in-row grams; eval set broadcast; doc-partitioned islands"),
+    ("conversation_tree_linearization", "3 depth-bounded parent equi-joins, no recursion"),
+    ("per_domain_quality_drift", "(source,snap) keyed agg + bounded per-source regression"),
 ]
 
 
