@@ -15134,7 +15134,7 @@ def conversation_tree_linearization(
     the forest, the structural leaf rule, and all three joins."""
     docs = _t(spark, sf_dir, "documents")
     nodes = docs.select(
-        (F.col("doc_id") / 27).cast("long").alias("conv"),
+        F.expr("doc_id DIV 27").alias("conv"),
         (F.col("doc_id") % 27).alias("node"),
         F.element_at(tokens(normalize_text(F.col("text"))), 1).alias("turn"),
     )
