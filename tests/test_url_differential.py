@@ -1,0 +1,82 @@
+"""Differential fuzz for functions/url.canonical_url: ~400 seeded
+random URLs (edge cases included) canonicalized by Spark in ONE batch
+and compared against an independent Python re-implementation of the
+six documented rules."""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.functions.url import canonical_url
+
+
+def _pycanon(url: str) -> str:
+    rest = re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", url)
+    hostport = re.match(r"^([^/?#]*)", rest).group(1)
+    host = re.sub(
+        r"^www\.", "", re.match(r"^([^:]*)", hostport).group(1).lower()
+    )
+    pm = re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    portsfx = "" if port in ("", "80", "443") else ":" + port
+    path = re.match(r"^[^/?#]*([^?#]*)", rest).group(1)
+    path = re.sub(r"/+$", "", path) or "/"
+    qm = re.search(r"\?([^#]*)", rest)
+    q = qm.group(1) if qm else ""
+    kept = sorted(
+        p
+        for p in q.split("&")
+        if p
+        and not p.startswith("utm_")
+        and not p.startswith("fbclid=")
+        and not p.startswith("gclid=")
+    )
+    qc = "?" + "&".join(kept) if kept else ""
+    return host + portsfx + path + qc
+
+
+def _gen_urls(n=400, seed=1234):
+    rng = random.Random(seed)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", "ftp+x://", ""]
+    hosts = ["Example.com", "www.Example.com", "WWW.FOO.example.ORG",
+             "a.b.c", "X.Y"]
+    ports = ["", ":80", ":443", ":8080", ":0443", ":65535"]
+    paths = ["", "/", "/a", "/a/b/C", "/a//b", "/a/b/", "/a/b///", "//x"]
+    queries = ["", "?", "?&", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+               "?utm_a=1&utm_b=2", "?fbclid=zz&z=9", "?gclid=1",
+               "?a=b=c&d=e", "?a=1&a=1", "?Z=9&z=9"]
+    frags = ["", "#", "#frag", "#a?b"]
+    urls = []
+    for _ in range(n):
+        urls.append(
+            rng.choice(schemes)
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    # targeted edge cases
+    urls += [
+        "http://HOST",
+        "https://host:8443/a?z=1&a=2#f",
+        "http://www.host:80//a//",
+        "host/path?utm_a=1",
+        "https://example.com/x///",
+        "HTTPS://WWW.EX.COM:443/?utm_x=1",
+    ]
+    return urls
+
+
+def test_differential_against_python_reference(spark):
+    urls = _gen_urls()
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _pycanon(u), (u, got[i], _pycanon(u))
