@@ -1022,3 +1022,40 @@ def encode_gif(indices, palette) -> bytes:
     out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+def dct8_table() -> list[list[int]]:
+    """8-point DCT-II basis quantized to integers:
+    T[k][n] = round(1024 * cos(pi * (2n+1) * k / 16)). One shared
+    literal table feeds BOTH the Spark-side pHash and the DuckDB
+    oracle's VALUES list, so the integer DCT is bit-identical by
+    construction (the cosine rounding happens once, at codegen)."""
+    import math
+
+    return [
+        [round(math.cos(math.pi * (2 * n + 1) * k / 16) * 1024)
+         for n in range(8)]
+        for k in range(8)
+    ]
+
+
+def phash_from_gray(gray) -> int:
+    """pHash over an 8x8 grayscale block in EXACT integers: 2-D DCT-II
+    via the quantized basis (F = T G T^t, |F| <= 64*255*1024^2 — int64
+    safe), lower-median of the 63 AC coefficients (the value at sorted
+    position 32), bit i = (F_i > median) packed into 63 bits. The
+    production pHash differs only in its float DCT and 32x32->8x8
+    downsample; the integer form keeps every engine bit-identical."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.int64).reshape(8, 8)
+    t = np.array(dct8_table(), dtype=np.int64)
+    f = t @ g @ t.T
+    flat = f.reshape(-1)
+    ac = flat[1:]
+    med = int(np.sort(ac, kind="stable")[31])
+    h = 0
+    for i, v in enumerate(ac):
+        if int(v) > med:
+            h |= 1 << i
+    return h

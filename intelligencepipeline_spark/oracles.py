@@ -8888,3 +8888,76 @@ SELECT source, n_snapshots, n_docs, n_kept,
       // (n_snapshots * sxx - sx * sx) END as bigint) AS slope_micro
 FROM sums
 """
+
+
+# phash_dct_near_dup: the full integer DCT replayed — the quantized
+# cosine basis comes from the SAME dct8_table() the Spark side uses
+# (one rounding, at codegen); median/packing/xor replayed; the
+# shared-band predicate is pair-local (EXISTS over the 9 bands), an
+# independent derivation of what Spark computes via the banded join.
+from intelligencepipeline_spark.functions.multimodal import (
+    dct8_table as _dct8,
+)
+
+_DCT_VALS = ", ".join(
+    f"({k}, {n}, {c})"
+    for k, row in enumerate(_dct8())
+    for n, c in enumerate(row)
+)
+_BAND_EQ = " OR ".join(
+    f"((h0 >> {7 * j}) & 127) = ((h1 >> {7 * j}) & 127)" for j in range(9)
+)
+
+ORACLES["phash_dct_near_dup"] = f"""
+WITH t(k, n, c) AS (VALUES {_DCT_VALS}),
+hx AS (
+  SELECT doc_id,
+    md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z')
+      AS hs
+  FROM documents
+), px AS (
+  SELECT doc_id, v.var, cast(i as bigint) AS i,
+    CASE WHEN v.var = 1 AND i = doc_id % 64
+      THEN (cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2))
+              as bigint) + 8) % 256
+      ELSE cast(concat('0x', substr(hs, cast(2 * i + 1 as int), 2))
+              as bigint) END AS g
+  FROM hx, unnest(range(0, 64)) AS u(i),
+    (SELECT unnest([0, 1]) AS var) v
+), coef AS (
+  SELECT p.doc_id, p.var, uv.u, uv.vv,
+    sum(p.g * tu.c * tv.c) AS f
+  FROM px p
+  CROSS JOIN (
+    SELECT a.u, b.vv
+    FROM (SELECT unnest(range(0, 8)) AS u) a,
+         (SELECT unnest(range(0, 8)) AS vv) b
+  ) uv
+  JOIN t tu ON tu.k = uv.u AND tu.n = p.i // 8
+  JOIN t tv ON tv.k = uv.vv AND tv.n = p.i % 8
+  GROUP BY 1, 2, 3, 4
+), ac AS (
+  SELECT doc_id, var, u, vv, f,
+    row_number() OVER (PARTITION BY doc_id, var ORDER BY f, u, vv) AS rn
+  FROM coef WHERE NOT (u = 0 AND vv = 0)
+), med AS (
+  SELECT doc_id, var, max(CASE WHEN rn = 32 THEN f END) AS m
+  FROM ac GROUP BY doc_id, var
+), bits AS (
+  SELECT a.doc_id, a.var,
+    cast(sum(CASE WHEN a.f > med.m
+      THEN (cast(1 as bigint) << cast(a.u * 8 + a.vv - 1 as int))
+      ELSE 0 END) as bigint) AS h
+  FROM ac a JOIN med ON a.doc_id = med.doc_id AND a.var = med.var
+  GROUP BY a.doc_id, a.var
+), pairs AS (
+  SELECT b0.doc_id, b0.h AS h0, b1.h AS h1
+  FROM bits b0 JOIN bits b1 ON b0.doc_id = b1.doc_id
+  WHERE b0.var = 0 AND b1.var = 1
+)
+SELECT doc_id,
+  cast(bit_count(xor(h0, h1)) as bigint) AS hamming,
+  bit_count(xor(h0, h1)) <= 8 AS reachable,
+  (bit_count(xor(h0, h1)) <= 8 AND ({_BAND_EQ})) AS banded_found
+FROM pairs
+"""

@@ -15241,6 +15241,133 @@ def per_domain_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHASH (DCT) PERCEPTUAL NEAR-DUP — the frequency-domain
+    complement to the dHash family: an 8x8 grayscale block per doc
+    (md5-derived) plus a PERTURBED variant (+8 on one pixel — the
+    small-edit robustness case pHash exists for) are hashed through
+    the EXACT-INTEGER 2-D DCT pipeline
+    (functions/multimodal.phash_from_gray: quantized cosine basis
+    shared verbatim with the oracle's VALUES list, lower-median AC
+    threshold, 63-bit pack). The operational arm is the banded-hamming
+    join (9 bands x 7 bits; pigeonhole: hamming <= 8 => >= 1 equal
+    band — the image_dhash_near_pairs argument at a different width),
+    and the entry PROVES the pigeonhole in-entry: for every planted
+    pair, found-by-bands must EQUAL reachable (hamming <= 8). Exports
+    per doc: planted hamming, reachable, banded_found.
+
+    Scale: hashing rides the scan (Arrow batches, the image-lane
+    convention); the band join is bucket-keyed, never all-pairs; the
+    7-bit band width is the documented miniature — at corpus scale
+    bands widen so bucket sizes stay bounded. The oracle replays the
+    full integer DCT, median, packing, xor/bit_count, and the
+    shared-band predicate INDEPENDENTLY (pair-local EXISTS, not a
+    join), so the two arms cross-check each other."""
+    import hashlib
+
+    import pandas as pd
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        phash_from_gray,
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "var": [], "h": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = (text or "").encode("utf-8")
+                raw = b"".join(
+                    hashlib.md5(t + s).digest()
+                    for s in (b"", b"x", b"y", b"z")
+                )
+                g = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                g2 = g.copy()
+                g2[did % 64] = (g2[did % 64] + 8) % 256
+                for var, gray in ((0, g), (1, g2)):
+                    out["doc_id"].append(did)
+                    out["var"].append(var)
+                    out["h"].append(phash_from_gray(gray))
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = track_persist(
+        docs.select("doc_id", "text").mapInPandas(
+            gen, "doc_id long, var int, h long"
+        )
+    )
+    bands = hashes.select(
+        "doc_id",
+        "var",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.shiftright(F.col("h"), j * 7)
+                        .bitwiseAND(F.lit(127))
+                        .alias("key"),
+                    )
+                    for j in range(9)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "var", "h", F.col("b.j").alias("j"),
+             F.col("b.key").alias("key"))
+    left = bands.select(
+        F.col("doc_id").alias("d0"), F.col("var").alias("v0"),
+        F.col("h").alias("h0"), "j", "key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("d1"), F.col("var").alias("v1"),
+        F.col("h").alias("h1"), "j", "key",
+    )
+    verified = (
+        left.join(right, ["j", "key"])
+        .filter(
+            (F.col("d0") < F.col("d1"))
+            | ((F.col("d0") == F.col("d1")) & (F.col("v0") < F.col("v1")))
+        )
+        .select("d0", "v0", "d1", "v1", "h0", "h1")
+        .distinct()
+        .filter(F.bit_count(F.col("h0").bitwiseXOR(F.col("h1"))) <= 8)
+    )
+    planted_found = verified.filter(
+        (F.col("d0") == F.col("d1")) & (F.col("v0") == 0)
+        & (F.col("v1") == 1)
+    ).select(F.col("d0").alias("doc_id")).withColumn("fnd", F.lit(1))
+    direct = (
+        hashes.filter("var = 0")
+        .select("doc_id", F.col("h").alias("h0"))
+        .join(
+            hashes.filter("var = 1").select("doc_id", F.col("h").alias("h1")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.bit_count(F.col("h0").bitwiseXOR(F.col("h1")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    out = (
+        direct.join(planted_found, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "hamming",
+            "hamming <= 8 AS reachable",
+            "fnd IS NOT NULL AS banded_found",
+        )
+    )
+    rows = out.collect()
+    assert all(r["banded_found"] == r["reachable"] for r in rows), (
+        "pigeonhole violated"
+    )
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15322,19 +15449,19 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 19 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 20 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 17 b13 rows in registration
-    # order (url_canonical_dedup, robots_opt_out_sweep,
+    # ingestion_trend_forecast) then the 18 b13 rows in registration
+    # order — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
     # ccnet_perplexity_buckets, gif_decode_stats, streaming_pass_at_k,
     # corpus_dedup_funnel, tokenizer_merge_curve,
     # license_classifier_gate, data_mix_epoch_scheduler,
     # decontamination_span_expansion, conversation_tree_linearization,
-    # per_domain_quality_drift; all at the END of this dict) — padded
-    # to 50 with the 31 stalest rows (freshest driver row = r02) in
-    # CORRECTNESS_r02 order:
+    # per_domain_quality_drift, phash_dct_near_dup; all at the END of
+    # this dict) — padded to 50 with the 30 stalest rows (freshest
+    # driver row = r02) in CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -15344,7 +15471,7 @@ QUERIES = {
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
     # q15_top_supplier, q21_blocking_supplier, html_rendition,
     # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
-    # contamination_check, token_packing, domain_mix_sample.
+    # contamination_check, token_packing.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
@@ -15608,6 +15735,7 @@ QUERIES = {
     "decontamination_span_expansion": decontamination_span_expansion,
     "conversation_tree_linearization": conversation_tree_linearization,
     "per_domain_quality_drift": per_domain_quality_drift,
+    "phash_dct_near_dup": phash_dct_near_dup,
 }
 
 

@@ -1,0 +1,87 @@
+"""phash_from_gray (b13): exact-integer DCT pHash properties — 63-bit
+range, near-balanced bits (median threshold), small-perturbation
+locality vs cross-image separation, and a brute-force double-sum DCT
+replay of the matrix form."""
+
+import hashlib
+import math
+
+import numpy as np
+
+from intelligencepipeline_spark.functions.multimodal import (
+    dct8_table,
+    phash_from_gray,
+)
+
+
+def _gray(doc_id: int) -> np.ndarray:
+    t = str(doc_id).encode()
+    raw = b"".join(
+        hashlib.md5(t + s).digest() for s in (b"", b"x", b"y", b"z")
+    )
+    return np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+
+
+def test_matches_double_sum_dct():
+    g = _gray(42).reshape(8, 8)
+    t = dct8_table()
+    f = [
+        [
+            sum(
+                int(g[y][x]) * t[u][y] * t[v][x]
+                for y in range(8)
+                for x in range(8)
+            )
+            for v in range(8)
+        ]
+        for u in range(8)
+    ]
+    ac = sorted(v for row_i, row in enumerate(f) for col_i, v in enumerate(row)
+                if (row_i, col_i) != (0, 0))
+    med = ac[31]
+    want = 0
+    i = 0
+    for u in range(8):
+        for v in range(8):
+            if (u, v) == (0, 0):
+                continue
+            if f[u][v] > med:
+                want |= 1 << i
+            i += 1
+    assert phash_from_gray(_gray(42)) == want
+
+
+def test_bit_budget_and_balance():
+    for d in range(50):
+        h = phash_from_gray(_gray(d))
+        assert 0 <= h < (1 << 63)
+        # strict > median of 63 values keeps set bits in [1, 31]
+        ones = bin(h).count("1")
+        assert 1 <= ones <= 31, d
+
+
+def test_locality_vs_separation():
+    """Small pixel edits move the hash a little; different images are
+    far — the property pHash exists for."""
+    near, far = [], []
+    for d in range(100):
+        g = _gray(d)
+        g2 = g.copy()
+        g2[d % 64] = (g2[d % 64] + 8) % 256
+        near.append(bin(phash_from_gray(g) ^ phash_from_gray(g2)).count("1"))
+        far.append(
+            bin(phash_from_gray(g) ^ phash_from_gray(_gray(d + 1000))).count("1")
+        )
+    assert max(near) <= 10
+    assert sum(far) / len(far) > 20
+    assert min(far) > 10
+
+
+def test_table_is_the_quantized_cosine_basis():
+    t = dct8_table()
+    for k in range(8):
+        for n in range(8):
+            assert t[k][n] == round(
+                math.cos(math.pi * (2 * n + 1) * k / 16) * 1024
+            )
+    assert all(v == 1024 for v in t[0])
