@@ -14847,12 +14847,16 @@ def tokenizer_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding).
 
     Scale: ONE training run (8 bounded argmax collects, the proven
-    bpe_train shape); each checkpoint is a vocab-domain fold + one
-    1-row weighted agg — corpus tokens are never re-exploded. The
-    oracle reuses the trainer's s0..s8 unroll chain, reading the
-    SAME intermediate states the training replay proves."""
+    bpe_train shape), then ONE INCREMENTAL encode pass — each merge
+    applies exactly once to the running (word, n, syms) vocab table
+    and checkpoints read their 1-row weighted agg off it (the naive
+    form re-folds 0+2+4+6+8 = 20 merge applications; incremental is
+    8, and at a real vocab the difference is the whole cost).
+    Corpus tokens are never re-exploded. The oracle reuses the
+    trainer's s0..s8 unroll chain, reading the SAME intermediate
+    states the training replay proves."""
     from intelligencepipeline_spark.operators.bpe import (
-        encode_dictionary,
+        apply_merge,
         train_bpe,
         word_freqs,
     )
@@ -14866,28 +14870,36 @@ def tokenizer_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words, n_chars = int(tot["n_words"]), int(tot["n_chars"])
     merges = train_bpe(docs, n_merges=8)
     assert len(merges) == 8, f"early stop at {len(merges)} merges"
+    cur = wf.withColumn(
+        "syms",
+        F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")),
+    )
     rows = []
-    for k in (0, 2, 4, 6, 8):
-        n_units = int(
-            encode_dictionary(docs, merges[:k])
-            .join(wf, "word")
-            .agg(
-                F.sum(F.col("n") * F.col("word_bpe_len"))
-                .cast("long")
-                .alias("u")
+    for k in range(9):
+        if k in (0, 2, 4, 6, 8):
+            n_units = int(
+                cur.agg(
+                    F.sum(F.col("n") * F.size("syms"))
+                    .cast("long")
+                    .alias("u")
+                ).collect()[0]["u"]
             )
-            .collect()[0]["u"]
-        )
-        rows.append(
-            (
-                k,
-                n_units,
-                n_words,
-                n_chars,
-                n_units * 1000 // n_words,
-                n_chars * 1000 // n_units,
+            rows.append(
+                (
+                    k,
+                    n_units,
+                    n_words,
+                    n_chars,
+                    n_units * 1000 // n_words,
+                    n_chars * 1000 // n_units,
+                )
             )
-        )
+        if k < 8:
+            cur = apply_merge(cur, merges[k]["left"], merges[k]["right"])
+            if k % 2 == 1:
+                # truncate the fold-expression lineage (train_bpe's own
+                # discipline) so no checkpoint pays more than 2 folds
+                cur = cur.localCheckpoint(eager=True)
     units = [r[1] for r in rows]
     assert all(a >= b for a, b in zip(units, units[1:])), units
     return spark.createDataFrame(
