@@ -8613,8 +8613,7 @@ FROM grouped
 # drift in any composed operator breaks this row by construction.
 _SECRET_BODY = ORACLES["secret_scanning_gate"].strip()
 
-ORACLES["corpus_dedup_funnel"] = f"""
-WITH raw_urls AS (SELECT * FROM {_URLS}),
+_FUNNEL_CTES = f"""raw_urls AS (SELECT * FROM {_URLS}),
 fields AS ({_URL_CANON_FIELDS}),
 canons AS ({_URL_CANON}),
 s1 AS (SELECT min(doc_id) AS doc_id FROM canons GROUP BY canon),
@@ -8637,7 +8636,10 @@ s4 AS (
   SELECT s3.doc_id FROM s3
   JOIN lm USING (doc_id) JOIN gr USING (doc_id) JOIN sec USING (doc_id)
   WHERE lm.keep AND gr.keep AND sec.n_secret_hits = 0
-),
+)"""
+
+ORACLES["corpus_dedup_funnel"] = f"""
+WITH {_FUNNEL_CTES},
 c AS (
   SELECT (SELECT count(*) FROM documents) AS n0,
     (SELECT count(*) FROM s1) AS n1,
@@ -8960,4 +8962,46 @@ SELECT doc_id,
   bit_count(xor(h0, h1)) <= 8 AS reachable,
   (bit_count(xor(h0, h1)) <= 8 AND ({_BAND_EQ})) AS banded_found
 FROM pairs
+"""
+
+
+# training_release_manifest: funnel survivor CTEs + the license
+# precedence + per-source ordered-fingerprint digests (string_agg with
+# ORDER BY mirrors Spark's sort_array(collect_list) fold).
+ORACLES["training_release_manifest"] = f"""
+WITH {_FUNNEL_CTES},
+lic AS (
+  SELECT doc_id, source,
+    cast(len({_RTOKS}) as bigint) AS n_tokens,
+    CASE
+      WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'
+      WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'
+      WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'
+      WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'
+      ELSE 'unknown' END AS license
+  FROM (
+    SELECT doc_id, source, text,
+      text ||
+      CASE WHEN doc_id % 7 = 0 THEN
+        ' spdx license identifier mit permission is hereby granted'
+      WHEN doc_id % 7 = 1 THEN
+        ' licensed under the apache license version 2 0'
+      WHEN doc_id % 7 = 2 THEN
+        ' gnu general public license v3'
+      ELSE '' END AS t
+    FROM documents
+  )
+),
+released AS (
+  SELECT l.source, l.n_tokens, md5({_NORM}) AS fp
+  FROM documents d
+  JOIN lic l ON d.doc_id = l.doc_id
+  WHERE d.doc_id IN (SELECT doc_id FROM s4)
+    AND l.license IN ('mit', 'apache-2.0')
+)
+SELECT source,
+  cast(count(*) as bigint) AS n_docs_released,
+  cast(sum(n_tokens) as bigint) AS tokens_released,
+  md5(string_agg(fp, '|' ORDER BY fp)) AS content_digest
+FROM released GROUP BY source
 """

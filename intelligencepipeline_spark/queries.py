@@ -14746,26 +14746,13 @@ def streaming_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lossless", F.lit(lossless))
 
 
-def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE CURATION FUNNEL — the per-stage survival ledger every
-    training-data paper publishes (C4/RefinedWeb/FineWeb "data funnel"
-    table), composed END-TO-END from five catalog operators so drift
-    in ANY of them breaks this row too: (1) URL canonical dedup
-    (functions/url, min-doc_id survivor per canonical key), (2) exact
-    text dedup (md5 of normalize_text, min-doc_id survivor), (3)
-    near-dup drop (the shared banded-LSH verified >= 0.5-Jaccard edge
-    set; the documented ONE-PASS rule drops b when some surviving
-    a < b is its near-dup — full component survivorship is
-    dedup_survivor_docs' job), (4) the combined quality gate: Gopher
-    rules AND the trained LM gate AND the secret scanner. Exports per
-    stage: n_in, n_out, n_dropped.
-
-    Scale: every stage is an already-proven shape (expression scans,
-    one groupBy per dedup key, the banded edge join, broadcast-free
-    leftsemi/anti chaining); survivor sets are persisted once and
-    consumed twice; only the 5 stage COUNTS cross the driver. Oracle
-    composes the URL/LM/Gopher/secret oracle bodies and the LSH edge
-    CTEs verbatim."""
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """The shared four-stage survivor chain behind corpus_dedup_funnel
+    and training_release_manifest: URL-canonical dedup -> exact
+    fingerprint dedup -> one-pass near-dup drop over the shared
+    verified LSH edges -> Gopher AND LM AND secret quality gates.
+    Returns (n0, n1, n2, n3, s4) with s4 the surviving doc_id frame
+    (persisted); only stage counts cross the driver."""
     from intelligencepipeline_spark.functions.text import gopher_rules
     from intelligencepipeline_spark.functions.url import canonical_url
     from intelligencepipeline_spark.operators.ngram_lm import (
@@ -14813,13 +14800,38 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sec = secret_scanning_gate(spark, sf_dir).select(
         "doc_id", (F.col("n_secret_hits") == 0).alias("secret_keep")
     )
-    n4 = (
+    s4 = track_persist(
         s3.join(lm, "doc_id")
         .join(gr, "doc_id")
         .join(sec, "doc_id")
         .filter("lm_keep AND gopher_keep AND secret_keep")
-        .count()
+        .select("doc_id")
     )
+    return n0, n1, n2, n3, s4
+
+
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CURATION FUNNEL — the per-stage survival ledger every
+    training-data paper publishes (C4/RefinedWeb/FineWeb "data funnel"
+    table), composed END-TO-END from five catalog operators so drift
+    in ANY of them breaks this row too: (1) URL canonical dedup
+    (functions/url, min-doc_id survivor per canonical key), (2) exact
+    text dedup (md5 of normalize_text, min-doc_id survivor), (3)
+    near-dup drop (the shared banded-LSH verified >= 0.5-Jaccard edge
+    set; the documented ONE-PASS rule drops b when some surviving
+    a < b is its near-dup — full component survivorship is
+    dedup_survivor_docs' job), (4) the combined quality gate: Gopher
+    rules AND the trained LM gate AND the secret scanner. Exports per
+    stage: n_in, n_out, n_dropped.
+
+    Scale: every stage is an already-proven shape (expression scans,
+    one groupBy per dedup key, the banded edge join, broadcast-free
+    leftsemi/anti chaining); survivor sets are persisted once and
+    consumed twice; only the 5 stage COUNTS cross the driver. Oracle
+    composes the URL/LM/Gopher/secret oracle bodies and the LSH edge
+    CTEs verbatim."""
+    n0, n1, n2, n3, s4 = _funnel_stages(spark, sf_dir)
+    n4 = s4.count()
     rows = [
         ("1_url_dedup", n0, n1),
         ("2_exact_text_dedup", n1, n2),
@@ -15380,6 +15392,65 @@ def phash_dct_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+def training_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-DATA RELEASE MANIFEST — the capstone "cut a release"
+    artifact: the curation funnel's surviving docs (the SHARED
+    _funnel_stages chain — URL/exact/near-dup dedup + the triple
+    quality gate) are further gated by the PERMISSIVE-LICENSE rule
+    (the license_classifier_gate classification, mit/apache-2.0 only)
+    and rolled into the per-source shipping table: released docs,
+    released token mass, and a CONTENT DIGEST per source (md5 over
+    the sorted released fingerprints — the auditable what-exactly-
+    shipped hash, the merkle manifest's leaf discipline). Composes
+    SIX catalog operators end-to-end; drift in any one breaks this
+    row by construction.
+
+    Scale: funnel stages are the proven shapes; license + fingerprint
+    ride the scan; the digest is one (source)-keyed sort_array fold
+    over released fingerprints — bounded per source, no global sort.
+    Oracle composes the funnel CTEs, the license precedence, and
+    string_agg-ordered digests."""
+    docs = _t(spark, sf_dir, "documents")
+    _n0, _n1, _n2, _n3, s4 = _funnel_stages(spark, sf_dir)
+    lic = docs.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG)"
+        " AS n_tokens",
+        "concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        "   ' spdx license identifier mit permission is hereby granted'"
+        " WHEN doc_id % 7 = 1 THEN"
+        "   ' licensed under the apache license version 2 0'"
+        " WHEN doc_id % 7 = 2 THEN"
+        "   ' gnu general public license v3'"
+        " ELSE '' END) AS t",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "CASE"
+        " WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'"
+        " WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'"
+        " WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'"
+        " WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'"
+        " ELSE 'unknown' END AS license",
+    )
+    released = (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .join(s4, "doc_id", "leftsemi")
+        .join(lic, "doc_id")
+        .filter("license IN ('mit', 'apache-2.0')")
+    )
+    return released.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_released"),
+        F.sum("n_tokens").cast("long").alias("tokens_released"),
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list("fp")))
+        ).alias("content_digest"),
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15461,9 +15532,9 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 20 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 21 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 18 b13 rows in registration
+    # ingestion_trend_forecast) then the 19 b13 rows in registration
     # order — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
@@ -15471,9 +15542,10 @@ QUERIES = {
     # corpus_dedup_funnel, tokenizer_merge_curve,
     # license_classifier_gate, data_mix_epoch_scheduler,
     # decontamination_span_expansion, conversation_tree_linearization,
-    # per_domain_quality_drift, phash_dct_near_dup; all at the END of
-    # this dict) — padded to 50 with the 30 stalest rows (freshest
-    # driver row = r02) in CORRECTNESS_r02 order:
+    # per_domain_quality_drift, phash_dct_near_dup,
+    # training_release_manifest; all at the END of this dict) — padded
+    # to 50 with the 29 stalest rows (freshest driver row = r02) in
+    # CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -15483,7 +15555,7 @@ QUERIES = {
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
     # q15_top_supplier, q21_blocking_supplier, html_rendition,
     # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
-    # contamination_check, token_packing.
+    # contamination_check.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
@@ -15748,6 +15820,7 @@ QUERIES = {
     "conversation_tree_linearization": conversation_tree_linearization,
     "per_domain_quality_drift": per_domain_quality_drift,
     "phash_dct_near_dup": phash_dct_near_dup,
+    "training_release_manifest": training_release_manifest,
 }
 
 
