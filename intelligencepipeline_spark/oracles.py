@@ -9005,3 +9005,30 @@ SELECT source,
   md5(string_agg(fp, '|' ORDER BY fp)) AS content_digest
 FROM released GROUP BY source
 """
+
+
+# fim_span_plan: md5 parity coin, hex-byte cut draws modulo n+1,
+# min/max ordering, span arithmetic — all replayed.
+ORACLES["fim_span_plan"] = f"""
+WITH b AS (
+  SELECT doc_id,
+    cast(len({_RTOKS}) as bigint) AS n_toks,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+      as bigint) % 2 = 0 AS fim_applied,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 9, 4))
+      as bigint) AS h1,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 13, 4))
+      as bigint) AS h2
+  FROM documents
+)
+SELECT doc_id, n_toks, fim_applied,
+  cast(CASE WHEN fim_applied THEN least(h1 % (n_toks + 1),
+    h2 % (n_toks + 1)) ELSE n_toks END as bigint) AS prefix_len,
+  cast(CASE WHEN fim_applied THEN greatest(h1 % (n_toks + 1),
+    h2 % (n_toks + 1)) - least(h1 % (n_toks + 1), h2 % (n_toks + 1))
+    ELSE 0 END as bigint) AS middle_len,
+  cast(CASE WHEN fim_applied THEN n_toks - greatest(h1 % (n_toks + 1),
+    h2 % (n_toks + 1)) ELSE 0 END as bigint) AS suffix_len,
+  CASE WHEN fim_applied THEN 'psm' ELSE 'plain' END AS format
+FROM b
+"""

@@ -15451,6 +15451,49 @@ def training_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fim_span_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE TRANSFORMATION PLAN (Bavarian et al. — the
+    code-pretraining transform behind infilling models): half the
+    corpus (md5-bucket parity — the repo's deterministic coin) is
+    marked for PSM rearrangement, and each marked doc gets its two
+    cut points from md5 hex bytes modulo n+1, ordered so
+    0 <= c1 <= c2 <= n splits tokens into prefix/middle/suffix
+    (degenerate empty spans are legal FIM and kept — the consumer
+    sees them as the empty-middle no-ops they are). Exports per doc:
+    token count, fim_applied, the three span lengths (summing to n —
+    asserted structurally by the oracle's identical arithmetic), and
+    the resulting format tag.
+
+    Scale: pure expression scan — the cut-point draw is two hex-byte
+    mods, no UDF, no shuffle, no state; exactly how you'd stamp a
+    100 TB corpus with its FIM plan at ingest. Oracle replays coin,
+    draws, ordering, spans."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG)"
+        " AS n_toks",
+        "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " % 2 = 0 AS fim_applied",
+        "CAST(conv(substring(md5(cast(doc_id as string)), 9, 4), 16, 10)"
+        " AS LONG) AS _h1",
+        "CAST(conv(substring(md5(cast(doc_id as string)), 13, 4), 16, 10)"
+        " AS LONG) AS _h2",
+    ).selectExpr(
+        "doc_id",
+        "n_toks",
+        "fim_applied",
+        "CASE WHEN fim_applied THEN least(_h1 % (n_toks + 1),"
+        " _h2 % (n_toks + 1)) ELSE n_toks END AS prefix_len",
+        "CASE WHEN fim_applied THEN greatest(_h1 % (n_toks + 1),"
+        " _h2 % (n_toks + 1)) - least(_h1 % (n_toks + 1),"
+        " _h2 % (n_toks + 1)) ELSE 0 END AS middle_len",
+        "CASE WHEN fim_applied THEN n_toks - greatest(_h1 % (n_toks + 1),"
+        " _h2 % (n_toks + 1)) ELSE 0 END AS suffix_len",
+        "CASE WHEN fim_applied THEN 'psm' ELSE 'plain' END AS format",
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15532,9 +15575,9 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 21 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 22 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 19 b13 rows in registration
+    # ingestion_trend_forecast) then the 20 b13 rows in registration
     # order — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
@@ -15543,9 +15586,9 @@ QUERIES = {
     # license_classifier_gate, data_mix_epoch_scheduler,
     # decontamination_span_expansion, conversation_tree_linearization,
     # per_domain_quality_drift, phash_dct_near_dup,
-    # training_release_manifest; all at the END of this dict) — padded
-    # to 50 with the 29 stalest rows (freshest driver row = r02) in
-    # CORRECTNESS_r02 order:
+    # training_release_manifest, fim_span_plan; all at the END of this
+    # dict) — padded to 50 with the 28 stalest rows (freshest driver
+    # row = r02) in CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -15821,6 +15864,7 @@ QUERIES = {
     "per_domain_quality_drift": per_domain_quality_drift,
     "phash_dct_near_dup": phash_dct_near_dup,
     "training_release_manifest": training_release_manifest,
+    "fim_span_plan": fim_span_plan,
 }
 
 
