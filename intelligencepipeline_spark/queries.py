@@ -15597,8 +15597,7 @@ QUERIES = {
     # streaming_consolidation, dedup_survivor_docs, profile_columns,
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
     # q15_top_supplier, q21_blocking_supplier, html_rendition,
-    # chunk_command_fold, kafka_serde_roundtrip, pii_redaction,
-    # contamination_check.
+    # chunk_command_fold, kafka_serde_roundtrip, pii_redaction.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
