@@ -9032,3 +9032,149 @@ SELECT doc_id, n_toks, fim_applied,
   CASE WHEN fim_applied THEN 'psm' ELSE 'plain' END AS format
 FROM b
 """
+
+
+# canary_extraction_audit: stamping, regexp extraction, and the
+# equi-join recovery replayed; recovered = exactly-once in the
+# expected doc.
+ORACLES["canary_extraction_audit"] = """
+WITH stamped AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 37 = 0
+      THEN text || ' canary-' || md5(cast(doc_id as varchar))
+      ELSE text END AS text
+  FROM documents
+), expected AS (
+  SELECT doc_id AS expected_doc_id,
+    'canary-' || md5(cast(doc_id as varchar)) AS canary
+  FROM documents WHERE doc_id % 37 = 0
+), found AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'canary-[0-9a-f]{32}'))
+    AS canary
+  FROM stamped
+)
+SELECT e.canary, e.expected_doc_id,
+  cast(count(f.doc_id) as bigint) AS n_hits,
+  cast(sum(CASE WHEN f.doc_id = e.expected_doc_id THEN 1 ELSE 0 END)
+    as bigint) AS n_expected_hits,
+  (count(f.doc_id) = 1
+   AND sum(CASE WHEN f.doc_id = e.expected_doc_id THEN 1 ELSE 0 END) = 1)
+    AS recovered
+FROM expected e LEFT JOIN found f ON e.canary = f.canary
+GROUP BY e.canary, e.expected_doc_id
+"""
+
+
+# tokenizer_lang_fairness: the trainer's s8 unroll state gives
+# word -> len(syms); joined back onto the (lang, word) stream; both
+# fertility divisions replayed in exact milli integers.
+ORACLES["tokenizer_lang_fairness"] = (
+    f"""WITH wf AS (
+  SELECT word, cast(count(*) as bigint) AS n FROM (
+    SELECT unnest({_NTOKS}) AS word FROM documents
+  ) GROUP BY word
+)"""
+    + _bpe_chain_sql(8)
+    + f"""
+, dic AS (SELECT word, cast(len(syms) as bigint) AS word_bpe_len FROM s8),
+words AS (
+  SELECT lang, unnest({_NTOKS}) AS word FROM documents
+),
+per_lang AS (
+  SELECT w.lang,
+    cast(count(*) as bigint) AS n_words,
+    cast(sum(d.word_bpe_len) as bigint) AS n_units
+  FROM words w JOIN dic d ON w.word = d.word
+  GROUP BY w.lang
+),
+tot AS (
+  SELECT cast(sum(n_words) as bigint) AS t_words,
+    cast(sum(n_units) as bigint) AS t_units
+  FROM per_lang
+)
+SELECT lang, n_words, n_units,
+  cast(n_units * 1000 // n_words as bigint) AS milli_fertility,
+  cast(t_units * 1000 // t_words as bigint) AS corpus_milli_fertility,
+  cast((n_units * 1000 // n_words) * 1000
+    // (t_units * 1000 // t_words) as bigint) AS fairness_ratio_milli
+FROM per_lang CROSS JOIN tot
+"""
+)
+
+
+# streaming_dedup_admission: BOTH sequential steps replayed — batch 1
+# probes the base corpus's bands, batch 2 probes base UNION batch-1
+# admissions; the >= 0.5 Jaccard rule cross-multiplied to exact
+# integers (3*common >= |A|+|B|). A wrong admission in step 1 changes
+# step 2's candidate set and breaks the hash.
+ORACLES["streaming_dedup_admission"] = f"""
+WITH shing AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, cast(count(*) as bigint) AS nsh FROM shing GROUP BY doc_id
+), hashes AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> md5(s)) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, [{_ROTS}] AS sig FROM hashes
+), bands AS (
+  SELECT doc_id, b AS band_idx,
+    md5(sig[2 * b + 1] || '|' || sig[2 * b + 2]) AS band_hash
+  FROM sigs CROSS JOIN (SELECT range AS b FROM range(0, 4)) r
+), base AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+b1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+b2 AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+cand1 AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+  FROM bands n
+  JOIN bands o ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  WHERE n.doc_id IN (SELECT doc_id FROM b1)
+    AND o.doc_id IN (SELECT doc_id FROM base)
+), common1 AS (
+  SELECT c.doc_id, c.old_id, cast(count(*) as bigint) AS common
+  FROM cand1 c
+  JOIN shing a ON a.doc_id = c.doc_id
+  JOIN shing b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY c.doc_id, c.old_id
+), part1 AS (
+  SELECT cm.doc_id, cast(count(*) as bigint) AS n_partners
+  FROM common1 cm
+  JOIN sizes sa ON sa.doc_id = cm.doc_id
+  JOIN sizes sb ON sb.doc_id = cm.old_id
+  WHERE 3 * cm.common >= sa.nsh + sb.nsh
+  GROUP BY cm.doc_id
+), adm1 AS (
+  SELECT b1.doc_id FROM b1
+  LEFT JOIN part1 p ON b1.doc_id = p.doc_id WHERE p.doc_id IS NULL
+), rest1 AS (
+  SELECT doc_id FROM base UNION ALL SELECT doc_id FROM adm1
+), cand2 AS (
+  SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+  FROM bands n
+  JOIN bands o ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+  WHERE n.doc_id IN (SELECT doc_id FROM b2)
+    AND o.doc_id IN (SELECT doc_id FROM rest1)
+), common2 AS (
+  SELECT c.doc_id, c.old_id, cast(count(*) as bigint) AS common
+  FROM cand2 c
+  JOIN shing a ON a.doc_id = c.doc_id
+  JOIN shing b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+  GROUP BY c.doc_id, c.old_id
+), part2 AS (
+  SELECT cm.doc_id, cast(count(*) as bigint) AS n_partners
+  FROM common2 cm
+  JOIN sizes sa ON sa.doc_id = cm.doc_id
+  JOIN sizes sb ON sb.doc_id = cm.old_id
+  WHERE 3 * cm.common >= sa.nsh + sb.nsh
+  GROUP BY cm.doc_id
+)
+SELECT b1.doc_id, cast(1 as bigint) AS batch,
+  p.doc_id IS NULL AS admitted,
+  cast(coalesce(p.n_partners, 0) as bigint) AS n_partners
+FROM b1 LEFT JOIN part1 p ON b1.doc_id = p.doc_id
+UNION ALL
+SELECT b2.doc_id, cast(2 as bigint) AS batch,
+  p.doc_id IS NULL AS admitted,
+  cast(coalesce(p.n_partners, 0) as bigint) AS n_partners
+FROM b2 LEFT JOIN part2 p ON b2.doc_id = p.doc_id
+"""

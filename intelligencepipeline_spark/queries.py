@@ -15494,6 +15494,277 @@ def fim_span_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canary_extraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMORIZATION-CANARY AUDIT (Carlini et al.'s secret-sharer
+    methodology, the ingest half): unique canary strings are stamped
+    into chosen documents at ingest (doc_id % 37 == 0 gets
+    'canary-<md5(doc_id)>'), and the extraction scan must recover
+    EXACTLY the planted set — each canary found once, in its expected
+    document, and no phantom hits (asserted in-entry; a dedup pass
+    that merged a canary doc away, or a normalization pass that
+    mangled the marker, would fail the row). The scan is the scalable
+    shape: regexp_extract_all pulls candidate markers per doc, and
+    recovery is an EQUI-JOIN against the broadcast expected-canary
+    table — never a |canaries| x corpus LIKE sweep.
+
+    Exports per canary: the expected doc, hit count, recovered flag.
+    Oracle replays stamping, extraction, and the join."""
+    docs = _t(spark, sf_dir, "documents")
+    stamped = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 37 = 0 THEN concat(text, ' canary-',"
+        " md5(cast(doc_id as string))) ELSE text END AS text",
+    )
+    expected = F.broadcast(
+        docs.filter("doc_id % 37 = 0").selectExpr(
+            "doc_id AS expected_doc_id",
+            "concat('canary-', md5(cast(doc_id as string))) AS canary",
+        )
+    )
+    found = stamped.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(text, 'canary-[0-9a-f]{32}', 0)")
+        ).alias("canary"),
+    )
+    out = (
+        expected.join(found, "canary", "left")
+        .groupBy("canary", "expected_doc_id")
+        .agg(
+            F.count(F.col("doc_id")).cast("long").alias("n_hits"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("expected_doc_id"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_expected_hits"),
+        )
+        .withColumn(
+            "recovered",
+            (F.col("n_hits") == 1) & (F.col("n_expected_hits") == 1),
+        )
+    )
+    rows = out.collect()
+    assert rows and all(r["recovered"] for r in rows), "canary loss"
+    n_found = spark.createDataFrame(rows, out.schema)
+    # no phantom extractions beyond the planted set
+    phantom = found.join(expected, "canary", "left_anti").count()
+    assert phantom == 0, phantom
+    return n_found
+
+
+def tokenizer_lang_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FAIRNESS ACROSS LANGUAGES — the multilingual-equity
+    audit (Petrov et al., "Language Model Tokenizers Introduce
+    Unfairness"): a tokenizer trained on the mixed corpus charges
+    different languages different token counts for comparable text;
+    this measures it exactly. The catalog's BPE (8 merges, trained on
+    the full corpus) encodes every language's token stream via the
+    vocab-domain dictionary fold (encode_dictionary — the fold runs
+    once per distinct word, never per corpus token), and the per-
+    language fertility is compared to the corpus mean in exact milli
+    units: ratio > 1000 means the language pays MORE units per word
+    than average — the premium the audit exists to expose.
+
+    Scale: one training run + one |vocab| fold + one (word) equi-join
+    back to the (lang, word) stream + a languages-bounded rollup; the
+    corpus total is a 1-row broadcast. Oracle replays the trainer's
+    s8 unroll state, the join, and both fertility divisions."""
+    from intelligencepipeline_spark.operators.bpe import (
+        encode_dictionary,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    dic = encode_dictionary(docs, merges)
+    words = docs.select(
+        "lang",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("word"),
+    )
+    per_lang = (
+        words.join(dic, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("word_bpe_len").cast("long").alias("n_units"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_words").cast("long").alias("t_words"),
+        F.sum("n_units").cast("long").alias("t_units"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "lang",
+            "n_words",
+            "n_units",
+            "CAST(n_units * 1000 DIV n_words AS LONG) AS milli_fertility",
+            "CAST(t_units * 1000 DIV t_words AS LONG)"
+            " AS corpus_milli_fertility",
+            "CAST((n_units * 1000 DIV n_words) * 1000"
+            " DIV (t_units * 1000 DIV t_words) AS LONG)"
+            " AS fairness_ratio_milli",
+        )
+    )
+
+
+def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP ADMISSION CONTROL — the FineWeb-style
+    per-dump loop kept ONLINE: an at-rest band index (built from the
+    base corpus, doc_id%3==0) gates a stream of incoming batches
+    (doc_id%3==1 then ==2, two AvailableNow micro-batches with forced
+    mtime order); each batch probes the index by EQUALITY on
+    (band_idx, band_hash) — the banded-LSH argument, never all-pairs —
+    verifies candidates by exact integer Jaccard (admit unless
+    3*common >= |A|+|B|, the >= 0.5 rule cross-multiplied), REJECTS
+    near-dups of anything already at rest, and APPENDS the admitted
+    docs' bands to the index — so batch 2 is deduped against base AND
+    batch 1's admissions: the order-dependent state the batch entries
+    cannot express. Exports per incoming doc: batch, admitted,
+    verified partner count.
+
+    Scale: per batch one band equi-join against the at-rest index +
+    a candidate-pruned shingle intersection; index grows by admitted
+    bands only; signatures/shingles are the shared cached substrate.
+    Oracle replays BOTH sequential steps move-for-move (batch 1 vs
+    base, batch 2 vs base ∪ admitted_1) — a wrong admission anywhere
+    cascades into the second step and breaks the hash. Reference
+    parity: the idempotence guard (P2) upgraded from exact-key to
+    near-dup semantics."""
+    import os
+
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shared_shingles(spark, sf_dir, k=3)
+    sigs = track_persist(
+        minhash_signatures_df(docs, shingles=sh).select(
+            "doc_id", "signature"
+        )
+    )
+    sizes = track_persist(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    )
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("signature"), b * 2 + 1, 2), "|"
+                            )
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    index_store = scratch_dir("ip_adm_idx_")
+    dec_store = scratch_dir("ip_adm_dec_")
+    bands_of(sigs.join(docs.filter("doc_id % 3 = 0"), "doc_id", "leftsemi"))\
+        .coalesce(1).write.mode("append").parquet(index_store)
+
+    src = scratch_dir("ip_adm_src_")
+    stage = scratch_dir("ip_adm_stage_")
+    import shutil as _sh
+
+    for b in (1, 2):
+        d = os.path.join(stage, f"b{b}")
+        docs.filter(F.col("doc_id") % 3 == b).select("doc_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        new_ids = batch_df.select("doc_id")
+        bno = batch_df.agg(
+            (F.min("doc_id") % 3).cast("long").alias("b")
+        ).collect()[0]["b"]
+        new_bands = bands_of(sigs.join(new_ids, "doc_id", "leftsemi"))
+        idx = spark.read.parquet(index_store)
+        cands = (
+            new_bands.join(
+                idx.withColumnRenamed("doc_id", "old_id"),
+                ["band_idx", "band_hash"],
+            )
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        # prune BOTH shingle sides to candidate members before the
+        # shingle join — hot shingles would otherwise fan out across
+        # the whole corpus before the pair filter
+        new_sh = sh.join(cands.select("doc_id"), "doc_id", "leftsemi")
+        old_sh = sh.select(
+            F.col("doc_id").alias("old_id"), "shingle"
+        ).join(cands.select("old_id"), "old_id", "leftsemi")
+        common = (
+            new_sh.join(old_sh, "shingle")
+            .join(cands, ["doc_id", "old_id"], "leftsemi")
+            .groupBy("doc_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        partners = (
+            common.join(sizes, "doc_id")
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("nsh").alias("nsh_old"),
+                ),
+                "old_id",
+            )
+            .filter("3 * common >= nsh + nsh_old")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_partners"))
+        )
+        decisions = (
+            new_ids.join(partners, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                f"CAST({bno} AS LONG) AS batch",
+                "n_partners IS NULL AS admitted",
+                "coalesce(n_partners, 0) AS n_partners",
+            )
+        )
+        decisions.coalesce(1).write.mode("append").parquet(dec_store)
+        bands_of(
+            sigs.join(
+                decisions.filter("admitted").select("doc_id"),
+                "doc_id",
+                "leftsemi",
+            )
+        ).coalesce(1).write.mode("append").parquet(index_store)
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", scratch_dir("ip_adm_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "admission stream hung"
+    out = spark.read.parquet(dec_store).select(
+        "doc_id",
+        "batch",
+        "admitted",
+        F.col("n_partners").cast("long").alias("n_partners"),
+    )
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15575,9 +15846,9 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 22 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 25 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 20 b13 rows in registration
+    # ingestion_trend_forecast) then the 23 b13 rows in registration
     # order — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
@@ -15586,9 +15857,11 @@ QUERIES = {
     # license_classifier_gate, data_mix_epoch_scheduler,
     # decontamination_span_expansion, conversation_tree_linearization,
     # per_domain_quality_drift, phash_dct_near_dup,
-    # training_release_manifest, fim_span_plan; all at the END of this
-    # dict) — padded to 50 with the 28 stalest rows (freshest driver
-    # row = r02) in CORRECTNESS_r02 order:
+    # training_release_manifest, fim_span_plan,
+    # canary_extraction_audit, tokenizer_lang_fairness,
+    # streaming_dedup_admission; all at the END of this dict) — padded
+    # to 50 with the 25 stalest rows (freshest driver row = r02) in
+    # CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
     # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
@@ -15596,8 +15869,7 @@ QUERIES = {
     # q5_local_supplier_volume, q10_returned_items,
     # streaming_consolidation, dedup_survivor_docs, profile_columns,
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
-    # q15_top_supplier, q21_blocking_supplier, html_rendition,
-    # chunk_command_fold, kafka_serde_roundtrip, pii_redaction.
+    # q15_top_supplier, q21_blocking_supplier, html_rendition.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
@@ -15864,6 +16136,9 @@ QUERIES = {
     "phash_dct_near_dup": phash_dct_near_dup,
     "training_release_manifest": training_release_manifest,
     "fim_span_plan": fim_span_plan,
+    "canary_extraction_audit": canary_extraction_audit,
+    "tokenizer_lang_fairness": tokenizer_lang_fairness,
+    "streaming_dedup_admission": streaming_dedup_admission,
 }
 
 
