@@ -9178,3 +9178,62 @@ SELECT b2.doc_id, cast(2 as bigint) AS batch,
   cast(coalesce(p.n_partners, 0) as bigint) AS n_partners
 FROM b2 LEFT JOIN part2 p ON b2.doc_id = p.doc_id
 """
+
+
+# doc_length_quantiles: bounded (lang, length) histogram, cumulative
+# counts, and the ceil(q*n) ordinal picks replayed.
+ORACLES["doc_length_quantiles"] = f"""
+WITH hist AS (
+  SELECT lang, cast(len({_RTOKS}) as bigint) AS len,
+    cast(count(*) as bigint) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT lang, len, c,
+    sum(c) OVER (PARTITION BY lang ORDER BY len) AS cum
+  FROM hist
+), tot AS (
+  SELECT lang, cast(sum(c) as bigint) AS n_docs,
+    cast(sum(len * c) as bigint) AS total_tokens,
+    cast(min(len) as bigint) AS min_len,
+    cast(max(len) as bigint) AS max_len
+  FROM hist GROUP BY lang
+), qs AS (
+  SELECT cum.lang,
+    min(CASE WHEN cum * 100 >= t.n_docs * 50 THEN len END) AS p50,
+    min(CASE WHEN cum * 100 >= t.n_docs * 90 THEN len END) AS p90,
+    min(CASE WHEN cum * 100 >= t.n_docs * 99 THEN len END) AS p99
+  FROM cum JOIN tot t USING (lang) GROUP BY cum.lang
+)
+SELECT t.lang, t.n_docs, t.total_tokens, t.min_len, t.max_len,
+  cast(q.p50 as bigint) AS p50, cast(q.p90 as bigint) AS p90,
+  cast(q.p99 as bigint) AS p99
+FROM tot t JOIN qs q USING (lang)
+"""
+
+# dedup_rate_by_source: min-id fingerprint survivorship + LSH-edge
+# membership over the shared fragments, rolled per source.
+ORACLES["dedup_rate_by_source"] = f"""
+WITH {_LSH_EDGE_CTES},
+fp AS (
+  SELECT doc_id, source, md5({_NORM}) AS f FROM documents
+), keep AS (
+  SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+), near_ids AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+  UNION SELECT DISTINCT b FROM edges
+), r AS (
+  SELECT fp.source,
+    CASE WHEN fp.doc_id <> k.keep_id THEN 1 ELSE 0 END AS is_exact_dup,
+    CASE WHEN fp.doc_id IN (SELECT doc_id FROM near_ids)
+      THEN 1 ELSE 0 END AS is_near
+  FROM fp JOIN keep k ON fp.f = k.f
+)
+SELECT source,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(is_exact_dup) as bigint) AS n_exact_dups,
+  cast(sum(is_near) as bigint) AS n_near_dup_docs,
+  cast(sum(is_exact_dup) * 1000 // count(*) as bigint)
+    AS exact_dup_permille,
+  cast(sum(is_near) * 1000 // count(*) as bigint) AS near_dup_permille
+FROM r GROUP BY source
+"""

@@ -15765,6 +15765,117 @@ def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE SEQUENCE-LENGTH PLANNING TABLE — the distribution
+    every context-length / packing decision reads: exact P50/P90/P99
+    of per-doc token counts, computed the dist_rank way (one bounded
+    (lang, length) histogram -> cumulative counts -> the value at the
+    ceil(q*n)-th position — EXACT quantiles by the ANSI ordinal rule,
+    no approx_percentile, no global sort, no single-partition
+    window). Exports per language: docs, token mass, min/max, and the
+    three exact quantile VALUES.
+
+    Scale: the histogram domain is (languages x distinct lengths) —
+    bounded by the max document length, not the corpus; quantiles run
+    on the histogram's own cumulative counts inside a window
+    PARTITIONED by lang. Oracle replays histogram, cumsum, and all
+    three ordinal picks."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            "lang", F.size(tokens(F.col("text"))).cast("long").alias("len")
+        )
+        .groupBy("lang", "len")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("len")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("len") * F.col("c")).cast("long").alias("total_tokens"),
+        F.min("len").alias("min_len"),
+        F.max("len").alias("max_len"),
+    )
+    j = cum.join(tot, "lang")
+    qs = j.groupBy("lang").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("n_docs") * q, F.col("len")
+                )
+            ).alias(f"p{q}")
+            for q in (50, 90, 99)
+        ]
+    )
+    return (
+        tot.join(qs, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.col("min_len").cast("long").alias("min_len"),
+            F.col("max_len").cast("long").alias("max_len"),
+            F.col("p50").cast("long").alias("p50"),
+            F.col("p90").cast("long").alias("p90"),
+            F.col("p99").cast("long").alias("p99"),
+        )
+    )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE DUPLICATION PROFILE — the monitoring table that
+    decides which feed gets throttled: per source, the exact-dup rate
+    (docs whose normalized fingerprint also appears under a SMALLER
+    doc_id anywhere in the corpus — the min-id survivorship rule) and
+    the near-dup rate (docs with >= 1 verified >= 0.5-Jaccard partner
+    in the shared LSH edge set). Composes the fingerprint and edge
+    substrates this catalog already proves; drift in either breaks
+    this row.
+
+    Scale: fingerprint grouping is one keyed agg; near-dup membership
+    is two semi-join probes of the banded edge set; the rollup is
+    bounded by sources. Oracle replays both rules over the same
+    fragments."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_dup = fp.join(keep, "fp").withColumn(
+        "is_exact_dup", F.col("doc_id") != F.col("keep_id")
+    )
+    edges = _shared_lsh_edges(spark, sf_dir)
+    near_ids = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionByName(edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        exact_dup.join(near_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_exact_dup").cast("long"))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.sum(F.when(F.col("is_near").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_dup_docs"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_exact_dups",
+            "n_near_dup_docs",
+            "CAST(n_exact_dups * 1000 DIV n_docs AS LONG)"
+            " AS exact_dup_permille",
+            "CAST(n_near_dup_docs * 1000 DIV n_docs AS LONG)"
+            " AS near_dup_permille",
+        )
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -15846,9 +15957,9 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 25 never-driver-checked entries lead
+    # PLANNED r08 WINDOW (50): the 27 never-driver-checked entries lead
     # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 23 b13 rows in registration
+    # ingestion_trend_forecast) then the 25 b13 rows in registration
     # order — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
@@ -15859,8 +15970,9 @@ QUERIES = {
     # per_domain_quality_drift, phash_dct_near_dup,
     # training_release_manifest, fim_span_plan,
     # canary_extraction_audit, tokenizer_lang_fairness,
-    # streaming_dedup_admission; all at the END of this dict) — padded
-    # to 50 with the 25 stalest rows (freshest driver row = r02) in
+    # streaming_dedup_admission, doc_length_quantiles,
+    # dedup_rate_by_source; all at the END of this dict) — padded to
+    # 50 with the 23 stalest rows (freshest driver row = r02) in
     # CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
     # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
@@ -15869,7 +15981,7 @@ QUERIES = {
     # q5_local_supplier_volume, q10_returned_items,
     # streaming_consolidation, dedup_survivor_docs, profile_columns,
     # deterministic_sample, q9_product_profit, q13_customer_distribution,
-    # q15_top_supplier, q21_blocking_supplier, html_rendition.
+    # q15_top_supplier.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
@@ -16139,6 +16251,8 @@ QUERIES = {
     "canary_extraction_audit": canary_extraction_audit,
     "tokenizer_lang_fairness": tokenizer_lang_fairness,
     "streaming_dedup_admission": streaming_dedup_admission,
+    "doc_length_quantiles": doc_length_quantiles,
+    "dedup_rate_by_source": dedup_rate_by_source,
 }
 
 
