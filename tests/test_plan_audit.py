@@ -848,3 +848,31 @@ def test_b13_plan_shapes(spark):
     assert a.reads_only("doc_id", "text", "source"), a.read_schemas
     assert not a.cartesian
     assert not a.has_single_partition_exchange
+
+
+def test_b13_late_entries_plan_shapes(spark):
+    """The late b13 additions keep their documented shapes: FIM
+    stamping rides the scan (join-free), the length-quantile histogram
+    never plans a single-partition exchange (lang-partitioned windows
+    only), and the duplication profile stays equi-join-only."""
+    from intelligencepipeline_spark.queries import (
+        dedup_rate_by_source,
+        doc_length_quantiles,
+        fim_span_plan,
+    )
+
+    a = audit(fim_span_plan(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert a.shuffle_exchanges <= 1, a.plan[:1200]
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(doc_length_quantiles(spark, SF))
+    assert a.reads_only("doc_id", "text", "lang"), a.read_schemas
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(dedup_rate_by_source(spark, SF))
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
