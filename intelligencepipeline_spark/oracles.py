@@ -9237,3 +9237,124 @@ SELECT source,
   cast(sum(is_near) * 1000 // count(*) as bigint) AS near_dup_permille
 FROM r GROUP BY source
 """
+
+# ===================================================================
+# (b14) round-7 wave
+# ===================================================================
+
+# rouge_pair_gate: clipped-count ROUGE-1/2 over the even/odd pair
+# adjacency; unigrams and bigrams travel tagged through one join,
+# every metric is one exact integer division.
+ORACLES["rouge_pair_gate"] = f"""
+WITH d AS (
+  SELECT doc_id - doc_id % 2 AS pair_id, doc_id % 2 AS side,
+    {_NTOKS} AS t
+  FROM documents
+), sized AS (
+  SELECT pair_id, side, t, cast(len(t) as bigint) AS n1,
+    cast(greatest(len(t) - 1, 0) as bigint) AS n2
+  FROM d
+), grams AS (
+  SELECT pair_id, side, unnest(
+    list_concat(
+      list_transform(t, x -> 'u:' || x),
+      list_transform(range(1, greatest(len(t), 1)),
+        i -> 'b:' || t[i] || ' ' || t[i + 1])
+    )) AS g
+  FROM sized
+), cnt AS (
+  SELECT pair_id, side, g, count(*) AS c FROM grams GROUP BY ALL
+), ov AS (
+  SELECT c1.pair_id,
+    cast(coalesce(sum(CASE WHEN c1.g LIKE 'u:%'
+      THEN least(c1.c, c2.c) END), 0) as bigint) AS r1_overlap,
+    cast(coalesce(sum(CASE WHEN c1.g LIKE 'b:%'
+      THEN least(c1.c, c2.c) END), 0) as bigint) AS r2_overlap
+  FROM cnt c1 JOIN cnt c2 ON c1.pair_id = c2.pair_id AND c1.g = c2.g
+  WHERE c1.side = 1 AND c2.side = 0
+  GROUP BY c1.pair_id
+), m AS (
+  SELECT t1.pair_id, t1.n1 AS n1_cand, t0.n1 AS n1_ref,
+    coalesce(o.r1_overlap, 0) AS r1_overlap,
+    t1.n2 AS n2_cand, t0.n2 AS n2_ref,
+    coalesce(o.r2_overlap, 0) AS r2_overlap
+  FROM sized t1
+  JOIN sized t0 ON t1.pair_id = t0.pair_id
+    AND t1.side = 1 AND t0.side = 0
+  LEFT JOIN ov o ON o.pair_id = t1.pair_id
+)
+SELECT pair_id, n1_cand, n1_ref,
+  cast(r1_overlap as bigint) AS r1_overlap,
+  cast(CASE WHEN n1_cand = 0 THEN 0
+    ELSE 1000 * r1_overlap // n1_cand END as bigint) AS r1_p_milli,
+  cast(CASE WHEN n1_ref = 0 THEN 0
+    ELSE 1000 * r1_overlap // n1_ref END as bigint) AS r1_r_milli,
+  cast(CASE WHEN n1_cand + n1_ref = 0 THEN 0
+    ELSE 2000 * r1_overlap // (n1_cand + n1_ref) END as bigint)
+    AS r1_f_milli,
+  n2_cand, n2_ref,
+  cast(r2_overlap as bigint) AS r2_overlap,
+  cast(CASE WHEN n2_cand + n2_ref = 0 THEN 0
+    ELSE 2000 * r2_overlap // (n2_cand + n2_ref) END as bigint)
+    AS r2_f_milli,
+  (CASE WHEN n1_cand + n1_ref = 0 THEN 0
+    ELSE 2000 * r1_overlap // (n1_cand + n1_ref) END >= 500
+   AND CASE WHEN n2_cand + n2_ref = 0 THEN 0
+    ELSE 2000 * r2_overlap // (n2_cand + n2_ref) END >= 40) AS keep
+FROM m ORDER BY pair_id
+"""
+
+# shuffle_reuse_proof: the daily-rollup substrate and both consumers
+# replayed; the ReusedExchange property itself is asserted in-entry
+# on the Spark side (a plan property has no SQL equivalent).
+ORACLES["shuffle_reuse_proof"] = """
+WITH daily AS (
+  SELECT user_id, cast(ts as date) AS day,
+    cast(sum(cast(cast(value as decimal(18,2)) * 100 as bigint))
+      as bigint) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT 'peak_day_user' AS kind, cast(user_id as varchar) AS key,
+  cast(max(cents) as bigint) AS v
+FROM daily GROUP BY user_id
+UNION ALL
+SELECT 'day_total' AS kind, cast(day as varchar) AS key,
+  cast(sum(cents) as bigint) AS v
+FROM daily GROUP BY day
+ORDER BY kind, key
+"""
+
+# bottomk_sample_merge_proof: 60-bit md5 priorities, the direct
+# global bottom-64 cut, the 8-shard merge path, and their equality.
+ORACLES["bottomk_sample_merge_proof"] = """
+WITH pri AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15))
+      as bigint) AS priority,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 17, 8))
+      as bigint) % 8 AS shard
+  FROM documents
+), direct AS (
+  SELECT doc_id, priority, shard,
+    row_number() OVER (ORDER BY priority, doc_id) AS rnk
+  FROM pri QUALIFY rnk <= 64
+), per_shard AS (
+  SELECT doc_id, priority, shard FROM pri
+  QUALIFY row_number()
+    OVER (PARTITION BY shard ORDER BY priority, doc_id) <= 64
+), merged AS (
+  SELECT doc_id FROM per_shard
+  QUALIFY row_number() OVER (ORDER BY priority, doc_id) <= 64
+), eq AS (
+  SELECT
+    (SELECT count(*) FROM
+      (SELECT doc_id FROM direct EXCEPT SELECT doc_id FROM merged)) = 0
+    AND
+    (SELECT count(*) FROM
+      (SELECT doc_id FROM merged EXCEPT SELECT doc_id FROM direct)) = 0
+    AS ok
+)
+SELECT cast(d.rnk as bigint) AS rank, d.doc_id, d.priority,
+  cast(d.shard as bigint) AS shard, eq.ok AS merged_equals_direct
+FROM direct d, eq ORDER BY rank
+"""

@@ -15876,6 +15876,216 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===================================================================
+# (b14) round-7 wave: ROUGE gates, plan-reuse proof, mergeable
+# bottom-k sampling, cluster-quality audit, semantic contamination
+# ===================================================================
+
+
+def rouge_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZATION / PARAPHRASE PAIR QUALITY GATE — the standard
+    filter for (candidate, reference) training pairs: clipped-count
+    ROUGE-1 and ROUGE-2 with exact integer arithmetic. Pairs are the
+    (even doc_id = reference, odd doc_id = candidate) adjacency — the
+    stand-in for a keyed (document, summary) table. Clipped overlap is
+    the multiset intersection sum(min(count_cand(g), count_ref(g)));
+    precision/recall are 1000*overlap DIV side-total and F1 uses the
+    shared-numerator identity 2PR/(P+R) = 2*overlap/(n_cand+n_ref), so
+    every exported metric is one exact integer division. Gate: keep
+    iff R1-F >= 0.500 AND R2-F >= 0.040 (both medians of the corpus —
+    the mixture survives at any SF).
+
+    Scale shape: per-doc gram counts are one explode + keyed agg; the
+    overlap is ONE equi-join on (pair_id, gram) — never all-pairs,
+    never a driver-side loop. Unigrams and bigrams travel through the
+    same join tagged 'u:'/'b:' so the pass costs one shuffle, not two.
+    Bigrams are built expression-side (zip_with over two slices, the
+    bigram_novelty idiom). Oracle replays grams, clipping, and both
+    gates."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        (F.col("doc_id") - F.col("doc_id") % 2).alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        tokens(normalize_text(F.col("text"))).alias("t"),
+    ).select(
+        "pair_id",
+        "side",
+        "t",
+        F.size("t").cast("long").alias("n1"),
+        F.greatest(F.size("t") - 1, F.lit(0)).cast("long").alias("n2"),
+    )
+    grams = sized.select(
+        "pair_id",
+        "side",
+        F.explode(
+            F.concat(
+                F.expr("transform(t, x -> concat('u:', x))"),
+                F.expr(
+                    "zip_with(slice(t, 1, greatest(size(t)-1, 0)),"
+                    " slice(t, 2, greatest(size(t)-1, 0)),"
+                    " (x, y) -> concat('b:', x, ' ', y))"
+                ),
+            )
+        ).alias("g"),
+    ).groupBy("pair_id", "side", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cand = grams.filter(F.col("side") == 1).select("pair_id", "g", F.col("c").alias("cc"))
+    ref = grams.filter(F.col("side") == 0).select("pair_id", "g", F.col("c").alias("cr"))
+    ov = (
+        cand.join(ref, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(
+            F.sum(
+                F.when(F.col("g").startswith("u:"), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("r1_overlap"),
+            F.sum(
+                F.when(F.col("g").startswith("b:"), F.least("cc", "cr")).otherwise(0)
+            ).cast("long").alias("r2_overlap"),
+        )
+    )
+    t1 = sized.filter(F.col("side") == 1).select(
+        "pair_id", F.col("n1").alias("n1_cand"), F.col("n2").alias("n2_cand")
+    )
+    t0 = sized.filter(F.col("side") == 0).select(
+        "pair_id", F.col("n1").alias("n1_ref"), F.col("n2").alias("n2_ref")
+    )
+    return (
+        t1.join(t0, "pair_id")
+        .join(ov, "pair_id", "left")
+        .selectExpr(
+            "pair_id",
+            "n1_cand",
+            "n1_ref",
+            "CAST(coalesce(r1_overlap, 0) AS LONG) AS r1_overlap",
+            "n2_cand",
+            "n2_ref",
+            "CAST(coalesce(r2_overlap, 0) AS LONG) AS r2_overlap",
+        )
+        .selectExpr(
+            "pair_id",
+            "n1_cand",
+            "n1_ref",
+            "r1_overlap",
+            "CAST(CASE WHEN n1_cand = 0 THEN 0 ELSE 1000 * r1_overlap DIV n1_cand END AS LONG) AS r1_p_milli",
+            "CAST(CASE WHEN n1_ref = 0 THEN 0 ELSE 1000 * r1_overlap DIV n1_ref END AS LONG) AS r1_r_milli",
+            "CAST(CASE WHEN n1_cand + n1_ref = 0 THEN 0 ELSE 2000 * r1_overlap DIV (n1_cand + n1_ref) END AS LONG) AS r1_f_milli",
+            "n2_cand",
+            "n2_ref",
+            "r2_overlap",
+            "CAST(CASE WHEN n2_cand + n2_ref = 0 THEN 0 ELSE 2000 * r2_overlap DIV (n2_cand + n2_ref) END AS LONG) AS r2_f_milli",
+        )
+        .withColumn(
+            "keep",
+            (F.col("r1_f_milli") >= 500) & (F.col("r2_f_milli") >= 40),
+        )
+        .orderBy("pair_id")
+    )
+
+
+def shuffle_reuse_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE-REUSE PROOF — the physical-design companion of
+    bucketed_colocated_join: when one shuffled substrate (the
+    (user, day) spend rollup) feeds TWO downstream aggregations in a
+    single plan, Spark must compute the shuffle ONCE and wire the
+    second consumer to a ReusedExchange node — at 100 TB that is the
+    difference between one and two full shuffles of the fact table.
+    The entry builds exactly that DAG (daily rollup -> per-user peak
+    day UNION per-day total), executes it, and ASSERTS the EXECUTED
+    plan (not the static one) contains ReusedExchange — regression to
+    a double shuffle fails the driver row itself, b9 discipline.
+
+    The substrate-fanout shape is the reference's consolidation-then-
+    route topology (SURVEY §2.7 per-producer topology -> fused plan)
+    expressed as one Catalyst DAG. Money stays exact: cents as
+    BIGINT via decimal(18,2)*100. Oracle replays the daily CTE and
+    both rollups."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    b1 = daily.groupBy("user_id").agg(F.max("cents").alias("v")).select(
+        F.lit("peak_day_user").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("v").cast("long").alias("v"),
+    )
+    b2 = daily.groupBy("day").agg(F.sum("cents").alias("v")).select(
+        F.lit("day_total").alias("kind"),
+        F.col("day").cast("string").alias("key"),
+        F.col("v").cast("long").alias("v"),
+    )
+    out = b1.unionByName(b2)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:1500]
+    return spark.createDataFrame(
+        [(r["kind"], r["key"], int(r["v"])) for r in rows],
+        "kind string, key string, v long",
+    ).orderBy("kind", "key")
+
+
+def bottomk_sample_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE FIXED-SIZE UNIFORM SAMPLE (bottom-k by hash priority)
+    — the distributed replacement for reservoir sampling: give every
+    doc the deterministic 60-bit priority int(md5(doc_id)[:15], 16)
+    and keep the k=64 smallest. Bottom-k partials MERGE: per-shard
+    bottom-k (8 md5-routed shards here; thousands of partitions in
+    production), unioned and re-cut at k, must equal the direct
+    global bottom-k — the entry computes BOTH paths and asserts
+    set-equality in-entry before exporting (merged_equals_direct is
+    also a pinned column). deterministic_sample is the rate-filter
+    sibling; this is the fixed-size one.
+
+    Scale shape: the direct path plans as TakeOrderedAndProject
+    (per-partition top-k, k-row combine — no global sort, no
+    SinglePartition data-proportional exchange); the merge path's
+    per-shard cut is a window PARTITIONED by shard. Final re-rank
+    happens on <= k*shards collected rows (bounded, like the sketch
+    combines). Oracle replays priorities, both cuts, and the
+    equality."""
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("priority"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8),
+                16,
+                10,
+            ).cast("long") % 8
+        ).alias("shard"),
+    )
+    direct = [
+        (int(r["doc_id"]), int(r["priority"]), int(r["shard"]))
+        for r in pri.orderBy("priority", "doc_id").limit(k).collect()
+    ]
+    w = Window.partitionBy("shard").orderBy("priority", "doc_id")
+    per_shard = pri.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    merged = [
+        (int(r["doc_id"]), int(r["priority"]), int(r["shard"]))
+        for r in per_shard.orderBy("priority", "doc_id").limit(k).collect()
+    ]
+    ok = direct == merged
+    assert ok, f"bottom-k merge diverged: {direct[:3]} vs {merged[:3]}"
+    return spark.createDataFrame(
+        [
+            (i + 1, d, p, s, ok)
+            for i, (d, p, s) in enumerate(direct)
+        ],
+        "rank long, doc_id long, priority long, shard long,"
+        " merged_equals_direct boolean",
+    ).orderBy("rank")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -16253,6 +16463,11 @@ QUERIES = {
     "streaming_dedup_admission": streaming_dedup_admission,
     "doc_length_quantiles": doc_length_quantiles,
     "dedup_rate_by_source": dedup_rate_by_source,
+    # -- (b14) new in this r07 build session: never driver-checked —
+    #    r08 window after the b13 rows above ----------------------------
+    "rouge_pair_gate": rouge_pair_gate,
+    "shuffle_reuse_proof": shuffle_reuse_proof,
+    "bottomk_sample_merge_proof": bottomk_sample_merge_proof,
 }
 
 
