@@ -9358,3 +9358,104 @@ SELECT cast(d.rnk as bigint) AS rank, d.doc_id, d.priority,
   cast(d.shard as bigint) AS shard, eq.ok AS merged_equals_direct
 FROM direct d, eq ORDER BY rank
 """
+
+# bcubed_cluster_quality: banded components vs exact-Jaccard
+# components, two recursive closures, exact milli contingency table.
+ORACLES["bcubed_cluster_quality"] = f"""
+WITH RECURSIVE {_LSH_EDGE_CTES}, tedges AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id
+  WHERE cast(common as double) / cast(sa.n + sb.n - common as double)
+    >= 0.5
+), sym AS (
+  SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT s AS node FROM sym
+), reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT sy.d, r.lab FROM reach r JOIN sym sy ON sy.s = r.node
+), comp AS (
+  SELECT node, min(lab) AS c FROM reach GROUP BY node
+), sym2 AS (
+  SELECT a AS s, b AS d FROM tedges UNION ALL SELECT b, a FROM tedges
+), nodes2 AS (
+  SELECT DISTINCT s AS node FROM sym2
+), reach2(node, lab) AS (
+  SELECT node, node FROM nodes2
+  UNION
+  SELECT sy.d, r.lab FROM reach2 r JOIN sym2 sy ON sy.s = r.node
+), comp2 AS (
+  SELECT node, min(lab) AS t FROM reach2 GROUP BY node
+), asgn AS (
+  SELECT d.doc_id,
+    coalesce(c.c, d.doc_id) AS sys_component,
+    coalesce(c2.t, d.doc_id) AS true_component
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.node
+  LEFT JOIN comp2 c2 ON d.doc_id = c2.node
+), cells AS (
+  SELECT sys_component, true_component,
+    cast(count(*) as bigint) AS n_docs
+  FROM asgn GROUP BY ALL
+), cs AS (
+  SELECT sys_component, cast(sum(n_docs) as bigint) AS sys_size
+  FROM cells GROUP BY 1
+), ts AS (
+  SELECT true_component, cast(sum(n_docs) as bigint) AS true_size
+  FROM cells GROUP BY 1
+)
+SELECT cells.sys_component, cells.true_component, cells.n_docs,
+  cs.sys_size, ts.true_size,
+  cast(1000 * cells.n_docs // cs.sys_size as bigint) AS p_milli,
+  cast(1000 * cells.n_docs // ts.true_size as bigint) AS r_milli
+FROM cells
+JOIN cs USING (sys_component)
+JOIN ts USING (true_component)
+ORDER BY sys_component, true_component
+"""
+
+# semantic_contamination_audit: 6-hyperplane buckets (the
+# embedding_dedup_pairs block), eval x train in-bucket cosine, the
+# two-step deterministic argmax.
+ORACLES["semantic_contamination_audit"] = f"""
+WITH e AS (
+  SELECT vec_id, {_QLIST} AS qe FROM embeddings
+), bk AS (
+  SELECT vec_id, qe, {_BUCKET6} AS bucket FROM e
+), ev AS (
+  SELECT vec_id AS eval_id, qe, bucket FROM bk WHERE vec_id % 10 = 7
+), tr AS (
+  SELECT vec_id AS train_id, qe AS qt, bucket FROM bk
+  WHERE vec_id % 10 <> 7
+), scored AS (
+  SELECT eval_id, train_id,
+    cast(list_sum(list_transform(range(1, 65), i -> ev.qe[i] * tr.qt[i]))
+      as double)
+    / (sqrt(cast(list_sum(list_transform(range(1, 65),
+        i -> ev.qe[i] * ev.qe[i])) as double))
+     * sqrt(cast(list_sum(list_transform(range(1, 65),
+        i -> tr.qt[i] * tr.qt[i])) as double))) AS cosine
+  FROM ev JOIN tr USING (bucket)
+), hits AS (
+  SELECT * FROM scored WHERE cosine >= 0.35
+), agg AS (
+  SELECT eval_id, cast(count(*) as bigint) AS n_matches,
+    max(cosine) AS best_cosine
+  FROM hits GROUP BY 1
+), best AS (
+  SELECT h.eval_id, a.n_matches, a.best_cosine,
+    min(h.train_id) AS best_train
+  FROM hits h JOIN agg a
+    ON h.eval_id = a.eval_id AND h.cosine = a.best_cosine
+  GROUP BY 1, 2, 3
+)
+SELECT ev.eval_id,
+  cast(coalesce(b.n_matches, 0) as bigint) AS n_matches,
+  cast(coalesce(b.best_train, -1) as bigint) AS best_train,
+  cast(coalesce(b.best_cosine, 0.0) as double) AS best_cosine,
+  b.n_matches IS NOT NULL AS contaminated
+FROM ev LEFT JOIN best b USING (eval_id)
+ORDER BY ev.eval_id
+"""

@@ -16086,6 +16086,161 @@ def bottomk_sample_merge_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def bcubed_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-CUBED CLUSTER-QUALITY AUDIT — the cluster-level companion of
+    lsh_recall_audit (which grades EDGES): how much do the banded-LSH
+    near-dup components (the production clustering, dedup_clusters'
+    own output) deviate from the EXACT-Jaccard components (same 0.5
+    threshold, no banding) at the level dedup actually operates on —
+    clusters? B³ is the standard extrinsic measure: per doc,
+    precision = |C(d) ∩ T(d)| / |C(d)| and recall = the same over
+    |T(d)|. The export is the full (system component × true
+    component) contingency table with exact per-cell milli P/R —
+    singleton docs (most of the corpus) land on the diagonal with
+    P = R = 1000, and every banding-dropped edge shows up as a split
+    cell. All integers: 1000 * n_overlap DIV cluster_size.
+
+    Scale: system components come from the shared banded edge set
+    (never all-pairs) closed by the iterative min-label op; the exact
+    side is the inverted-index join — the audit-scale truth source,
+    same documented miniature status as lsh_recall_audit. The
+    contingency rollup is one keyed agg + two size joins. Oracle:
+    TWO recursive-CTE closures (banded and exact) + the same table."""
+    from intelligencepipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sys_comp = connected_components(_shared_lsh_edges(spark, sf_dir))
+    sh = _shared_shingles(spark, sf_dir, k=3)
+    true_edges = jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, shingles=sh
+    ).select("a", "b")
+    true_comp = connected_components(true_edges)
+    asgn = (
+        docs.select("doc_id")
+        .join(
+            sys_comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("sys_c"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(
+            true_comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("component").alias("true_c"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("sys_c", "doc_id").alias("sys_component"),
+            F.coalesce("true_c", "doc_id").alias("true_component"),
+        )
+    )
+    cells = asgn.groupBy("sys_component", "true_component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    cs = cells.groupBy("sys_component").agg(
+        F.sum("n_docs").cast("long").alias("sys_size")
+    )
+    ts = cells.groupBy("true_component").agg(
+        F.sum("n_docs").cast("long").alias("true_size")
+    )
+    return (
+        cells.join(cs, "sys_component")
+        .join(ts, "true_component")
+        .selectExpr(
+            "sys_component",
+            "true_component",
+            "n_docs",
+            "sys_size",
+            "true_size",
+            "CAST(1000 * n_docs DIV sys_size AS LONG) AS p_milli",
+            "CAST(1000 * n_docs DIV true_size AS LONG) AS r_milli",
+        )
+        .orderBy("sys_component", "true_component")
+    )
+
+
+def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE TRAIN/EVAL CONTAMINATION — the semantic
+    complement of contamination_check (which catches n-gram overlap):
+    an eval item is contaminated when a TRAIN item sits within cosine
+    0.35 in embedding space, even if no n-gram matches. Eval split =
+    vec_id % 10 == 7 (the held-out slice); candidates come from the
+    proven LSH block (same 6 md5-hyperplane buckets as
+    embedding_dedup_pairs — only same-bucket eval x train pairs are
+    scored, never the full cross product). Per eval item: match
+    count, the best train partner (max cosine, min id among exact
+    IEEE ties), and its cosine — every eval row exported, clean rows
+    included, so the audit doubles as the release checklist table.
+
+    Scale: bucket-keyed equi-join (uniform md5 key), exact integer
+    dots inside; per-eval argmax is a keyed agg + one tie-break join
+    — no window over the corpus. Oracle replays buckets, dots, and
+    both agg steps."""
+    from intelligencepipeline_spark.operators.similarity import (
+        hyperplane_bucket,
+        int_dot,
+        norm2,
+        quantize,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qv"),
+        hyperplane_bucket(F.col("embedding"), 6, 64).alias("bucket"),
+    )
+    ev = b.filter(F.col("vec_id") % 10 == 7).select(
+        F.col("vec_id").alias("eval_id"), F.col("qv").alias("qe"), "bucket"
+    )
+    tr = b.filter(F.col("vec_id") % 10 != 7).select(
+        F.col("vec_id").alias("train_id"), F.col("qv").alias("qt"), "bucket"
+    )
+    scored = (
+        ev.join(tr, "bucket")
+        .select(
+            "eval_id",
+            "train_id",
+            (
+                int_dot(F.col("qe"), F.col("qt")).cast("double")
+                / (
+                    F.sqrt(norm2(F.col("qe")).cast("double"))
+                    * F.sqrt(norm2(F.col("qt")).cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    agg = scored.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("cosine").alias("best_cosine"),
+    )
+    best = (
+        scored.join(agg, "eval_id")
+        .filter(F.col("cosine") == F.col("best_cosine"))
+        .groupBy("eval_id", "n_matches", "best_cosine")
+        .agg(F.min("train_id").alias("best_train"))
+    )
+    return (
+        ev.select("eval_id")
+        .join(best, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("best_train", F.lit(-1)).cast("long").alias("best_train"),
+            F.coalesce("best_cosine", F.lit(0.0)).cast("double").alias(
+                "best_cosine"
+            ),
+            F.col("n_matches").isNotNull().alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -16468,6 +16623,8 @@ QUERIES = {
     "rouge_pair_gate": rouge_pair_gate,
     "shuffle_reuse_proof": shuffle_reuse_proof,
     "bottomk_sample_merge_proof": bottomk_sample_merge_proof,
+    "bcubed_cluster_quality": bcubed_cluster_quality,
+    "semantic_contamination_audit": semantic_contamination_audit,
 }
 
 
