@@ -1,0 +1,78 @@
+"""ROUGE-L machinery: LCS length as a pure Catalyst expression.
+
+LCS is dynamic programming — the textbook case where people reach for
+a Python UDF. This module expresses the DP as a two-level fold
+instead, so it runs JVM-side with zero serialization:
+
+* outer level: ``aggregate()`` walks the candidate tokens carrying the
+  whole DP row (an ``array<bigint>``) as the accumulator;
+* inner level: the row update uses the prefix-max identity
+
+      cur[j] = max(prev[j], max_{k<=j} (b[k] = x ? prev[k-1] + 1 : 0))
+
+  which is valid because DP rows are monotone non-decreasing, and
+  removes the textbook ``cur[j-1]`` sequential dependency — so the
+  inner level is a plain ``transform()``, not a second fold with
+  O(row) array appends.
+
+Cost is O(|a| * |b|^2) expression ops per pair; callers bound token
+counts (self-instruct truncates instructions) so the per-pair work is
+constant. The DuckDB oracle replays the identical update with the row
+carried as a LIST through a recursive CTE (oracles.py
+``selfinstruct_rougeL_dedup``), and tests/test_rouge_lcs.py pins the
+fold against a brute-force O(n*m) Python DP on adversarial cases.
+
+Reference parity: the reference has no sequence-similarity surface at
+all (SURVEY.md §2.9); this family exists for the LLM-pipeline
+admission gates (self-instruct, Wang et al. 2022, uses ROUGE-L < 0.7
+vs the seed pool as its dedup criterion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_LCS_TEMPLATE = """
+IF(size({a}) = 0 OR size({b}) = 0, 0L,
+  element_at(
+    aggregate({a},
+      array_repeat(0L, size({b}) + 1),
+      (prev, x) -> concat(array(0L),
+        transform(sequence(1, size({b})), j ->
+          greatest(element_at(prev, j + 1),
+            array_max(transform(sequence(1, j), k ->
+              IF(element_at({b}, k) = x,
+                 element_at(prev, k) + 1L, 0L))))))),
+    size({b}) + 1))
+"""
+
+
+def lcs_len(a: str = "ta", b: str = "tb") -> Column:
+    """LCS length (bigint) of two array<string> columns, expression-only.
+
+    ``a`` / ``b`` are COLUMN NAMES (the expression references them by
+    name inside lambda scopes, where Column objects can't reach).
+    Empty arrays short-circuit to 0 — Spark's ``sequence(1, 0)``
+    counts DOWNWARD, so the guard is load-bearing, not cosmetic.
+    """
+    return F.expr(_LCS_TEMPLATE.format(a=a, b=b)).cast("long")
+
+
+def rouge_l_f_milli(
+    lcs: Column, n_a: Column, n_b: Column
+) -> Column:
+    """ROUGE-L F1 in exact milli: 2000*lcs DIV (|a|+|b|).
+
+    Shared-numerator identity (P and R have the same numerator):
+    2PR/(P+R) = 2*lcs/(|a|+|b|) — one exact integer division, no
+    float thresholding anywhere.
+    """
+    num = F.lit(2000) * lcs
+    den = n_a + n_b
+    # (num - num % den) / den is an exact multiple before the float
+    # division, so the result is the exact integer quotient — no
+    # truncation-vs-rounding edge anywhere.
+    return F.when(den == 0, F.lit(0).cast("long")).otherwise(
+        ((num - num % den) / den).cast("long")
+    )

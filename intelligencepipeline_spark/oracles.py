@@ -9459,3 +9459,58 @@ SELECT ev.eval_id,
 FROM ev LEFT JOIN best b USING (eval_id)
 ORDER BY ev.eval_id
 """
+
+# selfinstruct_rougeL_dedup: the LCS DP replayed move-for-move in a
+# recursive CTE — the row travels as a LIST column, the row update is
+# the same prefix-max identity the Spark fold uses.
+ORACLES["selfinstruct_rougeL_dedup"] = f"""
+WITH RECURSIVE toked AS (
+  SELECT doc_id, ({_NTOKS})[1:16] AS t FROM documents
+), seeds AS (
+  SELECT doc_id AS seed_id, t AS tb FROM toked WHERE doc_id % 53 = 0
+), cands AS (
+  SELECT doc_id AS cand_id, t AS ta FROM toked
+  WHERE doc_id % 53 <> 0 AND doc_id % 11 = 1
+), pairs AS (
+  SELECT cand_id, seed_id, ta, tb FROM cands CROSS JOIN seeds
+), dp(cand_id, seed_id, ta, tb, i, row) AS (
+  SELECT cand_id, seed_id, ta, tb, 0,
+    list_transform(range(0, len(tb) + 1), x -> cast(0 as bigint))
+  FROM pairs
+  UNION ALL
+  SELECT cand_id, seed_id, ta, tb, i + 1,
+    list_prepend(cast(0 as bigint),
+      list_transform(range(1, len(tb) + 1), j ->
+        greatest(row[j + 1],
+          coalesce(list_max(list_transform(range(1, j + 1), k ->
+            CASE WHEN tb[k] = ta[i + 1]
+              THEN row[k] + 1 ELSE cast(0 as bigint) END)),
+            cast(0 as bigint)))))
+  FROM dp WHERE i < len(ta)
+), fin AS (
+  SELECT cand_id, seed_id,
+    cast(len(ta) as bigint) AS n_toks,
+    coalesce(row[len(tb) + 1], 0) AS lcs,
+    cast(len(tb) as bigint) AS nb
+  FROM dp WHERE i = len(ta)
+), scored AS (
+  SELECT cand_id, seed_id, n_toks,
+    cast(CASE WHEN n_toks + nb = 0 THEN 0
+      ELSE 2000 * lcs // (n_toks + nb) END as bigint) AS f_milli
+  FROM fin
+), agg AS (
+  SELECT cand_id, max(f_milli) AS best_f_milli, max(n_toks) AS n_toks
+  FROM scored GROUP BY 1
+), best AS (
+  SELECT s.cand_id, a.best_f_milli, min(s.seed_id) AS best_seed
+  FROM scored s JOIN agg a
+    ON s.cand_id = a.cand_id AND s.f_milli = a.best_f_milli
+  GROUP BY 1, 2
+)
+SELECT a.cand_id, a.n_toks, b.best_seed,
+  cast(a.best_f_milli as bigint) AS best_f_milli,
+  a.best_f_milli < 700 AS keep
+FROM agg a JOIN best b
+  ON a.cand_id = b.cand_id AND a.best_f_milli = b.best_f_milli
+ORDER BY a.cand_id
+"""

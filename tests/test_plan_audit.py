@@ -876,3 +876,39 @@ def test_b13_late_entries_plan_shapes(spark):
     a = audit(dedup_rate_by_source(spark, SF))
     assert not a.cartesian
     assert not a.has_single_partition_exchange
+
+
+def test_b14_plan_shapes(spark):
+    """b14 additions keep their documented scale shapes: the ROUGE
+    pair gate is one (pair_id, gram) equi-join over keyed gram counts;
+    the contamination audit joins eval x train on the bucket key only;
+    the self-instruct gate's only join is the BROADCAST nested loop
+    against the bounded seed pool (that fanout is the operator's
+    definition — asserted present, while a non-broadcast cartesian is
+    asserted absent); the B-cubed audit never plans a cartesian."""
+    from intelligencepipeline_spark.queries import (
+        bcubed_cluster_quality,
+        rouge_pair_gate,
+        selfinstruct_rougeL_dedup,
+        semantic_contamination_audit,
+    )
+
+    a = audit(rouge_pair_gate(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+    assert "BroadcastNestedLoopJoin" not in a.plan
+
+    a = audit(semantic_contamination_audit(spark, SF))
+    assert a.reads_only("vec_id", "embedding"), a.read_schemas
+    assert not a.cartesian
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert not a.has_single_partition_exchange
+
+    a = audit(selfinstruct_rougeL_dedup(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian  # broadcast NLJ, never CartesianProduct
+    assert "BroadcastNestedLoopJoin" in a.plan, a.plan[:1500]
+    assert not a.has_single_partition_exchange
+
+    a = audit(bcubed_cluster_quality(spark, SF))
+    assert not a.cartesian

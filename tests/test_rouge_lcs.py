@@ -1,0 +1,87 @@
+"""Pin the expression-side LCS fold (operators/rouge.py) against a
+brute-force Python DP, including the adversarial shapes that break
+naive prefix-max rewrites: repeated tokens, full containment, empty
+and single-token sequences.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.rouge import lcs_len
+
+
+def brute_lcs(a: list[str], b: list[str]) -> int:
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if b[j - 1] == x:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[len(b)]
+
+
+def _rand_tokens(seed: str, n: int, vocab: int) -> list[str]:
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.append(f"w{int(h[:8], 16) % vocab}")
+    return out
+
+
+def test_lcs_fold_matches_bruteforce(spark):
+    cases = [
+        ([], []),
+        ([], ["a"]),
+        (["a"], []),
+        (["a"], ["a"]),
+        (["a"], ["b"]),
+        (["a", "b", "c", "d"], ["b", "c", "d", "e"]),
+        (["a", "a", "a"], ["a", "a"]),
+        (["a", "b", "a", "b", "a"], ["b", "a", "b", "a", "b"]),
+        (["x", "y", "z"], ["z", "y", "x"]),
+        (["a", "b", "c"], ["a", "b", "c"]),
+    ]
+    # deterministic pseudo-random cases across sizes and vocab
+    # pressures (small vocab => many repeats => DP actually exercised)
+    for s in range(20):
+        na, nb = (s * 7) % 17, (s * 11) % 17
+        vocab = 2 + s % 5
+        cases.append(
+            (
+                _rand_tokens(f"a{s}", na, vocab),
+                _rand_tokens(f"b{s}", nb, vocab),
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "id long, ta array<string>, tb array<string>",
+    )
+    got = {
+        r["id"]: r["lcs"]
+        for r in df.select("id", lcs_len("ta", "tb").alias("lcs")).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == brute_lcs(a, b), (i, a, b, got[i], brute_lcs(a, b))
+
+
+def test_rouge_l_f_milli_exact(spark):
+    from intelligencepipeline_spark.operators.rouge import rouge_l_f_milli
+
+    rows = [(0, 0, 0, 0), (1, 3, 4, 5), (2, 16, 16, 16), (3, 1, 16, 3)]
+    df = spark.createDataFrame(rows, "id long, lcs long, na long, nb long")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id",
+            rouge_l_f_milli(
+                F.col("lcs"), F.col("na"), F.col("nb")
+            ).alias("f"),
+        ).collect()
+    }
+    for i, lcs, na, nb in rows:
+        want = 0 if na + nb == 0 else (2000 * lcs) // (na + nb)
+        assert got[i] == want, (i, got[i], want)
