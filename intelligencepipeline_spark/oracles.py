@@ -9514,3 +9514,54 @@ FROM agg a JOIN best b
   ON a.cand_id = b.cand_id AND a.best_f_milli = b.best_f_milli
 ORDER BY a.cand_id
 """
+
+# streaming_bottomk_sample: the sequential state folds replayed via
+# the prefix identity bottom-k(state ∪ batch) = bottom-k(arrivals so
+# far); eviction/admission ledger from the three ranked prefixes.
+ORACLES["streaming_bottomk_sample"] = """
+WITH pri AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 15))
+      as bigint) AS priority,
+    doc_id % 3 AS batch
+  FROM documents
+), prefixes AS (
+  SELECT b.b AS batch, p.doc_id, p.priority, p.batch AS arr,
+    row_number() OVER (
+      PARTITION BY b.b ORDER BY p.priority, p.doc_id) AS rn
+  FROM pri p JOIN (SELECT range AS b FROM range(0, 3)) b
+    ON p.batch <= b.b
+), state AS (
+  SELECT batch, doc_id, priority, arr FROM prefixes WHERE rn <= 64
+), sizes AS (
+  SELECT batch,
+    cast(count(*) as bigint) AS state_size,
+    cast(min(priority) as bigint) AS state_min_priority,
+    cast(max(priority) as bigint) AS state_max_priority,
+    cast(sum(CASE WHEN arr = batch THEN 1 ELSE 0 END) as bigint)
+      AS n_admitted,
+    cast(sum(CASE WHEN arr < batch THEN 1 ELSE 0 END) as bigint)
+      AS carried
+  FROM state GROUP BY batch
+), seen AS (
+  SELECT batch, cast(count(*) as bigint) AS n_seen FROM pri
+  GROUP BY batch
+), direct AS (
+  SELECT doc_id FROM pri
+  QUALIFY row_number() OVER (ORDER BY priority, doc_id) <= 64
+), eq AS (
+  SELECT
+    (SELECT count(*) FROM (SELECT doc_id FROM state WHERE batch = 2
+      EXCEPT SELECT doc_id FROM direct)) = 0
+    AND
+    (SELECT count(*) FROM (SELECT doc_id FROM direct
+      EXCEPT SELECT doc_id FROM state WHERE batch = 2)) = 0 AS ok
+)
+SELECT s.batch, seen.n_seen, s.n_admitted,
+  cast(coalesce(lag(s.state_size) OVER (ORDER BY s.batch), 0)
+    - s.carried as bigint) AS n_evicted,
+  s.state_size, s.state_min_priority, s.state_max_priority,
+  eq.ok AS final_equals_direct
+FROM sizes s JOIN seen USING (batch), eq
+ORDER BY s.batch
+"""

@@ -16320,6 +16320,126 @@ def selfinstruct_rougeL_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE MERGEABLE BOTTOM-K SAMPLER RUN ONLINE — the operational
+    form of bottomk_sample_merge_proof: a fixed-size uniform corpus
+    sample maintained across three AvailableNow micro-batches
+    (doc_id%3 = 0,1,2 in forced mtime order). Each batch's bottom-64
+    (by the same 60-bit md5 priority) merges into the at-rest sample
+    store, which is re-cut at k and OVERWRITTEN — the k-row state a
+    reservoir sampler would keep, except hash-priority state merges
+    losslessly and deterministically (a true reservoir's RNG state
+    cannot). Exports per batch: seen, admitted-to-state, evicted-
+    from-state, state size and priority bounds — the order-dependent
+    admission ledger — plus the end-to-end flag that the final state
+    EQUALS the one-shot bottom-64 over the whole corpus (asserted
+    in-entry too).
+
+    Scale: per batch the cut is TakeOrderedAndProject over the batch
+    plus the k-row store; state is O(k) rows at rest, ever. Oracle
+    replays the folds via the prefix identity bottom-k(state ∪ batch)
+    = bottom-k(arrivals so far) — three ranked prefixes, exact
+    integer priorities."""
+    import os
+
+    k = 64
+    docs = _t(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long").alias("priority"),
+        (F.col("doc_id") % 3).cast("long").alias("batch"),
+    )
+    src = scratch_dir("ip_bk_src_")
+    stage = scratch_dir("ip_bk_stage_")
+    store = scratch_dir("ip_bk_state_")
+    log = scratch_dir("ip_bk_log_")
+    import shutil as _sh
+
+    for b in (0, 1, 2):
+        d = os.path.join(stage, f"b{b}")
+        pri.filter(F.col("batch") == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [
+            (int(r["doc_id"]), int(r["priority"]), int(r["batch"]))
+            for r in batch_df.orderBy("priority", "doc_id")
+            .limit(k)
+            .collect()
+        ]
+        bno = rows[0][2] if rows else -1
+        n_seen = batch_df.count()
+        state_files = [
+            f_ for f_ in os.listdir(store) if f_.endswith(".parquet")
+        ]
+        prev = (
+            [
+                (int(r["doc_id"]), int(r["priority"]), int(r["batch"]))
+                for r in spark.read.parquet(store).collect()
+            ]
+            if state_files
+            else []
+        )
+        new_state = sorted(set(prev) | set(rows), key=lambda t: (t[1], t[0]))[
+            :k
+        ]
+        admitted = sum(1 for t in new_state if t[2] == bno)
+        evicted = len(prev) - sum(1 for t in new_state if t in set(prev))
+        spark.createDataFrame(
+            new_state, "doc_id long, priority long, batch long"
+        ).coalesce(1).write.mode("overwrite").parquet(store)
+        spark.createDataFrame(
+            [
+                (
+                    bno,
+                    int(n_seen),
+                    admitted,
+                    evicted,
+                    len(new_state),
+                    new_state[0][1],
+                    new_state[-1][1],
+                )
+            ],
+            "batch long, n_seen long, n_admitted long, n_evicted long,"
+            " state_size long, state_min_priority long,"
+            " state_max_priority long",
+        ).coalesce(1).write.mode("append").parquet(log)
+
+    q = (
+        spark.readStream.schema("doc_id long, priority long, batch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", scratch_dir("ip_bk_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "bottom-k stream hung"
+    final = {
+        (int(r["doc_id"]), int(r["priority"]))
+        for r in spark.read.parquet(store).collect()
+    }
+    direct = {
+        (int(r["doc_id"]), int(r["priority"]))
+        for r in pri.orderBy("priority", "doc_id").limit(k).collect()
+    }
+    ok = final == direct
+    assert ok, f"streamed state != direct bottom-{k}"
+    return (
+        spark.read.parquet(log)
+        .withColumn("final_equals_direct", F.lit(ok))
+        .orderBy("batch")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -16705,6 +16825,7 @@ QUERIES = {
     "bcubed_cluster_quality": bcubed_cluster_quality,
     "semantic_contamination_audit": semantic_contamination_audit,
     "selfinstruct_rougeL_dedup": selfinstruct_rougeL_dedup,
+    "streaming_bottomk_sample": streaming_bottomk_sample,
 }
 
 
