@@ -9565,3 +9565,54 @@ SELECT s.batch, seen.n_seen, s.n_admitted,
 FROM sizes s JOIN seen USING (batch), eq
 ORDER BY s.batch
 """
+
+# semantic_chunking: windows, hashing-trick embeddings, signs, and
+# the cosine break rule replayed with DuckDB list lambdas.
+ORACLES["semantic_chunking"] = f"""
+WITH d AS (
+  SELECT doc_id, {_NTOKS} AS t FROM documents
+), w AS (
+  SELECT doc_id, t,
+    list_transform(range(0, (len(t) + 7) // 8),
+      i -> t[i * 8 + 1 : i * 8 + 8]) AS wins
+  FROM d
+), e AS (
+  SELECT doc_id, t, wins,
+    list_transform(wins, w -> list_transform(range(0, 16), dd ->
+      coalesce(list_sum(list_transform(w, x ->
+        CASE WHEN cast(concat('0x', substr(md5(x), 1, 8)) as bigint)
+            % 16 = dd
+          THEN (CASE WHEN cast(concat('0x', substr(md5(x), 9, 1))
+              as bigint) % 2 = 0 THEN 1 ELSE -1 END)
+          ELSE 0 END)), 0))) AS embs,
+    len(wins) AS nw
+  FROM w
+), br AS (
+  SELECT doc_id, t, nw,
+    list_transform(range(1, nw), i ->
+      CASE WHEN list_sum(list_transform(range(1, 17),
+          dd -> embs[i][dd] * embs[i][dd])) = 0
+        OR list_sum(list_transform(range(1, 17),
+          dd -> embs[i+1][dd] * embs[i+1][dd])) = 0
+        THEN 1
+        WHEN cast(list_sum(list_transform(range(1, 17),
+            dd -> embs[i][dd] * embs[i+1][dd])) as double)
+          / (sqrt(cast(list_sum(list_transform(range(1, 17),
+              dd -> embs[i][dd] * embs[i][dd])) as double))
+           * sqrt(cast(list_sum(list_transform(range(1, 17),
+              dd -> embs[i+1][dd] * embs[i+1][dd])) as double)))
+          < 0.25
+        THEN 1 ELSE 0 END) AS breaks
+  FROM e
+)
+SELECT doc_id,
+  cast(len(t) as bigint) AS n_tokens,
+  cast(nw as bigint) AS n_windows,
+  cast(coalesce(list_sum(breaks), 0) as bigint) AS n_breaks,
+  cast(CASE WHEN nw = 0 THEN 0
+    ELSE coalesce(list_sum(breaks), 0) + 1 END as bigint) AS n_chunks,
+  cast(CASE WHEN nw = 0 THEN 0
+    ELSE 1000 * nw // (coalesce(list_sum(breaks), 0) + 1) END as bigint)
+    AS mean_chunk_windows_milli
+FROM br ORDER BY doc_id
+"""

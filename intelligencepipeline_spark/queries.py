@@ -16440,6 +16440,90 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC CHUNKER — the RAG-side chunking upgrade over the
+    fixed-size family (window_chunks / overlap_chunks): split where
+    MEANING shifts, not where a token count runs out. Docs are cut
+    into 8-token windows; each window gets a 16-dim hashing-trick
+    embedding (md5 feature hashing with a deterministic ±1 sign — the
+    hashed_embedding lane, expression-side); a chunk boundary falls
+    between adjacent windows whose cosine drops below 0.25 (or whose
+    embedding cancels to zero norm). Exports per doc: token/window/
+    break/chunk counts and mean chunk length in milli-windows — the
+    table a RAG ingest publishes to tune its chunker.
+
+    Scale: the WHOLE op is expression-side inside one scan projection
+    — windows, embeddings, dots, breaks are nested HOFs over the
+    token array; zero joins, zero Python, zero shuffles (the plan pin
+    asserts a join-free single-exchange-free shape). Per-doc cost is
+    O(windows * 16 * 8). Oracle replays windows, hashing, signs, and
+    the cosine rule with DuckDB list lambdas."""
+    docs = _t(spark, sf_dir, "documents")
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0L,"
+        " (acc, v) -> acc + v)"
+    )
+    cos_break = (
+        "IF(" + dot.format(x="a", y="a") + " = 0 OR "
+        + dot.format(x="b", y="b") + " = 0, 1, IF("
+        + "CAST(" + dot.format(x="a", y="b") + " AS DOUBLE) / "
+        + "(SQRT(CAST(" + dot.format(x="a", y="a") + " AS DOUBLE)) * "
+        + "SQRT(CAST(" + dot.format(x="b", y="b") + " AS DOUBLE)))"
+        + " < 0.25, 1, 0))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            tokens(normalize_text(F.col("text"))).alias("t"),
+        )
+        .withColumn(
+            "wins",
+            F.expr(
+                "IF(size(t) = 0, array(),"
+                " transform(sequence(0, CAST((size(t) + 7) DIV 8 AS INT)"
+                " - 1), i -> slice(t, i * 8 + 1, 8)))"
+            ),
+        )
+        .withColumn(
+            "embs",
+            F.expr(
+                "transform(wins, w -> transform(sequence(0, 15), d ->"
+                " aggregate(w, 0L, (acc, x) -> acc +"
+                " IF(CAST(conv(substring(md5(x), 1, 8), 16, 10) AS LONG)"
+                " % 16 = d,"
+                " IF(CAST(conv(substring(md5(x), 9, 1), 16, 10) AS LONG)"
+                " % 2 = 0, 1L, -1L), 0L))))"
+            ),
+        )
+        .withColumn(
+            "breaks",
+            F.expr(
+                "zip_with(slice(embs, 1, greatest(size(embs) - 1, 0)),"
+                " slice(embs, 2, greatest(size(embs) - 1, 0)),"
+                f" (a, b) -> {cos_break})"
+            ),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(t) AS LONG) AS n_tokens",
+            "CAST(size(wins) AS LONG) AS n_windows",
+            "CAST(aggregate(breaks, 0L, (acc, v) -> acc + v) AS LONG)"
+            " AS n_breaks",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            "n_breaks",
+            "CAST(IF(n_windows = 0, 0, n_breaks + 1) AS LONG) AS n_chunks",
+            "CAST(IF(n_windows = 0, 0,"
+            " 1000 * n_windows DIV (n_breaks + 1)) AS LONG)"
+            " AS mean_chunk_windows_milli",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -16826,6 +16910,7 @@ QUERIES = {
     "semantic_contamination_audit": semantic_contamination_audit,
     "selfinstruct_rougeL_dedup": selfinstruct_rougeL_dedup,
     "streaming_bottomk_sample": streaming_bottomk_sample,
+    "semantic_chunking": semantic_chunking,
 }
 
 

@@ -912,3 +912,14 @@ def test_b14_plan_shapes(spark):
 
     a = audit(bcubed_cluster_quality(spark, SF))
     assert not a.cartesian
+
+    from intelligencepipeline_spark.queries import semantic_chunking
+
+    a = audit(semantic_chunking(spark, SF))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    # whole op rides the scan: the only exchange is the final
+    # presentation sort's range partitioning
+    assert a.shuffle_exchanges == 0, a.plan[:1200]
+    assert not a.has_single_partition_exchange
