@@ -9616,3 +9616,81 @@ SELECT doc_id,
     AS mean_chunk_windows_milli
 FROM br ORDER BY doc_id
 """
+
+# state_store_reader_audit: the state a correct streaming run MUST
+# checkpoint is exactly the batch aggregate over its input; metadata
+# constants pinned (operator stateStoreSave, 32 shuffle partitions,
+# one AvailableNow batch).
+ORACLES["state_store_reader_audit"] = """
+SELECT cast(user_id % 50 as bigint) AS k,
+  count(*) AS state_n,
+  cast(sum(event_id) as bigint) AS state_sum,
+  count(*) AS batch_n,
+  cast(sum(event_id) as bigint) AS batch_sum,
+  TRUE AS consistent,
+  'stateStoreSave' AS operator_name,
+  cast(32 as bigint) AS num_state_partitions,
+  cast(0 as bigint) AS max_batch_id
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+# python_stream_source_resume: the feed is md5-derived from the row
+# index, so the full 42-row ledger regenerates from generate_series;
+# the per-chunk rollup mirrors the entry's batch = i DIV 7 grouping.
+ORACLES["python_stream_source_resume"] = """
+WITH f AS (
+  SELECT i,
+    cast(concat('0x', substr(md5('feed:' || i), 1, 12)) as bigint) AS v
+  FROM generate_series(0, 41) t(i)
+)
+SELECT i // 7 AS batch,
+  count(*) AS n_rows,
+  count(distinct i) AS n_distinct,
+  min(i) AS min_i,
+  max(i) AS max_i,
+  cast(sum(v) as bigint) AS sum_v
+FROM f
+GROUP BY 1
+ORDER BY batch
+"""
+
+# runtime_bloom_filter_join: the join aggregate itself (exact decimal
+# revenue, one final cast to double); the executed-plan bloom
+# injection flag is pinned TRUE (asserted in-entry on the Spark side).
+ORACLES["runtime_bloom_filter_join"] = f"""
+SELECT l_returnflag,
+  count(*) AS n_items,
+  cast(sum({_REV}) as double) AS revenue,
+  TRUE AS bloom_pushed
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# mapinarrow_byte_histogram: ASCII-exact character classes recomputed
+# with DuckDB regex/replace; the Arrow-vs-expression lane equality is
+# asserted per-doc in the entry and pinned TRUE here.
+ORACLES["mapinarrow_byte_histogram"] = """
+WITH c AS (
+  SELECT source,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+    length(text) - length(replace(text, ' ', '')) AS s,
+    length(text) AS l
+  FROM documents
+)
+SELECT source,
+  count(*) AS n_docs,
+  cast(sum(a) as bigint) AS sum_alpha,
+  cast(sum(d) as bigint) AS sum_digit,
+  cast(sum(s) as bigint) AS sum_space,
+  cast(sum(l - a - d - s) as bigint) AS sum_other,
+  TRUE AS all_equal
+FROM c
+GROUP BY source
+ORDER BY source
+"""

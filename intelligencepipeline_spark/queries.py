@@ -16524,6 +16524,355 @@ def semantic_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def state_store_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING STATE INTROSPECTED AS A TABLE — Spark's ``statestore``
+    data source reads a query's checkpointed aggregation state back as
+    a DataFrame (the operational debugging lane the reference's
+    RocksDB state stores lack a public analogue for,
+    KafkaIntelligencePipeline.kt:90): a keyed count+sum aggregation
+    runs over a staged copy of ``events`` (AvailableNow, update mode),
+    then the entry reads BOTH the per-key state rows
+    (``key.k / value.count / value.sum``) and the ``state-metadata``
+    catalog (operator name, partition count, batch range) straight
+    from the checkpoint and joins the state against a batch recompute
+    of the same input — ``consistent`` pins state == batch per key.
+
+    Scale: state reads are partition-parallel (one task per state
+    partition — ``partition_id`` comes back as a column); the audit
+    never replays the stream. At 100 TB this is how you verify a
+    stateful job's checkpoint after an incident without re-running it.
+    Oracle: the state a correct run MUST hold is exactly the batch
+    aggregate, so DuckDB derives it from ``events`` directly, with the
+    metadata constants pinned (operator ``stateStoreSave``, 32 shuffle
+    partitions, single AvailableNow batch 0)."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        (F.col("user_id") % 50).alias("k"),
+        F.col("event_id").alias("m"),
+    )
+    staged = scratch_dir("ip_ssr_src_")
+    ck = scratch_dir("ip_ssr_ck_")
+    keyed.coalesce(4).write.mode("overwrite").parquet(staged)
+
+    q = (
+        spark.readStream.schema("k long, m long")
+        .parquet(staged)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("s"))
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.format("statestore").load(ck).select(
+        F.col("key.k").alias("k"),
+        F.col("value.count").alias("state_n"),
+        F.col("value.sum").alias("state_sum"),
+    )
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ck)
+        .select("operatorName", "numPartitions", "maxBatchId")
+        .collect()[0]
+    )
+    batch = (
+        spark.read.parquet(staged)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("batch_n"), F.sum("m").alias("batch_sum"))
+    )
+    return (
+        state.join(batch, "k")
+        .select(
+            "k",
+            "state_n",
+            "state_sum",
+            "batch_n",
+            "batch_sum",
+            (
+                (F.col("state_n") == F.col("batch_n"))
+                & (F.col("state_sum") == F.col("batch_sum"))
+            ).alias("consistent"),
+            F.lit(str(meta["operatorName"])).alias("operator_name"),
+            F.lit(int(meta["numPartitions"])).cast("long").alias(
+                "num_state_partitions"
+            ),
+            F.lit(int(meta["maxBatchId"])).cast("long").alias("max_batch_id"),
+        )
+        .orderBy("k")
+    )
+
+
+def python_stream_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM PYTHON STREAMING SOURCE WITH EXACTLY-ONCE OFFSET RESUME —
+    the streaming half of the periodic-poll connector story (S5,
+    sources/pyfeed.py covers the batch Python DataSource): a
+    ``SimpleDataSourceStreamReader`` serves a deterministic 42-row feed
+    in 7-row offset chunks, and the entry runs SIX SEPARATE
+    AvailableNow executions against ONE checkpoint — each restart
+    resumes from the committed offset, so the union of the six runs is
+    exactly the feed, no dupes, no gaps (asserted in-entry). This is
+    the reference's checkpointed poll loop
+    (IngestionService.kt-analogue per SURVEY §2.2) on Spark's native
+    offset ledger instead of a hand-rolled one.
+
+    Scale: the reader is an offset cursor — state is ONE tiny JSON
+    offset per batch in the checkpoint; the sink is ordinary
+    partitioned parquet. Oracle: the feed values are md5-derived
+    (``feed:i``), so DuckDB regenerates all 42 rows from
+    ``generate_series`` and folds the same per-chunk ledger."""
+    import hashlib
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    chunk, total = 7, 42
+
+    class _FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"off": 0}
+
+        def read(self, start):
+            off = int(start["off"])
+            end = min(off + chunk, total)
+            rows = [
+                (
+                    i,
+                    int(
+                        hashlib.md5(f"feed:{i}".encode()).hexdigest()[:12],
+                        16,
+                    ),
+                )
+                for i in range(off, end)
+            ]
+            return (iter(rows), {"off": end})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (
+                    i,
+                    int(
+                        hashlib.md5(f"feed:{i}".encode()).hexdigest()[:12],
+                        16,
+                    ),
+                )
+                for i in range(int(start["off"]), int(end["off"]))
+            )
+
+    class _FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "ip_feed15"
+
+        def schema(self):
+            return "i long, v long"
+
+        def simpleStreamReader(self, schema):
+            return _FeedReader()
+
+    spark.dataSource.register(_FeedSource)
+    out = scratch_dir("ip_pysrc_out_")
+    ck = scratch_dir("ip_pysrc_ck_")
+    for _ in range(total // chunk):
+        q = (
+            spark.readStream.format("ip_feed15")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out)
+    n, nd = got.select(
+        F.count(F.lit(1)), F.countDistinct("i")
+    ).collect()[0]
+    assert n == total and nd == total, (n, nd)
+    return (
+        got.groupBy(F.expr(f"i DIV {chunk}").alias("batch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("i").alias("n_distinct"),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+            F.sum("v").alias("sum_v"),
+        )
+        .orderBy("batch")
+    )
+
+
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER ROW PRUNING proven on the executed plan —
+    the third leg of the at-scale join toolkit next to broadcast
+    (q3 family) and AQE skew splitting (aqe_skew_join_proof): with
+    ``spark.sql.optimizer.runtime.bloomFilter`` enabled, a selective
+    filter on ``orders`` is turned into a bloom filter BUILT AT
+    RUNTIME and pushed into the ``lineitem`` scan side of the
+    shuffle join, so the big side drops non-joining rows BEFORE the
+    shuffle. The entry executes the join under miniaturized
+    thresholds (broadcast off so the join actually shuffles) and
+    asserts ``might_contain`` appears in the EXECUTED plan — the
+    filter was injected and survived optimization, not just enabled.
+
+    At 100 TB this is the difference between shuffling the full fact
+    table and shuffling only the ~1/3 of rows that can match —
+    free, declarative, no manual semi-join staging. Confs are
+    saved/restored. Oracle: the join result itself (per-flag counts
+    and exact decimal revenue), bloom flag pinned TRUE."""
+    keep: dict[str, str | None] = {}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "64MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        line = load_table(spark, sf_dir, "lineitem")
+        out = (
+            line.join(
+                orders.select("o_orderkey"),
+                line["l_orderkey"] == orders["o_orderkey"],
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        bloom_pushed = "might_contain" in plan
+        assert bloom_pushed, plan[:1500]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [
+            (str(r["l_returnflag"]), int(r["n_items"]),
+             float(r["revenue"]), bloom_pushed)
+            for r in rows
+        ],
+        "l_returnflag string, n_items long, revenue double,"
+        " bloom_pushed boolean",
+    ).orderBy("l_returnflag")
+
+
+def mapinarrow_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY ARROW BATCH LANE (``mapInArrow``) hash-pinned against
+    the expression engine — the third Python execution lane next to
+    Pandas UDFs (multimodal family) and row UDTFs
+    (udtf_sentence_chunks): character-class counts per document are
+    computed INSIDE Arrow RecordBatches (no pandas conversion, no row
+    marshalling — the lane a custom tokenizer or codec would use),
+    then joined against a pure-expression recompute of the same
+    counts; ``all_equal`` pins the two lanes bit-identical per source
+    before rolling up per-source totals. Classes are ASCII-exact
+    ([A-Za-z], [0-9], space, rest) so Java regex, Python comparison
+    chains, and DuckDB regex agree codepoint-for-codepoint.
+
+    Scale: the Arrow path streams batch-at-a-time with constant
+    per-batch overhead — the measured-fast shape for per-row Python
+    when expressions genuinely can't express the work (here they CAN,
+    which is what makes the audit checkable). Oracle: per-source
+    regex recompute in DuckDB, flag pinned TRUE."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def classes(it):
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            na, nd, ns, no = [], [], [], []
+            for t in texts:
+                t = t or ""
+                a = sum(
+                    1 for c in t if "a" <= c <= "z" or "A" <= c <= "Z"
+                )
+                d = sum(1 for c in t if "0" <= c <= "9")
+                s = t.count(" ")
+                na.append(a)
+                nd.append(d)
+                ns.append(s)
+                no.append(len(t) - a - d - s)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_alpha": pa.array(na, pa.int64()),
+                    "n_digit": pa.array(nd, pa.int64()),
+                    "n_space": pa.array(ns, pa.int64()),
+                    "n_other": pa.array(no, pa.int64()),
+                }
+            )
+
+    arrow = docs.select("doc_id", "text").mapInArrow(
+        classes,
+        "doc_id long, n_alpha long, n_digit long, n_space long,"
+        " n_other long",
+    )
+    expr = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("e_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("e_digit"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        ).alias("e_space"),
+        F.length("text").alias("e_len"),
+    )
+    joined = arrow.join(expr, "doc_id").withColumn(
+        "lanes_equal",
+        (F.col("n_alpha") == F.col("e_alpha"))
+        & (F.col("n_digit") == F.col("e_digit"))
+        & (F.col("n_space") == F.col("e_space"))
+        & (
+            F.col("n_other")
+            == F.col("e_len") - F.col("e_alpha") - F.col("e_digit")
+            - F.col("e_space")
+        ),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_alpha").alias("sum_alpha"),
+            F.sum("n_digit").alias("sum_digit"),
+            F.sum("n_space").alias("sum_space"),
+            F.sum("n_other").alias("sum_other"),
+            F.bool_and("lanes_equal").alias("all_equal"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -16911,6 +17260,12 @@ QUERIES = {
     "selfinstruct_rougeL_dedup": selfinstruct_rougeL_dedup,
     "streaming_bottomk_sample": streaming_bottomk_sample,
     "semantic_chunking": semantic_chunking,
+    # -- (b15) new in this r07 build session: never driver-checked —
+    #    r08 window after the b14 rows above ----------------------------
+    "state_store_reader_audit": state_store_reader_audit,
+    "python_stream_source_resume": python_stream_source_resume,
+    "runtime_bloom_filter_join": runtime_bloom_filter_join,
+    "mapinarrow_byte_histogram": mapinarrow_byte_histogram,
 }
 
 
