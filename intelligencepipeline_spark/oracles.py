@@ -9694,3 +9694,154 @@ FROM c
 GROUP BY source
 ORDER BY source
 """
+
+
+# wht_audio_fingerprint: replay the five exact-integer butterfly
+# stages over 1-indexed DuckDB lists; fingerprints are sign-bit packs,
+# distances xor + bit_count. The stage/sample/fingerprint fragments
+# are generated by the loops below so the structure provably matches
+# the entry's 0-indexed Spark transforms element for element.
+def _wht_dk_samples(h: str) -> str:
+    def b(pos: int) -> str:
+        return f"cast(concat('0x', substr({h}, j*4+{pos}, 2)) as bigint)"
+
+    return (
+        f"list_transform(range(0, 32), j -> {b(1)} + 256 * {b(3)}"
+        f" - CASE WHEN {b(3)} >= 128 THEN 65536 ELSE 0 END)"
+    )
+
+
+def _wht_dk_stage(col: str, bit: int) -> str:
+    return (
+        f"list_transform(range(0, 32), i -> CASE WHEN (i & {bit}) = 0"
+        f" THEN {col}[i+1] + {col}[i+{bit}+1]"
+        f" ELSE {col}[i-{bit}+1] - {col}[i+1] END)"
+    )
+
+
+def _wht_dk_fp(col: str) -> str:
+    return (
+        f"cast(list_sum(list_transform(range(0, 32), i -> CASE WHEN"
+        f" {col}[i+1] > 0 THEN (cast(1 as bigint) << i) ELSE"
+        f" cast(0 as bigint) END)) as bigint)"
+    )
+
+
+_WHT_CTES = [
+    """d AS (
+  SELECT doc_id,
+    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+      AS h,
+    md5(text || 'z') || md5(text || 'z1') || md5(text || 'z2') ||
+      md5(text || 'z3') AS g
+  FROM documents
+)""",
+    f"""p0 AS (
+  SELECT doc_id, {_wht_dk_samples('h')} AS b0, {_wht_dk_samples('g')} AS o0
+  FROM d
+)""",
+    """p0b AS (
+  SELECT doc_id, b0, o0,
+    list_transform(range(0, 32), j ->
+      b0[j+1] + CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END) AS t0
+  FROM p0
+)""",
+]
+for _s, _bit in enumerate((1, 2, 4, 8, 16), start=1):
+    _WHT_CTES.append(
+        f"""p{_s} AS (
+  SELECT doc_id, {_wht_dk_stage(f'b{_s-1}', _bit)} AS b{_s},
+    {_wht_dk_stage(f't{_s-1}', _bit)} AS t{_s},
+    {_wht_dk_stage(f'o{_s-1}', _bit)} AS o{_s}
+  FROM p{'0b' if _s == 1 else _s-1}
+)"""
+    )
+
+ORACLES["wht_audio_fingerprint"] = f"""
+WITH {', '.join(_WHT_CTES)},
+f AS (
+  SELECT doc_id, {_wht_dk_fp('b5')} AS fb, {_wht_dk_fp('t5')} AS ft,
+    {_wht_dk_fp('o5')} AS fo
+  FROM p5
+)
+SELECT doc_id,
+  fb AS fp_base,
+  cast(bit_count(xor(fb, ft)) as bigint) AS ham_dither,
+  cast(bit_count(xor(fb, fo)) as bigint) AS ham_other,
+  bit_count(xor(fb, ft)) <= 4 AS near_dither
+FROM f
+ORDER BY doc_id
+"""
+
+# readability_gate: same token/sentence/vowel-group counts, same
+# two-IEEE-division FK formula with identical association order.
+ORACLES["readability_gate"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    cast(len({_NTOKS}) as bigint) AS n_words,
+    cast(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+      as bigint) AS n_sentences,
+    cast(coalesce(list_sum(list_transform({_NTOKS}, x ->
+      greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+      as bigint) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words = 0 THEN 0.0
+    ELSE (cast(390 * n_words as double) / n_sentences
+      + cast(11800 * n_syllables as double) / n_words) - 15590.0
+  END AS fk_grade_milli,
+  n_words > 0 AND
+    ((cast(390 * n_words as double) / n_sentences
+      + cast(11800 * n_syllables as double) / n_words) - 15590.0)
+    BETWEEN 3000.0 AND 15000.0 AS keep
+FROM t
+ORDER BY doc_id
+"""
+
+# chat_truncation_plan: replay the sentence split (the F5 chunker
+# idiom), per-turn whitespace token counts, and the budget-24 suffix
+# rule over DuckDB lists.
+ORACLES["chat_truncation_plan"] = """
+WITH arr AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1),
+                     'g'), chr(1)),
+        x -> trim(x)),
+      x -> length(x) > 0) AS turns
+  FROM documents
+), l AS (
+  SELECT doc_id, len(turns) AS n,
+    list_transform(turns, t ->
+      cast(len(list_filter(string_split(t, ' '), y -> y <> '')) as bigint))
+      AS tl
+  FROM arr
+), k AS (
+  SELECT doc_id, n, tl,
+    CASE WHEN n = 0 THEN cast(24 as bigint) ELSE 24 - tl[1] END AS bl,
+    CASE WHEN n < 2 THEN cast(0 as bigint)
+      ELSE cast(len(list_filter(range(2, n + 1), i ->
+        coalesce(list_sum(tl[i:]), 0) <= (24 - tl[1]))) as bigint)
+    END AS kept_tail
+  FROM l
+)
+SELECT doc_id,
+  cast(n as bigint) AS n_turns,
+  CASE WHEN n = 0 THEN cast(0 as bigint) ELSE 1 + kept_tail END
+    AS kept_turns,
+  CASE WHEN n = 0 THEN cast(0 as bigint) ELSE n - 1 - kept_tail END
+    AS dropped_turns,
+  cast(CASE WHEN n = 0 THEN 0
+    ELSE tl[1] + coalesce(list_sum(tl[cast(n - kept_tail + 1 as bigint):]), 0)
+  END as bigint) AS kept_tokens,
+  cast(cast(coalesce(list_sum(tl), 0) as bigint)
+    - (CASE WHEN n = 0 THEN 0
+       ELSE tl[1] + coalesce(list_sum(tl[cast(n - kept_tail + 1 as bigint):]),
+                             0) END) as bigint)
+    AS dropped_tokens,
+  CASE WHEN n = 0 THEN FALSE ELSE n - 1 - kept_tail > 0 END AS truncated
+FROM k
+ORDER BY doc_id
+"""

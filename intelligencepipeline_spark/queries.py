@@ -16873,6 +16873,228 @@ def mapinarrow_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wht_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY-DOMAIN AUDIO NEAR-DUP IN EXACT INTEGERS — a
+    Shazam-style spectral fingerprint built WITHOUT floats: each doc
+    carries a 32-sample int16 PCM clip (md5-derived, the audio-synth
+    substrate the WAV codec entries established), a 32-point
+    Walsh-Hadamard transform runs as FIVE expression-only butterfly
+    stages (the integer-exact stand-in for the FFT every perceptual
+    audio hash rests on), and the fingerprint is the 32 coefficient
+    sign bits packed to a bigint. Robustness/separation are measured
+    per doc: hamming to the fingerprint of a +/-1-dithered copy of the
+    SAME clip (small — sign flips need a near-zero coefficient) vs
+    hamming to an independent second clip (~16 expected). near_dither
+    applies the match rule hamming <= 4.
+
+    Scale: pure per-row expression scan — no shuffle, no UDF, no
+    collect; at 100 TB the banded-hamming join of the dhash/phash
+    family applies unchanged to these fingerprints. Oracle: DuckDB
+    replays the identical butterfly stages over 1-indexed lists
+    (exact integers end to end), xor + bit_count for the distances."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def _samples(hcol: str) -> str:
+        def b(pos: int) -> str:
+            return (
+                f"cast(conv(substring({hcol}, j*4+{pos}, 2), 16, 10)"
+                " as bigint)"
+            )
+
+        return (
+            f"transform(sequence(0, 31), j -> {b(1)} + 256 * {b(3)}"
+            f" - IF({b(3)} >= 128, 65536L, 0L))"
+        )
+
+    def _stage(col: str, bit: int) -> str:
+        return (
+            f"transform(sequence(0, 31), i -> IF((i & {bit}) = 0,"
+            f" element_at({col}, i+1) + element_at({col}, i+{bit}+1),"
+            f" element_at({col}, i-{bit}+1) - element_at({col}, i+1)))"
+        )
+
+    def _fp(col: str) -> str:
+        return (
+            f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc +"
+            f" IF(element_at({col}, i+1) > 0, shiftleft(1L, i), 0L))"
+        )
+
+    d = (
+        docs.select("doc_id", "text")
+        .withColumn(
+            "h",
+            F.expr(
+                "concat(md5(text), md5(concat(text, 'a')),"
+                " md5(concat(text, 'b')), md5(concat(text, 'c')))"
+            ),
+        )
+        .withColumn(
+            "g",
+            F.expr(
+                "concat(md5(concat(text, 'z')), md5(concat(text, 'z1')),"
+                " md5(concat(text, 'z2')), md5(concat(text, 'z3')))"
+            ),
+        )
+        .withColumn("b0", F.expr(_samples("h")))
+        .withColumn("o0", F.expr(_samples("g")))
+        .withColumn(
+            "t0",
+            F.expr(
+                "transform(sequence(0, 31), j ->"
+                " element_at(b0, j+1) + IF(j % 2 = 0, 1L, -1L))"
+            ),
+        )
+    )
+    for s, bit in enumerate((1, 2, 4, 8, 16), start=1):
+        for p in ("b", "t", "o"):
+            d = d.withColumn(f"{p}{s}", F.expr(_stage(f"{p}{s-1}", bit)))
+    return (
+        d.withColumn("fp_base", F.expr(_fp("b5")))
+        .withColumn("fp_d", F.expr(_fp("t5")))
+        .withColumn("fp_o", F.expr(_fp("o5")))
+        .select(
+            "doc_id",
+            "fp_base",
+            F.expr("cast(bit_count(fp_base ^ fp_d) as bigint)").alias(
+                "ham_dither"
+            ),
+            F.expr("cast(bit_count(fp_base ^ fp_o) as bigint)").alias(
+                "ham_other"
+            ),
+            F.expr("bit_count(fp_base ^ fp_d) <= 4").alias("near_dither"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def readability_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID READABILITY GATE — the classic pretraining
+    quality signal next to the Gopher rules (gopher_quality_rules)
+    and the LM gate (ngram_lm_perplexity_gate): words = normalized
+    whitespace tokens, sentences = terminal-punctuation count
+    (floored at 1), syllables = maximal [aeiouy]+ vowel groups per
+    word (floored at 1 — the standard heuristic), FK grade exported
+    in milli-units as (390*W/S + 11800*Syl/W) - 15590 with exactly
+    TWO IEEE divisions of exact integers (the allowed form), and the
+    gate keeps docs in the mid-band [3.0, 15.0] grade.
+
+    Scale: pure expression scan, no shuffle, no UDF. Oracle replays
+    token/vowel-group/sentence counts and the same two-division
+    formula in DuckDB; integer counts make every branch exact."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(normalize_text(F.col("text")))).cast("long").alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.lit(1),
+            F.length(F.regexp_replace("text", r"[^.!?]", "")),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.expr(
+            "aggregate(filter(split(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')),"
+            " ' '), x -> x != ''), 0L, (acc, x) -> acc + greatest(1L,"
+            " cast(size(regexp_extract_all(x, '[aeiouy]+', 0)) as bigint)))"
+        ).alias("n_syllables"),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "IF(n_words = 0, 0.0D,"
+            " (CAST(390 * n_words AS DOUBLE) / n_sentences"
+            " + CAST(11800 * n_syllables AS DOUBLE) / n_words)"
+            " - 15590.0D)"
+        ).alias("fk_grade_milli"),
+        F.expr(
+            "n_words > 0 AND"
+            " ((CAST(390 * n_words AS DOUBLE) / n_sentences"
+            " + CAST(11800 * n_syllables AS DOUBLE) / n_words)"
+            " - 15590.0D) BETWEEN 3000.0D AND 15000.0D"
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def chat_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW TRUNCATION PLANNING for multi-turn chats — the
+    serving/SFT-time policy "keep the system turn plus the longest
+    recent suffix that fits the token budget": each doc's sentences
+    (functions/nlp.sentence_chunks — the same F5 chunker the SFT
+    family builds turns from) are the conversation's turns, turn 1 is
+    the pinned system prompt, and with budget B=24 tokens the kept
+    set is turn 1 plus the maximal turn suffix whose token mass fits
+    in B minus the system tokens. Exports the full plan ledger per
+    conversation: turn/token counts kept and dropped plus the
+    truncated flag.
+
+    Scale: per-row array fold (the suffix scan is O(n^2) on the
+    BOUNDED per-doc turn list, never a shuffle); at 100 TB this is an
+    ingest-time stamping pass like fim_span_plan. Oracle replays the
+    split, the per-turn token counts and the suffix rule over DuckDB
+    lists."""
+    from intelligencepipeline_spark.functions.nlp import sentence_chunks
+
+    budget = 24
+    docs = _t(spark, sf_dir, "documents")
+    d = (
+        docs.select(
+            "doc_id", sentence_chunks(F.col("text")).alias("turns")
+        )
+        .withColumn(
+            "toklens",
+            F.expr(
+                "transform(turns, t -> cast(size(filter(split(t, ' '),"
+                " x -> x != '')) as bigint))"
+            ),
+        )
+        .withColumn("n_turns", F.size("turns").cast("long"))
+        .withColumn(
+            "budget_left",
+            F.expr(f"{budget}L - IF(n_turns = 0, 0L, element_at(toklens, 1))"),
+        )
+        .withColumn(
+            "kept_tail",
+            F.expr(
+                "IF(n_turns < 2, 0L, cast(size(filter(sequence(2,"
+                " cast(n_turns as int)), i -> aggregate(slice(toklens, i,"
+                " cast(n_turns as int) - i + 1), 0L, (a, x) -> a + x)"
+                " <= budget_left)) as bigint))"
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "n_turns",
+        F.expr("IF(n_turns = 0, 0L, 1L + kept_tail)").alias("kept_turns"),
+        F.expr("IF(n_turns = 0, 0L, n_turns - 1L - kept_tail)").alias(
+            "dropped_turns"
+        ),
+        F.expr(
+            "IF(n_turns = 0, 0L, element_at(toklens, 1) +"
+            " coalesce(aggregate(slice(toklens,"
+            " cast(n_turns - kept_tail + 1 as int),"
+            " cast(kept_tail as int)), 0L, (a, x) -> a + x), 0L))"
+        ).alias("kept_tokens"),
+        F.expr(
+            "coalesce(aggregate(toklens, 0L, (a, x) -> a + x), 0L)"
+            " - IF(n_turns = 0, 0L, element_at(toklens, 1) +"
+            " coalesce(aggregate(slice(toklens,"
+            " cast(n_turns - kept_tail + 1 as int),"
+            " cast(kept_tail as int)), 0L, (a, x) -> a + x), 0L))"
+        ).alias("dropped_tokens"),
+        F.expr("IF(n_turns = 0, false, n_turns - 1L - kept_tail > 0)").alias(
+            "truncated"
+        ),
+    ).orderBy("doc_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -17266,6 +17488,9 @@ QUERIES = {
     "python_stream_source_resume": python_stream_source_resume,
     "runtime_bloom_filter_join": runtime_bloom_filter_join,
     "mapinarrow_byte_histogram": mapinarrow_byte_histogram,
+    "wht_audio_fingerprint": wht_audio_fingerprint,
+    "readability_gate": readability_gate,
+    "chat_truncation_plan": chat_truncation_plan,
 }
 
 
