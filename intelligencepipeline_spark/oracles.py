@@ -9845,3 +9845,78 @@ SELECT doc_id,
 FROM k
 ORDER BY doc_id
 """
+
+# fellegi_sunter_linkage: replay the dirty replica, nation blocking,
+# smoothed milli m/u estimates, and the exact-rational odds products.
+ORACLES["fellegi_sunter_linkage"] = """
+WITH cust AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+    substr(md5('ph' || cast(c_custkey as varchar)), 1, 10) AS c_phone
+  FROM customer
+), a AS (
+  SELECT c_custkey AS a_id, c_name AS a_name, c_phone AS a_phone,
+    c_mktsegment AS a_seg, c_nationkey AS nation
+  FROM cust
+), b AS (
+  SELECT c_custkey AS b_id,
+    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS b_name,
+    CASE WHEN c_custkey % 2 = 0 THEN 'z' || substr(c_phone, 2)
+         ELSE c_phone END AS b_phone,
+    c_mktsegment AS b_seg, c_nationkey AS nation
+  FROM cust
+), p AS (
+  SELECT a_id, b_id,
+    a_name = b_name AS ag_name,
+    a_phone = b_phone AS ag_phone,
+    a_seg = b_seg AS ag_seg,
+    a_id = b_id AS is_true_match
+  FROM a JOIN b USING (nation)
+), s AS (
+  SELECT
+    sum(CASE WHEN is_true_match THEN 1 ELSE 0 END) AS nm,
+    sum(CASE WHEN is_true_match THEN 0 ELSE 1 END) AS nu,
+    sum(CASE WHEN ag_name AND is_true_match THEN 1 ELSE 0 END) AS am_name,
+    sum(CASE WHEN ag_name AND NOT is_true_match THEN 1 ELSE 0 END) AS au_name,
+    sum(CASE WHEN ag_phone AND is_true_match THEN 1 ELSE 0 END) AS am_phone,
+    sum(CASE WHEN ag_phone AND NOT is_true_match THEN 1 ELSE 0 END)
+      AS au_phone,
+    sum(CASE WHEN ag_seg AND is_true_match THEN 1 ELSE 0 END) AS am_seg,
+    sum(CASE WHEN ag_seg AND NOT is_true_match THEN 1 ELSE 0 END) AS au_seg
+  FROM p
+), mu AS (
+  SELECT
+    greatest(1, least(999, (1000 * (am_name + 1)) // (nm + 2))) AS m_name,
+    greatest(1, least(999, (1000 * (au_name + 1)) // (nu + 2))) AS u_name,
+    greatest(1, least(999, (1000 * (am_phone + 1)) // (nm + 2))) AS m_phone,
+    greatest(1, least(999, (1000 * (au_phone + 1)) // (nu + 2))) AS u_phone,
+    greatest(1, least(999, (1000 * (am_seg + 1)) // (nm + 2))) AS m_seg,
+    greatest(1, least(999, (1000 * (au_seg + 1)) // (nu + 2))) AS u_seg
+  FROM s
+)
+SELECT a_id, b_id, ag_name, ag_phone, ag_seg,
+  cast((CASE WHEN ag_name THEN m_name ELSE 1000 - m_name END)
+     * (CASE WHEN ag_phone THEN m_phone ELSE 1000 - m_phone END)
+     * (CASE WHEN ag_seg THEN m_seg ELSE 1000 - m_seg END) as bigint)
+    AS odds_num,
+  cast((CASE WHEN ag_name THEN u_name ELSE 1000 - u_name END)
+     * (CASE WHEN ag_phone THEN u_phone ELSE 1000 - u_phone END)
+     * (CASE WHEN ag_seg THEN u_seg ELSE 1000 - u_seg END) as bigint)
+    AS odds_den,
+  cast((1000 * ((CASE WHEN ag_name THEN m_name ELSE 1000 - m_name END)
+     * (CASE WHEN ag_phone THEN m_phone ELSE 1000 - m_phone END)
+     * (CASE WHEN ag_seg THEN m_seg ELSE 1000 - m_seg END)))
+   // ((CASE WHEN ag_name THEN u_name ELSE 1000 - u_name END)
+     * (CASE WHEN ag_phone THEN u_phone ELSE 1000 - u_phone END)
+     * (CASE WHEN ag_seg THEN u_seg ELSE 1000 - u_seg END)) as bigint)
+    AS odds_milli,
+  (1000 * ((CASE WHEN ag_name THEN m_name ELSE 1000 - m_name END)
+     * (CASE WHEN ag_phone THEN m_phone ELSE 1000 - m_phone END)
+     * (CASE WHEN ag_seg THEN m_seg ELSE 1000 - m_seg END)))
+   // ((CASE WHEN ag_name THEN u_name ELSE 1000 - u_name END)
+     * (CASE WHEN ag_phone THEN u_phone ELSE 1000 - u_phone END)
+     * (CASE WHEN ag_seg THEN u_seg ELSE 1000 - u_seg END)) >= 8000
+    AS predicted_match,
+  is_true_match
+FROM p, mu
+ORDER BY a_id, b_id
+"""

@@ -17095,6 +17095,108 @@ def chat_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILISTIC RECORD LINKAGE (Fellegi-Sunter) IN EXACT INTEGERS
+    — the weighted upgrade of the rule-based matchers
+    (entity_resolution, fuzzy_name_pairs): a dirty replica of
+    ``customer`` perturbs name (every 3rd key) and a derived phone
+    (every 2nd key), candidate pairs come from nationkey blocking
+    (never all-pairs), and per-field m/u probabilities are ESTIMATED
+    FROM THE BLOCKED PAIRS THEMSELVES in milli-units with add-one
+    smoothing — m = P(field agrees | same entity), u = P(agrees |
+    different). Each pair's match score is the exact-rational
+    likelihood odds: numerator/denominator are products of the three
+    per-field milli-probabilities (<= 1000^3, long-safe), exported as
+    odds_milli = 1000*num DIV den with the decision rule odds >= 8.
+    No floats, no logs — the log-odds ordering IS the rational-odds
+    ordering, so the classic sum-of-log-weights ranking is preserved
+    exactly.
+
+    Scale: one blocked self-join (block size ~n/25) + a single 1-row
+    m/u aggregate folded back as literals; at 100 TB you block harder
+    (sorted-neighborhood or LSH keys, same join shape). Oracle
+    replays the replica, the blocking join, the smoothed milli m/u
+    estimates and the odds products in DuckDB CTEs."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.expr("substring(md5(concat('ph', cast(c_custkey as string))),"
+               " 1, 10)").alias("c_phone"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_id"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_phone").alias("a_phone"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_id"),
+        F.expr(
+            "IF(c_custkey % 3 = 0, concat(c_name, 'X'), c_name)"
+        ).alias("b_name"),
+        F.expr(
+            "IF(c_custkey % 2 = 0, concat('z', substring(c_phone, 2)),"
+            " c_phone)"
+        ).alias("b_phone"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    pairs = a.join(b, "nation").select(
+        "a_id",
+        "b_id",
+        (F.col("a_name") == F.col("b_name")).alias("ag_name"),
+        (F.col("a_phone") == F.col("b_phone")).alias("ag_phone"),
+        (F.col("a_seg") == F.col("b_seg")).alias("ag_seg"),
+        (F.col("a_id") == F.col("b_id")).alias("is_true_match"),
+    )
+    pairs = track_persist(pairs)
+    st = pairs.agg(
+        F.sum(F.when(F.col("is_true_match"), 1).otherwise(0)).alias("nm"),
+        F.sum(F.when(~F.col("is_true_match"), 1).otherwise(0)).alias("nu"),
+        *[
+            F.sum(
+                F.when(F.col(f"ag_{f}") & cond(F.col("is_true_match")), 1)
+                .otherwise(0)
+            ).alias(f"{tag}_{f}")
+            for f in ("name", "phone", "seg")
+            for tag, cond in (("am", lambda c: c), ("au", lambda c: ~c))
+        ],
+    ).collect()[0]
+    nm, nu = int(st["nm"]), int(st["nu"])
+    def _clamp(x: int) -> int:
+        # keep milli-probabilities in (0, 1000) so neither odds side
+        # can hit a zero factor (u floors to 0 at large pair counts)
+        return max(1, min(999, x))
+
+    mu = {
+        f: (
+            _clamp((1000 * (int(st[f"am_{f}"]) + 1)) // (nm + 2)),
+            _clamp((1000 * (int(st[f"au_{f}"]) + 1)) // (nu + 2)),
+        )
+        for f in ("name", "phone", "seg")
+    }
+    num = " * ".join(
+        f"IF(ag_{f}, {m}L, {1000 - m}L)" for f, (m, _) in mu.items()
+    )
+    den = " * ".join(
+        f"IF(ag_{f}, {u}L, {1000 - u}L)" for f, (_, u) in mu.items()
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "ag_name",
+        "ag_phone",
+        "ag_seg",
+        F.expr(num).alias("odds_num"),
+        F.expr(den).alias("odds_den"),
+        F.expr(f"(1000L * ({num})) DIV ({den})").alias("odds_milli"),
+        F.expr(f"(1000L * ({num})) DIV ({den}) >= 8000").alias(
+            "predicted_match"
+        ),
+        "is_true_match",
+    ).orderBy("a_id", "b_id")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -17491,6 +17593,7 @@ QUERIES = {
     "wht_audio_fingerprint": wht_audio_fingerprint,
     "readability_gate": readability_gate,
     "chat_truncation_plan": chat_truncation_plan,
+    "fellegi_sunter_linkage": fellegi_sunter_linkage,
 }
 
 
