@@ -17278,10 +17278,11 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (position 50) ======================
-    # PLANNED r08 WINDOW (50): the 27 never-driver-checked entries lead
-    # — the 2 remaining b12 rows (lsh_parameter_advisor,
-    # ingestion_trend_forecast) then the 25 b13 rows in registration
-    # order — url_canonical_dedup, robots_opt_out_sweep,
+    # PLANNED r08 WINDOW (50): after the r07 run lands, 43 entries
+    # will still have no driver row — ALL of them lead the r08 window
+    # in registration order: the 2 remaining b12 rows
+    # (lsh_parameter_advisor, ingestion_trend_forecast), then the b13
+    # rows — url_canonical_dedup, robots_opt_out_sweep,
     # secret_scanning_gate, pass_at_k_estimate, interval_bucket_join,
     # kcenter_coreset_selection, hilbert_layout_prune_audit,
     # ccnet_perplexity_buckets, gif_decode_stats, streaming_pass_at_k,
@@ -17292,17 +17293,19 @@ QUERIES = {
     # training_release_manifest, fim_span_plan,
     # canary_extraction_audit, tokenizer_lang_fairness,
     # streaming_dedup_admission, doc_length_quantiles,
-    # dedup_rate_by_source; all at the END of this dict) — padded to
-    # 50 with the 23 stalest rows (freshest driver row = r02) in
-    # CORRECTNESS_r02 order:
+    # dedup_rate_by_source — then the 9 b14 rows (rouge_pair_gate,
+    # shuffle_reuse_proof, bottomk_sample_merge_proof,
+    # bcubed_cluster_quality, semantic_contamination_audit,
+    # selfinstruct_rougeL_dedup, streaming_bottomk_sample,
+    # semantic_chunking) and the 9 b15 rows
+    # (state_store_reader_audit, python_stream_source_resume,
+    # runtime_bloom_filter_join, mapinarrow_byte_histogram,
+    # wht_audio_fingerprint, readability_gate, chat_truncation_plan,
+    # fellegi_sunter_linkage, plus any later additions in this dict's
+    # tail order) — padded to 50 with the 7 stalest rows (freshest
+    # driver row = r02) in CORRECTNESS_r02 order:
     # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
-    # salted_user_stats, hypertable_rollup, keyphrases, sentence_chunks,
-    # hashed_embedding, q17_small_quantity_revenue, full_outer_activity,
-    # top_value_suppliers, text_extraction, dedup_clusters,
-    # q5_local_supplier_volume, q10_returned_items,
-    # streaming_consolidation, dedup_survivor_docs, profile_columns,
-    # deterministic_sample, q9_product_profit, q13_customer_distribution,
-    # q15_top_supplier.
+    # salted_user_stats, hypertable_rollup, keyphrases.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,

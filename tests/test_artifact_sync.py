@@ -55,7 +55,7 @@ def test_status_md_covers_registry():
     qs, _ = _registry()
     with open(os.path.join(REPO, "STATUS.md")) as fh:
         text = fh.read()
-    rows = set(re.findall(r"^\| \d+ \| ([a-z0-9_]+) \|", text, re.M))
+    rows = set(re.findall(r"^\| \d+ \| ([A-Za-z0-9_]+) \|", text, re.M))
     assert rows == qs, f"missing: {qs - rows}; stale: {rows - qs}"
 
 

@@ -1,0 +1,197 @@
+"""b15 wave: brute-force property checks for the exact-integer
+operators (WHT fingerprint, FK readability, chat truncation,
+Fellegi-Sunter odds) — a THIRD independent implementation next to the
+Spark entry and the DuckDB oracle."""
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _samples(text: str, salts: tuple[str, ...]) -> list[int]:
+    h = "".join(
+        hashlib.md5((text + s).encode()).hexdigest() for s in salts
+    )
+    out = []
+    for j in range(32):
+        lo = int(h[j * 4 : j * 4 + 2], 16)
+        hi = int(h[j * 4 + 2 : j * 4 + 4], 16)
+        out.append(lo + 256 * hi - (65536 if hi >= 128 else 0))
+    return out
+
+
+def _wht(a: list[int]) -> list[int]:
+    a = list(a)
+    for bit in (1, 2, 4, 8, 16):
+        b = [0] * 32
+        for i in range(32):
+            if i & bit == 0:
+                b[i] = a[i] + a[i + bit]
+            else:
+                b[i] = a[i - bit] - a[i]
+        a = b
+    return a
+
+
+def _fp(coefs: list[int]) -> int:
+    return sum(1 << i for i, c in enumerate(coefs) if c > 0)
+
+
+def test_wht_fingerprint_brute_force(spark):
+    from intelligencepipeline_spark.queries import wht_audio_fingerprint
+
+    got = {
+        r["doc_id"]: r
+        for r in wht_audio_fingerprint(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    assert len(docs) == 40
+    for doc_id, text in docs:
+        base = _samples(text, ("", "a", "b", "c"))
+        other = _samples(text, ("z", "z1", "z2", "z3"))
+        dither = [s + (1 if j % 2 == 0 else -1) for j, s in enumerate(base)]
+        fb = _fp(_wht(base))
+        ft = _fp(_wht(dither))
+        fo = _fp(_wht(other))
+        r = got[doc_id]
+        assert r["fp_base"] == fb, doc_id
+        assert r["ham_dither"] == bin(fb ^ ft).count("1"), doc_id
+        assert r["ham_other"] == bin(fb ^ fo).count("1"), doc_id
+
+
+def test_wht_is_involution_up_to_scale():
+    # WHT . WHT = 32 * identity — a structural check that the butterfly
+    # stage wiring really is the Walsh-Hadamard transform.
+    base = _samples("the quick brown fox", ("", "a", "b", "c"))
+    twice = _wht(_wht(base))
+    assert twice == [32 * s for s in base]
+
+
+def _norm_tokens(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9 ]", " ", text.lower())
+    t = re.sub(r" +", " ", t).strip()
+    return [x for x in t.split(" ") if x]
+
+
+def test_readability_brute_force(spark):
+    from intelligencepipeline_spark.queries import readability_gate
+
+    got = {r["doc_id"]: r for r in readability_gate(spark, SF_DIR).collect()}
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    for doc_id, text in docs:
+        toks = _norm_tokens(text)
+        w = len(toks)
+        s = max(1, sum(text.count(c) for c in ".!?"))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", x))) for x in toks)
+        r = got[doc_id]
+        assert r["n_words"] == w and r["n_sentences"] == s
+        assert r["n_syllables"] == syl
+        if w:
+            fk = (390.0 * w) / s + (11800.0 * syl) / w - 15590.0
+            assert r["fk_grade_milli"] == pytest.approx(fk, abs=1e-9)
+            assert r["keep"] == (3000.0 <= fk <= 15000.0)
+
+
+def _sentences(text: str) -> list[str]:
+    marked = re.sub(r"([.!?])\s+", "\\1\u0001", text)
+    return [p.strip() for p in marked.split("\u0001") if p.strip()]
+
+
+def test_chat_truncation_brute_force(spark):
+    from intelligencepipeline_spark.queries import chat_truncation_plan
+
+    got = {
+        r["doc_id"]: r for r in chat_truncation_plan(spark, SF_DIR).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    budget = 24
+    for doc_id, text in docs:
+        turns = _sentences(text)
+        lens = [len([x for x in t.split(" ") if x]) for t in turns]
+        n = len(turns)
+        r = got[doc_id]
+        assert r["n_turns"] == n
+        if n == 0:
+            assert r["kept_turns"] == 0 and not r["truncated"]
+            continue
+        left = budget - lens[0]
+        kept_tail = sum(1 for i in range(1, n) if sum(lens[i:]) <= left)
+        kept_tokens = lens[0] + sum(lens[n - kept_tail :])
+        assert r["kept_turns"] == 1 + kept_tail, doc_id
+        assert r["kept_tokens"] == kept_tokens, doc_id
+        assert r["dropped_tokens"] == sum(lens) - kept_tokens, doc_id
+        assert r["truncated"] == (n - 1 - kept_tail > 0), doc_id
+
+
+def test_fellegi_sunter_ranking(spark):
+    """Odds must rank full-agreement pairs (true matches with no
+    perturbation) above any pair disagreeing on name or phone, and
+    the prediction rule must recover exactly the unperturbed +
+    segment-lucky true matches with high precision."""
+    from intelligencepipeline_spark.queries import fellegi_sunter_linkage
+
+    rows = fellegi_sunter_linkage(spark, SF_DIR).collect()
+    full = [r for r in rows if r["ag_name"] and r["ag_phone"] and r["ag_seg"]]
+    assert full, "blocking lost the clean true matches"
+    worst_full = min(r["odds_milli"] for r in full)
+    best_dis = max(
+        (r["odds_milli"] for r in rows if not r["ag_name"]
+         and not r["ag_phone"]),
+        default=0,
+    )
+    assert worst_full > best_dis
+    predicted = [r for r in rows if r["predicted_match"]]
+    tp = sum(1 for r in predicted if r["is_true_match"])
+    assert tp / len(predicted) > 0.9, (tp, len(predicted))
+
+
+def test_b15_plan_shapes(spark):
+    from intelligencepipeline_spark.plans.audit import audit
+    from intelligencepipeline_spark.queries import (
+        chat_truncation_plan,
+        fellegi_sunter_linkage,
+        mapinarrow_byte_histogram,
+        readability_gate,
+        wht_audio_fingerprint,
+    )
+
+    a = audit(wht_audio_fingerprint(spark, SF_DIR))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(readability_gate(spark, SF_DIR))
+    assert a.reads_only("doc_id", "text", "lang"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(chat_truncation_plan(spark, SF_DIR))
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(mapinarrow_byte_histogram(spark, SF_DIR))
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(fellegi_sunter_linkage(spark, SF_DIR))
+    assert not a.cartesian
+    assert "BroadcastNestedLoopJoin" not in a.plan
+    assert not a.has_single_partition_exchange

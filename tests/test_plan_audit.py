@@ -919,7 +919,8 @@ def test_b14_plan_shapes(spark):
     assert a.reads_only("doc_id", "text"), a.read_schemas
     assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
     assert not a.cartesian
-    # whole op rides the scan: the only exchange is the final
+    # whole op rides the scan: the only exchanges are the _fanout
+    # repartition of the compact documents scan and the final
     # presentation sort's range partitioning
-    assert a.shuffle_exchanges == 0, a.plan[:1200]
+    assert a.shuffle_exchanges <= 2, a.plan[:1200]
     assert not a.has_single_partition_exchange
