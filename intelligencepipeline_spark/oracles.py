@@ -9920,3 +9920,64 @@ SELECT a_id, b_id, ag_name, ag_phone, ag_seg,
 FROM p, mu
 ORDER BY a_id, b_id
 """
+
+# dpp_partition_pruning_proof: months 1-3 aggregate over lineitem;
+# the dynamicpruning injection flag is asserted in-entry.
+ORACLES["dpp_partition_pruning_proof"] = f"""
+SELECT cast(month(l_shipdate) as integer) AS ship_month,
+  count(*) AS n_items,
+  cast(sum({_REV}) as double) AS revenue,
+  TRUE AS dpp_pruned
+FROM lineitem
+WHERE month(l_shipdate) IN (1, 2, 3)
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+# cbo_join_reorder_proof: the BUILDING-segment star aggregate; both
+# optimized-plan order flags are asserted in-entry and pinned TRUE.
+ORACLES["cbo_join_reorder_proof"] = """
+SELECT c_mktsegment,
+  count(*) AS n_items,
+  cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+    AS base_price,
+  TRUE AS cbo_dims_first,
+  TRUE AS heuristic_fact_first
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# udtf_dynamic_ngrams: first three normalized tokens as columns with
+# ''-padding, replayed over DuckDB lists.
+ORACLES["udtf_dynamic_ngrams"] = f"""
+WITH t AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  coalesce(toks[1], '') AS tok_1,
+  coalesce(toks[2], '') AS tok_2,
+  coalesce(toks[3], '') AS tok_3
+FROM t
+ORDER BY doc_id
+"""
+
+# sql_variable_gate: replay the two-step derivation — the ceil-mean
+# threshold CTE stands in for the session variable.
+ORACLES["sql_variable_gate"] = """
+WITH th AS (
+  SELECT (count(*) + count(DISTINCT o_custkey) - 1)
+         // count(DISTINCT o_custkey) AS floor_cnt
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+  count(*) AS n_orders,
+  cast(th.floor_cnt as bigint) AS cnt_floor
+FROM orders, th
+GROUP BY o_custkey, th.floor_cnt
+HAVING count(*) >= th.floor_cnt
+ORDER BY custkey
+"""

@@ -17197,6 +17197,237 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def dpp_partition_pruning_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING proven on the executed plan — the
+    partition-level companion of runtime_bloom_filter_join's row-level
+    pruning: the fact side is written PARTITIONED BY ship month (the
+    at-rest layout a 100 TB fact table would have), the dim side only
+    reveals its surviving keys AT RUNTIME (a filtered join input, not
+    a literal predicate), and Spark still prunes the fact scan to the
+    3 matching partitions by injecting a ``dynamicpruning`` subquery
+    into the scan's PartitionFilters — asserted on the EXECUTED plan.
+    Without DPP the scan reads all 12 partitions and the join drops
+    9/12 of the rows after IO; with it the IO never happens.
+
+    Scale: this is THE mechanism that makes date-partitioned fact
+    joins cheap at 100 TB (partition pruning from a dimension filter,
+    no manual predicate copying). Oracle: months 1-3 aggregate over
+    ``lineitem`` directly."""
+    line = load_table(spark, sf_dir, "lineitem")
+    staged = scratch_dir("ip_dpp_fact_")
+    line.select(
+        "l_orderkey",
+        F.month("l_shipdate").alias("ship_month"),
+        "l_extendedprice",
+        "l_discount",
+    ).write.partitionBy("ship_month").mode("overwrite").parquet(staged)
+    fact = spark.read.parquet(staged)
+    dim = (
+        spark.range(1, 13)
+        .select(F.col("id").cast("int").alias("m"))
+        .filter(F.col("m").isin(1, 2, 3))
+    )
+    out = (
+        fact.join(dim, fact["ship_month"] == dim["m"])
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    dpp = "dynamicpruning" in plan.lower()
+    assert dpp, plan[:1500]
+    return spark.createDataFrame(
+        [
+            (int(r["ship_month"]), int(r["n_items"]), float(r["revenue"]),
+             dpp)
+            for r in rows
+        ],
+        "ship_month int, n_items long, revenue double, dpp_pruned boolean",
+    ).orderBy("ship_month")
+
+
+def cbo_join_reorder_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED JOIN REORDERING proven by an A/B of optimized plans
+    — the optimizer leg of the join toolkit (broadcast / skew-split /
+    runtime-bloom are execution legs): lineitem, orders and customer
+    land as catalog tables, ``ANALYZE TABLE .. FOR ALL COLUMNS``
+    collects row counts + NDVs, and the same 3-way star query is
+    optimized twice. With CBO + joinReorder ON, Catalyst joins the
+    two SMALL tables first (orders x filtered customer — the
+    selectivity-aware order that semi-reduces the fact join); with
+    them OFF, the syntax-driven heuristic joins the fact table first.
+    Both innermost-pair facts are asserted from the optimized plans,
+    and the exported aggregate is computed under CBO.
+
+    Scale: at 100 TB join order is the difference between shuffling
+    the fact table once against a reduced key set and shuffling it
+    raw — statistics make Catalyst choose right without hand-tuned
+    query rewrites. Confs and catalog tables are cleaned up in
+    ``finally``. Oracle: the BUILDING-segment aggregate, flags pinned
+    TRUE."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    tl, to, tc = f"cbo_l_{tag}", f"cbo_o_{tag}", f"cbo_c_{tag}"
+    base = scratch_dir("ip_cbo_tabs_")
+    keep: dict[str, str | None] = {}
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    for k in confs:
+        try:
+            keep[k] = spark.conf.get(k)
+        except Exception:
+            keep[k] = None
+    try:
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.mode("overwrite").option("path", f"{base}/{tl}").saveAsTable(
+            tl
+        )
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).write.mode("overwrite").option("path", f"{base}/{to}").saveAsTable(
+            to
+        )
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).write.mode("overwrite").option("path", f"{base}/{tc}").saveAsTable(
+            tc
+        )
+        for t in (tl, to, tc):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        sql = f"""
+            SELECT c_mktsegment,
+                   count(*) AS n_items,
+                   cast(sum(cast(l_extendedprice as decimal(18,2)))
+                        as double) AS base_price
+            FROM {tl}, {tc}, {to}
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_mktsegment = 'BUILDING'
+            GROUP BY c_mktsegment"""
+
+        def _inner_pair(plan: str) -> tuple[int, int, int]:
+            return (plan.index(tl), plan.index(to), plan.index(tc))
+
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = spark.sql(sql)
+        rows = q.collect()
+        p_cbo = q._jdf.queryExecution().optimizedPlan().toString()
+        il, io, ic = _inner_pair(p_cbo)
+        cbo_dims_first = io < il and ic < il
+        assert cbo_dims_first, p_cbo[:1500]
+
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_heur = spark.sql(sql)._jdf.queryExecution().optimizedPlan(
+        ).toString()
+        hl, ho, hc = _inner_pair(p_heur)
+        heuristic_fact_first = hl < hc
+        assert heuristic_fact_first, p_heur[:1500]
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in (tl, to, tc):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(
+        [
+            (str(r["c_mktsegment"]), int(r["n_items"]),
+             float(r["base_price"]), cbo_dims_first, heuristic_fact_first)
+            for r in rows
+        ],
+        "c_mktsegment string, n_items long, base_price double,"
+        " cbo_dims_first boolean, heuristic_fact_first boolean",
+    ).orderBy("c_mktsegment")
+
+
+def udtf_dynamic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF (``analyze``-time schema) — the dynamic half
+    of the UDTF surface next to udtf_sentence_chunks' fixed schema:
+    the output schema (tok_1..tok_N) is derived at PLAN TIME from the
+    constant N argument inside the UDTF's ``analyze`` method — the
+    API a reference ChunkProducer with config-dependent output shape
+    would compile against. Called with N=3 via a SQL lateral join,
+    yielding each document's first three normalized tokens as
+    COLUMNS (the feature-hydration shape, not an array).
+
+    Scale: Arrow-batched like all Python UDTFs, no shuffle; schema
+    resolution happens once on the driver. Oracle: element_at over
+    the normalized token list with ''-padding."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text, n):  # noqa: ANN001, ANN205
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text, n):  # noqa: ANN001
+            t = _re.sub(r"[^a-z0-9 ]", " ", (text or "").lower())
+            t = _re.sub(r" +", " ", t).strip()
+            toks = [x for x in t.split(" ") if x][: int(n)]
+            yield tuple(toks + [""] * (int(n) - len(toks)))
+
+    spark.udtf.register("ip_first_tokens", udtf(FirstTokens))
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("ip_udtf_docs_v")
+    return spark.sql(
+        "SELECT doc_id, t.tok_1, t.tok_2, t.tok_3"
+        " FROM ip_udtf_docs_v, LATERAL ip_first_tokens(text, 3) t"
+        " ORDER BY doc_id"
+    )
+
+
+def sql_variable_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-VARIABLE-DRIVEN GATE — Spark 4 SQL variables
+    (DECLARE / SET VAR) as the parameterization lane for multi-step
+    SQL-native pipelines (the reference's config-driven thresholds,
+    re-expressed in-catalog instead of in-code): step 1 computes the
+    corpus-derived threshold (ceil of mean orders per active
+    customer, exact integer arithmetic) INTO a session variable;
+    step 2's gate query references the variable. Exports the
+    above-threshold customers with the threshold column pinned so
+    the oracle must reproduce the same two-step derivation.
+
+    Scale: the variable holds ONE scalar on the driver — the
+    SQL-level analogue of a broadcast literal; the gate itself is a
+    keyed aggregation. Variables are session-scoped; name collisions
+    are avoided with DROP-free idempotent DECLARE OR REPLACE."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ip_var_orders_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE ip_cnt_floor BIGINT")
+    spark.sql(
+        "SET VAR ip_cnt_floor = (SELECT (count(*) + count(DISTINCT"
+        " o_custkey) - 1) DIV count(DISTINCT o_custkey)"
+        " FROM ip_var_orders_v)"
+    )
+    return spark.sql(
+        "SELECT o_custkey AS custkey, count(*) AS n_orders,"
+        " ip_cnt_floor AS cnt_floor"
+        " FROM ip_var_orders_v GROUP BY o_custkey"
+        " HAVING count(*) >= ip_cnt_floor ORDER BY custkey"
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -17597,6 +17828,10 @@ QUERIES = {
     "readability_gate": readability_gate,
     "chat_truncation_plan": chat_truncation_plan,
     "fellegi_sunter_linkage": fellegi_sunter_linkage,
+    "dpp_partition_pruning_proof": dpp_partition_pruning_proof,
+    "cbo_join_reorder_proof": cbo_join_reorder_proof,
+    "udtf_dynamic_ngrams": udtf_dynamic_ngrams,
+    "sql_variable_gate": sql_variable_gate,
 }
 
 

@@ -1,0 +1,53 @@
+"""b16 wave: optimizer/API-surface proofs (DPP, CBO reorder,
+polymorphic UDTF, SQL session variables)."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_udtf_dynamic_schema_matches_tokens(spark, docs):
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+    from intelligencepipeline_spark.queries import udtf_dynamic_ngrams
+
+    got = {r["doc_id"]: r for r in udtf_dynamic_ngrams(spark, SF_DIR).collect()}
+    exp = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("t")
+    ).collect()
+    for r in exp:
+        toks = (list(r["t"]) + ["", "", ""])[:3]
+        g = got[r["doc_id"]]
+        assert [g["tok_1"], g["tok_2"], g["tok_3"]] == toks, r["doc_id"]
+
+
+def test_sql_variable_gate_threshold(spark):
+    from intelligencepipeline_spark.queries import sql_variable_gate
+    from intelligencepipeline_spark.sources.tables import load_table
+
+    rows = sql_variable_gate(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    k = orders.select("o_custkey").distinct().count()
+    floor = (n + k - 1) // k
+    assert all(r["cnt_floor"] == floor for r in rows)
+    assert all(r["n_orders"] >= floor for r in rows)
+    # gate is non-trivial: it must drop someone and keep someone
+    assert 0 < len(rows) < k
+
+
+def test_dpp_and_cbo_flags(spark):
+    from intelligencepipeline_spark.queries import (
+        cbo_join_reorder_proof,
+        dpp_partition_pruning_proof,
+    )
+
+    d = dpp_partition_pruning_proof(spark, SF_DIR).collect()
+    assert {r["ship_month"] for r in d} == {1, 2, 3}
+    assert all(r["dpp_pruned"] for r in d)
+
+    c = cbo_join_reorder_proof(spark, SF_DIR).collect()
+    assert len(c) == 1 and c[0]["cbo_dims_first"]
+    assert c[0]["heuristic_fact_first"]
