@@ -16393,25 +16393,33 @@ def streaming_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         admitted = sum(1 for t in new_state if t[2] == bno)
         evicted = len(prev) - sum(1 for t in new_state if t in set(prev))
+        # single-slice parallelize: a coalesce(1) over the default
+        # ExistingRDD would fold 32 python partitions into ONE task
+        # that streams 32 worker payloads serially (~4.5s per write,
+        # measured); one slice = one payload, one task (~0.1s)
         spark.createDataFrame(
-            new_state, "doc_id long, priority long, batch long"
-        ).coalesce(1).write.mode("overwrite").parquet(store)
+            spark.sparkContext.parallelize(new_state, 1),
+            "doc_id long, priority long, batch long",
+        ).write.mode("overwrite").parquet(store)
         spark.createDataFrame(
-            [
-                (
-                    bno,
-                    int(n_seen),
-                    admitted,
-                    evicted,
-                    len(new_state),
-                    new_state[0][1],
-                    new_state[-1][1],
-                )
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (
+                        bno,
+                        int(n_seen),
+                        admitted,
+                        evicted,
+                        len(new_state),
+                        new_state[0][1],
+                        new_state[-1][1],
+                    )
+                ],
+                1,
+            ),
             "batch long, n_seen long, n_admitted long, n_evicted long,"
             " state_size long, state_min_priority long,"
             " state_max_priority long",
-        ).coalesce(1).write.mode("append").parquet(log)
+        ).write.mode("append").parquet(log)
 
     q = (
         spark.readStream.schema("doc_id long, priority long, batch long")
