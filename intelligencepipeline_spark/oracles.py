@@ -9981,3 +9981,108 @@ GROUP BY o_custkey, th.floor_cnt
 HAVING count(*) >= th.floor_cnt
 ORDER BY custkey
 """
+
+# special_token_injection_scan: replay the deterministic injection and
+# the control-token pattern count.
+ORACLES["special_token_injection_scan"] = r"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0
+      THEN substr(text, 1, 20) || ' <|endoftext|> ' || substr(text, 21)
+      ELSE text END AS t2
+  FROM documents
+)
+SELECT doc_id, source,
+  cast(len(regexp_extract_all(t2, '<\|[a-z_]+\|>|\[INST\]|</?s>'))
+    as bigint) AS n_special,
+  (doc_id % 7 = 0) AS planted,
+  len(regexp_extract_all(t2, '<\|[a-z_]+\|>|\[INST\]|</?s>'))
+    = CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS clean_recovery
+FROM d
+ORDER BY doc_id
+"""
+
+# crypto_shredding_purge: the contract table derived independently —
+# readability is key survival (u % 5 != 0); the AES-GCM roundtrip and
+# the wrong-key NULL proof are asserted in-entry on the Spark side.
+ORACLES["crypto_shredding_purge"] = """
+SELECT cast(user_id % 40 as bigint) AS u,
+  count(*) AS n_payloads,
+  (user_id % 40) % 5 <> 0 AS readable,
+  cast(CASE WHEN (user_id % 40) % 5 <> 0 THEN count(*) ELSE 0 END
+    as bigint) AS n_decrypt_ok,
+  cast(0 as bigint) AS n_wrongkey_readable
+FROM events
+GROUP BY user_id % 40
+ORDER BY u
+"""
+
+# sorted_neighborhood_pairs: replay the union, the bucketed neighbor
+# windows (lead over bucket partitions, steps 1..2) and the boundary
+# tail x head strips.
+ORACLES["sorted_neighborhood_pairs"] = """
+WITH recs AS (
+  SELECT c_custkey AS ent, 'a' AS side, c_name AS sk FROM customer
+  UNION ALL
+  SELECT c_custkey AS ent, 'b' AS side,
+    CASE WHEN c_custkey % 3 = 0 THEN c_name || '~' ELSE c_name END AS sk
+  FROM customer
+), nb AS (
+  SELECT cast(substr(sk, 10, 7) as bigint) AS bucket, ent, side, sk,
+    row_number() OVER (PARTITION BY cast(substr(sk, 10, 7) as bigint)
+                       ORDER BY sk, side, ent) AS pos
+  FROM recs
+), led AS (
+  SELECT bucket, ent,
+    lead(ent, 1) OVER (PARTITION BY bucket ORDER BY pos) AS e1,
+    lead(ent, 2) OVER (PARTITION BY bucket ORDER BY pos) AS e2
+  FROM nb
+), in_bucket AS (
+  SELECT bucket, ent, e1 AS ent2 FROM led WHERE e1 IS NOT NULL
+  UNION ALL
+  SELECT bucket, ent, e2 AS ent2 FROM led WHERE e2 IS NOT NULL
+), mx AS (
+  SELECT bucket, max(pos) AS n_in_bucket FROM nb GROUP BY bucket
+), boundary AS (
+  SELECT t.bucket + 1 AS bucket, t.ent, h.ent AS ent2
+  FROM (SELECT nb.* , mx.n_in_bucket FROM nb JOIN mx USING (bucket)
+        WHERE pos > n_in_bucket - 2) t
+  JOIN (SELECT * FROM nb WHERE pos <= 2) h ON h.bucket = t.bucket + 1
+), cand AS (
+  SELECT bucket, ent, ent2 FROM in_bucket
+  UNION ALL
+  SELECT bucket, ent, ent2 FROM boundary
+)
+SELECT bucket,
+  count(*) AS n_candidates,
+  cast(sum(CASE WHEN ent = ent2 THEN 1 ELSE 0 END) as bigint) AS n_matches,
+  TRUE AS full_recall
+FROM cand
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+# native_hll_sketch_audit: exact distinct counts; the sketch laws
+# (merge consistency, 5% envelope) are asserted in-entry.
+ORACLES["native_hll_sketch_audit"] = """
+SELECT event_type,
+  count(DISTINCT user_id) AS n_exact,
+  TRUE AS est_within_5pct,
+  TRUE AS merge_consistent
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# xml_ingest_roundtrip: per-status aggregates straight from orders;
+# the lossless XML roundtrip is proven in-entry with symmetric
+# anti-joins.
+ORACLES["xml_ingest_roundtrip"] = """
+SELECT o_orderstatus,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total_price,
+  TRUE AS roundtrip_lossless
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

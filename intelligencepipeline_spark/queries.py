@@ -17436,6 +17436,343 @@ def sql_variable_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def special_token_injection_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTROL-TOKEN SMUGGLING SCAN — the chat-era safety gate the
+    secret/PII scanners don't cover: user-supplied text that contains
+    the model's own control tokens (<|endoftext|>, <|im_start|>,
+    [INST], </s>) can terminate or reroute a training conversation,
+    so pretraining/SFT corpora strip or reject them at ingest. A
+    deterministic injection (every 7th doc gets one '<|endoftext|>'
+    spliced mid-text) proves exact recovery: the scan must flag
+    precisely the planted docs (clean = detected == planted, pinned
+    per doc) while counting any organic hits the same way.
+
+    Scale: pure expression scan (regexp_extract_all over one pass),
+    no shuffle — the same stamping-pass shape as fim_span_plan.
+    Oracle replays the injection and the pattern count in DuckDB."""
+    pat = r"<\|[a-z_]+\|>|\[INST\]|</?s>"
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "IF(doc_id % 7 = 0,"
+            " concat(substring(text, 1, 20), ' <|endoftext|> ',"
+            " substring(text, 21)), text)"
+        ).alias("t2"),
+        (F.col("doc_id") % 7 == 0).alias("planted"),
+    )
+    # pattern passed as a Column literal, NOT spliced into SQL text —
+    # Spark SQL string literals consume backslashes
+    hits = F.size(F.regexp_extract_all(F.col("t2"), F.lit(pat), F.lit(0)))
+    return d.select(
+        "doc_id",
+        "source",
+        hits.cast("long").alias("n_special"),
+        "planted",
+        (
+            hits
+            == F.when(F.col("doc_id") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("clean_recovery"),
+    ).orderBy("doc_id")
+
+
+def crypto_shredding_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRYPTO-SHREDDING — the 100 TB-scale GDPR erasure design the
+    rewrite-based purge (forget_key_purge) complements: every user's
+    payloads are encrypted AT INGEST with a PER-USER key
+    (``aes_encrypt``, AES-128-GCM, key = md5-derived), the at-rest
+    table stores ONLY ciphertext, and erasure deletes ONE ROW from
+    the key table — no petabyte rewrite, the data is cryptographically
+    unreadable the instant the key is gone. The entry proves all
+    three contract halves on the REAL codec: surviving users'
+    payloads decrypt byte-identical (bool_and pinned), purged users
+    have no key path, and a wrong-key attack on purged ciphertext
+    yields NULL for every row (``try_aes_decrypt`` GCM tag check —
+    counted and pinned to zero readable).
+
+    Scale: encrypt/decrypt are per-row JVM expressions; the purge
+    touches the O(users) key table only. Oracle derives the
+    contract table (readability by key survival) independently from
+    ``events`` — the ciphertext never leaves the entry."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 40).alias("u"),
+        F.concat(F.lit("secret:"), F.col("event_id").cast("string")).alias(
+            "payload"
+        ),
+    )
+    keys = (
+        ev.select("u")
+        .distinct()
+        .select(
+            "u",
+            F.expr("unhex(md5(concat('key', cast(u as string))))").alias(
+                "k"
+            ),
+        )
+    )
+    at_rest = (
+        ev.join(F.broadcast(keys), "u")
+        .select(
+            "u",
+            "payload",
+            F.expr("aes_encrypt(payload, k, 'GCM')").alias("enc"),
+        )
+    )
+    at_rest = track_persist(at_rest)
+    surviving = keys.filter(F.col("u") % 5 != 0)
+    wrong_key = F.expr("unhex(md5('attacker-key'))")
+    read_back = (
+        at_rest.join(F.broadcast(surviving), "u", "left")
+        .select(
+            "u",
+            "payload",
+            F.when(
+                F.col("k").isNotNull(),
+                F.expr("cast(aes_decrypt(enc, k, 'GCM') as string)"),
+            ).alias("dec"),
+            F.expr(
+                "cast(try_aes_decrypt(enc, unhex(md5('attacker-key')),"
+                " 'GCM') as string)"
+            ).alias("attack_dec"),
+        )
+    )
+    out = (
+        read_back.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.max(F.col("dec").isNotNull()).alias("readable"),
+            F.sum(
+                F.when(F.col("dec") == F.col("payload"), 1).otherwise(0)
+            ).alias("n_decrypt_ok"),
+            F.sum(
+                F.when(F.col("attack_dec").isNotNull(), 1).otherwise(0)
+            ).alias("n_wrongkey_readable"),
+        )
+        .orderBy("u")
+    )
+    chk = out.agg(
+        F.bool_and(
+            (F.col("u") % 5 == 0)
+            | (F.col("n_decrypt_ok") == F.col("n_payloads"))
+        ).alias("ok"),
+        F.sum("n_wrongkey_readable").alias("atk"),
+    ).collect()[0]
+    assert bool(chk["ok"]) and int(chk["atk"]) == 0, chk
+    return out
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD LINKAGE BLOCKING, distributed — the classic
+    alternative to key blocking (fellegi_sunter_linkage): sort all
+    records by a fuzzy key and compare each record only to its w
+    nearest neighbors in sort order. The 100 TB formulation here
+    avoids the textbook global sort: records bucket by the sort key's
+    PREFIX (range-partition analogue), the neighbor window runs
+    PER BUCKET (a partitioned Window, never a single-partition sort),
+    and boundary pairs are recovered exactly by joining each bucket's
+    tail strip to the next bucket's head strip. A dirty replica
+    (every 3rd name gets a suffix) plants the matches; since replica
+    and original share the bucket prefix by construction, in-bucket
+    adjacency finds ALL of them — recall is asserted in-entry and
+    exported per bucket.
+
+    Oracle replays the union, the bucket windows (lead over bucket
+    partitions) and the boundary strips in SQL."""
+    w = 2
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    recs = cust.select(
+        F.col("c_custkey").alias("ent"),
+        F.lit("a").alias("side"),
+        F.col("c_name").alias("sk"),
+    ).unionByName(
+        cust.select(
+            F.col("c_custkey").alias("ent"),
+            F.lit("b").alias("side"),
+            F.expr(
+                "IF(c_custkey % 3 = 0, concat(c_name, '~'), c_name)"
+            ).alias("sk"),
+        )
+    )
+    # bucket = custkey DIV 100 read straight off the name's digit
+    # prefix (chars 10..16 of 'Customer#NNNNNNNNN') — the range
+    # partitioner a sampled TeraSort split would produce
+    recs = recs.withColumn(
+        "bucket", F.expr("cast(substring(sk, 10, 7) as long)")
+    )
+    win = Window.partitionBy("bucket").orderBy("sk", "side", "ent")
+    nb = recs.select(
+        "bucket",
+        "ent",
+        "side",
+        "sk",
+        F.row_number().over(win).alias("pos"),
+    )
+    nb = track_persist(nb)
+    in_bucket = None
+    for step in range(1, w + 1):
+        nxt = nb.select(
+            "bucket",
+            (F.col("pos") - step).alias("pos"),
+            F.col("ent").alias("ent2"),
+            F.col("side").alias("side2"),
+            F.col("sk").alias("sk2"),
+        )
+        got = nb.join(nxt, ["bucket", "pos"]).select(
+            "bucket", "ent", "side", "ent2", "side2", "sk", "sk2"
+        )
+        in_bucket = got if in_bucket is None else in_bucket.unionByName(got)
+    mx = nb.groupBy("bucket").agg(F.max("pos").alias("n_in_bucket"))
+    tail = (
+        nb.join(mx, "bucket")
+        .filter(F.col("pos") > F.col("n_in_bucket") - w)
+        .select(
+            (F.col("bucket") + 1).alias("bucket"),
+            F.col("ent").alias("ent"),
+            F.col("side").alias("side"),
+            F.col("sk").alias("sk"),
+        )
+    )
+    head = nb.filter(F.col("pos") <= w).select(
+        "bucket",
+        F.col("ent").alias("ent2"),
+        F.col("side").alias("side2"),
+        F.col("sk").alias("sk2"),
+    )
+    boundary = tail.join(head, "bucket")
+    cand = in_bucket.select(
+        "bucket", "ent", "side", "ent2", "side2"
+    ).unionByName(
+        boundary.select("bucket", "ent", "side", "ent2", "side2")
+    )
+    pairs = cand.filter(
+        ~((F.col("ent") == F.col("ent2")) & (F.col("side") == F.col("side2")))
+    ).withColumn("is_match", F.col("ent") == F.col("ent2"))
+    out = (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias(
+                "n_matches"
+            ),
+        )
+        .orderBy("bucket")
+    )
+    n_matches = pairs.filter("is_match").select(
+        F.countDistinct("ent")
+    ).collect()[0][0]
+    n_entities = cust.count()
+    assert n_matches == n_entities, (n_matches, n_entities)
+    return out.withColumn("full_recall", F.lit(True))
+
+
+def native_hll_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE DATASKETCHES HLL (``hll_sketch_agg`` / ``hll_union_agg``)
+    audited against exact counts — the JVM-built, binary-mergeable
+    twin of the expression-built HLL family (streaming_hll_distinct,
+    hll_mergeable_rollup): per event type, distinct users are (1)
+    counted exactly, (2) estimated from ONE sketch over all rows, and
+    (3) estimated from TWO shard sketches (even/odd user) merged with
+    ``hll_union_agg`` — the mergeability law ``estimate(union(A,B)) ==
+    estimate(sketch(A ∪ B))`` is asserted per key in-entry, and the
+    5%-relative-error envelope is pinned as a column. The sketches
+    never leave the entry; the oracle re-derives the exact counts.
+
+    Scale: sketch aggregation is map-side combinable and the merged
+    form is what a 1000-executor rollup ships between stages — the
+    same contract the hand-built family proves, now on the native
+    binary representation."""
+    ev = load_table(spark, sf_dir, "events")
+    one = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("est_one"),
+    )
+    shards = (
+        ev.withColumn("shard", (F.col("user_id") % 2).cast("int"))
+        .groupBy("event_type", "shard")
+        .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk"))
+    )
+    merged = shards.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "est_merged"
+        )
+    )
+    out = one.join(merged, "event_type")
+    rows = out.collect()
+    for r in rows:
+        assert r["est_one"] == r["est_merged"], r
+        assert abs(r["est_one"] - r["n_exact"]) <= 0.05 * r["n_exact"], r
+    return spark.createDataFrame(
+        [
+            (
+                str(r["event_type"]),
+                int(r["n_exact"]),
+                True,
+                True,
+            )
+            for r in rows
+        ],
+        "event_type string, n_exact long, est_within_5pct boolean,"
+        " merge_consistent boolean",
+    ).orderBy("event_type")
+
+
+def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE XML SOURCE (Spark 4 built-in ``xml`` format) as an
+    ingest lane — the remaining serde surface next to avro/csv/json
+    (multiformat_roundtrip, avro_serde_roundtrip): orders are written
+    as <order> elements, read back with an EXPLICIT schema (no
+    inference drift), and the roundtrip is proven lossless in-entry
+    with a symmetric anti-join (zero rows both directions) before
+    exporting per-status aggregates FROM THE XML-READ FRAME. Exact
+    money survives as canonical decimal-string round-trip.
+
+    Scale: the XML reader splits files like any text source and the
+    writer shards per partition — the lane matters because real
+    enterprise feeds (the reference's Tika/metadata world) arrive as
+    XML; keep the schema explicit and the money textual. Oracle:
+    the same aggregates straight from ``orders``."""
+    orders = load_table(spark, sf_dir, "orders")
+    recs = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias(
+            "price_s"
+        ),
+    )
+    d = scratch_dir("ip_xml_")
+    recs.write.format("xml").option("rowTag", "order").mode(
+        "overwrite"
+    ).save(d)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, price_s string")
+        .load(d)
+    )
+    back = track_persist(back)
+    a = recs.exceptAll(back).count()
+    b = back.exceptAll(recs).count()
+    assert a == 0 and b == 0, (a, b)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("price_s").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .withColumn("roundtrip_lossless", F.lit(True))
+        .orderBy("o_orderstatus")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -17840,6 +18177,11 @@ QUERIES = {
     "cbo_join_reorder_proof": cbo_join_reorder_proof,
     "udtf_dynamic_ngrams": udtf_dynamic_ngrams,
     "sql_variable_gate": sql_variable_gate,
+    "special_token_injection_scan": special_token_injection_scan,
+    "crypto_shredding_purge": crypto_shredding_purge,
+    "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
+    "native_hll_sketch_audit": native_hll_sketch_audit,
+    "xml_ingest_roundtrip": xml_ingest_roundtrip,
 }
 
 

@@ -1,0 +1,56 @@
+"""b17 wave: safety/governance/linkage lanes (control-token scan,
+crypto-shredding, sorted-neighborhood, native HLL sketches, XML)."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_special_token_scan_exact_recovery(spark):
+    from intelligencepipeline_spark.queries import (
+        special_token_injection_scan,
+    )
+
+    rows = special_token_injection_scan(spark, SF_DIR).collect()
+    assert all(r["clean_recovery"] for r in rows)
+    planted = [r for r in rows if r["planted"]]
+    assert planted and all(r["n_special"] == 1 for r in planted)
+    rest = [r for r in rows if not r["planted"]]
+    assert all(r["n_special"] == 0 for r in rest)
+
+
+def test_crypto_shredding_contract(spark):
+    from intelligencepipeline_spark.queries import crypto_shredding_purge
+
+    rows = crypto_shredding_purge(spark, SF_DIR).collect()
+    for r in rows:
+        if r["u"] % 5 == 0:
+            assert not r["readable"] and r["n_decrypt_ok"] == 0
+        else:
+            assert r["readable"] and r["n_decrypt_ok"] == r["n_payloads"]
+        assert r["n_wrongkey_readable"] == 0
+
+
+def test_sorted_neighborhood_no_global_sort(spark):
+    from intelligencepipeline_spark.plans.audit import audit
+    from intelligencepipeline_spark.queries import sorted_neighborhood_pairs
+
+    df = sorted_neighborhood_pairs(spark, SF_DIR)
+    rows = df.collect()
+    assert all(r["full_recall"] for r in rows)
+    assert sum(r["n_matches"] for r in rows) >= len(rows)
+    # the neighbor window is partitioned by bucket — the global sort
+    # the textbook SNM formulation needs must NOT appear
+    a = audit(df)
+    assert not a.has_single_partition_exchange, a.plan[:1200]
+    assert not a.cartesian
+
+
+def test_xml_and_hll_flags(spark):
+    from intelligencepipeline_spark.queries import (
+        native_hll_sketch_audit,
+        xml_ingest_roundtrip,
+    )
+
+    h = native_hll_sketch_audit(spark, SF_DIR).collect()
+    assert h and all(r["merge_consistent"] and r["est_within_5pct"] for r in h)
+    x = xml_ingest_roundtrip(spark, SF_DIR).collect()
+    assert x and all(r["roundtrip_lossless"] for r in x)
