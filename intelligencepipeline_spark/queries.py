@@ -17706,8 +17706,15 @@ def native_hll_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = one.join(merged, "event_type")
     rows = out.collect()
     for r in rows:
-        assert r["est_one"] == r["est_merged"], r
+        # union promotes the register target type (HLL_4 -> HLL_8 in
+        # DataSketches), so merged and single-shot estimates agree to
+        # estimator tolerance, not bit-exactly: both must sit in the
+        # 5% envelope and within 1% of each other
+        assert abs(r["est_one"] - r["est_merged"]) <= max(
+            1, 0.01 * r["n_exact"]
+        ), r
         assert abs(r["est_one"] - r["n_exact"]) <= 0.05 * r["n_exact"], r
+        assert abs(r["est_merged"] - r["n_exact"]) <= 0.05 * r["n_exact"], r
     return spark.createDataFrame(
         [
             (
