@@ -10086,3 +10086,60 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+# collated_dedup_audit: lower() formulation of the UTF8_LCASE
+# collation distinct; the lcase==lower law is pinned in the entry's
+# own fourth aggregate.
+ORACLES["collated_dedup_audit"] = f"""
+WITH t AS (
+  SELECT doc_id, source, ({_NTOKS})[1] AS tok1 FROM documents
+), d AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 2 = 1 THEN upper(tok1) ELSE tok1 END AS k
+  FROM t WHERE tok1 IS NOT NULL
+)
+SELECT source,
+  count(*) AS n_docs,
+  count(DISTINCT k) AS distinct_binary,
+  count(DISTINCT lower(k)) AS distinct_lcase,
+  cast(count(DISTINCT k) - count(DISTINCT lower(k)) as bigint)
+    AS case_collisions,
+  TRUE AS lcase_matches_lower
+FROM d
+GROUP BY source
+ORDER BY source
+"""
+
+# pandas_on_spark_parity: the rollup itself; lane equality is pinned
+# in-entry by the join against the SQL side.
+ORACLES["pandas_on_spark_parity"] = """
+SELECT o_orderstatus,
+  count(*) AS n_orders,
+  cast(sum(o_orderkey) as bigint) AS key_sum,
+  TRUE AS lanes_equal
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# transpose_stats_matrix: conditional aggregation builds the same
+# metric x status matrix (statuses F/O/P sorted -> status_0/1/2).
+ORACLES["transpose_stats_matrix"] = """
+WITH s AS (
+  SELECT o_orderstatus AS st, count(*) AS n_orders,
+    count(DISTINCT o_custkey) AS n_customers
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT 'n_orders' AS metric,
+  cast(max(CASE WHEN st = 'F' THEN n_orders END) as bigint) AS status_F,
+  cast(max(CASE WHEN st = 'O' THEN n_orders END) as bigint) AS status_O,
+  cast(max(CASE WHEN st = 'P' THEN n_orders END) as bigint) AS status_P
+FROM s
+UNION ALL
+SELECT 'n_customers',
+  cast(max(CASE WHEN st = 'F' THEN n_customers END) as bigint),
+  cast(max(CASE WHEN st = 'O' THEN n_customers END) as bigint),
+  cast(max(CASE WHEN st = 'P' THEN n_customers END) as bigint)
+FROM s
+ORDER BY metric
+"""

@@ -17780,6 +17780,148 @@ def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collated_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE DEDUP (Spark 4 collated strings) — exact dedup
+    under ``UTF8_LCASE`` without rewriting keys through ``lower()``:
+    every doc's lead token is its dedup key, every odd doc's key is
+    planted UPPERCASED (deterministic case noise), and per source the
+    entry counts distinct keys under binary collation, distinct keys
+    under ``collate(k, 'UTF8_LCASE')`` (the collation engine folds
+    case inside hash/compare — the declarative form that also changes
+    join/group semantics engine-wide), and the case-only collision
+    mass between them. ``lcase_matches_lower`` pins the collation
+    result to the explicit ``lower()`` rewrite per source.
+
+    Scale: collation-aware distinct is a plain hash aggregate — no
+    extra pass, no derived column to materialize at 100 TB. Oracle:
+    the ``lower()`` formulation in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "IF(doc_id % 2 = 1,"
+            " upper(try_element_at(filter(split(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')),"
+            " ' '), x -> x != ''), 1)),"
+            " try_element_at(filter(split(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')),"
+            " ' '), x -> x != ''), 1))"
+        ).alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("k").alias("distinct_binary"),
+            F.expr(
+                "count(DISTINCT collate(k, 'UTF8_LCASE'))"
+            ).alias("distinct_lcase"),
+            F.countDistinct(F.lower("k")).alias("distinct_lower"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "distinct_binary",
+            "distinct_lcase",
+            (F.col("distinct_binary") - F.col("distinct_lcase")).alias(
+                "case_collisions"
+            ),
+            (F.col("distinct_lcase") == F.col("distinct_lower")).alias(
+                "lcase_matches_lower"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def pandas_on_spark_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS-ON-SPARK API LANE (``pyspark.pandas``) hash-pinned
+    against Spark SQL — the migration surface for pandas codebases:
+    the same per-status rollup (order counts + exact integer key
+    sums) runs once through the ps.DataFrame API (groupby/agg with
+    pandas semantics, compiled by the same Catalyst planner) and once
+    through the SQL engine, and ``lanes_equal`` pins them identical
+    per status before export. Integer measures keep the comparison
+    exact (float sums would be order-dependent in BOTH lanes).
+
+    Scale: ps operations compile to ordinary distributed plans — the
+    lane costs nothing at 100 TB as long as index-producing ops
+    (default_index) are avoided, which this entry does by staying on
+    grouped aggregates. Oracle: the same rollup in DuckDB."""
+    import pyspark.pandas as ps
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ip_ps_orders_v")
+    pdf = orders.pandas_api()
+    g = (
+        pdf.groupby("o_orderstatus")
+        .agg(n_orders=("o_orderkey", "count"), key_sum=("o_orderkey", "sum"))
+        .reset_index()
+    )
+    ps_side = g.to_spark().select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+    )
+    sql_side = spark.sql(
+        "SELECT o_orderstatus, count(*) AS n2, sum(o_orderkey) AS s2"
+        " FROM ip_ps_orders_v GROUP BY o_orderstatus"
+    )
+    return (
+        ps_side.join(sql_side, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "key_sum",
+            (
+                (F.col("n_orders") == F.col("n2"))
+                & (F.col("key_sum") == F.col("s2"))
+            ).alias("lanes_equal"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def transpose_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4) for the bounded stats-matrix
+    presentation shape — metrics as rows, order statuses as columns:
+    the per-status rollup (3 rows) transposes driver-side into a
+    (metric x status) matrix. Transpose is only legal on BOUNDED
+    frames (it collects the header column); the entry keeps the
+    pre-transpose frame at the |statuses| cardinality, which is the
+    contract at any data scale — aggregate first, pivot the
+    presentation last.
+
+    Oracle: conditional aggregation builds the same two metric rows
+    directly."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    t = (
+        stats.select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long"),
+            F.col("n_customers").cast("long"),
+        )
+        .transpose()
+        .withColumnRenamed("key", "metric")
+    )
+    return t.select(
+        "metric",
+        *[
+            F.col(c).cast("long").alias(f"status_{c}")
+            for c in sorted(c for c in t.columns if c != "metric")
+        ],
+    ).orderBy("metric")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -18189,6 +18331,9 @@ QUERIES = {
     "sorted_neighborhood_pairs": sorted_neighborhood_pairs,
     "native_hll_sketch_audit": native_hll_sketch_audit,
     "xml_ingest_roundtrip": xml_ingest_roundtrip,
+    "collated_dedup_audit": collated_dedup_audit,
+    "pandas_on_spark_parity": pandas_on_spark_parity,
+    "transpose_stats_matrix": transpose_stats_matrix,
 }
 
 
