@@ -18026,11 +18026,15 @@ QUERIES = {
     # (state_store_reader_audit, python_stream_source_resume,
     # runtime_bloom_filter_join, mapinarrow_byte_histogram,
     # wht_audio_fingerprint, readability_gate, chat_truncation_plan,
-    # fellegi_sunter_linkage, plus any later additions in this dict's
-    # tail order) — padded to 50 with the 7 stalest rows (freshest
-    # driver row = r02) in CORRECTNESS_r02 order:
-    # ner_entities, chunk_lang, pos_tag_counts, doc_with_chunks,
-    # salted_user_stats, hypertable_rollup, keyphrases.
+    # fellegi_sunter_linkage) and this session's later additions in
+    # tail order (dpp_partition_pruning_proof, cbo_join_reorder_proof,
+    # udtf_dynamic_ngrams, sql_variable_gate,
+    # special_token_injection_scan, crypto_shredding_purge,
+    # sorted_neighborhood_pairs — position 50). The overflow
+    # (native_hll_sketch_audit, xml_ingest_roundtrip,
+    # collated_dedup_audit, pandas_on_spark_parity,
+    # transpose_stats_matrix, plus anything added after) leads the
+    # r09 window; no re-proof pads fit in r08.
     # -- stalest r02-fresh rows, CORRECTNESS_r02 order ------------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
