@@ -10143,3 +10143,135 @@ SELECT 'n_customers',
 FROM s
 ORDER BY metric
 """
+
+
+# sft_release_manifest: splice the shared _SFT fragments (audit rules
+# + token mass) with the injection replay and the same precedence
+# ladder; inner join mirrors conversation_turns' empty-doc filter.
+ORACLES["sft_release_manifest"] = f"""
+WITH roled AS (
+  SELECT *,
+    CASE WHEN role = lag(role) OVER (
+      PARTITION BY conv_id ORDER BY turn_index) THEN 1 ELSE 0 END AS rep
+  FROM {_SFT_ROLED}
+), aud AS (
+  SELECT conv_id,
+    (arg_min(role, turn_index) = 'user'
+     AND arg_max(role, turn_index) = 'assistant'
+     AND sum(rep) = 0
+     AND NOT arg_max(is_call, turn_index)) AS valid,
+    cast(sum(n_tokens) as bigint) AS token_mass
+  FROM roled GROUP BY conv_id
+), sp AS (
+  SELECT doc_id AS conv_id, source,
+    len(regexp_extract_all(
+      CASE WHEN doc_id % 7 = 0
+        THEN substr(text, 1, 20) || ' <|endoftext|> ' || substr(text, 21)
+        ELSE text END,
+      '<\\|[a-z_]+\\|>|\\[INST\\]|</?s>')) AS n_special
+  FROM documents
+), led AS (
+  SELECT sp.conv_id, sp.source, aud.token_mass,
+    CASE WHEN NOT aud.valid THEN 'structure'
+         WHEN sp.n_special > 0 THEN 'special_token'
+         WHEN aud.token_mass > 96 THEN 'over_budget'
+         ELSE 'released' END AS verdict
+  FROM sp JOIN aud USING (conv_id)
+)
+SELECT source,
+  count(*) AS n_convs,
+  cast(sum(CASE WHEN verdict = 'structure' THEN 1 ELSE 0 END) as bigint)
+    AS n_rejected_structure,
+  cast(sum(CASE WHEN verdict = 'special_token' THEN 1 ELSE 0 END) as bigint)
+    AS n_rejected_special,
+  cast(sum(CASE WHEN verdict = 'over_budget' THEN 1 ELSE 0 END) as bigint)
+    AS n_rejected_budget,
+  cast(sum(CASE WHEN verdict = 'released' THEN 1 ELSE 0 END) as bigint)
+    AS n_released,
+  cast(sum(CASE WHEN verdict = 'released' THEN token_mass ELSE 0 END)
+    as bigint) AS released_token_mass
+FROM led
+GROUP BY source
+ORDER BY source
+"""
+
+# json_schema_gate: same envelope construction and precedence ladder
+# over DuckDB's JSON functions.
+ORACLES["json_schema_gate"] = """
+WITH d AS (
+  SELECT event_type,
+    '{"id":' || cast(event_id as varchar) || ',"type":"' || event_type
+      || '","props":'
+      || CASE WHEN event_id % 13 = 0 THEN replace(props, '"k"', '"x"')
+              ELSE props END
+      || CASE WHEN event_id % 11 = 0 THEN '' ELSE '}' END AS env
+  FROM events
+), v AS (
+  SELECT event_type,
+    CASE WHEN NOT json_valid(env) THEN 'malformed'
+         WHEN json_extract(env, '$.id') IS NULL
+           OR json_extract(env, '$.props.k') IS NULL
+           THEN 'missing_field'
+         WHEN try_cast(json_extract_string(env, '$.props.k') as bigint) < 0
+           OR try_cast(json_extract_string(env, '$.props.k') as bigint)
+             >= 100
+           THEN 'range_violation'
+         ELSE 'valid' END AS verdict
+  FROM d
+)
+SELECT event_type,
+  count(*) AS n_events,
+  cast(sum(CASE WHEN verdict = 'malformed' THEN 1 ELSE 0 END) as bigint)
+    AS n_malformed,
+  cast(sum(CASE WHEN verdict = 'missing_field' THEN 1 ELSE 0 END) as bigint)
+    AS n_missing_field,
+  cast(sum(CASE WHEN verdict = 'range_violation' THEN 1 ELSE 0 END)
+    as bigint) AS n_range_violation,
+  cast(sum(CASE WHEN verdict = 'valid' THEN 1 ELSE 0 END) as bigint)
+    AS n_valid
+FROM v
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# length_grouped_batches: replay both bucket-partitioned window
+# schemes and the per-batch padding arithmetic.
+ORACLES["length_grouped_batches"] = f"""
+WITH base AS (
+  SELECT doc_id, cast(len({_NTOKS}) as bigint) AS n_tokens,
+    cast(len({_NTOKS}) // 8 as bigint) AS bucket
+  FROM documents
+), l AS (
+  SELECT 'length' AS scheme, bucket, n_tokens,
+    (row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id)
+      - 1) // 8 AS batch
+  FROM base
+), a AS (
+  SELECT 'arrival' AS scheme, bucket, n_tokens,
+    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+      AS batch
+  FROM base
+), u AS (
+  SELECT * FROM l UNION ALL SELECT * FROM a
+), pb AS (
+  SELECT scheme, bucket, batch, count(*) AS bn, max(n_tokens) AS mx,
+    sum(n_tokens) AS sm
+  FROM u GROUP BY scheme, bucket, batch
+)
+SELECT scheme, bucket,
+  count(*) AS n_batches,
+  cast(sum(bn * mx - sm) as bigint) AS padded_tokens
+FROM pb
+GROUP BY scheme, bucket
+ORDER BY scheme, bucket
+"""
+
+# batch_observe_metrics: direct aggregates; observation equality is
+# asserted in-entry.
+ORACLES["batch_observe_metrics"] = """
+SELECT count(*) AS n_rows,
+  cast(sum(o_orderkey) as bigint) AS key_sum,
+  cast(0 as bigint) AS n_null_status,
+  TRUE AS observed_matches_direct
+FROM orders
+"""

@@ -17922,6 +17922,251 @@ def transpose_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric")
 
 
+def sft_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT RELEASE CUT — the chat-data capstone mirroring
+    training_release_manifest's pretraining cut: every conversation
+    (the shared operators/sft.py derivation) passes through THREE
+    gates with a fixed REJECTION PRECEDENCE — (1) turn structure
+    (turn_audit's valid flag), (2) control-token scan on the RAW
+    pre-normalization text (the special_token_injection_scan plant:
+    every 7th doc carries one '<|endoftext|>'), (3) token budget
+    (packed mass <= 96) — and the per-source ledger reports each
+    conversation in EXACTLY ONE column: released, or its FIRST
+    failing gate. Released token mass is the sum over released
+    conversations only.
+
+    Scale: two expression scans (turns/audit + raw-text scan) and one
+    keyed join back to sources; precedence is a CASE ladder, not
+    extra passes. Oracle splices the shared _SFT CTE fragments with
+    the injection replay and the same precedence ladder."""
+    from intelligencepipeline_spark.operators.sft import (
+        conversation_turns,
+        turn_audit,
+    )
+
+    pat = r"<\|[a-z_]+\|>|\[INST\]|</?s>"
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.expr(
+                    "IF(doc_id % 7 = 0,"
+                    " concat(substring(text, 1, 20), ' <|endoftext|> ',"
+                    " substring(text, 21)), text)"
+                ),
+                F.lit(pat),
+                F.lit(0),
+            )
+        ).alias("n_special"),
+    )
+    convs = conversation_turns(docs)
+    audit = turn_audit(convs).select("conv_id", "valid")
+    mass = convs.select(
+        "conv_id",
+        F.expr(
+            "aggregate(turns, 0L, (a, t) ->"
+            " a + cast(size(split(t, ' ')) as bigint))"
+        ).alias("token_mass"),
+    )
+    ledger = (
+        meta.join(audit, "conv_id")
+        .join(mass, "conv_id")
+        .select(
+            "conv_id",
+            "source",
+            "token_mass",
+            F.expr(
+                "CASE WHEN NOT valid THEN 'structure'"
+                " WHEN n_special > 0 THEN 'special_token'"
+                " WHEN token_mass > 96 THEN 'over_budget'"
+                " ELSE 'released' END"
+            ).alias("verdict"),
+        )
+    )
+    return (
+        ledger.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum(F.when(F.col("verdict") == "structure", 1).otherwise(0))
+            .alias("n_rejected_structure"),
+            F.sum(
+                F.when(F.col("verdict") == "special_token", 1).otherwise(0)
+            ).alias("n_rejected_special"),
+            F.sum(F.when(F.col("verdict") == "over_budget", 1).otherwise(0))
+            .alias("n_rejected_budget"),
+            F.sum(F.when(F.col("verdict") == "released", 1).otherwise(0))
+            .alias("n_released"),
+            F.sum(
+                F.when(
+                    F.col("verdict") == "released", F.col("token_mass")
+                ).otherwise(0)
+            ).alias("released_token_mass"),
+        )
+        .orderBy("source")
+    )
+
+
+def json_schema_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON SCHEMA VALIDATION GATE over the VARIANT lane — the
+    structured-data hygiene pass function-calling / tool-trace
+    corpora need: each event's real ``props`` JSON is wrapped in an
+    envelope (every 11th event's envelope is TRUNCATED — malformed on
+    purpose), parsed with ``try_parse_json`` (NULL, never a crash),
+    and validated against a mini-schema: required integer ``$.id``,
+    ``$.type`` in the known enum, required integer ``$.props.k`` in
+    [0, 100). The per-type ledger buckets every event into exactly
+    one of malformed / missing-field / range-violation / valid, with
+    the precedence ladder mirrored in the oracle via DuckDB's JSON
+    functions.
+
+    Scale: one expression scan; VARIANT parse + typed variant_get
+    stay in the JVM. The malformed lane is the serde_dead_letter
+    discipline applied to schema level."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "concat('{\"id\":', cast(event_id as string),"
+            " ',\"type\":\"', event_type, '\",\"props\":',"
+            " IF(event_id % 13 = 0, replace(props, '\"k\"', '\"x\"'),"
+            " props),"
+            " IF(event_id % 11 = 0, '', '}'))"
+        ).alias("env"),
+    ).withColumn("v", F.expr("try_parse_json(env)"))
+    d = d.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN v IS NULL THEN 'malformed'"
+            " WHEN try_variant_get(v, '$.id', 'long') IS NULL"
+            "   OR try_variant_get(v, '$.props.k', 'long') IS NULL"
+            "   THEN 'missing_field'"
+            " WHEN try_variant_get(v, '$.props.k', 'long') < 0"
+            "   OR try_variant_get(v, '$.props.k', 'long') >= 100"
+            "   THEN 'range_violation'"
+            " ELSE 'valid' END"
+        ).alias("verdict"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("verdict") == "malformed", 1).otherwise(0))
+            .alias("n_malformed"),
+            F.sum(
+                F.when(F.col("verdict") == "missing_field", 1).otherwise(0)
+            ).alias("n_missing_field"),
+            F.sum(
+                F.when(F.col("verdict") == "range_violation", 1).otherwise(0)
+            ).alias("n_range_violation"),
+            F.sum(F.when(F.col("verdict") == "valid", 1).otherwise(0)).alias(
+                "n_valid"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def length_grouped_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-GROUPED BATCH PLANNING (the HF LengthGroupedSampler,
+    distributed) — batches of 8 docs are cut two ways inside each
+    length bucket (n_tokens DIV 8, the range-partition analogue):
+    'length' order (sorted by exact token count — the padding-
+    minimizing plan) vs 'arrival' order (doc_id — the naive plan).
+    Per (scheme, bucket): batch count and total PADDED tokens
+    (batch_size * max - sum per batch). The length scheme's padding
+    never exceeds arrival's within a bucket — the planning win the
+    padding_efficiency entry measures after the fact, here produced
+    as an executable batch plan.
+
+    Scale: both windows partition by bucket (never a global sort);
+    at 100 TB bucket boundaries come from the range_partition_plan
+    sampler. Oracle replays both window schemes."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).alias("n_tokens"),
+    ).withColumn("bucket", F.expr("n_tokens DIV 8"))
+    out = None
+    for scheme, order in (
+        ("length", [F.col("n_tokens"), F.col("doc_id")]),
+        ("arrival", [F.col("doc_id")]),
+    ):
+        w = Window.partitionBy("bucket").orderBy(*order)
+        batched = base.withColumn(
+            "batch", F.floor((F.row_number().over(w) - 1) / 8).cast("long")
+        )
+        per_batch = batched.groupBy("bucket", "batch").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").alias("sm"),
+        )
+        ledger = per_batch.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum(F.col("bn") * F.col("mx") - F.col("sm")).alias(
+                "padded_tokens"
+            ),
+        ).select(F.lit(scheme).alias("scheme"), "bucket", "n_batches",
+                 "padded_tokens")
+        out = ledger if out is None else out.unionByName(ledger)
+    return out.orderBy("scheme", "bucket")
+
+
+def batch_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ``Observation`` API — free metrics collected DURING an
+    action (the batch twin of streaming_observed_metrics): the order
+    rollup runs ONCE with an attached observation computing row
+    count, exact key sum and null count on the side; the entry then
+    pins the observed values against a direct recompute (the
+    observation must not drift from the data it rode along with) and
+    exports both with the equality flags. At 100 TB observations are
+    how ingest jobs publish row-count/invariant telemetry without a
+    second pass.
+
+    Oracle: the direct aggregates, flags pinned TRUE."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation()
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        ).alias("n_null_status"),
+    )
+    agg = observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_status = {r["o_orderstatus"]: int(r["n_orders"]) for r in agg.collect()}
+    got = obs.get
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s")
+    ).collect()[0]
+    ok = (
+        int(got["n_rows"]) == int(direct["n"])
+        and int(got["key_sum"]) == int(direct["s"])
+        and int(got["n_null_status"]) == 0
+        and sum(per_status.values()) == int(got["n_rows"])
+    )
+    assert ok, (got, direct)
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["key_sum"]),
+                int(got["n_null_status"]),
+                True,
+            )
+        ],
+        "n_rows long, key_sum long, n_null_status long,"
+        " observed_matches_direct boolean",
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -18338,6 +18583,10 @@ QUERIES = {
     "collated_dedup_audit": collated_dedup_audit,
     "pandas_on_spark_parity": pandas_on_spark_parity,
     "transpose_stats_matrix": transpose_stats_matrix,
+    "sft_release_manifest": sft_release_manifest,
+    "json_schema_gate": json_schema_gate,
+    "length_grouped_batches": length_grouped_batches,
+    "batch_observe_metrics": batch_observe_metrics,
 }
 
 

@@ -1,0 +1,64 @@
+"""b19 wave: SFT release cut, JSON schema gate, length-grouped
+batching, batch Observation API."""
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sft_release_categories_partition(spark):
+    from intelligencepipeline_spark.queries import sft_release_manifest
+
+    rows = sft_release_manifest(spark, SF_DIR).collect()
+    for r in rows:
+        assert (
+            r["n_rejected_structure"]
+            + r["n_rejected_special"]
+            + r["n_rejected_budget"]
+            + r["n_released"]
+            == r["n_convs"]
+        ), r
+    assert sum(r["n_released"] for r in rows) > 0
+    assert sum(r["n_rejected_special"] for r in rows) > 0
+
+
+def test_json_schema_gate_lanes(spark):
+    from intelligencepipeline_spark.queries import json_schema_gate
+
+    rows = json_schema_gate(spark, SF_DIR).collect()
+    tot = sum(r["n_events"] for r in rows)
+    assert sum(r["n_malformed"] for r in rows) > 0
+    assert sum(r["n_missing_field"] for r in rows) > 0
+    assert (
+        sum(
+            r["n_malformed"] + r["n_missing_field"]
+            + r["n_range_violation"] + r["n_valid"]
+            for r in rows
+        )
+        == tot
+    )
+
+
+def test_length_grouped_never_worse(spark):
+    from intelligencepipeline_spark.queries import length_grouped_batches
+
+    rows = length_grouped_batches(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], {})[r["scheme"]] = r
+    for bucket, d in by.items():
+        assert set(d) == {"length", "arrival"}, bucket
+        assert d["length"]["n_batches"] == d["arrival"]["n_batches"]
+        assert (
+            d["length"]["padded_tokens"] <= d["arrival"]["padded_tokens"]
+        ), bucket
+    # the win must be real somewhere
+    assert any(
+        d["length"]["padded_tokens"] < d["arrival"]["padded_tokens"]
+        for d in by.values()
+    )
+
+
+def test_batch_observation_flag(spark):
+    from intelligencepipeline_spark.queries import batch_observe_metrics
+
+    r = batch_observe_metrics(spark, SF_DIR).collect()
+    assert len(r) == 1 and r[0]["observed_matches_direct"]
