@@ -10275,3 +10275,51 @@ SELECT count(*) AS n_rows,
   TRUE AS observed_matches_direct
 FROM orders
 """
+
+# rocksdb_state_provider_proof: the keyed aggregate; RocksDB custom
+# metrics and state==batch consistency are asserted in-entry.
+ORACLES["rocksdb_state_provider_proof"] = """
+SELECT cast(user_id % 25 as bigint) AS k,
+  count(*) AS n,
+  cast(sum(event_id) as bigint) AS s,
+  TRUE AS consistent,
+  TRUE AS rocksdb_metrics_seen
+FROM events
+GROUP BY 1
+ORDER BY k
+"""
+
+# stream_source_archival_proof: per-batch ledger regenerated from
+# events; archive/landing-dir facts asserted in-entry.
+ORACLES["stream_source_archival_proof"] = """
+SELECT cast(event_id % 3 as bigint) AS b,
+  count(*) AS n_events,
+  count(DISTINCT event_type) AS n_types,
+  TRUE AS all_archived
+FROM events
+GROUP BY 1
+ORDER BY b
+"""
+
+# pivot_unpivot_roundtrip: the grouped counts; the inverse law is the
+# in-entry symmetric exceptAll.
+ORACLES["pivot_unpivot_roundtrip"] = """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n,
+  TRUE AS roundtrip_exact
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+# lineage_checkpoint_proof: the 8-deep md5 fold replayed directly;
+# plan-size boundedness is asserted in-entry.
+ORACLES["lineage_checkpoint_proof"] = """
+SELECT n_nationkey,
+  md5(md5(md5(md5(md5(md5(md5(md5(n_name || 'x') || 'x') || 'x') || 'x')
+    || 'x') || 'x') || 'x') || 'x') AS acc_plain,
+  TRUE AS values_identical,
+  TRUE AS plan_bounded
+FROM nation
+ORDER BY n_nationkey
+"""

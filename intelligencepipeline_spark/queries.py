@@ -18167,6 +18167,282 @@ def batch_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rocksdb_state_provider_proof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROCKSDB STATE PROVIDER exercised by a catalog entry (it was
+    test-only until now; the reference's KTables are RocksDB-backed,
+    KafkaIntelligencePipeline.kt:90): a keyed count+sum aggregation
+    runs with ``spark.sql.streaming.stateStore.providerClass`` set to
+    RocksDBStateStoreProvider, the LAST PROGRESS event's state
+    operator metrics are asserted to carry RocksDB custom metrics
+    (``rocksdbGetCount`` et al. — proof the provider actually served
+    the state, not just accepted the conf), and the state's final
+    content is pinned against a batch recompute per key. Conf is
+    saved/restored.
+
+    Scale: RocksDB is THE provider for 100 TB stateful jobs (state
+    larger than executor heap, incremental checkpointing); this entry
+    is the engine-level attestation the streaming family runs
+    unchanged on it. Oracle: the batch aggregate."""
+    keep = None
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        keep = spark.conf.get(conf_key)
+    except Exception:
+        keep = None
+    spark.conf.set(conf_key, rocks)
+    try:
+        events = load_table(spark, sf_dir, "events")
+        keyed = events.select(
+            (F.col("user_id") % 25).alias("k"),
+            F.col("event_id").alias("m"),
+        )
+        staged = scratch_dir("ip_rdb_src_")
+        ck = scratch_dir("ip_rdb_ck_")
+        out_dir = scratch_dir("ip_rdb_out_")
+        keyed.coalesce(4).write.mode("overwrite").parquet(staged)
+        q = (
+            spark.readStream.schema("k long, m long")
+            .parquet(staged)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("s"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ip_rdb_sink")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        ops = prog["stateOperators"]
+        assert ops and any(
+            "rocksdb" in name.lower()
+            for op in ops
+            for name in (op.get("customMetrics") or {})
+        ), prog
+        got = spark.table("ip_rdb_sink")
+        # memory sink rows live on the driver: re-materialize as a
+        # distributed frame before the keyed join
+        got = spark.createDataFrame(got.collect(), got.schema)
+        batch = (
+            spark.read.parquet(staged)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("bn"), F.sum("m").alias("bs")
+            )
+        )
+        return (
+            got.join(batch, "k")
+            .select(
+                "k",
+                "n",
+                "s",
+                ((F.col("n") == F.col("bn")) & (F.col("s") == F.col("bs")))
+                .alias("consistent"),
+                F.lit(True).alias("rocksdb_metrics_seen"),
+            )
+            .orderBy("k")
+        )
+    finally:
+        if keep is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, keep)
+
+
+def stream_source_archival_proof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILE-SOURCE ARCHIVAL (``cleanSource=archive``) — the ingest
+    hygiene the directory-ingest family (S1) needs in production:
+    processed input files are MOVED to an archive root by the source
+    itself, so re-listing cost stays O(new files) instead of growing
+    with corpus lifetime (the 100 TB landing-zone killer). Three
+    staged files stream through with archival on; the entry asserts
+    (a) every processed file left the landing dir, (b) all three
+    reappear under the archive root, then exports the processed
+    per-batch ledger. Archival runs a batch BEHIND processing, so the
+    proof drains with an extra empty-trigger restart.
+
+    Oracle: the staged rows regenerate from ``events`` directly."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 3).alias("b"), "event_type"
+    )
+    src = scratch_dir("ip_arch_src_")
+    archive = scratch_dir("ip_arch_dst_")
+    ck = scratch_dir("ip_arch_ck_")
+    out_dir = scratch_dir("ip_arch_out_")
+    import shutil as _sh
+
+    stage = scratch_dir("ip_arch_stage_")
+    for b in (0, 1, 2):
+        d = os.path.join(stage, f"b{b}")
+        ev.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+    # archival fires when a LATER batch lists the log, so the last
+    # data file needs a successor: a 0-row sentinel (same schema)
+    # forces the final cleanup lap without touching the ledger
+    d = os.path.join(stage, "b3")
+    ev.filter(F.lit(False)).drop("b").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    for f_ in sorted(os.listdir(d)):
+        if f_.endswith(".parquet"):
+            dst = os.path.join(src, "b3.parquet")
+            _sh.copyfile(os.path.join(d, f_), dst)
+            os.utime(dst, (1000000003, 1000000003))
+    # archival runs a batch behind processing: keep restarting until
+    # the landing dir drains (bounded — 3 data batches + cleanup laps)
+    for _ in range(6):
+        q = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .option("cleanSource", "archive")
+            .option("sourceArchiveDir", archive)
+            .parquet(src)
+            .withColumn("src_file", F.expr("input_file_name()"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not [
+            f_
+            for f_ in os.listdir(src)
+            if f_.endswith(".parquet") and f_ != "b3.parquet"
+        ]:
+            break
+    archived = [
+        os.path.join(r, f_)
+        for r, _dd, ff in os.walk(archive)
+        for f_ in ff
+        if f_.endswith(".parquet")
+    ]
+    left = [
+        f_
+        for f_ in os.listdir(src)
+        if f_.endswith(".parquet") and f_ != "b3.parquet"
+    ]
+    assert len(archived) >= 3 and not left, (archived, left)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy((F.col("event_id") % 3).cast("long").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .withColumn("all_archived", F.lit(True))
+        .orderBy("b")
+    )
+
+
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT -> UNPIVOT ROUNDTRIP LAW — the wide/long reshaping pair
+    proven inverse on real data: per-(status, priority) order counts
+    pivot to a wide status x priority matrix (explicit value list, no
+    inference job), unpivot back to long form, and the entry asserts
+    the roundtrip equals the original EXACTLY (symmetric exceptAll,
+    zero rows both ways — nulls from absent cells are dropped by
+    unpivot, so the law holds without padding). Exports the long form
+    with the law flag.
+
+    Scale: pivot with an explicit value list is one shuffle; at
+    100 TB the presentation matrix stays bounded because statuses x
+    priorities is a domain product, not a data product. Oracle: the
+    grouped counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    long_form = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    long_form = track_persist(long_form)
+    prios = [r[0] for r in sorted(
+        long_form.select("o_orderpriority").distinct().collect()
+    )]
+    wide = (
+        long_form.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.first("n"))
+    )
+    back = wide.unpivot(
+        ["o_orderstatus"], prios, "o_orderpriority", "n"
+    ).filter(F.col("n").isNotNull())
+    a = long_form.exceptAll(back).count()
+    b = back.exceptAll(long_form).count()
+    assert a == 0 and b == 0, (a, b)
+    return (
+        long_form.withColumn("roundtrip_exact", F.lit(True))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def lineage_checkpoint_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAGE CUTS FOR ITERATIVE PLANS (``localCheckpoint``) — the
+    operational invariant behind every iterative operator in this
+    repo (PageRank, k-means, label propagation all checkpoint their
+    loop state): eight iterations of a hash-fold over ``nation`` are
+    built twice — WITHOUT checkpointing, where the analyzed plan
+    string grows with every iteration, and WITH a lineage cut every 4
+    steps, where it stays bounded. Both variants must produce
+    IDENTICAL values (the md5 chain replays in the oracle); the entry
+    asserts the checkpointed plan is smaller than the unchecked one
+    at iteration 8 and exports the plan-growth evidence as columns.
+
+    Scale: unbounded lineage is the silent killer of iterative jobs —
+    analysis time and task binaries grow per round until the driver
+    stalls; a localCheckpoint every k rounds caps both. The values
+    prove the cut changes NOTHING but the plan."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("acc")
+    )
+    plain = nation
+    for _i in range(8):
+        plain = plain.select(
+            "n_nationkey", F.md5(F.concat(F.col("acc"), F.lit("x"))).alias(
+                "acc"
+            )
+        )
+    ckpt = nation
+    for i in range(8):
+        ckpt = ckpt.select(
+            "n_nationkey", F.md5(F.concat(F.col("acc"), F.lit("x"))).alias(
+                "acc"
+            )
+        )
+        if (i + 1) % 4 == 0:
+            ckpt = ckpt.localCheckpoint(eager=True)
+    plan_plain = len(plain._jdf.queryExecution().analyzed().toString())
+    plan_ckpt = len(ckpt._jdf.queryExecution().analyzed().toString())
+    assert plan_ckpt < plan_plain, (plan_ckpt, plan_plain)
+    joined = plain.select(
+        "n_nationkey", F.col("acc").alias("acc_plain")
+    ).join(
+        ckpt.select("n_nationkey", F.col("acc").alias("acc_ckpt")),
+        "n_nationkey",
+    )
+    return joined.select(
+        "n_nationkey",
+        "acc_plain",
+        (F.col("acc_plain") == F.col("acc_ckpt")).alias("values_identical"),
+        F.lit(True).alias("plan_bounded"),
+    ).orderBy("n_nationkey")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -18587,6 +18863,10 @@ QUERIES = {
     "json_schema_gate": json_schema_gate,
     "length_grouped_batches": length_grouped_batches,
     "batch_observe_metrics": batch_observe_metrics,
+    "rocksdb_state_provider_proof": rocksdb_state_provider_proof,
+    "stream_source_archival_proof": stream_source_archival_proof,
+    "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
+    "lineage_checkpoint_proof": lineage_checkpoint_proof,
 }
 
 
