@@ -132,6 +132,13 @@ HEADLINE = [
     ("decontamination_span_expansion", "in-row grams; eval set broadcast; doc-partitioned islands"),
     ("conversation_tree_linearization", "3 depth-bounded parent equi-joins, no recursion"),
     ("per_domain_quality_drift", "(source,snap) keyed agg + bounded per-source regression"),
+    ("wht_audio_fingerprint", "5 butterfly stages ride the scan; zero joins"),
+    ("readability_gate", "pure expression scan; integer counts only"),
+    ("chat_truncation_plan", "per-row array fold; suffix scan bounded by turn list"),
+    ("sorted_neighborhood_pairs", "bucketed neighbor windows + boundary strips; no global sort"),
+    ("length_grouped_batches", "both schemes window per bucket, never a single partition"),
+    ("fellegi_sunter_linkage", "one blocked self-join; m/u folded back as literals"),
+    ("mapinarrow_byte_histogram", "Arrow lane + one doc_id join vs expression recompute"),
 ]
 
 
