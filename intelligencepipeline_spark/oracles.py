@@ -10323,3 +10323,72 @@ SELECT n_nationkey,
 FROM nation
 ORDER BY n_nationkey
 """
+
+# ann_cascade_recall: all three cuts replayed from the quantized
+# substrate (sign disagreement == packed-code hamming).
+ORACLES["ann_cascade_recall"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    cast(floor(cast(unnest(embedding) as double) * 1000) as bigint) AS v
+  FROM embeddings
+), cal AS (
+  SELECT i, min(v) AS mn, max(v) AS mx FROM e GROUP BY i
+), c AS (
+  SELECT e.vec_id, e.i, e.v,
+    CASE WHEN cal.mx - cal.mn <= 0 THEN 0
+         ELSE ((e.v - cal.mn) * 255) // (cal.mx - cal.mn)
+    END AS code
+  FROM e JOIN cal USING (i)
+), qc AS (
+  SELECT i, code, v FROM c WHERE vec_id = 0
+), scores AS (
+  SELECT c.vec_id,
+    sum(CASE WHEN (c.v >= 0) <> (qc.v >= 0) THEN 1 ELSE 0 END) AS hamming,
+    sum(c.code * qc.code) AS approx_dot,
+    sum(c.v * qc.v) AS dot,
+    sum(c.v * c.v) AS n2e, sum(qc.v * qc.v) AS n2q
+  FROM c JOIN qc USING (i)
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+), s1 AS (
+  SELECT * FROM scores ORDER BY hamming, vec_id LIMIT 200
+), s2 AS (
+  SELECT * FROM s1 ORDER BY approx_dot DESC, vec_id LIMIT 50
+), s3 AS (
+  SELECT * FROM s2 ORDER BY dot DESC, vec_id LIMIT 10
+), exact AS (
+  SELECT vec_id FROM scores ORDER BY dot DESC, vec_id LIMIT 10
+), r AS (
+  SELECT cast(100 * count(*) as bigint) AS recall_milli
+  FROM s3 WHERE vec_id IN (SELECT vec_id FROM exact)
+)
+SELECT s3.vec_id,
+  cast(hamming as bigint) AS hamming,
+  cast(approx_dot as bigint) AS approx_dot,
+  cast(dot as bigint) AS dot,
+  cast(dot as double)
+    / (sqrt(cast(n2e as double)) * sqrt(cast(n2q as double))) AS cosine,
+  s3.vec_id IN (SELECT vec_id FROM exact) AS in_exact_top10,
+  r.recall_milli AS recall_at_10_milli
+FROM s3, r
+ORDER BY s3.vec_id
+"""
+
+# crawl_frontier_schedule: md5 politeness delay, per-domain ranks,
+# makespan arithmetic.
+ORACLES["crawl_frontier_schedule"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    2 + cast(concat('0x', substr(md5(source), 1, 8)) as bigint) % 4
+      AS delay_s,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT source, cast(delay_s as bigint) AS delay_s,
+  count(*) AS n_urls,
+  cast(max(rk * delay_s) as bigint) AS makespan_s,
+  cast(sum(rk * delay_s) as bigint) AS total_wait_s
+FROM d
+GROUP BY source, delay_s
+ORDER BY source
+"""

@@ -18443,6 +18443,139 @@ def lineage_checkpoint_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_nationkey")
 
 
+def ann_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-STAGE ANN CASCADE (binary -> SQ8 -> exact) — the
+    production retrieval ladder the single-stage entries
+    (binary_quant_ann, sq8_ann_topk) are rungs of: stage 1 scans
+    8-byte sign codes (XOR+popcount hamming, top-200), stage 2
+    re-scores ONLY those 200 with 64-byte SQ8 integer dots (top-50),
+    stage 3 re-ranks the 50 survivors with full-precision exact dots
+    (top-10). Each row exports its per-stage scores plus membership
+    in the TRUE exact top-10, and the cascade's recall@10 rides along
+    in milli — the accuracy the 32x-cheaper first pass actually
+    preserves.
+
+    Scale: stage-1 IO is ~n x 8 bytes with a TakeOrderedAndProject
+    cut; the expensive representations are touched by 200 then 50
+    rows regardless of corpus size. Oracle replays all three cuts
+    from the same quantized substrate (sign disagreement == packed
+    hamming)."""
+    from intelligencepipeline_spark.operators.quant import (
+        binary_codes,
+        hamming64,
+        sq8_calibration,
+        sq8_code_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, spans = sq8_calibration(emb)
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        binary_codes(F.col("embedding")).alias("bc"),
+        sq8_code_expr(F.col("embedding"), mins, spans).alias("code"),
+    )
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("bc").alias("qbc"),
+        F.col("code").alias("qcode"),
+        quantize(F.col("embedding")).alias("qvec"),
+    )
+    s1 = (
+        base.join(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            "code",
+            "qcode",
+            "qvec",
+            hamming64(F.col("bc"), F.col("qbc")).alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(200)
+    )
+    s2 = (
+        s1.withColumn("approx_dot", int_dot(F.col("code"), F.col("qcode")))
+        .orderBy(F.desc("approx_dot"), "vec_id")
+        .limit(50)
+    )
+    s3 = (
+        s2.withColumn(
+            "dot", int_dot(quantize(F.col("embedding")), F.col("qvec"))
+        )
+        .withColumn(
+            "cosine", cosine(quantize(F.col("embedding")), F.col("qvec"))
+        )
+        .orderBy(F.desc("dot"), "vec_id")
+        .limit(10)
+    )
+    s3 = track_persist(s3)
+    exact10 = {
+        int(r["vec_id"])
+        for r in base.join(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            int_dot(quantize(F.col("embedding")), F.col("qvec")).alias("d"),
+        )
+        .orderBy(F.desc("d"), "vec_id")
+        .limit(10)
+        .collect()
+    }
+    hits = [
+        int(r["vec_id"]) in exact10 for r in s3.select("vec_id").collect()
+    ]
+    recall_milli = 100 * sum(hits)
+    return s3.select(
+        "vec_id",
+        "hamming",
+        "approx_dot",
+        "dot",
+        "cosine",
+        F.col("vec_id").isin(list(exact10)).alias("in_exact_top10"),
+        F.lit(recall_milli).cast("long").alias("recall_at_10_milli"),
+    ).orderBy("vec_id")
+
+
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-FRONTIER POLITENESS SCHEDULING — the acquisition-side
+    planner upstream of everything else in a web-corpus pipeline
+    (robots_opt_out_sweep's sibling): every document's fetch is
+    assigned a slot respecting a PER-DOMAIN crawl delay (2 +
+    md5(domain) % 4 seconds — the robots.txt Crawl-delay stand-in),
+    fetches within a domain serialize (rank * delay via a
+    domain-partitioned window — never a global sort), and the
+    per-domain ledger reports queue depth, delay, makespan and the
+    domain-parallel total the fleet actually needs. At 100 TB the
+    frontier is exactly this shape: domain-keyed queues, politeness
+    inside the key, full parallelism across keys.
+
+    Oracle replays the md5 delay, the per-domain ranks and the
+    makespan arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "2 + cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint)"
+            " % 4"
+        ).alias("delay_s"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sched = d.withColumn(
+        "fetch_at", (F.row_number().over(w) - 1) * F.col("delay_s")
+    )
+    return (
+        sched.groupBy("source", "delay_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.max("fetch_at").alias("makespan_s"),
+            F.sum("fetch_at").alias("total_wait_s"),
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -18867,6 +19000,8 @@ QUERIES = {
     "stream_source_archival_proof": stream_source_archival_proof,
     "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
     "lineage_checkpoint_proof": lineage_checkpoint_proof,
+    "ann_cascade_recall": ann_cascade_recall,
+    "crawl_frontier_schedule": crawl_frontier_schedule,
 }
 
 
