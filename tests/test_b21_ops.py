@@ -1,0 +1,75 @@
+"""b21 wave: brute-force third implementation of the ANN cascade and
+the frontier scheduler."""
+
+import hashlib
+import math
+
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _quant(vec):
+    return [int(math.floor(float(x) * 1000)) for x in vec]
+
+
+def test_ann_cascade_brute_force(spark):
+    from intelligencepipeline_spark.queries import ann_cascade_recall
+
+    got = {r["vec_id"]: r for r in ann_cascade_recall(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM"
+        f" read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {int(i): _quant(v) for i, v in rows}
+    qv = vecs[0]
+    dim = len(qv)
+    mins = [min(v[i] for v in vecs.values()) for i in range(dim)]
+    maxs = [max(v[i] for v in vecs.values()) for i in range(dim)]
+
+    def code(v):
+        return [
+            0 if maxs[i] - mins[i] <= 0
+            else ((v[i] - mins[i]) * 255) // (maxs[i] - mins[i])
+            for i in range(dim)
+        ]
+
+    qc = code(qv)
+    scores = []
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        ham = sum(1 for i in range(dim) if (v[i] >= 0) != (qv[i] >= 0))
+        cv = code(v)
+        approx = sum(cv[i] * qc[i] for i in range(dim))
+        dot = sum(v[i] * qv[i] for i in range(dim))
+        scores.append((vid, ham, approx, dot))
+    s1 = sorted(scores, key=lambda t: (t[1], t[0]))[:200]
+    s2 = sorted(s1, key=lambda t: (-t[2], t[0]))[:50]
+    s3 = sorted(s2, key=lambda t: (-t[3], t[0]))[:10]
+    exact = {
+        t[0] for t in sorted(scores, key=lambda t: (-t[3], t[0]))[:10]
+    }
+    assert set(got) == {t[0] for t in s3}
+    hits = sum(1 for t in s3 if t[0] in exact)
+    for vid, ham, approx, dot in s3:
+        r = got[vid]
+        assert (r["hamming"], r["approx_dot"], r["dot"]) == (ham, approx, dot)
+        assert r["in_exact_top10"] == (vid in exact)
+        assert r["recall_at_10_milli"] == 100 * hits
+
+
+def test_crawl_frontier_brute_force(spark):
+    from intelligencepipeline_spark.queries import crawl_frontier_schedule
+
+    got = {r["source"]: r for r in crawl_frontier_schedule(spark, SF_DIR).collect()}
+    rows = duckdb.sql(
+        f"SELECT source, count(*) FROM"
+        f" read_parquet('{SF_DIR}/documents.parquet') GROUP BY source"
+    ).fetchall()
+    for source, n in rows:
+        delay = 2 + int(hashlib.md5(source.encode()).hexdigest()[:8], 16) % 4
+        r = got[source]
+        assert r["delay_s"] == delay and r["n_urls"] == n
+        assert r["makespan_s"] == (n - 1) * delay
+        assert r["total_wait_s"] == delay * (n - 1) * n // 2
