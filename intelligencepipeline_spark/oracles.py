@@ -10392,3 +10392,31 @@ FROM d
 GROUP BY source, delay_s
 ORDER BY source
 """
+
+# compression_codec_audit: source aggregates repeated per codec; the
+# on-disk dominance order and lossless read-back are asserted
+# in-entry (byte counts are codec-version-dependent, never exported).
+ORACLES["compression_codec_audit"] = f"""
+WITH a AS (
+  SELECT count(*) AS n, cast(sum({_REV}) as double) AS rev FROM lineitem
+)
+SELECT codec, a.n AS n_rows, a.rev AS revenue,
+  TRUE AS dominance_order_holds, TRUE AS lossless_readback
+FROM a, (VALUES ('none'), ('snappy'), ('zstd')) AS c(codec)
+ORDER BY codec
+"""
+
+# join_hint_enforcement: the aggregate once, one row per strategy;
+# executed-operator assertions live in-entry.
+ORACLES["join_hint_enforcement"] = """
+WITH a AS (
+  SELECT count(*) AS n, cast(sum(o_orderkey) as bigint) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'AUTOMOBILE'
+)
+SELECT strategy, a.n AS n_orders, a.s AS key_sum,
+  TRUE AS hinted_operator_used
+FROM a, (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
+  AS t(strategy)
+ORDER BY strategy
+"""

@@ -18576,6 +18576,109 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compression_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET CODEC CHOICE AUDITED ON DISK (snappy vs zstd vs
+    uncompressed) — the at-rest cost knob the layout advisors
+    (encoding_advisor, sort_layout_advisor) stop short of: the same
+    sorted lineitem projection is written once per codec (one file
+    each, identical row order so the comparison isolates the codec),
+    on-disk bytes are measured, and the entry asserts the expected
+    dominance order bytes(zstd) < bytes(snappy) < bytes(none) plus
+    lossless read-back (row count + exact revenue per codec must
+    match the source). Byte counts stay INTERNAL (they're
+    codec-version-dependent); the exported ledger carries the
+    dominance flags and the recomputed aggregates.
+
+    At 100 TB the zstd-vs-snappy delta is petabytes of storage and
+    scan IO — this entry is the measurement harness for that
+    decision. Oracle: the source aggregates with flags pinned."""
+    import os
+
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    ).orderBy("l_orderkey", "l_extendedprice")
+    base = scratch_dir("ip_codec_")
+    sizes: dict[str, int] = {}
+    reads: dict[str, tuple[int, float]] = {}
+    for codec in ("none", "snappy", "zstd"):
+        d = os.path.join(base, codec)
+        line.coalesce(1).write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(d)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(d, f_))
+            for f_ in os.listdir(d)
+            if f_.endswith(".parquet")
+        )
+        back = spark.read.parquet(d)
+        r = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("rev"),
+        ).collect()[0]
+        reads[codec] = (int(r["n"]), float(r["rev"]))
+    assert sizes["zstd"] < sizes["snappy"] < sizes["none"], sizes
+    assert len({v for v in reads.values()}) == 1, reads
+    n, rev = reads["zstd"]
+    return spark.createDataFrame(
+        [
+            (codec, n, rev, True, True)
+            for codec in ("none", "snappy", "zstd")
+        ],
+        "codec string, n_rows long, revenue double,"
+        " dominance_order_holds boolean, lossless_readback boolean",
+    ).orderBy("codec")
+
+
+def join_hint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN STRATEGY HINTS enforced and verified — the declarative
+    override lane when the optimizer's choice isn't the one you want
+    at scale: the SAME orders x customer join runs under BROADCAST,
+    MERGE and SHUFFLE_HASH hints, each executed plan is asserted to
+    contain its hinted operator (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin), and all three must produce the identical
+    aggregate (hints may never change semantics). One ledger row per
+    strategy with the shared result and its plan flag.
+
+    At 100 TB hints are the escape hatch for mis-estimated
+    cardinalities (join_cardinality_advisor's output feeds exactly
+    this decision). Oracle: the aggregate once, three flag rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    results = []
+    for hint_name, op in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ):
+        j = (
+            orders.join(
+                cust.hint(hint_name),
+                orders["o_custkey"] == cust["c_custkey"],
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_orderkey").alias("s"),
+            )
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert op in plan, (hint_name, plan[:900])
+        results.append((hint_name, int(row["n"]), int(row["s"]), True))
+    assert len({(n, s) for _h, n, s, _f in results}) == 1, results
+    return spark.createDataFrame(
+        results,
+        "strategy string, n_orders long, key_sum long,"
+        " hinted_operator_used boolean",
+    ).orderBy("strategy")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -19002,6 +19105,8 @@ QUERIES = {
     "lineage_checkpoint_proof": lineage_checkpoint_proof,
     "ann_cascade_recall": ann_cascade_recall,
     "crawl_frontier_schedule": crawl_frontier_schedule,
+    "compression_codec_audit": compression_codec_audit,
+    "join_hint_enforcement": join_hint_enforcement,
 }
 
 
