@@ -10398,7 +10398,8 @@ ORDER BY source
 # in-entry (byte counts are codec-version-dependent, never exported).
 ORACLES["compression_codec_audit"] = f"""
 WITH a AS (
-  SELECT count(*) AS n, cast(sum({_REV}) as double) AS rev FROM lineitem
+  SELECT count(*) AS n, cast(sum({_REV}) as double) AS rev
+  FROM lineitem WHERE l_orderkey % 10 = 0
 )
 SELECT codec, a.n AS n_rows, a.rev AS revenue,
   TRUE AS dominance_order_holds, TRUE AS lossless_readback
