@@ -10421,3 +10421,63 @@ FROM a, (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
   AS t(strategy)
 ORDER BY strategy
 """
+
+# rerun_determinism_proof: the ordered digest from DuckDB's
+# string_agg; partitioning invariance asserted in-entry.
+ORACLES["rerun_determinism_proof"] = """
+WITH per_src AS (
+  SELECT source,
+    md5(string_agg(md5(text), '' ORDER BY md5(text))) AS d
+  FROM documents GROUP BY source
+)
+SELECT md5(string_agg(source || '|' || d, ''
+    ORDER BY source || '|' || d)) AS corpus_digest,
+  TRUE AS partitioning_invariant
+FROM per_src
+"""
+
+# dp_budget_ledger: md5 costs + running sum over the release domain.
+ORACLES["dp_budget_ledger"] = """
+WITH rel AS (
+  SELECT event_type, count(*) AS n_rows,
+    500 + cast(concat('0x', substr(md5(event_type), 1, 8)) as bigint)
+      % 1000 AS eps_milli
+  FROM events GROUP BY event_type
+), led AS (
+  SELECT *,
+    sum(eps_milli) OVER (ORDER BY event_type
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_eps_milli
+  FROM rel
+)
+SELECT event_type, n_rows,
+  cast(eps_milli as bigint) AS eps_milli,
+  cast(cum_eps_milli as bigint) AS cum_eps_milli,
+  cum_eps_milli <= 3000 AS allowed,
+  cast(greatest(0, 3000 - cum_eps_milli) as bigint) AS remaining_milli
+FROM led
+ORDER BY event_type
+"""
+
+# arrow_python_udf_parity: the expression formulation; lane equality
+# pinned in-entry per source.
+ORACLES["arrow_python_udf_parity"] = f"""
+SELECT source,
+  count(*) AS n_docs,
+  cast(sum(len({_NTOKS})) as bigint) AS sum_tokens,
+  TRUE AS lanes_equal
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+# streaming_union_watermark_min: per-window counts from events
+# directly; complete drain makes finalization timing invisible to
+# the values.
+ORACLES["streaming_union_watermark_min"] = """
+SELECT cast(user_id % 10 as bigint) AS k,
+  cast((event_id % 1000) // 100 * 100 as bigint) AS win_start,
+  count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY k, win_start
+"""
