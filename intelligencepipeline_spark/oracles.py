@@ -10481,3 +10481,123 @@ FROM events
 GROUP BY 1, 2
 ORDER BY k, win_start
 """
+
+# code_file_filters: lining regex + length arithmetic + marker plant.
+ORACLES["code_file_filters"] = r"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 17 = 0
+      THEN 'auto-generated by tool ' || text ELSE text END AS t2
+  FROM documents
+), l AS (
+  SELECT doc_id, source, t2,
+    regexp_extract_all(t2, '\S+( \S+){0,7}') AS lines
+  FROM d
+)
+SELECT doc_id, source,
+  cast(len(lines) as bigint) AS n_lines,
+  cast(coalesce(list_max(list_transform(lines, x -> length(x))), 0)
+    as bigint) AS max_line_len,
+  cast(CASE WHEN len(lines) = 0 THEN 0
+    ELSE 1000 * list_sum(list_transform(lines, x -> length(x)))
+      // len(lines) END as bigint) AS avg_line_len_milli,
+  cast(CASE WHEN length(t2) = 0 THEN 0
+    ELSE 1000 * length(regexp_replace(t2, '[^A-Za-z0-9]', '', 'g'))
+      // length(t2) END as bigint) AS alnum_frac_milli,
+  doc_id % 17 = 0 AS auto_generated,
+  coalesce(list_max(list_transform(lines, x -> length(x))), 0) <= 60
+    AND (CASE WHEN length(t2) = 0 THEN 0
+      ELSE 1000 * length(regexp_replace(t2, '[^A-Za-z0-9]', '', 'g'))
+        // length(t2) END) >= 600
+    AND NOT (doc_id % 17 = 0) AS keep
+FROM l
+ORDER BY doc_id
+"""
+
+# source_set_similarity: fingerprint equi-join intersections +
+# inclusion-exclusion unions.
+ORACLES["source_set_similarity"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+), fps AS (
+  SELECT DISTINCT d.source, md5(sh.shingle) AS fp
+  FROM sh JOIN documents d USING (doc_id)
+), sizes AS (
+  SELECT source, count(*) AS n FROM fps GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*) AS n_common
+  FROM fps a JOIN fps b USING (fp)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+  n_common,
+  cast(sa.n + sb.n - n_common as bigint) AS n_union,
+  cast(1000 * n_common // (sa.n + sb.n - n_common) as bigint)
+    AS jaccard_milli
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+ORDER BY source_a, source_b
+"""
+
+
+# sft_echo_filter: adjacency + LCP fold over the shared turn
+# derivation (turns <= 8 tokens keep the quadratic prefix bounded).
+ORACLES["sft_echo_filter"] = f"""
+WITH r AS (
+  SELECT conv_id, turn_index, turn, role,
+    lead(turn) OVER (PARTITION BY conv_id ORDER BY turn_index) AS nxt,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_index) AS nrole
+  FROM {_SFT_ROLED}
+), ua AS (
+  SELECT conv_id,
+    list_filter(string_split(turn, ' '), x -> x <> '') AS u,
+    list_filter(string_split(nxt, ' '), x -> x <> '') AS a
+  FROM r WHERE role = 'user' AND nrole = 'assistant'
+), e AS (
+  SELECT conv_id,
+    1000 * len(list_filter(range(1, least(len(u), len(a)) + 1), j ->
+      len(list_filter(range(1, j + 1), q -> u[q] = a[q])) = j))
+      // len(u) AS echo_milli
+  FROM ua
+), convs AS (
+  SELECT DISTINCT conv_id FROM {_SFT_ROLED}
+)
+SELECT convs.conv_id,
+  cast(count(e.echo_milli) as bigint) AS n_ua_pairs,
+  cast(coalesce(max(e.echo_milli), 0) as bigint) AS max_echo_milli,
+  cast(coalesce(sum(CASE WHEN e.echo_milli >= 800 THEN 1 ELSE 0 END), 0)
+    as bigint) AS n_echo
+FROM convs LEFT JOIN e USING (conv_id)
+GROUP BY convs.conv_id
+ORDER BY convs.conv_id
+"""
+
+# preference_length_bias: the pair derivation (turns 1/2/3 of 3+-turn
+# conversations) + per-source arithmetic.
+ORACLES["preference_length_bias"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_index, turn FROM {_SFT_TURNS}
+), p AS (
+  SELECT conv_id AS pair_id,
+    len(list_filter(string_split(max(CASE WHEN turn_index = 1 THEN turn
+      END), ' '), x -> x <> '')) AS len_c,
+    len(list_filter(string_split(max(CASE WHEN turn_index = 2 THEN turn
+      END), ' '), x -> x <> '')) AS len_r
+  FROM t
+  GROUP BY conv_id
+  HAVING count(*) >= 3
+)
+SELECT d.source,
+  count(*) AS n_pairs,
+  cast(sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) as bigint)
+    AS n_chosen_longer,
+  cast(sum(len_c - len_r) as double) / count(*) AS mean_token_delta,
+  sum(CASE WHEN len_c > len_r THEN 1 ELSE 0 END) * 10 > count(*) * 6
+    AS length_biased
+FROM p JOIN documents d ON d.doc_id = p.pair_id
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -18901,6 +18901,219 @@ def streaming_union_watermark_min(
     )
 
 
+def code_file_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-CORPUS FILE FILTERS (The Stack / StarCoder recipe) — the
+    line-structure gates code corpora use where prose corpora use
+    Gopher rules: each doc is lined by the chunker idiom (runs of up
+    to 8 raw tokens = one line), and the per-file ledger computes the
+    canonical four: max line length, mean line length (milli), the
+    alphanumeric character fraction (milli), and the auto-generated
+    marker (planted on every 17th doc — 'auto-generated by' is the
+    license-header analogue). keep = lines bounded AND alnum fraction
+    sane AND not auto-generated — the exact StarCoder-style
+    conjunction, milli-exact.
+
+    Scale: one expression scan, no shuffle. Oracle replays the
+    lining regex, the length arithmetic and the marker plant."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "IF(doc_id % 17 = 0,"
+            " concat('auto-generated by tool ', text), text)"
+        ).alias("t2"),
+    ).withColumn(
+        "lines",
+        F.regexp_extract_all(
+            F.col("t2"), F.lit(r"\S+( \S+){0,7}"), F.lit(0)
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        F.expr("cast(size(lines) as bigint)").alias("n_lines"),
+        F.expr(
+            "cast(aggregate(lines, 0L, (a, l) ->"
+            " greatest(a, cast(length(l) as bigint))) as bigint)"
+        ).alias("max_line_len"),
+        F.expr(
+            "IF(size(lines) = 0, 0L, 1000 * aggregate(lines, 0L,"
+            " (a, l) -> a + cast(length(l) as bigint))"
+            " DIV size(lines))"
+        ).alias("avg_line_len_milli"),
+        F.expr(
+            "IF(length(t2) = 0, 0L, 1000 * cast(length("
+            "regexp_replace(t2, '[^A-Za-z0-9]', '')) as bigint)"
+            " DIV length(t2))"
+        ).alias("alnum_frac_milli"),
+        (F.col("doc_id") % 17 == 0).alias("auto_generated"),
+    )
+    return d.withColumn(
+        "keep",
+        (F.col("max_line_len") <= 60)
+        & (F.col("alnum_frac_milli") >= 600)
+        & ~F.col("auto_generated"),
+    ).orderBy("doc_id")
+
+
+def source_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPO-LEVEL (SOURCE-SET) SIMILARITY — the coarse dedup pass
+    above document dedup: two sources whose FINGERPRINT SETS overlap
+    heavily are fork/mirror candidates even when no single doc pair
+    fires. Exact set Jaccard per source pair via ONE fingerprint
+    equi-join (intersections) against broadcast per-source set sizes
+    — the pair domain is |sources|^2-bounded, the join is keyed on
+    the fingerprint, never all-pairs over docs.
+
+    Oracle replays the fingerprints, the intersect join and the
+    inclusion-exclusion union in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    # whole-doc fingerprints never collide across sources (docs are
+    # unique), so the repo-level signal uses the dedup family's shared
+    # 3-shingle substrate: sources sharing PHRASING overlap here
+    shingles = _shared_shingles(spark, sf_dir)
+    fps = (
+        shingles.join(
+            F.broadcast(docs.select("doc_id", "source")), "doc_id"
+        )
+        .select("source", F.md5(F.col("shingle")).alias("fp"))
+        .distinct()
+    )
+    fps = track_persist(fps)
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.expr("a.source < b.source"))
+        .groupBy(
+            F.expr("a.source").alias("source_a"),
+            F.expr("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (F.col("n_a") + F.col("n_b") - F.col("n_common")).alias(
+                "n_union"
+            ),
+            F.expr(
+                "1000 * n_common DIV (n_a + n_b - n_common)"
+            ).alias("jaccard_milli"),
+        )
+    )
+    return out.orderBy("source_a", "source_b")
+
+
+def sft_echo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECHO-RESPONSE FILTER for SFT pairs — assistant turns that
+    merely repeat the user's prompt teach parroting: for every
+    adjacent (user, assistant) turn pair in the shared conversation
+    derivation, the token-level longest common PREFIX against the
+    user turn is computed as an exact fold (turns are <= 8 tokens, so
+    the quadratic prefix check is constant-bounded), echo strength =
+    1000 * lcp / |user tokens|, and the per-conversation ledger
+    reports pair count, max echo and the >= 800-milli echo count.
+
+    Scale: array HOFs on the scan, zero shuffles before the export
+    sort. Oracle replays the adjacency, the LCP fold and the
+    thresholds over DuckDB lists."""
+    from intelligencepipeline_spark.operators.sft import conversation_turns
+
+    convs = conversation_turns(_t(spark, sf_dir, "documents"))
+    d = convs.withColumn(
+        "echoes",
+        F.expr(
+            "transform(filter(sequence(1, size(turns) - 1), i ->"
+            " element_at(roles, i) = 'user' AND"
+            " element_at(roles, i + 1) = 'assistant'), i ->"
+            " named_struct('u', split(element_at(turns, i), ' '),"
+            " 'a', split(element_at(turns, i + 1), ' ')))"
+        ),
+    ).withColumn(
+        "echo_millis",
+        F.expr(
+            "transform(echoes, p -> 1000 * cast(size(filter("
+            "sequence(1, least(size(p.u), size(p.a))), j ->"
+            " forall(sequence(1, j), q ->"
+            " element_at(p.u, q) = element_at(p.a, q)))) as bigint)"
+            " DIV size(p.u))"
+        ),
+    )
+    return d.select(
+        "conv_id",
+        F.expr("cast(size(echo_millis) as bigint)").alias("n_ua_pairs"),
+        F.expr(
+            "cast(coalesce(aggregate(echo_millis, 0L,"
+            " (a, x) -> greatest(a, x)), 0L) as bigint)"
+        ).alias("max_echo_milli"),
+        F.expr(
+            "cast(size(filter(echo_millis, x -> x >= 800)) as bigint)"
+        ).alias("n_echo"),
+    ).orderBy("conv_id")
+
+
+def preference_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERBOSITY-BIAS AUDIT over preference pairs — the DPO/RLHF
+    failure mode where 'chosen' correlates with 'longer', so the
+    reward model learns length instead of quality: per source, the
+    share of pairs whose chosen completion is strictly longer (in
+    whitespace tokens) than the rejected one, the milli mean token
+    delta (ONE IEEE division of exact integers), and the bias flag at
+    the 60% threshold. Pairs come from the shared operators/sft.py
+    derivation; source rides in via the conv_id -> doc join.
+
+    Oracle replays the pair derivation (the _SFT turn fragments) and
+    the per-source arithmetic."""
+    from intelligencepipeline_spark.operators.sft import preference_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = preference_pairs(docs).select(
+        "pair_id",
+        F.expr(
+            "cast(size(filter(split(chosen, ' '), x -> x != ''))"
+            " as bigint)"
+        ).alias("len_c"),
+        F.expr(
+            "cast(size(filter(split(rejected, ' '), x -> x != ''))"
+            " as bigint)"
+        ).alias("len_r"),
+    )
+    src = docs.select(F.col("doc_id").alias("pair_id"), "source")
+    d = pairs.join(src, "pair_id")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("len_c") > F.col("len_r"), 1).otherwise(0)
+            ).alias("n_chosen_longer"),
+            (
+                F.sum(F.col("len_c") - F.col("len_r")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_token_delta"),
+        )
+        .withColumn(
+            "length_biased",
+            F.col("n_chosen_longer") * 10 > F.col("n_pairs") * 6,
+        )
+        .orderBy("source")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -19333,6 +19546,10 @@ QUERIES = {
     "dp_budget_ledger": dp_budget_ledger,
     "arrow_python_udf_parity": arrow_python_udf_parity,
     "streaming_union_watermark_min": streaming_union_watermark_min,
+    "code_file_filters": code_file_filters,
+    "source_set_similarity": source_set_similarity,
+    "sft_echo_filter": sft_echo_filter,
+    "preference_length_bias": preference_length_bias,
 }
 
 
