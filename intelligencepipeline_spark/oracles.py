@@ -10601,3 +10601,44 @@ FROM p JOIN documents d ON d.doc_id = p.pair_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+# late_data_drop_metrics: on-time per-window counts; the dropped
+# counter is pinned in-entry against the plant size.
+ORACLES["late_data_drop_metrics"] = """
+SELECT cast(user_id % 5 as bigint) AS k,
+  cast((event_id % 100) // 50 * 50 as bigint) AS win_start,
+  count(*) AS n,
+  TRUE AS late_rows_excluded,
+  TRUE AS dropped_partials_counted
+FROM events
+GROUP BY 1, 2
+ORDER BY k, win_start
+"""
+
+# aqe_coalesce_proof: the aggregate; the coalesce facts are asserted
+# in-entry on the executed plan and the result partitioning.
+ORACLES["aqe_coalesce_proof"] = """
+SELECT o_orderpriority,
+  count(*) AS n_orders,
+  cast(sum(o_orderkey) as bigint) AS key_sum,
+  TRUE AS aqe_coalesced
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# aqe_join_switch_proof: the join aggregate; the static-SMJ vs
+# runtime-BHJ switch is asserted in-entry.
+ORACLES["aqe_join_switch_proof"] = """
+WITH r AS (
+  SELECT i * 97 AS k FROM generate_series(0, 10) t(i)
+)
+SELECT cast(k % 7 as bigint) AS bucket,
+  cast(sum(100) as bigint) AS n_rows,
+  cast(sum(100 * k + 1000 * 4950) as bigint) AS v_sum,
+  TRUE AS static_sortmerge,
+  TRUE AS runtime_broadcast
+FROM r
+GROUP BY 1
+ORDER BY bucket
+"""
