@@ -10642,3 +10642,43 @@ FROM r
 GROUP BY 1
 ORDER BY bucket
 """
+
+# dynamic_partition_overwrite: month 3 from the corrected derivation,
+# everything else original; survival asserted in-entry.
+ORACLES["dynamic_partition_overwrite"] = """
+SELECT cast(month(l_shipdate) as integer) AS m,
+  count(*) AS n_rows,
+  cast(sum(cast(l_quantity as bigint)
+    * CASE WHEN month(l_shipdate) = 3 THEN 2 ELSE 1 END) as bigint)
+    AS qty_sum,
+  cast(sum(l_orderkey) as bigint) AS key_sum,
+  TRUE AS other_partitions_survived
+FROM lineitem
+GROUP BY 1
+ORDER BY m
+"""
+
+# file_metadata_column_audit: per-group aggregates; the four-file
+# purity facts are asserted in-entry on _metadata.file_name.
+ORACLES["file_metadata_column_audit"] = """
+SELECT cast(o_orderkey % 4 as bigint) AS g,
+  count(*) AS n_rows,
+  cast(sum(o_orderkey) as bigint) AS key_sum,
+  cast(1 as bigint) AS n_files,
+  TRUE AS files_pure
+FROM orders
+GROUP BY 1
+ORDER BY g
+"""
+
+# streaming_query_listener_audit: the keyed aggregate; the listener's
+# numInputRows conservation is asserted in-entry.
+ORACLES["streaming_query_listener_audit"] = """
+SELECT cast(user_id % 8 as bigint) AS k,
+  count(*) AS n,
+  cast(sum(event_id) as bigint) AS s,
+  TRUE AS listener_rows_exact
+FROM events
+GROUP BY 1
+ORDER BY k
+"""

@@ -19350,6 +19350,218 @@ def aqe_join_switch_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+def dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the lakehouse upsert-by-partition
+    primitive (partitionOverwriteMode=dynamic): a month-partitioned
+    fact lands once, then a CORRECTION batch overwrites ONLY month 3
+    (doubled measure — a reprocessing run), and the read-back must
+    show month 3 fully replaced while every other partition survives
+    byte-identical (in STATIC mode the second write would have wiped
+    them — the classic data-loss footgun this mode exists to fix).
+    Survival and replacement are both asserted in-entry; the exported
+    ledger carries per-month counts and sums after the overwrite.
+
+    At 100 TB this is how daily reprocessing lands: one partition
+    rewritten in place, the other 10 000 untouched. Conf is
+    saved/restored. Oracle: month 3 from the corrected derivation,
+    everything else from the original."""
+    keep = None
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        keep = spark.conf.get(conf_key)
+    except Exception:
+        keep = None
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        line = load_table(spark, sf_dir, "lineitem").select(
+            F.month("l_shipdate").alias("m"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        tgt = scratch_dir("ip_dpo_tbl_")
+        line.write.partitionBy("m").mode("overwrite").parquet(tgt)
+        correction = line.filter(F.col("m") == 3).withColumn(
+            "qty", F.col("qty") * 2
+        )
+        correction.write.partitionBy("m").mode("overwrite").parquet(tgt)
+        got = spark.read.parquet(tgt)
+        out = got.groupBy("m").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty").alias("qty_sum"),
+            F.sum("okey").alias("key_sum"),
+        )
+        rows = {int(r["m"]): r for r in out.collect()}
+        base = {
+            int(r["m"]): r
+            for r in line.groupBy("m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qty").alias("q"),
+                F.sum("okey").alias("s"),
+            )
+            .collect()
+        }
+        assert set(rows) == set(base), (sorted(rows), sorted(base))
+        for m, r in rows.items():
+            exp_q = base[m]["q"] * (2 if m == 3 else 1)
+            assert (
+                r["n_rows"] == base[m]["n"]
+                and r["qty_sum"] == exp_q
+                and r["key_sum"] == base[m]["s"]
+            ), (m, r)
+    finally:
+        if keep is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, keep)
+    return out.withColumn(
+        "other_partitions_survived", F.lit(True)
+    ).orderBy("m")
+
+
+def file_metadata_column_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HIDDEN ``_metadata`` FILE COLUMNS — per-row physical provenance
+    (file path / size / modification time) with no storage cost, the
+    lineage hook the manifest family (merkle_corpus_manifest,
+    file_compaction_plan's input_file_name) complements: orders are
+    staged into EXACTLY four files keyed by ``o_orderkey % 4``, read
+    back selecting ``_metadata.file_name``, and the audit pins (a)
+    exactly four distinct files observed, (b) every row's file
+    carries ONLY its own key group (grouping by file reproduces the
+    staged split exactly), and (c) per-group counts/sums match the
+    source. Exported ledger: one row per key group with its file's
+    row count and key sum.
+
+    Oracle: the same per-group aggregates from ``orders``."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 4).alias("g")
+    )
+    staged = scratch_dir("ip_meta_files_")
+    for g in range(4):
+        orders.filter(F.col("g") == g).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"g{g}"))
+    back = spark.read.parquet(f"{staged}/g*").select(
+        "o_orderkey",
+        "g",
+        F.col("_metadata.file_name").alias("fname"),
+    )
+    back = track_persist(back)
+    n_files = back.select("fname").distinct().count()
+    mixed = (
+        back.groupBy("fname")
+        .agg(F.countDistinct("g").alias("ng"))
+        .filter(F.col("ng") > 1)
+        .count()
+    )
+    assert n_files == 4 and mixed == 0, (n_files, mixed)
+    return (
+        back.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.countDistinct("fname").alias("n_files"),
+        )
+        .withColumn("files_pure", F.lit(True))
+        .orderBy("g")
+    )
+
+
+def streaming_query_listener_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING QUERY LISTENER — the push-based telemetry lane
+    (onQueryProgress events) next to the pull-based lastProgress the
+    other streaming entries read: a Python ``StreamingQueryListener``
+    collects every progress event of a 3-batch keyed aggregation, and
+    the audit pins the ledger the listener saw against ground truth —
+    total ``numInputRows`` across events equals the staged row count
+    EXACTLY (no event lost, no row double-counted), and at least the
+    3 data batches reported. At 100 TB the listener is how streaming
+    SLAs export to metrics systems without polling every query.
+
+    Oracle: the keyed aggregate; listener facts pinned."""
+    import os
+    import shutil as _sh
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen: list[int] = []
+
+    class _Audit(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: ANN001
+            pass
+
+        def onQueryProgress(self, event):  # noqa: ANN001
+            seen.append(int(event.progress.numInputRows))
+
+        def onQueryIdle(self, event):  # noqa: ANN001
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: ANN001
+            pass
+
+    listener = _Audit()
+    spark.streams.addListener(listener)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            (F.col("user_id") % 8).alias("k"),
+            F.col("event_id").alias("m"),
+            (F.col("event_id") % 3).alias("b"),
+        )
+        n_staged = ev.count()
+        src = scratch_dir("ip_sql_src_")
+        stage = scratch_dir("ip_sql_stage_")
+        ck = scratch_dir("ip_sql_ck_")
+        for b in (0, 1, 2):
+            d = os.path.join(stage, f"b{b}")
+            ev.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            for f_ in sorted(os.listdir(d)):
+                if f_.endswith(".parquet"):
+                    dst = os.path.join(src, f"b{b}.parquet")
+                    _sh.copyfile(os.path.join(d, f_), dst)
+                    os.utime(dst, (1000000000 + b, 1000000000 + b))
+        q = (
+            spark.readStream.schema("k long, m long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("m").alias("s"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("ip_listener_sink")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time as _time
+
+        # listener events are delivered asynchronously on the bus
+        for _ in range(60):
+            if sum(seen) >= n_staged:
+                break
+            _time.sleep(0.25)
+        assert sum(seen) == n_staged, (seen, n_staged)
+        assert len([x for x in seen if x > 0]) >= 3, seen
+        got = spark.table("ip_listener_sink")
+        rows = [(int(r["k"]), int(r["n"]), int(r["s"])) for r in got.collect()]
+    finally:
+        spark.streams.removeListener(listener)
+    return spark.createDataFrame(
+        [(k, n, s, True) for k, n, s in rows],
+        "k long, n long, s long, listener_rows_exact boolean",
+    ).orderBy("k")
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -19789,6 +20001,9 @@ QUERIES = {
     "late_data_drop_metrics": late_data_drop_metrics,
     "aqe_coalesce_proof": aqe_coalesce_proof,
     "aqe_join_switch_proof": aqe_join_switch_proof,
+    "dynamic_partition_overwrite": dynamic_partition_overwrite,
+    "file_metadata_column_audit": file_metadata_column_audit,
+    "streaming_query_listener_audit": streaming_query_listener_audit,
 }
 
 
