@@ -1,0 +1,41 @@
+"""Plan pins for the session's later pure-expression waves."""
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_b24_b26_plan_shapes(spark):
+    from intelligencepipeline_spark.queries import (
+        chat_truncation_plan,
+        code_file_filters,
+        crawl_frontier_schedule,
+        source_set_similarity,
+        special_token_injection_scan,
+    )
+
+    a = audit(special_token_injection_scan(spark, SF))
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(code_file_filters(spark, SF))
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(crawl_frontier_schedule(spark, SF))
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert not a.cartesian
+    # the politeness window partitions by domain — never global
+    assert not a.has_single_partition_exchange
+
+    a = audit(source_set_similarity(spark, SF))
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+
+    a = audit(chat_truncation_plan(spark, SF))
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
