@@ -54,8 +54,9 @@ def bm25_scored(
     }
 
     def _eq(term_lit: str):
-        # closure factory: a default-arg lambda would change the HOF
-        # arity to (value, index) — see .claude/skills/verify gotchas
+        # closure factory: a default-arg lambda (lambda x, t=term: ...)
+        # would change the HOF arity to (value, index) — F.filter treats
+        # a two-arg callable as the positional (element, index) form.
         return lambda x: x == F.lit(term_lit)
 
     tf_cols = [

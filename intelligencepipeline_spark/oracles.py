@@ -9846,31 +9846,61 @@ FROM k
 ORDER BY doc_id
 """
 
-# fellegi_sunter_linkage: replay the dirty replica, nation blocking,
-# smoothed milli m/u estimates, and the exact-rational odds products.
+# fellegi_sunter_linkage: replay the dirty replica, the
+# sorted-neighborhood candidate generation (bucketed neighbor windows
+# w=2 + boundary tail x head strips — same substrate as
+# sorted_neighborhood_pairs), smoothed milli m/u estimates, and the
+# exact-rational odds products.
 ORACLES["fellegi_sunter_linkage"] = """
 WITH cust AS (
-  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+  SELECT c_custkey, c_name, c_mktsegment,
     substr(md5('ph' || cast(c_custkey as varchar)), 1, 10) AS c_phone
   FROM customer
-), a AS (
-  SELECT c_custkey AS a_id, c_name AS a_name, c_phone AS a_phone,
-    c_mktsegment AS a_seg, c_nationkey AS nation
+), recs AS (
+  SELECT c_custkey AS ent, 'a' AS side, c_name AS nm, c_phone AS ph,
+    c_mktsegment AS seg
   FROM cust
-), b AS (
-  SELECT c_custkey AS b_id,
-    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS b_name,
+  UNION ALL
+  SELECT c_custkey AS ent, 'b' AS side,
+    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X' ELSE c_name END AS nm,
     CASE WHEN c_custkey % 2 = 0 THEN 'z' || substr(c_phone, 2)
-         ELSE c_phone END AS b_phone,
-    c_mktsegment AS b_seg, c_nationkey AS nation
+         ELSE c_phone END AS ph,
+    c_mktsegment AS seg
   FROM cust
+), nb AS (
+  SELECT cast(substr(nm, 10, 7) as bigint) AS bucket, ent, side, nm, ph,
+    seg,
+    row_number() OVER (PARTITION BY cast(substr(nm, 10, 7) as bigint)
+                       ORDER BY nm, side, ent) AS pos
+  FROM recs
+), in_bucket AS (
+  SELECT x.ent, x.side, x.nm, x.ph, x.seg,
+    y.ent AS ent2, y.side AS side2, y.nm AS nm2, y.ph AS ph2,
+    y.seg AS seg2
+  FROM nb x JOIN nb y
+    ON x.bucket = y.bucket AND y.pos - x.pos IN (1, 2)
+), mx AS (
+  SELECT bucket, max(pos) AS n_in_bucket FROM nb GROUP BY bucket
+), boundary AS (
+  SELECT t.ent, t.side, t.nm, t.ph, t.seg,
+    h.ent AS ent2, h.side AS side2, h.nm AS nm2, h.ph AS ph2,
+    h.seg AS seg2
+  FROM (SELECT nb.*, mx.n_in_bucket FROM nb JOIN mx USING (bucket)
+        WHERE pos > n_in_bucket - 2) t
+  JOIN nb h ON h.bucket = t.bucket + 1 AND h.pos <= 2
+), cand AS (
+  SELECT * FROM in_bucket
+  UNION ALL
+  SELECT * FROM boundary
 ), p AS (
-  SELECT a_id, b_id,
-    a_name = b_name AS ag_name,
-    a_phone = b_phone AS ag_phone,
-    a_seg = b_seg AS ag_seg,
-    a_id = b_id AS is_true_match
-  FROM a JOIN b USING (nation)
+  SELECT
+    CASE WHEN side = 'a' THEN ent ELSE ent2 END AS a_id,
+    CASE WHEN side = 'a' THEN ent2 ELSE ent END AS b_id,
+    nm = nm2 AS ag_name,
+    ph = ph2 AS ag_phone,
+    seg = seg2 AS ag_seg,
+    ent = ent2 AS is_true_match
+  FROM cand WHERE side <> side2
 ), s AS (
   SELECT
     sum(CASE WHEN is_true_match THEN 1 ELSE 0 END) AS nm,
@@ -10209,8 +10239,12 @@ WITH d AS (
 ), v AS (
   SELECT event_type,
     CASE WHEN NOT json_valid(env) THEN 'malformed'
-         WHEN json_extract(env, '$.id') IS NULL
-           OR json_extract(env, '$.props.k') IS NULL
+         -- typed presence check mirroring Spark's
+         -- try_variant_get(.., 'long'): a present-but-non-integer
+         -- field is missing_field in BOTH lanes
+         WHEN try_cast(json_extract_string(env, '$.id') as bigint) IS NULL
+           OR try_cast(json_extract_string(env, '$.props.k') as bigint)
+             IS NULL
            THEN 'missing_field'
          WHEN try_cast(json_extract_string(env, '$.props.k') as bigint) < 0
            OR try_cast(json_extract_string(env, '$.props.k') as bigint)

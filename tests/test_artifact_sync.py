@@ -80,3 +80,19 @@ def test_plans_md_matches_headline():
         f"PLANS.md missing: {set(head) - set(rows)}; "
         f"stale: {set(rows) - set(head)}"
     )
+
+
+def test_leak_lint_clean():
+    """Repo-side leak lint (r07 verdict, What's wrong #1): no source
+    file may reference non-public systems — harness/tooling paths,
+    internal imports/hosts/shortlinks/buckets, or key-shaped strings.
+    tools/leak_lint.py holds the pattern families."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "leak_lint", os.path.join(REPO, "tools", "leak_lint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hits = mod.scan()
+    assert hits == [], "\n".join(hits)

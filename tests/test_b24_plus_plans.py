@@ -39,3 +39,25 @@ def test_b24_b26_plan_shapes(spark):
     a = audit(chat_truncation_plan(spark, SF))
     assert not a.cartesian
     assert not a.has_single_partition_exchange
+
+
+def test_fellegi_sunter_bounded_candidates(spark):
+    """r07 verdict fix: candidate generation must be the
+    sorted-neighborhood substrate (pair volume O(n*w)), never the old
+    fixed-25-value nationkey self-join (n^2/25). Pinned two ways: the
+    plan has no cartesian / single-partition exchange and never reads
+    c_nationkey, and the candidate count is linear in n."""
+    from intelligencepipeline_spark.queries import fellegi_sunter_linkage
+
+    out = fellegi_sunter_linkage(spark, SF)
+    a = audit(out)
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+    assert "c_nationkey" not in a.plan, "nationkey blocking is back"
+    n_pairs = out.count()
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    # w=2 window over the 2n interleaved records + boundary strips:
+    # cross-side pairs are a subset of 2n*w + 4*(#buckets) candidates
+    assert n_pairs <= 2 * n * 2 + 4 * (n // 100 + 2), (n_pairs, n)

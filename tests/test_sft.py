@@ -123,3 +123,32 @@ def test_turn_audit_rides_the_scan(spark):
 def test_preference_dedup_no_all_pairs(spark):
     a = audit(preference_pair_audit(_docs(spark)))
     assert not a.cartesian, a.plan[:2000]
+
+
+def test_echo_filter_single_turn_conversation(spark, tmp_path):
+    """Regression (r07 advice): for a single-turn conversation the
+    unguarded sequence(1, size(turns)-1) is the DESCENDING [1, 0] and
+    the filter lambda hits element_at(roles, 0) —
+    INVALID_INDEX_OF_ZERO. A <=8-token doc must yield a zero-pair
+    ledger row, not a crash."""
+    import pandas as pd
+
+    from intelligencepipeline_spark.queries import sft_echo_filter
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["short doc", "a " * 40],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [9, 80],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["conv_id"]: r
+        for r in sft_echo_filter(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_ua_pairs"] == 0 and out[1]["max_echo_milli"] == 0
+    # the multi-turn doc must also produce a ledger row (roles are
+    # md5-derived, so a user->assistant adjacency is not guaranteed)
+    assert out[2]["n_ua_pairs"] >= 0 and len(out) == 2
