@@ -10716,3 +10716,440 @@ FROM events
 GROUP BY 1
 ORDER BY k
 """
+
+# interleaved_doc_gate: replay the 8-token segment windows (_SFT_TURNS
+# shape), the md5-nibble image placements, and the integer
+# density/verdict ladder.
+ORACLES["interleaved_doc_gate"] = f"""
+WITH seg AS (
+  SELECT conv_id AS doc_id, turn_index,
+    len(string_split(turn, ' ')) AS n_toks
+  FROM {_SFT_TURNS}
+), placed AS (
+  SELECT doc_id, turn_index, n_toks,
+    cast(concat('0x', substr(md5(concat(cast(doc_id as varchar), ':',
+      cast(turn_index + 1 as varchar))), 1, 1)) as bigint) % 4 AS k
+  FROM seg
+), d AS (
+  SELECT doc_id,
+    cast(count(*) as bigint) AS n_text_segments,
+    cast(sum(k) as bigint) AS n_images,
+    cast(sum(n_toks) as bigint) AS total_tokens,
+    cast(max(k) as bigint) AS max_image_run,
+    arg_max(k, turn_index) > 0 AS trailing_images
+  FROM placed GROUP BY doc_id
+)
+SELECT doc_id, n_text_segments, n_images, total_tokens, max_image_run,
+  1000 * n_images // (n_images + total_tokens) AS image_density_milli,
+  1000 * total_tokens // greatest(n_images, 1) AS tokens_per_image_milli,
+  trailing_images,
+  CASE WHEN n_images = 0 THEN 'text_only'
+       WHEN 1000 * n_images // (n_images + total_tokens) > 500
+         THEN 'image_heavy'
+       WHEN trailing_images THEN 'trailing_images'
+       ELSE 'vlm_keep' END AS verdict
+FROM d
+ORDER BY doc_id
+"""
+
+# streaming_decontamination_gate: eval = md5-bucket<10 docs' 3-gram
+# set; per streamed (non-eval) doc count gram positions hitting it;
+# batch = doc_id parity. The incremental==batch digest and the
+# probe-scope ledger are asserted in-entry.
+ORACLES["streaming_decontamination_gate"] = f"""
+WITH toked AS (
+  SELECT doc_id, {_NTOKS} AS ts FROM documents
+), grams AS (
+  SELECT doc_id,
+    ts[cast(i as int) + 1] || ' ' || ts[cast(i as int) + 2] || ' '
+      || ts[cast(i as int) + 3] AS gram
+  FROM toked, unnest(range(0, greatest(len(ts) - 2, 0))) AS u(i)
+  WHERE len(ts) >= 3
+), ev AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+    as bigint) % 100 < 10
+), train AS (
+  SELECT doc_id FROM toked
+  WHERE cast(concat('0x', substr(md5(cast(doc_id as varchar)), 1, 8))
+    as bigint) % 100 >= 10
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN ev USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  cast(t.doc_id % 2 as bigint) AS batch,
+  cast(coalesce(h.n_hits, 0) as bigint) AS n_contaminated_grams,
+  h.n_hits IS NULL AS kept
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+"""
+
+# tokenizer_roundtrip_audit: replay the fixed 8-merge encode via the
+# framed-separator chain (shared with bpe_encode); the longest merged
+# symbol reads straight out of the frame; the roundtrip flag is
+# asserted zero-violation in-entry and TRUE by the chain's
+# character-preserving construction.
+ORACLES["tokenizer_roundtrip_audit"] = f"""
+WITH enc AS (
+  SELECT doc_id,
+    {_BPE_CHAIN} AS s,
+    {_BPE_JOINED} AS joined,
+    {_NTOKS} AS ts
+  FROM documents
+)
+SELECT doc_id,
+  cast(len(ts) as bigint) AS n_words,
+  greatest(cast(length(s) - length(replace(s, '·', '')) - 1 as bigint)
+    - cast(length(joined) - length(replace(joined, ' ', '')) as bigint),
+    0) AS bpe_len,
+  cast(length(replace(joined, ' ', '')) as bigint) AS n_chars_nospace,
+  cast(coalesce(list_max(list_transform(string_split(s, '·'),
+    x -> CASE WHEN x = ' ' THEN 1 ELSE length(x) END)), 0) as bigint)
+    AS max_sym_len,
+  TRUE AS roundtrip_lossless
+FROM enc
+ORDER BY doc_id
+"""
+
+# chat_template_render: re-render '<|role|>turn<|end|>' with
+# string_agg over the shared roled-turn fragment; length arithmetic
+# and the '<|' collision flag replayed per conversation.
+ORACLES["chat_template_render"] = f"""
+SELECT conv_id,
+  cast(count(*) as bigint) AS n_turns,
+  cast(length(string_agg('<|' || role || '|>' || turn || '<|end|>', ''
+    ORDER BY turn_index)) as bigint) AS rendered_chars,
+  cast(sum(length(turn)) as bigint) AS body_chars,
+  cast(length(string_agg('<|' || role || '|>' || turn || '<|end|>', ''
+    ORDER BY turn_index)) as bigint)
+    - cast(sum(length(turn)) as bigint) AS overhead_chars,
+  bool_or(contains(turn, '<|')) AS collision
+FROM {_SFT_ROLED}
+GROUP BY conv_id
+ORDER BY conv_id
+"""
+
+# packed_attention_block_audit: replay token_packing's doc_id-ordered
+# cumsum bins and the block/dense square sums.
+ORACLES["packed_attention_block_audit"] = f"""
+WITH staged AS (
+  SELECT lang, doc_id, cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, n_tokens,
+    cast(floor(cast(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      as double) / 2048) as bigint) AS bin
+  FROM staged
+), g AS (
+  SELECT lang, bin,
+    cast(count(*) as bigint) AS n_docs,
+    cast(sum(n_tokens) as bigint) AS total_tokens,
+    cast(sum(n_tokens * n_tokens) as bigint) AS block_entries
+  FROM packed GROUP BY lang, bin
+)
+SELECT lang, bin, n_docs, total_tokens, block_entries,
+  total_tokens * total_tokens AS dense_entries,
+  total_tokens * total_tokens - block_entries AS xdoc_entries_masked,
+  CASE WHEN total_tokens = 0 THEN 1000
+       ELSE 1000 * block_entries // (total_tokens * total_tokens) END
+    AS block_share_milli
+FROM g
+ORDER BY lang, bin
+"""
+
+# streaming_domain_quota_admission: the sequential two-batch gate
+# collapses exactly to one global per-source row_number over
+# (batch, doc_id) admission order — prior spend is min(quota, batch-0
+# supply) in both branches (proof in the entry docstring/in-entry
+# assert).
+ORACLES["streaming_domain_quota_admission"] = """
+WITH ordered AS (
+  SELECT doc_id, source, cast(doc_id % 2 as bigint) AS batch,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY doc_id % 2, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, batch, rn <= 15 AS admitted
+FROM ordered
+ORDER BY doc_id
+"""
+
+# cross_modal_retrieval_recall: the dhash/simhash replays shared with
+# image_text_pair_gate, then 4-bit banding, (hamming, doc_id) ranking
+# and the per-source recall ledger.
+ORACLES["cross_modal_retrieval_recall"] = """
+WITH hexes AS (
+  SELECT doc_id, source, text,
+    concat(md5(text), md5(concat(text, 'a')),
+           md5(concat(text, 'b')), md5(concat(text, 'c'))) AS hx
+  FROM documents
+), px AS (
+  SELECT h.doc_id, y.y, x.x,
+    ((299 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 2) + 1, 2)) as bigint)
+      + 587 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 1) + 1, 2)) as bigint)
+      + 114 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 0) + 1, 2)) as bigint))
+     // 1000) AS gray
+  FROM hexes h,
+    (SELECT unnest(range(0, 4)) AS y) y,
+    (SELECT unnest(range(0, 5)) AS x) x
+), dh AS (
+  SELECT a.doc_id,
+    cast(sum(CASE WHEN a.gray > b.gray
+      THEN (1 << cast(a.y * 4 + a.x as int)) ELSE 0 END) as bigint)
+      AS dhash
+  FROM px a JOIN px b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 4
+  GROUP BY a.doc_id
+), tok AS (
+  SELECT doc_id, unnest(list_transform({ntoks}, t -> md5(t))) AS h
+  FROM documents
+), tbits AS (
+  SELECT doc_id, j,
+    2 * sum(((strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+             >> (3 - (j % 4))) & 1) - count(*) AS s
+  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r
+  GROUP BY doc_id, j
+), th AS (
+  SELECT doc_id,
+    cast(sum(CASE WHEN s > 0 THEN (1 << cast(15 - j as int))
+             ELSE 0 END) as bigint) AS thash
+  FROM tbits GROUP BY doc_id
+), ib AS (
+  SELECT dh.doc_id AS img_id, dh.dhash, jj.j,
+    (dh.dhash >> cast(4 * jj.j as int)) & 15 AS bv
+  FROM dh, (SELECT unnest(range(0, 4)) AS j) jj
+), tb AS (
+  SELECT th.doc_id AS txt_id, th.thash, jj.j,
+    (th.thash >> cast(4 * jj.j as int)) & 15 AS bv
+  FROM th, (SELECT unnest(range(0, 4)) AS j) jj
+), cands AS (
+  SELECT DISTINCT ib.img_id, ib.dhash, tb.txt_id, tb.thash
+  FROM ib JOIN tb USING (j, bv)
+), ranked AS (
+  SELECT img_id, txt_id,
+    cast(bit_count(xor(dhash, thash)) as bigint) AS hamming,
+    row_number() OVER (PARTITION BY img_id
+      ORDER BY bit_count(xor(dhash, thash)), txt_id) AS rn
+  FROM cands
+), per_img AS (
+  SELECT img_id,
+    cast(count(*) as bigint) AS n_candidates,
+    max(CASE WHEN txt_id = img_id THEN 1 ELSE 0 END) AS own_found,
+    max(CASE WHEN rn = 1 AND txt_id = img_id THEN 1 ELSE 0 END)
+      AS own_top1
+  FROM ranked GROUP BY img_id
+)
+SELECT d.source,
+  cast(count(*) as bigint) AS n_images,
+  cast(sum(CASE WHEN coalesce(p.n_candidates, 0) > 0 THEN 1 ELSE 0 END)
+    as bigint) AS n_with_candidates,
+  cast(sum(coalesce(p.own_found, 0)) as bigint) AS n_own_retrievable,
+  cast(sum(coalesce(p.own_top1, 0)) as bigint) AS n_recall_at1,
+  cast(sum(coalesce(p.n_candidates, 0)) as bigint) AS n_candidate_pairs
+FROM documents d LEFT JOIN per_img p ON p.img_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""".replace("{ntoks}", _NTOKS)
+
+# streaming_schema_drift_monitor: replay the envelope construction,
+# the event_id-parity batches, the json_keys census against the
+# registered {id, type, v} contract, and the verdict ladder.
+ORACLES["streaming_schema_drift_monitor"] = """
+WITH env AS (
+  SELECT event_id, cast(event_id % 2 as bigint) AS batch,
+    '{"id":' || cast(event_id as varchar)
+      || ',"type":"' || event_type || '"'
+      || CASE WHEN event_id % 2 = 0 OR event_id % 3 != 0
+              THEN ',"v":' || cast(user_id as varchar) ELSE '' END
+      || CASE WHEN event_id % 2 = 1 THEN ',"extra":1' ELSE '' END
+      || '}' AS env
+  FROM events
+), tot AS (
+  SELECT batch, count(*) AS n_rows FROM env GROUP BY batch
+), keys AS (
+  SELECT batch, unnest(json_keys(env)) AS field FROM env
+), seen AS (
+  SELECT batch, field, count(*) AS n_present
+  FROM keys GROUP BY batch, field
+), reg AS (
+  SELECT t.batch, r.field
+  FROM tot t, (SELECT unnest(['id', 'type', 'v']) AS field) r
+), full_set AS (
+  SELECT coalesce(s.batch, g.batch) AS batch,
+    coalesce(s.field, g.field) AS field,
+    coalesce(s.n_present, 0) AS n_present
+  FROM seen s FULL OUTER JOIN reg g
+    ON s.batch = g.batch AND s.field = g.field
+)
+SELECT f.batch, f.field,
+  cast(f.n_present as bigint) AS n_present,
+  cast(t.n_rows as bigint) AS n_rows,
+  cast(1000 * f.n_present // t.n_rows as bigint) AS coverage_milli,
+  CASE WHEN f.field NOT IN ('id', 'type', 'v') THEN 'unregistered'
+       WHEN f.n_present = t.n_rows THEN 'stable'
+       ELSE 'partial_loss' END AS verdict
+FROM full_set f JOIN tot t ON t.batch = f.batch
+ORDER BY f.batch, f.field
+"""
+
+# prefix_cache_savings_audit: lag window per source over the radix
+# order; LCP via the monotone slice-equality count in list algebra.
+ORACLES["prefix_cache_savings_audit"] = f"""
+WITH base AS (
+  SELECT doc_id, source, {_NORM} AS norm, {_NTOKS} AS ts FROM documents
+), d AS (
+  SELECT source, ts,
+    lag(ts) OVER (PARTITION BY source ORDER BY norm, doc_id) AS prev
+  FROM base
+), l AS (
+  SELECT source, len(ts) AS nt,
+    CASE WHEN prev IS NULL THEN 0
+         ELSE len(list_filter(range(1, least(len(ts), len(prev)) + 1),
+              j -> ts[1:j] = prev[1:j])) END AS lcp
+  FROM d
+)
+SELECT source,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(nt) as bigint) AS total_tokens,
+  cast(sum(lcp) as bigint) AS shared_prefix_tokens,
+  cast(CASE WHEN sum(nt) = 0 THEN 0
+       ELSE 1000 * sum(lcp) // sum(nt) END as bigint) AS savings_milli,
+  cast(max(lcp) as bigint) AS max_lcp
+FROM l GROUP BY source ORDER BY source
+"""
+
+# multimodal_dedup_edges: dhash/simhash replays (shared with the
+# cross-modal lanes), 4-bit banding PER MODALITY, exact radius
+# verification and the modality verdict.
+ORACLES["multimodal_dedup_edges"] = """
+WITH hexes AS (
+  SELECT doc_id, text,
+    concat(md5(text), md5(concat(text, 'a')),
+           md5(concat(text, 'b')), md5(concat(text, 'c'))) AS hx
+  FROM documents
+), px AS (
+  SELECT h.doc_id, y.y, x.x,
+    ((299 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 2) + 1, 2)) as bigint)
+      + 587 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 1) + 1, 2)) as bigint)
+      + 114 * cast(concat('0x', substr(h.hx,
+        2 * ((3 - y.y) * 16 + 3 * x.x + 0) + 1, 2)) as bigint))
+     // 1000) AS gray
+  FROM hexes h,
+    (SELECT unnest(range(0, 4)) AS y) y,
+    (SELECT unnest(range(0, 5)) AS x) x
+), dh AS (
+  SELECT a.doc_id,
+    cast(sum(CASE WHEN a.gray > b.gray
+      THEN (1 << cast(a.y * 4 + a.x as int)) ELSE 0 END) as bigint)
+      AS dhash
+  FROM px a JOIN px b
+    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 4
+  GROUP BY a.doc_id
+), tok AS (
+  SELECT doc_id, unnest(list_transform({ntoks}, t -> md5(t))) AS h
+  FROM documents
+), tbits AS (
+  SELECT doc_id, j,
+    2 * sum(((strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+             >> (3 - (j % 4))) & 1) - count(*) AS s
+  FROM tok CROSS JOIN (SELECT range AS j FROM range(0, 16)) r
+  GROUP BY doc_id, j
+), th AS (
+  SELECT doc_id,
+    cast(sum(CASE WHEN s > 0 THEN (1 << cast(15 - j as int))
+             ELSE 0 END) as bigint) AS thash
+  FROM tbits GROUP BY doc_id
+), hb AS (
+  SELECT dh.doc_id, dh.dhash, th.thash FROM dh JOIN th USING (doc_id)
+), bnd AS (
+  SELECT doc_id, dhash, thash, 't' AS m, jj.j,
+    (thash >> cast(4 * jj.j as int)) & 15 AS bv
+  FROM hb, (SELECT unnest(range(0, 4)) AS j) jj
+  UNION ALL
+  SELECT doc_id, dhash, thash, 'i' AS m, jj.j,
+    (dhash >> cast(4 * jj.j as int)) & 15 AS bv
+  FROM hb, (SELECT unnest(range(0, 4)) AS j) jj
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+    cast(bit_count(xor(a.thash, b.thash)) as bigint) AS ham_text,
+    cast(bit_count(xor(a.dhash, b.dhash)) as bigint) AS ham_image
+  FROM bnd a JOIN bnd b
+    ON a.m = b.m AND a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+, edges AS (
+  SELECT a_id, b_id, ham_text, ham_image,
+    CASE WHEN ham_text <= 3 AND ham_image <= 1 THEN 'both'
+         WHEN ham_text <= 3 THEN 'text_only'
+         ELSE 'image_only' END AS modality
+  FROM cand
+  WHERE ham_text <= 3 OR ham_image <= 1
+)
+SELECT modality,
+  cast(count(*) as bigint) AS n_pairs,
+  cast(sum(ham_text) as bigint) AS sum_ham_text,
+  cast(sum(ham_image) as bigint) AS sum_ham_image,
+  cast(count(DISTINCT a_id) as bigint) AS n_distinct_a,
+  cast(min(a_id) as bigint) AS min_a,
+  cast(max(b_id) as bigint) AS max_b
+FROM edges
+GROUP BY modality
+ORDER BY modality
+""".replace("{ntoks}", _NTOKS)
+
+# bestfit_packing_gain: odd-count languages bench their last-arriving
+# doc, then both row_number pairings and the 2*max-sum waste replay.
+ORACLES["bestfit_packing_gain"] = f"""
+WITH staged0 AS (
+  SELECT lang, doc_id, cast(len({_RTOKS}) as bigint) AS n_tokens
+  FROM documents
+), marked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS ra0,
+    count(*) OVER (PARTITION BY lang) AS n0
+  FROM staged0
+), staged AS (
+  SELECT lang, doc_id, n_tokens FROM marked WHERE n0 % 2 = 0 OR ra0 <> n0
+), ranked AS (
+  SELECT lang, doc_id, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rs,
+    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS ra
+  FROM staged
+), pairs AS (
+  SELECT lang, n_tokens, (rs + 1) // 2 AS ps, (ra + 1) // 2 AS pa
+  FROM ranked
+), sw AS (
+  SELECT lang, sum(w) AS sorted_waste FROM (
+    SELECT lang, ps, 2 * max(n_tokens) - sum(n_tokens) AS w
+    FROM pairs GROUP BY lang, ps)
+  GROUP BY lang
+), aw AS (
+  SELECT lang, sum(w) AS arrival_waste FROM (
+    SELECT lang, pa, 2 * max(n_tokens) - sum(n_tokens) AS w
+    FROM pairs GROUP BY lang, pa)
+  GROUP BY lang
+), tot AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+  FROM staged GROUP BY lang
+)
+SELECT t.lang,
+  cast(n_docs as bigint) AS n_docs,
+  cast(total_tokens as bigint) AS total_tokens,
+  cast(sorted_waste as bigint) AS sorted_waste,
+  cast(arrival_waste as bigint) AS arrival_waste,
+  cast(CASE WHEN arrival_waste = 0 THEN 0
+       ELSE 1000 * (arrival_waste - sorted_waste) // arrival_waste END
+    as bigint) AS gain_milli
+FROM tot t JOIN sw USING (lang) JOIN aw USING (lang)
+ORDER BY lang
+"""

@@ -19660,6 +19660,1025 @@ def streaming_query_listener_audit(
     ).orderBy("k")
 
 
+def interleaved_doc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED IMAGE-TEXT DOCUMENT GATE (MMC4/OBELICS shape, r07
+    verdict item 6) — the multimodal lanes gate image-text PAIRS
+    (image_text_pair_gate); VLM PRETRAINING consumes interleaved
+    documents: per doc an ORDERED sequence of text segments with 0-3
+    images placed after each one, and the corpus gate reads the
+    placement structure, not pixel content. Segments are the shared
+    8-token windows (operators/sft.conversation_turns — the chunker
+    lane, interfaces.kt:49-51 precedent); image placements are the
+    deterministic md5 stand-in for a crawl's <img> positions: after
+    segment i, ``md5(doc_id:i)``'s first nibble % 4 images. Exported
+    per doc: segment/image/token counts, the largest consecutive
+    image run, image density and tokens-per-image in exact
+    milli-units, a trailing-images flag (images after the last text
+    have no caption context), and the gate verdict — ``text_only``
+    (no images: stays in the text corpus), ``image_heavy`` (density
+    > 500 milli: alt-text farms), ``trailing_images``, else
+    ``vlm_keep``.
+
+    Scale: everything is one expression scan over the documents table
+    (array HOFs on the in-row segment array, no shuffle before the
+    export sort); real <img> offsets would ride in as a media_meta
+    array column with identical downstream shape. Oracle replays the
+    8-token windowing, the md5 nibble placements and the integer
+    ladder in DuckDB."""
+    from intelligencepipeline_spark.operators.sft import conversation_turns
+
+    convs = conversation_turns(_t(spark, sf_dir, "documents"))
+    d = convs.select(
+        F.col("conv_id").alias("doc_id"),
+        F.expr("size(turns)").alias("n_text_segments"),
+        F.expr(
+            "transform(sequence(1, size(turns)), i ->"
+            " cast(conv(substring(md5(concat(cast(conv_id as string),"
+            " ':', cast(i as string))), 1, 1), 16, 10) as bigint) % 4)"
+        ).alias("ks"),
+        F.expr(
+            "aggregate(transform(turns, t -> size(split(t, ' '))),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("total_tokens"),
+    )
+    d = d.select(
+        "doc_id",
+        F.col("n_text_segments").cast("long").alias("n_text_segments"),
+        F.expr("aggregate(ks, 0L, (a, x) -> a + x)").alias("n_images"),
+        "total_tokens",
+        F.expr("cast(array_max(ks) as bigint)").alias("max_image_run"),
+        F.expr("element_at(ks, -1) > 0").alias("trailing_images"),
+    )
+    return d.select(
+        "doc_id",
+        "n_text_segments",
+        "n_images",
+        "total_tokens",
+        "max_image_run",
+        F.expr(
+            "1000L * n_images DIV (n_images + total_tokens)"
+        ).alias("image_density_milli"),
+        F.expr(
+            "1000L * total_tokens DIV greatest(n_images, 1L)"
+        ).alias("tokens_per_image_milli"),
+        "trailing_images",
+        F.expr(
+            "CASE WHEN n_images = 0 THEN 'text_only'"
+            " WHEN 1000 * n_images DIV (n_images + total_tokens) > 500"
+            "   THEN 'image_heavy'"
+            " WHEN trailing_images THEN 'trailing_images'"
+            " ELSE 'vlm_keep' END"
+        ).alias("verdict"),
+    ).orderBy("doc_id")
+
+
+def streaming_decontamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-RUN INCREMENTAL DECONTAMINATION (r07 verdict item 7) —
+    decontamination_span_expansion is batch-wise; the OPERATIONAL form
+    gates each incoming dump against an AT-REST eval-set fingerprint
+    store, touching only the current micro-batch: the eval grams
+    (the md5-bucket<10 sample the whole contamination family shares)
+    land once as md5 FINGERPRINTS in a parquet store; the remaining
+    corpus streams in TWO AvailableNow micro-batches (doc_id parity,
+    forced mtime order, maxFilesPerTrigger=1); each batch builds
+    3-grams of ITS OWN docs only (gram width is the protocol
+    parameter — 13 in the Llama/GPT-4 decontamination appendices),
+    probes the store by fingerprint equality (broadcast-able: the
+    store is the small side), and appends per-doc verdicts. In-entry
+    proofs: (a) incremental == batch — the union of per-batch
+    verdicts is digest-identical to one batch-wise pass over all
+    streamed docs (exceptAll both ways == 0); (b) the probe touched
+    no historical data — per batch, the grams-probed ledger equals
+    the batch's own gram count, never the cumulative corpus.
+
+    Scale: the eval store is eval-set-bounded (thousands of grams at
+    any corpus size) and broadcasts; the stream side is one map-side
+    gram expansion + hash probe per dump — the shape that
+    decontaminates a fresh CommonCrawl dump against frozen eval sets
+    without re-reading 100 TB of history. Oracle replays the eval
+    gram set, the parity batches and the per-doc hit counts."""
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("ts")
+    )
+    grams = toked.filter(F.size("ts") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - 3),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ts"), i + 1),
+                        F.element_at(F.col("ts"), i + 2),
+                        F.element_at(F.col("ts"), i + 3),
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    eval_ids = docs.filter(bucket < 10).select("doc_id")
+    grams = track_persist(grams)
+    store = scratch_dir("ip_sdecon_store_")
+    grams.join(eval_ids, "doc_id", "leftsemi").select(
+        "fp"
+    ).distinct().coalesce(1).write.mode("overwrite").parquet(store)
+
+    train = toked.join(eval_ids, "doc_id", "leftanti").select("doc_id")
+    src = scratch_dir("ip_sdecon_src_")
+    stage = scratch_dir("ip_sdecon_stage_")
+    dec_store = scratch_dir("ip_sdecon_dec_")
+    import shutil as _sh
+
+    for b in (0, 1):
+        d = os.path.join(stage, f"b{b}")
+        train.filter(F.col("doc_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+
+    probe_ledger: list[tuple[int, int, int]] = []
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("doc_id")
+        bno = ids.agg(
+            (F.min("doc_id") % 2).cast("long").alias("b")
+        ).collect()[0]["b"]
+        batch_grams = grams.join(ids, "doc_id", "leftsemi")
+        n_probed = batch_grams.count()
+        eval_fps = F.broadcast(spark.read.parquet(store))
+        hits = (
+            batch_grams.join(eval_fps, "fp", "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        ids.join(hits, "doc_id", "left").selectExpr(
+            "doc_id",
+            f"CAST({bno} AS LONG) AS batch",
+            "coalesce(n_hits, 0) AS n_contaminated_grams",
+            "n_hits IS NULL AS kept",
+        ).coalesce(1).write.mode("append").parquet(dec_store)
+        probe_ledger.append((int(bno), n_probed, 0))
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", scratch_dir("ip_sdecon_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "decontamination stream hung"
+
+    out = spark.read.parquet(dec_store).select(
+        "doc_id", "batch", "n_contaminated_grams", "kept"
+    )
+    # proof (a): incremental union == one batch-wise pass
+    eval_fps = F.broadcast(spark.read.parquet(store))
+    batch_form = (
+        train.join(
+            grams.join(eval_fps, "fp", "leftsemi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(doc_id % 2 as long) AS batch",
+            "coalesce(n_hits, 0) AS n_contaminated_grams",
+            "n_hits IS NULL AS kept",
+        )
+    )
+    assert out.exceptAll(batch_form).count() == 0
+    assert batch_form.exceptAll(out).count() == 0
+    # proof (b): each probe touched exactly its own batch's grams
+    per_batch_grams = {
+        int(r["b"]): int(r["n"])
+        for r in grams.join(train, "doc_id", "leftsemi")
+        .selectExpr("doc_id % 2 AS b")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for bno, n_probed, _ in probe_ledger:
+        assert n_probed == per_batch_grams.get(bno, 0), (
+            bno, n_probed, per_batch_grams,
+        )
+    return out.orderBy("doc_id")
+
+
+def tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER LOSSLESSNESS AUDIT — the property every training
+    tokenizer must hold and the one silent corruption breaks
+    (SentencePiece's "lossless tokenization" contract): encoding a
+    document and concatenating the symbols back must reproduce the
+    input byte-for-byte. The fixed 8-merge BPE table (the bpe_encode
+    lane) encodes the DISTINCT WORD domain (vocabulary-sized work —
+    the trainer's domain collapse); per word the audit checks
+    ``concat(syms) == word`` and the corpus-wide violation count is
+    asserted ZERO in-entry (a 1-row vocab-bounded aggregate). Exports
+    per doc: word/symbol/char counts, the longest merged symbol the
+    doc realizes (vocabulary-utilization signal), and the pinned
+    roundtrip flag.
+
+    Scale: the merge fold runs once per vocabulary entry, then ONE
+    broadcast join + per-doc sum — corpus cost is a scan. Oracle
+    replays the merges via the framed-separator replace chain
+    (provably equivalent to the fold, fuzz-pinned in tests/test_bpe)
+    and reads the longest symbol straight out of the frame."""
+    from intelligencepipeline_spark.operators.bpe import apply_merge
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(tokens(normalize_text(F.col("text")))).alias("word")
+        )
+        .distinct()
+        .withColumn(
+            "syms",
+            F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")),
+        )
+    )
+    for lo, hi in _BPE_MERGES:
+        words = apply_merge(words, lo, hi)
+    dic = words.select(
+        "word",
+        F.size("syms").cast("long").alias("word_bpe_len"),
+        F.expr(
+            "cast(array_max(transform(syms, s -> length(s))) as bigint)"
+        ).alias("word_max_sym"),
+        F.expr("concat_ws('', syms) = word").alias("word_roundtrip"),
+    )
+    dic = track_persist(dic)
+    n_bad = dic.filter(~F.col("word_roundtrip")).count()
+    assert n_bad == 0, f"{n_bad} vocabulary entries lost bytes in encode"
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(normalize_text(F.col("text")))).alias("word"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("word_bpe_len").cast("long").alias("bpe_len"),
+            F.sum(F.length("word")).cast("long").alias("n_chars_nospace"),
+            F.max("word_max_sym").cast("long").alias("max_sym_len"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left_outer")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_words, 0L) AS n_words",
+            "coalesce(bpe_len, 0L) AS bpe_len",
+            "coalesce(n_chars_nospace, 0L) AS n_chars_nospace",
+            "coalesce(max_sym_len, 0L) AS max_sym_len",
+            "TRUE AS roundtrip_lossless",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAT-TEMPLATE SERIALIZATION AUDIT — the render step between
+    conversation data and tokenizer input (HF ``apply_chat_template``
+    shape): each conversation's (role, turn) pairs render to the
+    ChatML-ish wire form ``<|role|>turn<|end|>`` concatenated in turn
+    order, and the ledger accounts every byte: rendered length ==
+    body + control overhead exactly (asserted in the export columns'
+    arithmetic), plus the special-token COLLISION flag — a turn that
+    already contains the literal ``<|`` would smuggle control tokens
+    through the render (the special_token_injection_scan failure
+    mode, caught before it reaches the tokenizer).
+
+    Scale: one zip_with + array_join per row, no shuffle before the
+    export sort; the template literal is the deployment parameter.
+    Oracle re-renders with string_agg over the shared roled-turn
+    fragment and the same length arithmetic."""
+    from intelligencepipeline_spark.operators.sft import conversation_turns
+
+    convs = conversation_turns(_t(spark, sf_dir, "documents"))
+    d = convs.select(
+        F.col("conv_id"),
+        F.expr("cast(size(turns) as bigint)").alias("n_turns"),
+        F.expr(
+            "array_join(zip_with(roles, turns, (r, t) ->"
+            " concat('<|', r, '|>', t, '<|end|>')), '')"
+        ).alias("rendered"),
+        F.expr(
+            "aggregate(transform(turns, t -> length(t)), 0L, (a, x) -> a + x)"
+        ).alias("body_chars"),
+        F.expr(
+            "size(filter(turns, t -> t like '%<|%')) > 0"
+        ).alias("collision"),
+    )
+    return d.select(
+        "conv_id",
+        "n_turns",
+        F.length("rendered").cast("long").alias("rendered_chars"),
+        "body_chars",
+        (F.length("rendered").cast("long") - F.col("body_chars")).alias(
+            "overhead_chars"
+        ),
+        "collision",
+    ).orderBy("conv_id")
+
+
+def packed_attention_block_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOCK-DIAGONAL ATTENTION ACCOUNTING for packed sequences — the
+    consumer of token_packing's bins: packing without per-doc
+    attention masking lets tokens attend across document boundaries
+    (the classic packing bug); the correct mask is block-diagonal,
+    and this ledger quantifies exactly what it saves and what naive
+    dense attention would contaminate. Per (lang, bin) of the SAME
+    deterministic packing as token_packing (doc_id-ordered cumsum,
+    2048 budget): doc count, token mass, block mask entries
+    (Σ len_i²), dense entries ((Σ len_i)²), the cross-document
+    entries a missing mask would contaminate (dense - block), and
+    the block share in milli.
+
+    Scale: one partitioned-window cumsum per language shard (never a
+    global sort) + a keyed aggregate — identical shape at any corpus
+    size. Oracle replays the cumsum and the square sums."""
+    budget = 2048
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = staged.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.floor(
+            (F.col("cum") - F.col("n_tokens")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("n_tokens") * F.col("n_tokens"))
+            .cast("long")
+            .alias("block_entries"),
+        )
+        .select(
+            "lang",
+            "bin",
+            "n_docs",
+            "total_tokens",
+            "block_entries",
+            (F.col("total_tokens") * F.col("total_tokens")).alias(
+                "dense_entries"
+            ),
+            (
+                F.col("total_tokens") * F.col("total_tokens")
+                - F.col("block_entries")
+            ).alias("xdoc_entries_masked"),
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN 1000L"
+                " ELSE 1000L * block_entries"
+                " DIV (total_tokens * total_tokens) END"
+            ).alias("block_share_milli"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def streaming_domain_quota_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONLINE PER-DOMAIN QUOTA ADMISSION — url_domain_caps kept
+    ONLINE: crawl ingestion must cap each domain's contribution as
+    dumps ARRIVE, not after the fact, and the decision depends on
+    cross-batch state (how much of the domain's quota earlier dumps
+    already spent). Docs stream in TWO AvailableNow micro-batches
+    (doc_id parity, forced mtime order); an at-rest per-source
+    admission ledger carries counts between batches; within a batch
+    admissions are deterministic (doc_id order via a source-
+    partitioned row_number), and a doc is admitted iff prior spend +
+    in-batch rank <= quota (15). The ledger update appends only the
+    batch's own per-source deltas.
+
+    In-entry proof: per-source admitted == least(quota, n_docs) —
+    the gate is exact, not approximate. Scale: state is ONE count per
+    domain (domain-bounded, not corpus-bounded); each batch does one
+    broadcast join against the ledger + a source-partitioned window
+    over ITS OWN rows. Oracle replays the global admission order
+    (batch, then doc_id) with one row_number per source."""
+    import os
+
+    quota = 15
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "source")
+    src = scratch_dir("ip_quota_src_")
+    stage = scratch_dir("ip_quota_stage_")
+    ledger = scratch_dir("ip_quota_ledger_")
+    dec_store = scratch_dir("ip_quota_dec_")
+    import shutil as _sh
+
+    for b in (0, 1):
+        d = os.path.join(stage, f"b{b}")
+        base.filter(F.col("doc_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+    # seed the ledger (empty spend) so every batch reads the same shape
+    spark.createDataFrame([], "source string, spent long").write.mode(
+        "overwrite"
+    ).parquet(ledger)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        bno = batch_df.agg(
+            (F.min("doc_id") % 2).cast("long").alias("b")
+        ).collect()[0]["b"]
+        spent = (
+            spark.read.parquet(ledger)
+            .groupBy("source")
+            .agg(F.sum("spent").alias("prior"))
+        )
+        w = Window.partitionBy("source").orderBy("doc_id")
+        decided = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(spent), "source", "left")
+            .selectExpr(
+                "doc_id",
+                "source",
+                f"CAST({bno} AS LONG) AS batch",
+                f"coalesce(prior, 0) + rn <= {quota} AS admitted",
+            )
+        )
+        decided.coalesce(1).write.mode("append").parquet(dec_store)
+        decided.filter("admitted").groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("spent")
+        ).coalesce(1).write.mode("append").parquet(ledger)
+
+    q = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", scratch_dir("ip_quota_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "quota stream hung"
+    out = spark.read.parquet(dec_store).select(
+        "doc_id", "source", "batch", "admitted"
+    )
+    # exactness proof: the online gate spent exactly min(quota, supply)
+    check = (
+        out.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("adm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(
+            F.col("adm") != F.least(F.lit(quota), F.col("n"))
+        )
+        .count()
+    )
+    assert check == 0, "online quota drifted from min(quota, supply)"
+    return out.orderBy("doc_id")
+
+
+def cross_modal_retrieval_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL RETRIEVAL RECALL (CLIP-benchmark shape) — the
+    retrieval upgrade of image_text_pair_gate's pairwise gate: every
+    doc's image (16-bit dHash of the md5-derived 5x4 BMP, REAL
+    stdlib decode in Arrow batches) queries the TEXT index (16-bit
+    SimHash), candidates come from 4-bit BAND equality (the
+    banded-LSH argument — at 100 TB hashes widen and bands keep
+    buckets small; NEVER an all-pairs scan), ranking is exact
+    hamming with doc_id tie-break, and the per-source ledger reports
+    how often the image's OWN caption is retrievable at all
+    (candidate recall) and ranked first (recall@1) — the corpus-level
+    alignment health a VLM data pipeline tracks per source.
+
+    Scale: one band equi-join + a window PARTITIONED BY query image;
+    candidate volume is sum of band-bucket squares, tunable by band
+    width. Oracle replays the BMP pixel/dhash math, the simhash bit
+    fold, the banding, and the (hamming, doc_id) ranking."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+    from intelligencepipeline_spark.operators.dedup import simhash16
+
+    header = encode_bmp(np.zeros((4, 5, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("text")),
+                    F.md5(F.concat(F.col("text"), F.lit("a"))),
+                    F.md5(F.concat(F.col("text"), F.lit("b"))),
+                    F.md5(F.concat(F.col("text"), F.lit("c"))),
+                )
+            ),
+        ).alias("media"),
+    )
+    img = dhash_images(media, "media").select(
+        F.col("doc_id").alias("img_id"), "dhash"
+    )
+    txt = docs.select(
+        F.col("doc_id").alias("txt_id"),
+        F.conv(simhash16(F.col("text")), 2, 10).cast("long").alias("thash"),
+    )
+
+    def bands(df: DataFrame, hcol: str, idcol: str) -> DataFrame:
+        return df.select(
+            idcol,
+            hcol,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, 3), j ->"
+                    f" named_struct('j', j,"
+                    f" 'bv', cast(shiftright({hcol}, cast(4 * j as int))"
+                    f" as bigint) % 16))"
+                )
+            ).alias("b"),
+        ).select(idcol, hcol, F.col("b.j").alias("j"),
+                 F.col("b.bv").alias("bv"))
+
+    cands = (
+        bands(img, "dhash", "img_id")
+        .join(bands(txt, "thash", "txt_id"), ["j", "bv"])
+        .select("img_id", "dhash", "txt_id", "thash")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("dhash").bitwiseXOR(F.col("thash"))
+    ).cast("long")
+    w = Window.partitionBy("img_id").orderBy("hamming", "txt_id")
+    ranked = cands.select(
+        "img_id", "txt_id", hamming.alias("hamming")
+    ).withColumn("rn", F.row_number().over(w))
+    per_img = ranked.groupBy("img_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.max(
+            F.when(F.col("txt_id") == F.col("img_id"), 1).otherwise(0)
+        ).alias("own_found"),
+        F.max(
+            F.when(
+                (F.col("rn") == 1) & (F.col("txt_id") == F.col("img_id")), 1
+            ).otherwise(0)
+        ).alias("own_top1"),
+    )
+    return (
+        docs.select(F.col("doc_id").alias("img_id"), "source")
+        .join(per_img, "img_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum(
+                F.when(F.col("n_candidates") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_with_candidates"),
+            F.sum(F.coalesce("own_found", F.lit(0)))
+            .cast("long")
+            .alias("n_own_retrievable"),
+            F.sum(F.coalesce("own_top1", F.lit(0)))
+            .cast("long")
+            .alias("n_recall_at1"),
+            F.sum(F.coalesce("n_candidates", F.lit(0)))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
+def streaming_schema_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SCHEMA-DRIFT MONITOR — the evolution half of ingestion
+    hygiene (serde_dead_letter catches MALFORMED payloads; this
+    catches payloads that parse fine but whose SHAPE moved): events
+    arrive as JSON envelopes in two micro-batches (event_id parity,
+    forced mtime order); batch 1's producer deployed a new version —
+    it adds an ``extra`` field everywhere and drops ``v`` from every
+    third row. Per batch the monitor censuses actual field presence
+    with ``json_object_keys`` (schema-on-read, no parse into a fixed
+    struct that would silently null the drift away), full-outer joins
+    the registered contract {id, type, v}, and emits the per-field
+    ledger: presence count, coverage vs batch rows, and the verdict —
+    ``stable`` (full coverage, registered), ``partial_loss``
+    (registered but coverage dropped), ``unregistered`` (new field).
+
+    Scale: the census is one explode + keyed count per micro-batch —
+    batch-bounded, never historical; the contract is a broadcast
+    literal. This is how a 1000-executor ingestion tier notices a
+    producer rollout changed the wire schema before the warehouse
+    does. Oracle replays the envelope construction, the parity
+    batches and the key census."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "concat('{\"id\":', cast(event_id as string),"
+            " ',\"type\":\"', event_type, '\"',"
+            # batch 0 always carries v; batch 1 drops it every 3rd row
+            " IF(event_id % 2 = 0 OR event_id % 3 != 0,"
+            "    concat(',\"v\":', cast(user_id as string)), ''),"
+            # batch 1's new producer adds `extra`
+            " IF(event_id % 2 = 1, ',\"extra\":1', ''),"
+            " '}')"
+        ).alias("env"),
+    )
+    src = scratch_dir("ip_drift_src_")
+    stage = scratch_dir("ip_drift_stage_")
+    led = scratch_dir("ip_drift_led_")
+    import shutil as _sh
+
+    for b in (0, 1):
+        d = os.path.join(stage, f"b{b}")
+        ev.filter(F.col("event_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+
+    registered = spark.createDataFrame(
+        [("id",), ("type",), ("v",)], "field string"
+    )
+
+    def _census(batch_df: DataFrame, batch_id: int) -> None:
+        bno = batch_df.agg(
+            (F.min("event_id") % 2).cast("long").alias("b")
+        ).collect()[0]["b"]
+        n_rows = batch_df.count()
+        seen = (
+            batch_df.select(
+                F.explode(F.expr("json_object_keys(env)")).alias("field")
+            )
+            .groupBy("field")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_present"))
+        )
+        seen.join(F.broadcast(registered), "field", "full_outer").selectExpr(
+            f"CAST({bno} AS LONG) AS batch",
+            "field",
+            "coalesce(n_present, 0L) AS n_present",
+            f"CAST({n_rows} AS LONG) AS n_rows",
+            f"1000L * coalesce(n_present, 0L) DIV {n_rows}"
+            " AS coverage_milli",
+        ).coalesce(1).write.mode("append").parquet(led)
+
+    q = (
+        spark.readStream.schema("event_id long, env string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_census)
+        .option("checkpointLocation", scratch_dir("ip_drift_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "drift stream hung"
+    out = spark.read.parquet(led).select(
+        "batch",
+        "field",
+        "n_present",
+        "n_rows",
+        "coverage_milli",
+        F.expr(
+            "CASE WHEN field NOT IN ('id', 'type', 'v')"
+            " THEN 'unregistered'"
+            " WHEN n_present = n_rows THEN 'stable'"
+            " ELSE 'partial_loss' END"
+        ).alias("verdict"),
+    )
+    # the monitor must actually have caught the rollout
+    flags = {
+        (int(r["batch"]), str(r["field"])): str(r["verdict"])
+        for r in out.collect()
+    }
+    assert flags[(1, "extra")] == "unregistered", flags
+    assert flags[(1, "v")] == "partial_loss", flags
+    assert flags[(0, "v")] == "stable", flags
+    assert (0, "extra") not in flags, flags
+    return out.orderBy("batch", "field")
+
+
+def prefix_cache_savings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-CACHE SAVINGS ESTIMATE — the serving-side number a
+    training-data team hands the inference team: if requests sharing
+    a prefix are routed together (vLLM/SGLang prefix caching,
+    RadixAttention), how many prompt tokens never recompute? Per
+    source, docs sort by normalized text (the router's radix order —
+    a PARTITIONED window, never a global sort) and each doc's
+    token-level longest common prefix with its predecessor is the
+    cacheable mass. LCP is exact via the monotone slice-equality
+    count (``slice(ts,1,j) = slice(prev,1,j)`` holds exactly for
+    j <= LCP), the same constant-bounded quadratic the echo filter
+    uses. Exports per source: docs, token mass, shared prefix mass,
+    savings in milli, and the deepest single LCP.
+
+    Scale: one window + one keyed aggregate; at 100 TB the sort key
+    prefix IS the radix-tree bucketing, so the per-source window maps
+    to per-shard routers. Oracle replays the lag window and the
+    slice-equality LCP in DuckDB list algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        normalize_text(F.col("text")).alias("norm"),
+        tokens(normalize_text(F.col("text"))).alias("ts"),
+    )
+    w = Window.partitionBy("source").orderBy("norm", "doc_id")
+    d = base.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "lcp",
+        F.expr(
+            "CASE WHEN prev IS NULL THEN 0L ELSE"
+            " cast(size(filter(sequence(1, least(size(ts), size(prev))),"
+            " j -> slice(ts, 1, j) = slice(prev, 1, j))) as bigint) END"
+        ),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size("ts")).cast("long").alias("total_tokens"),
+            F.sum("lcp").cast("long").alias("shared_prefix_tokens"),
+            F.max("lcp").cast("long").alias("max_lcp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "shared_prefix_tokens",
+            F.expr(
+                "CASE WHEN total_tokens = 0 THEN 0L"
+                " ELSE 1000L * shared_prefix_tokens DIV total_tokens END"
+            ).alias("savings_milli"),
+            "max_lcp",
+        )
+        .orderBy("source")
+    )
+
+
+def multimodal_dedup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL NEAR-DUP EDGE SET — one dedup decision across BOTH
+    modalities: a doc pair is a duplication candidate if its TEXTS
+    are near (SimHash16 hamming <= 3) OR its IMAGES are near (doc
+    dHash hamming <= 1) — the union the corpus funnel needs before
+    connected components when image reposts carry reworded captions.
+    Candidates come from 4-bit banding in EACH modality (hamming <= 3
+    flips at most 3 of 4 text bands, <= 1 flips at most 1 of 4 image
+    bands — pigeonhole leaves >= 1 equal band in both cases, so
+    banding is LOSSLESS for these radii; never all-pairs). Each
+    surviving pair carries both exact hamming distances and the
+    modality verdict (text_only / image_only / both); the EXPORT is
+    the per-verdict census (counts + hamming mass + endpoint spread)
+    — pair volume grows with corpus size and collision rate (the
+    16-bit stand-in hashes saturate: ~1.5M pairs at sf0.1), so the
+    pair set stays distributed and only the bounded census crosses
+    the driver.
+
+    Scale: two band equi-joins over (modality, band, value) keys —
+    the minhash-LSH shape applied per modality; hashes widen and
+    bands narrow at corpus scale. Oracle replays the dhash pixel
+    math, the simhash bit fold, both bandings and the radius
+    filters."""
+    import numpy as np
+
+    from intelligencepipeline_spark.functions.multimodal import (
+        dhash_images,
+        encode_bmp,
+    )
+    from intelligencepipeline_spark.operators.dedup import simhash16
+
+    header = encode_bmp(np.zeros((4, 5, 3), dtype=np.uint8))[:54]
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(header),
+            F.unhex(
+                F.concat(
+                    F.md5(F.col("text")),
+                    F.md5(F.concat(F.col("text"), F.lit("a"))),
+                    F.md5(F.concat(F.col("text"), F.lit("b"))),
+                    F.md5(F.concat(F.col("text"), F.lit("c"))),
+                )
+            ),
+        ).alias("media"),
+    )
+    hashes = (
+        dhash_images(media, "media")
+        .select("doc_id", "dhash")
+        .join(
+            docs.select(
+                "doc_id",
+                F.conv(simhash16(F.col("text")), 2, 10)
+                .cast("long")
+                .alias("thash"),
+            ),
+            "doc_id",
+        )
+    )
+    hashes = track_persist(hashes)
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        "thash",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, 3), j -> array("
+                " named_struct('m', 't', 'j', j, 'bv',"
+                "  cast(shiftright(thash, cast(4 * j as int)) as bigint)"
+                "  % 16),"
+                " named_struct('m', 'i', 'j', j, 'bv',"
+                "  cast(shiftright(dhash, cast(4 * j as int)) as bigint)"
+                "  % 16))))"
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "dhash", "thash",
+        F.col("b.m").alias("m"), F.col("b.j").alias("j"),
+        F.col("b.bv").alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.thash").bitwiseXOR(F.col("b.thash"))
+            ).cast("long").alias("ham_text"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).cast("long").alias("ham_image"),
+        )
+        .distinct()
+    )
+    edges = cand.filter(
+        (F.col("ham_text") <= 3) | (F.col("ham_image") <= 1)
+    ).select(
+        "a_id",
+        "b_id",
+        "ham_text",
+        "ham_image",
+        F.expr(
+            "CASE WHEN ham_text <= 3 AND ham_image <= 1 THEN 'both'"
+            " WHEN ham_text <= 3 THEN 'text_only'"
+            " ELSE 'image_only' END"
+        ).alias("modality"),
+    )
+    return (
+        edges.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("ham_text").cast("long").alias("sum_ham_text"),
+            F.sum("ham_image").cast("long").alias("sum_ham_image"),
+            F.countDistinct("a_id").cast("long").alias("n_distinct_a"),
+            F.min("a_id").cast("long").alias("min_a"),
+            F.max("b_id").cast("long").alias("max_b"),
+        )
+        .orderBy("modality")
+    )
+
+
+def bestfit_packing_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-PAIRING PACKING GAIN — the padding theorem behind
+    length-grouped batching made executable as a 2-bin pairing plan:
+    pairing docs ADJACENT in length order minimizes total padding
+    over all pairings (padding of a pair = 2*max - sum, so total =
+    2*Σ(pair maxima) - Σlen; the exchange argument shows adjacent
+    pairing minimizes Σ maxima — note the two-pointer long-with-short
+    pairing, which balances MAKESPAN, is provably the WORST for
+    padding). Per language, one length-sorted window assigns sorted
+    pair ids; the arrival-order plan (consecutive doc_id pairs) is
+    the baseline. Exports per language both wastes and the gain in
+    milli; sorted <= arrival is asserted in-entry (the theorem, not
+    a heuristic). The theorem needs a PERFECT matching, so when a
+    language holds an odd doc count the last-arriving doc sits out
+    of BOTH plans (same even multiset both sides; with a free
+    unpaired slot the claim is genuinely false — lengths {1, 9, 10}:
+    pairing (9,10) and benching the 1 beats adjacent-from-the-
+    bottom).
+
+    Scale: windows partition by lang (range-partition at 100 TB);
+    no global sort, no driver loop. Oracle replays both row_number
+    pairings and the waste arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    staged0 = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    wa0 = Window.partitionBy("lang").orderBy("doc_id")
+    staged = (
+        staged0.withColumn("ra0", F.row_number().over(wa0))
+        .withColumn(
+            "n0", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+        .filter((F.col("n0") % 2 == 0) | (F.col("ra0") != F.col("n0")))
+        .select("lang", "doc_id", "n_tokens")
+    )
+    ws = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    wa = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = staged.withColumn("rs", F.row_number().over(ws)).withColumn(
+        "ra", F.row_number().over(wa)
+    )
+    # pair ids: adjacent-in-sorted-order (padding-optimal) vs
+    # consecutive-arrival; both are ceil(rank / 2)
+    pairs = ranked.select(
+        "lang",
+        "n_tokens",
+        ((F.col("rs") + 1) / 2).cast("long").alias("ps"),
+        ((F.col("ra") + 1) / 2).cast("long").alias("pa"),
+    )
+
+    def waste(df: DataFrame, pid: str, out: str) -> DataFrame:
+        return (
+            df.groupBy("lang", pid)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("sm"),
+            )
+            # odd doc out (k=1) pads nothing: its bin is itself
+            .select(
+                "lang",
+                F.when(F.col("k") == 2, 2 * F.col("mx") - F.col("sm"))
+                .otherwise(F.lit(0))
+                .alias("w"),
+            )
+            .groupBy("lang")
+            .agg(F.sum("w").cast("long").alias(out))
+        )
+    sorted_w = waste(pairs, "ps", "sorted_waste")
+    arrival_w = waste(pairs, "pa", "arrival_waste")
+    out = (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .join(sorted_w, "lang")
+        .join(arrival_w, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "sorted_waste",
+            "arrival_waste",
+            F.expr(
+                "CASE WHEN arrival_waste = 0 THEN 0L ELSE"
+                " 1000L * (arrival_waste - sorted_waste)"
+                " DIV arrival_waste END"
+            ).alias("gain_milli"),
+        )
+        .orderBy("lang")
+    )
+    bad = out.filter(F.col("sorted_waste") > F.col("arrival_waste")).count()
+    assert bad == 0, "two-pointer pairing lost to arrival order"
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -20071,6 +21090,20 @@ QUERIES = {
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_column_audit": file_metadata_column_audit,
     "streaming_query_listener_audit": streaming_query_listener_audit,
+    # -- (b27) new in the r08 build session: never driver-checked —
+    #    join the r09 head behind the 31 listed in _R09_PLAN below -------
+    "interleaved_doc_gate": interleaved_doc_gate,
+    "streaming_decontamination_gate": streaming_decontamination_gate,
+    "tokenizer_roundtrip_audit": tokenizer_roundtrip_audit,
+    "chat_template_render": chat_template_render,
+    "packed_attention_block_audit": packed_attention_block_audit,
+    "streaming_domain_quota_admission": streaming_domain_quota_admission,
+    "cross_modal_retrieval_recall": cross_modal_retrieval_recall,
+    "streaming_schema_drift_monitor": streaming_schema_drift_monitor,
+    # -- (b28) new in the r08 build session: never driver-checked ------
+    "prefix_cache_savings_audit": prefix_cache_savings_audit,
+    "multimodal_dedup_edges": multimodal_dedup_edges,
+    "bestfit_packing_gain": bestfit_packing_gain,
 }
 
 

@@ -1,0 +1,237 @@
+"""Plan pins + invariants for the r08 build session's b27 wave."""
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interleaved_doc_gate_plan(spark):
+    from intelligencepipeline_spark.queries import interleaved_doc_gate
+
+    out = interleaved_doc_gate(spark, SF)
+    a = audit(out)
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert a.broadcast_joins == 0 and a.sortmerge_joins == 0
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+    # verdict domain is closed
+    got = {r["verdict"] for r in out.select("verdict").distinct().collect()}
+    assert got <= {"text_only", "image_heavy", "trailing_images",
+                   "vlm_keep"}, got
+
+
+def test_interleaved_counts_consistent(spark):
+    from intelligencepipeline_spark.queries import interleaved_doc_gate
+
+    rows = interleaved_doc_gate(spark, SF).collect()
+    for r in rows:
+        assert r["max_image_run"] <= 3
+        assert r["n_images"] <= 3 * r["n_text_segments"]
+        if r["n_images"] == 0:
+            assert r["verdict"] == "text_only"
+            assert not r["trailing_images"]
+
+
+def test_chat_template_render_plan(spark):
+    from intelligencepipeline_spark.queries import chat_template_render
+
+    out = chat_template_render(spark, SF)
+    a = audit(out)
+    assert a.reads_only("doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+    # byte accounting: overhead = n_turns * (|<|...|>| + |<|end|>|);
+    # role is 'user' (4) or 'assistant' (9), frames add 4 + 7 chars
+    for r in out.collect():
+        assert r["rendered_chars"] == r["body_chars"] + r["overhead_chars"]
+        lo = r["n_turns"] * (4 + 4 + 7)
+        hi = r["n_turns"] * (9 + 4 + 7)
+        assert lo <= r["overhead_chars"] <= hi, r
+
+
+def test_packed_attention_block_audit_plan(spark):
+    from intelligencepipeline_spark.queries import (
+        packed_attention_block_audit,
+    )
+
+    out = packed_attention_block_audit(spark, SF)
+    a = audit(out)
+    assert a.reads_only("lang", "doc_id", "text"), a.read_schemas
+    assert not a.cartesian
+    # window partitions by lang — never a global sort
+    assert not a.has_single_partition_exchange
+    for r in out.collect():
+        assert r["block_entries"] <= r["dense_entries"]
+        assert r["xdoc_entries_masked"] == (
+            r["dense_entries"] - r["block_entries"]
+        )
+        # equality iff the bin holds a single doc
+        if r["n_docs"] == 1:
+            assert r["xdoc_entries_masked"] == 0
+
+
+def test_packed_bins_match_token_packing(spark):
+    """The audit must account the SAME bins token_packing plans —
+    same (lang, bin) keys, same doc counts and token mass."""
+    from intelligencepipeline_spark.queries import (
+        packed_attention_block_audit,
+        token_packing,
+    )
+
+    a = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["total_tokens"])
+        for r in packed_attention_block_audit(spark, SF).collect()
+    }
+    b = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["total_tokens"])
+        for r in token_packing(spark, SF).collect()
+    }
+    assert a == b
+
+
+def test_tokenizer_roundtrip_audit(spark):
+    from intelligencepipeline_spark.queries import (
+        bpe_encode,
+        tokenizer_roundtrip_audit,
+    )
+
+    out = tokenizer_roundtrip_audit(spark, SF)
+    a = audit(out)
+    # the dictionary join must broadcast (vocab-bounded small side)
+    assert a.broadcast_joins >= 1, a.plan[:600]
+    assert not a.cartesian
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # bpe_len agrees with the bpe_encode lane (same merges, same fold)
+    for r in bpe_encode(spark, SF).collect():
+        assert rows[r["doc_id"]]["bpe_len"] == r["bpe_len"], r
+    for r in rows.values():
+        # merges only ever shrink the symbol count, never below the
+        # word count; symbols never outgrow the characters they cover
+        assert r["n_words"] <= r["bpe_len"] <= r["n_chars_nospace"]
+        assert 1 <= r["max_sym_len"] <= 3 or r["n_words"] == 0
+
+
+def test_streaming_decontamination_gate_matches_batch(spark):
+    """The entry's own in-entry asserts prove incremental == batch and
+    probe scope; here pin output invariants: every non-eval doc
+    appears exactly once with its parity batch."""
+    from intelligencepipeline_spark.queries import (
+        streaming_decontamination_gate,
+    )
+
+    rows = streaming_decontamination_gate(spark, SF).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["batch"] == r["doc_id"] % 2
+        assert r["kept"] == (r["n_contaminated_grams"] == 0)
+
+
+def test_streaming_domain_quota_admission(spark):
+    """Online gate == global admission order; per-source spend is
+    exactly min(quota, supply)."""
+    from intelligencepipeline_spark.queries import (
+        streaming_domain_quota_admission,
+    )
+
+    rows = streaming_domain_quota_admission(spark, SF).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    for src, rs in per_src.items():
+        admitted = sorted(r["doc_id"] for r in rs if r["admitted"])
+        sup = sorted(
+            (r["doc_id"] % 2, r["doc_id"]) for r in rs
+        )
+        want = sorted(d for _, d in sup[:15])
+        assert admitted == want, (src, admitted, want)
+
+
+def test_cross_modal_retrieval_recall_plan(spark):
+    from intelligencepipeline_spark.queries import (
+        cross_modal_retrieval_recall,
+    )
+
+    out = cross_modal_retrieval_recall(spark, SF)
+    a = audit(out)
+    # band equi-join, never a cartesian all-pairs
+    assert not a.cartesian, a.plan[:600]
+    assert not a.has_single_partition_exchange
+    tot = out.groupBy().sum(
+        "n_images", "n_with_candidates", "n_own_retrievable", "n_recall_at1"
+    ).collect()[0]
+    n_img, n_cand, n_own, n_at1 = (int(x) for x in tot)
+    # recall ladder: top1 <= retrievable <= with-candidates <= images
+    assert n_at1 <= n_own <= n_cand <= n_img
+    # the hash stand-ins are md5-derived from the SAME text, so own
+    # captions are frequently co-banded — the metric must not be zero
+    assert n_own > 0
+
+
+def test_streaming_schema_drift_monitor(spark):
+    """The rollout is caught: batch 1 reports the unregistered field
+    and the partial v loss; batch 0 is fully stable."""
+    from intelligencepipeline_spark.queries import (
+        streaming_schema_drift_monitor,
+    )
+
+    rows = {
+        (r["batch"], r["field"]): r
+        for r in streaming_schema_drift_monitor(spark, SF).collect()
+    }
+    assert rows[(1, "extra")]["verdict"] == "unregistered"
+    assert rows[(1, "v")]["verdict"] == "partial_loss"
+    assert 0 < rows[(1, "v")]["coverage_milli"] < 1000
+    for f in ("id", "type", "v"):
+        assert rows[(0, f)]["verdict"] == "stable"
+        assert rows[(0, f)]["coverage_milli"] == 1000
+    assert (0, "extra") not in rows
+
+
+def test_prefix_cache_savings_audit(spark):
+    from intelligencepipeline_spark.queries import (
+        prefix_cache_savings_audit,
+    )
+
+    out = prefix_cache_savings_audit(spark, SF)
+    a = audit(out)
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert not a.cartesian
+    assert not a.has_single_partition_exchange
+    for r in out.collect():
+        assert 0 <= r["shared_prefix_tokens"] <= r["total_tokens"]
+        assert 0 <= r["savings_milli"] <= 1000
+        assert r["max_lcp"] <= r["total_tokens"]
+
+
+def test_multimodal_dedup_edges_census(spark):
+    from intelligencepipeline_spark.queries import multimodal_dedup_edges
+
+    out = multimodal_dedup_edges(spark, SF)
+    a = audit(out)
+    assert not a.cartesian, a.plan[:600]
+    rows = {r["modality"]: r for r in out.collect()}
+    assert set(rows) <= {"text_only", "image_only", "both"}
+    assert sum(r["n_pairs"] for r in rows.values()) > 0
+    # radius semantics: text_only pairs exceeded the image radius and
+    # vice versa — mean hammings must respect the gates
+    if "text_only" in rows:
+        r = rows["text_only"]
+        assert r["sum_ham_text"] <= 3 * r["n_pairs"]
+        assert r["sum_ham_image"] >= 2 * r["n_pairs"]
+    if "image_only" in rows:
+        r = rows["image_only"]
+        assert r["sum_ham_image"] <= 1 * r["n_pairs"]
+        assert r["sum_ham_text"] >= 4 * r["n_pairs"]
+
+
+def test_bestfit_packing_gain_theorem(spark):
+    """Adjacent sorted pairing never loses to arrival pairing on the
+    same even multiset (the in-entry assert), and the exports are
+    internally consistent."""
+    from intelligencepipeline_spark.queries import bestfit_packing_gain
+
+    for r in bestfit_packing_gain(spark, SF).collect():
+        assert r["sorted_waste"] <= r["arrival_waste"]
+        assert 0 <= r["gain_milli"] <= 1000
+        assert r["n_docs"] % 2 == 0

@@ -18,6 +18,7 @@ worth gating on) clear 1.0s easily.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -109,7 +110,31 @@ def diff(old_path: str, new_path: str, ratio: float = 1.5) -> int:
     return 1 if regressed else 0
 
 
+def _committed_bench() -> str:
+    """Materialize the COMMITTED builder bench (HEAD:bench_full.json)
+    to a temp file — the r07-verdict mode that lets a driver
+    BENCH_r{N}.json be triaged against the builder's own same-commit
+    numbers without git archaeology."""
+    import subprocess
+    import tempfile
+
+    blob = subprocess.run(
+        ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))), "show", "HEAD:bench_full.json"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    fh = tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, prefix="bench_head_"
+    )
+    fh.write(blob)
+    fh.close()
+    return fh.name
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
+    if args and args[0] == "--committed":
+        # bench_diff.py --committed NEW.json [ratio]
+        args = [_committed_bench()] + args[1:]
     r = float(args[2]) if len(args) > 2 else 1.5
     sys.exit(diff(args[0], args[1], r))
