@@ -11153,3 +11153,62 @@ SELECT t.lang,
 FROM tot t JOIN sw USING (lang) JOIN aw USING (lang)
 ORDER BY lang
 """
+
+# lateral_topk_join: DuckDB executes the IDENTICAL lateral SQL
+# natively — the decorrelation assert lives in-entry.
+ORACLES["lateral_topk_join"] = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+  cast(cast(o.o_totalprice as decimal(18,2)) * 100 as bigint)
+    AS total_cents
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY cast(o_totalprice as decimal(18,2)) DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, total_cents DESC, o_orderkey
+"""
+
+# window_group_limit_proof: the row_number filter relationally; the
+# WindowGroupLimit plan fact is asserted in-entry.
+ORACLES["window_group_limit_proof"] = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+    cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)
+      AS total_cents,
+    row_number() OVER (PARTITION BY o_orderpriority
+      ORDER BY cast(o_totalprice as decimal(18,2)) DESC, o_orderkey)
+      AS rn
+  FROM orders
+)
+SELECT o_orderpriority, cast(rn as bigint) AS rn, o_orderkey,
+  total_cents, TRUE AS group_limit_pushed
+FROM r WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+# null_skew_join_split: one relational left join + aggregate — the
+# semantics both physical forms must share (equality asserted
+# in-entry with exceptAll both ways).
+ORACLES["null_skew_join_split"] = """
+WITH ev AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 5 < 2 THEN NULL ELSE user_id END AS uid
+  FROM events
+), dim AS (
+  SELECT DISTINCT user_id AS uid, 'even' AS cohort
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT event_type,
+  count(*) AS n_events,
+  cast(sum(CASE WHEN e.uid IS NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_null_keys,
+  cast(sum(CASE WHEN d.cohort = 'even' THEN 1 ELSE 0 END) as bigint)
+    AS n_matched_even
+FROM ev e LEFT JOIN dim d ON e.uid = d.uid
+GROUP BY event_type
+ORDER BY event_type
+"""

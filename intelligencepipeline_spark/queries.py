@@ -20679,6 +20679,142 @@ def bestfit_packing_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL CORRELATED SUBQUERY, DECORRELATED — the SQL surface the
+    window-based topk_per_group entry does not cover: ``LATERAL
+    (SELECT ... WHERE o_custkey = c_custkey ORDER BY ... LIMIT 2)``
+    reads as a per-customer nested loop; Catalyst's
+    DecorrelateInnerQuery + rank rewrite turns it into ONE join —
+    asserted in-entry: the optimized plan contains no
+    LateralJoin/correlated-subquery node (a plan that kept the
+    lateral as a per-row loop would be a 100 TB disaster — |customer|
+    separate scans of orders). Exports each BUILDING customer's top-2
+    orders by (totalprice desc, orderkey).
+
+    Oracle: DuckDB executes the IDENTICAL lateral SQL natively —
+    engine-independent semantics, two execution strategies, one
+    result."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("ip_lat_cust")
+    orders.createOrReplaceTempView("ip_lat_orders")
+    out = spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS decimal(18,2)) * 100 AS bigint)
+                 AS total_cents
+        FROM ip_lat_cust c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM ip_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY CAST(o_totalprice AS decimal(18,2)) DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, total_cents DESC, o_orderkey
+        """
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LateralJoin" not in plan, plan[:800]
+    return out
+
+
+def window_group_limit_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW GROUP LIMIT pushdown proven on the physical plan — the
+    optimizer leg behind every top-k-per-group: ``rank() <= k``
+    filtered AFTER a window would rank EVERY row then discard most;
+    Spark's WindowGroupLimit physical operator prunes each group to
+    its top k BEFORE the full window sort ships rows — per-partition
+    map-side top-k, the difference between shuffling k rows per key
+    and shuffling the corpus at 100 TB. The entry runs the canonical
+    shape (top-3 orders per priority by price) and asserts
+    ``WindowGroupLimit`` appears in the executed plan.
+
+    Oracle replays the row_number filter relationally."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(), "o_orderkey"
+    )
+    out = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            F.col("rn").cast("long").alias("rn"),
+            "o_orderkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS decimal(18,2)) * 100 AS bigint)"
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:800]
+    return spark.createDataFrame(
+        [
+            (str(r["o_orderpriority"]), int(r["rn"]), int(r["o_orderkey"]),
+             int(r["total_cents"]), True)
+            for r in rows
+        ],
+        "o_orderpriority string, rn long, o_orderkey long,"
+        " total_cents long, group_limit_pushed boolean",
+    ).orderBy("o_orderpriority", "rn")
+
+
+def null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SKEW OUTER-JOIN SPLIT — the join-skew pattern AQE cannot
+    fix for you: in a left join, rows with a NULL key can never
+    match, yet a naive plan still hashes them all into ONE shuffle
+    partition (every NULL has the same hash) — at 100 TB a 40%-null
+    foreign key means one straggler task holds 40% of the fact
+    table. The scale-true form splits the scan: non-null rows join,
+    null rows bypass the shuffle entirely and union back with NULL
+    dim columns. Both forms run here (events with user_id nulled on
+    a 2/5 slice, joined to an even-user dim) and the entry asserts
+    they are row-identical (exceptAll both ways == 0) before
+    exporting the aggregate.
+
+    Oracle: one relational left join + aggregate — the semantics both
+    plans must share."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(
+            "IF(event_id % 5 < 2, CAST(NULL AS BIGINT), user_id)"
+        ).alias("uid"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select((F.col("user_id")).alias("uid"))
+        .filter("uid % 2 = 0")
+        .distinct()
+        .select("uid", F.lit("even").alias("cohort"))
+    )
+    naive = ev.join(dim, "uid", "left")
+    matched = ev.filter(F.col("uid").isNotNull()).join(dim, "uid", "left")
+    bypass = ev.filter(F.col("uid").isNull()).withColumn(
+        "cohort", F.lit(None).cast("string")
+    )
+    split = matched.unionByName(bypass.select(*matched.columns))
+    assert naive.exceptAll(split).count() == 0
+    assert split.exceptAll(naive).count() == 0
+    return (
+        split.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("uid").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+            F.sum(F.when(F.col("cohort") == "even", 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched_even"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -21104,6 +21240,10 @@ QUERIES = {
     "prefix_cache_savings_audit": prefix_cache_savings_audit,
     "multimodal_dedup_edges": multimodal_dedup_edges,
     "bestfit_packing_gain": bestfit_packing_gain,
+    # -- (b29) new in the r08 build session: never driver-checked ------
+    "lateral_topk_join": lateral_topk_join,
+    "window_group_limit_proof": window_group_limit_proof,
+    "null_skew_join_split": null_skew_join_split,
 }
 
 

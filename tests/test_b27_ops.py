@@ -235,3 +235,44 @@ def test_bestfit_packing_gain_theorem(spark):
         assert r["sorted_waste"] <= r["arrival_waste"]
         assert 0 <= r["gain_milli"] <= 1000
         assert r["n_docs"] % 2 == 0
+
+
+def test_lateral_topk_join_decorrelated(spark):
+    from intelligencepipeline_spark.queries import lateral_topk_join
+
+    out = lateral_topk_join(spark, SF)
+    # in-entry assert covers LateralJoin absence; pin join shape here
+    a = audit(out)
+    assert not a.cartesian
+    per_cust: dict[int, int] = {}
+    for r in out.collect():
+        per_cust[r["c_custkey"]] = per_cust.get(r["c_custkey"], 0) + 1
+    assert per_cust and max(per_cust.values()) <= 2
+
+
+def test_window_group_limit_proof(spark):
+    from intelligencepipeline_spark.queries import window_group_limit_proof
+
+    rows = window_group_limit_proof(spark, SF).collect()
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r)
+    for prio, rs in by_prio.items():
+        assert [r["rn"] for r in sorted(rs, key=lambda x: x["rn"])] == list(
+            range(1, len(rs) + 1)
+        )
+        assert len(rs) <= 3
+        cents = [r["total_cents"] for r in sorted(rs, key=lambda x: x["rn"])]
+        assert cents == sorted(cents, reverse=True)
+
+
+def test_null_skew_join_split(spark):
+    from intelligencepipeline_spark.queries import null_skew_join_split
+
+    rows = null_skew_join_split(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the 2/5 null slice really landed, and matches never exceed
+        # the non-null population
+        assert 0 < r["n_null_keys"] < r["n_events"]
+        assert r["n_matched_even"] <= r["n_events"] - r["n_null_keys"]
