@@ -11212,3 +11212,59 @@ FROM ev e LEFT JOIN dim d ON e.uid = d.uid
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def _kcore_chain(k: int, steps: int = 20) -> str:
+    """Unrolled peel fixpoint: c{k}_i = nodes of c{k}_{i-1} whose
+    in-survivor degree >= k. Monotone and idempotent, so `steps` at
+    or past convergence equals the fixpoint the Spark loop proves
+    (it asserts convergence <= 20 + one idempotent pass)."""
+    parts = [f"c{k}_0 AS MATERIALIZED (SELECT DISTINCT s AS u FROM sym)"]
+    for i in range(1, steps + 1):
+        prev = f"c{k}_{i - 1}"
+        parts.append(
+            f"c{k}_{i} AS MATERIALIZED (SELECT sy.s AS u FROM sym sy"
+            f" JOIN {prev} x ON sy.s = x.u"
+            f" JOIN {prev} y ON sy.d = y.u"
+            f" GROUP BY sy.s HAVING count(*) >= {k})"
+        )
+    return ", ".join(parts)
+
+
+# kcore_decomposition: the same peel unrolled to the Spark loop's
+# bound over the shared LSH edge replay.
+ORACLES["kcore_decomposition"] = f"""
+WITH {_LSH_EDGE_CTES}, sym AS (
+  SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges
+), {_kcore_chain(2)}, {_kcore_chain(3)}, deg AS (
+  SELECT s AS u, count(*) AS degree FROM sym GROUP BY s
+)
+SELECT u AS doc_id,
+  cast(degree as bigint) AS degree,
+  (u IN (SELECT u FROM c2_20)) AS in_2core,
+  (u IN (SELECT u FROM c3_20)) AS in_3core
+FROM deg
+ORDER BY doc_id
+"""
+
+# grid_spatial_join: brute-force exact distance over the bounded
+# point set — the cell-cover guarantee is what the Spark side adds.
+ORACLES["grid_spatial_join"] = """
+WITH pts AS (
+  SELECT DISTINCT user_id FROM events
+), p AS (
+  SELECT user_id,
+    cast(concat('0x', substr(md5('px' || cast(user_id as varchar)),
+      1, 8)) as bigint) % 1000 AS x,
+    cast(concat('0x', substr(md5('py' || cast(user_id as varchar)),
+      1, 8)) as bigint) % 1000 AS y
+  FROM pts
+)
+SELECT a.user_id AS a_id, b.user_id AS b_id,
+  cast((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) as bigint)
+    AS dist2
+FROM p a JOIN p b ON a.user_id < b.user_id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+  <= 10000
+ORDER BY a_id, b_id
+"""

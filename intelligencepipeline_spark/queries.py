@@ -20815,6 +20815,157 @@ def null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION of the near-dup graph — the density lens
+    the component entries lack: connected components find WHO is
+    duplicated together, k-cores find the template farms (every
+    member near-dups with >= k OTHERS inside the core — SEO mills
+    and boilerplate clusters, not chance pairs). Cores peel
+    iteratively: drop nodes whose in-survivor degree < k, repeat to
+    fixpoint — a DataFrame loop with a bounded iteration count
+    (asserted <= 20, then one extra pass asserts idempotence, so the
+    export is PROVEN the fixpoint, not a truncation). Runs k=2 and
+    k=3 over the shared verified LSH edge set; exports per node:
+    degree, 2-core/3-core membership.
+
+    Scale: each peel is one keyed degree aggregate + one semi-join —
+    no all-pairs anywhere; iteration count is bounded by the peel
+    depth (tiny on real dup graphs), and the loop body is the same
+    plan a Pregel round would run. Oracle unrolls the same peel as a
+    chained-CTE fixpoint in DuckDB."""
+    edges = _shared_lsh_edges(spark, sf_dir).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    # the dup graph is SPARSE relative to the corpus — size the peel
+    # loop's partitioning to the edge list, not the scan default
+    # (32-task rounds over a few-thousand-row graph are pure
+    # scheduling overhead; at 100 TB you'd repartition by edge count
+    # the same way)
+    # lineage discipline (operators/components.py:86 precedent):
+    # `alive` enters every round's plan TWICE, so without truncation
+    # the analyzed plan doubles per round on top of the full LSH
+    # substrate tree — measured 80 s of pure driver-side analysis for
+    # a 2-round peel at sf0.1. localCheckpoint flattens each round.
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().coalesce(4).localCheckpoint(eager=True)
+    degrees = sym.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+
+    n_nodes = degrees.count()
+
+    def core(k: int, seed: DataFrame, n_seed: int) -> DataFrame:
+        # one action per peel round (the checkpoint materializes the
+        # round): n_prev carries between rounds, and the convergence
+        # round itself IS the idempotence proof (peel(fixpoint) ==
+        # fixpoint by the same count)
+        alive, n_prev = seed, n_seed
+        for _ in range(20):
+            nxt = (
+                sym.join(alive.select(F.col("u").alias("v")), "v")
+                .join(alive, "u")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("u")
+            ).localCheckpoint(eager=True)
+            n_next = nxt.count()
+            alive = nxt
+            if n_next == n_prev:
+                return alive, n_next
+            n_prev = n_next
+        raise AssertionError("k-core peel did not converge in 20")
+
+    c2_alive, n_c2 = core(2, degrees.select("u"), n_nodes)
+    # k-cores nest: the 3-core lives inside the 2-core, so seed the
+    # deeper peel from the shallower fixpoint instead of the full set
+    c3_alive, _ = core(3, c2_alive, n_c2)
+    c2 = c2_alive.select("u", F.lit(True).alias("in_2core"))
+    c3 = c3_alive.select("u", F.lit(True).alias("in_3core"))
+    return (
+        degrees.join(c2, "u", "left")
+        .join(c3, "u", "left")
+        .selectExpr(
+            "u AS doc_id",
+            "cast(degree as bigint) AS degree",
+            "coalesce(in_2core, false) AS in_2core",
+            "coalesce(in_3core, false) AS in_3core",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BUCKETED SPATIAL SELF-JOIN — the geospatial join pattern
+    Spark lacks a native operator for, solved the scale-true way:
+    points (one per user, md5-derived coordinates on a 1000x1000
+    plane — the stand-in for geo/embedding-2D data) bucket into
+    d x d cells (d = the distance threshold, 100); candidate pairs
+    meet ONLY via each point's cell joined to its 3x3 NEIGHBOR cells
+    (every true pair within L2 distance d falls in adjacent cells —
+    the cover guarantee), then verify with the exact squared
+    distance. Never all-pairs: the join is cell-keyed and the 9x
+    explode is constant fanout. Exports the verified pair ledger
+    with exact squared distances.
+
+    Scale: at 100 TB the cell dictionary IS the partition key
+    (spatial shuffle locality); skewed cells (cities) split by the
+    same salting the join toolkit already proves. Oracle brute-forces
+    the bounded point set with the same exact arithmetic."""
+    d = 100
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(
+                "cast(conv(substring(md5(concat('px', cast(user_id as"
+                " string))), 1, 8), 16, 10) as bigint) % 1000"
+            ).alias("x"),
+            F.expr(
+                "cast(conv(substring(md5(concat('py', cast(user_id as"
+                " string))), 1, 8), 16, 10) as bigint) % 1000"
+            ).alias("y"),
+        )
+    )
+    pts = track_persist(pts)
+    cells = pts.select(
+        "user_id", "x", "y",
+        (F.col("x") / d).cast("long").alias("cx"),
+        (F.col("y") / d).cast("long").alias("cy"),
+    )
+    probe = cells.select(
+        F.col("user_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " named_struct('cx', cast(x as bigint) DIV 100 + dx,"
+                " 'cy', cast(y as bigint) DIV 100 + dy))))"
+            )
+        ).alias("c"),
+    ).select("b_id", "bx", "by", F.col("c.cx").alias("cx"),
+             F.col("c.cy").alias("cy"))
+    dist2 = (
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+    )
+    return (
+        cells.join(probe, ["cx", "cy"])
+        .filter(F.col("user_id") < F.col("b_id"))
+        .select(
+            F.col("user_id").alias("a_id"),
+            "b_id",
+            dist2.cast("long").alias("dist2"),
+        )
+        .distinct()
+        .filter(F.col("dist2") <= d * d)
+        .orderBy("a_id", "b_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -21244,6 +21395,9 @@ QUERIES = {
     "lateral_topk_join": lateral_topk_join,
     "window_group_limit_proof": window_group_limit_proof,
     "null_skew_join_split": null_skew_join_split,
+    # -- (b30) new in the r08 build session: never driver-checked ------
+    "kcore_decomposition": kcore_decomposition,
+    "grid_spatial_join": grid_spatial_join,
 }
 
 

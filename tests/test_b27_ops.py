@@ -276,3 +276,54 @@ def test_null_skew_join_split(spark):
         # the non-null population
         assert 0 < r["n_null_keys"] < r["n_events"]
         assert r["n_matched_even"] <= r["n_events"] - r["n_null_keys"]
+
+
+def test_kcore_decomposition_invariants(spark):
+    from intelligencepipeline_spark.queries import kcore_decomposition
+
+    rows = kcore_decomposition(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # core nesting: 3-core membership implies 2-core membership;
+        # a 2-core member needs degree >= 2 in the full graph
+        if r["in_3core"]:
+            assert r["in_2core"]
+        if r["in_2core"]:
+            assert r["degree"] >= 2
+        assert r["degree"] >= 1
+
+
+def test_grid_spatial_join_cover(spark):
+    """The 3x3 cell probe is a cover: cell-join results equal the
+    brute-force distance filter on the same bounded point set."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.queries import grid_spatial_join
+
+    out = grid_spatial_join(spark, SF)
+    got = {(r["a_id"], r["b_id"], r["dist2"]) for r in out.collect()}
+    pts = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(
+                "cast(conv(substring(md5(concat('px', cast(user_id as"
+                " string))), 1, 8), 16, 10) as bigint) % 1000"
+            ).alias("x"),
+            F.expr(
+                "cast(conv(substring(md5(concat('py', cast(user_id as"
+                " string))), 1, 8), 16, 10) as bigint) % 1000"
+            ).alias("y"),
+        )
+        .collect()
+    )
+    brute = set()
+    for a in pts:
+        for b in pts:
+            if a["user_id"] < b["user_id"]:
+                d2 = (a["x"] - b["x"]) ** 2 + (a["y"] - b["y"]) ** 2
+                if d2 <= 100 * 100:
+                    brute.add((a["user_id"], b["user_id"], d2))
+    assert got == brute

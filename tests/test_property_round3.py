@@ -1,0 +1,112 @@
+"""Hypothesis models for the b28 math: the packing theorem and the
+slice-equality LCP — pure-Python twins of the Spark/DuckDB
+expressions, so a semantics drift in either engine's formulation
+shows up as a counterexample here first."""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _pair_waste(lens, order):
+    """Total 2*max-sum padding waste pairing order[2i] with
+    order[2i+1]."""
+    w = 0
+    for i in range(0, len(order) - 1, 2):
+        a, b = lens[order[i]], lens[order[i + 1]]
+        w += 2 * max(a, b) - (a + b)
+    return w
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=2,
+             max_size=40).filter(lambda xs: len(xs) % 2 == 0),
+    st.randoms(use_true_random=False),
+)
+def test_adjacent_sorted_pairing_minimizes_padding(lens, rnd):
+    """bestfit_packing_gain's theorem: adjacent pairing in sorted
+    order never loses to ANY matching of the same even multiset."""
+    idx_sorted = sorted(range(len(lens)), key=lambda i: lens[i])
+    adjacent = _pair_waste(lens, idx_sorted)
+    # adversaries: arrival order, reverse, and random matchings
+    perms = [list(range(len(lens))), idx_sorted[::-1]]
+    for _ in range(5):
+        p = list(range(len(lens)))
+        rnd.shuffle(p)
+        perms.append(p)
+    # the two-pointer long-with-short matching (the docstring's
+    # provably-worst case) must also never beat adjacent
+    half = len(lens) // 2
+    two_pointer = []
+    for i in range(half):
+        two_pointer += [idx_sorted[i], idx_sorted[len(lens) - 1 - i]]
+    perms.append(two_pointer)
+    for p in perms:
+        assert adjacent <= _pair_waste(lens, p), (lens, p)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.sampled_from("ab"), max_size=12),
+    st.lists(st.sampled_from("ab"), max_size=12),
+)
+def test_slice_equality_count_is_lcp(xs, ys):
+    """prefix_cache_savings_audit's LCP form: counting j with
+    xs[:j] == ys[:j] over 1..min(len) equals the classic scan LCP
+    (slice equality is monotone: true exactly for j <= LCP)."""
+    slice_count = sum(
+        1
+        for j in range(1, min(len(xs), len(ys)) + 1)
+        if xs[:j] == ys[:j]
+    )
+    lcp = 0
+    for a, b in zip(xs, ys):
+        if a != b:
+            break
+        lcp += 1
+    assert slice_count == lcp
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=65535), min_size=2,
+                max_size=30))
+def test_banding_lossless_for_radius(hashes):
+    """multimodal_dedup_edges' pigeonhole: any two 16-bit values at
+    hamming <= 3 share at least one of the four 4-bit bands (and
+    <= 1 shares at least one trivially)."""
+    for a in hashes:
+        for b in hashes:
+            ham = bin(a ^ b).count("1")
+            shares = any(
+                ((a >> (4 * j)) & 15) == ((b >> (4 * j)) & 15)
+                for j in range(4)
+            )
+            if ham <= 3:
+                assert shares, (a, b, ham)
+
+
+def test_quota_gate_collapses_to_global_rank():
+    """streaming_domain_quota_admission's oracle argument: the
+    two-batch sequential gate (prior spend + in-batch rank <= Q)
+    admits exactly the first Q in (batch, id) order, for every
+    supply/quota split."""
+    rnd = random.Random(7)
+    for _ in range(200):
+        q = rnd.randint(1, 8)
+        ids = rnd.sample(range(100), rnd.randint(1, 20))
+        batches = {i: i % 2 for i in ids}
+        # sequential simulation of the entry's rule: admit iff
+        # prior spend + in-batch rank <= quota
+        spent = 0
+        admitted = set()
+        for b in (0, 1):
+            batch_ids = sorted(i for i in ids if batches[i] == b)
+            for rank, i in enumerate(batch_ids, start=1):
+                if spent + rank <= q:
+                    admitted.add(i)
+            spent = len(admitted)
+        # global rule
+        want = set(sorted(ids, key=lambda i: (batches[i], i))[:q])
+        assert admitted == want, (q, ids, admitted, want)
