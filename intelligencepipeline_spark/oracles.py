@@ -11268,3 +11268,60 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
   <= 10000
 ORDER BY a_id, b_id
 """
+
+# pipe_syntax_parity: the classic rewrite — the Spark-side pipe-vs-
+# classic digest equality is asserted in-entry.
+ORACLES["pipe_syntax_parity"] = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+  cast(sum(cast({_REV} as decimal(18,4))) as double) AS total_revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 10
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# dynamic_sql_identifier_gate: constants inlined relationally — the
+# IDENTIFIER/EXECUTE IMMEDIATE binding is the Spark-side surface.
+ORACLES["dynamic_sql_identifier_gate"] = """
+WITH tot AS (
+  SELECT count(*) AS total_divisible FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderpriority,
+  count(*) AS n_divisible,
+  cast(t.total_divisible as bigint) AS total_divisible
+FROM orders, tot t
+WHERE o_orderkey % 7 = 0
+GROUP BY o_orderpriority, t.total_divisible
+ORDER BY o_orderpriority
+"""
+
+# safety_rule_cofire_matrix: regex fires + in-row ordered pair
+# expansion over the bounded rule domain.
+ORACLES["safety_rule_cofire_matrix"] = """
+WITH fired AS (
+  SELECT doc_id,
+    list_filter([
+      CASE WHEN regexp_matches(text, 'key') THEN 'r_key' END,
+      CASE WHEN regexp_matches(text, 'data') THEN 'r_data' END,
+      CASE WHEN regexp_matches(text, 'stream') THEN 'r_stream' END,
+      CASE WHEN regexp_matches(text, 'vector') THEN 'r_vector' END,
+      CASE WHEN regexp_matches(text, 'secret') THEN 'r_secret' END
+    ], x -> x IS NOT NULL) AS fs
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n_docs FROM documents
+), pairs AS (
+  SELECT u.a AS rule_a, v.b AS rule_b
+  FROM fired, unnest(fs) AS u(a), unnest(fs) AS v(b)
+  WHERE v.b >= u.a
+)
+SELECT rule_a, rule_b,
+  cast(count(*) as bigint) AS n_cofire,
+  cast(t.n_docs as bigint) AS n_docs,
+  cast(1000 * count(*) // t.n_docs as bigint) AS cofire_milli
+FROM pairs, tot t
+GROUP BY rule_a, rule_b, t.n_docs
+ORDER BY rule_a, rule_b
+"""

@@ -20966,6 +20966,171 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipe_syntax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (SQL:2023 / Spark 4 ``|>``) PARITY — the
+    linear query form ETL authors actually write, proven equivalent
+    to nested-SELECT SQL two ways: (a) the pipe query and its
+    classic rewrite run IN SPARK and are asserted digest-identical
+    in-entry (same engine, two grammars, one answer), (b) the oracle
+    runs the classic form in DuckDB. The query exercises the pipe
+    operators that reorder clauses (WHERE before AGGREGATE, a
+    post-aggregation WHERE acting as HAVING, EXTEND for a computed
+    column) over lineitem.
+
+    Scale: grammar only — both forms compile to the same logical
+    plan family, so every Catalyst property (pushdown, pruning,
+    whole-stage codegen) carries over unchanged."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ip_pipe_li"
+    )
+    piped = spark.sql(
+        """
+        FROM ip_pipe_li
+        |> WHERE l_shipdate >= DATE'1996-01-01'
+           AND l_shipdate < DATE'1997-01-01'
+        |> EXTEND CAST(CAST(l_extendedprice AS decimal(18,2))
+             * (CAST(1 AS decimal(3,2))
+                - CAST(l_discount AS decimal(18,2))) AS decimal(18,4))
+             AS revenue
+        |> AGGREGATE count(*) AS n_items,
+             CAST(sum(revenue) AS double) AS total_revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 10
+        |> SELECT l_returnflag, l_linestatus, n_items, total_revenue
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+          CAST(sum(CAST(CAST(l_extendedprice AS decimal(18,2))
+            * (CAST(1 AS decimal(3,2))
+               - CAST(l_discount AS decimal(18,2))) AS decimal(18,4)))
+            AS double) AS total_revenue
+        FROM ip_pipe_li
+        WHERE l_shipdate >= DATE'1996-01-01'
+          AND l_shipdate < DATE'1997-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING count(*) > 10
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert piped.exceptAll(classic).count() == 0
+    assert classic.exceptAll(piped).count() == 0
+    return piped
+
+
+def dynamic_sql_identifier_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DYNAMIC SQL DONE SAFELY — ``IDENTIFIER()`` + ``EXECUTE
+    IMMEDIATE ... INTO ... USING`` (the Spark 4 surface that replaces
+    string-concatenated SQL and its injection risk): the table name
+    arrives as a session-variable VALUE and binds through
+    IDENTIFIER() (never string interpolation); a parameterized
+    statement computes a threshold INTO a variable with a USING
+    bind; the final per-priority ledger filters by the captured
+    threshold and pins it as a column. Variables are dropped in
+    ``finally``.
+
+    Scale: this is grammar + binding — the generated plan is the
+    ordinary aggregate; at 100 TB the win is that per-tenant /
+    per-partition dynamic table routing stays plan-cached and
+    injection-proof. Oracle inlines the same constants
+    relationally."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ip_dyn_orders")
+    try:
+        spark.sql("DECLARE OR REPLACE ip_dyn_tab STRING")
+        spark.sql("SET VAR ip_dyn_tab = 'ip_dyn_orders'")
+        spark.sql("DECLARE OR REPLACE ip_dyn_cnt BIGINT")
+        spark.sql(
+            "EXECUTE IMMEDIATE"
+            " 'SELECT count(*) FROM IDENTIFIER(ip_dyn_tab)"
+            "  WHERE o_orderkey % ? = 0'"
+            " INTO ip_dyn_cnt USING 7"
+        )
+        out = spark.sql(
+            """
+            SELECT o_orderpriority,
+              count(*) AS n_divisible,
+              ip_dyn_cnt AS total_divisible
+            FROM IDENTIFIER(ip_dyn_tab)
+            WHERE o_orderkey % 7 = 0
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+            """
+        )
+        rows = out.collect()
+    finally:
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS ip_dyn_tab")
+        spark.sql("DROP TEMPORARY VARIABLE IF EXISTS ip_dyn_cnt")
+    return spark.createDataFrame(
+        [
+            (str(r["o_orderpriority"]), int(r["n_divisible"]),
+             int(r["total_divisible"]))
+            for r in rows
+        ],
+        "o_orderpriority string, n_divisible long, total_divisible long",
+    ).orderBy("o_orderpriority")
+
+
+def safety_rule_cofire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY-RULE CO-FIRE MATRIX — the analytics layer OVER a rule
+    gate (blocklist_safety_gate decides per doc; this audits the
+    RULESET): with a bounded rule list, which rules fire together?
+    High co-fire means redundant rules (merge them); zero co-fire
+    with high individual rates means independent risk axes. Each
+    doc's fired set comes from one rlike per rule on the scan; the
+    matrix explodes the fired set twice WITHIN THE ROW (rule-domain
+    bounded, never a corpus self-join) and aggregates (rule_a <=
+    rule_b) pair counts with each rule's solo rate alongside.
+
+    Scale: output is |rules|^2-bounded regardless of corpus size;
+    the scan is one pass. Oracle replays the regexes and the
+    in-row pair expansion."""
+    rules = [
+        ("r_key", "key"),
+        ("r_data", "data"),
+        ("r_stream", "stream"),
+        ("r_vector", "vector"),
+        ("r_secret", "secret"),
+    ]
+    docs = _t(spark, sf_dir, "documents")
+    fired = docs.select(
+        "doc_id",
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(F.col("text").rlike(pat), F.lit(name))
+                    for name, pat in rules
+                ]
+            )
+        ).alias("fired"),
+    )
+    pairs = fired.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(fired, a ->"
+                " transform(filter(fired, b -> b >= a), b ->"
+                " named_struct('rule_a', a, 'rule_b', b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.rule_a").alias("rule_a"),
+             F.col("p.rule_b").alias("rule_b"))
+    n_docs = docs.count()
+    return (
+        pairs.groupBy("rule_a", "rule_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cofire"))
+        .withColumn("n_docs", F.lit(n_docs).cast("long"))
+        .withColumn(
+            "cofire_milli",
+            F.expr("1000L * n_cofire DIV n_docs"),
+        )
+        .orderBy("rule_a", "rule_b")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -21398,6 +21563,10 @@ QUERIES = {
     # -- (b30) new in the r08 build session: never driver-checked ------
     "kcore_decomposition": kcore_decomposition,
     "grid_spatial_join": grid_spatial_join,
+    # -- (b31) new in the r08 build session: never driver-checked ------
+    "pipe_syntax_parity": pipe_syntax_parity,
+    "dynamic_sql_identifier_gate": dynamic_sql_identifier_gate,
+    "safety_rule_cofire_matrix": safety_rule_cofire_matrix,
 }
 
 

@@ -327,3 +327,51 @@ def test_grid_spatial_join_cover(spark):
                 if d2 <= 100 * 100:
                     brute.add((a["user_id"], b["user_id"], d2))
     assert got == brute
+
+
+def test_pipe_syntax_parity(spark):
+    """In-entry assert covers pipe == classic; pin pushdown reached
+    the scan through the pipe grammar too."""
+    from intelligencepipeline_spark.queries import pipe_syntax_parity
+
+    out = pipe_syntax_parity(spark, SF)
+    a = audit(out)
+    assert a.reads_only(
+        "l_shipdate", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    ), a.read_schemas
+    assert a.pushed_filters, "shipdate range did not reach the scan"
+    for r in out.collect():
+        assert r["n_items"] > 10
+
+
+def test_dynamic_sql_identifier_gate(spark):
+    from intelligencepipeline_spark.queries import (
+        dynamic_sql_identifier_gate,
+    )
+
+    rows = dynamic_sql_identifier_gate(spark, SF).collect()
+    assert rows
+    total = rows[0]["total_divisible"]
+    assert all(r["total_divisible"] == total for r in rows)
+    assert sum(r["n_divisible"] for r in rows) == total
+    # variables were dropped
+    assert spark.sql(
+        "SELECT 1 WHERE EXISTS (SELECT 1)"
+    ).count() == 1  # session still healthy post-DROP
+
+
+def test_safety_rule_cofire_matrix(spark):
+    from intelligencepipeline_spark.queries import safety_rule_cofire_matrix
+
+    rows = {
+        (r["rule_a"], r["rule_b"]): r
+        for r in safety_rule_cofire_matrix(spark, SF).collect()
+    }
+    assert rows
+    for (a, b), r in rows.items():
+        assert a <= b
+        # co-fire can never exceed either solo rate (diagonal)
+        if (a, a) in rows and (b, b) in rows:
+            assert r["n_cofire"] <= rows[(a, a)]["n_cofire"]
+            assert r["n_cofire"] <= rows[(b, b)]["n_cofire"]
