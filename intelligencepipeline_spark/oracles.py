@@ -11325,3 +11325,109 @@ FROM pairs, tot t
 GROUP BY rule_a, rule_b, t.n_docs
 ORDER BY rule_a, rule_b
 """
+
+# bm25_prf_expansion: both passes replayed relationally with the
+# GENERIC term-table scoring (terms join tf rows), including the
+# data-dependent expansion pick (feedback-df x corpus-idf, term
+# tie-break).
+ORACLES["bm25_prf_expansion"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NTOKS} AS toks FROM documents
+  WHERE len({_NTOKS}) >= 1
+), stats AS (
+  SELECT count(*) AS n, sum(len(toks)) AS tt FROM base
+), consts AS (
+  SELECT n, tt * 1000 // n AS a FROM stats
+), occur AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS term FROM base
+), df_tab AS (
+  SELECT term, count(*) AS df FROM occur GROUP BY term
+), idf AS (
+  SELECT d.term,
+    (2 * (c.n - d.df) + 1) * 1000 // (2 * d.df + 1) AS idf_milli
+  FROM df_tab d CROSS JOIN consts c
+), tfrows AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tfrows GROUP BY doc_id, dl, term
+), score1 AS (
+  SELECT t.doc_id,
+    cast(sum((i.idf_milli * ((22000 * t.tf * c.a) //
+      (10 * t.tf * c.a + 3 * c.a + 9000 * t.dl))) // 1000) as bigint)
+      AS score_milli
+  FROM tf t JOIN idf i USING (term) CROSS JOIN consts c
+  WHERE t.term IN ('dup', 'vector', 'stream')
+  GROUP BY t.doc_id
+), top1 AS (
+  SELECT doc_id FROM score1 ORDER BY score_milli DESC, doc_id LIMIT 10
+), fb AS (
+  SELECT o.term, count(*) AS fb_df
+  FROM occur o JOIN top1 USING (doc_id)
+  WHERE o.term NOT IN ('dup', 'vector', 'stream')
+  GROUP BY o.term
+), exp_terms AS (
+  SELECT f.term FROM fb f JOIN idf i USING (term)
+  ORDER BY f.fb_df * i.idf_milli DESC, f.term LIMIT 2
+), q2 AS (
+  SELECT term FROM exp_terms
+  UNION ALL SELECT unnest(['dup', 'vector', 'stream'])
+), score2 AS (
+  SELECT t.doc_id,
+    cast(sum((i.idf_milli * ((22000 * t.tf * c.a) //
+      (10 * t.tf * c.a + 3 * c.a + 9000 * t.dl))) // 1000) as bigint)
+      AS score_milli
+  FROM tf t JOIN idf i USING (term) JOIN q2 USING (term)
+  CROSS JOIN consts c
+  GROUP BY t.doc_id
+), top2 AS (
+  SELECT doc_id, score_milli FROM score2
+  ORDER BY score_milli DESC, doc_id LIMIT 20
+)
+SELECT t.doc_id, t.score_milli,
+  (t.doc_id IN (SELECT doc_id FROM top1)) AS in_first_pass
+FROM top2 t
+ORDER BY t.score_milli DESC, t.doc_id
+"""
+
+# bootstrap_ci_poisson: deterministic Poisson(1) weight draws,
+# resample means in milli, ordinal CI picks.
+ORACLES["bootstrap_ci_poisson"] = """
+WITH flagged AS (
+  SELECT doc_id,
+    CASE WHEN cast(concat('0x', substr(md5('pass'
+      || cast(doc_id as varchar)), 1, 8)) as bigint) % 10 < 4
+    THEN 1 ELSE 0 END AS pass
+  FROM documents
+), drawn AS (
+  SELECT f.pass, r.r,
+    CASE WHEN x.u < 3679 THEN 0
+         WHEN x.u < 7358 THEN 1
+         WHEN x.u < 9197 THEN 2
+         WHEN x.u < 9810 THEN 3
+         WHEN x.u < 9963 THEN 4
+         ELSE 5 END AS w
+  FROM flagged f,
+    (SELECT unnest(range(1, 201)) AS r) r,
+    LATERAL (SELECT cast(concat('0x', substr(md5('bs'
+      || cast(r.r as varchar) || ':' || cast(f.doc_id as varchar)),
+      1, 8)) as bigint) % 10000 AS u) x
+), means AS (
+  SELECT r, 1000 * sum(w * pass) // greatest(sum(w), 1) AS mean_milli
+  FROM drawn GROUP BY r
+), ranked AS (
+  SELECT mean_milli,
+    row_number() OVER (ORDER BY mean_milli, r) AS rk
+  FROM means
+), pt AS (
+  SELECT 1000 * sum(pass) // count(*) AS p, count(*) AS n FROM flagged
+)
+SELECT 200 AS n_resamples,
+  cast(n as bigint) AS n_items,
+  cast(p as bigint) AS point_milli,
+  cast((SELECT mean_milli FROM ranked WHERE rk = 5) as bigint)
+    AS ci_lo_milli,
+  cast((SELECT mean_milli FROM ranked WHERE rk = 196) as bigint)
+    AS ci_hi_milli
+FROM pt
+"""

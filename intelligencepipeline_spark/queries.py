@@ -21131,6 +21131,194 @@ def safety_rule_cofire_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE FEEDBACK (RM3-lite) over the BM25 stack — the
+    two-pass retrieval loop RAG pipelines run: pass 1 ranks with the
+    fixed query (the bm25_topk terms, same exact-integer scoring),
+    the top-10 docs become the FEEDBACK SET, expansion terms are the
+    2 highest-scoring non-query terms by feedback-df x corpus-idf
+    (ties broken by term — fully deterministic), and pass 2 re-ranks
+    with the expanded 5-term query. Scoring here uses the GENERIC
+    term-table formulation (terms join tf rows) rather than
+    bm25_topk's per-term columns — the shape that admits
+    data-dependent queries at all. Exports the pass-2 top-20 with
+    each doc's pass-1 membership flag (the PRF movement ledger).
+
+    Scale: df/idf are keyed aggs; the term table (5 rows) broadcasts;
+    the feedback fold is bounded by |top-10 docs' vocabulary|. The
+    oracle replays BOTH passes relationally, including the
+    data-dependent expansion pick."""
+    k1_docs, k2, n_exp = 10, 20, 2
+    from intelligencepipeline_spark.operators.bm25 import QUERY_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    base = track_persist(base)
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("toks")).alias("tt"),
+    ).collect()[0]
+    n_corpus, a_milli = int(st["n"]), 1000 * int(st["tt"]) // int(st["n"])
+    occur = base.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    occur = track_persist(occur)
+    df_tab = occur.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_tab = df_tab.select(
+        "term",
+        F.expr(
+            f"(2 * ({n_corpus} - df) + 1) * 1000L DIV (2 * df + 1)"
+        ).alias("idf_milli"),
+    )
+
+    def score(terms_df: DataFrame) -> DataFrame:
+        tf = (
+            base.select(
+                "doc_id",
+                F.size("toks").cast("long").alias("dl"),
+                F.explode("toks").alias("term"),
+            )
+            .join(F.broadcast(terms_df), "term")
+            .groupBy("doc_id", "term", "dl", "idf_milli")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        part = (
+            f"(22000L * tf * {a_milli}L) DIV"
+            f" (10 * tf * {a_milli}L + 3 * {a_milli}L + 9000 * dl)"
+        )
+        return (
+            tf.select(
+                "doc_id",
+                F.expr(f"(idf_milli * ({part})) DIV 1000").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("score_milli"))
+        )
+
+    q1 = idf_tab.filter(F.col("term").isin(*QUERY_TERMS))
+    pass1 = score(q1)
+    top1 = pass1.orderBy(
+        F.col("score_milli").desc(), "doc_id"
+    ).limit(k1_docs)
+    top1 = track_persist(top1)
+    fb = (
+        occur.join(top1.select("doc_id"), "doc_id", "leftsemi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_df"))
+        .filter(~F.col("term").isin(*QUERY_TERMS))
+        .join(idf_tab, "term")
+        .select(
+            "term",
+            (F.col("fb_df") * F.col("idf_milli")).alias("exp_score"),
+        )
+        .orderBy(F.col("exp_score").desc(), "term")
+        .limit(n_exp)
+    )
+    exp_terms = [str(r["term"]) for r in fb.collect()]
+    q2 = idf_tab.filter(F.col("term").isin(*(QUERY_TERMS + exp_terms)))
+    pass2 = score(q2)
+    return (
+        pass2.orderBy(F.col("score_milli").desc(), "doc_id")
+        .limit(k2)
+        .join(
+            top1.select("doc_id", F.lit(True).alias("in_first_pass")),
+            "doc_id",
+            "left",
+        )
+        .selectExpr(
+            "doc_id",
+            "score_milli",
+            "coalesce(in_first_pass, false) AS in_first_pass",
+        )
+        .orderBy(F.col("score_milli").desc(), "doc_id")
+    )
+
+
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL — the DISTRIBUTED form of
+    the eval-harness bootstrap: classic multinomial resampling needs
+    the whole sample on one machine; the Poisson bootstrap gives each
+    item an independent Poisson(1) weight per resample, so it runs as
+    one scan x B expression terms on any cluster (the standard
+    trick for CIs over 100 TB of eval results). Weights are
+    DETERMINISTIC Poisson(1) draws via inverse-CDF on an md5 uniform
+    (cut points 3679/7358/9197/9810/9963 of 10000 = the exact
+    cumulative Poisson(1) rounded to 1e-4); the per-doc pass flag is
+    the md5 stand-in for an eval verdict. B = 200 resample means in
+    exact milli (1000*Σw·pass DIV Σw), and the 95% CI reads the 5th /
+    196th ordinal means — a bounded 200-row sort.
+
+    Oracle replays the weight draws, the resample means and the
+    ordinal picks relationally."""
+    B = 200
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        F.expr(
+            "IF(cast(conv(substring(md5(concat('pass', cast(doc_id as"
+            " string))), 1, 8), 16, 10) as bigint) % 10 < 4, 1L, 0L)"
+        ).alias("pass"),
+    )
+    drawn = flagged.select(
+        "pass",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {B}), r -> named_struct('r', r,"
+                " 'w', CASE"
+                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
+                " as bigint) % 10000 < 3679 THEN 0L"
+                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
+                " as bigint) % 10000 < 7358 THEN 1L"
+                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
+                " as bigint) % 10000 < 9197 THEN 2L"
+                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
+                " as bigint) % 10000 < 9810 THEN 3L"
+                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
+                " as bigint) % 10000 < 9963 THEN 4L"
+                " ELSE 5L END))"
+            )
+        ).alias("d"),
+    ).select("pass", F.col("d.r").alias("r"), F.col("d.w").alias("w"))
+    means = (
+        drawn.groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("pass")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .select(
+            "r",
+            F.expr("1000L * num DIV greatest(den, 1L)").alias("mean_milli"),
+        )
+    )
+    ranked = means.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("mean_milli", "r")
+        ),
+    )
+    point = flagged.agg(
+        F.expr("1000L * sum(pass) DIV count(*)").alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo_hi = {
+        int(r["rk"]): int(r["mean_milli"])
+        for r in ranked.filter(F.col("rk").isin(5, 196)).collect()
+    }
+    lo, hi = lo_hi[5], lo_hi[196]
+    return spark.createDataFrame(
+        [(B, int(point["n"]), int(point["p"]), lo, hi)],
+        "n_resamples int, n_items long, point_milli long,"
+        " ci_lo_milli long, ci_hi_milli long",
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -21567,6 +21755,9 @@ QUERIES = {
     "pipe_syntax_parity": pipe_syntax_parity,
     "dynamic_sql_identifier_gate": dynamic_sql_identifier_gate,
     "safety_rule_cofire_matrix": safety_rule_cofire_matrix,
+    # -- (b32) new in the r08 build session: never driver-checked ------
+    "bm25_prf_expansion": bm25_prf_expansion,
+    "bootstrap_ci_poisson": bootstrap_ci_poisson,
 }
 
 

@@ -375,3 +375,30 @@ def test_safety_rule_cofire_matrix(spark):
         if (a, a) in rows and (b, b) in rows:
             assert r["n_cofire"] <= rows[(a, a)]["n_cofire"]
             assert r["n_cofire"] <= rows[(b, b)]["n_cofire"]
+
+
+def test_bm25_prf_expansion(spark):
+    from intelligencepipeline_spark.queries import bm25_prf_expansion
+
+    out = bm25_prf_expansion(spark, SF)
+    a = audit(out)
+    assert not a.cartesian
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score_milli"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # PRF must keep at least part of the original ranking AND the
+    # expanded query can only add score mass for first-pass docs that
+    # contain expansion terms — some overlap is expected
+    assert any(r["in_first_pass"] for r in rows)
+
+
+def test_bootstrap_ci_poisson(spark):
+    from intelligencepipeline_spark.queries import bootstrap_ci_poisson
+
+    r = bootstrap_ci_poisson(spark, SF).collect()[0]
+    assert r["n_resamples"] == 200
+    assert 0 <= r["ci_lo_milli"] <= r["ci_hi_milli"] <= 1000
+    # the point estimate sits inside (or at worst at the edge of) a
+    # 95% interval on this sample size
+    assert r["ci_lo_milli"] <= r["point_milli"] <= r["ci_hi_milli"]
