@@ -21833,16 +21833,22 @@ _R08_WINDOW = [
 # code_file_filters, source_set_similarity, sft_echo_filter,
 # preference_length_bias, late_data_drop_metrics, aqe_coalesce_proof,
 # aqe_join_switch_proof, dynamic_partition_overwrite,
-# file_metadata_column_audit, streaming_query_listener_audit — padded
-# to 50 with the 19 stalest rows (freshest driver row = r02, in
-# CORRECTNESS_r02 order): ner_entities, chunk_lang, pos_tag_counts,
-# doc_with_chunks, salted_user_stats, hypertable_rollup, keyphrases,
-# sentence_chunks, hashed_embedding, q17_small_quantity_revenue,
-# full_outer_activity, top_value_suppliers, text_extraction,
-# dedup_clusters, q5_local_supplier_volume, q10_returned_items,
-# streaming_consolidation, dedup_survivor_docs, profile_columns.
-# Entries added in the r08 build session (b27+) register behind the
-# window and join the r09 head ahead of the pads if they outnumber 50.
+# file_metadata_column_audit, streaming_query_listener_audit — then
+# the r08 build session's waves in registration order: b27
+# (interleaved_doc_gate, streaming_decontamination_gate,
+# tokenizer_roundtrip_audit, chat_template_render,
+# packed_attention_block_audit, streaming_domain_quota_admission,
+# cross_modal_retrieval_recall, streaming_schema_drift_monitor), b28
+# (prefix_cache_savings_audit, multimodal_dedup_edges,
+# bestfit_packing_gain), b29 (lateral_topk_join,
+# window_group_limit_proof, null_skew_join_split), b30
+# (kcore_decomposition, grid_spatial_join), b31 (pipe_syntax_parity,
+# dynamic_sql_identifier_gate, safety_rule_cofire_matrix — position
+# 50). The overflow (bm25_prf_expansion, bootstrap_ci_poisson) leads
+# the r10 window; the 31 + 19 fill the 50 exactly, so no re-proof
+# pads fit in r09 (the 19 stalest r02-fresh rows, ner_entities ...
+# profile_columns in CORRECTNESS_r02 order, pad r10 after the 2
+# overflow entries).
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 assert all(name in QUERIES for name in _R08_WINDOW)
 QUERIES = {
