@@ -11431,3 +11431,54 @@ SELECT 200 AS n_resamples,
     AS ci_hi_milli
 FROM pt
 """
+
+# dp_noisy_max_median: histogram + cumulative utility, the exact
+# integer discrete-Laplace inverse CDF (alpha = 1/2, scale 3*2^16)
+# and the noisy argmax, all replayed relationally.
+ORACLES["dp_noisy_max_median"] = f"""
+WITH h AS (
+  SELECT cast(len({_NTOKS}) as bigint) AS v, count(*) AS c
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS n FROM h
+), s AS (
+  SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM h
+), scored AS (
+  SELECT v, c, cum,
+    -abs(2 * cum - t.n) AS utility,
+    cast(concat('0x', substr(md5('dpm' || cast(v as varchar)), 1, 12))
+      as bigint) % 196608 AS u_draw
+  FROM s, tot t
+), noisy AS (
+  SELECT *,
+    CASE WHEN u_draw < 65536 THEN 0
+      ELSE (CASE WHEN (u_draw - 65536) % 2 = 0 THEN 1 ELSE -1 END)
+        * (18 - length(bin(131071 - (u_draw - 65536)))) END AS noise
+  FROM scored
+), nz AS (
+  SELECT *, 4 * utility + noise AS noisy_score FROM noisy
+), win AS (
+  SELECT * FROM nz ORDER BY noisy_score DESC, v LIMIT 1
+), med AS (
+  SELECT min(v) AS tv FROM nz, tot t WHERE cum * 2 >= t.n
+)
+SELECT cast(t.n as bigint) AS n_docs,
+  cast(m.tv as bigint) AS true_median,
+  cast(w.v as bigint) AS dp_median,
+  cast(w.utility as bigint) AS winner_utility,
+  cast(w.noise as bigint) AS winner_noise,
+  cast(w.noisy_score as bigint) AS winner_score
+FROM win w, med m, tot t
+"""
+
+# group_by_all_parity: the SAME shorthand grammar in DuckDB — the
+# shorthand-vs-explicit digest equality is asserted in-entry.
+ORACLES["group_by_all_parity"] = """
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+    AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""

@@ -21319,6 +21319,130 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_noisy_max_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP MEDIAN VIA REPORT-NOISY-MAX WITH DISCRETE LAPLACE — the
+    third mechanism in the DP family (dp_histogram_release adds
+    Laplace to counts; dp_budget_ledger composes budgets; this
+    SELECTS a value privately): every candidate token-length v gets
+    the median utility u(v) = -|2*cum(v) - n| (maximized by the true
+    median), plus integer discrete-Laplace noise with alpha = 1/2,
+    and the argmax of the noisy score is released. Discrete Laplace
+    at alpha = 1/2 is EXACTLY samplable in integers: P(0) = 1/3,
+    P(+-k) = (1/3)/2^k, so the CDF cut points are exact fractions
+    with denominator 3*2^16 — the md5 uniform (scale 3*2^16) maps
+    through pure integer thresholds, no exp(), no floats, the same
+    draw in any engine. Exports the released median next to the true
+    one plus the noisy-argmax audit row.
+
+    Scale: the candidate domain is |distinct lengths| (bounded by
+    max doc length); cum(v) is one histogram + running sum inside a
+    bounded-domain window; noise is an expression. Oracle replays
+    the histogram, the exact CDF thresholds and the argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.size(tokens(F.col("text"))).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    n_docs = docs.count()
+    # SCALE = 3 * 2^16; cut points: u < 2^16 -> k=0; then symmetric
+    # geometric tail halving per step, sign from the parity bit
+    scored = hist.withColumn("cum", F.sum("c").over(w)).select(
+        "v",
+        "c",
+        "cum",
+        F.expr(f"-abs(2 * cum - {n_docs}L)").alias("utility"),
+        F.expr(
+            "cast(conv(substring(md5(concat('dpm', cast(v as string))),"
+            " 1, 12), 16, 10) as bigint) % 196608"
+        ).alias("u_draw"),
+    )
+    # integer inverse-CDF: r in [0, 3*2^16); k = number of halvings
+    # before the remaining mass covers r; closed form via bit length
+    # tail index t = u_draw - 65536 in [0, 131072); the k-th magnitude
+    # block holds 131072/2^k values, so k = 18 - bit_length(131071 - t)
+    # (exact for k <= 16; the final 2 draws fold into k = 17 — a
+    # 2/196608 truncation, identical in both engines); sign = global
+    # parity (every k <= 16 block is even-sized and even-aligned, so
+    # +/- split exactly in half)
+    noise = (
+        "CASE WHEN u_draw < 65536 THEN 0L ELSE"
+        " IF((u_draw - 65536) % 2 = 0, 1L, -1L) *"
+        " cast(18 - length(bin(131071 - (u_draw - 65536))) as bigint)"
+        " END"
+    )
+    noisy = scored.withColumn("noise", F.expr(noise)).withColumn(
+        "noisy_score", F.expr("4 * utility + noise")
+    )
+    noisy = track_persist(noisy)
+    top = noisy.orderBy(
+        F.col("noisy_score").desc(), "v"
+    ).limit(1).collect()[0]
+    true_med = (
+        noisy.filter(F.col("cum") * 2 >= n_docs)
+        .orderBy("v")
+        .limit(1)
+        .collect()[0]["v"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(true_med),
+                int(top["v"]),
+                int(top["utility"]),
+                int(top["noise"]),
+                int(top["noisy_score"]),
+            )
+        ],
+        "n_docs long, true_median long, dp_median long,"
+        " winner_utility long, winner_noise long, winner_score long",
+    )
+
+
+def group_by_all_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL parity — the SQL:2023 shorthand
+    both engines now ship: every non-aggregate select item groups
+    implicitly, every select item orders implicitly. The entry runs
+    the shorthand in Spark, asserts it digest-equals the explicit
+    GROUP BY 1,2 form in-entry, and the oracle runs the SAME
+    shorthand in DuckDB — one grammar, two engines, one answer (the
+    pipe_syntax_parity discipline applied to the aggregation
+    shorthand).
+
+    Scale: grammar only; the plan is the ordinary partial-aggregate
+    shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ip_gba_orders"
+    )
+    shorthand = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double)
+            AS total_price
+        FROM ip_gba_orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+    explicit = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double)
+            AS total_price
+        FROM ip_gba_orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )
+    assert shorthand.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(shorthand).count() == 0
+    return shorthand
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -21758,6 +21882,9 @@ QUERIES = {
     # -- (b32) new in the r08 build session: never driver-checked ------
     "bm25_prf_expansion": bm25_prf_expansion,
     "bootstrap_ci_poisson": bootstrap_ci_poisson,
+    # -- (b33) new in the r08 build session: never driver-checked ------
+    "dp_noisy_max_median": dp_noisy_max_median,
+    "group_by_all_parity": group_by_all_parity,
 }
 
 
@@ -21844,11 +21971,11 @@ _R08_WINDOW = [
 # window_group_limit_proof, null_skew_join_split), b30
 # (kcore_decomposition, grid_spatial_join), b31 (pipe_syntax_parity,
 # dynamic_sql_identifier_gate, safety_rule_cofire_matrix — position
-# 50). The overflow (bm25_prf_expansion, bootstrap_ci_poisson) leads
-# the r10 window; the 31 + 19 fill the 50 exactly, so no re-proof
-# pads fit in r09 (the 19 stalest r02-fresh rows, ner_entities ...
-# profile_columns in CORRECTNESS_r02 order, pad r10 after the 2
-# overflow entries).
+# 50). The overflow (bm25_prf_expansion, bootstrap_ci_poisson,
+# dp_noisy_max_median, group_by_all_parity) leads the r10 window;
+# the 31 + 19 fill the 50 exactly, so no re-proof pads fit in r09
+# (the 19 stalest r02-fresh rows, ner_entities ... profile_columns
+# in CORRECTNESS_r02 order, pad r10 after the 4 overflow entries).
 assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
 assert all(name in QUERIES for name in _R08_WINDOW)
 QUERIES = {

@@ -402,3 +402,24 @@ def test_bootstrap_ci_poisson(spark):
     # the point estimate sits inside (or at worst at the edge of) a
     # 95% interval on this sample size
     assert r["ci_lo_milli"] <= r["point_milli"] <= r["ci_hi_milli"]
+
+
+def test_dp_noisy_max_median(spark):
+    from intelligencepipeline_spark.queries import dp_noisy_max_median
+
+    r = dp_noisy_max_median(spark, SF).collect()[0]
+    assert r["winner_score"] == 4 * r["winner_utility"] + r["winner_noise"]
+    assert r["winner_utility"] <= 0
+    # with utility weight 4 and discrete-Laplace noise, the release
+    # stays near the true median on a 500-doc sample
+    assert abs(r["dp_median"] - r["true_median"]) <= 10
+
+
+def test_group_by_all_parity(spark):
+    from intelligencepipeline_spark.queries import group_by_all_parity
+
+    rows = group_by_all_parity(spark, SF).collect()
+    assert rows
+    keys = [(r["o_orderstatus"], r["o_orderpriority"]) for r in rows]
+    assert keys == sorted(keys)
+    assert len(set(keys)) == len(keys)

@@ -110,3 +110,28 @@ def test_quota_gate_collapses_to_global_rank():
         # global rule
         want = set(sorted(ids, key=lambda i: (batches[i], i))[:q])
         assert admitted == want, (q, ids, admitted, want)
+
+
+def test_discrete_laplace_inverse_cdf_exact():
+    """dp_noisy_max_median's integer inverse CDF reproduces the
+    discrete Laplace(alpha=1/2) pmf exactly over the full 3*2^16
+    draw space (up to the documented 2-draw k=17 truncation)."""
+    from collections import Counter
+
+    counts = Counter()
+    for u in range(196608):
+        if u < 65536:
+            counts[0] += 1
+        else:
+            t = u - 65536
+            k = 18 - (131071 - t).bit_length() if t < 131071 else 18 - 1
+            if 131071 - t == 0:
+                k = 17
+            sign = 1 if t % 2 == 0 else -1
+            counts[sign * k] += 1
+    assert counts[0] == 65536  # P(0) = 1/3
+    for k in range(1, 17):
+        # P(+-k) = (1/3) / 2^k each
+        assert counts[k] == counts[-k] == 65536 // (2 ** k), k
+    # truncation remainder folds into |k| = 17
+    assert counts[17] + counts[-17] == 2
