@@ -80,15 +80,18 @@ def main() -> None:
     # which catalog entry pays their cold build is an artifact of
     # registry order (the r08 window rotation moved substrate
     # consumers to position 1 and their bench numbers jumped 2-6x).
-    # Warm them un-timed so every ordering measures steady state.
-    if not only:
-        from intelligencepipeline_spark.queries import (
-            _shared_lsh_edges,
-            _shared_shingles,
-        )
+    # Warm them un-timed so every ordering measures steady state —
+    # ALSO for filtered runs (`bench.py dedup_clusters`): a
+    # single-entry number that includes the cold substrate build is
+    # not comparable to the bench_full.json numbers bench_diff
+    # triages against, which is exactly when `only` gets used.
+    from intelligencepipeline_spark.queries import (
+        _shared_lsh_edges,
+        _shared_shingles,
+    )
 
-        _shared_shingles(spark, sf_dir).count()
-        _shared_lsh_edges(spark, sf_dir).count()
+    _shared_shingles(spark, sf_dir).count()
+    _shared_lsh_edges(spark, sf_dir).count()
 
     # The host shows episodic multi-second scheduling stalls (same
     # query: 0.9s one run, 10s the next; load spikes from co-tenants

@@ -20423,8 +20423,13 @@ def prefix_cache_savings_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy("norm", "doc_id")
     d = base.withColumn("prev", F.lag("ts").over(w)).withColumn(
         "lcp",
+        # guard like sft_echo_filter: for a zero-token doc (or
+        # predecessor) sequence(1, 0) is the DESCENDING [1, 0] and
+        # j=0 gives slice(ts,1,0)=slice(prev,1,0)=[]=[] -> true, so
+        # the LCP would count 1 where the correct answer is 0
         F.expr(
-            "CASE WHEN prev IS NULL THEN 0L ELSE"
+            "CASE WHEN prev IS NULL"
+            " OR least(size(ts), size(prev)) < 1 THEN 0L ELSE"
             " cast(size(filter(sequence(1, least(size(ts), size(prev))),"
             " j -> slice(ts, 1, j) = slice(prev, 1, j))) as bigint) END"
         ),
@@ -20853,7 +20858,9 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_nodes = degrees.count()
 
-    def core(k: int, seed: DataFrame, n_seed: int) -> DataFrame:
+    def core(
+        k: int, seed: DataFrame, n_seed: int
+    ) -> "tuple[DataFrame, int]":
         # one action per peel round (the checkpoint materializes the
         # round): n_prev carries between rounds, and the convergence
         # round itself IS the idempotence proof (peel(fixpoint) ==
@@ -20929,10 +20936,13 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pts = track_persist(pts)
+    # cx/cy are computed ONCE here and reused by the neighbor probe
+    # below — the cell width d appears in exactly one expression, so
+    # changing d can never desynchronize the cover from the probe
     cells = pts.select(
         "user_id", "x", "y",
-        (F.col("x") / d).cast("long").alias("cx"),
-        (F.col("y") / d).cast("long").alias("cy"),
+        F.expr(f"x DIV {d}").alias("cx"),
+        F.expr(f"y DIV {d}").alias("cy"),
     )
     probe = cells.select(
         F.col("user_id").alias("b_id"),
@@ -20942,8 +20952,7 @@ def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "flatten(transform(sequence(-1, 1), dx ->"
                 " transform(sequence(-1, 1), dy ->"
-                " named_struct('cx', cast(x as bigint) DIV 100 + dx,"
-                " 'cy', cast(y as bigint) DIV 100 + dy))))"
+                " named_struct('cx', cx + dx, 'cy', cy + dy))))"
             )
         ).alias("c"),
     ).select("b_id", "bx", "by", F.col("c.cx").alias("cx"),
@@ -21464,11 +21473,11 @@ def group_by_all_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # This literal preserves REGISTRATION order (wave by wave) for
     # history; the driver-facing window ordering is applied
-    # programmatically right after the literal via _R08_WINDOW — see
-    # the reorder at the bottom of this file. CORRECTNESS_r07 landed
-    # 50/50 green (driver union 289/370), so the 81 entries never
-    # driver-checked are waves b12-tail through b26; the r08 window
-    # holds the 50 oldest of them in registration order.
+    # programmatically right after the literal via _R09_WINDOW — see
+    # the reorder at the bottom of this file. CORRECTNESS_r08 landed
+    # 50/50 green (driver union 339/393), so 54 entries were never
+    # driver-checked; the r09 window holds the 31 pre-b27 stragglers
+    # plus b27-b31 per the plan committed last round.
     # -- (b9): r06 additions (driver-green r07) -------------------------
     "unigram_train": unigram_train_q,
     "unigram_encode_stats": unigram_encode_stats,
@@ -21524,8 +21533,8 @@ QUERIES = {
     "streaming_observed_metrics": streaming_observed_metrics,
     "zipf_fit_audit": zipf_fit_audit,
     # ==== end of r07 driver window (checked green 50/50) ===============
-    # -- stalest r02-fresh rows, CORRECTNESS_r02 order (r09 re-proof
-    #    pads — see _R09_PLAN at the bottom of this file) ----------------
+    # -- stalest r02-fresh rows, CORRECTNESS_r02 order (r10 re-proof
+    #    pads — see _R10_PLAN at the bottom of this file) ----------------
     "ner_entities": ner_entities,
     "chunk_lang": chunk_lang,
     "pos_tag_counts": pos_tag_counts,
@@ -21854,8 +21863,8 @@ QUERIES = {
     "dynamic_partition_overwrite": dynamic_partition_overwrite,
     "file_metadata_column_audit": file_metadata_column_audit,
     "streaming_query_listener_audit": streaming_query_listener_audit,
-    # -- (b27) new in the r08 build session: never driver-checked —
-    #    join the r09 head behind the 31 listed in _R09_PLAN below -------
+    # -- (b27) new in the r08 build session: in the r09 driver window
+    #    behind the 31 pre-b27 stragglers (_R09_WINDOW below) ------------
     "interleaved_doc_gate": interleaved_doc_gate,
     "streaming_decontamination_gate": streaming_decontamination_gate,
     "tokenizer_roundtrip_audit": tokenizer_roundtrip_audit,
@@ -21888,99 +21897,85 @@ QUERIES = {
 }
 
 
-# ==== r08 DRIVER WINDOW (positions 1-50) ===============================
-# CORRECTNESS_r07 landed 50/50 green; the driver union is 289/370. The
-# 81 never-driver-checked entries are waves b12-tail (2) + b13 (25) +
-# b14 (8) + b15-b26 (46). _R08_WINDOW holds the 50 OLDEST of them in
-# registration order; the reorder below puts them at registry positions
-# 1-50 so the driver's head-50 correctness window checks exactly these.
-_R08_WINDOW = [
-    "lsh_parameter_advisor",
-    "ingestion_trend_forecast",
-    "url_canonical_dedup",
-    "robots_opt_out_sweep",
-    "secret_scanning_gate",
-    "pass_at_k_estimate",
-    "interval_bucket_join",
-    "kcenter_coreset_selection",
-    "hilbert_layout_prune_audit",
-    "ccnet_perplexity_buckets",
-    "gif_decode_stats",
-    "streaming_pass_at_k",
-    "corpus_dedup_funnel",
-    "tokenizer_merge_curve",
-    "license_classifier_gate",
-    "data_mix_epoch_scheduler",
-    "decontamination_span_expansion",
-    "conversation_tree_linearization",
-    "per_domain_quality_drift",
-    "phash_dct_near_dup",
-    "training_release_manifest",
-    "fim_span_plan",
-    "canary_extraction_audit",
-    "tokenizer_lang_fairness",
-    "streaming_dedup_admission",
-    "doc_length_quantiles",
-    "dedup_rate_by_source",
-    "rouge_pair_gate",
-    "shuffle_reuse_proof",
-    "bottomk_sample_merge_proof",
-    "bcubed_cluster_quality",
-    "semantic_contamination_audit",
-    "selfinstruct_rougeL_dedup",
-    "streaming_bottomk_sample",
-    "semantic_chunking",
-    "state_store_reader_audit",
-    "python_stream_source_resume",
-    "runtime_bloom_filter_join",
-    "mapinarrow_byte_histogram",
-    "wht_audio_fingerprint",
-    "readability_gate",
-    "chat_truncation_plan",
-    "fellegi_sunter_linkage",
-    "dpp_partition_pruning_proof",
-    "cbo_join_reorder_proof",
-    "udtf_dynamic_ngrams",
-    "sql_variable_gate",
-    "special_token_injection_scan",
-    "crypto_shredding_purge",
-    "sorted_neighborhood_pairs",
+# ==== r09 DRIVER WINDOW (positions 1-50) ===============================
+# CORRECTNESS_r08 landed 50/50 green; the driver union is 339/393. The
+# 54 never-driver-checked entries are the 31 pre-b27 stragglers plus
+# waves b27-b33 (23). _R09_WINDOW holds the 31 stragglers in
+# registration order, then b27-b31 through safety_rule_cofire_matrix
+# (position 50), exactly as _R09_PLAN committed last round; the
+# reorder below puts them at registry positions 1-50 so the driver's
+# head-50 correctness window checks exactly these.
+_R09_WINDOW = [
+    "native_hll_sketch_audit",
+    "xml_ingest_roundtrip",
+    "collated_dedup_audit",
+    "pandas_on_spark_parity",
+    "transpose_stats_matrix",
+    "sft_release_manifest",
+    "json_schema_gate",
+    "length_grouped_batches",
+    "batch_observe_metrics",
+    "rocksdb_state_provider_proof",
+    "stream_source_archival_proof",
+    "pivot_unpivot_roundtrip",
+    "lineage_checkpoint_proof",
+    "ann_cascade_recall",
+    "crawl_frontier_schedule",
+    "compression_codec_audit",
+    "join_hint_enforcement",
+    "rerun_determinism_proof",
+    "dp_budget_ledger",
+    "arrow_python_udf_parity",
+    "streaming_union_watermark_min",
+    "code_file_filters",
+    "source_set_similarity",
+    "sft_echo_filter",
+    "preference_length_bias",
+    "late_data_drop_metrics",
+    "aqe_coalesce_proof",
+    "aqe_join_switch_proof",
+    "dynamic_partition_overwrite",
+    "file_metadata_column_audit",
+    "streaming_query_listener_audit",
+    "interleaved_doc_gate",
+    "streaming_decontamination_gate",
+    "tokenizer_roundtrip_audit",
+    "chat_template_render",
+    "packed_attention_block_audit",
+    "streaming_domain_quota_admission",
+    "cross_modal_retrieval_recall",
+    "streaming_schema_drift_monitor",
+    "prefix_cache_savings_audit",
+    "multimodal_dedup_edges",
+    "bestfit_packing_gain",
+    "lateral_topk_join",
+    "window_group_limit_proof",
+    "null_skew_join_split",
+    "kcore_decomposition",
+    "grid_spatial_join",
+    "pipe_syntax_parity",
+    "dynamic_sql_identifier_gate",
+    "safety_rule_cofire_matrix",
 ]
 
-# _R09_PLAN (committed by name, execute after CORRECTNESS_r08 lands):
-# the remaining 31 never-checked entries lead in registration order —
-# native_hll_sketch_audit, xml_ingest_roundtrip, collated_dedup_audit,
-# pandas_on_spark_parity, transpose_stats_matrix, sft_release_manifest,
-# json_schema_gate, length_grouped_batches, batch_observe_metrics,
-# rocksdb_state_provider_proof, stream_source_archival_proof,
-# pivot_unpivot_roundtrip, lineage_checkpoint_proof, ann_cascade_recall,
-# crawl_frontier_schedule, compression_codec_audit,
-# join_hint_enforcement, rerun_determinism_proof, dp_budget_ledger,
-# arrow_python_udf_parity, streaming_union_watermark_min,
-# code_file_filters, source_set_similarity, sft_echo_filter,
-# preference_length_bias, late_data_drop_metrics, aqe_coalesce_proof,
-# aqe_join_switch_proof, dynamic_partition_overwrite,
-# file_metadata_column_audit, streaming_query_listener_audit — then
-# the r08 build session's waves in registration order: b27
-# (interleaved_doc_gate, streaming_decontamination_gate,
-# tokenizer_roundtrip_audit, chat_template_render,
-# packed_attention_block_audit, streaming_domain_quota_admission,
-# cross_modal_retrieval_recall, streaming_schema_drift_monitor), b28
-# (prefix_cache_savings_audit, multimodal_dedup_edges,
-# bestfit_packing_gain), b29 (lateral_topk_join,
-# window_group_limit_proof, null_skew_join_split), b30
-# (kcore_decomposition, grid_spatial_join), b31 (pipe_syntax_parity,
-# dynamic_sql_identifier_gate, safety_rule_cofire_matrix — position
-# 50). The overflow (bm25_prf_expansion, bootstrap_ci_poisson,
-# dp_noisy_max_median, group_by_all_parity) leads the r10 window;
-# the 31 + 19 fill the 50 exactly, so no re-proof pads fit in r09
-# (the 19 stalest r02-fresh rows, ner_entities ... profile_columns
-# in CORRECTNESS_r02 order, pad r10 after the 4 overflow entries).
-assert len(_R08_WINDOW) == 50 and len(set(_R08_WINDOW)) == 50
-assert all(name in QUERIES for name in _R08_WINDOW)
+# _R10_PLAN (committed by name, execute after CORRECTNESS_r09 lands):
+# the b32/b33 overflow leads in registration order — bm25_prf_expansion,
+# bootstrap_ci_poisson, dp_noisy_max_median, group_by_all_parity — then
+# any r09-build-session waves (b34+) in registration order, then pad to
+# 50 with the stalest re-proof rows: the r02-fresh entries in
+# CORRECTNESS_r02 order (ner_entities, keyphrase_extraction,
+# entity_extraction_stub, text_rendition, html_rendition,
+# consolidation_fold, set_union_accumulate, kafka_serde_roundtrip,
+# session_windows_stream, registry_capabilities, snapshot_read,
+# changelog_read, time_travel_read, idempotent_reprocess,
+# chunk_flatmap_langid, quality_score_distribution,
+# token_count_histogram, document_fingerprint_rolling,
+# profile_columns), oldest first, taking as many as fit.
+assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
+assert all(name in QUERIES for name in _R09_WINDOW)
 QUERIES = {
-    **{name: QUERIES[name] for name in _R08_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in set(_R08_WINDOW)},
+    **{name: QUERIES[name] for name in _R09_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in set(_R09_WINDOW)},
 }
 
 

@@ -423,3 +423,26 @@ def test_group_by_all_parity(spark):
     keys = [(r["o_orderstatus"], r["o_orderpriority"]) for r in rows]
     assert keys == sorted(keys)
     assert len(set(keys)) == len(keys)
+
+
+def test_prefix_cache_lcp_empty_token_guard(spark):
+    """The entry's LCP expression on a frame WITH zero-token docs:
+    sequence(1, 0) is the DESCENDING [1, 0], so without the
+    least(...) < 1 guard an empty doc (or predecessor) would score
+    LCP 1 via the vacuous j=0 slice equality (ADVICE r08)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([], ["a", "b"]), (["a", "b"], []), ([], []),
+         (["a", "b"], ["a", "c"])],
+        "ts array<string>, prev array<string>",
+    ).withColumn(
+        "lcp",
+        F.expr(
+            "CASE WHEN prev IS NULL"
+            " OR least(size(ts), size(prev)) < 1 THEN 0L ELSE"
+            " cast(size(filter(sequence(1, least(size(ts), size(prev))),"
+            " j -> slice(ts, 1, j) = slice(prev, 1, j))) as bigint) END"
+        ),
+    )
+    assert [r["lcp"] for r in df.collect()] == [0, 0, 0, 1]

@@ -55,12 +55,18 @@ def test_adjacent_sorted_pairing_minimizes_padding(lens, rnd):
 def test_slice_equality_count_is_lcp(xs, ys):
     """prefix_cache_savings_audit's LCP form: counting j with
     xs[:j] == ys[:j] over 1..min(len) equals the classic scan LCP
-    (slice equality is monotone: true exactly for j <= LCP)."""
-    slice_count = sum(
-        1
-        for j in range(1, min(len(xs), len(ys)) + 1)
-        if xs[:j] == ys[:j]
+    (slice equality is monotone: true exactly for j <= LCP).
+
+    Spark-side caveat this twin also models: sequence(1, 0) is the
+    DESCENDING [1, 0], so when min(len) == 0 the unguarded Spark
+    expression would evaluate j=0 (slice(x,1,0)=[]=[] -> true) and
+    count 1 instead of 0 — the entry guards least(...) < 1 to 0L,
+    matching the empty range() here."""
+    spark_domain = (
+        [] if min(len(xs), len(ys)) < 1
+        else range(1, min(len(xs), len(ys)) + 1)
     )
+    slice_count = sum(1 for j in spark_domain if xs[:j] == ys[:j])
     lcp = 0
     for a, b in zip(xs, ys):
         if a != b:
