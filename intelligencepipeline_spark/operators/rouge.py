@@ -1,26 +1,40 @@
 """ROUGE-L machinery: LCS length as a pure Catalyst expression.
 
 LCS is dynamic programming — the textbook case where people reach for
-a Python UDF. This module expresses the DP as a two-level fold
-instead, so it runs JVM-side with zero serialization:
+a Python UDF. This module expresses the DP as a BIT-PARALLEL fold
+(Hyyrö 2004, "Bit-parallel LCS-length computation revisited";
+Allison & Dix 1986), so it runs JVM-side with zero serialization and
+— unlike the r07/r08 prefix-max formulation — with O(|a|·|b|) tiny
+integer lambda evaluations instead of O(|a|·|b|²) array-building
+ones:
 
-* outer level: ``aggregate()`` walks the candidate tokens carrying the
-  whole DP row (an ``array<bigint>``) as the accumulator;
-* inner level: the row update uses the prefix-max identity
+* the whole DP row is ONE BIGINT bitvector ``V`` (callers bound the
+  reference side to <= 16 tokens; the encoding is exact up to 62);
+* per reference token position k, bit k-1 of the match mask ``M(x)``
+  is set iff ``b[k] = x``;
+* the outer ``aggregate()`` walks candidate tokens carrying ``V``
+  (init: all ones over ``size(b)`` bits) through the Hyyrö update
 
-      cur[j] = max(prev[j], max_{k<=j} (b[k] = x ? prev[k-1] + 1 : 0))
+      t = V & M(x);   V' = ((V + t) | (V - t)) & mask
 
-  which is valid because DP rows are monotone non-decreasing, and
-  removes the textbook ``cur[j-1]`` sequential dependency — so the
-  inner level is a plain ``transform()``, not a second fold with
-  O(row) array appends.
+  and ``LLCS = size(b) - bit_count(V_final)`` (each LCS match clears
+  exactly one bit via the carry chain of ``V + t``).
 
-Cost is O(|a| * |b|^2) expression ops per pair; callers bound token
-counts (self-instruct truncates instructions) so the per-pair work is
-constant. The DuckDB oracle replays the identical update with the row
-carried as a LIST through a recursive CTE (oracles.py
-``selfinstruct_rougeL_dedup``), and tests/test_rouge_lcs.py pins the
-fold against a brute-force O(n*m) Python DP on adversarial cases.
+Why this matters operationally: the prefix-max form was the
+catalog's single most host-load-sensitive entry (r07/r08 verdicts —
+2.7 s quiet vs 18.6 s under co-tenant CPU contention, a 6.9× swing)
+because its cost was ~2,500 interpreted higher-order-lambda
+evaluations per pair, each allocating arrays. The bit-parallel form
+does ~280 lambda evaluations per pair, all on ``bigint`` scalars with
+no per-step array allocation, so the same contention has ~10× less
+interpreted work to stretch.
+
+The DuckDB oracle deliberately does NOT replay this encoding: it
+runs the classic two-row DP with the row carried as a LIST through a
+recursive CTE (oracles.py ``selfinstruct_rougeL_dedup``), so the two
+sides share no algorithmic structure at all. tests/test_rouge_lcs.py
+pins the fold against a brute-force O(n·m) Python DP on adversarial
+cases (repeats, containment, empties).
 
 Reference parity: the reference has no sequence-similarity surface at
 all (SURVEY.md §2.9); this family exists for the LLM-pipeline
@@ -33,18 +47,23 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The let-bindings (single-element transform() over array(expr), take
+# element 1) hoist the match mask M(x) — an aggregate over reference
+# positions — and t = V & M out of the update so each is evaluated
+# once per outer step. mask = 2^|b| - 1 keeps V inside |b| bits, so
+# the final bit_count needs no re-masking.
 _LCS_TEMPLATE = """
 IF(size({a}) = 0 OR size({b}) = 0, 0L,
-  element_at(
+  cast(size({b}) as bigint) - cast(bit_count(
     aggregate({a},
-      array_repeat(0L, size({b}) + 1),
-      (prev, x) -> concat(array(0L),
-        transform(sequence(1, size({b})), j ->
-          greatest(element_at(prev, j + 1),
-            array_max(transform(sequence(1, j), k ->
-              IF(element_at({b}, k) = x,
-                 element_at(prev, k) + 1L, 0L))))))),
-    size({b}) + 1))
+      shiftleft(1L, size({b})) - 1L,
+      (V, x) -> element_at(transform(array(
+          V & aggregate(sequence(1, size({b})), 0L,
+            (m, k) -> IF(element_at({b}, k) = x,
+                         m | shiftleft(1L, k - 1), m))
+        ), t -> ((V + t) | (V - t))
+                & (shiftleft(1L, size({b})) - 1L)), 1))
+  ) as bigint))
 """
 
 
@@ -53,8 +72,9 @@ def lcs_len(a: str = "ta", b: str = "tb") -> Column:
 
     ``a`` / ``b`` are COLUMN NAMES (the expression references them by
     name inside lambda scopes, where Column objects can't reach).
-    Empty arrays short-circuit to 0 — Spark's ``sequence(1, 0)``
-    counts DOWNWARD, so the guard is load-bearing, not cosmetic.
+    ``b`` must have at most 62 elements (the DP row lives in one
+    BIGINT; callers cap tokens at 16). Empty arrays short-circuit
+    to 0.
     """
     return F.expr(_LCS_TEMPLATE.format(a=a, b=b)).cast("long")
 

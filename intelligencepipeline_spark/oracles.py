@@ -9460,9 +9460,11 @@ FROM ev LEFT JOIN best b USING (eval_id)
 ORDER BY ev.eval_id
 """
 
-# selfinstruct_rougeL_dedup: the LCS DP replayed move-for-move in a
-# recursive CTE — the row travels as a LIST column, the row update is
-# the same prefix-max identity the Spark fold uses.
+# selfinstruct_rougeL_dedup: the classic LCS DP replayed in a
+# recursive CTE — the row travels as a LIST column. Deliberately
+# shares NO algorithmic structure with the Spark side, which runs the
+# bit-parallel Hyyrö fold (operators/rouge.py): two independent
+# encodings of the same recurrence.
 ORACLES["selfinstruct_rougeL_dedup"] = f"""
 WITH RECURSIVE toked AS (
   SELECT doc_id, ({_NTOKS})[1:16] AS t FROM documents

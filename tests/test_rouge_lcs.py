@@ -1,7 +1,8 @@
 """Pin the expression-side LCS fold (operators/rouge.py) against a
 brute-force Python DP, including the adversarial shapes that break
-naive prefix-max rewrites: repeated tokens, full containment, empty
-and single-token sequences.
+naive bit-vector LCS transcriptions (carry-chain edge cases):
+repeated tokens, full containment, empty and single-token
+sequences.
 """
 
 import hashlib
