@@ -11484,3 +11484,106 @@ FROM orders
 GROUP BY ALL
 ORDER BY o_orderstatus, o_orderpriority
 """
+
+# streaming_ivfpq_probe: the serving-side replay — coarse fit
+# (_KMEANS_8_2) and PQ fit (the p-prefixed pq_ann_topk unroll) exactly
+# as ivfpq_ann_topk's oracle, then PER QUERY (vec_id 0-3): probe-cell
+# selection (2 nearest coarse cells, ties to the smaller cid), ADC
+# restricted to vectors whose coarse cell is probed, shortlist-50,
+# exact re-rank, top 5. The audit columns are pinned from the data:
+# n_batches = |distinct vec_id % 2 over the query set| = 2; pruned
+# TRUE (the Spark side asserts the executed plan's PartitionFilters
+# per query and ANDs the proofs into this column — a full-scan plan
+# flips it and breaks the hash).
+ORACLES["streaming_ivfpq_probe"] = f"""
+WITH {_KMEANS_8_2}, pe AS (
+  SELECT vec_id, dim, cast(floor(dim / 8) as bigint) AS j,
+         dim % 8 AS d, v
+  FROM q
+), pseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 16)
+), pcent0 AS (
+  SELECT s.cid, e.j, e.d, e.v AS c FROM pseeds s JOIN pe e USING (vec_id)
+), pd1 AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent0 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pa1 AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pd1) WHERE rn = 1
+), pupd AS (
+  SELECT a.cid, e.j, e.d,
+    cast(floor(cast(sum(e.v) as double) / cast(count(*) as double))
+      as bigint) AS c
+  FROM pa1 a JOIN pe e ON a.vec_id = e.vec_id AND a.j = e.j
+  GROUP BY 1, 2, 3
+), pcent1 AS (
+  SELECT c0.cid, c0.j, c0.d, coalesce(u.c, c0.c) AS c
+  FROM pcent0 c0 LEFT JOIN pupd u
+    ON c0.cid = u.cid AND c0.j = u.j AND c0.d = u.d
+), pdd AS (
+  SELECT e.vec_id, e.j, c.cid, sum((e.v - c.c) * (e.v - c.c)) AS dist2
+  FROM pe e JOIN pcent1 c ON e.j = c.j AND e.d = c.d
+  GROUP BY 1, 2, 3
+), pcodes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist2, cid) AS rn
+    FROM pdd) WHERE rn = 1
+), qset AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 4
+), qd AS (
+  SELECT qs.query_id, c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS dist2
+  FROM qset qs
+  JOIN q qe ON qe.vec_id = qs.query_id
+  JOIN cent1 c ON qe.dim = c.dim
+  GROUP BY 1, 2
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+      row_number() OVER (PARTITION BY query_id ORDER BY dist2, cid) AS rn
+    FROM qd) WHERE rn <= 2
+), lut AS (
+  SELECT qs.query_id, c.j, c.cid, sum((qe.v - c.c) * (qe.v - c.c)) AS ld
+  FROM qset qs
+  JOIN pe qe ON qe.vec_id = qs.query_id
+  JOIN pcent1 c ON qe.j = c.j AND qe.d = c.d
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT l.query_id, k.vec_id, cast(max(cell.cid) as int) AS cell,
+         cast(sum(l.ld) as bigint) AS adc
+  FROM pcodes k
+  JOIN lut l ON k.j = l.j AND k.cid = l.cid
+  JOIN a2 cell ON cell.vec_id = k.vec_id
+  JOIN probe p ON cell.cid = p.cid AND p.query_id = l.query_id
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, vec_id, cell, adc FROM (
+    SELECT query_id, vec_id, cell, adc,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+    FROM adc) WHERE rn <= 50
+), exact AS (
+  SELECT s.query_id, s.vec_id, s.cell, s.adc,
+    cast(sum((ce.v - qe.v) * (ce.v - qe.v)) as bigint) AS d2
+  FROM short s
+  JOIN q ce ON ce.vec_id = s.vec_id
+  JOIN q qe ON qe.vec_id = s.query_id AND qe.dim = ce.dim
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT query_id, vec_id, cell, adc, d2,
+    row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+  FROM exact
+)
+SELECT cast(query_id as bigint) AS query_id, vec_id, cell, adc, d2,
+  (SELECT cast(count(DISTINCT query_id % 2) as bigint) FROM qset
+   /* the vec_id % 2 file split IS the micro-batch plan */
+  ) AS n_batches,
+  cast(2 as bigint) AS n_cells_probed,
+  true AS pruned
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, d2, vec_id
+"""

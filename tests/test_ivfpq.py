@@ -232,3 +232,27 @@ def test_streaming_append_touches_only_hit_cells(spark, emb, tmp_path):
     # untouched cells are byte-identical file lists
     for c in set(before) - hit_cells:
         assert after[c] == before[c]
+
+
+def test_streaming_ivfpq_probe_serving_lane(spark):
+    """The query-side streaming lane: every batch's plan proof must
+    have fired (pruned TRUE), both micro-batches must have run, and
+    each query returns its top-5 from probed cells only."""
+    from intelligencepipeline_spark.queries import streaming_ivfpq_probe
+
+    rows = streaming_ivfpq_probe(spark, SF).collect()
+    assert len(rows) == 20  # 4 queries x top-5
+    assert all(r["n_batches"] == 2 for r in rows)
+    assert all(r["pruned"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, hits in by_q.items():
+        assert len(hits) == 5
+        # per query: at most n_probe distinct cells, self excluded,
+        # d2 ascending in export order
+        assert len({h["cell"] for h in hits}) <= 2
+        assert all(h["vec_id"] != qid for h in hits)
+        d2s = [h["d2"] for h in hits]
+        assert d2s == sorted(d2s)
