@@ -11587,3 +11587,67 @@ SELECT cast(query_id as bigint) AS query_id, vec_id, cell, adc, d2,
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, d2, vec_id
 """
+
+# release_provenance_chain: funnel CTEs + license precedence as in
+# training_release_manifest, then per released doc: ingest shard
+# (doc_id % 3 — the Spark side proves the _metadata.file_name mapping
+# pure in-entry and exports the shard), the producer chain (the
+# Engine's created_by audit: hash/lang/tokens always, longdoc iff
+# >= 78 raw tokens — P3 empty-map guard — sorted and comma-joined),
+# exact-group absorption among URL survivors, and near-dup partners
+# over the verified LSH edges with both ends in s2.
+ORACLES["release_provenance_chain"] = f"""
+WITH {_FUNNEL_CTES},
+lic AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'
+      WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'
+      WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'
+      WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'
+      ELSE 'unknown' END AS license
+  FROM (
+    SELECT doc_id, source,
+      text ||
+      CASE WHEN doc_id % 7 = 0 THEN
+        ' spdx license identifier mit permission is hereby granted'
+      WHEN doc_id % 7 = 1 THEN
+        ' licensed under the apache license version 2 0'
+      WHEN doc_id % 7 = 2 THEN
+        ' gnu general public license v3'
+      ELSE '' END AS t
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, cast(len({_RTOKS}) as bigint) AS n FROM documents
+),
+gsz AS (SELECT f, count(*) AS gsz FROM fps GROUP BY f),
+exact_abs AS (
+  SELECT fps.doc_id, fps.f AS fp, gsz.gsz - 1 AS n_exact_absorbed
+  FROM fps JOIN gsz USING (f)
+),
+near_abs AS (
+  SELECT e.a AS doc_id, count(DISTINCT e.b) AS n_near
+  FROM edges e
+  WHERE e.a IN (SELECT doc_id FROM s2)
+    AND e.b IN (SELECT doc_id FROM s2)
+  GROUP BY e.a
+)
+SELECT d.doc_id, l.source,
+  cast(d.doc_id % 3 as bigint) AS ingest_shard,
+  CASE WHEN t.n >= 78 THEN 'hash,lang,longdoc,tokens'
+       ELSE 'hash,lang,tokens' END AS producer_chain,
+  cast(e.n_exact_absorbed as bigint) AS n_exact_absorbed,
+  cast(coalesce(na.n_near, 0) as bigint) AS n_neardup_absorbed,
+  l.license,
+  e.fp
+FROM documents d
+JOIN lic l ON d.doc_id = l.doc_id
+JOIN toks t ON d.doc_id = t.doc_id
+JOIN exact_abs e ON d.doc_id = e.doc_id
+LEFT JOIN near_abs na ON d.doc_id = na.doc_id
+WHERE d.doc_id IN (SELECT doc_id FROM s4)
+  AND l.license IN ('mit', 'apache-2.0')
+ORDER BY d.doc_id
+"""

@@ -21582,6 +21582,184 @@ def streaming_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT-LEVEL PROVENANCE CHAIN (C2PA-lite) — the end-to-end
+    per-document export a training release actually ships next to
+    training_release_manifest's per-source digests: for every
+    RELEASED doc (the shared _funnel_stages survivors gated by the
+    permissive-license rule), one row with its full chain of custody:
+
+    * physical source: docs are staged into 3 ingest shard files
+      (doc_id % 3 — the multi-file ingest stand-in), read back with
+      the hidden ``_metadata.file_name`` column, and the mapping is
+      asserted PURE in-entry (3 files, no shard mixing) before the
+      shard lands in the export — the _metadata lane as provenance,
+      not decoration;
+    * transform chain: the Engine facade runs 4 metadata producers
+      (hash / lang / tokens unconditionally; ``longdoc`` only when
+      the doc has >= 78 raw tokens — P3 drops its empty map
+      otherwise), and the chain is read FROM the consolidated meta
+      array's created_by values (sorted, comma-joined) — the
+      reference's createdBy audit trail (KafkaIntelligencePipeline.kt
+      meta discipline) exported per doc;
+    * dedup survivorship: how many exact-fingerprint docs this
+      survivor absorbed (its fp group among URL-canonical survivors,
+      minus itself) and how many near-dup partners it caused to drop
+      (distinct b over the verified LSH edges with both ends in s2);
+    * governance: the license class and the content fingerprint (the
+      merkle manifest's leaf).
+
+    Scale: every leg is a proven shape — funnel stages persist once,
+    the engine chain is expression-side, shard purity is one keyed
+    agg over the staged read, absorption counts are keyed aggs over
+    bounded group sizes. One output row per released doc. Oracle
+    composes the funnel CTEs, license precedence, the token-count
+    producer condition, and both absorption counts."""
+    import os
+
+    from intelligencepipeline_spark.engine import Engine
+
+    docs = _t(spark, sf_dir, "documents")
+    _n0, _n1, _n2, _n3, s4 = _funnel_stages(spark, sf_dir)
+
+    # physical source shards + _metadata purity proof
+    staged = scratch_dir("ip_prov_shards_")
+    base = docs.select("doc_id", (F.col("doc_id") % 3).alias("g"), "text")
+    for g in range(3):
+        base.filter(F.col("g") == g).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, f"g{g}"))
+    back = track_persist(
+        spark.read.parquet(f"{staged}/g*").select(
+            "doc_id", "g", F.col("_metadata.file_name").alias("fname")
+        )
+    )
+    purity = (
+        back.groupBy("fname")
+        .agg(F.countDistinct("g").alias("ng"))
+        .agg(F.count(F.lit(1)).alias("nf"), F.max("ng").alias("maxg"))
+        .collect()[0]
+    )
+    assert purity["nf"] == 3 and purity["maxg"] == 1, tuple(purity)
+    shards = back.select("doc_id", F.col("g").cast("long").alias("ingest_shard"))
+
+    # transform chain from the Engine's consolidated created_by audit
+    ing = docs.select("doc_id", F.col("text").alias("name"), "text")
+    eng = (
+        Engine(spark)
+        .register_ingestor(ing)
+        .register_metadata_producer(
+            "hash",
+            lambda d: F.create_map(F.lit("digest"), F.md5(F.col("text"))),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "lang",
+            lambda d: F.create_map(
+                F.lit("lang"), detect_language(F.col("text"))
+            ),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "tokens",
+            lambda d: F.create_map(
+                F.lit("n_tokens"),
+                F.size(tokens(F.col("text"))).cast("string"),
+            ),
+            requires=("text",),
+        )
+        .register_metadata_producer(
+            "longdoc",
+            # conditional producer: P3 (empty-map guard) drops the
+            # entry on short docs, so created_by RECORDS the firing
+            lambda d: F.expr(
+                "IF(size(filter(split(text, ' '), x -> x != '')) >= 78,"
+                " map('long', 'true'), map())"
+            ),
+            requires=("text",),
+        )
+    )
+    dr = eng.run()["datarecords"]
+    chain = dr.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.expr("transform(meta, m -> m.created_by)")), ","
+        ).alias("producer_chain"),
+    )
+
+    # dedup survivorship: exact-group absorption among URL survivors,
+    # near-dup partners dropped over the verified edge set
+    urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
+    from intelligencepipeline_spark.functions.url import canonical_url
+
+    s1 = (
+        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    fps = (
+        docs.join(s1, "doc_id", "leftsemi")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    )
+    gsz = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("gsz"))
+    exact_abs = fps.join(gsz, "fp").select(
+        "doc_id", "fp", (F.col("gsz") - 1).cast("long").alias("n_exact_absorbed")
+    )
+    s2 = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    edges = _shared_lsh_edges(spark, sf_dir)
+    near_abs = (
+        edges.join(s2.withColumnRenamed("doc_id", "a"), "a", "leftsemi")
+        .join(s2.withColumnRenamed("doc_id", "b"), "b", "leftsemi")
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.countDistinct("b").cast("long").alias("n_neardup_absorbed"))
+    )
+
+    lic = docs.selectExpr(
+        "doc_id",
+        "source",
+        "concat(text,"
+        " CASE WHEN doc_id % 7 = 0 THEN"
+        "   ' spdx license identifier mit permission is hereby granted'"
+        " WHEN doc_id % 7 = 1 THEN"
+        "   ' licensed under the apache license version 2 0'"
+        " WHEN doc_id % 7 = 2 THEN"
+        "   ' gnu general public license v3'"
+        " ELSE '' END) AS t",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "CASE"
+        " WHEN instr(t, 'spdx license identifier mit') > 0 THEN 'mit'"
+        " WHEN instr(t, 'apache license version 2') > 0 THEN 'apache-2.0'"
+        " WHEN instr(t, 'gnu general public license') > 0 THEN 'gpl-3.0'"
+        " WHEN instr(t, 'permission is hereby granted') > 0 THEN 'mit'"
+        " ELSE 'unknown' END AS license",
+    )
+
+    return (
+        s4.join(lic, "doc_id")
+        .filter("license IN ('mit', 'apache-2.0')")
+        .join(shards, "doc_id")
+        .join(chain, "doc_id")
+        .join(exact_abs, "doc_id")
+        .join(near_abs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "ingest_shard",
+            "producer_chain",
+            "n_exact_absorbed",
+            F.coalesce("n_neardup_absorbed", F.lit(0).cast("long")).alias(
+                "n_neardup_absorbed"
+            ),
+            "license",
+            "fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -22026,6 +22204,7 @@ QUERIES = {
     "group_by_all_parity": group_by_all_parity,
     # -- (b34) new in the r09 build session: never driver-checked ------
     "streaming_ivfpq_probe": streaming_ivfpq_probe,
+    "release_provenance_chain": release_provenance_chain,
 }
 
 

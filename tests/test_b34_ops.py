@@ -1,0 +1,26 @@
+"""b34 wave: streaming ANN serving + provenance chain behavior pins."""
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_release_provenance_chain(spark):
+    from intelligencepipeline_spark.queries import release_provenance_chain
+
+    out = release_provenance_chain(spark, SF)
+    a = audit(out)
+    assert not a.cartesian
+    rows = out.collect()
+    assert rows
+    allowed = {"hash,lang,longdoc,tokens", "hash,lang,tokens"}
+    for r in rows:
+        assert r["ingest_shard"] == r["doc_id"] % 3
+        assert r["producer_chain"] in allowed
+        assert r["n_exact_absorbed"] >= 0
+        assert r["n_neardup_absorbed"] >= 0
+        assert r["license"] in ("mit", "apache-2.0")
+        assert len(r["fp"]) == 32
+    # released docs are exactly the funnel survivors under the
+    # permissive-license rule — doc_id 2 mod 7 (gpl) never ships
+    assert all(r["doc_id"] % 7 != 2 for r in rows)
