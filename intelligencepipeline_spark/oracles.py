@@ -11651,3 +11651,123 @@ WHERE d.doc_id IN (SELECT doc_id FROM s4)
   AND l.license IN ('mit', 'apache-2.0')
 ORDER BY d.doc_id
 """
+
+# incremental_components_merge: the full incremental-maintenance
+# replay — base components over the LSH edges (recursive min-label),
+# the deterministic batch plan (4 pairing edges over the 8 smallest
+# dup-graph nodes + (d, d+1) bridges, parity-split), the after-batch-0
+# labeling (a second recursive CTE over base+batch0 — the oracle's
+# stand-in for the updated label store), both affected-subgraph pulls
+# for n_repeeled_nodes, and the final components. lossless is pinned
+# TRUE (the Spark side asserts incremental == one-shot recompute via
+# exceptAll both ways); a dropped batch, a stale store bucket, or a
+# wrong affected-set pull flips it or the per-component stats.
+# DuckDB gotcha encoded below: under WITH RECURSIVE, UNION inside ANY
+# CTE gets recursive-union semantics (no cross-branch dedup), so every
+# set union that is NOT a fixpoint iteration is written as
+# SELECT DISTINCT ... UNION ALL.
+ORACLES["incremental_components_merge"] = f"""
+WITH RECURSIVE {_LSH_EDGE_CTES},
+bsym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+bnodes AS (SELECT DISTINCT s AS node FROM bsym),
+breach(node, lab) AS (
+  SELECT node, node FROM bnodes
+  UNION
+  SELECT sy.d, r.lab FROM breach r JOIN bsym sy ON sy.s = r.node
+),
+bcomp AS (SELECT node, min(lab) AS component FROM breach GROUP BY node),
+n8 AS (
+  SELECT node, row_number() OVER (ORDER BY node) AS rn
+  FROM (SELECT node FROM bnodes ORDER BY node LIMIT 8)
+),
+pair_edges AS (
+  SELECT o.node AS a, e.node AS b,
+    cast(floor((o.rn + 1) / 2) as bigint) % 2 AS batch
+  FROM n8 o JOIN n8 e ON e.rn = o.rn + 1
+  WHERE o.rn % 2 = 1
+),
+bridges AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b,
+    cast(floor(d.doc_id / 101) as bigint) % 2 AS batch
+  FROM documents d
+  WHERE d.doc_id % 101 = 0
+    AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+),
+newe AS (
+  SELECT * FROM pair_edges UNION ALL SELECT * FROM bridges
+),
+g0 AS (
+  SELECT a, b FROM edges
+  UNION ALL SELECT a, b FROM newe WHERE batch = 0
+),
+s0 AS (SELECT a AS s, b AS d FROM g0 UNION ALL SELECT b, a FROM g0),
+n0 AS (SELECT DISTINCT s AS node FROM s0),
+r0(node, lab) AS (
+  SELECT node, node FROM n0
+  UNION
+  SELECT sy.d, r.lab FROM r0 r JOIN s0 sy ON sy.s = r.node
+),
+c0 AS (SELECT node, min(lab) AS component FROM r0 GROUP BY node),
+gf AS (SELECT a, b FROM edges UNION ALL SELECT a, b FROM newe),
+fsym AS (SELECT a AS s, b AS d FROM gf UNION ALL SELECT b, a FROM gf),
+fnodes AS (SELECT DISTINCT s AS node FROM fsym),
+freach(node, lab) AS (
+  SELECT node, node FROM fnodes
+  UNION
+  SELECT sy.d, r.lab FROM freach r JOIN fsym sy ON sy.s = r.node
+),
+fcomp AS (SELECT node, min(lab) AS component FROM freach GROUP BY node),
+e0 AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM newe WHERE batch = 0
+    UNION ALL SELECT b FROM newe WHERE batch = 0)
+),
+aff0 AS (
+  SELECT DISTINCT component FROM bcomp
+  WHERE node IN (SELECT node FROM e0)
+),
+sub0 AS (
+  SELECT DISTINCT node FROM (
+    SELECT node FROM bcomp
+    WHERE component IN (SELECT component FROM aff0)
+    UNION ALL SELECT node FROM e0)
+),
+e1 AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM newe WHERE batch = 1
+    UNION ALL SELECT b FROM newe WHERE batch = 1)
+),
+aff1 AS (
+  SELECT DISTINCT component FROM c0
+  WHERE node IN (SELECT node FROM e1)
+),
+sub1 AS (
+  SELECT DISTINCT node FROM (
+    SELECT node FROM c0
+    WHERE component IN (SELECT component FROM aff1)
+    UNION ALL SELECT node FROM e1)
+),
+nen AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM newe UNION ALL SELECT b FROM newe)
+),
+afff AS (
+  SELECT DISTINCT component FROM fcomp
+  WHERE node IN (SELECT node FROM nen)
+)
+SELECT f.component,
+  cast(count(*) as bigint) AS n_members,
+  cast(sum(CASE WHEN bc.component IS NULL THEN 1 ELSE 0 END) as bigint)
+    AS n_new_members,
+  cast(count(DISTINCT bc.component) as bigint) AS n_source_components,
+  (SELECT cast(count(*) as bigint) FROM newe) AS n_new_edges,
+  cast(2 as bigint) AS n_batches,
+  (SELECT cast(count(*) as bigint) FROM sub0)
+    + (SELECT cast(count(*) as bigint) FROM sub1) AS n_repeeled_nodes,
+  true AS lossless
+FROM fcomp f
+LEFT JOIN bcomp bc ON f.node = bc.node
+WHERE f.component IN (SELECT component FROM afff)
+GROUP BY f.component
+ORDER BY f.component
+"""

@@ -24,3 +24,26 @@ def test_release_provenance_chain(spark):
     # released docs are exactly the funnel survivors under the
     # permissive-license rule — doc_id 2 mod 7 (gpl) never ships
     assert all(r["doc_id"] % 7 != 2 for r in rows)
+
+
+def test_incremental_components_merge(spark):
+    from intelligencepipeline_spark.queries import (
+        incremental_components_merge,
+    )
+
+    rows = incremental_components_merge(spark, SF).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0["lossless"]
+    assert r0["n_batches"] == 2
+    # maintenance never touched the whole graph: the re-peeled node
+    # total is bounded by affected members + new endpoints
+    total_members = sum(r["n_members"] for r in rows)
+    assert r0["n_repeeled_nodes"] <= 2 * total_members
+    for r in rows:
+        # merged component id is its minimum member, so every source
+        # component id and every member id is >= the merged id
+        assert r["n_members"] >= 2
+        assert r["n_new_members"] <= r["n_members"]
+        # a component either merged existing ones or is entirely new
+        assert r["n_source_components"] >= 1 or r["n_new_members"] == r["n_members"]
