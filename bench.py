@@ -86,12 +86,14 @@ def main() -> None:
     # not comparable to the bench_full.json numbers bench_diff
     # triages against, which is exactly when `only` gets used.
     from intelligencepipeline_spark.queries import (
+        _shared_base_components,
         _shared_lsh_edges,
         _shared_shingles,
     )
 
     _shared_shingles(spark, sf_dir).count()
     _shared_lsh_edges(spark, sf_dir).count()
+    _shared_base_components(spark, sf_dir).count()
 
     # The host shows episodic multi-second scheduling stalls (same
     # query: 0.9s one run, 10s the next; load spikes from co-tenants

@@ -11771,3 +11771,44 @@ WHERE f.component IN (SELECT component FROM afff)
 GROUP BY f.component
 ORDER BY f.component
 """
+
+# variant_shred_gate: deliberately does NOT replay the JSON lane at
+# all — the rollup is recomputed straight from the source columns the
+# envelope was synthesized from, so ANY value the VARIANT roundtrip
+# (string build -> parse_json -> binary VARIANT -> typed variant_get)
+# mangles breaks the hash. n_absent_hits pins try_variant_get's
+# missing-path NULL lane at exactly zero.
+ORACLES["variant_shred_gate"] = f"""
+SELECT source,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(len({_RTOKS})) as bigint) AS sum_toks,
+  cast(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) as bigint)
+    AS n_flagged,
+  cast(count(DISTINCT 't' || cast(doc_id % 7 as varchar)) as bigint)
+    AS n_tag1,
+  cast(max(doc_id) as bigint) AS max_id,
+  cast(0 as bigint) AS n_absent_hits
+FROM documents GROUP BY source ORDER BY source
+"""
+
+# sql_udf_parity: the inlined form of both SQL UDFs (token count;
+# density calls it) — the Spark side additionally asserts the UDF
+# form digest-equal to ITS inlined form in-engine.
+ORACLES["sql_udf_parity"] = f"""
+SELECT source,
+  cast(count(*) as bigint) AS n_docs,
+  cast(sum(len({_RTOKS})) as bigint) AS sum_toks,
+  cast(sum(CASE WHEN length(text) = 0 THEN 0
+    ELSE (1000 * len({_RTOKS})) // length(text) END) as bigint)
+    AS sum_density_milli
+FROM documents GROUP BY source ORDER BY source
+"""
+
+# approx_topk_exact_regime: in the exact regime (capacity >= NDV) the
+# sketch must equal the plain GROUP BY, already asserted in-entry;
+# the oracle is that GROUP BY in the entry's deterministic order.
+ORACLES["approx_topk_exact_regime"] = """
+SELECT source, cast(count(*) as bigint) AS n_docs
+FROM documents GROUP BY source
+ORDER BY n_docs DESC, source
+"""

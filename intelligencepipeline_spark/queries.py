@@ -22183,6 +22183,151 @@ def incremental_components_merge(
     )
 
 
+def variant_shred_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT SEMI-STRUCTURED INGEST (Spark 4's open-format answer to
+    schema-on-read JSON — the type a 100 TB event/telemetry lake lands
+    raw payloads in): each doc synthesizes a deterministic nested JSON
+    envelope (object, nested object, bool, array) which is parsed ONCE
+    into a VARIANT column, then SHREDDED back to typed columns with
+    ``variant_get`` typed-path extraction — nested paths, an array
+    index, a boolean — plus ``try_variant_get`` proving the missing-
+    path lane returns NULL instead of failing the scan. The export is
+    the per-source rollup of the shredded columns, the shape a
+    VARIANT-backed bronze table serves to silver.
+
+    Scale: parse_json is one expression pass; variant_get on a
+    VARIANT column is binary-encoded field access (no re-parse per
+    path) and shredded columns are what you'd persist for pruning.
+    Oracle replays the envelope build and JSON path extraction in
+    DuckDB's JSON lane — two engines, two JSON stacks, one answer."""
+    docs = _t(spark, sf_dir, "documents")
+    enveloped = docs.selectExpr(
+        "source",
+        "parse_json(concat("
+        " '{\"doc\":{\"id\":', cast(doc_id as string),"
+        " ',\"source\":\"', source, '\"},'"
+        " '\"stats\":{\"toks\":',"
+        " cast(size(filter(split(text, ' '), x -> x != '')) as string),"
+        " ',\"flag\":', IF(doc_id % 3 = 0, 'true', 'false'), '},'"
+        " '\"tags\":[\"t', cast(doc_id % 5 as string),"
+        " '\",\"t', cast(doc_id % 7 as string), '\"]}'"
+        ")) AS v",
+    )
+    shredded = enveloped.selectExpr(
+        "source",
+        "variant_get(v, '$.doc.id', 'long') AS vid",
+        "variant_get(v, '$.stats.toks', 'long') AS toks",
+        "variant_get(v, '$.stats.flag', 'boolean') AS flag",
+        "variant_get(v, '$.tags[1]', 'string') AS tag1",
+        "try_variant_get(v, '$.missing.path', 'long') AS absent",
+    )
+    return (
+        shredded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("sum_toks"),
+            F.sum(F.col("flag").cast("long")).cast("long").alias("n_flagged"),
+            F.countDistinct("tag1").cast("long").alias("n_tag1"),
+            F.max("vid").cast("long").alias("max_id"),
+            F.count("absent").cast("long").alias("n_absent_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCALAR UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``) —
+    the catalog-resident reusable-expression lane ETL teams standardize
+    gates in, proven two ways like pipe_syntax_parity: (a) a nested
+    pair of SQL UDFs (token count; a milli-density UDF that CALLS the
+    first — exercising function-in-function resolution) drives a
+    rollup that is asserted digest-identical IN SPARK to the same
+    query with the expressions textually inlined (two resolution
+    paths, one answer); (b) the oracle runs the inlined form in
+    DuckDB. SQL UDFs inline into the plan at analysis time — zero
+    runtime dispatch, full Catalyst optimization through the call —
+    unlike Python UDFs, which is exactly why they're the 100 TB
+    default for shareable logic."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    f1, f2 = f"ip_toks_{tag}", f"ip_density_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView(f"ip_sqludf_docs_{tag}")
+    try:
+        spark.sql(
+            f"CREATE TEMPORARY FUNCTION {f1}(t STRING) RETURNS BIGINT"
+            " RETURN cast(size(filter(split(t, ' '), x -> x != ''))"
+            " as bigint)"
+        )
+        spark.sql(
+            f"CREATE TEMPORARY FUNCTION {f2}(t STRING) RETURNS BIGINT"
+            f" RETURN CASE WHEN length(t) = 0 THEN 0L"
+            f" ELSE 1000 * {f1}(t) DIV length(t) END"
+        )
+        via_udf = spark.sql(
+            f"""
+            SELECT source,
+              cast(count(*) as bigint) AS n_docs,
+              cast(sum({f1}(text)) as bigint) AS sum_toks,
+              cast(sum({f2}(text)) as bigint) AS sum_density_milli
+            FROM ip_sqludf_docs_{tag}
+            GROUP BY source ORDER BY source
+            """
+        )
+        inlined = spark.sql(
+            f"""
+            SELECT source,
+              cast(count(*) as bigint) AS n_docs,
+              cast(sum(cast(size(filter(split(text, ' '), x -> x != ''))
+                as bigint)) as bigint) AS sum_toks,
+              cast(sum(CASE WHEN length(text) = 0 THEN 0L
+                ELSE 1000 * cast(size(filter(split(text, ' '),
+                  x -> x != '')) as bigint) DIV length(text) END)
+                as bigint) AS sum_density_milli
+            FROM ip_sqludf_docs_{tag}
+            GROUP BY source ORDER BY source
+            """
+        )
+        assert via_udf.exceptAll(inlined).count() == 0
+        assert inlined.exceptAll(via_udf).count() == 0
+        out = via_udf.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {f2}")
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {f1}")
+        spark.catalog.dropTempView(f"ip_sqludf_docs_{tag}")
+    return out
+
+
+def approx_topk_exact_regime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``approx_top_k`` RUN IN ITS EXACT REGIME — the sketch-
+    correctness discipline the HLL/CMS entries use, applied to Spark
+    4's native heavy-hitters aggregate: when the tracked capacity
+    covers every distinct value (k >= NDV; here k=64 over the bounded
+    source domain), the sketch degenerates to exact counts, so its
+    output is hash-comparable against a plain GROUP BY — asserted
+    in-entry (set equality of (item, count) pairs), then exported in
+    the deterministic (count DESC, item) order. At 100 TB the same
+    call with k << NDV is the one-pass heavy-hitters plan (mergeable,
+    no full shuffle of the key domain); this entry pins the
+    correctness end of that spectrum. Oracle: the exact GROUP BY."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.selectExpr("source").createOrReplaceTempView("ip_atk_docs")
+    sk = spark.sql(
+        "SELECT explode(approx_top_k(source, 64)) AS e FROM ip_atk_docs"
+    ).selectExpr(
+        "e.item AS source", "cast(e.count as bigint) AS n_docs"
+    )
+    exact = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    assert sk.exceptAll(exact).count() == 0
+    assert exact.exceptAll(sk).count() == 0
+    return sk.orderBy(F.desc("n_docs"), F.asc("source"))
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -22629,6 +22774,10 @@ QUERIES = {
     "streaming_ivfpq_probe": streaming_ivfpq_probe,
     "release_provenance_chain": release_provenance_chain,
     "incremental_components_merge": incremental_components_merge,
+    # -- (b35) new in the r09 build session: never driver-checked ------
+    "variant_shred_gate": variant_shred_gate,
+    "sql_udf_parity": sql_udf_parity,
+    "approx_topk_exact_regime": approx_topk_exact_regime,
 }
 
 
@@ -22696,7 +22845,9 @@ _R09_WINDOW = [
 # _R10_PLAN (committed by name, execute after CORRECTNESS_r09 lands):
 # the b32/b33 overflow leads in registration order — bm25_prf_expansion,
 # bootstrap_ci_poisson, dp_noisy_max_median, group_by_all_parity — then
-# any r09-build-session waves (b34+) in registration order, then pad to
+# the r09 build session's b34 wave in registration order
+# (streaming_ivfpq_probe, release_provenance_chain,
+# incremental_components_merge), then any later waves, then pad to
 # 50 with the stalest re-proof rows: the r02-fresh entries in
 # CORRECTNESS_r02 order (ner_entities, keyphrase_extraction,
 # entity_extraction_stub, text_rendition, html_rendition,

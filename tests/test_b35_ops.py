@@ -1,0 +1,47 @@
+"""b35 wave: Spark 4 API-surface parity entries."""
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_variant_shred_gate(spark):
+    from intelligencepipeline_spark.queries import variant_shred_gate
+
+    out = variant_shred_gate(spark, SF)
+    a = audit(out)
+    assert a.reads_only("doc_id", "source", "text"), a.read_schemas
+    assert not a.cartesian
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        # try_variant_get on a missing path must be NULL, never a hit
+        assert r["n_absent_hits"] == 0
+        assert 0 <= r["n_flagged"] <= r["n_docs"]
+        assert 1 <= r["n_tag1"] <= 7
+
+
+def test_sql_udf_parity_cleans_up(spark):
+    from intelligencepipeline_spark.queries import sql_udf_parity
+
+    before = {f.name for f in spark.catalog.listFunctions()}
+    rows = sql_udf_parity(spark, SF).collect()
+    after = {f.name for f in spark.catalog.listFunctions()}
+    assert rows
+    # temp functions and view dropped in finally
+    assert not {n for n in after - before if n.startswith("ip_")}
+    for r in rows:
+        assert 0 <= r["sum_density_milli"] <= 1000 * r["n_docs"]
+
+
+def test_approx_topk_exact_regime(spark):
+    from intelligencepipeline_spark.queries import approx_topk_exact_regime
+
+    rows = approx_topk_exact_regime(spark, SF).collect()
+    assert rows
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # exact regime: the sketch covered every doc exactly once
+    from intelligencepipeline_spark.sources.tables import load_table
+
+    assert sum(counts) == load_table(spark, SF, "documents").count()
