@@ -11812,3 +11812,95 @@ SELECT source, cast(count(*) as bigint) AS n_docs
 FROM documents GROUP BY source
 ORDER BY n_docs DESC, source
 """
+
+# kanonymity_generalization_plan: equivalence classes per ladder
+# level, the k-test, the per-customer minimal-level argmin, and the
+# level census — floor() on double in both engines so negative
+# balances bucket identically.
+ORACLES["kanonymity_generalization_plan"] = """
+WITH base AS (
+  SELECT c_custkey, cast(c_nationkey as bigint) AS nat,
+    c_mktsegment AS seg,
+    cast(floor(cast(c_acctbal as double) / 100) as bigint) AS b0,
+    cast(floor(cast(c_acctbal as double) / 1000) as bigint) AS b1
+  FROM customer
+),
+s0 AS (SELECT nat, seg, b0, count(*) AS sz0 FROM base GROUP BY 1, 2, 3),
+s1 AS (SELECT nat, seg, b1, count(*) AS sz1 FROM base GROUP BY 1, 2, 3),
+s2 AS (SELECT nat, seg, count(*) AS sz2 FROM base GROUP BY 1, 2),
+s3 AS (SELECT count(*) AS sz3 FROM base),
+lab AS (
+  SELECT b.c_custkey,
+    CASE WHEN s0.sz0 >= 5 THEN 0 WHEN s1.sz1 >= 5 THEN 1
+         WHEN s2.sz2 >= 5 THEN 2 ELSE 3 END AS min_level
+  FROM base b
+  JOIN s0 USING (nat, seg, b0)
+  JOIN s1 USING (nat, seg, b1)
+  JOIN s2 USING (nat, seg)
+  CROSS JOIN s3
+),
+lv AS (
+  SELECT 0 AS level,
+    (SELECT count(*) FROM s0) AS n_classes,
+    (SELECT count(*) FROM s0 WHERE sz0 < 5) AS n_small,
+    (SELECT count(*) FROM lab WHERE min_level = 0) AS resolved,
+    (SELECT max(sz0) FROM s0) AS largest
+  UNION ALL SELECT 1, (SELECT count(*) FROM s1),
+    (SELECT count(*) FROM s1 WHERE sz1 < 5),
+    (SELECT count(*) FROM lab WHERE min_level = 1),
+    (SELECT max(sz1) FROM s1)
+  UNION ALL SELECT 2, (SELECT count(*) FROM s2),
+    (SELECT count(*) FROM s2 WHERE sz2 < 5),
+    (SELECT count(*) FROM lab WHERE min_level = 2),
+    (SELECT max(sz2) FROM s2)
+  UNION ALL SELECT 3, 1,
+    (SELECT CASE WHEN sz3 < 5 THEN 1 ELSE 0 END FROM s3),
+    (SELECT count(*) FROM lab WHERE min_level = 3),
+    (SELECT sz3 FROM s3)
+)
+SELECT cast(level as bigint) AS level,
+  cast(n_classes as bigint) AS n_classes,
+  cast(n_small as bigint) AS n_small_classes,
+  cast(resolved as bigint) AS n_customers_resolved,
+  cast(largest as bigint) AS largest_class
+FROM lv ORDER BY level
+"""
+
+# ldp_randomized_response: the md5 coin (hex-literal cast), the
+# replacement draw, the GRR estimator with symmetric-truncation
+# division (sign factored out so Spark's trunc-toward-zero DIV and
+# DuckDB's floor // agree on negatives).
+ORACLES["ldp_randomized_response"] = """
+WITH rep AS (
+  SELECT source,
+    CASE WHEN cast(concat('0x',
+        substr(md5('ldp' || cast(doc_id as varchar)), 1, 8)) as bigint)
+        % 4 < 3
+      THEN source
+      ELSE 'src' || cast((cast(substr(source, 4) as int) + 1 +
+        cast(concat('0x',
+          substr(md5('ldp' || cast(doc_id as varchar)), 9, 8)) as bigint)
+        % 19) % 20 as varchar)
+    END AS reported
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM rep),
+tc AS (SELECT source, count(*) AS true_count FROM documents GROUP BY 1),
+obs AS (SELECT reported, count(*) AS reported_count FROM rep GROUP BY 1),
+est AS (
+  SELECT tc.source, tc.true_count,
+    coalesce(obs.reported_count, 0) AS reported_count,
+    (76 * coalesce(obs.reported_count, 0) - (SELECT n FROM n)) * 19000
+      AS num
+  FROM tc LEFT JOIN obs ON tc.source = obs.reported
+)
+SELECT source,
+  cast(true_count as bigint) AS true_count,
+  cast(reported_count as bigint) AS reported_count,
+  cast(CASE WHEN num >= 0 THEN num // 1064
+    ELSE -((-num) // 1064) END as bigint) AS est_milli,
+  cast(abs(CASE WHEN num >= 0 THEN num // 1064
+    ELSE -((-num) // 1064) END - 1000 * true_count) as bigint)
+    AS abs_err_milli
+FROM est ORDER BY source
+"""

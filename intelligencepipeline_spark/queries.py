@@ -22328,6 +22328,187 @@ def approx_topk_exact_regime(
     return sk.orderBy(F.desc("n_docs"), F.asc("source"))
 
 
+def kanonymity_generalization_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K-ANONYMITY GENERALIZATION LADDER — the release-side privacy
+    audit the DP family (central model) and crypto_shredding (key
+    destruction) don't cover: quasi-identifier equivalence classes
+    over customer (nation, market segment, account-balance bucket)
+    are sized at each rung of a 4-level generalization ladder
+    (balance bucketed $100 -> $1000 -> suppressed -> all QIs
+    suppressed), and each customer resolves to the MINIMAL level
+    whose class reaches k=5 — the census a data-release board signs.
+    Exports one row per level: classes, violating (<k) classes,
+    customers whose minimal adequate level is this one, and the
+    largest class — the whole export is ONE declarative plan (no
+    per-level driver loop).
+
+    Scale: each level is one keyed count over the QI tuple (map-side
+    combinable) joined back by the same key — no windows over the
+    full table, no driver state; the ladder is 4 scans a real
+    released-tables job pays once. Balance buckets use floor() on
+    double (exact for 2-decimal balances) so negative balances bucket
+    identically in both engines. Oracle replays classes, k-test and
+    the minimal-level argmin."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = 5
+    base = track_persist(
+        cust.select(
+            "c_custkey",
+            F.col("c_nationkey").cast("long").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal").cast("double") / 100).alias("b0"),
+            F.floor(F.col("c_acctbal").cast("double") / 1000).alias("b1"),
+        )
+    )
+    levels = [
+        ("nat", "seg", "b0"),
+        ("nat", "seg", "b1"),
+        ("nat", "seg"),
+        (),
+    ]
+    grps, sized = [], base
+    for lvl, keys in enumerate(levels):
+        grp = (
+            base.groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(f"sz{lvl}")
+            )
+            if keys
+            else base.agg(
+                F.count(F.lit(1)).cast("long").alias(f"sz{lvl}")
+            )
+        )
+        grps.append(grp)
+        sized = (
+            sized.join(grp, list(keys)) if keys else sized.crossJoin(
+                F.broadcast(grp)
+            )
+        )
+    sized = sized.withColumn(
+        "min_level",
+        F.when(F.col("sz0") >= k, 0)
+        .when(F.col("sz1") >= k, 1)
+        .when(F.col("sz2") >= k, 2)
+        .otherwise(3)
+        .cast("long"),
+    )
+    resolved = sized.groupBy("min_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers_resolved")
+    )
+    stats = None
+    for lvl, grp in enumerate(grps):
+        st = grp.agg(
+            F.lit(lvl).cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum((F.col(f"sz{lvl}") < k).cast("long"))
+            .cast("long")
+            .alias("n_small_classes"),
+            F.max(f"sz{lvl}").cast("long").alias("largest_class"),
+        )
+        stats = st if stats is None else stats.unionByName(st)
+    return (
+        stats.join(
+            resolved, stats["level"] == resolved["min_level"], "left"
+        )
+        .select(
+            "level",
+            "n_classes",
+            "n_small_classes",
+            F.coalesce("n_customers_resolved", F.lit(0))
+            .cast("long")
+            .alias("n_customers_resolved"),
+            "largest_class",
+        )
+        .orderBy("level")
+    )
+
+
+def ldp_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL DIFFERENTIAL PRIVACY — generalized randomized response
+    (Warner 1965 / RAPPOR's direct-encoding arm), the client-side
+    half the central-model dp_* entries don't cover: each doc reports
+    its source TRUTHFULLY with probability p = 3/4 and otherwise
+    reports one of the d-1 = 19 other sources uniformly (epsilon =
+    ln(p/q) = ln(57) per report), using the repo's deterministic
+    md5 coin so both engines replay the identical perturbation. The
+    server-side unbiased estimator n_v = (c_v - n*q) / (p - q) is
+    computed in EXACT integer milli-counts with symmetric-truncation
+    division (Spark DIV truncates toward zero, DuckDB // floors —
+    sign is factored out so both truncate identically on negatives).
+    Exports per source: true count, perturbed count, estimate, and
+    the absolute error; the estimator's consistency (raw estimates
+    sum to 1000*n up to per-source truncation loss) is asserted
+    in-entry.
+
+    Scale: the perturbation is one expression scan (the shape a
+    telemetry SDK stamps client-side at any volume); estimation is
+    one keyed count + constant arithmetic. Oracle replays coin,
+    replacement draw and estimator exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    d = 20
+    rep = docs.selectExpr(
+        "source",
+        "cast(substring(source, 4) as int) AS idx",
+        "cast(conv(substring(md5(concat('ldp', cast(doc_id as string))),"
+        " 1, 8), 16, 10) as bigint) % 4 AS coin",
+        "cast(conv(substring(md5(concat('ldp', cast(doc_id as string))),"
+        " 9, 8), 16, 10) as bigint) % 19 AS alt",
+    ).selectExpr(
+        "source",
+        "CASE WHEN coin < 3 THEN source"
+        " ELSE concat('src', cast((idx + 1 + alt) % 20 as string))"
+        " END AS reported",
+    )
+    n = rep.count()
+    true_counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    obs = rep.groupBy("reported").agg(
+        F.count(F.lit(1)).cast("long").alias("reported_count")
+    )
+    # p=3/4, q=(1-p)/(d-1)=1/76; estimate = (76*c_v - n) * 19 / (76*14)
+    out = (
+        true_counts.join(
+            obs, true_counts["source"] == obs["reported"], "left"
+        )
+        .select(
+            "source",
+            "true_count",
+            F.coalesce("reported_count", F.lit(0))
+            .cast("long")
+            .alias("reported_count"),
+        )
+        .withColumn(
+            "num",
+            (F.lit(76) * F.col("reported_count") - F.lit(int(n)))
+            * F.lit(19000),
+        )
+        .selectExpr(
+            "source",
+            "true_count",
+            "reported_count",
+            "CAST(CASE WHEN num >= 0 THEN num DIV 1064"
+            " ELSE -((-num) DIV 1064) END AS LONG) AS est_milli",
+        )
+        .withColumn(
+            "abs_err_milli",
+            F.abs(F.col("est_milli") - F.lit(1000) * F.col("true_count"))
+            .cast("long"),
+        )
+        .drop("num")
+        .orderBy("source")
+    )
+    out = track_persist(out)
+    # estimator consistency: raw estimates sum to n (within the
+    # per-source truncation loss of < 1 milli each)
+    s = out.agg(F.sum("est_milli").alias("s")).collect()[0]["s"]
+    assert abs(int(s) - 1000 * int(n)) <= d, (s, n)
+    return out
+
+
 # Registry order is driver-visible: the correctness gate checks the
 # FIRST 50 entries only, so each round the window rotates onto entries
 # with no driver row yet. r01 checked its first-50; r02 the
@@ -22778,6 +22959,9 @@ QUERIES = {
     "variant_shred_gate": variant_shred_gate,
     "sql_udf_parity": sql_udf_parity,
     "approx_topk_exact_regime": approx_topk_exact_regime,
+    # -- (b36) new in the r09 build session: never driver-checked ------
+    "kanonymity_generalization_plan": kanonymity_generalization_plan,
+    "ldp_randomized_response": ldp_randomized_response,
 }
 
 

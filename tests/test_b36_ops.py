@@ -1,0 +1,38 @@
+"""b36 wave: release-side privacy (k-anonymity ladder, local DP)."""
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kanonymity_generalization_plan(spark):
+    from intelligencepipeline_spark.queries import (
+        kanonymity_generalization_plan,
+    )
+
+    out = kanonymity_generalization_plan(spark, SF)
+    audit(out)  # plan materializes cleanly
+    rows = {r["level"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # generalization is monotone: coarser levels have fewer classes
+    # and never more violations
+    for lvl in (1, 2, 3):
+        assert rows[lvl]["n_classes"] <= rows[lvl - 1]["n_classes"]
+        assert rows[lvl]["largest_class"] >= rows[lvl - 1]["largest_class"]
+    assert rows[3]["n_classes"] == 1 and rows[3]["n_small_classes"] == 0
+    total = sum(r["n_customers_resolved"] for r in rows.values())
+    assert total == rows[3]["largest_class"]  # every customer resolves
+
+
+def test_ldp_randomized_response(spark):
+    from intelligencepipeline_spark.queries import ldp_randomized_response
+
+    rows = ldp_randomized_response(spark, SF).collect()
+    assert rows
+    n = sum(r["true_count"] for r in rows)
+    n_rep = sum(r["reported_count"] for r in rows)
+    assert n_rep == n  # perturbation is a bijection on reports
+    # unbiased estimator: milli estimates sum back to the population
+    # up to per-source truncation loss
+    s = sum(r["est_milli"] for r in rows)
+    assert abs(s - 1000 * n) <= len(rows)
