@@ -86,6 +86,7 @@ def main() -> None:
     # not comparable to the bench_full.json numbers bench_diff
     # triages against, which is exactly when `only` gets used.
     from intelligencepipeline_spark.queries import (
+        _funnel_stages,
         _shared_base_components,
         _shared_lsh_edges,
         _shared_shingles,
@@ -94,6 +95,10 @@ def main() -> None:
     _shared_shingles(spark, sf_dir).count()
     _shared_lsh_edges(spark, sf_dir).count()
     _shared_base_components(spark, sf_dir).count()
+    # funnel stage frames (r10): three entries (corpus_dedup_funnel,
+    # training_release_manifest, release_provenance_chain) consume the
+    # identical survivor chain — at-rest tables of the curation run.
+    _funnel_stages(spark, sf_dir)[4].count()
 
     # The host shows episodic multi-second scheduling stalls (same
     # query: 0.9s one run, 10s the next; load spikes from co-tenants

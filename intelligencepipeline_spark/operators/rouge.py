@@ -53,6 +53,11 @@ from pyspark.sql import functions as F
 # once per outer step. mask = 2^|b| - 1 keeps V inside |b| bits, so
 # the final bit_count needs no re-masking.
 _LCS_TEMPLATE = """
+IF(size({b}) > 62,
+  cast(raise_error(concat('lcs_len: reference side has ',
+    cast(size({b}) as string),
+    ' tokens; the BIGINT bitvector encoding is exact only up to 62 — '
+    'cap the reference token array at the call site')) as bigint),
 IF(size({a}) = 0 OR size({b}) = 0, 0L,
   cast(size({b}) as bigint) - cast(bit_count(
     aggregate({a},
@@ -63,7 +68,7 @@ IF(size({a}) = 0 OR size({b}) = 0, 0L,
                          m | shiftleft(1L, k - 1), m))
         ), t -> ((V + t) | (V - t))
                 & (shiftleft(1L, size({b})) - 1L)), 1))
-  ) as bigint))
+  ) as bigint)))
 """
 
 
@@ -73,7 +78,9 @@ def lcs_len(a: str = "ta", b: str = "tb") -> Column:
     ``a`` / ``b`` are COLUMN NAMES (the expression references them by
     name inside lambda scopes, where Column objects can't reach).
     ``b`` must have at most 62 elements (the DP row lives in one
-    BIGINT; callers cap tokens at 16). Empty arrays short-circuit
+    BIGINT; callers cap tokens at 16) — ENFORCED in the expression:
+    an oversized reference array raises via ``raise_error`` instead
+    of silently corrupting the bitvector. Empty arrays short-circuit
     to 0.
     """
     return F.expr(_LCS_TEMPLATE.format(a=a, b=b)).cast("long")

@@ -11904,3 +11904,77 @@ SELECT source,
     AS abs_err_milli
 FROM est ORDER BY source
 """
+
+# streaming_lsh_edge_ingest: replay the banded LSH over the full
+# corpus, map arrival epochs (base=0, even arrivals=1, odd=2 — the
+# six smallest dup-graph nodes plus doc_id % 101 = 7), then derive
+# each batch's probe from the epoch map: candidates are distinct band
+# collisions whose max endpoint epoch is the batch's, emitted edges
+# are the verified edges (shared CTEs) with the same max-epoch rule,
+# touched buckets use the portable md5 bucket (first 8 hex digits mod
+# 16). The incremental==batch lossless proof runs in-entry.
+ORACLES["streaming_lsh_edge_ingest"] = f"""
+WITH {_LSH_EDGE_CTES},
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a AS doc_id FROM edges
+    UNION ALL SELECT b AS doc_id FROM edges)
+), six AS (
+  SELECT doc_id FROM nodes ORDER BY doc_id LIMIT 6
+), arriving AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM six
+    UNION ALL
+    SELECT doc_id FROM documents WHERE doc_id % 101 = 7)
+), epochs AS (
+  SELECT d.doc_id,
+    CASE WHEN ar.doc_id IS NULL THEN 0
+         WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END AS epoch
+  FROM documents d LEFT JOIN arriving ar USING (doc_id)
+), bt AS (
+  SELECT 0 AS batch UNION ALL SELECT 1
+), nd AS (
+  SELECT epoch - 1 AS batch, count(*) AS n
+  FROM epochs WHERE epoch > 0 GROUP BY epoch
+), tbk AS (
+  SELECT e.epoch - 1 AS batch,
+    count(DISTINCT cast(concat('0x', substr(md5(b.band_hash), 1, 8))
+      as bigint) % 16) AS n
+  FROM bands b JOIN epochs e USING (doc_id)
+  WHERE e.epoch > 0
+  GROUP BY e.epoch
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+    greatest(ex.epoch, ey.epoch) AS epoch
+  FROM bands x JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash
+  JOIN epochs ex ON ex.doc_id = x.doc_id
+  JOIN epochs ey ON ey.doc_id = y.doc_id
+  WHERE x.doc_id < y.doc_id
+), nc AS (
+  SELECT epoch - 1 AS batch, count(*) AS n
+  FROM cand WHERE epoch > 0 GROUP BY epoch
+), ee AS (
+  SELECT e.a, e.b, greatest(ea.epoch, eb.epoch) AS epoch
+  FROM edges e
+  JOIN epochs ea ON ea.doc_id = e.a
+  JOIN epochs eb ON eb.doc_id = e.b
+  WHERE greatest(ea.epoch, eb.epoch) > 0
+), ne AS (
+  SELECT epoch - 1 AS batch, count(*) AS n,
+    md5(string_agg(cast(a as varchar) || ':' || cast(b as varchar),
+      ',' ORDER BY a, b)) AS dig
+  FROM ee GROUP BY epoch
+)
+SELECT cast(bt.batch as bigint) AS batch,
+  cast(coalesce(nd.n, 0) as bigint) AS n_new_docs,
+  cast(coalesce(tbk.n, 0) as bigint) AS n_touched_buckets,
+  cast(coalesce(nc.n, 0) as bigint) AS n_candidates,
+  cast(coalesce(ne.n, 0) as bigint) AS n_new_edges,
+  coalesce(ne.dig, md5('')) AS edges_digest,
+  cast(2 as bigint) AS n_batches,
+  TRUE AS lossless
+FROM bt
+LEFT JOIN nd USING (batch) LEFT JOIN tbk USING (batch)
+LEFT JOIN nc USING (batch) LEFT JOIN ne USING (batch)
+ORDER BY batch
+"""

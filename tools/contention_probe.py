@@ -1,0 +1,168 @@
+"""Host-sensitivity lint (r09 verdict item 5): measure catalog
+entries QUIET vs under a controlled co-tenant CPU load and report the
+stretch ratio, so load-sensitive plans (interpreted HOF folds, the
+r08 selfinstruct / r09 provenance pattern) are caught in-repo before
+a loaded driver host finds them.
+
+Method: for each probed entry, one warm-up run (discarded — fills
+fit-once caches and JIT), one QUIET timed run, then N_SPIN busy-loop
+processes are started and the entry is timed again CONTENDED; the
+spinners are killed between entries. Ratio = contended / quiet.
+Entries above --fail-ratio (default 2.5) fail the probe (rc 1).
+
+Selection: entry names as argv, else the top --top (default 20)
+wall-time entries from bench_full.json. Shared substrates are
+prewarmed un-timed exactly like bench.py, so ratios measure the
+entry's own plan, not a cold substrate build.
+
+Results land in contention_probe.json: {entry: {quiet, contended,
+ratio}} plus the config, sorted worst-first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intelligencepipeline_spark import get_spark
+from intelligencepipeline_spark.queries import QUERIES
+
+SPIN = "while True:\n    pass\n"
+
+
+def start_spinners(n: int) -> list[subprocess.Popen]:
+    return [
+        subprocess.Popen(
+            [sys.executable, "-c", SPIN],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n)
+    ]
+
+
+def stop_spinners(procs: list[subprocess.Popen]) -> None:
+    for p in procs:
+        p.kill()
+    for p in procs:
+        p.wait()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("entries", nargs="*")
+    ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--spin", type=int, default=16)
+    ap.add_argument("--fail-ratio", type=float, default=2.5)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        ),
+    )
+    ap.add_argument("--json", default="/root/repo/contention_probe.json")
+    args = ap.parse_args()
+
+    names = args.entries
+    if not names:
+        bench = {}
+        bpath = "/root/repo/bench_full.json"
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                bench = json.load(fh).get("queries", {})
+        names = [
+            k
+            for k, _ in sorted(
+                bench.items(), key=lambda kv: -kv[1]
+            )[: args.top]
+            if k in QUERIES
+        ]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown entries: {unknown}")
+
+    spark = get_spark(
+        "contention_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # same un-timed substrate prewarm as bench.py
+    from intelligencepipeline_spark.queries import (
+        _funnel_stages,
+        _shared_base_components,
+        _shared_lsh_edges,
+        _shared_shingles,
+    )
+
+    for prebuild in (
+        "ann_ivf_topk", "pq_ann_topk", "ivfpq_ann_topk",
+        "ivfpq_residual_topk", "ivfpq_incremental",
+    ):
+        if prebuild in names:
+            QUERIES[prebuild](spark, args.sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+    _shared_shingles(spark, args.sf_dir).count()
+    _shared_lsh_edges(spark, args.sf_dir).count()
+    _shared_base_components(spark, args.sf_dir).count()
+    _funnel_stages(spark, args.sf_dir)[4].count()
+
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, args.sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    results: dict[str, dict] = {}
+    for name in names:
+        run_one(name)  # warm-up: caches, JIT — discarded
+        quiet = run_one(name)
+        procs = start_spinners(args.spin)
+        try:
+            time.sleep(0.5)  # let spinners reach steady state
+            contended = run_one(name)
+        finally:
+            stop_spinners(procs)
+        ratio = round(contended / quiet, 2) if quiet > 0 else 0.0
+        results[name] = {
+            "quiet": quiet,
+            "contended": contended,
+            "ratio": ratio,
+        }
+        print(
+            f"{name}: quiet={quiet}s contended={contended}s "
+            f"ratio={ratio}x"
+        )
+
+    ordered = dict(
+        sorted(results.items(), key=lambda kv: -kv[1]["ratio"])
+    )
+    with open(args.json, "w") as fh:
+        json.dump(
+            {
+                "spin": args.spin,
+                "fail_ratio": args.fail_ratio,
+                "sf_dir": args.sf_dir,
+                "entries": ordered,
+            },
+            fh,
+            indent=1,
+        )
+    worst = [
+        n for n, r in ordered.items() if r["ratio"] > args.fail_ratio
+    ]
+    print(
+        f"probe: {len(results)} entries, "
+        f"{len(worst)} above {args.fail_ratio}x: {worst}"
+    )
+    sys.exit(1 if worst else 0)
+
+
+if __name__ == "__main__":
+    main()
