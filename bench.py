@@ -51,6 +51,32 @@ def main() -> None:
     warm.select("id").mapInPandas(
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
+    # Python DataSource lane (r10): the planner/reader/stream-runner
+    # worker spawn for a custom Python source costs ~2-4 s the first
+    # time a session exercises it; without this warm the first
+    # docfeed entry reached in pass 1 carries that cost as its
+    # recorded number whenever the budget cutoff denies it a second
+    # pass (python_datasource_feed read 2x for exactly this reason in
+    # r09's grown catalog).
+    from intelligencepipeline_spark.scratch import scratch_dir as _sd
+    from intelligencepipeline_spark.sources.pyfeed import register as _reg
+
+    _reg(spark)
+    spark.read.format("docfeed").option("n_docs", 8).option(
+        "n_partitions", 2
+    ).load().write.mode("overwrite").format("noop").save()
+    _wq = (
+        spark.readStream.format("docfeed")
+        .option("n_docs", 8)
+        .option("batch_size", 8)
+        .load()
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", _sd("ip_benchwarm_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wq.awaitTermination(120)
 
     def run_one(name: str) -> float:
         t0 = time.time()
@@ -124,7 +150,13 @@ def main() -> None:
         if only and name not in only:
             continue
         timings[name] = run_one(name)
-    for name in list(timings):
+    # Pass 2 runs in REVERSE registry order: under the budget cutoff a
+    # forward second pass systematically denies the registry TAIL its
+    # second measurement — the r09 bias that made python_datasource_feed
+    # read 2x (its only number carried the cold Python-DataSource lane).
+    # Reversed, the tail gets its min-of-two and head entries (measured
+    # once, freshly warmed) are covered by the >2.5s top-up below.
+    for name in reversed(list(timings)):
         if time.time() - t_start > budget:
             break
         timings[name] = min(timings[name], run_one(name))

@@ -11978,3 +11978,96 @@ LEFT JOIN nd USING (batch) LEFT JOIN tbk USING (batch)
 LEFT JOIN nc USING (batch) LEFT JOIN ne USING (batch)
 ORDER BY batch
 """
+
+# judge_agreement_kappa: replay both judges' md5 coins, the p=0.7
+# copy rule, the 3x3 marginal products and the symmetric-truncation
+# kappa division (exact milli, Spark DIV == DuckDB // with the sign
+# factored out).
+ORACLES["judge_agreement_kappa"] = """
+WITH coins AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5('j1' || cast(doc_id as varchar)), 1, 8))
+      as bigint) % 100 AS h1,
+    cast(concat('0x', substr(md5('j2' || cast(doc_id as varchar)), 1, 8))
+      as bigint) % 100 AS h2,
+    cast(concat('0x', substr(md5('cp' || cast(doc_id as varchar)), 1, 8))
+      as bigint) % 10 AS cp
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+    CASE WHEN h1 < 55 THEN 'accept' WHEN h1 < 85 THEN 'reject'
+      ELSE 'unsure' END AS j1,
+    CASE WHEN cp < 7 THEN
+      CASE WHEN h1 < 55 THEN 'accept' WHEN h1 < 85 THEN 'reject'
+        ELSE 'unsure' END
+    ELSE
+      CASE WHEN h2 < 40 THEN 'accept' WHEN h2 < 80 THEN 'reject'
+        ELSE 'unsure' END
+    END AS j2
+  FROM coins
+), cls AS (
+  SELECT unnest(['accept', 'reject', 'unsure']) AS label
+), per AS (
+  SELECT c.label,
+    sum(CASE WHEN l.j1 = c.label THEN 1 ELSE 0 END) AS n_j1,
+    sum(CASE WHEN l.j2 = c.label THEN 1 ELSE 0 END) AS n_j2,
+    sum(CASE WHEN l.j1 = c.label AND l.j2 = c.label THEN 1 ELSE 0 END)
+      AS n_agree
+  FROM cls c CROSS JOIN lab l GROUP BY c.label
+), tot AS (
+  SELECT sum(n_j1) AS n, sum(n_agree) AS a, sum(n_j1 * n_j2) AS e
+  FROM per
+), k AS (
+  SELECT n, a, 1000 * (n * a - e) AS num, n * n - e AS den FROM tot
+)
+SELECT p.label,
+  cast(p.n_j1 as bigint) AS n_j1,
+  cast(p.n_j2 as bigint) AS n_j2,
+  cast(p.n_agree as bigint) AS n_agree,
+  cast(k.n as bigint) AS n_docs,
+  cast(k.a as bigint) AS n_agree_total,
+  cast(CASE WHEN k.den = 0 THEN 0
+    WHEN k.num >= 0 THEN k.num // k.den
+    ELSE -((-k.num) // k.den) END as bigint) AS kappa_milli
+FROM per p CROSS JOIN k
+ORDER BY p.label
+"""
+
+# calibration_ece_audit: replay the confidence/outcome draws, both
+# lanes' correctness rules, the decile bins and every exact integer
+# division (all operands non-negative, so // == trunc on both sides).
+ORACLES["calibration_ece_audit"] = """
+WITH base AS (
+  SELECT doc_id,
+    cast(concat('0x', substr(md5('cf' || cast(doc_id as varchar)), 1, 8))
+      as bigint) % 1000 AS conf_milli,
+    cast(concat('0x', substr(md5('oc' || cast(doc_id as varchar)), 1, 8))
+      as bigint) % 1000 AS outcome
+  FROM documents
+), lanes AS (
+  SELECT 'calibrated' AS lane, conf_milli,
+    CASE WHEN outcome < conf_milli THEN 1 ELSE 0 END AS correct
+  FROM base
+  UNION ALL
+  SELECT 'overconfident', conf_milli,
+    CASE WHEN outcome < greatest(conf_milli - 150, 0) THEN 1 ELSE 0 END
+  FROM base
+), binned AS (
+  SELECT lane, conf_milli // 100 AS bin, count(*) AS n,
+    sum(conf_milli) AS sum_conf, sum(correct) AS n_correct
+  FROM lanes GROUP BY lane, bin
+), ece AS (
+  SELECT lane,
+    sum(abs(1000 * n_correct - sum_conf)) // sum(n) AS ece_milli
+  FROM binned GROUP BY lane
+)
+SELECT b.lane,
+  cast(b.bin as bigint) AS bin,
+  cast(b.n as bigint) AS n,
+  cast(b.sum_conf // b.n as bigint) AS avg_conf_milli,
+  cast((1000 * b.n_correct) // b.n as bigint) AS acc_milli,
+  cast(abs(1000 * b.n_correct - b.sum_conf) as bigint) AS gap_scaled,
+  cast(e.ece_milli as bigint) AS ece_milli
+FROM binned b JOIN ece e USING (lane)
+ORDER BY b.lane, b.bin
+"""

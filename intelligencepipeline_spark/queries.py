@@ -22603,6 +22603,241 @@ def streaming_lsh_edge_ingest(
     )
 
 
+def judge_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-JUDGE AGREEMENT AUDIT (Cohen's kappa, exact milli) — the
+    QA gate every LLM-as-judge eval pipeline ships (Zheng et al. 2023
+    report judge-human and judge-judge agreement before trusting
+    preference labels): two deterministic synthetic judges label every
+    doc accept/reject/unsure (judge 2 copies judge 1 with p=0.7 via an
+    md5 coin, else draws independently with shifted thresholds — the
+    correlated-but-imperfect regime real judge ensembles sit in), and
+    the catalog's no-floats discipline carries kappa EXACTLY:
+
+        kappa = (N·A − E) / (N² − E),  E = Σ_k row_k · col_k
+
+    (A = agreements, marginal products E over the 3 classes) — one
+    integer numerator/denominator, exported in milli via the
+    symmetric-truncation DIV (the ldp_randomized_response rule, so
+    Spark and DuckDB agree on negative kappa). Exports one row per
+    class: both judges' marginals, per-class agreements, plus the
+    kappa/N audit columns.
+
+    Scale: two expression-side md5 draws and ONE 3x3-bounded keyed
+    agg — a pure scan at 100 TB; kappa combines three 1-row
+    aggregates. Oracle replays the coins, the copy rule, the
+    marginal products and the truncation division verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def coin(tag: str, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    def label(draw, t_accept: int, t_reject: int):
+        return (
+            F.when(draw < t_accept, F.lit("accept"))
+            .when(draw < t_reject, F.lit("reject"))
+            .otherwise(F.lit("unsure"))
+        )
+
+    labeled = docs.select(
+        "doc_id",
+        label(coin("j1", 100), 55, 85).alias("j1"),
+        F.when(coin("cp", 10) < 7, label(coin("j1", 100), 55, 85))
+        .otherwise(label(coin("j2", 100), 40, 80))
+        .alias("j2"),
+    )
+    per_class = labeled.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("label"),
+                        (F.col("j1") == c).cast("long").alias("n_j1"),
+                        (F.col("j2") == c).cast("long").alias("n_j2"),
+                        ((F.col("j1") == c) & (F.col("j2") == c))
+                        .cast("long")
+                        .alias("n_agree"),
+                    )
+                    for c in ("accept", "reject", "unsure")
+                ]
+            )
+        ).alias("s")
+    ).select("s.*").groupBy("label").agg(
+        F.sum("n_j1").alias("n_j1"),
+        F.sum("n_j2").alias("n_j2"),
+        F.sum("n_agree").alias("n_agree"),
+    )
+    tot = per_class.agg(
+        F.sum("n_j1").alias("n"),
+        F.sum("n_agree").alias("a"),
+        F.sum(F.col("n_j1") * F.col("n_j2")).alias("e"),
+    )
+    num = (F.lit(1000) * (F.col("n") * F.col("a") - F.col("e"))).cast(
+        "long"
+    )
+    den = (F.col("n") * F.col("n") - F.col("e")).cast("long")
+    kappa = F.when(den == 0, F.lit(0).cast("long")).otherwise(
+        F.when(num >= 0, num - (num % den)).otherwise(
+            -((-num) - ((-num) % den))
+        )
+        / den
+    ).cast("long")
+    audit = tot.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a").cast("long").alias("n_agree_total"),
+        kappa.alias("kappa_milli"),
+    )
+    return (
+        per_class.crossJoin(F.broadcast(audit))  # 3 rows x 1 audit row
+        .select(
+            "label", "n_j1", "n_j2", "n_agree",
+            "n_docs", "n_agree_total", "kappa_milli",
+        )
+        .orderBy("label")
+    )
+
+
+def calibration_ece_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFIDENCE CALIBRATION AUDIT (expected calibration error, exact
+    milli) — the reliability check run on any judge/classifier whose
+    scores gate training data (Guo et al. 2017): each doc gets a
+    deterministic reported confidence (md5 milli draw) and an outcome
+    coin, in TWO lanes — 'calibrated' (correct iff outcome draw <
+    reported confidence: accuracy tracks confidence by construction)
+    and 'overconfident' (the same reported confidence but the outcome
+    threshold lowered by 150 milli: reported > realized, the failure
+    mode that silently poisons score-gated corpora). Docs bin by
+    confidence decile; ECE is carried exactly in integers:
+
+        ECE_milli = ( Σ_bins |1000·n_correct_b − Σ conf_milli_b| ) DIV N
+
+    (each term is n_b · |acc_b − avgconf_b| in milli — no floats, no
+    per-bin division). Exports one row per (lane, bin): size, exact
+    DIV'd average confidence and accuracy, the scaled gap, and the
+    lane's ECE — the overconfident lane's ECE must exceed the
+    calibrated lane's by construction, asserted in-entry.
+
+    Scale: two md5 draws and one 20-group agg — a pure expression
+    scan at 100 TB. Oracle replays draws, bins, gaps and divisions."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def draw(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(tag), F.col("doc_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    base = docs.select(
+        "doc_id",
+        draw("cf").alias("conf_milli"),
+        draw("oc").alias("outcome"),
+    )
+    lanes = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("calibrated").alias("lane"),
+                    F.col("conf_milli"),
+                    (F.col("outcome") < F.col("conf_milli"))
+                    .cast("long")
+                    .alias("correct"),
+                ),
+                F.struct(
+                    F.lit("overconfident").alias("lane"),
+                    F.col("conf_milli"),
+                    (
+                        F.col("outcome")
+                        < F.greatest(
+                            F.col("conf_milli") - 150, F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias("correct"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    binned = lanes.groupBy(
+        "lane", (F.col("conf_milli") / 100).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf_milli").cast("long").alias("sum_conf"),
+        F.sum("correct").cast("long").alias("n_correct"),
+    )
+    gap = F.abs(F.lit(1000) * F.col("n_correct") - F.col("sum_conf"))
+    per_bin = binned.select(
+        "lane",
+        "bin",
+        "n",
+        (F.col("sum_conf") - F.col("sum_conf") % F.col("n"))
+        .cast("long")
+        .alias("_ac_num"),
+        "sum_conf",
+        "n_correct",
+        gap.cast("long").alias("gap_scaled"),
+    ).select(
+        "lane",
+        "bin",
+        "n",
+        (F.col("_ac_num") / F.col("n")).cast("long").alias(
+            "avg_conf_milli"
+        ),
+        (
+            (
+                F.lit(1000) * F.col("n_correct")
+                - (F.lit(1000) * F.col("n_correct")) % F.col("n")
+            )
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("acc_milli"),
+        "gap_scaled",
+    )
+    ece = binned.groupBy("lane").agg(
+        (
+            (
+                F.sum(gap)
+                - F.sum(gap) % F.sum("n")
+            )
+            / F.sum("n")
+        )
+        .cast("long")
+        .alias("ece_milli")
+    )
+    e = {r["lane"]: r["ece_milli"] for r in ece.collect()}  # 2 rows
+    assert e["overconfident"] > e["calibrated"], e
+    return (
+        per_bin.join(F.broadcast(ece), "lane")
+        .select(
+            "lane", "bin", "n", "avg_conf_milli", "acc_milli",
+            "gap_scaled", "ece_milli",
+        )
+        .orderBy("lane", "bin")
+    )
+
+
 def variant_shred_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT SEMI-STRUCTURED INGEST (Spark 4's open-format answer to
     schema-on-read JSON — the type a 100 TB event/telemetry lake lands
@@ -23398,6 +23633,9 @@ QUERIES = {
     "ldp_randomized_response": ldp_randomized_response,
     # -- (b37) new in the r10 build session: never driver-checked ------
     "streaming_lsh_edge_ingest": streaming_lsh_edge_ingest,
+    # -- (b38) new in the r10 build session: never driver-checked ------
+    "judge_agreement_kappa": judge_agreement_kappa,
+    "calibration_ece_audit": calibration_ece_audit,
 }
 
 

@@ -1,0 +1,130 @@
+"""b38 (eval-pipeline QA) pins: plan shapes for the pure-expression
+entries plus exact-arithmetic twins — kappa and ECE recomputed in
+pure Python from the same md5 draws must match the Spark export
+bit-for-bit (the no-floats discipline's third engine)."""
+
+import hashlib
+
+from intelligencepipeline_spark.plans.audit import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+def _draw(tag: str, doc_id: int, mod: int) -> int:
+    h = hashlib.md5(f"{tag}{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) % mod
+
+
+def _doc_ids():
+    import pyarrow.parquet as pq
+
+    return [
+        int(x)
+        for x in pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    ]
+
+
+def test_b38_plan_shapes(spark):
+    from intelligencepipeline_spark.queries import (
+        calibration_ece_audit,
+        judge_agreement_kappa,
+    )
+
+    a = audit(judge_agreement_kappa(spark, SF))
+    assert a.reads_only("doc_id"), a.read_schemas
+    assert not a.cartesian  # the audit-row crossJoin is broadcast-1-row
+    a = audit(calibration_ece_audit(spark, SF))
+    assert a.reads_only("doc_id"), a.read_schemas
+    assert not a.cartesian
+
+
+def test_kappa_matches_pure_python(spark):
+    from intelligencepipeline_spark.queries import judge_agreement_kappa
+
+    ids = _doc_ids()
+
+    def label(h: int, ta: int, tr: int) -> str:
+        return "accept" if h < ta else ("reject" if h < tr else "unsure")
+
+    pairs = []
+    for d in ids:
+        j1 = label(_draw("j1", d, 100), 55, 85)
+        j2 = (
+            j1
+            if _draw("cp", d, 10) < 7
+            else label(_draw("j2", d, 100), 40, 80)
+        )
+        pairs.append((j1, j2))
+    classes = ("accept", "reject", "unsure")
+    n = len(pairs)
+    agree = sum(1 for a_, b_ in pairs if a_ == b_)
+    e = sum(
+        sum(1 for a_, _ in pairs if a_ == c)
+        * sum(1 for _, b_ in pairs if b_ == c)
+        for c in classes
+    )
+    num, den = 1000 * (n * agree - e), n * n - e
+    want_kappa = (
+        0 if den == 0 else (num // den if num >= 0 else -((-num) // den))
+    )
+    rows = {
+        r["label"]: r
+        for r in judge_agreement_kappa(spark, SF).collect()
+    }
+    assert set(rows) == set(classes)
+    for c in classes:
+        assert rows[c]["n_j1"] == sum(1 for a_, _ in pairs if a_ == c)
+        assert rows[c]["n_j2"] == sum(1 for _, b_ in pairs if b_ == c)
+        assert rows[c]["n_agree"] == sum(
+            1 for a_, b_ in pairs if a_ == b_ == c
+        )
+        assert rows[c]["kappa_milli"] == want_kappa
+        assert rows[c]["n_docs"] == n and rows[c]["n_agree_total"] == agree
+
+
+def test_ece_matches_pure_python(spark):
+    from intelligencepipeline_spark.queries import calibration_ece_audit
+
+    ids = _doc_ids()
+    lanes: dict[str, list[tuple[int, int]]] = {
+        "calibrated": [],
+        "overconfident": [],
+    }
+    for d in ids:
+        conf, out = _draw("cf", d, 1000), _draw("oc", d, 1000)
+        lanes["calibrated"].append((conf, 1 if out < conf else 0))
+        lanes["overconfident"].append(
+            (conf, 1 if out < max(conf - 150, 0) else 0)
+        )
+    want = {}
+    for lane, rows_ in lanes.items():
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for conf, ok in rows_:
+            bins.setdefault(conf // 100, []).append((conf, ok))
+        gap_total = sum(
+            abs(1000 * sum(ok for _, ok in v) - sum(c for c, _ in v))
+            for v in bins.values()
+        )
+        want[lane] = {
+            "ece": gap_total // len(rows_),
+            "bins": {
+                b: (
+                    len(v),
+                    sum(c for c, _ in v) // len(v),
+                    1000 * sum(ok for _, ok in v) // len(v),
+                )
+                for b, v in bins.items()
+            },
+        }
+    got = calibration_ece_audit(spark, SF).collect()
+    for r in got:
+        lane, b = r["lane"], r["bin"]
+        n, avg_conf, acc = want[lane]["bins"][b]
+        assert r["n"] == n and r["avg_conf_milli"] == avg_conf
+        assert r["acc_milli"] == acc
+        assert r["ece_milli"] == want[lane]["ece"]
+    assert (
+        want["overconfident"]["ece"] > want["calibrated"]["ece"]
+    )  # the in-entry assert's premise holds at this scale too
