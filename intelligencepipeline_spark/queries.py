@@ -23639,87 +23639,136 @@ QUERIES = {
 }
 
 
-# ==== r09 DRIVER WINDOW (positions 1-50) ===============================
-# CORRECTNESS_r08 landed 50/50 green; the driver union is 339/393. The
-# 54 never-driver-checked entries are the 31 pre-b27 stragglers plus
-# waves b27-b33 (23). _R09_WINDOW holds the 31 stragglers in
-# registration order, then b27-b31 through safety_rule_cofire_matrix
-# (position 50), exactly as _R09_PLAN committed last round; the
-# reorder below puts them at registry positions 1-50 so the driver's
-# head-50 correctness window checks exactly these.
-_R09_WINDOW = [
-    "native_hll_sketch_audit",
-    "xml_ingest_roundtrip",
-    "collated_dedup_audit",
-    "pandas_on_spark_parity",
-    "transpose_stats_matrix",
-    "sft_release_manifest",
-    "json_schema_gate",
-    "length_grouped_batches",
-    "batch_observe_metrics",
-    "rocksdb_state_provider_proof",
-    "stream_source_archival_proof",
-    "pivot_unpivot_roundtrip",
-    "lineage_checkpoint_proof",
-    "ann_cascade_recall",
-    "crawl_frontier_schedule",
-    "compression_codec_audit",
-    "join_hint_enforcement",
-    "rerun_determinism_proof",
-    "dp_budget_ledger",
-    "arrow_python_udf_parity",
-    "streaming_union_watermark_min",
-    "code_file_filters",
-    "source_set_similarity",
-    "sft_echo_filter",
-    "preference_length_bias",
-    "late_data_drop_metrics",
-    "aqe_coalesce_proof",
-    "aqe_join_switch_proof",
-    "dynamic_partition_overwrite",
-    "file_metadata_column_audit",
-    "streaming_query_listener_audit",
-    "interleaved_doc_gate",
-    "streaming_decontamination_gate",
-    "tokenizer_roundtrip_audit",
-    "chat_template_render",
-    "packed_attention_block_audit",
-    "streaming_domain_quota_admission",
-    "cross_modal_retrieval_recall",
-    "streaming_schema_drift_monitor",
-    "prefix_cache_savings_audit",
-    "multimodal_dedup_edges",
-    "bestfit_packing_gain",
-    "lateral_topk_join",
-    "window_group_limit_proof",
-    "null_skew_join_split",
-    "kcore_decomposition",
-    "grid_spatial_join",
-    "pipe_syntax_parity",
-    "dynamic_sql_identifier_gate",
-    "safety_rule_cofire_matrix",
+# ==== r10 DRIVER WINDOW (positions 1-50) ===============================
+# Executes _R10_PLAN exactly as the r09 round committed it: the 15
+# never-driver-checked entries lead in registration order (the 12
+# b32-b36 carryovers the plan named, then the r10 build session's
+# b37/b38 waves — "then any later waves" in the plan's words), and
+# the stalest re-proof rows pad to 50: the r02-fresh entries in
+# CORRECTNESS_r02 key order, oldest first, taking the 35 that fit.
+# CORRECTNESS_r10 landing 50/50 green makes the driver lifetime union
+# 404/404 — every catalog entry driver-verified at least once.
+_R10_WINDOW = [
+    "bm25_prf_expansion",
+    "bootstrap_ci_poisson",
+    "dp_noisy_max_median",
+    "group_by_all_parity",
+    "streaming_ivfpq_probe",
+    "release_provenance_chain",
+    "incremental_components_merge",
+    "variant_shred_gate",
+    "sql_udf_parity",
+    "approx_topk_exact_regime",
+    "kanonymity_generalization_plan",
+    "ldp_randomized_response",
+    "streaming_lsh_edge_ingest",
+    "judge_agreement_kappa",
+    "calibration_ece_audit",
+    "ner_entities",
+    "chunk_lang",
+    "pos_tag_counts",
+    "doc_with_chunks",
+    "salted_user_stats",
+    "hypertable_rollup",
+    "keyphrases",
+    "sentence_chunks",
+    "hashed_embedding",
+    "q17_small_quantity_revenue",
+    "full_outer_activity",
+    "top_value_suppliers",
+    "text_extraction",
+    "dedup_clusters",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "streaming_consolidation",
+    "dedup_survivor_docs",
+    "profile_columns",
+    "deterministic_sample",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q21_blocking_supplier",
+    "html_rendition",
+    "chunk_command_fold",
+    "kafka_serde_roundtrip",
+    "pii_redaction",
+    "contamination_check",
+    "token_packing",
+    "domain_mix_sample",
+    "chunk_metadata_enrichment",
+    "proposer_max_score",
+    "side_effect_sink",
+    "datarecords_snapshot",
 ]
 
-# _R10_PLAN (committed by name, execute after CORRECTNESS_r09 lands):
-# the b32/b33 overflow leads in registration order — bm25_prf_expansion,
-# bootstrap_ci_poisson, dp_noisy_max_median, group_by_all_parity — then
-# the r09 build session's b34 wave in registration order
-# (streaming_ivfpq_probe, release_provenance_chain,
-# incremental_components_merge), then any later waves, then pad to
-# 50 with the stalest re-proof rows: the r02-fresh entries in
-# CORRECTNESS_r02 order (ner_entities, keyphrase_extraction,
-# entity_extraction_stub, text_rendition, html_rendition,
-# consolidation_fold, set_union_accumulate, kafka_serde_roundtrip,
-# session_windows_stream, registry_capabilities, snapshot_read,
-# changelog_read, time_travel_read, idempotent_reprocess,
-# chunk_flatmap_langid, quality_score_distribution,
-# token_count_histogram, document_fingerprint_rolling,
-# profile_columns), oldest first, taking as many as fit.
-assert len(_R09_WINDOW) == 50 and len(set(_R09_WINDOW)) == 50
-assert all(name in QUERIES for name in _R09_WINDOW)
+# NEXT_WINDOW_PLAN — the committed r11 window (execute after
+# CORRECTNESS_r10 lands): the 4 remaining r02-fresh re-proof rows in
+# CORRECTNESS_r02 order, then the stalest r03-fresh rows in
+# CORRECTNESS_r03 order, to 50. A list literal (not a comment) so
+# tools/gen_status.py labels these rows "planned" — a bare dash in
+# STATUS.md again means "never scheduled, never planned". If new
+# waves land before the rotation, they lead (registration order) and
+# the tail of this list defers to r12, stalest-first unchanged.
+NEXT_WINDOW_PLAN = [
+    "streaming_session_windows",
+    "streaming_stateful_stats",
+    "corpus_prep_pipeline",
+    "repetition_filter",
+    "streaming_join_proof",
+    "streaming_restart_exactly_once",
+    "streaming_watermark_finalize",
+    "streaming_backpressure_proof",
+    "streaming_dedup_proof",
+    "engine_streaming_run",
+    "changelog_replay",
+    "streaming_hll_distinct",
+    "streaming_outer_join_proof",
+    "streaming_gap_fill",
+    "streaming_static_join",
+    "watermark_sizing_audit",
+    "ann_ivf_topk",
+    "scd2_dimension",
+    "point_in_time_join",
+    "attribution_revenue",
+    "hll_mergeable_rollup",
+    "containment_pairs",
+    "lexical_diversity",
+    "value_histogram",
+    "pagerank_neardup_graph",
+    "negative_pair_sample",
+    "bpe_encode",
+    "heavy_hitters",
+    "serde_dead_letter",
+    "entity_resolution",
+    "schema_evolution_merge",
+    "ann_recall_audit",
+    "udtf_sentence_chunks",
+    "pq_adc_machinery",
+    "python_datasource_feed",
+    "bigram_surprisal",
+    "integrity_audit",
+    "k_anonymity_audit",
+    "cogroup_reconciliation",
+    "recursive_cte_chain",
+    "array_functions_suite",
+    "sketch_accuracy",
+    "unpivot_event_matrix",
+    "media_pipeline",
+    "event_funnel",
+    "sliding_window_counts",
+    "avro_serde_roundtrip",
+    "bloom_prefilter",
+    "cms_frequency",
+    "lsh_recall_audit",
+]
+
+assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+assert all(name in QUERIES for name in _R10_WINDOW)
+assert all(name in QUERIES for name in NEXT_WINDOW_PLAN)
+assert not set(NEXT_WINDOW_PLAN) & set(_R10_WINDOW)
 QUERIES = {
-    **{name: QUERIES[name] for name in _R09_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in set(_R09_WINDOW)},
+    **{name: QUERIES[name] for name in _R10_WINDOW},
+    **{n: f for n, f in QUERIES.items() if n not in set(_R10_WINDOW)},
 }
 
 
