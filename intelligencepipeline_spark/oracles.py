@@ -12071,3 +12071,80 @@ SELECT b.lane,
 FROM binned b JOIN ece e USING (lane)
 ORDER BY b.lane, b.bin
 """
+
+# bradley_terry_strengths: replay the 3-per-doc battle derivation
+# (md5 draws, shift-past-i opponent, exact integer BT coin), the
+# symmetric pair counts, and the 12 MM rounds as a WITH RECURSIVE
+# single-row iteration carrying the strength vector as a LIST —
+# every integer truncation (term DIV, fit DIV, renormalize DIV)
+# replayed verbatim, all operands non-negative so // == trunc.
+ORACLES["bradley_terry_strengths"] = """
+WITH RECURSIVE b0 AS (
+  SELECT doc_id, k,
+    cast(concat('0x', substr(md5('bta' || cast(doc_id as varchar)
+      || '#' || cast(k as varchar)), 1, 8)) as bigint) % 8 AS i,
+    cast(concat('0x', substr(md5('btb' || cast(doc_id as varchar)
+      || '#' || cast(k as varchar)), 1, 8)) as bigint) % 7 AS r,
+    cast(concat('0x', substr(md5('btw' || cast(doc_id as varchar)
+      || '#' || cast(k as varchar)), 1, 8)) as bigint) % 1000000
+      AS wdraw
+  FROM documents, unnest([0, 1, 2]) AS u(k)
+), b2 AS (
+  SELECT i, CASE WHEN r >= i THEN r + 1 ELSE r END AS j,
+    (wdraw % (i + (CASE WHEN r >= i THEN r + 1 ELSE r END) + 2))
+      < (i + 1) AS i_wins
+  FROM b0
+), cnt AS (
+  SELECT m, o, sum(nn) AS n, sum(w) AS w FROM (
+    SELECT i AS m, j AS o, 1 AS nn,
+      CASE WHEN i_wins THEN 1 ELSE 0 END AS w FROM b2
+    UNION ALL
+    SELECT j, i, 1, CASE WHEN i_wins THEN 0 ELSE 1 END FROM b2
+  ) GROUP BY m, o
+), mw AS (
+  SELECT m, sum(n) AS n_battles, sum(w) AS n_wins FROM cnt GROUP BY m
+), grid AS (
+  SELECT a.range AS gi, b.range AS gj
+  FROM range(0, 8) a, range(0, 8) b
+), nlist AS (
+  SELECT list(cast(coalesce(c.n, 0) as bigint) ORDER BY g.gi, g.gj)
+    AS nl
+  FROM grid g LEFT JOIN cnt c ON c.m = g.gi AND c.o = g.gj
+), wlist AS (
+  SELECT list(cast(coalesce(mw.n_wins, 0) as bigint) ORDER BY g.range)
+    AS wl
+  FROM range(0, 8) g LEFT JOIN mw ON mw.m = g.range
+), it AS (
+  SELECT 0 AS step,
+    [1000, 1000, 1000, 1000, 1000, 1000, 1000, 1000]::BIGINT[] AS s,
+    (SELECT nl FROM nlist) AS nl,
+    (SELECT wl FROM wlist) AS wl
+  UNION ALL
+  SELECT step + 1,
+    list_transform(raw, x -> cast((x * 1000)
+      // greatest(raw[1], 1) as bigint)),
+    nl, wl
+  FROM (
+    SELECT step, nl, wl,
+      list_transform(range(0, 8), i ->
+        (wl[i + 1] * 1000000000000) // greatest(
+          list_sum(list_transform(range(0, 8), j ->
+            CASE WHEN j = i OR s[i + 1] + s[j + 1] <= 0 THEN 0
+              ELSE (nl[i * 8 + j + 1] * 1000000000)
+                // (s[i + 1] + s[j + 1]) END)), 1)) AS raw
+    FROM it WHERE step < 12
+  )
+), fs AS (
+  SELECT s FROM it WHERE step = 12
+)
+SELECT cast(g.range as bigint) AS model,
+  cast(coalesce(mw.n_battles, 0) as bigint) AS n_battles,
+  cast(coalesce(mw.n_wins, 0) as bigint) AS n_wins,
+  cast(fs.s[g.range + 1] as bigint) AS strength_milli,
+  cast(row_number() OVER (ORDER BY fs.s[g.range + 1] DESC, g.range)
+    as bigint) AS rank
+FROM range(0, 8) g
+CROSS JOIN fs
+LEFT JOIN mw ON mw.m = g.range
+ORDER BY model
+"""

@@ -22603,6 +22603,136 @@ def streaming_lsh_edge_ingest(
     )
 
 
+def bradley_terry_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRADLEY-TERRY PREFERENCE-STRENGTH FITTING (exact integer MM) —
+    the model behind every pairwise-preference leaderboard (Chatbot
+    Arena's Elo is BT; RLHF reward models train on the same pairwise
+    data): synthetic battles between 8 policies are derived per doc
+    (3 battles each from independent md5 draws; the winner coin is
+    biased by TRUE strength i+1 via `draw % (si+sj) < si` — an exact
+    integer BT generator, no floats), and strengths are fit with
+    Hunter (2004)'s MM iteration
+
+        s_i' = W_i / Σ_{j≠i} n_ij / (s_i + s_j)
+
+    run for a FIXED 12 rounds entirely in integer milli arithmetic
+    (per-term `n_ij·10^9 DIV (s_i+s_j)`, then `W_i·10^12 DIV d_i`,
+    then renormalize to model 0 = 1000 — every truncation replayed
+    verbatim by the oracle, so the fit is hash-exact cross-engine).
+    The recovered ranking must equal the true-strength ranking —
+    asserted in-entry. Exports per model: battles, wins, fitted
+    strength, rank.
+
+    Scale: the ONLY data-proportional work is one groupBy over the
+    battle stream (mergeable (i,j,win) counts — at 100 TB this is a
+    map-side-combinable pair-count agg); the 8x8 count matrix is
+    model-count-bounded driver state (the quantizer-table/union-find
+    discipline) and the 12 MM rounds cost microseconds. Oracle
+    replays the battle derivation in SQL and the MM rounds as a
+    WITH RECURSIVE single-row iteration carrying the strength vector
+    as a LIST."""
+    docs = _t(spark, sf_dir, "documents")
+    M, ITERS = 8, 12
+
+    def draw(tag: str, k: int, mod: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(tag),
+                            F.col("doc_id").cast("string"),
+                            F.lit(f"#{k}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    battles = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        draw("bta", k, M).alias("m1"),
+                        draw("btb", k, M - 1).alias("m2r"),
+                        draw("btw", k, 1000000).alias("wdraw"),
+                    )
+                    for k in range(3)
+                ]
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.m1").alias("i"),
+        # m2 drawn from the other 7 models: shift past m1
+        F.when(F.col("s.m2r") >= F.col("s.m1"), F.col("s.m2r") + 1)
+        .otherwise(F.col("s.m2r"))
+        .alias("j"),
+        F.col("s.wdraw").alias("wdraw"),
+    ).select(
+        "i",
+        "j",
+        # true strengths are i+1, j+1; exact integer BT coin
+        (
+            F.col("wdraw") % (F.col("i") + F.col("j") + 2)
+            < F.col("i") + 1
+        ).alias("i_wins"),
+    )
+    counts = battles.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("i_wins").cast("long")).cast("long").alias("wi"),
+    )
+    # model-count-bounded driver state: at most M*(M-1) = 56 rows
+    n = [[0] * M for _ in range(M)]
+    wins = [0] * M
+    nbat = [0] * M
+    for r in counts.collect():
+        i_, j_ = int(r["i"]), int(r["j"])
+        n[i_][j_] += int(r["n"])
+        n[j_][i_] += int(r["n"])
+        wins[i_] += int(r["wi"])
+        wins[j_] += int(r["n"]) - int(r["wi"])
+        nbat[i_] += int(r["n"])
+        nbat[j_] += int(r["n"])
+    s = [1000] * M
+    for _ in range(ITERS):
+        raw = []
+        for i_ in range(M):
+            d = sum(
+                (n[i_][j_] * 10**9) // (s[i_] + s[j_])
+                for j_ in range(M)
+                if j_ != i_ and s[i_] + s[j_] > 0
+            )
+            raw.append((wins[i_] * 10**12) // max(d, 1))
+        s = [(x * 1000) // max(raw[0], 1) for x in raw]
+    fitted = sorted(range(M), key=lambda i_: (-s[i_], i_))
+    assert fitted == sorted(
+        range(M), key=lambda i_: -(i_ + 1)
+    ), (s, "MM fit did not recover the true ranking")
+    rows = [
+        (
+            m,
+            nbat[m],
+            wins[m],
+            s[m],
+            1 + sorted(range(M), key=lambda i_: (-s[i_], i_)).index(m),
+        )
+        for m in range(M)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "model long, n_battles long, n_wins long,"
+        " strength_milli long, rank long",
+    ).orderBy("model")
+
+
 def judge_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTER-JUDGE AGREEMENT AUDIT (Cohen's kappa, exact milli) — the
     QA gate every LLM-as-judge eval pipeline ships (Zheng et al. 2023
@@ -23636,6 +23766,8 @@ QUERIES = {
     # -- (b38) new in the r10 build session: never driver-checked ------
     "judge_agreement_kappa": judge_agreement_kappa,
     "calibration_ece_audit": calibration_ece_audit,
+    # -- (b39) new in the r10 build session: never driver-checked ------
+    "bradley_terry_strengths": bradley_terry_strengths,
 }
 
 
@@ -23710,6 +23842,7 @@ _R10_WINDOW = [
 # waves land before the rotation, they lead (registration order) and
 # the tail of this list defers to r12, stalest-first unchanged.
 NEXT_WINDOW_PLAN = [
+    "bradley_terry_strengths",
     "streaming_session_windows",
     "streaming_stateful_stats",
     "corpus_prep_pipeline",
@@ -23759,7 +23892,6 @@ NEXT_WINDOW_PLAN = [
     "avro_serde_roundtrip",
     "bloom_prefilter",
     "cms_frequency",
-    "lsh_recall_audit",
 ]
 
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50

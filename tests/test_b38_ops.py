@@ -128,3 +128,54 @@ def test_ece_matches_pure_python(spark):
     assert (
         want["overconfident"]["ece"] > want["calibrated"]["ece"]
     )  # the in-entry assert's premise holds at this scale too
+
+
+def test_bradley_terry_matches_pure_python(spark):
+    """b39: the MM fit recomputed in pure Python from the same md5
+    battle derivation must match the Spark export exactly, and the
+    fitted ranking must be the true-strength ranking."""
+    from intelligencepipeline_spark.queries import bradley_terry_strengths
+
+    ids = _doc_ids()
+    M, ITERS = 8, 12
+    n = [[0] * M for _ in range(M)]
+    wins, nbat = [0] * M, [0] * M
+    import hashlib
+
+    def draw(tag: str, d: int, k: int, mod: int) -> int:
+        h = hashlib.md5(f"{tag}{d}#{k}".encode()).hexdigest()
+        return int(h[:8], 16) % mod
+
+    for d in ids:
+        for k in range(3):
+            i = draw("bta", d, k, M)
+            r = draw("btb", d, k, M - 1)
+            j = r + 1 if r >= i else r
+            w = draw("btw", d, k, 1000000) % (i + j + 2) < i + 1
+            n[i][j] += 1
+            n[j][i] += 1
+            wins[i] += 1 if w else 0
+            wins[j] += 0 if w else 1
+            nbat[i] += 1
+            nbat[j] += 1
+    s = [1000] * M
+    for _ in range(ITERS):
+        raw = []
+        for i in range(M):
+            dsum = sum(
+                (n[i][j] * 10**9) // (s[i] + s[j])
+                for j in range(M)
+                if j != i and s[i] + s[j] > 0
+            )
+            raw.append((wins[i] * 10**12) // max(dsum, 1))
+        s = [(x * 1000) // max(raw[0], 1) for x in raw]
+    got = {
+        r["model"]: r
+        for r in bradley_terry_strengths(spark, SF).collect()
+    }
+    for m in range(M):
+        assert got[m]["strength_milli"] == s[m], (m, got[m], s[m])
+        assert got[m]["n_battles"] == nbat[m]
+        assert got[m]["n_wins"] == wins[m]
+    ranks = [got[m]["rank"] for m in range(M)]
+    assert ranks == [8, 7, 6, 5, 4, 3, 2, 1]  # true order recovered
