@@ -80,8 +80,29 @@ def _session_alive(df: DataFrame) -> bool:
         return False
 
 
+_SHARED_FIT: dict[Hashable, object] = {}
+
+
+def shared_fit(key: Hashable, builder: Callable[[], object]) -> object:
+    """The :func:`shared_scan` discipline for DRIVER-SIDE fitted
+    artifacts — the BPE merge table, the unigram/WordPiece vocab
+    lists: bounded, deterministic training outputs that several
+    catalog entries derive from the same corpus scan (bpe_train /
+    tokenizer_fertility_matrix / tokenizer_merge_curve /
+    tokenizer_lang_fairness all replay the identical 8-merge
+    training). At 100 TB a trained tokenizer is a fit-once artifact
+    written at ingest next to the IVF/PQ indexes (operators/ivf.py
+    docstring); the session-level memo models exactly that reuse —
+    in-process only, keyed by (name, corpus, params), cleared by
+    :func:`release_shared` with the substrate scans."""
+    if key not in _SHARED_FIT:
+        _SHARED_FIT[key] = builder()
+    return _SHARED_FIT[key]
+
+
 def release_shared() -> int:
-    """Unpersist every shared substrate scan."""
+    """Unpersist every shared substrate scan (and drop the fitted-
+    artifact memo)."""
     n = 0
     for df in _SHARED.values():
         try:
@@ -90,6 +111,7 @@ def release_shared() -> int:
         except Exception:
             pass
     _SHARED.clear()
+    _SHARED_FIT.clear()
     return n
 
 

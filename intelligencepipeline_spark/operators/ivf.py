@@ -181,7 +181,7 @@ def ivf_index(
             local = path[len("file:"):]
             try:
                 st = os.stat(local)
-                sig_parts.append(f"{local}:{st.st_size}:{int(st.st_mtime)}")
+                sig_parts.append(f"{local}:{st.st_size}:{st.st_mtime_ns}")
             except OSError:
                 sig_parts.append(local)
         else:

@@ -24,6 +24,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Non-AQE shuffle width — in this engine that is effectively the
+# STREAMING micro-batch state/shuffle partition count (optimization
+# guide §2.2: size partitions to bytes, not to a constant). Batch
+# queries all run under AQE, which starts from
+# ``initialPartitionNum`` (kept at the core-scaled value above) and
+# coalesces at runtime, so they never read this knob; structured
+# streaming has no AQE, so every stateful micro-batch pays one
+# state-store task per shuffle partition REGARDLESS of batch size —
+# measured on this host: an identical 2-file stateful AvailableNow
+# proof runs 2.6 s at width 32 vs 1.05 s at width 4 (pure fixed
+# cost; the staged micro-batches are KB-scale). Production streams
+# over real volumes should set this to ~2-3x total cores via
+# extra_conf/env — the checkpoint pins it from the first run —
+# exactly like the cluster guidance for shuffle partitions below.
+MICROBATCH_SHUFFLE_PARTITIONS = os.environ.get(
+    "IP_MICROBATCH_SHUFFLE_PARTITIONS", "4"
+)
+
 
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors regardless of driver cwd.
@@ -78,9 +96,21 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config(
+            "spark.sql.shuffle.partitions", MICROBATCH_SHUFFLE_PARTITIONS
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's pre-coalesce width for every BATCH exchange: the
+        # core-scaled value shuffle.partitions used to carry. With
+        # this pinned, batch plans are byte-identical to before
+        # (AQE starts at the same width and coalesces the same way);
+        # only non-AQE consumers — the streaming micro-batch proofs —
+        # see the smaller data-sized width above.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            DEFAULT_SHUFFLE_PARTITIONS,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

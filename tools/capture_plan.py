@@ -1,0 +1,41 @@
+"""Capture .explain('formatted') output for named catalog entries into
+plans/r11/<name>_<suffix>.txt (the optimization-round evidence files).
+
+Run:  python tools/capture_plan.py <suffix> name [name ...]
+Env:  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.001 — plan shape,
+      not timing), IP_PLAN_OUT (default /root/repo/plans/r11)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intelligencepipeline_spark import get_spark
+from intelligencepipeline_spark.plans.audit import formatted_plan
+from intelligencepipeline_spark.queries import QUERIES
+
+
+def main():
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out_dir = os.environ.get("IP_PLAN_OUT", "/root/repo/plans/r11")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(
+        "capture_plan", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = formatted_plan(df)
+        except Exception as exc:  # keep going; record the failure
+            plan = f"PLAN CAPTURE FAILED: {exc!r}"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

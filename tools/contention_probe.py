@@ -35,6 +35,12 @@ from intelligencepipeline_spark.queries import QUERIES
 
 SPIN = "while True:\n    pass\n"
 
+# Probed even when outside the top-N wall ranking: entries with a
+# known host-sensitive wait path (the r10 cross-host outlier was
+# streaming_query_listener_audit, which escaped the top-40 by builder
+# rank while the driver saw 2.5x).
+ALWAYS_PROBE = ["streaming_query_listener_audit"]
+
 
 def start_spinners(n: int) -> list[subprocess.Popen]:
     return [
@@ -82,6 +88,9 @@ def main() -> None:
                 bench.items(), key=lambda kv: -kv[1]
             )[: args.top]
             if k in QUERIES
+        ]
+        names += [
+            n for n in ALWAYS_PROBE if n in QUERIES and n not in names
         ]
     unknown = [n for n in names if n not in QUERIES]
     if unknown:

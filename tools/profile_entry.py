@@ -1,0 +1,49 @@
+"""Per-entry phase profiler (guide §1): for each named catalog entry,
+time (a) the entry function call itself — driver-side work, including
+any in-entry actions (counts, collects, streams, store commits) — and
+(b) the noop-sink execution of the returned DataFrame. Two reps each,
+min reported, matching bench.py's min-of-passes policy.
+
+Run:  python tools/profile_entry.py name [name ...]
+Env:  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from intelligencepipeline_spark import get_spark
+from intelligencepipeline_spark.queries import QUERIES
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:]
+    spark = get_spark("profile_entry")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
+    for name in names:
+        if name not in QUERIES:
+            print(f"?? {name}: not in QUERIES")
+            continue
+        best_build = best_noop = None
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            t1 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.time()
+            b, n = t1 - t0, t2 - t1
+            best_build = b if best_build is None else min(best_build, b)
+            best_noop = n if best_noop is None else min(best_noop, n)
+        print(
+            f"{name:40s} build {best_build:6.2f} s   noop {best_noop:6.2f} s"
+            f"   total {best_build + best_noop:6.2f} s"
+        )
+
+
+if __name__ == "__main__":
+    main()

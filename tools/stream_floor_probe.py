@@ -1,0 +1,146 @@
+"""Measure the fixed cost ("harness floor") of an AvailableNow
+streaming proof on this host, decomposed (guide §1: measure first).
+
+Lanes, each timed twice (min reported):
+  a. empty_dir     — AvailableNow file-source stream over an empty dir,
+                     noop sink (pure stream start/stop machinery)
+  b. two_files     — 2 one-row parquet files, maxFilesPerTrigger=1,
+                     noop sink (adds 2 real micro-batches)
+  c. feb_noop      — same 2 files but foreachBatch with a pass body
+                     (adds the py4j callback server round-trips)
+  d. feb_count     — foreachBatch body runs batch_df.count()
+                     (adds one micro-job per batch)
+  e. memory_sink   — 2 files, complete-mode groupBy into a memory sink
+                     (adds a stateful operator: state store init/commit
+                     across spark.sql.shuffle.partitions partitions)
+  f. mem_sink_p8   — lane e with shuffle.partitions=8 for the query
+                     (state store partition count sensitivity)
+
+Run:  python tools/stream_floor_probe.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from intelligencepipeline_spark import get_spark
+from intelligencepipeline_spark.scratch import scratch_dir
+
+from pyspark.sql import functions as F
+
+
+def stage_two_files(spark):
+    src = scratch_dir("ip_floor_src_")
+    for b in (0, 1):
+        spark.range(b, b + 1).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"stage{b}")
+        )
+        d = os.path.join(src, f"stage{b}")
+        import shutil
+
+        for f_ in sorted(os.listdir(d)):
+            if f_.endswith(".parquet"):
+                shutil.copyfile(
+                    os.path.join(d, f_), os.path.join(src, f"b{b}.parquet")
+                )
+        shutil.rmtree(d)
+    return src
+
+
+def run_lane(spark, name, fn, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{name:14s} {best:6.2f} s")
+    return best
+
+
+def main():
+    spark = get_spark("floor_probe")
+    spark.range(10).selectExpr("sum(id)").collect()  # JVM warm
+
+    def empty_dir():
+        src = scratch_dir("ip_floor_e_")
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", scratch_dir("ip_floor_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def two_files():
+        src = stage_two_files(spark)
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("noop")
+            .option("checkpointLocation", scratch_dir("ip_floor_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def feb(body):
+        def go():
+            src = stage_two_files(spark)
+            q = (
+                spark.readStream.schema("id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", scratch_dir("ip_floor_ck_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+
+        return go
+
+    def memory_sink(parts=None):
+        def go():
+            src = stage_two_files(spark)
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            if parts:
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                import uuid
+
+                qn = "ip_floor_mem_" + uuid.uuid4().hex[:8]
+                q = (
+                    spark.readStream.schema("id long")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src)
+                    .groupBy((F.col("id") % 4).alias("k"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(qn)
+                    .option("checkpointLocation", scratch_dir("ip_floor_ck_"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(120)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+
+        return go
+
+    run_lane(spark, "empty_dir", empty_dir)
+    run_lane(spark, "two_files", two_files)
+    run_lane(spark, "feb_noop", feb(lambda df, bid: None))
+    run_lane(spark, "feb_count", feb(lambda df, bid: df.count()))
+    run_lane(spark, "memory_sink", memory_sink())
+    run_lane(spark, "mem_sink_p8", memory_sink(8))
+
+
+if __name__ == "__main__":
+    main()
