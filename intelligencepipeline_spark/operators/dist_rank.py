@@ -113,6 +113,110 @@ def multi_rank_by_histogram(
     return out, total
 
 
+def multi_rank_by_range(
+    df: DataFrame,
+    specs: list[tuple[str, str]],
+    tiebreak_cols: list[str],
+    n_buckets: int = 128,
+) -> tuple[DataFrame, int]:
+    """Add total-order rank columns when the lead key's domain is NOT
+    driver-boundable (ids, timestamps): the histogram trick of
+    :func:`multi_rank_by_histogram` applied to a DETERMINISTIC
+    equal-width coarsening of the key instead of the raw value.
+
+    For each ``(col, rank_name)`` in ``specs`` (ascending order, the
+    rank is ``row_number() OVER (ORDER BY col, *tiebreak_cols)``):
+
+    1. one 1-row agg job takes global ``min/max`` of every spec col
+       (plus the total row count);
+    2. ``bucket = (col - min) * n_buckets DIV (max - min + 1)`` — a
+       pure expression, MONOTONE in ``col``, so every row of bucket i
+       sorts before every row of bucket i+1 (ties on ``col`` share a
+       bucket, so the cross-bucket order is total regardless of
+       tiebreaks);
+    3. one stacked agg job counts rows per (spec, bucket) — bounded
+       by ``len(specs) * n_buckets``, collected driver-side and
+       cumulated into per-bucket rank offsets;
+    4. rank = offset[bucket] + ``row_number()`` over a window
+       PARTITIONED by bucket, ordered by (col, \\*tiebreak_cols).
+
+    No sampling (unlike ``repartitionByRange``, whose boundaries are
+    re-drawn per execution), no single-partition exchange, and exact
+    at every scale: bucket sizes affect balance only, never the rank.
+    The skew ceiling is the hottest single (col, bucket) range — with
+    equal-width buckets that is data-dependent, which is the price of
+    an unbounded domain; callers with bounded domains should prefer
+    :func:`multi_rank_by_histogram` (perfectly balanced by value).
+    Returns ``(df_with_ranks, n_rows)``.
+    """
+    one = df.agg(
+        *[
+            a
+            for col, _ in specs
+            for a in (
+                F.min(col).alias(f"_mn_{col}"),
+                F.max(col).alias(f"_mx_{col}"),
+            )
+        ],
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    n_rows = int(one["_n"])
+    bucket_exprs: dict[str, Column] = {}
+    for col, _ in specs:
+        if n_rows == 0:
+            bucket_exprs[col] = F.lit(0)
+            continue
+        mn, mx = int(one[f"_mn_{col}"]), int(one[f"_mx_{col}"])
+        width = mx - mn + 1
+        bucket_exprs[col] = F.expr(
+            f"CAST((({col} - {mn}) * {n_buckets}) DIV {width} AS INT)"
+        )
+    if n_rows == 0:
+        out = df
+        for col, name in specs:
+            out = out.withColumn(name, F.lit(0).cast("long"))
+        return out, 0
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(col).alias("sig"),
+                    bucket_exprs[col].alias("b"),
+                )
+                for col, _ in specs
+            ]
+        )
+    ).alias("sb")
+    hist = (
+        df.select(stacked)
+        .groupBy(F.col("sb.sig").alias("sig"), F.col("sb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_sig: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        by_sig.setdefault(r["sig"], []).append((int(r["b"]), int(r["cnt"])))
+    spark = df.sparkSession
+    out = df
+    for col, name in specs:
+        bcol, ocol = f"_b_{name}", f"_below_{name}"
+        cum_rows, acc = [], 0
+        for b, c in sorted(by_sig.get(col, [])):
+            cum_rows.append((b, acc))
+            acc += c
+        cum = spark.createDataFrame(cum_rows, f"{bcol} int, {ocol} long")
+        pos = F.row_number().over(
+            Window.partitionBy(bcol).orderBy(col, *tiebreak_cols)
+        )
+        out = (
+            out.withColumn(bcol, bucket_exprs[col])
+            .join(F.broadcast(cum), bcol)
+            .withColumn(name, (F.col(ocol) + pos).cast("long"))
+            .drop(bcol, ocol)
+        )
+    return out, n_rows
+
+
 def ntile_from_rank(rank_col: str, n_rows: int, n_tiles: int) -> Column:
     """Map a 1-based total-order rank column to its ``ntile(n_tiles)``
     bucket with pure integer arithmetic (Spark/DuckDB/ANSI semantics:

@@ -3879,9 +3879,11 @@ def streaming_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key space is pure setup overhead — scope it down for this query
     # (a real deployment sizes this to key-space/executor count).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", MICROBATCH_SHUFFLE_PARTITIONS
-    )
+    # applyInPandasWithState does REAL per-group Python work over the
+    # staged volume: the shuffle width IS the Python-worker
+    # parallelism here, so this entry keeps the wider measured-best
+    # width instead of the KB-scale micro-batch default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             stats.writeStream.outputMode("update")
@@ -5479,21 +5481,25 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/skew salting): per join-key frequency profile of
     orders.o_custkey — the 10 hottest keys with their share of rows and
     the skew factor vs the mean key load (divisions of exact ints).
-    One count agg + tiny window totals; this is the report you run
-    BEFORE a 100 TB join to decide salting/AQE settings."""
+    One count agg + a distributed top-10 (TakeOrdered: per-partition
+    heads merged on the driver, never a single-partition sort of the
+    key-count frame — at 100 TB |keys| is billions) + a 1-row totals
+    agg broadcast back; this is the report you run BEFORE a 100 TB
+    join to decide salting/AQE settings."""
     orders = _t(spark, sf_dir, "orders")
     counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy()
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top10 = counts.orderBy(F.desc("n"), "o_custkey").limit(10)
     return (
-        counts.withColumn("total_rows", F.sum("n").over(w))
-        .withColumn("n_keys", F.count(F.lit(1)).over(w))
-        .withColumn(
+        top10.withColumn(
             "rk",
             F.row_number().over(
                 Window.orderBy(F.desc("n"), "o_custkey")
             ),
         )
-        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(totals))
         .select(
             F.col("rk").cast("long").alias("rk"),
             "o_custkey",
@@ -8686,11 +8692,18 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample); boundaries = the sample values at ranks floor(i*n/P)
     under a fully-tied-down order (value, orderkey, linenumber) —
     DISCRETE rank selection, no quantile interpolation (the
-    engine-portability rule). Only P-1 values cross the driver.
-    Assignment is a literal-boundary comparison sum (codegen, no
-    join); the exported per-partition counts and min/max prove the
-    equi-depth shape AND pin every row's routing — one row in the
-    wrong range breaks min/max.
+    engine-portability rule). The value at a given rank never depends
+    on the tiebreak (ties share the value), so the selection runs on
+    the (value -> count) HISTOGRAM: one map-side-combinable agg, a
+    running sum over |distinct values| rows (value-domain-bounded,
+    NOT sample-row-bounded — the dist_rank discipline; previously
+    this was a row_number over every sample row through one
+    partition), and a broadcast join against the P-1 literal rank
+    positions. Only P-1 values cross the driver. Assignment is a
+    literal-boundary comparison sum (codegen, no join); the exported
+    per-partition counts and min/max prove the equi-depth shape AND
+    pin every row's routing — one row in the wrong range breaks
+    min/max.
 
     The oracle replays the sample predicate, the rank selection, a
     correlated boundary count per row, and the same rollup."""
@@ -8719,15 +8732,37 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = li.filter(bucket < 20)
     n_s = samp.count()  # one bounded scalar to the driver
     ranks = {max(1, (i * n_s) // P) for i in range(1, P)}
-    rw = Window.orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    # rank -> value via the value histogram: rank k's value is the
+    # price whose cumulative count first reaches k (identical to the
+    # row_number selection under (value, orderkey, linenumber) — the
+    # tiebreak orders rows WITHIN a value, never across values). A
+    # rank landing in value v's run satisfies cum-c < k <= cum.
+    hist = samp.groupBy("l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    bounds = sorted(
-        r.l_extendedprice
-        for r in samp.withColumn("rn", F.row_number().over(rw))
-        .filter(F.col("rn").isin(sorted(ranks)))
+    wcum = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in sorted(ranks)], "k long")
+    bounds_df = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .join(
+            F.broadcast(kdf),
+            (F.col("cum") - F.col("c") < F.col("k"))
+            & (F.col("k") <= F.col("cum")),
+        )
         .select("l_extendedprice")
-        .collect()
+    )
+    import os as _os
+
+    _dump = _os.environ.get("IP_PLAN_DUMP")
+    if _dump:  # plan-evidence hook: the boundary job is pre-collect
+        from intelligencepipeline_spark.plans.audit import formatted_plan
+
+        with open(_dump, "w") as fh:
+            fh.write(formatted_plan(bounds_df))
+    bounds = sorted(
+        r.l_extendedprice for r in bounds_df.collect()
     )  # P-1 doubles — the whole driver payload
     pid = sum(
         (F.col("l_extendedprice") >= F.lit(float(b))).cast("int")
@@ -9853,7 +9888,19 @@ def sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every span is exact integer arithmetic (timestamps as epoch
     micros); coverage is one IEEE division. The ntile order is
     extended to a verified-unique tuple so bucket assignment is total
-    in both engines."""
+    in both engines. All four candidate ntiles come from ONE
+    range-bucketed rank decomposition (operators/dist_rank
+    multi_rank_by_range — bit-identical to the global ntile by its
+    pinned contract, exact for UNBOUNDED key domains): one min/max
+    agg + one bucket-histogram job + four bucket-partitioned windows
+    + one stacked zone pass, ZERO single-partition exchanges — the
+    plan this entry used to carry was four full-sample
+    single-partition sorts, one per candidate (guide §2)."""
+    from intelligencepipeline_spark.operators.dist_rank import (
+        multi_rank_by_range,
+        ntile_from_rank,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     # Deterministic 1-in-5 sample: the advisor statistic, like every
     # production layout advisor, runs on a sample — the global ntile
@@ -9874,52 +9921,70 @@ def sort_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = [("l_partkey", F.col("l_partkey")), ("ship_us", F.col("ship_us"))]
     candidates = ["l_orderkey", "l_partkey", "l_suppkey", "ship_us"]
 
-    rows = None
-    for key in candidates:
-        wk = Window.orderBy(
-            key, "l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey"
-        )
-        bucketed = base.select(
-            F.ntile(32).over(wk).alias("bucket"),
-            *[p.alias(f"p_{n}") for n, p in probes],
-        )
-        spans = bucketed.groupBy("bucket").agg(
-            *[
-                f(F.col(f"p_{n}")).alias(f"{tag}_{n}")
-                for n, _ in probes
-                for tag, f in (("mn", F.min), ("mx", F.max))
-            ]
-        )
-        # ONE aggregate per candidate covering every probe (a 1-row
-        # wide result), then a cheap projection per probe — 4 sorts +
-        # 4 aggs total, not 4x2 of each.
-        wide = spans.agg(
-            *[
-                a
-                for n, _ in probes
-                for a in (
-                    F.sum(F.col(f"mx_{n}") - F.col(f"mn_{n}")).alias(
-                        f"span_sum_{n}"
-                    ),
-                    (F.max(f"mx_{n}") - F.min(f"mn_{n}")).alias(
-                        f"gspan_{n}"
-                    ),
-                )
-            ]
-        )
-        for n, _ in probes:
-            cov = wide.select(
-                F.lit(key).alias("sort_key"),
-                F.lit(n).alias("probe"),
-                F.when(
-                    F.col(f"gspan_{n}") > 0,
-                    F.col(f"span_sum_{n}").cast("double")
-                    / (32.0 * F.col(f"gspan_{n}").cast("double")),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("coverage"),
+    ranked, n_rows = multi_rank_by_range(
+        base,
+        [(key, f"rn_{key}") for key in candidates],
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_partkey"],
+    )
+    stacked = ranked.select(
+        *[p.alias(f"p_{n}") for n, p in probes],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(key).alias("sort_key"),
+                        ntile_from_rank(f"rn_{key}", n_rows, 32).alias(
+                            "bucket"
+                        ),
+                    )
+                    for key in candidates
+                ]
             )
-            rows = cov if rows is None else rows.unionAll(cov)
+        ).alias("kb"),
+    ).select(
+        *[f"p_{n}" for n, _ in probes], "kb.sort_key", "kb.bucket"
+    )
+    spans = stacked.groupBy("sort_key", "bucket").agg(
+        *[
+            f(F.col(f"p_{n}")).alias(f"{tag}_{n}")
+            for n, _ in probes
+            for tag, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+    # ONE aggregate per candidate covering every probe (a 1-row wide
+    # result per sort_key), then a cheap projection per probe.
+    wide = spans.groupBy("sort_key").agg(
+        *[
+            a
+            for n, _ in probes
+            for a in (
+                F.sum(F.col(f"mx_{n}") - F.col(f"mn_{n}")).alias(
+                    f"span_sum_{n}"
+                ),
+                (F.max(f"mx_{n}") - F.min(f"mn_{n}")).alias(f"gspan_{n}"),
+            )
+        ]
+    )
+    rows = wide.select(
+        "sort_key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("probe"),
+                        F.when(
+                            F.col(f"gspan_{n}") > 0,
+                            F.col(f"span_sum_{n}").cast("double")
+                            / (32.0 * F.col(f"gspan_{n}").cast("double")),
+                        )
+                        .otherwise(F.lit(0.0))
+                        .alias("coverage"),
+                    )
+                    for n, _ in probes
+                ]
+            )
+        ).alias("pc"),
+    ).select("sort_key", "pc.probe", "pc.coverage")
 
     wrank = Window.partitionBy("probe").orderBy("coverage", "sort_key")
     return (
@@ -11273,10 +11338,19 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip. That differential IS the reason Delta/Iceberg Z-ORDER
     exists; here it is a hash-checked number.
 
-    Scale: two window row_numbers + zone aggs over the bounded zone
-    domain; the Morton code is the byte-identical integer expression
+    Scale: ranks come from the histogram decomposition
+    (operators/dist_rank — bit-identical to the global row_number by
+    its pinned contract) over the BOUNDED sort-key domains (x in
+    [0,8), zvalue in [0,64)), so the plan has ZERO single-partition
+    exchanges: one histogram job + value-partitioned windows + one
+    stacked zone pass, instead of two full-input single-partition
+    sorts (guide §2 — the canonical scale killer this entry used to
+    carry). The Morton code is the byte-identical integer expression
     the oracle replays via zvalue_sql."""
     from intelligencepipeline_spark.functions.zorder import zvalue
+    from intelligencepipeline_spark.operators.dist_rank import (
+        multi_rank_by_histogram,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -11286,28 +11360,54 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     LO, HI = 2, 3
 
-    def layout(name: str, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        zones = li.withColumn("rn", F.row_number().over(w)).withColumn(
-            "zone", F.expr("CAST((rn - 1) DIV 250 AS LONG)")
-        )
-        z = zones.groupBy("zone").agg(
-            F.min("x").alias("xmin"),
-            F.max("x").alias("xmax"),
-            F.min("y").alias("ymin"),
-            F.max("y").alias("ymax"),
-        )
-        skipped = (
-            (F.col("xmax") < LO)
-            | (F.col("xmin") > HI)
-            | (F.col("ymax") < LO)
-            | (F.col("ymin") > HI)
-        )
-        return z.agg(
-            F.lit(name).alias("layout"),
+    # composite (l_orderkey, l_linenumber) tiebreak folded into one
+    # long — l_linenumber is in [1,7], so * 8 preserves the order
+    ranked, _n = multi_rank_by_histogram(
+        li.withColumn("zv", zvalue(F.col("x"), F.col("y"))).withColumn(
+            "tb", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ),
+        [("x", "rn_x", False), ("zv", "rn_z", False)],
+        "tb",
+    )
+    zones = ranked.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sorted_x").alias("layout"),
+                    F.expr("CAST((rn_x - 1) DIV 250 AS LONG)").alias(
+                        "zone"
+                    ),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr("CAST((rn_z - 1) DIV 250 AS LONG)").alias(
+                        "zone"
+                    ),
+                ),
+            )
+        ).alias("lz"),
+    ).select("x", "y", "lz.layout", "lz.zone")
+    z = zones.groupBy("layout", "zone").agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    skipped = (
+        (F.col("xmax") < LO)
+        | (F.col("xmin") > HI)
+        | (F.col("ymax") < LO)
+        | (F.col("ymin") > HI)
+    )
+    per_layout = (
+        z.groupBy("layout")
+        .agg(
             F.count(F.lit(1)).alias("n_zones"),
             F.sum(skipped.cast("long")).alias("n_skipped"),
-        ).select(
+        )
+        .select(
             "layout",
             "n_zones",
             "n_skipped",
@@ -11317,19 +11417,12 @@ def zorder_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_zones").cast("double")
             ).alias("skip_ratio"),
         )
-
-    zcol = zvalue(F.col("x"), F.col("y"))
+    )
     selected = li.filter(
         F.col("x").between(LO, HI) & F.col("y").between(LO, HI)
     ).agg(F.count(F.lit(1)).alias("n_selected"))
     return (
-        layout("sorted_x", ["x", "l_orderkey", "l_linenumber"])
-        .unionByName(
-            layout("zorder", [zcol, F.col("l_orderkey"),
-                              F.col("l_linenumber")])
-        )
-        .crossJoin(F.broadcast(selected))
-        .orderBy("layout")
+        per_layout.crossJoin(F.broadcast(selected)).orderBy("layout")
     )
 
 
@@ -11752,9 +11845,11 @@ def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = _sttl(stream, "user_id", "es", GAP)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", MICROBATCH_SHUFFLE_PARTITIONS
-    )
+    # applyInPandasWithState does REAL per-group Python work over the
+    # staged volume: the shuffle width IS the Python-worker
+    # parallelism here, so this entry keeps the wider measured-best
+    # width instead of the KB-scale micro-batch default.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             sess.writeStream.outputMode("append")
@@ -13834,11 +13929,13 @@ def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fitted alpha, and the head share (top-1 token's milli share of
     all tokens — the other duplication tell).
 
-    Scale: one token fan-out + vocab-keyed agg; the rank window runs
-    over the BOUNDED vocab domain (the tokenizer-family convention);
-    the regression is a 1-row agg of bounded integers (overflow
-    ledger in-code). Oracle replays surrogate, ranking, cut, sums,
-    slope."""
+    Scale: one token fan-out + vocab-keyed agg; the top-1000 cut is a
+    distributed TakeOrdered (per-partition heads, driver merge of
+    1000-row slices — never a single-partition sort of the vocab
+    frame, which grows with type count); the rank window then runs
+    over the 1000 surviving rows only (constant-bounded). The
+    regression is a 1-row agg of bounded integers (overflow ledger
+    in-code). Oracle replays surrogate, ranking, cut, sums, slope."""
     docs = _t(spark, sf_dir, "documents")
     freq = (
         docs.select(
@@ -13862,8 +13959,9 @@ def zipf_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pts = (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 1000)
+        freq.orderBy(F.desc("n"), "tok")
+        .limit(1000)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .selectExpr(
             f"{qlog2('rank')} AS x",
             f"{qlog2('n')} AS y",
@@ -14511,13 +14609,22 @@ def hilbert_layout_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     number. In-entry pin: hilbert must skip >= zorder >= sorted_x
     zones on this grid.
 
-    Scale: the zone windows run over the bounded zone domain of a
-    documented miniature (the at-rest analogue is file-level min/max
-    footers, written once at layout time); the Hilbert/Morton codes
-    are pure integer expressions the oracle replays step-for-step."""
+    Scale: all three ranks come from ONE histogram decomposition
+    (operators/dist_rank — bit-identical to the global row_number by
+    its pinned contract) over the bounded sort-key domains (x in
+    [0,8), Morton/Hilbert codes in [0,64)), so the plan carries ZERO
+    single-partition exchanges — one histogram job, three
+    value-partitioned windows, one stacked zone pass — instead of the
+    three full-input single-partition sorts this entry used to pay
+    (guide §2). The at-rest analogue is file-level min/max footers,
+    written once at layout time; the Hilbert/Morton codes are pure
+    integer expressions the oracle replays step-for-step."""
     from intelligencepipeline_spark.functions.zorder import (
         with_hilbert,
         zvalue,
+    )
+    from intelligencepipeline_spark.operators.dist_rank import (
+        multi_rank_by_histogram,
     )
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -14529,50 +14636,76 @@ def hilbert_layout_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = with_hilbert(li, "x", "y", bits=3, out="hvalue")
     LO, HI = 2, 3
 
-    def layout(name: str, order_cols: list) -> DataFrame:
-        w = Window.orderBy(*order_cols)
-        zones = li.withColumn("rn", F.row_number().over(w)).withColumn(
-            "zone", F.expr("CAST((rn - 1) DIV 250 AS LONG)")
-        )
-        z = zones.groupBy("zone").agg(
-            F.min("x").alias("xmin"),
-            F.max("x").alias("xmax"),
-            F.min("y").alias("ymin"),
-            F.max("y").alias("ymax"),
-        )
-        skipped = (
-            (F.col("xmax") < LO)
-            | (F.col("xmin") > HI)
-            | (F.col("ymax") < LO)
-            | (F.col("ymin") > HI)
-        )
-        return z.agg(
-            F.lit(name).alias("layout"),
+    # composite (l_orderkey, l_linenumber) tiebreak folded into one
+    # long — l_linenumber is in [1,7], so * 8 preserves the order
+    ranked, _n = multi_rank_by_histogram(
+        li.withColumn(
+            "zv", zvalue(F.col("x"), F.col("y"), bits=3)
+        ).withColumn(
+            "tb", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ),
+        [
+            ("x", "rn_x", False),
+            ("zv", "rn_z", False),
+            ("hvalue", "rn_h", False),
+        ],
+        "tb",
+    )
+    zones = ranked.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("layout"),
+                        F.expr(
+                            f"CAST(({rn} - 1) DIV 250 AS LONG)"
+                        ).alias("zone"),
+                    )
+                    for name, rn in (
+                        ("sorted_x", "rn_x"),
+                        ("zorder", "rn_z"),
+                        ("hilbert", "rn_h"),
+                    )
+                ]
+            )
+        ).alias("lz"),
+    ).select("x", "y", "lz.layout", "lz.zone")
+    z = zones.groupBy("layout", "zone").agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+    )
+    skipped = (
+        (F.col("xmax") < LO)
+        | (F.col("xmin") > HI)
+        | (F.col("ymax") < LO)
+        | (F.col("ymin") > HI)
+    )
+    out = (
+        z.groupBy("layout")
+        .agg(
             F.count(F.lit(1)).alias("n_zones"),
             F.sum(skipped.cast("long")).alias("n_skipped"),
-        ).select(
+        )
+        .select(
             "layout",
             "n_zones",
             "n_skipped",
             (F.col("n_zones") - F.col("n_skipped")).alias("n_scanned"),
         )
-    out = (
-        layout("sorted_x", ["x", "l_orderkey", "l_linenumber"])
-        .unionByName(
-            layout(
-                "zorder",
-                [zvalue(F.col("x"), F.col("y"), bits=3),
-                 F.col("l_orderkey"), F.col("l_linenumber")],
-            )
-        )
-        .unionByName(
-            layout(
-                "hilbert",
-                [F.col("hvalue"), F.col("l_orderkey"), F.col("l_linenumber")],
-            )
-        )
         .orderBy("layout")
     )
+    import os as _os
+
+    _dump = _os.environ.get("IP_PLAN_DUMP")
+    if _dump:  # plan-evidence hook: the returned frame is post-collect
+        from intelligencepipeline_spark.plans.audit import formatted_plan
+
+        with open(_dump, "w") as fh:
+            fh.write(formatted_plan(out))
     rows = out.collect()
     by = {r["layout"]: r["n_skipped"] for r in rows}
     assert by["hilbert"] >= by["zorder"] >= by["sorted_x"], by

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from intelligencepipeline_spark.operators.dist_rank import (
     multi_rank_by_histogram,
+    multi_rank_by_range,
     ntile_from_rank,
     rank_by_histogram,
 )
@@ -96,6 +97,86 @@ def test_ntile_formula_matches_spark_ntile(spark, n_rows):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_multi_rank_by_range_matches_global_row_number(spark):
+    # unbounded-domain lead keys (ids, epoch micros) — the case the
+    # histogram form cannot serve; two specs share one min/max agg
+    # and one bucket-histogram job
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias(
+            "ship_us"
+        ),
+    )
+    got, total = multi_rank_by_range(
+        li,
+        [("l_orderkey", "r_ok"), ("ship_us", "r_ship")],
+        ["l_orderkey", "l_linenumber"],
+    )
+    want = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number()
+        .over(Window.orderBy("l_orderkey", "l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("r_ok"),
+        F.row_number()
+        .over(Window.orderBy("ship_us", "l_orderkey", "l_linenumber"))
+        .cast("long")
+        .alias("r_ship"),
+    )
+    assert total == li.count()
+    assert sorted(
+        map(
+            tuple,
+            got.select(
+                "l_orderkey", "l_linenumber", "r_ok", "r_ship"
+            ).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            want.select(
+                "l_orderkey", "l_linenumber", "r_ok", "r_ship"
+            ).collect(),
+        )
+    )
+
+
+def test_multi_rank_by_range_tiny_domain_and_few_buckets(spark):
+    # domain smaller than n_buckets (sparse bucket ids) must still be
+    # exact; ties on the lead key ordered by the tiebreaks
+    df = (
+        spark.range(0, 97)
+        .select(
+            (F.col("id") % 5).alias("k"),
+            F.col("id").alias("i"),
+        )
+    )
+    got, total = multi_rank_by_range(df, [("k", "r")], ["i"], n_buckets=16)
+    want = df.select(
+        "k",
+        "i",
+        F.row_number().over(Window.orderBy("k", "i")).cast("long").alias("r"),
+    )
+    assert total == 97
+    assert sorted(map(tuple, got.select("k", "i", "r").collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_multi_rank_by_range_no_single_partition_exchange(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    got, _ = multi_rank_by_range(
+        li, [("l_orderkey", "r")], ["l_orderkey", "l_linenumber"]
+    )
+    a = audit(got)
+    assert not a.has_single_partition_exchange, a.plan[:1500]
+    assert a.broadcast_joins >= 1, a.plan[:1500]
 
 
 def test_no_single_partition_exchange_in_rank_plan(spark):
