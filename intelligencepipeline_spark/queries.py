@@ -176,6 +176,32 @@ def _shared_wordpiece_vocab(spark: SparkSession, sf_dir: str):
     )
 
 
+def _shared_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE trained-LM scoring pass per corpus per session
+    (caching.shared_scan): the per-doc trigram stupid-backoff gate
+    frame (doc_id, n_toks, lm_bits, bits_per_token, keep) that four
+    entries — ngram_lm_perplexity_gate, quality_gate_agreement,
+    ccnet_perplexity_buckets, domain_reweighting_plan — and the
+    funnel's LM stage previously each re-derived with the identical
+    perplexity_gate(docs, tokens, doc_id%2==0) call. At 100 TB the
+    gate scores are a materialized-at-rest column written once by the
+    curation run (the CCNet pipeline stores them next to the docs);
+    every consumer reads, none re-scores."""
+    from intelligencepipeline_spark.caching import shared_scan
+    from intelligencepipeline_spark.operators.ngram_lm import (
+        perplexity_gate,
+    )
+
+    return shared_scan(
+        ("lm_gate", sf_dir),
+        lambda: perplexity_gate(
+            _t(spark, sf_dir, "documents"),
+            tokens(normalize_text(F.col("text"))),
+            F.col("doc_id") % 2 == 0,
+        ),
+    )
+
+
 def _dec(c, scale: int = 2):
     return F.col(c).cast(f"decimal(18,{scale})")
 
@@ -11628,19 +11654,13 @@ def ngram_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one token fan-out, one doc_id window for both lag contexts,
     three map-side-combinable n-gram count aggs, five co-keyed
     equi-joins, one 1-row broadcast total — no cartesian, no Python
-    stage, no global window. Reference: quality evaluation surface is
+    stage, no global window; the scoring pass itself is the shared
+    per-corpus substrate (_shared_lm_gate — four entries consume the
+    identical frame; at rest it is the score column the curation run
+    writes once). Reference: quality evaluation surface is
     MaxScore/NoScore (interfaces.kt:30-60); the LM gate extends it per
     SURVEY §2.9."""
-    from intelligencepipeline_spark.operators.ngram_lm import (
-        perplexity_gate,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return perplexity_gate(
-        docs,
-        tokens(normalize_text(F.col("text"))),
-        F.col("doc_id") % 2 == 0,
-    ).orderBy("doc_id")
+    return _shared_lm_gate(spark, sf_dir).orderBy("doc_id")
 
 
 def sft_turn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11981,18 +12001,15 @@ def quality_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both gates are scan-side or keyed-agg shapes already
     proven; the join is co-keyed on doc_id; the export is a bounded
-    (bin x 2 x 2) contingency table."""
+    (bin x 2 x 2) contingency table. LM scores come from the shared
+    per-corpus scoring pass (_shared_lm_gate) — the at-rest score
+    column, not a per-entry re-score."""
     from intelligencepipeline_spark.functions.text import gopher_rules
-    from intelligencepipeline_spark.operators.ngram_lm import (
-        perplexity_gate,
-    )
 
     docs = _t(spark, sf_dir, "documents")
-    lm = perplexity_gate(
-        docs,
-        tokens(normalize_text(F.col("text"))),
-        F.col("doc_id") % 2 == 0,
-    ).select("doc_id", "n_toks", "lm_bits", F.col("keep").alias("lm_keep"))
+    lm = _shared_lm_gate(spark, sf_dir).select(
+        "doc_id", "n_toks", "lm_bits", F.col("keep").alias("lm_keep")
+    )
     gr = docs.select(
         "doc_id",
         gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
@@ -13309,31 +13326,25 @@ def domain_reweighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LM gate's own shape (one token fan-out, co-keyed
     count joins) plus a bounded per-source agg; the reweighting
-    ladder runs on the <=20-row source domain."""
-    from intelligencepipeline_spark.operators.ngram_lm import (
-        perplexity_gate,
-    )
-
+    ladder runs on the <=20-row source domain. LM scores come from
+    the shared per-corpus scoring pass (_shared_lm_gate)."""
     docs = _t(spark, sf_dir, "documents")
-    gated = perplexity_gate(
-        docs,
-        tokens(normalize_text(F.col("text"))),
-        F.col("doc_id") % 2 == 0,
-    ).join(docs.select("doc_id", "source"), "doc_id")
-    per_src = track_persist(
-        gated.groupBy("source").agg(
-            F.sum("lm_bits").alias("bits"),
-            F.sum("n_toks").alias("toks"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    gated = _shared_lm_gate(spark, sf_dir).join(
+        docs.select("doc_id", "source"), "doc_id"
     )
-    # the <=20-row source table is persisted AND eagerly materialized:
+    # the <=20-row source table is eagerly materialized AND its
+    # lineage truncated (localCheckpoint, the train_bpe discipline):
     # the downstream aggregates (best, tot, short) are broadcast
     # subtrees that execute CONCURRENTLY in the final job — without
-    # the eager count they all miss the still-empty cache and each
-    # re-runs the full LM scoring lineage (measured 53s -> ~10s at
-    # sf0.01)
-    per_src.count()
+    # the eager step they all re-run the full LM scoring lineage
+    # (measured 53s -> ~10s at sf0.01); without the truncation each
+    # of the four consumer subtrees re-plans the full cached-scoring
+    # tree (a ~500 KB formatted plan for a 20-row frame)
+    per_src = gated.groupBy("source").agg(
+        F.sum("lm_bits").alias("bits"),
+        F.sum("n_toks").alias("toks"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).localCheckpoint()
     # best source = minimal mean bits/token: min by cross-multiplied
     # comparison folded through a 1-row agg (min_by on the exact
     # rational encoded as bits/toks cross products is not SQL-stable;
@@ -14728,18 +14739,17 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, no single-partition sort. Exports per (lang,
     bucket): docs, token/bit totals, exact avg milli-bpt, thresholds.
 
-    Scale: LM scoring is the proven gate shape; the histogram is
+    Scale: LM scoring is the proven gate shape, paid ONCE per corpus
+    via the shared substrate (_shared_lm_gate — this entry's two
+    actions, the threshold histogram and the final bucket agg,
+    previously each re-ran the full scoring DAG); the histogram is
     bounded by the value domain (milli-bpt <= ~30k) x languages, NOT
     corpus size; thresholds broadcast back. Oracle composes the LM
     oracle body and replays histogram, thresholds, bucketing."""
-    from intelligencepipeline_spark.operators.ngram_lm import (
-        perplexity_gate,
-    )
-
     docs = _t(spark, sf_dir, "documents")
-    scored = perplexity_gate(
-        docs, tokens(normalize_text(F.col("text"))), F.col("doc_id") % 2 == 0
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    scored = _shared_lm_gate(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
     m = scored.withColumn(
         "milli_bpt", F.expr("lm_bits * 1000 DIV n_toks")
     )
@@ -15013,9 +15023,6 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     from intelligencepipeline_spark.caching import shared_scan
     from intelligencepipeline_spark.functions.text import gopher_rules
     from intelligencepipeline_spark.functions.url import canonical_url
-    from intelligencepipeline_spark.operators.ngram_lm import (
-        perplexity_gate,
-    )
 
     docs = _t(spark, sf_dir, "documents")
     n0 = docs.count()
@@ -15051,11 +15058,9 @@ def _funnel_stages(spark: SparkSession, sf_dir: str):
     n3 = s3.count()
 
     def build_s4() -> DataFrame:
-        lm = perplexity_gate(
-            docs,
-            tokens(normalize_text(F.col("text"))),
-            F.col("doc_id") % 2 == 0,
-        ).select("doc_id", F.col("keep").alias("lm_keep"))
+        lm = _shared_lm_gate(spark, sf_dir).select(
+            "doc_id", F.col("keep").alias("lm_keep")
+        )
         gr = docs.select(
             "doc_id",
             gopher_rules(F.col("text")).getField("keep").alias("gopher_keep"),
