@@ -12182,6 +12182,10 @@ def wand_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(*[f"has_{t}" for t in QUERY_TERMS])
     )
+    # bounded (2^|terms| x ub-bins) frame: cache it so the soundness
+    # count materializes it ONCE and the returned frame reads the
+    # cache instead of re-running the postings lineage (r11)
+    subsets = track_persist(subsets)
     # soundness: no skippable subset can reach the top-20 threshold
     bad = subsets.filter(
         F.col("skippable") & (F.col("max_actual_milli") >= theta)
@@ -12247,6 +12251,10 @@ def phrase_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{w1} {w2}").alias("phrase"), "*")
         out = row if out is None else out.unionByName(row)
 
+    # |PHRASES| one-row aggs: cache so the agreement collect below
+    # materializes the per-phrase scans ONCE and the returned frame
+    # reads the cache instead of replaying them (r11)
+    out = track_persist(out)
     # independent scan-side bigram recount must agree exactly
     bg = docs.select(
         F.explode(
@@ -12744,6 +12752,10 @@ def corrupt_record_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "status")
     )
+    # bounded (source x status) frame: cache so the reconciliation
+    # collect materializes the salvage lanes ONCE and the returned
+    # frame reads the cache instead of re-running them (r11)
+    out = track_persist(out)
     rows = out.collect()
     n_total = docs.count()
     assert sum(r["n_rows"] for r in rows) == n_total, "row loss in lane"
@@ -13170,6 +13182,10 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_count"), "tok")
     )
+    # 20-row top-k frame: cache so the one-sided-guarantee collect
+    # materializes the true-count token fan-out ONCE and the returned
+    # frame reads the cache instead of re-running it (r11)
+    out = track_persist(out)
     rows = out.collect()
     assert all(r["overcount"] >= 0 for r in rows), (
         "CMS one-sided guarantee violated"
@@ -17908,6 +17924,10 @@ def crypto_shredding_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("u")
     )
+    # <=40-row per-user contract table: cache so the contract assert
+    # materializes the decrypt pass ONCE and the returned frame reads
+    # the cache instead of decrypting every payload again (r11)
+    out = track_persist(out)
     chk = out.agg(
         F.bool_and(
             (F.col("u") % 5 == 0)
@@ -18007,6 +18027,11 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.filter(
         ~((F.col("ent") == F.col("ent2")) & (F.col("side") == F.col("side2")))
     ).withColumn("is_match", F.col("ent") == F.col("ent2"))
+    # O(n*w) candidate pairs: cache so the recall assert materializes
+    # the bucketed-window candidate generation ONCE and the returned
+    # per-bucket agg reads the cache (r11; the fellegi_sunter_linkage
+    # discipline — same substrate, same reason)
+    pairs = track_persist(pairs)
     out = (
         pairs.groupBy("bucket")
         .agg(
@@ -23157,6 +23182,10 @@ def calibration_ece_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conf_milli").cast("long").alias("sum_conf"),
         F.sum("correct").cast("long").alias("n_correct"),
     )
+    # bounded (lane x bin) frame read by THREE consumers (per_bin, the
+    # ece agg collected below, and the returned join): cache so the
+    # events scan + lane explode runs ONCE (r11)
+    binned = track_persist(binned)
     # All operands are non-negative bigints, so `div` (truncation
     # toward zero) equals the oracle's `//` directly — and stays exact
     # past 2^53 where the former float `/` + cast silently rounded.
