@@ -196,6 +196,19 @@ def merge_upsert(
             commit_buckets(table_path, out, touched_buckets(out, bucket))
             return
 
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        read_manifest,
+    )
+
+    if not (read_manifest(table_path) or {}).get("buckets"):
+        # Manifest exists but maps no buckets (every key of every
+        # bucket was deleted): the store is live-but-empty — a fresh
+        # bootstrap commit, not a merge (read_snapshot on an empty
+        # manifest raises by contract).
+        out = live.withColumn("bucket", bucket)
+        commit_buckets(table_path, out, touched_buckets(out, bucket))
+        return
+
     touched = touched_buckets(updates, bucket)
     existing = read_snapshot(spark, table_path).filter(
         F.col("bucket").isin(touched)
@@ -211,14 +224,10 @@ def merge_upsert(
     # No localCheckpoint needed: the commit writes NEW gen dirs, so the
     # read-from and written-to paths never overlap.
     # A touched bucket whose rows were all deleted produces no staged
-    # dir — drop it from the manifest so its stale gen disappears.
-    out_buckets = {r[0] for r in merged.select("bucket").distinct().collect()}
-    commit_buckets(
-        table_path,
-        merged,
-        touched,
-        drop_buckets=set(touched) - out_buckets,
-    )
+    # dir — commit_buckets drops it from the manifest directly, so the
+    # merge lineage runs exactly once (the write); the old separate
+    # distinct().collect() pre-pass evaluated it twice.
+    commit_buckets(table_path, merged, touched, drop_empty_touched=True)
 
 
 def compact_table(
@@ -376,24 +385,24 @@ def purge_key(
 
     if snapshot_exists(table_path):
         snap = read_snapshot(spark, table_path)
-        hit_rows = snap.filter(F.col(key).isin(vals))
-        touched = [
-            r[0] for r in hit_rows.select("bucket").distinct().collect()
-        ]
+        # one grouped agg yields both the touched-bucket list and the
+        # purged-row count (was two separate scans of the snapshot)
+        per_bucket = {
+            r["bucket"]: r["n"]
+            for r in snap.filter(F.col(key).isin(vals))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        touched = list(per_bucket)
         if touched:
-            stats["snapshot_rows_purged"] = hit_rows.count()
+            stats["snapshot_rows_purged"] = sum(per_bucket.values())
             stats["snapshot_buckets_rewritten"] = len(touched)
             remaining = snap.filter(
                 F.col("bucket").isin(touched) & ~F.col(key).isin(vals)
             )
-            out_buckets = {
-                r[0] for r in remaining.select("bucket").distinct().collect()
-            }
             commit_buckets(
-                table_path,
-                remaining,
-                touched,
-                drop_buckets=set(touched) - out_buckets,
+                table_path, remaining, touched, drop_empty_touched=True
             )
         # collapse retention: an older generation or manifest that can
         # still serve the purged rows defeats the purge

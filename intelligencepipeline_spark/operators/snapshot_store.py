@@ -112,11 +112,21 @@ def commit_buckets(
     touched: list,
     keep_gens: int = 1,
     drop_buckets: set | None = None,
+    drop_empty_touched: bool = False,
 ) -> int:
     """Run one WRITE→PUBLISH→GC commit: ``out`` (must carry a
     ``bucket`` column covering a subset of ``touched``) replaces the
     touched buckets; ``drop_buckets`` (⊆ touched) are removed from the
     map entirely (e.g. every row deleted). Returns the committed gen.
+
+    ``drop_empty_touched=True`` derives that drop set from the WRITE
+    itself: a touched bucket that staged no rows (no ``bucket=`` dir —
+    partitionBy writes none for an empty group) is removed from the
+    manifest. This is the write-once path for callers whose merged
+    frame may empty a bucket — pre-computing emptiness with a separate
+    ``select('bucket').distinct().collect()`` re-runs the entire merge
+    lineage a second time (guide §1.2: don't compute what the write
+    already tells you).
 
     A fresh gen per attempt (not per epoch) keeps a replayed batch
     from touching a live dir; idempotent upstream folds make replayed
@@ -141,6 +151,7 @@ def commit_buckets(
         staging
     )
     new_buckets = dict(manifest["buckets"])
+    staged: set[int] = set()
     for d in os.listdir(staging):
         if not d.startswith("bucket="):
             continue
@@ -150,7 +161,15 @@ def commit_buckets(
         shutil.rmtree(dest, ignore_errors=True)
         os.rename(os.path.join(staging, d), dest)
         new_buckets[b] = gen
+        try:
+            staged.add(int(b))
+        except ValueError:
+            pass
     shutil.rmtree(staging, ignore_errors=True)
+    if drop_empty_touched:
+        drop_buckets = set(drop_buckets or ()) | (
+            {int(t) for t in touched} - staged
+        )
     for b in drop_buckets or ():
         new_buckets.pop(str(b), None)
     publish_manifest(table_path, {"gen": gen, "buckets": new_buckets})

@@ -58,6 +58,62 @@ def test_delete_tombstones(spark, tdir):
     assert _snap(spark, tdir) == {2: ("b", 10), 3: ("c", 20)}
 
 
+def test_emptied_bucket_dropped_from_manifest(spark, tdir):
+    """A delete batch that empties an entire bucket must remove that
+    bucket from the manifest (r11: the drop set is derived from the
+    commit's own staged dirs — drop_empty_touched — instead of a
+    second evaluation of the merged frame)."""
+    from intelligencepipeline_spark.operators.snapshot_store import (
+        read_manifest,
+    )
+
+    base = spark.createDataFrame(
+        [(k, "v", 1) for k in range(20)], "k long, v string, ts long"
+    )
+    merge_upsert(base, tdir, key="k", n_buckets=4)
+    m0 = read_manifest(tdir)["buckets"]
+    # delete EVERY key: all touched buckets empty out
+    tomb = spark.createDataFrame(
+        [(k, "v", 2, True) for k in range(20)],
+        "k long, v string, ts long, deleted boolean",
+    )
+    merge_upsert(tomb, tdir, key="k", n_buckets=4, delete_col="deleted")
+    m1 = read_manifest(tdir)["buckets"]
+    assert m0 and m1 == {}, (m0, m1)
+    # and a partial emptying drops only the emptied bucket(s)
+    merge_upsert(base, tdir, key="k", n_buckets=4)
+    only_b0 = spark.createDataFrame(
+        [(k, "v", 3, True) for k in range(20)],
+        "k long, v string, ts long, deleted boolean",
+    ).filter(F.pmod(F.xxhash64(F.col("k")), F.lit(4)) == 0)
+    merge_upsert(only_b0, tdir, key="k", n_buckets=4, delete_col="deleted")
+    m2 = read_manifest(tdir)["buckets"]
+    assert "0" not in m2 and set(m2) == {"1", "2", "3"}, m2
+    assert {r.k for r in read_merged(spark, tdir).collect()} == {
+        k for k in range(20) if hash_bucket(k) != 0
+    }
+
+
+def hash_bucket(k: int) -> int:
+    """Python-side replica of the store's pmod(xxhash64(k), 4) — via a
+    1-row Spark eval to avoid reimplementing xxhash64."""
+    global _BUCKET_CACHE
+    try:
+        _BUCKET_CACHE
+    except NameError:
+        _BUCKET_CACHE = {}
+    if k not in _BUCKET_CACHE:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = spark.range(21).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).alias("b"),
+        ).collect()
+        _BUCKET_CACHE = {r.k: r.b for r in rows}
+    return _BUCKET_CACHE[k]
+
+
 def test_last_wins_compaction_within_batch(spark, tdir):
     upd = spark.createDataFrame(
         [(1, "old", 10), (1, "new", 30), (1, "mid", 20)],
