@@ -20161,6 +20161,10 @@ def streaming_decontamination_gate(
             "n_hits IS NULL AS kept",
         )
     )
+    # cache the one-shot form: the two-way exceptAll proof reads it
+    # twice; uncached it re-ran the broadcast-probe lineage per
+    # direction (r11)
+    batch_form = track_persist(batch_form)
     assert out.exceptAll(batch_form).count() == 0
     assert batch_form.exceptAll(out).count() == 0
     # proof (b): each probe touched exactly its own batch's grams
@@ -21102,6 +21106,11 @@ def null_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", F.lit(None).cast("string")
     )
     split = matched.unionByName(bypass.select(*matched.columns))
+    # both forms feed the two-way equivalence proof AND (split) the
+    # returned aggregate: cache each so the join runs once per form,
+    # not once per consumer (r11)
+    naive = track_persist(naive)
+    split = track_persist(split)
     assert naive.exceptAll(split).count() == 0
     assert split.exceptAll(naive).count() == 0
     return (
