@@ -9349,7 +9349,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     k = semdedup_k(emb.count(), target_cluster_size=64)
     assigned, _cents = kmeans(emb, k=k, iterations=2)
-    m = assigned.select("vec_id", "qvec", "cluster")
+    # the assignment expression (k literal-centroid distance folds per
+    # row) feeds FOUR consumers: both sides of the cluster self-join,
+    # the survivor exceptAll and the membership agg — cache it so the
+    # fold runs once per vector, not four times (r11)
+    m = track_persist(assigned.select("vec_id", "qvec", "cluster"))
     dropped = (
         m.alias("x")
         .join(m.alias("y"), "cluster")
@@ -21578,27 +21582,25 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             " string))), 1, 8), 16, 10) as bigint) % 10 < 4, 1L, 0L)"
         ).alias("pass"),
     )
+    # the uniform draw is bound ONCE per (doc, r) by a nested
+    # transform — HOF lambdas get no codegen subexpression
+    # elimination, so inlining the md5 into each CASE arm evaluated
+    # it 5x per element (r11; guide §4.1 expression choice)
     drawn = flagged.select(
         "pass",
         F.explode(
             F.expr(
-                f"transform(sequence(1, {B}), r -> named_struct('r', r,"
-                " 'w', CASE"
-                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
+                f"transform(transform(sequence(1, {B}), r ->"
+                " named_struct('r', r, 'u',"
+                " cast(conv(substring(md5(concat('bs', cast(r as"
                 " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
-                " as bigint) % 10000 < 3679 THEN 0L"
-                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
-                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
-                " as bigint) % 10000 < 7358 THEN 1L"
-                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
-                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
-                " as bigint) % 10000 < 9197 THEN 2L"
-                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
-                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
-                " as bigint) % 10000 < 9810 THEN 3L"
-                " WHEN cast(conv(substring(md5(concat('bs', cast(r as"
-                " string), ':', cast(doc_id as string))), 1, 8), 16, 10)"
-                " as bigint) % 10000 < 9963 THEN 4L"
+                " as bigint) % 10000)),"
+                " s -> named_struct('r', s.r, 'w', CASE"
+                " WHEN s.u < 3679 THEN 0L"
+                " WHEN s.u < 7358 THEN 1L"
+                " WHEN s.u < 9197 THEN 2L"
+                " WHEN s.u < 9810 THEN 3L"
+                " WHEN s.u < 9963 THEN 4L"
                 " ELSE 5L END))"
             )
         ).alias("d"),
