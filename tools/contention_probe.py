@@ -120,6 +120,18 @@ def main() -> None:
     _shared_lsh_edges(spark, args.sf_dir).count()
     _shared_base_components(spark, args.sf_dir).count()
     _funnel_stages(spark, args.sf_dir)[4].count()
+    # r11 substrates (tokenizer fits + LM-gate scores) — same parity
+    from intelligencepipeline_spark.queries import (
+        _shared_bpe_merges,
+        _shared_lm_gate,
+        _shared_unigram_model,
+        _shared_wordpiece_vocab,
+    )
+
+    _shared_bpe_merges(spark, args.sf_dir)
+    _shared_unigram_model(spark, args.sf_dir)
+    _shared_wordpiece_vocab(spark, args.sf_dir)
+    _shared_lm_gate(spark, args.sf_dir).count()
 
     def run_one(name: str) -> float:
         t0 = time.time()
