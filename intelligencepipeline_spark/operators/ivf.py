@@ -42,6 +42,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from intelligencepipeline_spark.operators.litexpr import int_array_lit
 from intelligencepipeline_spark.operators.similarity import SCALE
 
 
@@ -240,7 +241,7 @@ def ivf_topk(
     d = -2.0 * (centroids @ qvec) + (centroids * centroids).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d, kind="stable")[:n_probe]]
 
-    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qvec])
+    qlit = int_array_lit(qvec, as_long=True)
     cands = assigned.filter(
         F.col("cell").isin(probe_cells) & (F.col(id_col) != query_id)
     )

@@ -46,6 +46,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from intelligencepipeline_spark.operators.litexpr import (
+    int_array_lit,
+    int_matrix_lit,
+)
 from intelligencepipeline_spark.operators.similarity import SCALE
 
 
@@ -97,12 +101,7 @@ def ivfpq_index_integer(
             id_col=id_col, vec_col=vec_col,
         )
         if residual:
-            cent_lit = F.array(
-                *[
-                    F.array(*[F.lit(int(v)) for v in coarse[c]])
-                    for c in sorted(coarse)
-                ]
-            )
+            cent_lit = int_matrix_lit([coarse[c] for c in sorted(coarse)])
             rvec = F.zip_with(
                 "qvec",
                 F.element_at(cent_lit, F.col("cluster") + 1),
@@ -265,7 +264,7 @@ def ivfpq_topk_integer(
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(int(x)) for x in qvec])
+    qlit = int_array_lit(qvec)
     exact = short.select(
         id_col,
         "cell",

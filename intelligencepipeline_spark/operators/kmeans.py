@@ -37,13 +37,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from intelligencepipeline_spark.operators.litexpr import (
+    int_array_lit,
+    int_matrix_lit,
+)
 from intelligencepipeline_spark.operators.similarity import quantize
 
 
 def _sq_dist(qvec: Column, centroid: list[int]) -> Column:
     """Exact integer squared-L2 between a quantized vector column and a
     literal centroid (fold stays in codegen; no UDF)."""
-    lit_c = F.array(*[F.lit(int(v)) for v in centroid])
+    lit_c = int_array_lit(centroid)
     return F.aggregate(
         F.zip_with(qvec, lit_c, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -67,11 +71,8 @@ def assign_clusters(
     seconds per assignment round just compiling)."""
     if sorted(centroids) != list(range(len(centroids))):
         raise ValueError("centroid ids must be contiguous 0..k-1")
-    cents = F.array(
-        *[
-            F.array(*[F.lit(int(v)) for v in cent])
-            for _cid, cent in sorted(centroids.items())
-        ]
+    cents = int_matrix_lit(
+        [cent for _cid, cent in sorted(centroids.items())]
     )
     # centroids are emitted in ascending cid order, so the transform
     # index IS the cluster id; (dist2, cluster) struct order keeps the

@@ -1,0 +1,75 @@
+"""Integer literal arrays in ONE py4j round-trip (guide §4 — the
+JVM/Python boundary is not just row data; driver-side expression
+CONSTRUCTION pays it too).
+
+``F.array(*[F.lit(v) for v in vals])`` costs one py4j round-trip per
+element (~1-2 ms each): a k x dim centroid matrix is ~0.8 s and an
+m x k x dsub PQ codebook ~1.8 s of pure driver time before any job
+starts — and the cost recurs every time the expression is BUILT (per
+foreachBatch micro-batch in the streaming appenders, per kmeans
+assignment round, per ANN probe). Rendering the same integers as one
+SQL string and parsing it with a single ``F.expr`` call yields the
+identical analyzed literal (same element type, same values) in ~3 ms
+regardless of size.
+
+Out-of-range values fall back to the per-element form so the element
+type can never silently differ from what ``F.lit`` would have
+produced (py4j promotes a Python int beyond int32 to a java long;
+the SQL parser widens the same way, but the fallback keeps the
+equivalence argument trivial).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_I32_MAX = 2**31 - 1
+_I32_MIN = -(2**31)
+_I64_MAX = 2**63 - 1
+_I64_MIN = -(2**63)
+
+
+def int_array_lit(vals, as_long: bool = False) -> Column:
+    """Literal ``array<int>`` (``array<bigint>`` when ``as_long``)
+    parsed from one SQL string instead of len(vals) py4j calls.
+    Equivalent to ``F.array(*[F.lit(int(v)) for v in vals])`` (with a
+    per-element ``.cast('long')`` when ``as_long``)."""
+    vals = [int(v) for v in vals]
+    if as_long:
+        if vals and all(_I64_MIN < v <= _I64_MAX for v in vals):
+            return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+        return F.array(*[F.lit(v).cast("long") for v in vals])
+    if vals and all(_I32_MIN < v <= _I32_MAX for v in vals):
+        return F.expr("array(" + ",".join(str(v) for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
+def int_matrix_lit(rows, as_long: bool = False) -> Column:
+    """Literal ``array<array<int>>`` (bigint when ``as_long``) in one
+    parse. Equivalent to ``F.array(*[int_array_lit(r) for r in rows])``
+    built element-wise."""
+    rows = [[int(v) for v in r] for r in rows]
+    flat = [v for r in rows for v in r]
+    if as_long:
+        if rows and all(r for r in rows) and all(
+            _I64_MIN < v <= _I64_MAX for v in flat
+        ):
+            return F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{v}L" for v in r) + ")"
+                    for r in rows
+                )
+                + ")"
+            )
+        return F.array(*[int_array_lit(r, as_long=True) for r in rows])
+    if rows and all(r for r in rows) and all(
+        _I32_MIN < v <= _I32_MAX for v in flat
+    ):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(str(v) for v in r) + ")" for r in rows
+            )
+            + ")"
+        )
+    return F.array(*[int_array_lit(r) for r in rows])

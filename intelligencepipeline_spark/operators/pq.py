@@ -36,6 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from intelligencepipeline_spark.operators.ivf import _sample_matrix
+from intelligencepipeline_spark.operators.litexpr import (
+    int_array_lit,
+    int_matrix_lit,
+)
 from intelligencepipeline_spark.operators.similarity import SCALE
 
 
@@ -236,12 +240,7 @@ def pq_encode_integer(
         if sorted(codebooks[j]) != list(range(k)):
             raise ValueError("codebook centroid ids must be 0..k-1")
         sub = F.slice(F.col("qvec"), j * dsub + 1, dsub)
-        cb_lit = F.array(
-            *[
-                F.array(*[F.lit(int(v)) for v in codebooks[j][c]])
-                for c in range(k)
-            ]
-        )
+        cb_lit = int_matrix_lit([codebooks[j][c] for c in range(k)])
         code_cols.append(F.array_min(cands_for(sub, cb_lit))["cluster"])
     return q.select(
         id_col, "qvec", F.array(*code_cols).cast("array<int>").alias("codes")
@@ -414,9 +413,7 @@ def adc_lut_integer(
 def adc_expr_integer(lut: list[list[int]]):
     """The ADC score as a pure codegen expression over a ``codes``
     column: m literal-array lookups summed — no UDF, no shuffle."""
-    lut_lit = F.array(
-        *[F.array(*[F.lit(int(v)) for v in row]) for row in lut]
-    )
+    lut_lit = int_matrix_lit(lut)
     return sum(
         F.element_at(
             F.element_at(lut_lit, j + 1), F.element_at("codes", j + 1) + 1
@@ -452,7 +449,7 @@ def pq_adc_rerank_integer(
         .orderBy(F.asc("adc"), F.asc(id_col))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(int(x)) for x in query_qvec])
+    qlit = int_array_lit(query_qvec)
     exact = short.select(
         id_col,
         *passthrough,
@@ -486,7 +483,7 @@ def pq_topk_rerank(
     q = np.floor(np.asarray(query_vec, dtype=np.float64) * SCALE).astype(
         np.int64
     )
-    qlit = F.array(*[F.lit(int(x)) for x in q])
+    qlit = int_array_lit(q)
     cand = raw.join(F.broadcast(short.select(id_col)), id_col)
     exact = cand.select(
         id_col,

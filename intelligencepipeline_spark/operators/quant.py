@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from intelligencepipeline_spark.operators.litexpr import int_array_lit
 from intelligencepipeline_spark.operators.similarity import (
     cosine,
     int_dot,
@@ -64,7 +65,7 @@ def binary_codes(vec: Column, dim: int = 64) -> Column:
             F.lit(0).cast("long")
         ),
     )
-    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    pow2 = int_array_lit([1 << b for b in range(32)], as_long=True)
     lo = int_dot(F.slice(signs, 1, 32), pow2)
     hi = int_dot(F.slice(signs, 33, 32), pow2)
     return F.struct(lo.alias("lo"), hi.alias("hi"))
@@ -165,8 +166,8 @@ def sq8_code_expr(vec: Column, mins: list[int], spans: list[int]) -> Column:
     division in every engine (DuckDB replays it with `//`):
     |raw - n*span| >= 1 keeps the true quotient >= ~6e-7 away from
     the next integer while the division error is <= 1 ulp ~ 1e-10."""
-    mn_arr = F.array(*[F.lit(m).cast("long") for m in mins])
-    span_arr = F.array(*[F.lit(s).cast("long") for s in spans])
+    mn_arr = int_array_lit(mins, as_long=True)
+    span_arr = int_array_lit(spans, as_long=True)
     raw = F.zip_with(quantize(vec), mn_arr, lambda v, m: (v - m) * 255)
     return F.zip_with(
         raw,

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from intelligencepipeline_spark.operators.litexpr import int_array_lit
+
 SCALE = 1000  # quantization: floor(double(x) * SCALE) -> long
 
 
@@ -110,7 +112,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
             2 * int(hashlib.md5(f"{p}:{c}".encode()).hexdigest()[0], 16) - 15
             for c in range(dim)
         ]
-        w = F.array(*[F.lit(x) for x in weights])
+        w = int_array_lit(weights)
         s = F.aggregate(
             F.zip_with(qv, w, lambda x, y: x * y),
             F.lit(0).cast("long"),

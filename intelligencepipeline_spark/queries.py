@@ -37,6 +37,7 @@ from intelligencepipeline_spark.functions.text import (
 )
 from intelligencepipeline_spark.operators.asof import asof_join
 from intelligencepipeline_spark.operators.components import connected_components
+from intelligencepipeline_spark.operators.litexpr import int_array_lit
 from intelligencepipeline_spark.operators.rollup import rollup_stack
 from intelligencepipeline_spark.functions.nlp import (
     named_entities,
@@ -13496,8 +13497,8 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = pca_top_component(spark, emb).orderBy("dim").collect()
     mu_shift = [int(r["mu_milli"]) + MILLI for r in comp]
     v = [int(r["pc1"]) for r in comp]
-    mu_arr = F.array(*[F.lit(m).cast("long") for m in mu_shift])
-    v_arr = F.array(*[F.lit(x).cast("long") for x in v])
+    mu_arr = int_array_lit(mu_shift, as_long=True)
+    v_arr = int_array_lit(v, as_long=True)
     qarr = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * MILLI).cast("long") + MILLI,

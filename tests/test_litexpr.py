@@ -1,0 +1,92 @@
+"""int_array_lit / int_matrix_lit (operators/litexpr.py): the one-parse
+literal must be indistinguishable from the per-element F.lit form —
+same element type, same values — including the fallback edges (out of
+int32 range, empty input) where it must defer to F.lit so the type can
+never silently differ."""
+from pyspark.sql import functions as F
+
+from intelligencepipeline_spark.operators.litexpr import (
+    int_array_lit,
+    int_matrix_lit,
+)
+
+
+def _one(spark, col):
+    df = spark.range(1).select(col.alias("v"))
+    return df.schema["v"].dataType.simpleString(), df.collect()[0]["v"]
+
+
+def test_int_array_matches_lit_form(spark):
+    vals = [0, -7, 13, 2**31 - 1, -(2**31) + 1]
+    t_new, v_new = _one(spark, int_array_lit(vals))
+    t_old, v_old = _one(spark, F.array(*[F.lit(int(v)) for v in vals]))
+    assert (t_new, v_new) == (t_old, v_old)
+    assert t_new == "array<int>"
+
+
+def test_int_array_long_matches_cast_form(spark):
+    vals = [0, -7, 1 << 40, -(1 << 40), 2**63 - 1]
+    t_new, v_new = _one(spark, int_array_lit(vals, as_long=True))
+    t_old, v_old = _one(
+        spark, F.array(*[F.lit(int(v)).cast("long") for v in vals])
+    )
+    assert (t_new, v_new) == (t_old, v_old)
+    assert t_new == "array<bigint>"
+
+
+def test_out_of_i32_falls_back_to_lit_promotion(spark):
+    # py4j promotes 2**31 to a java long; the string form must match
+    # that type, which the fallback guarantees by using F.lit itself
+    vals = [1, 2**31]
+    t_new, v_new = _one(spark, int_array_lit(vals))
+    t_old, v_old = _one(spark, F.array(*[F.lit(int(v)) for v in vals]))
+    assert (t_new, v_new) == (t_old, v_old)
+
+
+def test_int32_min_takes_fallback_not_parser(spark):
+    # SQL parses -2147483648 as negate(bigint literal); F.lit keeps it
+    # int32 — the helper must route it through the fallback
+    vals = [-(2**31), 5]
+    t_new, v_new = _one(spark, int_array_lit(vals))
+    t_old, v_old = _one(spark, F.array(*[F.lit(int(v)) for v in vals]))
+    assert (t_new, v_new) == (t_old, v_old)
+    assert t_new == "array<int>"
+
+
+def test_matrix_matches_nested_lit_form(spark):
+    rows = [[1, 2, 3], [-4, 0, 2**31 - 1]]
+    t_new, v_new = _one(spark, int_matrix_lit(rows))
+    t_old, v_old = _one(
+        spark,
+        F.array(
+            *[F.array(*[F.lit(int(v)) for v in r]) for r in rows]
+        ),
+    )
+    assert (t_new, v_new) == (t_old, v_old)
+    assert t_new == "array<array<int>>"
+
+
+def test_matrix_long(spark):
+    rows = [[1, 1 << 40], [-3, 0]]
+    t_new, v_new = _one(spark, int_matrix_lit(rows, as_long=True))
+    t_old, v_old = _one(
+        spark,
+        F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in r])
+                for r in rows
+            ]
+        ),
+    )
+    assert (t_new, v_new) == (t_old, v_old)
+    assert t_new == "array<array<bigint>>"
+
+
+def test_empty_inputs_fall_back(spark):
+    t_new, v_new = _one(spark, int_array_lit([]))
+    t_old, v_old = _one(spark, F.array())
+    assert (t_new, v_new) == (t_old, v_old)
+    rows_new = int_matrix_lit([[1], []])
+    rows_old = F.array(F.array(F.lit(1)), F.array())
+    # a matrix with an empty row defers entirely to the lit form
+    assert _one(spark, rows_new) == _one(spark, rows_old)
