@@ -16025,6 +16025,11 @@ def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_partners IS NULL AS admitted",
                 "coalesce(n_partners, 0) AS n_partners",
             )
+            # evaluated twice below (decision log + admitted-band
+            # index append); without this the second consumer re-runs
+            # the whole candidate-verification join chain (guide §5:
+            # persist what is reused; batch-bounded rows)
+            .localCheckpoint(eager=True)
         )
         decisions.coalesce(1).write.mode("append").parquet(dec_store)
         bands_of(
@@ -22380,13 +22385,12 @@ def incremental_components_merge(
             relabeled.select("node"), "node", "left_anti"
         )
         merged = kept.unionByName(relabeled).withColumn("bucket", cb)
-        out_b = {
-            r[0] for r in merged.select("bucket").distinct().collect()
-        }
-        commit_buckets(
-            comp_store, merged, touched,
-            drop_buckets=set(touched) - out_b,
-        )
+        # the WRITE itself reveals which touched buckets emptied (no
+        # bucket= dir staged) — the single-evaluation commit path
+        # (guide §1.2), same as merge_upsert's G5 fix; the old
+        # select('bucket').distinct().collect() pre-pass re-ran the
+        # whole merge lineage once more per batch.
+        commit_buckets(comp_store, merged, touched, drop_empty_touched=True)
         ledger.append((int(batch_id), len(pairs), n_nodes))
 
     q = (

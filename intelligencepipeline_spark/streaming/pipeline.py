@@ -163,9 +163,15 @@ def consolidate_to_bucketed_table(
             "gen": 0,
             "buckets": {},
         }
+        # touched buckets from the RAW batch, not the fold: the fold is
+        # a pure groupBy(doc_id) (no key is ever dropped), so the two
+        # key sets are identical — but listing from ``folded`` made the
+        # write evaluate the fold's shuffle a SECOND time per commit
+        # (guide §1.2: don't recompute what a one-column scan of the
+        # batch already tells you).
         touched = [
             r[0]
-            for r in folded.select(
+            for r in batch.select(
                 F.pmod("doc_id", F.lit(n_buckets)).alias("b")
             )
             .distinct()

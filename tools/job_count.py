@@ -1,0 +1,47 @@
+"""Noise-free plan-shape evidence: run catalog entries and report how
+many Spark jobs/stages/tasks the entry (build + noop sink) actually
+executed. Wall-clock on this host swings multi-seconds under co-tenant
+load; job/stage/task counts are load-independent, so they are the
+honest before/after metric for changes whose point is "one fewer
+evaluation per commit" (guide §1 — measure what the change claims).
+
+Run:  python tools/job_count.py name [name ...]
+Env:  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from intelligencepipeline_spark import get_spark
+from intelligencepipeline_spark.queries import QUERIES
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:]
+    spark = get_spark("job_count")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    for name in names:
+        if name not in QUERIES:
+            print(f"?? {name}: not in QUERIES")
+            continue
+        all_before = sc._jsc.sc().dagScheduler().nextJobId()
+        st_before = sc._jsc.sc().dagScheduler().nextStageId()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        all_after = sc._jsc.sc().dagScheduler().nextJobId()
+        st_after = sc._jsc.sc().dagScheduler().nextStageId()
+        print(
+            f"{name:40s} jobs={all_after - all_before} "
+            f"stages={st_after - st_before}"
+        )
+
+
+if __name__ == "__main__":
+    main()
