@@ -7137,22 +7137,31 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     try:
-        out = spark.sql(
+        # Materialize the recursion's STATIC side once: a CTE read
+        # inside the recursive member is re-evaluated at EVERY level,
+        # so with ev inline each of the 20 levels re-ran the scan +
+        # row_number window (measured: 94 jobs / 708 stages for this
+        # entry; guide §3.3 — materialize intermediates feeding
+        # repeated evaluation). The walk CTE stays the native
+        # WITH RECURSIVE feature under test.
+        spark.sql(
             """
-            WITH RECURSIVE ev0 AS (
+            SELECT * FROM (
               SELECT user_id,
-                cast(cast(value as decimal(18,2)) * 100 as bigint)
-                  AS cents,
+                cast(cast(value as decimal(18,2)) * 100 as bigint) AS cents,
                 row_number() OVER (
                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM rcte_events_src
-            ), ev AS (
-              SELECT * FROM ev0 WHERE rn <= 20
-            ), walk(user_id, rn, cum) AS (
-              SELECT user_id, rn, cents FROM ev WHERE rn = 1
+            ) WHERE rn <= 20
+            """
+        ).localCheckpoint(eager=True).createOrReplaceTempView("rcte_ev")
+        out = spark.sql(
+            """
+            WITH RECURSIVE walk(user_id, rn, cum) AS (
+              SELECT user_id, rn, cents FROM rcte_ev WHERE rn = 1
               UNION ALL
               SELECT e.user_id, e.rn, w.cum + e.cents
-              FROM walk w JOIN ev e
+              FROM walk w JOIN rcte_ev e
                 ON e.user_id = w.user_id AND e.rn = w.rn + 1
             )
             SELECT user_id,
@@ -9867,7 +9876,14 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(f"newrun_{c}").alias(f"runs_{c}"),
             F.sum(f"nondecr_{c}").alias(f"mono_{c}"),
         ]
-    wide = flags.agg(*aggs)
+    # ONE ROW feeding six union branches: without the persist each
+    # branch re-runs the full scan + window + wide aggregate (measured
+    # plan: 12 parquet scans, 12 Window nodes, zero reuse — and under
+    # co-tenant load the 6x amplification is exactly how this entry
+    # spiked to 35 s in a bench pass). Cache the row; the unpivot
+    # branches read InMemoryTableScan (guide §5: persist what is
+    # reused — here the reuse is 6x and the cache is one row).
+    wide = track_persist(flags.agg(*aggs))
 
     outs = []
     for c, is_num in ENCODING_ADVISOR_COLS:
