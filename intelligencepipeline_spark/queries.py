@@ -111,6 +111,34 @@ def _shared_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE banded-LSH candidate generation per corpus per session
+    (caching.shared_scan): the default-parameter (8 hashes, 4 bands,
+    k=3 shingles, 1000-cap) candidate pair set (a, b) that seven
+    entries — dedup_pipeline, minhash_lsh_pairs,
+    pagerank_neardup_graph, negative_pair_sample,
+    label_propagation_communities, lsh_parameter_advisor,
+    minhash_jaccard_estimate_audit — and _lsh_verified_edges each
+    re-derived with an identical signature build + band-bucket
+    self-join over the (already shared) shingle table. At 100 TB the
+    candidate pairs are the at-rest join product a dedup run writes
+    once next to the signature store; every consumer reads, none
+    re-bands. lsh_recall_audit deliberately keeps its OWN call: it
+    audits the generator itself, including the over-cap overflow
+    frame this substrate does not keep."""
+    from intelligencepipeline_spark.caching import shared_scan
+
+    def _build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        sh = _shared_shingles(spark, sf_dir, k=3)
+        cands, _big = minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
+        )
+        return cands
+
+    return shared_scan(("lsh_cands", sf_dir), _build)
+
+
 def _shared_base_components(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -198,6 +226,35 @@ def _shared_lm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: perplexity_gate(
             _t(spark, sf_dir, "documents"),
             tokens(normalize_text(F.col("text"))),
+            F.col("doc_id") % 2 == 0,
+        ),
+    )
+
+
+def _shared_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE trained-NB scoring pass per corpus per session
+    (caching.shared_scan — the _shared_lm_gate discipline applied to
+    the hashed-trigram Naive Bayes gate): the per-doc scored frame
+    (doc_id, class bits, margin_bits, nb_keep, label_keep, agree)
+    that three entries — nb_quality_classifier,
+    uncertainty_sampling_plan, classifier_reliability_curve —
+    previously each re-derived with the identical
+    nb_train_score(docs, tokens, gopher_keep, doc_id%2==0) call
+    (train half + full-corpus scoring pass per entry). At 100 TB the
+    classifier scores are the at-rest column the curation run writes
+    once next to the docs; every consumer reads, none re-scores."""
+    from intelligencepipeline_spark.caching import shared_scan
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.quality_clf import (
+        nb_train_score,
+    )
+
+    return shared_scan(
+        ("nb_scores", sf_dir),
+        lambda: nb_train_score(
+            _t(spark, sf_dir, "documents"),
+            tokens(F.col("text")),
+            gopher_rules(F.col("text"))["keep"],
             F.col("doc_id") % 2 == 0,
         ),
     )
@@ -461,18 +518,13 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline at scale: minhash-LSH candidates ->
     exact Jaccard verification (>= 0.5) — candidates-only verification is
     the 100 TB pattern (never all-pairs)."""
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
     # Shingle once, share between candidate generation and verification
-    # AND across the whole dedup family (session-shared substrate).
+    # AND across the whole dedup family (session-shared substrate);
+    # the candidate set is likewise the shared, already-persisted
+    # substrate (r11) consumed twice inside jaccard_pairs.
     sh = _shared_shingles(spark, sf_dir, k=3)
-    cands, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
-    )
-    # consumed twice inside jaccard_pairs (doc-level prune + pair-level
-    # semi-join) — persist so LSH runs once
-    cands = track_persist(cands, StorageLevel.MEMORY_AND_DISK)
+    cands = _shared_lsh_candidates(spark, sf_dir)
     return jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
     ).orderBy("a", "b")
@@ -711,11 +763,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded minhash-LSH candidate pairs (4 bands x 2 rows over the
     8-hash signature): docs sharing any band hash. The scale path for
     near-dup detection — candidates only, verified by jaccard_pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3
-    )
-    return pairs.orderBy("a", "b")
+    # the shared candidate substrate IS this entry's product (r11):
+    # identical params (8 hashes, 4 bands, k=3), identical values
+    return _shared_lsh_candidates(spark, sf_dir).orderBy("a", "b")
 
 
 def engine_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,14 +1545,11 @@ def _lsh_verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical semantics to dedup_pipeline). Never all-pairs: candidate
     generation is the banded bucket join, verification is pruned to
     candidates below the join."""
-    from pyspark import StorageLevel
-
     docs = _t(spark, sf_dir, "documents")
     sh = _shared_shingles(spark, sf_dir, k=3)
-    cands, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
-    )
-    cands = track_persist(cands, StorageLevel.MEMORY_AND_DISK)
+    # the candidate set is itself a shared substrate (r11) — already
+    # persisted there, so no per-call track_persist needed
+    cands = _shared_lsh_candidates(spark, sf_dir)
     return jaccard_pairs(
         docs, shingle_k=3, threshold=0.5, candidates=cands, shingles=sh
     ).select("a", "b")
@@ -1612,10 +1659,12 @@ def dedup_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the filter that actually shrinks the corpus; it is one
     broadcast-able left join against the (tiny) clustered-node set."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    edges = _shared_lsh_edges(spark, sf_dir)
     from intelligencepipeline_spark.operators.components import dedup_survivors
 
-    kept = dedup_survivors(docs, connected_components(edges))
+    # _shared_base_components IS connected_components(_shared_lsh_edges)
+    # — the identical frame this entry re-derived with its own
+    # iterative CC run (~15 jobs) before r11.
+    kept = dedup_survivors(docs, _shared_base_components(spark, sf_dir))
     return kept.orderBy("doc_id")
 
 
@@ -3985,8 +4034,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    edges = _shared_lsh_edges(spark, sf_dir)
-    comp = connected_components(edges)
+    comp = _shared_base_components(spark, sf_dir)
     survivors = dedup_survivors(exact_kept.select("doc_id"), comp)
     final = exact_kept.join(survivors, "doc_id", "left_semi").withColumn(
         "clean_text", redact_pii(F.col("text"))
@@ -5238,8 +5286,7 @@ def quality_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-component window (WindowGroupLimit prunes it to one row per
     cluster)."""
     docs = _t(spark, sf_dir, "documents")
-    edges = _shared_lsh_edges(spark, sf_dir)
-    comp = connected_components(edges)
+    comp = _shared_base_components(spark, sf_dir)
     q = quality_score(F.col("text"))
     scored = docs.select("doc_id", q["n_tokens"].alias("n_toks"))
     w = Window.partitionBy("component").orderBy(
@@ -5940,15 +5987,10 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges come from the banded-LSH candidate generator (bounded
     buckets, never all-pairs); each iteration is one src-join + one
     dst-agg — O(iters) shuffles, lineage kept flat by localCheckpoint."""
-    from intelligencepipeline_spark.operators.dedup import (
-        minhash_lsh_candidates,
-    )
     from intelligencepipeline_spark.operators.graph import pagerank_int
 
     docs = _t(spark, sf_dir, "documents")
-    pairs, _big = minhash_lsh_candidates(
-        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
-    )
+    pairs = _shared_lsh_candidates(spark, sf_dir)
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -5973,10 +6015,6 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the draw is a scan-stage expression (explode of 3 slots);
     the near-dup rejection is a broadcast anti-join against the
     LSH pair list — no shuffle of the corpus."""
-    from intelligencepipeline_spark.operators.dedup import (
-        minhash_lsh_candidates,
-    )
-
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     drawn = (
@@ -6014,9 +6052,7 @@ def negative_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("b_raw")),
         )
     )
-    pairs, _big = minhash_lsh_candidates(
-        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
-    )  # (a, b) with a < b
+    pairs = _shared_lsh_candidates(spark, sf_dir)  # (a, b), a < b
     near = pairs.select(
         F.col("a").alias("lo"), F.col("b").alias("hi")
     )
@@ -7253,9 +7289,9 @@ def minhash_jaccard_estimate_audit(
     sigs = track_persist(minhash_signatures_df(
         docs, num_hashes=8, shingle_k=3, shingles=sh0
     ))
-    pairs, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3, signatures=sigs
-    )
+    # same default-parameter candidate set as the shared substrate
+    # (r11) — the signature frame above still feeds the estimator
+    pairs = _shared_lsh_candidates(spark, sf_dir)
 
     sh = sh0.withColumnRenamed("doc_id", "id")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -9455,17 +9491,12 @@ def label_propagation_communities(
     Scale: edges from the capped banded-LSH candidate generator (never
     all-pairs); each round is join + two keyed aggs = O(iters)
     shuffles with one long of state per node."""
-    from intelligencepipeline_spark.operators.dedup import (
-        minhash_lsh_candidates,
-    )
     from intelligencepipeline_spark.operators.graph import (
         label_propagation,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs, _big = minhash_lsh_candidates(
-        docs, shingles=_shared_shingles(spark, sf_dir, k=3)
-    )
+    pairs = _shared_lsh_candidates(spark, sf_dir)
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(
@@ -12638,18 +12669,10 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one doc-keyed agg. The model table stays 256 rows at 100 TB.
     Reference: quality surface is MaxScore/NoScore evaluation
     (interfaces.kt:30-60); extension per SURVEY §2.9."""
-    from intelligencepipeline_spark.functions.text import gopher_rules
-    from intelligencepipeline_spark.operators.quality_clf import (
-        nb_train_score,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    return nb_train_score(
-        docs,
-        tokens(F.col("text")),
-        gopher_rules(F.col("text"))["keep"],
-        F.col("doc_id") % 2 == 0,
-    ).orderBy("doc_id")
+    # ONE NB scoring pass per corpus per session (r11): this entry,
+    # uncertainty_sampling_plan and classifier_reliability_curve all
+    # consumed the identical scored frame.
+    return _shared_nb_scores(spark, sf_dir).orderBy("doc_id")
 
 
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13460,18 +13483,7 @@ def uncertainty_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast model) plus one TakeOrdered cut by |margin| — no global
     sort materialization. Composes operators/quality_clf.py
     end-to-end."""
-    from intelligencepipeline_spark.functions.text import gopher_rules
-    from intelligencepipeline_spark.operators.quality_clf import (
-        nb_train_score,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    scored = nb_train_score(
-        docs,
-        tokens(F.col("text")),
-        gopher_rules(F.col("text"))["keep"],
-        F.col("doc_id") % 2 == 0,
-    )
+    scored = _shared_nb_scores(spark, sf_dir)
     return (
         scored.filter(F.col("doc_id") % 2 == 1)
         .withColumn("abs_margin", F.abs("margin_bits").cast("long"))
@@ -13714,18 +13726,7 @@ def classifier_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the classifier's own shape + one bounded 8-bin agg.
     Oracle composes the NB oracle body (drift there breaks this row
     too)."""
-    from intelligencepipeline_spark.functions.text import gopher_rules
-    from intelligencepipeline_spark.operators.quality_clf import (
-        nb_train_score,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    scored = nb_train_score(
-        docs,
-        tokens(F.col("text")),
-        gopher_rules(F.col("text"))["keep"],
-        F.col("doc_id") % 2 == 0,
-    )
+    scored = _shared_nb_scores(spark, sf_dir)
     return (
         scored.filter(F.col("doc_id") % 2 == 1)
         .withColumn(
@@ -14062,15 +14063,9 @@ def lsh_parameter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set bounds every downstream agg; the config dimension
     is a 4-row broadcast stack. Oracle replays banding, milli
     Jaccard, and all four power ladders."""
-    from intelligencepipeline_spark.operators.dedup import (
-        minhash_lsh_candidates,
-    )
-
     docs = _t(spark, sf_dir, "documents")
     shingles = _shared_shingles(spark, sf_dir)
-    cands, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingles=shingles
-    )
+    cands = _shared_lsh_candidates(spark, sf_dir)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x = shingles.select(F.col("doc_id").alias("a"), "shingle")
     y = shingles.select(F.col("doc_id").alias("b"), "shingle")
@@ -21358,6 +21353,11 @@ def pipe_syntax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+    # both grammars feed the two-way proof (and piped the return):
+    # cache each so the lineitem scan+agg runs once per form, not
+    # once per consumer (r11, same shape as null_skew_join_split)
+    piped = track_persist(piped)
+    classic = track_persist(classic)
     assert piped.exceptAll(classic).count() == 0
     assert classic.exceptAll(piped).count() == 0
     return piped
@@ -21779,6 +21779,10 @@ def group_by_all_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+    # cache both resolution paths: each side of the two-way proof
+    # otherwise re-runs its full orders scan+agg per direction (r11)
+    shorthand = track_persist(shorthand)
+    explicit = track_persist(explicit)
     assert shorthand.exceptAll(explicit).count() == 0
     assert explicit.exceptAll(shorthand).count() == 0
     return shorthand
@@ -23356,6 +23360,11 @@ def sql_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY source ORDER BY source
             """
         )
+        # cache both resolution paths: the two-way proof plus the
+        # final checkpoint otherwise re-run the tokenizing scan+agg
+        # (split+filter per doc) 3x / 2x (r11)
+        via_udf = track_persist(via_udf)
+        inlined = track_persist(inlined)
         assert via_udf.exceptAll(inlined).count() == 0
         assert inlined.exceptAll(via_udf).count() == 0
         out = via_udf.localCheckpoint(eager=True)
@@ -23395,6 +23404,10 @@ def approx_topk_exact_regime(
         exact = docs.groupBy("source").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs")
         )
+        # cache sketch and exact sides: two-way proof + the final
+        # checkpoint otherwise re-run each aggregate scan (r11)
+        sk = track_persist(sk)
+        exact = track_persist(exact)
         assert sk.exceptAll(exact).count() == 0
         assert exact.exceptAll(sk).count() == 0
         out = sk.orderBy(F.desc("n_docs"), F.asc("source")).localCheckpoint(
