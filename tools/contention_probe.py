@@ -132,6 +132,14 @@ def main() -> None:
     _shared_unigram_model(spark, args.sf_dir)
     _shared_wordpiece_vocab(spark, args.sf_dir)
     _shared_lm_gate(spark, args.sf_dir).count()
+    # G9 substrates (NB scores + LSH candidate pairs) — same parity
+    from intelligencepipeline_spark.queries import (
+        _shared_lsh_candidates,
+        _shared_nb_scores,
+    )
+
+    _shared_lsh_candidates(spark, args.sf_dir).count()
+    _shared_nb_scores(spark, args.sf_dir).count()
 
     def run_one(name: str) -> float:
         t0 = time.time()
