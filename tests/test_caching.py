@@ -118,3 +118,54 @@ def test_shared_scan_rebuilds_when_owning_session_is_dead(spark):
     assert len(calls) == 2
     assert df2.count() == 3  # bound to the LIVE session
     caching.release_shared()
+
+
+def test_g9_substrates_equal_direct_derivation(spark):
+    """The r11 G9 substrates must be value-identical to the inline
+    derivations they replaced: NB scored frame == a direct
+    nb_train_score call; LSH candidate pairs == a direct
+    minhash_lsh_candidates call with the default parameters."""
+    from pyspark.sql import functions as F
+
+    from intelligencepipeline_spark.caching import (
+        release_persisted,
+        release_shared,
+    )
+    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from intelligencepipeline_spark.operators.quality_clf import (
+        nb_train_score,
+    )
+    from intelligencepipeline_spark.functions.text import tokens
+    from intelligencepipeline_spark.queries import (
+        _shared_lsh_candidates,
+        _shared_nb_scores,
+        _t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    release_persisted()
+    release_shared()
+    docs = _t(spark, sf, "documents")
+
+    direct_nb = nb_train_score(
+        docs,
+        tokens(F.col("text")),
+        gopher_rules(F.col("text"))["keep"],
+        F.col("doc_id") % 2 == 0,
+    )
+    shared_nb = _shared_nb_scores(spark, sf)
+    assert sorted(shared_nb.columns) == sorted(direct_nb.columns)
+    assert shared_nb.exceptAll(direct_nb).count() == 0
+    assert direct_nb.exceptAll(shared_nb).count() == 0
+
+    direct_cands, _big = minhash_lsh_candidates(
+        docs, num_hashes=8, bands=4, shingle_k=3
+    )
+    shared_cands = _shared_lsh_candidates(spark, sf)
+    assert shared_cands.exceptAll(direct_cands).count() == 0
+    assert direct_cands.exceptAll(shared_cands).count() == 0
+    release_persisted()
+    release_shared()
