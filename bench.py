@@ -89,11 +89,23 @@ def main() -> None:
         ).save()
         return round(time.time() - t0, 3)
 
+    # --- Substrate warm block (TIMED as substrate_warm_sec, INCLUDED
+    # in the printed total). The per-entry numbers below measure the
+    # steady-state probe path — which catalog entry would otherwise
+    # pay a substrate's cold build is an artifact of registry order —
+    # but every second of compute this run performs must appear in
+    # the total (r11 verdict item 1), so the whole block is timed and
+    # added to `value`, and reported separately so the per-entry sum
+    # remains comparable with earlier rounds.
+    t_warm0 = time.time()
+
     # Fit-once ANN indexes (IVF cells, PQ codebooks) are written at
     # ingest time in a real deployment (operators/ivf.py docstring);
     # after the driver regenerates testdata their on-disk cache keys
-    # are cold, so pre-build them once un-timed — the timed pass then
-    # measures the steady-state probe path, run-to-run comparable.
+    # are cold, so pre-build them once in this warm block — the timed
+    # pass then measures the steady-state probe path, run-to-run
+    # comparable. Cold cache builds are logged per cache root via
+    # caching.record_fit_build and reported in bench_full.json.
     # (streaming_ivfpq_ingest shares ivfpq_incremental's index cache
     # key — its fit side is warmed by that prebuild; the streaming
     # machinery itself is per-run scratch and is the measured cost)
@@ -161,6 +173,8 @@ def main() -> None:
     # identical survivor chain — at-rest tables of the curation run.
     _funnel_stages(spark, sf_dir)[4].count()
 
+    substrate_warm_sec = round(time.time() - t_warm0, 3)
+
     # The host shows episodic multi-second scheduling stalls (same
     # query: 0.9s one run, 10s the next; load spikes from co-tenants
     # hit random WINDOWS of the run, so untouched entries read 1.7x
@@ -181,10 +195,15 @@ def main() -> None:
     # cutoff, so no gate bias), never kill the run.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "700"))
     timings: dict[str, float] = {}
+    # Per-entry measurement count (r11 verdict item 3): lets the
+    # round-over-round diff separate min-of-N coverage effects from
+    # code effects when the budget cutoff truncates pass 2.
+    passes: dict[str, int] = {}
     for name in QUERIES:
         if only and name not in only:
             continue
         timings[name] = run_one(name)
+        passes[name] = 1
     # Pass 2 runs in REVERSE registry order: under the budget cutoff a
     # forward second pass systematically denies the registry TAIL its
     # second measurement — the r09 bias that made python_datasource_feed
@@ -195,18 +214,26 @@ def main() -> None:
         if time.time() - t_start > budget:
             break
         timings[name] = min(timings[name], run_one(name))
+        passes[name] += 1
     for name, t in list(timings.items()):
         if t > 2.5 and time.time() - t_start <= budget:
             timings[name] = min(t, run_one(name))
+            passes[name] += 1
 
     from intelligencepipeline_spark.caching import (
+        fit_build_seconds,
         release_persisted,
         release_shared,
     )
 
     release_persisted()
     release_shared()  # per-entry + shared substrates (ownership contract)
-    total = round(sum(timings.values()), 3)
+    # Total = per-entry sum + the substrate warm block, so the printed
+    # value charges every second of compute this run performed. The
+    # per-entry sum alone is kept in bench_full.json as
+    # catalog_entries_sec for comparability with pre-r12 rounds.
+    entries_total = round(sum(timings.values()), 3)
+    total = round(entries_total + substrate_warm_sec, 3)
 
     # The driver keeps only the LAST ~2000 chars of stdout (BENCH_r01
     # proved it: the full ~4 KB per-query line was decapitated and
@@ -225,6 +252,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
+                "substrate_warm_sec": substrate_warm_sec,
+                "catalog_entries_sec": entries_total,
+                "fit_cache_builds": fit_build_seconds(),
+                "passes": passes,
+                "n_pass2": sum(1 for n in passes.values() if n >= 2),
             },
             fh,
         )
@@ -277,6 +309,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "detail": "bench_full.json",
+        "substrate_warm_sec": substrate_warm_sec,
         "queries": sub,
         "sf": sf,
     }

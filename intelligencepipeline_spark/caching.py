@@ -82,6 +82,25 @@ def _session_alive(df: DataFrame) -> bool:
 
 _SHARED_FIT: dict[Hashable, object] = {}
 
+# Cold-build seconds per fit-once on-disk cache root (/tmp/ip_*_cache),
+# accumulated by the _DONE-miss paths so a bench run can report every
+# second of compute it performed — including index/manifest builds that
+# later runs read from disk (r11 verdict item 1: no silently un-timed
+# compute in a bench total).
+_FIT_BUILDS: dict[str, float] = {}
+
+
+def record_fit_build(cache_root: str, sec: float) -> None:
+    """Accumulate cold-build wall seconds for a fit-once cache miss."""
+    _FIT_BUILDS[cache_root] = round(
+        _FIT_BUILDS.get(cache_root, 0.0) + sec, 3
+    )
+
+
+def fit_build_seconds() -> dict[str, float]:
+    """Cold fit-once cache builds performed by this process so far."""
+    return dict(_FIT_BUILDS)
+
 
 def shared_fit(key: Hashable, builder: Callable[[], object]) -> object:
     """The :func:`shared_scan` discipline for DRIVER-SIDE fitted

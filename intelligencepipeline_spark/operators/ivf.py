@@ -195,6 +195,11 @@ def ivf_index(
     if os.path.exists(done_path):
         centroids = np.load(cent_path)
         return centroids, spark.read.parquet(table_path)
+    import time as _time
+
+    from intelligencepipeline_spark.caching import record_fit_build
+
+    _t0 = _time.time()
     os.makedirs(base, exist_ok=True)
     centroids = kmeans_fit(
         embeddings, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
@@ -204,6 +209,7 @@ def ivf_index(
     np.save(cent_path, centroids)
     with open(done_path, "w") as fh:
         fh.write("ok")
+    record_fit_build(cache_root, _time.time() - _t0)
     return centroids, spark.read.parquet(table_path)
 
 

@@ -166,6 +166,11 @@ def ivfpq_index_integer(
             for j, sub in raw["pq"].items()
         }
         return coarse, cbs, spark.read.parquet(table_path)
+    import time as _time
+
+    from intelligencepipeline_spark.caching import record_fit_build
+
+    _t0 = _time.time()
     os.makedirs(base, exist_ok=True)
     coarse, cbs, table = build()
     table.write.mode("overwrite").partitionBy("cell").parquet(table_path)
@@ -173,6 +178,7 @@ def ivfpq_index_integer(
         json.dump({"coarse": coarse, "pq": cbs}, fh)
     with open(done_path, "w") as fh:
         fh.write("ok")
+    record_fit_build(cache_root, _time.time() - _t0)
     return coarse, cbs, spark.read.parquet(table_path)
 
 

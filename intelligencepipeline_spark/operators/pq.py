@@ -188,6 +188,11 @@ def pq_index(
     if os.path.exists(done_path):
         cbs = np.load(cb_path)
         return cbs, spark.read.parquet(table_path)
+    import time as _time
+
+    from intelligencepipeline_spark.caching import record_fit_build
+
+    _t0 = _time.time()
     os.makedirs(base, exist_ok=True)
     cbs = pq_fit(embeddings, m, k, iters, dim, id_col, vec_col)
     codes = pq_encode(embeddings, cbs, id_col, vec_col)
@@ -195,6 +200,7 @@ def pq_index(
     np.save(cb_path, cbs)
     with open(done_path, "w") as fh:
         fh.write("ok")
+    record_fit_build(cache_root, _time.time() - _t0)
     return cbs, spark.read.parquet(table_path)
 
 
@@ -380,6 +386,11 @@ def pq_index_integer(
             for j, sub in raw.items()
         }
         return cbs, spark.read.parquet(table_path)
+    import time as _time
+
+    from intelligencepipeline_spark.caching import record_fit_build
+
+    _t0 = _time.time()
     os.makedirs(base, exist_ok=True)
     cbs, coded = pq_fit_integer(embeddings, m, k, iters, dim, id_col, vec_col)
     coded.write.mode("overwrite").parquet(table_path)
@@ -387,6 +398,7 @@ def pq_index_integer(
         json.dump(cbs, fh)
     with open(done_path, "w") as fh:
         fh.write("ok")
+    record_fit_build(cache_root, _time.time() - _t0)
     return cbs, spark.read.parquet(table_path)
 
 

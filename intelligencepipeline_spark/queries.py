@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from intelligencepipeline_spark.caching import track_persist
+import time
+
+from intelligencepipeline_spark.caching import record_fit_build, track_persist
 from intelligencepipeline_spark.scratch import scratch_dir
 from intelligencepipeline_spark.session import MICROBATCH_SHUFFLE_PARTITIONS
 from intelligencepipeline_spark.sources.tables import load_table
@@ -111,6 +113,27 @@ def _shared_lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE default-parameter (8-hash, k=3) minhash signature build per
+    corpus per session (caching.shared_scan): the signature frame both
+    the banded-LSH candidate generation and the estimator audit derive
+    from the shared shingle table. Before r12 a cold session built it
+    twice — once inside _shared_lsh_candidates and once locally in
+    minhash_jaccard_estimate_audit (r11 ADVICE). At 100 TB this is
+    the at-rest signature store written once at ingest."""
+    from intelligencepipeline_spark.caching import shared_scan
+
+    return shared_scan(
+        ("minhash_sigs", sf_dir),
+        lambda: minhash_signatures_df(
+            _t(spark, sf_dir, "documents"),
+            num_hashes=8,
+            shingle_k=3,
+            shingles=_shared_shingles(spark, sf_dir, k=3),
+        ),
+    )
+
+
 def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE banded-LSH candidate generation per corpus per session
     (caching.shared_scan): the default-parameter (8 hashes, 4 bands,
@@ -130,9 +153,12 @@ def _shared_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
-        sh = _shared_shingles(spark, sf_dir, k=3)
         cands, _big = minhash_lsh_candidates(
-            docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
+            docs,
+            num_hashes=8,
+            bands=4,
+            shingle_k=3,
+            signatures=_shared_minhash_sigs(spark, sf_dir),
         )
         return cands
 
@@ -724,7 +750,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — one md5 per shingle, one keyed partial-agg shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        minhash_signatures_df(docs, num_hashes=8, shingle_k=3)
+        minhash_signatures_df(
+            docs,
+            num_hashes=8,
+            shingle_k=3,
+            shingles=_shared_shingles(spark, sf_dir, k=3),
+        )
         .select("doc_id", F.array_join("signature", "|").alias("signature"))
         .orderBy("doc_id")
     )
@@ -7281,14 +7312,13 @@ def minhash_jaccard_estimate_audit(
     all-pairs); the exact side is restricted to candidate docs before
     the inverted-index join — the same pruned shape as dedup_pipeline.
     Both ratios are single IEEE divisions of exact integers."""
-    docs = _t(spark, sf_dir, "documents")
     # one shingle scan + one signature build feed candidates, the
-    # estimator, AND the exact-verification side (persist: three
-    # consumers, tiny per-doc rows)
+    # estimator, AND the exact-verification side — all three via the
+    # shared substrates (r12: the signature frame is the same shared
+    # build _shared_lsh_candidates bands, so a cold session no longer
+    # derives it twice — r11 ADVICE)
     sh0 = _shared_shingles(spark, sf_dir, k=3)
-    sigs = track_persist(minhash_signatures_df(
-        docs, num_hashes=8, shingle_k=3, shingles=sh0
-    ))
+    sigs = _shared_minhash_sigs(spark, sf_dir)
     # same default-parameter candidate set as the shared substrate
     # (r11) — the signature frame above still feeds the estimator
     pairs = _shared_lsh_candidates(spark, sf_dir)
@@ -9390,7 +9420,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans,
         semdedup_k,
     )
-    from intelligencepipeline_spark.operators.similarity import cosine
+    from intelligencepipeline_spark.operators.similarity import (
+        int_dot,
+        norm2,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     k = semdedup_k(emb.count(), target_cluster_size=64)
@@ -9398,15 +9431,32 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the assignment expression (k literal-centroid distance folds per
     # row) feeds FOUR consumers: both sides of the cluster self-join,
     # the survivor exceptAll and the membership agg — cache it so the
-    # fold runs once per vector, not four times (r11)
-    m = track_persist(assigned.select("vec_id", "qvec", "cluster"))
+    # fold runs once per vector, not four times (r11). r12: the
+    # squared norm is cached per VECTOR too — the pair filter used to
+    # evaluate cosine() as three interpreted aggregate() folds PER
+    # PAIR (dot + both norms, O(sum m_c^2) HOF evals); with norms
+    # precomputed per row only the dot fold runs per pair (guide §4:
+    # per-pair work is the hot loop — hoist what is per-row).
+    # Bit-identical: the expression below is cosine()'s own shape,
+    # int_dot(a,b)/ (sqrt(norm2(a)) * sqrt(norm2(b))), with the two
+    # norm2 subtrees evaluated once per vector instead of once per
+    # pair.
+    m = track_persist(
+        assigned.select(
+            "vec_id", "qvec", "cluster",
+            norm2(F.col("qvec")).alias("nrm"),
+        )
+    )
+    pair_cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("x.nrm").cast("double"))
+        * F.sqrt(F.col("y.nrm").cast("double"))
+    )
     dropped = (
         m.alias("x")
         .join(m.alias("y"), "cluster")
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .filter(
-            cosine(F.col("x.qvec"), F.col("y.qvec")) >= F.lit(0.3)
-        )
+        .withColumn("__dot", int_dot(F.col("x.qvec"), F.col("y.qvec")))
+        .filter(pair_cos >= F.lit(0.3))
         .select(F.col("cluster"), F.col("y.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -9884,14 +9934,20 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber", "l_extendedprice", "l_partkey"
     )
 
+    # r12: run/monotonicity flags and distinct counts are computed on
+    # the RAW column values, not on cast(c as string) — cast-to-string
+    # is injective on these non-null columns, so `s != lag(s)` ⟺
+    # `c != lag(c)` and countDistinct(s) == countDistinct(c); dropping
+    # the casts halves the window's lag expressions (6 instead of 12)
+    # and makes 4 of the 6 countDistincts hash integers instead of
+    # strings (guide §2.3 narrower types — the window exchange carries
+    # ints, not stringified copies). Value-identical by injectivity.
     proj, aggs = [], [F.count(F.lit(1)).alias("n_rows")]
     for c, _num in ENCODING_ADVISOR_COLS:
-        s = F.col(c).cast("string")
-        lag_s = F.lag(s).over(w)
         lag_raw = F.lag(F.col(c)).over(w)
-        proj.append(s.alias(f"s_{c}"))
+        proj.append(F.col(c).alias(f"v_{c}"))
         proj.append(
-            (lag_s.isNull() | (s != lag_s))
+            (lag_raw.isNull() | (F.col(c) != lag_raw))
             .cast("long")
             .alias(f"newrun_{c}")
         )
@@ -9903,21 +9959,23 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = li.select("l_orderkey", "l_linenumber", *proj)
     for c, _num in ENCODING_ADVISOR_COLS:
         aggs += [
-            F.countDistinct(f"s_{c}").alias(f"nd_{c}"),
+            F.countDistinct(f"v_{c}").alias(f"nd_{c}"),
             F.sum(f"newrun_{c}").alias(f"runs_{c}"),
             F.sum(f"nondecr_{c}").alias(f"mono_{c}"),
         ]
-    # ONE ROW feeding six union branches: without the persist each
-    # branch re-runs the full scan + window + wide aggregate (measured
-    # plan: 12 parquet scans, 12 Window nodes, zero reuse — and under
-    # co-tenant load the 6x amplification is exactly how this entry
-    # spiked to 35 s in a bench pass). Cache the row; the unpivot
-    # branches read InMemoryTableScan (guide §5: persist what is
-    # reused — here the reuse is 6x and the cache is one row).
-    wide = track_persist(flags.agg(*aggs))
+    # ONE ROW, SIX per-column views: r11 unioned six one-row
+    # projections of a persisted copy of the aggregate, which still
+    # planned 6 branch subtrees (the r11 after-plan read 7 scans).
+    # r12 folds the unpivot into ONE explode of a 6-struct array over
+    # the single aggregate row — one scan + window + wide agg total,
+    # no persist, no union (guide §1.2: don't run six plans where one
+    # row-explode suffices). Values and schema are identical: the
+    # per-column expressions below are the same casts/divisions the
+    # union branches computed, and the trailing orderBy is total
+    # (column_name is unique).
+    wide = flags.agg(*aggs)
 
-    outs = []
-    for c, is_num in ENCODING_ADVISOR_COLS:
+    def _col_struct(c: str, is_num: bool):
         n = F.col("n_rows").cast("long")
         nd = F.col(f"nd_{c}").cast("long")
         runs = F.col(f"runs_{c}").cast("long")
@@ -9931,21 +9989,22 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.lit(is_num) & (frac_mono >= 0.9), "DELTA")
             .otherwise("PLAIN")
         )
-        outs.append(
-            wide.select(
-                F.lit(c).alias("column_name"),
-                n.alias("n_rows"),
-                nd.alias("n_distinct"),
-                runs.alias("n_runs"),
-                distinct_pct.alias("distinct_pct"),
-                avg_run.alias("avg_run_len"),
-                frac_mono.alias("frac_nondecr"),
-                rec.alias("encoding"),
-            )
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            n.alias("n_rows"),
+            nd.alias("n_distinct"),
+            runs.alias("n_runs"),
+            distinct_pct.alias("distinct_pct"),
+            avg_run.alias("avg_run_len"),
+            frac_mono.alias("frac_nondecr"),
+            rec.alias("encoding"),
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
+
+    res = wide.select(
+        F.explode(
+            F.array(*[_col_struct(c, num) for c, num in ENCODING_ADVISOR_COLS])
+        ).alias("r")
+    ).select("r.*")
     return res.orderBy("column_name")
 
 
@@ -15941,10 +16000,10 @@ def streaming_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = _shared_shingles(spark, sf_dir, k=3)
-    sigs = track_persist(
-        minhash_signatures_df(docs, shingles=sh).select(
-            "doc_id", "signature"
-        )
+    # identical default-parameter derivation as the shared substrate
+    # (num_hashes=8 over the k=3 shingles) — reuse it (r12)
+    sigs = _shared_minhash_sigs(spark, sf_dir).select(
+        "doc_id", "signature"
     )
     sizes = track_persist(
         sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
@@ -21983,6 +22042,7 @@ def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join("/tmp/ip_prov_cache", key)
     done = os.path.join(staged, "_DONE")
     if not os.path.exists(done):
+        _t0 = time.time()
         os.makedirs(staged, exist_ok=True)
         base = docs.select(
             "doc_id", (F.col("doc_id") % 3).alias("g"), "text"
@@ -21993,6 +22053,7 @@ def release_provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).parquet(os.path.join(staged, f"g{g}"))
         with open(done, "w") as fh:
             fh.write(_json.dumps({"shards": 3}))
+        record_fit_build("/tmp/ip_prov_cache", time.time() - _t0)
     back = track_persist(
         spark.read.parquet(f"{staged}/g*").select(
             "doc_id", "g", F.col("_metadata.file_name").alias("fname")
@@ -22162,6 +22223,7 @@ def _seed_component_stores(
         # atomic build (the _seed_signature_store discipline): temp
         # sibling + rename so _DONE never coexists with partial
         # bucket-store generations.
+        _t0 = time.time()
         os.makedirs(os.path.dirname(base), exist_ok=True)
         tmp = f"{base}.tmp{os.getpid()}"
         _sh.rmtree(tmp, ignore_errors=True)
@@ -22181,6 +22243,7 @@ def _seed_component_stores(
             os.rename(tmp, base)
         except OSError:  # concurrent builder won the rename
             _sh.rmtree(tmp, ignore_errors=True)
+        record_fit_build("/tmp/ip_icm_cache", time.time() - _t0)
     _sh.copytree(os.path.join(base, "labels"), label_store)
     _sh.copytree(os.path.join(base, "compidx"), comp_store)
 
@@ -22574,6 +22637,7 @@ def _seed_signature_store(
         # can never coexist with a partial bucket store (a crash
         # mid-commit_buckets used to leave generations the rebuild
         # could interleave with).
+        _t0 = time.time()
         os.makedirs(os.path.dirname(base), exist_ok=True)
         tmp = f"{base}.tmp{os.getpid()}"
         _sh.rmtree(tmp, ignore_errors=True)
@@ -22593,6 +22657,7 @@ def _seed_signature_store(
             os.rename(tmp, base)
         except OSError:  # concurrent builder won the rename
             _sh.rmtree(tmp, ignore_errors=True)
+        record_fit_build("/tmp/ip_slei_cache", time.time() - _t0)
     _sh.copytree(os.path.join(base, "sigstore"), store)
 
 

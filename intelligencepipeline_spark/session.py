@@ -112,6 +112,24 @@ def get_spark(
             DEFAULT_SHUFFLE_PARTITIONS,
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE for plans that read cached (persisted) frames — OFF by
+        # default in Spark for exchange-reuse predictability, but this
+        # engine persists its shared substrates (shingles, LSH
+        # candidates, NB/LM scores) and without it every cached frame
+        # MATERIALIZES at the pre-coalesce width (initialPartitionNum
+        # = core count) and every consumer stage runs one task per
+        # core over KB-scale cached blocks (guide §2.2: size
+        # partitions to bytes, not cores). Measured at 32 cores,
+        # sf0.1: minhash_lsh_pairs 0.37→0.14 s, dedup_clusters
+        # 0.25→0.18, span_dedup_clean 1.95→1.72, consistent wins on
+        # all 9 probed substrate consumers, no regressions. At 100 TB
+        # the same flag right-sizes cached-substrate partitions by
+        # bytes instead of pinning them to whatever the build stage's
+        # width was.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -131,16 +131,20 @@ def test_g9_substrates_equal_direct_derivation(spark):
         release_persisted,
         release_shared,
     )
-    from intelligencepipeline_spark.functions.text import gopher_rules
+    from intelligencepipeline_spark.functions.text import (
+        gopher_rules,
+        tokens,
+    )
     from intelligencepipeline_spark.operators.dedup import (
         minhash_lsh_candidates,
+        minhash_signatures_df,
     )
     from intelligencepipeline_spark.operators.quality_clf import (
         nb_train_score,
     )
-    from intelligencepipeline_spark.functions.text import tokens
     from intelligencepipeline_spark.queries import (
         _shared_lsh_candidates,
+        _shared_minhash_sigs,
         _shared_nb_scores,
         _t,
     )
@@ -148,24 +152,40 @@ def test_g9_substrates_equal_direct_derivation(spark):
     sf = "/root/testdata/sf0.001"
     release_persisted()
     release_shared()
-    docs = _t(spark, sf, "documents")
+    try:
+        docs = _t(spark, sf, "documents")
 
-    direct_nb = nb_train_score(
-        docs,
-        tokens(F.col("text")),
-        gopher_rules(F.col("text"))["keep"],
-        F.col("doc_id") % 2 == 0,
-    )
-    shared_nb = _shared_nb_scores(spark, sf)
-    assert sorted(shared_nb.columns) == sorted(direct_nb.columns)
-    assert shared_nb.exceptAll(direct_nb).count() == 0
-    assert direct_nb.exceptAll(shared_nb).count() == 0
+        direct_nb = nb_train_score(
+            docs,
+            tokens(F.col("text")),
+            gopher_rules(F.col("text"))["keep"],
+            F.col("doc_id") % 2 == 0,
+        )
+        shared_nb = _shared_nb_scores(spark, sf)
+        assert sorted(shared_nb.columns) == sorted(direct_nb.columns)
+        assert shared_nb.exceptAll(direct_nb).count() == 0
+        assert direct_nb.exceptAll(shared_nb).count() == 0
 
-    direct_cands, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3
-    )
-    shared_cands = _shared_lsh_candidates(spark, sf)
-    assert shared_cands.exceptAll(direct_cands).count() == 0
-    assert direct_cands.exceptAll(shared_cands).count() == 0
-    release_persisted()
-    release_shared()
+        direct_cands, _big = minhash_lsh_candidates(
+            docs, num_hashes=8, bands=4, shingle_k=3
+        )
+        shared_cands = _shared_lsh_candidates(spark, sf)
+        assert shared_cands.exceptAll(direct_cands).count() == 0
+        assert direct_cands.exceptAll(shared_cands).count() == 0
+
+        # r12: the shared signature substrate equals a direct
+        # default-parameter derivation (exploded string form so the
+        # array column compares via exceptAll)
+        direct_sigs = minhash_signatures_df(
+            docs, num_hashes=8, shingle_k=3
+        ).select("doc_id", F.array_join("signature", "|").alias("s"))
+        shared_sigs = _shared_minhash_sigs(spark, sf).select(
+            "doc_id", F.array_join("signature", "|").alias("s")
+        )
+        assert shared_sigs.exceptAll(direct_sigs).count() == 0
+        assert direct_sigs.exceptAll(shared_sigs).count() == 0
+    finally:
+        # substrates must not leak into later tests sharing the
+        # session fixture even when an assertion above fails
+        release_persisted()
+        release_shared()
