@@ -2804,8 +2804,14 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = _shared_shingles(spark, sf_dir, k=3)
     exact = jaccard_pairs(docs, shingle_k=3, threshold=0.05, shingles=sh)
+    # The audit keeps its OWN generator call (band join + over-cap
+    # overflow both exercised below) but derives it from the shared
+    # default-parameter signature frame — the same input the candidate
+    # substrate builds from, so the audited banding is byte-identical
+    # while the 8-rotation signature fold runs once per session.
     cand, _big = minhash_lsh_candidates(
-        docs, num_hashes=8, bands=4, shingle_k=3, shingles=sh
+        docs, num_hashes=8, bands=4, shingle_k=3,
+        signatures=_shared_minhash_sigs(spark, sf_dir),
     )
     # the oracle generates candidates WITHOUT the bucket cap — if any
     # band bucket overflowed, the audit itself would be lying; fail
@@ -8120,7 +8126,11 @@ def bmp_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("media_meta"),
     )
-    resized = resize_images(media, target_w=5, target_h=3, media_col="media")
+    # feats AND the join-back both evaluate this frame: persist so the
+    # Python decode/resize/re-encode chain runs once (guide §4/§5).
+    resized = track_persist(
+        resize_images(media, target_w=5, target_h=3, media_col="media")
+    )
     feats = extract_media_features(
         resized.select("doc_id", F.col("resized").alias("media")), "media"
     )
@@ -9168,7 +9178,11 @@ def png_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("media_meta"),
         )
     )
-    resized = resize_images(media, target_w=3, target_h=3, media_col="media")
+    # feats AND the join-back both evaluate this frame: persist so the
+    # Python encode/decode/resize chain runs once (guide §4/§5).
+    resized = track_persist(
+        resize_images(media, target_w=3, target_h=3, media_col="media")
+    )
     feats = extract_media_features(
         resized.select("doc_id", F.col("resized").alias("media")), "media"
     )
@@ -9224,7 +9238,11 @@ def wav_resample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media"
         ),
     )
-    resampled = resample_audio(media, factor=2, media_col="media")
+    # feats AND the join-back both evaluate this frame: persist so the
+    # Python decode/decimate/re-encode chain runs once (guide §4/§5).
+    resampled = track_persist(
+        resample_audio(media, factor=2, media_col="media")
+    )
     feats = extract_media_features(
         resampled.select("doc_id", F.col("resampled").alias("media")),
         "media",
@@ -11971,6 +11989,10 @@ def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # event_id never reaches the session fold (it orders the BATCH
+        # proof only) — dropping it here keeps it out of the per-group
+        # Arrow transfer into the Python state function (guide §4).
+        .drop("event_id")
         .withColumn("wmts", F.timestamp_seconds(F.col("es")))
         .withWatermark("wmts", "0 seconds")
     )
@@ -11978,9 +12000,12 @@ def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # applyInPandasWithState does REAL per-group Python work over the
     # staged volume: the shuffle width IS the Python-worker
-    # parallelism here, so this entry keeps the wider measured-best
-    # width instead of the KB-scale micro-batch default.
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # parallelism here, so this entry derives a wider width from the
+    # core count instead of the KB-scale micro-batch default; capped
+    # because each extra partition also adds a state-store commit per
+    # micro-batch (measured best 16 at 32 cores, 8 at 8 cores).
+    _w = max(8, min(16, spark.sparkContext.defaultParallelism // 2))
+    spark.conf.set("spark.sql.shuffle.partitions", str(_w))
     try:
         q = (
             sess.writeStream.outputMode("append")
@@ -12000,7 +12025,10 @@ def streaming_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = F.when(
         F.col("prev").isNull() | (F.col("es") - F.col("prev") > GAP), 1
     ).otherwise(0)
-    sess_b = (
+    # Both digest sides (open_rem and direct) fold this same frame —
+    # persist it so the window sessionization runs once, not twice
+    # (guide §5 persist-when-reused).
+    sess_b = track_persist(
         ev.withColumn("prev", F.lag("es").over(w))
         .withColumn(
             "sid",
@@ -17062,11 +17090,12 @@ def python_stream_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_FeedSource)
     out = scratch_dir("ip_pysrc_out_")
     ck = scratch_dir("ip_pysrc_ck_")
+    # One streaming frame reused for all six restarts: the analyzed plan
+    # (and its Python planning round-trip) is built once, not per run.
+    stream_df = spark.readStream.format("ip_feed15").load()
     for _ in range(total // chunk):
         q = (
-            spark.readStream.format("ip_feed15")
-            .load()
-            .writeStream.format("parquet")
+            stream_df.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
@@ -17074,11 +17103,11 @@ def python_stream_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     got = spark.read.parquet(out)
-    n, nd = got.select(
-        F.count(F.lit(1)), F.countDistinct("i")
-    ).collect()[0]
-    assert n == total and nd == total, (n, nd)
-    return (
+    # The no-dupes/no-gaps assert is folded into the returned aggregate:
+    # groups partition rows by i DIV chunk, so sum(n_rows) == total and
+    # sum(n_distinct) == total are exactly the old global count /
+    # countDistinct asserts — one readback pass instead of two.
+    grouped = track_persist(
         got.groupBy(F.expr(f"i DIV {chunk}").alias("batch"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -17089,6 +17118,11 @@ def python_stream_source_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+    totals = grouped.select(
+        F.sum("n_rows"), F.sum("n_distinct")
+    ).collect()[0]
+    assert tuple(totals) == (total, total), tuple(totals)
+    return grouped
 
 
 def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -22487,8 +22521,11 @@ def incremental_components_merge(
     )
     assert q.awaitTermination(300), "incremental components stream hung"
 
-    final_labels = read_snapshot(spark, label_store).select(
-        "node", "component"
+    # Evaluated by both exceptAll directions and the returned join —
+    # persist so the store read + proof run over one materialization
+    # (guide §5 persist-when-reused).
+    final_labels = track_persist(
+        read_snapshot(spark, label_store).select("node", "component")
     )
     # batch-split invariance proof: the ONE-SHOT quotient merge of all
     # new edges over the base labeling (no stores, no stream) must
@@ -22525,7 +22562,7 @@ def incremental_components_merge(
     )
     aff_all = sorted(set(rep_all.values()))
     new_all = [n for n in all_eps if n not in rep_all]
-    oneshot = (
+    oneshot = track_persist(
         base_labels.filter(~F.col("component").isin(aff_all))
         .unionByName(
             base_labels.filter(F.col("component").isin(aff_all))
@@ -22801,17 +22838,22 @@ def streaming_lsh_edge_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ids = batch_df.select("doc_id").localCheckpoint(eager=True)
-        n_ids = ids.count()
+        # one job yields both the arrival count and the batch parity
+        # (guide §1.2: the two separate jobs measured ~0.2 s each over
+        # KB-scale checkpointed data — pure per-job overhead)
+        n_ids, bno_ = (
+            ids.agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.min("doc_id") % 2).cast("long").alias("b"),
+            ).collect()[0]
+        )
         if n_ids == 0:
             # spurious empty trigger: nothing arrived, nothing to probe
             # or upsert, and the ledger stays 2 rows (one per data
             # batch) — without this, min(doc_id) is NULL and int(None)
             # would kill the stream.
             return
-        bno = int(
-            ids.agg((F.min("doc_id") % 2).cast("long").alias("b"))
-            .collect()[0]["b"]
-        )
+        bno = int(bno_)
         sigs = minhash_signatures_df(
             docs, num_hashes=8, shingle_k=3,
             shingles=sh.join(ids, "doc_id", "leftsemi"),
@@ -22884,9 +22926,10 @@ def streaming_lsh_edge_ingest(
         new_rows = bands.withColumn(
             "bucket", _band_bucket(F.col("band_hash"), NB)
         )
-        tb2 = touched_buckets(
-            new_rows, _band_bucket(F.col("band_hash"), NB)
-        )
+        # the upsert's touched set IS tb: new_rows is bands plus a
+        # bucket column, bucketed by the same function over the same
+        # rows — recomputing it was one more driver job per batch
+        tb2 = tb
         kept = (
             read_snapshot(spark, store)
             .filter(F.col("bucket").isin(tb2))
@@ -22920,7 +22963,11 @@ def streaming_lsh_edge_ingest(
         .join(arriving.withColumnRenamed("doc_id", "b"), "b", "left_anti")
         .select("a", "b")  # joins front the key: re-pin positional order
     )
-    incremental = base_edges.unionByName(emitted.select("a", "b"))
+    # Evaluated by both exceptAll directions — one materialization of
+    # the two anti-joins + union (guide §5 persist-when-reused).
+    incremental = track_persist(
+        base_edges.unionByName(emitted.select("a", "b"))
+    )
     lossless = (
         incremental.exceptAll(full_edges).count() == 0
         and full_edges.exceptAll(incremental).count() == 0
