@@ -221,6 +221,59 @@ def cdc_chunks(text: Column, w: int = 3, divisor: int = 8) -> Column:
     return F.element_at(F.transform(F.array(tokens(text)), chunked), 1)
 
 
+def cdc_chunk_rows(
+    df, text_col: str = "text", key: str = "doc_id",
+    w: int = 3, divisor: int = 8,
+):
+    """DataFrame-level CDC chunking: (key, chunk) rows, value-identical
+    to ``explode(cdc_chunks(text))`` (pinned in tests/test_functions).
+
+    The column form is a deeply nested interpreted-HOF tree
+    (transform-of-transform window hash + per-chunk slices) whose
+    codegen/planning alone dominates a cold pass; here the same exact
+    integer math — md5-prefix word hashes, ``sum(h[i-off]·2^off)``
+    window, ``% divisor`` boundaries — runs batched in the Python
+    worker over only (key, text) (guide §4.2: hand whole batches to
+    native code; §4: ship only the columns the function needs).
+    Tokenization is the same literal-single-space split + empty drop
+    as ``tokens`` (trivially exact in Python); md5 of the UTF-8 token
+    bytes matches Spark's ``md5`` by definition.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cs = [], []
+            for key_val, text in zip(pdf[key], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in text.split(" ") if t != ""]
+                n = len(toks)
+                if n < 1:
+                    continue
+                hs = [
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                    for t in toks
+                ]
+                bounds = []
+                for i in range(w, n):  # 1-based i in [w, n-1]
+                    wh = sum(hs[i - 1 - off] * (2 ** off) for off in range(w))
+                    if wh % divisor == 0:
+                        bounds.append(i)
+                starts = [1] + [b + 1 for b in bounds]
+                ends = bounds + [n]
+                for s, e in zip(starts, ends):
+                    ids.append(key_val)
+                    cs.append(" ".join(toks[s - 1 : e]))
+            yield pd.DataFrame({key: ids, "chunk": cs})
+
+    return df.select(key, text_col).mapInPandas(
+        gen, f"{key} long, chunk string"
+    )
+
+
 # BPE-ish subword pattern: runs of letters are split into 1-4 char
 # pieces (greedy, like a coarse byte-pair vocabulary cap), digits run
 # together, any other non-space char is its own token. Same regex

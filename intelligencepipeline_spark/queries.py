@@ -9714,13 +9714,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle is the chunk-keyed agg (map-side partial first), and
     the result is TakeOrdered-cut. Exact integer hashes (md5-prefix),
     deterministic (n_occ DESC, chunk) total order at the cut."""
-    from intelligencepipeline_spark.functions.text import cdc_chunks
+    from intelligencepipeline_spark.functions.text import cdc_chunk_rows
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = docs.select(
-        "doc_id",
-        F.explode(cdc_chunks(F.col("text"))).alias("chunk"),
-    )
+    # DataFrame form of explode(cdc_chunks(text)) — value-identical
+    # (pinned in tests/test_functions.py), but the chunk math runs
+    # batched in the Python worker instead of a giant interpreted-HOF
+    # tree whose codegen dominates a cold pass (guide §4.2).
+    chunks = cdc_chunk_rows(docs)
     return (
         chunks.groupBy("chunk")
         .agg(

@@ -125,3 +125,35 @@ def test_cdc_chunks_offset_invariance(spark):
     # identically (the CDC property fixed-stride chunking lacks)
     assert rows[0][1:] == rows[1][1:] and len(rows[0]) > 1
     assert rows[2] == [] and rows[3] == ["one two"]
+
+
+def test_cdc_chunk_rows_matches_expression(spark):
+    """The vectorized DataFrame form is value-identical to
+    explode(cdc_chunks(text)) — including null/empty/multi-space/
+    unicode edges and the real corpus."""
+    from intelligencepipeline_spark.functions.text import (
+        cdc_chunk_rows,
+        cdc_chunks,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "a  b   c"),
+            (4, "héllo wörld ünïcode tok a b c d e f g h i j k l"),
+            (5, " ".join(f"w{i}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    for df in (edge, docs):
+        expr = df.select(
+            "doc_id", F.explode(cdc_chunks(F.col("text"))).alias("chunk")
+        )
+        vec = cdc_chunk_rows(df)
+        assert expr.exceptAll(vec).count() == 0
+        assert vec.exceptAll(expr).count() == 0
