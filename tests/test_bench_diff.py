@@ -75,8 +75,17 @@ def test_local_bench_never_regresses_vs_committed_round_bench():
     because the driver file lacks the full per-query map.)"""
     import glob
     import os
+    import re
 
-    rounds = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    # Exclude the driver's low-core SCALING probes (BENCH_r11_c8.json
+    # etc.): they measure a different core count BY DESIGN, so entries
+    # that are faster at 8 cores (python_datasource_sink, scaling
+    # ratio 0.39) would flag on every honest default-core run. The
+    # gate's baseline is the last round bench at the default width.
+    rounds = sorted(
+        p for p in glob.glob("/root/repo/BENCH_r*.json")
+        if not re.search(r"_c\d+\.json$", p)
+    )
     assert rounds, "driver bench artifacts missing"
     baseline = rounds[-1]
     current = "/root/repo/bench_full.json"
